@@ -1,0 +1,22 @@
+"""The SURVEY.md §2 operator inventory, wired to the driver contract.
+
+Each module registers named queries via :mod:`registry`; ``__spark_entry__``
+exposes them through ``queries()`` / ``oracle_sql()``.
+"""
+
+from mcp_clickhouse_spark.inventory.registry import QUERIES, QuerySpec, query  # noqa: F401
+
+
+def load_all() -> None:
+    """Import every inventory module so its @query decorators run."""
+    from mcp_clickhouse_spark.inventory import (  # noqa: F401
+        aggregates,
+        core,
+        dialect_shims,
+        joins,
+        pipeline_ops,
+        scalars,
+        setops,
+        timeseries,
+        windows,
+    )

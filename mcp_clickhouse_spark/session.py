@@ -1,0 +1,116 @@
+"""SparkSession factory and testdata registration.
+
+The reference keeps ONE global embedded-engine session for its whole process
+lifetime (mcp_clickhouse/mcp_server.py:578-605: ``_chdb_client`` created once,
+closed atexit). A local-mode SparkSession is the exact analog; this module
+owns it.
+
+Scale notes (100 TB design): every knob here is chosen so the same code runs
+unchanged on a real cluster — AQE handles skew/coalescing at runtime, shuffle
+partitions default to the parallelism of the cluster rather than a magic
+constant, and timestamps are normalized at scan time (distributed, no driver
+materialization).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# The driver-generated testdata tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "mcp-clickhouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the long-lived session — the chDB-session analog.
+
+    Config stance:
+      - AQE on: runtime coalescing of shuffle partitions, skew-join splitting
+        and broadcast-join conversion replace hand-tuned plans at scale.
+      - Arrow on: every Pandas-UDF boundary is Arrow-batched.
+      - UTC session timezone: deterministic timestamp semantics vs the
+        DuckDB oracle (naive timestamps on both sides).
+      - ``nanosAsLong``: the driver's events table carries parquet
+        TIMESTAMP(NANOS) which Spark's vectorized reader rejects; we read the
+        raw int64 and normalize to µs in :func:`read_table` — distributed,
+        no driver round-trip.
+    """
+    cpus = default_parallelism()
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = max(cpus, 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame, normalizing types.
+
+    ``events.ts`` arrives as raw nanoseconds (via ``nanosAsLong``); we
+    truncate to microseconds exactly like ``CAST(ts AS TIMESTAMP)`` does in
+    DuckDB (floor division), entirely inside whole-stage codegen.
+    """
+    if name == "events":
+        # Runtime-settable; needed even when the caller built its own session.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # ns → µs floor-truncation as TIMESTAMP_NTZ: timezone-independent and
+        # identical to DuckDB's CAST(ts AS TIMESTAMP).
+        df = df.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, CAST(floor(ts/1000) AS BIGINT),"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    return df
+
+
+def register_testdata(
+    spark: SparkSession, sf_dir: str, tables: Iterable[str] = TESTDATA_TABLES
+) -> None:
+    """Register the testdata parquet files as temp views (the 'catalog')."""
+    for name in tables:
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)

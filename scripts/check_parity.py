@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
+over the same parquet tables, then compares row count, column names, and an
+order-insensitive canonical value multiset. Exact float equality is the
+target (queries are designed decimal-deterministic); near-miss floats are
+reported separately so an ULP drift is distinguishable from a wrong answer.
+
+Usage: python scripts/check_parity.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from datetime import date, datetime
+from decimal import Decimal
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+
+
+def canon(v):
+    """Canonicalize a cell for order-insensitive comparison."""
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, Decimal):
+        return repr(float(v))
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{canon(x)}" for k, x in sorted(v.items())) + "}"
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    return f"{type(v).__name__}:{v!r}"
+
+
+def rowset(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon(r[i]) for i in order) for r in rows)
+
+
+def near(a, b):
+    """True if rowsets differ only by tiny float drift."""
+    if len(a) != len(b):
+        return False
+    for x, y in zip(a, b):
+        if x == y:
+            continue
+        xs, ys = x.split("|"), y.split("|")
+        if len(xs) != len(ys):
+            return False
+        for u, v in zip(xs, ys):
+            if u == v:
+                continue
+            try:
+                fu, fv = float(u), float(v)
+            except ValueError:
+                return False
+            if not math.isclose(fu, fv, rel_tol=1e-9, abs_tol=1e-9):
+                return False
+    return True
+
+
+def main():
+    args = [a for a in sys.argv[1:]]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and "/" in args[0]:
+        sf_dir = args.pop(0)
+    only = set(args)
+
+    import __spark_entry__ as entrymod
+    from mcp_clickhouse_spark.session import TESTDATA_TABLES, get_spark
+
+    spark = get_spark(app_name="check-parity")
+    con = duckdb.connect()
+    for name in TESTDATA_TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{sf_dir}/{name}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    n_pass = n_near = n_fail = n_rowsonly = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            scols = df.columns
+            srows = [tuple(r) for r in df.collect()]
+        except Exception as e:
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            print(f"ROWS  {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_rowsonly += 1
+            continue
+        try:
+            ores = con.execute(oracles[name])
+            ocols = [d[0] for d in ores.description]
+            orows = ores.fetchall()
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        msgs = []
+        if sorted(scols) != sorted(ocols):
+            msgs.append(f"cols spark={sorted(scols)} oracle={sorted(ocols)}")
+        if len(srows) != len(orows):
+            msgs.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        if not msgs:
+            sa, ob = rowset(scols, srows), rowset(ocols, orows)
+            if sa == ob:
+                print(f"PASS  {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+                n_pass += 1
+                continue
+            if near(sa, ob):
+                print(f"NEAR  {name}: float ULP drift only ({len(srows)} rows)")
+                n_near += 1
+                continue
+            diffs = [(x, y) for x, y in zip(sa, ob) if x != y][:3]
+            msgs.append(f"values differ; first diffs: {diffs}")
+        print(f"FAIL  {name}: " + "; ".join(msgs))
+        n_fail += 1
+    print(
+        f"\n== {n_pass} pass, {n_near} near, {n_rowsonly} rows-only, {n_fail} fail "
+        f"(sf_dir={sf_dir})"
+    )
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
