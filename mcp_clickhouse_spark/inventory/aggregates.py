@@ -1,1 +1,350 @@
-"""(stub — filled in as the inventory grows)"""
+"""Aggregation inventory — SURVEY.md §2.3.4 (B5-B8 plus delegated surface).
+
+Global aggregates, GROUP BY + HAVING, COUNT DISTINCT, ROLLUP/CUBE/GROUPING
+SETS, WITH TOTALS, conditional (-If) aggregates, argMax/argMin (max_by /
+min_by), groupArray/groupUniqArray (collect_list/set, canonically sorted),
+exact and approximate quantiles, approx distinct (HLL), statistical moments,
+and the exact topK shim.
+
+All double-typed sums route through DECIMAL (exact on both engines); ratio
+results are double divisions of exact values — bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+from mcp_clickhouse_spark.operators import top_k, with_totals
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(12,2)")
+
+
+@query(
+    "agg_global",
+    oracle="""
+    SELECT
+      COUNT(*) AS n_rows,
+      COUNT(DISTINCT c_nationkey) AS n_nations,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS sum_bal,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+      MIN(c_acctbal) AS min_bal,
+      MAX(c_acctbal) AS max_bal
+    FROM customer
+    """,
+    category="aggregates",
+)
+def agg_global(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    return c.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        (F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("avg_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+    )
+
+
+@query(
+    "agg_group_having",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+    FROM customer
+    GROUP BY c_mktsegment
+    HAVING COUNT(*) > 100
+    """,
+    category="aggregates",
+)
+def agg_group_having(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("total_bal"),
+        )
+        .where(F.col("n") > 100)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_count_distinct(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count("*").alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "agg_rollup",
+    oracle="""
+    SELECT r_name, n_name, COUNT(*) AS n, GROUPING(r_name) + 2*GROUPING(n_name) AS gid
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    category="aggregates",
+)
+def agg_rollup(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    j = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return j.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n"),
+        (F.grouping("r_name") + F.lit(2) * F.grouping("n_name")).alias("gid"),
+    )
+
+
+@query(
+    "agg_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    category="aggregates",
+)
+def agg_cube(spark, sf_dir):
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+    FROM customer
+    GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+    """,
+    category="aggregates",
+)
+def agg_grouping_sets(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey, COUNT(*) AS n
+        FROM customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+@query(
+    "agg_with_totals",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT NULL, COUNT(*), CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+    FROM orders
+    """,
+    category="aggregates",
+)
+def agg_with_totals(spark, sf_dir):
+    # ClickHouse `GROUP BY … WITH TOTALS` — one aggregation pass via rollup
+    # (see operators/with_totals.py), vs the oracle's two-scan UNION ALL.
+    return with_totals(
+        t(spark, sf_dir, "orders"),
+        ["o_orderpriority"],
+        [
+            F.count("*").alias("n"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("total"),
+        ],
+    )
+
+
+@query(
+    "agg_conditional",
+    oracle="""
+    SELECT
+      c_mktsegment,
+      COUNT(*) FILTER (WHERE c_acctbal > 0) AS n_positive,
+      COUNT(*) FILTER (WHERE c_acctbal < 0) AS n_negative,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) FILTER (WHERE c_acctbal > 0) AS DOUBLE) AS sum_positive
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="aggregates",
+)
+def agg_conditional(spark, sf_dir):
+    # ClickHouse countIf/sumIf — the -If combinator family (§2.3.4).
+    c = t(spark, sf_dir, "customer")
+    pos = F.col("c_acctbal") > 0
+    return c.groupBy("c_mktsegment").agg(
+        F.count_if(pos).alias("n_positive"),
+        F.count_if(F.col("c_acctbal") < 0).alias("n_negative"),
+        F.sum(F.when(pos, _dec("c_acctbal"))).cast("double").alias("sum_positive"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    oracle="""
+    SELECT o_orderstatus,
+           MAX_BY(o_custkey, o_orderkey) AS last_custkey,
+           MIN_BY(o_custkey, o_orderkey) AS first_custkey,
+           MAX(o_orderkey) AS max_orderkey
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_minmax_by(spark, sf_dir):
+    # ClickHouse argMax/argMin; ordering key o_orderkey is unique → deterministic.
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.max_by("o_custkey", "o_orderkey").alias("last_custkey"),
+            F.min_by("o_custkey", "o_orderkey").alias("first_custkey"),
+            F.max("o_orderkey").alias("max_orderkey"),
+        )
+    )
+
+
+@query(
+    "agg_collect",
+    oracle="""
+    SELECT r_name,
+           list_sort(list(n_name)) AS nations,
+           list_sort(list(DISTINCT n_regionkey)) AS region_keys
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    category="aggregates",
+)
+def agg_collect(spark, sf_dir):
+    # groupArray/groupUniqArray → collect_list/collect_set, canonically
+    # sorted on both sides (collection order is nondeterministic by design).
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.sort_array(F.collect_list("n_name")).alias("nations"),
+            F.sort_array(F.collect_set("n_regionkey")).alias("region_keys"),
+        )
+    )
+
+
+@query(
+    "agg_quantiles_exact",
+    oracle="""
+    SELECT o_orderstatus,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.5), 4) AS median_price,
+           ROUND(QUANTILE_CONT(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_quantiles_exact(spark, sf_dir):
+    # quantile/median — Spark `percentile` (exact) and DuckDB QUANTILE_CONT
+    # share the linear-interpolation definition; rounded to absorb the final
+    # interpolation ULP.
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("median_price"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 4).alias("p90_price"),
+    )
+
+
+@query("agg_quantile_approx", category="aggregates")  # rows-only: impl-specific sketch
+def agg_quantile_approx(spark, sf_dir):
+    # ClickHouse quantileTDigest ≈ Spark percentile_approx (GK sketch) —
+    # approximate by contract, so no cross-engine oracle exists.
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", F.lit(0.5), F.lit(10000)).alias("median_approx")
+    )
+
+
+@query("agg_approx_count_distinct", category="aggregates")  # rows-only: HLL impl-specific
+def agg_approx_count_distinct(spark, sf_dir):
+    # ClickHouse uniq/uniqHLL12 → approx_count_distinct (HyperLogLog++).
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey").alias("approx_customers"))
+    )
+
+
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT c_mktsegment,
+           ROUND(STDDEV_SAMP(c_acctbal), 4) AS std_bal,
+           ROUND(VAR_SAMP(c_acctbal), 4) AS var_bal,
+           ROUND(CORR(c_acctbal, CAST(c_custkey AS DOUBLE)), 6) AS corr_bal_key,
+           ROUND(COVAR_POP(c_acctbal, CAST(c_custkey AS DOUBLE)), 4) AS covar_bal_key
+    FROM customer GROUP BY c_mktsegment
+    """,
+    category="aggregates",
+)
+def agg_stats(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    key_d = F.col("c_custkey").cast("double")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.stddev_samp("c_acctbal"), 4).alias("std_bal"),
+        F.round(F.var_samp("c_acctbal"), 4).alias("var_bal"),
+        F.round(F.corr(F.col("c_acctbal"), key_d), 6).alias("corr_bal_key"),
+        F.round(F.covar_pop(F.col("c_acctbal"), key_d), 4).alias("covar_bal_key"),
+    )
+
+
+@query(
+    "agg_topk",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_returnflag, l_suppkey, COUNT(*) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY COUNT(*) DESC, l_suppkey) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ) WHERE rk <= 5
+    """,
+    category="aggregates",
+)
+def agg_topk(spark, sf_dir):
+    # ClickHouse topK(5)(l_suppkey): 5 most frequent suppliers per returnflag,
+    # exact + deterministic (see operators/topk.py).
+    return top_k(t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_suppkey", 5)
+
+
+@query(
+    "agg_any_first_last",
+    oracle="""
+    SELECT o_orderstatus,
+           MIN_BY(o_orderpriority, o_orderkey) AS any_priority,
+           MAX_BY(o_orderpriority, o_orderkey) AS last_priority
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_any_first_last(spark, sf_dir):
+    # ClickHouse any()/anyLast(): nondeterministic by contract; realized
+    # deterministically as first/last in o_orderkey order.
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderpriority", "o_orderkey").alias("any_priority"),
+            F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
+        )
+    )

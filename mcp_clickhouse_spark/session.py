@@ -101,7 +101,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn(
             "ts",
             F.expr(
-                "timestampadd(MICROSECOND, CAST(floor(ts/1000) AS BIGINT),"
+                "timestampadd(MICROSECOND, ts div 1000,"  # integer div: ns epoch > 2^53 breaks double math
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
