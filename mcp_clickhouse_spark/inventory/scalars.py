@@ -1,1 +1,365 @@
-"""(stub — filled in as the inventory grows)"""
+"""Scalar-function inventory — SURVEY.md §2.3.8 (the dialect-compat table).
+
+One query per function family: string, regex, date/time, math, type
+conversion, array, map/JSON, hash, null-handling. Each exercises the Spark
+builtins that realize the ClickHouse names (the name→name mapping itself
+lives in dialect.py).
+
+Float-determinism: transcendental functions (ln/exp) are rounded — libm vs
+JVM StrictMath can differ in the last ulp; everything else is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+
+@query(
+    "scalar_string",
+    oracle="""
+    SELECT
+      n_name,
+      lower(n_name) AS lower_name,
+      upper(n_name) AS upper_name,
+      length(n_name) AS name_len,
+      substring(n_name, 1, 3) AS prefix3,
+      concat(n_name, '-', CAST(n_nationkey AS VARCHAR)) AS tagged,
+      trim('  ' || n_name || ' ') AS trimmed,
+      lpad(CAST(n_nationkey AS VARCHAR), 4, '0') AS padded,
+      replace(n_name, 'a', '_') AS replaced,
+      reverse(n_name) AS reversed,
+      repeat('ab', 3) AS repeated,
+      strpos(n_name, 'a') AS a_pos,
+      starts_with(n_name, 'A') AS starts_a,
+      left(n_name, 2) AS left2,
+      right(n_name, 2) AS right2
+    FROM nation
+    """,
+    category="scalars",
+)
+def scalar_string(spark, sf_dir):
+    n = t(spark, sf_dir, "nation")
+    name = F.col("n_name")
+    return n.select(
+        name,
+        F.lower(name).alias("lower_name"),
+        F.upper(name).alias("upper_name"),
+        F.length(name).alias("name_len"),
+        F.substring(name, 1, 3).alias("prefix3"),
+        F.concat(name, F.lit("-"), F.col("n_nationkey").cast("string")).alias("tagged"),
+        F.trim(F.concat(F.lit("  "), name, F.lit(" "))).alias("trimmed"),
+        F.lpad(F.col("n_nationkey").cast("string"), 4, "0").alias("padded"),
+        F.replace(name, F.lit("a"), F.lit("_")).alias("replaced"),
+        F.reverse(name).alias("reversed"),
+        F.repeat(F.lit("ab"), 3).alias("repeated"),
+        F.instr(name, "a").alias("a_pos"),
+        F.startswith(name, F.lit("A")).alias("starts_a"),
+        F.left(name, F.lit(2)).alias("left2"),
+        F.right(name, F.lit(2)).alias("right2"),
+    )
+
+
+@query(
+    "scalar_regex",
+    oracle="""
+    SELECT
+      p_partkey,
+      p_type,
+      regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+      regexp_replace(p_type, '[AEIOU]', '*', 'g') AS devoweled,
+      regexp_matches(p_type, 'BRUSHED') AS is_brushed,
+      split_part(p_type, ' ', 1) AS type_head
+    FROM part WHERE p_partkey <= 500
+    """,
+    category="scalars",
+)
+def scalar_regex(spark, sf_dir):
+    p = t(spark, sf_dir, "part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        "p_type",
+        F.regexp_extract("p_type", r"([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_type", r"[AEIOU]", "*").alias("devoweled"),
+        F.col("p_type").rlike("BRUSHED").alias("is_brushed"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(1)).alias("type_head"),
+    )
+
+
+@query(
+    "scalar_datetime",
+    oracle="""
+    SELECT
+      o_orderkey,
+      CAST(o_orderdate AS DATE) AS order_date,
+      year(o_orderdate) AS yr,
+      month(o_orderdate) AS mo,
+      day(o_orderdate) AS dy,
+      dayofweek(o_orderdate) + 1 AS dow,
+      dayofyear(o_orderdate) AS doy,
+      quarter(o_orderdate) AS qtr,
+      CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+      o_orderdate + INTERVAL 30 DAY AS plus30,
+      datediff('day', o_orderdate, TIMESTAMP '1998-01-01 00:00:00') AS days_to_98,
+      last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      strftime(o_orderdate, '%Y%m') AS yyyymm
+    FROM orders WHERE o_orderkey <= 1000
+    """,
+    category="scalars",
+)
+def scalar_datetime(spark, sf_dir):
+    # ClickHouse toYear/toMonth/toStartOfMonth/addDays/dateDiff/toYYYYMM…
+    # Spark dayofweek is 1=Sunday; DuckDB dayofweek is 0=Sunday → +1 in oracle.
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 1000)
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        d.cast("date").alias("order_date"),
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dy"),
+        F.dayofweek(d).alias("dow"),
+        F.dayofyear(d).alias("doy"),
+        F.quarter(d).alias("qtr"),
+        F.date_trunc("month", d).cast("timestamp_ntz").alias("month_start"),
+        (d + F.expr("INTERVAL 30 DAYS")).alias("plus30"),
+        F.datediff(F.lit("1998-01-01").cast("date"), d.cast("date")).alias("days_to_98"),
+        F.last_day(d.cast("date")).alias("month_end"),
+        F.date_format(d, "yyyyMM").alias("yyyymm"),
+    )
+
+
+@query(
+    "scalar_math",
+    oracle="""
+    SELECT
+      c_custkey,
+      abs(c_acctbal) AS abs_bal,
+      round(c_acctbal, 1) AS round1,
+      CAST(floor(c_acctbal) AS BIGINT) AS flr,
+      CAST(ceil(c_acctbal) AS BIGINT) AS cl,
+      CAST(c_custkey % 7 AS BIGINT) AS mod7,
+      CAST(c_custkey // 10 AS BIGINT) AS intdiv10,
+      sqrt(abs(c_acctbal)) AS sqrt_bal,
+      round(ln(abs(c_acctbal) + 1), 8) AS ln_bal,
+      round(exp(c_acctbal / 10000), 8) AS exp_small,
+      power(CAST(c_custkey % 10 AS DOUBLE), 2) AS sq,
+      CAST(sign(c_acctbal) AS DOUBLE) AS sgn,
+      greatest(c_acctbal, 0.0) AS pos_part,
+      least(c_acctbal, 0.0) AS neg_part
+    FROM customer WHERE c_custkey <= 500
+    """,
+    category="scalars",
+)
+def scalar_math(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.abs(bal).alias("abs_bal"),
+        F.round(bal, 1).alias("round1"),
+        F.floor(bal).alias("flr"),
+        F.ceil(bal).alias("cl"),
+        (F.col("c_custkey") % 7).alias("mod7"),
+        F.expr("c_custkey div 10").alias("intdiv10"),
+        F.sqrt(F.abs(bal)).alias("sqrt_bal"),
+        F.round(F.log(F.abs(bal) + 1), 8).alias("ln_bal"),
+        F.round(F.exp(bal / 10000), 8).alias("exp_small"),
+        F.pow(F.col("c_custkey") % 10, 2).alias("sq"),
+        F.signum(bal).alias("sgn"),
+        F.greatest(bal, F.lit(0.0)).alias("pos_part"),
+        F.least(bal, F.lit(0.0)).alias("neg_part"),
+    )
+
+
+@query(
+    "scalar_cast",
+    oracle="""
+    SELECT
+      s_suppkey,
+      CAST(s_suppkey AS VARCHAR) AS key_str,
+      CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+      CAST(s_acctbal AS DECIMAL(12,2)) AS bal_dec,
+      CAST(trunc(s_acctbal) AS INTEGER) AS bal_int,
+      CAST(s_suppkey AS DOUBLE) AS key_dbl,
+      CAST('2024-03-15' AS DATE) AS d,
+      CAST('2024-03-15 10:30:00' AS TIMESTAMP) AS ts_parsed,
+      TRY_CAST('not a number' AS INTEGER) AS bad_int
+    FROM supplier WHERE s_suppkey <= 200
+    """,
+    category="scalars",
+)
+def scalar_cast(spark, sf_dir):
+    # ClickHouse toUInt32/toString/toDecimal/parseDateTimeBestEffort/
+    # accurateCastOrNull → cast/try_cast. NOTE: CAST(double AS INT) semantics
+    # differ (Spark truncates toward zero, DuckDB rounds half-even) — Spark
+    # truncation is the ClickHouse behavior; oracle uses trunc to match CH.
+    s = t(spark, sf_dir, "supplier").where(F.col("s_suppkey") <= 200)
+    return s.select(
+        "s_suppkey",
+        F.col("s_suppkey").cast("string").alias("key_str"),
+        F.col("s_suppkey").cast("string").cast("bigint").alias("key_roundtrip"),
+        F.col("s_acctbal").cast("decimal(12,2)").alias("bal_dec"),
+        F.col("s_acctbal").cast("int").alias("bal_int"),
+        F.col("s_suppkey").cast("double").alias("key_dbl"),
+        F.lit("2024-03-15").cast("date").alias("d"),
+        F.lit("2024-03-15 10:30:00").cast("timestamp_ntz").alias("ts_parsed"),
+        F.lit("not a number").try_cast("int").alias("bad_int"),
+    )
+
+
+@query(
+    "scalar_array",
+    oracle="""
+    SELECT
+      vec_id,
+      len(embedding) AS dim,
+      embedding[1] AS first_comp,
+      embedding[len(embedding)] AS last_comp,
+      round(list_max(embedding), 6) AS max_comp,
+      round(list_min(embedding), 6) AS min_comp,
+      list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
+      len(list_filter(embedding, x -> x > 0)) AS n_positive,
+      embedding[1:3] AS head3,
+      list_sort(embedding[1:3]) AS head3_sorted,
+      list_reverse(embedding[1:3]) AS head3_rev
+    FROM embeddings WHERE vec_id < 50
+    """,
+    category="scalars",
+)
+def scalar_array(spark, sf_dir):
+    # ClickHouse array family: length/arrayElement/arrayMax/arrayMin/has/
+    # arrayFilter/arraySlice/arraySort/arrayReverse → higher-order builtins.
+    e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).alias("first_comp"),
+        F.element_at(emb, F.size(emb)).alias("last_comp"),
+        F.round(F.array_max(emb), 6).alias("max_comp"),
+        F.round(F.array_min(emb), 6).alias("min_comp"),
+        F.exists(emb, lambda x: x > 0).alias("has_positive"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
+        F.slice(emb, 1, 3).alias("head3"),
+        F.sort_array(F.slice(emb, 1, 3)).alias("head3_sorted"),
+        F.reverse(F.slice(emb, 1, 3)).alias("head3_rev"),
+    )
+
+
+@query(
+    "scalar_json",
+    oracle="""
+    SELECT
+      event_id,
+      json_extract_string(props, '$.k') AS k_str,
+      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+      json_extract_string(props, '$.missing') AS missing_val,
+      json_valid(props) AS is_valid
+    FROM events WHERE event_id < 500
+    """,
+    category="scalars",
+)
+def scalar_json(spark, sf_dir):
+    # ClickHouse JSONExtractString/JSONExtractInt/JSONHas/isValidJSON →
+    # get_json_object + casts (VariantType on Spark 4 is the scale path for
+    # repeated access; get_json_object suffices for one-shot extraction).
+    e = t(spark, sf_dir, "events").where(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("k_int"),
+        F.get_json_object("props", "$.missing").alias("missing_val"),
+        F.get_json_object("props", "$").isNotNull().alias("is_valid"),
+    )
+
+
+@query(
+    "scalar_hash",
+    oracle="""
+    SELECT
+      n_nationkey,
+      md5(n_name) AS md5_hex,
+      sha256(n_name) AS sha256_hex,
+      to_base64(CAST(n_name AS BLOB)) AS b64,
+      CAST(from_base64(to_base64(CAST(n_name AS BLOB))) AS VARCHAR) AS b64_roundtrip
+    FROM nation
+    """,
+    category="scalars",
+)
+def scalar_hash(spark, sf_dir):
+    # ClickHouse MD5/SHA256/base64Encode/base64Decode. (cityHash64/sipHash64
+    # have no cross-engine twin — xxhash64 is the Spark-native analog, used
+    # in the dedup pipeline where only self-consistency matters.)
+    n = t(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5(F.col("n_name")).alias("md5_hex"),
+        F.sha2(F.col("n_name"), 256).alias("sha256_hex"),
+        F.base64(F.col("n_name").cast("binary")).alias("b64"),
+        F.unbase64(F.base64(F.col("n_name").cast("binary"))).cast("string").alias(
+            "b64_roundtrip"
+        ),
+    )
+
+
+@query(
+    "scalar_null_handling",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+      FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey AND o.o_orderkey < 100
+    )
+    SELECT
+      c_custkey,
+      COALESCE(o_totalprice, -1.0) AS price_or_default,
+      o_orderkey IS NULL AS no_order,
+      o_orderkey IS NOT NULL AS has_order,
+      NULLIF(c_custkey % 2, 0) AS odd_or_null,
+      IFNULL(o_orderkey, -1) AS key_or_neg,
+      CASE WHEN o_orderkey IS NULL THEN 'none' ELSE 'some' END AS tag
+    FROM j
+    """,
+    category="scalars",
+)
+def scalar_null_handling(spark, sf_dir):
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 100)
+    j = c.join(o, c.c_custkey == o.o_custkey, "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_totalprice"), F.lit(-1.0)).alias("price_or_default"),
+        F.col("o_orderkey").isNull().alias("no_order"),
+        F.col("o_orderkey").isNotNull().alias("has_order"),
+        F.nullif(F.col("c_custkey") % 2, F.lit(0)).alias("odd_or_null"),
+        F.ifnull(F.col("o_orderkey"), F.lit(-1)).alias("key_or_neg"),
+        F.when(F.col("o_orderkey").isNull(), "none").otherwise("some").alias("tag"),
+    )
+
+
+@query(
+    "scalar_map",
+    oracle="""
+    SELECT
+      n_nationkey,
+      map {'name': n_name, 'key': CAST(n_nationkey AS VARCHAR)}['name'][1] AS name_via_map,
+      cardinality(map {'a': 1, 'b': 2}) AS map_size,
+      list_sort(map_keys(map {'a': 1, 'b': 2})) AS keys_sorted
+    FROM nation WHERE n_nationkey < 5
+    """,
+    category="scalars",
+)
+def scalar_map(spark, sf_dir):
+    # ClickHouse map()/mapKeys/length/m[k] → create_map/map_keys/element_at.
+    n = t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 5)
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"), F.lit("key"), F.col("n_nationkey").cast("string")
+    )
+    m2 = F.create_map(F.lit("a"), F.lit(1), F.lit("b"), F.lit(2))
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("name_via_map"),
+        F.size(m2).alias("map_size"),
+        F.sort_array(F.map_keys(m2)).alias("keys_sorted"),
+    )
