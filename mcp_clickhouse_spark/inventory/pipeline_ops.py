@@ -1,1 +1,318 @@
-"""(stub — filled in as the inventory grows)"""
+"""LLM-pipeline inventory — dedup / similarity / text analysis / multimodal
+on the `documents` and `embeddings` tables (the north-star extensions).
+
+Oracle strategy: every operator whose arithmetic both engines can express
+identically is hash-checked (exact dedup, fingerprints, n-gram Jaccard,
+text stats, quality, lang-id, token counts, cosine top-k, multimodal
+metadata). MinHash-LSH and SimHash use xxhash64 — Spark-native, no DuckDB
+twin — so they are rows-only by design.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+from mcp_clickhouse_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_64,
+    simhash_near_dups,
+    _shingles,
+)
+from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, decode_media
+from mcp_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_topk
+from mcp_clickhouse_spark.pipeline.text import (
+    fingerprint_col,
+    language_id_col,
+    quality_score_col,
+    token_count_bpe_ish,
+    with_text_stats,
+)
+
+# DuckDB twin of pipeline.dedup._shingles / pipeline.text._words.
+_SQL_WORDS = "string_split_regex(lower(trim(text)), '\\s+')"
+_SQL_SHINGLES = f"""
+  list_distinct(list_transform(
+    generate_series(1, greatest(len({_SQL_WORDS}) - 2, 1)),
+    i -> array_to_string(({_SQL_WORDS})[i:i+2], ' ')
+  ))
+"""
+
+
+@query(
+    "pipe_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    category="pipeline",
+)
+def pipe_dedup_exact(spark, sf_dir):
+    return exact_dedup(t(spark, sf_dir, "documents")).select(
+        "content_hash", "doc_id", "n_copies"
+    )
+
+
+@query(
+    "pipe_dedup_fingerprint",
+    oracle=f"""
+    SELECT md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' ')) AS fp,
+           MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    category="pipeline",
+)
+def pipe_dedup_fingerprint(spark, sf_dir):
+    # Word-order/duplication-insensitive fingerprint dedup (text.fingerprint_col).
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", fingerprint_col("text"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "pipe_text_stats",
+    oracle=f"""
+    SELECT doc_id,
+      len({_SQL_WORDS}) AS n_tokens,
+      length(text) AS n_chars_measured,
+      round((length(text) - len({_SQL_WORDS}) + 1) / CAST(len({_SQL_WORDS}) AS DOUBLE), 6) AS avg_token_len,
+      round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+      round((length(text) - length(regexp_replace(text, '[^0-9]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+      round((length(text) - length(regexp_replace(text, '[^A-Z]', '', 'g'))) / CAST(length(text) AS DOUBLE), 6) AS upper_ratio
+    FROM documents
+    """,
+    category="pipeline",
+)
+def pipe_text_stats(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return with_text_stats(d).select(
+        "doc_id",
+        "n_tokens",
+        "n_chars_measured",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+        "upper_ratio",
+    )
+
+
+@query(
+    "pipe_quality_score",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang,
+        round(
+          CASE WHEN len({_SQL_WORDS}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+          + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                      / CAST(length(text) AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END
+          + CASE WHEN len(list_intersect({_SQL_WORDS}, ['the','and','of','to','in'])) > 0
+                 THEN 0.3 ELSE 0.0 END, 2) AS quality
+      FROM documents
+    )
+    SELECT quality, COUNT(*) AS n_docs FROM scored GROUP BY quality
+    """,
+    category="pipeline",
+)
+def pipe_quality_score(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("quality", quality_score_col("text"))
+        .groupBy("quality")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "pipe_lang_id",
+    oracle=f"""
+    WITH scores AS (
+      SELECT doc_id, lang,
+        len(list_intersect({_SQL_WORDS}, ['the','and','of','to','in'])) AS s_en,
+        len(list_intersect({_SQL_WORDS}, ['der','die','und','das','ist'])) AS s_de,
+        len(list_intersect({_SQL_WORDS}, ['le','la','et','les','des'])) AS s_fr,
+        len(list_intersect({_SQL_WORDS}, ['el','los','que','y','en'])) AS s_es
+      FROM documents
+    ),
+    ided AS (
+      SELECT lang,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+             ELSE 'es' END AS lang_pred
+      FROM scores
+    )
+    SELECT lang, lang_pred, COUNT(*) AS n FROM ided GROUP BY lang, lang_pred
+    """,
+    category="pipeline",
+)
+def pipe_lang_id(spark, sf_dir):
+    # Confusion matrix of the heuristic language-ID vs the labeled lang col.
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_pred", language_id_col("text"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "pipe_token_count",
+    oracle=r"""
+    SELECT lang,
+           SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))) AS total_tokens,
+           COUNT(*) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+    category="pipeline",
+)
+def pipe_token_count(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tok", token_count_bpe_ish("text"))
+        .groupBy("lang")
+        .agg(F.sum("n_tok").alias("total_tokens"), F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "pipe_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))
+                 / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh))
+          / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+    """,
+    category="pipeline",
+)
+def pipe_ngram_jaccard(spark, sf_dir):
+    # Blocked n-gram Jaccard near-dup: block on (lang, length-bucket) — the
+    # SQL-expressible baseline the MinHash path approximates at scale.
+    d = t(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("long").alias("bucket"),
+    )
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+    )
+    return jaccard_verify(cand, d, threshold=0.1)
+
+
+@query("pipe_minhash_lsh", category="pipeline")  # rows-only: xxhash64 is Spark-native
+def pipe_minhash_lsh(spark, sf_dir):
+    # MinHash(32) → LSH(8 bands × 4 rows) candidates → exact-Jaccard verify.
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    return jaccard_verify(cand, d, threshold=0.5)
+
+
+@query("pipe_simhash", category="pipeline")  # rows-only: xxhash64 is Spark-native
+def pipe_simhash(spark, sf_dir):
+    d = t(spark, sf_dir, "documents")
+    return simhash_near_dups(simhash_64(d), max_hamming=3, blocks=4)
+
+
+@query(
+    "pipe_embed_topk",
+    oracle="""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+        round(
+          list_sum(list_transform(generate_series(1, len(c.embedding)),
+                   i -> CAST(q.q_vec[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+          / (sqrt(list_sum(list_transform(q.q_vec, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+             * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+        6) AS cosine
+      FROM embeddings c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    category="pipeline",
+)
+def pipe_embed_topk(spark, sf_dir):
+    # Brute-force cosine top-10 for query vectors vec_id<5 — the exact ANN
+    # baseline (pipeline/similarity.py).
+    e = t(spark, sf_dir, "embeddings")
+    return brute_force_topk(e.where(F.col("vec_id") < 5), e, k=10)
+
+
+@query("pipe_embed_lsh_topk", category="pipeline")  # rows-only: LSH planes are Spark-native
+def pipe_embed_lsh_topk(spark, sf_dir):
+    # The scale path: random-hyperplane LSH buckets → per-bucket exact rerank.
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_bucketed_topk(e.where(F.col("vec_id") < 5), e, k=10)
+
+
+@query(
+    "pipe_embed_label_centroids",
+    oracle="""
+    SELECT label,
+           COUNT(*) AS n_vectors,
+           round(AVG(CAST(embedding[1] AS DOUBLE)), 6) AS avg_first_comp
+    FROM embeddings GROUP BY label
+    """,
+    category="pipeline",
+)
+def pipe_embed_label_centroids(spark, sf_dir):
+    # Per-label aggregate over a vector component — the reduce shape of a
+    # centroid/IVF training step. AVG kept to one component so the
+    # cross-engine sum order cannot bite (single float per row → double).
+    e = t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(
+            F.avg(F.element_at("embedding", 1).cast("double")), 6
+        ).alias("avg_first_comp"),
+    )
+
+
+@query(
+    "pipe_multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           'bin' AS media_format,
+           octet_length(encode(text)) AS payload_len,
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height,
+           CAST(ascii(text[1]) % 16 + 1 AS INTEGER) AS n_frames
+    FROM documents
+    """,
+    category="pipeline",
+)
+def pipe_multimodal_meta(spark, sf_dir):
+    # Binary-column plumbing end-to-end: attach payload (JVM-side), then the
+    # Arrow-batched mapInPandas "decoder" (deterministic fake — codecs are
+    # stubbed, see pipeline/multimodal.py) → typed metadata.
+    d = t(spark, sf_dir, "documents")
+    return decode_media(attach_binary_payload(d), fake=True)

@@ -1,0 +1,217 @@
+"""Deduplication operators for document corpora.
+
+Exact (hash-groupBy), MinHash + LSH banding, and SimHash — the standard
+near-dup stack for LLM training data, expressed with JVM-side builtins
+(xxhash64, higher-order array functions). No Python UDFs in any hot path.
+
+Scale design:
+  - exact dedup: one shuffle on the content hash (map-side partial nothing
+    to combine — it IS the dedup), AQE handles skew from boilerplate docs;
+  - MinHash: signatures computed per-row with `transform` over a constant
+    seed array (pure codegen); LSH banding explodes to (band, bucket) keys
+    → one shuffle groups candidates; pair generation stays inside buckets
+    (never the O(n²) cross join);
+  - verification joins candidates back to shingle sets by doc_id — two
+    hash joins on a small candidate set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _shingles(text_col, k: int = 3):
+    """k-word shingles of the lowercased text, distinct, as array<string>."""
+    words = F.split(F.lower(F.trim(text_col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, k)))
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id doc per exact (md5) content hash.
+
+    Returns (id_col, content_hash, n_copies).
+    """
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col), h)
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+        .select(id_col, "content_hash", "n_copies")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature: array<bigint>) — MinHash over word-shingles.
+
+    Hash family: xxhash64(shingle, seed_i) for num_hashes fixed seeds — a
+    seeded 64-bit family entirely inside codegen (ClickHouse uses the same
+    trick with sipHash64 families). min() over the shingle axis per seed.
+    """
+    sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("sh"))
+    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
+    sig = F.transform(
+        seeds,
+        lambda s: F.array_min(F.transform(F.col("sh"), lambda x: F.xxhash64(x, s))),
+    )
+    return sh.select(id_col, sig.alias("signature"))
+
+
+def minhash_lsh_candidates(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 8,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs (id_a < id_b) via LSH banding.
+
+    Docs sharing ALL rows of any band land in the same (band, bucket); pairs
+    are generated inside buckets only. Returns distinct (id_a, id_b).
+    """
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard over shingle sets for candidate pairs; keeps >= threshold."""
+    sh = docs.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("sh"))
+    out = (
+        candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), on="id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_inter")).cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+SIMHASH_BITS = 60  # stays clear of 64-bit overflow under ANSI arithmetic
+
+
+def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash: bigint) — 60-bit SimHash over word hashes.
+
+    Per bit b: sum over words of (+1 if bit set else -1); bit set in the
+    result iff the vote is positive. Pure higher-order-function pipeline (no
+    UDF): per-word xxhash64 computed once, bits read with getbit, and the
+    result assembled MSB-first via acc*2+bit (shift functions take only
+    literal amounts).
+    """
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    bit_votes = F.transform(
+        F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1)),  # MSB first
+        lambda b: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc + (F.getbit(h, b) * 2 - 1),
+            )
+            > 0,
+            F.lit(1).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    sim = F.aggregate(
+        bit_votes, F.lit(0).cast("bigint"), lambda acc, bit: acc * 2 + bit
+    )
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_dups(
+    hashes: DataFrame, id_col: str = "doc_id", max_hamming: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) <= max_hamming.
+
+    Pigeonhole blocking: split the hash bits into `blocks` chunks; any pair
+    within distance max_hamming (< blocks) agrees on ≥1 whole chunk → join
+    per chunk-value, then verify exact hamming via bit_count(xor). Never
+    O(n²). Chunks are extracted with getbit + acc*2 (shift builtins only
+    take literal amounts).
+    """
+    width = SIMHASH_BITS // blocks
+    chunked = hashes.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda b: F.aggregate(
+                    F.sequence(F.lit(width - 1), F.lit(0), F.lit(-1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, i: acc * 2 + F.getbit(F.col("simhash"), b * width + i),
+                ),
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a, b = chunked.alias("a"), chunked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

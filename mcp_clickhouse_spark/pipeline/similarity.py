@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (`array<float>`).
+
+Brute-force cosine top-k is the exact baseline; the scale path buckets
+vectors with a random-hyperplane LSH so each query only scans its bucket
+neighborhood. Both are pure DataFrame pipelines — the dot product runs as a
+higher-order `aggregate`/`zip_with` inside codegen, not a Python UDF.
+
+Scale notes: queries are broadcast (a query set is small by definition);
+the corpus side streams partition-parallel. Top-k per query uses a rank
+window partitioned by query id — Spark's WindowGroupLimit pushes the k-limit
+below the sort. For 100 TB corpora the LSH variant reduces the scanned
+fraction to ~bands/buckets; IVF-style coarse quantization would slot in the
+same shape (bucket id = argmin centroid), kept out until a centroid-training
+step exists.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_similarity_col(a, b):
+    """cosine(a, b) as a Column — double-precision fold, deterministic order."""
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(ad, bd, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(ad, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(bd, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine, rk).
+
+    Broadcast the queries against the corpus — each corpus partition scores
+    locally; only (n_queries × k)-ish rows survive to the final window.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
+def _rh_bucket(vec, n_planes: int, dim: int, seed: int = 7):
+    """Random-hyperplane LSH bucket id (sign pattern over n_planes planes).
+
+    Plane coefficients are a deterministic pseudo-random ±1 pattern derived
+    from xxhash64(plane, component) — no stored model, identical on every
+    executor, zero shuffle to set up.
+    """
+    vd = F.transform(vec, lambda x: x.cast("double"))
+    sign_bits = F.transform(
+        F.sequence(F.lit(0), F.lit(n_planes - 1)),
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(
+                    vd,
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(dim - 1)),
+                        lambda i: F.when(
+                            F.pmod(F.xxhash64(p * 1000 + i, F.lit(seed)), 2) == 0, 1.0
+                        ).otherwise(-1.0),
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            1,
+        ).otherwise(0),
+    )
+    # Assemble the sign pattern into a bucket id MSB-first (no shift needed).
+    return F.aggregate(sign_bits, F.lit(0), lambda acc, bit: acc * 2 + bit)
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate cosine top-k scanning only the query's LSH bucket.
+
+    With n_planes=p the expected scanned fraction is 2^-p of the corpus.
+    Recall is traded via p (fewer planes → bigger buckets → higher recall).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _rh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _rh_bucket(F.col(vec_col), n_planes, dim).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
