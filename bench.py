@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract).
+
+Runs the headline query set at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>}
+
+Timing = full query execution to materialized result (collect), which is
+what the DuckDB baseline measures too. The session is warmed with one
+trivial job first so JVM/codegen startup isn't billed to the first query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+# The headline set: one representative per operator family, correctness-
+# checked queries only (see mcp_clickhouse_spark/inventory/).
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_projection",
+    "join_star_revenue",
+    "join_asof",
+    "agg_count_distinct",
+    "agg_rollup",
+    "win_running_sum",
+    "events_session_window",
+    "events_tumbling_window",
+    "shim_limit_by",
+    "pipe_dedup_exact",
+    "pipe_minhash_lsh",
+    "pipe_embed_topk",
+    "pipe_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    import __spark_entry__ as entrymod
+    from mcp_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="mcp-clickhouse-spark-bench")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,113 @@
+"""Catalog metadata: the reference's Table/Column dataclasses realized over
+spark.catalog (SURVEY.md §1.1-1.2, §2.1 A5-A7).
+
+Field mapping (reference mcp_clickhouse/mcp_server.py:26-55):
+  engine                → table provider/type (e.g. 'parquet', 'VIEW')
+  create_table_query    → SHOW CREATE TABLE output (views/tables) or ''
+  sorting_key/primary_key → '' (no MergeTree equivalent; bucket/sort spec
+                            would go here for bucketed tables)
+  total_rows/total_bytes → catalog stats when computed, else None
+  parts/active_parts     → backing file count for external tables, else None
+  total_marks            → None (no mark index in Spark)
+
+The reference's N+1 per-table column query loop (:246-258) is collapsed:
+one listColumns call per table on the page only (§4.1 'improve').
+"""
+
+from __future__ import annotations
+
+from dataclasses import asdict, dataclass, field
+from typing import Any, List, Optional
+
+from pyspark.sql import SparkSession
+
+
+@dataclass
+class Column:
+    database: str
+    table: str
+    name: str
+    column_type: str
+    default_kind: Optional[str] = None
+    default_expression: Optional[str] = None
+    comment: Optional[str] = None
+
+    def to_dict(self) -> dict[str, Any]:
+        return asdict(self)
+
+
+@dataclass
+class Table:
+    database: str
+    name: str
+    engine: str = ""
+    create_table_query: str = ""
+    dependencies_database: str = ""
+    dependencies_table: str = ""
+    engine_full: str = ""
+    sorting_key: str = ""
+    primary_key: str = ""
+    total_rows: Optional[int] = None
+    total_bytes: Optional[int] = None
+    total_bytes_uncompressed: Optional[int] = None
+    parts: Optional[int] = None
+    active_parts: Optional[int] = None
+    total_marks: Optional[int] = None
+    comment: Optional[str] = None
+    columns: List[Column] = field(default_factory=list)
+
+    def to_dict(self) -> dict[str, Any]:
+        d = asdict(self)
+        d["columns"] = [asdict(c) if not isinstance(c, dict) else c for c in self.columns]
+        return d
+
+
+def list_database_names(spark: SparkSession) -> list[str]:
+    return [db.name for db in spark.catalog.listDatabases()]
+
+
+def list_table_names(spark: SparkSession, database: str) -> list[str]:
+    # Temp views live in the session namespace; global catalog tables under
+    # their database. The reference's system.tables scan (:188) maps to both.
+    tables = spark.catalog.listTables(database)
+    return sorted(tb.name for tb in tables)
+
+
+def _show_create(spark: SparkSession, database: str, name: str) -> str:
+    for qualified in (f"{database}.{name}", name):
+        try:
+            return spark.sql(f"SHOW CREATE TABLE {qualified}").collect()[0][0]
+        except Exception:
+            continue
+    return ""
+
+
+def describe_table(spark: SparkSession, database: str, name: str) -> Table:
+    meta = None
+    for qualified in (f"{database}.{name}", name):
+        try:
+            meta = spark.catalog.getTable(qualified)
+            break
+        except Exception:
+            continue
+    table = Table(database=database, name=name)
+    if meta is not None:
+        table.engine = meta.tableType or ""
+        table.engine_full = meta.tableType or ""
+        table.comment = meta.description
+    table.create_table_query = _show_create(spark, database, name)
+    try:
+        cols = spark.catalog.listColumns(name if meta is None else (meta.name))
+        table.columns = [
+            Column(
+                database=database,
+                table=name,
+                name=c.name,
+                column_type=c.dataType,
+                comment=c.description,
+            )
+            for c in cols
+        ]
+    except Exception:
+        table.columns = []
+    return table

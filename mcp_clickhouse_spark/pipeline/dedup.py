@@ -21,6 +21,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition to the session default parallelism when the
+    input has fewer partitions — CPU-heavy per-row stages (hashing,
+    shingling) otherwise run on however few scan tasks the file layout
+    yields. No-op on well-partitioned inputs (the 100 TB case)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _shingles(text_col, k: int = 3):
     """k-word shingles of the lowercased text, distinct, as array<string>."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -52,19 +63,45 @@ def minhash_signatures(
     num_hashes: int = 32,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """(id, signature: array<bigint>) — MinHash over word-shingles.
+    """(id, signature: array<bigint>) — one-permutation MinHash (OPH) over
+    word-shingles.
 
-    Hash family: xxhash64(shingle, seed_i) for num_hashes fixed seeds — a
-    seeded 64-bit family entirely inside codegen (ClickHouse uses the same
-    trick with sipHash64 families). min() over the shingle axis per seed.
+    Classic k-hash MinHash costs k×|shingles| hash evaluations, and in Spark
+    the nested higher-order form is *interpreted* (lambda functions don't
+    enter whole-stage codegen) — measured 30× slower than the scan. OPH
+    hashes each shingle ONCE and partitions the hash space into `num_hashes`
+    bins (bin = h mod k, slot value = min h in bin): one explode + two-level
+    hash aggregation, all inside codegen, one shuffle of (id, bin, minh)
+    rows. Empty bins are DENSIFIED by rotation (Shrivastava's OPH
+    densification: borrow the value of the next non-empty bin) — a fixed
+    sentinel would make short documents spuriously collide on their shared
+    empty bins, exploding the candidate set.
     """
-    sh = df.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("sh"))
-    seeds = F.sequence(F.lit(1), F.lit(num_hashes))
-    sig = F.transform(
-        seeds,
-        lambda s: F.array_min(F.transform(F.col("sh"), lambda x: F.xxhash64(x, s))),
+    # Spread the CPU-bound shingle/hash stage across all cores even when the
+    # source is a single parquet row-group (one scan task).
+    df = _spread(df)
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x))
+        ).alias("h"),
     )
-    return sh.select(id_col, sig.alias("signature"))
+    binned = ex.groupBy(id_col, F.pmod("h", F.lit(num_hashes)).alias("bin")).agg(
+        F.min("h").alias("mh")
+    )
+    assembled = binned.groupBy(id_col).agg(
+        F.map_from_entries(F.sort_array(F.collect_list(F.struct("bin", "mh")))).alias("m")
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda j: F.coalesce(
+            *[
+                F.element_at(F.col("m"), F.pmod(j + off, F.lit(num_hashes)).cast("bigint"))
+                for off in range(num_hashes)
+            ]
+        ),
+    )
+    return assembled.select(id_col, sig.alias("signature"))
 
 
 def minhash_lsh_candidates(
@@ -78,6 +115,8 @@ def minhash_lsh_candidates(
     Docs sharing ALL rows of any band land in the same (band, bucket); pairs
     are generated inside buckets only. Returns distinct (id_a, id_b).
     """
+    from pyspark import StorageLevel
+
     banded = sigs.select(
         F.col(id_col),
         F.posexplode(
@@ -95,6 +134,11 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "bucket"),
     )
+    # Both sides of the self-join read this frame: persist it so the
+    # signature pipeline (the expensive stage) runs exactly once. At corpus
+    # scale this is (|docs| × bands) compact rows — checkpoint material, not
+    # a luxury.
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -121,6 +165,15 @@ def jaccard_verify(
     threshold: float = 0.5,
 ) -> DataFrame:
     """Exact Jaccard over shingle sets for candidate pairs; keeps >= threshold."""
+    # Only docs that appear in a candidate pair need their shingle sets —
+    # semi-join prune before the (expensive) shingle computation. Candidate
+    # sets are small vs the corpus; AQE broadcasts the id list at runtime.
+    ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    docs = _spread(docs.join(ids, on=id_col, how="left_semi"))
     sh = docs.select(F.col(id_col), _shingles(F.col(text_col), shingle_k).alias("sh"))
     out = (
         candidates.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), on="id_a")
@@ -148,6 +201,7 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     result assembled MSB-first via acc*2+bit (shift functions take only
     literal amounts).
     """
+    df = _spread(df)
     words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
     hashes = F.transform(words, lambda w: F.xxhash64(w))
     bit_votes = F.transform(

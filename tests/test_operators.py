@@ -1,0 +1,82 @@
+"""Unit tests for the custom operator shims on tiny exact fixtures."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.operators import (
+    any_join,
+    asof_join,
+    limit_by,
+    top_k,
+    with_fill,
+    with_totals,
+)
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, "t1"), ("A", 8, "t2"), ("B", 2, "t3"), ("C", 5, "t4")],
+        "sym string, ts long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 10.0), ("A", 5, 11.0), ("A", 8, 12.0), ("B", 4, 20.0)],
+        "sym string, ts long, px double",
+    )
+    out = asof_join(trades, quotes, on=["sym"], left_ts="ts", right_ts="ts")
+    got = {(r.sym, r.ts): (r.px_r, r.ts_r) for r in out.collect()}
+    assert got[("A", 3)] == (10.0, 1)
+    assert got[("A", 8)] == (12.0, 8)  # equal ts matches (>= semantics)
+    assert got[("B", 2)] == (None, None)  # no quote at-or-before → left join null
+    assert got[("C", 5)] == (None, None)  # key with no right rows at all
+    # inner drops the unmatched rows
+    inner = asof_join(trades, quotes, on=["sym"], left_ts="ts", right_ts="ts", how="inner")
+    assert {(r.sym, r.ts) for r in inner.collect()} == {("A", 3), ("A", 8)}
+
+
+def test_any_join_deterministic_pick(spark):
+    left = spark.createDataFrame([(1,), (2,)], "k int")
+    right = spark.createDataFrame(
+        [(1, "b"), (1, "a"), (2, "z")], "k int, v string"
+    )
+    out = any_join(left, right, on=["k"], pick_order=[F.col("v").asc()])
+    assert {(r.k, r.v) for r in out.collect()} == {(1, "a"), (2, "z")}
+
+
+def test_limit_by(spark):
+    df = spark.createDataFrame(
+        [("g1", i) for i in range(5)] + [("g2", i) for i in range(2)], "g string, x int"
+    )
+    out = limit_by(df, by=["g"], n=3, order=[F.col("x").desc()])
+    got = sorted((r.g, r.x) for r in out.collect())
+    assert got == [("g1", 2), ("g1", 3), ("g1", 4), ("g2", 0), ("g2", 1)]
+
+
+def test_top_k_tie_break(spark):
+    df = spark.createDataFrame(
+        [("g", "a")] * 3 + [("g", "b")] * 3 + [("g", "c")] * 1, "g string, v string"
+    )
+    out = top_k(df, ["g"], "v", 2).collect()
+    assert [(r.v, r.cnt, r.rk) for r in sorted(out, key=lambda r: r.rk)] == [
+        ("a", 3, 1),
+        ("b", 3, 2),
+    ]
+
+
+def test_with_totals(spark):
+    df = spark.createDataFrame([("a", 1), ("a", 2), ("b", 3)], "g string, x int")
+    out = with_totals(df, ["g"], [F.sum("x").alias("s")])
+    got = {r.g: r.s for r in out.collect()}
+    assert got == {"a": 3, "b": 3, None: 6}
+
+
+def test_with_fill(spark):
+    df = spark.createDataFrame([(1, 10), (4, 40)], "x int, y int")
+    out = with_fill(df, "x", 1, 5, 1, fill_values={"y": 0})
+    assert [(r.x, r.y) for r in out.collect()] == [
+        (1, 10),
+        (2, 0),
+        (3, 0),
+        (4, 40),
+        (5, 0),
+    ]

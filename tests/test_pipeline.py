@@ -1,0 +1,138 @@
+"""Pipeline-operator tests: dedup recall on planted duplicates, similarity
+self-consistency, text features, multimodal plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.pipeline.dedup import (
+    exact_dedup,
+    jaccard_verify,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash_64,
+    simhash_near_dups,
+)
+from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, decode_media
+from mcp_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_topk
+from mcp_clickhouse_spark.pipeline.text import language_id_col, quality_score_col
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog and runs far away to the hills "
+    "where it hides from hunters and sleeps under the old oak tree until morning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, BASE),
+        (2, BASE),  # exact dup of 1
+        (3, BASE.replace("quick", "speedy")),  # near dup of 1
+        (4, "completely different content about database engines and query planners"),
+        (5, "unrelated text mentioning spark catalyst tungsten and parquet readers"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = exact_dedup(docs).collect()
+    by_keeper = {r.doc_id: r.n_copies for r in out}
+    assert by_keeper[1] == 2  # docs 1+2 merged, keeper is min id
+    assert by_keeper[3] == 1 and by_keeper[4] == 1 and by_keeper[5] == 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    sigs = minhash_signatures(docs, num_hashes=32)
+    assert sigs.select(F.size("signature")).first()[0] == 32
+    cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    assert (1, 2) in pairs  # exact dup always collides
+    assert (1, 3) in pairs or (2, 3) in pairs  # near dup collides in ≥1 band
+    verified = jaccard_verify(cand, docs, threshold=0.5)
+    vpairs = {(r.id_a, r.id_b): r.jaccard for r in verified.collect()}
+    assert vpairs[(1, 2)] == 1.0
+    assert (4, 5) not in vpairs
+
+
+def test_simhash_near_dups(docs):
+    hashes = simhash_64(docs)
+    assert hashes.count() == 5
+    # identical docs → identical simhash → hamming 0
+    out = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(hashes, max_hamming=10).collect()}
+    assert out[(1, 2)] == 0
+    assert (4, 5) not in out
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    rows = []
+    for i in range(20):
+        angle = (i % 5) * 0.3
+        rows.append((i, [math.cos(angle), math.sin(angle), float(i % 3), 1.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk(vectors):
+    out = brute_force_topk(vectors.where(F.col("vec_id") == 0), vectors, k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rk)
+    assert len(rows) == 3
+    assert all(r.query_id == 0 for r in rows)
+    # vec 5,10,15 share (angle, i%3... ) — 15 has identical direction+component
+    assert rows[0].cosine >= rows[1].cosine >= rows[2].cosine
+    assert rows[0].cosine > 0.99  # same-angle vector is the nearest
+
+
+def test_lsh_topk_subset_of_bruteforce_scores(vectors):
+    bf = brute_force_topk(vectors.where(F.col("vec_id") == 0), vectors, k=5)
+    lsh = lsh_bucketed_topk(vectors.where(F.col("vec_id") == 0), vectors, k=5, dim=4)
+    bf_scores = {r.neighbor_id: r.cosine for r in bf.collect()}
+    for r in lsh.collect():
+        # every LSH hit's score agrees with the exact computation
+        if r.neighbor_id in bf_scores:
+            assert abs(r.cosine - bf_scores[r.neighbor_id]) < 1e-9
+
+
+def test_quality_and_lang(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house went to sleep in the yard"),
+            (2, "der hund und die katze das ist gut"),
+            (3, "xyzzy plugh"),
+        ],
+        "doc_id long, text string",
+    )
+    out = df.select(
+        "doc_id",
+        language_id_col("text").alias("lang"),
+        quality_score_col("text").alias("q"),
+    ).collect()
+    got = {r.doc_id: (r.lang, r.q) for r in out}
+    assert got[1][0] == "en" and got[1][1] == 1.0
+    assert got[2][0] == "de"
+    assert got[3][0] == "und"
+
+
+def test_multimodal_plumbing(docs):
+    media = attach_binary_payload(docs)
+    row = media.where(F.col("doc_id") == 1).first()
+    assert isinstance(row.payload, (bytes, bytearray))
+    assert row.payload_len == len(BASE)
+    assert row.media_format == "bin"
+    decoded = decode_media(media, fake=True)
+    d = {r.doc_id: r for r in decoded.collect()}
+    assert d[1].width == len(BASE) % 640 + 1
+    assert d[1].n_frames == BASE.encode()[0] % 16 + 1
+
+
+def test_multimodal_real_decode_is_stubbed(docs):
+    from mcp_clickhouse_spark.pipeline.multimodal import decode_image_batch
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.DataFrame({"doc_id": [1], "payload": [b"x"],
+                                         "media_format": ["bin"]}), fake=False)

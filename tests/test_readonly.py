@@ -1,0 +1,60 @@
+"""Read-only classifier (A11) — the known-hard guard, no engine needed."""
+
+import pytest
+
+from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "SELECT 1",
+        "select * from users",
+        "  WITH x AS (SELECT 1 AS a) SELECT * FROM x",
+        "VALUES (1, 2), (3, 4)",
+        "SHOW DATABASES",
+        "SHOW TABLES IN default",
+        "DESCRIBE users",
+        "DESC users",
+        "EXPLAIN SELECT 1",
+        "EXPLAIN EXTENDED SELECT * FROM users",
+        "(SELECT 1) UNION ALL (SELECT 2)",
+        "-- leading comment\nSELECT 1",
+        "/* block */ SELECT 1",
+        "SELECT 1;",  # trailing semicolon ok
+        "SELECT '; DROP TABLE users' AS s",  # write keyword inside a string
+    ],
+)
+def test_allowed(sql):
+    check_read_only(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        "INSERT INTO users VALUES (1)",
+        "insert into t select * from users",
+        "UPDATE users SET age = 1",
+        "DELETE FROM users",
+        "DROP TABLE users",
+        "CREATE TABLE t (a INT)",
+        "CREATE OR REPLACE VIEW v AS SELECT 1",
+        "ALTER TABLE users ADD COLUMN x INT",
+        "TRUNCATE TABLE users",
+        "MERGE INTO t USING s ON t.id = s.id WHEN MATCHED THEN DELETE",
+        "SET spark.sql.shuffle.partitions=1",
+        "CACHE TABLE users",
+        "REFRESH TABLE users",
+        "ANALYZE TABLE users COMPUTE STATISTICS",
+        "GRANT SELECT ON t TO role",
+        "",
+        "   ",
+        "SELECT 1; DROP TABLE users",  # multi-statement smuggling
+        "-- comment\nDROP TABLE users",
+        "/* c */ INSERT INTO t VALUES (1)",
+        "EXPLAIN INSERT INTO t VALUES (1)",  # EXPLAIN of a write still plans it
+    ],
+)
+def test_rejected(sql):
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only(sql)
