@@ -1,0 +1,508 @@
+"""ClickHouse → Spark SQL dialect translation (SURVEY.md §2.3.8, Phase 4).
+
+The reference passes user SQL verbatim to a ClickHouse engine
+(mcp_clickhouse/mcp_server.py:425, :524), so its query language is the
+ClickHouse SELECT dialect. Here that dialect is accepted and pre-translated
+to Spark SQL: function renames, argument-order swaps, parametric-aggregate
+syntax (`quantile(0.5)(x)`), CAST type names, and a handful of structural
+templates (multiIf → CASE, JSONExtract* → get_json_object, …).
+
+The rewriter is lexical but structure-aware: it walks the SQL outside
+string literals, parses balanced argument lists, and rewrites innermost
+calls first — no regex false-positives on names inside strings.
+
+Known semantic deltas (documented, not silently wrong):
+  - cityHash64/sipHash64 → xxhash64: a 64-bit hash, but different VALUES
+    than ClickHouse's (only hash stability within the engine is promised);
+  - formatDateTime %-codes are converted for the common subset;
+  - toDayOfWeek: ClickHouse counts Monday=1; Spark's dayofweek counts
+    Sunday=1 → translated to weekday(x)+1 which matches ClickHouse.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+# --- simple name→name renames (same argument order/semantics) ---------------
+
+NAME_MAP: dict[str, str] = {
+    # string
+    "lengthutf8": "char_length",
+    "lcase": "lower",
+    "ucase": "upper",
+    "mid": "substring",
+    "substr": "substring",
+    "position": "instr",  # CH position(haystack, needle) == instr(str, substr)
+    "locate": "instr",
+    "replaceall": "replace",
+    "replaceregexpall": "regexp_replace",
+    "replaceregexpone": "regexp_replace",
+    "match": "rlike",
+    "startswith": "startswith",
+    "endswith": "endswith",
+    "trimboth": "trim",
+    "trimleft": "ltrim",
+    "trimright": "rtrim",
+    "leftpad": "lpad",
+    "rightpad": "rpad",
+    "base64encode": "base64",
+    "base64decode": "unbase64",
+    "format": "format_string",
+    "concatws": "concat_ws",
+    "splitbystring": "split",
+    # date/time
+    "now": "current_timestamp",
+    "today": "current_date",
+    "todate": "to_date",
+    "todate32": "to_date",
+    "todatetime": "to_timestamp",
+    "todatetime64": "to_timestamp",
+    "parsedatetimebesteffort": "to_timestamp",
+    "tounixtimestamp": "unix_timestamp",
+    "fromunixtimestamp": "from_unixtime",
+    "toyear": "year",
+    "tomonth": "month",
+    "todayofmonth": "dayofmonth",
+    "todayofyear": "dayofyear",
+    "tohour": "hour",
+    "tominute": "minute",
+    "tosecond": "second",
+    "toquarter": "quarter",
+    "toweek": "weekofyear",
+    "toisoweek": "weekofyear",
+    "addyears": "add_months",  # via template below for correctness
+    "adddays": "date_add",
+    "subtractdays": "date_sub",
+    "lastdayofmonth": "last_day",
+    "tolastdayofmonth": "last_day",
+    # math
+    "ln": "ln",
+    "log": "ln",  # CH log() is natural log
+    "log2": "log2",
+    "log10": "log10",
+    "power": "power",
+    "pow": "power",
+    "intdiv": "div",  # handled as template (infix) — kept for discoverability
+    "roundbankers": "bround",
+    "randcanonical": "rand",
+    "sign": "signum",
+    # arrays
+    "arrayjoin": "explode",
+    "has": "array_contains",
+    "arraysort": "array_sort",
+    "arrayreverse": "reverse",
+    "arraydistinct": "array_distinct",
+    "arrayconcat": "concat",
+    "arrayslice": "slice",
+    "indexof": "array_position",
+    "arrayzip": "arrays_zip",
+    "arrayflatten": "flatten",
+    "arrayelement": "element_at",
+    "hasany": "arrays_overlap",
+    "arraymin": "array_min",
+    "arraymax": "array_max",
+    "arraycompact": "array_distinct",
+    "emptyarraytosingle": "array",
+    "arrayintersect": "array_intersect",
+    # map
+    "mapkeys": "map_keys",
+    "mapvalues": "map_values",
+    "mapcontains": "map_contains_key",
+    # null handling / conditionals
+    "ifnull": "ifnull",
+    "nullif": "nullif",
+    "isnull": "isnull",
+    "isnotnull": "isnotnull",
+    "assumenotnull": "coalesce",
+    # hash / misc
+    "cityhash64": "xxhash64",
+    "siphash64": "xxhash64",
+    "farmhash64": "xxhash64",
+    "farmfingerprint64": "xxhash64",
+    "md5": "md5",
+    "hex": "hex",
+    "unhex": "unhex",
+    "generateuuidv4": "uuid",
+    "touuid": "string",
+    # aggregates
+    "uniq": "approx_count_distinct",
+    "uniqhll12": "approx_count_distinct",
+    "uniqcombined": "approx_count_distinct",
+    "uniqcombined64": "approx_count_distinct",
+    "uniqtheta": "approx_count_distinct",
+    "argmax": "max_by",
+    "argmin": "min_by",
+    "grouparray": "collect_list",
+    "groupuniqarray": "collect_set",
+    "any": "any_value",
+    "anylast": "last",
+    "countif": "count_if",
+    "stddevpop": "stddev_pop",
+    "stddevsamp": "stddev_samp",
+    "varpop": "var_pop",
+    "varsamp": "var_samp",
+    "covarpop": "covar_pop",
+    "covarsamp": "covar_samp",
+    "corr": "corr",
+    "groupbitand": "bit_and",
+    "groupbitor": "bit_or",
+    "groupbitxor": "bit_xor",
+}
+
+# --- CAST type-name translation --------------------------------------------
+
+TYPE_MAP: dict[str, str] = {
+    "uint8": "SMALLINT",
+    "uint16": "INT",
+    "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)",
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INT",
+    "int64": "BIGINT",
+    "float32": "FLOAT",
+    "float64": "DOUBLE",
+    "string": "STRING",
+    "datetime": "TIMESTAMP",
+    "datetime64": "TIMESTAMP",
+    "date": "DATE",
+    "date32": "DATE",
+    "bool": "BOOLEAN",
+    "uuid": "STRING",
+}
+
+# --- structural templates: name(args…) → arbitrary Spark SQL ----------------
+
+
+def _json_path(args: list[str], extractor: str = "get_json_object") -> str:
+    doc, key = args[0], args[1].strip()
+    if key.startswith("'") and key.endswith("'"):
+        return f"{extractor}({doc}, '$.{key[1:-1]}')"
+    return f"{extractor}({doc}, concat('$.', {key}))"
+
+
+def _multi_if(args: list[str]) -> str:
+    # multiIf(c1, v1, c2, v2, …, else)
+    parts = ["CASE"]
+    i = 0
+    while i + 1 < len(args):
+        parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        i += 2
+    if i < len(args):
+        parts.append(f"ELSE {args[i]}")
+    parts.append("END")
+    return " ".join(parts)
+
+
+_FMT_CODES = {
+    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
+    "%S": "ss", "%y": "yy", "%e": "d", "%j": "DDD", "%F": "yyyy-MM-dd",
+    "%T": "HH:mm:ss",
+}
+
+
+def _format_datetime(args: list[str]) -> str:
+    ts, fmt = args[0], args[1]
+    for ch, sp in _FMT_CODES.items():
+        fmt = fmt.replace(ch, sp)
+    return f"date_format({ts}, {fmt})"
+
+
+TEMPLATES: dict[str, Callable[[list[str]], str]] = {
+    "if": lambda a: f"CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END",
+    "multiif": _multi_if,
+    "intdiv": lambda a: f"(({a[0]}) div ({a[1]}))",
+    "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
+    "empty": lambda a: f"(length({a[0]}) = 0)",
+    "notempty": lambda a: f"(length({a[0]}) > 0)",
+    "tostring": lambda a: f"CAST({a[0]} AS STRING)",
+    "toint8": lambda a: f"CAST({a[0]} AS TINYINT)",
+    "toint16": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "toint32": lambda a: f"CAST({a[0]} AS INT)",
+    "toint64": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "touint8": lambda a: f"CAST({a[0]} AS SMALLINT)",
+    "touint16": lambda a: f"CAST({a[0]} AS INT)",
+    "touint32": lambda a: f"CAST({a[0]} AS BIGINT)",
+    "touint64": lambda a: f"CAST({a[0]} AS DECIMAL(20,0))",
+    "tofloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
+    "tofloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
+    "todecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9,{a[1]}))",
+    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18,{a[1]}))",
+    "tostartofday": lambda a: f"date_trunc('DAY', {a[0]})",
+    "tostartofhour": lambda a: f"date_trunc('HOUR', {a[0]})",
+    "tostartofminute": lambda a: f"date_trunc('MINUTE', {a[0]})",
+    "tostartofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
+    "tostartofquarter": lambda a: f"date_trunc('QUARTER', {a[0]})",
+    "tostartofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
+    "tostartofweek": lambda a: f"date_trunc('WEEK', {a[0]})",
+    "toyyyymm": lambda a: f"date_format({a[0]}, 'yyyyMM')",
+    "toyyyymmdd": lambda a: f"date_format({a[0]}, 'yyyyMMdd')",
+    "todayofweek": lambda a: f"(weekday({a[0]}) + 1)",  # CH: Monday=1
+    "datediff": lambda a: f"timestampdiff({a[0].strip(chr(39))}, {a[1]}, {a[2]})"
+    if len(a) == 3
+    else f"datediff({a[0]}, {a[1]})",
+    "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
+    "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
+    "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+    "addmonths": lambda a: f"add_months({a[0]}, {a[1]})",
+    "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
+    "formatdatetime": _format_datetime,
+    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
+    "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    "splitbychar": lambda a: f"split({a[1]}, {a[0]})",
+    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
+    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
+    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
+    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
+    "arraysum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+    "arrayavg": lambda a: (
+        f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        f" / cardinality({a[0]}))"
+    ),
+    "arrayenumerate": lambda a: f"sequence(1, cardinality({a[0]}))",
+    "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
+    if len(a) == 1
+    else f"sequence({a[0]}, ({a[1]}) - 1)",
+    "jsonextractstring": lambda a: _json_path(a),
+    "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
+    "jsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    "jsonhas": lambda a: f"({_json_path(a)} IS NOT NULL)",
+    "visitparamextractstring": lambda a: _json_path(a),
+    "isvalidjson": lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
+    "sha256": lambda a: f"sha2({a[0]}, 256)",
+    "sha224": lambda a: f"sha2({a[0]}, 224)",
+    "sha512": lambda a: f"sha2({a[0]}, 512)",
+    "sha1": lambda a: f"sha1({a[0]})",
+    "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "median": lambda a: f"percentile({a[0]}, 0.5)",
+    "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "maxif": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
+    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
+    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
+    "querystring": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "ipv4numtostring": lambda a: (
+        f"concat(CAST((({a[0]}) div 16777216) % 256 AS STRING), '.',"
+        f" CAST((({a[0]}) div 65536) % 256 AS STRING), '.',"
+        f" CAST((({a[0]}) div 256) % 256 AS STRING), '.',"
+        f" CAST(({a[0]}) % 256 AS STRING))"
+    ),
+}
+
+# Parametric aggregates: name(params)(args) → Spark SQL.
+PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",
+}
+
+
+# --- the rewriter -----------------------------------------------------------
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+# Keywords that can directly precede an ARRAY LITERAL (vs a subscript base).
+_PRE_LITERAL_KEYWORDS = {
+    "select", "then", "when", "else", "in", "as", "on", "where", "and", "or",
+    "not", "by", "having", "union", "all", "distinct", "from", "limit", "end",
+}
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse `[1,2,3]` array literals → `array(1,2,3)`; 1-based integer
+    subscripts `x[2]` → `x[1]` (Spark subscripts are 0-based). Expression
+    subscripts are left untouched (documented delta)."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_str: str | None = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str and sql[i - 1] != "\\":
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "[":
+            # find matching ]
+            depth, j = 0, i
+            instr2: str | None = None
+            while j < n:
+                c2 = sql[j]
+                if instr2:
+                    if c2 == instr2 and sql[j - 1] != "\\":
+                        instr2 = None
+                elif c2 in ("'", '"'):
+                    instr2 = c2
+                elif c2 == "[":
+                    depth += 1
+                elif c2 == "]":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            inner = _rewrite_brackets(sql[i + 1 : j])
+            # classify: subscript iff previous token is identifier/)/ ] and
+            # not a keyword
+            prev = "".join(out).rstrip()
+            is_subscript = False
+            if prev and (prev[-1].isalnum() or prev[-1] in ")]_"):
+                m = re.search(r"([A-Za-z_][A-Za-z0-9_]*)$", prev)
+                word = m.group(1).lower() if m else ""
+                is_subscript = word not in _PRE_LITERAL_KEYWORDS
+            if is_subscript:
+                if re.fullmatch(r"\s*\d+\s*", inner):
+                    out.append(f"[{int(inner) - 1}]")  # CH 1-based → Spark 0-based
+                else:
+                    out.append(f"[{inner}]")
+            else:
+                out.append(f"array({inner})")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _find_balanced(sql: str, start: int) -> int:
+    """sql[start] == '(' → index just past its matching ')'. String-aware."""
+    depth = 0
+    i = start
+    in_str: str | None = None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            if ch == in_str and not (sql[i - 1] == "\\"):
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses in SQL")
+
+
+def _split_args(argstr: str) -> list[str]:
+    """Split a top-level argument list on commas (string/paren aware)."""
+    args: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    cur: list[str] = []
+    for i, ch in enumerate(argstr):
+        if in_str:
+            cur.append(ch)
+            if ch == in_str and argstr[i - 1] != "\\":
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def translate(sql: str) -> str:
+    """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
+    sql = _rewrite_brackets(sql)
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    in_str: str | None = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str and sql[i - 1] != "\\":
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        m = _IDENT.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        name = m.group(0)
+        lname = name.lower()
+        j = m.end()
+        # skip whitespace between name and '('
+        k = j
+        while k < n and sql[k] in " \t\n":
+            k += 1
+        if k < n and sql[k] == "(" and (
+            lname in TEMPLATES or lname in NAME_MAP or lname in PARAMETRIC
+        ):
+            close = _find_balanced(sql, k)
+            inner = translate(sql[k + 1 : close - 1])
+            args = _split_args(inner)
+            # parametric form: name(params)(args)
+            k2 = close
+            while k2 < n and sql[k2] in " \t\n":
+                k2 += 1
+            if lname in PARAMETRIC and k2 < n and sql[k2] == "(":
+                close2 = _find_balanced(sql, k2)
+                inner2 = translate(sql[k2 + 1 : close2 - 1])
+                out.append(PARAMETRIC[lname](args, _split_args(inner2)))
+                i = close2
+                continue
+            if lname in TEMPLATES:
+                out.append(TEMPLATES[lname](args))
+            elif lname in NAME_MAP:
+                out.append(f"{NAME_MAP[lname]}({', '.join(args)})")
+            i = close
+            continue
+        # CAST type names: `AS UInt32` inside CAST(...) and `::UInt32`
+        if lname == "cast" and k < n and sql[k] == "(":
+            close = _find_balanced(sql, k)
+            inner = translate(sql[k + 1 : close - 1])
+            inner = re.sub(
+                r"(?i)\bAS\s+([A-Za-z0-9_]+)\s*$",
+                lambda mm: "AS "
+                + TYPE_MAP.get(mm.group(1).lower(), mm.group(1)),
+                inner,
+            )
+            out.append(f"CAST({inner})")
+            i = close
+            continue
+        out.append(name)
+        i = j
+    # postfix casts x::UInt32
+    res = "".join(out)
+    res = re.sub(
+        r"::([A-Za-z0-9_]+)",
+        lambda mm: "::" + TYPE_MAP.get(mm.group(1).lower(), mm.group(1)),
+        res,
+    )
+    return res

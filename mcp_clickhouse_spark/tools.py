@@ -142,23 +142,32 @@ def list_tables(
 # --- run_select_query (A11-A14, ClickHouse-path contract) -------------------
 
 
-def _execute(spark: SparkSession, query: str) -> DataFrame:
+def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFrame:
     check_read_only(query)
+    if dialect == "clickhouse":
+        from mcp_clickhouse_spark.dialect import translate
+
+        query = translate(query)
     return spark.sql(query)
 
 
 def run_select_query(
-    spark: SparkSession, query: str, timeout_secs: float | None = None
+    spark: SparkSession,
+    query: str,
+    timeout_secs: float | None = None,
+    dialect: str = "spark",
 ) -> dict[str, Any]:
     """Read-only SQL → {"columns": [...], "rows": [[...], ...]}.
 
-    Raises ToolError on failure/timeout (the ClickHouse-path error shape,
-    reference :428-430, :451-454).
+    ``dialect="clickhouse"`` pre-translates ClickHouse SELECT syntax
+    (dialect.py) — the mode in which this engine accepts the reference's
+    query language directly. Raises ToolError on failure/timeout (the
+    ClickHouse-path error shape, reference :428-430, :451-454).
     """
     try:
         df_rows = run_with_timeout(
             spark,
-            lambda: _collect(spark, query),
+            lambda: _collect(spark, query, dialect),
             timeout_secs=timeout_secs,
         )
     except QueryTimeoutError as e:
@@ -170,8 +179,8 @@ def run_select_query(
     return df_rows
 
 
-def _collect(spark: SparkSession, query: str) -> dict[str, Any]:
-    df = _execute(spark, query)
+def _collect(spark: SparkSession, query: str, dialect: str = "spark") -> dict[str, Any]:
+    df = _execute(spark, query, dialect)
     rows = df.collect()
     return {"columns": list(df.columns), "rows": [list(r) for r in rows]}
 
@@ -180,7 +189,10 @@ def _collect(spark: SparkSession, query: str) -> dict[str, Any]:
 
 
 def run_embedded_select_query(
-    spark: SparkSession, query: str, timeout_secs: float | None = None
+    spark: SparkSession,
+    query: str,
+    timeout_secs: float | None = None,
+    dialect: str = "spark",
 ):
     """Read-only SQL → list of row-dicts; errors RETURN
     {"status": "error", "message": ...} (the chDB-path contract,
@@ -188,7 +200,9 @@ def run_embedded_select_query(
     try:
         return run_with_timeout(
             spark,
-            lambda: [r.asDict(recursive=True) for r in _execute(spark, query).collect()],
+            lambda: [
+                r.asDict(recursive=True) for r in _execute(spark, query, dialect).collect()
+            ],
             timeout_secs=timeout_secs,
         )
     except Exception as e:  # noqa: BLE001 — contract: never raise on this path

@@ -1,0 +1,162 @@
+"""ClickHouse→Spark dialect translation: translate CH-style SQL, execute on
+Spark, assert exact values (the reference's query language accepted as-is)."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import translate
+from mcp_clickhouse_spark.session import register_testdata
+from mcp_clickhouse_spark.tools import run_select_query
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark, sf_dir):
+    register_testdata(spark, sf_dir)
+
+
+def one(spark, ch_sql):
+    res = run_select_query(spark, ch_sql, dialect="clickhouse")
+    return res["rows"][0]
+
+
+def test_translate_pure_strings():
+    assert translate("SELECT toYear(d), toYYYYMM(d) FROM t") == (
+        "SELECT year(d), date_format(d, 'yyyyMM') FROM t"
+    )
+    assert translate("SELECT multiIf(a, 1, b, 2, 3)") == (
+        "SELECT CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END"
+    )
+    assert translate("SELECT quantile(0.5)(x) FROM t") == (
+        "SELECT percentile(x, 0.5) FROM t"
+    )
+    # names inside string literals are untouched
+    assert translate("SELECT 'toYear(d)' AS s") == "SELECT 'toYear(d)' AS s"
+    # nested calls translate inside-out
+    assert translate("SELECT toString(toUInt32(x))") == (
+        "SELECT CAST(CAST(x AS BIGINT) AS STRING)"
+    )
+    assert translate("SELECT CAST(x AS UInt64)") == "SELECT CAST(x AS DECIMAL(20,0))"
+    assert translate("SELECT x::UInt32") == "SELECT x::BIGINT"
+
+
+def test_scalar_functions_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          toYear(o_orderdate) AS y,
+          toStartOfMonth(o_orderdate) AS ms,
+          toYYYYMM(o_orderdate) AS ym,
+          toString(o_orderkey) AS ks,
+          toUInt32(o_orderkey) AS ku,
+          if(o_totalprice > 0, 'pos', 'neg') AS sgn,
+          multiIf(o_totalprice < 1000, 'small', o_totalprice < 100000, 'mid', 'big') AS band
+        FROM orders ORDER BY o_orderkey LIMIT 1
+        """,
+    )
+    assert row[0] >= 1992 and row[2] == f"{row[0]}{row[1].month:02d}"
+    assert row[5] == "pos" and row[6] in ("small", "mid", "big")
+
+
+def test_aggregates_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          uniqExact(o_custkey) AS u,
+          countIf(o_totalprice > 100000) AS big,
+          sumIf(o_totalprice, o_orderstatus = 'F') AS sum_f,
+          argMax(o_custkey, o_orderkey) AS last_cust,
+          median(o_totalprice) AS med,
+          quantile(0.9)(o_totalprice) AS p90
+        FROM orders
+        """,
+    )
+    assert row[0] > 0 and row[1] > 0 and row[4] <= row[5]
+
+
+def test_array_functions_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          arrayMap(x -> x * 2, [1, 2, 3]) AS doubled,
+          arrayFilter(x -> x > 1, [1, 2, 3]) AS filtered,
+          arraySum([1.0, 2.0, 3.5]) AS s,
+          has([1, 2, 3], 2) AS h,
+          indexOf([10, 20, 30], 20) AS idx,
+          range(4) AS r
+        """,
+    )
+    assert row[0] == [2, 4, 6]
+    assert row[1] == [2, 3]
+    assert row[2] == 6.5
+    assert row[3] is True
+    assert row[4] == 2
+    assert row[5] == [0, 1, 2, 3]
+
+
+def test_json_and_string_functions(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          JSONExtractString(props, 'k') AS k_str,
+          JSONExtractInt(props, 'k') AS k_int,
+          JSONHas(props, 'missing') AS has_missing,
+          position(event_type, 'i') AS pos_i,
+          replaceAll(event_type, 'i', '!') AS repl
+        FROM events ORDER BY event_id LIMIT 1
+        """,
+    )
+    assert row[0] is not None and int(row[0]) == row[1]
+    assert row[2] is False
+
+
+def test_datetime_arithmetic(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          addDays(toDate('2024-01-01'), 30) AS plus30,
+          addMonths(toDate('2024-01-31'), 1) AS plusm,
+          addHours(toDateTime('2024-01-01 00:00:00'), 5) AS plus5h,
+          dateDiff('day', toDate('2024-01-01'), toDate('2024-02-01')) AS dd,
+          toDayOfWeek(toDate('2024-01-01')) AS dow_monday
+        """,
+    )
+    assert str(row[0]) == "2024-01-31"
+    assert str(row[1]) == "2024-02-29"
+    assert row[3] == 31
+    assert row[4] == 1  # 2024-01-01 is a Monday; CH counts Monday=1
+
+
+def test_hash_and_misc(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          MD5('abc') AS m,
+          SHA256('abc') AS s,
+          cityHash64('abc') AS c,
+          hex('AB') AS h,
+          ifNull(NULL, 42) AS i
+        """,
+    )
+    assert row[0] == "900150983cd24fb0d6963f7d28e17f72"
+    assert row[1].startswith("ba7816bf")
+    assert isinstance(row[2], int)
+    assert row[3] == "4142"
+    assert row[4] == 42
+
+
+def test_ipv4_num_to_string(spark):
+    assert one(spark, "SELECT IPv4NumToString(3232235777) AS ip")[0] == "192.168.1.1"
+
+
+def test_readonly_still_enforced_in_dialect_mode(spark):
+    from mcp_clickhouse_spark.tools import ToolError
+
+    with pytest.raises(ToolError):
+        run_select_query(spark, "DROP TABLE orders", dialect="clickhouse")
