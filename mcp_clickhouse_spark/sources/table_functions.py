@@ -1,0 +1,205 @@
+"""Table-function analogs: query data in place, wherever it lives.
+
+The reference's chDB mode promises `file()`, `url()`, `s3()`, `hdfs()`,
+`postgresql()`, `mysql()`, `sqlite()` table functions with format
+auto-detection (reference mcp_clickhouse/chdb_prompt.py:28-60). Spark's
+readers provide the same reach; this module is the thin dispatcher that
+accepts ClickHouse format names and URI schemes.
+
+Scale notes: `file`/`s3`/`hdfs` map directly onto distributed scans (globs
+native, partition discovery free, predicate/column pushdown via the normal
+DataSource V2 path). `url()` is driver-fetched to local storage then scanned
+— matching the reference's documented fallback of downloading first
+(chdb_prompt.py:71-95); a 100 TB http source should be mirrored to object
+storage instead, and the docstring says so. JDBC reads support
+partitionColumn parallelism when the caller provides bounds.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import urllib.request
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+# ClickHouse format name → (spark format, reader options)
+FORMAT_ALIASES: dict[str, tuple[str, dict[str, str]]] = {
+    "csv": ("csv", {"header": "false", "inferSchema": "true"}),
+    "csvwithnames": ("csv", {"header": "true", "inferSchema": "true"}),
+    "tsv": ("csv", {"sep": "\t", "header": "false", "inferSchema": "true"}),
+    "tabseparated": ("csv", {"sep": "\t", "header": "false", "inferSchema": "true"}),
+    "tsvwithnames": ("csv", {"sep": "\t", "header": "true", "inferSchema": "true"}),
+    "tabseparatedwithnames": (
+        "csv",
+        {"sep": "\t", "header": "true", "inferSchema": "true"},
+    ),
+    "json": ("json", {}),
+    "jsoneachrow": ("json", {}),
+    "ndjson": ("json", {}),
+    "jsonlines": ("json", {}),
+    "jsoncompact": ("json", {}),
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "avro": ("avro", {}),  # needs spark-avro on the classpath; gated at call
+}
+
+_EXT_FORMAT = {
+    ".csv": "csvwithnames",
+    ".tsv": "tsvwithnames",
+    ".json": "jsoneachrow",
+    ".jsonl": "jsoneachrow",
+    ".ndjson": "jsoneachrow",
+    ".parquet": "parquet",
+    ".orc": "orc",
+    ".avro": "avro",
+}
+
+
+def detect_format(path: str) -> str:
+    """Format from file extension — the analog of chDB's auto-detection."""
+    p = path.lower()
+    if p.endswith(".gz") or p.endswith(".zst") or p.endswith(".bz2"):
+        p = p.rsplit(".", 1)[0]
+    for ext, fmt in _EXT_FORMAT.items():
+        if p.endswith(ext):
+            return fmt
+    raise ValueError(f"cannot auto-detect format for {path!r}; pass fmt= explicitly")
+
+
+def _read(spark: SparkSession, path: str, fmt: str | None, **options: Any) -> DataFrame:
+    fmt_name = (fmt or detect_format(path)).lower()
+    if fmt_name not in FORMAT_ALIASES:
+        raise ValueError(
+            f"unsupported format {fmt!r}; known: {sorted(FORMAT_ALIASES)}"
+        )
+    spark_fmt, default_opts = FORMAT_ALIASES[fmt_name]
+    opts = {**default_opts, **{k: str(v) for k, v in options.items()}}
+    return spark.read.format(spark_fmt).options(**opts).load(path)
+
+
+def file(spark: SparkSession, path: str, fmt: str | None = None, **options: Any) -> DataFrame:
+    """`file(path[, format])` — local/posix paths, globs native (B19)."""
+    return _read(spark, path, fmt, **options)
+
+
+def url(spark: SparkSession, http_url: str, fmt: str | None = None, **options: Any) -> DataFrame:
+    """`url(http://…, format)` (B20): fetch to local temp storage on the
+    driver, then scan distributed. This mirrors the reference's documented
+    download-first fallback (chdb_prompt.py:71-95). Not for TB-scale
+    sources — mirror those to s3/hdfs and use those readers."""
+    fmt_name = fmt or detect_format(http_url.split("?", 1)[0])
+    suffix = os.path.splitext(http_url.split("?", 1)[0])[1] or ".dat"
+    fd, local = tempfile.mkstemp(prefix="mcp_spark_url_", suffix=suffix)
+    os.close(fd)
+    urllib.request.urlretrieve(http_url, local)  # noqa: S310 — explicit user URL
+    return _read(spark, local, fmt_name, **options)
+
+
+def s3(
+    spark: SparkSession,
+    uri: str,
+    fmt: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    **options: Any,
+) -> DataFrame:
+    """`s3(uri[, keys][, format])` (B21): s3a:// distributed scan, globs
+    native. Credentials fall back to the standard provider chain."""
+    if uri.startswith("s3://"):
+        uri = "s3a://" + uri[len("s3://") :]
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    if access_key:
+        conf.set("fs.s3a.access.key", access_key)
+    if secret_key:
+        conf.set("fs.s3a.secret.key", secret_key)
+    return _read(spark, uri, fmt, **options)
+
+
+def hdfs(spark: SparkSession, uri: str, fmt: str | None = None, **options: Any) -> DataFrame:
+    """`hdfs(hdfs://…)` (B22) — native distributed scan."""
+    return _read(spark, uri, fmt, **options)
+
+
+def jdbc(
+    spark: SparkSession,
+    jdbc_url: str,
+    table: str,
+    user: str | None = None,
+    password: str | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+    **options: Any,
+) -> DataFrame:
+    """Generic JDBC reader (B23-B25 base). With partition_column + bounds the
+    read is split into num_partitions parallel range scans — the only way a
+    JDBC source scales past one connection."""
+    reader = spark.read.format("jdbc").option("url", jdbc_url).option("dbtable", table)
+    if user is not None:
+        reader = reader.option("user", user)
+    if password is not None:
+        reader = reader.option("password", password)
+    if driver is not None:
+        reader = reader.option("driver", driver)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+            .option("numPartitions", str(num_partitions or 8))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, str(v))
+    return reader.load()
+
+
+def postgresql(
+    spark: SparkSession, host: str, database: str, table: str, user: str, password: str, **kw
+) -> DataFrame:
+    """`postgresql(host:port, db, table, user, pw)` (B23)."""
+    return jdbc(
+        spark,
+        f"jdbc:postgresql://{host}/{database}",
+        table,
+        user=user,
+        password=password,
+        driver="org.postgresql.Driver",
+        **kw,
+    )
+
+
+def mysql(
+    spark: SparkSession, host: str, database: str, table: str, user: str, password: str, **kw
+) -> DataFrame:
+    """`mysql(host:port, db, table, user, pw)` (B24)."""
+    return jdbc(
+        spark,
+        f"jdbc:mysql://{host}/{database}",
+        table,
+        user=user,
+        password=password,
+        driver="com.mysql.cj.jdbc.Driver",
+        **kw,
+    )
+
+
+def sqlite(spark: SparkSession, path: str, table: str, **kw) -> DataFrame:
+    """`sqlite(path, table)` (B25)."""
+    return jdbc(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)
+
+
+def source_df(spark: SparkSession, uri: str, fmt: str | None = None, **options: Any) -> DataFrame:
+    """Scheme dispatcher — the single entry point the tool layer uses."""
+    if uri.startswith(("http://", "https://")):
+        return url(spark, uri, fmt, **options)
+    if uri.startswith(("s3://", "s3a://")):
+        return s3(spark, uri, fmt, **options)
+    if uri.startswith("hdfs://"):
+        return hdfs(spark, uri, fmt, **options)
+    if uri.startswith("jdbc:"):
+        raise ValueError("jdbc sources need a table: use jdbc(spark, url, table, …)")
+    return file(spark, uri, fmt, **options)

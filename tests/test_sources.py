@@ -1,0 +1,118 @@
+"""Source-connector tests: the format matrix round-trips through real files,
+url() through a real local HTTP server, jdbc fails gracefully w/o drivers."""
+
+from __future__ import annotations
+
+import http.server
+import socketserver
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.sources import detect_format, file, jdbc, source_df, url
+
+
+@pytest.fixture(scope="module")
+def nation(spark, sf_dir):
+    from mcp_clickhouse_spark.session import read_table
+
+    return read_table(spark, sf_dir, "nation")
+
+
+@pytest.fixture(scope="module")
+def exports(spark, nation, tmp_path_factory):
+    """Write the nation table in every offline-testable format."""
+    root = tmp_path_factory.mktemp("formats")
+    paths = {}
+    paths["csvwithnames"] = str(root / "nation_csv")
+    nation.write.option("header", True).csv(paths["csvwithnames"])
+    paths["tsvwithnames"] = str(root / "nation_tsv")
+    nation.write.option("header", True).option("sep", "\t").csv(paths["tsvwithnames"])
+    paths["jsoneachrow"] = str(root / "nation_json")
+    nation.write.json(paths["jsoneachrow"])
+    paths["parquet"] = str(root / "nation_parquet")
+    nation.write.parquet(paths["parquet"])
+    paths["orc"] = str(root / "nation_orc")
+    nation.write.orc(paths["orc"])
+    return paths
+
+
+@pytest.mark.parametrize("fmt", ["csvwithnames", "tsvwithnames", "jsoneachrow", "parquet", "orc"])
+def test_format_roundtrip(spark, nation, exports, fmt):
+    df = file(spark, exports[fmt], fmt=fmt)
+    assert df.count() == nation.count()
+    assert set(df.columns) == set(nation.columns)
+    # values survive: same nation-name set
+    assert set(r.n_name for r in df.select("n_name").collect()) == set(
+        r.n_name for r in nation.select("n_name").collect()
+    )
+
+
+def test_headerless_csv_and_glob(spark, nation, tmp_path):
+    p = str(tmp_path / "raw_csv")
+    nation.write.csv(p)  # no header
+    df = file(spark, p + "/*.csv", fmt="csv")
+    assert df.count() == nation.count()
+    assert df.columns[0].startswith("_c")  # positional names, like CH CSV
+
+
+def test_detect_format():
+    assert detect_format("/x/a.parquet") == "parquet"
+    assert detect_format("/x/a.csv") == "csvwithnames"
+    assert detect_format("/x/a.jsonl") == "jsoneachrow"
+    assert detect_format("/x/a.tsv.gz") == "tsvwithnames"
+    with pytest.raises(ValueError, match="auto-detect"):
+        detect_format("/x/mystery.bin")
+
+
+def test_url_table_function(spark, nation, exports, tmp_path):
+    """B20: serve a parquet file over real HTTP and query it in place —
+    the offline analog of the reference's 1M-row ClickBench url() test."""
+    import glob as globmod
+    import shutil
+
+    src = globmod.glob(exports["parquet"] + "/*.parquet")[0]
+    serve_dir = tmp_path / "www"
+    serve_dir.mkdir()
+    shutil.copy(src, serve_dir / "nation.parquet")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(  # noqa: E731
+        *a, directory=str(serve_dir), **kw
+    )
+    with socketserver.TCPServer(("127.0.0.1", 0), handler) as httpd:
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            df = url(spark, f"http://127.0.0.1:{port}/nation.parquet")
+            assert df.count() == nation.count()
+            got = df.agg(F.count_distinct("n_regionkey").alias("n")).first().n
+            assert got == 5
+        finally:
+            httpd.shutdown()
+
+
+def test_source_df_dispatch(spark, exports):
+    df = source_df(spark, exports["parquet"], fmt="parquet")
+    assert df.count() > 0
+    with pytest.raises(ValueError, match="jdbc"):
+        source_df(spark, "jdbc:postgresql://h/db")
+
+
+def test_jdbc_missing_driver_graceful(spark):
+    with pytest.raises(Exception) as ei:
+        jdbc(
+            spark,
+            "jdbc:sqlite:/tmp/nope.db",
+            "t",
+            driver="org.sqlite.JDBC",
+        ).count()
+    assert "JDBC" in str(ei.value) or "ClassNotFound" in str(ei.value) or "sqlite" in str(
+        ei.value
+    )
+
+
+def test_unsupported_format_message(spark):
+    with pytest.raises(ValueError, match="unsupported format"):
+        file(spark, "/tmp/x.parquet", fmt="protobuf")

@@ -1,0 +1,89 @@
+"""Streaming twins vs batch truth: the same logical plans must produce the
+same results when run as availableNow streams over the static events data."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.session import read_table
+from mcp_clickhouse_spark.streaming import (
+    run_available_now,
+    session_counts,
+    stream_events,
+    streaming_dedup,
+    tumbling_counts,
+    user_running_totals,
+)
+
+
+@pytest.fixture(scope="module")
+def batch_events(spark, sf_dir):
+    # Batch truth uses TIMESTAMP (ltz) like the stream side (watermarks
+    # require it); UTC session tz keeps values identical.
+    df = read_table(spark, sf_dir, "events")
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, batch_events):
+    st = tumbling_counts(stream_events(spark, sf_dir))
+    run_available_now(st, "t_tumbling", output_mode="complete")
+    got = {
+        (r.w_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in spark.table("t_tumbling").collect()
+    }
+    want = {
+        (r.w_start, r.event_type): (r.n_events, round(r.total_value, 2))
+        for r in (
+            batch_events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_session_stream_matches_batch(spark, sf_dir, batch_events):
+    st = session_counts(stream_events(spark, sf_dir))
+    run_available_now(st, "t_sessions", output_mode="complete")
+    got = {
+        (r.user_id, r.session_start): r.n_events for r in spark.table("t_sessions").collect()
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in (
+            batch_events.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_streaming_dedup(spark, sf_dir, batch_events):
+    st = streaming_dedup(stream_events(spark, sf_dir), keys=["user_id"])
+    run_available_now(st, "t_dedup", output_mode="append")
+    out = spark.table("t_dedup")
+    n_users = batch_events.select("user_id").distinct().count()
+    assert out.count() == n_users
+    assert out.select("user_id").distinct().count() == n_users
+
+
+def test_user_running_totals_stateful(spark, sf_dir, batch_events):
+    st = user_running_totals(stream_events(spark, sf_dir))
+    run_available_now(st, "t_running", output_mode="update")
+    # update mode may emit several rows per user across microbatches; the
+    # final state per user must equal the batch totals.
+    final = (
+        spark.table("t_running")
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("n"), F.max("total_value").alias("tv"))
+    )
+    got = {r.user_id: (r.n, round(r.tv, 2)) for r in final.collect()}
+    want = {
+        r.user_id: (r.n, round(r.tv, 2))
+        for r in batch_events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .collect()
+    }
+    assert got == want
