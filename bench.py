@@ -50,16 +50,33 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from mcp_clickhouse_spark.session import get_spark
 
-    spark = get_spark(app_name="mcp-clickhouse-spark-bench")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warmup
-
+    # Size shuffle partitions to the data volume (SURVEY.md 'spill-aware'):
+    # ~32 MB of input per partition, never below 8. At 100 TB the same rule
+    # yields tens of thousands of partitions; at sf0.1 it avoids drowning
+    # 35 MB of data in per-task overhead.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(sf_dir, f))
+        for f in os.listdir(sf_dir)
+        if f.endswith(".parquet")
+    )
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    partitions = max(8, min(total_bytes // (32 << 20), 4 * cpus))
+    spark = get_spark(
+        app_name="mcp-clickhouse-spark-bench", shuffle_partitions=int(partitions)
+    )
     qs = entrymod.queries()
+    # Standard power-run protocol: one untimed warm run (JIT/codegen/page
+    # cache), then the timed run. Cache cleared between runs so persisted
+    # intermediates (e.g. the MinHash banded frame) never carry over.
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
+        fn(spark, sf_dir).collect()
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         times[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(

@@ -1,0 +1,93 @@
+"""Physical-plan quality gates: these assert the plan SHAPES that make the
+queries scale — filter/column pushdown into the parquet scan, broadcast
+joins for dims, TakeOrderedAndProject for top-k, partial aggregation, and
+bounded shuffle counts. A green run means Catalyst is doing what the 100 TB
+design intends, not just that the answers are right."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_clickhouse_spark.inventory.registry import QUERIES
+import mcp_clickhouse_spark.inventory as inventory
+
+inventory.load_all()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def count_nodes(plan: str, node: str) -> int:
+    """Count operator occurrences in the plan TREE only (the formatted mode
+    repeats every node again in the details section)."""
+    tree = plan.split("\n\n(")[0]
+    return sum(1 for ln in tree.splitlines() if node in ln)
+
+
+@pytest.fixture(scope="module")
+def sf(sf_dir):
+    return sf_dir
+
+
+def test_scan_pushdown_and_pruning(spark, sf):
+    plan = plan_of(spark, sf, "scan_projection")
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]" in plan
+    # Column pruning: the scan reads exactly the referenced columns.
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "o_orderkey" in read and "o_custkey" in read and "o_totalprice" in read
+    assert "o_orderdate" not in read and "o_orderpriority" not in read
+
+
+def test_q1_pushdown_and_partial_agg(spark, sf):
+    plan = plan_of(spark, sf, "q1_pricing_summary")
+    assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
+    # partial→final hash aggregation around one exchange
+    assert plan.count("HashAggregate") >= 2
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_partkey" not in read  # pruned
+
+
+def test_star_join_broadcasts_dims(spark, sf):
+    plan = plan_of(spark, sf, "join_star_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2  # nation and region
+
+
+def test_top_k_uses_take_ordered(spark, sf):
+    plan = plan_of(spark, sf, "order_limit")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_semi_anti_join_strategies(spark, sf):
+    assert "LeftSemi" in plan_of(spark, sf, "join_semi")
+    assert "LeftAnti" in plan_of(spark, sf, "join_anti")
+
+
+def test_asof_join_single_shuffle(spark, sf):
+    """The union+window ASOF strategy must cost exactly ONE exchange (the
+    window partitioning) — no pairwise join blowup."""
+    plan = plan_of(spark, sf, "join_asof")
+    assert count_nodes(plan, "Exchange") == 1
+    assert "Window" in plan
+
+
+def test_limit_by_group_limit_pushdown(spark, sf):
+    """Spark's WindowGroupLimit keeps ≤n rows per group before the full
+    window sort — the plan feature that makes LIMIT BY scale."""
+    plan = plan_of(spark, sf, "shim_limit_by")
+    assert "WindowGroupLimit" in plan
+
+
+def test_events_scan_prunes_props(spark, sf):
+    plan = plan_of(spark, sf, "events_tumbling_window")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "props" not in read and "event_id" not in read  # only ts/type/value read
+
+
+def test_exact_dedup_is_two_stage_agg(spark, sf):
+    plan = plan_of(spark, sf, "pipe_dedup_exact")
+    # partial aggregation on the content hash before the shuffle
+    assert count_nodes(plan, "HashAggregate") >= 2
+    assert count_nodes(plan, "Exchange") == 1
