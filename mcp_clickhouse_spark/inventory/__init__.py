@@ -13,6 +13,7 @@ def load_all() -> None:
         aggregates,
         core,
         dialect_shims,
+        extras,
         joins,
         pipeline_ops,
         scalars,

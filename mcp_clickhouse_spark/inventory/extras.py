@@ -1,0 +1,290 @@
+"""Remaining §2.3 surface: generated sources (numbers/generateRandom/VALUES),
+SELECT modifiers (* EXCEPT, COLUMNS regex), ILIKE/regex predicates,
+multi-quantiles, correlated/scalar subqueries, CTEs, EXISTS/IN subqueries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+
+@query(
+    "source_numbers",
+    oracle="""
+    SELECT r AS number, r * 2 AS doubled, r % 5 AS mod5
+    FROM range(1000) tbl(r)
+    """,
+    category="sources",
+)
+def source_numbers(spark, sf_dir):
+    # ClickHouse numbers(N) table function → spark.range (a generated
+    # distributed source, no file scan).
+    return spark.range(1000).select(
+        F.col("id").alias("number"),
+        (F.col("id") * 2).alias("doubled"),
+        (F.col("id") % 5).alias("mod5"),
+    )
+
+
+@query(
+    "source_values_table",
+    oracle="""
+    SELECT * FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c')) AS v(id, tag)
+    """,
+    category="sources",
+)
+def source_values_table(spark, sf_dir):
+    # ClickHouse values(...) literal table (§2.3.1).
+    return spark.sql("SELECT * FROM VALUES (1, 'a'), (2, 'b'), (3, 'c') AS v(id, tag)")
+
+
+@query("source_generate_random", category="sources")  # rows-only: rand() is impl-specific
+def source_generate_random(spark, sf_dir):
+    # generateRandom() analog: seeded rand/randn — deterministic within
+    # Spark but not across engines.
+    return spark.range(100).select(
+        "id",
+        F.rand(seed=42).alias("u"),
+        F.randn(seed=42).alias("g"),
+    )
+
+
+@query(
+    "select_star_except",
+    oracle="SELECT * EXCLUDE (o_orderpriority, o_orderdate) FROM orders WHERE o_orderkey <= 100",
+    category="core",
+)
+def select_star_except(spark, sf_dir):
+    # ClickHouse `SELECT * EXCEPT (cols)` (§2.3.2) — Spark selectExpr
+    # supports the same syntax (DuckDB spells it EXCLUDE).
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 100)
+    return o.selectExpr("* EXCEPT (o_orderpriority, o_orderdate)")
+
+
+@query(
+    "select_columns_regex",
+    oracle="SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber FROM lineitem WHERE l_orderkey <= 50",
+    category="core",
+)
+def select_columns_regex(spark, sf_dir):
+    # ClickHouse COLUMNS('re') projection → df.colRegex.
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 50)
+    return li.select(li.colRegex("`^l_(orderkey|partkey|suppkey|linenumber)$`"))
+
+
+@query(
+    "filter_ilike_regex",
+    oracle=r"""
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE p_name ILIKE '%GEAR%' OR regexp_matches(p_type, '^(STANDARD|PROMO)$')
+    """,
+    category="core",
+)
+def filter_ilike_regex(spark, sf_dir):
+    # ILIKE + match() regex predicates (§2.3.2).
+    p = t(spark, sf_dir, "part")
+    return p.where(
+        F.col("p_name").ilike("%GEAR%") | F.col("p_type").rlike("^(STANDARD|PROMO)$")
+    ).select("p_partkey", "p_name")
+
+
+@query(
+    "agg_multi_quantiles",
+    oracle="""
+    SELECT o_orderstatus,
+           [round(x, 4) FOR x IN quantile_cont(o_totalprice, [0.25, 0.5, 0.75])] AS quartiles
+    FROM orders GROUP BY o_orderstatus
+    """,
+    category="aggregates",
+)
+def agg_multi_quantiles(spark, sf_dir):
+    # ClickHouse quantiles(0.25,0.5,0.75)(x) — array-returning percentile.
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.transform(
+            F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
+            lambda x: F.round(x, 4),
+        ).alias("quartiles")
+    )
+
+
+@query(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           o_totalprice - (SELECT AVG(o_totalprice) FROM orders) AS delta_from_mean
+    FROM orders WHERE o_orderkey <= 100
+    """,
+    category="subqueries",
+)
+def subquery_scalar(spark, sf_dir):
+    # Uncorrelated scalar subquery. AVG computed on doubles in both engines
+    # over the identical input set → identical IEEE result (single global
+    # sum order is engine-dependent, so restrict to a deterministic-safe
+    # construction: both sum 15k doubles — empirically exact here because
+    # both use pairwise/serial compensated paths over the same values; the
+    # parity gate confirms).
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               o_totalprice - (SELECT AVG(o_totalprice) FROM orders) AS delta_from_mean
+        FROM orders WHERE o_orderkey <= 100
+        """
+    )
+
+
+@query(
+    "subquery_in",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+    """,
+    category="subqueries",
+)
+def subquery_in(spark, sf_dir):
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        """
+    )
+
+
+@query(
+    "subquery_correlated_exists",
+    oracle="""
+    SELECT s_suppkey, s_name FROM supplier s
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+    )
+    """,
+    category="subqueries",
+)
+def subquery_correlated_exists(spark, sf_dir):
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT s_suppkey, s_name FROM supplier s
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_suppkey = s.s_suppkey AND l.l_quantity > 45
+        )
+        """
+    )
+
+
+@query(
+    "cte_multi",
+    oracle="""
+    WITH big_orders AS (
+      SELECT o_custkey, COUNT(*) AS n_big
+      FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+    ),
+    seg AS (
+      SELECT c_custkey, c_mktsegment FROM customer
+    )
+    SELECT seg.c_mktsegment, CAST(SUM(b.n_big) AS BIGINT) AS total_big
+    FROM big_orders b JOIN seg ON b.o_custkey = seg.c_custkey
+    GROUP BY seg.c_mktsegment
+    """,
+    category="subqueries",
+)
+def cte_multi(spark, sf_dir):
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        WITH big_orders AS (
+          SELECT o_custkey, COUNT(*) AS n_big
+          FROM orders WHERE o_totalprice > 150000 GROUP BY o_custkey
+        ),
+        seg AS (
+          SELECT c_custkey, c_mktsegment FROM customer
+        )
+        SELECT seg.c_mktsegment, SUM(b.n_big) AS total_big
+        FROM big_orders b JOIN seg ON b.o_custkey = seg.c_custkey
+        GROUP BY seg.c_mktsegment
+        """
+    )
+
+
+# --- TPC-H-shaped classics for coverage depth -------------------------------
+
+
+@query(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    category="core",
+)
+def q6_forecast_revenue(spark, sf_dir):
+    # TPC-H Q6 shape: pure scan-filter-aggregate; every predicate reaches the
+    # parquet reader (row-group skipping on l_shipdate min/max stats).
+    li = t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & F.col("l_discount").between(0.05, 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(12,2)")
+            * F.col("l_discount").cast("decimal(12,2)")
+        )
+        .cast("double")
+        .alias("revenue")
+    )
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l.l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    category="core",
+)
+def q3_shipping_priority(spark, sf_dir):
+    c = t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    li = t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
