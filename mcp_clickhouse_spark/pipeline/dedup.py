@@ -32,6 +32,39 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, k: int = 3) -> DataFrame:
+    """(id, h) rows — one distinct 64-bit hash per k-word shingle.
+
+    Built as posexplode → per-word xxhash64 → window lead() to combine k
+    consecutive word hashes → distinct. Every step is whole-stage codegen.
+    The higher-order-function formulation (`transform` over shingle indices)
+    is interpreted AND re-evaluates the `split()` per index after Catalyst
+    inlines the alias (CollapseProject) — measured ~30× slower.
+    """
+    from pyspark.sql import Window
+
+    words = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("pos", "w"),
+    ).select(F.col(id_col), "pos", F.xxhash64("w").alias("wh"))
+    win = Window.partitionBy(id_col).orderBy("pos")
+    leads = words.select(
+        F.col(id_col),
+        "pos",
+        "wh",
+        F.lead("wh", 1).over(win).alias("wh1"),
+        F.lead("wh", 2).over(win).alias("wh2"),
+        F.count("*").over(Window.partitionBy(id_col)).alias("n_words"),
+    )
+    # Full k-shingles; docs shorter than k keep their single partial shingle
+    # (hash of what's there) — mirrors _shingles' clipping semantics.
+    shingled = leads.where(F.col("wh2").isNotNull() | (F.col("n_words") < k) & (F.col("pos") == 0))
+    return shingled.select(
+        F.col(id_col),
+        F.xxhash64("wh", F.coalesce("wh1", F.lit(0)), F.coalesce("wh2", F.lit(0))).alias("h"),
+    ).distinct()
+
+
 def _shingles(text_col, k: int = 3):
     """k-word shingles of the lowercased text, distinct, as array<string>."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -80,12 +113,7 @@ def minhash_signatures(
     # Spread the CPU-bound shingle/hash stage across all cores even when the
     # source is a single parquet row-group (one scan task).
     df = _spread(df)
-    ex = df.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x))
-        ).alias("h"),
-    )
+    ex = _shingle_hashes(df, text_col, id_col, shingle_k)
     binned = ex.groupBy(id_col, F.pmod("h", F.lit(num_hashes)).alias("bin")).agg(
         F.min("h").alias("mh")
     )
@@ -196,30 +224,31 @@ def simhash_64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
     """(id, simhash: bigint) — 60-bit SimHash over word hashes.
 
     Per bit b: sum over words of (+1 if bit set else -1); bit set in the
-    result iff the vote is positive. Pure higher-order-function pipeline (no
-    UDF): per-word xxhash64 computed once, bits read with getbit, and the
-    result assembled MSB-first via acc*2+bit (shift functions take only
-    literal amounts).
+    result iff the vote is positive. Realized as explode → ONE aggregation
+    carrying SIMHASH_BITS vote expressions — whole-stage codegen end to end
+    (the nested higher-order-function formulation is interpreted and ~10×
+    slower; lambda bodies never enter codegen).
     """
     df = _spread(df)
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    hashes = F.transform(words, lambda w: F.xxhash64(w))
-    bit_votes = F.transform(
-        F.sequence(F.lit(SIMHASH_BITS - 1), F.lit(0), F.lit(-1)),  # MSB first
-        lambda b: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc + (F.getbit(h, b) * 2 - 1),
-            )
-            > 0,
-            F.lit(1).cast("bigint"),
-        ).otherwise(F.lit(0).cast("bigint")),
+    ex = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        ).alias("w"),
+    ).select(F.col(id_col), F.xxhash64("w").alias("h"))
+    votes = ex.groupBy(id_col).agg(
+        *[
+            F.sum(F.getbit("h", F.lit(b)) * 2 - 1).alias(f"v{b}")
+            for b in range(SIMHASH_BITS)
+        ]
     )
-    sim = F.aggregate(
-        bit_votes, F.lit(0).cast("bigint"), lambda acc, bit: acc * 2 + bit
-    )
-    return df.select(F.col(id_col), sim.alias("simhash"))
+    sim = None
+    for b in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        ) * F.lit(1 << b).cast("bigint")
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def simhash_near_dups(
