@@ -96,8 +96,14 @@ def describe_table(spark: SparkSession, database: str, name: str) -> Table:
         table.engine_full = meta.tableType or ""
         table.comment = meta.description
     table.create_table_query = _show_create(spark, database, name)
+    cols = []
+    for qualified in (f"{database}.{name}", name):
+        try:
+            cols = spark.catalog.listColumns(qualified)
+            break
+        except Exception:
+            continue
     try:
-        cols = spark.catalog.listColumns(name if meta is None else (meta.name))
         table.columns = [
             Column(
                 database=database,

@@ -15,6 +15,7 @@ def load_all() -> None:
         dialect_shims,
         extras,
         joins,
+        more_ops,
         pipeline_ops,
         scalars,
         setops,

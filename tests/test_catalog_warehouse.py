@@ -1,0 +1,56 @@
+"""Catalog tools against a REAL database (warehouse tables, not temp views):
+multi-database listing, cross-database list_tables, DDL/provider metadata."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_clickhouse_spark.tools import list_databases, list_tables, run_select_query
+
+
+@pytest.fixture(scope="module")
+def warehouse_db(spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS analytics_test")
+    spark.sql(
+        """
+        CREATE TABLE IF NOT EXISTS analytics_test.metrics
+        USING PARQUET
+        COMMENT 'engine metrics table'
+        AS SELECT id AS metric_id, CAST(id * 1.5 AS DOUBLE) AS metric_value FROM range(100)
+        """
+    )
+    yield "analytics_test"
+    spark.sql("DROP TABLE IF EXISTS analytics_test.metrics")
+    spark.sql("DROP DATABASE IF EXISTS analytics_test")
+
+
+def test_database_appears(spark, warehouse_db):
+    assert warehouse_db in list_databases(spark)
+    assert list_databases(spark, like="analytics%") == [warehouse_db]
+
+
+def test_list_tables_in_real_db(spark, warehouse_db):
+    resp = list_tables(spark, warehouse_db)
+    assert resp["total_tables"] == 1
+    tb = resp["tables"][0]
+    assert tb["name"] == "metrics"
+    assert tb["engine"] == "MANAGED"  # provider/type (MergeTree analog slot)
+    assert "CREATE TABLE" in tb["create_table_query"]
+    assert "metrics" in tb["create_table_query"]
+    cols = {c["name"]: c["column_type"] for c in tb["columns"]}
+    assert cols == {"metric_id": "bigint", "metric_value": "double"}
+
+
+def test_query_qualified_table(spark, warehouse_db):
+    res = run_select_query(
+        spark, f"SELECT COUNT(*) AS n, MAX(metric_id) AS mx FROM {warehouse_db}.metrics"
+    )
+    assert res["rows"] == [[100, 99]]
+
+
+def test_table_comment_surfaces(spark, warehouse_db):
+    resp = list_tables(spark, warehouse_db)
+    # comment lives in DDL (catalog comment surfacing varies by provider)
+    assert "engine metrics table" in resp["tables"][0]["create_table_query"] or (
+        resp["tables"][0]["comment"] == "engine metrics table"
+    )
