@@ -11,6 +11,7 @@ def load_all() -> None:
     """Import every inventory module so its @query decorators run."""
     from mcp_clickhouse_spark.inventory import (  # noqa: F401
         aggregates,
+        behavioral,
         core,
         dialect_shims,
         extras,

@@ -1,0 +1,111 @@
+"""Behavioral-analytics inventory: retention / windowFunnel / sequenceMatch
+(ClickHouse's signature event-analytics aggregates) on the events table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+from mcp_clickhouse_spark.operators.funnel import retention, sequence_match, window_funnel
+
+
+@query(
+    "behav_retention",
+    oracle="""
+    SELECT user_id,
+           BOOL_OR(event_type = 'signup') AS r1,
+           BOOL_OR(event_type = 'signup') AND BOOL_OR(event_type = 'click') AS r2,
+           BOOL_OR(event_type = 'signup') AND BOOL_OR(event_type = 'purchase') AS r3
+    FROM events GROUP BY user_id
+    """,
+    category="behavioral",
+)
+def behav_retention(spark, sf_dir):
+    # ClickHouse retention(cond1, cond2, cond3).
+    e = t(spark, sf_dir, "events")
+    return retention(
+        e,
+        "user_id",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+    )
+
+
+@query(
+    "behav_window_funnel",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(t) FILTER (WHERE event_type = 'signup') AS t1
+      FROM base GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT b.user_id, MIN(b.t) AS t2
+      FROM base b JOIN s1 USING (user_id)
+      WHERE b.event_type = 'click' AND s1.t1 IS NOT NULL
+        AND b.t > s1.t1 AND b.t <= s1.t1 + 86400000000::BIGINT
+      GROUP BY b.user_id
+    ),
+    s3 AS (
+      SELECT b.user_id, MIN(b.t) AS t3
+      FROM base b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      WHERE b.event_type = 'purchase' AND s2.t2 IS NOT NULL
+        AND b.t > s2.t2 AND b.t <= s1.t1 + 86400000000::BIGINT
+      GROUP BY b.user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+    """,
+    category="behavioral",
+)
+def behav_window_funnel(spark, sf_dir):
+    # ClickHouse windowFunnel(86400)(ts, signup, click, purchase): deepest
+    # signup→click→purchase chain within 24h of the signup anchor.
+    e = t(spark, sf_dir, "events")
+    return window_funnel(
+        e,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "signup",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=86400,
+    )
+
+
+@query(
+    "behav_sequence_match",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, regexp_matches(s, 's.*p') AS matched FROM seqs
+    """,
+    category="behavioral",
+)
+def behav_sequence_match(spark, sf_dir):
+    # ClickHouse sequenceMatch('(?1)(?t>..)(?2)')-family: the portable core —
+    # regex over the time-ordered event-initial string ('s.*p' = signup
+    # eventually followed by purchase).
+    e = t(spark, sf_dir, "events")
+    return sequence_match(
+        e,
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring(F.col("event_type"), 1, 1),
+        "s.*p",
+    )
