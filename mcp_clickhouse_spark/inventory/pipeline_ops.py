@@ -23,7 +23,11 @@ from mcp_clickhouse_spark.pipeline.dedup import (
     _shingles,
 )
 from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, decode_media
-from mcp_clickhouse_spark.pipeline.similarity import brute_force_topk, lsh_bucketed_topk
+from mcp_clickhouse_spark.pipeline.similarity import (
+    brute_force_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
 from mcp_clickhouse_spark.pipeline.text import (
     fingerprint_col,
     language_id_col,
@@ -272,6 +276,13 @@ def pipe_embed_lsh_topk(spark, sf_dir):
     # The scale path: random-hyperplane LSH buckets → per-bucket exact rerank.
     e = t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.where(F.col("vec_id") < 5), e, k=10)
+
+
+@query("pipe_embed_ivf_topk", category="pipeline")  # rows-only: KMeans is engine-specific
+def pipe_embed_ivf_topk(spark, sf_dir):
+    # IVF ANN: MLlib KMeans coarse quantizer + probed-cell exact rerank.
+    e = t(spark, sf_dir, "embeddings")
+    return ivf_topk(e.where(F.col("vec_id") < 5), e, k=10, n_centroids=8, n_probe=3)
 
 
 @query(

@@ -94,6 +94,68 @@ def _rh_bucket(vec, n_planes: int, dim: int, seed: int = 7):
     return F.aggregate(sign_bits, F.lit(0), lambda acc, bit: acc * 2 + bit)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-style ANN: KMeans coarse quantizer → probe the n_probe nearest
+    cells per query → exact cosine rerank inside the probed cells.
+
+    The trained centroid set is tiny and broadcast; the corpus is scanned
+    once to assign cells (a one-off indexing cost that would be persisted in
+    a real deployment), after which each query touches ~n_probe/n_centroids
+    of the data — the IVF contract. Training uses Spark MLlib KMeans
+    (distributed Lloyd's), so the same code trains on a 100 TB corpus.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    train = c.withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
+    assigned = model.transform(train).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cell")
+    )
+
+    # Centroids as a tiny broadcastable frame.
+    spark = corpus.sparkSession
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
+        f"cell int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # n_probe nearest centroids per query (cosine to centroid).
+    q_cells = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("sim", cosine_similarity_col(F.col("q_vec"), F.col("centroid")))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("cell"))
+            ),
+        )
+        .where(F.col("rk") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    scored = (
+        assigned.join(F.broadcast(q_cells), on="cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rk")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

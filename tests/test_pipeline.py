@@ -97,6 +97,21 @@ def test_lsh_topk_subset_of_bruteforce_scores(vectors):
             assert abs(r.cosine - bf_scores[r.neighbor_id]) < 1e-9
 
 
+def test_ivf_topk_scores_match_exact(vectors):
+    from mcp_clickhouse_spark.pipeline.similarity import ivf_topk
+
+    bf = brute_force_topk(vectors.where(F.col("vec_id") == 0), vectors, k=5)
+    ivf = ivf_topk(
+        vectors.where(F.col("vec_id") == 0), vectors, k=5, n_centroids=4, n_probe=2
+    )
+    bf_scores = {r.neighbor_id: r.cosine for r in bf.collect()}
+    rows = ivf.collect()
+    assert 0 < len(rows) <= 5
+    for r in rows:
+        if r.neighbor_id in bf_scores:  # probed cells rerank EXACTLY
+            assert abs(r.cosine - bf_scores[r.neighbor_id]) < 1e-9
+
+
 def test_quality_and_lang(spark):
     df = spark.createDataFrame(
         [
