@@ -143,6 +143,37 @@ def test_like_multi_patterns(spark, users, events_ref):
     assert "users" not in names2 and "events_ref" not in names2
 
 
+def test_explain_through_tool(spark, users):
+    """EXPLAIN is read-only and passes through (reference exposes the full
+    read-only SELECT surface; EXPLAIN of a write is rejected)."""
+    res = run_select_query(spark, "EXPLAIN SELECT COUNT(*) FROM users")
+    assert "Aggregate" in res["rows"][0][0] or "Physical Plan" in res["rows"][0][0]
+    with pytest.raises(ToolError):
+        run_select_query(spark, "EXPLAIN DROP TABLE users")
+
+
+def test_describe_through_tool(spark, users):
+    res = run_select_query(spark, "DESCRIBE users")
+    cols = {r[0]: r[1] for r in res["rows"]}
+    assert cols["id"] == "bigint" and cols["age"] == "int"
+
+
+def test_show_through_tool(spark, users):
+    res = run_select_query(spark, "SHOW TABLES")
+    assert any("users" in row for row in [r for r in res["rows"]] for row in [str(row)])
+
+
+def test_dialect_mode_through_tool(spark, users):
+    res = run_select_query(
+        spark,
+        "SELECT toString(id) AS sid, multiIf(age < 26, 'young', age < 33, 'mid', 'old') AS band "
+        "FROM users ORDER BY id",
+        dialect="clickhouse",
+    )
+    assert res["rows"][0] == ["1", "mid"]
+    assert res["rows"][1] == ["2", "young"]
+
+
 def test_health(spark):
     h = health_check(spark)
     assert h["status"] == 200
