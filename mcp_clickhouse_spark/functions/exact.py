@@ -1,0 +1,38 @@
+"""Exact-arithmetic money/quantity expressions.
+
+Cross-engine float determinism is a correctness requirement here (the
+driver hash-compares against a DuckDB oracle), and plain double SUMs differ
+between engines in the last ulps because accumulation order differs. Two
+exact formulations produce identical doubles on both engines:
+
+  1. DECIMAL(12,2) aggregation, final CAST to DOUBLE — exact but backed by
+     BigDecimal on the JVM (~2× slower);
+  2. scaled-integer (cents) aggregation in longs, final division — exact,
+     runs in whole-stage codegen at long-arithmetic speed.
+
+Both yield the SAME double (one correctly-rounded conversion of the same
+rational number), so a cents-based query hash-matches a decimal-based
+oracle. The engine uses cents everywhere; oracles may use either.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def cents(col: str | Column, scale: int = 2) -> Column:
+    """Exact integer representation of a fixed-point column (default 2dp)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * (10**scale)).cast("bigint")
+
+
+def exact_sum(col: str | Column, scale: int = 2) -> Column:
+    """SUM of a fixed-point column as an exact double."""
+    return F.sum(cents(col, scale)) / F.lit(float(10**scale))
+
+
+def exact_avg(col: str | Column, scale: int = 2) -> Column:
+    """AVG of a fixed-point column as sum-exact double over count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(cents(c, scale)) / F.lit(float(10**scale))) / F.count(c)

@@ -43,12 +43,7 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def cents(col: str):
-    """Money column as exact integer cents — long arithmetic is ~2× faster
-    than Spark's BigDecimal-backed decimals and equally exact for 2-decimal
-    inputs; results are bit-identical to the DECIMAL formulation (verified
-    against the decimal oracles)."""
-    return F.round(F.col(col) * 100).cast("bigint")
+from mcp_clickhouse_spark.functions import cents  # noqa: E402 — exact money arithmetic
 
 
 @query("q1_pricing_summary", oracle=_Q1_ORACLE, category="core")

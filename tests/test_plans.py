@@ -9,22 +9,14 @@ from __future__ import annotations
 import pytest
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
+from mcp_clickhouse_spark.plans import count_nodes, explain_formatted
 import mcp_clickhouse_spark.inventory as inventory
 
 inventory.load_all()
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
-    return QUERIES[name].fn(spark, sf_dir)._jdf.queryExecution().explainString(
-        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-
-
-def count_nodes(plan: str, node: str) -> int:
-    """Count operator occurrences in the plan TREE only (the formatted mode
-    repeats every node again in the details section)."""
-    tree = plan.split("\n\n(")[0]
-    return sum(1 for ln in tree.splitlines() if node in ln)
+    return explain_formatted(QUERIES[name].fn(spark, sf_dir))
 
 
 @pytest.fixture(scope="module")
