@@ -12,11 +12,6 @@ from pyspark.sql import functions as F
 from mcp_clickhouse_spark.inventory.registry import query, t
 
 
-def dec(col: str, p: int = 12, s: int = 2):
-    """Exact-decimal view of a money/quantity column (see registry docstring)."""
-    return F.col(col).cast(f"decimal({p},{s})")
-
-
 # --- flagship: TPC-H Q1-style pricing summary ------------------------------
 # Exercises scan → filter → projection → partial/final hash aggregation →
 # sort in one statement; Catalyst pushes the l_shipdate filter into the

@@ -11,3 +11,9 @@ from mcp_clickhouse_spark.operators.limit_by import limit_by  # noqa: F401
 from mcp_clickhouse_spark.operators.with_fill import with_fill  # noqa: F401
 from mcp_clickhouse_spark.operators.with_totals import with_totals  # noqa: F401
 from mcp_clickhouse_spark.operators.topk import top_k  # noqa: F401
+from mcp_clickhouse_spark.operators.funnel import (  # noqa: F401
+    retention,
+    sequence_match,
+    window_funnel,
+)
+from mcp_clickhouse_spark.operators.salting import salted_agg, salted_join  # noqa: F401
