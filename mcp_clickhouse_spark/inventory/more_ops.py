@@ -61,22 +61,23 @@ def agg_group_by_all(spark, sf_dir):
     oracle="""
     SELECT user_id, event_id,
            COUNT(*) OVER (
-             PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+             PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
            ) AS events_last_hour
     FROM events
     """,
     category="windows",
 )
 def win_range_time_interval(spark, sf_dir):
-    # RANGE BETWEEN INTERVAL 1 HOUR PRECEDING — realized over epoch seconds
-    # (Spark's rangeBetween takes numeric offsets; epoch is the portable
-    # ordering key, identical in DuckDB).
+    # RANGE BETWEEN INTERVAL 1 HOUR PRECEDING — realized over INTEGER epoch
+    # microseconds (Spark's rangeBetween takes numeric offsets; whole-second
+    # epochs would truncate and flip events sitting exactly on a frame
+    # boundary — caught by the sf0.1 parity run).
     e = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.unix_timestamp(F.col("ts").cast("timestamp")))
-        .rangeBetween(-3600, 0)
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-3_600_000_000, 0)
     )
     return e.select("user_id", "event_id", F.count("*").over(w).alias("events_last_hour"))
 
