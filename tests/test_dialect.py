@@ -155,6 +155,30 @@ def test_ipv4_num_to_string(spark):
     assert one(spark, "SELECT IPv4NumToString(3232235777) AS ip")[0] == "192.168.1.1"
 
 
+def test_uint64_policy(spark):
+    """UInt64 → DECIMAL(20,0): the one lossy corner of the type mapping
+    (SURVEY §1.3) — full unsigned range survives."""
+    row = one(spark, "SELECT toUInt64('18446744073709551615') AS big")
+    assert str(row[0]) == "18446744073709551615"
+
+
+def test_parametric_quantiles_array(spark):
+    row = one(spark, "SELECT quantiles(0.25, 0.75)(o_totalprice) AS qs FROM orders")
+    assert len(row[0]) == 2 and row[0][0] <= row[0][1]
+
+
+def test_array_sum_and_literals(spark):
+    row = one(spark, "SELECT arraySum(arrayMap(x -> x * 1.5, [1, 2, 3])) AS s")
+    assert row[0] == 9.0
+
+
+def test_prompt_exists():
+    from mcp_clickhouse_spark.prompt import INITIAL_PROMPT
+
+    assert "read-only" in INITIAL_PROMPT.lower()
+    assert "file(" in INITIAL_PROMPT
+
+
 def test_readonly_still_enforced_in_dialect_mode(spark):
     from mcp_clickhouse_spark.tools import ToolError
 
