@@ -137,6 +137,8 @@ NAME_MAP: dict[str, str] = {
     "groupuniqarray": "collect_set",
     "any": "any_value",
     "anylast": "last",
+    "laginframe": "lag",
+    "leadinframe": "lead",
     "countif": "count_if",
     "stddevpop": "stddev_pop",
     "stddevsamp": "stddev_samp",
@@ -429,8 +431,23 @@ def _split_args(argstr: str) -> list[str]:
     return args
 
 
+def _strip_suffix_clauses(sql: str) -> str:
+    """Drop ClickHouse-only trailing clauses: `SETTINGS k=v, …` (engine
+    knobs — Spark equivalents are session confs, not per-query) and
+    `FORMAT X` (result marshaling is the tool layer's job)."""
+    # FORMAT comes after SETTINGS in ClickHouse grammar — strip outside-in.
+    sql = re.sub(r"(?is)\bFORMAT\s+[A-Za-z0-9_]+\s*;?\s*$", "", sql)
+    sql = re.sub(
+        r"(?is)\bSETTINGS\s+[A-Za-z0-9_]+\s*=\s*[^,;]+(\s*,\s*[A-Za-z0-9_]+\s*=\s*[^,;]+)*\s*;?\s*$",
+        "",
+        sql,
+    )
+    return sql
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
+    sql = _strip_suffix_clauses(sql)
     sql = _rewrite_brackets(sql)
     out: list[str] = []
     i = 0

@@ -70,6 +70,25 @@ def test_with_totals(spark):
     assert got == {"a": 3, "b": 3, None: 6}
 
 
+def test_with_fill_interpolate(spark):
+    df = spark.createDataFrame([(1, 10.0), (5, 50.0), (7, 30.0)], "x int, y double")
+    prev = with_fill(df, "x", 1, 7, 1, interpolate={"y": "prev"})
+    assert [r.y for r in prev.collect()] == [10.0, 10.0, 10.0, 10.0, 50.0, 50.0, 30.0]
+    lin = with_fill(df, "x", 1, 8, 1, interpolate={"y": "linear"})
+    got = [r.y for r in lin.collect()]
+    assert got == [10.0, 20.0, 30.0, 40.0, 50.0, 40.0, 30.0, 30.0]  # tail carries prev
+
+
+def test_dialect_settings_format_stripped(spark):
+    from mcp_clickhouse_spark.dialect import translate
+
+    assert translate("SELECT 1 AS a FORMAT JSONEachRow") == "SELECT 1 AS a "
+    t = translate("SELECT 1 AS a SETTINGS max_threads = 8, readonly = 1")
+    assert t.strip() == "SELECT 1 AS a"
+    t2 = translate("SELECT count(*) FROM t SETTINGS max_threads=8 FORMAT JSON")
+    assert "SETTINGS" not in t2 and "FORMAT" not in t2
+
+
 def test_with_fill(spark):
     df = spark.createDataFrame([(1, 10), (4, 40)], "x int, y int")
     out = with_fill(df, "x", 1, 5, 1, fill_values={"y": 0})
