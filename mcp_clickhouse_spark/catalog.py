@@ -82,6 +82,34 @@ def _show_create(spark: SparkSession, database: str, name: str) -> str:
     return ""
 
 
+def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -> None:
+    """Fill the MergeTree-analog physical metadata: total_rows/total_bytes
+    from catalog statistics (populated by ANALYZE TABLE … COMPUTE
+    STATISTICS), parts/active_parts = backing file count. Best-effort —
+    temp views over in-memory frames have none of these."""
+    import re as _re
+
+    for qualified in (f"{database}.{name}", name):
+        try:
+            rows = spark.sql(f"DESCRIBE EXTENDED {qualified}").collect()
+        except Exception:
+            continue
+        for r in rows:
+            if r[0] == "Statistics":
+                m = _re.search(r"(\d+)\s+bytes(?:,\s*(\d+)\s+rows)?", r[1] or "")
+                if m:
+                    table.total_bytes = int(m.group(1))
+                    if m.group(2):
+                        table.total_rows = int(m.group(2))
+        break
+    try:
+        files = spark.table(f"{database}.{name}").inputFiles()
+        table.parts = len(files)
+        table.active_parts = len(files)
+    except Exception:
+        pass
+
+
 def describe_table(spark: SparkSession, database: str, name: str) -> Table:
     meta = None
     for qualified in (f"{database}.{name}", name):
@@ -96,6 +124,7 @@ def describe_table(spark: SparkSession, database: str, name: str) -> Table:
         table.engine_full = meta.tableType or ""
         table.comment = meta.description
     table.create_table_query = _show_create(spark, database, name)
+    _attach_stats(spark, database, name, table)
     cols = []
     for qualified in (f"{database}.{name}", name):
         try:

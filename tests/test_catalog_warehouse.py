@@ -48,6 +48,18 @@ def test_query_qualified_table(spark, warehouse_db):
     assert res["rows"] == [[100, 99]]
 
 
+def test_statistics_after_analyze(spark, warehouse_db):
+    """total_rows/total_bytes (system.tables analog) populate from ANALYZE;
+    parts = backing file count."""
+    spark.sql(f"ANALYZE TABLE {warehouse_db}.metrics COMPUTE STATISTICS")
+    resp = list_tables(spark, warehouse_db)
+    tb = resp["tables"][0]
+    assert tb["total_rows"] == 100
+    assert tb["total_bytes"] and tb["total_bytes"] > 0
+    assert tb["parts"] and tb["parts"] >= 1
+    assert tb["active_parts"] == tb["parts"]
+
+
 def test_table_comment_surfaces(spark, warehouse_db):
     resp = list_tables(spark, warehouse_db)
     # comment lives in DDL (catalog comment surfacing varies by provider)
