@@ -227,6 +227,40 @@ def pipe_ngram_jaccard(spark, sf_dir):
     return jaccard_verify(cand, d, threshold=0.1)
 
 
+@query(
+    "pipe_minhash_signatures",
+    oracle=f"""
+    WITH hashes AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS sh FROM documents
+      )
+    ),
+    binned AS (
+      SELECT doc_id, h % 16 AS bin, MIN(h) AS mh
+      FROM hashes GROUP BY doc_id, bin
+    ),
+    maps AS (
+      SELECT doc_id, map_from_entries(list_sort(list((bin, mh)::ROW(k BIGINT, v BIGINT)))) AS m
+      FROM binned GROUP BY doc_id
+    )
+    SELECT doc_id,
+           list_transform(generate_series(0, 15), j -> coalesce(
+             {", ".join(f"m[(j + {o}) % 16][1]" for o in range(16))}
+           )) AS signature
+    FROM maps
+    """,
+    category="pipeline",
+)
+def pipe_minhash_signatures(spark, sf_dir):
+    # Cross-engine-verified MinHash: md5-based 60-bit OPH signatures with
+    # rotation densification — the DuckDB oracle recomputes IDENTICAL
+    # signatures, proving the sketch itself (not just its plumbing).
+    d = t(spark, sf_dir, "documents")
+    return minhash_signatures(d, num_hashes=16, hash_fn="md5")
+
+
 @query("pipe_minhash_lsh", category="pipeline")  # rows-only: xxhash64 is Spark-native
 def pipe_minhash_lsh(spark, sf_dir):
     # MinHash(32) → LSH(8 bands × 4 rows) candidates → exact-Jaccard verify.

@@ -95,6 +95,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     shingle_k: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature: array<bigint>) — one-permutation MinHash (OPH) over
     word-shingles.
@@ -109,11 +110,25 @@ def minhash_signatures(
     densification: borrow the value of the next non-empty bin) — a fixed
     sentinel would make short documents spuriously collide on their shared
     empty bins, exploding the candidate set.
+
+    ``hash_fn``: ``"xxhash64"`` (default, fastest — Spark-native) or
+    ``"md5"`` — first 15 hex chars of md5(shingle string) as a 60-bit int,
+    reproducible in any engine with md5 (the cross-engine-verifiable mode;
+    the DuckDB oracle recomputes identical signatures).
     """
     # Spread the CPU-bound shingle/hash stage across all cores even when the
     # source is a single parquet row-group (one scan task).
     df = _spread(df)
-    ex = _shingle_hashes(df, text_col, id_col, shingle_k)
+    if hash_fn == "md5":
+        ex = df.select(
+            F.col(id_col),
+            F.explode(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        ).select(
+            F.col(id_col),
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("bigint").alias("h"),
+        )
+    else:
+        ex = _shingle_hashes(df, text_col, id_col, shingle_k)
     binned = ex.groupBy(id_col, F.pmod("h", F.lit(num_hashes)).alias("bin")).agg(
         F.min("h").alias("mh")
     )
