@@ -142,6 +142,72 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: pair each left event with right events for
+    the same user that happen AFTER it but within `within`. Both sides carry
+    watermarks so the join state is bounded (the unbounded-state trap is the
+    #1 way stream-stream joins die at scale)."""
+    l_ = left.withWatermark("ts", watermark).select(
+        F.col("user_id"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+    )
+    r_ = right.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    return l_.join(
+        r_,
+        (F.col("user_id") == F.col("r_user_id"))
+        & (F.col("r_ts") > F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        "inner",
+    ).select("user_id", "l_event_id", "l_ts", "r_event_id", "r_ts")
+
+
+def kafka_stream(
+    spark: SparkSession, bootstrap_servers: str, topic: str, starting_offsets: str = "latest"
+) -> DataFrame:
+    """Kafka source surface (gated): same downstream pipeline as the file
+    source — swap `stream_events` for this in production. Raises a clear
+    error when the kafka connector jar isn't on the classpath (it isn't in
+    this container)."""
+    try:
+        return (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+    except Exception as e:  # noqa: BLE001
+        raise RuntimeError(
+            "kafka source unavailable (needs spark-sql-kafka on the classpath): "
+            f"{e}"
+        ) from e
+
+
+def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str):
+    """foreachBatch sink: per-microbatch custom write (the escape hatch for
+    sinks with no native streaming writer — JDBC upserts, multi-table
+    writes). Here each batch lands as parquet partitioned by batch id."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode("append").parquet(
+            out_dir
+        )
+
+    q = stream_df.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination()
+    return q
+
+
 def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = "complete"):
     """Drain everything currently available into an in-memory sink and stop —
     reproducible test/backfill runs of the streaming graph."""

@@ -144,6 +144,26 @@ def test_multimodal_plumbing(docs):
     assert d[1].n_frames == BASE.encode()[0] % 16 + 1
 
 
+def test_multimodal_resize_and_frames(docs):
+    from mcp_clickhouse_spark.pipeline.multimodal import resize_images, sample_frames
+
+    media = attach_binary_payload(docs)
+    resized = resize_images(media, target_w=16, target_h=8)
+    r = {row.doc_id: row for row in resized.collect()}
+    assert all(len(row.resized_payload) == 16 * 8 for row in r.values())
+    assert r[1].width == 16 and r[1].height == 8
+    # deterministic: tiled from source bytes
+    assert r[1].resized_payload[: len(BASE)][:10] == BASE.encode()[:10]
+
+    frames = sample_frames(media, every_n=2, max_frames=3)
+    by_doc = {}
+    for row in frames.collect():
+        by_doc.setdefault(row.doc_id, []).append(row)
+    assert all(len(v) <= 3 for v in by_doc.values())
+    idxs = sorted(r.frame_idx for r in by_doc[1])
+    assert idxs == [0, 2] or idxs == [0, 2, 4]
+
+
 def test_multimodal_real_decode_is_stubbed(docs):
     from mcp_clickhouse_spark.pipeline.multimodal import decode_image_batch
     import pandas as pd

@@ -15,6 +15,11 @@ from mcp_clickhouse_spark.streaming import (
     tumbling_counts,
     user_running_totals,
 )
+from mcp_clickhouse_spark.streaming.ops import (
+    kafka_stream,
+    run_foreach_batch_to_parquet,
+    stream_stream_join,
+)
 
 
 @pytest.fixture(scope="module")
@@ -67,6 +72,50 @@ def test_streaming_dedup(spark, sf_dir, batch_events):
     n_users = batch_events.select("user_id").distinct().count()
     assert out.count() == n_users
     assert out.select("user_id").distinct().count() == n_users
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, batch_events):
+    signups = stream_events(spark, sf_dir).where(F.col("event_type") == "signup")
+    purchases = stream_events(spark, sf_dir).where(F.col("event_type") == "purchase")
+    st = stream_stream_join(signups, purchases, within="1 hour")
+    run_available_now(st, "t_ssjoin", output_mode="append")
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("t_ssjoin").collect()
+    }
+    bl = batch_events.where(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_event_id")
+    )
+    br = batch_events.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_user_id"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    want = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in bl.join(
+            br,
+            (F.col("user_id") == F.col("r_user_id"))
+            & (F.col("r_ts") > F.col("l_ts"))
+            & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_foreach_batch_sink(spark, sf_dir, batch_events, tmp_path):
+    out = str(tmp_path / "fb_out")
+    st = stream_events(spark, sf_dir).where(F.col("event_type") == "error")
+    run_foreach_batch_to_parquet(st, out)
+    written = spark.read.parquet(out)
+    n_errors = batch_events.where(F.col("event_type") == "error").count()
+    assert written.count() == n_errors
+    assert "_batch_id" in written.columns
+
+
+def test_kafka_surface_gated(spark):
+    with pytest.raises(RuntimeError, match="kafka source unavailable"):
+        kafka_stream(spark, "localhost:9092", "events").printSchema()
 
 
 def test_user_running_totals_stateful(spark, sf_dir, batch_events):
