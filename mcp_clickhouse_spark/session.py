@@ -84,6 +84,13 @@ def get_spark(
     return builder.getOrCreate()
 
 
+# Lazy-DataFrame memo: re-calling spark.read.parquet re-lists files and
+# re-reads footers on the driver (~100 ms per call) — wasted when the same
+# table is referenced by every query in a session. Keyed per session so a
+# restarted session never sees stale plans.
+_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table as a DataFrame, normalizing types.
 
@@ -91,6 +98,10 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     truncate to microseconds exactly like ``CAST(ts AS TIMESTAMP)`` does in
     DuckDB (floor division), entirely inside whole-stage codegen.
     """
+    key = (id(spark), sf_dir, name)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         # Runtime-settable; needed even when the caller built its own session.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -105,6 +116,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
             ),
         )
+    _TABLE_CACHE[key] = df
     return df
 
 
