@@ -445,9 +445,71 @@ def _strip_suffix_clauses(sql: str) -> str:
     return sql
 
 
+def _depth0_spans(sql: str):
+    """Yield (index, char) for characters at paren-depth 0 outside strings."""
+    depth = 0
+    in_str: str | None = None
+    for i, ch in enumerate(sql):
+        if in_str:
+            if ch == in_str and sql[i - 1] != "\\":
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            yield i, ch
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse `… [ORDER BY o] LIMIT n BY c1,c2 [LIMIT m]` → row_number
+    subquery. Only top-level (depth-0) clauses are rewritten."""
+    d0 = {i for i, _ in _depth0_spans(sql)}
+    m_iter = list(re.finditer(r"(?is)\bLIMIT\s+(\d+)\s+BY\s+", sql))
+    m = next((mm for mm in m_iter if mm.start() in d0), None)
+    if not m:
+        return sql
+    n = int(m.group(1))
+    # BY-column list runs to the next top-level LIMIT or end of string
+    rest = sql[m.end() :]
+    m2 = re.search(r"(?is)\bLIMIT\b", rest)
+    by_cols = rest[: m2.start()].strip() if m2 else rest.strip()
+    tail_limit = rest[m2.start() :].strip() if m2 else ""
+    head = sql[: m.start()]
+    # peel a trailing top-level ORDER BY out of the head (it defines the pick
+    # order inside each group AND the final presentation order)
+    mo = None
+    for mm in re.finditer(r"(?is)\bORDER\s+BY\s+", head):
+        if mm.start() in d0:
+            mo = mm
+    if mo:
+        order_clause = head[mo.start() :].strip()
+        core = head[: mo.start()].rstrip()
+        window_order = order_clause
+    else:
+        core = head.rstrip()
+        order_clause = ""
+        window_order = f"ORDER BY {by_cols}"
+    out = (
+        f"SELECT * EXCEPT (__rn) FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {by_cols} {window_order}) AS __rn "
+        f"FROM ({core}) __limit_by_src) __limit_by "
+        f"WHERE __rn <= {n}"
+    )
+    if order_clause:
+        out += f" {order_clause}"
+    if tail_limit:
+        out += f" {tail_limit}"
+    return out
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
+    sql = _rewrite_limit_by(sql)
     sql = _rewrite_brackets(sql)
     out: list[str] = []
     i = 0

@@ -172,6 +172,38 @@ def test_array_sum_and_literals(spark):
     assert row[0] == 9.0
 
 
+def test_limit_by_clause(spark):
+    # top-2 orders per status by price — ClickHouse LIMIT n BY syntax
+    res = run_select_query(
+        spark,
+        """
+        SELECT o_orderstatus, o_orderkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 2 BY o_orderstatus
+        """,
+        dialect="clickhouse",
+    )
+    rows = res["rows"]
+    from collections import Counter
+
+    per_status = Counter(r[0] for r in rows)
+    assert all(v == 2 for v in per_status.values()) and len(per_status) >= 2
+    # presentation order preserved: descending price overall
+    prices = [r[2] for r in rows]
+    assert prices == sorted(prices, reverse=True)
+
+
+def test_limit_by_with_tail_limit(spark):
+    res = run_select_query(
+        spark,
+        "SELECT o_orderstatus, o_orderkey FROM orders "
+        "ORDER BY o_orderkey LIMIT 3 BY o_orderstatus LIMIT 5",
+        dialect="clickhouse",
+    )
+    assert len(res["rows"]) == 5
+
+
 def test_prompt_exists():
     from mcp_clickhouse_spark.prompt import INITIAL_PROMPT
 
