@@ -1,0 +1,100 @@
+"""Property-based tests (hypothesis) for the string-processing layers.
+
+The readonly classifier and the dialect translator take ARBITRARY user
+strings — exactly where hand-written cases miss corners. Invariants:
+
+  1. readonly NEVER admits a statement whose first effective keyword is a
+     write, however it's wrapped in comments/whitespace/case;
+  2. readonly admission is stable under comment/whitespace decoration;
+  3. dialect translation of a generated ClickHouse expression tree always
+     yields SQL that Spark parses and executes, with the expected row count;
+  4. translation is idempotent-safe on plain Spark SQL (no mangling of
+     queries that contain no ClickHouse constructs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from mcp_clickhouse_spark.dialect import translate
+from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
+
+WRITE_KEYWORDS = ["INSERT", "UPDATE", "DELETE", "DROP", "CREATE", "ALTER",
+                  "TRUNCATE", "MERGE", "GRANT", "SET", "CACHE"]
+
+decorations = st.lists(
+    st.sampled_from(["  ", "\n", "\t", "-- comment\n", "/* block */ "]),
+    max_size=4,
+)
+
+
+@given(kw=st.sampled_from(WRITE_KEYWORDS), deco=decorations,
+       tail=st.text(alphabet="abcdefgh ()1,*=", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_writes_always_rejected(kw, deco, tail):
+    sql = "".join(deco) + kw + " " + tail
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only(sql)
+
+
+@given(deco=decorations, tail=st.text(alphabet="abcdefgh_ ,.*", max_size=30))
+@settings(max_examples=200, deadline=None)
+def test_select_decoration_stable(deco, tail):
+    base = "SELECT 1 AS x FROM t" + (" WHERE " + tail if tail.strip() else "")
+    check_read_only(base)  # must not raise
+    check_read_only("".join(deco) + base)
+
+
+@given(payload=st.text(alphabet="abc;DROP TABLE x'\"-/*", max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_string_literals_never_trigger(payload):
+    # anything inside a correctly-escaped string literal is data, not SQL
+    lit = payload.replace("\\", "\\\\").replace("'", "\\'")
+    check_read_only(f"SELECT '{lit}' AS s")
+
+
+# --- dialect expression-tree fuzz ------------------------------------------
+
+scalar_exprs = st.recursive(
+    st.sampled_from(["n_nationkey", "1", "2", "n_regionkey"]),
+    lambda inner: st.one_of(
+        st.tuples(st.sampled_from(["abs", "toString", "toInt64", "toUInt32"]), inner).map(
+            lambda t: f"{t[0]}({t[1]})"
+        ),
+        st.tuples(inner, inner).map(lambda t: f"if({t[0]} > {t[1]}, {t[0]}, {t[1]})"),
+        st.tuples(inner, inner).map(lambda t: f"intDiv({t[0]}, ({t[1]}) + 1)"),
+        st.tuples(inner, inner, inner).map(
+            lambda t: f"multiIf({t[0]} > 0, {t[1]}, {t[2]})"
+        ),
+        inner.map(lambda x: f"arraySum([{x}, {x}])"),
+    ),
+    max_leaves=6,
+)
+
+
+@given(expr=scalar_exprs)
+@settings(max_examples=25, deadline=None)
+def test_translated_expressions_execute(spark, nation_view, expr):
+    sql = f"SELECT {expr} AS v FROM nation"
+    out = translate(sql)
+    rows = spark.sql(out).collect()
+    assert len(rows) == 25  # one per nation row — translation never drops rows
+
+
+@pytest.fixture(scope="module")
+def nation_view(spark, sf_dir):
+    from mcp_clickhouse_spark.session import read_table
+
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return "nation"
+
+
+@given(
+    cols=st.lists(st.sampled_from(["n_nationkey", "n_name", "n_regionkey"]),
+                  min_size=1, max_size=3, unique=True)
+)
+@settings(max_examples=50, deadline=None)
+def test_plain_sql_untouched(cols):
+    sql = f"SELECT {', '.join(cols)} FROM nation WHERE n_nationkey > 3"
+    assert translate(sql) == sql
