@@ -101,6 +101,13 @@ def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -
                     table.total_bytes = int(m.group(1))
                     if m.group(2):
                         table.total_rows = int(m.group(2))
+            elif r[0] == "Sort Columns":
+                # bucketed-table sort spec — the closest Spark analog of
+                # MergeTree's sorting_key (reference Table.sorting_key,
+                # mcp_server.py:46-48)
+                table.sorting_key = (r[1] or "").strip("[]")
+            elif r[0] == "Bucket Columns":
+                table.primary_key = (r[1] or "").strip("[]")
         break
     try:
         files = spark.table(f"{database}.{name}").inputFiles()

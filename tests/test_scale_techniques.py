@@ -67,6 +67,17 @@ def bucketed_tables(spark, sf_dir):
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
 
 
+def test_bucketed_table_catalog_metadata(spark, bucketed_tables):
+    """sorting_key/primary_key surface the bucket/sort spec — the MergeTree
+    metadata analog (reference Table dataclass fields)."""
+    from mcp_clickhouse_spark.catalog import describe_table
+
+    tb = describe_table(spark, "default", "b_orders")
+    assert "o_orderkey" in tb.sorting_key
+    assert "o_orderkey" in tb.primary_key
+    assert tb.parts and tb.parts >= 8  # one file per bucket at minimum
+
+
 def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     """Co-located join: both sides bucketed on the join key → sort-merge
     join with ZERO exchanges (the 100 TB fact-fact join strategy)."""
