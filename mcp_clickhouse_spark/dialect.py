@@ -214,7 +214,10 @@ def _format_datetime(args: list[str]) -> str:
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "if": lambda a: f"CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END",
     "multiif": _multi_if,
-    "intdiv": lambda a: f"(({a[0]}) div ({a[1]}))",
+    # CH intDiv accepts floats and truncates toward zero; Spark's `div`
+    # operator is integral-only, so divide in double and truncate via the
+    # ANSI double→bigint cast (found by the property-based fuzz).
+    "intdiv": lambda a: f"CAST(CAST(({a[0]}) AS DOUBLE) / ({a[1]}) AS BIGINT)",
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
