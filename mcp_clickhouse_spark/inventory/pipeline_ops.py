@@ -343,6 +343,76 @@ def pipe_embed_label_centroids(spark, sf_dir):
 
 
 @query(
+    "pipe_training_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, n_chars,
+        md5(text) AS content_hash,
+        len({_SQL_WORDS}) AS n_tokens,
+        CASE WHEN len({_SQL_WORDS}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                    / CAST(length(text) AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN len(list_intersect({_SQL_WORDS}, ['the','and','of','to','in'])) > 0
+               THEN 0.3 ELSE 0.0 END AS quality
+      FROM documents
+    ),
+    deduped AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, n_tokens, round(quality, 2) AS quality
+    FROM deduped
+    WHERE rn = 1 AND quality >= 0.7 AND n_tokens >= 20
+    """,
+    category="pipeline",
+)
+def pipe_training_filter(spark, sf_dir):
+    # The composed pre-training filter: exact-dedup (keep lowest doc_id) →
+    # quality threshold → token-count floor. One shuffle for the dedup
+    # window, everything else stays in the scan stage.
+    from pyspark.sql import Window
+
+    d = t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    return (
+        d.withColumn("quality", quality_score_col("text"))
+        .withColumn("n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+        .withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "lang", "n_tokens", "quality")
+    )
+
+
+@query(
+    "scale_salted_agg",
+    oracle="""
+    SELECT l_suppkey, COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS total_qty
+    FROM lineitem GROUP BY l_suppkey
+    """,
+    category="pipeline",
+)
+def scale_salted_agg(spark, sf_dir):
+    # Skew-safe two-phase aggregation (operators/salting.py): the random
+    # salt changes the partial grouping only — the merged result is
+    # EXACTLY the plain GROUP BY, which is what the oracle asserts.
+    from mcp_clickhouse_spark.operators import salted_agg
+
+    li = t(spark, sf_dir, "lineitem")
+    qty = F.round(F.col("l_quantity") * 100).cast("bigint")
+    return salted_agg(
+        li,
+        ["l_suppkey"],
+        [F.count("*").alias("pc"), F.sum(qty).alias("ps")],
+        [
+            F.sum("pc").alias("n"),
+            (F.sum("ps").cast("double") / F.lit(100.0)).alias("total_qty"),
+        ],
+        n_salts=16,
+    )
+
+
+@query(
     "pipe_multimodal_meta",
     oracle="""
     SELECT doc_id,
