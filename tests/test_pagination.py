@@ -100,6 +100,30 @@ def test_metadata_trimming(spark, pagination_tables):
     assert [c["name"] for c in resp2["tables"][0]["columns"]] == ["id", "name"]
 
 
+def test_trimming_consistent_across_pages(spark, pagination_tables):
+    """Reference test_pagination.py:185-254: the trimming flag holds across
+    a token walk, and flipping it mid-walk resets to page 1."""
+    token = None
+    while True:
+        resp = list_tables(
+            spark, "default", like="test_table_%", page_token=token, page_size=4,
+            include_detailed_columns=False,
+        )
+        assert all(t["columns"] == [] for t in resp["tables"])
+        assert all(t["create_table_query"] is not None for t in resp["tables"])
+        token = resp["next_page_token"]
+        if token is None:
+            break
+    # flag mismatch on a minted token → page 1 of the new parameterization
+    r1 = list_tables(spark, "default", like="test_table_%", page_size=4,
+                     include_detailed_columns=False)
+    tok = r1["next_page_token"]
+    r2 = list_tables(spark, "default", like="test_table_%", page_token=tok,
+                     page_size=4, include_detailed_columns=True)
+    assert _names(r2) == _names(r1)  # restarted at page 1
+    assert all(t["columns"] for t in r2["tables"])
+
+
 def test_ttl_cache_maxsize():
     cache = TTLCache(maxsize=3, ttl=3600)
     for i in range(5):
