@@ -331,6 +331,30 @@ def agg_topk(spark, sf_dir):
 
 
 @query(
+    "agg_histogram",
+    oracle="""
+    SELECT LEAST(CAST(trunc(o_totalprice / 50000) AS BIGINT), 9) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders GROUP BY bucket
+    """,
+    category="aggregates",
+)
+def agg_histogram(spark, sf_dir):
+    # ClickHouse histogram()-style binning, realized as deterministic
+    # fixed-width buckets (CH's adaptive bins are impl-specific) — one
+    # hash aggregation, bucket id computed in the scan stage.
+    o = t(spark, sf_dir, "orders")
+    bucket = F.least((F.col("o_totalprice") / 50000).cast("bigint"), F.lit(9))
+    return o.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
+@query(
     "agg_any_first_last",
     oracle="""
     SELECT o_orderstatus,

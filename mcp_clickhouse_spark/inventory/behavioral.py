@@ -85,6 +85,47 @@ def behav_window_funnel(spark, sf_dir):
 
 
 @query(
+    "behav_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(CAST(ts AS TIMESTAMP))) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', CAST(ts AS TIMESTAMP)) AS act_week
+      FROM events
+    )
+    SELECT CAST(f.cohort_week AS TIMESTAMP) AS cohort_week,
+           CAST(datediff('day', f.cohort_week, a.act_week) // 7 AS BIGINT) AS week_offset,
+           COUNT(DISTINCT a.user_id) AS n_users
+    FROM firsts f JOIN activity a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    category="behavioral",
+)
+def behav_cohort_retention(spark, sf_dir):
+    # Weekly cohort-retention matrix: users bucketed by first-seen week,
+    # counted in each subsequent active week. Two aggregations + one join on
+    # user_id — the join reuses the aggregation's hash partitioning.
+    e = t(spark, sf_dir, "events")
+    week = lambda c: F.date_trunc("week", F.col(c).cast("timestamp")).cast("timestamp_ntz")  # noqa: E731
+    firsts = e.groupBy("user_id").agg(F.min("ts").alias("first_ts")).select(
+        "user_id", week("first_ts").alias("cohort_week")
+    )
+    activity = e.select("user_id", week("ts").alias("act_week")).distinct()
+    return (
+        firsts.join(activity, on="user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+@query(
     "behav_sequence_match",
     oracle="""
     WITH seqs AS (
