@@ -23,3 +23,6 @@ def load_all() -> None:
         timeseries,
         windows,
     )
+    from mcp_clickhouse_spark.inventory.ordering import apply_priority
+
+    apply_priority()

@@ -227,8 +227,8 @@ def agg_minmax_by(spark, sf_dir):
     "agg_collect",
     oracle="""
     SELECT r_name,
-           list_sort(list(n_name)) AS nations,
-           list_sort(list(DISTINCT n_regionkey)) AS region_keys
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           array_to_string(list_sort(list(DISTINCT n_regionkey)), ',') AS region_keys
     FROM nation JOIN region ON n_regionkey = r_regionkey
     GROUP BY r_name
     """,
@@ -237,14 +237,23 @@ def agg_minmax_by(spark, sf_dir):
 def agg_collect(spark, sf_dir):
     # groupArray/groupUniqArray → collect_list/collect_set, canonically
     # sorted on both sides (collection order is nondeterministic by design).
+    # Serialized with concat_ws: the driver's pandas canonicalizer cannot
+    # hash list-valued cells (round-1 RED row), so both engines emit the
+    # comma-joined string form instead of a native array.
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region")
     return (
         n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.sort_array(F.collect_list("n_name")).alias("nations"),
-            F.sort_array(F.collect_set("n_regionkey")).alias("region_keys"),
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_set("n_regionkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("region_keys"),
         )
     )
 

@@ -95,18 +95,29 @@ def filter_ilike_regex(spark, sf_dir):
     "agg_multi_quantiles",
     oracle="""
     SELECT o_orderstatus,
-           [round(x, 4) FOR x IN quantile_cont(o_totalprice, [0.25, 0.5, 0.75])] AS quartiles
+           array_to_string(
+             [CAST(round(x, 4) AS DECIMAL(18,4)) FOR x IN quantile_cont(o_totalprice, [0.25, 0.5, 0.75])],
+             ','
+           ) AS quartiles
     FROM orders GROUP BY o_orderstatus
     """,
     category="aggregates",
 )
 def agg_multi_quantiles(spark, sf_dir):
     # ClickHouse quantiles(0.25,0.5,0.75)(x) — array-returning percentile.
+    # Serialized to a comma-joined DECIMAL(18,4) string on both sides: the
+    # driver canonicalizer cannot hash array cells (round-1 RED row), and
+    # the fixed-scale decimal render makes float formatting engine-agnostic.
     o = t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.transform(
-            F.percentile("o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))),
-            lambda x: F.round(x, 4),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.percentile(
+                    "o_totalprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+                ),
+                lambda x: F.round(x, 4).cast("decimal(18,4)").cast("string"),
+            ),
         ).alias("quartiles")
     )
 

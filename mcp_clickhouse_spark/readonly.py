@@ -9,10 +9,12 @@ allowed through; DDL/DML/anything else is rejected BEFORE reaching the
 engine with the reference's error shape ("Query execution failed: …",
 mcp_server.py:430).
 
-Classification parses with Spark's own parser when a session is available
-(no regex false-positives from strings/comments); the lexical pre-check
-strips comments and inspects the first keyword so obvious writes are
-rejected cheaply and without a session.
+Two layers: a lexical classifier (``check_read_only`` — comment-stripped,
+string-masked first-keyword check plus a paren-depth-0 write-verb scan that
+closes the `WITH … INSERT` CTE bypass) that needs no session, and a
+parser-backed gate (``check_read_only_plan``) that asks Spark's own SQL
+parser for the logical plan class and rejects anything that is not
+query-shaped — no regex false-negatives possible on that path.
 """
 
 from __future__ import annotations
@@ -139,6 +141,59 @@ def first_keyword(sql: str) -> str:
     return m.group(0).lower() if m else ""
 
 
+# Write verbs Spark SQL accepts AFTER a CTE prologue (`WITH s AS (...)
+# INSERT INTO t SELECT ...`).  In a pure query these can never appear at
+# paren-depth 0 (subqueries are parenthesized), so any depth-0 occurrence
+# means the statement writes, whatever its first keyword was.
+_FORBIDDEN_AT_DEPTH0 = {
+    "insert",
+    "update",
+    "delete",
+    "merge",
+    "replace",
+    "create",
+    "drop",
+    "alter",
+    "truncate",
+    "copy",
+    "load",
+    "vacuum",
+    "optimize",
+}
+
+_WORD_RE = re.compile(r"[A-Za-z_]+")
+
+
+def _depth0_forbidden(cleaned: str) -> str | None:
+    """Return the first forbidden write verb at paren-depth 0, else None.
+
+    ``cleaned`` must already be comment-stripped and string-masked.  Closes
+    the CTE bypass: `WITH s AS (SELECT 1) INSERT INTO t SELECT * FROM s`
+    starts with an allowed keyword but carries INSERT at depth 0.  An
+    unquoted identifier that collides with a write verb at depth 0 is
+    rejected too (backtick-quote it; quoted identifiers are masked).
+    """
+    depth = 0
+    i, n = 0, len(cleaned)
+    while i < n:
+        ch = cleaned[i]
+        if ch == "(":
+            depth += 1
+            i += 1
+        elif ch == ")":
+            depth = max(0, depth - 1)
+            i += 1
+        elif ch.isalpha() or ch == "_":
+            m = _WORD_RE.match(cleaned, i)
+            word = m.group(0)
+            if depth == 0 and word.lower() in _FORBIDDEN_AT_DEPTH0:
+                return word.lower()
+            i = m.end()
+        else:
+            i += 1
+    return None
+
+
 def check_read_only(sql: str) -> None:
     """Raise ReadOnlyViolation unless `sql` is a single read-only statement."""
     cleaned = _analysis_text(sql)
@@ -154,6 +209,14 @@ def check_read_only(sql: str) -> None:
         raise ReadOnlyViolation(f"statement type '{kw.upper()}' is not allowed (readonly)")
     if kw not in _ALLOWED_FIRST:
         raise ReadOnlyViolation(f"unrecognized statement '{kw.upper()}' rejected (readonly)")
+    # Depth-0 write-verb scan (covers EXPLAIN payloads too — planning a
+    # write is rejected the same as running one, matching the first-keyword
+    # policy below).
+    bad = _depth0_forbidden(cleaned)
+    if bad is not None:
+        raise ReadOnlyViolation(
+            f"write statement '{bad.upper()}' is not allowed (readonly)"
+        )
     if kw == "explain":
         # EXPLAIN <write-statement> still plans the write — check the payload.
         payload = re.sub(
@@ -167,3 +230,37 @@ def check_read_only(sql: str) -> None:
             raise ReadOnlyViolation(
                 f"EXPLAIN of non-read-only statement '{inner.upper()}' rejected"
             )
+
+
+# Logical-plan root classes that mean "this statement writes or mutates
+# state".  Statement-level parse nodes (Catalyst `parsePlan` output), not
+# resolved physical plans, so the names are stable across Spark versions.
+_WRITE_PLAN_RE = re.compile(
+    r"^(InsertInto|DeleteFrom|UpdateTable|MergeInto|CreateTable|ReplaceTable"
+    r"|DropTable|AlterTable|TruncateTable|CreateView|AlterView|DropView"
+    r"|CacheTable|UncacheTable|ClearCache|SetCommand|ResetCommand|SetNamespace"
+    r"|CreateNamespace|DropNamespace|AddJar|AddFile|AddArchive|LoadData"
+    r"|AnalyzeTable|AnalyzeColumn|RepairTable|RenameTable|SetCatalog"
+    r"|RefreshTable|RefreshFunction|RefreshResource|CreateFunction|DropFunction"
+    r"|CreateIndex|DropIndex|CommentOn|SetTableProperties|UnsetTableProperties)"
+)
+
+
+def check_read_only_plan(spark, sql: str) -> None:
+    """Parser-backed read-only gate (defense in depth over check_read_only).
+
+    Asks Spark's own SQL parser for the statement's logical-plan root and
+    rejects write/DDL shapes — immune to lexical edge cases by construction
+    (the parser, not a regex, decides what the statement *is*).  A statement
+    that fails to parse is passed through: ``spark.sql`` will raise the
+    identical parse error moments later, keeping the error contract intact.
+    """
+    try:
+        jplan = spark._jsparkSession.sessionState().sqlParser().parsePlan(sql)
+        cls = jplan.getClass().getSimpleName()
+    except Exception:  # noqa: BLE001 — parse errors surface from spark.sql itself
+        return
+    if _WRITE_PLAN_RE.match(cls):
+        raise ReadOnlyViolation(
+            f"statement plans a write ({cls}) and is not allowed (readonly)"
+        )

@@ -29,7 +29,11 @@ from pyspark.sql import functions as F
 from mcp_clickhouse_spark.catalog import describe_table, list_database_names, list_table_names
 from mcp_clickhouse_spark.executor import QueryTimeoutError, run_with_timeout
 from mcp_clickhouse_spark.pagination import PageState, consume_token, mint_token
-from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
+from mcp_clickhouse_spark.readonly import (
+    ReadOnlyViolation,
+    check_read_only,
+    check_read_only_plan,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -148,6 +152,9 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
         from mcp_clickhouse_spark.dialect import translate
 
         query = translate(query)
+    # Defense in depth: Spark's own parser classifies the (translated)
+    # statement; non-query plans are rejected before execution.
+    check_read_only_plan(spark, query)
     return spark.sql(query)
 
 

@@ -53,8 +53,29 @@ def test_allowed(sql):
         "-- comment\nDROP TABLE users",
         "/* c */ INSERT INTO t VALUES (1)",
         "EXPLAIN INSERT INTO t VALUES (1)",  # EXPLAIN of a write still plans it
+        # CTE-prefixed DML: first keyword is WITH but the statement writes
+        # (round-1 advisor finding — Spark SQL accepts this shape).
+        "WITH s AS (SELECT 99 AS x) INSERT INTO victim SELECT * FROM s",
+        "WITH s AS (SELECT 1) DELETE FROM t WHERE id IN (SELECT x FROM s)",
+        "WITH s AS (SELECT 1 AS x) UPDATE t SET a = 1",
+        "WITH s AS (SELECT 1) MERGE INTO t USING s ON t.id = s.x WHEN MATCHED THEN DELETE",
+        "EXPLAIN WITH s AS (SELECT 1) INSERT INTO t SELECT * FROM s",
     ],
 )
 def test_rejected(sql):
     with pytest.raises(ReadOnlyViolation):
         check_read_only(sql)
+
+
+@pytest.mark.parametrize(
+    "sql",
+    [
+        # Write verbs as parts of longer identifiers must not false-positive.
+        "SELECT update_time, created_at, delete_flag FROM users",
+        "WITH inserted AS (SELECT 1 AS a) SELECT * FROM inserted",
+        "SELECT 'INSERT INTO t' AS payload",  # verb inside a string literal
+        "SELECT `insert` FROM t",  # quoted identifier is masked
+    ],
+)
+def test_depth0_scan_no_false_positives(sql):
+    check_read_only(sql)
