@@ -24,6 +24,10 @@ from __future__ import annotations
 import re
 from typing import Callable
 
+
+class DialectError(ValueError):
+    """A ClickHouse construct that cannot be translated faithfully."""
+
 # --- simple name→name renames (same argument order/semantics) ---------------
 
 NAME_MAP: dict[str, str] = {
@@ -48,9 +52,9 @@ NAME_MAP: dict[str, str] = {
     "rightpad": "rpad",
     "base64encode": "base64",
     "base64decode": "unbase64",
-    "format": "format_string",
+    # "format" and "splitbystring" are TEMPLATES: placeholder syntax and
+    # argument order/regex semantics differ from the Spark builtins.
     "concatws": "concat_ws",
-    "splitbystring": "split",
     # date/time
     "now": "current_timestamp",
     "today": "current_date",
@@ -211,6 +215,51 @@ def _format_datetime(args: list[str]) -> str:
     return f"date_format({ts}, {fmt})"
 
 
+def _ch_format(args: list[str]) -> str:
+    """CH format('{}-{}', a, b) → format_string('%s-%s', a, b).
+
+    ClickHouse uses fmt-style `{}` (sequential) / `{N}` (0-based positional)
+    placeholders and `{{`/`}}` literal braces; Spark's format_string is
+    printf-style.  Only literal patterns are translatable — a non-literal
+    pattern is rejected rather than silently emitting the raw braces
+    (round-1 advisor finding: the plain rename returned '{}-{}' verbatim).
+    """
+    pat = args[0].strip()
+    if not (len(pat) >= 2 and pat.startswith("'") and pat.endswith("'")):
+        raise DialectError("format() requires a string-literal pattern")
+    body = pat[1:-1]
+    out: list[str] = []
+    for piece in re.split(r"(\{\{|\}\})", body):
+        if piece == "{{":
+            out.append("{")
+        elif piece == "}}":
+            out.append("}")
+        else:
+            piece = piece.replace("%", "%%")
+            piece = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", piece)
+            piece = piece.replace("{}", "%s")
+            out.append(piece)
+    rendered = "".join(out).replace("'", "''")
+    rest = ", ".join(args[1:])
+    return f"format_string('{rendered}'{', ' + rest if rest else ''})"
+
+
+def _split_by_string(args: list[str]) -> str:
+    """CH splitByString(sep, s[, max]) → split(s, <literal-quoted sep>, limit).
+
+    Argument order is swapped vs Spark, and the CH separator is a PLAIN
+    string while Spark's is a Java regex — so the separator is wrapped in
+    \\Q…\\E regex quoting (round-1 advisor finding: the plain rename split
+    on every char for sep='.').  Works for literal and computed separators.
+    """
+    sep, s = args[0].strip(), args[1]
+    limit = args[2] if len(args) > 2 else "-1"
+    if len(sep) >= 2 and sep.startswith("'") and sep.endswith("'"):
+        quoted = f"'\\\\Q{sep[1:-1]}\\\\E'"
+        return f"split({s}, {quoted}, {limit})"
+    return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'), {limit})"
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "if": lambda a: f"CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END",
     "multiif": _multi_if,
@@ -253,9 +302,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addmonths": lambda a: f"add_months({a[0]}, {a[1]})",
     "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
     "formatdatetime": _format_datetime,
-    "extract": lambda a: f"regexp_extract({a[0]}, {a[1]}, 0)",
+    # CH extract(haystack, pattern) is 2-arg regex extraction; ANSI
+    # EXTRACT(YEAR FROM ts) reaches here as ONE argument — pass it through
+    # unchanged (valid Spark SQL) instead of crashing on a[1].
+    "extract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else f"extract({a[0]})"
+    ),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
-    "splitbychar": lambda a: f"split({a[1]}, {a[0]})",
+    # splitByChar's separator is a plain single char, not a regex — quote it
+    # the same way as splitByString ('.' must not split on every char).
+    "splitbychar": lambda a: _split_by_string(a),
+    "splitbystring": _split_by_string,
+    "format": _ch_format,
     "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",

@@ -101,13 +101,16 @@ def consume_token(
 ) -> PageState | None:
     """Fetch+delete the token (single-use). None → caller restarts at page 1.
 
-    Mismatched parameters also reset to page 1, per the reference (:344-355).
+    Mismatched parameters reset to page 1 WITHOUT consuming the token, per
+    the reference (:344-355, :375): the reference only deletes a token after
+    serving a matching page, so a client that retries the same token with
+    the original parameters still gets its page (round-1 advisor finding —
+    deleting before the mismatch check silently burned the token).
     """
     state = PAGINATION_CACHE.get(token)
     if state is None:
         logger.warning("page token %s unknown or expired; restarting at page 1", token)
         return None
-    del PAGINATION_CACHE[token]  # single-use (:375)
     if (
         state.database != database
         or state.like != like
@@ -116,4 +119,5 @@ def consume_token(
     ):
         logger.warning("page token %s parameter mismatch; restarting at page 1", token)
         return None
+    del PAGINATION_CACHE[token]  # single-use, deleted only when served (:375)
     return state

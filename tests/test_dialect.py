@@ -216,3 +216,35 @@ def test_readonly_still_enforced_in_dialect_mode(spark):
 
     with pytest.raises(ToolError):
         run_select_query(spark, "DROP TABLE orders", dialect="clickhouse")
+
+
+def test_split_by_string_swaps_args_and_quotes_regex(spark):
+    # Advisor finding: plain rename to split() swapped nothing and treated
+    # '.' as a regex (splitting on every char).
+    row = one(spark, "SELECT splitByString('.', 'a.b.c') AS parts")
+    assert row[0] == ["a", "b", "c"]
+    row = one(spark, "SELECT splitByChar('|', 'x|y|z') AS parts")
+    assert row[0] == ["x", "y", "z"]
+    # regex metachars in the separator stay literal
+    row = one(spark, "SELECT splitByString('[*]', 'a[*]b') AS parts")
+    assert row[0] == ["a", "b"]
+
+
+def test_extract_two_arg_regex_and_ansi_form(spark):
+    row = one(spark, r"SELECT extract('abc123def', '\\d+') AS num")
+    assert row[0] == "123"
+    # ANSI EXTRACT(YEAR FROM ts) must pass through, not crash (advisor).
+    row = one(
+        spark,
+        "SELECT EXTRACT(YEAR FROM o_orderdate) AS y FROM orders ORDER BY o_orderkey LIMIT 1",
+    )
+    assert row[0] >= 1992
+
+
+def test_format_placeholder_conversion(spark):
+    row = one(spark, "SELECT format('{}-{}', 'a', 'b') AS s")
+    assert row[0] == "a-b"
+    row = one(spark, "SELECT format('{1} {0}', 'w', 'h') AS s")
+    assert row[0] == "h w"
+    row = one(spark, "SELECT format('{{}}{}', 'x') AS s")
+    assert row[0] == "{}x"

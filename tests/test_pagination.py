@@ -137,3 +137,15 @@ def test_consume_token_direct():
     out = consume_token(tok, "d", "x%", None, True)
     assert out is not None and out.start_idx == 1
     assert consume_token(tok, "d", "x%", None, True) is None  # single-use
+
+
+def test_consume_token_mismatch_preserves_token():
+    # Advisor finding: a parameter mismatch must NOT burn the token — the
+    # reference deletes only after serving a matching page, so retrying
+    # with the original parameters still works.
+    st = PageState(database="d", table_names=["a", "b"], start_idx=1, like="x%")
+    tok = mint_token(st)
+    assert consume_token(tok, "other_db", "x%", None, True) is None
+    out = consume_token(tok, "d", "x%", None, True)
+    assert out is not None and out.start_idx == 1
+    assert consume_token(tok, "d", "x%", None, True) is None  # now consumed
