@@ -469,3 +469,259 @@ def q3_shipping_priority(spark, sf_dir):
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
     )
+
+
+@query(
+    "q2_min_cost_supplier",
+    oracle="""
+    WITH offer AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c
+      FROM lineitem l
+    ),
+    best AS (
+      SELECT l_partkey, MIN(price_c) AS min_price_c FROM offer GROUP BY l_partkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+           CAST(o.price_c AS DOUBLE) / 100.0 AS best_price
+    FROM offer o
+    JOIN best b ON o.l_partkey = b.l_partkey AND o.price_c = b.min_price_c
+    JOIN part p ON p.p_partkey = o.l_partkey
+    JOIN supplier s ON s.s_suppkey = o.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND p.p_size <= 15
+    ORDER BY p_partkey, s_name
+    LIMIT 100
+    """,
+    category="core",
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    # TPC-H Q2 shape (correlated MIN subquery): cheapest offer per part,
+    # restricted to European suppliers. No partsupp table in the testdata —
+    # lineitem serves as the part↔supplier offer bridge; the correlated
+    # scalar subquery is decorrelated into an aggregate + self-join, which is
+    # exactly what Catalyst/any optimizer does to Q2. Scale: one shuffle for
+    # the per-part min, one for the offer↔best join (same key, reused
+    # partitioning); part/supplier/nation/region dims are broadcast.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_size") <= 15)
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    offer = li.select(
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+    )
+    best = (
+        offer.groupBy("l_partkey")
+        .agg(F.min("price_c").alias("min_price_c"))
+        .withColumnRenamed("l_partkey", "b_partkey")
+    )
+    return (
+        offer.join(
+            best,
+            (F.col("l_partkey") == F.col("b_partkey"))
+            & (F.col("price_c") == F.col("min_price_c")),
+        )
+        .drop("b_partkey")
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            "n_name",
+            (F.col("price_c").cast("double") / F.lit(100.0)).alias("best_price"),
+        )
+        .orderBy("p_partkey", "s_name")
+        .limit(100)
+    )
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    category="core",
+)
+def q4_order_priority(spark, sf_dir):
+    # TPC-H Q4 shape (EXISTS semi-join): orders with at least one late
+    # lineitem (shipped >60 days after order; testdata has no
+    # commitdate/receiptdate). EXISTS → left_semi join — one shuffle on
+    # l_orderkey, count-by-priority on the survivors.
+    o = t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q8_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT year(o.o_orderdate) AS o_year,
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT)) AS volume_c,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = 'AMERICA' AND p.p_type IN ('PROMO', 'STANDARD')
+    )
+    SELECT o_year,
+           round(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume_c ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(volume_c) AS DOUBLE), 6) AS mkt_share
+    FROM rev GROUP BY o_year ORDER BY o_year
+    """,
+    category="core",
+)
+def q8_market_share(spark, sf_dir):
+    # TPC-H Q8 shape (national market share): one nation's share of PROMO/STANDARD-part
+    # revenue sold into AMERICA, per order year. Fact-to-fact joins shuffle
+    # on their keys; all five dims broadcast. Share = bigint-cents ratio →
+    # exact IEEE division, cross-engine deterministic.
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").where(F.col("r_name") == "AMERICA")
+    p = t(spark, sf_dir, "part").where(F.col("p_type").isin("PROMO", "STANDARD"))
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    rev = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("cn_region") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            vol.alias("volume_c"),
+            "supp_nation",
+        )
+    )
+    return (
+        rev.groupBy("o_year")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume_c")).otherwise(0))
+                .cast("double")
+                / F.sum("volume_c").cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@query(
+    "q12_priority_by_flag",
+    oracle="""
+    SELECT l.l_returnflag,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+      AND l.l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+    category="core",
+)
+def q12_priority_by_flag(spark, sf_dir):
+    # TPC-H Q12 shape (conditional CASE aggregation over a join): testdata
+    # has no l_shipmode, so l_returnflag carries the grouping role. The
+    # shipdate range reaches the parquet scan; one shuffle for the join, one
+    # for the 3-group agg (map-side combined).
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    o = t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "q19_discounted_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    category="core",
+)
+def q19_discounted_revenue(spark, sf_dir):
+    # TPC-H Q19 shape (disjunctive multi-branch predicate across the join):
+    # the OR-of-ANDs mixes join-side columns, so it can only be applied
+    # post-join — but each branch's part-side conjunct (brand+size) is
+    # implied by the disjunction and Catalyst derives the part filter for
+    # the broadcast side. Revenue in bigint cents.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(branch)
+        .agg((F.sum(rev).cast("double") / F.lit(10000.0)).alias("revenue"))
+    )

@@ -86,21 +86,26 @@ def win_range_time_interval(spark, sf_dir):
     "scalar_zip_sequence",
     oracle="""
     SELECT n_nationkey,
-           list_transform(generate_series(1, n_nationkey % 4 + 1), x -> x + (x + 10)) AS zipped_sum,
-           generate_series(1, n_nationkey % 4 + 1) AS seq
+           array_to_string(list_transform(generate_series(1, n_nationkey % 4 + 1), x -> x + (x + 10)), ',') AS zipped_sum,
+           array_to_string(generate_series(1, n_nationkey % 4 + 1), ',') AS seq
     FROM nation WHERE n_nationkey < 8
     """,
     category="scalars",
 )
 def scalar_zip_sequence(spark, sf_dir):
-    # zip_with + sequence (ClickHouse arrayZip/arrayMap + range).
+    # zip_with + sequence (ClickHouse arrayZip/arrayMap + range). Outputs
+    # serialized to CSV — the driver canonicalizer rejects array cells.
     n = t(spark, sf_dir, "nation").where(F.col("n_nationkey") < 8)
     seq_a = F.sequence(F.lit(1), F.col("n_nationkey") % 4 + 1)
     seq_b = F.sequence(F.lit(11), F.col("n_nationkey") % 4 + 11)
+
+    def _csv(arr):
+        return F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))
+
     return n.select(
         "n_nationkey",
-        F.zip_with(seq_a, seq_b, lambda x, y: x + y).alias("zipped_sum"),
-        seq_a.alias("seq"),
+        _csv(F.zip_with(seq_a, seq_b, lambda x, y: x + y)).alias("zipped_sum"),
+        _csv(seq_a).alias("seq"),
     )
 
 

@@ -8,78 +8,76 @@ slots to the queries that most need a green CORRECTNESS row this round;
 everything else follows in its natural module order and rotates forward in
 later rounds as earlier entries earn green rows.
 
-Round 2 priority = the two round-1 RED rows (array canonicalization, now
-fixed) + 48 oracle-backed queries that had no driver row in round 1,
-covering every SURVEY §2 family: joins (2.3.3), windows (2.3.5), set ops
-(2.3.7), scalar families (2.3.8), events/time-series, and the LLM-pipeline
-operators.  Eleven redundant siblings (e.g. ``join_right`` vs ``join_left``)
-are deliberately deferred to the rotation tail.
+Round 3 priority = the 11 oracle-backed queries never driver-checked in
+r1∪r2 (judge round-2 item 3) + the 4 round-2 RED rows re-fixed this round
+(scalar_cast decimal→double; scalar_array/scalar_map/pipe_minhash_signatures
+array outputs serialized) + the 5 new TPC-H-depth queries (Q2/Q4/Q8/Q12/Q19
+shapes) + 30 already-green representatives spanning every SURVEY §2 family
+so regressions stay visible.  After this round every oracle-backed query
+has had a driver row.
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# Exactly 50 names: 2 fixed RED rows + 48 previously-unverified oracle queries.
+# Exactly 50 names: 11 never-checked + 4 re-fixed REDs + 5 new TPC-H depth
+# + 30 green representatives (one per family, regression canaries).
 PRIORITY: list[str] = [
-    # round-1 RED rows, fixed (arrays serialized for the driver canonicalizer)
-    "agg_collect",
-    "agg_multi_quantiles",
-    # joins (§2.3.3) — all driver-unverified in round 1
-    "join_inner",
-    "join_left",
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    "join_cross",
-    "join_theta",
-    "join_star_revenue",
-    "join_any",
-    "join_asof",
-    "array_join_explode",
-    # windows (§2.3.5)
-    "win_ranking",
-    "win_running_sum",
-    "win_lag_lead",
-    "win_range_frame",
-    "win_range_time_interval",
-    # set ops (§2.3.7)
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    # scalar families (§2.3.8)
-    "scalar_string",
-    "scalar_regex",
-    "scalar_datetime",
-    "scalar_math",
+    # never driver-checked in r1∪r2 (judge round-2 item 3)
+    "join_right",
+    "array_join_left_outer",
+    "scalar_zip_sequence",
+    "scalar_null_handling",
+    "setop_union_by_name",
+    "setop_intersect_all",
+    "setop_except_all",
+    "win_value_functions",
+    "win_distribution",
+    "pipe_quality_score",
+    "pipe_token_count",
+    # round-2 RED rows, re-fixed this round (need driver proof)
     "scalar_cast",
     "scalar_array",
-    "scalar_json",
-    "scalar_hash",
     "scalar_map",
-    "scalar_date_series",
-    # events / time-series
-    "events_tumbling_window",
-    "events_sliding_window",
-    "events_session_window",
-    "events_pivot",
-    "events_props_analytics",
-    "events_latest_per_user",
-    # LLM-data-pipeline operators
-    "pipe_dedup_exact",
-    "pipe_dedup_fingerprint",
-    "pipe_text_stats",
-    "pipe_lang_id",
-    "pipe_ngram_jaccard",
     "pipe_minhash_signatures",
-    "pipe_embed_topk",
-    "pipe_embed_label_centroids",
-    "pipe_training_filter",
-    "pipe_multimodal_meta",
-    "scale_salted_agg",
-    # aggregates stragglers
+    # new TPC-H-depth queries (round 3)
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q12_priority_by_flag",
+    "q19_discounted_revenue",
+    # green representatives — regression canaries per SURVEY §2 family
+    "q1_pricing_summary",
+    "scan_projection",
+    "agg_global",
+    "agg_group_having",
+    "agg_count_distinct",
+    "agg_rollup",
+    "agg_collect",
+    "agg_multi_quantiles",
     "agg_group_by_all",
+    "join_inner",
+    "join_left",
+    "join_star_revenue",
+    "join_asof",
+    "array_join_explode",
+    "win_ranking",
+    "win_running_sum",
+    "win_range_time_interval",
+    "setop_union_all",
+    "setop_except",
+    "scalar_string",
+    "scalar_datetime",
+    "scalar_json",
+    "events_tumbling_window",
+    "events_session_window",
+    "events_latest_per_user",
+    "pipe_dedup_exact",
+    "pipe_ngram_jaccard",
+    "pipe_embed_topk",
+    "pipe_training_filter",
+    "scale_salted_agg",
 ]
 
 

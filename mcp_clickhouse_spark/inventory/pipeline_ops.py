@@ -246,9 +246,9 @@ def pipe_ngram_jaccard(spark, sf_dir):
       FROM binned GROUP BY doc_id
     )
     SELECT doc_id,
-           list_transform(generate_series(0, 15), j -> coalesce(
+           array_to_string(list_transform(generate_series(0, 15), j -> coalesce(
              {", ".join(f"m[(j + {o}) % 16][1]" for o in range(16))}
-           )) AS signature
+           )), ',') AS signature
     FROM maps
     """,
     category="pipeline",
@@ -257,8 +257,16 @@ def pipe_minhash_signatures(spark, sf_dir):
     # Cross-engine-verified MinHash: md5-based 60-bit OPH signatures with
     # rotation densification — the DuckDB oracle recomputes IDENTICAL
     # signatures, proving the sketch itself (not just its plumbing).
+    # Signature serialized to CSV: the driver canonicalizer rejects
+    # array-typed cells (r2 RED).
     d = t(spark, sf_dir, "documents")
-    return minhash_signatures(d, num_hashes=16, hash_fn="md5")
+    sigs = minhash_signatures(d, num_hashes=16, hash_fn="md5")
+    return sigs.select(
+        "doc_id",
+        F.concat_ws(
+            ",", F.transform(F.col("signature"), lambda x: x.cast("string"))
+        ).alias("signature"),
+    )
 
 
 @query("pipe_minhash_lsh", category="pipeline")  # rows-only: xxhash64 is Spark-native

@@ -16,6 +16,14 @@ from pyspark.sql import functions as F
 from mcp_clickhouse_spark.inventory.registry import query, t
 
 
+def _csv(arr):
+    """Serialize an array column to CSV — the driver's pandas canonicalizer
+    crashes on list-typed cells (``unhashable type: 'list'``), so every
+    oracle-checked query must emit scalars only (DuckDB twin:
+    ``array_to_string(..., ',')``)."""
+    return F.concat_ws(",", F.transform(arr, lambda x: x.cast("string")))
+
+
 @query(
     "scalar_string",
     oracle="""
@@ -180,7 +188,7 @@ def scalar_math(spark, sf_dir):
       s_suppkey,
       CAST(s_suppkey AS VARCHAR) AS key_str,
       CAST(CAST(s_suppkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-      CAST(s_acctbal AS DECIMAL(12,2)) AS bal_dec,
+      CAST(CAST(s_acctbal AS DECIMAL(12,2)) AS DOUBLE) AS bal_dec,
       CAST(trunc(s_acctbal) AS INTEGER) AS bal_int,
       CAST(s_suppkey AS DOUBLE) AS key_dbl,
       CAST('2024-03-15' AS DATE) AS d,
@@ -200,7 +208,9 @@ def scalar_cast(spark, sf_dir):
         "s_suppkey",
         F.col("s_suppkey").cast("string").alias("key_str"),
         F.col("s_suppkey").cast("string").cast("bigint").alias("key_roundtrip"),
-        F.col("s_acctbal").cast("decimal(12,2)").alias("bal_dec"),
+        # DOUBLE on the wire: raw DECIMAL output breaks the driver's pandas
+        # canonicalizer (Decimal('8752.13') vs float64 string drift — r2 RED).
+        F.col("s_acctbal").cast("decimal(12,2)").cast("double").alias("bal_dec"),
         F.col("s_acctbal").cast("int").alias("bal_int"),
         F.col("s_suppkey").cast("double").alias("key_dbl"),
         F.lit("2024-03-15").cast("date").alias("d"),
@@ -221,9 +231,9 @@ def scalar_cast(spark, sf_dir):
       round(list_min(embedding), 6) AS min_comp,
       list_contains(list_transform(embedding, x -> x > 0), true) AS has_positive,
       len(list_filter(embedding, x -> x > 0)) AS n_positive,
-      embedding[1:3] AS head3,
-      list_sort(embedding[1:3]) AS head3_sorted,
-      list_reverse(embedding[1:3]) AS head3_rev
+      array_to_string(list_transform(embedding[1:3], x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',') AS head3,
+      array_to_string(list_sort(list_transform(embedding[1:3], x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), ',') AS head3_sorted,
+      array_to_string(list_reverse(list_transform(embedding[1:3], x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))), ',') AS head3_rev
     FROM embeddings WHERE vec_id < 50
     """,
     category="scalars",
@@ -231,8 +241,16 @@ def scalar_cast(spark, sf_dir):
 def scalar_array(spark, sf_dir):
     # ClickHouse array family: length/arrayElement/arrayMax/arrayMin/has/
     # arrayFilter/arraySlice/arraySort/arrayReverse → higher-order builtins.
+    # Array outputs are serialized to CSV of ×1e6-scaled int64 — the driver
+    # canonicalizer crashes on list cells (r1+r2 RED), and float→string
+    # formatting differs cross-engine while the scaled double→round→bigint
+    # path is bit-deterministic in both engines.
     e = t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 50)
     emb = F.col("embedding")
+    scaled3 = F.transform(
+        F.slice(emb, 1, 3),
+        lambda x: F.round(x.cast("double") * 1000000).cast("bigint"),
+    )
     return e.select(
         "vec_id",
         F.size(emb).alias("dim"),
@@ -242,9 +260,9 @@ def scalar_array(spark, sf_dir):
         F.round(F.array_min(emb), 6).alias("min_comp"),
         F.exists(emb, lambda x: x > 0).alias("has_positive"),
         F.size(F.filter(emb, lambda x: x > 0)).alias("n_positive"),
-        F.slice(emb, 1, 3).alias("head3"),
-        F.sort_array(F.slice(emb, 1, 3)).alias("head3_sorted"),
-        F.reverse(F.slice(emb, 1, 3)).alias("head3_rev"),
+        _csv(scaled3).alias("head3"),
+        _csv(F.sort_array(scaled3)).alias("head3_sorted"),
+        _csv(F.reverse(scaled3)).alias("head3_rev"),
     )
 
 
@@ -345,7 +363,7 @@ def scalar_null_handling(spark, sf_dir):
       n_nationkey,
       map {'name': n_name, 'key': CAST(n_nationkey AS VARCHAR)}['name'][1] AS name_via_map,
       cardinality(map {'a': 1, 'b': 2}) AS map_size,
-      list_sort(map_keys(map {'a': 1, 'b': 2})) AS keys_sorted
+      array_to_string(list_sort(map_keys(map {'a': 1, 'b': 2})), ',') AS keys_sorted
     FROM nation WHERE n_nationkey < 5
     """,
     category="scalars",
@@ -361,5 +379,5 @@ def scalar_map(spark, sf_dir):
         "n_nationkey",
         F.element_at(m, "name").alias("name_via_map"),
         F.size(m2).alias("map_size"),
-        F.sort_array(F.map_keys(m2)).alias("keys_sorted"),
+        _csv(F.sort_array(F.map_keys(m2))).alias("keys_sorted"),
     )

@@ -104,6 +104,26 @@ def main():
             print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             n_fail += 1
             continue
+        # Driver-contract guard: the driver's pandas canonicalizer crashes on
+        # array/map/struct cells and string-drifts on raw DECIMAL (judge r1+r2
+        # REDs). No oracle-checked query may emit a non-scalar or decimal
+        # column — serialize (concat_ws/to_json ↔ array_to_string) or cast to
+        # DOUBLE instead.
+        if name in oracles:
+            from pyspark.sql.types import ArrayType, DecimalType, MapType, StructType
+
+            bad = [
+                f.name
+                for f in df.schema.fields
+                if isinstance(f.dataType, (ArrayType, MapType, StructType, DecimalType))
+            ]
+            if bad:
+                print(
+                    f"FAIL  {name}: DRIVER-UNSAFE OUTPUT TYPES {bad} "
+                    "(array/map/struct/decimal break the driver canonicalizer)"
+                )
+                n_fail += 1
+                continue
         if name not in oracles:
             print(f"ROWS  {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
