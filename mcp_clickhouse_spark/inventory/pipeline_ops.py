@@ -310,7 +310,7 @@ def pipe_embed_topk(spark, sf_dir):
     # Brute-force cosine top-10 for query vectors vec_id<5 — the exact ANN
     # baseline (pipeline/similarity.py).
     e = t(spark, sf_dir, "embeddings")
-    return brute_force_topk(e.where(F.col("vec_id") < 5), e, k=10)
+    return brute_force_topk(e.where(F.col("vec_id") < 5), e, k=10, dim=64)
 
 
 @query("pipe_embed_lsh_topk", category="pipeline")  # rows-only: LSH planes are Spark-native
@@ -324,7 +324,7 @@ def pipe_embed_lsh_topk(spark, sf_dir):
 def pipe_embed_ivf_topk(spark, sf_dir):
     # IVF ANN: MLlib KMeans coarse quantizer + probed-cell exact rerank.
     e = t(spark, sf_dir, "embeddings")
-    return ivf_topk(e.where(F.col("vec_id") < 5), e, k=10, n_centroids=8, n_probe=3)
+    return ivf_topk(e.where(F.col("vec_id") < 5), e, k=10, n_centroids=8, n_probe=3, dim=64)
 
 
 @query(
