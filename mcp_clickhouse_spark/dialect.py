@@ -239,7 +239,10 @@ def _ch_format(args: list[str]) -> str:
             piece = re.sub(r"\{(\d+)\}", lambda m: f"%{int(m.group(1)) + 1}$s", piece)
             piece = piece.replace("{}", "%s")
             out.append(piece)
-    rendered = "".join(out).replace("'", "''")
+    # No quote re-escaping: the body was cut from the source literal and
+    # still carries its source escaping ('it''s {}' → body "it''s {}");
+    # doubling again rendered "it''s x" (advisor round-2 finding).
+    rendered = "".join(out)
     rest = ", ".join(args[1:])
     return f"format_string('{rendered}'{', ' + rest if rest else ''})"
 
@@ -251,13 +254,22 @@ def _split_by_string(args: list[str]) -> str:
     string while Spark's is a Java regex — so the separator is wrapped in
     \\Q…\\E regex quoting (round-1 advisor finding: the plain rename split
     on every char for sep='.').  Works for literal and computed separators.
+
+    3-arg form: ClickHouse's max_substrings DISCARDS the remainder by
+    default (splitByChar(',', '1,2,3', 2) = ['1','2']) while Spark's split
+    limit keeps it in the last element (['1','2,3']) — so the 3-arg form is
+    emitted as slice(split(s, sep, max+1), 1, max) (advisor round-2
+    finding).
     """
     sep, s = args[0].strip(), args[1]
-    limit = args[2] if len(args) > 2 else "-1"
     if len(sep) >= 2 and sep.startswith("'") and sep.endswith("'"):
         quoted = f"'\\\\Q{sep[1:-1]}\\\\E'"
-        return f"split({s}, {quoted}, {limit})"
-    return f"split({s}, concat('\\\\Q', {sep}, '\\\\E'), {limit})"
+    else:
+        quoted = f"concat('\\\\Q', {sep}, '\\\\E')"
+    if len(args) > 2:
+        limit = args[2]
+        return f"slice(split({s}, {quoted}, ({limit}) + 1), 1, {limit})"
+    return f"split({s}, {quoted}, -1)"
 
 
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {

@@ -172,6 +172,13 @@ def _depth0_forbidden(cleaned: str) -> str | None:
     starts with an allowed keyword but carries INSERT at depth 0.  An
     unquoted identifier that collides with a write verb at depth 0 is
     rejected too (backtick-quote it; quoted identifiers are masked).
+
+    A verb whose next non-space character is ``(`` is a FUNCTION CALL, not a
+    statement (``SELECT replace(col, 'a', 'b')`` — the reference allows it
+    under readonly=1; advisor round-2 finding), and is skipped.  Real write
+    statements never parenthesize their verb's first operand (`INSERT INTO`,
+    `REPLACE TABLE`, `DELETE FROM`), and the parser-backed plan gate below
+    backstops any lexical false-negative.
     """
     depth = 0
     i, n = 0, len(cleaned)
@@ -186,9 +193,14 @@ def _depth0_forbidden(cleaned: str) -> str | None:
         elif ch.isalpha() or ch == "_":
             m = _WORD_RE.match(cleaned, i)
             word = m.group(0)
-            if depth == 0 and word.lower() in _FORBIDDEN_AT_DEPTH0:
-                return word.lower()
             i = m.end()
+            if depth == 0 and word.lower() in _FORBIDDEN_AT_DEPTH0:
+                j = i
+                while j < n and cleaned[j].isspace():
+                    j += 1
+                if j < n and cleaned[j] == "(":
+                    continue  # function call, not a statement verb
+                return word.lower()
         else:
             i += 1
     return None
@@ -211,12 +223,15 @@ def check_read_only(sql: str) -> None:
         raise ReadOnlyViolation(f"unrecognized statement '{kw.upper()}' rejected (readonly)")
     # Depth-0 write-verb scan (covers EXPLAIN payloads too — planning a
     # write is rejected the same as running one, matching the first-keyword
-    # policy below).
-    bad = _depth0_forbidden(cleaned)
-    if bad is not None:
-        raise ReadOnlyViolation(
-            f"write statement '{bad.upper()}' is not allowed (readonly)"
-        )
+    # policy below).  SHOW/DESCRIBE statements are metadata reads whose
+    # grammar legitimately embeds write verbs (`SHOW CREATE TABLE t`) and
+    # cannot write — exempt (advisor round-2 finding).
+    if kw not in {"show", "describe", "desc"}:
+        bad = _depth0_forbidden(cleaned)
+        if bad is not None:
+            raise ReadOnlyViolation(
+                f"write statement '{bad.upper()}' is not allowed (readonly)"
+            )
     if kw == "explain":
         # EXPLAIN <write-statement> still plans the write — check the payload.
         payload = re.sub(

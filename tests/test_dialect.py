@@ -248,3 +248,17 @@ def test_format_placeholder_conversion(spark):
     assert row[0] == "h w"
     row = one(spark, "SELECT format('{{}}{}', 'x') AS s")
     assert row[0] == "{}x"
+
+
+def test_split_three_arg_discards_remainder(spark):
+    """CH default: max_substrings discards the remainder (advisor r2)."""
+    row = one(spark, "SELECT splitByChar(',', '1,2,3', 2) AS parts")
+    assert row[0] == ["1", "2"]
+    row = one(spark, "SELECT splitByString('.', 'a.b.c.d', 3) AS parts")
+    assert row[0] == ["a", "b", "c"]
+
+
+def test_format_preserves_escaped_quote(spark):
+    """format('it''s {}', x) renders the quote once (advisor r2)."""
+    row = one(spark, "SELECT format('it''s {}', 'x') AS s")
+    assert row[0] == "it's x"

@@ -79,3 +79,28 @@ def test_rejected(sql):
 )
 def test_depth0_scan_no_false_positives(sql):
     check_read_only(sql)
+
+
+def test_replace_function_call_allowed():
+    """SELECT replace(col, 'a', 'b') is a builtin call, not REPLACE TABLE —
+    the reference allows it under readonly=1 (advisor r2)."""
+    check_read_only("SELECT replace(n_name, 'a', 'b') FROM nation")
+    check_read_only("SELECT replace (n_name, 'a', 'b') FROM nation")
+
+
+def test_show_create_table_allowed():
+    """SHOW CREATE TABLE is a metadata read (advisor r2)."""
+    check_read_only("SHOW CREATE TABLE nation")
+    check_read_only("DESCRIBE nation")
+
+
+def test_cte_insert_still_rejected():
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only("WITH s AS (SELECT 1) INSERT INTO t SELECT * FROM s")
+
+
+def test_replace_table_still_rejected():
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only("REPLACE TABLE t AS SELECT 1")
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only("WITH s AS (SELECT 1) DELETE FROM t WHERE 1=1")
