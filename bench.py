@@ -61,16 +61,15 @@ def main() -> None:
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     partitions = max(8, min(total_bytes // (32 << 20), 4 * cpus))
-    # Scan-split sizing: aim for ≥2 scan tasks per core on the whole dataset,
-    # clamped to [4 MB, 128 MB].  At sf0.1 the biggest table is ~45 MB in a
-    # single row group — the default 128 MB split gives 3 tasks on 32 cores
-    # (measured: q1 0.95 s → 0.69 s with 32 MB splits).  At 100 TB the same
-    # formula saturates at the default 128 MB, so scale behavior is unchanged.
-    split_bytes = max(4 << 20, min(128 << 20, total_bytes // (2 * cpus) or (4 << 20)))
+    # No maxPartitionBytes override: the testdata files are single-row-group
+    # parquet, so scan splits can't subdivide them anyway (row group = task),
+    # and an A/B under this exact protocol (default vs 32 MB vs 64 MB) showed
+    # only noise-level differences — the round-2 "split-bytes win" did not
+    # reproduce.  At 100 TB multi-row-group files the 128 MB default is the
+    # right split size regardless.
     spark = get_spark(
         app_name="mcp-clickhouse-spark-bench",
         shuffle_partitions=int(partitions),
-        extra_conf={"spark.sql.files.maxPartitionBytes": str(int(split_bytes))},
     )
     qs = entrymod.queries()
 

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mcp_clickhouse_spark.functions import cents
 from mcp_clickhouse_spark.inventory.registry import query, t
 
 
@@ -254,8 +255,8 @@ def q6_forecast_revenue(spark, sf_dir):
     ).agg(
         (
             F.sum(
-                F.round(F.col("l_extendedprice") * 100).cast("bigint")
-                * F.round(F.col("l_discount") * 100).cast("bigint")
+                cents("l_extendedprice")
+                * cents("l_discount")
             )
             / F.lit(10000.0)
         ).alias("revenue")
@@ -285,8 +286,8 @@ def q10_returned_items(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -325,7 +326,7 @@ def q18_large_volume_customers(spark, sf_dir):
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity") * 100).cast("bigint")
+    qty = cents("l_quantity")
     big = (
         li.groupBy("l_orderkey")
         .agg(F.sum(qty).alias("q"))
@@ -368,8 +369,8 @@ def q14_promo_revenue(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00").cast("timestamp_ntz"))
     )
     p = t(spark, sf_dir, "part")
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return (
@@ -413,8 +414,8 @@ def q7_volume_shipping(spark, sf_dir):
     sn = t(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
@@ -457,8 +458,8 @@ def q3_shipping_priority(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").where(
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
     )
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
@@ -512,7 +513,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     offer = li.select(
         "l_partkey",
         "l_suppkey",
-        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("price_c"),
+        cents("l_extendedprice").alias("price_c"),
     )
     best = (
         offer.groupBy("l_partkey")
@@ -622,8 +623,8 @@ def q8_market_share(spark, sf_dir):
         F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
     )
     sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
-    vol = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    vol = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     rev = (
         li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -717,8 +718,8 @@ def q19_discounted_revenue(spark, sf_dir):
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & q.between(10, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & q.between(20, 30))
     )
-    rev = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
-        F.lit(100) - F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

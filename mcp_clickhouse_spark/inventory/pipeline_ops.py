@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from mcp_clickhouse_spark.functions import cents
 from mcp_clickhouse_spark.inventory.registry import query, t
 from mcp_clickhouse_spark.pipeline.dedup import (
     exact_dedup,
@@ -407,7 +408,7 @@ def scale_salted_agg(spark, sf_dir):
     from mcp_clickhouse_spark.operators import salted_agg
 
     li = t(spark, sf_dir, "lineitem")
-    qty = F.round(F.col("l_quantity") * 100).cast("bigint")
+    qty = cents("l_quantity")
     return salted_agg(
         li,
         ["l_suppkey"],

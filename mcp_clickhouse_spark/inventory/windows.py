@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from mcp_clickhouse_spark.functions import cents
 from mcp_clickhouse_spark.inventory.registry import query, t
 
 
@@ -65,7 +66,7 @@ def win_ranking(spark, sf_dir):
 )
 def win_running_sum(spark, sf_dir):
     o = t(spark, sf_dir, "orders")
-    dec = F.round(F.col("o_totalprice") * 100).cast("bigint")  # exact cents
+    dec = cents("o_totalprice")  # exact cents
     w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderkey")
@@ -152,7 +153,7 @@ def win_range_frame(spark, sf_dir):
         "l_orderkey",
         "l_linenumber",
         "l_quantity",
-        (F.sum(F.round(F.col("l_quantity") * 100).cast("bigint")).over(w) / F.lit(100.0)).alias(
+        (F.sum(cents("l_quantity")).over(w) / F.lit(100.0)).alias(
             "qty_range_sum"
         ),
     )
