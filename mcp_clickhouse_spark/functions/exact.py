@@ -40,6 +40,21 @@ def cents(col: str | Column, scale: int = 2) -> Column:
     return (shifted + half).cast("bigint")
 
 
+def cents_sql(col: str, scale: int = 2) -> str:
+    """SQL-string twin of :func:`cents` for parsed-expression query builders.
+
+    Building the same tree Column-by-Column costs ~6 py4j round-trips per
+    call site (~2-3 ms each); a query with 8 cents-based aggregates spends
+    ~0.2 s of wall time in plan CONSTRUCTION alone.  Embedding this snippet
+    in one ``F.expr`` string is a single parse call.  ``0.5D`` keeps the
+    shift in double arithmetic (a bare ``0.5`` parses as DECIMAL(1,1) and
+    would drag the expression onto the BigDecimal path cents exists to
+    avoid)."""
+    return (
+        f"CAST(({col}) * {10**scale} + IF(({col}) >= 0, 0.5D, -0.5D) AS BIGINT)"
+    )
+
+
 def exact_sum(col: str | Column, scale: int = 2) -> Column:
     """SUM of a fixed-point column as an exact double."""
     return F.sum(cents(col, scale)) / F.lit(float(10**scale))

@@ -38,28 +38,32 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-from mcp_clickhouse_spark.functions import cents  # noqa: E402 — exact money arithmetic
+from mcp_clickhouse_spark.functions import cents_sql  # noqa: E402 — exact money arithmetic
 
 
 @query("q1_pricing_summary", oracle=_Q1_ORACLE, category="core")
 def q1_pricing_summary(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem")
-    # scaled-integer arithmetic: cents × (100 - disc_c) × (100 + tax_c)
-    disc_price = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    charge = disc_price * (F.lit(100) + cents("l_tax"))
+    # scaled-integer arithmetic: cents × (100 - disc_c) × (100 + tax_c).
+    # Parsed-expression form (one F.expr parse per aggregate): the nested
+    # Column tree cost ~0.23 s of py4j round-trips per construction —
+    # a third of this query's total wall time at sf0.1.
+    qty, ep, disc, tax = (
+        cents_sql(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    )
+    disc_price = f"({ep} * (100 - {disc}))"
+    charge = f"({disc_price} * (100 + {tax}))"
     return (
-        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        li.where("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
-            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_base_price"),
-            (F.sum(disc_price) / F.lit(10000.0)).alias("sum_disc_price"),
-            (F.sum(charge) / F.lit(1000000.0)).alias("sum_charge"),
-            (F.sum(cents("l_quantity")) / F.lit(100.0) / F.count("*")).alias("avg_qty"),
-            (F.sum(cents("l_extendedprice")) / F.lit(100.0) / F.count("*")).alias(
-                "avg_price"
-            ),
-            (F.sum(cents("l_discount")) / F.lit(100.0) / F.count("*")).alias("avg_disc"),
+            F.expr(f"sum({qty}) / 100.0D").alias("sum_qty"),
+            F.expr(f"sum({ep}) / 100.0D").alias("sum_base_price"),
+            F.expr(f"sum({disc_price}) / 10000.0D").alias("sum_disc_price"),
+            F.expr(f"sum({charge}) / 1000000.0D").alias("sum_charge"),
+            F.expr(f"sum({qty}) / 100.0D / count(*)").alias("avg_qty"),
+            F.expr(f"sum({ep}) / 100.0D / count(*)").alias("avg_price"),
+            F.expr(f"sum({disc}) / 100.0D / count(*)").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -59,6 +59,25 @@ def _norm_col(a):
     )
 
 
+def _dot_sql(a: str, b: str) -> str:
+    """String form of :func:`_dot_col` over column NAMES — one F.expr parse
+    instead of the ~15 py4j round-trips the lambda plumbing costs per call
+    site (plan construction, not execution)."""
+    return (
+        f"aggregate(zip_with({a}, {b},"
+        f" (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    """String form of :func:`_norm_col` (same fold, one parse)."""
+    return (
+        f"sqrt(aggregate(transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        f" 0.0D, (acc, x) -> acc + x))"
+    )
+
+
 def brute_force_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -77,26 +96,22 @@ def brute_force_topk(
     handles any dimensionality without a probe job.
     """
     del dim  # fold form is dimension-agnostic
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm_col(F.col(vec_col)).alias("q_norm"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS q_vec",
+        f"{_norm_sql(vec_col)} AS q_norm",
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm_col(F.col(vec_col)).alias("c_norm"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec_col} AS c_vec",
+        f"{_norm_sql(vec_col)} AS c_norm",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
+            F.expr(f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), 6)"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -170,10 +185,10 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     del dim  # fold form is dimension-agnostic
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm_col(F.col(vec_col)).alias("c_norm"),
+    c = corpus.selectExpr(
+        f"{id_col} AS neighbor_id",
+        f"{vec_col} AS c_vec",
+        f"{_norm_sql(vec_col)} AS c_norm",
     )
     train = c.withColumn("features", array_to_vector(F.col("c_vec").cast("array<double>")))
     model = KMeans(k=n_centroids, seed=seed, featuresCol="features").fit(train)
@@ -187,10 +202,10 @@ def ivf_topk(
         [(i, [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())],
         f"cell int, centroid array<double>",
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm_col(F.col(vec_col)).alias("q_norm"),
+    q = queries.selectExpr(
+        f"{id_col} AS query_id",
+        f"{vec_col} AS q_vec",
+        f"{_norm_sql(vec_col)} AS q_norm",
     )
     # n_probe nearest centroids per query (cosine to centroid; tiny frame —
     # per-pair norms are fine here).
@@ -211,11 +226,7 @@ def ivf_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
+            F.expr(f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), 6)"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -243,13 +254,13 @@ def lsh_bucketed_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm_col(F.col(vec_col)).alias("q_norm"),
+        F.expr(_norm_sql(vec_col)).alias("q_norm"),
         _rh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm_col(F.col(vec_col)).alias("c_norm"),
+        F.expr(_norm_sql(vec_col)).alias("c_norm"),
         _rh_bucket(vec_col, n_planes, dim).alias("bucket"),
     )
     scored = (
@@ -257,11 +268,7 @@ def lsh_bucketed_topk(
         .where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "cosine",
-            F.round(
-                _dot_col(F.col("q_vec"), F.col("c_vec"))
-                / (F.col("q_norm") * F.col("c_norm")),
-                6,
-            ),
+            F.expr(f"round({_dot_sql('q_vec', 'c_vec')} / (q_norm * c_norm), 6)"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
