@@ -273,6 +273,8 @@ def _split_by_string(args: list[str]) -> str:
 
 
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
+    # CH count() with no argument == count(*)
+    "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
     "if": lambda a: f"CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END",
     "multiif": _multi_if,
     # CH intDiv accepts floats and truncates toward zero; Spark's `div`
@@ -579,9 +581,103 @@ def _rewrite_limit_by(sql: str) -> str:
     return out
 
 
+def _rewrite_with_totals(sql: str) -> str:
+    """ClickHouse `GROUP BY c1, c2 WITH TOTALS` → `GROUP BY GROUPING SETS
+    ((c1, c2), ())`.
+
+    Semantic delta (documented): the totals row carries NULL in the grouping
+    columns (standard SQL grouping-sets marker) where ClickHouse renders
+    type defaults (0 / ''). `WITH ROLLUP` / `WITH CUBE` pass through — Spark
+    accepts both natively."""
+    d0 = {i for i, _ in _depth0_spans(sql)}
+    m_tot = None
+    for mm in re.finditer(r"(?is)\bWITH\s+TOTALS\b", sql):
+        if mm.start() in d0:
+            m_tot = mm
+            break
+    if not m_tot:
+        return sql
+    m_grp = None
+    for mm in re.finditer(r"(?is)\bGROUP\s+BY\s+", sql[: m_tot.start()]):
+        if mm.start() in d0:
+            m_grp = mm  # last depth-0 GROUP BY before WITH TOTALS
+    if not m_grp:
+        raise DialectError("WITH TOTALS without a matching GROUP BY")
+    cols = sql[m_grp.end() : m_tot.start()].strip()
+    return (
+        sql[: m_grp.start()]
+        + f"GROUP BY GROUPING SETS (({cols}), ())"
+        + sql[m_tot.end() :]
+    )
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    """ClickHouse `ORDER BY col WITH FILL FROM a TO b STEP s` → dense axis
+    (`sequence` + explode, executor-side) FULL OUTER JOINed with the query.
+
+    Faithful-or-error: the bounded form (FROM + TO + STEP, single bare sort
+    column) translates; the unbounded form needs the data's min/max (a
+    different query shape — use operators.with_fill), and INTERPOLATE is
+    API-level only. TO is exclusive, matching ClickHouse. Original rows
+    outside [FROM, TO) survive (full outer join); generated rows carry NULL
+    in non-axis columns where ClickHouse renders type defaults."""
+    d0 = {i for i, _ in _depth0_spans(sql)}
+    m = None
+    for mm in re.finditer(r"(?is)\bWITH\s+FILL\b", sql):
+        if mm.start() in d0:
+            m = mm
+            break
+    if not m:
+        return sql
+    if re.search(r"(?is)\bINTERPOLATE\b", sql[m.end() :]):
+        raise DialectError(
+            "WITH FILL INTERPOLATE is not SQL-translatable; use "
+            "mcp_clickhouse_spark.operators.with_fill(interpolate=...)"
+        )
+    m_ord = None
+    for mm in re.finditer(r"(?is)\bORDER\s+BY\s+", sql[: m.start()]):
+        if mm.start() in d0:
+            m_ord = mm
+    if not m_ord:
+        raise DialectError("WITH FILL without a matching ORDER BY")
+    col = sql[m_ord.end() : m.start()].strip()
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*(\s+ASC)?", col, re.IGNORECASE):
+        raise DialectError(
+            "WITH FILL supports a single bare ascending sort column "
+            f"(got {col!r})"
+        )
+    col = col.split()[0]
+    tail = sql[m.end() :]
+    m_bounds = re.match(
+        r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)\s+STEP\s+(?P<s>\S+)\s*"
+        r"(?P<rest>(LIMIT\b.*)?)$",
+        tail,
+    )
+    if not m_bounds:
+        raise DialectError(
+            "WITH FILL requires explicit FROM/TO/STEP bounds here (the "
+            "unbounded form derives them from the data; use "
+            "mcp_clickhouse_spark.operators.with_fill)"
+        )
+    a, b, s = m_bounds.group("a"), m_bounds.group("b"), m_bounds.group("s")
+    rest = m_bounds.group("rest").strip()
+    core = sql[: m_ord.start()].rstrip()
+    out = (
+        f"SELECT * FROM ({core}) __fill_src "
+        f"FULL OUTER JOIN (SELECT explode(filter(sequence({a}, {b}, {s}),"
+        f" __fx -> __fx < {b})) AS {col}) __fill_axis "
+        f"USING ({col}) ORDER BY {col}"
+    )
+    if rest:
+        out += f" {rest}"
+    return out
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
+    sql = _rewrite_with_totals(sql)
+    sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_brackets(sql)
     out: list[str] = []

@@ -22,7 +22,8 @@ from __future__ import annotations
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
 # Exactly 50 names: 11 never-checked + 4 re-fixed REDs + 5 new TPC-H depth
-# + 30 green representatives (one per family, regression canaries).
+# + 2 newly oracle-backed LSH pipelines + 28 green representatives (one per
+# family, regression canaries).
 PRIORITY: list[str] = [
     # never driver-checked in r1∪r2 (judge round-2 item 3)
     "join_right",
@@ -47,10 +48,13 @@ PRIORITY: list[str] = [
     "q8_market_share",
     "q12_priority_by_flag",
     "q19_discounted_revenue",
+    # newly oracle-backed in round 3 (previously rows-only by design):
+    # the full md5 MinHash→LSH→verify pipeline and the plane-LSH ANN path
+    "pipe_minhash_lsh_verified",
+    "pipe_embed_lsh_topk",
     # green representatives — regression canaries per SURVEY §2 family
     "q1_pricing_summary",
     "scan_projection",
-    "agg_global",
     "agg_group_having",
     "agg_count_distinct",
     "agg_rollup",
@@ -67,7 +71,6 @@ PRIORITY: list[str] = [
     "win_range_time_interval",
     "setop_union_all",
     "setop_except",
-    "scalar_string",
     "scalar_datetime",
     "scalar_json",
     "events_tumbling_window",

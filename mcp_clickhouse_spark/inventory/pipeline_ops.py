@@ -3,9 +3,11 @@ on the `documents` and `embeddings` tables (the north-star extensions).
 
 Oracle strategy: every operator whose arithmetic both engines can express
 identically is hash-checked (exact dedup, fingerprints, n-gram Jaccard,
-text stats, quality, lang-id, token counts, cosine top-k, multimodal
-metadata). MinHash-LSH and SimHash use xxhash64 — Spark-native, no DuckDB
-twin — so they are rows-only by design.
+text stats, quality, lang-id, token counts, cosine top-k, LSH-bucketed ANN,
+multimodal metadata, and the full md5-based MinHash→LSH→verify pipeline
+via `pipe_minhash_lsh_verified`). The PRODUCTION MinHash-LSH and SimHash
+defaults use xxhash64 — Spark-native, no DuckDB twin — so those two stay
+rows-only; the algorithm itself is proven by the verified variant.
 """
 
 from __future__ import annotations
@@ -25,6 +27,7 @@ from mcp_clickhouse_spark.pipeline.dedup import (
 )
 from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, decode_media
 from mcp_clickhouse_spark.pipeline.similarity import (
+    _plane_signs,
     brute_force_topk,
     ivf_topk,
     lsh_bucketed_topk,
@@ -279,6 +282,80 @@ def pipe_minhash_lsh(spark, sf_dir):
     return jaccard_verify(cand, d, threshold=0.5)
 
 
+# DuckDB twin of the md5-OPH signature pipeline (see pipe_minhash_signatures):
+# per-shingle 60-bit hash → 16 OPH bins → forward-wraparound densification.
+_SQL_MINHASH_SIGS = f"""
+    hashes AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(sh), 1, 15)) AS BIGINT) AS h
+      FROM (
+        SELECT doc_id, UNNEST({_SQL_SHINGLES}) AS sh FROM documents
+      )
+    ),
+    binned AS (
+      SELECT doc_id, h % 16 AS bin, MIN(h) AS mh
+      FROM hashes GROUP BY doc_id, bin
+    ),
+    maps AS (
+      SELECT doc_id, map_from_entries(list_sort(list((bin, mh)::ROW(k BIGINT, v BIGINT)))) AS m
+      FROM binned GROUP BY doc_id
+    ),
+    sigs AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 15), j -> coalesce(
+               {", ".join(f"m[(j + {o}) % 16][1]" for o in range(16))}
+             )) AS sig
+      FROM maps
+    )
+"""
+
+_SQL_JACCARD = (
+    "len(list_intersect(a.sh, b.sh))"
+    " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE)"
+)
+
+
+@query(
+    "pipe_minhash_lsh_verified",
+    oracle=f"""
+    WITH {_SQL_MINHASH_SIGS},
+    banded AS (
+      SELECT doc_id, band,
+             array_to_string(list_transform(
+               generate_series(band * 4 + 1, band * 4 + 4),
+               i -> CAST(sig[i] AS VARCHAR)), ',') AS slice
+      FROM sigs, generate_series(0, 3) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+    ),
+    sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
+    SELECT cand.id_a, cand.id_b, round({_SQL_JACCARD}, 6) AS jaccard
+    FROM cand
+    JOIN sh2 a ON a.doc_id = cand.id_a
+    JOIN sh2 b ON b.doc_id = cand.id_b
+    WHERE {_SQL_JACCARD} >= 0.5
+    """,
+    category="pipeline",
+)
+def pipe_minhash_lsh_verified(spark, sf_dir):
+    # The FULL MinHash → LSH-banding → exact-Jaccard-verify dedup pipeline,
+    # cross-engine-checked: md5-based OPH signatures (engine-portable hash),
+    # 4 bands × 4 rows, threshold 0.5.  The DuckDB oracle recomputes EVERY
+    # stage — signatures, band-equality candidates, Jaccard — so the
+    # algorithm (not just its plumbing) is value-verified.  Band equality on
+    # the oracle side vs xxhash64-bucket equality on the Spark side differ
+    # only by hash collisions (~|pairs|·2⁻⁶⁴ — negligible).  The production
+    # variant (pipe_minhash_lsh) keeps the faster xxhash64 at 2× the hash
+    # count; this query pins its semantics.
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=16, hash_fn="md5")
+    cand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    return jaccard_verify(cand, d, threshold=0.5)
+
+
 @query("pipe_simhash", category="pipeline")  # rows-only: xxhash64 is Spark-native
 def pipe_simhash(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
@@ -314,9 +391,61 @@ def pipe_embed_topk(spark, sf_dir):
     return brute_force_topk(e.where(F.col("vec_id") < 5), e, k=10, dim=64)
 
 
-@query("pipe_embed_lsh_topk", category="pipeline")  # rows-only: LSH planes are Spark-native
+def _bucket_sql_duckdb(col: str, n_planes: int = 4, dim: int = 64, seed: int = 7) -> str:
+    """DuckDB twin of similarity._rh_bucket: the SAME driver-computed ±1
+    plane matrix rendered as literal signed sums (1-based list indexing on
+    both engines, identical left-to-right fp addition order)."""
+    signs = _plane_signs(n_planes, dim, seed)
+    planes = []
+    for p in range(n_planes):
+        terms = " ".join(
+            f"{'+' if signs[p][i] > 0 else '-'} CAST({col}[{i + 1}] AS DOUBLE)"
+            for i in range(dim)
+        )
+        weight = 1 << (n_planes - 1 - p)
+        planes.append(f"(CASE WHEN ({terms.lstrip('+ ')}) > 0 THEN {weight} ELSE 0 END)")
+    return " + ".join(planes)
+
+
+_SQL_EMBED_NORM = "sqrt(list_sum(list_transform({c}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SQL_EMBED_DOT = (
+    "list_sum(list_transform(generate_series(1, len({b})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+
+
+@query(
+    "pipe_embed_lsh_topk",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SQL_EMBED_NORM.format(c="embedding")} AS nrm,
+             {_bucket_sql_duckdb("embedding")} AS bucket
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, nrm AS q_norm, bucket
+      FROM b WHERE vec_id < 5
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             round({_SQL_EMBED_DOT.format(a="q.q_vec", b="c.embedding")}
+                   / (q.q_norm * c.nrm), 6) AS cosine
+      FROM b c JOIN q ON c.bucket = q.bucket
+      WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= 10
+    """,
+    category="pipeline",
+)
 def pipe_embed_lsh_topk(spark, sf_dir):
-    # The scale path: random-hyperplane LSH buckets → per-bucket exact rerank.
+    # The scale path: random-hyperplane LSH buckets → per-bucket exact
+    # rerank.  Oracle-checked: the ±1 plane matrix is driver-computed and
+    # rendered as literal SQL on BOTH engines, so bucket assignments (and
+    # therefore the candidate sets and the top-k) are value-identical.
     e = t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.where(F.col("vec_id") < 5), e, k=10)
 

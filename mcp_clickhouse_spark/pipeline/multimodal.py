@@ -164,6 +164,55 @@ FRAMES_SCHEMA = StructType(
 )
 
 
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_sec", StringType()),  # fixed 3dp string: cross-engine stable
+        StructField("rms", StringType()),
+        StructField("zero_crossings", LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, sample_rate: int = 16_000, fake: bool = True
+) -> DataFrame:
+    """Audio feature extraction (Arrow-batched mapInPandas).
+
+    REAL path would decode with soundfile/librosa — stubbed (no audio libs
+    in this container). The fake treats the payload bytes as signed 8-bit
+    PCM and computes REAL signal math over them (duration at the nominal
+    sample rate, RMS energy, zero-crossing count), so the UDF signature,
+    batch shape, and numeric plumbing are exercised honestly; only the
+    codec is fake. Deterministic: pure function of the payload bytes.
+    """
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError("audio codecs unavailable; use fake=True")
+            durs, rmss, zcs = [], [], []
+            for payload in pdf["payload"]:
+                samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+                n = len(samples)
+                durs.append(f"{n / sample_rate:.3f}")
+                rmss.append(f"{float(np.sqrt(np.mean(samples**2))) if n else 0.0:.3f}")
+                zcs.append(int(np.sum(np.signbit(samples[:-1]) != np.signbit(samples[1:]))) if n > 1 else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sample_rate": pd.Series([sample_rate] * len(pdf), dtype="int32"),
+                    "duration_sec": durs,
+                    "rms": rmss,
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 4, max_frames: int = 8,
                   fake: bool = True) -> DataFrame:
     """Video frame sampling (1→N rows per input — the exploding mapInPandas

@@ -262,3 +262,69 @@ def test_format_preserves_escaped_quote(spark):
     """format('it''s {}', x) renders the quote once (advisor r2)."""
     row = one(spark, "SELECT format('it''s {}', 'x') AS s")
     assert row[0] == "it's x"
+
+
+def test_with_totals_becomes_grouping_sets(spark):
+    res = run_select_query(
+        spark,
+        "SELECT o_orderstatus, count() AS n FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS",
+        dialect="clickhouse",
+    )
+    rows = res["rows"]
+    totals = [r for r in rows if r[0] is None]
+    regular = [r for r in rows if r[0] is not None]
+    assert len(totals) == 1
+    # the totals row aggregates everything
+    assert totals[0][1] == sum(r[1] for r in regular)
+
+
+def test_with_totals_requires_group_by():
+    from mcp_clickhouse_spark.dialect import DialectError, translate
+
+    import pytest
+
+    with pytest.raises(DialectError):
+        translate("SELECT 1 WITH TOTALS")
+
+
+def test_with_fill_densifies_axis(spark):
+    res = run_select_query(
+        spark,
+        "SELECT o_orderkey % 10 AS bucket, count() AS n FROM orders "
+        "WHERE o_orderkey % 10 IN (1, 3) GROUP BY bucket "
+        "ORDER BY bucket WITH FILL FROM 0 TO 10 STEP 1",
+        dialect="clickhouse",
+    )
+    rows = res["rows"]
+    buckets = [r[0] for r in rows]
+    # dense axis 0..9 (TO is exclusive), original rows intact
+    assert buckets == list(range(10))
+    filled = {r[0]: r[1] for r in rows}
+    assert filled[1] is not None and filled[3] is not None
+    assert filled[0] is None and filled[9] is None
+
+
+def test_with_fill_keeps_out_of_range_rows(spark):
+    res = run_select_query(
+        spark,
+        "SELECT o_orderkey % 10 AS bucket, count() AS n FROM orders "
+        "GROUP BY bucket ORDER BY bucket WITH FILL FROM 0 TO 5 STEP 1",
+        dialect="clickhouse",
+    )
+    buckets = [r[0] for r in res["rows"]]
+    assert buckets == list(range(10))  # 5..9 survive the fill join
+
+
+def test_with_fill_unbounded_raises():
+    from mcp_clickhouse_spark.dialect import DialectError, translate
+
+    import pytest
+
+    with pytest.raises(DialectError):
+        translate("SELECT x FROM t ORDER BY x WITH FILL")
+    with pytest.raises(DialectError):
+        translate(
+            "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
+            "INTERPOLATE (y)"
+        )

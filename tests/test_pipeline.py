@@ -213,3 +213,33 @@ def test_spread_cache_is_bounded(spark):
     for f in frames:
         dd._spread(f)
     assert len(dd._SPREAD_CACHE) <= dd._SPREAD_CACHE_MAX
+
+
+def test_multimodal_audio_features(docs):
+    import numpy as np
+
+    from mcp_clickhouse_spark.pipeline.multimodal import extract_audio_features
+
+    media = attach_binary_payload(docs)
+    feats = {r.doc_id: r for r in extract_audio_features(media, sample_rate=8000).collect()}
+    row = feats[1]
+    payload = BASE.encode()
+    samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+    assert row.sample_rate == 8000
+    assert row.duration_sec == f"{len(samples) / 8000:.3f}"
+    assert row.rms == f"{float(np.sqrt(np.mean(samples**2))):.3f}"
+    expected_zc = int(np.sum(np.signbit(samples[:-1]) != np.signbit(samples[1:])))
+    assert row.zero_crossings == expected_zc
+
+
+def test_multimodal_binary_parquet_roundtrip(docs, tmp_path):
+    media = attach_binary_payload(docs).select(
+        "doc_id", "payload", "media_format", "payload_len"
+    )
+    path = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(path)
+    back = docs.sparkSession.read.parquet(path)
+    assert dict(back.dtypes)["payload"] == "binary"
+    orig = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    rt = {r.doc_id: bytes(r.payload) for r in back.collect()}
+    assert orig == rt
