@@ -28,31 +28,50 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-EVENTS_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # raw nanos (nanosAsLong)
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet, ts normalized ns→timestamp.
+    """readStream over the events parquet, ts normalized to TimestampType.
 
     The file source replays existing files in order — the standard way to
     develop/backfill the same pipeline that later points at Kafka.
+
+    readStream requires an explicit schema, so the ts physical type is
+    sniffed from the parquet footer: µs/ms-precision files read directly as
+    TimestampType; ns-precision files (which Spark can only surface as raw
+    longs via the nanosAsLong legacy conf) read as LongType and convert.
     """
+    import os
+
+    import pyarrow.parquet as pq
+    import pyarrow.types as patypes
+
+    ts_arrow = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    if patypes.is_timestamp(ts_arrow) and ts_arrow.unit != "ns":
+        raw = (
+            spark.readStream.schema(_events_schema(TimestampType()))
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        # Streaming time ops need TimestampType (not NTZ) — watermark semantics.
+        return raw
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(_events_schema(LongType()))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Streaming time ops need TimestampType (not NTZ) — watermark semantics.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
