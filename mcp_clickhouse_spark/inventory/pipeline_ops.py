@@ -115,12 +115,12 @@ def pipe_text_stats(spark, sf_dir):
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang,
-        round(
+        CAST(round(
           CASE WHEN len({_SQL_WORDS}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
           + CASE WHEN (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
                       / CAST(length(text) AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END
           + CASE WHEN len(list_intersect({_SQL_WORDS}, ['the','and','of','to','in'])) > 0
-                 THEN 0.3 ELSE 0.0 END, 2) AS quality
+                 THEN 0.3 ELSE 0.0 END, 2) AS DOUBLE) AS quality
       FROM documents
     )
     SELECT quality, COUNT(*) AS n_docs FROM scored GROUP BY quality
@@ -174,7 +174,7 @@ def pipe_lang_id(spark, sf_dir):
     "pipe_token_count",
     oracle=r"""
     SELECT lang,
-           SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))) AS total_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])', 1))) AS BIGINT) AS total_tokens,
            COUNT(*) AS n_docs
     FROM documents GROUP BY lang
     """,
@@ -498,7 +498,7 @@ def pipe_embed_label_centroids(spark, sf_dir):
       SELECT *, ROW_NUMBER() OVER (PARTITION BY content_hash ORDER BY doc_id) AS rn
       FROM scored
     )
-    SELECT doc_id, lang, n_tokens, round(quality, 2) AS quality
+    SELECT doc_id, lang, n_tokens, CAST(round(quality, 2) AS DOUBLE) AS quality
     FROM deduped
     WHERE rn = 1 AND quality >= 0.7 AND n_tokens >= 20
     """,

@@ -362,7 +362,7 @@ def scalar_null_handling(spark, sf_dir):
     SELECT
       n_nationkey,
       map {'name': n_name, 'key': CAST(n_nationkey AS VARCHAR)}['name'][1] AS name_via_map,
-      cardinality(map {'a': 1, 'b': 2}) AS map_size,
+      CAST(cardinality(map {'a': 1, 'b': 2}) AS INTEGER) AS map_size,
       array_to_string(list_sort(map_keys(map {'a': 1, 'b': 2})), ',') AS keys_sorted
     FROM nation WHERE n_nationkey < 5
     """,

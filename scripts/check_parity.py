@@ -72,6 +72,33 @@ def near(a, b):
     return True
 
 
+# DuckDB result-column types the driver's Arrow/pandas canonicalizer renders
+# identically to Spark's output.  Everything else has burned a driver row at
+# least once (r1 arrays, r2 DECIMAL, r3 HUGEINT from un-cast integer SUMs):
+# HUGEINT materializes as float64/object, DECIMAL string-drifts, UBIGINT is
+# uint64 vs Spark's int64.  INTEGER/FLOAT are allowed because the Spark side
+# uses the same physical width (int32/float32) — symmetric types are safe.
+ORACLE_TYPE_ALLOWLIST = {
+    "BIGINT",
+    "INTEGER",
+    "SMALLINT",
+    "TINYINT",
+    "DOUBLE",
+    "FLOAT",
+    "VARCHAR",
+    "DATE",
+    "TIMESTAMP",
+    "TIMESTAMP_NS",
+    "BOOLEAN",
+}
+
+
+def oracle_type_violations(con, sql):
+    """Column names whose DuckDB result type is outside the driver-safe set."""
+    desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    return [f"{r[0]}:{r[1]}" for r in desc if r[1] not in ORACLE_TYPE_ALLOWLIST]
+
+
 def main():
     args = [a for a in sys.argv[1:]]
     sf_dir = "/root/testdata/sf0.01"
@@ -127,6 +154,20 @@ def main():
         if name not in oracles:
             print(f"ROWS  {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
             n_rowsonly += 1
+            continue
+        try:
+            bad_types = oracle_type_violations(con, oracles[name])
+        except Exception as e:
+            print(f"FAIL  {name}: ORACLE ERROR {type(e).__name__}: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        if bad_types:
+            print(
+                f"FAIL  {name}: DRIVER-UNSAFE ORACLE TYPES {bad_types} "
+                "(outside allowlist — HUGEINT/DECIMAL/UBIGINT/arrays have all "
+                "burned driver rows; CAST in the oracle SQL)"
+            )
+            n_fail += 1
             continue
         try:
             ores = con.execute(oracles[name])
