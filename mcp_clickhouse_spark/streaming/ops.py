@@ -48,28 +48,46 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     develop/backfill the same pipeline that later points at Kafka.
 
     readStream requires an explicit schema, so the ts physical type is
-    sniffed from the parquet footer: µs/ms-precision files read directly as
-    TimestampType; ns-precision files (which Spark can only surface as raw
-    longs via the nanosAsLong legacy conf) read as LongType and convert.
+    sniffed from the parquet footer: µs/ms-precision files read as
+    TimestampNTZType (the batch read_table type) and cast to TimestampType,
+    so stream≡batch values hold in ANY session timezone, not just UTC;
+    ns-precision files (which Spark can only surface as raw longs via the
+    nanosAsLong legacy conf) read as LongType and convert.  When no footer
+    is readable (empty/late-arriving source dir, remote URI) we fall back to
+    the ns/LongType path, which is what the driver-generated testdata uses.
     """
+    import glob
     import os
 
-    import pyarrow.parquet as pq
-    import pyarrow.types as patypes
+    ts_unit = "ns"
+    try:
+        import pyarrow.parquet as pq
+        import pyarrow.types as patypes
 
-    ts_arrow = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
-    if patypes.is_timestamp(ts_arrow) and ts_arrow.unit != "ns":
-        raw = (
-            spark.readStream.schema(_events_schema(TimestampType()))
-            .option("pathGlobFilter", "events.parquet")
+        candidates = sorted(glob.glob(os.path.join(sf_dir, "events*.parquet")))
+        if candidates:
+            ts_arrow = pq.read_schema(candidates[0]).field("ts").type
+            if patypes.is_timestamp(ts_arrow):
+                ts_unit = ts_arrow.unit
+    except Exception:  # noqa: BLE001 — unreadable footer → ns fallback
+        pass
+
+    if ts_unit != "ns":
+        from pyspark.sql.types import TimestampNTZType
+
+        # NTZ carries the same wall-clock as batch read_table; the cast to
+        # TimestampType (needed for watermark semantics) then goes through
+        # the session tz symmetrically on both paths.
+        return (
+            spark.readStream.schema(_events_schema(TimestampNTZType()))
+            .option("pathGlobFilter", "events*.parquet")
             .parquet(sf_dir)
+            .withColumn("ts", F.col("ts").cast(TimestampType()))
         )
-        # Streaming time ops need TimestampType (not NTZ) — watermark semantics.
-        return raw
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_events_schema(LongType()))
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", "events*.parquet")
         .parquet(sf_dir)
     )
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

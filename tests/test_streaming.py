@@ -136,3 +136,50 @@ def test_user_running_totals_stateful(spark, sf_dir, batch_events):
         .collect()
     }
     assert got == want
+
+
+def test_stream_matches_batch_us_precision_non_utc_tz(spark, sf_dir, tmp_path):
+    """ADVICE r3: the µs-precision branch must agree with batch read_table in
+    a NON-UTC session timezone (stream reads NTZ then casts, symmetric with
+    batch).  Writes a µs twin of events and compares tumbling counts."""
+    src = read_table(spark, sf_dir, "events").withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    us_dir = str(tmp_path / "events_us")
+    # Spark writes TIMESTAMP_NTZ as µs-precision parquet → exercises the µs path.
+    src.coalesce(1).write.mode("overwrite").parquet(us_dir)
+    import glob
+    import os
+    import shutil
+
+    part = glob.glob(os.path.join(us_dir, "part-*.parquet"))[0]
+    shutil.move(part, os.path.join(us_dir, "events.parquet"))
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        st = tumbling_counts(stream_events(spark, us_dir))
+        run_available_now(st, "t_tumbling_us", output_mode="complete")
+        got = {
+            (r.w_start, r.event_type): r.n_events
+            for r in spark.table("t_tumbling_us").collect()
+        }
+        batch = (
+            spark.read.parquet(os.path.join(us_dir, "events.parquet"))
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+        )
+        want = {(r.w_start, r.event_type): r.n_events for r in batch.collect()}
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_stream_events_empty_dir_falls_back(spark, tmp_path):
+    """ADVICE r3: no readable footer (empty source dir) must not crash plan
+    construction — falls back to the ns/LongType schema."""
+    empty = str(tmp_path / "empty_src")
+    import os
+
+    os.makedirs(empty, exist_ok=True)
+    df = stream_events(spark, empty)
+    assert df.isStreaming and "ts" in df.columns
