@@ -1,0 +1,414 @@
+"""Pure-Python Avro object-container codec with distributed Spark plumbing.
+
+The reference promises the Avro format in its chDB mode
+(reference chdb_prompt.py:57-60).  This environment has neither the
+spark-avro connector jar, network access to fetch it, nor a Python avro
+library — so this module implements the public Avro 1.11 object-container
+specification directly (header: magic ``Obj\\x01`` + metadata map + 16-byte
+sync marker; then length-prefixed blocks of binary-encoded records;
+zigzag-varint primitives), for the schema subset an analytics engine
+actually exchanges:
+
+  - primitives: null, boolean, int, long, float, double, bytes, string
+  - logical types on read/write: timestamp-micros, date
+  - records (top-level row type), arrays of primitives
+  - nullable fields as the 2-branch union ``["null", T]``
+  - codecs: ``null`` and ``deflate`` (zlib, both directions)
+
+Spark integration is genuinely distributed: reads fan one task per
+container file via ``mapInPandas`` over a file-path frame (Avro files are
+the natural split unit; block-level splitting within one file is a noted
+non-goal), and writes emit one container file per partition from the
+executors.  In local mode executors share the filesystem; on a cluster the
+same code runs against any fuse-mounted/shared path — object-store writes
+would swap the ``open()`` for the store's client.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import zlib
+from glob import glob
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+_SYNC = b"mcp-spark-avrolt"  # deterministic 16-byte sync marker for writes
+
+
+# ---------------------------------------------------------------- primitives
+def _zigzag_encode(n: int) -> bytes:
+    z = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = z & 0x7F
+        z >>= 7
+        if z:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag_decode(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+def _read_bytes(buf: io.BytesIO) -> bytes:
+    n = _zigzag_decode(buf)
+    return buf.read(n)
+
+
+def _write_bytes(out: bytearray, b: bytes) -> None:
+    out += _zigzag_encode(len(b))
+    out += b
+
+
+# ---------------------------------------------------------------- schema map
+_PRIM_TO_SPARK = {
+    "boolean": T.BooleanType(),
+    "int": T.IntegerType(),
+    "long": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "bytes": T.BinaryType(),
+    "string": T.StringType(),
+}
+
+_SPARK_TO_AVRO = {
+    "boolean": "boolean",
+    "integer": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "binary": "bytes",
+    "string": "string",
+}
+
+
+def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
+    """(spark type, nullable) for one avro field type."""
+    if isinstance(t, list):  # union — only ["null", T] supported
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1 or "null" not in t:
+            raise ValueError(f"unsupported avro union {t!r} (only nullable)")
+        inner, _ = _avro_type_to_spark(branches[0])
+        return inner, True
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return T.TimestampNTZType(), False
+        if logical == "date":
+            return T.DateType(), False
+        if t.get("type") == "array":
+            inner, _ = _avro_type_to_spark(t["items"])
+            return T.ArrayType(inner), False
+        return _avro_type_to_spark(t["type"])
+    if t in _PRIM_TO_SPARK:
+        return _PRIM_TO_SPARK[t], False
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def avro_schema_to_spark(schema: dict) -> T.StructType:
+    if schema.get("type") != "record":
+        raise ValueError("top-level avro schema must be a record")
+    fields = []
+    for f in schema["fields"]:
+        dt, nullable = _avro_type_to_spark(f["type"])
+        fields.append(T.StructField(f["name"], dt, nullable))
+    return T.StructType(fields)
+
+
+def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        t = f.dataType.typeName()
+        avro_t: Any
+        if t in _SPARK_TO_AVRO:
+            avro_t = _SPARK_TO_AVRO[t]
+        elif t in ("timestamp", "timestamp_ntz"):
+            avro_t = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t == "date":
+            avro_t = {"type": "int", "logicalType": "date"}
+        elif t == "array":
+            item = f.dataType.elementType.typeName()
+            if item not in _SPARK_TO_AVRO:
+                raise ValueError(f"unsupported avro array item type {item}")
+            avro_t = {"type": "array", "items": _SPARK_TO_AVRO[item]}
+        else:
+            raise ValueError(f"unsupported spark type for avro write: {t}")
+        if f.nullable:
+            avro_t = ["null", avro_t]
+        fields.append({"name": f.name, "type": avro_t})
+    return {"type": "record", "name": name, "fields": fields}
+
+
+# ------------------------------------------------------------------ decoding
+def _decoder_for(t: Any):
+    """Return fn(buf) -> python value for one avro type."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        null_idx = t.index("null")
+        inner = _decoder_for(branches[0])
+
+        def dec_union(buf, _n=null_idx, _inner=inner):
+            idx = _zigzag_decode(buf)
+            return None if idx == _n else _inner(buf)
+
+        return dec_union
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="us")
+        if logical == "date":
+            return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="D").date()
+        if t.get("type") == "array":
+            item = _decoder_for(t["items"])
+
+            def dec_array(buf, _item=item):
+                out = []
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:  # block form: negative count then byte size
+                        n = -n
+                        _zigzag_decode(buf)
+                    for _ in range(n):
+                        out.append(_item(buf))
+
+            return dec_array
+        return _decoder_for(t["type"])
+    if t == "boolean":
+        return lambda buf: buf.read(1) == b"\x01"
+    if t in ("int", "long"):
+        return _zigzag_decode
+    if t == "float":
+        return lambda buf: struct.unpack("<f", buf.read(4))[0]
+    if t == "double":
+        return lambda buf: struct.unpack("<d", buf.read(8))[0]
+    if t == "bytes":
+        return _read_bytes
+    if t == "string":
+        return lambda buf: _read_bytes(buf).decode("utf-8")
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+def _encoder_for(t: Any):
+    """Return fn(out: bytearray, value) for one avro type."""
+    if isinstance(t, list):
+        branches = [b for b in t if b != "null"]
+        null_idx = t.index("null")
+        val_idx = 1 - null_idx
+        inner = _encoder_for(branches[0])
+
+        def enc_union(out, v, _inner=inner):
+            if v is None or v is pd.NaT or (isinstance(v, float) and pd.isna(v)):
+                out += _zigzag_encode(null_idx)
+            else:
+                out += _zigzag_encode(val_idx)
+                _inner(out, v)
+
+        return enc_union
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return lambda out, v: out.__iadd__(_zigzag_encode(int(pd.Timestamp(v).value // 1000)))
+        if logical == "date":
+            return lambda out, v: out.__iadd__(
+                _zigzag_encode((pd.Timestamp(v) - pd.Timestamp(0)).days)
+            )
+        if t.get("type") == "array":
+            item = _encoder_for(t["items"])
+
+            def enc_array(out, v, _item=item):
+                v = list(v)
+                if v:
+                    out += _zigzag_encode(len(v))
+                    for x in v:
+                        _item(out, x)
+                out += _zigzag_encode(0)
+
+            return enc_array
+        return _encoder_for(t["type"])
+    if t == "boolean":
+        return lambda out, v: out.__iadd__(b"\x01" if v else b"\x00")
+    if t in ("int", "long"):
+        return lambda out, v: out.__iadd__(_zigzag_encode(int(v)))
+    if t == "float":
+        return lambda out, v: out.__iadd__(struct.pack("<f", float(v)))
+    if t == "double":
+        return lambda out, v: out.__iadd__(struct.pack("<d", float(v)))
+    if t == "bytes":
+        return lambda out, v: _write_bytes(out, bytes(v))
+    if t == "string":
+        return lambda out, v: _write_bytes(out, str(v).encode("utf-8"))
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# ----------------------------------------------------------- container files
+def read_header(f) -> tuple[dict, str, bytes]:
+    """(schema, codec, sync) from an open binary file positioned at 0."""
+    if f.read(4) != _MAGIC:
+        raise ValueError("not an avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    # metadata map uses the same block form as arrays
+    while True:
+        n = _zigzag_decode(f)
+        if n == 0:
+            break
+        if n < 0:
+            n = -n
+            _zigzag_decode(f)  # byte size of the block — unused
+        for _ in range(n):
+            k = _read_bytes(f).decode("utf-8")
+            meta[k] = _read_bytes(f)
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    sync = f.read(16)
+    return schema, codec, sync
+
+
+def read_file_records(path: str) -> tuple[dict, Iterator[tuple]]:
+    """(schema, iterator of row tuples) for one container file.
+
+    Reads the whole file into memory first: container files are
+    partition-sized by our own writer and avro block headers are varints
+    (not fixed-width), so an in-memory BytesIO is both simplest and fastest
+    for the file-per-task granularity this reader uses."""
+    with open(path, "rb") as f:
+        data = f.read()
+    buf = io.BytesIO(data)
+    schema, codec, sync = read_header(buf)
+    decoders = [_decoder_for(fld["type"]) for fld in schema["fields"]]
+
+    def rows():
+        while True:
+            probe = buf.read(1)
+            if not probe:
+                return
+            buf.seek(-1, os.SEEK_CUR)
+            n_records = _zigzag_decode(buf)
+            n_bytes = _zigzag_decode(buf)
+            payload = buf.read(n_bytes)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            elif codec != "null":
+                raise ValueError(f"unsupported avro codec {codec!r}")
+            if buf.read(16) != sync:
+                raise ValueError("avro sync marker mismatch (corrupt block)")
+            block = io.BytesIO(payload)
+            for _ in range(n_records):
+                yield tuple(dec(block) for dec in decoders)
+
+    return schema, rows()
+
+
+def write_container(path: str, schema: dict, rows: Iterator[tuple], codec: str = "deflate") -> int:
+    """Write one object-container file; returns the row count."""
+    encoders = [_encoder_for(f["type"]) for f in schema["fields"]]
+    body = bytearray()
+    n = 0
+    for row in rows:
+        for enc, v in zip(encoders, row):
+            enc(body, v)
+        n += 1
+    payload = bytes(body)
+    if codec == "deflate":
+        payload = zlib.compress(payload)[2:-4]  # raw deflate: strip zlib wrapper
+    header = bytearray()
+    header += _MAGIC
+    header += _zigzag_encode(2)
+    _write_bytes(header, b"avro.schema")
+    _write_bytes(header, json.dumps(schema).encode("utf-8"))
+    _write_bytes(header, b"avro.codec")
+    _write_bytes(header, codec.encode("utf-8"))
+    header += _zigzag_encode(0)
+    header += _SYNC
+    with open(path, "wb") as f:
+        f.write(bytes(header))
+        if n:
+            f.write(_zigzag_encode(n))
+            f.write(_zigzag_encode(len(payload)))
+            f.write(payload)
+            f.write(_SYNC)
+    return n
+
+
+# --------------------------------------------------------------- spark level
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed read: one task per container file via mapInPandas.
+
+    ``path`` may be a file, a glob, or a directory of ``*.avro`` files.
+    The schema comes from the first file's header (driver-side peek of the
+    header bytes only).
+    """
+    if os.path.isdir(path):
+        files = sorted(glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(glob(path)) or [path]
+    if not files:
+        raise FileNotFoundError(f"no avro files at {path!r}")
+    with open(files[0], "rb") as f:
+        schema, _, _ = read_header(f)
+    spark_schema = avro_schema_to_spark(schema)
+    cols = [f.name for f in spark_schema.fields]
+
+    def read_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p in pdf["path"]:
+                _, rows = read_file_records(p)
+                chunk = list(rows)
+                # empty files yield nothing — an empty pandas frame would
+                # carry default float64 dtypes that Arrow can't cast to the
+                # declared schema; mapInPandas tolerates zero yields
+                if chunk:
+                    yield pd.DataFrame(chunk, columns=cols)
+
+    paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
+        len(files)
+    )
+    return paths.mapInPandas(read_files, schema=spark_schema)
+
+
+def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
+    """Distributed write: one container file per partition, written from the
+    executors; returns total rows written."""
+    os.makedirs(out_dir, exist_ok=True)
+    avro_schema = spark_schema_to_avro(df.schema)
+    cols = df.columns
+
+    def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.avro")
+
+        def rows():
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    yield tuple(row)
+
+        n = write_container(path, avro_schema, rows(), codec=codec)
+        yield pd.DataFrame({"path": [path], "n_rows": [n]})
+
+    stats = df.mapInPandas(write_part, schema="path string, n_rows long").collect()
+    return int(sum(r.n_rows for r in stats))

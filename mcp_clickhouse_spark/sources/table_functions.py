@@ -42,7 +42,9 @@ FORMAT_ALIASES: dict[str, tuple[str, dict[str, str]]] = {
     "jsoncompact": ("json", {}),
     "parquet": ("parquet", {}),
     "orc": ("orc", {}),
-    "avro": ("avro", {}),  # needs spark-avro on the classpath; gated at call
+    # served by the pure-Python container codec in avro_lite (the spark-avro
+    # connector jar is not in this environment); see _read's special case
+    "avro": ("avro", {}),
 }
 
 _EXT_FORMAT = {
@@ -75,6 +77,10 @@ def _read(spark: SparkSession, path: str, fmt: str | None, **options: Any) -> Da
             f"unsupported format {fmt!r}; known: {sorted(FORMAT_ALIASES)}"
         )
     spark_fmt, default_opts = FORMAT_ALIASES[fmt_name]
+    if spark_fmt == "avro":
+        from mcp_clickhouse_spark.sources.avro_lite import read_avro
+
+        return read_avro(spark, path)
     opts = {**default_opts, **{k: str(v) for k, v in options.items()}}
     return spark.read.format(spark_fmt).options(**opts).load(path)
 

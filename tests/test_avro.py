@@ -1,0 +1,122 @@
+"""Avro round-trip through the pure-Python container codec (B26).
+
+The environment has no spark-avro jar, no network, and no Python avro
+library, so avro_lite implements the public object-container spec directly.
+These tests prove the full loop: Spark DataFrame → distributed per-partition
+container writes → distributed mapInPandas read → identical values; plus
+codec/edge coverage (deflate + null codecs, nullable unions, logical types,
+arrays, empty partitions) and the file()/auto-detect dispatcher route.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from mcp_clickhouse_spark.sources import table_functions as tf
+from mcp_clickhouse_spark.sources.avro_lite import (
+    read_avro,
+    read_file_records,
+    write_avro,
+    write_container,
+)
+
+
+@pytest.fixture()
+def sample(spark):
+    return spark.createDataFrame(
+        [
+            (1, "alpha", 1.5, True, None, datetime.datetime(2024, 1, 1, 10, 0, 0)),
+            (2, "béta ünïcode", -2.25, False, 7, datetime.datetime(2024, 6, 30, 23, 59, 59)),
+            (3, None, 0.0, None, -12345678901234, datetime.datetime(1969, 12, 31, 23, 0, 0)),
+        ],
+        "id long, name string, score double, flag boolean, opt long, ts timestamp_ntz",
+    )
+
+
+def _collect_sorted(df):
+    return [tuple(r) for r in df.orderBy("id").collect()]
+
+
+def test_round_trip_deflate(spark, sample, tmp_path):
+    out = str(tmp_path / "avro_out")
+    n = write_avro(sample, out)
+    assert n == 3
+    got = read_avro(spark, out)
+    assert got.schema == sample.schema
+    assert _collect_sorted(got) == _collect_sorted(sample)
+
+
+def test_round_trip_null_codec(spark, sample, tmp_path):
+    out = str(tmp_path / "avro_null")
+    write_avro(sample, out, codec="null")
+    assert _collect_sorted(read_avro(spark, out)) == _collect_sorted(sample)
+
+
+def test_file_dispatcher_autodetect(spark, sample, tmp_path):
+    out = str(tmp_path / "det")
+    write_avro(sample.coalesce(1), out)
+    # file() with explicit fmt and with .avro auto-detection
+    import glob as _g
+
+    one = _g.glob(out + "/*.avro")[0]
+    assert tf.detect_format(one) == "avro"
+    df = tf.file(spark, one, fmt="avro")
+    assert df.count() == 3
+    df2 = tf.file(spark, out + "/*.avro")
+    assert df2.count() == 3
+
+
+def test_arrays_and_date(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.5], datetime.date(2024, 3, 1)), (2, [], None)],
+        "id long, vec array<double>, d date",
+    )
+    out = str(tmp_path / "arr")
+    write_avro(df, out)
+    got = read_avro(spark, out)
+    rows = {r.id: (list(r.vec), r.d) for r in got.collect()}
+    assert rows[1] == ([1.0, 2.5], datetime.date(2024, 3, 1))
+    assert rows[2] == ([], None)
+
+
+def test_multi_partition_write_one_file_each(spark, sample, tmp_path):
+    out = str(tmp_path / "parts")
+    write_avro(sample.repartition(3), out)
+    import glob as _g
+
+    files = _g.glob(out + "/*.avro")
+    assert len(files) == 3
+    assert read_avro(spark, out).count() == 3
+
+
+def test_container_level_codec(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+        ],
+    }
+    p = str(tmp_path / "x.avro")
+    write_container(p, schema, iter([(1, "one"), (2, None), (-3, "negative")]))
+    got_schema, rows = read_file_records(p)
+    assert got_schema == schema
+    assert list(rows) == [(1, "one"), (2, None), (-3, "negative")]
+
+
+def test_events_table_round_trip(spark, sf_dir, tmp_path):
+    # A real driver table (ns timestamps normalized at read) survives avro.
+    from mcp_clickhouse_spark.session import read_table
+
+    ev = read_table(spark, sf_dir, "events").select("event_id", "ts", "event_type", "value")
+    out = str(tmp_path / "events_avro")
+    n = write_avro(ev, out)
+    got = read_avro(spark, out)
+    assert n == ev.count() == got.count()
+    a = ev.agg(F.sum("value").alias("s"), F.max("ts").alias("m")).first()
+    b = got.agg(F.sum("value").alias("s"), F.max("ts").alias("m")).first()
+    assert abs(a.s - b.s) < 1e-6 and a.m == b.m
