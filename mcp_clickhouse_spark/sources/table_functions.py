@@ -193,9 +193,30 @@ def mysql(
     )
 
 
-def sqlite(spark: SparkSession, path: str, table: str, **kw) -> DataFrame:
-    """`sqlite(path, table)` (B25)."""
-    return jdbc(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)
+def sqlite(
+    spark: SparkSession,
+    path: str,
+    table: str,
+    num_partitions: int | None = None,
+    use_jdbc: bool = False,
+    **kw,
+) -> DataFrame:
+    """`sqlite(path, table)` (B25) — live read of a SQLite database file.
+
+    Default path uses Python's built-in ``sqlite3`` module through Arrow
+    ``mapInPandas``: the driver reads only the schema + rowid bounds, then
+    each task opens the file read-only and scans its own rowid range — the
+    same range-partitioned parallelism ``partitionColumn`` gives JDBC
+    (column pruning included; rowid ranges are index-backed in SQLite, so a
+    task never scans another task's rows).  ``use_jdbc=True`` routes to the
+    classic JDBC reader instead (needs the sqlite-jdbc jar on the
+    classpath, which this environment doesn't ship).
+    """
+    if use_jdbc:
+        return jdbc(spark, f"jdbc:sqlite:{path}", table, driver="org.sqlite.JDBC", **kw)
+    from mcp_clickhouse_spark.sources.sqlite_native import read_sqlite
+
+    return read_sqlite(spark, path, table, num_partitions=num_partitions)
 
 
 def source_df(spark: SparkSession, uri: str, fmt: str | None = None, **options: Any) -> DataFrame:
