@@ -43,7 +43,8 @@ PRIORITY: list[str] = [
     "behav_sequence_match",
     # core scans/filters
     "filter_predicates",
-    "case_when",
+    # new in round 4: oracle-backed embedding-cosine near-dup
+    "pipe_embed_neardup",
     # dialect shims
     "shim_with_fill",
     "shim_distinct_on",

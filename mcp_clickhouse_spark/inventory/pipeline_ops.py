@@ -29,6 +29,7 @@ from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, deco
 from mcp_clickhouse_spark.pipeline.similarity import (
     _plane_signs,
     brute_force_topk,
+    embedding_neardup_pairs,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -448,6 +449,47 @@ def pipe_embed_lsh_topk(spark, sf_dir):
     # therefore the candidate sets and the top-k) are value-identical.
     e = t(spark, sf_dir, "embeddings")
     return lsh_bucketed_topk(e.where(F.col("vec_id") < 5), e, k=10)
+
+
+@query(
+    "pipe_embed_neardup",
+    oracle=f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_SQL_EMBED_NORM.format(c="embedding")} AS nrm,
+             {_bucket_sql_duckdb("embedding", n_planes=6, seed=7)} AS bucket0,
+             {_bucket_sql_duckdb("embedding", n_planes=6, seed=8)} AS bucket1
+      FROM embeddings
+    ),
+    banded AS (
+      SELECT vec_id, 0 AS band, bucket0 AS bucket FROM b
+      UNION ALL
+      SELECT vec_id, 1 AS band, bucket1 AS bucket FROM b
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
+      FROM banded a
+      JOIN banded bb ON a.band = bb.band AND a.bucket = bb.bucket
+                     AND a.vec_id < bb.vec_id
+    )
+    SELECT id_a, id_b,
+           round({_SQL_EMBED_DOT.format(a="x.embedding", b="y.embedding")}
+                 / (x.nrm * y.nrm), 6) AS cosine
+    FROM cand JOIN b x ON cand.id_a = x.vec_id JOIN b y ON cand.id_b = y.vec_id
+    WHERE round({_SQL_EMBED_DOT.format(a="x.embedding", b="y.embedding")}
+                / (x.nrm * y.nrm), 6) >= 0.45
+    """,
+    category="pipeline",
+)
+def pipe_embed_neardup(spark, sf_dir):
+    # Embedding-cosine near-dup pairs: banded random-hyperplane LSH buckets
+    # (2 bands × 6 planes, driver-computed literal plane matrix identical on
+    # both engines) → capped in-bucket pair generation → exact cosine
+    # verify.  The synthetic corpus has no true near-dups (max pairwise
+    # cosine ≈0.51 at sf0.01), so the demo threshold sits where the data has
+    # signal; the operator is threshold-agnostic.
+    e = t(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(e, threshold=0.45, bands=2, planes_per_band=6)
 
 
 @query("pipe_embed_ivf_topk", category="pipeline")  # rows-only: KMeans is engine-specific

@@ -284,8 +284,6 @@ def minhash_lsh_candidates(
     elements — per-task memory is bounded even on a 100 TB degenerate
     corpus, unlike a collect-then-slice formulation.
     """
-    from pyspark.sql import Window
-
     rpb = rows_per_band
     banded = sigs.selectExpr(
         id_col,
@@ -295,6 +293,18 @@ def minhash_lsh_candidates(
         f" transform(slice(signature, b * {rpb} + 1, {rpb}),"
         f" x -> CAST(x AS STRING)))))) AS (band, bucket)",
     )
+    return _persist(bucket_pairs(banded, id_col, max_bucket_size).distinct())
+
+
+def bucket_pairs(banded: DataFrame, id_col: str, max_bucket_size: int) -> DataFrame:
+    """Distinct-per-bucket (id_a < id_b) pairs from a (band, bucket, id)
+    frame — the shared pair-generation core of MinHash-LSH and
+    embedding-LSH near-dup.  One shuffle: window cap + collect_list reuse
+    the same (band, bucket) exchange; pairs explode from the bounded
+    arrays.  Callers ``.distinct()`` the result (the same pair can surface
+    from several bands)."""
+    from pyspark.sql import Window
+
     cap_w = Window.partitionBy("band", "bucket").orderBy(id_col)
     capped = banded.withColumn("_rn", F.row_number().over(cap_w)).where(
         F.col("_rn") <= max_bucket_size
@@ -302,7 +312,7 @@ def minhash_lsh_candidates(
     buckets = capped.groupBy("band", "bucket").agg(
         F.sort_array(F.collect_list(id_col)).alias("_ids")
     )
-    pairs = (
+    return (
         buckets.where(F.size("_ids") >= 2)
         .select(F.col("_ids"), F.posexplode("_ids").alias("_i", "id_a"))
         .select(
@@ -312,7 +322,6 @@ def minhash_lsh_candidates(
             ).alias("id_b"),
         )
     )
-    return _persist(pairs.distinct())
 
 
 def jaccard_verify(

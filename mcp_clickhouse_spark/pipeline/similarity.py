@@ -237,6 +237,72 @@ def ivf_topk(
     )
 
 
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
+    cosine >= threshold — the vector-space sibling of MinHash near-dup.
+
+    Never O(n²): each vector gets one random-hyperplane bucket per BAND
+    (independent plane sets, seeded per band); candidate pairs come only
+    from shared (band, bucket) cells via the same capped single-shuffle
+    pair generator MinHash-LSH uses (dedup.bucket_pairs), then one exact
+    cosine pass verifies the survivors.  More bands → higher recall,
+    more planes per band → smaller buckets; the expected scanned fraction
+    per band is 2^-planes of the corpus pair space.
+    """
+    from mcp_clickhouse_spark.pipeline.dedup import bucket_pairs
+
+    meta = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.expr(_norm_sql(vec_col)).alias("_norm"),
+    )
+    banded = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    _rh_bucket(vec_col, planes_per_band, dim, seed=7 + b)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    pairs = bucket_pairs(banded, id_col, max_bucket_size).distinct()
+    return (
+        pairs.join(
+            meta.select(
+                F.col("_id").alias("id_a"),
+                F.col("_vec").alias("vec_a"),
+                F.col("_norm").alias("norm_a"),
+            ),
+            on="id_a",
+        )
+        .join(
+            meta.select(
+                F.col("_id").alias("id_b"),
+                F.col("_vec").alias("vec_b"),
+                F.col("_norm").alias("norm_b"),
+            ),
+            on="id_b",
+        )
+        .withColumn(
+            "cosine",
+            F.expr(f"round({_dot_sql('vec_a', 'vec_b')} / (norm_a * norm_b), 6)"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -243,3 +243,22 @@ def test_multimodal_binary_parquet_roundtrip(docs, tmp_path):
     orig = {r.doc_id: bytes(r.payload) for r in media.collect()}
     rt = {r.doc_id: bytes(r.payload) for r in back.collect()}
     assert orig == rt
+
+
+def test_embedding_neardup_finds_planted_pair(spark):
+    """A planted near-identical vector pair survives banding + verify; an
+    orthogonal vector does not."""
+    import random
+
+    from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+
+    random.seed(11)
+    base = [random.gauss(0, 1) for _ in range(64)]
+    near = [x + random.gauss(0, 0.01) for x in base]
+    rows = [(1, [float(x) for x in base]), (2, [float(x) for x in near])]
+    for i in range(3, 40):
+        rows.append((i, [float(random.gauss(0, 1)) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardup_pairs(df, threshold=0.9, bands=2, planes_per_band=4)
+    pairs = {(r.id_a, r.id_b) for r in got.collect()}
+    assert pairs == {(1, 2)}
