@@ -265,15 +265,35 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_vec"),
         F.expr(_norm_sql(vec_col)).alias("_norm"),
     )
-    banded = corpus.select(
+    # Each plane's signed sum is its OWN projected column: whole-stage
+    # codegen splits Project expressions into separate Java methods, so
+    # bands×planes×dim literal terms stay under janino's 64 KB method limit.
+    # A single posexplode(array(<giant CASE trees>)) generator put all the
+    # terms into ONE consume method, failed compilation, and silently fell
+    # back to the interpreter (measured 3 s at sf0.01 — worse than
+    # brute force).  Catalyst keeps the Project under the Generate, so the
+    # split survives optimization.
+    plane_cols = []
+    bucket_exprs = []
+    for b in range(bands):
+        signs = _plane_signs(planes_per_band, dim, seed=7 + b)
+        terms_of_band = []
+        for p in range(planes_per_band):
+            terms = " ".join(
+                f"{'+' if signs[p][i] > 0 else '-'}"
+                f" CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+                for i in range(dim)
+            )
+            name = f"_pl_{b}_{p}"
+            plane_cols.append(F.expr(terms.lstrip("+ ")).alias(name))
+            weight = 1 << (planes_per_band - 1 - p)
+            terms_of_band.append(f"(CASE WHEN {name} > 0 THEN {weight} ELSE 0 END)")
+        bucket_exprs.append(" + ".join(terms_of_band))
+    projected = corpus.select(F.col(id_col), *plane_cols)
+    banded = projected.select(
         F.col(id_col),
         F.posexplode(
-            F.array(
-                *[
-                    _rh_bucket(vec_col, planes_per_band, dim, seed=7 + b)
-                    for b in range(bands)
-                ]
-            )
+            F.array(*[F.expr(e) for e in bucket_exprs])
         ).alias("band", "bucket"),
     )
     pairs = bucket_pairs(banded, id_col, max_bucket_size).distinct()
