@@ -179,6 +179,85 @@ def user_running_totals(events: DataFrame, watermark: str = "2 hours") -> DataFr
     )
 
 
+_SESSIONIZE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+    ]
+)
+
+
+def sessionize_with_timeout(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom sessionization via applyInPandasWithState + EventTimeTimeout.
+
+    The built-in ``session_window`` covers gap-close aggregation;
+    this operator is the template for session logic it CANNOT express
+    (e.g. emitting extra fields from the fold, conditional session rules):
+    per user, events fold into an open (start, end, count) state; a session
+    closed WITHIN a batch emits immediately, and the trailing open session
+    emits when the event-time timeout fires — i.e. when the watermark passes
+    last_event + gap, so state is bounded exactly like the built-in.
+
+    Scale: state shards by user across executors; timeouts fire on
+    watermark advancement, so a quiet user's state cannot outlive
+    gap + watermark delay.
+    """
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fold(
+        key: Tuple[int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        def emit(start_us: int, end_us: int, n: int) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield emit(start_us, end_us, n)
+            return
+        ts_us = sorted(
+            int(t)
+            for pdf in pdfs
+            for t in pd.to_datetime(pdf["ts"]).astype("int64") // 1000
+        )
+        if not ts_us:
+            return
+        cur = state.get if state.exists else None
+        for t in ts_us:
+            if cur is None:
+                cur = (t, t, 0)
+            elif t - cur[1] > gap_us:
+                yield emit(cur[0], cur[1], cur[2])
+                cur = (t, t, 0)
+            cur = (cur[0], t, cur[2] + 1)
+        state.update(cur)
+        # fire when the watermark passes the open session's close point
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=_SESSIONIZE_SCHEMA,
+            stateStructType="start LONG, end LONG, n LONG",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -183,3 +183,58 @@ def test_stream_events_empty_dir_falls_back(spark, tmp_path):
     os.makedirs(empty, exist_ok=True)
     df = stream_events(spark, empty)
     assert df.isStreaming and "ts" in df.columns
+
+
+def test_sessionize_with_timeout_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout sessionizer: all sessions of
+    batch 1 emit (within-batch closes immediately, trailing opens via the
+    event-time timeout once a later batch advances the watermark), and the
+    (user, start, count) set equals the batch session_window truth."""
+    import os
+    import time as _time
+
+    from mcp_clickhouse_spark.streaming.ops import sessionize_with_timeout
+
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    real = (
+        read_table(spark, sf_dir, "events")
+        .where(F.col("user_id") < 20)
+        .select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "user_id", "event_type", "value", "props")
+    )
+    real.coalesce(1).write.mode("append").parquet(src)
+    # tick mtime so the sentinel file lands in a LATER microbatch
+    _time.sleep(1.1)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, "2090-01-01 00:00:00", 999_999, "flush", 0.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).selectExpr("event_id", "CAST(ts AS TIMESTAMP_NTZ) ts", "user_id", "event_type", "value", "props")
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    st = sessionize_with_timeout(stream, gap="30 minutes")
+    run_available_now(st, "t_sessionized", output_mode="append")
+    got = {
+        (r.user_id, r.session_start): r.n_events
+        for r in spark.table("t_sessionized").collect()
+        if r.user_id < 20
+    }
+    want = {
+        (r.user_id, r.session_start): r.n_events
+        for r in (
+            real.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+            .agg(F.count("*").alias("n_events"))
+            .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        ).collect()
+    }
+    assert len(want) > 10
+    assert got == want
