@@ -350,10 +350,10 @@ def jaccard_verify(
     # Only docs that appear in a candidate pair need their shingle sets —
     # semi-join prune before the (expensive) shingle computation. Candidate
     # sets are small vs the corpus; AQE broadcasts the id list at runtime.
-    ids = (
-        candidates.select(F.col("id_a").alias(id_col))
-        .union(candidates.select(F.col("id_b").alias(id_col)))
-        .distinct()
+    # No .distinct() on the id list: left_semi ignores probe-side duplicates,
+    # so the dedup exchange (one AQE job) would be pure overhead.
+    ids = candidates.select(F.col("id_a").alias(id_col)).union(
+        candidates.select(F.col("id_b").alias(id_col))
     )
     pruned = docs.join(ids, on=id_col, how="left_semi")
     wa = f"split(lower(trim({text_col})), '\\\\s+')"
