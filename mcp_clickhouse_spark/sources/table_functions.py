@@ -219,6 +219,73 @@ def sqlite(
     return read_sqlite(spark, path, table, num_partitions=num_partitions)
 
 
+import hashlib
+import re as _re
+
+
+def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
+    """Rewrite table-function calls in FROM/JOIN position into runnable SQL.
+
+    The reference's chDB mode accepts table functions INSIDE the SQL text
+    (``SELECT … FROM file('data.parquet')`` — chdb_prompt.py:28-60).  Spark
+    SQL has no such functions, so this binder:
+
+      - ``numbers(N)`` / ``numbers(offset, N)`` → ``spark.range`` with the
+        column renamed to ``number`` (a view, not an inline ``range()``
+        rewrite — the ClickHouse dialect translator maps the scalar name
+        ``range``→``sequence`` and would clobber the inline form);
+      - ``file/url/s3/hdfs('path'[, 'Format'])`` and
+        ``sqlite('db', 'table')`` → the corresponding Python reader;
+
+    each registered as a deterministic temp view (name = hash of the
+    call), call text replaced with the view name.  Idempotent: the same
+    call re-binds to the same view.
+
+    Only calls immediately after FROM or JOIN are bound, so column/UDF
+    names can never be captured.  Errors from the underlying reader
+    propagate unchanged (missing file, bad format, …).
+    """
+    readers = {"file": file, "url": url, "s3": s3, "hdfs": hdfs}
+    pat = _re.compile(r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers)\s*\(")
+    from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
+
+    out = sql
+    while True:
+        m = pat.search(out)
+        if m is None:
+            return out
+        open_paren = out.index("(", m.end(2))
+        end = _find_balanced(out, open_paren)
+        raw_args = _split_args(out[open_paren + 1 : end - 1])
+        fname = m.group(2).lower()
+
+        def _lit(a: str) -> str:
+            a = a.strip()
+            if len(a) >= 2 and a[0] == a[-1] and a[0] in "'\"":
+                return a[1:-1]
+            return a
+
+        args = [_lit(a) for a in raw_args]
+        view = "_tf_" + hashlib.md5(
+            f"{fname}:{':'.join(args)}".encode()
+        ).hexdigest()[:12]
+        # Registering the same deterministic name twice is a no-op
+        # behaviorally; skip the reader round-trip when it exists.
+        if not any(v.name == view for v in spark.catalog.listTables() if v.isTemporary):
+            if fname == "numbers":
+                if len(args) == 1:
+                    df = spark.range(int(args[0]))
+                else:
+                    df = spark.range(int(args[0]), int(args[0]) + int(args[1]))
+                df = df.withColumnRenamed("id", "number")
+            elif fname == "sqlite":
+                df = sqlite(spark, args[0], args[1])
+            else:
+                df = readers[fname](spark, args[0], *(args[1:2] or [None]))
+            df.createOrReplaceTempView(view)
+        out = out[: m.start(2)] + view + out[end:]
+
+
 def source_df(spark: SparkSession, uri: str, fmt: str | None = None, **options: Any) -> DataFrame:
     """Scheme dispatcher — the single entry point the tool layer uses."""
     if uri.startswith(("http://", "https://")):

@@ -148,6 +148,12 @@ def list_tables(
 
 def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFrame:
     check_read_only(query)
+    # ClickHouse-style table functions in FROM position (file/url/s3/hdfs/
+    # sqlite/numbers — chdb_prompt.py:28-60) bind to views/inline rewrites
+    # BEFORE dialect translation, in both dialects (Spark SQL has none).
+    from mcp_clickhouse_spark.sources.table_functions import bind_sql_table_functions
+
+    query = bind_sql_table_functions(spark, query)
     if dialect == "clickhouse":
         from mcp_clickhouse_spark.dialect import translate
 

@@ -172,3 +172,56 @@ def test_sqlite_missing_table_errors(spark, tmp_path):
     sqlite3.connect(db).close()
     with pytest.raises(ValueError, match="not found"):
         read_sqlite(spark, db, "nope")
+
+
+def test_sql_table_function_file_and_numbers(spark, sf_dir):
+    """ClickHouse-style table functions inside SQL (chdb_prompt.py:28-60):
+    file() binds to a temp view, numbers() rewrites to range()."""
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    res = run_select_query(
+        spark,
+        f"SELECT COUNT(*) AS n, MIN(r_regionkey) AS mn "
+        f"FROM file('{sf_dir}/region.parquet')",
+    )
+    assert res["rows"] == [[5, 0]]
+    res2 = run_select_query(
+        spark, "SELECT SUM(number) AS s FROM numbers(10)", dialect="clickhouse"
+    )
+    assert res2["rows"] == [[45]]
+    res3 = run_select_query(spark, "SELECT COUNT(*) AS c FROM numbers(5, 10)")
+    assert res3["rows"] == [[10]]
+
+
+def test_sql_table_function_sqlite_join(spark, sf_dir, tmp_path):
+    """sqlite() table function in SQL joined against a parquet file()."""
+    import sqlite3
+
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    db = str(tmp_path / "j.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE rn (r_regionkey INTEGER, tag TEXT)")
+        con.executemany("INSERT INTO rn VALUES (?, ?)", [(i, f"t{i}") for i in range(5)])
+    res = run_select_query(
+        spark,
+        f"SELECT r.r_name, s.tag FROM file('{sf_dir}/region.parquet') r "
+        f"JOIN sqlite('{db}', 'rn') s ON r.r_regionkey = s.r_regionkey "
+        f"ORDER BY s.tag",
+    )
+    assert len(res["rows"]) == 5 and res["rows"][0][1] == "t0"
+
+
+def test_sql_table_function_avro(spark, sf_dir, tmp_path):
+    """file('….avro') in SQL routes through the pure-Python avro reader."""
+    from mcp_clickhouse_spark.session import read_table
+    from mcp_clickhouse_spark.sources.avro_lite import write_avro
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    out = str(tmp_path / "r_avro")
+    write_avro(read_table(spark, sf_dir, "region").coalesce(1), out)
+    import glob as _g
+
+    one = _g.glob(out + "/*.avro")[0]
+    res = run_select_query(spark, f"SELECT COUNT(*) AS n FROM file('{one}')")
+    assert res["rows"] == [[5]]
