@@ -249,11 +249,26 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
     pat = _re.compile(r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers)\s*\(")
     from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
 
+    def _in_string(s: str, pos: int) -> bool:
+        quote = None
+        for i in range(pos):
+            ch = s[i]
+            if quote:
+                if ch == quote and s[i - 1] != "\\":
+                    quote = None
+            elif ch in ("'", '"'):
+                quote = ch
+        return quote is not None
+
     out = sql
+    search_from = 0
     while True:
-        m = pat.search(out)
+        m = pat.search(out, search_from)
         if m is None:
             return out
+        if _in_string(out, m.start(2)):  # literal text, not a table position
+            search_from = m.end()
+            continue
         open_paren = out.index("(", m.end(2))
         end = _find_balanced(out, open_paren)
         raw_args = _split_args(out[open_paren + 1 : end - 1])

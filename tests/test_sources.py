@@ -225,3 +225,10 @@ def test_sql_table_function_avro(spark, sf_dir, tmp_path):
     one = _g.glob(out + "/*.avro")[0]
     res = run_select_query(spark, f"SELECT COUNT(*) AS n FROM file('{one}')")
     assert res["rows"] == [[5]]
+
+
+def test_sql_table_function_ignores_string_literals(spark):
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    res = run_select_query(spark, "SELECT 'join numbers(3)' AS s FROM numbers(2)")
+    assert res["rows"] == [["join numbers(3)"], ["join numbers(3)"]]
