@@ -34,9 +34,24 @@ _SPREAD_CACHE_MAX = 16
 _PERSISTED: list[DataFrame] = []
 
 
+_PERSISTED_MAX = 32
+
+
 def _persist(df: DataFrame) -> DataFrame:
     from pyspark import StorageLevel
 
+    # Self-bounding FIFO: nothing in the server path calls
+    # release_persisted(), so without eviction a long-lived session that
+    # keeps invoking pipeline operators would pin storage (and DataFrame
+    # refs) forever.  Evicting the oldest persisted frame is safe — it only
+    # costs a recompute if that exact frame is still mid-query, and 32
+    # in-flight pipeline intermediates is far beyond any real concurrency.
+    while len(_PERSISTED) >= _PERSISTED_MAX:
+        old = _PERSISTED.pop(0)
+        try:
+            old.unpersist(blocking=False)
+        except Exception:  # session already stopped
+            pass
     out = df.persist(StorageLevel.MEMORY_AND_DISK)
     _PERSISTED.append(out)
     return out

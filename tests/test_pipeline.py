@@ -262,3 +262,16 @@ def test_embedding_neardup_finds_planted_pair(spark):
     got = embedding_neardup_pairs(df, threshold=0.9, bands=2, planes_per_band=4)
     pairs = {(r.id_a, r.id_b) for r in got.collect()}
     assert pairs == {(1, 2)}
+
+
+def test_persist_registry_self_bounds(spark):
+    """_persist evicts oldest beyond the cap — a long-lived server that
+    never calls release_persisted() cannot accumulate pinned storage."""
+    from mcp_clickhouse_spark.pipeline import dedup as dd
+
+    dd.release_persisted()
+    df = spark.range(10)
+    for _ in range(dd._PERSISTED_MAX + 5):
+        dd._persist(df.selectExpr("id * 2 AS x"))
+    assert len(dd._PERSISTED) <= dd._PERSISTED_MAX
+    dd.release_persisted()
