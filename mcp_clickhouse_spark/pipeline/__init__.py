@@ -14,9 +14,12 @@ from mcp_clickhouse_spark.pipeline.dedup import (  # noqa: F401
     minhash_lsh_candidates,
     simhash_64,
     simhash_near_dups,
+    jaccard_verify,
+    release_persisted,
 )
 from mcp_clickhouse_spark.pipeline.similarity import (  # noqa: F401
     cosine_similarity_col,
+    embedding_neardup_pairs,
     brute_force_topk,
     lsh_bucketed_topk,
 )
