@@ -83,3 +83,46 @@ def test_exact_dedup_is_two_stage_agg(spark, sf):
     # partial aggregation on the content hash before the shuffle
     assert count_nodes(plan, "HashAggregate") >= 2
     assert count_nodes(plan, "Exchange") == 1
+
+
+def test_minhash_signature_plan_single_exchange(spark, sf):
+    """Round-4 claim pinned: the keyed _spread makes BOTH signature
+    aggregation levels distribution-satisfied — exactly one Exchange (the
+    repartition itself) in the whole signature plan."""
+    from mcp_clickhouse_spark.pipeline.dedup import minhash_signatures
+    from mcp_clickhouse_spark.session import read_table
+
+    sigs = minhash_signatures(read_table(spark, sf, "documents"), num_hashes=32)
+    plan = explain_formatted(sigs)
+    assert count_nodes(plan, "Exchange") == 1
+    assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_lsh_candidates_plan_no_join_no_cartesian(spark, sf):
+    """The candidate generator is aggregation+generate only: no self-join,
+    no cartesian product, and the window/groupBy share one (band, bucket)
+    exchange (2 total with the spread repartition)."""
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from mcp_clickhouse_spark.session import read_table
+
+    cand = minhash_lsh_candidates(
+        minhash_signatures(read_table(spark, sf, "documents"), num_hashes=32)
+    )
+    plan = explain_formatted(cand)
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "SortMergeJoin") == 0
+    assert count_nodes(plan, "Join") == 0
+    # spread repartition + (band,bucket) + pairs-distinct = 3 exchanges max
+    assert count_nodes(plan, "Exchange") <= 3
+
+
+def test_embedding_neardup_plan_no_cartesian(spark, sf):
+    from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+    from mcp_clickhouse_spark.session import read_table
+
+    nd = embedding_neardup_pairs(read_table(spark, sf, "embeddings"))
+    plan = explain_formatted(nd)
+    assert count_nodes(plan, "CartesianProduct") == 0
