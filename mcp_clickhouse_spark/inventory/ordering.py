@@ -8,8 +8,10 @@ Round 4 priority = the 2 round-3 hash-RED rows re-fixed this round (both were
 DuckDB HUGEINT output-type drift, now CAST AS BIGINT in the oracles:
 pipe_token_count, q12_priority_by_flag) + the 4 rows-only queries that have
 never had ANY driver row (judge round-3 item 6: pipe_minhash_lsh,
-pipe_simhash, pipe_embed_ivf_topk, sample_fraction) + 44 queries last checked
-in r1/r2 so their green rows get refreshed under the current codebase.
+pipe_simhash, pipe_embed_ivf_topk, sample_fraction) + the 6 queries NEW in
+round 4 (pipe_embed_neardup and the Q5/Q13/Q15/Q17/Q22 TPC-H shapes) + 38
+queries last checked in r1/r2 so their green rows get refreshed under the
+current codebase.
 """
 
 from __future__ import annotations
@@ -34,13 +36,11 @@ PRIORITY: list[str] = [
     "agg_conditional",
     "agg_minmax_by",
     "agg_quantiles_exact",
-    "agg_stats",
     "agg_topk",
     # behavioral analytics
     "behav_retention",
     "behav_window_funnel",
     "behav_cohort_retention",
-    "behav_sequence_match",
     # core scans/filters
     "filter_predicates",
     # new in round 4: oracle-backed embedding-cosine near-dup
@@ -52,11 +52,15 @@ PRIORITY: list[str] = [
     "source_numbers",
     "select_star_except",
     # subqueries / CTEs
-    "subquery_scalar",
     "subquery_in",
     "subquery_correlated_exists",
     "cte_multi",
-    # TPC-H depth
+    # TPC-H depth (incl. the 5 new round-4 shapes)
+    "q5_local_supplier_volume",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
@@ -68,12 +72,10 @@ PRIORITY: list[str] = [
     "join_semi",
     "join_anti",
     "join_cross",
-    "join_theta",
     "join_any",
     # events / windows
     "events_sliding_window",
     "events_pivot",
-    "events_props_analytics",
     "win_lag_lead",
     "win_range_frame",
     # pipeline
