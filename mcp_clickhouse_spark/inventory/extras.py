@@ -945,3 +945,69 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@query(
+    "q21_waiting_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_returnflag = 'R'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+      )
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    category="core",
+)
+def q21_waiting_supplier(spark, sf_dir):
+    # TPC-H Q21 shape (suppliers solely responsible for returns on
+    # multi-supplier F orders): EXISTS and NOT EXISTS correlated on the
+    # SAME fact table become a left-semi and a left-anti join with
+    # composite (equi + inequality) conditions — the equi part shuffles,
+    # the inequality evaluates post-match, never a cartesian.
+    li = t(spark, sf_dir, "lineitem")
+    l1 = (
+        li.where(F.col("l_returnflag") == "R")
+        .select(
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_suppkey").alias("sk1"),
+        )
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("sk2"))
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("sk3")
+    )
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    s = t(spark, sf_dir, "supplier")
+    base = (
+        l1.join(
+            l2,
+            (F.col("k1") == F.col("k2")) & (F.col("sk1") != F.col("sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("k1") == F.col("k3")) & (F.col("sk1") != F.col("sk3")),
+            "left_anti",
+        )
+        .join(o, F.col("k1") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("sk1") == F.col("s_suppkey"))
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

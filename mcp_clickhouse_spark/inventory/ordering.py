@@ -57,6 +57,7 @@ PRIORITY: list[str] = [
     "cte_multi",
     # TPC-H depth (incl. the 5 new round-4 shapes)
     "q5_local_supplier_volume",
+    "q21_waiting_supplier",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -71,7 +72,6 @@ PRIORITY: list[str] = [
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_cross",
     "join_any",
     # events / windows
     "events_sliding_window",
