@@ -1011,3 +1011,210 @@ def q21_waiting_supplier(spark, sf_dir):
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@query(
+    "q9_product_profit",
+    oracle="""
+    SELECT n.n_name AS nation, CAST(YEAR(o.o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(
+             CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))
+             - CAST(ROUND(p.p_retailprice * 100) AS BIGINT)
+               * CAST(ROUND(l.l_quantity) AS BIGINT) * 60
+           ) AS DOUBLE) / 10000.0 AS profit
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE p.p_name LIKE '%widget%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    category="core",
+)
+def q9_product_profit(spark, sf_dir):
+    # TPC-H Q9 shape (product-type profit by nation and year): computed
+    # profit measure over a 5-way join with a LIKE part filter.  The
+    # testdata has no partsupp, so supply cost is modeled as 60% of
+    # p_retailprice — the shape (revenue minus quantity-scaled cost, all in
+    # one bigint-cents sum) is what Q9 exercises.
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%widget%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    o = t(spark, sf_dir, "orders")
+    profit_c = cents("l_extendedprice") * (
+        F.lit(100) - cents("l_discount")
+    ) - cents("p_retailprice") * F.round("l_quantity").cast("bigint") * F.lit(60)
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg((F.sum(profit_c).cast("double") / F.lit(10000.0)).alias("profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    oracle="""
+    WITH val AS (
+      SELECT l.l_partkey,
+             SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                 * CAST(ROUND(l.l_quantity) AS BIGINT)) AS value_c
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_1' OR n.n_name = 'GERMANY'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, CAST(value_c AS DOUBLE) / 100.0 AS total_value
+    FROM val
+    WHERE CAST(value_c AS DOUBLE) > (SELECT 0.001 * CAST(SUM(value_c) AS DOUBLE) FROM val)
+    ORDER BY total_value DESC, l_partkey
+    """,
+    category="core",
+)
+def q11_important_stock(spark, sf_dir):
+    # TPC-H Q11 shape (important stock): per-part value for one nation's
+    # suppliers, kept only when above a fraction of the grand total — a
+    # grouped aggregate filtered against a scalar subquery over ITSELF.
+    # Exact bigint-cents values keep the > comparison engine-deterministic.
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").where(
+        (F.col("n_name") == "NATION_1") | (F.col("n_name") == "GERMANY")
+    )
+    val = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                cents("l_extendedprice") * F.round("l_quantity").cast("bigint")
+            ).alias("value_c")
+        )
+    )
+    thresh = val.agg((F.lit(0.001) * F.sum("value_c").cast("double")).alias("thr"))
+    return (
+        val.join(F.broadcast(thresh), F.col("value_c").cast("double") > F.col("thr"))
+        .select(
+            "l_partkey",
+            (F.col("value_c").cast("double") / F.lit(100.0)).alias("total_value"),
+        )
+        .orderBy(F.col("total_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "q16_supplier_part_count",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type NOT LIKE 'PROMO%'
+      AND p.p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND l.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    category="core",
+)
+def q16_supplier_part_count(spark, sf_dir):
+    # TPC-H Q16 shape (parts/supplier relationship): COUNT DISTINCT
+    # suppliers per (brand, type, size) with negated predicates and a
+    # NOT IN supplier-exclusion subquery (left-anti join).
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = (
+        t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 1000.0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+    )
+
+
+@query(
+    "q20_part_promotion",
+    oracle="""
+    WITH shipped AS (
+      SELECT l_suppkey, l_partkey,
+             SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey, l_partkey
+    ),
+    part_total AS (
+      SELECT l_partkey, SUM(qty) AS total_qty FROM shipped GROUP BY l_partkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE s.s_suppkey IN (
+      SELECT sh.l_suppkey
+      FROM shipped sh
+      JOIN part_total pt ON pt.l_partkey = sh.l_partkey
+      JOIN part p ON p.p_partkey = sh.l_partkey
+      WHERE p.p_name LIKE '%bolt%'
+        AND CAST(sh.qty AS DOUBLE) > 0.5 * CAST(pt.total_qty AS DOUBLE)
+    )
+    ORDER BY s_name
+    """,
+    category="core",
+)
+def q20_part_promotion(spark, sf_dir):
+    # TPC-H Q20 shape (potential part promotion): nested IN over a
+    # grouped-having derived table — suppliers who shipped more than half
+    # of a bolt part's yearly volume. Integer quantity sums keep the 0.5×
+    # threshold exact on both engines; the IN becomes a left-semi join.
+    li = t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    shipped = li.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.round("l_quantity").cast("bigint")).alias("qty")
+    )
+    part_total = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    p = t(spark, sf_dir, "part").where(F.col("p_name").like("%bolt%"))
+    dominant = (
+        shipped.join(part_total, F.col("pt_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .where(F.col("qty").cast("double") > F.lit(0.5) * F.col("total_qty").cast("double"))
+        .select(F.col("l_suppkey").alias("dom_suppkey"))
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    return (
+        s.join(dominant, F.col("s_suppkey") == F.col("dom_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )

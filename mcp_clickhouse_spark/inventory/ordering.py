@@ -30,7 +30,6 @@ PRIORITY: list[str] = [
     "pipe_embed_ivf_topk",
     "sample_fraction",
     # r1/r2-green refresh: aggregates
-    "agg_cube",
     "agg_grouping_sets",
     "agg_with_totals",
     "agg_conditional",
@@ -40,7 +39,6 @@ PRIORITY: list[str] = [
     # behavioral analytics
     "behav_retention",
     "behav_window_funnel",
-    "behav_cohort_retention",
     # core scans/filters
     "filter_predicates",
     # new in round 4: oracle-backed embedding-cosine near-dup
@@ -58,6 +56,10 @@ PRIORITY: list[str] = [
     # TPC-H depth (incl. the 5 new round-4 shapes)
     "q5_local_supplier_volume",
     "q21_waiting_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_part_promotion",
     "q13_customer_distribution",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
@@ -72,9 +74,7 @@ PRIORITY: list[str] = [
     "join_full_outer",
     "join_semi",
     "join_anti",
-    "join_any",
     # events / windows
-    "events_sliding_window",
     "events_pivot",
     "win_lag_lead",
     "win_range_frame",
