@@ -11,7 +11,8 @@ actually exchanges:
 
   - primitives: null, boolean, int, long, float, double, bytes, string
   - logical types on read/write: timestamp-micros, date
-  - records (top-level row type), arrays of primitives
+  - records (top-level row type AND nested — read as Spark structs),
+    arrays, maps (string keys), enums (read as their symbol strings)
   - nullable fields as the 2-branch union ``["null", T]``
   - codecs: ``null`` and ``deflate`` (zlib, both directions)
 
@@ -118,10 +119,22 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
             return T.TimestampNTZType(), False
         if logical == "date":
             return T.DateType(), False
-        if t.get("type") == "array":
+        kind = t.get("type")
+        if kind == "array":
             inner, _ = _avro_type_to_spark(t["items"])
             return T.ArrayType(inner), False
-        return _avro_type_to_spark(t["type"])
+        if kind == "map":
+            inner, _ = _avro_type_to_spark(t["values"])
+            return T.MapType(T.StringType(), inner), False
+        if kind == "enum":
+            return T.StringType(), False  # surfaced as the symbol string
+        if kind == "record":
+            fields = []
+            for f in t["fields"]:
+                dt, nullable = _avro_type_to_spark(f["type"])
+                fields.append(T.StructField(f["name"], dt, nullable))
+            return T.StructType(fields), False
+        return _avro_type_to_spark(kind)
     if t in _PRIM_TO_SPARK:
         return _PRIM_TO_SPARK[t], False
     raise ValueError(f"unsupported avro type {t!r}")
@@ -153,6 +166,15 @@ def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
             if item not in _SPARK_TO_AVRO:
                 raise ValueError(f"unsupported avro array item type {item}")
             avro_t = {"type": "array", "items": _SPARK_TO_AVRO[item]}
+        elif t == "map":
+            if f.dataType.keyType.typeName() != "string":
+                raise ValueError("avro maps require string keys")
+            val = f.dataType.valueType.typeName()
+            if val not in _SPARK_TO_AVRO:
+                raise ValueError(f"unsupported avro map value type {val}")
+            avro_t = {"type": "map", "values": _SPARK_TO_AVRO[val]}
+        elif t == "struct":
+            avro_t = spark_schema_to_avro(f.dataType, name=f"{name}_{f.name}")
         else:
             raise ValueError(f"unsupported spark type for avro write: {t}")
         if f.nullable:
@@ -180,7 +202,8 @@ def _decoder_for(t: Any):
             return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="us")
         if logical == "date":
             return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="D").date()
-        if t.get("type") == "array":
+        kind = t.get("type")
+        if kind == "array":
             item = _decoder_for(t["items"])
 
             def dec_array(buf, _item=item):
@@ -196,7 +219,35 @@ def _decoder_for(t: Any):
                         out.append(_item(buf))
 
             return dec_array
-        return _decoder_for(t["type"])
+        if kind == "map":
+            val = _decoder_for(t["values"])
+
+            def dec_map(buf, _val=val):
+                out = {}
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        _zigzag_decode(buf)
+                    for _ in range(n):
+                        k = _read_bytes(buf).decode("utf-8")
+                        out[k] = _val(buf)
+
+            return dec_map
+        if kind == "enum":
+            symbols = list(t["symbols"])
+            return lambda buf, _s=symbols: _s[_zigzag_decode(buf)]
+        if kind == "record":
+            names = [f["name"] for f in t["fields"]]
+            decs = [_decoder_for(f["type"]) for f in t["fields"]]
+
+            def dec_record(buf, _names=names, _decs=decs):
+                return {k: d(buf) for k, d in zip(_names, _decs)}
+
+            return dec_record
+        return _decoder_for(kind)
     if t == "boolean":
         return lambda buf: buf.read(1) == b"\x01"
     if t in ("int", "long"):
@@ -236,7 +287,8 @@ def _encoder_for(t: Any):
             return lambda out, v: out.__iadd__(
                 _zigzag_encode((pd.Timestamp(v) - pd.Timestamp(0)).days)
             )
-        if t.get("type") == "array":
+        kind = t.get("type")
+        if kind == "array":
             item = _encoder_for(t["items"])
 
             def enc_array(out, v, _item=item):
@@ -248,7 +300,38 @@ def _encoder_for(t: Any):
                 out += _zigzag_encode(0)
 
             return enc_array
-        return _encoder_for(t["type"])
+        if kind == "map":
+            val = _encoder_for(t["values"])
+
+            def enc_map(out, v, _val=val):
+                items = list(dict(v).items())
+                if items:
+                    out += _zigzag_encode(len(items))
+                    for k, x in items:
+                        _write_bytes(out, str(k).encode("utf-8"))
+                        _val(out, x)
+                out += _zigzag_encode(0)
+
+            return enc_map
+        if kind == "enum":
+            index = {s: i for i, s in enumerate(t["symbols"])}
+            return lambda out, v, _ix=index: out.__iadd__(_zigzag_encode(_ix[str(v)]))
+        if kind == "record":
+            names = [f["name"] for f in t["fields"]]
+            encs = [_encoder_for(f["type"]) for f in t["fields"]]
+
+            def enc_record(out, v, _names=names, _encs=encs):
+                if hasattr(v, "asDict"):
+                    v = v.asDict()
+                if isinstance(v, dict):
+                    vals = [v[k] for k in _names]
+                else:  # tuple/Row-like positional
+                    vals = list(v)
+                for e, x in zip(_encs, vals):
+                    e(out, x)
+
+            return enc_record
+        return _encoder_for(kind)
     if t == "boolean":
         return lambda out, v: out.__iadd__(b"\x01" if v else b"\x00")
     if t in ("int", "long"):

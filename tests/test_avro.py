@@ -120,3 +120,41 @@ def test_events_table_round_trip(spark, sf_dir, tmp_path):
     a = ev.agg(F.sum("value").alias("s"), F.max("ts").alias("m")).first()
     b = got.agg(F.sum("value").alias("s"), F.max("ts").alias("m")).first()
     assert abs(a.s - b.s) < 1e-6 and a.m == b.m
+
+
+def test_nested_record_map_round_trip(spark, tmp_path):
+    """Nested structs and string-keyed maps survive the loop."""
+    df = spark.createDataFrame(
+        [
+            (1, {"city": "paris", "zip": 75001}, {"a": 1.5, "b": 2.0}),
+            (2, {"city": "nyc", "zip": 10001}, {}),
+        ],
+        "id long, addr struct<city:string, zip:long>, scores map<string,double>",
+    )
+    out = str(tmp_path / "nested")
+    write_avro(df.coalesce(1), out)
+    got = read_avro(spark, out)
+    assert got.schema == df.schema
+    rows = {r.id: (r.addr.city, r.addr.zip, dict(r.scores)) for r in got.collect()}
+    assert rows[1] == ("paris", 75001, {"a": 1.5, "b": 2.0})
+    assert rows[2] == ("nyc", 10001, {})
+
+
+def test_enum_read(spark, tmp_path):
+    """Enums (written by container-level API) read back as symbol strings."""
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "color",
+                "type": {"type": "enum", "name": "Color", "symbols": ["RED", "GREEN", "BLUE"]},
+            },
+        ],
+    }
+    p = str(tmp_path / "enum.avro")
+    write_container(p, schema, iter([(1, "GREEN"), (2, "RED")]))
+    got = read_avro(spark, p)
+    assert dict(got.dtypes) == {"id": "bigint", "color": "string"}
+    assert {(r.id, r.color) for r in got.collect()} == {(1, "GREEN"), (2, "RED")}
