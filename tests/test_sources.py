@@ -232,3 +232,45 @@ def test_sql_table_function_ignores_string_literals(spark):
 
     res = run_select_query(spark, "SELECT 'join numbers(3)' AS s FROM numbers(2)")
     assert res["rows"] == [["join numbers(3)"], ["join numbers(3)"]]
+
+
+def test_sqlite_python_datasource_with_pushdown(spark, tmp_path):
+    """SQLite via the official PySpark Python Data Source API: filters push
+    into SQLite as WHERE clauses (pushFilters, Spark 4.1), untranslatable
+    ones fall back to Spark."""
+    import sqlite3
+
+    from mcp_clickhouse_spark.sources.sqlite_datasource import (
+        SqliteDataSource,
+        SqliteReader,
+        _translate,
+    )
+    from pyspark.sql.datasource import EqualTo, GreaterThan, StringStartsWith
+
+    db = str(tmp_path / "ds.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE ev (uid INTEGER, kind TEXT, score REAL)")
+        con.executemany(
+            "INSERT INTO ev VALUES (?, ?, ?)",
+            [(i % 10, f"kind_{i % 3}", i * 0.5) for i in range(300)],
+        )
+    spark.dataSource.register(SqliteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "ev")
+        .load()
+    )
+    assert df.count() == 300
+    got = df.where("uid = 7 AND score > 100.0").collect()
+    want = [r for r in got if r.uid == 7 and r.score > 100.0]
+    assert len(got) == len(want) and len(got) == 10
+    # unit: translation covers the pushable set and rejects the rest
+    assert _translate(EqualTo(("uid",), 7)) == '"uid" = 7'
+    assert _translate(GreaterThan(("score",), 1.5)) == '"score" > 1.5'
+    assert _translate(StringStartsWith(("kind",), "kind_")) is not None
+    # reader accumulates pushed fragments and yields back unsupported ones
+    rd = SqliteReader({"path": db, "table": "ev"}, df.schema)
+    leftover = list(rd.pushFilters([EqualTo(("uid",), 3)]))
+    assert leftover == [] and rd.where == ['"uid" = 3']
