@@ -335,3 +335,16 @@ def test_sse_handshake_and_message(http_base):
     payload = json.loads(sse.readline().decode().strip().removeprefix("data: "))
     assert payload["id"] == 777 and payload["result"] == {}
     sse.close()
+
+
+def test_call_run_select_query_table_function(server):
+    """SQL table functions work through the full MCP serialization path:
+    numbers() binds inside the server-held session."""
+    res = call_tool(
+        server,
+        "run_select_query",
+        {"query": "SELECT SUM(number) AS s, COUNT(*) AS n FROM numbers(100)"},
+    )
+    payload = tool_payload(res)
+    assert payload["columns"] == ["s", "n"]
+    assert payload["rows"] == [[4950, 100]]
