@@ -495,3 +495,56 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
 
     stats = df.mapInPandas(write_part, schema="path string, n_rows long").collect()
     return int(sum(r.n_rows for r in stats))
+
+
+# ----------------------------------------------- official Python Data Source
+try:  # Spark 4.1 Python Data Source API
+    from dataclasses import dataclass as _dataclass
+
+    from pyspark.sql.datasource import DataSource as _DataSource
+    from pyspark.sql.datasource import DataSourceReader as _DataSourceReader
+    from pyspark.sql.datasource import InputPartition as _InputPartition
+
+    @_dataclass
+    class _AvroFilePartition(_InputPartition):
+        path: str
+
+    class AvroLiteDataSource(_DataSource):
+        """``spark.read.format("avrolite").load(path)`` — same codec and
+        file-per-task parallelism as :func:`read_avro`, via the official
+        Python Data Source API (the idiomatic spelling; also usable from
+        pure SQL with ``CREATE TEMPORARY VIEW ... USING avrolite``)."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "avrolite"
+
+        def _files(self) -> list[str]:
+            path = self.options.get("path")
+            if not path:
+                raise ValueError("avrolite requires a path (load(path))")
+            if os.path.isdir(path):
+                return sorted(glob(os.path.join(path, "*.avro")))
+            return sorted(glob(path)) or [path]
+
+        def schema(self):
+            with open(self._files()[0], "rb") as f:
+                schema, _, _ = read_header(f)
+            return avro_schema_to_spark(schema)
+
+        def reader(self, schema):
+            return AvroLiteReader(self._files())
+
+    class AvroLiteReader(_DataSourceReader):
+        def __init__(self, files: list[str]):
+            self.files = files
+
+        def partitions(self):
+            return [_AvroFilePartition(p) for p in self.files]
+
+        def read(self, partition: _AvroFilePartition):
+            _, rows = read_file_records(partition.path)
+            yield from rows
+
+except ImportError:  # pragma: no cover — pre-4.1 pyspark
+    AvroLiteDataSource = None  # type: ignore[assignment]

@@ -158,3 +158,15 @@ def test_enum_read(spark, tmp_path):
     got = read_avro(spark, p)
     assert dict(got.dtypes) == {"id": "bigint", "color": "string"}
     assert {(r.id, r.color) for r in got.collect()} == {(1, "GREEN"), (2, "RED")}
+
+
+def test_avro_python_datasource(spark, sample, tmp_path):
+    """The official Data Source spelling reads the same files."""
+    from mcp_clickhouse_spark.sources.avro_lite import AvroLiteDataSource
+
+    out = str(tmp_path / "ds_avro")
+    write_avro(sample, out)
+    spark.dataSource.register(AvroLiteDataSource)
+    got = spark.read.format("avrolite").load(out)
+    assert got.schema == sample.schema
+    assert _collect_sorted(got) == _collect_sorted(sample)
