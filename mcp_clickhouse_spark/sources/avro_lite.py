@@ -12,7 +12,7 @@ actually exchanges:
   - primitives: null, boolean, int, long, float, double, bytes, string
   - logical types on read/write: timestamp-micros, date
   - records (top-level row type AND nested — read as Spark structs),
-    arrays, maps (string keys), enums (read as their symbol strings)
+    arrays, maps (string keys), enums (as symbol strings), fixed (as bytes)
   - nullable fields as the 2-branch union ``["null", T]``
   - codecs: ``null`` and ``deflate`` (zlib, both directions)
 
@@ -128,6 +128,8 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
             return T.MapType(T.StringType(), inner), False
         if kind == "enum":
             return T.StringType(), False  # surfaced as the symbol string
+        if kind == "fixed":
+            return T.BinaryType(), False
         if kind == "record":
             fields = []
             for f in t["fields"]:
@@ -239,6 +241,9 @@ def _decoder_for(t: Any):
         if kind == "enum":
             symbols = list(t["symbols"])
             return lambda buf, _s=symbols: _s[_zigzag_decode(buf)]
+        if kind == "fixed":
+            size = int(t["size"])
+            return lambda buf, _n=size: buf.read(_n)
         if kind == "record":
             names = [f["name"] for f in t["fields"]]
             decs = [_decoder_for(f["type"]) for f in t["fields"]]
@@ -316,6 +321,16 @@ def _encoder_for(t: Any):
         if kind == "enum":
             index = {s: i for i, s in enumerate(t["symbols"])}
             return lambda out, v, _ix=index: out.__iadd__(_zigzag_encode(_ix[str(v)]))
+        if kind == "fixed":
+            size = int(t["size"])
+
+            def enc_fixed(out, v, _n=size):
+                b = bytes(v)
+                if len(b) != _n:
+                    raise ValueError(f"fixed({_n}) got {len(b)} bytes")
+                out += b
+
+            return enc_fixed
         if kind == "record":
             names = [f["name"] for f in t["fields"]]
             encs = [_encoder_for(f["type"]) for f in t["fields"]]

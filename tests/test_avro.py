@@ -170,3 +170,18 @@ def test_avro_python_datasource(spark, sample, tmp_path):
     got = spark.read.format("avrolite").load(out)
     assert got.schema == sample.schema
     assert _collect_sorted(got) == _collect_sorted(sample)
+
+
+def test_fixed_round_trip(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "digest", "type": {"type": "fixed", "name": "md5", "size": 4}},
+        ],
+    }
+    p = str(tmp_path / "fx.avro")
+    write_container(p, schema, iter([(1, b"\x00\x01\x02\x03"), (2, b"\xff\xfe\xfd\xfc")]))
+    got_schema, rows = read_file_records(p)
+    assert list(rows) == [(1, b"\x00\x01\x02\x03"), (2, b"\xff\xfe\xfd\xfc")]
