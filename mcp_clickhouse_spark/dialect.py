@@ -208,6 +208,30 @@ _FMT_CODES = {
 }
 
 
+_INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+
+
+def _to_start_of_interval(args: list[str]) -> str:
+    """toStartOfInterval(ts, INTERVAL n unit) → epoch-floor bucketing.
+
+    Only fixed-length units translate (second/minute/hour/day); calendar
+    units (week/month/…) have ClickHouse-specific alignment that an
+    epoch floor would silently get wrong — faithful-or-error."""
+    import re as _re
+
+    m = _re.match(r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+?)S?\s*$", args[1])
+    if not m or m.group(2).upper() not in _INTERVAL_SECONDS:
+        raise ValueError(
+            f"toStartOfInterval: untranslatable interval {args[1]!r} "
+            "(fixed-length units only: SECOND/MINUTE/HOUR/DAY)"
+        )
+    sec = int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).upper()]
+    return (
+        f"timestamp_seconds(floor(unix_seconds(CAST({args[0]} AS TIMESTAMP))"
+        f" / {sec}) * {sec})"
+    )
+
+
 def _format_datetime(args: list[str]) -> str:
     ts, fmt = args[0], args[1]
     for ch, sp in _FMT_CODES.items():
@@ -316,6 +340,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addmonths": lambda a: f"add_months({a[0]}, {a[1]})",
     "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
     "formatdatetime": _format_datetime,
+    "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
+    "age": lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
+    "tostartofinterval": _to_start_of_interval,
+    "tostartoffifteenminutes": lambda a: (
+        f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / 900) * 900)"
+    ),
+    "tostartoffiveminutes": lambda a: (
+        f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / 300) * 300)"
+    ),
+    "tointervalsecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
+    "tointervalminute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
+    "tointervalhour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
+    "tointervalday": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
+    "tointervalweek": lambda a: f"make_interval(0, 0, {a[0]}, 0, 0, 0, 0)",
+    "tointervalmonth": lambda a: f"make_interval(0, {a[0]}, 0, 0, 0, 0, 0)",
+    "tointervalyear": lambda a: f"make_interval({a[0]}, 0, 0, 0, 0, 0, 0)",
     # CH extract(haystack, pattern) is 2-arg regex extraction; ANSI
     # EXTRACT(YEAR FROM ts) reaches here as ONE argument — pass it through
     # unchanged (valid Spark SQL) instead of crashing on a[1].
@@ -327,6 +367,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # the same way as splitByString ('.' must not split on every char).
     "splitbychar": lambda a: _split_by_string(a),
     "splitbystring": _split_by_string,
+    # whitespace split, empty tokens dropped (CH contract) via filter
+    "splitbywhitespace": lambda a: (
+        f"filter(split(trim({a[0]}), '\\\\s+'), x -> x != '')"
+    ),
+    "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    "bitcount": lambda a: f"bit_count({a[0]})",
     "format": _ch_format,
     "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",

@@ -328,3 +328,39 @@ def test_with_fill_unbounded_raises():
             "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
             "INTERPOLATE (y)"
         )
+
+
+def test_datetime_interval_family(spark):
+    """Round-4 breadth: dateTrunc/age/toStartOfInterval/toInterval*/bitCount/
+    splitByWhitespace/positionCaseInsensitive."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    def one(sql):
+        return spark.sql(translate(sql)).collect()[0][0]
+
+    assert one("SELECT bitCount(7)") == 3
+    assert one("SELECT age('day', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-31')") == 30
+    assert str(one("SELECT dateTrunc('hour', TIMESTAMP '2024-01-01 10:47:00')")) == (
+        "2024-01-01 10:00:00"
+    )
+    assert str(
+        one(
+            "SELECT toStartOfInterval(TIMESTAMP '2024-01-01 10:47:11',"
+            " INTERVAL 15 MINUTE)"
+        )
+    ) == "2024-01-01 10:45:00"
+    assert one("SELECT splitByWhitespace(' a b  c ')") == ["a", "b", "c"]
+    assert one("SELECT positionCaseInsensitive('Hello', 'LL')") == 3
+    assert (
+        str(one("SELECT CAST(TIMESTAMP '2024-01-01 00:00:00' + toIntervalDay(3) AS STRING)"))
+        == "2024-01-04 00:00:00"
+    )
+
+
+def test_to_start_of_interval_rejects_calendar_units():
+    import pytest as _pytest
+
+    from mcp_clickhouse_spark.dialect import translate
+
+    with _pytest.raises(ValueError, match="fixed-length"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM events")
