@@ -185,3 +185,43 @@ def test_fixed_round_trip(tmp_path):
     write_container(p, schema, iter([(1, b"\x00\x01\x02\x03"), (2, b"\xff\xfe\xfd\xfc")]))
     got_schema, rows = read_file_records(p)
     assert list(rows) == [(1, b"\x00\x01\x02\x03"), (2, b"\xff\xfe\xfd\xfc")]
+
+
+def test_container_round_trip_property():
+    """Property fuzz: arbitrary rows of (long, nullable string, double,
+    nullable long-array) survive the container codec bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": ["null", "string"]},
+            {"name": "c", "type": "double"},
+            {"name": "d", "type": ["null", {"type": "array", "items": "long"}]},
+        ],
+    }
+    longs = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    rows_strategy = st.lists(
+        st.tuples(
+            longs,
+            st.none() | st.text(max_size=40),
+            st.floats(allow_nan=False, width=64),
+            st.none() | st.lists(longs, max_size=8),
+        ),
+        max_size=30,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(rows=rows_strategy, codec=st.sampled_from(["null", "deflate"]))
+    def run(rows, codec):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".avro", delete=True) as f:
+            write_container(f.name, schema, iter(rows), codec=codec)
+            _, got = read_file_records(f.name)
+            assert list(got) == [tuple(r) for r in rows]
+
+    run()
