@@ -373,6 +373,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
     "bitcount": lambda a: f"bit_count({a[0]})",
+    "substringindex": lambda a: f"substring_index({', '.join(a)})",
+    "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
+    "intdivorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) div ({a[1]}))",
+    "moduloorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))",
+    "tounixtimestamp64milli": lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
+    "tounixtimestamp64micro": lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
+    "now64": lambda a: "now()",
     "format": _ch_format,
     "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
     "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
@@ -384,6 +391,37 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" / cardinality({a[0]}))"
     ),
     "arrayenumerate": lambda a: f"sequence(1, cardinality({a[0]}))",
+    "arrayfirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
+    "arraylast": lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)",
+    "arrayfirstindex": lambda a: (
+        f"coalesce(array_position({a[1]}, element_at(filter({a[1]}, {a[0]}), 1)), 0)"
+    ),
+    "arraycount": lambda a: (
+        f"size(filter({a[1]}, {a[0]}))"
+        if len(a) == 2
+        else f"size(filter({a[0]}, x -> x != 0))"
+    ),
+    "hasall": lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
+    "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
+    "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
+    "arraypopback": lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
+    "arraypopfront": lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    "arrayresize": lambda a: (
+        f"slice(concat({a[0]}, array_repeat({a[2] if len(a) > 2 else 'NULL'},"
+        f" greatest(({a[1]}) - size({a[0]}), 0))), 1, {a[1]})"
+    ),
+    "countequal": lambda a: f"size(filter({a[0]}, x -> x <=> {a[1]}))",
+    # CH returns [0, a[2]-a[1], ...]; element_at keeps it type-generic
+    "arraydifference": lambda a: (
+        f"transform(sequence(1, size({a[0]})), i -> CASE WHEN i = 1 THEN 0"
+        f" ELSE element_at({a[0]}, i) - element_at({a[0]}, i - 1) END)"
+    ),
+    # O(n²) prefix-sum in DOUBLE (acc type must be fixed); dialect-level
+    # convenience, not a hot path
+    "arraycumsum": lambda a: (
+        f"transform(sequence(1, size({a[0]})), i -> aggregate(slice({a[0]}, 1, i),"
+        f" CAST(0 AS DOUBLE), (s, x) -> s + x))"
+    ),
     "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
     if len(a) == 1
     else f"sequence({a[0]}, ({a[1]}) - 1)",

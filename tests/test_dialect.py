@@ -364,3 +364,38 @@ def test_to_start_of_interval_rejects_calendar_units():
 
     with _pytest.raises(ValueError, match="fixed-length"):
         translate("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM events")
+
+
+def test_array_manipulation_family(spark):
+    """Round-4 breadth: arrayFirst/Last/Count, hasAll, push/pop/resize,
+    countEqual, arrayDifference/CumSum, substringIndex, *OrZero, unix64."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    def one(sql):
+        v = spark.sql(translate(sql)).collect()[0][0]
+        return list(v) if isinstance(v, (list, tuple)) else v
+
+    assert one("SELECT arrayFirst(x -> x > 2, [1,3,4])") == 3
+    assert one("SELECT arrayLast(x -> x > 2, [1,3,4])") == 4
+    assert one("SELECT arrayCount(x -> x > 2, [1,3,4])") == 2
+    assert one("SELECT arrayCount([0,1,2,0])") == 2
+    assert one("SELECT hasAll([1,2,3], [1,3])") is True
+    assert one("SELECT hasAll([1,2], [1,9])") is False
+    assert one("SELECT arrayPushBack([1], 2)") == [1, 2]
+    assert one("SELECT arrayPushFront([1], 0)") == [0, 1]
+    assert one("SELECT arrayPopBack([1,2])") == [1]
+    assert one("SELECT arrayPopFront([1,2])") == [2]
+    assert one("SELECT arrayResize([1], 3, 0)") == [1, 0, 0]
+    assert one("SELECT arrayResize([1,2,3], 2, 0)") == [1, 2]
+    assert one("SELECT countEqual([1,2,2], 2)") == 2
+    assert one("SELECT arrayDifference([1,4,9])") == [0, 3, 5]
+    assert one("SELECT arrayCumSum([1,2,3])") == [1.0, 3.0, 6.0]
+    assert one("SELECT substringIndex('a.b.c', '.', 2)") == "a.b"
+    assert one("SELECT concatWithSeparator('-', 'a', 'b')") == "a-b"
+    assert one("SELECT intDivOrZero(5, 0)") == 0
+    assert one("SELECT intDivOrZero(7, 2)") == 3
+    assert one("SELECT moduloOrZero(5, 0)") == 0
+    assert (
+        one("SELECT toUnixTimestamp64Milli(TIMESTAMP '2024-01-01 00:00:00')")
+        == 1704067200000
+    )
