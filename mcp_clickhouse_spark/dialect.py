@@ -41,7 +41,6 @@ NAME_MAP: dict[str, str] = {
     "locate": "instr",
     "replaceall": "replace",
     "replaceregexpall": "regexp_replace",
-    "replaceregexpone": "regexp_replace",
     "match": "rlike",
     "startswith": "startswith",
     "endswith": "endswith",
@@ -113,6 +112,7 @@ NAME_MAP: dict[str, str] = {
     "mapkeys": "map_keys",
     "mapvalues": "map_values",
     "mapcontains": "map_contains_key",
+    "mapfromarrays": "map_from_arrays",
     # null handling / conditionals
     "ifnull": "ifnull",
     "nullif": "nullif",
@@ -337,8 +337,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
     "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
     "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
-    "addmonths": lambda a: f"add_months({a[0]}, {a[1]})",
-    "addyears": lambda a: f"add_months({a[0]}, 12 * ({a[1]}))",
+    "addweeks": lambda a: f"({a[0]} + make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
+    # month/year arithmetic via INTERVAL (add_months returns DATE and would
+    # silently drop the time-of-day from TIMESTAMP inputs)
+    "addmonths": lambda a: f"({a[0]} + make_interval(0, {a[1]}, 0, 0, 0, 0, 0))",
+    "addyears": lambda a: f"({a[0]} + make_interval({a[1]}, 0, 0, 0, 0, 0, 0))",
+    "subtracthours": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
+    "subtractminutes": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
+    "subtractseconds": lambda a: f"({a[0]} - make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+    "subtractweeks": lambda a: f"({a[0]} - make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
+    "subtractmonths": lambda a: f"({a[0]} - make_interval(0, {a[1]}, 0, 0, 0, 0, 0))",
+    "subtractyears": lambda a: f"({a[0]} - make_interval({a[1]}, 0, 0, 0, 0, 0, 0))",
+    # CH dateAdd('day', n, ts) — unit arrives as a quoted string; Spark's
+    # timestampadd needs the bare keyword
+    "dateadd": lambda a: (
+        f"timestampadd({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})"
+        if len(a) == 3
+        else f"date_add({a[0]}, {a[1]})"
+    ),
+    "datesub": lambda a: (
+        f"timestampadd({a[0].strip(chr(39)).upper()}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else f"date_sub({a[0]}, {a[1]})"
+    ),
     "formatdatetime": _format_datetime,
     "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
     "age": lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
@@ -374,6 +395,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
+    # arithmetic function forms
+    "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
+    "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
+    "multiply": lambda a: f"(({a[0]}) * ({a[1]}))",
+    "divide": lambda a: f"(({a[0]}) / ({a[1]}))",
+    "negate": lambda a: f"(-({a[0]}))",
+    "exp2": lambda a: f"power(2, {a[0]})",
+    "intexp2": lambda a: f"CAST(power(2, {a[0]}) AS BIGINT)",
+    # first-occurrence-only replacements (Spark's replace/regexp_replace
+    # replace ALL) — overlay at the first match position; backreferences in
+    # the replacement are not supported
+    "replaceone": lambda a: (
+        f"CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN overlay({a[0]}, {a[2]},"
+        f" instr({a[0]}, {a[1]}), length({a[1]})) ELSE {a[0]} END"
+    ),
+    "replaceregexpone": lambda a: (
+        f"CASE WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN overlay({a[0]}, {a[2]},"
+        f" regexp_instr({a[0]}, {a[1]}),"
+        f" length(regexp_extract({a[0]}, {a[1]}, 0))) ELSE {a[0]} END"
+    ),
+    "splitbynonalpha": lambda a: (
+        f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
+    ),
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
     "intdivorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) div ({a[1]}))",
     "moduloorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))",

@@ -399,3 +399,40 @@ def test_array_manipulation_family(spark):
         one("SELECT toUnixTimestamp64Milli(TIMESTAMP '2024-01-01 00:00:00')")
         == 1704067200000
     )
+
+
+def test_arithmetic_and_first_occurrence_family(spark):
+    """Round-4 landmine fixes: function-form arithmetic, add/subtract
+    interval family (time-of-day preserved), dateAdd/dateSub with quoted
+    units, first-occurrence-only replace, splitByNonAlpha, mapFromArrays."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    def one(sql):
+        v = spark.sql(translate(sql)).collect()[0][0]
+        return list(v) if isinstance(v, (list, tuple)) else v
+
+    assert one("SELECT plus(1, 2)") == 3
+    assert one("SELECT minus(3, 1)") == 2
+    assert one("SELECT multiply(2, 3)") == 6
+    assert one("SELECT divide(6, 3)") == 2.0
+    assert one("SELECT negate(5)") == -5
+    assert one("SELECT exp2(3)") == 8.0
+    assert one("SELECT intExp2(10)") == 1024
+    ts = "TIMESTAMP '2024-02-29 10:30:00'"
+    assert one(f"SELECT CAST(addWeeks({ts}, 1) AS STRING)") == "2024-03-07 10:30:00"
+    # month/year arithmetic keeps the time of day (add_months would drop it)
+    assert one(f"SELECT CAST(subtractYears({ts}, 1) AS STRING)") == "2023-02-28 10:30:00"
+    assert one(f"SELECT CAST(addMonths({ts}, 1) AS STRING)") == "2024-03-29 10:30:00"
+    assert one(
+        "SELECT CAST(dateAdd('day', 3, TIMESTAMP '2024-01-01 00:00:00') AS STRING)"
+    ) == "2024-01-04 00:00:00"
+    assert one(
+        "SELECT CAST(dateSub('hour', 2, TIMESTAMP '2024-01-01 10:00:00') AS STRING)"
+    ) == "2024-01-01 08:00:00"
+    # first-occurrence-only (Spark builtins replace ALL)
+    assert one("SELECT replaceOne('aaa', 'a', 'b')") == "baa"
+    assert one("SELECT replaceOne('xyz', 'q', 'b')") == "xyz"
+    assert one("SELECT replaceRegexpOne('a1b2', '[0-9]', '')") == "ab2"
+    assert one("SELECT replaceRegexpAll('a1b2', '[0-9]', '')") == "ab"
+    assert one("SELECT splitByNonAlpha('ab1./cd')") == ["ab1", "cd"]
+    assert one("SELECT mapFromArrays(['a'], [1])['a']") == 1
