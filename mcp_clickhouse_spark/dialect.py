@@ -395,6 +395,27 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
+    # bit operations (CH function forms → Spark operators/builtins)
+    "bitand": lambda a: f"(({a[0]}) & ({a[1]}))",
+    "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",
+    "bitxor": lambda a: f"(({a[0]}) ^ ({a[1]}))",
+    "bitnot": lambda a: f"(~({a[0]}))",
+    "bitshiftleft": lambda a: f"shiftleft({a[0]}, {a[1]})",
+    "bitshiftright": lambda a: f"shiftright({a[0]}, {a[1]})",
+    # float classification
+    "isnan": lambda a: f"isnan({a[0]})",
+    "isfinite": lambda a: (
+        f"(NOT isnan({a[0]}) AND abs({a[0]}) != double('Infinity'))"
+    ),
+    "isinfinite": lambda a: f"(abs({a[0]}) = double('Infinity'))",
+    "ifnotfinite": lambda a: (
+        f"CASE WHEN NOT isnan({a[0]}) AND abs({a[0]}) != double('Infinity')"
+        f" THEN {a[0]} ELSE {a[1]} END"
+    ),
+    "totypename": lambda a: f"typeof({a[0]})",
+    "arraystringconcat": lambda a: (
+        f"array_join({a[0]}, {a[1] if len(a) > 1 else repr('')})"
+    ),
     # arithmetic function forms
     "plus": lambda a: f"(({a[0]}) + ({a[1]}))",
     "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
@@ -497,6 +518,34 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" CAST(({a[0]}) % 256 AS STRING))"
     ),
 }
+
+# to<T>OrNull / to<T>OrZero conversion families → try_cast (NULL on failure,
+# which is exactly the OrNull contract; OrZero coalesces the miss to the
+# type's zero).  Generated for every numeric/date type in TYPE_MAP so e.g.
+# toInt64OrNull('x') and toUInt32OrZero(s) both translate.
+_OR_NULL_ZERO = {
+    "int8": "TINYINT", "int16": "SMALLINT", "int32": "INT", "int64": "BIGINT",
+    "uint8": "SMALLINT", "uint16": "INT", "uint32": "BIGINT",
+    "uint64": "DECIMAL(20,0)", "float32": "FLOAT", "float64": "DOUBLE",
+    "date": "DATE", "datetime": "TIMESTAMP",
+}
+
+
+def _gen_or_null_zero() -> None:
+    for ch_t, spark_t in _OR_NULL_ZERO.items():
+        TEMPLATES[f"to{ch_t}ornull"] = (
+            lambda a, _t=spark_t: f"try_cast({a[0]} AS {_t})"
+        )
+        zero = "NULL" if spark_t in ("DATE", "TIMESTAMP") else "0"
+        if zero != "NULL":  # OrZero is numeric-only in ClickHouse
+            TEMPLATES[f"to{ch_t}orzero"] = (
+                lambda a, _t=spark_t, _z=zero: (
+                    f"coalesce(try_cast({a[0]} AS {_t}), CAST({_z} AS {_t}))"
+                )
+            )
+
+
+_gen_or_null_zero()
 
 # Parametric aggregates: name(params)(args) → Spark SQL.
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {

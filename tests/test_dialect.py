@@ -436,3 +436,33 @@ def test_arithmetic_and_first_occurrence_family(spark):
     assert one("SELECT replaceRegexpAll('a1b2', '[0-9]', '')") == "ab"
     assert one("SELECT splitByNonAlpha('ab1./cd')") == ["ab1", "cd"]
     assert one("SELECT mapFromArrays(['a'], [1])['a']") == 1
+
+
+def test_bit_finiteness_conversion_family(spark):
+    """Round-4 breadth: bit-op function forms, float classification,
+    toTypeName, arrayStringConcat, and the to*OrNull/OrZero families."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    def one(sql):
+        return spark.sql(translate(sql)).collect()[0][0]
+
+    assert one("SELECT bitAnd(12, 10)") == 8
+    assert one("SELECT bitOr(12, 10)") == 14
+    assert one("SELECT bitXor(12, 10)") == 6
+    assert one("SELECT bitNot(0)") == -1
+    assert one("SELECT bitShiftLeft(1, 4)") == 16
+    assert one("SELECT bitShiftRight(16, 4)") == 1
+    assert one("SELECT isNaN(sqrt(-1.0))") is True
+    assert one("SELECT isFinite(1.5)") is True
+    assert one("SELECT isInfinite(double('Infinity'))") is True
+    assert one("SELECT isInfinite(1.0)") is False
+    assert one("SELECT ifNotFinite(double('Infinity'), 99.0)") == 99.0
+    assert one("SELECT toTypeName(1)") == "int"
+    assert one("SELECT arrayStringConcat(['a','b'])") == "ab"
+    assert one("SELECT arrayStringConcat(['a','b'], '-')") == "a-b"
+    assert one("SELECT toInt64OrNull('abc')") is None
+    assert one("SELECT toInt64OrNull('42')") == 42
+    assert one("SELECT toInt64OrZero('abc')") == 0
+    assert one("SELECT toFloat64OrNull('1.5')") == 1.5
+    assert one("SELECT toUInt32OrZero('x')") == 0
+    assert one("SELECT toDateOrNull('nope')") is None
