@@ -456,10 +456,15 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" / cardinality({a[0]}))"
     ),
     "arrayenumerate": lambda a: f"sequence(1, cardinality({a[0]}))",
-    "arrayfirst": lambda a: f"element_at(filter({a[1]}, {a[0]}), 1)",
-    "arraylast": lambda a: f"element_at(filter({a[1]}, {a[0]}), -1)",
+    # try_element_at, not element_at: under ANSI mode (Spark 4.1 default)
+    # element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty filter
+    # result, i.e. whenever no element matches. CH returns the type's default
+    # value there; NULL is the closest type-generic translation (and for
+    # arrayFirstIndex the coalesce(..., 0) then gives exact CH parity).
+    "arrayfirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
+    "arraylast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
     "arrayfirstindex": lambda a: (
-        f"coalesce(array_position({a[1]}, element_at(filter({a[1]}, {a[0]}), 1)), 0)"
+        f"coalesce(array_position({a[1]}, try_element_at(filter({a[1]}, {a[0]}), 1)), 0)"
     ),
     "arraycount": lambda a: (
         f"size(filter({a[1]}, {a[0]}))"

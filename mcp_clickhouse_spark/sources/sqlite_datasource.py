@@ -14,6 +14,15 @@ Usage:
           .option("path", "/data/app.db").option("table", "events").load())
     df.where("user_id = 7")   # WHERE user_id = 7 runs inside SQLite
 
+Column pruning: Spark 4.1's PythonScanBuilder implements only
+SupportsPushDownFilters (verified via javap — no
+SupportsPushDownRequiredColumns), so Catalyst always hands ``reader()`` the
+full table schema and automatic pruning is impossible at this API level.
+The reader therefore (a) SELECTs exactly the schema it is given — if a
+future Spark prunes, the SQL narrows for free — and (b) honors an explicit
+``columns`` option ("a,b") so callers can bound SQLite→Arrow transfer today.
+A ``traceFile`` option appends each executor-side SELECT for test assertions.
+
 Scale notes: identical to sqlite_native — the file is a single-host
 artifact; ranges bound per-task work, pushdown bounds per-task I/O.
 """
@@ -65,7 +74,17 @@ def _sql_literal(v) -> str:
 
 
 def _like_escape(s: str) -> str:
-    return str(s).replace("\\", "\\\\").replace("%", r"\%").replace("_", r"\_")
+    # Two escaping layers, both required: LIKE-metachar escaping (backslash,
+    # declared via ESCAPE '\') and SQL string-literal quote doubling — without
+    # the latter, startswith("O'Brien") generated `LIKE 'O'Brien%'` (malformed
+    # SQL / literal injection).
+    return (
+        str(s)
+        .replace("\\", "\\\\")
+        .replace("%", r"\%")
+        .replace("_", r"\_")
+        .replace("'", "''")
+    )
 
 
 def _translate(f: Filter) -> str | None:
@@ -117,6 +136,13 @@ class SqliteDataSource(DataSource):
             cols = con.execute(f"PRAGMA table_info({_quote(table)})").fetchall()
         if not cols:
             raise ValueError(f"sqlite table {table!r} not found in {path}")
+        want = [c.strip() for c in str(self.options.get("columns", "")).split(",") if c.strip()]
+        if want:
+            by_name = {c[1]: c for c in cols}
+            missing = [c for c in want if c not in by_name]
+            if missing:
+                raise ValueError(f"sqlite columns {missing} not in table {table!r}")
+            cols = [by_name[c] for c in want]
         return T.StructType([T.StructField(c[1], _spark_type(c[2]), True) for c in cols])
 
     def reader(self, schema: StructType) -> "SqliteReader":
@@ -128,8 +154,21 @@ class SqliteReader(DataSourceReader):
         self.path = options["path"]
         self.table = options["table"]
         self.n_parts = int(options.get("numPartitions", 8) or 8)
-        self.columns = [f.name for f in schema.fields]
+        # `schema` is whatever Spark asks this reader to produce; read() SELECTs
+        # exactly these columns, so a pruned ask never transfers extra columns
+        # out of SQLite. A `columns` option narrows it further explicitly.
+        want = [c.strip() for c in str(options.get("columns", "")).split(",") if c.strip()]
+        names = [f.name for f in schema.fields]
+        self.columns = [c for c in names if c in want] if want else names
+        # Debug/test hook: append every executor-side SELECT to this file so
+        # tests can assert what actually ran inside SQLite (pushdown, pruning).
+        self.trace_file = options.get("traceFile") or None
         self.where: list[str] = []
+
+    def _trace(self, sql: str) -> None:
+        if self.trace_file:
+            with open(self.trace_file, "a") as fh:
+                fh.write(sql + "\n")
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
         for f in filters:
@@ -159,12 +198,12 @@ class SqliteReader(DataSourceReader):
     def read(self, partition: _RowidRange):
         if partition.hi <= partition.lo:
             return
-        sel = ", ".join(_quote(c) for c in self.columns)
+        sel = ", ".join(_quote(c) for c in self.columns) if self.columns else "1"
         cond = (" AND " + " AND ".join(self.where)) if self.where else ""
+        sql = (
+            f"SELECT {sel} FROM {_quote(self.table)}"
+            f" WHERE rowid >= ? AND rowid < ?{cond}"
+        )
+        self._trace(sql)
         with sqlite3.connect(f"file:{self.path}?mode=ro", uri=True) as con:
-            cur = con.execute(
-                f"SELECT {sel} FROM {_quote(self.table)}"
-                f" WHERE rowid >= ? AND rowid < ?{cond}",
-                (partition.lo, partition.hi),
-            )
-            yield from cur
+            yield from con.execute(sql, (partition.lo, partition.hi))

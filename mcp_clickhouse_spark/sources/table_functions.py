@@ -250,14 +250,25 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
     from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
 
     def _in_string(s: str, pos: int) -> bool:
+        # Spark SQL string literals support BOTH backslash escapes ('O\'Brien')
+        # and SQL quote doubling ('O''Brien'); the previous scanner knew only
+        # backslash and read s[-1] when a literal opened at i=0.
         quote = None
-        for i in range(pos):
+        i = 0
+        while i < pos:
             ch = s[i]
             if quote:
-                if ch == quote and s[i - 1] != "\\":
+                if ch == "\\" and i + 1 < len(s):
+                    i += 2  # backslash escape consumes the next char
+                    continue
+                if ch == quote:
+                    if i + 1 < len(s) and s[i + 1] == quote:
+                        i += 2  # '' doubling stays inside the literal
+                        continue
                     quote = None
             elif ch in ("'", '"'):
                 quote = ch
+            i += 1
         return quote is not None
 
     out = sql

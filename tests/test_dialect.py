@@ -377,6 +377,13 @@ def test_array_manipulation_family(spark):
 
     assert one("SELECT arrayFirst(x -> x > 2, [1,3,4])") == 3
     assert one("SELECT arrayLast(x -> x > 2, [1,3,4])") == 4
+    # no-match must NOT raise INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI
+    # (ADVICE r5: element_at(…, 1) on the empty filter result throws);
+    # CH returns the type default, we return NULL / index 0
+    assert one("SELECT arrayFirst(x -> x > 9, [1,3,4])") is None
+    assert one("SELECT arrayLast(x -> x > 9, [1,3,4])") is None
+    assert one("SELECT arrayFirstIndex(x -> x > 3, [1,3,4])") == 3
+    assert one("SELECT arrayFirstIndex(x -> x > 9, [1,3,4])") == 0
     assert one("SELECT arrayCount(x -> x > 2, [1,3,4])") == 2
     assert one("SELECT arrayCount([0,1,2,0])") == 2
     assert one("SELECT hasAll([1,2,3], [1,3])") is True

@@ -234,6 +234,29 @@ def test_sql_table_function_ignores_string_literals(spark):
     assert res["rows"] == [["join numbers(3)"], ["join numbers(3)"]]
 
 
+def test_sql_table_function_string_escapes(spark):
+    """Quote tracking must understand BOTH Spark backslash escapes and SQL ''
+    doubling: a fake `from numbers(…)` inside such literals must NOT bind, and
+    a real one after them must still bind (ADVICE r4: the old scanner used a
+    backslash-only rule and read s[-1] at i=0)."""
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    # '' doubling: literal contains "it's from numbers(9)" — not a table call
+    res = run_select_query(
+        spark, "SELECT 'it''s from numbers(9)' AS s FROM numbers(2)"
+    )
+    assert res["rows"] == [["it's from numbers(9)"], ["it's from numbers(9)"]]
+    # backslash-quote inside a literal, then a REAL call that must bind
+    res = run_select_query(
+        spark, "SELECT 'a\\' from numbers(1)' AS s FROM numbers(3)"
+    )
+    assert res["rows"] == [["a' from numbers(1)"]] * 3
+    # literal opening at position 0 of the fragment after SELECT must not
+    # trip the i==0 lookbehind; real call still binds
+    res = run_select_query(spark, "SELECT '' AS s, number FROM numbers(1)")
+    assert res["rows"] == [["", 0]]
+
+
 def test_sqlite_python_datasource_with_pushdown(spark, tmp_path):
     """SQLite via the official PySpark Python Data Source API: filters push
     into SQLite as WHERE clauses (pushFilters, Spark 4.1), untranslatable
@@ -274,3 +297,106 @@ def test_sqlite_python_datasource_with_pushdown(spark, tmp_path):
     rd = SqliteReader({"path": db, "table": "ev"}, df.schema)
     leftover = list(rd.pushFilters([EqualTo(("uid",), 3)]))
     assert leftover == [] and rd.where == ['"uid" = 3']
+
+
+def test_sqlite_pushdown_like_quote_escape(spark, tmp_path):
+    """LIKE pushdown must double single quotes in the pattern: a value like
+    O'Brien previously generated `LIKE 'O'Brien%'` — malformed SQL and a
+    string-literal injection vector (ADVICE r4)."""
+    import sqlite3
+
+    from mcp_clickhouse_spark.sources.sqlite_datasource import (
+        SqliteDataSource,
+        _translate,
+    )
+    from pyspark.sql.datasource import (
+        StringContains,
+        StringEndsWith,
+        StringStartsWith,
+    )
+
+    # unit: all three LIKE shapes double quotes and keep metachar escaping
+    assert _translate(StringStartsWith(("n",), "O'Brien")) == (
+        "\"n\" LIKE 'O''Brien%' ESCAPE '\\'"
+    )
+    assert _translate(StringEndsWith(("n",), "O'Brien")) == (
+        "\"n\" LIKE '%O''Brien' ESCAPE '\\'"
+    )
+    assert _translate(StringContains(("n",), "100%_O'B")) == (
+        "\"n\" LIKE '%100\\%\\_O''B%' ESCAPE '\\'"
+    )
+
+    # e2e: the pushed filter executes inside SQLite without error
+    db = str(tmp_path / "q.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE people (name TEXT)")
+        con.executemany(
+            "INSERT INTO people VALUES (?)",
+            [("O'Brien",), ("O'Connor",), ("Smith",), ("D'Arcy 100%",)],
+        )
+    spark.dataSource.register(SqliteDataSource)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    trace = str(tmp_path / "trace.sql")
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "people")
+        .option("traceFile", trace)
+        .option("numPartitions", "1")
+        .load()
+    )
+    got = sorted(r.name for r in df.where(F.col("name").startswith("O'")).collect())
+    assert got == ["O'Brien", "O'Connor"]
+    assert "LIKE 'O''%'" in open(trace).read()  # executed inside SQLite
+    got = [r.name for r in df.where(F.col("name").endswith("100%")).collect()]
+    assert got == ["D'Arcy 100%"]
+    got = [r.name for r in df.where(F.col("name").contains("'Brien")).collect()]
+    assert got == ["O'Brien"]
+
+
+def test_sqlite_datasource_column_pruning(spark, tmp_path):
+    """Spark 4.1's Python DS API has no SupportsPushDownRequiredColumns
+    (PythonScanBuilder implements only SupportsPushDownFilters), so automatic
+    pruning can't reach the reader; the `columns` option bounds the
+    SQLite→Arrow transfer explicitly, and read() always SELECTs exactly the
+    schema it is handed (future-proof if Spark ever prunes)."""
+    import sqlite3
+
+    from mcp_clickhouse_spark.sources.sqlite_datasource import SqliteDataSource
+
+    db = str(tmp_path / "p.db")
+    with sqlite3.connect(db) as con:
+        con.execute("CREATE TABLE wide (a INTEGER, b TEXT, c REAL, d TEXT)")
+        con.executemany(
+            "INSERT INTO wide VALUES (?, ?, ?, ?)",
+            [(i, f"b{i}", i * 0.5, f"d{i}") for i in range(20)],
+        )
+    spark.dataSource.register(SqliteDataSource)
+    trace = str(tmp_path / "trace.sql")
+    df = (
+        spark.read.format("sqlite")
+        .option("path", db)
+        .option("table", "wide")
+        .option("columns", "b, a")
+        .option("traceFile", trace)
+        .option("numPartitions", "2")
+        .load()
+    )
+    # schema is narrowed to the requested columns, in the requested order
+    # (schema() applies the option, so Spark's expected output matches)
+    assert [f.name for f in df.schema.fields] == ["b", "a"]
+    rows = df.collect()
+    assert len(rows) == 20 and rows[0].asDict().keys() == {"b", "a"}
+    # the executed SQLite SQL names ONLY the requested columns
+    executed = open(trace).read().strip().splitlines()
+    assert executed and all(s.startswith('SELECT "b", "a" FROM "wide"') for s in executed)
+    assert all('"c"' not in s and '"d"' not in s for s in executed)
+    # unknown column fails loudly at schema time
+    with pytest.raises(Exception, match="not in table"):
+        (
+            spark.read.format("sqlite")
+            .option("path", db)
+            .option("table", "wide")
+            .option("columns", "nope")
+            .load()
+        )
