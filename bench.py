@@ -84,22 +84,29 @@ def main() -> None:
         except Exception:  # pragma: no cover — pre-Arrow fallback
             df.collect()
 
-    # Standard power-run protocol: one untimed warm run (JIT/codegen/page
-    # cache), then best-of-2 timed runs (local-JVM GC makes single shots
-    # noisy ±50%). Cache cleared between runs so persisted intermediates
-    # (e.g. the MinHash banded frame) never carry over.
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = qs[name]
-        materialize(fn(spark, sf_dir))
+    # Interleaved power-run protocol: one untimed warm pass over the whole
+    # list (JIT/codegen/page cache), then THREE timed rounds of the full
+    # list (A/B/C), per-query result = min across rounds.  Interleaving is
+    # the load-noise defense: a transient CPU spike contaminates one round,
+    # not every consecutive sample of one query — back-to-back best-of-2
+    # swung ±25-40% under round-end system load and masked real wins
+    # (r4 verdict).  Per-query spread (max−min) is emitted so external load
+    # shows up as data instead of as a fake regression.  Cache cleared
+    # between runs so persisted intermediates (e.g. the MinHash banded
+    # frame) never carry over.
+    ROUNDS = 3
+    samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for name in HEADLINE:  # warm pass
+        materialize(qs[name](spark, sf_dir))
         spark.catalog.clearCache()
-        best = float("inf")
-        for _ in range(2):
+    for _ in range(ROUNDS):
+        for name in HEADLINE:
             t0 = time.perf_counter()
-            materialize(fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
+            materialize(qs[name](spark, sf_dir))
+            samples[name].append(time.perf_counter() - t0)
             spark.catalog.clearCache()
-        times[name] = round(best, 3)
+    times = {name: round(min(s), 3) for name, s in samples.items()}
+    spread = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
 
     print(
         json.dumps(
@@ -108,6 +115,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "spread": spread,
+                "rounds": ROUNDS,
                 "sf": sf,
             }
         )

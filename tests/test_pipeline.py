@@ -197,10 +197,10 @@ def test_release_persisted_clears_registry(spark, docs):
     sigs = minhash_signatures(docs, num_hashes=32)
     cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
     jaccard_verify(cand, docs, threshold=0.5).collect()
-    assert len(dd._PERSISTED) >= 2  # banded frame + shingle frame
+    assert len(dd._REG.persisted) >= 2  # banded frame + shingle frame
     released = dd.release_persisted()
     assert released >= 2
-    assert dd._PERSISTED == []
+    assert dd._REG.persisted == []
 
 
 def test_spread_cache_is_bounded(spark):
@@ -208,11 +208,37 @@ def test_spread_cache_is_bounded(spark):
 
     frames = [
         spark.createDataFrame([(i, "x")], "doc_id long, text string")
-        for i in range(dd._SPREAD_CACHE_MAX + 5)
+        for i in range(dd._FrameRegistry.SPREAD_MAX + 5)
     ]
     for f in frames:
         dd._spread(f)
-    assert len(dd._SPREAD_CACHE) <= dd._SPREAD_CACHE_MAX
+    assert len(dd._REG.spread) <= dd._FrameRegistry.SPREAD_MAX
+
+
+def test_registry_eviction_drops_dependent_spread_memos(spark):
+    """The unified registry's coupling rule (r4 verdict 'double-bookkeeping'):
+    unpersisting a frame — by FIFO eviction or release() — must also drop any
+    spread memo keyed on that frame, so the memo can never serve an output
+    whose persisted parent silently lost its cache."""
+    from mcp_clickhouse_spark.pipeline import dedup as dd
+
+    dd.release_persisted()
+    pinned = dd._persist(spark.createDataFrame([(1, "a b c")], "doc_id long, text string"))
+    spread_out = dd._spread(pinned, by="doc_id")
+    key = (id(pinned.sparkSession), id(pinned), "doc_id")
+    assert dd._REG.spread[key][1] is spread_out
+    # FIFO-evict `pinned` by filling the persist registry past its cap
+    for i in range(dd._FrameRegistry.PERSIST_MAX):
+        dd._persist(spark.range(2).selectExpr(f"id + {i} AS x"))
+    assert pinned not in dd._REG.persisted
+    assert key not in dd._REG.spread  # memo went with it
+    # and release() purges memos of every frame it unpersists
+    pinned2 = dd._persist(spark.createDataFrame([(2, "x y")], "doc_id long, text string"))
+    dd._spread(pinned2, by="doc_id")
+    key2 = (id(pinned2.sparkSession), id(pinned2), "doc_id")
+    assert key2 in dd._REG.spread
+    dd.release_persisted()
+    assert key2 not in dd._REG.spread and dd._REG.persisted == []
 
 
 def test_multimodal_audio_features(docs):
@@ -271,7 +297,7 @@ def test_persist_registry_self_bounds(spark):
 
     dd.release_persisted()
     df = spark.range(10)
-    for _ in range(dd._PERSISTED_MAX + 5):
+    for _ in range(dd._FrameRegistry.PERSIST_MAX + 5):
         dd._persist(df.selectExpr("id * 2 AS x"))
-    assert len(dd._PERSISTED) <= dd._PERSISTED_MAX
+    assert len(dd._REG.persisted) <= dd._FrameRegistry.PERSIST_MAX
     dd.release_persisted()
