@@ -71,6 +71,17 @@ def main() -> None:
         app_name="mcp-clickhouse-spark-bench",
         shuffle_partitions=int(partitions),
     )
+    # Adaptive execution is sized to the data like the shuffle partitions
+    # are: AQE's value is runtime re-planning (skew splits, broadcast
+    # conversion, partition coalescing) on plans whose statistics are wrong
+    # at scale — but it materializes a scheduler job per exchange, a fixed
+    # ~50-150 ms tax per query stage that dominates when the whole input is
+    # megabytes.  A/B (scripts/floor_probe.py, interleaved min-of-3): AQE off
+    # is faster on EVERY headline query at sf0.1 — q1 0.56→0.34,
+    # join_star 0.82→0.58, total −1.5 s.  At ≥1 GiB input the tax vanishes
+    # into real work and AQE stays on, which is the 100 TB configuration.
+    if total_bytes < (1 << 30):
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     qs = entrymod.queries()
 
     # Materialize via Arrow (df.toArrow): the full result set crosses the
@@ -95,10 +106,16 @@ def main() -> None:
     # between runs so persisted intermediates (e.g. the MinHash banded
     # frame) never carry over.
     ROUNDS = 3
+    WARM_PASSES = 6  # sub-second queries keep speeding up through ~6-9 JVM
+    # executions as C2 finishes compiling the generated code; measured on
+    # this box: 1 warm pass → 8.5 s total, 3 → 7.8 s, 6 → 6.8 s.  6 untimed
+    # passes + 3 timed rounds ≈ steady state, matching the warm best-of-N
+    # protocol the DuckDB baseline is timed under.
     samples: dict[str, list[float]] = {name: [] for name in HEADLINE}
-    for name in HEADLINE:  # warm pass
-        materialize(qs[name](spark, sf_dir))
-        spark.catalog.clearCache()
+    for _ in range(WARM_PASSES):
+        for name in HEADLINE:
+            materialize(qs[name](spark, sf_dir))
+            spark.catalog.clearCache()
     for _ in range(ROUNDS):
         for name in HEADLINE:
             t0 = time.perf_counter()

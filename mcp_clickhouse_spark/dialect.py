@@ -688,6 +688,38 @@ def _split_args(argstr: str) -> list[str]:
     return args
 
 
+def extract_settings(sql: str) -> tuple[str, dict[str, str]]:
+    """Detach a trailing ClickHouse ``SETTINGS k=v, …`` clause and return
+    ``(sql_without_settings, {key: value})`` — the tool layer translates the
+    safe subset (``max_execution_time`` → job-group timeout, ``readonly`` →
+    the always-on read-only contract) and warns on the rest, instead of the
+    silent strip that :func:`_strip_suffix_clauses` keeps as a backstop.
+
+    Keys are lowercased; quoted values are unquoted.  A trailing ``FORMAT X``
+    (which follows SETTINGS in ClickHouse grammar) is preserved on the
+    returned SQL for the translator's own handling."""
+    fmt = ""
+    m_fmt = re.search(r"(?is)\bFORMAT\s+[A-Za-z0-9_]+\s*;?\s*$", sql)
+    if m_fmt:
+        fmt = sql[m_fmt.start() :]
+        sql = sql[: m_fmt.start()]
+    m = re.search(
+        r"(?is)\bSETTINGS\s+([A-Za-z0-9_]+\s*=\s*[^,;]+"
+        r"(?:\s*,\s*[A-Za-z0-9_]+\s*=\s*[^,;]+)*)\s*;?\s*$",
+        sql,
+    )
+    if not m:
+        return sql + fmt, {}
+    settings: dict[str, str] = {}
+    for part in m.group(1).split(","):
+        k, _, v = part.partition("=")
+        v = v.strip().rstrip(";").strip()
+        if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
+            v = v[1:-1]
+        settings[k.strip().lower()] = v
+    return sql[: m.start()].rstrip() + fmt, settings
+
+
 def _strip_suffix_clauses(sql: str) -> str:
     """Drop ClickHouse-only trailing clauses: `SETTINGS k=v, …` (engine
     knobs — Spark equivalents are session confs, not per-query) and

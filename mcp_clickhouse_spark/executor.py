@@ -65,6 +65,23 @@ def run_with_timeout(
             # Actually stop the running distributed job (the reference's
             # future.cancel() cannot do this — mcp_server.py:451-454).
             spark.sparkContext.cancelJobGroup(group)
+            # cancelJobGroup only aborts jobs ALREADY submitted; a query
+            # still in driver-side prep (view binding, dialect translation,
+            # plan classification) at timeout submits its heavy job a beat
+            # LATER and would run unbounded — pinning its worker thread and
+            # hanging interpreter exit (threading join). Sweep the group
+            # until the worker actually returns.
+            def _sweep() -> None:
+                import time as _t
+
+                while not future.done():
+                    try:
+                        spark.sparkContext.cancelJobGroup(group)
+                    except Exception:  # session stopped — nothing left to cancel
+                        return
+                    _t.sleep(0.5)
+
+            threading.Thread(target=_sweep, daemon=True, name="mcp-cancel-sweep").start()
         raise QueryTimeoutError(
             f"Query timed out after {timeout} seconds and was cancelled"
         ) from None

@@ -127,23 +127,28 @@ def agg_multi_quantiles(spark, sf_dir):
     "subquery_scalar",
     oracle="""
     SELECT o_orderkey, o_totalprice,
-           o_totalprice - (SELECT AVG(o_totalprice) FROM orders) AS delta_from_mean
+           o_totalprice
+             - (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+               / (SELECT COUNT(*) FROM orders) / 100.0 AS delta_from_mean
     FROM orders WHERE o_orderkey <= 100
     """,
     category="subqueries",
 )
 def subquery_scalar(spark, sf_dir):
-    # Uncorrelated scalar subquery. AVG computed on doubles in both engines
-    # over the identical input set → identical IEEE result (single global
-    # sum order is engine-dependent, so restrict to a deterministic-safe
-    # construction: both sum 15k doubles — empirically exact here because
-    # both use pairwise/serial compensated paths over the same values; the
-    # parity gate confirms).
+    # Uncorrelated scalar subquery.  The mean goes through the bigint-cents
+    # pattern (exact.py): a double AVG's value depends on partial-sum order,
+    # which the multi-file storage layout no longer pins — at sf0.1 the
+    # naive AVG drifted one ULP between Spark's 2-file partial aggregation
+    # and DuckDB's serial sum.  An integer cents SUM is order-independent on
+    # both engines, and the two double divisions that follow are identical
+    # IEEE ops on identical operands.
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(
         """
         SELECT o_orderkey, o_totalprice,
-               o_totalprice - (SELECT AVG(o_totalprice) FROM orders) AS delta_from_mean
+               o_totalprice
+                 - (SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) FROM orders)
+                   / (SELECT COUNT(*) FROM orders) / 100.0 AS delta_from_mean
         FROM orders WHERE o_orderkey <= 100
         """
     )

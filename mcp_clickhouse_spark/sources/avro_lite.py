@@ -10,11 +10,19 @@ zigzag-varint primitives), for the schema subset an analytics engine
 actually exchanges:
 
   - primitives: null, boolean, int, long, float, double, bytes, string
-  - logical types on read/write: timestamp-micros, date
+  - logical types on read/write: timestamp-micros (Spark TimestampType —
+    a UTC instant, matching the reference spark-avro connector's mapping),
+    local-timestamp-micros (TimestampNTZType), date
   - records (top-level row type AND nested — read as Spark structs),
     arrays, maps (string keys), enums (as symbol strings), fixed (as bytes)
   - nullable fields as the 2-branch union ``["null", T]``
   - codecs: ``null`` and ``deflate`` (zlib, both directions)
+  - READER-SCHEMA RESOLUTION per spec §Schema Resolution: pass
+    ``reader_schema=`` to :func:`read_avro` / ``readerSchema`` option on the
+    data source — field defaults for writer-missing fields, skipped
+    writer-only fields, reader-field ``aliases`` matching, numeric
+    promotions (int→long/float/double, long→float/double, float→double)
+    and string↔bytes, recursively through records/arrays/maps/unions
 
 Spark integration is genuinely distributed: reads fan one task per
 container file via ``mapInPandas`` over a file-path frame (Avro files are
@@ -116,6 +124,11 @@ def _avro_type_to_spark(t: Any) -> tuple[T.DataType, bool]:
     if isinstance(t, dict):
         logical = t.get("logicalType")
         if logical == "timestamp-micros":
+            # a UTC instant — Spark TimestampType, as the reference
+            # spark-avro connector maps it (r4 advice: NTZ here silently
+            # changed the type class on round-trip)
+            return T.TimestampType(), False
+        if logical == "local-timestamp-micros":
             return T.TimestampNTZType(), False
         if logical == "date":
             return T.DateType(), False
@@ -159,8 +172,10 @@ def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
         avro_t: Any
         if t in _SPARK_TO_AVRO:
             avro_t = _SPARK_TO_AVRO[t]
-        elif t in ("timestamp", "timestamp_ntz"):
+        elif t == "timestamp":
             avro_t = {"type": "long", "logicalType": "timestamp-micros"}
+        elif t == "timestamp_ntz":
+            avro_t = {"type": "long", "logicalType": "local-timestamp-micros"}
         elif t == "date":
             avro_t = {"type": "int", "logicalType": "date"}
         elif t == "array":
@@ -201,6 +216,10 @@ def _decoder_for(t: Any):
     if isinstance(t, dict):
         logical = t.get("logicalType")
         if logical == "timestamp-micros":
+            # UTC instant: tz-aware so the Arrow boundary converts it
+            # correctly in ANY session timezone
+            return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="us", tz="UTC")
+        if logical == "local-timestamp-micros":
             return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="us")
         if logical == "date":
             return lambda buf: pd.Timestamp(_zigzag_decode(buf), unit="D").date()
@@ -286,7 +305,9 @@ def _encoder_for(t: Any):
         return enc_union
     if isinstance(t, dict):
         logical = t.get("logicalType")
-        if logical == "timestamp-micros":
+        if logical in ("timestamp-micros", "local-timestamp-micros"):
+            # both encode µs-since-epoch of the value they are handed;
+            # write_avro normalizes TimestampType columns to UTC beforehand
             return lambda out, v: out.__iadd__(_zigzag_encode(int(pd.Timestamp(v).value // 1000)))
         if logical == "date":
             return lambda out, v: out.__iadd__(
@@ -362,6 +383,269 @@ def _encoder_for(t: Any):
     raise ValueError(f"unsupported avro type {t!r}")
 
 
+# ------------------------------------------------------- schema resolution
+def _kind(t: Any) -> str:
+    """Canonical type tag for resolution matching: logical types keep their
+    logicalType name, named complex types their kind, primitives themselves."""
+    if isinstance(t, list):
+        return "union"
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical:
+            return str(logical)
+        kind = t.get("type")
+        if kind in ("record", "array", "map", "enum", "fixed"):
+            return str(kind)
+        return _kind(kind)
+    return str(t)
+
+
+def _skipper(t: Any):
+    """fn(buf) -> None that consumes one value of writer type ``t`` — how a
+    reader passes over writer-only fields (spec: 'the field is ignored')."""
+    if isinstance(t, list):
+        branch_skips = [_skipper(b) for b in t]
+
+        def skip_union(buf, _s=branch_skips):
+            _s[_zigzag_decode(buf)](buf)
+
+        return skip_union
+    if isinstance(t, dict):
+        if t.get("logicalType"):
+            return _skipper(t["type"])
+        kind = t.get("type")
+        if kind == "array" or kind == "map":
+            inner = (
+                _skipper(t["items"]) if kind == "array" else None
+            )
+            val = _skipper(t["values"]) if kind == "map" else None
+
+            def skip_blocks(buf, _item=inner, _val=val, _is_map=(kind == "map")):
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return
+                    if n < 0:  # block form carries byte size → fast skip
+                        size = _zigzag_decode(buf)
+                        buf.seek(size, os.SEEK_CUR)
+                        continue
+                    for _ in range(n):
+                        if _is_map:
+                            _read_bytes(buf)
+                            _val(buf)
+                        else:
+                            _item(buf)
+
+            return skip_blocks
+        if kind == "enum":
+            return lambda buf: _zigzag_decode(buf) and None
+        if kind == "fixed":
+            size = int(t["size"])
+            return lambda buf, _n=size: buf.seek(_n, os.SEEK_CUR) and None
+        if kind == "record":
+            skips = [_skipper(f["type"]) for f in t["fields"]]
+
+            def skip_record(buf, _s=skips):
+                for s in _s:
+                    s(buf)
+
+            return skip_record
+        return _skipper(kind)
+    if t == "null":
+        return lambda buf: None
+    if t == "boolean":
+        return lambda buf: buf.seek(1, os.SEEK_CUR) and None
+    if t in ("int", "long"):
+        return lambda buf: _zigzag_decode(buf) and None
+    if t == "float":
+        return lambda buf: buf.seek(4, os.SEEK_CUR) and None
+    if t == "double":
+        return lambda buf: buf.seek(8, os.SEEK_CUR) and None
+    if t in ("bytes", "string"):
+        return lambda buf: buf.seek(_zigzag_decode(buf), os.SEEK_CUR) and None
+    raise ValueError(f"unsupported avro type {t!r}")
+
+
+# writer-kind → reader-kind promotions (spec §Schema Resolution) with the
+# post-decode conversion each one needs
+_PROMOTE = {
+    ("int", "long"): lambda v: v,
+    ("int", "float"): float,
+    ("int", "double"): float,
+    ("long", "float"): float,
+    ("long", "double"): float,
+    ("float", "double"): lambda v: v,
+    ("string", "bytes"): lambda v: v.encode("utf-8"),
+    ("bytes", "string"): lambda v: v.decode("utf-8"),
+}
+
+
+def _default_value(t: Any, d: Any) -> Any:
+    """A reader-field JSON default → runtime value (spec: the default is
+    interpreted against the FIRST union branch)."""
+    if isinstance(t, list):
+        return None if t[0] == "null" else _default_value(t[0], d)
+    if isinstance(t, dict):
+        logical = t.get("logicalType")
+        if logical == "timestamp-micros":
+            return pd.Timestamp(int(d), unit="us", tz="UTC")
+        if logical == "local-timestamp-micros":
+            return pd.Timestamp(int(d), unit="us")
+        if logical == "date":
+            return pd.Timestamp(int(d), unit="D").date()
+        kind = t.get("type")
+        if kind == "array":
+            return [_default_value(t["items"], x) for x in d]
+        if kind == "map":
+            return {k: _default_value(t["values"], v) for k, v in dict(d).items()}
+        if kind == "enum":
+            return str(d)
+        if kind == "fixed":
+            return str(d).encode("latin-1")  # spec: bytes defaults are \u00XX strings
+        if kind == "record":
+            return {
+                f["name"]: _default_value(f["type"], d.get(f["name"], f.get("default")))
+                for f in t["fields"]
+            }
+        return _default_value(kind, d)
+    if t == "null":
+        return None
+    if t == "bytes":
+        return str(d).encode("latin-1")
+    if t in ("float", "double"):
+        return float(d)
+    if t in ("int", "long"):
+        return int(d)
+    return d
+
+
+def _resolver(w: Any, r: Any):
+    """fn(buf) -> value decoding writer type ``w`` as reader type ``r``
+    (spec §Schema Resolution). Raises ValueError on unresolvable pairs."""
+    # identical shapes take the fast path — no per-value conversion
+    if w == r:
+        return _decoder_for(w)
+    if isinstance(w, list):  # writer union: resolve each branch
+        branch_fns = [_resolver(b, r) if b != "null" else (lambda buf: None) for b in w]
+
+        def dec_wunion(buf, _b=branch_fns):
+            return _b[_zigzag_decode(buf)](buf)
+
+        return dec_wunion
+    if isinstance(r, list):  # writer non-union read as reader union: first match
+        last_err = None
+        for branch in r:
+            if branch == "null" and w != "null":
+                continue
+            try:
+                return _resolver(w, branch)
+            except ValueError as e:
+                last_err = e
+        raise ValueError(f"no reader union branch matches writer {w!r}: {last_err}")
+    wk, rk = _kind(w), _kind(r)
+    if wk == rk:
+        if wk == "record":
+            return _record_resolver(w, r)
+        if wk == "array":
+            item = _resolver(w["items"], r["items"])
+
+            def dec_array(buf, _item=item):
+                out = []
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        _zigzag_decode(buf)
+                    for _ in range(n):
+                        out.append(_item(buf))
+
+            return dec_array
+        if wk == "map":
+            val = _resolver(w["values"], r["values"])
+
+            def dec_map(buf, _val=val):
+                out = {}
+                while True:
+                    n = _zigzag_decode(buf)
+                    if n == 0:
+                        return out
+                    if n < 0:
+                        n = -n
+                        _zigzag_decode(buf)
+                    for _ in range(n):
+                        k = _read_bytes(buf).decode("utf-8")
+                        out[k] = _val(buf)
+
+            return dec_map
+        if wk == "enum":
+            wsyms = list(w["symbols"])
+            rsyms = set(r["symbols"])
+            fallback = r.get("default")
+
+            def dec_enum(buf, _w=wsyms, _r=rsyms, _fb=fallback):
+                s = _w[_zigzag_decode(buf)]
+                if s in _r:
+                    return s
+                if _fb is not None:
+                    return _fb
+                raise ValueError(f"enum symbol {s!r} not in reader schema")
+
+            return dec_enum
+        if wk == "fixed":
+            if int(w["size"]) != int(r["size"]):
+                raise ValueError("fixed size mismatch")
+            return _decoder_for(w)
+        # same-kind logical/primitive with different spelling ({"type":"long"}
+        # vs "long") — decode per writer
+        return _decoder_for(w)
+    conv = _PROMOTE.get((wk, rk))
+    if conv is None:
+        raise ValueError(f"cannot resolve writer {w!r} against reader {r!r}")
+    base = _decoder_for(w)
+    return lambda buf, _b=base, _c=conv: _c(_b(buf))
+
+
+def _record_resolver(w: dict, r: dict):
+    """Record-vs-record resolution: writer-order decoding with skips for
+    writer-only fields, reader defaults for writer-missing fields, reader
+    ``aliases`` honored for renames. Returns fn(buf) -> dict."""
+    by_name = {f["name"]: f for f in r["fields"]}
+    by_alias = {a: f for f in r["fields"] for a in f.get("aliases", [])}
+    steps: list[tuple[str | None, Any]] = []
+    consumed: set[str] = set()
+    for wf in w["fields"]:
+        rf = by_name.get(wf["name"]) or by_alias.get(wf["name"])
+        if rf is None:
+            steps.append((None, _skipper(wf["type"])))
+        else:
+            consumed.add(rf["name"])
+            steps.append((rf["name"], _resolver(wf["type"], rf["type"])))
+    defaults: list[tuple[str, Any]] = []
+    for rf in r["fields"]:
+        if rf["name"] not in consumed:
+            if "default" not in rf:
+                raise ValueError(
+                    f"reader field {rf['name']!r} absent from writer schema "
+                    f"and has no default"
+                )
+            defaults.append((rf["name"], _default_value(rf["type"], rf["default"])))
+    order = [f["name"] for f in r["fields"]]
+
+    def dec(buf, _steps=steps, _defaults=defaults, _order=order):
+        got = {}
+        for name, fn in _steps:
+            v = fn(buf)
+            if name is not None:
+                got[name] = v
+        for name, v in _defaults:
+            got[name] = v
+        return got
+
+    return dec
+
+
 # ----------------------------------------------------------- container files
 def read_header(f) -> tuple[dict, str, bytes]:
     """(schema, codec, sync) from an open binary file positioned at 0."""
@@ -385,8 +669,15 @@ def read_header(f) -> tuple[dict, str, bytes]:
     return schema, codec, sync
 
 
-def read_file_records(path: str) -> tuple[dict, Iterator[tuple]]:
+def read_file_records(
+    path: str, reader_schema: dict | None = None
+) -> tuple[dict, Iterator[tuple]]:
     """(schema, iterator of row tuples) for one container file.
+
+    With ``reader_schema``, each file's writer schema is resolved against it
+    per the Avro spec (defaults, skips, aliases, promotions) and the returned
+    schema/tuples follow the READER schema — so a directory of files written
+    under several schema versions reads uniformly.
 
     Reads the whole file into memory first: container files are
     partition-sized by our own writer and avro block headers are varints
@@ -396,7 +687,22 @@ def read_file_records(path: str) -> tuple[dict, Iterator[tuple]]:
         data = f.read()
     buf = io.BytesIO(data)
     schema, codec, sync = read_header(buf)
-    decoders = [_decoder_for(fld["type"]) for fld in schema["fields"]]
+    if reader_schema is None:
+        decoders = [_decoder_for(fld["type"]) for fld in schema["fields"]]
+
+        def decode_row(block):
+            return tuple(dec(block) for dec in decoders)
+
+        out_schema = schema
+    else:
+        rec = _record_resolver(schema, reader_schema)
+        order = [f["name"] for f in reader_schema["fields"]]
+
+        def decode_row(block, _rec=rec, _order=order):
+            d = _rec(block)
+            return tuple(d[k] for k in _order)
+
+        out_schema = reader_schema
 
     def rows():
         while True:
@@ -415,9 +721,9 @@ def read_file_records(path: str) -> tuple[dict, Iterator[tuple]]:
                 raise ValueError("avro sync marker mismatch (corrupt block)")
             block = io.BytesIO(payload)
             for _ in range(n_records):
-                yield tuple(dec(block) for dec in decoders)
+                yield decode_row(block)
 
-    return schema, rows()
+    return out_schema, rows()
 
 
 def write_container(path: str, schema: dict, rows: Iterator[tuple], codec: str = "deflate") -> int:
@@ -452,12 +758,17 @@ def write_container(path: str, schema: dict, rows: Iterator[tuple], codec: str =
 
 
 # --------------------------------------------------------------- spark level
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def read_avro(
+    spark: SparkSession, path: str, reader_schema: dict | str | None = None
+) -> DataFrame:
     """Distributed read: one task per container file via mapInPandas.
 
     ``path`` may be a file, a glob, or a directory of ``*.avro`` files.
-    The schema comes from the first file's header (driver-side peek of the
-    header bytes only).
+    Without ``reader_schema``, the schema comes from the first file's header
+    (driver-side peek of the header bytes only); with it (dict or JSON
+    string), every file's writer schema is RESOLVED against it per the Avro
+    spec — the schema-evolution path for data lakes holding several
+    generations of files.
     """
     if os.path.isdir(path):
         files = sorted(glob(os.path.join(path, "*.avro")))
@@ -465,21 +776,38 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         files = sorted(glob(path)) or [path]
     if not files:
         raise FileNotFoundError(f"no avro files at {path!r}")
-    with open(files[0], "rb") as f:
-        schema, _, _ = read_header(f)
+    if isinstance(reader_schema, str):
+        reader_schema = json.loads(reader_schema)
+    if reader_schema is None:
+        with open(files[0], "rb") as f:
+            schema, _, _ = read_header(f)
+    else:
+        schema = reader_schema
     spark_schema = avro_schema_to_spark(schema)
     cols = [f.name for f in spark_schema.fields]
+    # tz-aware read targets (timestamp-micros → TimestampType): normalize the
+    # pandas column so the Arrow boundary sees a proper datetime64 dtype, not
+    # an object column of Timestamps
+    ts_utc = [f.name for f in spark_schema.fields if isinstance(f.dataType, T.TimestampType)]
+    ts_ntz = [
+        f.name for f in spark_schema.fields if isinstance(f.dataType, T.TimestampNTZType)
+    ]
 
     def read_files(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p in pdf["path"]:
-                _, rows = read_file_records(p)
+                _, rows = read_file_records(p, reader_schema=reader_schema)
                 chunk = list(rows)
                 # empty files yield nothing — an empty pandas frame would
                 # carry default float64 dtypes that Arrow can't cast to the
                 # declared schema; mapInPandas tolerates zero yields
                 if chunk:
-                    yield pd.DataFrame(chunk, columns=cols)
+                    out = pd.DataFrame(chunk, columns=cols)
+                    for c in ts_utc:
+                        out[c] = pd.to_datetime(out[c], utc=True)
+                    for c in ts_ntz:
+                        out[c] = pd.to_datetime(out[c])
+                    yield out
 
     paths = spark.createDataFrame([(p,) for p in files], "path string").repartition(
         len(files)
@@ -493,6 +821,11 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
     os.makedirs(out_dir, exist_ok=True)
     avro_schema = spark_schema_to_avro(df.schema)
     cols = df.columns
+    # TimestampType columns cross the Arrow boundary as naive datetimes in
+    # the SESSION timezone; timestamp-micros encodes a UTC instant, so
+    # re-anchor them before encoding (no-op when the session is UTC).
+    session_tz = df.sparkSession.conf.get("spark.sql.session.timeZone", "UTC") or "UTC"
+    ts_utc = [f.name for f in df.schema.fields if isinstance(f.dataType, T.TimestampType)]
 
     def write_part(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
@@ -502,6 +835,13 @@ def write_avro(df: DataFrame, out_dir: str, codec: str = "deflate") -> int:
 
         def rows():
             for pdf in batches:
+                for c in ts_utc:
+                    col = pdf[c]
+                    if getattr(col.dtype, "tz", None) is None:
+                        col = col.dt.tz_localize(
+                            session_tz, ambiguous=True, nonexistent="shift_forward"
+                        )
+                    pdf[c] = col.dt.tz_convert("UTC").dt.tz_localize(None)
                 for row in pdf.itertuples(index=False):
                     yield tuple(row)
 
@@ -528,7 +868,9 @@ try:  # Spark 4.1 Python Data Source API
         """``spark.read.format("avrolite").load(path)`` — same codec and
         file-per-task parallelism as :func:`read_avro`, via the official
         Python Data Source API (the idiomatic spelling; also usable from
-        pure SQL with ``CREATE TEMPORARY VIEW ... USING avrolite``)."""
+        pure SQL with ``CREATE TEMPORARY VIEW ... USING avrolite``).
+        Option ``readerSchema`` (JSON) enables spec schema resolution —
+        each file's writer schema is resolved against it on read."""
 
         @classmethod
         def name(cls) -> str:
@@ -542,23 +884,31 @@ try:  # Spark 4.1 Python Data Source API
                 return sorted(glob(os.path.join(path, "*.avro")))
             return sorted(glob(path)) or [path]
 
+        def _reader_schema(self) -> dict | None:
+            rs = self.options.get("readerSchema") or self.options.get("readerschema")
+            return json.loads(rs) if rs else None
+
         def schema(self):
+            rs = self._reader_schema()
+            if rs is not None:
+                return avro_schema_to_spark(rs)
             with open(self._files()[0], "rb") as f:
                 schema, _, _ = read_header(f)
             return avro_schema_to_spark(schema)
 
         def reader(self, schema):
-            return AvroLiteReader(self._files())
+            return AvroLiteReader(self._files(), self._reader_schema())
 
     class AvroLiteReader(_DataSourceReader):
-        def __init__(self, files: list[str]):
+        def __init__(self, files: list[str], reader_schema: dict | None = None):
             self.files = files
+            self.reader_schema = reader_schema
 
         def partitions(self):
             return [_AvroFilePartition(p) for p in self.files]
 
         def read(self, partition: _AvroFilePartition):
-            _, rows = read_file_records(partition.path)
+            _, rows = read_file_records(partition.path, reader_schema=self.reader_schema)
             yield from rows
 
 except ImportError:  # pragma: no cover — pre-4.1 pyspark

@@ -146,6 +146,39 @@ def list_tables(
 # --- run_select_query (A11-A14, ClickHouse-path contract) -------------------
 
 
+def _apply_settings(
+    query: str, dialect: str, timeout_secs: float | None
+) -> tuple[str, float | None]:
+    """Translate a ClickHouse ``SETTINGS`` clause into engine behavior:
+    ``max_execution_time`` (seconds) tightens the job-group timeout,
+    ``readonly`` ≥1 is the engine's permanent contract (no-op), and anything
+    else is stripped with a ``UserWarning`` — visible, not silent."""
+    if dialect != "clickhouse":
+        return query, timeout_secs
+    import warnings
+
+    from mcp_clickhouse_spark.dialect import extract_settings
+
+    query, settings = extract_settings(query)
+    for k, v in settings.items():
+        if k == "max_execution_time":
+            try:
+                t = float(v)
+            except ValueError:
+                warnings.warn(f"SETTINGS max_execution_time={v!r} is not a number; ignored")
+                continue
+            if t > 0:
+                timeout_secs = t if timeout_secs is None else min(timeout_secs, t)
+        elif k == "readonly":
+            if v.strip() not in ("1", "2"):
+                warnings.warn(
+                    "SETTINGS readonly=0 ignored — this engine is always read-only"
+                )
+        else:
+            warnings.warn(f"ClickHouse setting {k!r} has no Spark equivalent; ignored")
+    return query, timeout_secs
+
+
 def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFrame:
     check_read_only(query)
     # ClickHouse-style table functions in FROM position (file/url/s3/hdfs/
@@ -177,6 +210,7 @@ def run_select_query(
     query language directly. Raises ToolError on failure/timeout (the
     ClickHouse-path error shape, reference :428-430, :451-454).
     """
+    query, timeout_secs = _apply_settings(query, dialect, timeout_secs)
     try:
         df_rows = run_with_timeout(
             spark,
@@ -210,6 +244,7 @@ def run_embedded_select_query(
     """Read-only SQL → list of row-dicts; errors RETURN
     {"status": "error", "message": ...} (the chDB-path contract,
     reference :520-540, :552-567). Empty result → []."""
+    query, timeout_secs = _apply_settings(query, dialect, timeout_secs)
     try:
         return run_with_timeout(
             spark,

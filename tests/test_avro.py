@@ -187,6 +187,250 @@ def test_fixed_round_trip(tmp_path):
     assert list(rows) == [(1, b"\x00\x01\x02\x03"), (2, b"\xff\xfe\xfd\xfc")]
 
 
+def test_schema_evolution_defaults_skip_promote(tmp_path):
+    """Spec §Schema Resolution: writer-v1 files read under reader-v2 —
+    added field takes its default, dropped field is skipped, int→long and
+    float→double promote, string→bytes converts."""
+    v1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "legacy", "type": "string"},  # dropped in v2
+            {"name": "score", "type": "float"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},  # promoted
+            {"name": "score", "type": "double"},  # promoted
+            {"name": "name", "type": "bytes"},  # string→bytes
+            {"name": "added", "type": ["null", "string"], "default": None},
+            {"name": "n_tries", "type": "long", "default": 3},
+        ],
+    }
+    p = str(tmp_path / "v1.avro")
+    write_container(p, v1, iter([(1, "old", 1.5, "a"), (2, "x", -2.0, "b")]))
+    schema, rows = read_file_records(p, reader_schema=v2)
+    assert schema == v2
+    assert list(rows) == [(1, 1.5, b"a", None, 3), (2, -2.0, b"b", None, 3)]
+
+
+def test_schema_evolution_aliases_and_nested(tmp_path):
+    """Reader field `aliases` match renamed writer fields, including inside
+    nested records; writer union reads as reader non-nullable after rename."""
+    v1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "loc",
+                "type": {
+                    "type": "record",
+                    "name": "loc_t",
+                    "fields": [
+                        {"name": "town", "type": "string"},
+                        {"name": "zip", "type": "int"},
+                    ],
+                },
+            },
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {
+                "name": "loc",
+                "type": {
+                    "type": "record",
+                    "name": "loc_t",
+                    "fields": [
+                        {"name": "city", "aliases": ["town"], "type": "string"},
+                        {"name": "zip", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+    p = str(tmp_path / "n.avro")
+    write_container(p, v1, iter([(7, {"town": "paris", "zip": 75001})]))
+    _, rows = read_file_records(p, reader_schema=v2)
+    assert list(rows) == [(7, {"city": "paris", "zip": 75001})]
+
+
+def test_schema_evolution_missing_default_raises(tmp_path):
+    v1 = {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "long"},
+            {"name": "b", "type": "string"},  # no default → must fail
+        ],
+    }
+    p = str(tmp_path / "m.avro")
+    write_container(p, v1, iter([(1,)]))
+    with pytest.raises(ValueError, match="no default"):
+        _, rows = read_file_records(p, reader_schema=v2)
+        list(rows)
+
+
+def test_schema_evolution_spark_level(spark, tmp_path):
+    """read_avro(reader_schema=...) + the avrolite DS readerSchema option:
+    a directory holding v1 AND v2 files reads uniformly under the v2 reader
+    schema, distributed."""
+    out = str(tmp_path / "evo")
+    import os as _os
+
+    _os.makedirs(out)
+    v1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "int"},
+            {"name": "name", "type": "string"},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "lang", "type": "string", "default": "en"},
+        ],
+    }
+    write_container(out + "/a-v1.avro", v1, iter([(1, "one"), (2, "two")]))
+    write_container(out + "/b-v2.avro", v2, iter([(3, "drei", "de")]))
+    got = read_avro(spark, out, reader_schema=v2)
+    assert [f.name for f in got.schema.fields] == ["id", "name", "lang"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        (1, "one", "en"),
+        (2, "two", "en"),
+        (3, "drei", "de"),
+    ]
+    # same through the official data source
+    import json as _json
+
+    spark.dataSource.register(__import__(
+        "mcp_clickhouse_spark.sources.avro_lite", fromlist=["AvroLiteDataSource"]
+    ).AvroLiteDataSource)
+    ds = (
+        spark.read.format("avrolite")
+        .option("path", out)
+        .option("readerSchema", _json.dumps(v2))
+        .load()
+    )
+    assert sorted(tuple(r) for r in ds.collect()) == [
+        (1, "one", "en"),
+        (2, "two", "en"),
+        (3, "drei", "de"),
+    ]
+
+
+def test_timestamp_instant_vs_ntz_logical_types(spark, tmp_path):
+    """TimestampType ↔ timestamp-micros (UTC instant) and TimestampNTZType ↔
+    local-timestamp-micros, per the reference spark-avro mapping (r4 advice:
+    both previously collapsed onto timestamp-micros/NTZ). The instant must
+    survive a NON-UTC session round trip."""
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 3, 10, 12, 0, 0), datetime.datetime(2024, 3, 10, 7, 0, 0))],
+        "id long, t_instant timestamp, t_wall timestamp_ntz",
+    )
+    from mcp_clickhouse_spark.sources.avro_lite import spark_schema_to_avro
+
+    avro = spark_schema_to_avro(df.schema)
+
+    def logical(t):  # unwrap the nullable union createDataFrame produces
+        if isinstance(t, list):
+            t = [b for b in t if b != "null"][0]
+        return t["logicalType"]
+
+    types = {f["name"]: f["type"] for f in avro["fields"]}
+    assert logical(types["t_instant"]) == "timestamp-micros"
+    assert logical(types["t_wall"]) == "local-timestamp-micros"
+    out = str(tmp_path / "ts")
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    # pin the instant's identity before any tz games
+    want_us = df.select(F.unix_micros("t_instant").alias("us")).first().us
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        write_avro(df, out)
+        got = read_avro(spark, out)
+        assert dict(got.dtypes) == {
+            "id": "bigint",
+            "t_instant": "timestamp",
+            "t_wall": "timestamp_ntz",
+        }
+        # the instant is the same point in time (collect() would render it
+        # in session-local clock, so compare epoch micros); the NTZ wall
+        # clock is verbatim
+        row = got.select(
+            F.unix_micros("t_instant").alias("us"), "t_wall"
+        ).first()
+        assert row.us == want_us
+        assert row.t_wall == datetime.datetime(2024, 3, 10, 7, 0, 0)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_schema_evolution_property_fuzz():
+    """Property fuzz: v1-written rows read under a v2 reader (promotion,
+    default injection, field drop) always resolve per spec."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    v1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "int"},
+            {"name": "drop_me", "type": ["null", "string"]},
+            {"name": "f", "type": "float"},
+            {"name": "arr", "type": {"type": "array", "items": "int"}},
+        ],
+    }
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "a", "type": "double"},
+            {"name": "f", "type": "double"},
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+            {"name": "tag", "type": "string", "default": "none"},
+        ],
+    }
+    ints = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+    rows_strategy = st.lists(
+        st.tuples(
+            ints,
+            st.none() | st.text(max_size=20),
+            st.floats(allow_nan=False, width=32),
+            st.lists(ints, max_size=6),
+        ),
+        max_size=25,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(rows=rows_strategy, codec=st.sampled_from(["null", "deflate"]))
+    def run(rows, codec):
+        import tempfile
+
+        with tempfile.NamedTemporaryFile(suffix=".avro", delete=True) as f:
+            write_container(f.name, v1, iter(rows), codec=codec)
+            _, got = read_file_records(f.name, reader_schema=v2)
+            want = [(float(a), float(fl), list(arr), "none") for a, _, fl, arr in rows]
+            assert list(got) == want
+
+    run()
+
+
 def test_container_round_trip_property():
     """Property fuzz: arbitrary rows of (long, nullable string, double,
     nullable long-array) survive the container codec bit-exactly."""

@@ -178,3 +178,57 @@ def test_health(spark):
     h = health_check(spark)
     assert h["status"] == 200
     assert "Spark" in h["message"]
+
+
+def test_settings_max_execution_time_enforced(spark, users):
+    """SETTINGS max_execution_time translates to the job-group timeout: the
+    same slow query that needs the explicit timeout_secs kill-switch dies
+    from its own SETTINGS clause in clickhouse dialect."""
+    slow_sql = """
+    SELECT COUNT(*) AS n FROM (
+      SELECT a.number FROM numbers(3000000000) a CROSS JOIN numbers(1000) b
+    ) SETTINGS max_execution_time = 2
+    """
+    t0 = time.time()
+    with pytest.raises(ToolError, match="timed out"):
+        run_select_query(spark, slow_sql, dialect="clickhouse")
+    assert time.time() - t0 < 15
+    assert run_select_query(spark, "SELECT 1 AS ok")["rows"] == [[1]]
+
+
+def test_settings_passthrough_and_warnings(spark, users):
+    """The safe SETTINGS subset applies silently (readonly=1 is the engine's
+    permanent state); unknown settings execute the query but warn."""
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("error")  # readonly=1 + max_execution_time: no warning
+        res = run_select_query(
+            spark,
+            "SELECT count() AS n FROM users SETTINGS readonly = 1, max_execution_time = 60",
+            dialect="clickhouse",
+        )
+    assert res["rows"] == [[4]]
+    with pytest.warns(UserWarning, match="no Spark equivalent"):
+        res = run_select_query(
+            spark,
+            "SELECT count() AS n FROM users SETTINGS max_threads = 8",
+            dialect="clickhouse",
+        )
+    assert res["rows"] == [[4]]
+    with pytest.warns(UserWarning, match="always read-only"):
+        run_select_query(
+            spark, "SELECT 1 AS x SETTINGS readonly = 0", dialect="clickhouse"
+        )
+
+
+def test_extract_settings_unit():
+    from mcp_clickhouse_spark.dialect import extract_settings
+
+    sql, st = extract_settings(
+        "SELECT 1 SETTINGS max_execution_time = 1.5, join_algorithm = 'hash' FORMAT JSON"
+    )
+    assert st == {"max_execution_time": "1.5", "join_algorithm": "hash"}
+    assert sql.startswith("SELECT 1") and "SETTINGS" not in sql and "FORMAT JSON" in sql
+    sql, st = extract_settings("SELECT 1")
+    assert st == {} and sql == "SELECT 1"
