@@ -4,86 +4,82 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 4 priority = the 2 round-3 hash-RED rows re-fixed this round (both were
-DuckDB HUGEINT output-type drift, now CAST AS BIGINT in the oracles:
-pipe_token_count, q12_priority_by_flag) + the 4 rows-only queries that have
-never had ANY driver row (judge round-3 item 6: pipe_minhash_lsh,
-pipe_simhash, pipe_embed_ivf_topk, sample_fraction) + the 6 queries NEW in
-round 4 (pipe_embed_neardup and the Q5/Q13/Q15/Q17/Q22 TPC-H shapes) + 38
-queries last checked in r1/r2 so their green rows get refreshed under the
-current codebase.
+Round 5 priority (judge r4 item 9) = the query whose ORACLE changed this
+round (subquery_scalar — the mean now goes through order-independent
+bigint-cents because the multi-file storage layout unpinned double-sum
+order) + the 14 bench-headline canaries (the floor-attack queries: AQE
+policy + storage-layout rewrite changed their execution this round, so the
+driver should re-certify each) + the 11 round-4-new shapes holding a single
+green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
+single-green, r4 only) + 18 refresh slots for queries last checked r3 or
+earlier, spanning joins/setops/scalars/aggregates/TPC-H.
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# Exactly 50 names: 2 re-fixed REDs + 4 never-driver-checked rows-only
-# + 44 r1/r2-green refresh slots spanning every SURVEY §2 family.
+# Exactly 50 names.
 PRIORITY: list[str] = [
-    # round-3 hash-RED (HUGEINT oracle output drift), oracles re-cast this round
-    "pipe_token_count",
-    "q12_priority_by_flag",
-    # rows-only queries that have never been inside the driver's 50
+    # oracle changed this round — must re-verify first
+    "subquery_scalar",
+    # bench-headline canaries (execution changed: AQE policy + file layout)
+    "q1_pricing_summary",
+    "scan_projection",
+    "join_star_revenue",
+    "join_asof",
+    "agg_count_distinct",
+    "agg_rollup",
+    "win_running_sum",
+    "events_session_window",
+    "events_tumbling_window",
+    "shim_limit_by",
+    "pipe_dedup_exact",
     "pipe_minhash_lsh",
-    "pipe_simhash",
-    "pipe_embed_ivf_topk",
-    "sample_fraction",
-    # r1/r2-green refresh: aggregates
-    "agg_grouping_sets",
-    "agg_with_totals",
-    "agg_conditional",
-    "agg_minmax_by",
-    "agg_quantiles_exact",
-    "agg_topk",
-    # behavioral analytics
-    "behav_retention",
-    "behav_window_funnel",
-    # core scans/filters
-    "filter_predicates",
-    # new in round 4: oracle-backed embedding-cosine near-dup
+    "pipe_embed_topk",
+    "pipe_text_stats",
+    # round-4-new shapes: earn the second green
     "pipe_embed_neardup",
-    # dialect shims
-    "shim_with_fill",
-    "shim_distinct_on",
-    # sources / projection extras
-    "source_numbers",
-    "select_star_except",
-    # subqueries / CTEs
-    "subquery_in",
-    "subquery_correlated_exists",
-    "cte_multi",
-    # TPC-H depth (incl. the 5 new round-4 shapes)
     "q5_local_supplier_volume",
-    "q21_waiting_supplier",
     "q9_product_profit",
     "q11_important_stock",
-    "q16_supplier_part_count",
-    "q20_part_promotion",
     "q13_customer_distribution",
     "q15_top_supplier",
+    "q16_supplier_part_count",
     "q17_small_quantity_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    # single-green r4-only TPC-H
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
     "q18_large_volume_customers",
-    # join family
-    "join_full_outer",
-    "join_semi",
-    "join_anti",
-    # events / windows
-    "events_pivot",
-    "win_lag_lead",
-    "win_range_frame",
-    # pipeline
-    "pipe_dedup_fingerprint",
-    "pipe_text_stats",
-    "pipe_lang_id",
-    "pipe_embed_label_centroids",
-    "pipe_multimodal_meta",
+    # refresh: joins
+    "join_inner",
+    "join_left",
+    "join_cross",
+    "join_theta",
+    "join_any",
+    "array_join_explode",
+    # refresh: set operations
+    "setop_union_by_name",
+    "setop_intersect_all",
+    "setop_except_all",
+    # refresh: scalar families
+    "scalar_string",
+    "scalar_datetime",
+    "scalar_json",
+    "scalar_map",
+    # refresh: aggregates
+    "agg_cube",
+    "agg_any_first_last",
+    "agg_histogram",
+    # refresh: TPC-H singles
+    "q2_min_cost_supplier",
+    "q19_discounted_revenue",
 ]
 
 
