@@ -197,9 +197,11 @@ def test_release_persisted_clears_registry(spark, docs):
     sigs = minhash_signatures(docs, num_hashes=32)
     cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
     jaccard_verify(cand, docs, threshold=0.5).collect()
-    assert len(dd._REG.persisted) >= 2  # banded frame + shingle frame
+    # the candidates frame (melted verify computes shingle sets inline and
+    # persists nothing of its own)
+    assert len(dd._REG.persisted) >= 1
     released = dd.release_persisted()
-    assert released >= 2
+    assert released >= 1
     assert dd._REG.persisted == []
 
 
