@@ -41,11 +41,15 @@ def _events_schema(ts_type) -> StructType:
     )
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
     """readStream over the events parquet, ts normalized to TimestampType.
 
     The file source replays existing files in order — the standard way to
     develop/backfill the same pipeline that later points at Kafka.
+    ``max_files_per_trigger`` bounds files admitted per micro-batch (the
+    rate-limited backfill knob; see :func:`backfill_events_stream`).
 
     readStream requires an explicit schema, so the ts physical type is
     sniffed from the parquet footer: µs/ms-precision files read as
@@ -72,6 +76,11 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — unreadable footer → ns fallback
         pass
 
+    def _with_rate(reader):
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return reader
+
     if ts_unit != "ns":
         from pyspark.sql.types import TimestampNTZType
 
@@ -79,17 +88,20 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         # TimestampType (needed for watermark semantics) then goes through
         # the session tz symmetrically on both paths.
         return (
-            spark.readStream.schema(_events_schema(TimestampNTZType()))
-            .option("pathGlobFilter", "events*.parquet")
+            _with_rate(
+                spark.readStream.schema(_events_schema(TimestampNTZType())).option(
+                    "pathGlobFilter", "events*.parquet"
+                )
+            )
             .parquet(sf_dir)
             .withColumn("ts", F.col("ts").cast(TimestampType()))
         )
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_events_schema(LongType()))
-        .option("pathGlobFilter", "events*.parquet")
-        .parquet(sf_dir)
-    )
+    raw = _with_rate(
+        spark.readStream.schema(_events_schema(LongType())).option(
+            "pathGlobFilter", "events*.parquet"
+        )
+    ).parquet(sf_dir)
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
@@ -322,6 +334,21 @@ def run_foreach_batch_to_parquet(stream_df: DataFrame, out_dir: str):
     q = stream_df.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
     q.awaitTermination()
     return q
+
+
+def backfill_events_stream(
+    spark: SparkSession, backfill_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """Rate-limited historical replay: the same events stream, but the file
+    source admits at most ``max_files_per_trigger`` files per micro-batch.
+
+    This is the standard backfill pattern: point the streaming pipeline at a
+    directory of historical files and let availableNow + maxFilesPerTrigger
+    drain it INCREMENTALLY — bounded state growth and shuffle size per
+    micro-batch instead of one giant batch, same final answer.  At 100 TB
+    the trigger bound is what keeps a year-long replay from materializing a
+    year of input in one go."""
+    return stream_events(spark, backfill_dir, max_files_per_trigger=max_files_per_trigger)
 
 
 def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = "complete"):
