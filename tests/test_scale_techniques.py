@@ -95,3 +95,50 @@ def test_bucketed_join_has_no_shuffle(spark, bucketed_tables):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_split_layout_rewrites_single_row_group(spark, tmp_path, monkeypatch):
+    """Storage-layout ingest (r5): a big single-row-group parquet is
+    rewritten once into an N-file copy so the scan stage parallelizes;
+    content is identical; the rewrite is cached and small tables are left
+    alone."""
+    import os
+
+    from mcp_clickhouse_spark import session as S
+
+    monkeypatch.setattr(S, "_WAREHOUSE_ROOT", str(tmp_path / "wh"))
+    src_dir = str(tmp_path / "sf")
+    os.makedirs(src_dir)
+    # 160k rows in ONE file / ONE row group → splits to 2+ files
+    big = spark.range(160_000).selectExpr("id AS o_orderkey", "id % 7 AS v")
+    big.coalesce(1).write.parquet(str(tmp_path / "stage"))
+    import glob as _g
+    import shutil
+
+    one = _g.glob(str(tmp_path / "stage" / "part-*.parquet"))[0]
+    shutil.copy(one, os.path.join(src_dir, "orders.parquet"))
+    # small single-row-group file stays untouched
+    small = spark.range(100).selectExpr("id AS n_nationkey")
+    small.coalesce(1).write.parquet(str(tmp_path / "stage2"))
+    shutil.copy(
+        _g.glob(str(tmp_path / "stage2" / "part-*.parquet"))[0],
+        os.path.join(src_dir, "nation.parquet"),
+    )
+
+    S._TABLE_CACHE.clear()
+    df = S.read_table(spark, src_dir, "orders")
+    assert df.rdd.getNumPartitions() >= 2  # scan parallelism restored
+    assert df.count() == 160_000
+    assert df.agg({"v": "sum"}).first()[0] == big.agg({"v": "sum"}).first()[0]
+    wh_dirs = os.listdir(str(tmp_path / "wh"))
+    assert len(wh_dirs) == 1 and wh_dirs[0].startswith("orders-")
+    # second read: cache hit, no new rewrite dirs
+    S._TABLE_CACHE.clear()
+    S.read_table(spark, src_dir, "orders").count()
+    assert os.listdir(str(tmp_path / "wh")) == wh_dirs
+    # small table: read from the original path, nothing written
+    small_df = S.read_table(spark, src_dir, "nation")
+    assert small_df.count() == 100
+    assert os.listdir(str(tmp_path / "wh")) == wh_dirs
+
+    S._TABLE_CACHE.clear()
