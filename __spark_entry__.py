@@ -32,7 +32,9 @@ def _prep(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # NOTE: adaptive execution is deliberately NOT touched here — results are
+    # AQE-independent, and forcing it on silently overrode the harness's
+    # data-size-driven AQE policy (bench.py) on every call.
 
 
 def _wrap(fn: QueryFn) -> QueryFn:
