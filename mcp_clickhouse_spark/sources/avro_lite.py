@@ -16,7 +16,9 @@ actually exchanges:
   - records (top-level row type AND nested — read as Spark structs),
     arrays, maps (string keys), enums (as symbol strings), fixed (as bytes)
   - nullable fields as the 2-branch union ``["null", T]``
-  - codecs: ``null`` and ``deflate`` (zlib, both directions)
+  - codecs: ``null``, ``deflate`` (zlib) and ``snappy`` (pyarrow's raw
+    snappy + the spec's 4-byte big-endian CRC32-of-uncompressed suffix),
+    all in both directions
   - READER-SCHEMA RESOLUTION per spec §Schema Resolution: pass
     ``reader_schema=`` to :func:`read_avro` / ``readerSchema`` option on the
     data source — field defaults for writer-missing fields, skipped
@@ -50,6 +52,47 @@ from pyspark.sql import types as T
 
 _MAGIC = b"Obj\x01"
 _SYNC = b"mcp-spark-avrolt"  # deterministic 16-byte sync marker for writes
+
+
+# Avro spec §Required Codecs: a snappy block is the raw-snappy-compressed
+# data followed by the 4-byte big-endian CRC32 of the UNCOMPRESSED data.
+# pyarrow ships raw snappy (pa.compress/pa.decompress) in this environment;
+# python-snappy does not exist here, so gate on pyarrow's codec support.
+def _snappy_supported() -> bool:
+    try:
+        import pyarrow as pa
+
+        pa.compress(b"", codec="snappy", asbytes=True)
+        return True
+    except Exception:  # pragma: no cover — pyarrow built without snappy
+        return False
+
+
+def _snappy_block_compress(data: bytes) -> bytes:
+    import pyarrow as pa
+
+    comp = pa.compress(data, codec="snappy", asbytes=True)
+    return comp + struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF)
+
+
+def _snappy_block_decompress(payload: bytes) -> bytes:
+    import pyarrow as pa
+
+    comp, crc = payload[:-4], payload[-4:]
+    # Raw snappy streams lead with the uncompressed length as a little-
+    # endian base-128 varint — pa.decompress needs that size up front.
+    size = shift = i = 0
+    while True:
+        b = comp[i]
+        size |= (b & 0x7F) << shift
+        i += 1
+        shift += 7
+        if not (b & 0x80):
+            break
+    data = pa.decompress(comp, decompressed_size=size, codec="snappy", asbytes=True)
+    if struct.pack(">I", zlib.crc32(data) & 0xFFFFFFFF) != crc:
+        raise ValueError("avro snappy block CRC32 mismatch (corrupt block)")
+    return data
 
 
 # ---------------------------------------------------------------- primitives
@@ -715,6 +758,8 @@ def read_file_records(
             payload = buf.read(n_bytes)
             if codec == "deflate":
                 payload = zlib.decompress(payload, -15)
+            elif codec == "snappy":
+                payload = _snappy_block_decompress(payload)
             elif codec != "null":
                 raise ValueError(f"unsupported avro codec {codec!r}")
             if buf.read(16) != sync:
@@ -738,6 +783,10 @@ def write_container(path: str, schema: dict, rows: Iterator[tuple], codec: str =
     payload = bytes(body)
     if codec == "deflate":
         payload = zlib.compress(payload)[2:-4]  # raw deflate: strip zlib wrapper
+    elif codec == "snappy":
+        payload = _snappy_block_compress(payload)
+    elif codec != "null":
+        raise ValueError(f"unsupported avro codec {codec!r}")
     header = bytearray()
     header += _MAGIC
     header += _zigzag_encode(2)

@@ -17,11 +17,16 @@ from pyspark.sql import functions as F
 
 from mcp_clickhouse_spark.sources import table_functions as tf
 from mcp_clickhouse_spark.sources.avro_lite import (
+    _snappy_supported,
     read_avro,
     read_file_records,
     write_avro,
     write_container,
 )
+
+# pyarrow in this environment ships raw snappy; if a build lacks it the
+# snappy cases drop out of the fuzz matrix rather than failing.
+CODECS = ["null", "deflate"] + (["snappy"] if _snappy_supported() else [])
 
 
 @pytest.fixture()
@@ -418,7 +423,7 @@ def test_schema_evolution_property_fuzz():
     )
 
     @settings(max_examples=40, deadline=None)
-    @given(rows=rows_strategy, codec=st.sampled_from(["null", "deflate"]))
+    @given(rows=rows_strategy, codec=st.sampled_from(CODECS))
     def run(rows, codec):
         import tempfile
 
@@ -459,7 +464,7 @@ def test_container_round_trip_property():
     )
 
     @settings(max_examples=60, deadline=None)
-    @given(rows=rows_strategy, codec=st.sampled_from(["null", "deflate"]))
+    @given(rows=rows_strategy, codec=st.sampled_from(CODECS))
     def run(rows, codec):
         import tempfile
 
@@ -469,3 +474,36 @@ def test_container_round_trip_property():
             assert list(got) == [tuple(r) for r in rows]
 
     run()
+
+
+@pytest.mark.skipif(not _snappy_supported(), reason="pyarrow built without snappy")
+def test_round_trip_snappy(spark, sample, tmp_path):
+    """Spec §Required Codecs: snappy block + big-endian CRC32-of-uncompressed."""
+    out = str(tmp_path / "avro_snappy")
+    write_avro(sample, out, codec="snappy")
+    got = read_avro(spark, out)
+    assert got.schema == sample.schema
+    assert _collect_sorted(got) == _collect_sorted(sample)
+
+
+@pytest.mark.skipif(not _snappy_supported(), reason="pyarrow built without snappy")
+def test_snappy_crc_detects_corruption(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "a", "type": "long"}, {"name": "b", "type": "string"}],
+    }
+    p = str(tmp_path / "s.avro")
+    write_container(p, schema, iter([(i, "x" * 50) for i in range(100)]), codec="snappy")
+    raw = bytearray(open(p, "rb").read())
+    raw[-17] ^= 0xFF  # flip the CRC's last byte (just before the 16-byte sync)
+    open(p, "wb").write(bytes(raw))
+    _, rows = read_file_records(p)
+    with pytest.raises(Exception):  # CRC mismatch or snappy frame error
+        list(rows)
+
+
+def test_unknown_codec_rejected_on_write(tmp_path):
+    schema = {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
+    with pytest.raises(ValueError, match="unsupported avro codec"):
+        write_container(str(tmp_path / "z.avro"), schema, iter([(1,)]), codec="zstandard")
