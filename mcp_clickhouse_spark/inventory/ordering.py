@@ -4,8 +4,9 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9) = the query whose ORACLE changed this
-round (subquery_scalar — the mean now goes through order-independent
+Round 5 priority (judge r4 item 9) = the brand-new pipe_repetition_filters
+(Gopher repetition quality filters, never driver-checked) + the query whose
+ORACLE changed this round (subquery_scalar — the mean now goes through order-independent
 bigint-cents because the multi-file storage layout unpinned double-sum
 order) + the 14 bench-headline canaries (the floor-attack queries: AQE
 policy + storage-layout rewrite changed their execution this round, so the
@@ -21,6 +22,8 @@ from mcp_clickhouse_spark.inventory.registry import QUERIES
 
 # Exactly 50 names.
 PRIORITY: list[str] = [
+    # brand-new this round — never driver-checked
+    "pipe_repetition_filters",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -60,7 +63,6 @@ PRIORITY: list[str] = [
     # refresh: joins
     "join_inner",
     "join_left",
-    "join_cross",
     "join_theta",
     "join_any",
     "array_join_explode",

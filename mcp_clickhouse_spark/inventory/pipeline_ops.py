@@ -37,6 +37,7 @@ from mcp_clickhouse_spark.pipeline.text import (
     fingerprint_col,
     language_id_col,
     quality_score_col,
+    repetition_filters,
     token_count_bpe_ish,
     with_text_stats,
 )
@@ -169,6 +170,61 @@ def pipe_lang_id(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "pipe_repetition_filters",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, length(text) AS n_chars, {_SQL_WORDS} AS w,
+             list_filter(string_split(text, chr(10)), x -> length(trim(x)) > 0) AS lines
+      FROM documents
+      WHERE len({_SQL_WORDS}) >= 3
+    ), feat AS (
+      SELECT doc_id, n_chars, len(w) AS n_words,
+        round((len(w) - len(list_distinct(w))) / CAST(len(w) AS DOUBLE), 6) AS dup_word_frac,
+        CASE WHEN len(lines) = 0 THEN 0.0
+             ELSE round((len(lines) - len(list_distinct(lines)))
+                        / CAST(len(lines) AS DOUBLE), 6) END AS dup_line_frac,
+        list_transform(generate_series(1, len(w) - 1),
+                       i -> array_to_string(w[i:i+1], ' ')) AS bigrams,
+        list_transform(generate_series(1, len(w) - 2),
+                       i -> array_to_string(w[i:i+2], ' ')) AS trigrams
+      FROM base
+    ), grams AS (
+      SELECT doc_id, 2 AS n, unnest(bigrams) AS g FROM feat
+      UNION ALL
+      SELECT doc_id, 3 AS n, unnest(trigrams) AS g FROM feat
+    ), counts AS (
+      SELECT doc_id, n, g, COUNT(*) AS cnt FROM grams GROUP BY ALL
+    ), ranked AS (
+      SELECT doc_id, g, cnt,
+             row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, g DESC) AS rn
+      FROM counts WHERE n = 2
+    ), tri AS (
+      SELECT doc_id,
+        round(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) END), 0)
+              / CAST(NULLIF(SUM(cnt * length(g)), 0) AS DOUBLE), 6) AS dup_trigram_char_frac
+      FROM counts WHERE n = 3 GROUP BY doc_id
+    )
+    SELECT f.doc_id, f.n_words, f.dup_word_frac, f.dup_line_frac,
+           r.g AS top_bigram,
+           round(r.cnt * length(r.g) / CAST(f.n_chars AS DOUBLE), 6) AS top_bigram_frac,
+           tri.dup_trigram_char_frac,
+           (f.dup_word_frac <= 0.60 AND f.dup_line_frac <= 0.30
+            AND round(r.cnt * length(r.g) / CAST(f.n_chars AS DOUBLE), 6) <= 0.10
+            AND tri.dup_trigram_char_frac <= 0.18) AS keep
+    FROM feat f
+    JOIN ranked r ON r.doc_id = f.doc_id AND r.rn = 1
+    JOIN tri ON tri.doc_id = f.doc_id
+    """,
+    category="pipeline",
+)
+def pipe_repetition_filters(spark, sf_dir):
+    # Gopher-style repetition quality filters (Rae et al. 2021 appendix):
+    # per-doc dup-word/dup-line fractions, top-bigram character coverage,
+    # duplicated-trigram character fraction, and the keep verdict.
+    return repetition_filters(t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -97,6 +97,125 @@ def fingerprint_col(text_col="text"):
     return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(_words(text)))))
 
 
+def _ngram_col(words_col, n: int):
+    """Array of space-joined word n-grams; empty array when < n words.
+
+    Pure array expression (sequence+transform) — no explode, no shuffle —
+    so shingle construction stays embarrassingly parallel at 100 TB. The
+    short-array guard matters: Spark's sequence(0, -1) would count DOWN."""
+    words = F.col(words_col) if isinstance(words_col, str) else words_col
+    starts = F.sequence(F.lit(0), F.size(words) - n)  # 0-based start positions
+    grams = F.transform(
+        starts, lambda i: F.concat_ws(" ", *[F.get(words, i + k) for k in range(n)])
+    )
+    return F.when(F.size(words) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021, table A1 flavor),
+# tuned to this corpus's measured quantiles so `keep` splits non-trivially.
+REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_word_frac": 0.60,
+    "top_bigram_frac": 0.10,
+    "dup_trigram_char_frac": 0.18,
+}
+
+
+def repetition_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", min_words: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality filters, one row per document with
+    ≥ ``min_words`` words:
+
+      - ``dup_word_frac``   — fraction of words that are repeats of an
+        already-seen word: (n_words − n_distinct) / n_words
+      - ``dup_line_frac``   — same over non-empty lines (\\n-split)
+      - ``top_bigram_frac`` — characters covered by the most frequent word
+        2-gram (count × len(gram)) over total characters; ties break to the
+        lexicographically greatest gram in both engines
+      - ``dup_trigram_char_frac`` — characters in word 3-grams occurring
+        more than once, over all 3-gram characters
+      - ``keep``            — True when every metric clears
+        :data:`REPETITION_THRESHOLDS` (the training-data filter verdict)
+
+    Scale shape: per-doc metrics and n-gram arrays are single-projection
+    array expressions (no shuffle); the gram frequencies explode ONCE into
+    (doc, n, gram) rows and aggregate with map-side partial counts — two
+    exchanges total, both keyed on the document, no O(n²) pair space.
+    """
+    text = F.col(text_col)
+    words = _words(text)
+    lines = F.filter(F.split(text, "\n"), lambda x: F.length(F.trim(x)) > 0)
+    carry = [id_col, "n_chars", "n_words", "dup_word_frac", "dup_line_frac"]
+    base = (
+        df.withColumn("w", words)
+        .where(F.size("w") >= min_words)
+        .select(
+            F.col(id_col),
+            F.length(text).alias("n_chars"),
+            F.size("w").alias("n_words"),
+            F.round(
+                (F.size("w") - F.size(F.array_distinct("w"))) / F.size("w").cast("double"), 6
+            ).alias("dup_word_frac"),
+            F.when(F.size(lines) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    (F.size(lines) - F.size(F.array_distinct(lines)))
+                    / F.size(lines).cast("double"),
+                    6,
+                )
+            )
+            .alias("dup_line_frac"),
+            _ngram_col("w", 2).alias("bigrams"),
+            _ngram_col("w", 3).alias("trigrams"),
+        )
+    )
+    tag = lambda n: lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))  # noqa: E731
+    grams = base.select(
+        *carry,
+        F.explode(
+            F.concat(F.transform("bigrams", tag(2)), F.transform("trigrams", tag(3)))
+        ).alias("ng"),
+    ).select(*carry, F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = grams.groupBy(*carry, "n", "g").agg(F.count("*").alias("cnt"))
+    per_doc = counts.groupBy(*carry).agg(
+        # max over (cnt, gram) structs = top count, lexicographically
+        # greatest gram on ties — deterministic, mirrors the oracle's
+        # ORDER BY cnt DESC, g DESC window.
+        F.max(F.when(F.col("n") == 2, F.struct(F.col("cnt"), F.col("g")))).alias("top2"),
+        F.coalesce(
+            F.sum(F.when((F.col("n") == 3) & (F.col("cnt") > 1), F.col("cnt") * F.length("g"))),
+            F.lit(0),
+        ).alias("tri_dup_chars"),
+        F.sum(F.when(F.col("n") == 3, F.col("cnt") * F.length("g"))).alias("tri_chars"),
+    )
+    th = REPETITION_THRESHOLDS
+    out = per_doc.select(
+        F.col(id_col),
+        F.col("n_words"),
+        F.col("dup_word_frac"),
+        F.col("dup_line_frac"),
+        F.col("top2.g").alias("top_bigram"),
+        F.round(
+            F.col("top2.cnt") * F.length("top2.g") / F.col("n_chars").cast("double"), 6
+        ).alias("top_bigram_frac"),
+        F.round(
+            F.col("tri_dup_chars")
+            / F.when(F.col("tri_chars") > 0, F.col("tri_chars").cast("double")),
+            6,
+        ).alias("dup_trigram_char_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("dup_word_frac") <= th["dup_word_frac"])
+        & (F.col("dup_line_frac") <= th["dup_line_frac"])
+        & (F.col("top_bigram_frac") <= th["top_bigram_frac"])
+        & (F.col("dup_trigram_char_frac") <= th["dup_trigram_char_frac"]),
+    )
+
+
 def token_count_bpe_ish(text_col="text"):
     """Token count with a BPE-ish regex split (word pieces + punctuation as
     separate tokens) — the cheap proxy for tokenizer-based counting."""

@@ -303,3 +303,62 @@ def test_persist_registry_self_bounds(spark):
         dd._persist(df.selectExpr("id * 2 AS x"))
     assert len(dd._REG.persisted) <= dd._FrameRegistry.PERSIST_MAX
     dd.release_persisted()
+
+
+def test_repetition_filters_line_and_ngram_metrics(spark):
+    """Gopher-style repetition metrics on crafted docs: duplicate lines,
+    a dominating bigram, duplicated trigrams, and the short-doc gate."""
+    from mcp_clickhouse_spark.pipeline.text import repetition_filters
+
+    docs = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 2 of them identical → dup_line_frac 0.25;
+            # unique words → dup_word_frac 0
+            # (blank/whitespace-only lines sit mid-doc: a TRAILING newline
+            # would make \s+ split yield an empty token — trim strips spaces
+            # only, identically in Spark and DuckDB)
+            (1, "alpha one\nbeta two\n\n  \nalpha one\ngamma three".replace("one", "uno")),
+            # 'spam ham' repeated 5x → top bigram dominates, trigrams duplicate
+            (2, " ".join(["spam ham"] * 5)),
+            # clean doc: distinct words, no repeated grams, long enough that
+            # no single bigram covers >10% of the characters
+            (
+                3,
+                "the quick brown fox jumps over a lazy dog tonight while "
+                "seven silent owls watch from tall oak branches near old "
+                "stone bridges spanning cold mountain rivers flowing south",
+            ),
+            (4, "too short"),  # < 3 words → filtered out entirely
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_filters(docs).collect()}
+    assert set(got) == {1, 2, 3}  # doc 4 dropped by the min-words gate
+
+    d1 = got[1]
+    # 4 non-empty lines ('alpha uno' twice), blanks ignored
+    assert d1.dup_line_frac == pytest.approx(0.25)
+    # words: alpha,uno,beta,two,alpha,uno,gamma,three → 8 words, 6 distinct
+    assert d1.dup_word_frac == pytest.approx(0.25)
+
+    d2 = got[2]
+    assert d2.top_bigram in ("spam ham", "ham spam")
+    assert d2.top_bigram_frac > 0.8  # one bigram covers nearly every char
+    assert d2.dup_trigram_char_frac == pytest.approx(1.0)  # every trigram repeats
+    assert bool(d2.keep) is False
+
+    d3 = got[3]
+    assert d3.dup_word_frac == 0.0
+    assert d3.dup_trigram_char_frac == 0.0
+    assert bool(d3.keep) is True
+
+
+def test_repetition_filters_plan_shape(spark):
+    """Two exchanges only: gram counts and the per-doc regroup — the n-gram
+    arrays themselves are built shuffle-free in the scan projection."""
+    from mcp_clickhouse_spark.pipeline.text import repetition_filters
+    from mcp_clickhouse_spark.session import read_table
+
+    df = repetition_filters(read_table(spark, "/root/testdata/sf0.001", "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2
