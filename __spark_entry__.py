@@ -19,7 +19,11 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from mcp_clickhouse_spark import inventory  # noqa: E402
-from mcp_clickhouse_spark.inventory.registry import QUERIES, QueryFn  # noqa: E402
+from mcp_clickhouse_spark.inventory.registry import (  # noqa: E402
+    QUERIES,
+    QueryFn,
+    run_prepared,
+)
 
 inventory.load_all()
 
@@ -37,13 +41,15 @@ def _prep(spark: SparkSession) -> None:
     # data-size-driven AQE policy (bench.py) on every call.
 
 
-def _wrap(fn: QueryFn) -> QueryFn:
+def _wrap(spec) -> QueryFn:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _prep(spark)
-        return fn(spark, sf_dir)
+        # Prepared-statement behavior: repeated calls replay the memoized
+        # analyzed plan (fresh execution every time — see registry.run_prepared).
+        return run_prepared(spark, sf_dir, spec)
 
-    run.__name__ = getattr(fn, "__name__", "query")
-    run.__doc__ = fn.__doc__
+    run.__name__ = getattr(spec.fn, "__name__", "query")
+    run.__doc__ = spec.fn.__doc__
     return run
 
 
@@ -54,7 +60,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(spec.fn) for name, spec in QUERIES.items()}
+    return {name: _wrap(spec) for name, spec in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

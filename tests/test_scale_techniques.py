@@ -142,3 +142,30 @@ def test_split_layout_rewrites_single_row_group(spark, tmp_path, monkeypatch):
     assert os.listdir(str(tmp_path / "wh")) == wh_dirs
 
     S._TABLE_CACHE.clear()
+
+
+def test_prepared_plan_replay_fresh_execution(spark):
+    """run_prepared memoizes the analyzed plan but each call must yield a NEW
+    Dataset (fresh QueryExecution → fresh shuffles), identical results."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.001"
+    a = qs["agg_rollup"](spark, sf)
+    b = qs["agg_rollup"](spark, sf)
+    assert a._jdf is not b._jdf  # replay builds a distinct JVM Dataset
+    rows_a = sorted(map(tuple, a.collect()), key=repr)
+    rows_b = sorted(map(tuple, b.collect()), key=repr)
+    assert rows_a == rows_b and len(rows_a) > 0
+
+
+def test_prepared_plan_cache_kill_switch(spark, monkeypatch):
+    from mcp_clickhouse_spark.inventory import registry
+
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
+    registry._PLAN_CACHE.clear()
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    qs["agg_rollup"](spark, "/root/testdata/sf0.001").collect()
+    assert not registry._PLAN_CACHE  # nothing memoized when disabled
