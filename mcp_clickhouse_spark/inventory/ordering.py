@@ -4,9 +4,9 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9) = the brand-new pipe_repetition_filters
-(Gopher repetition quality filters, never driver-checked) + the query whose
-ORACLE changed this round (subquery_scalar — the mean now goes through order-independent
+Round 5 priority (judge r4 item 9) = the three brand-new queries
+(pipe_repetition_filters, pipe_dedup_incremental, pipe_pii_scrub — never
+driver-checked) + the query whose ORACLE changed this round (subquery_scalar — the mean now goes through order-independent
 bigint-cents because the multi-file storage layout unpinned double-sum
 order) + the 14 bench-headline canaries (the floor-attack queries: AQE
 policy + storage-layout rewrite changed their execution this round, so the
@@ -24,6 +24,8 @@ from mcp_clickhouse_spark.inventory.registry import QUERIES
 PRIORITY: list[str] = [
     # brand-new this round — never driver-checked
     "pipe_repetition_filters",
+    "pipe_dedup_incremental",
+    "pipe_pii_scrub",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -74,11 +76,9 @@ PRIORITY: list[str] = [
     "scalar_string",
     "scalar_datetime",
     "scalar_json",
-    "scalar_map",
     # refresh: aggregates
     "agg_cube",
     "agg_any_first_last",
-    "agg_histogram",
     # refresh: TPC-H singles
     "q2_min_cost_supplier",
     "q19_discounted_revenue",

@@ -33,11 +33,14 @@ from mcp_clickhouse_spark.pipeline.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
 from mcp_clickhouse_spark.pipeline.text import (
+    PII_PATTERNS,
     fingerprint_col,
     language_id_col,
     quality_score_col,
     repetition_filters,
+    scrub_pii,
     token_count_bpe_ish,
     with_text_stats,
 )
@@ -169,6 +172,90 @@ def pipe_lang_id(spark, sf_dir):
         d.withColumn("lang_pred", language_id_col("text"))
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n"))
+    )
+
+
+_SQL_FP = f"md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' '))"
+
+
+@query(
+    "pipe_dedup_incremental",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, text, {_SQL_FP} AS dedup_key FROM documents
+    ), thr AS (
+      SELECT (MAX(doc_id) + 1) // 2 AS t FROM keyed
+    ), corpus AS (
+      SELECT DISTINCT dedup_key FROM keyed, thr WHERE doc_id < t
+    ), batch AS (
+      SELECT doc_id, dedup_key FROM keyed, thr WHERE doc_id >= t
+    ), within AS (
+      SELECT dedup_key, MIN(doc_id) AS doc_id FROM batch GROUP BY dedup_key
+    )
+    SELECT doc_id, dedup_key FROM within
+    WHERE dedup_key NOT IN (SELECT dedup_key FROM corpus)
+    """,
+    category="pipeline",
+)
+def pipe_dedup_incremental(spark, sf_dir):
+    # Cross-snapshot ingest dedup: the upper-id half of documents is "the
+    # new crawl", deduped within itself then against the lower half's
+    # fingerprint keys (dedup.incremental_dedup).
+    d = t(spark, sf_dir, "documents")
+    thr = d.agg(F.expr("(max(doc_id) + 1) div 2").alias("t"))
+    with_t = d.crossJoin(F.broadcast(thr))
+    corpus = with_t.where(F.col("doc_id") < F.col("t")).drop("t")
+    batch = with_t.where(F.col("doc_id") >= F.col("t")).drop("t")
+    return incremental_dedup(batch, corpus).select("doc_id", "dedup_key")
+
+
+def _pii_scrub_chain_sql(col: str = "text") -> tuple[list[str], str]:
+    """(per-kind count exprs, scrubbed-text expr) in DuckDB SQL, generated
+    from the same PII_PATTERNS list text.scrub_pii uses so the Spark and
+    oracle chains can never drift."""
+    cur = col
+    count_cols = []
+    for kind, pat in PII_PATTERNS:
+        count_cols.append(f"len(regexp_extract_all({cur}, '{pat}')) AS n_{kind}")
+        cur = f"regexp_replace({cur}, '{pat}', '[{kind.upper()}]', 'g')"
+    return count_cols, cur
+
+
+def _pii_oracle_sql() -> str:
+    count_cols, cur = _pii_scrub_chain_sql()
+    kinds = [k for k, _ in PII_PATTERNS]
+    return f"""
+    WITH scrubbed AS (
+      SELECT source, {", ".join(count_cols)}, {cur} AS text_scrubbed FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           {", ".join(f"CAST(SUM(n_{k}) AS BIGINT) AS total_{k}" for k in kinds)},
+           CAST(SUM({" + ".join(f"n_{k}" for k in kinds)}) AS BIGINT) AS total_pii,
+           MIN(md5(text_scrubbed)) AS scrub_hash
+    FROM scrubbed GROUP BY source
+    """
+
+
+@query(
+    "pipe_pii_scrub",
+    oracle=_pii_oracle_sql(),
+    category="pipeline",
+)
+def pipe_pii_scrub(spark, sf_dir):
+    # Per-source PII scrub report: class counts (sequentially scrubbed, no
+    # double counting) + a hash of the scrubbed text proving the full
+    # replace chain is engine-identical. This corpus contains no PII, so
+    # counts are zero — the behavior itself is pytest-proven on synthetic
+    # docs (tests/test_pipeline.py).
+    d = scrub_pii(t(spark, sf_dir, "documents"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_email").alias("total_email"),
+        F.sum("n_ssn").alias("total_ssn"),
+        F.sum("n_ipv4").alias("total_ipv4"),
+        F.sum("n_phone").alias("total_phone"),
+        F.sum("n_pii_total").alias("total_pii"),
+        F.min(F.md5("text_scrubbed")).alias("scrub_hash"),
     )
 
 

@@ -209,6 +209,49 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    key_fn=None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup an incoming batch against an existing corpus snapshot — the
+    shape every recurring training-data ingest needs: crawl N arrives, must
+    be deduped (a) within itself and (b) against everything already
+    ingested, WITHOUT rereading the old corpus's text (only its keys).
+
+    ``key_fn(text_col) -> Column`` picks the dedup notion: exact content
+    (``lambda c: F.md5(F.col(c))``) or the default word-set fingerprint
+    (:func:`~mcp_clickhouse_spark.pipeline.text.fingerprint_col`, robust to
+    word order/duplication).
+
+    Returns the surviving batch rows (all original columns + ``dedup_key``).
+
+    Scale shape: within-batch keeper selection is a window over the key
+    (one shuffle); the corpus side reduces to DISTINCT KEYS ONLY before the
+    LEFT ANTI join, and both sides arrive hash-partitioned on ``dedup_key``
+    so the anti-join adds no extra exchange on the batch side.  At 100 TB
+    the corpus key set is the thing you'd persist between ingests (it is
+    orders of magnitude smaller than the corpus text).
+    """
+    from pyspark.sql import Window
+
+    if key_fn is None:
+        from mcp_clickhouse_spark.pipeline.text import fingerprint_col
+
+        key_fn = fingerprint_col
+    keyed = batch.withColumn("dedup_key", key_fn(text_col))
+    keeper = Window.partitionBy("dedup_key").orderBy(id_col)
+    within = (
+        keyed.withColumn("__rn", F.row_number().over(keeper))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    corpus_keys = corpus.select(key_fn(text_col).alias("dedup_key")).distinct()
+    return within.join(corpus_keys, "dedup_key", "left_anti")
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

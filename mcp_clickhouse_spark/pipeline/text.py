@@ -216,6 +216,41 @@ def repetition_filters(
     )
 
 
+# PII scrub patterns, applied IN ORDER — order matters because the classes
+# overlap textually: an IPv4 literal ("192.168.0.1") also matches the loose
+# phone shape, and an SSN-like triple would too, so the more specific
+# classes run (and count) first against the already-scrubbed text.
+# Kept to regex constructs whose semantics agree between Java regex (Spark)
+# and RE2 (DuckDB): literal classes, \d, \b, bounded repetition.
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("phone", r"\+?\d[\d\-\s().]{7,}\d"),
+]
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / SSN-like ids / IPv4s / phone-shaped digit runs,
+    appending ``text_scrubbed``, one ``n_<kind>`` count per class, and
+    ``n_pii_total``.  Counts are taken sequentially on the progressively
+    scrubbed text so overlapping classes never double-count.
+
+    Pure regexp builtins → whole-stage codegen, no shuffle, no Python
+    worker: the scrub maps over 100 TB at scan speed.
+    """
+    cur = F.col(text_col)
+    new_cols: dict[str, F.Column] = {}
+    for kind, pat in PII_PATTERNS:
+        new_cols[f"n_{kind}"] = F.size(F.regexp_extract_all(cur, F.lit(pat), 0))
+        cur = F.regexp_replace(cur, pat, f"[{kind.upper()}]")
+    new_cols["text_scrubbed"] = cur
+    out = df.withColumns(new_cols)
+    return out.withColumn(
+        "n_pii_total", sum(F.col(f"n_{k}") for k, _ in PII_PATTERNS)
+    )
+
+
 def token_count_bpe_ish(text_col="text"):
     """Token count with a BPE-ish regex split (word pieces + punctuation as
     separate tokens) — the cheap proxy for tokenizer-based counting."""

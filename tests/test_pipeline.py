@@ -362,3 +362,88 @@ def test_repetition_filters_plan_shape(spark):
     df = repetition_filters(read_table(spark, "/root/testdata/sf0.001", "documents"))
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    """Synthetic PII of all four classes: counts and sequential, order-aware
+    redaction ([IPV4] must win over the looser phone shape, etc.)."""
+    from mcp_clickhouse_spark.pipeline.text import scrub_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "contact bob.smith+x@corp.example.org or call +1 (415) 555-0123 now"),
+            (2, "server 192.168.001.1 logged ssn 123-45-6789 twice: 123-45-6789"),
+            (3, "no personal data here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in scrub_pii(docs).collect()}
+    assert got[1].n_email == 1 and got[1].n_phone == 1 and got[1].n_pii_total == 2
+    assert "[EMAIL]" in got[1].text_scrubbed and "[PHONE]" in got[1].text_scrubbed
+    assert "@" not in got[1].text_scrubbed and "555" not in got[1].text_scrubbed
+    assert got[2].n_ssn == 2 and got[2].n_ipv4 == 1
+    assert got[2].n_phone == 0  # ip/ssn consumed before the loose phone shape
+    assert got[2].text_scrubbed.count("[SSN]") == 2 and "[IPV4]" in got[2].text_scrubbed
+    assert got[3].n_pii_total == 0 and got[3].text_scrubbed == got[3].text
+
+
+def test_scrub_pii_matches_duckdb_chain_on_pii_text(spark, tmp_path):
+    """The corpus query's oracle is zero-count; this proves the Spark and
+    DuckDB scrub chains agree where matches DO exist."""
+    import duckdb
+
+    from mcp_clickhouse_spark.inventory.pipeline_ops import _pii_scrub_chain_sql
+    from mcp_clickhouse_spark.pipeline.text import scrub_pii
+
+    rows = [
+        (1, "s1", "mail a@b.io and b@c.dev from 10.0.0.1"),
+        (2, "s1", "call 415-555-0000 x 123-45-6789"),
+        (3, "s2", "clean text"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    p = str(tmp_path / "pii.parquet")
+    docs.toPandas().to_parquet(p)
+    spark_out = {
+        r.doc_id: r.text_scrubbed
+        for r in scrub_pii(docs).select("doc_id", "text_scrubbed").collect()
+    }
+    count_cols, scrub_expr = _pii_scrub_chain_sql()
+    con = duckdb.connect()
+    duck_out = dict(
+        con.sql(
+            f"SELECT doc_id, {scrub_expr} AS text_scrubbed FROM '{p}'"
+        ).fetchall()
+    )
+    assert duck_out == spark_out
+    # and the count exprs agree too
+    duck_counts = con.sql(
+        f"SELECT doc_id, {', '.join(count_cols)} FROM '{p}' ORDER BY doc_id"
+    ).fetchall()
+    spark_counts = [
+        (r.doc_id, r.n_email, r.n_ssn, r.n_ipv4, r.n_phone)
+        for r in scrub_pii(docs).orderBy("doc_id").collect()
+    ]
+    assert [tuple(r) for r in duck_counts] == spark_counts
+
+
+def test_incremental_dedup_semantics(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon")], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "beta alpha gamma gamma"),  # fingerprint-dup of corpus doc 1
+            (11, "zeta eta"),                # new
+            (12, "eta zeta zeta"),           # within-batch dup of 11 (same word set)
+            (13, "theta iota"),              # new
+        ],
+        "doc_id long, text string",
+    )
+    kept = incremental_dedup(batch, corpus)
+    assert sorted(r.doc_id for r in kept.collect()) == [11, 13]
+    # exact-content keying: word-order variants now survive
+    kept_exact = incremental_dedup(batch, corpus, key_fn=lambda c: F.md5(F.col(c)))
+    assert sorted(r.doc_id for r in kept_exact.collect()) == [10, 11, 12, 13]
