@@ -516,6 +516,39 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",
     "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
     "querystring": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    # CH arrayProduct returns Float64 — DOUBLE accumulator matches.
+    "arrayproduct": lambda a: f"aggregate({a[0]}, CAST(1 AS DOUBLE), (s, x) -> s * x)",
+    # 1-arg: distinct elements; multi-arg: distinct tuples across the arrays.
+    "arrayuniq": lambda a: (
+        f"size(array_distinct({a[0]}))"
+        if len(a) == 1
+        else f"size(array_distinct(arrays_zip({', '.join(a)})))"
+    ),
+    # 1-arg form (descending sort); the lambda form is not supported.
+    "arrayreversesort": lambda a: f"reverse(array_sort({a[0]}))",
+    # CH prints two decimals with binary-prefix units.
+    "formatreadablesize": lambda a: (
+        f"CASE WHEN abs({a[0]}) < 1024 THEN format_string('%.2f B', CAST({a[0]} AS DOUBLE))"
+        f" WHEN abs({a[0]}) < pow(1024, 2) THEN format_string('%.2f KiB', ({a[0]}) / 1024.0D)"
+        f" WHEN abs({a[0]}) < pow(1024, 3) THEN format_string('%.2f MiB', ({a[0]}) / pow(1024, 2))"
+        f" WHEN abs({a[0]}) < pow(1024, 4) THEN format_string('%.2f GiB', ({a[0]}) / pow(1024, 3))"
+        f" WHEN abs({a[0]}) < pow(1024, 5) THEN format_string('%.2f TiB', ({a[0]}) / pow(1024, 4))"
+        f" WHEN abs({a[0]}) < pow(1024, 6) THEN format_string('%.2f PiB', ({a[0]}) / pow(1024, 5))"
+        f" ELSE format_string('%.2f EiB', ({a[0]}) / pow(1024, 6)) END"
+    ),
+    # Haversine on the 6371 km mean-Earth sphere (CH's great-circle model;
+    # geoDistance's ellipsoid correction is approximated by the same sphere).
+    # Arg order matches CH: (lon1, lat1, lon2, lat2); meters.
+    "greatcircledistance": lambda a: (
+        f"2 * 6371000.0D * asin(sqrt(pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2)"
+        f" + cos(radians({a[1]})) * cos(radians({a[3]}))"
+        f" * pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2)))"
+    ),
+    "geodistance": lambda a: (
+        f"2 * 6371000.0D * asin(sqrt(pow(sin(radians(({a[3]}) - ({a[1]})) / 2), 2)"
+        f" + cos(radians({a[1]})) * cos(radians({a[3]}))"
+        f" * pow(sin(radians(({a[2]}) - ({a[0]})) / 2), 2)))"
+    ),
     "ipv4numtostring": lambda a: (
         f"concat(CAST((({a[0]}) div 16777216) % 256 AS STRING), '.',"
         f" CAST((({a[0]}) div 65536) % 256 AS STRING), '.',"

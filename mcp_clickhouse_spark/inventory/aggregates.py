@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from mcp_clickhouse_spark.inventory.registry import query, t
-from mcp_clickhouse_spark.operators import top_k, with_totals
+from mcp_clickhouse_spark.operators import top_k, top_k_weighted, with_totals
 
 
 def _cents(col: str):
@@ -337,6 +337,31 @@ def agg_topk(spark, sf_dir):
     # ClickHouse topK(5)(l_suppkey): 5 most frequent suppliers per returnflag,
     # exact + deterministic (see operators/topk.py).
     return top_k(t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_suppkey", 5)
+
+
+@query(
+    "agg_topk_weighted",
+    oracle="""
+    SELECT * FROM (
+      SELECT l_returnflag, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_weight,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY SUM(CAST(l_quantity AS BIGINT)) DESC,
+                                         l_suppkey) AS rk
+      FROM lineitem GROUP BY l_returnflag, l_suppkey
+    ) WHERE rk <= 5
+    """,
+    category="aggregates",
+)
+def agg_topk_weighted(spark, sf_dir):
+    # ClickHouse topKWeighted(5)(l_suppkey, l_quantity): suppliers carrying
+    # the most quantity per returnflag — exact + deterministic
+    # (operators/topk.py:top_k_weighted). Quantity is an integral double;
+    # the bigint cast makes the weighted sum order-independent on both sides.
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "qty_w", F.col("l_quantity").cast("bigint")
+    )
+    return top_k_weighted(li, ["l_returnflag"], "l_suppkey", "qty_w", 5)
 
 
 @query(

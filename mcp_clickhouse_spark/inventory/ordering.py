@@ -26,6 +26,7 @@ PRIORITY: list[str] = [
     "pipe_repetition_filters",
     "pipe_dedup_incremental",
     "pipe_pii_scrub",
+    "agg_topk_weighted",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -70,7 +71,6 @@ PRIORITY: list[str] = [
     "array_join_explode",
     # refresh: set operations
     "setop_union_by_name",
-    "setop_intersect_all",
     "setop_except_all",
     # refresh: scalar families
     "scalar_string",

@@ -27,3 +27,20 @@ def top_k(df: DataFrame, group: Sequence[str], value: str, k: int) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def top_k_weighted(
+    df: DataFrame, group: Sequence[str], value: str, weight: str, k: int
+) -> DataFrame:
+    """ClickHouse topKWeighted(k)(value, weight): the k values with the
+    largest total weight per group — same exact two-shuffle shape as
+    :func:`top_k` with SUM(weight) replacing COUNT(*).
+
+    Returns (group, value, total_weight, rk); ties break by value.
+    """
+    group = list(group)
+    summed = df.groupBy(*group, value).agg(F.sum(weight).alias("total_weight"))
+    w = Window.partitionBy(*group).orderBy(
+        F.col("total_weight").desc(), F.col(value).asc()
+    )
+    return summed.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= k)

@@ -473,3 +473,39 @@ def test_bit_finiteness_conversion_family(spark):
     assert one("SELECT toFloat64OrNull('1.5')") == 1.5
     assert one("SELECT toUInt32OrZero('x')") == 0
     assert one("SELECT toDateOrNull('nope')") is None
+
+
+def test_array_math_and_geo_functions_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          arrayProduct([2.0, 3.0, 4.0]) AS prod,
+          arrayUniq([1, 2, 2, 3, 3, 3]) AS uniq1,
+          arrayUniq([1, 1, 2], [1, 2, 2]) AS uniq2,
+          arrayReverseSort([3, 1, 2]) AS rsorted,
+          formatReadableSize(512) AS b,
+          formatReadableSize(1536) AS kib,
+          formatReadableSize(3 * 1048576) AS mib,
+          greatCircleDistance(0.0, 0.0, 0.0, 1.0) AS one_deg_lat,
+          geoDistance(0.0, 0.0, 0.0, 1.0) AS one_deg_lat2
+        """,
+    )
+    assert row[0] == 24.0
+    assert row[1] == 3
+    assert row[2] == 3  # tuples (1,1),(1,2),(2,2)
+    assert row[3] == [3, 2, 1]
+    assert row[4] == "512.00 B" and row[5] == "1.50 KiB" and row[6] == "3.00 MiB"
+    # one degree of latitude on the 6371 km sphere ≈ 111.195 km
+    assert abs(row[7] - 111195) < 10 and row[7] == row[8]
+
+
+def test_topk_weighted_operator(spark):
+    from mcp_clickhouse_spark.operators import top_k_weighted
+
+    df = spark.createDataFrame(
+        [("g", "a", 1), ("g", "a", 1), ("g", "b", 10), ("g", "c", 5)],
+        "grp string, v string, w long",
+    )
+    rows = top_k_weighted(df, ["grp"], "v", "w", 2).orderBy("rk").collect()
+    assert [(r.v, r.total_weight, r.rk) for r in rows] == [("b", 10, 1), ("c", 5, 2)]
