@@ -8,6 +8,7 @@ from mcp_clickhouse_spark.streaming.ops import (  # noqa: F401
     sliding_counts,
     stream_events,
     streaming_dedup,
+    streaming_incremental_dedup,
     tumbling_counts,
     user_running_totals,
 )

@@ -149,6 +149,33 @@ def streaming_dedup(events: DataFrame, keys: list[str] | None = None,
     )
 
 
+def streaming_incremental_dedup(
+    stream: DataFrame,
+    corpus_keys: DataFrame,
+    key_col: str = "dedup_key",
+    ts_col: str | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``pipeline.dedup.incremental_dedup``: rows arriving
+    on the stream are deduped within the stream (first arrival wins) and
+    against a STATIC corpus key set via a stream-static LEFT ANTI join —
+    the continuous-ingest shape where yesterday's corpus keys are a fixed
+    side input and only genuinely new content flows through.
+
+    With ``ts_col`` the within-stream state is watermark-bounded
+    (``dropDuplicatesWithinWatermark``); without one it falls back to plain
+    ``dropDuplicates`` — unbounded state, only appropriate for bounded
+    backfill replays.  The anti-join itself is stateless per micro-batch.
+    """
+    if ts_col is not None:
+        within = stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    else:
+        within = stream.dropDuplicates([key_col])
+    return within.join(corpus_keys.select(key_col), key_col, "left_anti")
+
+
 _RUNNING_SCHEMA = StructType(
     [
         StructField("user_id", LongType()),

@@ -283,3 +283,34 @@ def test_sessionize_with_timeout_matches_batch(spark, sf_dir, tmp_path):
     }
     assert len(want) > 10
     assert got == want
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
+    """Stream-static anti-join dedup: a streamed ingest batch deduped against
+    the prior corpus's keys keeps exactly the keys the batch operator keeps."""
+    from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
+    from mcp_clickhouse_spark.pipeline.text import fingerprint_col
+    from mcp_clickhouse_spark.streaming.ops import streaming_incremental_dedup
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    thr = 250
+    corpus = docs.where(F.col("doc_id") < thr)
+    batch = docs.where(F.col("doc_id") >= thr)
+
+    # Batch truth (keeper ids differ from first-arrival order, so compare keys).
+    want_keys = {
+        r.dedup_key for r in incremental_dedup(batch, corpus).select("dedup_key").collect()
+    }
+
+    src = str(tmp_path / "ingest")
+    batch.write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .parquet(src)
+        .withColumn("dedup_key", fingerprint_col("text"))
+    )
+    corpus_keys = corpus.select(fingerprint_col("text").alias("dedup_key")).distinct()
+    kept = streaming_incremental_dedup(stream, corpus_keys)
+    run_available_now(kept, "t_inc_dedup", output_mode="append")
+    got_keys = {r.dedup_key for r in spark.table("t_inc_dedup").collect()}
+    assert got_keys == want_keys and len(got_keys) > 0
