@@ -10,6 +10,7 @@ from mcp_clickhouse_spark.operators.any_join import any_join  # noqa: F401
 from mcp_clickhouse_spark.operators.limit_by import limit_by  # noqa: F401
 from mcp_clickhouse_spark.operators.with_fill import with_fill  # noqa: F401
 from mcp_clickhouse_spark.operators.with_totals import with_totals  # noqa: F401
+from mcp_clickhouse_spark.operators.map_agg import max_map, min_map, sum_map  # noqa: F401
 from mcp_clickhouse_spark.operators.topk import top_k, top_k_weighted  # noqa: F401
 from mcp_clickhouse_spark.operators.funnel import (  # noqa: F401
     retention,

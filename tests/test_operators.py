@@ -99,3 +99,33 @@ def test_with_fill(spark):
         (4, 40),
         (5, 0),
     ]
+
+
+def test_sum_min_max_map(spark):
+    """ClickHouse sumMap/minMap/maxMap semantics: parallel key/value arrays
+    aggregate per group into one key-sorted map."""
+    from mcp_clickhouse_spark.operators import max_map, min_map, sum_map
+
+    df = spark.createDataFrame(
+        [
+            ("g1", ["a", "b"], [1, 10]),
+            ("g1", ["b", "c"], [20, 300]),
+            ("g2", ["a"], [7]),
+        ],
+        "grp string, ks array<string>, vs array<long>",
+    )
+    got = {r.grp: dict(r.sum_map) for r in sum_map(df, ["grp"], "ks", "vs").collect()}
+    assert got == {"g1": {"a": 1, "b": 30, "c": 300}, "g2": {"a": 7}}
+    # key order inside the map is sorted like ClickHouse's output
+    row = sum_map(df, ["grp"], "ks", "vs").where("grp = 'g1'").first()
+    assert list(row.sum_map.keys()) == ["a", "b", "c"]
+    got_min = {r.grp: dict(r.min_map) for r in min_map(df, ["grp"], "ks", "vs").collect()}
+    assert got_min["g1"] == {"a": 1, "b": 10, "c": 300}
+    got_max = {r.grp: dict(r.max_map) for r in max_map(df, ["grp"], "ks", "vs").collect()}
+    assert got_max["g1"] == {"a": 1, "b": 20, "c": 300}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        from mcp_clickhouse_spark.operators.map_agg import _map_agg
+
+        _map_agg(df, ["grp"], "ks", "vs", "avg", "x")
