@@ -447,3 +447,18 @@ def test_incremental_dedup_semantics(spark):
     # exact-content keying: word-order variants now survive
     kept_exact = incremental_dedup(batch, corpus, key_fn=lambda c: F.md5(F.col(c)))
     assert sorted(r.doc_id for r in kept_exact.collect()) == [10, 11, 12, 13]
+
+
+def test_incremental_dedup_plan_shape(spark):
+    """Keeper selection folds to WindowGroupLimit (map-side partial top-1
+    BEFORE the key exchange) and the anti-join adds no exchange on the
+    batch side — the shape that scales to a 100 TB ingest."""
+    from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
+    from mcp_clickhouse_spark.session import read_table
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") < 250)
+    batch = docs.where(F.col("doc_id") >= 250)
+    plan = incremental_dedup(batch, corpus)._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+    assert "LeftAnti" in plan
