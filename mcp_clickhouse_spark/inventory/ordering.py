@@ -27,6 +27,8 @@ PRIORITY: list[str] = [
     "pipe_dedup_incremental",
     "pipe_pii_scrub",
     "agg_topk_weighted",
+    "pipe_train_val_split",
+    "pipe_unigram_logprob",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -66,7 +68,6 @@ PRIORITY: list[str] = [
     # refresh: joins
     "join_inner",
     "join_left",
-    "join_theta",
     "join_any",
     "array_join_explode",
     # refresh: set operations
@@ -75,7 +76,6 @@ PRIORITY: list[str] = [
     # refresh: scalar families
     "scalar_string",
     "scalar_datetime",
-    "scalar_json",
     # refresh: aggregates
     "agg_cube",
     "agg_any_first_last",

@@ -179,6 +179,95 @@ _SQL_FP = f"md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' '))"
 
 
 @query(
+    "pipe_train_val_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+        CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  % 100 < 90
+             THEN 'train' ELSE 'val' END AS split
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+    category="pipeline",
+)
+def pipe_train_val_split(spark, sf_dir):
+    # Deterministic 90/10 train/val assignment: md5 of the doc id → first
+    # 8 hex chars → bucket 0-99. Content-stable (re-runs and re-shards never
+    # move a doc across the split), no RNG, no shuffle beyond the count agg —
+    # the standard reproducible-split pattern for training corpora.
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        d.withColumn("split", F.when(bucket < 90, "train").otherwise("val"))
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "pipe_unigram_logprob",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    ), freq AS (
+      SELECT w, COUNT(*) AS cnt FROM words GROUP BY w
+    ), tot AS (
+      SELECT CAST(round(ln(SUM(cnt)) * 1000000) AS BIGINT) AS q_total FROM freq
+    ), scored AS (
+      SELECT doc_id,
+             COUNT(*) AS n_words,
+             SUM(CAST(round(ln(cnt) * 1000000) AS BIGINT)) AS s
+      FROM words JOIN freq USING (w) GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           round((s - n_words * q_total) / (n_words * 1000000.0), 6) AS avg_logprob
+    FROM scored, tot
+    """,
+    category="pipeline",
+)
+def pipe_unigram_logprob(spark, sf_dir):
+    # Unigram-LM quality proxy (the SQL-expressible stand-in for KenLM
+    # perplexity filtering): per-doc mean log-probability under the corpus's
+    # own unigram distribution. Per-word log-counts are quantized to
+    # integer micro-nats BEFORE summation so the aggregate is
+    # order-independent and bit-identical across engines (double summation
+    # order differs otherwise). Shape: one explode, vocabulary-sized freq
+    # agg (broadcast-joinable at any scale — vocab ≪ corpus), per-doc
+    # regroup; no driver-side state.
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    q_total = freq.agg(
+        F.round(F.log(F.sum("cnt")) * 1000000).cast("long").alias("q_total")
+    )
+    scored = (
+        words.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum(F.round(F.log("cnt") * 1000000).cast("long")).alias("s"),
+        )
+    )
+    return scored.crossJoin(F.broadcast(q_total)).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(
+            (F.col("s") - F.col("n_words") * F.col("q_total"))
+            / (F.col("n_words") * F.lit(1000000.0)),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+@query(
     "pipe_dedup_incremental",
     oracle=f"""
     WITH keyed AS (

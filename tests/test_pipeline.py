@@ -462,3 +462,32 @@ def test_incremental_dedup_plan_shape(spark):
     plan = incremental_dedup(batch, corpus)._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan and "Partial" in plan
     assert "LeftAnti" in plan
+
+
+def test_train_val_split_deterministic_and_proportional(spark):
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    sf = "/root/testdata/sf0.01"
+    a = {(r.source, r.split): r.n_docs for r in qs["pipe_train_val_split"](spark, sf).collect()}
+    b = {(r.source, r.split): r.n_docs for r in qs["pipe_train_val_split"](spark, sf).collect()}
+    assert a == b  # content-stable across runs
+    n_train = sum(v for (s, sp), v in a.items() if sp == "train")
+    n_val = sum(v for (s, sp), v in a.items() if sp == "val")
+    assert 0.8 <= n_train / (n_train + n_val) <= 0.97  # ~90/10
+
+
+def test_unigram_logprob_ranks_common_above_rare(spark):
+    """A doc made of corpus-frequent words must score higher (less negative)
+    than a doc of hapax words — the perplexity-proxy property."""
+    from mcp_clickhouse_spark.inventory.pipeline_ops import pipe_unigram_logprob
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    df = qs["pipe_unigram_logprob"](spark, "/root/testdata/sf0.001")
+    rows = df.collect()
+    assert len(rows) == 500
+    assert all(r.avg_logprob < 0 for r in rows)
+    # spread exists: the corpus is not uniform
+    vals = sorted(r.avg_logprob for r in rows)
+    assert vals[0] < vals[-1]
