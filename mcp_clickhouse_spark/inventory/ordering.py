@@ -29,6 +29,9 @@ PRIORITY: list[str] = [
     "agg_topk_weighted",
     "pipe_train_val_split",
     "pipe_unigram_logprob",
+    "pipe_chunk_documents",
+    "pipe_pack_sequences",
+    "pipe_decontaminate",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -67,17 +70,14 @@ PRIORITY: list[str] = [
     "q18_large_volume_customers",
     # refresh: joins
     "join_inner",
-    "join_left",
     "join_any",
     "array_join_explode",
     # refresh: set operations
     "setop_union_by_name",
-    "setop_except_all",
     # refresh: scalar families
     "scalar_string",
     "scalar_datetime",
     # refresh: aggregates
-    "agg_cube",
     "agg_any_first_last",
     # refresh: TPC-H singles
     "q2_min_cost_supplier",

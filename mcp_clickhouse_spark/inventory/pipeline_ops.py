@@ -33,6 +33,11 @@ from mcp_clickhouse_spark.pipeline.similarity import (
     ivf_topk,
     lsh_bucketed_topk,
 )
+from mcp_clickhouse_spark.pipeline.chunking import (
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+)
 from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
 from mcp_clickhouse_spark.pipeline.text import (
     PII_PATTERNS,
@@ -176,6 +181,90 @@ def pipe_lang_id(spark, sf_dir):
 
 
 _SQL_FP = f"md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' '))"
+
+
+@query(
+    "pipe_chunk_documents",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), c AS (
+      SELECT doc_id,
+        unnest(list_transform(
+          generate_series(0, CAST(ceil(len(w) / 56.0) AS INT) - 1),
+          i -> {{'i': i, 'txt': array_to_string(w[i*56+1 : i*56+64], ' ')}}
+        )) AS u
+      FROM base
+    )
+    SELECT doc_id, CAST(u.i AS INT) AS chunk_idx, u.txt AS chunk_text,
+           len(string_split_regex(u.txt, '\\s+')) AS n_tokens
+    FROM c
+    """,
+    category="pipeline",
+)
+def pipe_chunk_documents(spark, sf_dir):
+    # Sliding-window chunking: 64-word chunks, 8-word overlap (stride 56) —
+    # pipeline/chunking.chunk_documents.
+    return chunk_documents(t(spark, sf_dir, "documents"), chunk_size=64, overlap=8)
+
+
+@query(
+    "pipe_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, len({_SQL_WORDS}) AS n_tokens FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+        CAST(floor(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 256.0)
+             AS BIGINT) AS pack_id
+      FROM toks
+    )
+    SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM packed GROUP BY pack_id
+    """,
+    category="pipeline",
+)
+def pipe_pack_sequences(spark, sf_dir):
+    # Concatenate-then-split context packing at a 256-token budget
+    # (pipeline/chunking.pack_sequences), summarized per pack.
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("n_tokens")
+    )
+    packed = pack_sequences(d, budget=256)
+    return packed.groupBy("pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+@query(
+    "pipe_decontaminate",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, {_SQL_WORDS} AS w FROM documents
+    ), g AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(w) - 3),
+                              i -> array_to_string(w[i:i+3], ' '))) AS g
+      FROM base
+    ), bench AS (
+      SELECT DISTINCT g FROM g WHERE doc_id % 50 = 0
+    )
+    SELECT DISTINCT doc_id FROM g
+    WHERE doc_id % 50 != 0 AND g IN (SELECT g FROM bench)
+    """,
+    category="pipeline",
+)
+def pipe_decontaminate(spark, sf_dir):
+    # Benchmark n-gram decontamination (the eval-hygiene pass): corpus docs
+    # sharing any word 4-gram with the benchmark subset (every 50th doc).
+    # Public practice uses 13-grams on web text; 4 here is scaled to the
+    # ~40-word synthetic docs so the check is non-degenerate.
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 50 == 0)
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(corpus, bench, k=4)
 
 
 @query(

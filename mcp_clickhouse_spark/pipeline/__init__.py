@@ -8,8 +8,14 @@ binary-column plumbing. All designed partition-parallel: no driver-side
 collect anywhere.
 """
 
+from mcp_clickhouse_spark.pipeline.chunking import (  # noqa: F401
+    chunk_documents,
+    decontaminate,
+    pack_sequences,
+)
 from mcp_clickhouse_spark.pipeline.dedup import (  # noqa: F401
     exact_dedup,
+    incremental_dedup,
     minhash_signatures,
     minhash_lsh_candidates,
     simhash_64,
@@ -28,4 +34,6 @@ from mcp_clickhouse_spark.pipeline.text import (  # noqa: F401
     quality_score_col,
     language_id_col,
     fingerprint_col,
+    repetition_filters,
+    scrub_pii,
 )

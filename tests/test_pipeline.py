@@ -491,3 +491,61 @@ def test_unigram_logprob_ranks_common_above_rare(spark):
     # spread exists: the corpus is not uniform
     vals = sorted(r.avg_logprob for r in rows)
     assert vals[0] < vals[-1]
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    from mcp_clickhouse_spark.pipeline.chunking import chunk_documents
+
+    words = [f"w{i:03d}" for i in range(10)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id long, text string")
+    rows = sorted(
+        chunk_documents(docs, chunk_size=4, overlap=1).collect(), key=lambda r: r.chunk_idx
+    )
+    # stride 3: starts 0,3,6,9 → ceil(10/3)=4 chunks, last one short
+    assert [r.chunk_text.split() for r in rows] == [
+        words[0:4], words[3:7], words[6:10], words[9:10],
+    ]
+    assert [r.n_tokens for r in rows] == [4, 4, 4, 1]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=4, overlap=4)
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    from mcp_clickhouse_spark.pipeline.chunking import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (4, 10), (5, 300)],
+        "doc_id long, n_tokens long",
+    )
+    got = {r.doc_id: r.pack_id for r in pack_sequences(docs, budget=256).collect()}
+    # cum-before: 0,100,200,300,310 → //256 = 0,0,0,1,1
+    assert got == {1: 0, 2: 0, 3: 0, 4: 1, 5: 1}
+    # partitioned packing restarts per shard
+    sharded = spark.createDataFrame(
+        [("a", 1, 200), ("a", 2, 200), ("b", 3, 200), ("b", 4, 200)],
+        "shard string, doc_id long, n_tokens long",
+    )
+    got2 = {
+        (r.shard, r.doc_id): r.pack_id
+        for r in pack_sequences(sharded, budget=256, order_within="shard").collect()
+    }
+    assert got2 == {("a", 1): 0, ("a", 2): 0, ("b", 3): 0, ("b", 4): 0}
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    from mcp_clickhouse_spark.pipeline.chunking import decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the secret benchmark answer is forty two exactly")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "filler words then the secret benchmark answer is forty two exactly end"),
+            (2, "completely unrelated text with no overlap whatsoever here today"),
+            (3, "benchmark answer is close but reordered answer benchmark is forty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in decontaminate(corpus, bench, k=8).collect())
+    assert got == [1]
