@@ -32,6 +32,7 @@ PRIORITY: list[str] = [
     "pipe_chunk_documents",
     "pipe_pack_sequences",
     "pipe_decontaminate",
+    "pipe_bm25",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -76,7 +77,6 @@ PRIORITY: list[str] = [
     "setop_union_by_name",
     # refresh: scalar families
     "scalar_string",
-    "scalar_datetime",
     # refresh: aggregates
     "agg_any_first_last",
     # refresh: TPC-H singles

@@ -41,6 +41,7 @@ from mcp_clickhouse_spark.pipeline.chunking import (
 from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
 from mcp_clickhouse_spark.pipeline.text import (
     PII_PATTERNS,
+    bm25_scores,
     fingerprint_col,
     language_id_col,
     quality_score_col,
@@ -181,6 +182,41 @@ def pipe_lang_id(spark, sf_dir):
 
 
 _SQL_FP = f"md5(array_to_string(list_sort(list_distinct({_SQL_WORDS})), ' '))"
+
+
+@query(
+    "pipe_bm25",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id, {_SQL_WORDS} AS w, len({_SQL_WORDS}) AS dl FROM documents
+    ), g AS (
+      SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM per_doc
+    ), terms(term) AS (VALUES ('spark'), ('query'), ('customer')),
+    tf_rows AS (
+      SELECT doc_id, dl, term, len(list_filter(w, x -> x = term)) AS tf
+      FROM per_doc CROSS JOIN terms
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf_rows WHERE tf > 0 GROUP BY term
+    ), scored AS (
+      SELECT doc_id,
+        CAST(round(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+             * (tf / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) * 1e9) AS BIGINT)
+          AS contrib_q
+      FROM tf_rows JOIN dfreq USING (term) CROSS JOIN g WHERE tf > 0
+    ), totals AS (
+      SELECT doc_id, CAST(SUM(contrib_q) AS BIGINT) AS score_q FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(score_q / 1e9, 6) AS score,
+           CAST(ROW_NUMBER() OVER (ORDER BY score_q DESC, doc_id) AS INT) AS rank
+    FROM totals
+    """,
+    category="pipeline",
+)
+def pipe_bm25(spark, sf_dir):
+    # Okapi BM25 over the fixed query ['spark','query','customer']
+    # (pipeline/text.bm25_scores; Lucene idf, nano-unit quantized
+    # contributions so scores and ranks are engine-identical).
+    return bm25_scores(t(spark, sf_dir, "documents"), ["spark", "query", "customer"])
 
 
 @query(

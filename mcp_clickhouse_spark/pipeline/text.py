@@ -251,6 +251,84 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed query-term list — the
+    lexical-search side of a data-curation stack (e.g. targeted corpus
+    pulls by keyword relevance).
+
+    idf uses the Lucene form ln(1 + (N − df + 0.5)/(df + 0.5)) (always
+    positive).  Per-term contributions are quantized to integer nano-units
+    BEFORE the per-document sum so scores are order-independent and
+    bit-identical across engines (same trick as the unigram-LM proxy).
+    Returns (id_col, score, rank); rank is dense over the exact integer
+    score (ties broken by id) so the ordering itself is reproducible.
+
+    Scale shape: per-doc term frequencies come from array `filter` inside
+    the scan projection (no per-term scan); df statistics aggregate over
+    |terms| × |docs| exploded rows with map-side partials; the stats frame
+    (one row per term + one global row) broadcasts back.  No O(vocab) state
+    on the driver.
+    """
+    from pyspark.sql import Window
+
+    words = _words(F.col(text_col))
+    per_doc = df.select(F.col(id_col), words.alias("w"), F.size(words).alias("dl"))
+    globals_ = per_doc.agg(
+        F.count("*").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    tf_rows = per_doc.select(
+        F.col(id_col),
+        F.col("dl"),
+        F.explode(term_arr).alias("term"),
+        F.col("w"),
+    ).withColumn("tf", F.size(F.filter(F.col("w"), lambda x: x == F.col("term")))).drop("w")
+    dfreq = (
+        tf_rows.where(F.col("tf") > 0).groupBy("term").agg(F.count("*").alias("df"))
+    )
+    scored = (
+        tf_rows.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(globals_))
+        .where(F.col("tf") > 0)
+        .withColumn(
+            "idf",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ),
+        )
+        .withColumn(
+            "contrib_q",
+            F.round(
+                F.col("idf")
+                * (
+                    F.col("tf")
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                    )
+                )
+                * F.lit(1e9)
+            ).cast("long"),
+        )
+    )
+    totals = scored.groupBy(id_col).agg(F.sum("contrib_q").alias("score_q"))
+    w = Window.orderBy(F.col("score_q").desc(), F.col(id_col))
+    return totals.select(
+        F.col(id_col),
+        F.round(F.col("score_q") / F.lit(1e9), 6).alias("score"),
+        F.row_number().over(w).alias("rank"),
+    )
+
+
 def token_count_bpe_ish(text_col="text"):
     """Token count with a BPE-ish regex split (word pieces + punctuation as
     separate tokens) — the cheap proxy for tokenizer-based counting."""

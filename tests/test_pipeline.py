@@ -549,3 +549,26 @@ def test_decontaminate_flags_exact_ngram_overlap(spark):
     )
     got = sorted(r.doc_id for r in decontaminate(corpus, bench, k=8).collect())
     assert got == [1]
+
+
+def test_bm25_relevance_ordering(spark):
+    """BM25 sanity: more matching terms rank higher; a rarer term contributes
+    more than a corpus-common one at equal tf."""
+    from mcp_clickhouse_spark.pipeline.text import bm25_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark query engine with spark catalyst and spark tungsten"),
+            (2, "a query about nothing in particular just filler words here"),
+            (3, "common common common common common common common common"),
+            (4, "common rare"),
+            (5, "common plain"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.score, r.rank) for r in bm25_scores(docs, ["spark", "query"]).collect()}
+    assert set(out) == {1, 2}  # docs without any term are absent
+    assert out[1][1] == 1 and out[2][1] == 2 and out[1][0] > out[2][0]
+    # 'rare' (df=1) must outweigh 'common' (df=4) at the same tf
+    out2 = {r.doc_id: r.score for r in bm25_scores(docs, ["common", "rare"]).collect()}
+    assert out2[4] > out2[5]
