@@ -730,27 +730,44 @@ def extract_settings(sql: str) -> tuple[str, dict[str, str]]:
 
     Keys are lowercased; quoted values are unquoted.  A trailing ``FORMAT X``
     (which follows SETTINGS in ClickHouse grammar) is preserved on the
-    returned SQL for the translator's own handling."""
+    returned SQL for the translator's own handling.  Matches inside string
+    literals are ignored (SQL quotes escape by doubling)."""
+
+    def in_literal(pos: int) -> bool:
+        in_q = False
+        i = 0
+        while i < pos:
+            if sql[i] == "'":
+                if in_q and i + 1 < len(sql) and sql[i + 1] == "'":
+                    i += 2  # doubled quote inside a literal
+                    continue
+                in_q = not in_q
+            i += 1
+        return in_q
+
     fmt = ""
     m_fmt = re.search(r"(?is)\bFORMAT\s+[A-Za-z0-9_]+\s*;?\s*$", sql)
-    if m_fmt:
+    if m_fmt and not in_literal(m_fmt.start()):
         fmt = sql[m_fmt.start() :]
         sql = sql[: m_fmt.start()]
+    # value atom: quoted string (with '' doubling) or an unquoted run
+    _val = r"(?:'(?:[^']|'')*'|[^,;']+)"
     m = re.search(
-        r"(?is)\bSETTINGS\s+([A-Za-z0-9_]+\s*=\s*[^,;]+"
-        r"(?:\s*,\s*[A-Za-z0-9_]+\s*=\s*[^,;]+)*)\s*;?\s*$",
+        rf"(?is)\bSETTINGS\s+([A-Za-z0-9_]+\s*=\s*{_val}"
+        rf"(?:\s*,\s*[A-Za-z0-9_]+\s*=\s*{_val})*)\s*;?\s*$",
         sql,
     )
-    if not m:
+    if not m or in_literal(m.start()):
         return sql + fmt, {}
     settings: dict[str, str] = {}
-    for part in m.group(1).split(","):
+    for part in _split_args(m.group(1)):  # string-aware comma split
         k, _, v = part.partition("=")
         v = v.strip().rstrip(";").strip()
         if len(v) >= 2 and v[0] == v[-1] and v[0] in "'\"":
-            v = v[1:-1]
+            v = v[1:-1].replace("''", "'")
         settings[k.strip().lower()] = v
-    return sql[: m.start()].rstrip() + fmt, settings
+    out = sql[: m.start()].rstrip()
+    return (out + " " + fmt if fmt else out), settings
 
 
 def _strip_suffix_clauses(sql: str) -> str:

@@ -4,16 +4,21 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9) = the three brand-new queries
-(pipe_repetition_filters, pipe_dedup_incremental, pipe_pii_scrub — never
-driver-checked) + the query whose ORACLE changed this round (subquery_scalar — the mean now goes through order-independent
+Round 5 priority (judge r4 item 9), summing to exactly 50: the TEN
+brand-new round-5 queries (repetition filters, incremental dedup, PII
+scrub, topKWeighted, train/val split, unigram log-prob, chunking, packing,
+decontamination, BM25 — never driver-checked) + the one query whose ORACLE
+changed this round (subquery_scalar — the mean now goes through order-independent
 bigint-cents because the multi-file storage layout unpinned double-sum
 order) + the 14 bench-headline canaries (the floor-attack queries: AQE
 policy + storage-layout rewrite changed their execution this round, so the
 driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
-single-green, r4 only) + 18 refresh slots for queries last checked r3 or
-earlier, spanning joins/setops/scalars/aggregates/TPC-H.
+single-green, r4 only) + 8 refresh slots for queries last checked r3 or
+earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
+(10 + 1 + 14 + 11 + 6 + 8 = 50).  The r3-refresh pool not covered this
+round (join_left/cross/theta, setop_intersect/except_all, scalar_json/map,
+agg_cube/histogram, q4/q8/q12/q19-adjacent singles) rolls to round 6.
 """
 
 from __future__ import annotations

@@ -80,7 +80,11 @@ def run_prepared(spark: SparkSession, sf_dir: str, spec: "QuerySpec") -> DataFra
     if os.environ.get("SPARK_GRAFT_NO_PLAN_CACHE"):
         return spec.fn(spark, sf_dir)
     key = (id(spark), sf_dir, spec.name)
-    plan = _PLAN_CACHE.get(key)
+    # The cached value pins the session object alongside the plan: if only
+    # the id were kept, a garbage-collected session could recycle its id and
+    # a NEW session would silently replay the dead session's analyzed plan.
+    hit = _PLAN_CACHE.get(key)
+    plan = hit[1] if hit is not None and hit[0] is spark else None
     if plan is not None:
         try:
             jdf = spark._jvm.org.apache.spark.sql.classic.Dataset.ofRows(
@@ -96,7 +100,7 @@ def run_prepared(spark: SparkSession, sf_dir: str, spec: "QuerySpec") -> DataFra
         if not df.isStreaming:
             if len(_PLAN_CACHE) >= _PLAN_CACHE_MAX:
                 _PLAN_CACHE.pop(next(iter(_PLAN_CACHE)))
-            _PLAN_CACHE[key] = df._jdf.queryExecution().analyzed()
+            _PLAN_CACHE[key] = (spark, df._jdf.queryExecution().analyzed())
     except Exception:
         pass  # non-classic DataFrame — just skip memoization
     return df

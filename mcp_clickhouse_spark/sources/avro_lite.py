@@ -78,11 +78,15 @@ def _snappy_block_compress(data: bytes) -> bytes:
 def _snappy_block_decompress(payload: bytes) -> bytes:
     import pyarrow as pa
 
+    if len(payload) < 5:
+        raise ValueError("avro snappy block truncated (corrupt block)")
     comp, crc = payload[:-4], payload[-4:]
     # Raw snappy streams lead with the uncompressed length as a little-
     # endian base-128 varint — pa.decompress needs that size up front.
     size = shift = i = 0
     while True:
+        if i >= len(comp):
+            raise ValueError("avro snappy block truncated (corrupt block)")
         b = comp[i]
         size |= (b & 0x7F) << shift
         i += 1
@@ -645,6 +649,19 @@ def _resolver(w: Any, r: Any):
         return _decoder_for(w)
     conv = _PROMOTE.get((wk, rk))
     if conv is None:
+        # Spec: logicalType is an annotation and does NOT participate in
+        # resolution — a logical type and its underlying primitive match.
+        # The wire format is identical, so decode per the READER's schema
+        # (its logical mapping, if any, applies to the raw value).
+        prims = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+        def base_of(t: Any) -> str:
+            if isinstance(t, dict) and t.get("logicalType"):
+                return str(t.get("type"))
+            return _kind(t)
+
+        if base_of(w) == base_of(r) and base_of(w) in prims:
+            return _decoder_for(r)
         raise ValueError(f"cannot resolve writer {w!r} against reader {r!r}")
     base = _decoder_for(w)
     return lambda buf, _b=base, _c=conv: _c(_b(buf))

@@ -46,6 +46,15 @@ def rewrite(spark, sf_dir: str) -> None:
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # session._split_layout now rewrites single-row-group tables into a
+    # multi-file warehouse copy TRANSPARENTLY — which would turn the
+    # "single" variant of this A/B into multi-vs-multi noise. Disable the
+    # rewrite for this process by pointing the warehouse at an unwritable
+    # path (the split helper falls back to the original file).
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = "/proc/spark-graft-disabled"
+    import mcp_clickhouse_spark.session as session_mod
+
+    session_mod._WAREHOUSE_ROOT = os.environ["SPARK_GRAFT_WAREHOUSE"]
     import __spark_entry__ as entrymod
     from mcp_clickhouse_spark.session import get_spark
 

@@ -507,3 +507,52 @@ def test_unknown_codec_rejected_on_write(tmp_path):
     schema = {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
     with pytest.raises(ValueError, match="unsupported avro codec"):
         write_container(str(tmp_path / "z.avro"), schema, iter([(1,)]), codec="zstandard")
+
+
+def test_schema_resolution_logical_vs_underlying_primitive(tmp_path):
+    """Spec: logicalType does not participate in resolution — a plain long
+    written by v1 must read under a v2 timestamp-micros reader field (and
+    the reverse direction back to plain long)."""
+    import datetime
+
+    v1 = {
+        "type": "record",
+        "name": "row",
+        "fields": [{"name": "id", "type": "long"}, {"name": "ts", "type": "long"}],
+    }
+    v2 = {
+        "type": "record",
+        "name": "row",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "ts", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+        ],
+    }
+    micros = 1704067200000000  # 2024-01-01T00:00:00Z
+    p = str(tmp_path / "lt.avro")
+    write_container(p, v1, iter([(1, micros)]))
+    _, rows = read_file_records(p, reader_schema=v2)
+    (row,) = list(rows)
+    assert isinstance(row[1], datetime.datetime)
+    # reverse: logical writer read as plain long
+    p2 = str(tmp_path / "lt2.avro")
+    write_container(p2, v2, iter([(1, row[1])]))
+    _, rows2 = read_file_records(p2, reader_schema=v1)
+    assert list(rows2) == [(1, micros)]
+
+
+@pytest.mark.skipif(not _snappy_supported(), reason="pyarrow built without snappy")
+def test_snappy_truncated_block_raises_value_error(tmp_path):
+    schema = {"type": "record", "name": "row", "fields": [{"name": "a", "type": "long"}]}
+    p = str(tmp_path / "tr.avro")
+    write_container(p, schema, iter([(i,) for i in range(50)]), codec="snappy")
+    raw = open(p, "rb").read()
+    # find the block: header ends with the 16-byte sync; block = counts + payload + sync
+    # truncate the payload to 3 bytes by rewriting the block by hand is fiddly —
+    # instead corrupt the varint so the scanner runs off the end of a tiny payload
+    from mcp_clickhouse_spark.sources.avro_lite import _snappy_block_decompress
+
+    with pytest.raises(ValueError, match="truncated"):
+        _snappy_block_decompress(b"\xff\xff")  # shorter than CRC suffix
+    with pytest.raises(ValueError, match="truncated"):
+        _snappy_block_decompress(b"\xff\xff\xff\xff\xff\xff")  # varint runs past end

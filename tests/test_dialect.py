@@ -509,3 +509,30 @@ def test_topk_weighted_operator(spark):
     )
     rows = top_k_weighted(df, ["grp"], "v", "w", 2).orderBy("rk").collect()
     assert [(r.v, r.total_weight, r.rk) for r in rows] == [("b", 10, 1), ("c", 5, 2)]
+
+
+def test_extract_settings_edge_cases():
+    """Round-5 review regressions: FORMAT after SETTINGS keeps its space,
+    string literals never match, quoted values may contain commas/quotes."""
+    from mcp_clickhouse_spark.dialect import extract_settings
+
+    sql, st = extract_settings(
+        "SELECT count(*) AS n FROM users SETTINGS max_execution_time=5 FORMAT JSON"
+    )
+    assert sql == "SELECT count(*) AS n FROM users FORMAT JSON"
+    assert st == {"max_execution_time": "5"}
+
+    sql, st = extract_settings("SELECT * FROM logs WHERE msg = 'retry SETTINGS readonly=1'")
+    assert st == {} and sql.endswith("readonly=1'")
+
+    sql, st = extract_settings(
+        "SELECT x FROM t SETTINGS join_algorithm='hash,parallel_hash', max_execution_time=5"
+    )
+    assert sql == "SELECT x FROM t"
+    assert st == {"join_algorithm": "hash,parallel_hash", "max_execution_time": "5"}
+
+    sql, st = extract_settings("SELECT a FROM t SETTINGS note='it''s quoted'")
+    assert st == {"note": "it's quoted"}
+
+    sql, st = extract_settings("SELECT 'FORMAT JSON'")
+    assert sql == "SELECT 'FORMAT JSON'" and st == {}
