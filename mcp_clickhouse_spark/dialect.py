@@ -937,9 +937,63 @@ def _rewrite_with_fill(sql: str) -> str:
     return out
 
 
+def _rewrite_join_modifiers(sql: str) -> str:
+    """ClickHouse join spellings → Spark:
+
+    - ``GLOBAL [INNER|LEFT|…] JOIN`` / ``GLOBAL IN``: GLOBAL forces the
+      right side to every node — Spark's broadcast/shuffle planner makes
+      that call itself, so the keyword simply drops.
+    - ``[LEFT] ARRAY JOIN col AS alias`` → ``LATERAL VIEW [OUTER]
+      explode(col) <gen> AS alias`` (single-column form; multi-column
+      ARRAY JOIN passes through untouched).
+    - SQL-text ``ANY … JOIN`` / ``ASOF JOIN`` raise with a pointer at the
+      DataFrame operators — a textual rewrite would need key analysis, and
+      letting Spark emit its own parse error hides the actual cause.
+
+    Literal-aware: spans inside string literals are never rewritten."""
+
+    def outside(m: re.Match) -> bool:
+        prefix = sql[: m.start()]
+        # quotes escape by doubling in SQL literals
+        return prefix.count("'") % 2 == 0
+
+    for pat in (r"(?i)\bANY\s+(LEFT|RIGHT|INNER)\s+JOIN\b", r"(?i)\bASOF\s+JOIN\b"):
+        m = re.search(pat, sql)
+        if m and outside(m):
+            kind = "ANY JOIN" if "ANY" in m.group(0).upper() else "ASOF JOIN"
+            op = "any_join" if kind == "ANY JOIN" else "asof_join"
+            raise ValueError(
+                f"{kind} has no Spark SQL equivalent — use "
+                f"mcp_clickhouse_spark.operators.{op} (DataFrame API)"
+            )
+    sql = re.sub(
+        r"(?i)\bGLOBAL\s+(?=(?:(?:INNER|LEFT|RIGHT|FULL|CROSS|SEMI|ANTI|OUTER)\s+)*JOIN\b|IN\b|NOT\s+IN\b)",
+        lambda m: "" if outside(m) else m.group(0),
+        sql,
+    )
+    counter = [0]
+
+    def array_join_repl(m: re.Match) -> str:
+        if not outside(m):
+            return m.group(0)
+        outer = "OUTER " if m.group(1) else ""
+        counter[0] += 1
+        return (
+            f"LATERAL VIEW {outer}explode({m.group(2)})"
+            f" _aj{counter[0]} AS {m.group(3)}"
+        )
+
+    return re.sub(
+        r"(?i)\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)",
+        array_join_repl,
+        sql,
+    )
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
+    sql = _rewrite_join_modifiers(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by(sql)

@@ -536,3 +536,31 @@ def test_extract_settings_edge_cases():
 
     sql, st = extract_settings("SELECT 'FORMAT JSON'")
     assert sql == "SELECT 'FORMAT JSON'" and st == {}
+
+
+def test_join_modifier_rewrites_execute(spark):
+    """GLOBAL drops (Spark plans distribution itself); ARRAY JOIN becomes
+    LATERAL VIEW explode; ANY/ASOF in SQL text raise with operator pointers."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    res = run_select_query(
+        spark,
+        "SELECT n_name, r_name FROM nation GLOBAL INNER JOIN region "
+        "ON nation.n_regionkey = region.r_regionkey ORDER BY n_name LIMIT 2",
+        dialect="clickhouse",
+    )
+    assert len(res["rows"]) == 2
+
+    res2 = run_select_query(
+        spark,
+        "SELECT x FROM (SELECT array(1, 2, 3) AS arr) ARRAY JOIN arr AS x",
+        dialect="clickhouse",
+    )
+    assert sorted(r[0] for r in res2["rows"]) == [1, 2, 3]
+
+    with pytest.raises(Exception, match="any_join"):
+        translate("SELECT a FROM t1 ANY LEFT JOIN t2 USING (k)")
+    with pytest.raises(Exception, match="asof_join"):
+        translate("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k")
+    # literals stay untouched
+    assert translate("SELECT 'GLOBAL JOIN text' AS s") == "SELECT 'GLOBAL JOIN text' AS s"
