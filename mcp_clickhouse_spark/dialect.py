@@ -990,10 +990,76 @@ def _rewrite_join_modifiers(sql: str) -> str:
     )
 
 
+_CLAUSE_BOUNDARY = re.compile(
+    r"(?i)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|QUALIFY|UNION|INTERSECT|EXCEPT|SETTINGS)\b"
+)
+
+
+def _rewrite_table_clauses(sql: str) -> str:
+    """ClickHouse table-level clauses → Spark:
+
+    - ``PREWHERE c`` is a scan-stage filter hint; Catalyst pushes predicates
+      itself, so it merges into WHERE: ``PREWHERE a WHERE b`` →
+      ``WHERE (a) AND (b)``, a lone PREWHERE becomes WHERE.
+    - ``SAMPLE f`` (0<f<1) → ``TABLESAMPLE (f*100 PERCENT)``; ``SAMPLE n``
+      (integer) → ``TABLESAMPLE (n ROWS)`` — same syntactic position.
+    - ``FINAL`` (merge-time dedup for Replacing/Collapsing engines) drops:
+      there is no background merge to finalize against.
+
+    All matching is depth-0 and string-literal aware via _depth0_spans —
+    like the LIMIT BY / WITH FILL rewrites, subquery-level occurrences are
+    out of scope (top-level query clauses are what the reference's tool
+    surface receives)."""
+    d0 = {i for i, _ in _depth0_spans(sql)}
+
+    def d0_search(pat: str, start: int = 0):
+        for m in re.finditer(pat, sql):
+            if m.start() >= start and m.start() in d0:
+                return m
+        return None
+
+    m = d0_search(r"(?i)\bPREWHERE\b")
+    if m:
+        m_where = d0_search(r"(?i)\bWHERE\b", m.end())
+        if m_where:
+            m_end = None
+            for b in _CLAUSE_BOUNDARY.finditer(sql, m_where.end()):
+                if b.start() in d0:
+                    m_end = b
+                    break
+            pw = sql[m.end() : m_where.start()].strip()
+            wh_stop = m_end.start() if m_end else len(sql)
+            wh = sql[m_where.end() : wh_stop].strip()
+            sql = (
+                sql[: m.start()]
+                + f"WHERE ({pw}) AND ({wh}) "
+                + (sql[wh_stop:] if m_end else "")
+            )
+        else:
+            sql = sql[: m.start()] + "WHERE" + sql[m.end() :]
+        d0 = {i for i, _ in _depth0_spans(sql)}
+
+    m = d0_search(r"(?i)\bSAMPLE\s+(\d+(?:\.\d+)?)\b(?!\s*OFFSET)")
+    if m:
+        val = float(m.group(1))
+        if 0 < val < 1:
+            repl = f"TABLESAMPLE ({val * 100:g} PERCENT)"
+        else:
+            repl = f"TABLESAMPLE ({int(val)} ROWS)"
+        sql = sql[: m.start()] + repl + sql[m.end() :]
+        d0 = {i for i, _ in _depth0_spans(sql)}
+
+    m = d0_search(r"(?i)\bFINAL\b(?=\s|$)")
+    if m:
+        sql = (sql[: m.start()] + sql[m.end() :]).replace("  ", " ")
+    return sql
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
     sql = _rewrite_join_modifiers(sql)
+    sql = _rewrite_table_clauses(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by(sql)

@@ -564,3 +564,30 @@ def test_join_modifier_rewrites_execute(spark):
         translate("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k")
     # literals stay untouched
     assert translate("SELECT 'GLOBAL JOIN text' AS s") == "SELECT 'GLOBAL JOIN text' AS s"
+
+
+def test_prewhere_sample_final_execute(spark):
+    from mcp_clickhouse_spark.dialect import translate
+
+    assert translate("SELECT a FROM t PREWHERE x > 1 OR z = 3 WHERE y < 2").startswith(
+        "SELECT a FROM t WHERE (x > 1 OR z = 3) AND (y < 2)"
+    )
+    res = run_select_query(
+        spark,
+        "SELECT n_name FROM nation PREWHERE n_regionkey = 0 WHERE n_nationkey < 20 "
+        "ORDER BY n_name",
+        dialect="clickhouse",
+    )
+    assert len(res["rows"]) > 0
+    res2 = run_select_query(
+        spark, "SELECT count(*) AS n FROM orders SAMPLE 100", dialect="clickhouse"
+    )
+    assert res2["rows"][0][0] <= 100
+    res3 = run_select_query(
+        spark,
+        "SELECT n_name FROM nation FINAL WHERE n_regionkey = 0 ORDER BY n_name",
+        dialect="clickhouse",
+    )
+    assert len(res3["rows"]) > 0
+    # literals untouched
+    assert translate("SELECT 'PREWHERE literal' AS s") == "SELECT 'PREWHERE literal' AS s"
