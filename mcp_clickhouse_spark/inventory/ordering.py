@@ -4,10 +4,10 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the TEN
+Round 5 priority (judge r4 item 9), summing to exactly 50: the ELEVEN
 brand-new round-5 queries (repetition filters, incremental dedup, PII
 scrub, topKWeighted, train/val split, unigram log-prob, chunking, packing,
-decontamination, BM25 — never driver-checked) + the one query whose ORACLE
+decontamination, BM25, C4 filters — never driver-checked) + the one query whose ORACLE
 changed this round (subquery_scalar — the mean now goes through order-independent
 bigint-cents because the multi-file storage layout unpinned double-sum
 order) + the 14 bench-headline canaries (the floor-attack queries: AQE
@@ -16,9 +16,9 @@ driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
 single-green, r4 only) + 8 refresh slots for queries last checked r3 or
 earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(10 + 1 + 14 + 11 + 6 + 8 = 50).  The r3-refresh pool not covered this
+(11 + 1 + 14 + 11 + 6 + 7 = 50).  The r3-refresh pool not covered this
 round (join_left/cross/theta, setop_intersect/except_all, scalar_json/map,
-agg_cube/histogram, q4/q8/q12/q19-adjacent singles) rolls to round 6.
+agg_cube/histogram, q2/q4/q8/q12-adjacent singles) rolls to round 6.
 """
 
 from __future__ import annotations
@@ -38,6 +38,7 @@ PRIORITY: list[str] = [
     "pipe_pack_sequences",
     "pipe_decontaminate",
     "pipe_bm25",
+    "pipe_c4_filters",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -85,7 +86,6 @@ PRIORITY: list[str] = [
     # refresh: aggregates
     "agg_any_first_last",
     # refresh: TPC-H singles
-    "q2_min_cost_supplier",
     "q19_discounted_revenue",
 ]
 

@@ -42,6 +42,7 @@ from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
 from mcp_clickhouse_spark.pipeline.text import (
     PII_PATTERNS,
     bm25_scores,
+    c4_line_filters,
     fingerprint_col,
     language_id_col,
     quality_score_col,
@@ -526,6 +527,48 @@ def pipe_repetition_filters(spark, sf_dir):
     # per-doc dup-word/dup-line fractions, top-bigram character coverage,
     # duplicated-trigram character fraction, and the keep verdict.
     return repetition_filters(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_c4_filters",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             list_filter(string_split(text, chr(10)),
+                         l -> length(trim(l)) > 0) AS lines
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+        len(lines) AS n_lines,
+        len(list_filter(lines, l ->
+            regexp_matches(trim(l), '[.!?"]$')
+            AND len(string_split_regex(trim(l), '\s+')) >= 5
+            AND NOT contains(lower(trim(l)), 'javascript'))) AS n_kept_lines,
+        len(regexp_extract_all(text, '[.!?]')) AS n_sentences,
+        (contains(lower(text), 'lorem ipsum')
+         OR contains(lower(text), 'terms of use')
+         OR contains(lower(text), 'privacy policy')) AS has_bad_phrase,
+        contains(text, '{') AS has_brace
+      FROM base
+    )
+    SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_bad_phrase, has_brace,
+      CASE WHEN n_lines > 0
+           THEN round(n_kept_lines / CAST(n_lines AS DOUBLE), 6)
+           ELSE 0.0 END AS kept_line_frac,
+      (n_sentences >= 3 AND n_kept_lines >= 1
+       AND NOT has_bad_phrase AND NOT has_brace) AS keep
+    FROM m
+    """,
+    category="pipeline",
+)
+def pipe_c4_filters(spark, sf_dir):
+    # C4-style line/page heuristics (Raffel et al. 2020 §2.2): terminal-
+    # punctuation line keep-rule, sentence-count page gate, bad-phrase and
+    # curly-brace page blockers. This corpus is single-line unpunctuated
+    # synthetic text so every verdict is False here; the discriminating
+    # behavior is pytest-proven on crafted multi-line docs
+    # (tests/test_pipeline.py::test_c4_line_filters).
+    return c4_line_filters(t(spark, sf_dir, "documents"))
 
 
 @query(

@@ -216,6 +216,74 @@ def repetition_filters(
     )
 
 
+# C4-style page blockers (Raffel et al. 2020 §2.2): any of these phrases
+# anywhere on the page drops it. Lowercase; matched against lower(text).
+C4_BAD_PHRASES: list[str] = ["lorem ipsum", "terms of use", "privacy policy"]
+
+
+def c4_line_filters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """C4-style line/page heuristic filters (Raffel et al. 2020, §2.2),
+    one row per document:
+
+      - ``n_lines``         — non-empty ``\\n``-split lines
+      - ``n_kept_lines``    — lines that survive the C4 line rules: end in
+        terminal punctuation (``. ! ? "``), contain ≥ 5 words, and do not
+        mention "javascript" (case-insensitive)
+      - ``kept_line_frac``  — kept / non-empty (0.0 for line-less docs)
+      - ``n_sentences``     — count of sentence-ending punctuation marks
+      - ``has_bad_phrase``  — any :data:`C4_BAD_PHRASES` present
+      - ``has_brace``       — page contains ``{`` (C4's code/boilerplate cue)
+      - ``keep``            — page verdict: ≥ 3 sentences, ≥ 1 kept line,
+        no bad phrase, no brace
+
+    Scale shape: every metric is a single-projection string/array expression
+    over the row — no explode, no shuffle, embarrassingly parallel at
+    100 TB. The line rules run inside a higher-order ``filter`` lambda
+    (JVM-side interpreted per element; the line count per document is
+    small so this never dominates).
+    """
+    text = F.col(text_col)
+    lines = F.filter(F.split(text, "\n"), lambda l: F.length(F.trim(l)) > 0)
+
+    def line_ok(l):
+        trimmed = F.trim(l)
+        return (
+            trimmed.rlike(r'[.!?"]$')
+            & (F.size(F.split(trimmed, r"\s+")) >= 5)
+            & ~F.lower(trimmed).contains("javascript")
+        )
+
+    lower = F.lower(text)
+    has_bad = F.lit(False)
+    for p in C4_BAD_PHRASES:
+        has_bad = has_bad | lower.contains(p)
+    out = df.select(
+        F.col(id_col),
+        F.size(lines).alias("n_lines"),
+        F.size(F.filter(lines, line_ok)).alias("n_kept_lines"),
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]"), 0)).alias("n_sentences"),
+        has_bad.alias("has_bad_phrase"),
+        text.contains("{").alias("has_brace"),
+    )
+    return out.select(
+        "*",
+        F.when(
+            F.col("n_lines") > 0,
+            F.round(F.col("n_kept_lines") / F.col("n_lines").cast("double"), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("kept_line_frac"),
+        (
+            (F.col("n_sentences") >= 3)
+            & (F.col("n_kept_lines") >= 1)
+            & ~F.col("has_bad_phrase")
+            & ~F.col("has_brace")
+        ).alias("keep"),
+    )
+
+
 # PII scrub patterns, applied IN ORDER — order matters because the classes
 # overlap textually: an IPv4 literal ("192.168.0.1") also matches the loose
 # phone shape, and an SSN-like triple would too, so the more specific

@@ -364,6 +364,61 @@ def test_repetition_filters_plan_shape(spark):
     assert plan.count("Exchange") <= 2
 
 
+def test_c4_line_filters(spark):
+    """C4 heuristics on crafted multi-line docs: the terminal-punctuation /
+    min-words / javascript line rules and the sentence / phrase / brace
+    page gates each flip the verdict they own."""
+    from mcp_clickhouse_spark.pipeline.text import c4_line_filters
+
+    docs = spark.createDataFrame(
+        [
+            (
+                1,  # clean page: every line kept, 3 sentences → keep
+                "This is a fine long sentence with many words inside.\n"
+                "Another proper line has enough words to keep here.\n"
+                "A third good line also ends with a question mark?",
+            ),
+            (
+                2,  # javascript line, <5-word line, unpunctuated line → 0 kept
+                "Enable javascript to view this site properly today.\n"
+                "short line.\n"
+                "no terminal punctuation here at all",
+            ),
+            (
+                3,  # brace blocker: sentences fine, line kept, page dropped
+                "One good sentence sits right here today. Another good "
+                "sentence follows directly after it. A third sentence "
+                "closes { the page.",
+            ),
+            (
+                4,  # bad-phrase blocker (case-insensitive)
+                "Lorem Ipsum dolor sit amet consectetur adipiscing elit sed. "
+                "Second sentence is here for counting purposes. Third "
+                "sentence ends the crafted page.",
+            ),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in c4_line_filters(docs).collect()}
+
+    d1 = got[1]
+    assert (d1.n_lines, d1.n_kept_lines, d1.n_sentences) == (3, 3, 3)
+    assert d1.kept_line_frac == pytest.approx(1.0)
+    assert bool(d1.keep) is True
+
+    d2 = got[2]
+    assert (d2.n_lines, d2.n_kept_lines) == (3, 0)
+    assert d2.kept_line_frac == pytest.approx(0.0)
+    assert bool(d2.keep) is False
+
+    d3 = got[3]
+    assert (d3.n_lines, d3.n_kept_lines, d3.n_sentences) == (1, 1, 3)
+    assert bool(d3.has_brace) is True and bool(d3.keep) is False
+
+    d4 = got[4]
+    assert bool(d4.has_bad_phrase) is True and bool(d4.keep) is False
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     """Synthetic PII of all four classes: counts and sequential, order-aware
     redaction ([IPV4] must win over the looser phone shape, etc.)."""
