@@ -4,10 +4,11 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the ELEVEN
+Round 5 priority (judge r4 item 9), summing to exactly 50: the THIRTEEN
 brand-new round-5 queries (repetition filters, incremental dedup, PII
 scrub, topKWeighted, train/val split, unigram log-prob, chunking, packing,
-decontamination, BM25, C4 filters — never driver-checked) + the one query whose ORACLE
+decontamination, BM25, C4 filters, stratified sample, source mix — never
+driver-checked) + the one query whose ORACLE
 changed this round (subquery_scalar — the mean now goes through order-independent
 bigint-cents because the multi-file storage layout unpinned double-sum
 order) + the 14 bench-headline canaries (the floor-attack queries: AQE
@@ -16,9 +17,10 @@ driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
 single-green, r4 only) + 8 refresh slots for queries last checked r3 or
 earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(11 + 1 + 14 + 11 + 6 + 7 = 50).  The r3-refresh pool not covered this
-round (join_left/cross/theta, setop_intersect/except_all, scalar_json/map,
-agg_cube/histogram, q2/q4/q8/q12-adjacent singles) rolls to round 6.
+(13 + 1 + 14 + 11 + 6 + 5 = 50).  The r3-refresh pool not covered this
+round (join_left/any/cross/theta, array_join_explode, setop_intersect/
+except_all, scalar_json/map, agg_cube/histogram, q2/q4/q8/q12-adjacent
+singles) rolls to round 6.
 """
 
 from __future__ import annotations
@@ -39,6 +41,8 @@ PRIORITY: list[str] = [
     "pipe_decontaminate",
     "pipe_bm25",
     "pipe_c4_filters",
+    "pipe_stratified_sample",
+    "pipe_source_mix",
     # oracle changed this round — must re-verify first
     "subquery_scalar",
     # bench-headline canaries (execution changed: AQE policy + file layout)
@@ -77,8 +81,6 @@ PRIORITY: list[str] = [
     "q18_large_volume_customers",
     # refresh: joins
     "join_inner",
-    "join_any",
-    "array_join_explode",
     # refresh: set operations
     "setop_union_by_name",
     # refresh: scalar families

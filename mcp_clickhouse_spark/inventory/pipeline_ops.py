@@ -39,6 +39,7 @@ from mcp_clickhouse_spark.pipeline.chunking import (
     pack_sequences,
 )
 from mcp_clickhouse_spark.pipeline.dedup import incremental_dedup
+from mcp_clickhouse_spark.pipeline.sampling import source_mix_weights, stratified_sample
 from mcp_clickhouse_spark.pipeline.text import (
     PII_PATTERNS,
     bm25_scores,
@@ -569,6 +570,59 @@ def pipe_c4_filters(spark, sf_dir):
     # behavior is pytest-proven on crafted multi-line docs
     # (tests/test_pipeline.py::test_c4_line_filters).
     return c4_line_filters(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+      CASE lang
+        WHEN 'en' THEN '80000000'   -- 0.50 * 2^32
+        WHEN 'de' THEN '40000000'   -- 0.25 * 2^32
+        ELSE '19999999'             -- 0.10 * 2^32
+      END
+    """,
+    category="pipeline",
+)
+def pipe_stratified_sample(spark, sf_dir):
+    # Content-stable stratified sampling: membership is a pure function of
+    # doc_id, so the sample is identical across engines, reruns, and
+    # repartitions — unlike seeded Bernoulli sampleBy. en kept at 50%,
+    # de at 25%, everything else at 10%.
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang", {"en": 0.5, "de": 0.25}, default_rate=0.1
+    ).select("doc_id", "lang", "source")
+
+
+@query(
+    "pipe_source_mix",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len({_SQL_WORDS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_tokens) AS BIGINT) AS _total, COUNT(*) AS _groups FROM agg
+    )
+    SELECT source, n_docs, n_tokens,
+      round(n_tokens / CAST(_total AS DOUBLE), 6) AS natural_share,
+      round(CAST(1.0 AS DOUBLE) / _groups, 6) AS target_share,
+      round(round(CAST(1.0 AS DOUBLE) / _groups, 6)
+            / round(n_tokens / CAST(_total AS DOUBLE), 6), 6) AS mix_factor
+    FROM agg, tot
+    """,
+    category="pipeline",
+)
+def pipe_source_mix(spark, sf_dir):
+    # Data-mixing table: per-source token share vs a uniform target and the
+    # resampling factor (epochs) a loader would apply — the standard
+    # mixture-reweighting step before training. One partial-agg shuffle of
+    # |sources| rows; the total joins back via broadcast.
+    d = t(spark, sf_dir, "documents")
+    return source_mix_weights(d, "source")
 
 
 @query(

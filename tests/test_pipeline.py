@@ -419,6 +419,54 @@ def test_c4_line_filters(spark):
     assert bool(d4.has_bad_phrase) is True and bool(d4.keep) is False
 
 
+def test_stratified_sample_deterministic_and_rated(spark):
+    """Membership is a pure function of the key (identical across
+    repartitions), per-stratum rates are honored within binomial noise,
+    and rate>=1 keeps everything."""
+    from mcp_clickhouse_spark.pipeline.sampling import stratified_sample
+
+    n = 4000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    picked = stratified_sample(df, "lang", {"en": 0.5, "de": 0.1})
+    counts = {r.lang: r.cnt for r in picked.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    assert abs(counts["en"] - 0.5 * n / 2) < 0.07 * n / 2
+    assert abs(counts["de"] - 0.1 * n / 2) < 0.07 * n / 2
+
+    a = {r.doc_id for r in picked.collect()}
+    b = {r.doc_id for r in stratified_sample(df.repartition(13), "lang", {"en": 0.5, "de": 0.1}).collect()}
+    assert a == b  # partitioning-independent membership
+
+    assert stratified_sample(df, "lang", {"en": 1.0, "de": 1.0}).count() == n
+    assert stratified_sample(df, "lang", {}, default_rate=0.0).count() == 0
+
+
+def test_source_mix_weights_targets(spark):
+    """Natural shares sum to 1; explicit targets pass through and the
+    unlisted groups split the leftover mass; mix_factor reweights."""
+    from mcp_clickhouse_spark.pipeline.sampling import source_mix_weights
+
+    df = spark.createDataFrame(
+        [(i, "a b c d", ["s1", "s2", "s3"][i % 3]) for i in range(30)],
+        "doc_id long, text string, source string",
+    )
+    uniform = {r.source: r for r in source_mix_weights(df, "source").collect()}
+    assert sum(r.natural_share for r in uniform.values()) == pytest.approx(1.0, abs=1e-5)
+    for r in uniform.values():
+        assert r.target_share == pytest.approx(1 / 3, abs=1e-5)
+        assert r.mix_factor == pytest.approx(r.target_share / r.natural_share, abs=1e-4)
+
+    targeted = {
+        r.source: r
+        for r in source_mix_weights(df, "source", target_shares={"s1": 0.6}).collect()
+    }
+    assert targeted["s1"].target_share == pytest.approx(0.6)
+    assert targeted["s2"].target_share == pytest.approx(0.2)
+    assert targeted["s3"].target_share == pytest.approx(0.2)
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     """Synthetic PII of all four classes: counts and sequential, order-aware
     redaction ([IPV4] must win over the looser phone shape, etc.)."""
