@@ -1065,3 +1065,56 @@ def pipe_multimodal_meta(spark, sf_dir):
     # stubbed, see pipeline/multimodal.py) → typed metadata.
     d = t(spark, sf_dir, "documents")
     return decode_media(attach_binary_payload(d), fake=True)
+
+
+# Shared DuckDB twin of the blocked n-gram-Jaccard pair generator
+# (pipe_ngram_jaccard's oracle body) — reused by the clustering oracle.
+_SQL_NGRAM_PAIRS = f"""
+    sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
+      FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+    )
+"""
+
+
+@query(
+    "pipe_dup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_NGRAM_PAIRS},
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node
+    ),
+    labels AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    sizes AS (
+      SELECT cluster_id, COUNT(*) AS cluster_size FROM labels GROUP BY cluster_id
+    )
+    SELECT l.node AS doc_id, l.cluster_id, s.cluster_size,
+           l.node = l.cluster_id AS keep
+    FROM labels l JOIN sizes s USING (cluster_id)
+    """,
+    category="pipeline",
+)
+def pipe_dup_clusters(spark, sf_dir):
+    # Pairs -> transitive duplicate CLUSTERS -> keep-one-per-cluster: the
+    # alternating large-star/small-star connected components
+    # (pipeline/clustering.py) over the same blocked n-gram-Jaccard pairs
+    # the oracle recomputes, labels cross-checked against DuckDB's
+    # recursive-CTE reachability min-label.
+    from mcp_clickhouse_spark.pipeline.clustering import dedup_clusters
+
+    pairs = pipe_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
+    return dedup_clusters(pairs)
