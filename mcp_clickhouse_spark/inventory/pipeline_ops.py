@@ -1118,3 +1118,41 @@ def pipe_dup_clusters(spark, sf_dir):
 
     pairs = pipe_ngram_jaccard(spark, sf_dir).select("id_a", "id_b")
     return dedup_clusters(pairs)
+
+
+@query(
+    "pipe_span_dedup",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, (pos - 1) // 20 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM toks GROUP BY doc_id, (pos - 1) // 20
+    ),
+    freq AS (
+      SELECT md5(chunk) AS chunk_key, COUNT(DISTINCT doc_id) AS nd
+      FROM chunks GROUP BY md5(chunk)
+    )
+    SELECT c.doc_id,
+           CAST(SUM(CASE WHEN f.nd <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept_chunks,
+           CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped_chunks,
+           COALESCE(string_agg(CASE WHEN f.nd <= 1 THEN c.chunk END, ' '
+                               ORDER BY c.chunk_idx), '') AS cleaned_text
+    FROM chunks c JOIN freq f ON md5(c.chunk) = f.chunk_key
+    GROUP BY c.doc_id
+    """,
+    category="pipeline",
+)
+def pipe_span_dedup(spark, sf_dir):
+    # Repeated-span (boilerplate) removal: 20-token spans occurring in >1
+    # distinct document are cut; unique remainder reassembles in order.
+    # The chunked approximation of exact-substring dedup, fully
+    # cross-checked (counts AND reassembled text) against DuckDB.
+    from mcp_clickhouse_spark.pipeline.dedup import span_dedup
+
+    return span_dedup(t(spark, sf_dir, "documents"))

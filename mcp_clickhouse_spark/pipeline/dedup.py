@@ -560,3 +560,61 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Cross-document repeated-SPAN removal — the chunked, shuffle-friendly
+    approximation of exact-substring dedup (Lee et al., *Deduplicating
+    Training Data Makes Language Models Better*): boilerplate spans that
+    recur across documents are cut out of every document while the unique
+    remainder survives, instead of dropping whole near-dup documents.
+
+    Documents split into non-overlapping ``chunk_tokens``-token spans; any
+    span occurring in more than ``max_docs`` distinct documents is removed;
+    the surviving spans reassemble in order.
+
+    Returns ``(id_col, kept_chunks, dropped_chunks, cleaned_text)``.
+
+    Scale shape: chunking is per-row (transform+slice — no explode shuffle
+    on the doc side until the span table), the global span-frequency
+    aggregate and the flag join both key on ``md5(span)`` — a fixed-width
+    32-char key, so the frequency shuffle does not carry span text — and
+    the map-side-combined countDistinct is the only pass over the span
+    table.  Reassembly rides one groupBy(id) with an ordered in-array sort.
+    Every step is builtin-expression JVM code.
+    """
+    toks = f"split({text_col}, ' ')"
+    C = int(chunk_tokens)
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size({toks}) / {C}.0)) - 1),"
+        f" i -> concat_ws(' ', slice({toks}, i * {C} + 1, {C})))"
+    )
+    spans = df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("chunk_key", F.md5("chunk"))
+    freq = spans.groupBy("chunk_key").agg(
+        F.countDistinct(id_col).alias("_nd")
+    )
+    flagged = spans.join(freq, "chunk_key").withColumn(
+        "_keep", F.col("_nd") <= max_docs
+    )
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.col("_keep").cast("long")).alias("kept_chunks"),
+        F.sum((~F.col("_keep")).cast("long")).alias("dropped_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )

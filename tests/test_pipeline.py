@@ -675,3 +675,47 @@ def test_bm25_relevance_ordering(spark):
     # 'rare' (df=1) must outweigh 'common' (df=4) at the same tf
     out2 = {r.doc_id: r.score for r in bm25_scores(docs, ["common", "rare"]).collect()}
     assert out2[4] > out2[5]
+
+
+def test_span_dedup_removes_cross_doc_boilerplate(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import span_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(20))   # one exact 20-token span
+    uniq_a = " ".join(f"a{i}" for i in range(20))
+    uniq_b = " ".join(f"c{i}" for i in range(7))    # short tail chunk
+    docs = spark.createDataFrame(
+        [
+            (1, f"{boiler} {uniq_a}"),
+            (2, f"{boiler} {uniq_b}"),
+            (3, uniq_a.replace("a", "z")),          # fully unique doc
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    # the shared leading span is dropped from BOTH docs; unique tails stay
+    assert got[1]["dropped_chunks"] == 1 and got[1]["cleaned_text"] == uniq_a
+    assert got[2]["dropped_chunks"] == 1 and got[2]["cleaned_text"] == uniq_b
+    assert got[3]["dropped_chunks"] == 0
+    assert got[3]["cleaned_text"] == uniq_a.replace("a", "z")
+
+
+def test_span_dedup_order_preserved_and_all_dropped(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import span_dedup
+
+    s1 = " ".join(f"x{i}" for i in range(20))
+    s2 = " ".join(f"y{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{s1} {s2}"),
+            (2, f"{s1} {s2}"),       # exact dup: every span shared
+            (3, f"{s2} mid {s1}"),   # leading span aligns with doc1/2's s2
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert got[1]["kept_chunks"] == 0 and got[1]["cleaned_text"] == ""
+    assert got[2]["cleaned_text"] == ""
+    # doc 3: chunk 0 == s2 (shared with docs 1/2, dropped); the re-aligned
+    # remainder ("mid x0..x18" + "x19") is unique and survives in order
+    assert got[3]["dropped_chunks"] == 1
+    assert got[3]["cleaned_text"] == f"mid {s1}"
