@@ -618,3 +618,49 @@ def span_dedup(
             " ",
         ).alias("cleaned_text"),
     )
+
+
+def with_minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_k: int = 3,
+    out_col: str = "signature",
+) -> DataFrame:
+    """Append the SAME OPH signature as :func:`minhash_signatures`
+    (xxhash64 mode) computed entirely PER ROW — no explode, no
+    aggregation, no shuffle, no state.
+
+    This is the streaming twin: on a document stream a groupBy-per-doc
+    aggregation would put every doc id through the state store for a
+    value that depends on one row only.  The per-row form keeps the
+    signature stage stateless (append-mode safe), at the cost of
+    interpreted higher-order lambdas — fine per arriving micro-batch,
+    wrong for the batch path (where the codegen two-level aggregation
+    measured faster; see minhash_signatures).  Two projections: sparse
+    per-bin mins (one aggregate() fold over the shingle hashes), then
+    rotation densification — parity with the batch signatures (bins,
+    pmod binning, densification) is pinned by test.
+    """
+    if shingle_k != 3:
+        raise ValueError("with_minhash_signature is specialized to k=3 shingles")
+    k = int(num_hashes)
+    wa = f"split(lower(trim({text_col})), '\\\\s+')"
+    pad = f"concat({wa}, array('', ''))"
+    n = f"greatest(size({wa}) - 2, 1)"
+    hashes = (
+        f"transform(arrays_zip(slice({pad}, 1, {n}), slice({pad}, 2, {n}),"
+        f" slice({pad}, 3, {n})), s -> xxhash64(s.`0`, s.`1`, s.`2`))"
+    )
+    sparse = (
+        f"aggregate({hashes}, array_repeat(CAST(NULL AS BIGINT), {k}),"
+        f" (acc, h) -> transform(acc, (v, i) -> IF(pmod(h, {k}) = i,"
+        f" IF(v IS NULL, h, least(v, h)), v)))"
+    )
+    terms = ", ".join(f"_sp[(j + {o}) % {k}]" for o in range(k))
+    dense = f"transform(sequence(0, {k - 1}), j -> coalesce({terms}))"
+    cols = df.columns
+    return (
+        df.selectExpr(*cols, f"{sparse} AS _sp")
+        .selectExpr(*cols, f"{dense} AS {out_col}")
+    )

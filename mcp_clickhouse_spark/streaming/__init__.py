@@ -6,9 +6,11 @@ from mcp_clickhouse_spark.streaming.ops import (  # noqa: F401
     run_available_now,
     session_counts,
     sliding_counts,
+    stream_documents,
     stream_events,
     streaming_dedup,
     streaming_incremental_dedup,
+    streaming_minhash_neardup,
     tumbling_counts,
     user_running_totals,
 )

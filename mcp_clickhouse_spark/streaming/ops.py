@@ -390,3 +390,157 @@ def run_available_now(stream_df: DataFrame, sink_table: str, output_mode: str = 
     )
     q.awaitTermination()
     return q
+
+
+_DOCS_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+        StructField("source", StringType()),
+        StructField("n_chars", LongType()),
+    ]
+)
+
+_NEARDUP_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("est_jaccard", DoubleType()),
+    ]
+)
+
+
+def stream_documents(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over a documents parquet directory (the continuous-crawl
+    ingest shape; file source for backfill/tests, Kafka in production).
+
+    A single-FILE path (e.g. ``<sf_dir>/documents.parquet``) streams via
+    its parent directory + a pathGlobFilter — the file source only accepts
+    directories."""
+    import os
+
+    reader = spark.readStream.schema(_DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def streaming_minhash_neardup(
+    docs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 16,
+) -> DataFrame:
+    """Streaming MinHash-LSH near-dup detection: as documents arrive, emit
+    candidate pairs against everything previously seen in the same LSH
+    bucket — the continuous twin of the batch
+    ``minhash_signatures → minhash_lsh_candidates`` pipeline, producing the
+    SAME pairs on a bounded replay (pinned by test).
+
+    Stages:
+    1. Per-row OPH signature (``dedup.with_minhash_signature``) — stateless,
+       identical values to the batch aggregation.
+    2. Banding: per band, xxhash64 of the band's signature rows → (band,
+       bucket) keys, exploded per doc.  Same expression as the batch LSH.
+    3. State store keyed by (band, bucket) via applyInPandasWithState:
+       each bucket remembers the (id, signature) of up to
+       ``max_bucket_size`` docs with the LOWEST ids (the batch cap
+       policy); a newly retained doc emits one pair per retained
+       co-occupant with the signature-agreement Jaccard estimate.
+
+    Scale/state notes: state shards by (band, bucket) across executors and
+    is bounded at max_bucket_size entries per bucket — the same degenerate-
+    corpus cap as the batch pipeline, so a boilerplate mega-bucket cannot
+    accrete unbounded state.  Bucket state has no natural event-time bound
+    (a dup may arrive years later); production would add a TTL
+    (ProcessingTimeTimeout) to trade recall for state size — kept
+    timeout-free here so bounded replays match batch exactly.  The one
+    semantic difference from batch: an under-min-id doc arriving AFTER the
+    bucket emitted pairs cannot retro-emit pairs for evicted members;
+    batch (which sees all docs at once) can.  Pairs may repeat across
+    bands (and across retries); consumers dedup on (id_a, id_b) —
+    same ``.distinct()`` contract as the batch candidate generator.
+    """
+    from mcp_clickhouse_spark.pipeline.dedup import with_minhash_signature
+
+    rpb = num_hashes // bands
+    sig = with_minhash_signature(docs, num_hashes=num_hashes).selectExpr(
+        "doc_id",
+        "signature",
+        f"posexplode(transform(sequence(0, {bands - 1}),"
+        f" b -> xxhash64(concat_ws(',',"
+        f" transform(slice(signature, b * {rpb} + 1, {rpb}),"
+        f" x -> CAST(x AS STRING)))))) AS (band, bucket)",
+    ).select(
+        F.col("band").cast("long"),
+        "bucket",
+        "doc_id",
+        F.concat_ws(",", F.expr("transform(signature, x -> CAST(x AS STRING))")).alias(
+            "sig_csv"
+        ),
+    )
+
+    def emit(
+        key: Tuple[int, int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band, bucket = key
+        ids: list[int]
+        sigs: list[str]
+        if state.exists:
+            stored_ids, stored_sigs = state.get
+            ids, sigs = list(stored_ids), list(stored_sigs)
+        else:
+            ids, sigs = [], []
+        rows = sorted(
+            (int(i), s)
+            for pdf in pdfs
+            for i, s in zip(pdf["doc_id"], pdf["sig_csv"])
+        )
+        out_a, out_b, out_j = [], [], []
+        for i, s in rows:
+            if i in ids:
+                continue  # replay/duplicate delivery of a known doc
+            if len(ids) >= max_bucket_size:
+                if i > max(ids):
+                    continue  # bucket full of lower ids: batch cap drops it
+                # evict BEFORE pairing: the batch cap pairs only among the
+                # retained (lowest-id) members, never with the evictee
+                drop = ids.index(max(ids))
+                ids.pop(drop)
+                sigs.pop(drop)
+            vec = s.split(",")
+            for j, sj in zip(ids, sigs):
+                agree = sum(a == b for a, b in zip(vec, sj.split(",")))
+                lo, hi = (j, i) if j < i else (i, j)
+                out_a.append(lo)
+                out_b.append(hi)
+                out_j.append(agree / float(num_hashes))
+            ids.append(i)
+            sigs.append(s)
+        state.update((ids, sigs))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": band,
+                    "bucket": bucket,
+                    "id_a": out_a,
+                    "id_b": out_b,
+                    "est_jaccard": out_j,
+                }
+            )
+
+    return sig.groupBy("band", "bucket").applyInPandasWithState(
+        emit,
+        outputStructType=_NEARDUP_SCHEMA,
+        stateStructType="ids ARRAY<BIGINT>, sigs ARRAY<STRING>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -719,3 +719,24 @@ def test_span_dedup_order_preserved_and_all_dropped(spark):
     # remainder ("mid x0..x18" + "x19") is unique and survives in order
     assert got[3]["dropped_chunks"] == 1
     assert got[3]["cleaned_text"] == f"mid {s1}"
+
+
+def test_per_row_signature_matches_batch_aggregation(spark, sf_dir):
+    # the streaming signature path must be value-identical to the batch
+    # two-level aggregation (bins, pmod binning, rotation densification)
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_signatures,
+        with_minhash_signature,
+    )
+    from mcp_clickhouse_spark.session import read_table
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    got = {
+        r["doc_id"]: r["signature"]
+        for r in with_minhash_signature(docs, num_hashes=16).collect()
+    }
+    want = {
+        r["doc_id"]: r["signature"]
+        for r in minhash_signatures(docs, num_hashes=16).collect()
+    }
+    assert got == want

@@ -314,3 +314,101 @@ def test_streaming_incremental_dedup_matches_batch(spark, tmp_path):
     run_available_now(kept, "t_inc_dedup", output_mode="append")
     got_keys = {r.dedup_key for r in spark.table("t_inc_dedup").collect()}
     assert got_keys == want_keys and len(got_keys) > 0
+
+
+# ---------- streaming MinHash-LSH near-dup ----------
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark, tmp_path_factory):
+    """Two-file corpus with near-dup partners split ACROSS files, so pair
+    emission must cross micro-batch boundaries through the state store."""
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "spark shuffles hash partitions across the executor fleet",
+        "minhash signatures approximate jaccard similarity between sets",
+        "watermarks bound state growth for late arriving events",
+        "columnar parquet scans prune row groups by statistics",
+        "broadcast joins avoid shuffling the large fact table",
+    ]
+    rows_a, rows_b = [], []
+    for i, txt in enumerate(base):
+        rows_a.append((2 * i, txt))
+        # partner differs by one word -> near-dup, lands in file B
+        rows_b.append((2 * i + 1, txt.replace("the", "a", 1) if "the" in txt else txt + " again"))
+    # plus unique noise in each file
+    rows_a.append((100, "completely unrelated text about cooking pasta slowly"))
+    rows_b.append((101, "another unrelated snippet describing mountain weather patterns"))
+    d = tmp_path_factory.mktemp("neardup_docs")
+    mk = lambda rows: [(i, t, "en", "src", len(t)) for i, t in rows]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(mk(rows_a), schema).coalesce(1).write.parquet(str(d / "a"))
+    spark.createDataFrame(mk(rows_b), schema).coalesce(1).write.parquet(str(d / "b"))
+    # flatten into one dir of two files (file source streams per-file)
+    import shutil, glob, os
+
+    out = d / "docs"
+    os.makedirs(out)
+    for j, f in enumerate(sorted(glob.glob(str(d / "*" / "*.parquet")))):
+        shutil.copy(f, out / f"part-{j}.parquet")
+    return str(out)
+
+
+def test_streaming_minhash_matches_batch_candidates(spark, neardup_corpus):
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from mcp_clickhouse_spark.streaming.ops import (
+        stream_documents,
+        streaming_minhash_neardup,
+    )
+
+    docs = spark.read.parquet(neardup_corpus)
+    batch_pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_candidates(
+            minhash_signatures(docs, num_hashes=16),
+            bands=4,
+            rows_per_band=4,
+            max_bucket_size=16,
+        ).collect()
+    }
+    assert batch_pairs, "corpus must yield at least one candidate pair"
+
+    st = streaming_minhash_neardup(
+        stream_documents(spark, neardup_corpus, max_files_per_trigger=1),
+        num_hashes=16,
+        bands=4,
+        max_bucket_size=16,
+    )
+    run_available_now(st, "t_neardup", output_mode="append")
+    got = spark.table("t_neardup").collect()
+    stream_pairs = {(r.id_a, r.id_b) for r in got}
+    assert stream_pairs == batch_pairs
+    # estimates are signature-agreement fractions in (0, 1]
+    assert all(0.0 < r.est_jaccard <= 1.0 for r in got)
+    # near-identical planted partners should estimate high
+    planted = [r.est_jaccard for r in got if r.id_b == r.id_a + 1 and r.id_a % 2 == 0]
+    assert planted and min(planted) >= 0.5
+
+
+def test_streaming_minhash_state_caps_bucket(spark, tmp_path):
+    from mcp_clickhouse_spark.streaming.ops import (
+        stream_documents,
+        streaming_minhash_neardup,
+    )
+
+    # 6 identical docs all collide into the same buckets; cap=3 bounds the
+    # pair count to C(3,2) per bucket-band path instead of C(6,2)
+    rows = [(i, "same same same same same boilerplate text", "en", "s", 40) for i in range(6)]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(p)
+    st = streaming_minhash_neardup(
+        stream_documents(spark, p), num_hashes=16, bands=4, max_bucket_size=3
+    )
+    run_available_now(st, "t_neardup_cap", output_mode="append")
+    pairs = {(r.id_a, r.id_b) for r in spark.table("t_neardup_cap").collect()}
+    # only the 3 lowest ids are retained -> pairs among {0,1,2} only
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
