@@ -126,3 +126,21 @@ def test_embedding_neardup_plan_no_cartesian(spark, sf):
     nd = embedding_neardup_pairs(read_table(spark, sf, "embeddings"))
     plan = explain_formatted(nd)
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_span_dedup_plan_shape(spark, sf):
+    # span frequency + flag join key on md5(span) (no span text in the
+    # frequency shuffle); no cartesian anywhere; static exchanges bounded:
+    # spans->freq agg, flag join alignment, final per-doc regroup.
+    plan = plan_of(spark, sf, "pipe_span_dedup")
+    assert count_nodes(plan, "CartesianProduct") == 0
+    assert count_nodes(plan, "Exchange") <= 4
+    assert count_nodes(plan, "HashAggregate") >= 2  # partial+final freq agg
+
+
+def test_dup_clusters_pair_input_plan(spark, sf):
+    # the clustering INPUT (blocked pair generation) must never cartesian;
+    # the iterative star-contraction itself is checkpointed per round so a
+    # static plan of the output only shows the final label join.
+    plan = plan_of(spark, sf, "pipe_ngram_jaccard")
+    assert count_nodes(plan, "CartesianProduct") == 0
