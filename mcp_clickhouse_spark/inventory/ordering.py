@@ -4,8 +4,9 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the FIFTEEN
-brand-new round-5 queries (dup-cluster CC, span dedup, repetition
+Round 5 priority (judge r4 item 9), summing to exactly 50: the SEVENTEEN
+brand-new round-5 queries (dup-cluster CC, span dedup, vocab
+OOV, dedup funnel, repetition
 filters, incremental dedup, PII
 scrub, topKWeighted, train/val split, unigram log-prob, chunking, packing,
 decontamination, BM25, C4 filters, stratified sample, source mix — never
@@ -18,7 +19,7 @@ driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
 single-green, r4 only) + 8 refresh slots for queries last checked r3 or
 earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(15 + 1 + 14 + 11 + 6 + 3 = 50).  The r3-refresh pool not covered this
+(17 + 1 + 14 + 11 + 6 + 1 = 50).  The r3-refresh pool not covered this
 round (join_left/any/cross/theta, array_join_explode, setop_intersect/
 except_all, scalar_json/map, agg_cube/histogram, q2/q4/q8/q12-adjacent
 singles) rolls to round 6.
@@ -33,6 +34,8 @@ PRIORITY: list[str] = [
     # brand-new this round — never driver-checked
     "pipe_dup_clusters",
     "pipe_span_dedup",
+    "pipe_vocab_oov",
+    "pipe_dedup_funnel",
     "pipe_repetition_filters",
     "pipe_dedup_incremental",
     "pipe_pii_scrub",
@@ -84,10 +87,6 @@ PRIORITY: list[str] = [
     "q18_large_volume_customers",
     # refresh: joins
     "join_inner",
-    # refresh: set operations
-    "setop_union_by_name",
-    # refresh: scalar families
-    "scalar_string",
 ]
 # (agg_any_first_last and q19_discounted_revenue refresh slots rolled to
 # round 6 to make room for the two late-round-5 queries above.)

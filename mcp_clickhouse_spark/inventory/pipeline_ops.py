@@ -1156,3 +1156,121 @@ def pipe_span_dedup(spark, sf_dir):
     from mcp_clickhouse_spark.pipeline.dedup import span_dedup
 
     return span_dedup(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_vocab_oov",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, unnest({_SQL_WORDS}) AS w FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (SELECT w, COUNT(*) AS c FROM w GROUP BY w)
+      ORDER BY c DESC, w LIMIT 32
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           round(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS oov_rate
+    FROM w LEFT JOIN vocab v ON w.w = v.w
+    GROUP BY w.doc_id
+    """,
+    category="pipeline",
+)
+def pipe_vocab_oov(spark, sf_dir):
+    # Tokenizer-coverage check: top-32 corpus vocabulary (deterministic
+    # tie-break on the word), per-doc out-of-vocabulary rate; vocab side
+    # broadcast so scoring reuses the single word explode.
+    from mcp_clickhouse_spark.pipeline.text import vocab_oov
+
+    return vocab_oov(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "pipe_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    d2 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+    sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
+      FROM d2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node
+    ),
+    labels AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_after_exact,
+           CAST(SUM(CASE WHEN k.doc_id IS NOT NULL AND dr.doc_id IS NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_after_neardup
+    FROM documents d
+    LEFT JOIN keepers k ON d.doc_id = k.doc_id
+    LEFT JOIN dropped dr ON d.doc_id = dr.doc_id
+    GROUP BY d.source
+    """,
+    category="pipeline",
+)
+def pipe_dedup_funnel(spark, sf_dir):
+    # The full corpus-dedup FUNNEL in one query: exact-hash canonical
+    # selection, then near-dup clustering (blocked n-gram Jaccard pairs ->
+    # large-star/small-star components) over the exact survivors, reported
+    # as per-source survivor counts at each stage — the shape of every
+    # training-data dedup report.  Both stages oracle-checked end-to-end
+    # (the clustering via DuckDB's recursive CTE).
+    from mcp_clickhouse_spark.pipeline.clustering import connected_components
+    from mcp_clickhouse_spark.pipeline.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    keep_exact = exact_dedup(d).select("doc_id", F.lit(True).alias("_kept"))
+    d2 = d.join(keep_exact.select("doc_id"), "doc_id")
+    blocked = d2.select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
+    )
+    cand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    pairs = jaccard_verify(cand, d2, threshold=0.1).select("id_a", "id_b")
+    dropped = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"), F.lit(True).alias("_dropped"))
+    )
+    flags = (
+        d.select("doc_id", "source")
+        .join(keep_exact, "doc_id", "left")
+        .join(dropped, "doc_id", "left")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("_kept").cast("long")).alias("n_after_exact"),
+        F.sum(
+            (F.col("_kept").isNotNull() & F.col("_dropped").isNull()).cast("long")
+        ).alias("n_after_neardup"),
+    )

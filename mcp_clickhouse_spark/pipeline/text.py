@@ -405,3 +405,43 @@ def token_count_bpe_ish(text_col="text"):
     # pre-tokenizer would.
     toks = F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1)
     return F.size(toks)
+
+
+def vocab_oov(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int = 32,
+):
+    """Tokenizer-coverage analysis: build the top-``vocab_size`` word
+    vocabulary by corpus frequency (ties broken by word, so the boundary is
+    deterministic), then score every document's out-of-vocabulary rate —
+    the coverage check run before committing to a tokenizer/vocab.
+
+    Returns ``(id_col, n_words, n_oov, oov_rate)``.
+
+    Scale shape: word frequencies are one map-side-combined groupBy; the
+    top-N is a TakeOrdered over the (already tiny) frequency table, and the
+    vocab side of the membership join is BROADCAST — per-doc scoring never
+    shuffles the exploded word rows a second time.
+    """
+    from pyspark.sql import functions as F
+
+    words = df.select(F.col(id_col), F.explode(_words(text_col)).alias("w"))
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), F.asc("w"))
+        .limit(int(vocab_size))
+        .select("w", F.lit(True).alias("_in_vocab"))
+    )
+    scored = words.join(F.broadcast(vocab), "w", "left")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum(F.col("_in_vocab").isNull().cast("long")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("_in_vocab").isNull().cast("long"))
+            / F.count(F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )

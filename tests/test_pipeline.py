@@ -740,3 +740,17 @@ def test_per_row_signature_matches_batch_aggregation(spark, sf_dir):
         for r in minhash_signatures(docs, num_hashes=16).collect()
     }
     assert got == want
+
+
+def test_vocab_oov_deterministic_tiebreak(spark):
+    from mcp_clickhouse_spark.pipeline.text import vocab_oov
+
+    # 4 words tie at count=2; vocab_size=2 must pick alphabetically first
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc dd"), (2, "dd cc bb aa"), (3, "aa zz")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in vocab_oov(docs, vocab_size=2).collect()}
+    # aa appears 3x -> in vocab; bb/cc/dd tie at 2 -> bb wins the tiebreak
+    assert got[1]["n_oov"] == 2  # cc, dd
+    assert got[3]["n_oov"] == 1 and got[3]["oov_rate"] == 0.5  # zz only
