@@ -142,3 +142,71 @@ def scalar_date_series(spark, sf_dir):
         )
         .select("day", F.date_format("day", "EEEE").alias("day_name"))
     )
+
+
+def profile_columns(df, columns=None):
+    """Per-column data profile: null count, exact distinct count, min/max
+    (stringified for a uniform row shape) — the table-profiling pass run
+    before any pipeline touches a new dataset.
+
+    One aggregation job: all per-column aggregates evaluate in a single
+    agg (Spark expands multi-DISTINCT into one union-style plan with
+    map-side partials), then a stack() unpivots the single row into one
+    row per column.  At 100 TB swap countDistinct for
+    approx_count_distinct — exact kept here for oracle parity.
+    """
+    cols = columns or df.columns
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+        ]
+    one = df.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`" for c in cols
+    )
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack})"
+        " AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+
+
+@query(
+    "profile_documents",
+    oracle="""
+    SELECT 'doc_id' AS column_name,
+           CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+           CAST(MAX(doc_id) AS VARCHAR) AS max_value
+    FROM documents
+    UNION ALL
+    SELECT 'text', CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT text) AS BIGINT),
+           CAST(MIN(text) AS VARCHAR), CAST(MAX(text) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT),
+           CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT),
+           CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT),
+           CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+    category="inventory",
+)
+def profile_documents(spark, sf_dir):
+    # Table profiling (DESCRIBE-with-stats shape): one agg job, stacked to
+    # a row per column; min/max stringified so every column fits one schema.
+    return profile_columns(t(spark, sf_dir, "documents"))
