@@ -4,7 +4,7 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the EIGHTEEN
+Round 5 priority (judge r4 item 9), summing to exactly 50: the NINETEEN
 brand-new round-5 queries (dup-cluster CC, span dedup, vocab
 OOV, dedup funnel, repetition
 filters, incremental dedup, PII
@@ -19,7 +19,7 @@ driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
 single-green, r4 only) + 8 refresh slots for queries last checked r3 or
 earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(18 + 1 + 14 + 11 + 6 = 50).  The r3-refresh pool not covered this
+(19 + 1 + 14 + 11 + 5 = 50).  The r3-refresh pool not covered this
 round (join_left/any/cross/theta, array_join_explode, setop_intersect/
 except_all, scalar_json/map, agg_cube/histogram, q2/q4/q8/q12-adjacent
 singles) rolls to round 6.
@@ -36,6 +36,7 @@ PRIORITY: list[str] = [
     "pipe_span_dedup",
     "pipe_vocab_oov",
     "profile_documents",
+    "pipe_lsh_eval",
     "pipe_dedup_funnel",
     "pipe_repetition_filters",
     "pipe_dedup_incremental",
@@ -79,13 +80,12 @@ PRIORITY: list[str] = [
     "q20_part_promotion",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
-    # single-green r4-only TPC-H
+    # single-green r4-only TPC-H (q18 rolled to r6 for slot budget)
     "q3_shipping_priority",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q10_returned_items",
     "q14_promo_revenue",
-    "q18_large_volume_customers",
 ]
 # (agg_any_first_last and q19_discounted_revenue refresh slots rolled to
 # round 6 to make room for the two late-round-5 queries above.)

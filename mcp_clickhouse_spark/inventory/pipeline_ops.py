@@ -1274,3 +1274,85 @@ def pipe_dedup_funnel(spark, sf_dir):
             (F.col("_kept").isNotNull() & F.col("_dropped").isNull()).cast("long")
         ).alias("n_after_neardup"),
     )
+
+
+@query(
+    "pipe_lsh_eval",
+    oracle=f"""
+    WITH {_SQL_MINHASH_SIGS},
+    banded AS (
+      SELECT doc_id, band,
+             array_to_string(list_transform(
+               generate_series(band * 4 + 1, band * 4 + 4),
+               i -> CAST(sig[i] AS VARCHAR)), ',') AS slice
+      FROM sigs, generate_series(0, 3) AS t(band)
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM banded x JOIN banded y
+        ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+    ),
+    sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
+    lshv AS (
+      SELECT cand.id_a, cand.id_b FROM cand
+      JOIN sh2 a ON a.doc_id = cand.id_a
+      JOIN sh2 b ON b.doc_id = cand.id_b
+      WHERE {_SQL_JACCARD} >= 0.5
+    ),
+    shb AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
+      FROM documents
+    ),
+    blocked AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shb a JOIN shb b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.5
+    ),
+    hits AS (SELECT * FROM blocked INTERSECT SELECT * FROM lshv)
+    SELECT CAST((SELECT COUNT(*) FROM blocked) AS BIGINT) AS n_blocked,
+           CAST((SELECT COUNT(*) FROM lshv) AS BIGINT) AS n_lsh,
+           CAST((SELECT COUNT(*) FROM hits) AS BIGINT) AS n_common,
+           round(CAST((SELECT COUNT(*) FROM hits) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM blocked), 6) AS blocked_recall
+    """,
+    category="pipeline",
+)
+def pipe_lsh_eval(spark, sf_dir):
+    # Candidate-generator EVALUATION: the md5 MinHash-LSH pair set vs the
+    # blocked exact-Jaccard pair set at the same >=0.5 threshold — the
+    # measurement a pipeline owner runs before trusting an approximate
+    # dedup path.  blocked_recall = fraction of blocked pairs LSH also
+    # found (LSH typically finds MORE: banding crosses the lang/length
+    # blocks).  Every stage of both methods recomputed by the oracle.
+    d = t(spark, sf_dir, "documents")
+    blocked = d.select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
+    )
+    bcand = (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    bpairs = jaccard_verify(bcand, d, threshold=0.5).select("id_a", "id_b")
+    sigs = minhash_signatures(d, num_hashes=16, hash_fn="md5")
+    lcand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
+    lpairs = jaccard_verify(lcand, d, threshold=0.5).select("id_a", "id_b")
+    hits = bpairs.intersect(lpairs)
+    return (
+        bpairs.agg(F.count(F.lit(1)).alias("n_blocked"))
+        .crossJoin(lpairs.agg(F.count(F.lit(1)).alias("n_lsh")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_common")))
+        .select(
+            "n_blocked",
+            "n_lsh",
+            "n_common",
+            F.round(F.col("n_common") / F.col("n_blocked"), 6).alias("blocked_recall"),
+        )
+    )
