@@ -4,7 +4,7 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the NINETEEN
+Round 5 priority (judge r4 item 9), summing to exactly 50: the TWENTY
 brand-new round-5 queries (dup-cluster CC, span dedup, vocab
 OOV, dedup funnel, repetition
 filters, incremental dedup, PII
@@ -19,7 +19,7 @@ driver should re-certify each) + the 11 round-4-new shapes holding a single
 green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
 single-green, r4 only) + 8 refresh slots for queries last checked r3 or
 earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(19 + 1 + 14 + 11 + 5 = 50).  The r3-refresh pool not covered this
+(20 + 1 + 14 + 10 + 5 = 50).  The r3-refresh pool not covered this
 round (join_left/any/cross/theta, array_join_explode, setop_intersect/
 except_all, scalar_json/map, agg_cube/histogram, q2/q4/q8/q12-adjacent
 singles) rolls to round 6.
@@ -37,6 +37,7 @@ PRIORITY: list[str] = [
     "pipe_vocab_oov",
     "profile_documents",
     "pipe_lsh_eval",
+    "pipe_epoch_shards",
     "pipe_dedup_funnel",
     "pipe_repetition_filters",
     "pipe_dedup_incremental",
@@ -76,7 +77,6 @@ PRIORITY: list[str] = [
     "q13_customer_distribution",
     "q15_top_supplier",
     "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
     "q20_part_promotion",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",

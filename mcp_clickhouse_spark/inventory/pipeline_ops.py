@@ -1356,3 +1356,28 @@ def pipe_lsh_eval(spark, sf_dir):
             F.round(F.col("n_common") / F.col("n_blocked"), 6).alias("blocked_recall"),
         )
     )
+
+
+@query(
+    "pipe_epoch_shards",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(concat(CAST(0 AS VARCHAR), '|', CAST(doc_id AS VARCHAR))) AS k
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(concat('0x', substr(k, 1, 15)) AS BIGINT) % 8 AS shard,
+           CAST(ROW_NUMBER() OVER (
+             PARTITION BY CAST(concat('0x', substr(k, 1, 15)) AS BIGINT) % 8
+             ORDER BY k, doc_id) AS BIGINT) AS pos
+    FROM keyed
+    """,
+    category="pipeline",
+)
+def pipe_epoch_shards(spark, sf_dir):
+    # Deterministic epoch shuffle into training shards: content-stable md5
+    # sort keys, shard = key mod 8, per-shard positions — reproducible
+    # across engines/runs with no RNG state (pipeline/sampling.py).
+    from mcp_clickhouse_spark.pipeline.sampling import epoch_shuffle_shards
+
+    return epoch_shuffle_shards(t(spark, sf_dir, "documents"), n_shards=8, seed=0)

@@ -117,3 +117,36 @@ def source_mix_weights(
         F.round(target, 6).alias("target_share"),
         F.round(target / natural, 6).alias("mix_factor"),
     )
+
+
+def epoch_shuffle_shards(
+    df,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: int = 0,
+):
+    """Deterministic epoch shuffle + shard assignment for training-data
+    writes: every row gets a content-stable pseudo-random sort key
+    (md5 of seed||id — reproducible in any engine, no RNG state), a shard
+    (key mod n_shards), and its position within the shard.
+
+    Returns ``(id_col, shard, pos)``.  Re-running with the same seed gives
+    byte-identical shard files; bumping the seed is a fresh epoch
+    permutation.  Scale shape: one shuffle on the shard key; the in-shard
+    ordering is a window ORDER BY the hash key riding that same exchange —
+    at 100 TB each shard sorts independently (no global sort), which is
+    exactly the property a per-shard training-file writer needs.
+    """
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    key = F.md5(F.concat_ws("|", F.lit(int(seed)), F.col(id_col).cast("string")))
+    keyed = df.select(F.col(id_col), key.alias("_k"))
+    shard = F.pmod(F.conv(F.substring("_k", 1, 15), 16, 10).cast("bigint"),
+                   F.lit(int(n_shards)))
+    w = Window.partitionBy("shard").orderBy("_k", id_col)
+    return (
+        keyed.withColumn("shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "pos")
+    )

@@ -412,3 +412,41 @@ def test_streaming_minhash_state_caps_bucket(spark, tmp_path):
     pairs = {(r.id_a, r.id_b) for r in spark.table("t_neardup_cap").collect()}
     # only the 3 lowest ids are retained -> pairs among {0,1,2} only
     assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_stateless_text_filters_are_streaming_safe(spark, sf_dir):
+    """The quality/lang/C4 filter expressions are per-row, so the SAME
+    column objects must run unchanged on a document stream and agree with
+    batch — the property that lets every stateless pipeline filter deploy
+    on the ingest stream with zero porting."""
+    from mcp_clickhouse_spark.pipeline.text import (
+        c4_line_filters,
+        language_id_col,
+        quality_score_col,
+    )
+    from mcp_clickhouse_spark.streaming.ops import stream_documents
+
+    def apply(df):
+        scored = df.select(
+            "doc_id",
+            language_id_col("text").alias("lid"),
+            quality_score_col("text").alias("q"),
+        )
+        return scored
+
+    st = apply(stream_documents(spark, f"{sf_dir}/documents.parquet"))
+    run_available_now(st, "t_stream_filters", output_mode="append")
+    got = {r.doc_id: (r.lid, r.q) for r in spark.table("t_stream_filters").collect()}
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r.doc_id: (r.lid, r.q) for r in apply(batch).collect()}
+    assert got == want and len(got) == 500
+
+    # C4 line filters (multi-column verdicts) stream identically too
+    c4 = c4_line_filters(batch)
+    verdict_cols = [c for c in c4.columns if c not in batch.columns]
+    st2 = c4_line_filters(stream_documents(spark, f"{sf_dir}/documents.parquet"))
+    run_available_now(st2.select("doc_id", *verdict_cols), "t_stream_c4",
+                      output_mode="append")
+    got2 = {r.doc_id: tuple(r)[1:] for r in spark.table("t_stream_c4").collect()}
+    want2 = {r.doc_id: tuple(r)[1:] for r in c4.select("doc_id", *verdict_cols).collect()}
+    assert got2 == want2
