@@ -39,6 +39,15 @@ HEADLINE = [
     "pipe_minhash_lsh",
     "pipe_embed_topk",
     "pipe_text_stats",
+    # round-5 pipeline additions. pipe_dedup_funnel is the scale
+    # showcase: its DuckDB oracle expresses the clustering stage as a
+    # recursive CTE (the natural single-node formulation), which blows up
+    # quadratically with component fan-out (~18 s at sf0.1), while the
+    # distributed large-star/small-star funnel runs in ~0.2 s — measure
+    # both sides before reading the ratio as engine overhead.
+    "pipe_span_dedup",
+    "pipe_vocab_oov",
+    "pipe_dedup_funnel",
 ]
 
 
