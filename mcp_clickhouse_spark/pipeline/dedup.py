@@ -562,6 +562,47 @@ def simhash_near_dups(
     )
 
 
+def doc_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """(id, chunk_idx, chunk, chunk_key) rows: non-overlapping
+    ``chunk_tokens``-token spans per document, keyed by md5 — per-row
+    chunking (transform+slice, no shuffle), shared by batch span_dedup and
+    the streaming apply side."""
+    toks = f"split({text_col}, ' ')"
+    C = int(chunk_tokens)
+    chunks = F.expr(
+        f"transform(sequence(0, int(ceil(size({toks}) / {C}.0)) - 1),"
+        f" i -> concat_ws(' ', slice({toks}, i * {C} + 1, {C})))"
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).withColumn("chunk_key", F.md5("chunk"))
+
+
+def regroup_spans(flagged: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reassemble flagged span rows (boolean ``_keep``) into per-document
+    (kept_chunks, dropped_chunks, cleaned_text), order preserved via an
+    in-array sort on chunk_idx."""
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return flagged.groupBy(id_col).agg(
+        F.sum(F.col("_keep").cast("long")).alias("kept_chunks"),
+        F.sum((~F.col("_keep")).cast("long")).alias("dropped_chunks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda st: st["chunk"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+
+
 def span_dedup(
     df: DataFrame,
     text_col: str = "text",
@@ -589,35 +630,14 @@ def span_dedup(
     table.  Reassembly rides one groupBy(id) with an ordered in-array sort.
     Every step is builtin-expression JVM code.
     """
-    toks = f"split({text_col}, ' ')"
-    C = int(chunk_tokens)
-    chunks = F.expr(
-        f"transform(sequence(0, int(ceil(size({toks}) / {C}.0)) - 1),"
-        f" i -> concat_ws(' ', slice({toks}, i * {C} + 1, {C})))"
-    )
-    spans = df.select(
-        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
-    ).withColumn("chunk_key", F.md5("chunk"))
+    spans = doc_spans(df, text_col, id_col, chunk_tokens)
     freq = spans.groupBy("chunk_key").agg(
         F.countDistinct(id_col).alias("_nd")
     )
     flagged = spans.join(freq, "chunk_key").withColumn(
         "_keep", F.col("_nd") <= max_docs
     )
-    kept_struct = F.when(
-        F.col("_keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
-    )
-    return flagged.groupBy(id_col).agg(
-        F.sum(F.col("_keep").cast("long")).alias("kept_chunks"),
-        F.sum((~F.col("_keep")).cast("long")).alias("dropped_chunks"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(kept_struct)),
-                lambda s: s["chunk"],
-            ),
-            " ",
-        ).alias("cleaned_text"),
-    )
+    return regroup_spans(flagged, id_col)
 
 
 def with_minhash_signature(

@@ -544,3 +544,61 @@ def streaming_minhash_neardup(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def span_filter_apply(
+    docs: DataFrame,
+    boilerplate_keys: DataFrame,
+    chunk_tokens: int = 20,
+) -> DataFrame:
+    """APPLY side of ``pipeline.dedup.span_dedup``: cut documents' spans
+    whose md5 appears in ``boilerplate_keys`` (one column ``chunk_key`` —
+    e.g. span_dedup's frequency stage filtered to nd > 1), reassemble the
+    remainder in order.  Pure batch transformation, shared by the batch
+    path and the per-micro-batch streaming runner below.
+
+    Returns the same ``(doc_id, kept_chunks, dropped_chunks, cleaned_text)``
+    shape as the batch operator (equality pinned by test).
+    """
+    from mcp_clickhouse_spark.pipeline.dedup import doc_spans, regroup_spans
+
+    spans = doc_spans(docs, chunk_tokens=chunk_tokens)
+    flagged = spans.join(
+        boilerplate_keys.select("chunk_key").withColumn("_bad", F.lit(True)),
+        "chunk_key",
+        "left",
+    ).withColumn("_keep", F.col("_bad").isNull())
+    return regroup_spans(flagged)
+
+
+def run_streaming_span_filter(
+    stream_docs: DataFrame,
+    boilerplate_keys: DataFrame,
+    out_dir: str,
+    chunk_tokens: int = 20,
+):
+    """Streaming boilerplate-span removal via foreachBatch.
+
+    A document arrives WHOLE inside one micro-batch, so the per-doc
+    explode → static-join → regroup is plain batch code applied per
+    trigger — no streaming-aggregation state, no watermark requirement,
+    and any trigger/rate policy composes.  (A groupBy on the unbounded
+    doc_id stream would instead hold every doc in the state store
+    forever — the wrong shape when rows never span batches.)  The
+    boilerplate key table is the small persisted artifact of the batch
+    span_dedup frequency stage, exactly like incremental dedup's corpus
+    key set.  Runs availableNow and blocks until the replay completes.
+    """
+
+    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+        span_filter_apply(batch_df, boilerplate_keys, chunk_tokens).write.mode(
+            "append"
+        ).parquet(out_dir)
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

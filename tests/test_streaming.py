@@ -450,3 +450,33 @@ def test_stateless_text_filters_are_streaming_safe(spark, sf_dir):
     got2 = {r.doc_id: tuple(r)[1:] for r in spark.table("t_stream_c4").collect()}
     want2 = {r.doc_id: tuple(r)[1:] for r in c4.select("doc_id", *verdict_cols).collect()}
     assert got2 == want2
+
+
+def test_streaming_span_filter_matches_batch(spark, sf_dir, tmp_path):
+    """foreachBatch boilerplate removal equals batch span_dedup exactly
+    when the static side is the batch frequency table's nd>1 keys."""
+    from pyspark.sql import functions as F
+    from mcp_clickhouse_spark.pipeline.dedup import span_dedup
+    from mcp_clickhouse_spark.streaming.ops import (
+        run_streaming_span_filter,
+        stream_documents,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    want = {r["doc_id"]: tuple(r) for r in span_dedup(docs).collect()}
+
+    # batch-computed boilerplate keys (spans in >1 distinct doc)
+    from mcp_clickhouse_spark.pipeline.dedup import doc_spans
+
+    keys = (
+        doc_spans(docs)
+        .groupBy("chunk_key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+    )
+    out = str(tmp_path / "cleaned")
+    run_streaming_span_filter(
+        stream_documents(spark, f"{sf_dir}/documents.parquet"), keys, out
+    )
+    got = {r["doc_id"]: tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got == want
