@@ -393,6 +393,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"filter(split(trim({a[0]}), '\\\\s+'), x -> x != '')"
     ),
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    # multi-needle search family: exists() over the needle array keeps the
+    # haystack evaluated once and short-circuits on the first hit
+    "multisearchany": lambda a: f"exists({a[1]}, _n -> contains({a[0]}, _n))",
+    "multisearchanycaseinsensitive": lambda a: (
+        f"exists({a[1]}, _n -> contains(lower({a[0]}), lower(_n)))"
+    ),
+    # non-overlapping occurrence count (CH contract): length delta over a
+    # greedy left-to-right replace matches CH's scan exactly
+    "countsubstrings": lambda a: (
+        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+        f" / length({a[1]}) AS INT)"
+    ),
+    "countmatches": lambda a: (
+        f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
+    ),
+    "hassubstr": lambda a: f"contains({a[0]}, {a[1]})",
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
     # bit operations (CH function forms → Spark operators/builtins)

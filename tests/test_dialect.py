@@ -591,3 +591,24 @@ def test_prewhere_sample_final_execute(spark):
     assert len(res3["rows"]) > 0
     # literals untouched
     assert translate("SELECT 'PREWHERE literal' AS s") == "SELECT 'PREWHERE literal' AS s"
+
+
+def test_multi_search_and_substring_counts(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          multiSearchAny('hello world', ['wor', 'xyz']) AS hit,
+          multiSearchAny('hello world', ['abc', 'xyz']) AS miss,
+          multiSearchAnyCaseInsensitive('Hello World', ['WOR']) AS ci,
+          countSubstrings('ababab', 'ab') AS n_ab,
+          countSubstrings('aaa', 'aa') AS n_aa,
+          countMatches('a1b22c333', '[0-9]+') AS n_num,
+          hasSubstr('haystack', 'stack') AS has
+        """,
+    )
+    assert row[0] is True and row[1] is False and row[2] is True
+    assert row[3] == 3
+    assert row[4] == 1  # non-overlapping: greedy scan finds one 'aa'
+    assert row[5] == 3
+    assert row[6] is True
