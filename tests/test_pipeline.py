@@ -754,3 +754,57 @@ def test_vocab_oov_deterministic_tiebreak(spark):
     # aa appears 3x -> in vocab; bb/cc/dd tie at 2 -> bb wins the tiebreak
     assert got[1]["n_oov"] == 2  # cc, dd
     assert got[3]["n_oov"] == 1 and got[3]["oov_rate"] == 0.5  # zz only
+
+
+def test_span_dedup_matches_python_reference_on_random_corpora(spark):
+    """Randomized cross-check against a direct Python reference — corpus
+    shapes (shared prefixes/suffixes/middles, short docs, empty-ish docs)
+    that crafted cases miss."""
+    import random
+
+    from mcp_clickhouse_spark.pipeline.dedup import span_dedup
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(20)) for _ in range(3)]
+
+    def rand_doc():
+        parts = []
+        for _ in range(rng.randrange(1, 4)):
+            if rng.random() < 0.4:
+                parts.append(rng.choice(shared))
+            else:
+                parts.append(
+                    " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 30)))
+                )
+        return " ".join(parts)
+
+    for trial in range(3):
+        rows = [(i, rand_doc()) for i in range(40)]
+        # python reference
+        C = 20
+        chunks_of = {
+            i: [
+                " ".join(t.split(" ")[j : j + C])
+                for j in range(0, len(t.split(" ")), C)
+            ]
+            for i, t in rows
+        }
+        from collections import defaultdict
+
+        docs_per_chunk = defaultdict(set)
+        for i, cs in chunks_of.items():
+            for c in cs:
+                docs_per_chunk[c].add(i)
+        want = {}
+        for i, cs in chunks_of.items():
+            kept = [c for c in cs if len(docs_per_chunk[c]) <= 1]
+            dropped = len(cs) - len(kept)
+            want[i] = (len(kept), dropped, " ".join(kept))
+
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["kept_chunks"], r["dropped_chunks"], r["cleaned_text"])
+            for r in span_dedup(df).collect()
+        }
+        assert got == want, f"trial {trial} mismatch"
