@@ -118,6 +118,12 @@ def connected_components(
         edges.select(F.col("dst").alias("node"))
     ).distinct().localCheckpoint(eager=True)
 
+    # Measured note (sf0.1): the iterative rounds cost ~3-6 s total here —
+    # the pair GENERATION feeding this function is what dominates an
+    # end-to-end clustering query (~32 s of exact blocked Jaccard at
+    # sf0.1), so round-level micro-tuning (an adaptive repartition per
+    # round was tried) buys nothing measurable; AQE already coalesces the
+    # tiny iteration shuffles.
     sig = _edge_signature(edges)
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
