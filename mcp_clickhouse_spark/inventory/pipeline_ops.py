@@ -683,7 +683,7 @@ def pipe_ngram_jaccard(spark, sf_dir):
             F.col("b.doc_id").alias("id_b"),
         )
     )
-    return jaccard_verify(cand, d, threshold=0.1)
+    return jaccard_verify(cand, d, threshold=0.1, precompute_sets=True)
 
 
 @query(
@@ -1256,7 +1256,7 @@ def pipe_dedup_funnel(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    pairs = jaccard_verify(cand, d2, threshold=0.1).select("id_a", "id_b")
+    pairs = jaccard_verify(cand, d2, threshold=0.1, precompute_sets=True).select("id_a", "id_b")
     dropped = (
         connected_components(pairs)
         .where(F.col("node") != F.col("cluster_id"))
@@ -1340,7 +1340,7 @@ def pipe_lsh_eval(spark, sf_dir):
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
-    bpairs = jaccard_verify(bcand, d, threshold=0.5).select("id_a", "id_b")
+    bpairs = jaccard_verify(bcand, d, threshold=0.5, precompute_sets=True).select("id_a", "id_b")
     sigs = minhash_signatures(d, num_hashes=16, hash_fn="md5")
     lcand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
     lpairs = jaccard_verify(lcand, d, threshold=0.5).select("id_a", "id_b")

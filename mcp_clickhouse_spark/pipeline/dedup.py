@@ -416,9 +416,22 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
+    precompute_sets: bool = False,
 ) -> DataFrame:
     """Exact Jaccard over (hashed) shingle sets for candidate pairs; keeps
     pairs with jaccard >= threshold.
+
+    ``precompute_sets`` picks WHERE the shingle-hash set is computed —
+    the choice is workload-shaped, measured at sf0.1:
+
+    - ``False`` (default): post-join, once per pair-side row (2·|pairs|
+      computations).  Right when pairs are FEW relative to the corpus
+      (LSH candidates: ~25 pairs vs 5000 docs).
+    - ``True``: docs-side, once per corpus doc, the join then carries the
+      hash-set array (≈ the text's size) instead of text.  Right when
+      pairs are MANY (blocked all-pairs verification: ~400k pair rows vs
+      5000 docs — a ~160× compute cut, measured 32 s → 9.5 s cold on
+      pipe_ngram_jaccard at sf0.1).  Same exchange count either way.
 
     MELTED single-join shape: pairs explode to (id_a, id_b, doc_id) rows
     (two per pair), ONE inner join against the corpus pulls each side's text
@@ -452,8 +465,12 @@ def jaccard_verify(
     melted = candidates.select(
         "id_a", "id_b", F.explode(F.array("id_a", "id_b")).alias(id_col)
     )
-    joined = melted.join(docs.select(id_col, text_col), on=id_col)
-    withsets = joined.selectExpr("id_a", "id_b", id_col, f"{set_expr} AS shs")
+    if precompute_sets:
+        doc_sets = docs.selectExpr(id_col, f"{set_expr} AS shs")
+        withsets = melted.join(doc_sets, on=id_col)
+    else:
+        joined = melted.join(docs.select(id_col, text_col), on=id_col)
+        withsets = joined.selectExpr("id_a", "id_b", id_col, f"{set_expr} AS shs")
     pairs = (
         withsets.groupBy("id_a", "id_b")
         .agg(
