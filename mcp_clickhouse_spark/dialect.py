@@ -402,8 +402,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # non-overlapping occurrence count (CH contract): length delta over a
     # greedy left-to-right replace matches CH's scan exactly
     "countsubstrings": lambda a: (
-        f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
-        f" / length({a[1]}) AS INT)"
+        # nullif guards the empty-needle division (ANSI error otherwise);
+        # CH returns 0 for an empty needle
+        f"CAST(coalesce((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
+        f" / nullif(length({a[1]}), 0), 0) AS INT)"
     ),
     "countmatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"

@@ -4,25 +4,21 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority (judge r4 item 9), summing to exactly 50: the TWENTY
-brand-new round-5 queries (dup-cluster CC, span dedup, vocab
-OOV, dedup funnel, repetition
-filters, incremental dedup, PII
-scrub, topKWeighted, train/val split, unigram log-prob, chunking, packing,
-decontamination, BM25, C4 filters, stratified sample, source mix — never
-driver-checked) + the one query whose ORACLE
-changed this round (subquery_scalar — the mean now goes through order-independent
-bigint-cents because the multi-file storage layout unpinned double-sum
-order) + the 14 bench-headline canaries (the floor-attack queries: AQE
-policy + storage-layout rewrite changed their execution this round, so the
-driver should re-certify each) + the 11 round-4-new shapes holding a single
-green (pipe_embed_neardup, the 10 new TPC-H) + q3/q6/q7/q10/q14/q18 (also
-single-green, r4 only) + 8 refresh slots for queries last checked r3 or
-earlier, one-per-family across joins/setops/scalars/aggregates/TPC-H
-(20 + 1 + 14 + 10 + 5 = 50).  The r3-refresh pool not covered this
-round (join_left/any/cross/theta, array_join_explode, setop_intersect/
-except_all, scalar_json/map, agg_cube/histogram, q2/q4/q8/q12-adjacent
-singles) rolls to round 6.
+Round 5 priority, summing to exactly 50: the TWENTY brand-new round-5
+queries (dup-cluster CC, span dedup, vocab OOV, dedup funnel, table
+profiling, LSH eval, epoch shards, repetition filters, incremental dedup,
+PII scrub, topKWeighted, train/val split, unigram log-prob, chunking,
+packing, decontamination, BM25, C4 filters, stratified sample, source mix
+— never driver-checked) + the one query whose ORACLE changed this round
+(subquery_scalar — the mean now goes through order-independent bigint-cents
+because the multi-file storage layout unpinned double-sum order) + the 14
+bench-headline canaries (AQE policy + storage-layout rewrite changed their
+execution this round) + 10 of the 11 round-4-new shapes holding a single
+green (q17 rolled to r6 for slot budget) + 5 of the 6 single-green
+r4-only TPC-H (q18 rolled to r6)  (20 + 1 + 14 + 10 + 5 = 50).  Rolled to
+round 6: q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
+setops, scalar_string/json/map, agg_any_first_last/cube/histogram,
+q19, and the q2/q4/q8/q12-adjacent singles).
 """
 
 from __future__ import annotations

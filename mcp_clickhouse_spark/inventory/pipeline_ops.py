@@ -644,6 +644,27 @@ def pipe_token_count(spark, sf_dir):
     )
 
 
+
+def _blocked_ngram_candidates(d):
+    """Blocked candidate self-join on (lang, length-bucket) with id_a < id_b
+    — the Spark twin of the oracle's shared _SQL_NGRAM_PAIRS blocking,
+    used by pipe_ngram_jaccard / pipe_dedup_funnel / pipe_lsh_eval (one
+    definition so the blocking scheme cannot drift between them)."""
+    blocked = d.select(
+        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
+    )
+    return (
+        blocked.alias("a")
+        .join(
+            blocked.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+
+
 @query(
     "pipe_ngram_jaccard",
     oracle=f"""
@@ -665,24 +686,7 @@ def pipe_ngram_jaccard(spark, sf_dir):
     # Blocked n-gram Jaccard near-dup: block on (lang, length-bucket) — the
     # SQL-expressible baseline the MinHash path approximates at scale.
     d = t(spark, sf_dir, "documents")
-    blocked = d.select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("long").alias("bucket"),
-    )
-    cand = (
-        blocked.alias("a")
-        .join(
-            blocked.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-        )
-    )
+    cand = _blocked_ngram_candidates(d)
     return jaccard_verify(cand, d, threshold=0.1, precompute_sets=True)
 
 
@@ -1243,19 +1247,7 @@ def pipe_dedup_funnel(spark, sf_dir):
     d = t(spark, sf_dir, "documents")
     keep_exact = exact_dedup(d).select("doc_id", F.lit(True).alias("_kept"))
     d2 = d.join(keep_exact.select("doc_id"), "doc_id")
-    blocked = d2.select(
-        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
-    )
-    cand = (
-        blocked.alias("a")
-        .join(
-            blocked.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    cand = _blocked_ngram_candidates(d2)
     pairs = jaccard_verify(cand, d2, threshold=0.1, precompute_sets=True).select("id_a", "id_b")
     dropped = (
         connected_components(pairs)
@@ -1269,7 +1261,9 @@ def pipe_dedup_funnel(spark, sf_dir):
     )
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.col("_kept").cast("long")).alias("n_after_exact"),
+        # isNotNull, not a bare cast: SUM over an all-NULL flag column
+        # returns NULL while the oracle's SUM(CASE..ELSE 0) returns 0
+        F.sum(F.col("_kept").isNotNull().cast("long")).alias("n_after_exact"),
         F.sum(
             (F.col("_kept").isNotNull() & F.col("_dropped").isNull()).cast("long")
         ).alias("n_after_neardup"),
@@ -1327,23 +1321,17 @@ def pipe_lsh_eval(spark, sf_dir):
     # found (LSH typically finds MORE: banding crosses the lang/length
     # blocks).  Every stage of both methods recomputed by the oracle.
     d = t(spark, sf_dir, "documents")
-    blocked = d.select(
-        "doc_id", "lang", (F.col("n_chars") / 100).cast("long").alias("bucket")
-    )
-    bcand = (
-        blocked.alias("a")
-        .join(
-            blocked.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
+    bcand = _blocked_ngram_candidates(d)
     bpairs = jaccard_verify(bcand, d, threshold=0.5, precompute_sets=True).select("id_a", "id_b")
     sigs = minhash_signatures(d, num_hashes=16, hash_fn="md5")
     lcand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4)
     lpairs = jaccard_verify(lcand, d, threshold=0.5).select("id_a", "id_b")
+    # each pair frame feeds its own count AND the intersect — persist so the
+    # expensive verify DAGs execute once, not twice
+    from mcp_clickhouse_spark.pipeline.dedup import _persist
+
+    bpairs = _persist(bpairs)
+    lpairs = _persist(lpairs)
     hits = bpairs.intersect(lpairs)
     return (
         bpairs.agg(F.count(F.lit(1)).alias("n_blocked"))

@@ -125,12 +125,22 @@ def connected_components(
     # round was tried) buys nothing measurable; AQE already coalesces the
     # tiny iteration shuffles.
     sig = _edge_signature(edges)
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
         new_sig = _edge_signature(edges)
         if new_sig == sig:
+            converged = True
             break
         sig = new_sig
+    if not converged:
+        # a non-star edge set would silently emit multiple inconsistent
+        # labels per node through the join below — fail loud instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (theoretical bound is O(log^2 n) rounds — this "
+            "indicates a bug or an adversarial signature collision)"
+        )
 
     # Fixed point = forest of stars: every edge is (member, root).  Roots
     # appear only on the dst side; re-attach them (and isolated

@@ -564,7 +564,10 @@ def span_filter_apply(
 
     spans = doc_spans(docs, chunk_tokens=chunk_tokens)
     flagged = spans.join(
-        boilerplate_keys.select("chunk_key").withColumn("_bad", F.lit(True)),
+        # distinct: a key table with repeated chunk_key rows (e.g. a union
+        # of per-snapshot key sets) would otherwise multiply flagged rows
+        # and corrupt the dropped_chunks count
+        boilerplate_keys.select("chunk_key").distinct().withColumn("_bad", F.lit(True)),
         "chunk_key",
         "left",
     ).withColumn("_keep", F.col("_bad").isNull())

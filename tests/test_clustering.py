@@ -90,3 +90,12 @@ def test_dedup_clusters_sizes_and_keep(spark):
         F.sum(F.col("keep").cast("int")).alias("k")
     ).collect()
     assert all(r["k"] == 1 for r in per)
+
+
+def test_connected_components_raises_on_iteration_exhaustion(spark):
+    import pytest as _pytest
+
+    edges = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iterations=1)

@@ -612,3 +612,8 @@ def test_multi_search_and_substring_counts(spark):
     assert row[4] == 1  # non-overlapping: greedy scan finds one 'aa'
     assert row[5] == 3
     assert row[6] is True
+
+
+def test_count_substrings_empty_needle(spark):
+    row = one(spark, "SELECT countSubstrings('abc', '') AS n")
+    assert row[0] == 0

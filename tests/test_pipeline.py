@@ -808,3 +808,26 @@ def test_span_dedup_matches_python_reference_on_random_corpora(spark):
             for r in span_dedup(df).collect()
         }
         assert got == want, f"trial {trial} mismatch"
+
+
+def test_dedup_funnel_zero_survivor_source_counts_zero(spark, tmp_path):
+    """A source whose every doc is an exact copy of a lower-id doc in
+    another source must report n_after_exact = 0, not NULL (SUM over an
+    all-NULL flag column)."""
+    import __spark_entry__ as entry
+
+    rows = [
+        (0, "alpha beta gamma", "en", "srcA", 16),
+        (1, "delta epsilon zeta", "en", "srcA", 18),
+        (10, "alpha beta gamma", "en", "srcB", 16),   # copies of srcA docs
+        (11, "delta epsilon zeta", "en", "srcB", 18),
+    ]
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    out = {r["source"]: r for r in entry.queries()["pipe_dedup_funnel"](
+        spark, str(tmp_path)).collect()}
+    assert out["srcB"]["n_after_exact"] == 0
+    assert out["srcB"]["n_after_neardup"] == 0
+    assert out["srcA"]["n_after_exact"] == 2
