@@ -393,6 +393,25 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"filter(split(trim({a[0]}), '\\\\s+'), x -> x != '')"
     ),
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
+    # date-part names: CH dateName(part, d); monthName(d)
+    "datename": lambda a: {
+        "'year'": lambda d: f"CAST(year({d}) AS STRING)",
+        "'quarter'": lambda d: f"CAST(quarter({d}) AS STRING)",
+        "'month'": lambda d: f"date_format({d}, 'MMMM')",
+        "'week'": lambda d: f"CAST(weekofyear({d}) AS STRING)",
+        "'dayofyear'": lambda d: f"CAST(dayofyear({d}) AS STRING)",
+        "'day'": lambda d: f"CAST(dayofmonth({d}) AS STRING)",
+        "'weekday'": lambda d: f"date_format({d}, 'EEEE')",
+        "'hour'": lambda d: f"CAST(hour({d}) AS STRING)",
+        "'minute'": lambda d: f"CAST(minute({d}) AS STRING)",
+        "'second'": lambda d: f"CAST(second({d}) AS STRING)",
+    }[a[0].strip().lower()](a[1]),
+    "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
+    # timeSlot: floor to the half-hour (CH contract)
+    "timeslot": lambda a: (
+        f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP))"
+        f" / 1800) * 1800)"
+    ),
     # multi-needle search family: exists() over the needle array keeps the
     # haystack evaluated once and short-circuits on the first hit
     "multisearchany": lambda a: f"exists({a[1]}, _n -> contains({a[0]}, _n))",
@@ -975,6 +994,14 @@ def _rewrite_join_modifiers(sql: str) -> str:
         # quotes escape by doubling in SQL literals
         return prefix.count("'") % 2 == 0
 
+    m = re.search(r"(?i)\bQUALIFY\b", sql)
+    if m and outside(m):
+        raise ValueError(
+            "QUALIFY has no Spark SQL equivalent — compute the window "
+            "expression as a column in a subquery and filter it in the "
+            "outer WHERE (or use shim_limit_by / operators.topk for the "
+            "common per-group top-N shape)"
+        )
     for pat in (r"(?i)\bANY\s+(LEFT|RIGHT|INNER)\s+JOIN\b", r"(?i)\bASOF\s+JOIN\b"):
         m = re.search(pat, sql)
         if m and outside(m):

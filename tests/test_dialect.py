@@ -617,3 +617,26 @@ def test_multi_search_and_substring_counts(spark):
 def test_count_substrings_empty_needle(spark):
     row = one(spark, "SELECT countSubstrings('abc', '') AS n")
     assert row[0] == 0
+
+
+def test_date_names_and_timeslot(spark):
+    row = one(
+        spark,
+        """
+        SELECT dateName('month', toDate('2024-03-05')) AS mn,
+               dateName('weekday', toDate('2024-03-05')) AS wd,
+               monthName(toDate('2024-07-05')) AS mn2,
+               timeSlot(toDateTime('2024-03-05 10:47:00')) AS slot
+        """,
+    )
+    assert row[0] == "March" and row[1] == "Tuesday" and row[2] == "July"
+    assert str(row[3]).endswith("10:30:00")
+
+
+def test_qualify_raises_guided_error():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="QUALIFY"):
+        translate("SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2")
+    # the word inside a string literal is untouched
+    assert "QUALIFY" in translate("SELECT 'QUALIFY' AS s")
