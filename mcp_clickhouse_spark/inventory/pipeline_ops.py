@@ -1369,3 +1369,11 @@ def pipe_epoch_shards(spark, sf_dir):
     from mcp_clickhouse_spark.pipeline.sampling import epoch_shuffle_shards
 
     return epoch_shuffle_shards(t(spark, sf_dir, "documents"), n_shards=8, seed=0)
+
+
+@query("pipe_compression_ratio", category="pipeline")  # rows-only: no
+# compressor exists in DuckDB SQL — exact zlib values pinned by pytest
+def pipe_compression_ratio(spark, sf_dir):
+    from mcp_clickhouse_spark.pipeline.text import compression_ratio
+
+    return compression_ratio(t(spark, sf_dir, "documents"))

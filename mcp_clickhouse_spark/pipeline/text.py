@@ -445,3 +445,55 @@ def vocab_oov(
             6,
         ).alias("oov_rate"),
     )
+
+
+def compression_ratio(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document zlib compression ratio — the classic repetition/quality
+    signal (highly compressible text is boilerplate or degenerate; nearly
+    incompressible text is noise/binary).  Gopher-style pipelines gate on
+    both tails.
+
+    Runs as Arrow-batched ``mapInPandas`` (stdlib zlib level 6 — exact and
+    deterministic everywhere, so the test asserts literal values) — the one
+    legitimate Python-path use: no JVM builtin exposes a compressor, and
+    the per-batch loop costs one C call per document, not per byte.
+    No oracle: DuckDB has no compressor either; correctness is pinned by
+    exact-value pytest on crafted docs instead.
+
+    Returns ``(id_col, raw_len, compressed_len, ratio)`` where
+    ratio = compressed/raw (0 < ratio; lower = more redundant).
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("raw_len", LongType()),
+            StructField("compressed_len", LongType()),
+            StructField("ratio", DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").map(lambda t: t.encode("utf-8"))
+            raw_len = raw.map(len)
+            comp_len = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw_len.astype("int64"),
+                    "compressed_len": comp_len.astype("int64"),
+                    "ratio": comp_len / raw_len.clip(lower=1).astype("float64"),
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)

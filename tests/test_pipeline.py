@@ -831,3 +831,28 @@ def test_dedup_funnel_zero_survivor_source_counts_zero(spark, tmp_path):
     assert out["srcB"]["n_after_exact"] == 0
     assert out["srcB"]["n_after_neardup"] == 0
     assert out["srcA"]["n_after_exact"] == 2
+
+
+def test_compression_ratio_exact_values_and_ordering(spark):
+    import zlib
+
+    from mcp_clickhouse_spark.pipeline.text import compression_ratio
+
+    redundant = "spam " * 200                       # highly compressible
+    mixed = "the quick brown fox jumps over the lazy dog " * 5
+    import random
+
+    rng = random.Random(3)
+    noisy = " ".join("".join(rng.choice("abcdefghijklmnop") for _ in range(8))
+                     for _ in range(120))           # nearly incompressible
+    docs = spark.createDataFrame(
+        [(1, redundant), (2, mixed), (3, noisy), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for i, txt in [(1, redundant), (2, mixed), (3, noisy), (4, "")]:
+        b = txt.encode()
+        assert got[i]["raw_len"] == len(b)
+        assert got[i]["compressed_len"] == len(zlib.compress(b, 6))
+    assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
+    assert got[4]["raw_len"] == 0 and got[4]["ratio"] > 0  # clip guards /0
