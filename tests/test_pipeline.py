@@ -856,3 +856,32 @@ def test_compression_ratio_exact_values_and_ordering(spark):
         assert got[i]["compressed_len"] == len(zlib.compress(b, 6))
     assert got[1]["ratio"] < got[2]["ratio"] < got[3]["ratio"]
     assert got[4]["raw_len"] == 0 and got[4]["ratio"] > 0  # clip guards /0
+
+
+def test_unicode_text_through_dedup_stack(spark):
+    """Multi-byte text must survive every hashing/chunking path consistently
+    (byte-length vs char-length confusion is the classic corruption)."""
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_signatures,
+        span_dedup,
+        with_minhash_signature,
+    )
+    from mcp_clickhouse_spark.pipeline.text import compression_ratio
+
+    uni = "héllo wörld 你好 世界 émoji 🎉 data καλημέρα мир " * 6
+    docs = spark.createDataFrame(
+        [(1, uni), (2, uni), (3, "plain ascii words only here")],
+        "doc_id long, text string",
+    )
+    # per-row and aggregated signatures agree on unicode input
+    a = {r["doc_id"]: r["signature"] for r in with_minhash_signature(docs, num_hashes=16).collect()}
+    b = {r["doc_id"]: r["signature"] for r in minhash_signatures(docs, num_hashes=16).collect()}
+    assert a == b
+    assert a[1] == a[2] and a[1] != a[3]
+    # span dedup reassembles unicode exactly; identical docs fully dropped
+    got = {r["doc_id"]: r for r in span_dedup(docs).collect()}
+    assert got[3]["cleaned_text"] == "plain ascii words only here"
+    assert got[1]["kept_chunks"] == 0 and got[2]["kept_chunks"] == 0
+    # compression ratio counts BYTES, not chars
+    cr = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    assert cr[1]["raw_len"] == len(uni.encode("utf-8")) > len(uni)
