@@ -1377,3 +1377,28 @@ def pipe_compression_ratio(spark, sf_dir):
     from mcp_clickhouse_spark.pipeline.text import compression_ratio
 
     return compression_ratio(t(spark, sf_dir, "documents"))
+
+
+_STREAM_RUN_COUNTER = [0]
+
+
+@query("streaming_minhash_pairs", category="pipeline")  # rows-only: the
+# streaming twin is value-pinned to the batch candidate generator by
+# tests/test_streaming.py (bounded replay == batch pair set); this entry
+# proves the stateful streaming graph EXECUTES under the driver session
+def streaming_minhash_pairs(spark, sf_dir):
+    from mcp_clickhouse_spark.streaming import (
+        run_available_now,
+        stream_documents,
+        streaming_minhash_neardup,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"t_stream_minhash_{id(spark) % 100000}_{_STREAM_RUN_COUNTER[0]}"
+    st = streaming_minhash_neardup(
+        stream_documents(spark, f"{sf_dir}/documents.parquet")
+    )
+    run_available_now(st, sink, output_mode="append")
+    return spark.table(sink).dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", "est_jaccard"
+    )
