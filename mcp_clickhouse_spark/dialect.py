@@ -549,6 +549,32 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
     "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
     "maxif": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
+    # remaining -If combinators: NULL-out non-matching rows (every Spark
+    # aggregate ignores NULLs, which is exactly CH's -If semantics)
+    "anyif": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "uniqif": lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "uniqexactif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    "countdistinctif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    "argmaxif": lambda a: (
+        f"max_by(CASE WHEN {a[2]} THEN {a[0]} END, CASE WHEN {a[2]} THEN {a[1]} END)"
+    ),
+    "argminif": lambda a: (
+        f"min_by(CASE WHEN {a[2]} THEN {a[0]} END, CASE WHEN {a[2]} THEN {a[1]} END)"
+    ),
+    # -Distinct combinator
+    "sumdistinct": lambda a: f"sum(DISTINCT {a[0]})",
+    "avgdistinct": lambda a: f"avg(DISTINCT {a[0]})",
+    # -Array combinators: aggregate over all elements of all rows' arrays
+    "sumarray": lambda a: (
+        f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    ),
+    "avgarray": lambda a: (
+        f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+        f" / sum(cardinality({a[0]})))"
+    ),
+    "minarray": lambda a: f"min(array_min({a[0]}))",
+    "maxarray": lambda a: f"max(array_max({a[0]}))",
+    "countarray": lambda a: f"sum(cardinality({a[0]}))",
     "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",
     "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
@@ -625,6 +651,9 @@ _gen_or_null_zero()
 # Parametric aggregates: name(params)(args) → Spark SQL.
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileif": lambda p, a: (
+        f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
+    ),
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",

@@ -640,3 +640,31 @@ def test_qualify_raises_guided_error():
         translate("SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2")
     # the word inside a string literal is untouched
     assert "QUALIFY" in translate("SELECT 'QUALIFY' AS s")
+
+
+def test_aggregate_combinators_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          anyIf(o_orderkey, o_totalprice > 0) AS any_f,
+          uniqExactIf(o_orderstatus, o_totalprice > 0) AS statuses,
+          sumDistinct(o_custkey) AS sd,
+          quantileIf(0.5)(o_totalprice, o_totalprice > 0) AS med_pos
+        FROM orders
+        """,
+    )
+    assert row[0] is not None and row[1] >= 1 and row[3] > 0
+
+
+def test_array_combinators_execute(spark):
+    row = one(
+        spark,
+        """
+        SELECT sumArray(a) AS s, avgArray(a) AS m, minArray(a) AS lo,
+               maxArray(a) AS hi, countArray(a) AS n
+        FROM (SELECT [1, 2, 3] AS a UNION ALL SELECT [4, 5])
+        """,
+    )
+    assert row[0] == 15.0 and row[1] == 3.0 and row[2] == 1
+    assert row[3] == 5 and row[4] == 5
