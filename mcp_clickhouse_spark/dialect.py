@@ -1023,6 +1023,18 @@ def _rewrite_join_modifiers(sql: str) -> str:
         # quotes escape by doubling in SQL literals
         return prefix.count("'") % 2 == 0
 
+    m = re.search(
+        r"(?i)\b(sum|avg|min|max|count|uniq|any|quantile\w*|argMin|argMax|corr|groupArray)"
+        r"(State|Merge)\s*\(", sql
+    )
+    if m and outside(m):
+        raise ValueError(
+            f"{m.group(1)}{m.group(2)}() has no Spark equivalent — partial "
+            "aggregate states are engine-internal; run the plain aggregate "
+            "(Spark's map-side partials give the same two-phase execution), "
+            "or persist intermediate GROUP BY results instead of -State "
+            "columns"
+        )
     m = re.search(r"(?i)\bQUALIFY\b", sql)
     if m and outside(m):
         raise ValueError(

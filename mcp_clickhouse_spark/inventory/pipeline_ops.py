@@ -1402,3 +1402,17 @@ def streaming_minhash_pairs(spark, sf_dir):
     return spark.table(sink).dropDuplicates(["id_a", "id_b"]).select(
         "id_a", "id_b", "est_jaccard"
     )
+
+
+@query("pipe_dup_clusters_minhash", category="pipeline")  # rows-only: the
+# production composition — xxhash64 MinHash-LSH pairs (no DuckDB twin)
+# feeding the same connected-components clustering that pipe_dup_clusters
+# oracle-proves over engine-portable pairs
+def pipe_dup_clusters_minhash(spark, sf_dir):
+    from mcp_clickhouse_spark.pipeline.clustering import dedup_clusters
+
+    d = t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    pairs = jaccard_verify(cand, d, threshold=0.5).select("id_a", "id_b")
+    return dedup_clusters(pairs)

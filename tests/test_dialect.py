@@ -668,3 +668,13 @@ def test_array_combinators_execute(spark):
     )
     assert row[0] == 15.0 and row[1] == 3.0 and row[2] == 1
     assert row[3] == 5 and row[4] == 5
+
+
+def test_state_merge_combinators_raise_guided_error():
+    import pytest as _pytest
+
+    for q in ("SELECT sumState(x) FROM t", "SELECT uniqMerge(s) FROM t"):
+        with _pytest.raises(ValueError, match="no Spark equivalent"):
+            translate(q)
+    # inside string literals: untouched
+    assert "sumState" in translate("SELECT 'sumState(x)' AS s")
