@@ -188,6 +188,31 @@ def _json_path(args: list[str], extractor: str = "get_json_object") -> str:
     return f"{extractor}({doc}, concat('$.', {key}))"
 
 
+def _date_name(args: list[str]) -> str:
+    """dateName(part, d) — string-literal parts only; faithful-or-error
+    (a column part or the 3-arg timezone form cannot be translated)."""
+    parts = {
+        "'year'": lambda d: f"CAST(year({d}) AS STRING)",
+        "'quarter'": lambda d: f"CAST(quarter({d}) AS STRING)",
+        "'month'": lambda d: f"date_format({d}, 'MMMM')",
+        "'week'": lambda d: f"CAST(weekofyear({d}) AS STRING)",
+        "'dayofyear'": lambda d: f"CAST(dayofyear({d}) AS STRING)",
+        "'day'": lambda d: f"CAST(dayofmonth({d}) AS STRING)",
+        "'weekday'": lambda d: f"date_format({d}, 'EEEE')",
+        "'hour'": lambda d: f"CAST(hour({d}) AS STRING)",
+        "'minute'": lambda d: f"CAST(minute({d}) AS STRING)",
+        "'second'": lambda d: f"CAST(second({d}) AS STRING)",
+    }
+    key = args[0].strip().lower()
+    if len(args) != 2 or key not in parts:
+        raise DialectError(
+            f"dateName: untranslatable arguments {args!r} (string-literal "
+            "part from year/quarter/month/week/dayofyear/day/weekday/hour/"
+            "minute/second and no timezone argument)"
+        )
+    return parts[key](args[1])
+
+
 def _multi_if(args: list[str]) -> str:
     # multiIf(c1, v1, c2, v2, …, else)
     parts = ["CASE"]
@@ -394,18 +419,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "positioncaseinsensitive": lambda a: f"instr(lower({a[0]}), lower({a[1]}))",
     # date-part names: CH dateName(part, d); monthName(d)
-    "datename": lambda a: {
-        "'year'": lambda d: f"CAST(year({d}) AS STRING)",
-        "'quarter'": lambda d: f"CAST(quarter({d}) AS STRING)",
-        "'month'": lambda d: f"date_format({d}, 'MMMM')",
-        "'week'": lambda d: f"CAST(weekofyear({d}) AS STRING)",
-        "'dayofyear'": lambda d: f"CAST(dayofyear({d}) AS STRING)",
-        "'day'": lambda d: f"CAST(dayofmonth({d}) AS STRING)",
-        "'weekday'": lambda d: f"date_format({d}, 'EEEE')",
-        "'hour'": lambda d: f"CAST(hour({d}) AS STRING)",
-        "'minute'": lambda d: f"CAST(minute({d}) AS STRING)",
-        "'second'": lambda d: f"CAST(second({d}) AS STRING)",
-    }[a[0].strip().lower()](a[1]),
+    "datename": lambda a: _date_name(a),
     "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
     # timeSlot: floor to the half-hour (CH contract)
     "timeslot": lambda a: (
@@ -565,16 +579,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sumdistinct": lambda a: f"sum(DISTINCT {a[0]})",
     "avgdistinct": lambda a: f"avg(DISTINCT {a[0]})",
     # -Array combinators: aggregate over all elements of all rows' arrays
+    # NULL elements are skipped (the CH aggregate contract) — an unfiltered
+    # fold would let one NULL poison the row and desync avg's denominator
     "sumarray": lambda a: (
-        f"sum(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+        f"sum(aggregate(filter({a[0]}, x -> x IS NOT NULL),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
     ),
     "avgarray": lambda a: (
-        f"(sum(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
-        f" / sum(cardinality({a[0]})))"
+        f"(sum(aggregate(filter({a[0]}, x -> x IS NOT NULL),"
+        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+        f" / sum(cardinality(filter({a[0]}, x -> x IS NOT NULL))))"
     ),
     "minarray": lambda a: f"min(array_min({a[0]}))",
     "maxarray": lambda a: f"max(array_max({a[0]}))",
-    "countarray": lambda a: f"sum(cardinality({a[0]}))",
+    "countarray": lambda a: (
+        f"sum(cardinality(filter({a[0]}, x -> x IS NOT NULL)))"
+    ),
     "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
     "path": lambda a: f"parse_url({a[0]}, 'PATH')",
     "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
@@ -1023,11 +1043,19 @@ def _rewrite_join_modifiers(sql: str) -> str:
         # quotes escape by doubling in SQL literals
         return prefix.count("'") % 2 == 0
 
-    m = re.search(
+    def first_outside(pattern: str) -> re.Match | None:
+        # finditer, not search: a match INSIDE a string literal must not
+        # mask a real occurrence later in the query (review finding)
+        for m in re.finditer(pattern, sql):
+            if outside(m):
+                return m
+        return None
+
+    m = first_outside(
         r"(?i)\b(sum|avg|min|max|count|uniq|any|quantile\w*|argMin|argMax|corr|groupArray)"
-        r"(State|Merge)\s*\(", sql
+        r"(State|Merge)\s*\("
     )
-    if m and outside(m):
+    if m:
         raise ValueError(
             f"{m.group(1)}{m.group(2)}() has no Spark equivalent — partial "
             "aggregate states are engine-internal; run the plain aggregate "
@@ -1035,8 +1063,7 @@ def _rewrite_join_modifiers(sql: str) -> str:
             "or persist intermediate GROUP BY results instead of -State "
             "columns"
         )
-    m = re.search(r"(?i)\bQUALIFY\b", sql)
-    if m and outside(m):
+    if first_outside(r"(?i)\bQUALIFY\b"):
         raise ValueError(
             "QUALIFY has no Spark SQL equivalent — compute the window "
             "expression as a column in a subquery and filter it in the "
@@ -1044,8 +1071,8 @@ def _rewrite_join_modifiers(sql: str) -> str:
             "common per-group top-N shape)"
         )
     for pat in (r"(?i)\bANY\s+(LEFT|RIGHT|INNER)\s+JOIN\b", r"(?i)\bASOF\s+JOIN\b"):
-        m = re.search(pat, sql)
-        if m and outside(m):
+        m = first_outside(pat)
+        if m:
             kind = "ANY JOIN" if "ANY" in m.group(0).upper() else "ASOF JOIN"
             op = "any_join" if kind == "ANY JOIN" else "asof_join"
             raise ValueError(

@@ -16,7 +16,7 @@ bench-headline canaries (AQE policy + storage-layout rewrite changed their
 execution this round) + 8 of the 11 round-4-new shapes holding a single
 green (q15/q16/q17 rolled to r6 for slot budget) + 5 of the 6 single-green
 r4-only TPC-H (q18 rolled to r6)  (22 + 1 + 14 + 8 + 5 = 50).  Rolled to
-round 6: q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
+round 6: q15/q16/q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
 setops, scalar_string/json/map, agg_any_first_last/cube/histogram,
 q19, and the q2/q4/q8/q12-adjacent singles).
 """

@@ -135,6 +135,34 @@ def _spread(df: DataFrame, by: str | None = None) -> DataFrame:
     return out
 
 
+def _shingle_zip_expr(text_col: str) -> str:
+    """SQL expression producing the padded 3-word shingle struct array —
+    the ONE definition of shingling shared by the batch explode path
+    (_shingle_hashes) and the per-row streaming path
+    (with_minhash_signature), so the stream==batch signature guarantee
+    holds by construction, not by keeping two strings byte-equal."""
+    wa = f"split(lower(trim({text_col})), '\\\\s+')"
+    pad = f"concat({wa}, array('', ''))"
+    n = f"greatest(size({wa}) - 2, 1)"
+    return (
+        f"arrays_zip(slice({pad}, 1, {n}), slice({pad}, 2, {n}),"
+        f" slice({pad}, 3, {n}))"
+    )
+
+
+def band_bucket_posexplode(bands: int, rows_per_band: int, sig_col: str = "signature") -> str:
+    """selectExpr string exploding a signature into (band, bucket) rows —
+    the ONE definition of LSH banding shared by the batch candidate
+    generator and the streaming near-dup detector."""
+    rpb = int(rows_per_band)
+    return (
+        f"posexplode(transform(sequence(0, {int(bands) - 1}),"
+        f" b -> xxhash64(concat_ws(',',"
+        f" transform(slice({sig_col}, b * {rpb} + 1, {rpb}),"
+        f" x -> CAST(x AS STRING)))))) AS (band, bucket)"
+    )
+
+
 def _shingle_hashes(
     df: DataFrame, text_col: str, id_col: str, k: int = 3, distinct: bool = False
 ) -> DataFrame:
@@ -162,17 +190,9 @@ def _shingle_hashes(
     """
     if k != 3:  # pragma: no cover — inventory always uses k=3
         raise ValueError("_shingle_hashes is specialized to k=3 word shingles")
-    wa = f"split(lower(trim({text_col})), '\\\\s+')"
     zipped = df.select(
         F.col(id_col),
-        F.explode(
-            F.expr(
-                f"arrays_zip("
-                f" slice(concat({wa}, array('', '')), 1, greatest(size({wa}) - 2, 1)),"
-                f" slice(concat({wa}, array('', '')), 2, greatest(size({wa}) - 2, 1)),"
-                f" slice(concat({wa}, array('', '')), 3, greatest(size({wa}) - 2, 1)))"
-            )
-        ).alias("s"),
+        F.explode(F.expr(_shingle_zip_expr(text_col))).alias("s"),
     )
     out = zipped.select(
         F.col(id_col),
@@ -369,14 +389,10 @@ def minhash_lsh_candidates(
     elements — per-task memory is bounded even on a 100 TB degenerate
     corpus, unlike a collect-then-slice formulation.
     """
-    rpb = rows_per_band
     banded = sigs.selectExpr(
         id_col,
         # one parsed expression: per band, hash the comma-joined band rows
-        f"posexplode(transform(sequence(0, {bands - 1}),"
-        f" b -> xxhash64(concat_ws(',',"
-        f" transform(slice(signature, b * {rpb} + 1, {rpb}),"
-        f" x -> CAST(x AS STRING)))))) AS (band, bucket)",
+        band_bucket_posexplode(bands, rows_per_band),
     )
     return _persist(bucket_pairs(banded, id_col, max_bucket_size).distinct())
 
@@ -682,12 +698,9 @@ def with_minhash_signature(
     if shingle_k != 3:
         raise ValueError("with_minhash_signature is specialized to k=3 shingles")
     k = int(num_hashes)
-    wa = f"split(lower(trim({text_col})), '\\\\s+')"
-    pad = f"concat({wa}, array('', ''))"
-    n = f"greatest(size({wa}) - 2, 1)"
     hashes = (
-        f"transform(arrays_zip(slice({pad}, 1, {n}), slice({pad}, 2, {n}),"
-        f" slice({pad}, 3, {n})), s -> xxhash64(s.`0`, s.`1`, s.`2`))"
+        f"transform({_shingle_zip_expr(text_col)},"
+        f" s -> xxhash64(s.`0`, s.`1`, s.`2`))"
     )
     sparse = (
         f"aggregate({hashes}, array_repeat(CAST(NULL AS BIGINT), {k}),"

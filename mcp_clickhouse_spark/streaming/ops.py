@@ -471,14 +471,12 @@ def streaming_minhash_neardup(
     """
     from mcp_clickhouse_spark.pipeline.dedup import with_minhash_signature
 
-    rpb = num_hashes // bands
+    from mcp_clickhouse_spark.pipeline.dedup import band_bucket_posexplode
+
     sig = with_minhash_signature(docs, num_hashes=num_hashes).selectExpr(
         "doc_id",
         "signature",
-        f"posexplode(transform(sequence(0, {bands - 1}),"
-        f" b -> xxhash64(concat_ws(',',"
-        f" transform(slice(signature, b * {rpb} + 1, {rpb}),"
-        f" x -> CAST(x AS STRING)))))) AS (band, bucket)",
+        band_bucket_posexplode(bands, num_hashes // bands),
     ).select(
         F.col("band").cast("long"),
         "bucket",

@@ -678,3 +678,35 @@ def test_state_merge_combinators_raise_guided_error():
             translate(q)
     # inside string literals: untouched
     assert "sumState" in translate("SELECT 'sumState(x)' AS s")
+
+
+def test_guard_not_masked_by_string_literal():
+    import pytest as _pytest
+
+    # a literal occurrence earlier in the query must not mask a real one
+    with _pytest.raises(ValueError, match="sumState"):
+        translate("SELECT 'doc sumState(x)' AS c, sumState(y) FROM t")
+    with _pytest.raises(ValueError, match="QUALIFY"):
+        translate("SELECT 'about QUALIFY' AS c FROM t QUALIFY r <= 2")
+
+
+def test_array_combinators_skip_null_elements(spark):
+    row = one(
+        spark,
+        """
+        SELECT sumArray(a) AS s, avgArray(a) AS m, countArray(a) AS n
+        FROM (SELECT [1.0, NULL, 2.0] AS a UNION ALL SELECT [3.0])
+        """,
+    )
+    assert row[0] == 6.0 and row[1] == 2.0 and row[2] == 3
+
+
+def test_datename_guided_errors():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dateName"):
+        translate("SELECT dateName(part_col, d) FROM t")
+    with _pytest.raises(ValueError, match="dateName"):
+        translate("SELECT dateName('millisecond', d) FROM t")
+    with _pytest.raises(ValueError, match="dateName"):
+        translate("SELECT dateName('month', d, 'UTC') FROM t")
