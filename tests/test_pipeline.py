@@ -885,3 +885,34 @@ def test_unicode_text_through_dedup_stack(spark):
     # compression ratio counts BYTES, not chars
     cr = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
     assert cr[1]["raw_len"] == len(uni.encode("utf-8")) > len(uni)
+
+
+def test_epoch_shards_content_stable_across_partitionings(spark):
+    """Shard assignment and in-shard position are pure functions of
+    (seed, doc_id) — identical under any input partitioning (the property
+    that makes re-runs reproducible on a different cluster layout)."""
+    from mcp_clickhouse_spark.pipeline.sampling import epoch_shuffle_shards
+
+    docs = spark.range(0, 300).selectExpr("id AS doc_id")
+    a = {tuple(r) for r in epoch_shuffle_shards(docs, n_shards=4, seed=9).collect()}
+    b = {
+        tuple(r)
+        for r in epoch_shuffle_shards(docs.repartition(13), n_shards=4, seed=9).collect()
+    }
+    assert a == b
+    # a different seed is a different permutation
+    c = {tuple(r) for r in epoch_shuffle_shards(docs, n_shards=4, seed=10).collect()}
+    assert a != c
+
+
+def test_priority_is_50_registered_names(spark):
+    import __spark_entry__ as entry
+    from mcp_clickhouse_spark.inventory.ordering import PRIORITY
+
+    qs = entry.queries()
+    assert len(PRIORITY) == 50
+    assert len(set(PRIORITY)) == 50
+    assert set(PRIORITY) <= set(qs)
+    # the driver checks the FIRST 50 registered names — they must BE the
+    # priority list, in order
+    assert list(qs)[:50] == PRIORITY
