@@ -10,6 +10,7 @@ from mcp_clickhouse_spark.streaming.ops import (  # noqa: F401
     stream_events,
     streaming_dedup,
     streaming_incremental_dedup,
+    streaming_corpus_stats,
     streaming_minhash_neardup,
     tumbling_counts,
     user_running_totals,

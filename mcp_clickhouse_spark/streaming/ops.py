@@ -603,3 +603,21 @@ def run_streaming_span_filter(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
+    """Running per-(source, lang) corpus statistics over a document ingest
+    stream: doc count, total chars, total whitespace tokens — the live
+    dashboard every continuous-crawl pipeline keeps.
+
+    A plain streaming aggregation in update/complete mode: state is one row
+    per (source, lang) — bounded by source×lang CARDINALITY, not stream
+    length, so no watermark is needed (there is no per-doc state).  The
+    aggregate itself is the exact batch expression, so an availableNow
+    replay equals the batch groupBy (pinned by test).
+    """
+    return docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum(F.size(F.split(F.col("text"), "\\s+"))).alias("total_tokens"),
+    )

@@ -480,3 +480,20 @@ def test_streaming_span_filter_matches_batch(spark, sf_dir, tmp_path):
     )
     got = {r["doc_id"]: tuple(r) for r in spark.read.parquet(out).collect()}
     assert got == want
+
+
+def test_streaming_corpus_stats_matches_batch(spark, sf_dir):
+    from mcp_clickhouse_spark.streaming import (
+        stream_documents,
+        streaming_corpus_stats,
+    )
+
+    st = streaming_corpus_stats(stream_documents(spark, f"{sf_dir}/documents.parquet"))
+    run_available_now(st, "t_corpus_stats", output_mode="complete")
+    got = {(r.source, r.lang): (r.n_docs, r.total_chars, r.total_tokens)
+           for r in spark.table("t_corpus_stats").collect()}
+    # same function, batch input — Structured Streaming's unified-API contract
+    want = {(r.source, r.lang): (r.n_docs, r.total_chars, r.total_tokens)
+            for r in streaming_corpus_stats(
+                spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()}
+    assert got == want and len(got) > 1
