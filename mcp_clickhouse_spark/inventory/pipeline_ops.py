@@ -1416,3 +1416,36 @@ def pipe_dup_clusters_minhash(spark, sf_dir):
     cand = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
     pairs = jaccard_verify(cand, d, threshold=0.5).select("id_a", "id_b")
     return dedup_clusters(pairs)
+
+
+@query(
+    "streaming_corpus_stats",
+    oracle="""
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(len(string_split_regex(text, '\\s+'))) AS BIGINT)
+             AS total_tokens
+    FROM documents GROUP BY source, lang
+    """,
+    category="pipeline",
+)
+def streaming_corpus_stats_q(spark, sf_dir):
+    # An ORACLE-CHECKED streaming query: the running ingest-stats stream is
+    # drained availableNow into a memory sink and hash-compared against the
+    # plain SQL aggregate — the streaming graph (file source, streaming
+    # aggregation state, complete-mode sink) proven value-correct, not just
+    # executing.
+    from mcp_clickhouse_spark.streaming import (
+        run_available_now,
+        stream_documents,
+        streaming_corpus_stats,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"t_stream_stats_{id(spark) % 100000}_{_STREAM_RUN_COUNTER[0]}"
+    st = streaming_corpus_stats(
+        stream_documents(spark, f"{sf_dir}/documents.parquet")
+    )
+    run_available_now(st, sink, output_mode="complete")
+    return spark.table(sink)
