@@ -169,3 +169,48 @@ def test_prepared_plan_cache_kill_switch(spark, monkeypatch):
     qs = entry.queries()
     qs["agg_rollup"](spark, "/root/testdata/sf0.001").collect()
     assert not registry._PLAN_CACHE  # nothing memoized when disabled
+
+
+def test_lsh_pipeline_scale_smoke_with_degenerate_slice(spark):
+    """30k docs, 40% of them IDENTICAL boilerplate (the mega-bucket that
+    sinks uncapped LSH at scale): the full signatures -> banding -> capped
+    pair generation -> verify pipeline must complete with pair counts
+    bounded by the cap, never O(n_dup^2) = 7.2e7."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_persisted,
+    )
+
+    n, dup_frac = 30_000, 0.4
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        f"""CASE WHEN id < {int(n * dup_frac)}
+             THEN 'common crawl boilerplate navigation menu footer copyright'
+             ELSE concat_ws(' ', transform(sequence(0, 19),
+                  i -> concat('w', CAST(xxhash64(id, i) % 5000 AS STRING))))
+           END AS text""",
+    )
+    t0 = time.time()
+    sigs = minhash_signatures(docs, num_hashes=16)
+    cand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_bucket_size=20)
+    pairs = jaccard_verify(cand, docs, threshold=0.5)
+    n_cand = cand.count()
+    n_pairs = pairs.count()
+    elapsed = time.time() - t0
+    release_persisted()
+    # cap=20 -> <=C(20,2)=190 pairs per (band,bucket); 4 bands of the one
+    # degenerate bucket plus random-text collisions stay O(hundreds)
+    assert 0 < n_cand <= 4 * 190 + 500
+    assert n_pairs <= n_cand
+    # all verified pairs are within the duplicate slice
+    bad = pairs.where(
+        (F.col("id_a") >= int(n * dup_frac)) | (F.col("id_b") >= int(n * dup_frac))
+    ).count()
+    assert bad == 0
+    assert elapsed < 120, f"scale smoke too slow: {elapsed:.1f}s"
