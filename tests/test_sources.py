@@ -400,3 +400,35 @@ def test_sqlite_datasource_column_pruning(spark, tmp_path):
             .option("columns", "nope")
             .load()
         )
+
+
+def test_malformed_record_modes_jsoneachrow(spark, tmp_path):
+    """The engine contract for dirty input (ClickHouse:
+    input_format_allow_errors_*): file() passes reader options through, so
+    all three Spark malformed-record modes work on JSONEachRow sources."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from mcp_clickhouse_spark.sources.table_functions import file as file_fn
+
+    p = tmp_path / "dirty.json"
+    p.write_text(
+        '{"a": 1, "b": "x"}\n'
+        "THIS IS NOT JSON\n"
+        '{"a": 2, "b": "y"}\n'
+    )
+    # PERMISSIVE (default): bad line becomes a _corrupt_record row
+    perm = file_fn(
+        spark, str(p), "jsoneachrow",
+        schema="a BIGINT, b STRING, _corrupt_record STRING",
+        columnNameOfCorruptRecord="_corrupt_record",
+    )
+    rows = perm.collect()
+    assert len(rows) == 3
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+    # DROPMALFORMED: bad line silently dropped
+    drop = file_fn(spark, str(p), "jsoneachrow", schema="a BIGINT, b STRING", mode="DROPMALFORMED")
+    assert sorted(r["a"] for r in drop.collect()) == [1, 2]
+    # FAILFAST: bad line is an error
+    with _pytest.raises(Exception):
+        file_fn(spark, str(p), "jsoneachrow", schema="a BIGINT, b STRING", mode="FAILFAST").collect()
