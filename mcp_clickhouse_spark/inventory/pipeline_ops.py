@@ -1449,3 +1449,48 @@ def streaming_corpus_stats_q(spark, sf_dir):
     )
     run_available_now(st, sink, output_mode="complete")
     return spark.table(sink)
+
+
+@query(
+    "pipe_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+    ),
+    new AS (
+      SELECT doc_id,
+             md5(CASE WHEN doc_id % 11 = 0 THEN concat(text, ' edited')
+                      ELSE text END) AS h
+      FROM documents WHERE doc_id % 13 <> 0
+    ),
+    diff AS (
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+             CASE WHEN o.h IS NULL THEN 'added'
+                  WHEN n.h IS NULL THEN 'removed'
+                  WHEN o.h <> n.h THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM diff GROUP BY status
+    """,
+    category="pipeline",
+)
+def pipe_snapshot_diff(spark, sf_dir):
+    # Crawl-ledger diff: yesterday's snapshot (doc_id % 7 != 0) vs today's
+    # (1-in-13 docs dropped, 1-in-11 texts edited) -> all four statuses
+    # counts.  Sides reduce to (id, md5) BEFORE the full-outer join, so the
+    # shuffle carries hashes, not text (pipeline/dedup.snapshot_diff).
+    from mcp_clickhouse_spark.pipeline.dedup import snapshot_diff
+
+    d = t(spark, sf_dir, "documents")
+    old = d.where(F.col("doc_id") % 7 != 0)
+    new = d.where(F.col("doc_id") % 13 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" edited"))
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new).groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )

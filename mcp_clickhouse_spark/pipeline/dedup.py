@@ -714,3 +714,36 @@ def with_minhash_signature(
         df.selectExpr(*cols, f"{sparse} AS _sp")
         .selectExpr(*cols, f"{dense} AS {out_col}")
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content diff between two corpus snapshots — the report every
+    recurring crawl ingest produces: which documents were added, removed,
+    changed, or are byte-identical since the last snapshot.
+
+    Returns one row per doc id present in either snapshot:
+    ``(id_col, status)`` with status in added/removed/changed/unchanged.
+
+    Scale shape: each side reduces to (id, md5) BEFORE the full-outer join
+    — the join shuffles 48-byte rows, not document text, and both sides
+    hash-partition on the id.  Pair with ``incremental_dedup`` (which
+    handles CONTENT-level novelty); this is the ID-level ledger.
+    """
+    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_old"))
+    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_new"))
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(
+            id_col,
+            F.when(F.col("_h_old").isNull(), F.lit("added"))
+            .when(F.col("_h_new").isNull(), F.lit("removed"))
+            .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+    )
