@@ -4,7 +4,7 @@ The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  After round 3 every
 oracle-backed query has had a driver row and 111/113 were green.
 
-Round 5 priority, summing to exactly 50: the TWENTY-FOUR brand-new round-5
+Round 5 priority, summing to exactly 50: the TWENTY-FIVE brand-new round-5
 queries (dup-cluster CC, span dedup, vocab OOV, dedup funnel, table
 profiling, LSH eval, epoch shards, repetition filters, incremental dedup,
 PII scrub, topKWeighted, train/val split, unigram log-prob, chunking,
@@ -13,10 +13,10 @@ packing, decontamination, BM25, C4 filters, stratified sample, source mix
 (subquery_scalar — the mean now goes through order-independent bigint-cents
 because the multi-file storage layout unpinned double-sum order) + the 14
 bench-headline canaries (AQE policy + storage-layout rewrite changed their
-execution this round) + 6 of the 11 round-4-new shapes holding a single
-green (q11/q13/q15/q16/q17 rolled to r6 for slot budget) + 5 of the 6 single-green
-r4-only TPC-H (q18 rolled to r6)  (24 + 1 + 14 + 6 + 5 = 50).  Rolled to
-round 6: q11/q13/q15/q16/q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
+execution this round) + 5 of the 11 round-4-new shapes holding a single
+green (q9/q11/q13/q15/q16/q17 rolled to r6 for slot budget) + 5 of the 6 single-green
+r4-only TPC-H (q18 rolled to r6)  (25 + 1 + 14 + 5 + 5 = 50).  Rolled to
+round 6: q9/q11/q13/q15/q16/q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
 setops, scalar_string/json/map, agg_any_first_last/cube/histogram,
 q19, and the q2/q4/q8/q12-adjacent singles).
 """
@@ -38,6 +38,7 @@ PRIORITY: list[str] = [
     "streaming_minhash_pairs",
     "streaming_corpus_stats",
     "pipe_snapshot_diff",
+    "pipe_clean_corpus",
     "pipe_dedup_funnel",
     "pipe_repetition_filters",
     "pipe_dedup_incremental",
@@ -72,7 +73,6 @@ PRIORITY: list[str] = [
     # round-4-new shapes: earn the second green
     "pipe_embed_neardup",
     "q5_local_supplier_volume",
-    "q9_product_profit",
     "q20_part_promotion",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",

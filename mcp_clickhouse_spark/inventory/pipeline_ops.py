@@ -1494,3 +1494,82 @@ def pipe_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new).groupBy("status").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "pipe_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    d2 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
+    sh AS (
+      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
+      FROM d2
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.sh, b.sh))
+            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    cc AS (
+      SELECT src AS node, src AS label FROM edges
+      UNION
+      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node
+    ),
+    labels AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
+    dropped AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id),
+    scored AS (
+      SELECT d2.doc_id, d2.lang, d2.source,
+        len({_SQL_WORDS.replace('text', 'd2.text')}) AS n_tokens,
+        CASE WHEN len({_SQL_WORDS.replace('text', 'd2.text')})
+                  BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+        + CASE WHEN (length(d2.text)
+                     - length(regexp_replace(d2.text, '[^\\w\\s]', '', 'g')))
+                    / CAST(length(d2.text) AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END
+        + CASE WHEN len(list_intersect({_SQL_WORDS.replace('text', 'd2.text')},
+                        ['the','and','of','to','in'])) > 0
+               THEN 0.3 ELSE 0.0 END AS quality
+      FROM d2 LEFT JOIN dropped dr ON d2.doc_id = dr.doc_id
+      WHERE dr.doc_id IS NULL
+    )
+    SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+    FROM scored WHERE quality >= 0.7 AND n_tokens >= 20
+    """,
+    category="pipeline",
+)
+def pipe_clean_corpus(spark, sf_dir):
+    # The DELIVERABLE of the whole dedup/quality stack: the surviving
+    # corpus rows after exact dedup -> near-dup CC cluster removal ->
+    # quality/length gates — what actually gets written as training data.
+    # pipe_dedup_funnel reports the per-stage counts; this materializes
+    # the rows, every stage oracle-checked.
+    from mcp_clickhouse_spark.pipeline.clustering import connected_components
+    from mcp_clickhouse_spark.pipeline.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    d2 = d.join(exact_dedup(d).select("doc_id"), "doc_id")
+    pairs = jaccard_verify(
+        _blocked_ngram_candidates(d2), d2, threshold=0.1, precompute_sets=True
+    ).select("id_a", "id_b")
+    dropped = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return (
+        d2.join(dropped, "doc_id", "left_anti")
+        .withColumn("quality", quality_score_col("text"))
+        .withColumn(
+            "n_tokens", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        )
+        .where((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
+        .select("doc_id", "lang", "source", F.col("n_tokens").cast("long"))
+    )
