@@ -6,10 +6,11 @@ oracle-backed query has had a driver row and 111/113 were green.
 
 Round 5 priority, summing to exactly 50: the TWENTY-FIVE brand-new round-5
 queries (dup-cluster CC, span dedup, vocab OOV, dedup funnel, table
-profiling, LSH eval, epoch shards, repetition filters, incremental dedup,
-PII scrub, topKWeighted, train/val split, unigram log-prob, chunking,
-packing, decontamination, BM25, C4 filters, stratified sample, source mix
-— never driver-checked) + the one query whose ORACLE changed this round
+profiling, LSH eval, epoch shards, compression ratio, streaming minhash
+pairs, streaming corpus stats, snapshot diff, clean corpus, repetition
+filters, incremental dedup, PII scrub, topKWeighted, train/val split,
+unigram log-prob, chunking, packing, decontamination, BM25, C4 filters,
+stratified sample, source mix — never driver-checked) + the one query whose ORACLE changed this round
 (subquery_scalar — the mean now goes through order-independent bigint-cents
 because the multi-file storage layout unpinned double-sum order) + the 14
 bench-headline canaries (AQE policy + storage-layout rewrite changed their
@@ -83,8 +84,8 @@ PRIORITY: list[str] = [
     "q10_returned_items",
     "q14_promo_revenue",
 ]
-# (agg_any_first_last and q19_discounted_revenue refresh slots rolled to
-# round 6 to make room for the two late-round-5 queries above.)
+# (agg_any_first_last/q19 and the other rolled slots are accounted in the
+# docstring's round-6 carry-over list.)
 
 
 def apply_priority() -> None:

@@ -1191,10 +1191,14 @@ def pipe_vocab_oov(spark, sf_dir):
     return vocab_oov(t(spark, sf_dir, "documents"))
 
 
-@query(
-    "pipe_dedup_funnel",
-    oracle=f"""
-    WITH RECURSIVE keepers AS (
+
+
+# Shared dedup-survivor pipeline (exact keepers -> blocked-Jaccard pairs over
+# survivors -> recursive-CTE components -> dropped non-canonicals) — ONE
+# definition used by both pipe_dedup_funnel and pipe_clean_corpus so the two
+# "every stage oracle-checked" queries can never disagree about survival.
+_SQL_DEDUP_SURVIVORS = f"""
+    keepers AS (
       SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
     ),
     d2 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
@@ -1221,6 +1225,33 @@ def pipe_vocab_oov(spark, sf_dir):
     ),
     labels AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
     dropped AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id)
+"""
+
+
+def _dedup_survivor_parts(spark, sf_dir):
+    """(all_docs, exact_keeper_flagged_docs d2, near-dup dropped ids) — the
+    Spark twin of _SQL_DEDUP_SURVIVORS, shared by funnel and clean-corpus."""
+    from mcp_clickhouse_spark.pipeline.clustering import connected_components
+    from mcp_clickhouse_spark.pipeline.dedup import exact_dedup
+
+    d = t(spark, sf_dir, "documents")
+    keep_exact = exact_dedup(d).select("doc_id")
+    d2 = d.join(keep_exact, "doc_id")
+    pairs = jaccard_verify(
+        _blocked_ngram_candidates(d2), d2, threshold=0.1, precompute_sets=True
+    ).select("id_a", "id_b")
+    dropped = (
+        connected_components(pairs)
+        .where(F.col("node") != F.col("cluster_id"))
+        .select(F.col("node").alias("doc_id"))
+    )
+    return d, d2, dropped
+
+
+@query(
+    "pipe_dedup_funnel",
+    oracle=f"""
+    WITH RECURSIVE {_SQL_DEDUP_SURVIVORS}
     SELECT d.source,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -1240,24 +1271,15 @@ def pipe_dedup_funnel(spark, sf_dir):
     # large-star/small-star components) over the exact survivors, reported
     # as per-source survivor counts at each stage — the shape of every
     # training-data dedup report.  Both stages oracle-checked end-to-end
-    # (the clustering via DuckDB's recursive CTE).
-    from mcp_clickhouse_spark.pipeline.clustering import connected_components
-    from mcp_clickhouse_spark.pipeline.dedup import exact_dedup
-
-    d = t(spark, sf_dir, "documents")
-    keep_exact = exact_dedup(d).select("doc_id", F.lit(True).alias("_kept"))
-    d2 = d.join(keep_exact.select("doc_id"), "doc_id")
-    cand = _blocked_ngram_candidates(d2)
-    pairs = jaccard_verify(cand, d2, threshold=0.1, precompute_sets=True).select("id_a", "id_b")
-    dropped = (
-        connected_components(pairs)
-        .where(F.col("node") != F.col("cluster_id"))
-        .select(F.col("node").alias("doc_id"), F.lit(True).alias("_dropped"))
-    )
+    # (the clustering via DuckDB's recursive CTE); the survivor pipeline is
+    # the SHARED _dedup_survivor_parts, so this and pipe_clean_corpus can
+    # never disagree.
+    d, d2, dropped = _dedup_survivor_parts(spark, sf_dir)
+    keep_exact = d2.select("doc_id", F.lit(True).alias("_kept"))
     flags = (
         d.select("doc_id", "source")
         .join(keep_exact, "doc_id", "left")
-        .join(dropped, "doc_id", "left")
+        .join(dropped.withColumn("_dropped", F.lit(True)), "doc_id", "left")
     )
     return flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -1465,10 +1487,10 @@ def streaming_corpus_stats_q(spark, sf_dir):
     ),
     diff AS (
       SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-             CASE WHEN o.h IS NULL THEN 'added'
-                  WHEN n.h IS NULL THEN 'removed'
-                  WHEN o.h <> n.h THEN 'changed'
-                  ELSE 'unchanged' END AS status
+             CASE WHEN o.doc_id IS NULL THEN 'added'
+                  WHEN n.doc_id IS NULL THEN 'removed'
+                  WHEN o.h IS NOT DISTINCT FROM n.h THEN 'unchanged'
+                  ELSE 'changed' END AS status
       FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
     )
     SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
@@ -1499,33 +1521,7 @@ def pipe_snapshot_diff(spark, sf_dir):
 @query(
     "pipe_clean_corpus",
     oracle=f"""
-    WITH RECURSIVE keepers AS (
-      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
-    ),
-    d2 AS (SELECT d.* FROM documents d JOIN keepers USING (doc_id)),
-    sh AS (
-      SELECT doc_id, lang, n_chars // 100 AS bucket, {_SQL_SHINGLES} AS sh
-      FROM d2
-    ),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      FROM sh a JOIN sh b
-        ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id
-      WHERE len(list_intersect(a.sh, b.sh))
-            / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= 0.1
-    ),
-    edges AS (
-      SELECT id_a AS src, id_b AS dst FROM pairs
-      UNION
-      SELECT id_b, id_a FROM pairs
-    ),
-    cc AS (
-      SELECT src AS node, src AS label FROM edges
-      UNION
-      SELECT e.dst, c.label FROM cc c JOIN edges e ON e.src = c.node
-    ),
-    labels AS (SELECT node, MIN(label) AS cluster_id FROM cc GROUP BY node),
-    dropped AS (SELECT node AS doc_id FROM labels WHERE node <> cluster_id),
+    WITH RECURSIVE {_SQL_DEDUP_SURVIVORS},
     scored AS (
       SELECT d2.doc_id, d2.lang, d2.source,
         len({_SQL_WORDS.replace('text', 'd2.text')}) AS n_tokens,
@@ -1549,21 +1545,9 @@ def pipe_clean_corpus(spark, sf_dir):
     # The DELIVERABLE of the whole dedup/quality stack: the surviving
     # corpus rows after exact dedup -> near-dup CC cluster removal ->
     # quality/length gates — what actually gets written as training data.
-    # pipe_dedup_funnel reports the per-stage counts; this materializes
-    # the rows, every stage oracle-checked.
-    from mcp_clickhouse_spark.pipeline.clustering import connected_components
-    from mcp_clickhouse_spark.pipeline.dedup import exact_dedup
-
-    d = t(spark, sf_dir, "documents")
-    d2 = d.join(exact_dedup(d).select("doc_id"), "doc_id")
-    pairs = jaccard_verify(
-        _blocked_ngram_candidates(d2), d2, threshold=0.1, precompute_sets=True
-    ).select("id_a", "id_b")
-    dropped = (
-        connected_components(pairs)
-        .where(F.col("node") != F.col("cluster_id"))
-        .select(F.col("node").alias("doc_id"))
-    )
+    # pipe_dedup_funnel reports the per-stage counts over the SAME shared
+    # survivor pipeline (_dedup_survivor_parts); this materializes the rows.
+    _, d2, dropped = _dedup_survivor_parts(spark, sf_dir)
     return (
         d2.join(dropped, "doc_id", "left_anti")
         .withColumn("quality", quality_score_col("text"))
@@ -1573,3 +1557,5 @@ def pipe_clean_corpus(spark, sf_dir):
         .where((F.col("quality") >= 0.7) & (F.col("n_tokens") >= 20))
         .select("doc_id", "lang", "source", F.col("n_tokens").cast("long"))
     )
+
+

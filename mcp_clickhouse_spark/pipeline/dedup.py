@@ -734,16 +734,28 @@ def snapshot_diff(
     hash-partition on the id.  Pair with ``incremental_dedup`` (which
     handles CONTENT-level novelty); this is the ID-level ledger.
     """
-    o = old.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_old"))
-    n = new.select(F.col(id_col), F.md5(F.col(text_col)).alias("_h_new"))
+    # presence is tracked with literal flags, NOT hash nullability — a doc
+    # whose TEXT is NULL in one snapshot still exists there (review finding)
+    o = old.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_h_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("_h_new"),
+        F.lit(True).alias("_in_new"),
+    )
     return (
         o.join(n, id_col, "full_outer")
         .select(
             id_col,
-            F.when(F.col("_h_old").isNull(), F.lit("added"))
-            .when(F.col("_h_new").isNull(), F.lit("removed"))
-            .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
+            F.when(F.col("_in_old").isNull(), F.lit("added"))
+            .when(F.col("_in_new").isNull(), F.lit("removed"))
+            .when(
+                F.col("_h_old").eqNullSafe(F.col("_h_new")), F.lit("unchanged")
+            )
+            .otherwise(F.lit("changed"))
             .alias("status"),
         )
     )

@@ -81,8 +81,15 @@ def _read(spark: SparkSession, path: str, fmt: str | None, **options: Any) -> Da
         from mcp_clickhouse_spark.sources.avro_lite import read_avro
 
         return read_avro(spark, path)
+    # schema= is a reader-API call, not an option — folded into .options()
+    # it is silently ignored and the user's pinned types are lost to
+    # inference (review finding)
+    schema = options.pop("schema", None)
     opts = {**default_opts, **{k: str(v) for k, v in options.items()}}
-    return spark.read.format(spark_fmt).options(**opts).load(path)
+    reader = spark.read.format(spark_fmt).options(**opts)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
 
 
 def file(spark: SparkSession, path: str, fmt: str | None = None, **options: Any) -> DataFrame:

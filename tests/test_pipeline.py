@@ -916,3 +916,18 @@ def test_priority_is_50_registered_names(spark):
     # the driver checks the FIRST 50 registered names — they must BE the
     # priority list, in order
     assert list(qs)[:50] == PRIORITY
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x"), (3, "same")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "now set"), (2, None), (3, "same"), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
+    # NULL text in one side is a CHANGE, not an add/remove
+    assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "added"}

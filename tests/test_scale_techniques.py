@@ -176,8 +176,6 @@ def test_lsh_pipeline_scale_smoke_with_degenerate_slice(spark):
     sinks uncapped LSH at scale): the full signatures -> banding -> capped
     pair generation -> verify pipeline must complete with pair counts
     bounded by the cap, never O(n_dup^2) = 7.2e7."""
-    import time
-
     from pyspark.sql import functions as F
 
     from mcp_clickhouse_spark.pipeline.dedup import (
@@ -196,13 +194,11 @@ def test_lsh_pipeline_scale_smoke_with_degenerate_slice(spark):
                   i -> concat('w', CAST(xxhash64(id, i) % 5000 AS STRING))))
            END AS text""",
     )
-    t0 = time.time()
     sigs = minhash_signatures(docs, num_hashes=16)
     cand = minhash_lsh_candidates(sigs, bands=4, rows_per_band=4, max_bucket_size=20)
     pairs = jaccard_verify(cand, docs, threshold=0.5)
     n_cand = cand.count()
     n_pairs = pairs.count()
-    elapsed = time.time() - t0
     release_persisted()
     # cap=20 -> <=C(20,2)=190 pairs per (band,bucket); 4 bands of the one
     # degenerate bucket plus random-text collisions stay O(hundreds)
@@ -213,4 +209,3 @@ def test_lsh_pipeline_scale_smoke_with_degenerate_slice(spark):
         (F.col("id_a") >= int(n * dup_frac)) | (F.col("id_b") >= int(n * dup_frac))
     ).count()
     assert bad == 0
-    assert elapsed < 120, f"scale smoke too slow: {elapsed:.1f}s"

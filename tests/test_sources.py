@@ -407,7 +407,6 @@ def test_malformed_record_modes_jsoneachrow(spark, tmp_path):
     input_format_allow_errors_*): file() passes reader options through, so
     all three Spark malformed-record modes work on JSONEachRow sources."""
     import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
 
     from mcp_clickhouse_spark.sources.table_functions import file as file_fn
 
