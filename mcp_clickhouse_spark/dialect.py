@@ -421,6 +421,31 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # date-part names: CH dateName(part, d); monthName(d)
     "datename": lambda a: _date_name(a),
     "monthname": lambda a: f"date_format({a[0]}, 'MMMM')",
+    # URL family (web-crawl pipelines): parse_url-based; deltas from CH are
+    # handled explicitly (form-encoding '+' vs %20, fragment retention)
+    "topleveldomain": lambda a: (
+        f"element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), -1)"
+    ),
+    "pathfull": lambda a: (
+        f"concat(parse_url({a[0]}, 'PATH'),"
+        f" CASE WHEN parse_url({a[0]}, 'QUERY') IS NOT NULL"
+        f" THEN concat('?', parse_url({a[0]}, 'QUERY')) ELSE '' END)"
+    ),
+    "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
+    "extracturlparameter": lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    "domainwithoutwww": lambda a: (
+        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+    ),
+    # removes '?query' but keeps any '#fragment' (the CH contract)
+    "cutquerystring": lambda a: f"regexp_replace({a[0]}, '\\\\?[^#]*', '')",
+    "cutquerystringandfragment": lambda a: (
+        f"regexp_replace({a[0]}, '[?#].*', '')"
+    ),
+    # CH percent-encodes spaces as %20 (not form '+'); invert on decode
+    "encodeurlcomponent": lambda a: f"replace(url_encode({a[0]}), '+', '%20')",
+    "decodeurlcomponent": lambda a: (
+        f"url_decode(replace({a[0]}, '+', '%2B'))"
+    ),
     # timeSlot: floor to the half-hour (CH contract)
     "timeslot": lambda a: (
         f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP))"

@@ -710,3 +710,25 @@ def test_datename_guided_errors():
         translate("SELECT dateName('millisecond', d) FROM t")
     with _pytest.raises(ValueError, match="dateName"):
         translate("SELECT dateName('month', d, 'UTC') FROM t")
+
+
+def test_url_function_family(spark):
+    row = one(
+        spark,
+        """
+        SELECT topLevelDomain('https://docs.example.co.uk/a?x=1#f') AS tld,
+               pathFull('https://e.com/a/b?x=1') AS pf,
+               fragment('https://e.com/a#frag') AS fr,
+               extractURLParameter('https://e.com/a?x=1&y=2', 'y') AS yp,
+               domainWithoutWWW('https://www.example.com/a') AS dw,
+               cutQueryString('https://e.com/a?x=1#f') AS cq,
+               cutQueryStringAndFragment('https://e.com/a?x=1#f') AS cqf,
+               encodeURLComponent('a b&c') AS enc,
+               decodeURLComponent('a%20b+c') AS dec
+        """,
+    )
+    assert row[0] == "uk" and row[1] == "/a/b?x=1" and row[2] == "frag"
+    assert row[3] == "2" and row[4] == "example.com"
+    assert row[5] == "https://e.com/a#f" and row[6] == "https://e.com/a"
+    # CH contract: %20 for spaces (not form '+'); '+' survives decode
+    assert row[7] == "a%20b%26c" and row[8] == "a b+c"
