@@ -469,6 +469,52 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
     "hassubstr": lambda a: f"contains({a[0]}, {a[1]})",
+    # map higher-order family (CH puts the lambda FIRST; Spark second)
+    "mapfilter": lambda a: f"map_filter({a[1]}, {a[0]})",
+    # mapUpdate: m2 wins on key conflict, independent of mapKeyDedupPolicy
+    "mapupdate": lambda a: (
+        f"map_concat(map_filter({a[0]},"
+        f" (k, v) -> NOT map_contains_key({a[1]}, k)), {a[1]})"
+    ),
+    "mapcontainskeylike": lambda a: (
+        f"exists(map_keys({a[0]}), k -> k LIKE {a[1]})"
+    ),
+    # JSON introspection
+    "jsonlength": lambda a: (
+        f"coalesce(json_array_length({a[0]}),"
+        f" size(json_object_keys({a[0]})))"
+    ),
+    "jsonextractkeys": lambda a: f"json_object_keys({a[0]})",
+    "tojsonstring": lambda a: f"to_json({a[0]})",
+    # IPv4 (numeric <-> dotted-quad; the NumToString twin already exists)
+    "ipv4stringtonum": lambda a: (
+        f"aggregate(transform(split({a[0]}, '\\\\.'),"
+        f" x -> CAST(x AS BIGINT)), CAST(0 AS BIGINT),"
+        f" (acc, x) -> acc * 256 + x)"
+    ),
+    "isipv4string": lambda a: (
+        f"({a[0]} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
+        + "{3}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$')"
+    ),
+    # bit probes
+    # shiftright() rather than the >> operator: Spark's parser rejects >>
+    # when a bracket subscript (m['k']) appears earlier in the select list
+    "bittest": lambda a: f"CAST(shiftright({a[0]}, {a[1]}) & 1 AS INT)",
+    "bittestall": lambda a: (
+        "(" + " AND ".join(f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]) + ")"
+    ),
+    "bittestany": lambda a: (
+        "(" + " OR ".join(f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]) + ")"
+    ),
+    # CH value-mapping transform(x, from[], to[][, default]) — Spark's
+    # transform is the 2-arg array lambda, so only the no-lambda 3/4-arg
+    # forms rewrite; unmatched keys fall back to default (4-arg) or x (3-arg)
+    "transform": lambda a: (
+        f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), {a[0]}),"
+        f" {a[3] if len(a) == 4 else a[0]})"
+        if len(a) in (3, 4) and "->" not in a[1]
+        else f"transform({', '.join(a)})"
+    ),
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
     # bit operations (CH function forms → Spark operators/builtins)

@@ -732,3 +732,37 @@ def test_url_function_family(spark):
     assert row[5] == "https://e.com/a#f" and row[6] == "https://e.com/a"
     # CH contract: %20 for spaces (not form '+'); '+' survives decode
     assert row[7] == "a%20b%26c" and row[8] == "a b+c"
+
+
+def test_map_json_ip_bit_families(spark):
+    row = one(
+        spark,
+        """
+        SELECT
+          mapUpdate(map('a', 1, 'b', 2), map('b', 9, 'c', 3))['b'] AS mu_b,
+          mapContainsKeyLike(map('abc', 1), 'ab%') AS mk,
+          JSONLength('[1,2,3]') AS jl_arr,
+          JSONLength('{"a":1,"b":2}') AS jl_obj,
+          toJSONString(map('a', 1)) AS tj,
+          IPv4StringToNum('1.2.3.4') AS ipn,
+          IPv4NumToString(16909060) AS ips,
+          isIPv4String('10.0.0.256') AS bad_ip,
+          isIPv4String('10.0.0.25') AS good_ip,
+          bitTest(5, 2) AS bt,
+          bitTestAll(7, 0, 1, 2) AS bta,
+          bitTestAny(4, 0, 2) AS btany,
+          transform(2, [1,2], ['a','b'], 'z') AS tr4,
+          transform(9, [1,2], [10,20]) AS tr3
+        """,
+    )
+    assert row[0] == 9 and row[1] is True
+    assert row[2] == 3 and row[3] == 2 and row[4] == '{"a":1}'
+    assert row[5] == 16909060 and row[6] == "1.2.3.4"
+    assert row[7] is False and row[8] is True
+    assert row[9] == 1 and row[10] is True and row[11] is True
+    assert row[12] == "b" and row[13] == 9
+
+
+def test_map_filter_lambda_first(spark):
+    row = one(spark, "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS m")
+    assert dict(row[0]) == {"b": 2}
