@@ -749,6 +749,29 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",
+    # behavioral parametric aggregates: real implementations exist as
+    # DataFrame operators; SQL-text forms raise a guided pointer rather
+    # than an unresolved-function error (faithful-or-error)
+    "windowfunnel": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "windowfunnel()() cannot be expressed as one Spark SQL expression — use "
+        "mcp_clickhouse_spark.operators.funnel.window_funnel (DataFrame API), which "
+        "implements the same semantics"
+    )),
+    "retention": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "retention()() cannot be expressed as one Spark SQL expression — use "
+        "mcp_clickhouse_spark.operators.funnel.retention (DataFrame API), which "
+        "implements the same semantics"
+    )),
+    "sequencematch": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "sequencematch()() cannot be expressed as one Spark SQL expression — use "
+        "mcp_clickhouse_spark.operators.funnel.sequence_match (DataFrame API), which "
+        "implements the same semantics"
+    )),
+    "sequencecount": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "sequencecount()() cannot be expressed as one Spark SQL expression — use "
+        "mcp_clickhouse_spark.operators.funnel.sequence_match (DataFrame API), which "
+        "implements the same semantics"
+    )),
 }
 
 
@@ -1297,6 +1320,12 @@ def translate(sql: str) -> str:
                 out.append(TEMPLATES[lname](args))
             elif lname in NAME_MAP:
                 out.append(f"{NAME_MAP[lname]}({', '.join(args)})")
+            elif lname in PARAMETRIC:
+                # plain (non-parametric) call of a parametric aggregate:
+                # CH defaults the level to the median (quantile(x) ==
+                # quantile(0.5)(x)).  Previously this branch emitted
+                # NOTHING — the call was silently swallowed.
+                out.append(PARAMETRIC[lname](["0.5"], args))
             i = close
             continue
         # CAST type names: `AS UInt32` inside CAST(...) and `::UInt32`

@@ -766,3 +766,22 @@ def test_map_json_ip_bit_families(spark):
 def test_map_filter_lambda_first(spark):
     row = one(spark, "SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS m")
     assert dict(row[0]) == {"b": 2}
+
+
+def test_plain_form_parametric_aggregates(spark):
+    # CH quantile(x) without a level == the median; previously the rewriter
+    # silently swallowed any plain-form parametric call to empty output
+    row = one(spark, "SELECT quantile(o_totalprice) AS med FROM orders")
+    assert row[0] > 0
+
+
+def test_behavioral_parametric_raise_guided_errors():
+    import pytest as _pytest
+
+    for q in (
+        "SELECT windowFunnel(3600)(ts, a, b) FROM t",
+        "SELECT retention(c1, c2) FROM t",
+        "SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t",
+    ):
+        with _pytest.raises(ValueError, match="operators"):
+            translate(q)
