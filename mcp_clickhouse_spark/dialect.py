@@ -469,6 +469,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
     "hassubstr": lambda a: f"contains({a[0]}, {a[1]})",
+    # weighted/statistical aggregates
+    "avgweighted": lambda a: (
+        f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+    ),
+    "sumcount": lambda a: f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))",
+    "skewpop": lambda a: f"skewness({a[0]})",
+    # Spark's kurtosis is EXCESS kurtosis (m4/m2^2 - 3); CH kurtPop is raw
+    "kurtpop": lambda a: f"(kurtosis({a[0]}) + 3)",
     # map higher-order family (CH puts the lambda FIRST; Spark second)
     "mapfilter": lambda a: f"map_filter({a[1]}, {a[0]})",
     # mapUpdate: m2 wins on key conflict, independent of mapKeyDedupPolicy
@@ -749,6 +757,23 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",
+    # groupArray(n)(x): cap the collected list at n elements.  Without this
+    # entry the parametric form name-mapped to invalid `collect_list(5)(x)`.
+    "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "topk": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "topK()() cannot be expressed as one Spark SQL expression — use "
+        "mcp_clickhouse_spark.operators.topk (DataFrame API); the agg_topk "
+        "inventory query shows the per-group window formulation"
+    )),
+    "topkweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "topKWeighted()() cannot be expressed as one Spark SQL expression — "
+        "use mcp_clickhouse_spark.operators.topk (weighted mode)"
+    )),
+    "histogram": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "histogram()() cannot be expressed as one Spark SQL expression — "
+        "the agg_histogram inventory query shows the width_bucket + groupBy "
+        "formulation"
+    )),
     # behavioral parametric aggregates: real implementations exist as
     # DataFrame operators; SQL-text forms raise a guided pointer rather
     # than an unresolved-function error (faithful-or-error)

@@ -785,3 +785,27 @@ def test_behavioral_parametric_raise_guided_errors():
     ):
         with _pytest.raises(ValueError, match="operators"):
             translate(q)
+
+
+def test_weighted_and_moment_aggregates(spark):
+    row = one(
+        spark,
+        """
+        SELECT groupArray(2)(x) AS ga, avgWeighted(x, w) AS aw,
+               skewPop(x) AS sk, kurtPop(x) AS ku
+        FROM (SELECT 1 AS x, 1 AS w UNION ALL SELECT 2, 3 UNION ALL SELECT 5, 1)
+        """,
+    )
+    assert row[0] == [1, 2]
+    assert abs(row[1] - 2.4) < 1e-12
+    # population kurtosis of [1,2,5] is exactly 1.5 (m4/m2^2, non-excess)
+    assert abs(row[3] - 1.5) < 1e-9
+
+
+def test_topk_histogram_parametric_guided():
+    import pytest as _pytest
+
+    for q in ("SELECT topK(5)(x) FROM t", "SELECT histogram(3)(x) FROM t",
+              "SELECT topKWeighted(5)(x, w) FROM t"):
+        with _pytest.raises(ValueError, match="cannot be expressed"):
+            translate(q)
