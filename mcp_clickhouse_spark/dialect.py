@@ -215,6 +215,8 @@ def _date_name(args: list[str]) -> str:
 
 def _multi_if(args: list[str]) -> str:
     # multiIf(c1, v1, c2, v2, …, else)
+    if len(args) < 3:
+        raise DialectError(f"multiIf needs cond/value pairs plus an else ({len(args)} args given)")
     parts = ["CASE"]
     i = 0
     while i + 1 < len(args):
@@ -246,7 +248,7 @@ def _to_start_of_interval(args: list[str]) -> str:
 
     m = _re.match(r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+?)S?\s*$", args[1])
     if not m or m.group(2).upper() not in _INTERVAL_SECONDS:
-        raise ValueError(
+        raise DialectError(
             f"toStartOfInterval: untranslatable interval {args[1]!r} "
             "(fixed-length units only: SECOND/MINUTE/HOUR/DAY)"
         )
@@ -344,8 +346,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "touint64": lambda a: f"CAST({a[0]} AS DECIMAL(20,0))",
     "tofloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
     "tofloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
-    "todecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9,{a[1]}))",
-    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18,{a[1]}))",
+    # the scale must be an integer LITERAL — DECIMAL(9, y) is not SQL
+    "todecimal32": lambda a: f"CAST({a[0]} AS DECIMAL(9,{int(a[1])}))",
+    "todecimal64": lambda a: f"CAST({a[0]} AS DECIMAL(18,{int(a[1])}))",
     "tostartofday": lambda a: f"date_trunc('DAY', {a[0]})",
     "tostartofhour": lambda a: f"date_trunc('HOUR', {a[0]})",
     "tostartofminute": lambda a: f"date_trunc('MINUTE', {a[0]})",
@@ -510,9 +513,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "bittest": lambda a: f"CAST(shiftright({a[0]}, {a[1]}) & 1 AS INT)",
     "bittestall": lambda a: (
         "(" + " AND ".join(f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]) + ")"
+        if len(a) >= 2 else a[999]  # -> arity guard
     ),
     "bittestany": lambda a: (
         "(" + " OR ".join(f"(shiftright({a[0]}, {b}) & 1) = 1" for b in a[1:]) + ")"
+        if len(a) >= 2 else a[999]  # -> arity guard
     ),
     # CH value-mapping transform(x, from[], to[][, default]) — Spark's
     # transform is the 2-arg array lambda, so only the no-lambda 3/4-arg
@@ -1335,14 +1340,28 @@ def translate(sql: str) -> str:
             k2 = close
             while k2 < n and sql[k2] in " \t\n":
                 k2 += 1
+            def _apply(fn, *fa):
+                # templates index into their argument lists; a wrong-arity
+                # user call must surface as a guided DialectError, not a
+                # raw IndexError from inside the lambda (fuzz finding)
+                try:
+                    return fn(*fa)
+                except DialectError:
+                    raise
+                except (IndexError, KeyError, TypeError, ValueError):
+                    raise DialectError(
+                        f"{name}: wrong number or form of arguments "
+                        f"({len(args)} given)"
+                    ) from None
+
             if lname in PARAMETRIC and k2 < n and sql[k2] == "(":
                 close2 = _find_balanced(sql, k2)
                 inner2 = translate(sql[k2 + 1 : close2 - 1])
-                out.append(PARAMETRIC[lname](args, _split_args(inner2)))
+                out.append(_apply(PARAMETRIC[lname], args, _split_args(inner2)))
                 i = close2
                 continue
             if lname in TEMPLATES:
-                out.append(TEMPLATES[lname](args))
+                out.append(_apply(TEMPLATES[lname], args))
             elif lname in NAME_MAP:
                 out.append(f"{NAME_MAP[lname]}({', '.join(args)})")
             elif lname in PARAMETRIC:
@@ -1350,7 +1369,7 @@ def translate(sql: str) -> str:
                 # CH defaults the level to the median (quantile(x) ==
                 # quantile(0.5)(x)).  Previously this branch emitted
                 # NOTHING — the call was silently swallowed.
-                out.append(PARAMETRIC[lname](["0.5"], args))
+                out.append(_apply(PARAMETRIC[lname], ["0.5"], args))
             i = close
             continue
         # CAST type names: `AS UInt32` inside CAST(...) and `::UInt32`

@@ -98,3 +98,56 @@ def nation_view(spark, sf_dir):
 def test_plain_sql_untouched(cols):
     sql = f"SELECT {', '.join(cols)} FROM nation WHERE n_nationkey > 3"
     assert translate(sql) == sql
+
+
+def test_every_mapped_name_never_swallowed_or_mangled(spark):
+    """Exhaustive arity fuzz over EVERY dialect-mapped function name: for
+    any argument count, translation must either produce SQL that PARSES or
+    raise a guided ValueError — never silently swallow the call (the
+    plain-form quantile bug), emit unparseable SQL (the groupArray(n)(x)
+    bug), or leak a raw IndexError."""
+    from mcp_clickhouse_spark.dialect import (
+        NAME_MAP,
+        PARAMETRIC,
+        TEMPLATES,
+        translate,
+    )
+
+    parser = spark._jsparkSession.sessionState().sqlParser()
+
+    def parses(sql: str) -> bool:
+        try:
+            parser.parsePlan(sql)
+            return True
+        except Exception:
+            return False
+
+    argsets = [["x"], ["x", "'a'"], ["x", "1"], ["x", "y"], ["x", "y", "z"],
+               ["x", "1", "2"], ["x", "y", "z", "w"]]
+    bad = []
+    for fname in sorted(set(NAME_MAP) | set(TEMPLATES) | set(PARAMETRIC)):
+        for args in argsets:
+            q = f"SELECT {fname}({', '.join(args)}) FROM t"
+            try:
+                out = translate(q)
+            except ValueError:
+                continue  # guided error: acceptable
+            except Exception as e:  # noqa: BLE001
+                bad.append((fname, args, f"raw {type(e).__name__}"))
+                continue
+            if "SELECT  FROM" in out:
+                bad.append((fname, args, "swallowed"))
+            elif not parses(out):
+                bad.append((fname, args, "unparseable: " + out[:60]))
+        # parametric double-call form
+        try:
+            out = translate(f"SELECT {fname}(0.5)(x, y) FROM t")
+            if "SELECT  FROM" in out:
+                bad.append((fname, "param", "swallowed"))
+            elif fname.lower() in PARAMETRIC and not parses(out):
+                bad.append((fname, "param", "unparseable"))
+        except ValueError:
+            pass
+        except Exception as e:  # noqa: BLE001
+            bad.append((fname, "param", f"raw {type(e).__name__}"))
+    assert not bad, bad[:10]
