@@ -13,6 +13,7 @@ Usage: python scripts/check_parity.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 import time
 from datetime import date, datetime
@@ -109,7 +110,20 @@ def main():
     import __spark_entry__ as entrymod
     from mcp_clickhouse_spark.session import TESTDATA_TABLES, get_spark
 
-    spark = get_spark(app_name="check-parity")
+    if os.environ.get("CHECK_PARITY_PLAIN"):
+        # driver-simulation mode: a session the REAL driver would build —
+        # non-UTC timezone, none of our session.py configs.  _prep must
+        # normalize everything at call time for this sweep to pass.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[8]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .appName("check-parity-plain")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark(app_name="check-parity")
     con = duckdb.connect()
     for name in TESTDATA_TABLES:
         con.execute(
