@@ -497,3 +497,54 @@ def test_streaming_corpus_stats_matches_batch(spark, sf_dir):
             for r in streaming_corpus_stats(
                 spark.read.parquet(f"{sf_dir}/documents.parquet")).collect()}
     assert got == want and len(got) > 1
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """True late-data semantics via two checkpointed availableNow runs: an
+    event older than (max event time seen - watermark delay) arriving in a
+    LATER run is dropped from append-mode windowed aggregation."""
+    import datetime as dt
+    import glob
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    from mcp_clickhouse_spark.streaming.ops import _events_schema, tumbling_counts
+
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    d = tmp_path / "ev"
+    os.makedirs(d)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drop_file(i, rows):
+        tmp = tmp_path / f"w{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(tmp))
+        shutil.copy(glob.glob(str(tmp / "*.parquet"))[0], d / f"events-{i}.parquet")
+
+    def drain():
+        reader = spark.readStream.schema(_events_schema(TimestampNTZType())).parquet(str(d))
+        events = reader.withColumn("ts", F.col("ts").cast("timestamp"))
+        st = tumbling_counts(events, width="1 hour", watermark="2 hours")
+        q = (st.writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    # run 1: events at 10:00 and 14:00 -> watermark commits to 12:00
+    drop_file(0, [(1, T(10), 1, "a", 1.0, ""), (2, T(14), 1, "a", 1.0, "")])
+    drain()
+    # run 2: 09:00 is LATE (< 12:00 watermark, dropped); 13:00 is kept
+    drop_file(1, [(3, T(9), 1, "a", 1.0, ""), (4, T(13), 1, "a", 1.0, "")])
+    drain()
+    got = {r.w_start.hour: r.n_events for r in spark.read.parquet(out).collect()}
+    # windows closed by the 12:00 watermark emitted exactly once: 10:00 with
+    # its single event; the late 09:00 window must NEVER appear; 13:00/14:00
+    # stay open in append mode
+    assert got.get(10) == 1
+    assert 9 not in got
+    assert 13 not in got and 14 not in got
