@@ -1292,6 +1292,89 @@ def _rewrite_table_clauses(sql: str) -> str:
     return sql
 
 
+def _rewrite_limit_offset(sql: str) -> str:
+    """ClickHouse/MySQL `LIMIT offset, n` → ANSI `LIMIT n OFFSET offset`.
+
+    Matches only at paren depth 0 outside string literals; `LIMIT n BY
+    cols` was already rewritten away before this runs."""
+    depth0 = {i for i, _ in _depth0_spans(sql)}
+    return re.sub(
+        r"(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        lambda m: (
+            f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
+            if m.start() in depth0
+            else m.group(0)
+        ),
+        sql,
+    )
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse scalar-alias WITH: `WITH <expr> AS <ident>, ... SELECT`
+    binds <ident> as a macro for <expr> in the query body (NOT a CTE).
+
+    Items whose body is a parenthesized subquery (`ident AS (SELECT …)`)
+    are real CTEs and are left alone; scalar items are substituted
+    textually (word-boundary, outside string literals) and removed from
+    the WITH list — exactly the macro semantics ClickHouse documents.
+    """
+    m = re.match(r"(?is)^(\s*)WITH\s+", sql)
+    if not m:
+        return sql
+    i = m.end()
+    items = []  # (expr, ident) or None for CTE items
+    raw_items = []
+    n = len(sql)
+    while True:
+        # scan one comma-separated item at depth 0
+        start = i
+        depth = 0
+        in_str = None
+        while i < n:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and ch == ",":
+                break
+            elif depth == 0 and re.match(r"(?is)SELECT\b", sql[i:]):
+                break
+            i += 1
+        item = sql[start:i].strip()
+        raw_items.append(item)
+        im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
+        if im and not im.group(1).strip().startswith("("):
+            items.append((im.group(1).strip(), im.group(2)))
+        else:
+            items.append(None)
+        if i >= n or re.match(r"(?is)SELECT\b", sql[i:]):
+            break
+        i += 1  # skip comma
+    body = sql[i:]
+    scalars = [it for it in items if it is not None]
+    if not scalars:
+        return sql
+    for expr, ident in scalars:
+        # substitute outside string literals, word-boundary
+        parts = re.split(r"('(?:[^']|'')*')", body)
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![A-Za-z0-9_]){re.escape(ident)}(?![A-Za-z0-9_])",
+                f"({expr})",
+                parts[j],
+            )
+        body = "".join(parts)
+    ctes = [raw for raw, it in zip(raw_items, items) if it is None]
+    prefix = m.group(1) + ("WITH " + ", ".join(ctes) + " " if ctes else "")
+    return prefix + body
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
@@ -1300,6 +1383,8 @@ def translate(sql: str) -> str:
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_offset(sql)
+    sql = _rewrite_scalar_with(sql)
     sql = _rewrite_brackets(sql)
     out: list[str] = []
     i = 0

@@ -809,3 +809,25 @@ def test_topk_histogram_parametric_guided():
               "SELECT topKWeighted(5)(x, w) FROM t"):
         with _pytest.raises(ValueError, match="cannot be expressed"):
             translate(q)
+
+
+def test_scalar_with_and_limit_offset(spark):
+    # CH scalar-alias WITH is a macro, not a CTE
+    assert one(spark, "WITH 2 AS a, 3 AS b SELECT a + b AS s")[0] == 5
+    # mixed: scalar macro + real CTE in one WITH list
+    row = one(
+        spark,
+        "WITH 10 AS lim, small AS (SELECT o_orderkey FROM orders LIMIT 3) "
+        "SELECT count(*) + lim AS c FROM small",
+    )
+    assert row[0] == 13
+    # MySQL/CH LIMIT offset, n
+    rows = run_select_query(
+        spark,
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2, 3",
+        dialect="clickhouse",
+    )["rows"]
+    assert [r[0] for r in rows] == [2, 3, 4]
+    # both constructs inside string literals stay literal
+    assert one(spark, "SELECT 'WITH 5 AS n' AS s")[0] == "WITH 5 AS n"
+    assert one(spark, "SELECT 'LIMIT 2, 3' AS s")[0] == "LIMIT 2, 3"
