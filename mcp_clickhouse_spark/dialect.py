@@ -1343,7 +1343,11 @@ def _rewrite_scalar_with(sql: str) -> str:
                 depth -= 1
             elif depth == 0 and ch == ",":
                 break
-            elif depth == 0 and re.match(r"(?is)SELECT\b", sql[i:]):
+            elif (
+                depth == 0
+                and re.match(r"(?is)SELECT\b", sql[i:])
+                and (i == 0 or not re.match(r"[A-Za-z0-9_]", sql[i - 1]))
+            ):
                 break
             i += 1
         item = sql[start:i].strip()
@@ -1353,7 +1357,10 @@ def _rewrite_scalar_with(sql: str) -> str:
             items.append((im.group(1).strip(), im.group(2)))
         else:
             items.append(None)
-        if i >= n or re.match(r"(?is)SELECT\b", sql[i:]):
+        if i >= n or (
+            re.match(r"(?is)SELECT\b", sql[i:])
+            and (i == 0 or not re.match(r"[A-Za-z0-9_]", sql[i - 1]))
+        ):
             break
         i += 1  # skip comma
     body = sql[i:]
