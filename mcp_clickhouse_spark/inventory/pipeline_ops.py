@@ -23,7 +23,6 @@ from mcp_clickhouse_spark.pipeline.dedup import (
     minhash_signatures,
     simhash_64,
     simhash_near_dups,
-    _shingles,
 )
 from mcp_clickhouse_spark.pipeline.multimodal import attach_binary_payload, decode_media
 from mcp_clickhouse_spark.pipeline.similarity import (

@@ -29,7 +29,7 @@ import queue
 import sys
 import threading
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable
 
 from mcp_clickhouse_spark import tools as t

@@ -182,7 +182,7 @@ def ivf_topk(
     (distributed Lloyd's), so the same code trains on a 100 TB corpus.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     del dim  # fold form is dimension-agnostic
     c = corpus.selectExpr(

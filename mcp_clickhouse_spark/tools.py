@@ -24,7 +24,6 @@ import re
 from typing import Any, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from mcp_clickhouse_spark.catalog import describe_table, list_database_names, list_table_names
 from mcp_clickhouse_spark.executor import QueryTimeoutError, run_with_timeout
