@@ -530,6 +530,23 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
+    "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
+    "levenshteindistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
+    # CH char(c1, c2, ...) builds a string from code points (variadic)
+    "char": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
+    # CH tokens(): split on non-alphanumeric runs, empty tokens dropped
+    "tokens": lambda a: (
+        f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}_]+'), x -> x != '')"
+    ),
+    # character n-grams of a string
+    # guard: Spark's sequence(1, 0) DESCENDS, so short strings need an
+    # explicit empty-array branch
+    "ngrams": lambda a: (
+        f"CASE WHEN length({a[0]}) >= ({a[1]})"
+        f" THEN transform(sequence(1, length({a[0]}) - ({a[1]}) + 1),"
+        f" i -> substring({a[0]}, i, {a[1]})) ELSE array() END"
+    ),
     # bit operations (CH function forms → Spark operators/builtins)
     "bitand": lambda a: f"(({a[0]}) & ({a[1]}))",
     "bitor": lambda a: f"(({a[0]}) | ({a[1]}))",

@@ -831,3 +831,21 @@ def test_scalar_with_and_limit_offset(spark):
     # both constructs inside string literals stay literal
     assert one(spark, "SELECT 'WITH 5 AS n' AS s")[0] == "WITH 5 AS n"
     assert one(spark, "SELECT 'LIMIT 2, 3' AS s")[0] == "LIMIT 2, 3"
+
+
+def test_string_distance_tokens_ngrams(spark):
+    row = one(
+        spark,
+        """
+        SELECT levenshteinDistance('kitten', 'sitting') AS lev,
+               editDistance('ab', 'ac') AS ed,
+               toValidUTF8('plain') AS tv,
+               char(72, 105) AS ch,
+               tokens('a-b c_d!e') AS tk,
+               ngrams('abcd', 2) AS ng,
+               ngrams('ab', 5) AS ng_short
+        """,
+    )
+    assert row[0] == 3 and row[1] == 1 and row[2] == "plain" and row[3] == "Hi"
+    assert row[4] == ["a", "b", "c_d", "e"]
+    assert row[5] == ["ab", "bc", "cd"] and row[6] == []
