@@ -531,6 +531,26 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "bitcount": lambda a: f"bit_count({a[0]})",
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
     "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
+    # date/time fill-ins
+    "tomonday": lambda a: f"date_trunc('WEEK', {a[0]})",
+    "addquarters": lambda a: f"add_months({a[0]}, ({a[1]}) * 3)",
+    "subtractquarters": lambda a: f"add_months({a[0]}, -(({a[1]}) * 3))",
+    "yesterday": lambda a: "date_sub(current_date(), 1)",
+    "toyearweek": lambda a: (
+        f"CAST(concat(CAST(year({a[0]}) AS STRING),"
+        f" lpad(CAST(weekofyear({a[0]}) AS STRING), 2, '0')) AS INT)"
+    ),
+    "torelativedaynum": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
+    "totime": lambda a: (
+        f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"
+    ),
+    "makedate": lambda a: (
+        f"make_date({', '.join(a)})" if len(a) == 3
+        # makeDate(year, dayofyear) 2-arg form
+        else f"date_add(make_date({a[0]}, 1, 1), ({a[1]}) - 1)"
+    ),
+    "makedatetime": lambda a: f"make_timestamp({', '.join(a[:6])})",
+    "timestampsub": lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
     "levenshteindistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     # CH char(c1, c2, ...) builds a string from code points (variadic)

@@ -849,3 +849,24 @@ def test_string_distance_tokens_ngrams(spark):
     assert row[0] == 3 and row[1] == 1 and row[2] == "plain" and row[3] == "Hi"
     assert row[4] == ["a", "b", "c_d", "e"]
     assert row[5] == ["ab", "bc", "cd"] and row[6] == []
+
+
+def test_datetime_fillins(spark):
+    row = one(
+        spark,
+        """
+        SELECT toMonday(toDate('2024-03-07')) AS mon,
+               addQuarters(toDate('2024-01-15'), 1) AS aq,
+               toYearWeek(toDate('2024-03-07')) AS yw,
+               toRelativeDayNum(toDate('1970-01-10')) AS rd,
+               makeDate(2024, 3, 7) AS md,
+               makeDate(2024, 40) AS md2,
+               makeDateTime(2024, 3, 7, 10, 30, 0) AS mdt,
+               timestampSub(DAY, 2, toDate('2024-03-07')) AS tsub
+        """,
+    )
+    assert str(row[0]).startswith("2024-03-04")
+    assert str(row[1]) == "2024-04-15" and row[2] == 202410 and row[3] == 9
+    assert str(row[4]) == "2024-03-07" and str(row[5]) == "2024-02-09"
+    assert str(row[6]).startswith("2024-03-07 10:30")
+    assert str(row[7]).startswith("2024-03-05")
