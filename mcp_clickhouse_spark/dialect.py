@@ -90,6 +90,8 @@ NAME_MAP: dict[str, str] = {
     "roundbankers": "bround",
     "randcanonical": "rand",
     "sign": "signum",
+    "max2": "greatest",
+    "min2": "least",
     # arrays
     "arrayjoin": "explode",
     "has": "array_contains",
@@ -186,6 +188,39 @@ def _json_path(args: list[str], extractor: str = "get_json_object") -> str:
     if key.startswith("'") and key.endswith("'"):
         return f"{extractor}({doc}, '$.{key[1:-1]}')"
     return f"{extractor}({doc}, concat('$.', {key}))"
+
+
+def _key_lambda_comparator(lam: str, arr: str) -> str:
+    """CH arraySort(x -> key, arr) → Spark array_sort(arr, comparator):
+    apply the key body to both comparator slots with word-boundary-safe
+    substitution of the lambda variable."""
+    mm = re.match(r"(?s)^\s*\(?\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)?\s*->\s*(.*)$", lam)
+    if not mm:
+        raise DialectError(f"arraySort: untranslatable key lambda {lam!r}")
+    var, body = mm.group(1), mm.group(2).strip()
+
+    def subst(target: str) -> str:
+        parts = re.split(r"('(?:[^']|'')*')", body)
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![A-Za-z0-9_]){re.escape(var)}(?![A-Za-z0-9_])",
+                target, parts[j],
+            )
+        return "".join(parts)
+
+    kl, kr = subst("l"), subst("r")
+    return (
+        f"array_sort({arr}, (l, r) -> CASE WHEN ({kl}) < ({kr}) THEN -1"
+        f" WHEN ({kl}) > ({kr}) THEN 1 ELSE 0 END)"
+    )
+
+
+_EUCLID_GCD = (
+    "CAST(aggregate(sequence(1, 64),"
+    " named_struct('a', CAST(abs({x}) AS BIGINT), 'b', CAST(abs({y}) AS BIGINT)),"
+    " (acc, i) -> IF(acc.b = 0, acc,"
+    " named_struct('a', acc.b, 'b', acc.a % acc.b))).a AS BIGINT)"
+)
 
 
 def _date_name(args: list[str]) -> str:
@@ -551,6 +586,41 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "makedatetime": lambda a: f"make_timestamp({', '.join(a[:6])})",
     "timestampsub": lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
+    # array folds / sorts (CH puts the lambda FIRST; Spark second)
+    "arrayfold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
+    "arraysort": lambda a: (
+        f"array_sort({a[0]})" if len(a) == 1
+        else _key_lambda_comparator(a[0], a[1])
+    ),
+    # arrayReduce('agg', arr): the string-named aggregates with pure-fold twins
+    "arrayreduce": lambda a: {
+        "'sum'": f"aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "'min'": f"array_min({a[1] if len(a) > 1 else ''})",
+        "'max'": f"array_max({a[1] if len(a) > 1 else ''})",
+        "'count'": f"cardinality({a[1] if len(a) > 1 else ''})",
+        "'avg'": (
+            f"(aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / cardinality({a[1] if len(a) > 1 else ''}))"
+        ),
+    }[a[0].strip().lower()],
+    # math fill-ins
+    # bounded Euclid fold (64 steps covers any 64-bit pair) — a
+    # sequence(1, n) trial-division fold would materialize n elements per row
+    "gcd": lambda a: _EUCLID_GCD.format(x=a[0], y=a[1]),
+    "lcm": lambda a: (
+        f"CAST(abs(CAST(({a[0]}) AS BIGINT) * CAST(({a[1]}) AS BIGINT))"
+        f" div {_EUCLID_GCD.format(x=a[0], y=a[1])} AS BIGINT)"
+    ),
+    "greatestcommondivisor": lambda a: _EUCLID_GCD.format(x=a[0], y=a[1]),
+    "intexp10": lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)",
+    "exp10": lambda a: f"power(10, {a[0]})",
+    "roundtoexp2": lambda a: (
+        f"CAST(power(2, floor(log2({a[0]}))) AS BIGINT)"
+    ),
+    "murmurhash3_64": lambda a: f"xxhash64({', '.join(a)})",
+    "halfmd5": lambda a: (
+        f"CAST(conv(substring(md5({a[0]}), 1, 15), 16, 10) AS BIGINT)"
+    ),
     "levenshteindistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     # CH char(c1, c2, ...) builds a string from code points (variadic)

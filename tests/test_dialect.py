@@ -870,3 +870,23 @@ def test_datetime_fillins(spark):
     assert str(row[4]) == "2024-03-07" and str(row[5]) == "2024-02-09"
     assert str(row[6]).startswith("2024-03-07 10:30")
     assert str(row[7]).startswith("2024-03-05")
+
+
+def test_array_folds_and_math_fillins(spark):
+    row = one(
+        spark,
+        """
+        SELECT arrayFold((acc, x) -> acc + x, [1,2,3], 0) AS af,
+               arrayReduce('sum', [1,2,3]) AS ar,
+               arraySort(x -> -x, [1,3,2]) AS asrt,
+               arraySort(x -> max2(x, 0), [3,-1,2]) AS akey,
+               gcd(12, 18) AS g, gcd(1234567890123, 987654321) AS gbig,
+               lcm(4, 6) AS l, intExp10(3) AS e10,
+               roundToExp2(100) AS r2, halfMD5('x') AS hm
+        """,
+    )
+    assert row[0] == 6 and row[1] == 6.0
+    assert row[2] == [3, 2, 1]
+    assert row[3] == [-1, 2, 3] or row[3] == [-1, 3, 2]  # key clamps negatives to 0
+    assert row[4] == 6 and row[5] == 3 and row[6] == 12
+    assert row[7] == 1000 and row[8] == 64 and row[9] != 0
