@@ -208,15 +208,18 @@ def _key_lambda_comparator(lam: str, arr: str) -> str:
             )
         return "".join(parts)
 
-    kl, kr = subst("l"), subst("r")
+    # slot names no user column will shadow: plain l/r would capture an
+    # outer column named l or r referenced in the key body
+    kl, kr = subst("_ch_sort_l"), subst("_ch_sort_r")
     return (
-        f"array_sort({arr}, (l, r) -> CASE WHEN ({kl}) < ({kr}) THEN -1"
+        f"array_sort({arr}, (_ch_sort_l, _ch_sort_r) ->"
+        f" CASE WHEN ({kl}) < ({kr}) THEN -1"
         f" WHEN ({kl}) > ({kr}) THEN 1 ELSE 0 END)"
     )
 
 
 _EUCLID_GCD = (
-    "CAST(aggregate(sequence(1, 64),"
+    "CAST(aggregate(sequence(1, 96),"
     " named_struct('a', CAST(abs({x}) AS BIGINT), 'b', CAST(abs({y}) AS BIGINT)),"
     " (acc, i) -> IF(acc.b = 0, acc,"
     " named_struct('a', acc.b, 'b', acc.a % acc.b))).a AS BIGINT)"
@@ -467,7 +470,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "pathfull": lambda a: (
         f"concat(parse_url({a[0]}, 'PATH'),"
         f" CASE WHEN parse_url({a[0]}, 'QUERY') IS NOT NULL"
-        f" THEN concat('?', parse_url({a[0]}, 'QUERY')) ELSE '' END)"
+        f" THEN concat('?', parse_url({a[0]}, 'QUERY')) ELSE '' END,"
+        f" CASE WHEN parse_url({a[0]}, 'REF') IS NOT NULL"
+        f" THEN concat('#', parse_url({a[0]}, 'REF')) ELSE '' END)"
     ),
     "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
     "extracturlparameter": lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
@@ -533,10 +538,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "jsonextractkeys": lambda a: f"json_object_keys({a[0]})",
     "tojsonstring": lambda a: f"to_json({a[0]})",
     # IPv4 (numeric <-> dotted-quad; the NumToString twin already exists)
+    # malformed input yields 0 (the CH contract) instead of an ANSI
+    # CAST_INVALID_INPUT error; the range-checking regex also rejects
+    # out-of-range octets CH maps to 0
     "ipv4stringtonum": lambda a: (
-        f"aggregate(transform(split({a[0]}, '\\\\.'),"
+        f"CASE WHEN {a[0]} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$' THEN"
+        f" aggregate(transform(split({a[0]}, '\\\\.'),"
         f" x -> CAST(x AS BIGINT)), CAST(0 AS BIGINT),"
-        f" (acc, x) -> acc * 256 + x)"
+        f" (acc, x) -> acc * 256 + x) ELSE CAST(0 AS BIGINT) END"
     ),
     "isipv4string": lambda a: (
         f"({a[0]} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.)"
@@ -572,7 +581,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "subtractquarters": lambda a: f"add_months({a[0]}, -(({a[1]}) * 3))",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
     "toyearweek": lambda a: (
-        f"CAST(concat(CAST(year({a[0]}) AS STRING),"
+        # YEAROFWEEK, not year(): pairing the calendar year with the ISO
+        # week corrupts every Dec/Jan boundary (2024-12-30 -> 202401)
+        f"CAST(concat(CAST(extract(YEAROFWEEK FROM {a[0]}) AS STRING),"
         f" lpad(CAST(weekofyear({a[0]}) AS STRING), 2, '0')) AS INT)"
     ),
     "torelativedaynum": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
@@ -594,17 +605,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # arrayReduce('agg', arr): the string-named aggregates with pure-fold twins
     "arrayreduce": lambda a: {
-        "'sum'": f"aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
-        "'min'": f"array_min({a[1] if len(a) > 1 else ''})",
-        "'max'": f"array_max({a[1] if len(a) > 1 else ''})",
-        "'count'": f"cardinality({a[1] if len(a) > 1 else ''})",
+        "'sum'": f"aggregate({a[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "'min'": f"array_min({a[1]})",
+        "'max'": f"array_max({a[1]})",
+        "'count'": f"cardinality({a[1]})",
         "'avg'": (
-            f"(aggregate({a[1] if len(a) > 1 else ''}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            f" / cardinality({a[1] if len(a) > 1 else ''}))"
+            f"(aggregate({a[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / cardinality({a[1]}))"
         ),
     }[a[0].strip().lower()],
     # math fill-ins
-    # bounded Euclid fold (64 steps covers any 64-bit pair) — a
+    # bounded Euclid fold (96 steps: worst-case 64-bit Fibonacci pairs need ~91) — a
     # sequence(1, n) trial-division fold would materialize n elements per row
     "gcd": lambda a: _EUCLID_GCD.format(x=a[0], y=a[1]),
     "lcm": lambda a: (
@@ -625,9 +636,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     # CH char(c1, c2, ...) builds a string from code points (variadic)
     "char": lambda a: "concat(" + ", ".join(f"chr({x})" for x in a) + ")",
-    # CH tokens(): split on non-alphanumeric runs, empty tokens dropped
+    # CH tokens(): split on non-alphanumeric ASCII runs (underscore
+    # splits too), empty tokens dropped
     "tokens": lambda a: (
-        f"filter(split({a[0]}, '[^\\\\p{{L}}\\\\p{{N}}_]+'), x -> x != '')"
+        f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
     ),
     # character n-grams of a string
     # guard: Spark's sequence(1, 0) DESCENDS, so short strings need an
@@ -1402,18 +1414,18 @@ def _rewrite_table_clauses(sql: str) -> str:
 def _rewrite_limit_offset(sql: str) -> str:
     """ClickHouse/MySQL `LIMIT offset, n` → ANSI `LIMIT n OFFSET offset`.
 
-    Matches only at paren depth 0 outside string literals; `LIMIT n BY
-    cols` was already rewritten away before this runs."""
-    depth0 = {i for i, _ in _depth0_spans(sql)}
-    return re.sub(
-        r"(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)",
-        lambda m: (
-            f"LIMIT {m.group(2)} OFFSET {m.group(1)}"
-            if m.start() in depth0
-            else m.group(0)
-        ),
-        sql,
-    )
+    Matches at ANY paren depth (subqueries/CTEs included) — the token
+    sequence `LIMIT int, int` cannot occur in any other SQL context —
+    excluding only string literals; `LIMIT n BY cols` was already
+    rewritten away before this runs."""
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    for j in range(0, len(parts), 2):
+        parts[j] = re.sub(
+            r"(?is)\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+            lambda m: f"LIMIT {m.group(2)} OFFSET {m.group(1)}",
+            parts[j],
+        )
+    return "".join(parts)
 
 
 def _rewrite_scalar_with(sql: str) -> str:
@@ -1460,7 +1472,10 @@ def _rewrite_scalar_with(sql: str) -> str:
         item = sql[start:i].strip()
         raw_items.append(item)
         im = re.match(r"(?is)^(.*?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)\s*$", item)
-        if im and not im.group(1).strip().startswith("("):
+        if im:
+            # matches `expr AS ident` — includes parenthesized scalars and
+            # scalar subqueries (both macro-substitute cleanly); the CTE
+            # form `ident AS (SELECT ...)` ends with ')' and never matches
             items.append((im.group(1).strip(), im.group(2)))
         else:
             items.append(None)
@@ -1474,17 +1489,22 @@ def _rewrite_scalar_with(sql: str) -> str:
     scalars = [it for it in items if it is not None]
     if not scalars:
         return sql
-    for expr, ident in scalars:
-        # substitute outside string literals, word-boundary
-        parts = re.split(r"('(?:[^']|'')*')", body)
-        for j in range(0, len(parts), 2):
-            parts[j] = re.sub(
-                rf"(?<![A-Za-z0-9_]){re.escape(ident)}(?![A-Za-z0-9_])",
-                f"({expr})",
-                parts[j],
-            )
-        body = "".join(parts)
-    ctes = [raw for raw, it in zip(raw_items, items) if it is None]
+    def _subst(text: str) -> str:
+        for expr, ident in scalars:
+            # substitute outside string literals, word-boundary
+            parts = re.split(r"('(?:[^']|'')*')", text)
+            for j in range(0, len(parts), 2):
+                parts[j] = re.sub(
+                    rf"(?<![A-Za-z0-9_]){re.escape(ident)}(?![A-Za-z0-9_])",
+                    f"({expr})",
+                    parts[j],
+                )
+            text = "".join(parts)
+        return text
+
+    body = _subst(body)
+    # macros are visible inside later CTE bodies too (CH scoping)
+    ctes = [_subst(raw) for raw, it in zip(raw_items, items) if it is None]
     prefix = m.group(1) + ("WITH " + ", ".join(ctes) + " " if ctes else "")
     return prefix + body
 

@@ -847,7 +847,7 @@ def test_string_distance_tokens_ngrams(spark):
         """,
     )
     assert row[0] == 3 and row[1] == 1 and row[2] == "plain" and row[3] == "Hi"
-    assert row[4] == ["a", "b", "c_d", "e"]
+    assert row[4] == ["a", "b", "c", "d", "e"]  # "_" splits (CH ASCII tokenizer)
     assert row[5] == ["ab", "bc", "cd"] and row[6] == []
 
 
@@ -890,3 +890,36 @@ def test_array_folds_and_math_fillins(spark):
     assert row[3] == [-1, 2, 3] or row[3] == [-1, 3, 2]  # key clamps negatives to 0
     assert row[4] == 6 and row[5] == 3 and row[6] == 12
     assert row[7] == 1000 and row[8] == 64 and row[9] != 0
+
+
+def test_review_fixes_dialect_edge_cases(spark):
+    # Fibonacci worst case needs >64 Euclid steps
+    assert one(spark, "SELECT gcd(7540113804746346429, 4660046610375530309) AS g")[0] == 1
+    # ISO year at the Dec/Jan boundary
+    assert one(spark, "SELECT toYearWeek(toDate('2024-12-30')) AS yw")[0] == 202501
+    # fragment retained in pathFull
+    assert one(spark, "SELECT pathFull('https://e.com/a?x=1#f') AS p")[0] == "/a?x=1#f"
+    # malformed/out-of-range IPs -> 0, not an ANSI cast error
+    row = one(spark, "SELECT IPv4StringToNum('abc') AS a, IPv4StringToNum('1.2.3.999') AS b, IPv4StringToNum('1.2.3.4') AS c")
+    assert row[0] == 0 and row[1] == 0 and row[2] == 16909060
+    # scalar WITH macros substitute into retained CTE bodies
+    assert one(
+        spark,
+        "WITH 2 AS lim, small AS (SELECT o_orderkey FROM orders LIMIT lim) "
+        "SELECT count(*) FROM small",
+    )[0] == 2
+    # parenthesized scalar item is a macro, not a CTE
+    assert one(spark, "WITH (1 + 2) AS three SELECT three AS t")[0] == 3
+    # LIMIT offset,n inside a subquery
+    rows = run_select_query(
+        spark,
+        "SELECT * FROM (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 2, 3) s",
+        dialect="clickhouse",
+    )["rows"]
+    assert [r[0] for r in rows] == [2, 3, 4]
+    # outer column named l must not be captured by the sort comparator
+    row = one(
+        spark,
+        "SELECT arraySort(x -> x + l, [3, 1, 2]) AS srt FROM (SELECT 10 AS l)",
+    )
+    assert row[0] == [1, 2, 3]
