@@ -361,6 +361,134 @@ def _split_by_string(args: list[str]) -> str:
     return f"split({s}, {quoted}, -1)"
 
 
+def _to_year_week(args: list[str]) -> str:
+    """CH toYearWeek(date[, mode[, timezone]]) — faithful mode 0 and 3.
+
+    The 1-arg default is MODE 0 (Sunday-start weeks, MySQL YEARWEEK
+    semantics), NOT ISO: a date before the year's first Sunday belongs to
+    the previous year's week 52/53 (toYearWeek('2024-12-30') = 202452 in
+    CH; the old ISO-only translation returned 202501 — round-5 advisor
+    finding).  Mode 0: identify the week by its Sunday S; the result is
+    year(S)*100 + 1-based index of S among year(S)'s Sundays.  Mode 3 is
+    ISO (YEAROFWEEK + weekofyear).  Other modes and the timezone argument
+    raise guided errors rather than returning silently wrong values.
+    """
+    if len(args) > 2:
+        raise DialectError(
+            "toYearWeek: the timezone argument is not supported (the "
+            "session timezone applies); drop the 3rd argument"
+        )
+    mode = args[1].strip() if len(args) > 1 else "0"
+    if mode == "3":
+        return (
+            f"CAST(concat(CAST(extract(YEAROFWEEK FROM {args[0]}) AS STRING),"
+            f" lpad(CAST(weekofyear({args[0]}) AS STRING), 2, '0')) AS INT)"
+        )
+    if mode != "0":
+        raise DialectError(
+            f"toYearWeek: mode {mode} is not supported (only the default "
+            "mode 0 and ISO mode 3 are implemented; other CH week modes "
+            "have no faithful translation here)"
+        )
+    d = f"CAST({args[0]} AS DATE)"
+    s = f"date_sub({d}, dayofweek({d}) - 1)"  # Sunday on or before d
+    j = f"trunc({s}, 'YEAR')"  # Jan 1 of the Sunday's year
+    fs = f"date_add({j}, (8 - dayofweek({j})) % 7)"  # first Sunday that year
+    # CAST to INT: div yields BIGINT, but CH returns UInt32 and Spark's
+    # date_add/date_sub reject BIGINT day counts in compositions
+    return f"CAST(year({s}) * 100 + (datediff({s}, {fs}) div 7) + 1 AS INT)"
+
+
+_INT_LITERAL = re.compile(r"^[+-]?\d+L?$", re.IGNORECASE)
+_NUM_LITERAL = re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[LDdFf]?$"
+)
+
+
+def _literal_array_kind(arg: str) -> str:
+    """Classify an array argument's element type at translation time:
+    'int' (all integer literals), 'float' (numeric literals, ≥1 non-int),
+    or 'unknown' (columns / nested expressions / non-numeric).
+
+    Needed because Spark parses ``1.5`` as DECIMAL(2,1) (so ``[1.0, 2.5]``
+    is ARRAY<DECIMAL>) while ClickHouse types the same literal Float64 —
+    and decimal addition grows precision each step, which breaks
+    ``aggregate()``'s requirement that the merge lambda return the
+    accumulator's exact type.  Literal sniffing picks the CH-faithful
+    accumulator statically; non-literal args use a runtime probe instead.
+    """
+    s = arg.strip()
+    low = s.lower()
+    if s.startswith("[") and s.endswith("]"):
+        inner = s[1:-1]
+    elif low.startswith("array(") and s.endswith(")"):
+        inner = s[6:-1]
+    else:
+        return "unknown"
+    try:
+        elems = [e.strip() for e in _split_args(inner)]
+    except Exception:  # pragma: no cover - unbalanced text
+        return "unknown"
+    if not elems or not all(
+        e.lower() == "null" or _NUM_LITERAL.match(e) for e in elems
+    ):
+        return "unknown"
+    if all(e.lower() == "null" or _INT_LITERAL.match(e) for e in elems):
+        return "int"
+    return "float"
+
+
+def _fold_zero(arr: str, probe: str) -> str:
+    """A zero whose type matches ``arr``'s element type.
+
+    ClickHouse's arraySum/arrayCumSum/sumArray return an INTEGER type for
+    integer arrays (Int* → Int64) and Float64 for float arrays; a hardcoded
+    ``CAST(0 AS DOUBLE)`` accumulator silently changed values
+    (``toString(arraySum([1,2]))`` → '3.0' vs CH '3') and crashed composed
+    ANSI expressions (round-5 hypothesis fuzz finding).  Literal arrays are
+    typed statically (CH types ``[1.0]`` Float64, so 'float' → DOUBLE);
+    for non-literal args ``element * 0L`` yields 0 in the common type of
+    (element, BIGINT): BIGINT for integral columns, DOUBLE/FLOAT for float
+    columns.  DECIMAL columns (rare here — testdata is bigint/double) fail
+    loudly at analysis rather than silently losing their type.
+    """
+    kind = _literal_array_kind(arr)
+    if kind == "int":
+        return "0L"
+    if kind == "float":
+        return "CAST(0 AS DOUBLE)"
+    # Non-literal args: element * 0L yields 0 in common(element, BIGINT);
+    # the extra * DECIMAL(38,0) pins decimal-typed elements at the
+    # precision-38 cap so ``acc + x`` stays type-stable (decimal addition
+    # grows precision until the cap).  Net types: DOUBLE/FLOAT columns →
+    # DOUBLE sums, integral/decimal expressions → DECIMAL(38,s) — values
+    # exact, and DECIMAL(38,0) renders '3' under toString exactly like
+    # CH's Int64 (the round-5 fuzz crash form).
+    return (
+        f"(ifnull(try_element_at({probe}, 1), 0L) * 0L"
+        f" * CAST(0 AS DECIMAL(38, 0)))"
+    )
+
+
+def _typed_sum_fold(arr: str) -> str:
+    """Sum an array's elements in the element's own (widened) type,
+    skipping NULL elements as ClickHouse's aggregate semantics do
+    (``arraySum([1, NULL, 2])`` = 3, not NULL)."""
+    nn = f"filter({arr}, x -> x IS NOT NULL)"
+    return f"aggregate({nn}, {_fold_zero(arr, nn)}, (acc, x) -> acc + x)"
+
+
+def _typed_avg_fold(arr: str) -> str:
+    """CH arrayAvg returns Float64; summing in the element type first (then
+    one divide, which Spark widens to DOUBLE) keeps BIGINT sums exact past
+    2^53 where a DOUBLE accumulator would round each step."""
+    nn = f"filter({arr}, x -> x IS NOT NULL)"
+    return (
+        f"(CAST(aggregate({nn}, {_fold_zero(arr, nn)}, (acc, x) -> acc + x)"
+        f" AS DOUBLE) / cardinality({nn}))"
+    )
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH count() with no argument == count(*)
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
@@ -403,6 +531,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
     "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
     "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
+    # CAST the day count: Spark's date_add/date_sub reject BIGINT counts,
+    # and dialect arithmetic (intDiv, div-based fill-ins) yields BIGINT
+    "adddays": lambda a: f"date_add({a[0]}, CAST({a[1]} AS INT))",
+    "subtractdays": lambda a: f"date_sub({a[0]}, CAST({a[1]} AS INT))",
     "addweeks": lambda a: f"({a[0]} + make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
     # month/year arithmetic via INTERVAL (add_months returns DATE and would
     # silently drop the time-of-day from TIMESTAMP inputs)
@@ -513,8 +645,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "hassubstr": lambda a: f"contains({a[0]}, {a[1]})",
     # weighted/statistical aggregates
+    # denominator gated on the VALUE being non-NULL: CH skips rows whose
+    # value is NULL entirely, so counting their weights would deflate the
+    # average (round-5 advisor finding).  NULL weights already drop out of
+    # both sides (v*w is NULL; sum skips NULL).
     "avgweighted": lambda a: (
-        f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+        f"(sum(({a[0]}) * ({a[1]}))"
+        f" / sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]}) END))"
     ),
     "sumcount": lambda a: f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))",
     "skewpop": lambda a: f"skewness({a[0]})",
@@ -538,9 +675,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "jsonextractkeys": lambda a: f"json_object_keys({a[0]})",
     "tojsonstring": lambda a: f"to_json({a[0]})",
     # IPv4 (numeric <-> dotted-quad; the NumToString twin already exists)
-    # malformed input yields 0 (the CH contract) instead of an ANSI
-    # CAST_INVALID_INPUT error; the range-checking regex also rejects
-    # out-of-range octets CH maps to 0
+    # malformed input yields 0 — this is ClickHouse's IPv4StringToNumOrZero
+    # contract (plain IPv4StringToNum THROWS on malformed input; the OrZero
+    # behavior is implemented for both names because an ANSI
+    # CAST_INVALID_INPUT crash mid-query is strictly worse than the OrZero
+    # value for read-only analytics); the range-checking regex also rejects
+    # out-of-range octets the OrZero variant maps to 0
     "ipv4stringtonum": lambda a: (
         f"CASE WHEN {a[0]} RLIKE '^((25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])\\\\.){{3}}(25[0-5]|2[0-4][0-9]|[01]?[0-9]?[0-9])$' THEN"
         f" aggregate(transform(split({a[0]}, '\\\\.'),"
@@ -580,12 +720,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addquarters": lambda a: f"add_months({a[0]}, ({a[1]}) * 3)",
     "subtractquarters": lambda a: f"add_months({a[0]}, -(({a[1]}) * 3))",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
-    "toyearweek": lambda a: (
-        # YEAROFWEEK, not year(): pairing the calendar year with the ISO
-        # week corrupts every Dec/Jan boundary (2024-12-30 -> 202401)
-        f"CAST(concat(CAST(extract(YEAROFWEEK FROM {a[0]}) AS STRING),"
-        f" lpad(CAST(weekofyear({a[0]}) AS STRING), 2, '0')) AS INT)"
-    ),
+    "toyearweek": _to_year_week,
     "torelativedaynum": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
     "totime": lambda a: (
         f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"
@@ -595,7 +730,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         # makeDate(year, dayofyear) 2-arg form
         else f"date_add(make_date({a[0]}, 1, 1), ({a[1]}) - 1)"
     ),
-    "makedatetime": lambda a: f"make_timestamp({', '.join(a[:6])})",
+    # 7th (timezone) argument would silently change the instant when the
+    # session timezone differs — guided error instead of truncation
+    "makedatetime": lambda a: (
+        f"make_timestamp({', '.join(a)})"
+        if len(a) <= 6
+        else (_ for _ in ()).throw(DialectError(
+            "makeDateTime: the timezone argument is not supported (the "
+            "session timezone applies); drop the 7th argument or set "
+            "spark.sql.session.timeZone"
+        ))
+    ),
     "timestampsub": lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
     # array folds / sorts (CH puts the lambda FIRST; Spark second)
     "arrayfold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
@@ -605,14 +750,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # arrayReduce('agg', arr): the string-named aggregates with pure-fold twins
     "arrayreduce": lambda a: {
-        "'sum'": f"aggregate({a[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+        "'sum'": _typed_sum_fold(a[1]),
         "'min'": f"array_min({a[1]})",
         "'max'": f"array_max({a[1]})",
         "'count'": f"cardinality({a[1]})",
-        "'avg'": (
-            f"(aggregate({a[1]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            f" / cardinality({a[1]}))"
-        ),
+        "'avg'": _typed_avg_fold(a[1]),
     }[a[0].strip().lower()],
     # math fill-ins
     # bounded Euclid fold (96 steps: worst-case 64-bit Fibonacci pairs need ~91) — a
@@ -628,9 +770,28 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "roundtoexp2": lambda a: (
         f"CAST(power(2, floor(log2({a[0]}))) AS BIGINT)"
     ),
-    "murmurhash3_64": lambda a: f"xxhash64({', '.join(a)})",
+    # murmurHash3_64 has no value-faithful Spark builtin (Spark's hash() is
+    # Murmur3_x86_32, xxhash64 a different algorithm); mapping it silently
+    # would break comparisons against persisted CH hash values — raise a
+    # guided error naming the self-consistent substitute instead (round-5
+    # advisor finding).
+    "murmurhash3_64": lambda a: (_ for _ in ()).throw(DialectError(
+        "murmurHash3_64 cannot be reproduced value-for-value on Spark; "
+        "use xxhash64(...) if you only need a stable 64-bit hash within "
+        "this engine (values will NOT match ClickHouse murmurHash3_64)"
+    )),
+    # CH halfMD5 = first 8 bytes of md5, read big-endian as UInt64 — i.e.
+    # the first 16 hex digits.  conv() yields the unsigned decimal string;
+    # DECIMAL(20,0) holds the full UInt64 range, so the value is faithful
+    # (the old 15-hex/60-bit BIGINT truncation was not).
     "halfmd5": lambda a: (
-        f"CAST(conv(substring(md5({a[0]}), 1, 15), 16, 10) AS BIGINT)"
+        f"CAST(conv(substring(md5({a[0]}), 1, 16), 16, 10) AS DECIMAL(20, 0))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "halfMD5: only the 1-argument form is supported (the "
+            "multi-argument form combines intermediate hashes in a "
+            "CH-specific way)"
+        ))
     ),
     "levenshteindistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
     "editdistance": lambda a: f"levenshtein({a[0]}, {a[1]})",
@@ -704,11 +865,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
     "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
     "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
-    "arraysum": lambda a: f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
-    "arrayavg": lambda a: (
-        f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        f" / cardinality({a[0]}))"
-    ),
+    "arraysum": lambda a: _typed_sum_fold(a[0]),
+    "arrayavg": lambda a: _typed_avg_fold(a[0]),
     "arrayenumerate": lambda a: f"sequence(1, cardinality({a[0]}))",
     # try_element_at, not element_at: under ANSI mode (Spark 4.1 default)
     # element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty filter
@@ -740,11 +898,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"transform(sequence(1, size({a[0]})), i -> CASE WHEN i = 1 THEN 0"
         f" ELSE element_at({a[0]}, i) - element_at({a[0]}, i - 1) END)"
     ),
-    # O(n²) prefix-sum in DOUBLE (acc type must be fixed); dialect-level
-    # convenience, not a hot path
+    # O(n²) prefix-sum; accumulator inherits the element type (CH returns
+    # Array(Int64) for integer arrays).  Dialect-level convenience, not a
+    # hot path.
     "arraycumsum": lambda a: (
         f"transform(sequence(1, size({a[0]})), i -> aggregate(slice({a[0]}, 1, i),"
-        f" CAST(0 AS DOUBLE), (s, x) -> s + x))"
+        f" {_fold_zero(a[0], a[0])}, (s, x) -> s + x))"
     ),
     "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
     if len(a) == 1
@@ -784,13 +943,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # -Array combinators: aggregate over all elements of all rows' arrays
     # NULL elements are skipped (the CH aggregate contract) — an unfiltered
     # fold would let one NULL poison the row and desync avg's denominator
-    "sumarray": lambda a: (
-        f"sum(aggregate(filter({a[0]}, x -> x IS NOT NULL),"
-        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
-    ),
+    "sumarray": lambda a: f"sum({_typed_sum_fold(a[0])})",
     "avgarray": lambda a: (
-        f"(sum(aggregate(filter({a[0]}, x -> x IS NOT NULL),"
-        f" CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+        f"(sum({_typed_sum_fold(a[0])})"
         f" / sum(cardinality(filter({a[0]}, x -> x IS NOT NULL))))"
     ),
     "minarray": lambda a: f"min(array_min({a[0]}))",

@@ -858,6 +858,7 @@ def test_datetime_fillins(spark):
         SELECT toMonday(toDate('2024-03-07')) AS mon,
                addQuarters(toDate('2024-01-15'), 1) AS aq,
                toYearWeek(toDate('2024-03-07')) AS yw,
+               toYearWeek(toDate('2024-03-07'), 3) AS yw3,
                toRelativeDayNum(toDate('1970-01-10')) AS rd,
                makeDate(2024, 3, 7) AS md,
                makeDate(2024, 40) AS md2,
@@ -866,10 +867,13 @@ def test_datetime_fillins(spark):
         """,
     )
     assert str(row[0]).startswith("2024-03-04")
-    assert str(row[1]) == "2024-04-15" and row[2] == 202410 and row[3] == 9
-    assert str(row[4]) == "2024-03-07" and str(row[5]) == "2024-02-09"
-    assert str(row[6]).startswith("2024-03-07 10:30")
-    assert str(row[7]).startswith("2024-03-05")
+    # default = CH mode 0 (Sunday-start): 2024-03-07 is in week 9; ISO mode
+    # 3 says week 10 (Jan 1 2024 was a Monday, so ISO is one ahead)
+    assert str(row[1]) == "2024-04-15" and row[2] == 202409 and row[3] == 202410
+    assert row[4] == 9
+    assert str(row[5]) == "2024-03-07" and str(row[6]) == "2024-02-09"
+    assert str(row[7]).startswith("2024-03-07 10:30")
+    assert str(row[8]).startswith("2024-03-05")
 
 
 def test_array_folds_and_math_fillins(spark):
@@ -885,18 +889,104 @@ def test_array_folds_and_math_fillins(spark):
                roundToExp2(100) AS r2, halfMD5('x') AS hm
         """,
     )
-    assert row[0] == 6 and row[1] == 6.0
+    assert row[0] == 6
+    # integer arrays sum to an INTEGER (CH Int64), not 6.0 (round-5 fuzz)
+    assert row[1] == 6 and isinstance(row[1], int)
     assert row[2] == [3, 2, 1]
     assert row[3] == [-1, 2, 3] or row[3] == [-1, 3, 2]  # key clamps negatives to 0
     assert row[4] == 6 and row[5] == 3 and row[6] == 12
-    assert row[7] == 1000 and row[8] == 64 and row[9] != 0
+    # halfMD5 is value-faithful: first 8 bytes of md5('x'), big-endian
+    assert row[7] == 1000 and row[8] == 64
+    assert int(row[9]) == 0x9DD4E461268C8034
+
+
+def test_array_fold_accumulator_types(spark):
+    """Round-6 fix for the round-5 hypothesis-fuzz finding: arithmetic
+    array folds must inherit the ELEMENT type (CH: Int* arrays sum to
+    Int64, Float to Float64) — the old CAST(0 AS DOUBLE) accumulator made
+    toString(arraySum([1,2])) = '3.0' (CH: '3') and crashed composed ANSI
+    expressions with CAST_INVALID_INPUT."""
+    import pytest as _pytest
+
+    row = one(
+        spark,
+        """
+        SELECT arraySum([1, 2]) AS s_int,
+               toString(arraySum([1, 2])) AS s_str,
+               arraySum([1.5, 2.5]) AS s_dbl,
+               arraySum(CAST(array() AS ARRAY<BIGINT>)) AS s_empty,
+               arraySum([1, NULL, 2]) AS s_null,
+               arrayAvg([1, NULL, 2]) AS a_null,
+               arraySum([9007199254740993, 1]) AS s_big,
+               arrayCumSum([1, 2, 3]) AS cs,
+               arrayProduct([2, 3]) AS pr
+        """,
+    )
+    assert row[0] == 3 and isinstance(row[0], int)
+    assert row[1] == "3"  # the exact CH rendering, not '3.0'
+    assert row[2] == 4.0 and isinstance(row[2], float)
+    assert row[3] == 0
+    assert row[4] == 3  # NULL elements skipped (CH aggregate semantics)
+    assert abs(row[5] - 1.5) < 1e-12  # avg denominator = non-NULL count
+    # 2^53+1: a DOUBLE accumulator would round this; BIGINT keeps it exact
+    assert row[6] == 9007199254740994
+    assert row[7] == [1, 3, 6] and all(isinstance(v, int) for v in row[7])
+    assert row[8] == 6.0  # CH arrayProduct always returns Float64
+    # the crash form the fuzz found: toString(arraySum) compared to a BIGINT
+    assert one(
+        spark,
+        "SELECT if(n_nationkey > toString(arraySum([1, 2])),"
+        " n_nationkey, 0) AS v FROM nation WHERE n_nationkey = 5",
+    )[0] == 5
+    # -Array combinators and arrayReduce share the typed accumulator
+    row = one(
+        spark,
+        """
+        SELECT sumArray(a) AS sa, avgArray(a) AS aa
+        FROM (SELECT [9007199254740993, 1] AS a)
+        """,
+    )
+    # column args fold as DECIMAL(38,0) (type-stable for any element type)
+    # — the VALUE stays exact past 2^53 where DOUBLE would round
+    assert int(row[0]) == 9007199254740994
+    assert int(one(
+        spark,
+        "SELECT arrayReduce('sum', a) AS ar FROM (SELECT [9007199254740993, 1] AS a)",
+    )[0]) == 9007199254740994
+
+    # murmurHash3_64 now raises a guided error instead of silently
+    # returning non-CH values (round-5 advisor finding)
+    with _pytest.raises(ValueError, match="xxhash64"):
+        translate("SELECT murmurHash3_64('x') FROM t")
+    # makeDateTime timezone argument: guided error, not silent truncation
+    with _pytest.raises(ValueError, match="makeDateTime"):
+        translate("SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC') FROM t")
+    # avgWeighted skips NULL-value rows entirely (weight excluded too)
+    assert abs(one(
+        spark,
+        "SELECT avgWeighted(x, w) AS aw FROM (SELECT 1 AS x, 1 AS w"
+        " UNION ALL SELECT NULL, 100 UNION ALL SELECT 3, 1)",
+    )[0] - 2.0) < 1e-12
 
 
 def test_review_fixes_dialect_edge_cases(spark):
     # Fibonacci worst case needs >64 Euclid steps
     assert one(spark, "SELECT gcd(7540113804746346429, 4660046610375530309) AS g")[0] == 1
-    # ISO year at the Dec/Jan boundary
-    assert one(spark, "SELECT toYearWeek(toDate('2024-12-30')) AS yw")[0] == 202501
+    # Dec/Jan boundary: default mode 0 keeps 2024-12-30 in 2024's week 52
+    # (its Sunday is 2024-12-29); ISO mode 3 rolls it into 2025 week 1
+    assert one(spark, "SELECT toYearWeek(toDate('2024-12-30')) AS yw")[0] == 202452
+    assert one(spark, "SELECT toYearWeek(toDate('2024-12-30'), 3) AS yw")[0] == 202501
+    # days before the year's first Sunday belong to the PREVIOUS year's
+    # last week in mode 0 (2024-01-03's Sunday is 2023-12-31, week 53 of
+    # 2023 because 2023-01-01 was itself a Sunday)
+    assert one(spark, "SELECT toYearWeek(toDate('2024-01-03')) AS yw")[0] == 202353
+    assert one(spark, "SELECT toYearWeek(toDate('2023-01-01')) AS yw")[0] == 202301
+    # unsupported modes / tz arg: guided error, not a silently wrong value
+    import pytest as _pytest
+    for bad in ("SELECT toYearWeek(toDate('2024-01-03'), 1) AS yw",
+                "SELECT toYearWeek(toDate('2024-01-03'), 0, 'UTC') AS yw"):
+        with _pytest.raises(ValueError, match="toYearWeek"):
+            translate(bad)
     # fragment retained in pathFull
     assert one(spark, "SELECT pathFull('https://e.com/a?x=1#f') AS p")[0] == "/a?x=1#f"
     # malformed/out-of-range IPs -> 0, not an ANSI cast error

@@ -68,9 +68,43 @@ scalar_exprs = st.recursive(
             lambda t: f"multiIf({t[0]} > 0, {t[1]}, {t[2]})"
         ),
         inner.map(lambda x: f"arraySum([{x}, {x}])"),
+        # round-6 additions (the arraySum DOUBLE-accumulator crash proved
+        # this grammar finds bugs curated tests miss): the rest of the
+        # integer-valued array-fold family, composed folds, and date
+        # functions over literal/column day arithmetic.  Float-valued
+        # members (arrayAvg/arrayProduct) are excluded on purpose — CH
+        # itself throws on toInt64('1.5'), so their toString compositions
+        # are legitimately non-executable.
+        inner.map(lambda x: f"arrayReduce('sum', [{x}, 1])"),
+        inner.map(lambda x: f"arraySum(arrayCumSum([{x}, {x}]))"),
+        inner.map(lambda x: f"arrayFirst(y -> y >= 0, [{x}, 0])"),
+        inner.map(lambda x: f"toDayOfMonth(addDays(toDate('2024-01-01'), abs({x}) % 365))"),
+        inner.map(lambda x: f"toYearWeek(addDays(toDate('2024-01-01'), abs({x}) % 365))"),
+        inner.map(
+            lambda x: f"dateDiff('day', toDate('2024-01-01'),"
+            f" addDays(toDate('2024-01-01'), abs({x}) % 365))"
+        ),
     ),
     max_leaves=6,
 )
+
+
+@given(val=scalar_exprs, cond=scalar_exprs)
+@settings(max_examples=15, deadline=None)
+def test_translated_combinators_execute(spark, nation_view, val, cond):
+    """Aggregate-combinator forms (-If, -Array) over generated value and
+    condition expressions must translate to executable single-row SQL."""
+    sql = (
+        f"SELECT sumIf({val}, ({cond}) > 2) AS a,"
+        f" countIf(({cond}) % 2 = 0) AS b,"
+        f" avgIf(n_nationkey, ({val}) >= 0) AS c,"
+        f" sumArray([{val}, 1]) AS d,"
+        f" countArray([{val}, {cond}]) AS e"
+        f" FROM nation"
+    )
+    out = translate(sql)
+    rows = spark.sql(out).collect()
+    assert len(rows) == 1 and rows[0]["e"] == 50  # 2 elems × 25 rows
 
 
 @given(expr=scalar_exprs)
