@@ -1421,6 +1421,396 @@ def _rewrite_with_fill(sql: str) -> str:
     return out
 
 
+def _paren_partners(sql: str) -> dict[int, int]:
+    """Map each ')' index to its matching '(' index (string-literal aware)."""
+    stack: list[int] = []
+    partner: dict[int, int] = {}
+    in_str: str | None = None
+    for idx, ch in enumerate(sql):
+        if in_str:
+            if ch == in_str and sql[idx - 1] != "\\":
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            stack.append(idx)
+        elif ch == ")" and stack:
+            partner[idx] = stack.pop()
+    return partner
+
+
+_DOTTED_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_.]*")
+_JOIN_STOP_WORDS = {
+    "on", "using", "where", "group", "having", "order", "limit", "window",
+    "settings", "union", "intersect", "except", "inner", "left", "right",
+    "full", "cross", "semi", "anti", "join", "asof", "any", "global", "lateral",
+}
+_COND_BOUNDARY = re.compile(
+    r"(?i)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|SETTINGS|UNION"
+    r"|INTERSECT|EXCEPT|INNER\s+JOIN|LEFT\s+JOIN|RIGHT\s+JOIN|FULL\s+JOIN"
+    r"|CROSS\s+JOIN|JOIN|ASOF|ANY\s+JOIN|GLOBAL)\b"
+)
+
+
+def _parse_table_unit(sql: str, i: int) -> tuple[str, str | None, int] | None:
+    """Parse ``<ident> | (subquery)`` plus optional ``[AS] alias`` at ``i``.
+
+    Returns (unit_text, alias, index_after).  alias falls back to the bare
+    table's last name component; None for an unaliased subquery."""
+    n = len(sql)
+    while i < n and sql[i].isspace():
+        i += 1
+    if i < n and sql[i] == "(":
+        end = _find_balanced(sql, i)
+        text, base = sql[i:end], None
+        i = end
+    else:
+        m = _DOTTED_IDENT.match(sql, i)
+        if not m:
+            return None
+        text = m.group(0)
+        base = text.split(".")[-1]
+        i = m.end()
+    j = i
+    while j < n and sql[j].isspace():
+        j += 1
+    alias = None
+    m = _DOTTED_IDENT.match(sql, j)
+    if m:
+        word = m.group(0)
+        if word.lower() == "as":
+            j2 = m.end()
+            while j2 < n and sql[j2].isspace():
+                j2 += 1
+            m2 = _DOTTED_IDENT.match(sql, j2)
+            if m2 and "." not in m2.group(0):
+                alias = m2.group(0)
+                i = m2.end()
+        elif word.lower() not in _JOIN_STOP_WORDS and "." not in word:
+            alias = word
+            i = m.end()
+    return text, alias or base, i
+
+
+def _read_on_condition(sql: str, i: int) -> tuple[str, int]:
+    """Capture the ON condition text starting at ``i`` up to the next
+    clause/join boundary at the same nesting depth (or a closing paren)."""
+    n = len(sql)
+    depth = 0
+    in_str: str | None = None
+    j = i
+    while j < n:
+        ch = sql[j]
+        if in_str:
+            if ch == in_str and sql[j - 1] != "\\":
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            if depth == 0:
+                break
+            depth -= 1
+        elif ch == "," and depth == 0:
+            break
+        elif depth == 0:
+            m = _COND_BOUNDARY.match(sql, j)
+            if m and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+                break
+        j += 1
+    return sql[i:j], j
+
+
+_EQUALITY_OP = re.compile(r"(>=|<=|<>|!=|=|>|<)")
+
+
+def _split_conjuncts(cond: str) -> list[str]:
+    """Split a condition on top-level ANDs (paren/string aware)."""
+    parts: list[str] = []
+    depth = 0
+    in_str: str | None = None
+    start = 0
+    i = 0
+    n = len(cond)
+    while i < n:
+        ch = cond[i]
+        if in_str:
+            if ch == in_str and cond[i - 1] != "\\":
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and cond[i : i + 3].upper() == "AND" and (
+            i == 0 or not (cond[i - 1].isalnum() or cond[i - 1] == "_")
+        ) and (
+            i + 3 >= n or not (cond[i + 3].isalnum() or cond[i + 3] == "_")
+        ):
+            parts.append(cond[start:i])
+            i += 3
+            start = i
+            continue
+        i += 1
+    parts.append(cond[start:])
+    return [p.strip().strip("()").strip() if p.strip().startswith("(") and p.strip().endswith(")") else p.strip() for p in parts]
+
+
+def _alias_of(expr: str) -> str | None:
+    """The single table qualifier used in ``expr``, or None if zero/mixed."""
+    quals = {m.group(1).lower() for m in re.finditer(r"\b([A-Za-z_]\w*)\s*\.", expr)}
+    return quals.pop() if len(quals) == 1 else None
+
+
+def _resolve_alias_source(sql_before: str, alias: str) -> str | None:
+    """Find the FROM/JOIN unit that ``alias`` names in earlier query text:
+    a table identifier, or the full '(subquery)' text."""
+    esc = re.escape(alias)
+    unit = None
+    for m in re.finditer(
+        r"(?is)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)\s+(?:AS\s+)?" + esc + r"\b",
+        sql_before,
+    ):
+        unit = m.group(1)
+    if unit:
+        return unit
+    partners = _paren_partners(sql_before)
+    for m in re.finditer(r"\)\s*(?:AS\s+)?" + esc + r"\b", sql_before, re.IGNORECASE):
+        close = m.start()
+        if close in partners:
+            unit = sql_before[partners[close] : close + 1]
+    if unit:
+        return unit
+    if re.search(r"(?is)\b(?:FROM|JOIN)\s+" + esc + r"\b", sql_before):
+        return alias  # the alias IS the table name
+    return None
+
+
+def _rewrite_asof_joins(sql: str) -> str:
+    """SQL-text ``ASOF [LEFT|INNER] JOIN`` → a pure-Spark window rewrite.
+
+    The reference passes user SQL verbatim to the engine
+    (mcp_clickhouse/mcp_server.py:425), so a pasted ClickHouse ASOF JOIN
+    must execute, not point at the DataFrame API.  Strategy mirrors
+    operators/asof_join.py (same single-shuffle union+window design, same
+    tie semantics):
+
+      1. build a match table M = for each DISTINCT left (keys, ts), the
+         latest right row with ``r.ts <= l.ts`` (or ``<`` for strict),
+         via UNION ALL + ``last(struct(r.*), true)`` over a window
+         partitioned by the equi-keys — right rows are whole-row-packed
+         into a struct so no column list is needed;
+      2. replace the ASOF join with a plain equi-join back to M on
+         (keys, left ts = M.__asof_lts); M exposes the right columns by
+         expanding the struct.
+
+    Scale: one shuffle of |distinct left keys|+|R| rows for M plus the
+    equi-join — no pairwise range blowup; the DISTINCT/keys-only left
+    branch prunes to key+ts columns at the scan.  Supported shape:
+    ``ON <equi-conj> AND l.ts >= r.ts`` (also ``>``, and the mirrored
+    ``r.ts <= l.ts`` / ``<``); both sides simple tables, aliased
+    subqueries, or aliases resolvable from earlier FROM/JOIN text.
+    Unsupported shapes raise the guided operator pointer.  NOTE: in
+    ``SELECT *`` results the right side carries one extra helper column
+    ``__asof_lts`` (the join-back key); select explicit columns for exact
+    CH star parity.
+    """
+    pat = re.compile(r"(?i)\bASOF\s+((?:LEFT|INNER)\s+)?JOIN\b")
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if sql[: cand.start()].count("'") % 2 == 0:
+                m = cand
+                break
+        if m is None:
+            return sql
+
+        def guided(reason: str) -> ValueError:
+            return ValueError(
+                f"ASOF JOIN: {reason} — this SQL shape cannot be rewritten; "
+                "supported: ASOF [LEFT] JOIN <table|(subquery) alias> ON "
+                "<equi-keys> AND <l.ts >= r.ts>; or use "
+                "mcp_clickhouse_spark.operators.asof_join (DataFrame API)"
+            )
+
+        how = (m.group(1) or "INNER").strip().upper()
+        unit = _parse_table_unit(sql, m.end())
+        if unit is None:
+            raise guided("right side is not a table or (subquery) [alias]")
+        rtext, ralias, i = unit
+        if ralias is None:
+            raise guided("right-side subquery needs an alias")
+        mon = re.compile(r"(?is)\s*ON\b").match(sql, i)
+        if not mon:
+            raise guided("only the ON <condition> form is supported")
+        cond, cond_end = _read_on_condition(sql, mon.end())
+
+        equi: list[tuple[str, str]] = []  # (left expr, right expr)
+        ineq: tuple[str, str, str] | None = None  # (left ts, op, right ts)
+        for conj in _split_conjuncts(cond):
+            if not conj:
+                continue
+            om = _EQUALITY_OP.search(conj)
+            if not om:
+                raise guided(f"cannot parse conjunct {conj!r}")
+            lhs, op, rhs = conj[: om.start()].strip(), om.group(0), conj[om.end() :].strip()
+            la, ra = _alias_of(lhs), _alias_of(rhs)
+            if la is None or ra is None or la == ra:
+                raise guided(f"conjunct {conj!r} must reference one alias per side")
+            if ra == ralias.lower() and la != ralias.lower():
+                pass  # lhs is left-side
+            elif la == ralias.lower() and ra != ralias.lower():
+                # mirror so lhs is always the left side
+                lhs, rhs = rhs, lhs
+                op = {">": "<", "<": ">", ">=": "<=", "<=": ">="}.get(op, op)
+            else:
+                raise guided(f"conjunct {conj!r} does not involve the right alias")
+            if op == "=":
+                equi.append((lhs, rhs))
+            elif op in (">=", ">"):
+                if ineq is not None:
+                    raise guided("more than one inequality conjunct")
+                ineq = (lhs, op, rhs)
+            else:
+                raise guided(
+                    f"inequality {op!r} (nearest-following match) is not supported"
+                )
+        if ineq is None:
+            raise guided("no l.ts >= r.ts inequality conjunct found")
+        if not equi:
+            raise guided("no equi-key conjunct found")
+        lts, op, rts = ineq
+
+        left_aliases = {_alias_of(le) for le, _ in equi} | {_alias_of(lts)}
+        if len(left_aliases) > 1:
+            raise guided(
+                "left-side key/ts expressions must reference a single alias"
+            )
+        lalias = _alias_of(lts)
+        lsource = _resolve_alias_source(sql[: m.start()], lalias)
+        if lsource is None:
+            raise guided(f"cannot resolve left alias {lalias!r} to a FROM unit")
+        # >= : right rows sort BEFORE left at equal ts (they match);
+        # >  : right rows sort AFTER left (strictly-earlier only).
+        lcode, rcode = (1, 0) if op == ">=" else (0, 1)
+        keys = ", ".join(f"__asof_k{idx}" for idx in range(len(equi)))
+        lkeys = ", ".join(
+            f"{le} AS __asof_k{idx}" for idx, (le, _re_) in enumerate(equi)
+        )
+        rkeys = ", ".join(re_ for _le, re_ in equi)
+        inner_filter = "" if how == "LEFT" else " AND __asof_row IS NOT NULL"
+        match_table = (
+            f"(SELECT __asof_row.*, __asof_ts AS __asof_lts FROM ("
+            f"SELECT __asof_ts, __asof_side, last(__asof_row, true) OVER ("
+            f"PARTITION BY {keys} ORDER BY __asof_ts, __asof_side, __asof_row"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_row"
+            f" FROM (SELECT DISTINCT {lkeys}, {lts} AS __asof_ts,"
+            f" {lcode} AS __asof_side, NULL AS __asof_row"
+            f" FROM {lsource} AS {lalias}"
+            f" UNION ALL SELECT {rkeys}, {rts}, {rcode}, struct({ralias}.*)"
+            f" FROM {rtext} AS {ralias}) __asof_u"
+            f") __asof_w WHERE __asof_side = {lcode}{inner_filter}"
+            f") AS {ralias}"
+        )
+        join_kw = "LEFT JOIN" if how == "LEFT" else "JOIN"
+        new_on = " AND ".join(
+            [f"{le} = {re_}" for le, re_ in equi]
+            + [f"{lts} = {ralias}.__asof_lts"]
+        )
+        sql = (
+            sql[: m.start()]
+            + f"{join_kw} {match_table} ON {new_on}"
+            + sql[cond_end:]
+        )
+
+
+def _rewrite_any_joins(sql: str) -> str:
+    """SQL-text ``ANY LEFT|INNER JOIN`` (and the ``LEFT|INNER ANY JOIN``
+    spelling) → dedup-right + plain join, mirroring operators/any_join.py.
+
+    The right side is reduced to one row per key with
+    ``row_number() OVER (PARTITION BY keys ORDER BY struct(*))`` — ordering
+    by the whole packed row makes the surviving match DETERMINISTIC (CH
+    picks an arbitrary one) without needing the column list.  Supported:
+    ON with equi-conjuncts referencing the right alias, or USING (cols).
+    RIGHT ANY (dedups the LEFT side) keeps the guided operator pointer.
+    """
+    pat = re.compile(
+        r"(?i)\b(?:ANY\s+(LEFT|INNER)\s+JOIN|(LEFT|INNER)\s+ANY\s+JOIN)\b"
+    )
+    while True:
+        m = None
+        for cand in pat.finditer(sql):
+            if sql[: cand.start()].count("'") % 2 == 0:
+                m = cand
+                break
+        if m is None:
+            return sql
+
+        def guided(reason: str) -> ValueError:
+            return ValueError(
+                f"ANY JOIN: {reason} — this SQL shape cannot be rewritten; "
+                "supported: ANY LEFT|INNER JOIN <table|(subquery) alias> "
+                "ON <equi-keys> | USING (cols); or use "
+                "mcp_clickhouse_spark.operators.any_join (DataFrame API)"
+            )
+
+        how = (m.group(1) or m.group(2)).upper()
+        unit = _parse_table_unit(sql, m.end())
+        if unit is None:
+            raise guided("right side is not a table or (subquery) [alias]")
+        rtext, ralias, i = unit
+        if ralias is None:
+            raise guided("right-side subquery needs an alias")
+        tail_m = re.compile(r"(?is)\s*(ON|USING)\b").match(sql, i)
+        if not tail_m:
+            raise guided("expected ON or USING after the join target")
+        if tail_m.group(1).upper() == "USING":
+            j = tail_m.end()
+            while j < len(sql) and sql[j].isspace():
+                j += 1
+            if j >= len(sql) or sql[j] != "(":
+                raise guided("USING requires a parenthesized column list")
+            end = _find_balanced(sql, j)
+            keys = [c.strip() for c in _split_args(sql[j + 1 : end - 1])]
+            tail = f" USING {sql[j:end]}"
+            cond_end = end
+        else:
+            cond, cond_end = _read_on_condition(sql, tail_m.end())
+            keys = []
+            for conj in _split_conjuncts(cond):
+                if not conj:
+                    continue
+                om = _EQUALITY_OP.search(conj)
+                if not om or om.group(0) != "=":
+                    raise guided(f"non-equality conjunct {conj!r}")
+                lhs, rhs = conj[: om.start()].strip(), conj[om.end() :].strip()
+                la, ra = _alias_of(lhs), _alias_of(rhs)
+                if ra == ralias.lower() and la not in (None, ralias.lower()):
+                    rside = rhs
+                elif la == ralias.lower() and ra not in (None, ralias.lower()):
+                    rside = lhs
+                else:
+                    raise guided(
+                        f"conjunct {conj!r} must pair the right alias with the left side"
+                    )
+                # bare name inside the dedup subquery (strip the qualifier)
+                keys.append(re.sub(rf"(?i)\b{re.escape(ralias)}\s*\.\s*", "", rside))
+            tail = f" ON {cond}"
+        if not keys:
+            raise guided("no join keys found")
+        dedup = (
+            f"(SELECT * EXCEPT (__any_rn) FROM ("
+            f"SELECT *, row_number() OVER (PARTITION BY {', '.join(keys)}"
+            f" ORDER BY struct(*)) AS __any_rn FROM {rtext} __any_src"
+            f") WHERE __any_rn = 1) AS {ralias}"
+        )
+        join_kw = "LEFT JOIN" if how == "LEFT" else "JOIN"
+        sql = sql[: m.start()] + f"{join_kw} {dedup}{tail}" + sql[cond_end:]
+
+
 def _rewrite_join_modifiers(sql: str) -> str:
     """ClickHouse join spellings → Spark:
 
@@ -1667,6 +2057,8 @@ def _rewrite_scalar_with(sql: str) -> str:
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _strip_suffix_clauses(sql)
+    sql = _rewrite_asof_joins(sql)
+    sql = _rewrite_any_joins(sql)
     sql = _rewrite_join_modifiers(sql)
     sql = _rewrite_table_clauses(sql)
     sql = _rewrite_with_totals(sql)

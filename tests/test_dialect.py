@@ -558,12 +558,87 @@ def test_join_modifier_rewrites_execute(spark):
     )
     assert sorted(r[0] for r in res2["rows"]) == [1, 2, 3]
 
+    # unsupported ANY/ASOF shapes still raise guided operator pointers
     with pytest.raises(Exception, match="any_join"):
-        translate("SELECT a FROM t1 ANY LEFT JOIN t2 USING (k)")
+        translate("SELECT a FROM t1 ANY RIGHT JOIN t2 USING (k)")  # dedups LEFT side
     with pytest.raises(Exception, match="asof_join"):
+        # no inequality conjunct -> not provably ASOF-rewritable
         translate("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k")
     # literals stay untouched
     assert translate("SELECT 'GLOBAL JOIN text' AS s") == "SELECT 'GLOBAL JOIN text' AS s"
+
+
+def test_sql_asof_join_executes(spark, sf_dir):
+    """Verbatim ClickHouse ASOF JOIN SQL executes (round-5 verdict missing
+    #1): result must equal the DataFrame operator it mirrors
+    (operators/asof_join.py)."""
+    from mcp_clickhouse_spark.operators import asof_join
+    from mcp_clickhouse_spark.session import read_table
+
+    ch = """
+    SELECT e.event_id, e.user_id, e.ts, s.ts AS ts_r, s.value AS value_r
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'signup') s
+    ON e.user_id = s.user_id AND e.ts >= s.ts
+    """
+    got = run_select_query(spark, ch, dialect="clickhouse")
+    ev = read_table(spark, sf_dir, "events")
+    import pyspark.sql.functions as F
+
+    left = ev.where(F.col("event_type") != "signup").select("event_id", "user_id", "ts")
+    right = ev.where(F.col("event_type") == "signup").select("user_id", "ts", "value")
+    want = asof_join(
+        left, right, on=["user_id"], left_ts="ts", right_ts="ts", right_cols=["value"]
+    ).select("event_id", "user_id", "ts", "ts_r", "value_r")
+    assert got["columns"] == want.columns
+    assert sorted(map(tuple, got["rows"])) == sorted(map(tuple, want.collect()))
+    # strict > excludes exact-timestamp matches
+    strict = run_select_query(
+        spark,
+        ch.replace("e.ts >= s.ts", "e.ts > s.ts"),
+        dialect="clickhouse",
+    )
+    assert len(strict["rows"]) == len(got["rows"])  # LEFT keeps all left rows
+    # INNER drops unmatched left rows
+    inner = run_select_query(
+        spark,
+        ch.replace("ASOF LEFT JOIN", "ASOF JOIN"),
+        dialect="clickhouse",
+    )
+    matched = [r for r in got["rows"] if r[3] is not None]
+    assert len(inner["rows"]) == len(matched)
+
+
+def test_sql_any_join_executes(spark):
+    """Verbatim CH ANY LEFT JOIN (both spellings + USING) — one right row
+    per key, deterministic min-by-all-columns pick."""
+    ch = """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey
+    FROM customer c
+    ANY LEFT JOIN (SELECT o_custkey, o_orderkey FROM orders) o
+    ON c.c_custkey = o.o_custkey
+    WHERE c.c_custkey <= 20
+    """
+    got = run_select_query(spark, ch, dialect="clickhouse")
+    assert len(got["rows"]) == 21  # one row per customer (keys 0..20)
+    # the deterministic pick is the minimum orderkey per customer
+    want = run_select_query(
+        spark,
+        "SELECT o_custkey, min(o_orderkey) AS mk FROM orders"
+        " WHERE o_custkey <= 20 GROUP BY o_custkey",
+    )
+    mins = {r[0]: r[1] for r in want["rows"]}
+    for ck, _name, ok in got["rows"]:
+        assert ok == mins.get(ck)
+    # alternate spelling + USING form
+    using = run_select_query(
+        spark,
+        "SELECT c_custkey, c_name FROM customer LEFT ANY JOIN"
+        " (SELECT o_custkey AS c_custkey, o_orderkey FROM orders) oo"
+        " USING (c_custkey) WHERE c_custkey <= 20",
+        dialect="clickhouse",
+    )
+    assert len(using["rows"]) == 21
 
 
 def test_prewhere_sample_final_execute(spark):
