@@ -89,6 +89,7 @@ def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -
     temp views over in-memory frames have none of these."""
     import re as _re
 
+    provider = num_buckets = None
     for qualified in (f"{database}.{name}", name):
         try:
             rows = spark.sql(f"DESCRIBE EXTENDED {qualified}").collect()
@@ -105,10 +106,29 @@ def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -
                 # bucketed-table sort spec — the closest Spark analog of
                 # MergeTree's sorting_key (reference Table.sorting_key,
                 # mcp_server.py:46-48)
-                table.sorting_key = (r[1] or "").strip("[]")
+                table.sorting_key = (r[1] or "").strip("[]").replace("`", "")
             elif r[0] == "Bucket Columns":
-                table.primary_key = (r[1] or "").strip("[]")
+                table.primary_key = (r[1] or "").strip("[]").replace("`", "")
+            elif r[0] == "Provider":
+                provider = (r[1] or "").strip()
+            elif r[0] == "Num Buckets":
+                num_buckets = (r[1] or "").strip()
         break
+    if provider:
+        # engine = the storage provider (the MergeTree-analog slot:
+        # reference Table.engine, mcp_server.py:30); engine_full adds the
+        # managed/external type and the bucket-sort layout the way CH's
+        # engine_full carries the ORDER BY/SETTINGS tail.
+        ttype = table.engine  # tableType set by describe_table before this
+        table.engine = provider
+        full = f"{provider} {ttype}".strip()
+        if table.primary_key:
+            full += f" CLUSTERED BY ({table.primary_key})"
+            if table.sorting_key:
+                full += f" SORTED BY ({table.sorting_key})"
+            if num_buckets:
+                full += f" INTO {num_buckets} BUCKETS"
+        table.engine_full = full
     try:
         files = spark.table(f"{database}.{name}").inputFiles()
         table.parts = len(files)

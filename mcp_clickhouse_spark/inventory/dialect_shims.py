@@ -161,3 +161,57 @@ def sql_any_join(spark, sf_dir):
     t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_ANY_CH))
+
+
+@query(
+    "shim_with_fill_interpolate",
+    oracle="""
+    WITH sized AS (
+      SELECT p_size,
+             CAST(SUM(CAST(round(p_retailprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM part WHERE p_size <= 25 AND p_size % 3 != 0 GROUP BY p_size
+    ),
+    axis AS (SELECT UNNEST(generate_series(1, 25)) AS p_size),
+    j AS (
+      SELECT CAST(axis.p_size AS INTEGER) AS p_size, sized.cents
+      FROM axis LEFT JOIN sized ON CAST(axis.p_size AS INTEGER) = sized.p_size
+    ),
+    w AS (
+      SELECT p_size, cents,
+        last_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN cents IS NOT NULL THEN p_size END IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        first_value(CAST(cents AS DOUBLE) IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        first_value(CASE WHEN cents IS NOT NULL THEN p_size END IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+      FROM j
+    )
+    SELECT p_size,
+      CAST(round(COALESCE(CAST(cents AS DOUBLE),
+        CASE WHEN nx IS NOT NULL AND px IS NOT NULL
+             THEN pv + (nv - pv) * (CAST(p_size - px AS DOUBLE) / (nx - px))
+             ELSE pv END) * 1000000) AS BIGINT) AS cents_micro
+    FROM w
+    """,
+    category="dialect",
+)
+def shim_with_fill_interpolate(spark, sf_dir):
+    """WITH FILL + linear INTERPOLATE (round-5 verdict missing #3): a
+    gap-filled per-size revenue axis where missing sizes are linearly
+    interpolated between the surrounding real values
+    (operators/with_fill.py interpolate='linear').  Revenue goes through
+    bigint cents and the result is micro-unit quantized so both engines
+    compare exactly (same IEEE expression tree on identical doubles)."""
+    p = t(spark, sf_dir, "part").where(
+        (F.col("p_size") <= 25) & (F.col("p_size") % 3 != 0)
+    )
+    sized = p.groupBy("p_size").agg(
+        F.sum(F.round(F.col("p_retailprice") * 100).cast("long")).alias("cents")
+    )
+    filled = with_fill(sized, "p_size", 1, 25, 1, interpolate={"cents": "linear"})
+    return filled.select(
+        "p_size",
+        F.round(F.col("cents") * 1e6).cast("long").alias("cents_micro"),
+    )

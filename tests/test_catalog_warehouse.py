@@ -34,7 +34,10 @@ def test_list_tables_in_real_db(spark, warehouse_db):
     assert resp["total_tables"] == 1
     tb = resp["tables"][0]
     assert tb["name"] == "metrics"
-    assert tb["engine"] == "MANAGED"  # provider/type (MergeTree analog slot)
+    # engine = storage provider (MergeTree analog slot); engine_full keeps
+    # the managed/external type (round-6: was the bare tableType)
+    assert tb["engine"].lower() == "parquet"
+    assert "MANAGED" in tb["engine_full"] and "parquet" in tb["engine_full"].lower()
     assert "CREATE TABLE" in tb["create_table_query"]
     assert "metrics" in tb["create_table_query"]
     cols = {c["name"]: c["column_type"] for c in tb["columns"]}
@@ -66,3 +69,30 @@ def test_table_comment_surfaces(spark, warehouse_db):
     assert "engine metrics table" in resp["tables"][0]["create_table_query"] or (
         resp["tables"][0]["comment"] == "engine metrics table"
     )
+
+
+def test_bucketed_table_engine_metadata(spark, warehouse_db):
+    """Round-6 (r5 verdict next #9): a bucketed warehouse table surfaces its
+    provider, bucket-sort layout (engine_full), sorting_key/primary_key,
+    and backing file count — the Table dataclass fidelity note (SURVEY
+    §1.1)."""
+    spark.sql(
+        """
+        CREATE TABLE IF NOT EXISTS analytics_test.bucketed
+        USING PARQUET
+        CLUSTERED BY (k) SORTED BY (s) INTO 4 BUCKETS
+        AS SELECT id % 10 AS k, id AS s, id * 2 AS v FROM range(1000)
+        """
+    )
+    try:
+        resp = list_tables(spark, warehouse_db)
+        tb = {t_["name"]: t_ for t_ in resp["tables"]}["bucketed"]
+        assert tb["engine"].lower() == "parquet"
+        assert "CLUSTERED BY (k)" in tb["engine_full"]
+        assert "SORTED BY (s)" in tb["engine_full"]
+        assert "4 BUCKETS" in tb["engine_full"]
+        assert tb["sorting_key"] == "s"
+        assert tb["primary_key"] == "k"
+        assert tb["parts"] and tb["parts"] >= 4  # one file per bucket minimum
+    finally:
+        spark.sql("DROP TABLE IF EXISTS analytics_test.bucketed")

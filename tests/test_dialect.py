@@ -323,11 +323,31 @@ def test_with_fill_unbounded_raises():
 
     with pytest.raises(DialectError):
         translate("SELECT x FROM t ORDER BY x WITH FILL")
-    with pytest.raises(DialectError):
+    # AS-expression interpolation stays API-level (guided error)
+    with pytest.raises(DialectError, match="operators.with_fill"):
         translate(
             "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
-            "INTERPOLATE (y)"
+            "INTERPOLATE (y AS y + 1)"
         )
+
+
+def test_with_fill_interpolate_prev_fills(spark):
+    """SQL-text INTERPOLATE (bare columns) carries the previous value onto
+    generated rows — the CH default (round-6; replaced the guided error)."""
+    res = run_select_query(
+        spark,
+        "SELECT o_orderkey % 10 AS bucket, count() AS n FROM orders "
+        "WHERE o_orderkey % 10 IN (1, 3) GROUP BY bucket "
+        "ORDER BY bucket WITH FILL FROM 0 TO 10 STEP 1 INTERPOLATE (n)",
+        dialect="clickhouse",
+    )
+    cols = res["columns"]
+    rows = [dict(zip(cols, r)) for r in res["rows"]]
+    by_bucket = {r["bucket"]: r["n"] for r in rows}
+    assert sorted(by_bucket) == list(range(10))
+    assert by_bucket[0] is None  # nothing before the first real row
+    assert by_bucket[2] == by_bucket[1]  # prev-filled
+    assert by_bucket[9] == by_bucket[3]  # carried forward to the end
 
 
 def test_datetime_interval_family(spark):

@@ -548,3 +548,97 @@ def test_watermark_drops_late_data_across_batches(spark, tmp_path):
     assert got.get(10) == 1
     assert 9 not in got
     assert 13 not in got and 14 not in got
+
+
+def test_streaming_clean_corpus_pipeline_matches_batch(spark, tmp_path):
+    """Round-6 (r5 verdict next #10): the FULL clean-corpus pipeline
+    composed on ONE rate-limited stream — PII scrub + quality filter
+    (stateless column exprs), within-stream + cross-corpus incremental
+    dedup (stateful, state must carry across micro-batches), and
+    boilerplate span removal (foreachBatch against a static key table) —
+    equals the identical composition run in batch.
+
+    The source is split into 4 files and streamed with
+    maxFilesPerTrigger=1, so availableNow replays it as 4 rate-limited
+    micro-batches.  Duplicate texts have a nondeterministic keeper id in
+    both engines (dropDuplicates), so equality is on the multiset of
+    (dedup-key-free) cleaned texts plus the kept-key set."""
+    from pyspark.sql import functions as F
+
+    from mcp_clickhouse_spark.pipeline.dedup import doc_spans
+    from mcp_clickhouse_spark.pipeline.text import quality_score_col, scrub_pii
+    from mcp_clickhouse_spark.streaming.ops import (
+        span_filter_apply,
+        streaming_incremental_dedup,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    # "yesterday's corpus": the first 100 docs' keys, a static side input.
+    # md5, not fingerprint_col: the rolling hash can collide, and a
+    # collision makes the (nondeterministic) keeper's TEXT differ between
+    # batch and stream — md5 keeps key<->text bijective for the equality.
+    corpus_keys = (
+        docs.where(F.col("doc_id") < 100)
+        .select(F.md5("text").alias("dedup_key"))
+        .distinct()
+    )
+    # static boilerplate-span artifact (spans appearing in >1 doc)
+    bkeys = (
+        doc_spans(docs)
+        .groupBy("chunk_key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+    )
+
+    def stateless(df):
+        s = scrub_pii(df)
+        return (
+            s.where(quality_score_col("text") >= 0.8)
+            .select("doc_id", F.col("text_scrubbed").alias("text"))
+            .withColumn("dedup_key", F.md5("text"))
+        )
+
+    # ---- batch truth: same composition, whole input at once
+    b = (
+        stateless(docs)
+        .dropDuplicates(["dedup_key"])
+        .join(corpus_keys, "dedup_key", "left_anti")
+    )
+    want = sorted(
+        r.cleaned_text for r in span_filter_apply(b.drop("dedup_key"), bkeys).collect()
+    )
+    want_keys = {r.dedup_key for r in b.select("dedup_key").collect()}
+
+    # ---- streaming: 4-file source, one file per micro-batch
+    src = str(tmp_path / "clean_src")
+    docs.repartition(4).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kept = streaming_incremental_dedup(stateless(stream), corpus_keys)
+    out = str(tmp_path / "clean_out")
+
+    def sink(batch_df, _bid):
+        span_filter_apply(batch_df.drop("dedup_key"), bkeys).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        kept.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cleaned = spark.read.parquet(out)
+    got = sorted(r.cleaned_text for r in cleaned.collect())
+    assert got == want and len(got) > 0
+    # the stateful dedup carried keys across micro-batches
+    kept_ids = {r.doc_id for r in cleaned.collect()}
+    re_keys = {
+        r.dedup_key
+        for r in stateless(docs).where(F.col("doc_id").isin(list(kept_ids))).collect()
+    }
+    assert re_keys == want_keys
