@@ -1,25 +1,37 @@
 """Driver-facing registration order for the query inventory.
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
-registration order), rotating coverage round by round.  After round 3 every
-oracle-backed query has had a driver row and 111/113 were green.
+registration order), rotating coverage round by round.  After round 5,
+147/147 oracle-backed queries have been green at least once and 156/157
+then-registered queries had a driver row — the single gap
+(``pipe_dup_clusters_minhash``, registered after the r5 list froze) leads
+this round's list per the r5 verdict (next #4).
 
-Round 5 priority, summing to exactly 50: the TWENTY-FIVE brand-new round-5
-queries (dup-cluster CC, span dedup, vocab OOV, dedup funnel, table
-profiling, LSH eval, epoch shards, compression ratio, streaming minhash
-pairs, streaming corpus stats, snapshot diff, clean corpus, repetition
-filters, incremental dedup, PII scrub, topKWeighted, train/val split,
-unigram log-prob, chunking, packing, decontamination, BM25, C4 filters,
-stratified sample, source mix — never driver-checked) + the one query whose ORACLE changed this round
-(subquery_scalar — the mean now goes through order-independent bigint-cents
-because the multi-file storage layout unpinned double-sum order) + the 14
-bench-headline canaries (AQE policy + storage-layout rewrite changed their
-execution this round) + 5 of the 11 round-4-new shapes holding a single
-green (q9/q11/q13/q15/q16/q17 rolled to r6 for slot budget) + 5 of the 6 single-green
-r4-only TPC-H (q18 rolled to r6)  (25 + 1 + 14 + 5 + 5 = 50).  Rolled to
-round 6: q9/q11/q13/q15/q16/q17/q18, the r3-refresh pool (join_inner/left/any/cross/theta,
-setops, scalar_string/json/map, agg_any_first_last/cube/histogram,
-q19, and the q2/q4/q8/q12-adjacent singles).
+Round 6 priority, summing to exactly 50:
+
+- 1 never-driver-checked query (pipe_dup_clusters_minhash — rows-only by
+  design, pytest-pinned; the driver row proves it executes under the
+  driver session);
+- 1 query whose ORACLE/SHAPE changed this round (pipe_pack_sequences —
+  now composed with the epoch-shard key so the packing window is
+  partitioned; verdict "What's wrong #3");
+- 3 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
+  ASOF/ANY rewrite, verdict missing #1 — and shim_with_fill_interpolate,
+  verdict missing #3);
+- 5 round-5-new entries holding a single green (pipe_bm25, pipe_c4_filters,
+  pipe_stratified_sample, pipe_source_mix, pipe_decontaminate);
+- 8 TPC-H shapes rolled from the r5 slot budget
+  (q9/q11/q13/q15/q16/q17/q18/q19);
+- 16 bench-headline canaries (the dialect array-fold accumulator fix and
+  warehouse cache are upstream of all of them);
+- 15 r3-refresh pool entries (join_inner/left/any/cross/theta, four
+  setops, scalar_string/json/map, agg_any_first_last/cube/histogram);
+- 1 r4-adjacent single (q2_min_cost_supplier).
+
+Rolled to round 7: the remaining setops (union_by_name/intersect_all/
+except_all), scalar_regex/datetime/math/cast/array/hash/null_handling,
+events_sliding/pivot/props/latest, the win_* family, behav_* family, and
+the q3-q8/q10/q12/q14/q20-q22 second-green pool.
 """
 
 from __future__ import annotations
@@ -28,35 +40,30 @@ from mcp_clickhouse_spark.inventory.registry import QUERIES
 
 # Exactly 50 names.
 PRIORITY: list[str] = [
-    # brand-new this round — never driver-checked
-    "pipe_dup_clusters",
-    "pipe_span_dedup",
-    "pipe_vocab_oov",
-    "profile_documents",
-    "pipe_lsh_eval",
-    "pipe_epoch_shards",
-    "pipe_compression_ratio",
-    "streaming_minhash_pairs",
-    "streaming_corpus_stats",
-    "pipe_snapshot_diff",
-    "pipe_clean_corpus",
-    "pipe_dedup_funnel",
-    "pipe_repetition_filters",
-    "pipe_dedup_incremental",
-    "pipe_pii_scrub",
-    "agg_topk_weighted",
-    "pipe_train_val_split",
-    "pipe_unigram_logprob",
-    "pipe_chunk_documents",
+    # never driver-checked (the one r5 coverage gap)
+    "pipe_dup_clusters_minhash",
+    # shape/oracle changed this round — must re-verify first
     "pipe_pack_sequences",
-    "pipe_decontaminate",
+    # brand-new round-6 queries
+    "sql_asof_join",
+    "sql_any_join",
+    "shim_with_fill_interpolate",
+    # round-5-new entries earning the second green
     "pipe_bm25",
     "pipe_c4_filters",
     "pipe_stratified_sample",
     "pipe_source_mix",
-    # oracle changed this round — must re-verify first
-    "subquery_scalar",
-    # bench-headline canaries (execution changed: AQE policy + file layout)
+    "pipe_decontaminate",
+    # TPC-H shapes rolled from the r5 slot budget
+    "q9_product_profit",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    # bench-headline canaries
     "q1_pricing_summary",
     "scan_projection",
     "join_star_revenue",
@@ -71,21 +78,27 @@ PRIORITY: list[str] = [
     "pipe_minhash_lsh",
     "pipe_embed_topk",
     "pipe_text_stats",
-    # round-4-new shapes: earn the second green
-    "pipe_embed_neardup",
-    "q5_local_supplier_volume",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    # single-green r4-only TPC-H (q18 rolled to r6 for slot budget)
-    "q3_shipping_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q14_promo_revenue",
+    "pipe_span_dedup",
+    "pipe_vocab_oov",
+    # r3-refresh pool (oldest greens)
+    "join_inner",
+    "join_left",
+    "join_any",
+    "join_cross",
+    "join_theta",
+    "setop_union_all",
+    "setop_union_distinct",
+    "setop_intersect",
+    "setop_except",
+    "scalar_string",
+    "scalar_json",
+    "scalar_map",
+    "agg_any_first_last",
+    "agg_cube",
+    "agg_histogram",
+    # r4-adjacent single
+    "q2_min_cost_supplier",
 ]
-# (agg_any_first_last/q19 and the other rolled slots are accounted in the
-# docstring's round-6 carry-over list.)
 
 
 def apply_priority() -> None:
