@@ -1850,6 +1850,61 @@ def _rewrite_any_joins(sql: str) -> str:
         sql = sql[: m.start()] + f"{join_kw} {dedup}{tail}" + sql[cond_end:]
 
 
+def _rewrite_qualify(sql: str) -> str:
+    """ClickHouse 24.4+ ``QUALIFY <cond>`` — filter applied AFTER window
+    functions evaluate — rewritten onto plain Spark SQL (round 6; replaced
+    the guided error for the top-level form):
+
+      - condition with no inline OVER(): it references select-list aliases
+        (e.g. ``QUALIFY rn = 1``), which are visible one level out — wrap
+        the query and filter in an outer WHERE;
+      - condition with inline OVER(): wrap the query, compute ``(cond) AS
+        __q`` OVER THE WRAPPED OUTPUT (select-list aliases — including
+        GROUP BY aggregates like ``QUALIFY row_number() OVER (ORDER BY n
+        DESC)`` — are real columns there, where Spark forbids lateral
+        aliases inside window frames), filter on ``__q``, and drop it via
+        ``* EXCEPT``.  A QUALIFY window referencing a base column that the
+        select list DROPS fails loudly at analysis (select it or use a
+        subquery).
+
+    ORDER BY/LIMIT after QUALIFY move outside the wrap (CH applies them
+    after the filter).  ``SELECT DISTINCT`` + inline-window QUALIFY keeps a
+    guided error — adding the helper column would change the DISTINCT.
+    Subquery-level QUALIFY (depth > 0) is left for the engine's error.
+    """
+    d0 = {i for i, _ in _depth0_spans(sql)}
+    m = None
+    for mm in re.finditer(r"(?is)\bQUALIFY\b", sql):
+        if mm.start() in d0:
+            m = mm
+            break
+    if not m:
+        return sql
+    cond, cond_end = _read_on_condition(sql, m.end())
+    cond = cond.strip()
+    if not cond:
+        raise DialectError("QUALIFY requires a condition")
+    head = sql[: m.start()].rstrip()
+    tail = sql[cond_end:].strip()
+    if not re.search(r"(?is)\bOVER\b", cond):
+        out = f"SELECT * FROM ({head}) __qualify WHERE {cond}"
+    else:
+        if re.match(r"(?is)\s*SELECT\s+DISTINCT\b", head):
+            raise DialectError(
+                "QUALIFY with an inline window over SELECT DISTINCT is not "
+                "translatable (the helper column would change the DISTINCT);"
+                " compute the window in a subquery and filter it outside"
+            )
+        out = (
+            f"SELECT * EXCEPT (__q) FROM ("
+            f"SELECT *, ({cond}) AS __q FROM ({head}) __qualify_src"
+            f") __qualify WHERE __q"
+        )
+    if tail:
+        out += f" {tail}"
+    return out
+
+
 def _rewrite_join_modifiers(sql: str) -> str:
     """ClickHouse join spellings → Spark:
 
@@ -1891,11 +1946,14 @@ def _rewrite_join_modifiers(sql: str) -> str:
             "columns"
         )
     if first_outside(r"(?i)\bQUALIFY\b"):
+        # top-level QUALIFY is rewritten by _rewrite_qualify before this
+        # pass; anything left is inside a subquery
         raise ValueError(
-            "QUALIFY has no Spark SQL equivalent — compute the window "
-            "expression as a column in a subquery and filter it in the "
-            "outer WHERE (or use shim_limit_by / operators.topk for the "
-            "common per-group top-N shape)"
+            "QUALIFY inside a subquery is not rewritten — compute the "
+            "window expression as a column in the subquery and filter it "
+            "in its outer WHERE (top-level QUALIFY translates "
+            "automatically; shim_limit_by / operators.topk cover the "
+            "per-group top-N shape)"
         )
     for pat in (r"(?i)\bANY\s+(LEFT|RIGHT|INNER)\s+JOIN\b", r"(?i)\bASOF\s+JOIN\b"):
         m = first_outside(pat)
@@ -2098,6 +2156,7 @@ def translate(sql: str) -> str:
     sql = _strip_suffix_clauses(sql)
     sql = _rewrite_asof_joins(sql)
     sql = _rewrite_any_joins(sql)
+    sql = _rewrite_qualify(sql)
     sql = _rewrite_join_modifiers(sql)
     sql = _rewrite_table_clauses(sql)
     sql = _rewrite_with_totals(sql)

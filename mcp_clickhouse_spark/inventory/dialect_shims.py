@@ -215,3 +215,30 @@ def shim_with_fill_interpolate(spark, sf_dir):
         "p_size",
         F.round(F.col("cents") * 1e6).cast("long").alias("cents_micro"),
     )
+
+
+_SQL_QUALIFY_CH = """
+SELECT o_orderstatus, o_custkey, o_orderkey
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) <= 3
+"""
+
+
+@query(
+    "sql_qualify",
+    oracle="""
+    SELECT o_orderstatus, o_custkey, o_orderkey
+    FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) <= 3
+    """,
+    category="dialect",
+)
+def sql_qualify(spark, sf_dir):
+    """Verbatim QUALIFY SQL (CH 24.4+) through dialect._rewrite_qualify —
+    the inline-window form gets a spliced helper column over the wrapped
+    output, filtered and dropped via * EXCEPT.  Oracle: DuckDB's native
+    QUALIFY (deterministic: orderkey is unique)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_QUALIFY_CH))

@@ -15,9 +15,10 @@ Round 6 priority, summing to exactly 50:
 - 1 query whose ORACLE/SHAPE changed this round (pipe_pack_sequences —
   now composed with the epoch-shard key so the packing window is
   partitioned; verdict "What's wrong #3");
-- 3 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
-  ASOF/ANY rewrite, verdict missing #1 — and shim_with_fill_interpolate,
-  verdict missing #3);
+- 4 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
+  ASOF/ANY rewrite, verdict missing #1 — shim_with_fill_interpolate,
+  verdict missing #3 — and sql_qualify, the top-level QUALIFY rewrite
+  that replaced that guided error);
 - 5 round-5-new entries holding a single green (pipe_bm25, pipe_c4_filters,
   pipe_stratified_sample, pipe_source_mix, pipe_decontaminate);
 - 8 TPC-H shapes rolled from the r5 slot budget
@@ -26,10 +27,9 @@ Round 6 priority, summing to exactly 50:
   warehouse cache are upstream of all of them);
 - 15 r3-refresh pool entries (join_inner/left/any/cross/theta, four
   setops, scalar_string/json/map, agg_any_first_last/cube/histogram);
-- 1 r4-adjacent single (q2_min_cost_supplier).
-
-Rolled to round 7: the remaining setops (union_by_name/intersect_all/
-except_all), scalar_regex/datetime/math/cast/array/hash/null_handling,
+Rolled to round 7: q2_min_cost_supplier, the remaining setops
+(union_by_name/intersect_all/except_all),
+scalar_regex/datetime/math/cast/array/hash/null_handling,
 events_sliding/pivot/props/latest, the win_* family, behav_* family, and
 the q3-q8/q10/q12/q14/q20-q22 second-green pool.
 """
@@ -48,6 +48,7 @@ PRIORITY: list[str] = [
     "sql_asof_join",
     "sql_any_join",
     "shim_with_fill_interpolate",
+    "sql_qualify",
     # round-5-new entries earning the second green
     "pipe_bm25",
     "pipe_c4_filters",
@@ -96,8 +97,6 @@ PRIORITY: list[str] = [
     "agg_any_first_last",
     "agg_cube",
     "agg_histogram",
-    # r4-adjacent single
-    "q2_min_cost_supplier",
 ]
 
 

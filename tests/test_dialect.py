@@ -3,6 +3,8 @@ Spark, assert exact values (the reference's query language accepted as-is)."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from mcp_clickhouse_spark.dialect import translate
@@ -728,11 +730,12 @@ def test_date_names_and_timeslot(spark):
     assert str(row[3]).endswith("10:30:00")
 
 
-def test_qualify_raises_guided_error():
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="QUALIFY"):
-        translate("SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2")
+def test_qualify_translates_top_level():
+    # round 6: top-level QUALIFY rewrites instead of raising (CH 24.4+)
+    out = translate(
+        "SELECT a, row_number() OVER (ORDER BY a) AS r FROM t QUALIFY r <= 2"
+    )
+    assert "WHERE r <= 2" in out and not re.search(r"\bQUALIFY\b", out)
     # the word inside a string literal is untouched
     assert "QUALIFY" in translate("SELECT 'QUALIFY' AS s")
 
@@ -781,8 +784,10 @@ def test_guard_not_masked_by_string_literal():
     # a literal occurrence earlier in the query must not mask a real one
     with _pytest.raises(ValueError, match="sumState"):
         translate("SELECT 'doc sumState(x)' AS c, sumState(y) FROM t")
-    with _pytest.raises(ValueError, match="QUALIFY"):
-        translate("SELECT 'about QUALIFY' AS c FROM t QUALIFY r <= 2")
+    # QUALIFY now REWRITES (round 6): the literal earlier in the query must
+    # not mask the real clause, and must itself survive untouched
+    out = translate("SELECT 'about QUALIFY' AS c FROM t QUALIFY r <= 2")
+    assert "WHERE r <= 2" in out and "'about QUALIFY'" in out
 
 
 def test_array_combinators_skip_null_elements(spark):
@@ -1108,3 +1113,51 @@ def test_review_fixes_dialect_edge_cases(spark):
         "SELECT arraySort(x -> x + l, [3, 1, 2]) AS srt FROM (SELECT 10 AS l)",
     )
     assert row[0] == [1, 2, 3]
+
+
+def test_qualify_rewrites_execute(spark):
+    """Top-level QUALIFY (CH 24.4+) rewrites instead of raising (round 6):
+    alias conditions filter one level out; inline-OVER conditions get a
+    spliced helper column dropped via * EXCEPT."""
+    # alias form
+    res = run_select_query(
+        spark,
+        "SELECT o_orderstatus, o_orderkey,"
+        " row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn"
+        " FROM orders QUALIFY rn <= 2 ORDER BY o_orderstatus, rn",
+        dialect="clickhouse",
+    )
+    from collections import Counter
+
+    per = Counter(r[0] for r in res["rows"])
+    assert all(v == 2 for v in per.values()) and len(per) >= 2
+    # inline-window form, ORDER BY/LIMIT moving outside the wrap
+    res2 = run_select_query(
+        spark,
+        "SELECT o_orderstatus, o_orderkey FROM orders"
+        " QUALIFY row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) = 1"
+        " ORDER BY o_orderstatus LIMIT 2",
+        dialect="clickhouse",
+    )
+    assert len(res2["rows"]) == 2
+    assert [c for c in res2["columns"]] == ["o_orderstatus", "o_orderkey"]
+    # grouped query + QUALIFY over the aggregate
+    res3 = run_select_query(
+        spark,
+        "SELECT o_orderstatus, count() AS n FROM orders GROUP BY o_orderstatus"
+        " QUALIFY row_number() OVER (ORDER BY n DESC) = 1",
+        dialect="clickhouse",
+    )
+    assert len(res3["rows"]) == 1
+    # DISTINCT + inline window: guided error
+    with pytest.raises(ValueError, match="DISTINCT"):
+        translate(
+            "SELECT DISTINCT o_orderstatus FROM orders"
+            " QUALIFY row_number() OVER (ORDER BY o_orderstatus) = 1"
+        )
+    # subquery-level QUALIFY keeps the guided pointer
+    with pytest.raises(ValueError, match="subquery"):
+        translate(
+            "SELECT * FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn"
+            " FROM t QUALIFY rn = 1)"
+        )
