@@ -1627,6 +1627,76 @@ def _resolve_alias_source(sql_before: str, alias: str) -> str | None:
     return None
 
 
+def _rewrite_asof_using(
+    sql: str, m: re.Match, how: str, rtext: str, ralias: str, j: int
+) -> str:
+    """The canonical CH spelling ``ASOF [LEFT] JOIN r USING (k1, …, ts)`` —
+    the LAST USING column is the ``>=`` inequality (the CH contract; USING
+    has no strict form).  Same match-table strategy as the ON form, plus
+    CH's merged-USING output shape: the right side's key/ts columns are
+    DROPPED from the match table (``* EXCEPT``), so bare references to the
+    USING names keep resolving to the left side exactly as after a CH
+    USING join.  Two helper columns (__asof_k*/__asof_lts) remain for the
+    join-back; select explicit columns for exact ``SELECT *`` parity.
+
+    The left unit must be a simple ``FROM|JOIN <table> [AS alias]``
+    immediately before ASOF (bare USING names carry no alias to resolve a
+    subquery through).
+    """
+
+    def guided(reason: str) -> ValueError:
+        return ValueError(
+            f"ASOF JOIN USING: {reason} — use the ON form or "
+            "mcp_clickhouse_spark.operators.asof_join (DataFrame API)"
+        )
+
+    n = len(sql)
+    while j < n and sql[j].isspace():
+        j += 1
+    if j >= n or sql[j] != "(":
+        raise guided("USING requires a parenthesized column list")
+    end = _find_balanced(sql, j)
+    cols = [c.strip() for c in _split_args(sql[j + 1 : end - 1])]
+    if len(cols) < 2 or not all(re.fullmatch(r"[A-Za-z_]\w*", c) for c in cols):
+        raise guided("USING needs bare column names: keys then the timestamp")
+    keys, ts = cols[:-1], cols[-1]
+    head = sql[: m.start()]
+    lm = re.search(
+        r"(?is)\b(?:FROM|JOIN)\s+([A-Za-z_][\w.]*)"
+        r"(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?\s*$",
+        head,
+    )
+    if not lm:
+        raise guided("cannot identify a simple left table before ASOF")
+    ltable = lm.group(1)
+    lalias = lm.group(2) or ltable.split(".")[-1]
+    wcols = ", ".join(f"__asof_k{i}" for i in range(len(keys)))
+    keys_sel_l = ", ".join(
+        f"{lalias}.{k} AS __asof_k{i}" for i, k in enumerate(keys)
+    )
+    keys_sel_r = ", ".join(f"{ralias}.{k}" for k in keys)
+    inner_filter = "" if how == "LEFT" else " AND __asof_row IS NOT NULL"
+    match_table = (
+        f"(SELECT * EXCEPT ({', '.join(keys)}, {ts}) FROM ("
+        f"SELECT {wcols}, __asof_ts AS __asof_lts, __asof_row.* FROM ("
+        f"SELECT {wcols}, __asof_ts, __asof_side, last(__asof_row, true) OVER ("
+        f"PARTITION BY {wcols} ORDER BY __asof_ts, __asof_side, __asof_row"
+        f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS __asof_row"
+        f" FROM (SELECT DISTINCT {keys_sel_l}, {lalias}.{ts} AS __asof_ts,"
+        f" 1 AS __asof_side, NULL AS __asof_row FROM {ltable} AS {lalias}"
+        f" UNION ALL SELECT {keys_sel_r}, {ralias}.{ts}, 0, struct({ralias}.*)"
+        f" FROM {rtext} AS {ralias}) __asof_u"
+        f") __asof_w WHERE __asof_side = 1{inner_filter}"
+        f") __asof_m) AS {ralias}"
+    )
+    join_kw = "LEFT JOIN" if how == "LEFT" else "JOIN"
+    new_on = " AND ".join(
+        [f"{lalias}.{k} = {ralias}.__asof_k{i}" for i, k in enumerate(keys)]
+        + [f"{lalias}.{ts} = {ralias}.__asof_lts"]
+    )
+    return sql[: m.start()] + f"{join_kw} {match_table} ON {new_on}" + sql[end:]
+
+
 def _rewrite_asof_joins(sql: str) -> str:
     """SQL-text ``ASOF [LEFT|INNER] JOIN`` → a pure-Spark window rewrite.
 
@@ -1683,7 +1753,11 @@ def _rewrite_asof_joins(sql: str) -> str:
             raise guided("right-side subquery needs an alias")
         mon = re.compile(r"(?is)\s*ON\b").match(sql, i)
         if not mon:
-            raise guided("only the ON <condition> form is supported")
+            musing = re.compile(r"(?is)\s*USING\b").match(sql, i)
+            if musing:
+                sql = _rewrite_asof_using(sql, m, how, rtext, ralias, musing.end())
+                continue
+            raise guided("only the ON <condition> and USING (cols) forms are supported")
         cond, cond_end = _read_on_condition(sql, mon.end())
 
         equi: list[tuple[str, str]] = []  # (left expr, right expr)

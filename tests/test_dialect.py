@@ -1161,3 +1161,33 @@ def test_qualify_rewrites_execute(spark):
             "SELECT * FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn"
             " FROM t QUALIFY rn = 1)"
         )
+
+
+def test_sql_asof_join_using_form(spark, sf_dir):
+    """The canonical CH spelling: ASOF LEFT JOIN ... USING (keys..., ts) —
+    last USING column is the >= inequality; right's key/ts columns merge
+    away (bare names keep resolving to the left side)."""
+    from mcp_clickhouse_spark.session import read_table
+
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'"
+    ).createOrReplaceTempView("asof_l")
+    spark.sql(
+        "SELECT user_id, ts, value FROM events WHERE event_type = 'signup'"
+    ).createOrReplaceTempView("asof_r")
+    got = run_select_query(
+        spark,
+        "SELECT event_id, user_id, ts, value FROM asof_l"
+        " ASOF LEFT JOIN asof_r USING (user_id, ts)",
+        dialect="clickhouse",
+    )
+    # equivalent ON form over the same views
+    want = run_select_query(
+        spark,
+        "SELECT l.event_id, l.user_id, l.ts, r.value FROM asof_l l"
+        " ASOF LEFT JOIN asof_r r ON l.user_id = r.user_id AND l.ts >= r.ts",
+        dialect="clickhouse",
+    )
+    assert sorted(map(tuple, got["rows"])) == sorted(map(tuple, want["rows"]))
+    assert len(got["rows"]) > 0
