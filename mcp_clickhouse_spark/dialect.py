@@ -33,6 +33,10 @@ class DialectError(ValueError):
 NAME_MAP: dict[str, str] = {
     # string
     "lengthutf8": "char_length",
+    "lowerutf8": "lower",
+    "upperutf8": "upper",
+    "positionutf8": "instr",
+    "substringutf8": "substring",
     "lcase": "lower",
     "ucase": "upper",
     "mid": "substring",
@@ -568,6 +572,91 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "tostartoffiveminutes": lambda a: (
         f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / 300) * 300)"
     ),
+    "tostartoftenminutes": lambda a: (
+        f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / 600) * 600)"
+    ),
+    # ---- round-6 breadth fill-ins -------------------------------------
+    "todecimal128": lambda a: f"CAST({a[0]} AS DECIMAL(38,{int(a[1])}))",
+    "e": lambda a: "exp(1)",
+    # engine-hint no-ops: LowCardinality is a CH storage encoding,
+    # materialize/identity defeat CH constant folding — all identity here
+    "tolowcardinality": lambda a: f"({a[0]})",
+    "materialize": lambda a: f"({a[0]})",
+    "identity": lambda a: f"({a[0]})",
+    # CH ignore(...) evaluates args and always returns 0
+    "ignore": lambda a: "0",
+    # path tail after the last '/' (CH basename handles '\\' too)
+    "basename": lambda a: f"regexp_extract({a[0]}, '([^/\\\\\\\\]*)$', 1)",
+    "cutwww": lambda a: f"regexp_replace({a[0]}, '^www\\\\.', '')",
+    "countmatchescaseinsensitive": lambda a: (
+        f"size(regexp_extract_all({a[0]}, concat('(?i)', {a[1]}), 0))"
+    ),
+    # function forms of the negated operators
+    "notlike": lambda a: f"(NOT ({a[0]} LIKE {a[1]}))",
+    "notilike": lambda a: f"(NOT (lower({a[0]}) LIKE lower({a[1]})))",
+    # any-of-patterns matchers over an array argument (column or literal)
+    "multimatchany": lambda a: f"exists({a[1]}, __p -> {a[0]} RLIKE __p)",
+    "multisearchanycaseinsensitive": lambda a: (
+        f"exists({a[1]}, __p -> contains(lower({a[0]}), lower(__p)))"
+    ),
+    # Map-type mapAdd/mapSubtract (2-map form): union of keys, summed values
+    "mapadd": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]},"
+        f" (__k, __v1, __v2) -> coalesce(__v1, 0) + coalesce(__v2, 0))"
+    ),
+    "mapsubtract": lambda a: (
+        f"map_zip_with({a[0]}, {a[1]},"
+        f" (__k, __v1, __v2) -> coalesce(__v1, 0) - coalesce(__v2, 0))"
+    ),
+    # roundDown(x, [b1, b2, ...]): greatest bound <= x, else the FIRST bound
+    "rounddown": lambda a: (
+        f"coalesce(array_max(filter({a[1]}, __b -> __b <= ({a[0]}))),"
+        f" element_at({a[1]}, 1))"
+    ),
+    # CH fixed bucket sets
+    "roundage": lambda a: (
+        f"CASE WHEN ({a[0]}) < 1 THEN 0 WHEN ({a[0]}) < 18 THEN 17"
+        f" WHEN ({a[0]}) < 25 THEN 18 WHEN ({a[0]}) < 35 THEN 25"
+        f" WHEN ({a[0]}) < 45 THEN 35 WHEN ({a[0]}) < 55 THEN 45"
+        f" ELSE 55 END"
+    ),
+    "roundduration": lambda a: (
+        f"coalesce(array_max(filter(array(0, 1, 10, 30, 60, 120, 180, 240,"
+        f" 300, 600, 1200, 1800, 3600, 7200, 18000, 36000),"
+        f" __b -> __b <= ({a[0]}))), 0)"
+    ),
+    # thousands/millions/... suffix rendering (CH prints two decimals)
+    "formatreadablequantity": lambda a: (
+        f"CASE WHEN abs({a[0]}) < 1000 THEN format_string('%.2f', CAST({a[0]} AS DOUBLE))"
+        f" WHEN abs({a[0]}) < 1000000 THEN format_string('%.2f thousand', ({a[0]}) / 1000.0D)"
+        f" WHEN abs({a[0]}) < 1000000000 THEN format_string('%.2f million', ({a[0]}) / 1000000.0D)"
+        f" WHEN abs({a[0]}) < 1000000000000 THEN format_string('%.2f billion', ({a[0]}) / 1000000000.0D)"
+        f" ELSE format_string('%.2f trillion', ({a[0]}) / 1000000000000.0D) END"
+    ),
+    # block-relative functions have no distributed equivalent — guided
+    "runningdifference": lambda a: (_ for _ in ()).throw(DialectError(
+        "runningDifference is block-relative (nondeterministic under "
+        "distribution) — use lagInFrame/lag: x - lag(x) OVER (ORDER BY ...)"
+    )),
+    "neighbor": lambda a: (_ for _ in ()).throw(DialectError(
+        "neighbor is block-relative — use lag/lead OVER (ORDER BY ...)"
+    )),
+    "rownumberinallblocks": lambda a: (_ for _ in ()).throw(DialectError(
+        "rowNumberInAllBlocks is block-relative — use "
+        "row_number() OVER (ORDER BY ...)"
+    )),
+    "dictget": lambda a: (_ for _ in ()).throw(DialectError(
+        "dictGet: external dictionaries do not exist here — JOIN the "
+        "dimension table (broadcast joins give the same lookup shape)"
+    )),
+    "dictgetstring": lambda a: (_ for _ in ()).throw(DialectError(
+        "dictGetString: external dictionaries do not exist here — JOIN "
+        "the dimension table"
+    )),
+    "dicthas": lambda a: (_ for _ in ()).throw(DialectError(
+        "dictHas: external dictionaries do not exist here — use a LEFT "
+        "SEMI JOIN against the dimension table"
+    )),
     "tointervalsecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
     "tointervalminute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
     "tointervalhour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",

@@ -1191,3 +1191,58 @@ def test_sql_asof_join_using_form(spark, sf_dir):
     )
     assert sorted(map(tuple, got["rows"])) == sorted(map(tuple, want["rows"]))
     assert len(got["rows"]) > 0
+
+
+def test_round6_breadth_fillins(spark):
+    row = one(
+        spark,
+        """
+        SELECT lowerUTF8('AbC') AS lo, upperUTF8('aBc') AS up,
+               positionUTF8('hello', 'll') AS pos,
+               toStartOfTenMinutes(toDateTime('2024-03-07 10:37:22')) AS t10,
+               toDecimal128('1.25', 2) AS d128,
+               e() AS eul,
+               toLowCardinality('x') AS lc, materialize(7) AS mz, identity(8) AS idf,
+               ignore(1, 'a') AS ig,
+               basename('/a/b/c.txt') AS bn,
+               cutWww('www.example.com') AS cw,
+               countMatchesCaseInsensitive('aAbAa', 'a') AS cmi,
+               notLike('abc', 'a%') AS nl,
+               notILike('ABC', 'a%') AS nil,
+               multiMatchAny('spark', ['^sp', 'zz$']) AS mma,
+               mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS madd,
+               roundDown(7, [1, 5, 10]) AS rd,
+               roundDown(0, [1, 5, 10]) AS rd_low,
+               roundAge(30) AS ra,
+               roundDuration(250) AS rdur,
+               formatReadableQuantity(1234567) AS frq
+        """,
+    )
+    d = dict(zip(
+        ["lo", "up", "pos", "t10", "d128", "eul", "lc", "mz", "idf", "ig",
+         "bn", "cw", "cmi", "nl", "nil", "mma", "madd", "rd", "rd_low",
+         "ra", "rdur", "frq"], row))
+    assert d["lo"] == "abc" and d["up"] == "ABC" and d["pos"] == 3
+    assert str(d["t10"]).startswith("2024-03-07 10:30")
+    assert float(d["d128"]) == 1.25
+    assert abs(d["eul"] - 2.718281828459045) < 1e-12
+    assert d["lc"] == "x" and d["mz"] == 7 and d["idf"] == 8 and d["ig"] == 0
+    assert d["bn"] == "c.txt" and d["cw"] == "example.com"
+    assert d["cmi"] == 4
+    assert d["nl"] is False and d["nil"] is False
+    assert d["mma"] is True
+    assert d["madd"] == {"a": 1, "b": 12, "c": 3}
+    assert d["rd"] == 5 and d["rd_low"] == 1
+    assert d["ra"] == 25 and d["rdur"] == 240
+    assert d["frq"] == "1.23 million"
+
+    # block-relative and dictionary functions: guided errors
+    for q, frag in (
+        ("SELECT runningDifference(x) FROM t", "lag"),
+        ("SELECT neighbor(x, -1) FROM t", "lag"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "row_number"),
+        ("SELECT dictGet('d', 'attr', k) FROM t", "JOIN"),
+        ("SELECT dictHas('d', k) FROM t", "SEMI"),
+    ):
+        with pytest.raises(ValueError, match=frag):
+            translate(q)
