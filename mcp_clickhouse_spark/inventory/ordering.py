@@ -15,19 +15,20 @@ Round 6 priority, summing to exactly 50:
 - 1 query whose ORACLE/SHAPE changed this round (pipe_pack_sequences —
   now composed with the epoch-shard key so the packing window is
   partitioned; verdict "What's wrong #3");
-- 4 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
+- 5 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
   ASOF/ANY rewrite, verdict missing #1 — shim_with_fill_interpolate,
-  verdict missing #3 — and sql_qualify, the top-level QUALIFY rewrite
-  that replaced that guided error);
+  verdict missing #3 — sql_qualify, the top-level QUALIFY rewrite that
+  replaced that guided error — and streaming_clean_corpus, the full
+  stateful streaming pipeline proven value-correct against DuckDB);
 - 5 round-5-new entries holding a single green (pipe_bm25, pipe_c4_filters,
   pipe_stratified_sample, pipe_source_mix, pipe_decontaminate);
 - 8 TPC-H shapes rolled from the r5 slot budget
   (q9/q11/q13/q15/q16/q17/q18/q19);
 - 16 bench-headline canaries (the dialect array-fold accumulator fix and
   warehouse cache are upstream of all of them);
-- 15 r3-refresh pool entries (join_inner/left/any/cross/theta, four
-  setops, scalar_string/json/map, agg_any_first_last/cube/histogram);
-Rolled to round 7: q2_min_cost_supplier, the remaining setops
+- 14 r3-refresh pool entries (join_inner/left/any/cross/theta, four
+  setops, scalar_string/json/map, agg_any_first_last/cube);
+Rolled to round 7: q2_min_cost_supplier, agg_histogram, the remaining setops
 (union_by_name/intersect_all/except_all),
 scalar_regex/datetime/math/cast/array/hash/null_handling,
 events_sliding/pivot/props/latest, the win_* family, behav_* family, and
@@ -96,7 +97,8 @@ PRIORITY: list[str] = [
     "scalar_map",
     "agg_any_first_last",
     "agg_cube",
-    "agg_histogram",
+    # round-6 oracle-checked streaming pipeline (never driver-checked)
+    "streaming_clean_corpus",
 ]
 
 

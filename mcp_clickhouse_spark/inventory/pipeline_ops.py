@@ -1577,3 +1577,143 @@ def pipe_clean_corpus(spark, sf_dir):
     )
 
 
+
+
+def _streaming_clean_oracle() -> str:
+    """Batch-SQL twin of the streaming clean-corpus composition below.
+    Stream == batch is the Structured Streaming contract; the oracle
+    replays the identical stages in DuckDB: PII scrub chain (shared
+    PII_PATTERNS text), quality >= 0.8 gate, md5 dedup vs the <100 corpus
+    key set, 20-token span filter against the GLOBAL boilerplate table."""
+    _, cur = _pii_scrub_chain_sql()
+    words = "string_split_regex(lower(trim(text)), '\\s+')"
+    return f"""
+    WITH scrubbed AS (
+      SELECT doc_id, {cur} AS text FROM documents
+    ),
+    qual AS (
+      SELECT doc_id, text FROM scrubbed
+      WHERE (CASE WHEN len({words}) BETWEEN 10 AND 100000 THEN 0.4 ELSE 0.0 END
+           + CASE WHEN (length(text)
+                        - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+                       / CAST(length(text) AS DOUBLE) < 0.2 THEN 0.3 ELSE 0.0 END
+           + CASE WHEN len(list_intersect({words},
+                           ['the','and','of','to','in'])) > 0
+                  THEN 0.3 ELSE 0.0 END) >= 0.8
+    ),
+    corpus AS (SELECT DISTINCT md5(text) AS k FROM documents WHERE doc_id < 100),
+    fresh AS (
+      SELECT md5(text) AS dedup_key, MIN(text) AS text
+      FROM qual
+      WHERE md5(text) NOT IN (SELECT k FROM corpus)
+      GROUP BY md5(text)
+    ),
+    toks AS (
+      SELECT dedup_key, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM fresh
+    ),
+    chunks AS (
+      SELECT dedup_key, (pos - 1) // 20 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM toks GROUP BY dedup_key, (pos - 1) // 20
+    ),
+    gtoks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS pos
+      FROM documents
+    ),
+    gchunks AS (
+      SELECT doc_id, (pos - 1) // 20 AS chunk_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS chunk
+      FROM gtoks GROUP BY doc_id, (pos - 1) // 20
+    ),
+    freq AS (
+      SELECT md5(chunk) AS chunk_key FROM gchunks
+      GROUP BY md5(chunk) HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT c.dedup_key,
+           CAST(SUM(CASE WHEN f.chunk_key IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS kept_chunks,
+           CAST(SUM(CASE WHEN f.chunk_key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS dropped_chunks,
+           COALESCE(string_agg(CASE WHEN f.chunk_key IS NULL THEN c.chunk END,
+                               ' ' ORDER BY c.chunk_idx), '') AS cleaned_text
+    FROM chunks c LEFT JOIN freq f ON md5(c.chunk) = f.chunk_key
+    GROUP BY c.dedup_key
+    """
+
+
+@query(
+    "streaming_clean_corpus",
+    oracle=_streaming_clean_oracle(),
+    category="pipeline",
+)
+def streaming_clean_corpus(spark, sf_dir):
+    """The FULL clean-corpus pipeline as an ORACLE-CHECKED STREAM (round
+    6): PII scrub + quality gate (stateless exprs), within-stream +
+    cross-corpus incremental dedup (dropDuplicates state carried across
+    micro-batches), boilerplate span removal (foreachBatch vs the static
+    global key table).  The source streams the warehouse multi-file layout
+    one file per trigger, so the dedup state is genuinely exercised across
+    batches.  Output is keyed by the content hash (keeper identity under
+    dropDuplicates is nondeterministic; the surviving TEXT per key is not),
+    which is what makes a full value-hash oracle possible for a stateful
+    stream."""
+    import os
+    import tempfile
+
+    from mcp_clickhouse_spark.pipeline.dedup import doc_spans
+    from mcp_clickhouse_spark.pipeline.text import quality_score_col, scrub_pii
+    from mcp_clickhouse_spark.session import _split_layout
+    from mcp_clickhouse_spark.streaming.ops import (
+        span_filter_apply,
+        stream_documents,
+        streaming_incremental_dedup,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    corpus_keys = (
+        docs.where(F.col("doc_id") < 100)
+        .select(F.md5("text").alias("dedup_key"))
+        .distinct()
+    )
+    bkeys = (
+        doc_spans(docs)
+        .groupBy("chunk_key")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("chunk_key")
+    )
+
+    path = _split_layout(
+        spark, os.path.join(sf_dir, "documents.parquet"), "documents"
+    )
+    st = scrub_pii(stream_documents(spark, path, max_files_per_trigger=1))
+    st = (
+        st.where(quality_score_col("text_scrubbed") >= 0.8)
+        .select(F.col("text_scrubbed").alias("text"))
+        .withColumn("dedup_key", F.md5("text"))
+    )
+    kept = streaming_incremental_dedup(st, corpus_keys)
+
+    out_dir = tempfile.mkdtemp(prefix="stream_clean_corpus_")
+
+    def _sink(batch_df, _bid):
+        span_filter_apply(
+            batch_df.select(F.col("dedup_key").alias("doc_id"), "text"), bkeys
+        ).write.mode("append").parquet(out_dir)
+
+    q = (
+        kept.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", os.path.join(out_dir, "_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_dir).select(
+        F.col("doc_id").alias("dedup_key"),
+        "kept_chunks",
+        "dropped_chunks",
+        "cleaned_text",
+    )
