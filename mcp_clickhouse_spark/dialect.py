@@ -2314,8 +2314,60 @@ def _rewrite_scalar_with(sql: str) -> str:
     return prefix + body
 
 
+def _rewrite_double_quoted_identifiers(sql: str) -> str:
+    """ClickHouse treats "double-quoted" tokens as IDENTIFIERS (its string
+    literals are single-quoted only); Spark parses them as string
+    literals, silently turning ``SELECT "col" FROM t`` into a constant —
+    a silent-wrong-answer class.  Rewrite to backtick identifiers; a
+    doubled ``""`` inside escapes a literal quote (the CH/ANSI contract).
+    Single-quoted strings are never touched.  Runs FIRST so every later
+    pass sees backticked identifiers and no bare double quotes outside
+    strings."""
+    out: list[str] = []
+    i, n = 0, len(sql)
+    in_sq = False
+    while i < n:
+        ch = sql[i]
+        if in_sq:
+            out.append(ch)
+            if ch == "'" and sql[i - 1] != "\\":
+                in_sq = False
+            i += 1
+            continue
+        if ch == "'":
+            in_sq = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == '"':
+            j = i + 1
+            ident: list[str] = []
+            closed = False
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        ident.append('"')
+                        j += 2
+                        continue
+                    closed = True
+                    break
+                ident.append(sql[j])
+                j += 1
+            if not closed:  # unbalanced — leave as-is, the engine will say so
+                out.append(ch)
+                i += 1
+                continue
+            out.append("`" + "".join(ident).replace("`", "``") + "`")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
+    sql = _rewrite_double_quoted_identifiers(sql)
     sql = _strip_suffix_clauses(sql)
     sql = _rewrite_asof_joins(sql)
     sql = _rewrite_any_joins(sql)

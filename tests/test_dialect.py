@@ -1246,3 +1246,16 @@ def test_round6_breadth_fillins(spark):
     ):
         with pytest.raises(ValueError, match=frag):
             translate(q)
+
+
+def test_double_quoted_identifiers_are_identifiers(spark):
+    """CH double quotes delimit IDENTIFIERS; Spark would read them as
+    string literals, silently returning constants (round 6 fix)."""
+    out = translate('SELECT "n_name" FROM nation WHERE "n_nationkey" = 3')
+    assert out == "SELECT `n_name` FROM nation WHERE `n_nationkey` = 3"
+    row = one(spark, 'SELECT "n_name" AS nm FROM nation WHERE "n_nationkey" = 3')
+    assert row[0] != "n_name" and isinstance(row[0], str)
+    # doubled "" escapes a literal quote inside the identifier
+    assert translate('SELECT "odd""name" FROM t') == 'SELECT `odd"name` FROM t'
+    # double quotes INSIDE single-quoted strings stay literal
+    assert translate("SELECT 'he said \"hi\"' AS s") == "SELECT 'he said \"hi\"' AS s"
