@@ -1576,7 +1576,13 @@ _JOIN_STOP_WORDS = {
 _COND_BOUNDARY = re.compile(
     r"(?i)\b(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|SETTINGS|UNION"
     r"|INTERSECT|EXCEPT|INNER\s+JOIN|LEFT\s+JOIN|RIGHT\s+JOIN|FULL\s+JOIN"
-    r"|CROSS\s+JOIN|JOIN|ASOF|ANY\s+JOIN|GLOBAL)\b"
+    r"|CROSS\s+JOIN|JOIN|ASOF"
+    # every ANY-join spelling must stop the scan — a bare `ANY\s+JOIN`
+    # alternative let `... AND l.ts >= r.ts ANY LEFT JOIN ...` swallow the
+    # ANY into the condition and splice without a separator (round-6
+    # chained-join bug, caught by the chained ASOF+ANY probe)
+    r"|(?:ANY|LEFT\s+ANY|RIGHT\s+ANY|INNER\s+ANY)\s+JOIN"
+    r"|ANY\s+(?:LEFT|RIGHT|INNER)\s+JOIN|GLOBAL)\b"
 )
 
 
@@ -1923,7 +1929,7 @@ def _rewrite_asof_joins(sql: str) -> str:
         )
         sql = (
             sql[: m.start()]
-            + f"{join_kw} {match_table} ON {new_on}"
+            + f"{join_kw} {match_table} ON {new_on} "
             + sql[cond_end:]
         )
 
@@ -2010,7 +2016,7 @@ def _rewrite_any_joins(sql: str) -> str:
             f") WHERE __any_rn = 1) AS {ralias}"
         )
         join_kw = "LEFT JOIN" if how == "LEFT" else "JOIN"
-        sql = sql[: m.start()] + f"{join_kw} {dedup}{tail}" + sql[cond_end:]
+        sql = sql[: m.start()] + f"{join_kw} {dedup}{tail} " + sql[cond_end:]
 
 
 def _rewrite_qualify(sql: str) -> str:

@@ -1259,3 +1259,47 @@ def test_double_quoted_identifiers_are_identifiers(spark):
     assert translate('SELECT "odd""name" FROM t') == 'SELECT `odd"name` FROM t'
     # double quotes INSIDE single-quoted strings stay literal
     assert translate("SELECT 'he said \"hi\"' AS s") == "SELECT 'he said \"hi\"' AS s"
+
+
+def test_chained_and_nested_join_rewrites(spark):
+    """Round-6 hardening: ASOF inside a subquery; ASOF followed by ANY in
+    one query (the ON-condition scan must stop at every ANY-join spelling
+    — a missed boundary once swallowed 'ANY' into the condition)."""
+    sub = run_select_query(
+        spark,
+        "SELECT cnt FROM ("
+        " SELECT count(*) AS cnt FROM"
+        " (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') e"
+        " ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s"
+        " ON e.user_id = s.user_id AND e.ts >= s.ts)",
+        dialect="clickhouse",
+    )
+    assert sub["rows"][0][0] > 0
+    chained = run_select_query(
+        spark,
+        "SELECT count(*) AS n FROM"
+        " (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') e"
+        " ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s"
+        " ON e.user_id = s.user_id AND e.ts >= s.ts"
+        " ANY LEFT JOIN (SELECT user_id AS uid, min(value) AS mv"
+        "                FROM events GROUP BY user_id) m"
+        " ON e.user_id = m.uid",
+        dialect="clickhouse",
+    )
+    # LEFT ASOF keeps every left row; ANY adds at most one match per row
+    left_only = run_select_query(
+        spark,
+        "SELECT count(*) AS n FROM events WHERE event_type <> 'signup'",
+    )
+    assert chained["rows"][0][0] == left_only["rows"][0][0]
+    # two ANY joins in sequence
+    two = run_select_query(
+        spark,
+        "SELECT count(*) AS n FROM nation a"
+        " ANY LEFT JOIN region r1 ON a.n_regionkey = r1.r_regionkey"
+        " ANY LEFT JOIN (SELECT n_regionkey AS rk, min(n_nationkey) AS mn"
+        "                FROM nation GROUP BY n_regionkey) b"
+        " ON a.n_regionkey = b.rk",
+        dialect="clickhouse",
+    )
+    assert two["rows"][0][0] == 25
