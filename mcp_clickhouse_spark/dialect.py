@@ -1689,7 +1689,21 @@ def _split_conjuncts(cond: str) -> list[str]:
             continue
         i += 1
     parts.append(cond[start:])
-    return [p.strip().strip("()").strip() if p.strip().startswith("(") and p.strip().endswith(")") else p.strip() for p in parts]
+
+    def unwrap(p: str) -> str:
+        # peel only MATCHING outer parens: a naive strip('()') corrupts
+        # `(a) = (b)` into `a) = (b` (round-6 self-review finding)
+        p = p.strip()
+        while p.startswith("(") and p.endswith(")"):
+            try:
+                if _find_balanced(p, 0) != len(p):
+                    break
+            except ValueError:
+                break
+            p = p[1:-1].strip()
+        return p
+
+    return [unwrap(p) for p in parts]
 
 
 def _alias_of(expr: str) -> str | None:

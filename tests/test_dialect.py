@@ -1303,3 +1303,26 @@ def test_chained_and_nested_join_rewrites(spark):
         dialect="clickhouse",
     )
     assert two["rows"][0][0] == 25
+
+
+def test_parenthesized_join_conjuncts(spark):
+    """Round-6 self-review: matching outer parens peel correctly —
+    a naive strip('()') turned `(a) = (b)` into `a) = (b`."""
+    res = run_select_query(
+        spark,
+        "SELECT count(*) AS n FROM customer c ANY LEFT JOIN"
+        " (SELECT o_custkey, o_orderkey FROM orders) o"
+        " ON ((c.c_custkey) = (o.o_custkey))",
+        dialect="clickhouse",
+    )
+    want = run_select_query(spark, "SELECT count(*) AS n FROM customer")
+    assert res["rows"] == want["rows"]
+    res2 = run_select_query(
+        spark,
+        "SELECT count(*) AS n FROM"
+        " (SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup') e"
+        " ASOF JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s"
+        " ON (e.user_id = s.user_id) AND (e.ts >= s.ts)",
+        dialect="clickhouse",
+    )
+    assert res2["rows"][0][0] > 0
