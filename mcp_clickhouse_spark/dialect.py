@@ -365,6 +365,52 @@ def _split_by_string(args: list[str]) -> str:
     return f"split({s}, {quoted}, -1)"
 
 
+def _extract_groups(args: list[str]) -> str:
+    """CH extractGroups(haystack, pattern) — see TEMPLATES entry."""
+    s, pat = args[0], args[1].strip()
+    if not (len(pat) >= 2 and pat.startswith("'") and pat.endswith("'")):
+        raise DialectError(
+            "extractGroups requires a string-literal pattern (the capture-"
+            "group count must be known at translation time)"
+        )
+    # two escape layers: the SQL literal doubles backslashes ('\\[' is the
+    # regex '\['), so collapse SQL-level '\\' before scanning at the regex
+    # level — otherwise '\\[' reads as escape + class-open
+    raw = pat[1:-1]
+    decoded: list[str] = []
+    k = 0
+    while k < len(raw):
+        if raw[k] == "\\" and k + 1 < len(raw) and raw[k + 1] == "\\":
+            decoded.append("\\")
+            k += 2
+        else:
+            decoded.append(raw[k])
+            k += 1
+    body = "".join(decoded)
+    n_groups = 0
+    i = 0
+    in_class = False
+    while i < len(body):
+        ch = body[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if in_class:
+            if ch == "]":
+                in_class = False
+        elif ch == "[":
+            in_class = True
+        elif ch == "(" and body[i + 1 : i + 2] != "?":
+            n_groups += 1
+        i += 1
+    if n_groups == 0:
+        raise DialectError("extractGroups: the pattern has no capture groups")
+    groups = ", ".join(
+        f"regexp_extract({s}, {pat}, {g})" for g in range(1, n_groups + 1)
+    )
+    return f"CASE WHEN {s} RLIKE {pat} THEN array({groups}) ELSE array() END"
+
+
 def _to_year_week(args: list[str]) -> str:
     """CH toYearWeek(date[, mode[, timezone]]) — faithful mode 0 and 3.
 
@@ -671,6 +717,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"regexp_extract({a[0]}, {a[1]}, 0)" if len(a) == 2 else f"extract({a[0]})"
     ),
     "extractall": lambda a: f"regexp_extract_all({a[0]}, {a[1]}, 0)",
+    # extractGroups(s, 'pattern'): array of the FIRST match's capture
+    # groups.  The group count must be known at translate time, so the
+    # pattern must be a string literal; capturing groups = unescaped '('
+    # not followed by '?' (non-capturing/lookaround).  No match → CH
+    # returns an empty array, so the whole thing is gated on RLIKE.
+    "extractgroups": _extract_groups,
     # splitByChar's separator is a plain single char, not a regex — quote it
     # the same way as splitByString ('.' must not split on every char).
     "splitbychar": lambda a: _split_by_string(a),

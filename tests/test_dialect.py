@@ -1326,3 +1326,19 @@ def test_parenthesized_join_conjuncts(spark):
         dialect="clickhouse",
     )
     assert res2["rows"][0][0] > 0
+
+
+def test_extract_groups(spark):
+    row = one(
+        spark,
+        "SELECT extractGroups('2024-03-07', '(\\\\d+)-(\\\\d+)-(\\\\d+)') AS g,"
+        " extractGroups('no digits here!', '(\\\\d+)-(\\\\d+)') AS miss,"
+        " extractGroups('a[1]b', '(\\\\w)\\\\[(\\\\d)\\\\]') AS cls",
+    )
+    assert row[0] == ["2024", "03", "07"]
+    assert row[1] == []
+    assert row[2] == ["a", "1"]
+    with pytest.raises(ValueError, match="literal"):
+        translate("SELECT extractGroups(x, y) FROM t")
+    with pytest.raises(ValueError, match="capture"):
+        translate("SELECT extractGroups(x, 'abc') FROM t")
