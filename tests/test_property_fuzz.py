@@ -14,6 +14,8 @@ strings — exactly where hand-written cases miss corners. Invariants:
 
 from __future__ import annotations
 
+import re
+
 import pytest
 from hypothesis import given, settings, strategies as st
 
@@ -185,3 +187,74 @@ def test_every_mapped_name_never_swallowed_or_mangled(spark):
         except Exception as e:  # noqa: BLE001
             bad.append((fname, "param", f"raw {type(e).__name__}"))
     assert not bad, bad[:10]
+
+
+# --- clause-rewriter fuzz (round 6: ASOF/ANY/QUALIFY are string surgery —
+# exactly where generated inputs find splice bugs like the chained-join
+# boundary miss) -------------------------------------------------------------
+
+_ws = st.sampled_from([" ", "  ", "\n", "\t "])
+_alias = st.sampled_from(["e", "lhs", "t1", "evt"])
+_ralias = st.sampled_from(["s", "rhs", "t2", "sig"])
+_jointype = st.sampled_from(["ASOF JOIN", "ASOF LEFT JOIN", "asof left join"])
+_ineq = st.sampled_from([">=", ">"])
+_anytype = st.sampled_from(
+    ["ANY LEFT JOIN", "LEFT ANY JOIN", "any inner join", "INNER ANY JOIN"]
+)
+_tail = st.sampled_from(["", "WHERE {l}.user_id > 2", "ORDER BY 1 LIMIT 5",
+                         "GROUP BY {l}.user_id"])
+
+
+@given(w=_ws, la=_alias, ra=_ralias, jt=_jointype, op=_ineq, tail=_tail,
+       nkeys=st.integers(min_value=1, max_value=2))
+@settings(max_examples=40, deadline=None)
+def test_asof_rewrite_always_parses(spark, la, ra, w, jt, op, tail, nkeys):
+    from hypothesis import assume
+
+    assume(la != ra)
+    keys = [f"{la}.user_id = {ra}.user_id"]
+    if nkeys == 2:
+        keys.append(f"{la}.event_id = {ra}.event_id")
+    cond = " AND ".join(keys + [f"{la}.ts {op} {ra}.ts"])
+    sel = (
+        f"{la}.user_id, count(*) AS n" if tail.startswith("GROUP")
+        else "count(*) AS n"
+    )
+    sql = (
+        f"SELECT {sel} FROM events{w}{la}{w}{jt}{w}"
+        f"events{w}{ra}{w}ON{w}{cond} {tail.format(l=la)} "
+    )
+    out = translate(sql)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)  # must be syntactically valid Spark SQL
+    assert not re.search(r"(?i)\bASOF\s+(LEFT\s+|INNER\s+)?JOIN\b", out)
+
+
+@given(w=_ws, ra=_ralias, at=_anytype, tail=_tail)
+@settings(max_examples=30, deadline=None)
+def test_any_rewrite_always_parses(spark, w, ra, at, tail):
+    sql = (
+        f"SELECT count(*) AS n FROM customer{w}c{w}{at}{w}orders{w}{ra}{w}"
+        f"ON{w}c.c_custkey = {ra}.o_custkey {tail.format(l='c')} "
+    )
+    out = translate(sql)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
+    assert not re.search(r"(?i)\bANY\s+(LEFT|INNER|RIGHT)?\s*JOIN\b", out)
+
+
+@given(w=_ws, cond=st.sampled_from([
+    "rn <= 2", "rn = 1 AND n > 0",
+    "row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) = 1",
+]), tail=st.sampled_from(["", "ORDER BY 1", "LIMIT 3"]))
+@settings(max_examples=20, deadline=None)
+def test_qualify_rewrite_always_parses(spark, w, cond, tail):
+    sql = (
+        f"SELECT o_orderstatus, o_orderkey,{w}row_number() OVER"
+        f" (ORDER BY o_orderkey) AS rn, count(*) OVER () AS n"
+        f" FROM orders{w}QUALIFY{w}{cond} {tail}"
+    )
+    out = translate(sql)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
+    assert not re.search(r"\bQUALIFY\b", out)
