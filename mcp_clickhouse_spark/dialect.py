@@ -449,6 +449,14 @@ def _to_year_week(args: list[str]) -> str:
     return f"CAST(year({s}) * 100 + (datediff({s}, {fs}) div 7) + 1 AS INT)"
 
 
+_DECIMALISH = re.compile(r"(?i)\d\s*\.\s*\d|\d[eE][+-]?\d|\btofloat|\btodecimal")
+
+
+def _without_string_literals(text: str) -> str:
+    """Drop single-quoted spans so literal content never triggers sniffs."""
+    return re.sub(r"'(?:[^'\\]|\\.)*'", "''", text)
+
+
 _INT_LITERAL = re.compile(r"^[+-]?\d+L?$", re.IGNORECASE)
 _NUM_LITERAL = re.compile(
     r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?[LDdFf]?$"
@@ -507,17 +515,24 @@ def _fold_zero(arr: str, probe: str) -> str:
         return "0L"
     if kind == "float":
         return "CAST(0 AS DOUBLE)"
-    # Non-literal args: element * 0L yields 0 in common(element, BIGINT);
-    # the extra * DECIMAL(38,0) pins decimal-typed elements at the
-    # precision-38 cap so ``acc + x`` stays type-stable (decimal addition
-    # grows precision until the cap).  Net types: DOUBLE/FLOAT columns →
-    # DOUBLE sums, integral/decimal expressions → DECIMAL(38,s) — values
-    # exact, and DECIMAL(38,0) renders '3' under toString exactly like
-    # CH's Int64 (the round-5 fuzz crash form).
-    return (
-        f"(ifnull(try_element_at({probe}, 1), 0L) * 0L"
-        f" * CAST(0 AS DECIMAL(38, 0)))"
-    )
+    # Non-literal args, two cases (measured coercion matrix, round-6 fuzz):
+    #
+    #  - text contains a float/decimal-ish token (`1.5`, `1e9`, toFloat*,
+    #    toDecimal*): Spark would type the elements DECIMAL, and a decimal
+    #    accumulator can never be merge-stable against STRING elements
+    #    (DECIMAL + STRING → DOUBLE) while a DOUBLE one always is.  CH
+    #    types those float-looking literals Float64 anyway, so a DOUBLE
+    #    accumulator is the FAITHFUL choice, not just the safe one.
+    #  - otherwise: ``ifnull(element, 0L) * 0L`` — BIGINT zero for
+    #    integral AND string elements (ANSI coerces the string operand to
+    #    the numeric side: '5' + 0L → BIGINT, so numeric-string arrays
+    #    still sum, as the permissive pre-round-6 translation did),
+    #    DOUBLE/FLOAT for float columns.  True DECIMAL *columns* (absent
+    #    from the testdata) fail loudly at analysis — select a cast or
+    #    use a float expression.
+    if _DECIMALISH.search(_without_string_literals(arr)):
+        return "CAST(0 AS DOUBLE)"
+    return f"(ifnull(try_element_at({probe}, 1), 0L) * 0L)"
 
 
 def _typed_sum_fold(arr: str) -> str:

@@ -791,11 +791,16 @@ def test_guard_not_masked_by_string_literal():
 
 
 def test_array_combinators_skip_null_elements(spark):
+    # toFloat64: column-typed array args fold with the runtime probe, and
+    # CH types float arrays Float64 — a bare DECIMAL column (Spark's type
+    # for raw [1.0, ...] literals routed through a subquery) is the one
+    # documented loud-failure corner of the typed accumulator
     row = one(
         spark,
         """
         SELECT sumArray(a) AS s, avgArray(a) AS m, countArray(a) AS n
-        FROM (SELECT [1.0, NULL, 2.0] AS a UNION ALL SELECT [3.0])
+        FROM (SELECT arrayMap(x -> toFloat64(x), [1.0, NULL, 2.0]) AS a
+              UNION ALL SELECT [toFloat64(3.0)])
         """,
     )
     assert row[0] == 6.0 and row[1] == 2.0 and row[2] == 3
@@ -1046,8 +1051,8 @@ def test_array_fold_accumulator_types(spark):
         FROM (SELECT [9007199254740993, 1] AS a)
         """,
     )
-    # column args fold as DECIMAL(38,0) (type-stable for any element type)
-    # — the VALUE stays exact past 2^53 where DOUBLE would round
+    # column args fold with a BIGINT-floor probe accumulator — the VALUE
+    # stays exact past 2^53 where DOUBLE would round
     assert int(row[0]) == 9007199254740994
     assert int(one(
         spark,
