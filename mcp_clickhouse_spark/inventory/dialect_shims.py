@@ -129,6 +129,51 @@ def sql_asof_join(spark, sf_dir):
     return spark.sql(translate(_SQL_ASOF_CH))
 
 
+_SQL_ASOF_STAR_CH = """
+SELECT * FROM ev_clicks ASOF JOIN ev_signups USING (user_id, ts)
+"""
+
+
+@query(
+    "sql_asof_join_star",
+    oracle="""
+    WITH ev_clicks AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type <> 'signup'
+    ),
+    ev_signups AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS signup_value
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, CAST(ts AS TIMESTAMP)
+    )
+    SELECT * FROM ev_clicks ASOF JOIN ev_signups USING (user_id, ts)
+    """,
+    category="dialect",
+)
+def sql_asof_join_star(spark, sf_dir):
+    """``SELECT *`` over a verbatim ASOF JOIN USING — proves the match-table
+    helper columns (``__asof_k*``/``__asof_lts``) are hidden from star
+    expansion (round-6 verdict #2, dialect._hide_helpers_from_stars) and
+    that the USING form's merged output shape matches CH: left columns
+    plus the right side's non-key columns.  Oracle: DuckDB's native
+    ``ASOF JOIN … USING`` (same merged-star contract)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ev_clicks AS "
+        "SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts "
+        "FROM events WHERE event_type <> 'signup'"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW ev_signups AS "
+        "SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, MAX(value) AS signup_value "
+        "FROM events WHERE event_type = 'signup' "
+        "GROUP BY user_id, CAST(ts AS TIMESTAMP)"
+    )
+    return spark.sql(translate(_SQL_ASOF_STAR_CH))
+
+
 _SQL_ANY_CH = """
 SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
 FROM customer c
@@ -217,6 +262,55 @@ def shim_with_fill_interpolate(spark, sf_dir):
     )
 
 
+_SQL_FILL_EXPR_CH = """
+SELECT p_size, n FROM (
+  SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n
+  FROM part WHERE p_size <= 25 AND p_size % 4 != 0 GROUP BY p_size
+) sized
+ORDER BY p_size WITH FILL FROM 1 TO 26 STEP 1 INTERPOLATE (n AS n + 1000000)
+"""
+
+
+@query(
+    "shim_with_fill_interpolate_expr",
+    oracle="""
+    WITH sized AS (
+      SELECT p_size, CAST(COUNT(*) AS BIGINT) AS n
+      FROM part WHERE p_size <= 25 AND p_size % 4 != 0 GROUP BY p_size
+    ),
+    axis AS (SELECT CAST(UNNEST(generate_series(1, 25)) AS INTEGER) AS p_size),
+    j AS (
+      SELECT axis.p_size AS p_size, sized.n AS n,
+             (sized.p_size IS NOT NULL) AS is_real
+      FROM axis LEFT JOIN sized ON axis.p_size = sized.p_size
+    ),
+    w AS (
+      SELECT p_size, n, is_real,
+        last_value(CASE WHEN is_real THEN n END IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        last_value(CASE WHEN is_real THEN p_size END IGNORE NULLS) OVER
+          (ORDER BY p_size ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px
+      FROM j
+    )
+    SELECT p_size,
+           CASE WHEN is_real THEN n ELSE pv + 1000000 * (p_size - px) END AS n
+    FROM w ORDER BY p_size
+    """,
+    category="dialect",
+)
+def shim_with_fill_interpolate_expr(spark, sf_dir):
+    """Verbatim ``WITH FILL … INTERPOLATE (n AS n + 1000000)`` SQL text
+    (round-6 verdict #5 — the AS-expression form replaced the guided
+    error): each axis-generated row compounds the expression from the
+    last real row via dialect._interp_fold_expr's aggregate() fold, so a
+    2-wide gap steps +1M twice — exactly CH's row-by-row evaluation.
+    Oracle: the affine closed form (prev + 1M × offset) in DuckDB."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(translate(_SQL_FILL_EXPR_CH))
+
+
 _SQL_QUALIFY_CH = """
 SELECT o_orderstatus, o_custkey, o_orderkey
 FROM orders
@@ -242,3 +336,41 @@ def sql_qualify(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_QUALIFY_CH))
+
+
+_SQL_QUALIFY_SUBQ_CH = """
+SELECT o_orderstatus, count(*) AS n
+FROM (
+  SELECT o_orderstatus, o_custkey, o_orderkey
+  FROM orders
+  QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+) first_orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "sql_qualify_subquery",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n
+    FROM (
+      SELECT o_orderstatus, o_custkey, o_orderkey
+      FROM orders
+      QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) = 1
+    ) first_orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    category="dialect",
+)
+def sql_qualify_subquery(spark, sf_dir):
+    """QUALIFY inside a derived table (round-6 verdict #4):
+    dialect._rewrite_qualify now recurses into balanced-paren subqueries,
+    so the per-customer first-order pick translates in place and the
+    outer aggregate runs over the filtered set.  Oracle: DuckDB's native
+    subquery QUALIFY (deterministic: orderkey unique per customer)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_QUALIFY_SUBQ_CH))

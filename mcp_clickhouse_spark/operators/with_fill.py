@@ -50,28 +50,39 @@ def with_fill(
     if interpolate:
         w_prev = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
         w_next = Window.orderBy(col).rowsBetween(0, Window.unboundedFollowing)
+        # interpolation touches ONLY axis-generated rows (ClickHouse
+        # computes INTERPOLATE for inserted rows; a real row whose value
+        # is genuinely NULL stays NULL — round-6 advisor #3)
+        gen = F.col("__real").isNull()
         for c, mode in interpolate.items():
-            prev_v = F.last(F.col(c), ignorenulls=True).over(w_prev)
+            # struct carrier: previous REAL row's value, even when NULL
+            prev_v = F.last(
+                F.when(F.col("__real") == 1, F.struct(F.col(c).alias("v"))),
+                ignorenulls=True,
+            ).over(w_prev)["v"]
             if mode == "prev":
-                out = out.withColumn(c, F.coalesce(F.col(c), prev_v))
+                out = out.withColumn(c, F.when(gen, prev_v).otherwise(F.col(c)))
             elif mode == "linear":
-                prev_x = F.last(
-                    F.when(F.col(c).isNotNull(), F.col(col)), ignorenulls=True
-                ).over(w_prev)
-                next_v = F.first(F.col(c), ignorenulls=True).over(w_next)
-                next_x = F.first(
-                    F.when(F.col(c).isNotNull(), F.col(col)), ignorenulls=True
-                ).over(w_next)
+                real_val = F.when(
+                    (F.col("__real") == 1) & F.col(c).isNotNull(), F.col(c)
+                )
+                real_x = F.when(
+                    (F.col("__real") == 1) & F.col(c).isNotNull(), F.col(col)
+                )
+                pv = F.last(real_val, ignorenulls=True).over(w_prev)
+                prev_x = F.last(real_x, ignorenulls=True).over(w_prev)
+                nv = F.first(real_val, ignorenulls=True).over(w_next)
+                next_x = F.first(real_x, ignorenulls=True).over(w_next)
                 frac = (F.col(col) - prev_x) / (next_x - prev_x)
-                lerp = prev_v + (next_v - prev_v) * frac
+                lerp = pv + (nv - pv) * frac
                 out = out.withColumn(
                     c,
-                    F.coalesce(
-                        F.col(c),
-                        F.when(next_x.isNotNull() & prev_x.isNotNull(), lerp).otherwise(
-                            prev_v
-                        ),
-                    ),
+                    F.when(
+                        gen,
+                        F.when(
+                            next_x.isNotNull() & prev_x.isNotNull(), lerp
+                        ).otherwise(pv),
+                    ).otherwise(F.col(c)),
                 )
             else:
                 raise ValueError(f"with_fill: unknown interpolate mode {mode!r}")

@@ -19,7 +19,9 @@ Both accept dialect="clickhouse" to use ClickHouse SELECT syntax
 (functions like toYear, multiIf, quantile(0.5)(x), arrayMap, [1,2,3]
 literals are translated automatically).  Clause-level ClickHouse
 constructs translate too: LIMIT n BY, ORDER BY ... WITH FILL
-[INTERPOLATE (cols)], WITH TOTALS, QUALIFY, PREWHERE/SAMPLE/FINAL,
+[INTERPOLATE (col | col AS expr-of-col)] (generated rows only, exactly
+as ClickHouse computes it), WITH TOTALS, QUALIFY (top-level and inside
+subqueries), PREWHERE/SAMPLE/FINAL,
 GLOBAL/ARRAY JOIN, ASOF [LEFT] JOIN (ON or USING), ANY LEFT|INNER JOIN,
 "double-quoted" identifiers, and scalar WITH macros.  Untranslatable
 constructs raise a guided error naming the equivalent.

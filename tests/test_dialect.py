@@ -325,11 +325,18 @@ def test_with_fill_unbounded_raises():
 
     with pytest.raises(DialectError):
         translate("SELECT x FROM t ORDER BY x WITH FILL")
-    # AS-expression interpolation stays API-level (guided error)
+    # AS-expression of the column itself translates (round-7 — the
+    # aggregate() fold); an expression over ANOTHER column keeps the
+    # guided pointer at the operator API
+    out = translate(
+        "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
+        "INTERPOLATE (y AS y + 1)"
+    )
+    assert "aggregate(sequence" in out and "__fill_acc + 1" in out
     with pytest.raises(DialectError, match="operators.with_fill"):
         translate(
-            "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
-            "INTERPOLATE (y AS y + 1)"
+            "SELECT x, y, z FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
+            "INTERPOLATE (y AS z + 1)"
         )
 
 
@@ -1160,12 +1167,13 @@ def test_qualify_rewrites_execute(spark):
             "SELECT DISTINCT o_orderstatus FROM orders"
             " QUALIFY row_number() OVER (ORDER BY o_orderstatus) = 1"
         )
-    # subquery-level QUALIFY keeps the guided pointer
-    with pytest.raises(ValueError, match="subquery"):
-        translate(
-            "SELECT * FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn"
-            " FROM t QUALIFY rn = 1)"
-        )
+    # subquery-level QUALIFY recurses into the derived table (round-7,
+    # verdict #4) instead of the old guided error
+    out = translate(
+        "SELECT * FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn"
+        " FROM t QUALIFY rn = 1)"
+    )
+    assert not re.search(r"(?i)\bQUALIFY\b", out) and "WHERE rn = 1" in out
 
 
 def test_sql_asof_join_using_form(spark, sf_dir):
@@ -1347,3 +1355,120 @@ def test_extract_groups(spark):
         translate("SELECT extractGroups(x, y) FROM t")
     with pytest.raises(ValueError, match="capture"):
         translate("SELECT extractGroups(x, 'abc') FROM t")
+
+
+def test_extract_groups_named_groups(spark):
+    """Round-7 (r6 advisor #1): named groups — Java '(?<y>…)' and RE2
+    '(?P<y>…)' — are CAPTURING; the RE2 'P' is stripped so the emitted
+    pattern is valid Java regex."""
+    row = one(
+        spark,
+        "SELECT extractGroups('2024-abc', '(?<y>[0-9]+)-([a-z]+)') AS j,"
+        " extractGroups('2024-abc', '(?P<y>[0-9]+)-([a-z]+)') AS r2,"
+        " extractGroups('xq-ab', '(?:x)(?=q)(q)-([a-z]+)') AS nc",
+    )
+    assert row[0] == ["2024", "abc"]
+    assert row[1] == ["2024", "abc"]
+    assert row[2] == ["q", "ab"]
+
+
+def test_todecimal_scale_guided_error():
+    """Round-7 (r6 advisor #4): a non-literal scale raises a guided error,
+    not a raw int() ValueError."""
+    for fn in ("toDecimal32", "toDecimal64", "toDecimal128"):
+        with pytest.raises(ValueError, match="integer literal"):
+            translate(f"SELECT {fn}(x, s) FROM t")
+    assert "DECIMAL(38,4)" in translate("SELECT toDecimal128(x, 4) FROM t")
+
+
+def test_backtick_identifier_with_paren(spark):
+    """Round-7 (r6 advisor #5): a double-quoted identifier containing '('
+    survives translation — the scanners skip backtick-quoted spans."""
+    out = translate('SELECT "a(b" FROM t WHERE "a(b" > 1 LIMIT 3 BY "a(b"')
+    assert "`a(b`" in out
+    res = run_select_query(
+        spark,
+        'SELECT "o_orderkey" AS "weird(name" FROM orders'
+        ' ORDER BY "weird(name" LIMIT 2',
+        dialect="clickhouse",
+    )
+    assert len(res["rows"]) == 2
+
+
+def test_asof_star_hides_helpers(spark, sf_dir):
+    """Round-7 (r6 verdict #2): SELECT * over a SQL-text ASOF JOIN carries
+    no __asof_* helper columns — exact CH star shape, both ON and USING."""
+    from mcp_clickhouse_spark.session import read_table
+
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spark.sql(
+        "SELECT event_id, user_id, ts FROM events WHERE event_type <> 'signup'"
+    ).createOrReplaceTempView("star_l")
+    spark.sql(
+        "SELECT user_id, ts, value FROM events WHERE event_type = 'signup'"
+    ).createOrReplaceTempView("star_r")
+    on_form = spark.sql(translate(
+        "SELECT * FROM star_l ASOF LEFT JOIN star_r"
+        " ON star_l.user_id = star_r.user_id AND star_l.ts >= star_r.ts"
+    ))
+    assert [f.name for f in on_form.schema.fields] == [
+        "event_id", "user_id", "ts", "user_id", "ts", "value"
+    ]
+    using_form = spark.sql(translate(
+        "SELECT * FROM star_l ASOF JOIN star_r USING (user_id, ts)"
+    ))
+    assert [f.name for f in using_form.schema.fields] == [
+        "event_id", "user_id", "ts", "value"
+    ]
+    # r.* form too
+    rstar = spark.sql(translate(
+        "SELECT star_l.event_id, star_r.* FROM star_l ASOF LEFT JOIN star_r"
+        " ON star_l.user_id = star_r.user_id AND star_l.ts >= star_r.ts"
+    ))
+    assert [f.name for f in rstar.schema.fields] == [
+        "event_id", "user_id", "ts", "value"
+    ]
+
+
+def test_with_fill_interpolate_generated_rows_only(spark):
+    """Round-7 (r6 advisor #3 + verdict #5): interpolation touches ONLY
+    axis-generated rows; `col AS expr` compounds per generated row."""
+    spark.createDataFrame(
+        [(1, 100.0), (4, 200.0), (6, None)], "x int, v double"
+    ).createOrReplaceTempView("fill_src")
+    rows = spark.sql(translate(
+        "SELECT x, v FROM fill_src ORDER BY x"
+        " WITH FILL FROM 1 TO 8 STEP 1 INTERPOLATE (v AS v + 10)"
+    )).collect()
+    got = {r["x"]: r["v"] for r in rows}
+    # gaps compound +10 from the last REAL value; the real NULL at x=6
+    # stays NULL (CH computes inserted rows only), and x=7 carries the
+    # previous real row's value — NULL
+    assert got == {1: 100.0, 2: 110.0, 3: 120.0, 4: 200.0, 5: 210.0,
+                   6: None, 7: None}
+    # bare column: previous real value, not prev-filled over real NULLs
+    rows2 = spark.sql(translate(
+        "SELECT x, v FROM fill_src ORDER BY x"
+        " WITH FILL FROM 1 TO 8 STEP 1 INTERPOLATE (v)"
+    )).collect()
+    got2 = {r["x"]: r["v"] for r in rows2}
+    assert got2 == {1: 100.0, 2: 100.0, 3: 100.0, 4: 200.0, 5: 200.0,
+                    6: None, 7: None}
+
+
+def test_with_fill_operator_generated_rows_only(spark):
+    """The DataFrame operator mirrors the generated-rows-only contract."""
+    from mcp_clickhouse_spark.operators.with_fill import with_fill
+
+    df = spark.createDataFrame(
+        [(1, 100.0), (4, 200.0), (6, None)], "x int, v double"
+    )
+    out = {r["x"]: r["v"] for r in
+           with_fill(df, "x", 1, 7, 1, interpolate={"v": "prev"}).collect()}
+    assert out[6] is None          # real NULL survives
+    assert out[2] == 100.0 and out[5] == 200.0
+    assert out[7] is None          # prev REAL value is the NULL row
+    lin = {r["x"]: r["v"] for r in
+           with_fill(df, "x", 1, 7, 1, interpolate={"v": "linear"}).collect()}
+    assert lin[6] is None          # real NULL still survives linear mode
+    assert lin[2] == pytest.approx(100.0 + (200.0 - 100.0) / 3)  # lerp

@@ -258,3 +258,49 @@ def test_qualify_rewrite_always_parses(spark, w, cond, tail):
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(out)
     assert not re.search(r"\bQUALIFY\b", out)
+
+
+# --- escaped-quote literal guards (round 7, verdict #3: clause keywords
+# planted INSIDE string literals — with '' doubling and \' backslash
+# escapes — must never trigger the rewriters) -------------------------------
+
+_trap_kw = st.sampled_from(
+    ["ASOF JOIN x ON a = b", "ANY LEFT JOIN", "QUALIFY rn = 1",
+     "LIMIT 3 BY k", "WITH FILL FROM 1 TO 5 STEP 1", "file(x.csv)"]
+)
+_esc_style = st.sampled_from(["plain", "doubled", "backslash"])
+
+
+@given(kw=_trap_kw, esc=_esc_style, w=_ws)
+@settings(max_examples=60, deadline=None)
+def test_clause_keywords_inside_literals_never_rewrite(spark, kw, esc, w):
+    if esc == "doubled":
+        lit = f"it''s {kw} o''clock"
+    elif esc == "backslash":
+        lit = f"it\\'s {kw} o\\'clock"
+    else:
+        lit = f"just {kw} here"
+    sql = f"SELECT '{lit}' AS s,{w}o_orderkey FROM orders LIMIT 2"
+    out = translate(sql)
+    # the literal survives verbatim and the query still parses
+    assert f"'{lit}'" in out
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
+
+
+@given(esc=_esc_style)
+@settings(max_examples=10, deadline=None)
+def test_real_clause_after_trap_literal_still_rewrites(spark, esc):
+    # a literal containing 'QUALIFY' must not mask the REAL clause after it
+    lit = {"plain": "see QUALIFY docs", "doubled": "it''s QUALIFY",
+           "backslash": "it\\'s QUALIFY"}[esc]
+    sql = (
+        f"SELECT o_orderstatus, '{lit}' AS s, row_number() OVER"
+        f" (ORDER BY o_orderkey) AS rn FROM orders QUALIFY rn = 1"
+    )
+    out = translate(sql)
+    stripped = re.sub(r"'(?:[^'\\]|\\.|'')*'", "", out)  # drop literals
+    assert not re.search(r"(?i)\bQUALIFY\b", stripped)
+    assert f"'{lit}'" in out
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
