@@ -44,6 +44,8 @@ constructs raise a guided error naming the equivalent.
 - Object store:  s3(s3://bucket/prefix/*.parquet[, keys][, format]).
 - HDFS:          hdfs(hdfs://nn/path).
 - Databases:     postgresql(host, db, table, user, pw) / mysql(...) /
+                 clickhouse(host, db, table[, user, pw, secure]) and its
+                 remote(addr, db, table) alias /
                  sqlite(path, table) via JDBC (partitioned reads with
                  partition_column bounds).
 

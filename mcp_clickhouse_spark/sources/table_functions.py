@@ -200,6 +200,70 @@ def mysql(
     )
 
 
+def clickhouse(
+    spark: SparkSession,
+    host: str,
+    database: str,
+    table: str,
+    user: str = "default",
+    password: str = "",
+    secure: bool = False,
+    port: int | None = None,
+    **kw,
+) -> DataFrame:
+    """``clickhouse(host[:port], db, table[, user, password, secure])`` —
+    live read of a remote ClickHouse table over JDBC.
+
+    Connection identity mirrors the reference's client config
+    (mcp_clickhouse/mcp_server.py:462-480: host/port/secure/user/password
+    → clickhouse_connect.get_client): default port 8123, 8443 when
+    ``secure`` (the HTTP interface the JDBC driver speaks), explicit
+    ``host:port`` wins.  Routes through :func:`jdbc` with the public
+    ClickHouse JDBC driver (``com.clickhouse.jdbc.ClickHouseDriver``,
+    url ``jdbc:ch://host:port/db``, ``jdbc:ch:https://…`` when secure).
+
+    Scale: pass ``partition_column``/``lower_bound``/``upper_bound``/
+    ``num_partitions`` to split the read into parallel range scans —
+    the only way a JDBC source feeds more than one executor.  The driver
+    jar is not shipped in this environment; absence fails with the JDBC
+    class-not-found error (graceful-failure tested like postgresql()).
+    """
+    if isinstance(secure, str):
+        secure = secure.strip().lower() in ("1", "true", "yes")
+    hostport = host if ":" in host else f"{host}:{port or (8443 if secure else 8123)}"
+    scheme = "jdbc:ch:https://" if secure else "jdbc:ch://"
+    return jdbc(
+        spark,
+        f"{scheme}{hostport}/{database}",
+        table,
+        user=user,
+        password=password,
+        driver="com.clickhouse.jdbc.ClickHouseDriver",
+        **kw,
+    )
+
+
+def remote(
+    spark: SparkSession,
+    host: str,
+    database: str,
+    table: str | None = None,
+    user: str = "default",
+    password: str = "",
+    **kw,
+) -> DataFrame:
+    """CH ``remote(addresses, db, table[, user, password])`` — alias of
+    :func:`clickhouse` (same engine behind both names).  Also accepts the
+    2-arg ``remote(addr, 'db.table')`` spelling."""
+    if table is None:
+        if "." not in database:
+            raise ValueError(
+                "remote() needs (host, database, table) or (host, 'db.table')"
+            )
+        database, table = database.split(".", 1)
+    return clickhouse(spark, host, database, table, user=user, password=password, **kw)
+
+
 def sqlite(
     spark: SparkSession,
     path: str,
@@ -253,7 +317,9 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
     propagate unchanged (missing file, bad format, …).
     """
     readers = {"file": file, "url": url, "s3": s3, "hdfs": hdfs}
-    pat = _re.compile(r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers)\s*\(")
+    pat = _re.compile(
+        r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers|clickhouse|remote)\s*\("
+    )
     from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
 
     def _in_string(s: str, pos: int) -> bool:
@@ -313,6 +379,9 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
                 df = df.withColumnRenamed("id", "number")
             elif fname == "sqlite":
                 df = sqlite(spark, args[0], args[1])
+            elif fname in ("clickhouse", "remote"):
+                fn = clickhouse if fname == "clickhouse" else remote
+                df = fn(spark, *args)
             else:
                 df = readers[fname](spark, args[0], *(args[1:2] or [None]))
             df.createOrReplaceTempView(view)
