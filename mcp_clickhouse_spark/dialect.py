@@ -14,6 +14,7 @@ calls first — no regex false-positives on names inside strings.
 Known semantic deltas (documented, not silently wrong):
   - cityHash64/sipHash64 → xxhash64: a 64-bit hash, but different VALUES
     than ClickHouse's (only hash stability within the engine is promised);
+    murmurHash3_64 IS value-faithful (functions/murmur.py Python-UDF port);
   - formatDateTime %-codes are converted for the common subset;
   - toDayOfWeek: ClickHouse counts Monday=1; Spark's dayofweek counts
     Sunday=1 → translated to weekday(x)+1 which matches ClickHouse.
@@ -960,15 +961,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CAST(power(2, floor(log2({a[0]}))) AS BIGINT)"
     ),
     # murmurHash3_64 has no value-faithful Spark builtin (Spark's hash() is
-    # Murmur3_x86_32, xxhash64 a different algorithm); mapping it silently
-    # would break comparisons against persisted CH hash values — raise a
-    # guided error naming the self-consistent substitute instead (round-5
-    # advisor finding).
-    "murmurhash3_64": lambda a: (_ for _ in ()).throw(DialectError(
-        "murmurHash3_64 cannot be reproduced value-for-value on Spark; "
-        "use xxhash64(...) if you only need a stable 64-bit hash within "
-        "this engine (values will NOT match ClickHouse murmurHash3_64)"
-    )),
+    # Murmur3_x86_32, xxhash64 a different algorithm).  Round-7 (r6 verdict
+    # #8): route to the faithful Python-UDF port of MurmurHash3_x64_128
+    # with ClickHouse's h1^h2 combiner (functions/murmur.py; the tool layer
+    # registers ch_murmurHash3_64 on demand) — unsigned DECIMAL(20,0) like
+    # halfMD5.  Fidelity path: row-at-a-time; xxhash64 remains the
+    # codegen-speed choice when cross-engine values don't matter.
+    "murmurhash3_64": lambda a: (
+        f"ch_murmurHash3_64({a[0]})"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "murmurHash3_64: only the 1-argument String form is faithful "
+            "(the multi-argument form combines intermediate hashes in a "
+            "CH-specific way); concat(...) the arguments or use xxhash64"
+        ))
+    ),
     # CH halfMD5 = first 8 bytes of md5, read big-endian as UInt64 — i.e.
     # the first 16 hex digits.  conv() yields the unsigned decimal string;
     # DECIMAL(20,0) holds the full UInt64 range, so the value is faithful

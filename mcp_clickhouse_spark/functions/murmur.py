@@ -1,0 +1,116 @@
+"""Value-faithful ClickHouse ``murmurHash3_64`` (r6 verdict next #8).
+
+ClickHouse computes MurmurHash3_x64_128 (Austin Appleby's public-domain
+algorithm, seed 0) and returns the XOR of the two 64-bit halves
+(reference: ClickHouse src/Functions/FunctionsHashing.h,
+``MurmurHash3Impl64::apply`` — ``h[0] ^ h[1]`` over the 128-bit digest).
+Spark has no builtin for either piece (its ``hash()`` is Murmur3_x86_32,
+``xxhash64`` a different algorithm), so faithfulness requires computing the
+real thing: a pure-Python port of the x64_128 reference, exposed as a
+Python UDF returning the unsigned value as DECIMAL(20,0) (the same
+convention the dialect's halfMD5 uses — ClickHouse renders UInt64).
+
+This is the FIDELITY path, not the scale path: a row-at-a-time Python UDF.
+For a stable 64-bit hash in bulk pipelines use ``xxhash64`` (JVM-side,
+whole-stage codegen) — the dialect's guided docs say so.  The port is
+cross-checked in tests against Guava's independent murmur3_128
+implementation (shipped in Spark's JVM) on every length class
+(0, <8, 8, <16, 16, >16 bytes, non-ASCII).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+_MASK = (1 << 64) - 1
+_C1 = 0x87C37B91114253D5
+_C2 = 0x4CF5AD432745937F
+
+
+def _rotl64(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _MASK
+
+
+def _fmix64(k: int) -> int:
+    k ^= k >> 33
+    k = (k * 0xFF51AFD7ED558CCD) & _MASK
+    k ^= k >> 33
+    k = (k * 0xC4CEB9FE1A85EC53) & _MASK
+    k ^= k >> 33
+    return k
+
+
+def murmur3_x64_128(data: bytes, seed: int = 0) -> tuple[int, int]:
+    """MurmurHash3_x64_128 (reference semantics), little-endian block reads.
+
+    Returns the two unsigned 64-bit halves (h1, h2).
+    """
+    h1 = h2 = seed & _MASK
+    length = len(data)
+    nblocks = length // 16
+    for i in range(nblocks):
+        o = i * 16
+        k1 = int.from_bytes(data[o : o + 8], "little")
+        k2 = int.from_bytes(data[o + 8 : o + 16], "little")
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+        h1 = _rotl64(h1, 27)
+        h1 = (h1 + h2) & _MASK
+        h1 = (h1 * 5 + 0x52DCE729) & _MASK
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+        h2 = _rotl64(h2, 31)
+        h2 = (h2 + h1) & _MASK
+        h2 = (h2 * 5 + 0x38495AB5) & _MASK
+    tail = data[nblocks * 16 :]
+    tl = len(tail)
+    if tl > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * _C2) & _MASK
+        k2 = _rotl64(k2, 33)
+        k2 = (k2 * _C1) & _MASK
+        h2 ^= k2
+    if tl > 0:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * _C1) & _MASK
+        k1 = _rotl64(k1, 31)
+        k1 = (k1 * _C2) & _MASK
+        h1 ^= k1
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    h1 = _fmix64(h1)
+    h2 = _fmix64(h2)
+    h1 = (h1 + h2) & _MASK
+    h2 = (h2 + h1) & _MASK
+    return h1, h2
+
+
+def ch_murmurhash3_64(s: str | None) -> Decimal | None:
+    """ClickHouse murmurHash3_64: XOR of the x64_128 halves, unsigned."""
+    if s is None:
+        return None
+    h1, h2 = murmur3_x64_128(s.encode("utf-8"))
+    return Decimal(h1 ^ h2)
+
+
+_REGISTERED: set[int] = set()
+
+
+def ensure_registered(spark) -> None:
+    """Register the ``ch_murmurHash3_64`` UDF once per session."""
+    key = id(spark)
+    if key in _REGISTERED:
+        return
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import DecimalType
+
+    spark.udf.register(
+        "ch_murmurHash3_64", udf(ch_murmurhash3_64, DecimalType(20, 0))
+    )
+    _REGISTERED.add(key)

@@ -190,6 +190,12 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
         from mcp_clickhouse_spark.dialect import translate
 
         query = translate(query)
+        if "ch_murmurhash3_64(" in query.lower():
+            # faithful murmurHash3_64 rides on a Python UDF — register it
+            # lazily, only for queries that actually use it
+            from mcp_clickhouse_spark.functions.murmur import ensure_registered
+
+            ensure_registered(spark)
     # Defense in depth: Spark's own parser classifies the (translated)
     # statement; non-query plans are rejected before execution.
     check_read_only_plan(spark, query)

@@ -1472,3 +1472,44 @@ def test_with_fill_operator_generated_rows_only(spark):
            with_fill(df, "x", 1, 7, 1, interpolate={"v": "linear"}).collect()}
     assert lin[6] is None          # real NULL still survives linear mode
     assert lin[2] == pytest.approx(100.0 + (200.0 - 100.0) / 3)  # lerp
+
+
+def test_murmurhash3_64_faithful(spark):
+    """Round-7 (r6 verdict #8): murmurHash3_64 translates to the faithful
+    MurmurHash3_x64_128 h1^h2 port instead of the guided error.  The port
+    is cross-checked against Guava's independent murmur3_128 (in Spark's
+    JVM) on every length class; the CH combiner (XOR of the 64-bit
+    halves, seed 0) follows ClickHouse FunctionsHashing.h
+    MurmurHash3Impl64."""
+    from mcp_clickhouse_spark.functions.murmur import (
+        ch_murmurhash3_64,
+        murmur3_x64_128,
+    )
+
+    guava = spark._jvm.com.google.common.hash.Hashing.murmur3_128()
+    cases = ["", "a", "foo", "12345678", "123456789", "0123456789abcdef",
+             "0123456789abcdef0", "The quick brown fox jumps over the lazy dog",
+             "naïve café 日本語"]
+    for s in cases:
+        data = s.encode("utf-8")
+        b = bytes(guava.hashBytes(bytearray(data)).asBytes())
+        g1 = int.from_bytes(b[0:8], "little")
+        g2 = int.from_bytes(b[8:16], "little")
+        h1, h2 = murmur3_x64_128(data)
+        assert (h1, h2) == (g1, g2), s
+        assert int(ch_murmurhash3_64(s)) == g1 ^ g2
+    # end-to-end through the dialect + lazy UDF registration
+    res = run_select_query(
+        spark, "SELECT murmurHash3_64('foo') AS h", dialect="clickhouse"
+    )
+    exp = int(ch_murmurhash3_64("foo"))
+    assert int(res["rows"][0][0]) == exp and exp > 0  # unsigned DECIMAL(20,0)
+    # NULL propagates; multi-arg keeps a guided error
+    res2 = run_select_query(
+        spark,
+        "SELECT murmurHash3_64(CAST(NULL AS STRING)) AS h",
+        dialect="clickhouse",
+    )
+    assert res2["rows"][0][0] is None
+    with pytest.raises(ValueError, match="1-argument"):
+        translate("SELECT murmurHash3_64(a, b) FROM t")
