@@ -1,38 +1,39 @@
 """Driver-facing registration order for the query inventory.
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
-registration order), rotating coverage round by round.  After round 5,
-147/147 oracle-backed queries have been green at least once and 156/157
-then-registered queries had a driver row — the single gap
-(``pipe_dup_clusters_minhash``, registered after the r5 list froze) leads
-this round's list per the r5 verdict (next #4).
+registration order), rotating coverage round by round.  After round 6,
+all 162 then-registered queries had a driver row, 152/152 oracle-backed
+ones green at least once, zero ever-failed-and-unfixed.
 
-Round 6 priority, summing to exactly 50:
+Round 7 priority, summing to exactly 50 (r6 verdict next #6: lead with
+the queries last driver-checked in rounds 1-2 — the dialect/registry
+churned ~2,400 lines since):
 
-- 1 never-driver-checked query (pipe_dup_clusters_minhash — rows-only by
-  design, pytest-pinned; the driver row proves it executes under the
-  driver session);
-- 1 query whose ORACLE/SHAPE changed this round (pipe_pack_sequences —
-  now composed with the epoch-shard key so the packing window is
-  partitioned; verdict "What's wrong #3");
-- 5 brand-new round-6 queries (sql_asof_join, sql_any_join — the SQL-text
-  ASOF/ANY rewrite, verdict missing #1 — shim_with_fill_interpolate,
-  verdict missing #3 — sql_qualify, the top-level QUALIFY rewrite that
-  replaced that guided error — and streaming_clean_corpus, the full
-  stateful streaming pipeline proven value-correct against DuckDB);
-- 5 round-5-new entries holding a single green (pipe_bm25, pipe_c4_filters,
-  pipe_stratified_sample, pipe_source_mix, pipe_decontaminate);
-- 8 TPC-H shapes rolled from the r5 slot budget
-  (q9/q11/q13/q15/q16/q17/q18/q19);
-- 16 bench-headline canaries (the dialect array-fold accumulator fix and
-  warehouse cache are upstream of all of them);
-- 14 r3-refresh pool entries (join_inner/left/any/cross/theta, four
-  setops, scalar_string/json/map, agg_any_first_last/cube);
-Rolled to round 7: q2_min_cost_supplier, agg_histogram, the remaining setops
-(union_by_name/intersect_all/except_all),
-scalar_regex/datetime/math/cast/array/hash/null_handling,
-events_sliding/pivot/props/latest, the win_* family, behav_* family, and
-the q3-q8/q10/q12/q14/q20-q22 second-green pool.
+- 3 brand-new round-7 queries, never driver-checked (sql_asof_join_star
+  — SELECT * helper hiding, verdict #2; sql_qualify_subquery — recursed
+  QUALIFY, verdict #4; shim_with_fill_interpolate_expr — the AS-expr
+  fold, verdict #5);
+- 5 queries whose translation path changed this round (sql_asof_join,
+  sql_any_join, sql_qualify — shared _skip_quoted scanner +
+  _COND_BOUNDARY QUALIFY stop; shim_with_fill_interpolate,
+  shim_with_fill — generated-rows-only interpolation in the operator);
+- all 23 queries last driver-checked in r1/r2 (agg_global, agg_stats,
+  agg_histogram, agg_approx_count_distinct, agg_quantile_approx,
+  behav_cohort_retention, behav_sequence_match, case_when,
+  constant_select, events_props_analytics, events_sliding_window,
+  filter_const_false, filter_ilike_regex, order_limit,
+  order_limit_offset, scalar_date_series, scalar_hash, scalar_math,
+  scalar_regex, select_columns_regex, shim_distinct,
+  source_generate_random, source_values_table);
+- 19 of the 30 queries last checked in r3, oldest-first with the
+  dialect-adjacent ones preferred (scalars/setops/windows/joins are
+  downstream of the scanner refactor).
+
+Rolled to round 8 (the r3 remainder): pipe_embed_lsh_topk,
+pipe_minhash_lsh_verified, pipe_minhash_signatures, pipe_ngram_jaccard,
+pipe_quality_score, pipe_training_filter, q8_market_share,
+scalar_zip_sequence, scale_salted_agg, win_distribution,
+win_range_time_interval.
 """
 
 from __future__ import annotations
@@ -41,64 +42,60 @@ from mcp_clickhouse_spark.inventory.registry import QUERIES
 
 # Exactly 50 names.
 PRIORITY: list[str] = [
-    # never driver-checked (the one r5 coverage gap)
-    "pipe_dup_clusters_minhash",
-    # shape/oracle changed this round — must re-verify first
-    "pipe_pack_sequences",
-    # brand-new round-6 queries
+    # brand-new round-7 queries — never driver-checked
+    "sql_asof_join_star",
+    "sql_qualify_subquery",
+    "shim_with_fill_interpolate_expr",
+    # translation/operator path changed this round — re-verify first
     "sql_asof_join",
     "sql_any_join",
-    "shim_with_fill_interpolate",
     "sql_qualify",
-    # round-5-new entries earning the second green
-    "pipe_bm25",
-    "pipe_c4_filters",
-    "pipe_stratified_sample",
-    "pipe_source_mix",
-    "pipe_decontaminate",
-    # TPC-H shapes rolled from the r5 slot budget
-    "q9_product_profit",
-    "q11_important_stock",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    # bench-headline canaries
-    "q1_pricing_summary",
-    "scan_projection",
-    "join_star_revenue",
-    "join_asof",
-    "agg_count_distinct",
-    "agg_rollup",
-    "win_running_sum",
-    "events_session_window",
-    "events_tumbling_window",
-    "shim_limit_by",
-    "pipe_dedup_exact",
-    "pipe_minhash_lsh",
-    "pipe_embed_topk",
-    "pipe_text_stats",
-    "pipe_span_dedup",
-    "pipe_vocab_oov",
-    # r3-refresh pool (oldest greens)
-    "join_inner",
-    "join_left",
-    "join_any",
-    "join_cross",
-    "join_theta",
-    "setop_union_all",
-    "setop_union_distinct",
-    "setop_intersect",
-    "setop_except",
-    "scalar_string",
-    "scalar_json",
-    "scalar_map",
-    "agg_any_first_last",
-    "agg_cube",
-    # round-6 oracle-checked streaming pipeline (never driver-checked)
-    "streaming_clean_corpus",
+    "shim_with_fill_interpolate",
+    "shim_with_fill",
+    # last driver-checked in round 1 or 2 (23)
+    "agg_approx_count_distinct",
+    "agg_global",
+    "agg_histogram",
+    "agg_quantile_approx",
+    "agg_stats",
+    "behav_cohort_retention",
+    "behav_sequence_match",
+    "case_when",
+    "constant_select",
+    "events_props_analytics",
+    "events_sliding_window",
+    "filter_const_false",
+    "filter_ilike_regex",
+    "order_limit",
+    "order_limit_offset",
+    "scalar_date_series",
+    "scalar_hash",
+    "scalar_math",
+    "scalar_regex",
+    "select_columns_regex",
+    "shim_distinct",
+    "source_generate_random",
+    "source_values_table",
+    # r3-refresh pool, dialect-adjacent first (19)
+    "scalar_array",
+    "scalar_cast",
+    "scalar_datetime",
+    "scalar_null_handling",
+    "setop_except_all",
+    "setop_intersect_all",
+    "setop_union_by_name",
+    "win_ranking",
+    "win_value_functions",
+    "agg_collect",
+    "agg_group_by_all",
+    "agg_group_having",
+    "agg_multi_quantiles",
+    "array_join_explode",
+    "array_join_left_outer",
+    "events_latest_per_user",
+    "join_right",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
 ]
 
 
