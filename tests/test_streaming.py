@@ -642,3 +642,77 @@ def test_streaming_clean_corpus_pipeline_matches_batch(spark, tmp_path):
         for r in stateless(docs).where(F.col("doc_id").isin(list(kept_ids))).collect()
     }
     assert re_keys == want_keys
+
+
+def test_stateful_pipeline_rate_source_latency(spark, tmp_path):
+    """Round-7 (r6 verdict #9): a perf canary for the stateful path —
+    the streaming_clean_corpus stages (PII scrub + quality gate +
+    incremental dedup with cross-batch state) driven by Spark's `rate`
+    source for a bounded number of micro-batches, per-batch trigger
+    latency read from the query progress.  A smoke bound, not a
+    benchmark: the stateful micro-batch turnaround on this box is
+    ~100-600 ms; 5 s flags a structural regression (e.g. state
+    explosion or a plan that re-scans the corpus side per row)."""
+    import time
+
+    from mcp_clickhouse_spark.pipeline.text import quality_score_col, scrub_pii
+    from mcp_clickhouse_spark.streaming.ops import streaming_incremental_dedup
+
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", 2000)
+        .option("numPartitions", 4)
+        .load()
+    )
+    # synthetic documents: ~500 distinct texts cycling -> the dedup state
+    # does real cross-batch work (later batches drop earlier keys); PII
+    # tokens make the scrub stage non-trivial
+    docs = rate.select(
+        F.concat(
+            F.lit("user record "),
+            (F.col("value") % 500).cast("string"),
+            F.lit(" contact alice@example.com or 192.168.0.1 for details, "
+                  "a perfectly ordinary sentence with the usual words."),
+        ).alias("text")
+    )
+    st = scrub_pii(docs)
+    st = (
+        st.where(quality_score_col("text_scrubbed") >= 0.2)
+        .select(F.col("text_scrubbed").alias("text"))
+        .withColumn("dedup_key", F.md5("text"))
+    )
+    corpus_keys = spark.createDataFrame(
+        [("no-such-key",)], "dedup_key string"
+    )
+    kept = streaming_incremental_dedup(st, corpus_keys)
+    q = (
+        kept.writeStream.format("noop")
+        .option("checkpointLocation", str(tmp_path / "rate_ck"))
+        .outputMode("append")
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            done = [
+                p
+                for p in q.recentProgress
+                if p["numInputRows"] > 0
+            ]
+            if len(done) >= 5:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    lat = [
+        p["durationMs"]["triggerExecution"]
+        for p in q.recentProgress
+        if p["numInputRows"] > 0
+    ]
+    assert len(lat) >= 3, f"too few non-empty micro-batches: {lat}"
+    lat_sorted = sorted(lat)
+    p50 = lat_sorted[len(lat_sorted) // 2]
+    print(f"rate-source stateful canary: batches={len(lat)} "
+          f"latencies_ms={lat_sorted} p50={p50}")
+    assert p50 < 5000, f"stateful micro-batch p50 {p50} ms exceeds smoke bound"
