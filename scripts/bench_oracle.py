@@ -60,25 +60,49 @@ def main() -> None:
 
     con = duckdb.connect()
     con.execute(f"SET threads TO {cpus}")
+    # Bound the allocator AND give it somewhere to spill: an in-memory
+    # DuckDB has no temp store, so heavy oracles (pipe_span_dedup's
+    # token-explode + per-chunk string_agg at sf1) hard-OOM instead of
+    # offloading.  No effect on the sf0.1 contract numbers.
+    con.execute(
+        f"SET memory_limit = '{os.environ.get('SPARK_GRAFT_DUCKDB_MEM', '48GB')}'"
+    )
+    con.execute("SET temp_directory = '/tmp/duckdb_bench_spill'")
     for t in TESTDATA_TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    def run(name: str) -> None:
-        con.execute(oracles[name]).arrow()
+    failed: dict[str, str] = {}
 
-    for _ in range(WARM_PASSES):
+    def run(name: str) -> None:
+        try:
+            con.execute(oracles[name]).arrow()
+        except duckdb.OutOfMemoryException as e:
+            # record and keep going — at sf1 the oracle twin's
+            # pipe_span_dedup peaks past the box (non-spillable ordered
+            # string_agg); that is a DATAPOINT, not a reason to lose the
+            # other 14 timings
+            failed[name] = str(e).splitlines()[0][:120]
+        except Exception as e:
+            raise RuntimeError(f"oracle {name!r} failed: {e}") from e
+
+    for p in range(WARM_PASSES):
         for name in names:
-            run(name)
+            if name not in failed:
+                run(name)
+        print(f"# warm pass {p + 1}/{WARM_PASSES} done", file=sys.stderr, flush=True)
+    names = [n for n in names if n not in failed]
     samples: dict[str, list[float]] = {n: [] for n in names}
     for _ in range(ROUNDS):
         for name in names:
             t0 = time.perf_counter()
             run(name)
             samples[name].append(time.perf_counter() - t0)
-    duck = {n: round(min(s), 3) for n, s in samples.items()}
-    duck_spread = {n: round(max(s) - min(s), 3) for n, s in samples.items()}
+    duck = {n: round(min(s), 3) for n, s in samples.items() if n not in failed}
+    duck_spread = {
+        n: round(max(s) - min(s), 3) for n, s in samples.items() if n not in failed
+    }
 
     out: dict = {
         "metric": "oracle_duckdb_total_sec",
@@ -90,6 +114,7 @@ def main() -> None:
         "threads": cpus,
         "sf": sf,
         "skipped_no_oracle": skipped,
+        "oracle_failed": failed,
     }
 
     spark_queries: dict[str, float] | None = None
