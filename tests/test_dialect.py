@@ -1066,10 +1066,11 @@ def test_array_fold_accumulator_types(spark):
         "SELECT arrayReduce('sum', a) AS ar FROM (SELECT [9007199254740993, 1] AS a)",
     )[0]) == 9007199254740994
 
-    # murmurHash3_64 now raises a guided error instead of silently
-    # returning non-CH values (round-5 advisor finding)
-    with _pytest.raises(ValueError, match="xxhash64"):
-        translate("SELECT murmurHash3_64('x') FROM t")
+    # murmurHash3_64 routes to the faithful UDF port as of round 7 (the
+    # r5 guided error is superseded; see test_murmurhash3_64_faithful)
+    assert "ch_murmurHash3_64('x')" in translate(
+        "SELECT murmurHash3_64('x') FROM t"
+    )
     # makeDateTime timezone argument: guided error, not silent truncation
     with _pytest.raises(ValueError, match="makeDateTime"):
         translate("SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC') FROM t")
