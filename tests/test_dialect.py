@@ -1514,3 +1514,35 @@ def test_murmurhash3_64_faithful(spark):
     assert res2["rows"][0][0] is None
     with pytest.raises(ValueError, match="1-argument"):
         translate("SELECT murmurHash3_64(a, b) FROM t")
+
+
+def test_join_then_qualify_chain(spark, sf_dir):
+    """Round-7 (r6 advisor #2): QUALIFY after an ANY/ASOF join's ON
+    condition — the boundary scanner must stop the condition scan at
+    QUALIFY instead of swallowing it (the old failure modes were a
+    misleading 'QUALIFY inside a subquery' error for ANY and a 'cannot
+    parse conjunct' for ASOF)."""
+    from mcp_clickhouse_spark.session import read_table
+
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    res = run_select_query(
+        spark,
+        "SELECT c.c_custkey, o.o_orderkey,"
+        " row_number() OVER (ORDER BY c.c_custkey, o.o_orderkey) AS rn"
+        " FROM customer c ANY LEFT JOIN orders o ON c.c_custkey = o.o_custkey"
+        " QUALIFY rn <= 5",
+        dialect="clickhouse",
+    )
+    assert len(res["rows"]) == 5
+    read_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    res2 = run_select_query(
+        spark,
+        "SELECT e.event_id,"
+        " row_number() OVER (ORDER BY e.event_id) AS rn"
+        " FROM events e ASOF LEFT JOIN events s"
+        " ON e.user_id = s.user_id AND e.ts >= s.ts"
+        " QUALIFY rn <= 3",
+        dialect="clickhouse",
+    )
+    assert len(res2["rows"]) == 3
