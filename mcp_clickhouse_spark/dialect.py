@@ -195,6 +195,48 @@ def _json_path(args: list[str], extractor: str = "get_json_object") -> str:
     return f"{extractor}({doc}, concat('$.', {key}))"
 
 
+def _json_extract_raw(args: list[str]) -> str:
+    """CH ``JSONExtractRaw(json[, keys_or_indices…])`` — the raw JSON text
+    of the addressed element ('' when absent/invalid), quotes preserved on
+    strings.  Spark 4's VARIANT round-trip (``try_parse_json`` →
+    ``try_variant_get`` → ``to_json``) is value-faithful where
+    ``get_json_object`` is not (it strips quotes from strings).  CH
+    integer indices are 1-based → variant path 0-based.  Delta: the raw
+    text re-serializes canonically (no original whitespace).  The path
+    must be literal (keys as string literals, indices as integer
+    literals); negative from-the-end indices raise a guided error."""
+    path = "$"
+    for arg in args[1:]:
+        a = arg.strip()
+        if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+            key = a[1:-1]
+            if not re.fullmatch(r"[A-Za-z_]\w*", key):
+                raise DialectError(
+                    f"JSONExtractRaw: key {key!r} is not a simple "
+                    "identifier; use get_json_object with an explicit "
+                    "JSONPath for exotic keys"
+                )
+            path += f".{key}"
+        elif re.fullmatch(r"-?\d+", a):
+            idx = int(a)
+            if idx <= 0:
+                raise DialectError(
+                    "JSONExtractRaw: only positive (1-based) indices are "
+                    "supported (from-the-end addressing has no JSONPath "
+                    "equivalent here)"
+                )
+            path += f"[{idx - 1}]"
+        else:
+            raise DialectError(
+                "JSONExtractRaw: keys/indices must be literals (the "
+                "JSONPath is built at translation time)"
+            )
+    return (
+        f"coalesce(to_json(try_variant_get(try_parse_json({args[0]}),"
+        f" '{path}')), '')"
+    )
+
+
 def _key_lambda_comparator(lam: str, arr: str) -> str:
     """CH arraySort(x -> key, arr) → Spark array_sort(arr, comparator):
     apply the key body to both comparator slots with word-boundary-safe
@@ -1104,6 +1146,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
     if len(a) == 1
     else f"sequence({a[0]}, ({a[1]}) - 1)",
+    "jsonextractraw": _json_extract_raw,
     "jsonextractstring": lambda a: _json_path(a),
     "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
     "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
@@ -2433,9 +2476,10 @@ def _rewrite_join_modifiers(sql: str) -> str:
     - ``GLOBAL [INNER|LEFT|…] JOIN`` / ``GLOBAL IN``: GLOBAL forces the
       right side to every node — Spark's broadcast/shuffle planner makes
       that call itself, so the keyword simply drops.
-    - ``[LEFT] ARRAY JOIN col AS alias`` → ``LATERAL VIEW [OUTER]
-      explode(col) <gen> AS alias`` (single-column form; multi-column
-      ARRAY JOIN passes through untouched).
+    - ``[LEFT] ARRAY JOIN e1 AS a1[, e2 AS a2, …]`` → ``LATERAL VIEW
+      [OUTER] explode/inline(arrays_zip(…))`` — see
+      :func:`_rewrite_array_joins` (multi-column zips positionally as CH
+      does; round-7, previously passed through untouched).
     - SQL-text ``ANY … JOIN`` / ``ASOF JOIN`` raise with a pointer at the
       DataFrame operators — a textual rewrite would need key analysis, and
       letting Spark emit its own parse error hides the actual cause.
@@ -2489,23 +2533,94 @@ def _rewrite_join_modifiers(sql: str) -> str:
         lambda m: "" if outside(m) else m.group(0),
         sql,
     )
-    counter = [0]
+    return _rewrite_array_joins(sql)
 
-    def array_join_repl(m: re.Match) -> str:
-        if not outside(m):
-            return m.group(0)
+
+_ARRAY_JOIN_STOP = re.compile(
+    r"(?i)(WHERE|GROUP\s+BY|HAVING|ORDER\s+BY|LIMIT|WINDOW|SETTINGS|UNION"
+    r"|INTERSECT|EXCEPT|QUALIFY|ON|USING|ARRAY\s+JOIN|ASOF|ANY|GLOBAL|LATERAL"
+    r"|(?:LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI)\b|JOIN)\b"
+)
+
+
+def _rewrite_array_joins(sql: str) -> str:
+    """``[LEFT] ARRAY JOIN e1 AS a1[, e2 AS a2, …]`` → LATERAL VIEW.
+
+    Single item: ``LATERAL VIEW [OUTER] explode(e1) _ajN AS a1`` (the
+    round-4 form).  Multiple items (round-7 — previously passed through
+    untouched and died in Spark's parser): CH zips the arrays
+    positionally, which is ``inline(arrays_zip(e1, e2, …))`` with the
+    aliases bound in order.  Delta: CH errors on unequal array sizes
+    while arrays_zip NULL-pads the shorter ones (documented here).
+
+    The bare no-``AS`` form stays unsupported with a guided error — CH
+    REPLACES the source column with its element in scope, which Spark
+    cannot express (the LATERAL VIEW alias would collide with the still-
+    visible table column).  Items parse greedily: the first comma-
+    separated segment that is not ``expr AS alias`` ends the item list
+    (it belongs to an enclosing construct)."""
+    counter = 0
+    pos = 0
+    while True:
+        m = None
+        for cand in re.finditer(r"(?i)\b(LEFT\s+)?ARRAY\s+JOIN\s+", sql):
+            if cand.start() >= pos and _outside_strings(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            return sql
+        n = len(sql)
+        items: list[tuple[str, str]] = []
+        i = m.end()
+        end = i
+        while True:
+            seg_start = i
+            j = i
+            while j < n:
+                ch = sql[j]
+                if ch in _QUOTE_CHARS:
+                    j = _skip_quoted(sql, j)
+                    continue
+                if ch == "(":
+                    j = _find_balanced(sql, j)
+                    continue
+                if ch in "),":
+                    break
+                sm = _ARRAY_JOIN_STOP.match(sql, j)
+                if sm and not (j > 0 and (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+                    break
+                j += 1
+            seg = sql[seg_start:j].strip()
+            am = re.match(r"(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$", seg)
+            if not am:
+                if not items:
+                    raise DialectError(
+                        "ARRAY JOIN requires `expr AS alias` items (the "
+                        "bare form replaces the source column in scope, "
+                        "which Spark's LATERAL VIEW cannot express — "
+                        "alias the element and select it explicitly)"
+                    )
+                break  # this segment belongs to an enclosing list
+            items.append((am.group(1).strip(), am.group(2)))
+            end = j
+            if j < n and sql[j] == ",":
+                i = j + 1
+                continue
+            break
+        counter += 1
         outer = "OUTER " if m.group(1) else ""
-        counter[0] += 1
-        return (
-            f"LATERAL VIEW {outer}explode({m.group(2)})"
-            f" _aj{counter[0]} AS {m.group(3)}"
-        )
-
-    return re.sub(
-        r"(?i)\b(LEFT\s+)?ARRAY\s+JOIN\s+([A-Za-z_][A-Za-z0-9_.]*(?:\([^()]*\))?)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)",
-        array_join_repl,
-        sql,
-    )
+        if len(items) == 1:
+            expr, alias = items[0]
+            repl = f"LATERAL VIEW {outer}explode({expr}) _aj{counter} AS {alias}"
+        else:
+            exprs = ", ".join(e for e, _a in items)
+            aliases = ", ".join(a for _e, a in items)
+            repl = (
+                f"LATERAL VIEW {outer}inline(arrays_zip({exprs}))"
+                f" _aj{counter} AS {aliases}"
+            )
+        sql = sql[: m.start()] + repl + " " + sql[end:]
+        pos = m.start() + len(repl)
 
 
 _CLAUSE_BOUNDARY = re.compile(

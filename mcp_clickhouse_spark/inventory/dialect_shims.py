@@ -311,6 +311,47 @@ def shim_with_fill_interpolate_expr(spark, sf_dir):
     return spark.sql(translate(_SQL_FILL_EXPR_CH))
 
 
+_SQL_ARRAY_JOIN_MULTI_CH = """
+SELECT doc_id, w AS word, p AS pos
+FROM docw
+ARRAY JOIN ws AS w, arrayEnumerate(ws) AS p
+WHERE p <= 3
+ORDER BY doc_id, p
+LIMIT 500
+"""
+
+
+@query(
+    "sql_array_join_multi",
+    oracle="""
+    WITH docw AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+      WHERE doc_id < 200
+    )
+    SELECT doc_id, ws[p] AS word, CAST(p AS BIGINT) AS pos
+    FROM docw, (SELECT UNNEST(generate_series(1, 3)) AS p) ps
+    WHERE p <= len(ws)
+    ORDER BY doc_id, p
+    LIMIT 500
+    """,
+    category="dialect",
+)
+def sql_array_join_multi(spark, sf_dir):
+    """Multi-column ``ARRAY JOIN`` SQL text (round 7): CH zips the listed
+    arrays positionally — dialect._rewrite_array_joins emits
+    ``LATERAL VIEW inline(arrays_zip(…))`` with the aliases in order.
+    Here: first three (word, 1-based position) pairs per document.
+    Oracle: DuckDB positional subscripting over a generated index."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW docw AS "
+        "SELECT doc_id, split(text, ' ') AS ws FROM documents WHERE doc_id < 200"
+    )
+    return spark.sql(translate(_SQL_ARRAY_JOIN_MULTI_CH))
+
+
 _SQL_QUALIFY_CH = """
 SELECT o_orderstatus, o_custkey, o_orderkey
 FROM orders

@@ -25,15 +25,17 @@ churned ~2,400 lines since):
   order_limit_offset, scalar_date_series, scalar_hash, scalar_math,
   scalar_regex, select_columns_regex, shim_distinct,
   source_generate_random, source_values_table);
-- 19 of the 30 queries last checked in r3, oldest-first with the
+- 18 of the 30 queries last checked in r3, oldest-first with the
   dialect-adjacent ones preferred (scalars/setops/windows/joins are
-  downstream of the scanner refactor).
+  downstream of the scanner refactor);
+- 1 late round-7 addition, never driver-checked (sql_array_join_multi —
+  multi-column ARRAY JOIN via inline(arrays_zip)).
 
 Rolled to round 8 (the r3 remainder): pipe_embed_lsh_topk,
 pipe_minhash_lsh_verified, pipe_minhash_signatures, pipe_ngram_jaccard,
-pipe_quality_score, pipe_training_filter, q8_market_share,
-scalar_zip_sequence, scale_salted_agg, win_distribution,
-win_range_time_interval.
+pipe_quality_score, pipe_training_filter, q4_order_priority,
+q8_market_share, scalar_zip_sequence, scale_salted_agg,
+win_distribution, win_range_time_interval.
 """
 
 from __future__ import annotations
@@ -95,7 +97,9 @@ PRIORITY: list[str] = [
     "events_latest_per_user",
     "join_right",
     "q2_min_cost_supplier",
-    "q4_order_priority",
+    # late round-7 addition (multi-column ARRAY JOIN), never checked —
+    # takes the q4_order_priority slot (q4 rolls to r8 with the r3 pool)
+    "sql_array_join_multi",
 ]
 
 

@@ -264,6 +264,14 @@ def remote(
     return clickhouse(spark, host, database, table, user=user, password=password, **kw)
 
 
+def remote_secure(spark: SparkSession, host: str, database: str,
+                  table: str | None = None, user: str = "default",
+                  password: str = "", **kw) -> DataFrame:
+    """CH ``remoteSecure(...)`` — :func:`remote` over TLS (port 8443)."""
+    kw.setdefault("secure", True)
+    return remote(spark, host, database, table, user=user, password=password, **kw)
+
+
 def sqlite(
     spark: SparkSession,
     path: str,
@@ -318,7 +326,7 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
     """
     readers = {"file": file, "url": url, "s3": s3, "hdfs": hdfs}
     pat = _re.compile(
-        r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers|clickhouse|remote)\s*\("
+        r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers|clickhouse|remoteSecure|remote)\s*\("
     )
     from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
 
@@ -379,8 +387,9 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
                 df = df.withColumnRenamed("id", "number")
             elif fname == "sqlite":
                 df = sqlite(spark, args[0], args[1])
-            elif fname in ("clickhouse", "remote"):
-                fn = clickhouse if fname == "clickhouse" else remote
+            elif fname in ("clickhouse", "remote", "remotesecure"):
+                fn = {"clickhouse": clickhouse, "remote": remote,
+                      "remotesecure": remote_secure}[fname]
                 df = fn(spark, *args)
             else:
                 df = readers[fname](spark, args[0], *(args[1:2] or [None]))

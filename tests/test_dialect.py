@@ -1546,3 +1546,52 @@ def test_join_then_qualify_chain(spark, sf_dir):
         dialect="clickhouse",
     )
     assert len(res2["rows"]) == 3
+
+
+def test_array_join_multi_column(spark):
+    """Round-7: multi-column ARRAY JOIN zips positionally via
+    inline(arrays_zip(...)); single-column keeps the explode form; the
+    bare no-AS form raises a guided error."""
+    spark.createDataFrame(
+        [(1, [10, 20, 30], ["x", "y", "z"])],
+        "id int, xs array<int>, ys array<string>",
+    ).createOrReplaceTempView("aj_t")
+    res = run_select_query(
+        spark,
+        "SELECT id, a, b FROM aj_t ARRAY JOIN xs AS a, ys AS b WHERE a > 10",
+        dialect="clickhouse",
+    )
+    assert sorted(map(tuple, res["rows"])) == [(1, 20, "y"), (1, 30, "z")]
+    res2 = run_select_query(
+        spark,
+        "SELECT id, a, i FROM aj_t ARRAY JOIN xs AS a, arrayEnumerate(xs) AS i"
+        " ORDER BY i",
+        dialect="clickhouse",
+    )
+    assert [tuple(r) for r in res2["rows"]] == [(1, 10, 1), (1, 20, 2), (1, 30, 3)]
+    with pytest.raises(ValueError, match="expr AS alias"):
+        translate("SELECT x FROM t ARRAY JOIN xs WHERE 1")
+
+
+def test_json_extract_raw(spark):
+    """Round-7: JSONExtractRaw via the Spark 4 VARIANT round-trip —
+    quotes preserved on strings (get_json_object strips them), '' on
+    missing/invalid, CH 1-based indices."""
+    doc = '{"a": {"b": 1}, "s": "hi", "arr": [7, 8]}'
+    row = one(
+        spark,
+        f"SELECT JSONExtractRaw('{doc}', 'a') AS obj,"
+        f" JSONExtractRaw('{doc}', 's') AS s,"
+        f" JSONExtractRaw('{doc}', 'missing') AS m,"
+        f" JSONExtractRaw('{doc}', 'arr', 2) AS second,"
+        f" JSONExtractRaw('not json', 's') AS bad",
+    )
+    assert row[0] == '{"b":1}'
+    assert row[1] == '"hi"'
+    assert row[2] == ""
+    assert row[3] == "8"
+    assert row[4] == ""
+    with pytest.raises(ValueError, match="1-based"):
+        translate("SELECT JSONExtractRaw(j, 'arr', -1) FROM t")
+    with pytest.raises(ValueError, match="literal"):
+        translate("SELECT JSONExtractRaw(j, k) FROM t")

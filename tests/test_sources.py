@@ -490,3 +490,29 @@ def test_clickhouse_sql_text_binding(spark):
     assert "ClassNotFound" in msg or "ClickHouse" in msg or "ch" in msg.lower()
     with pytest.raises(Exception):
         bind_sql_table_functions(spark, "SELECT 1 FROM remote('h:9000', 'db.t')")
+
+
+def test_remote_secure_alias(spark):
+    """remoteSecure() = remote() over TLS; also SQL-text bindable."""
+    from unittest import mock
+
+    from mcp_clickhouse_spark.sources.table_functions import remote_secure
+
+    captured = {}
+
+    def fake_jdbc(spark_, url, table, **kw):
+        captured.update(url=url, table=table)
+        raise RuntimeError("no driver")
+
+    with mock.patch(
+        "mcp_clickhouse_spark.sources.table_functions.jdbc", side_effect=fake_jdbc
+    ):
+        with pytest.raises(RuntimeError):
+            remote_secure(spark, "ch.example.com", "db", "t")
+        assert captured["url"] == "jdbc:ch:https://ch.example.com:8443/db"
+    from mcp_clickhouse_spark.sources.table_functions import bind_sql_table_functions
+
+    with pytest.raises(Exception):
+        bind_sql_table_functions(
+            spark, "SELECT 1 FROM remoteSecure('h', 'db', 't')"
+        )
