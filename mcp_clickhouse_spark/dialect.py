@@ -1543,9 +1543,41 @@ def _depth0_spans(sql: str):
         i += 1
 
 
+def _recurse_subqueries(sql: str, fn, trigger: str) -> str:
+    """Apply a clause rewriter inside every balanced-paren span whose text
+    matches ``trigger`` (round-7 generalization of the QUALIFY recursion —
+    LIMIT n BY and PREWHERE/SAMPLE/FINAL now translate inside derived
+    tables too).  ``fn`` is called on the span's inner text; nesting is
+    handled by ``fn`` calling this again on its own input."""
+    parts: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in _QUOTE_CHARS:
+            j = _skip_quoted(sql, i)
+            parts.append(sql[i:j])
+            i = j
+            continue
+        if ch == "(":
+            end = _find_balanced(sql, i)
+            inner = sql[i + 1 : end - 1]
+            if re.search(trigger, inner):
+                inner = fn(inner)
+            parts.append("(" + inner + ")")
+            i = end
+            continue
+        parts.append(ch)
+        i += 1
+    return "".join(parts)
+
+
 def _rewrite_limit_by(sql: str) -> str:
     """ClickHouse `… [ORDER BY o] LIMIT n BY c1,c2 [LIMIT m]` → row_number
-    subquery. Only top-level (depth-0) clauses are rewritten."""
+    subquery.  Recurses into subqueries (round 7); each paren level
+    rewrites its own depth-0 clause."""
+    sql = _recurse_subqueries(
+        sql, _rewrite_limit_by, r"(?is)\bLIMIT\s+\d+\s+BY\b"
+    )
     d0 = {i for i, _ in _depth0_spans(sql)}
     m_iter = list(re.finditer(r"(?is)\bLIMIT\s+(\d+)\s+BY\s+", sql))
     m = next((mm for mm in m_iter if mm.start() in d0), None)
@@ -2417,26 +2449,7 @@ def _rewrite_qualify(sql: str) -> str:
     a QUALIFY is rewritten in place before the top-level pass (round-6
     verdict #4), so derived tables / IN-subqueries translate too.
     """
-    parts: list[str] = []
-    i, n = 0, len(sql)
-    while i < n:
-        ch = sql[i]
-        if ch in _QUOTE_CHARS:
-            j = _skip_quoted(sql, i)
-            parts.append(sql[i:j])
-            i = j
-            continue
-        if ch == "(":
-            end = _find_balanced(sql, i)
-            inner = sql[i + 1 : end - 1]
-            if re.search(r"(?is)\bQUALIFY\b", inner):
-                inner = _rewrite_qualify(inner)
-            parts.append("(" + inner + ")")
-            i = end
-            continue
-        parts.append(ch)
-        i += 1
-    sql = "".join(parts)
+    sql = _recurse_subqueries(sql, _rewrite_qualify, r"(?is)\bQUALIFY\b")
     d0 = {i for i, _ in _depth0_spans(sql)}
     m = None
     for mm in re.finditer(r"(?is)\bQUALIFY\b", sql):
@@ -2639,10 +2652,12 @@ def _rewrite_table_clauses(sql: str) -> str:
     - ``FINAL`` (merge-time dedup for Replacing/Collapsing engines) drops:
       there is no background merge to finalize against.
 
-    All matching is depth-0 and string-literal aware via _depth0_spans —
-    like the LIMIT BY / WITH FILL rewrites, subquery-level occurrences are
-    out of scope (top-level query clauses are what the reference's tool
-    surface receives)."""
+    All matching is depth-0 and string-literal aware via _depth0_spans,
+    and (round 7) recurses into subqueries — PREWHERE/SAMPLE/FINAL inside
+    a derived table translate at that table's own depth."""
+    sql = _recurse_subqueries(
+        sql, _rewrite_table_clauses, r"(?i)\b(PREWHERE|SAMPLE\s+\d|FINAL)\b"
+    )
     d0 = {i for i, _ in _depth0_spans(sql)}
 
     def d0_search(pat: str, start: int = 0):

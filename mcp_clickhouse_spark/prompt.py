@@ -20,8 +20,8 @@ Both accept dialect="clickhouse" to use ClickHouse SELECT syntax
 literals are translated automatically).  Clause-level ClickHouse
 constructs translate too: LIMIT n BY, ORDER BY ... WITH FILL
 [INTERPOLATE (col | col AS expr-of-col)] (generated rows only, exactly
-as ClickHouse computes it), WITH TOTALS, QUALIFY (top-level and inside
-subqueries), PREWHERE/SAMPLE/FINAL,
+as ClickHouse computes it), WITH TOTALS, QUALIFY, PREWHERE/SAMPLE/FINAL,
+LIMIT n BY (each top-level or inside subqueries),
 GLOBAL/ARRAY JOIN, ASOF [LEFT] JOIN (ON or USING), ANY LEFT|INNER JOIN,
 "double-quoted" identifiers, and scalar WITH macros.  Untranslatable
 constructs raise a guided error naming the equivalent.

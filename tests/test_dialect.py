@@ -1595,3 +1595,30 @@ def test_json_extract_raw(spark):
         translate("SELECT JSONExtractRaw(j, 'arr', -1) FROM t")
     with pytest.raises(ValueError, match="literal"):
         translate("SELECT JSONExtractRaw(j, k) FROM t")
+
+
+def test_subquery_clause_recursion(spark, sf_dir):
+    """Round-7: LIMIT n BY and PREWHERE/SAMPLE/FINAL recurse into derived
+    tables (previously top-level only), sharing the QUALIFY recursion
+    machinery."""
+    register_testdata(spark, sf_dir, ["orders"])
+    res = run_select_query(
+        spark,
+        "SELECT s, count() AS c FROM ("
+        "  SELECT o_orderstatus AS s, o_orderkey AS k FROM orders"
+        "  ORDER BY k LIMIT 2 BY s"
+        ") d GROUP BY s ORDER BY s",
+        dialect="clickhouse",
+    )
+    assert all(r[1] <= 2 for r in res["rows"]) and len(res["rows"]) >= 2
+    res2 = run_select_query(
+        spark,
+        "SELECT count() AS n FROM ("
+        "  SELECT o_orderkey FROM orders PREWHERE o_orderkey > 100"
+        "  WHERE o_orderkey < 200"
+        ") d",
+        dialect="clickhouse",
+    )
+    assert res2["rows"][0][0] > 0
+    out = translate("SELECT c FROM (SELECT count() AS c FROM t FINAL) d")
+    assert "FINAL" not in out.upper()
