@@ -304,3 +304,46 @@ def test_real_clause_after_trap_literal_still_rewrites(spark, esc):
     assert f"'{lit}'" in out
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(out)
+
+
+# --- round-7 rewriters: WITH FILL INTERPOLATE AS-expr + multi ARRAY JOIN ---
+
+_fill_expr = st.sampled_from(
+    ["v", "v + 1", "v * 2", "v - 3", "round(v / 2, 1)",
+     "CASE WHEN v > 100 THEN v ELSE v + 10 END"]
+)
+
+
+@given(w=_ws, expr=_fill_expr, lo=st.integers(0, 3), hi=st.integers(6, 12))
+@settings(max_examples=30, deadline=None)
+def test_with_fill_interpolate_expr_always_parses(spark, w, expr, lo, hi):
+    sql = (
+        f"SELECT x, v FROM src ORDER BY x{w}WITH FILL FROM {lo} TO {hi}"
+        f" STEP 1{w}INTERPOLATE{w}(v AS {expr})"
+    )
+    out = translate(sql)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
+    assert "INTERPOLATE" not in out.upper()
+    assert "__fill_acc" in out or expr == "v"
+
+
+_aj_exprs = st.lists(
+    st.sampled_from(["xs", "ys", "arrayEnumerate(xs)", "arrayMap(q -> q + 1, xs)"]),
+    min_size=1, max_size=3, unique=True,
+)
+
+
+@given(w=_ws, exprs=_aj_exprs, left=st.booleans(),
+       tail=st.sampled_from(["", "WHERE a0 > 0", "ORDER BY a0 LIMIT 3"]))
+@settings(max_examples=40, deadline=None)
+def test_array_join_rewrite_always_parses(spark, w, exprs, left, tail):
+    items = ", ".join(f"{e} AS a{i}" for i, e in enumerate(exprs))
+    kw = "LEFT ARRAY JOIN" if left else "ARRAY JOIN"
+    sql = f"SELECT a0 FROM t{w}{kw}{w}{items} {tail}"
+    out = translate(sql)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
+    assert not re.search(r"(?i)\bARRAY\s+JOIN\b", out)
+    if len(exprs) > 1:
+        assert "arrays_zip" in out
