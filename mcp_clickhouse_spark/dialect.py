@@ -1543,6 +1543,96 @@ def _depth0_spans(sql: str):
         i += 1
 
 
+def _is_select_star(sql: str, star_idx: int) -> bool:
+    """True iff the ``*`` at ``star_idx`` is a select-list star (possibly
+    qualified), not multiplication: the preceding token must be a comma,
+    an opening paren, a qualifier dot, or SELECT/DISTINCT/ALL."""
+    k = star_idx - 1
+    while k >= 0 and sql[k].isspace():
+        k -= 1
+    if k < 0:
+        return True
+    ch = sql[k]
+    if ch in ",(":
+        return True
+    if ch == ".":
+        return True  # qualified star t.*
+    m = re.search(r"(?i)\b(SELECT|DISTINCT|ALL)\s*$", sql[: k + 1])
+    return m is not None
+
+
+def _rewrite_star_modifiers(sql: str) -> str:
+    """CH SELECT-star modifiers (round 7; previously leaked to Spark's
+    parser):
+
+    - ``* REPLACE(e1 AS c1, …)`` → ``* EXCEPT (c1, …), e1 AS c1, …`` —
+      value-faithful; the replaced columns move to the END of the star
+      expansion (Spark has ``* EXCEPT`` but no ``* REPLACE``; same
+      documented position delta as the INTERPOLATE rewrite).  Composes
+      with an existing ``EXCEPT (…)`` list, bare or qualified star.
+    - ``* APPLY(fn)`` raises a guided error — it needs the concrete
+      column list, unknown at translation time.
+
+    ``replace(s, 'a', 'b')`` the string function is untouched: only a
+    REPLACE adjacent to a select-list star (checked via
+    :func:`_is_select_star`) rewrites."""
+    for cand in re.finditer(r"(?i)\bAPPLY\s*\(", sql):
+        if not _outside_strings(sql, cand.start()):
+            continue
+        back = sql[: cand.start()].rstrip()
+        sm = re.search(
+            r"(?is)\*\s*(EXCEPT\s*\([^()]*\)\s*|REPLACE\s*\([^()]*\)\s*)*$", back
+        )
+        if sm and "*" in sm.group(0) and _is_select_star(sql, sm.start()):
+            raise DialectError(
+                "SELECT * APPLY(fn) needs the concrete column list (unknown "
+                "at translation time); apply the function per column, or "
+                "aggregate explicitly"
+            )
+    while True:
+        target = None
+        for cand in re.finditer(r"(?i)\bREPLACE\s*\(", sql):
+            if not _outside_strings(sql, cand.start()):
+                continue
+            back = sql[: cand.start()].rstrip()
+            if back.endswith("*") and _is_select_star(sql, len(back) - 1):
+                target = (cand, len(back) - 1, None)
+                break
+            if back.endswith(")"):
+                open_i = _paren_partners(sql).get(len(back) - 1)
+                if open_i is not None:
+                    pre = sql[:open_i].rstrip()
+                    pm = re.search(r"(?is)\*\s*EXCEPT\s*$", pre)
+                    if pm and _is_select_star(sql, pm.start()):
+                        target = (cand, pm.start(), (open_i + 1, len(back) - 1))
+                        break
+        if target is None:
+            return sql
+        cand, star_idx, except_span = target
+        rp_open = sql.index("(", cand.start())
+        rp_end = _find_balanced(sql, rp_open)
+        items = []
+        for it in _split_args(sql[rp_open + 1 : rp_end - 1]):
+            am = re.match(r"(?is)^(.+?)\s+AS\s+([A-Za-z_]\w*)$", it.strip())
+            if not am:
+                raise DialectError(
+                    f"* REPLACE: item {it!r} must be `expr AS column`"
+                )
+            items.append((am.group(1).strip(), am.group(2)))
+        except_cols = (
+            [c.strip() for c in _split_args(sql[except_span[0] : except_span[1]])]
+            if except_span
+            else []
+        )
+        cols = except_cols + [c for _e, c in items]
+        star = "*"  # the qualifier (if any) stays in sql[:star_idx]
+        repl = (
+            f"{star} EXCEPT ({', '.join(cols)}), "
+            + ", ".join(f"{e} AS {c}" for e, c in items)
+        )
+        sql = sql[:star_idx] + repl + sql[rp_end:]
+
+
 def _recurse_subqueries(sql: str, fn, trigger: str) -> str:
     """Apply a clause rewriter inside every balanced-paren span whose text
     matches ``trigger`` (round-7 generalization of the QUALIFY recursion —
@@ -2852,6 +2942,7 @@ def _rewrite_double_quoted_identifiers(sql: str) -> str:
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _rewrite_double_quoted_identifiers(sql)
+    sql = _rewrite_star_modifiers(sql)
     sql = _strip_suffix_clauses(sql)
     sql = _rewrite_asof_joins(sql)
     sql = _rewrite_any_joins(sql)

@@ -1622,3 +1622,30 @@ def test_subquery_clause_recursion(spark, sf_dir):
     assert res2["rows"][0][0] > 0
     out = translate("SELECT c FROM (SELECT count() AS c FROM t FINAL) d")
     assert "FINAL" not in out.upper()
+
+
+def test_star_replace_modifier(spark):
+    """Round-7: CH `* REPLACE(expr AS col)` → `* EXCEPT (col), expr AS col`
+    (replaced columns move to the end — documented position delta);
+    composes with EXCEPT; `* APPLY` keeps a guided error; the string
+    function replace() and arithmetic `2 * replace(...)` are untouched."""
+    spark.createDataFrame(
+        [(1, 2, "ab")], "x int, a int, s string"
+    ).createOrReplaceTempView("sr_t")
+    res = run_select_query(
+        spark, "SELECT * REPLACE(x * 10 AS x) FROM sr_t", dialect="clickhouse"
+    )
+    assert res["columns"] == ["a", "s", "x"] and res["rows"][0] == [2, "ab", 10]
+    res2 = run_select_query(
+        spark,
+        "SELECT * EXCEPT (a) REPLACE(concat(s, '!') AS s) FROM sr_t",
+        dialect="clickhouse",
+    )
+    assert res2["columns"] == ["x", "s"] and res2["rows"][0] == [1, "ab!"]
+    assert translate("SELECT 2 * replace(s, 'a', 'b') AS r FROM t") == (
+        "SELECT 2 * replace(s, 'a', 'b') AS r FROM t"
+    )
+    with pytest.raises(ValueError, match="APPLY"):
+        translate("SELECT * APPLY(sum) FROM t")
+    with pytest.raises(ValueError, match="expr AS column"):
+        translate("SELECT * REPLACE(x) FROM t")
