@@ -1160,6 +1160,51 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
+    # ---- round-7 aggregate long tail ----------------------------------
+    # anyHeavy: CH's approximate heavy-hitter; Spark's mode() is the exact
+    # most-frequent value — a strictly stronger guarantee, same contract
+    "anyheavy": lambda a: f"mode({a[0]})",
+    # boundingRatio(x, y): slope between the leftmost and rightmost points
+    "boundingratio": lambda a: (
+        f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}))"
+        f" / (max({a[0]}) - min({a[0]})))"
+    ),
+    # simpleLinearRegression(x, y) → tuple (k, b): least-squares slope and
+    # intercept, exactly covar_pop/var_pop and avg(y) - k*avg(x)
+    "simplelinearregression": lambda a: (
+        f"named_struct('k', covar_pop({a[0]}, {a[1]}) / var_pop({a[0]}),"
+        f" 'b', avg({a[1]}) - covar_pop({a[0]}, {a[1]}) / var_pop({a[0]})"
+        f" * avg({a[0]}))"
+    ),
+    # CH *Stable variants = numerically-stable computation of the same
+    # statistic; Spark's implementations are already merge-stable
+    "corrstable": lambda a: f"corr({a[0]}, {a[1]})",
+    "covarpopstable": lambda a: f"covar_pop({a[0]}, {a[1]})",
+    "covarsampstable": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "varpopstable": lambda a: f"var_pop({a[0]})",
+    "varsampstable": lambda a: f"var_samp({a[0]})",
+    "stddevpopstable": lambda a: f"stddev_pop({a[0]})",
+    "stddevsampstable": lambda a: f"stddev_samp({a[0]})",
+    # order-dependent / multi-pass aggregates: guided errors, not raw
+    # "undefined function" from Spark's parser
+    "deltasum": lambda a: (_ for _ in ()).throw(DialectError(
+        "deltaSum is block-order-dependent in ClickHouse itself — use "
+        "sum(GREATEST(x - lag(x) OVER (ORDER BY ...), 0)) for a "
+        "deterministic formulation"
+    )),
+    "deltasumtimestamp": lambda a: (_ for _ in ()).throw(DialectError(
+        "deltaSumTimestamp: use sum(GREATEST(x - lag(x) OVER "
+        "(ORDER BY ts), 0)) — the window form is deterministic"
+    )),
+    "maxintersections": lambda a: (_ for _ in ()).throw(DialectError(
+        "maxIntersections needs an explode + running-sum plan: unpivot "
+        "(start,+1),(end,-1) events and take max(sum(flag) OVER "
+        "(ORDER BY point))"
+    )),
+    "entropy": lambda a: (_ for _ in ()).throw(DialectError(
+        "entropy needs a two-level aggregate: GROUP BY the value to get "
+        "counts, then -SUM(p*LOG2(p)) over the counts"
+    )),
     "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
     "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
     "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",
@@ -1273,6 +1318,26 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
+    # round-7 quantile-family breadth: the timing variants differ from the
+    # generic sketch only in CH's bucket layout (a latency-tuned
+    # compression) — percentile_approx is the same accuracy class
+    # (self-consistent values, like quantileTDigest above); the
+    # Deterministic variant's determinator arg only pins CH's reservoir
+    # sampling, and percentile_approx is deterministic already, so it
+    # drops.  Weighted quantiles have no Spark twin → guided errors.
+    "quantiletiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
+    "mediantiming": lambda p, a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    "quantiledeterministic": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
+    "quantiletimingweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "quantileTimingWeighted: weighted quantiles have no Spark "
+        "expression twin — explode weight-many copies or use "
+        "percentile({x}, {level}) after de-weighting"
+    )),
+    "quantileexactweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "quantileExactWeighted: weighted quantiles have no Spark "
+        "expression twin — explode weight-many copies or use "
+        "percentile({x}, {level}) after de-weighting"
+    )),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",
     # groupArray(n)(x): cap the collected list at n elements.  Without this

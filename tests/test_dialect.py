@@ -1649,3 +1649,33 @@ def test_star_replace_modifier(spark):
         translate("SELECT * APPLY(sum) FROM t")
     with pytest.raises(ValueError, match="expr AS column"):
         translate("SELECT * REPLACE(x) FROM t")
+
+
+def test_aggregate_long_tail(spark, sf_dir):
+    """Round-7: long-tail CH aggregates — anyHeavy→mode, boundingRatio,
+    simpleLinearRegression, *Stable variants, timing/deterministic
+    quantiles; order-dependent ones (deltaSum, maxIntersections,
+    entropy) give guided errors instead of raw undefined-function."""
+    register_testdata(spark, sf_dir, ["orders"])
+    row = one(
+        spark,
+        "SELECT anyHeavy(o_orderstatus) AS m,"
+        " boundingRatio(o_orderkey, o_totalprice) AS br,"
+        " simpleLinearRegression(o_orderkey, o_totalprice) AS lr,"
+        " corrStable(o_orderkey, o_totalprice) AS c,"
+        " stddevPopStable(o_totalprice) AS sd,"
+        " quantileTiming(0.9)(o_totalprice) AS qt,"
+        " quantileDeterministic(0.5)(o_totalprice, o_orderkey) AS qd"
+        " FROM orders",
+    )
+    assert row[0] in ("F", "O", "P")
+    assert isinstance(row[1], float) and isinstance(row[4], float)
+    assert set(row[2].asDict()) == {"k", "b"}
+    # faithful math: k = covar_pop/var_pop on the same data
+    import math
+    assert math.isfinite(row[2]["k"]) and math.isfinite(row[2]["b"])
+    for bad, msg in [("deltaSum(o_orderkey)", "lag"),
+                     ("maxIntersections(o_orderkey, o_custkey)", "running-sum"),
+                     ("entropy(o_orderstatus)", "two-level")]:
+        with pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad} FROM orders")
