@@ -1367,14 +1367,15 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "mediantiming": lambda p, a: f"percentile_approx({a[0]}, 0.5, 10000)",
     "quantiledeterministic": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiletimingweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "quantileTimingWeighted: weighted quantiles have no Spark "
-        "expression twin — explode weight-many copies or use "
-        "percentile({x}, {level}) after de-weighting"
+        "quantileTimingWeighted: weighted quantiles are not one Spark "
+        "expression — use mcp_clickhouse_spark.operators."
+        "weighted_quantile (exact, single-shuffle)"
     )),
     "quantileexactweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "quantileExactWeighted: weighted quantiles have no Spark "
-        "expression twin — explode weight-many copies or use "
-        "percentile({x}, {level}) after de-weighting"
+        "quantileExactWeighted: weighted quantiles are not one Spark "
+        "expression — use mcp_clickhouse_spark.operators."
+        "weighted_quantile (exact, single-shuffle; the "
+        "agg_weighted_quantile inventory query shows the formulation)"
     )),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",

@@ -409,3 +409,39 @@ def agg_any_first_last(spark, sf_dir):
             F.max_by("o_orderpriority", "o_orderkey").alias("last_priority"),
         )
     )
+
+
+@query(
+    "agg_weighted_quantile",
+    oracle="""
+    SELECT l_returnflag,
+           MIN(l_extendedprice) AS wq
+    FROM (
+      SELECT l_returnflag, l_extendedprice,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag ORDER BY l_extendedprice
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+             SUM(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    WHERE cw >= 0.5 * tw
+    GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_weighted_quantile(spark, sf_dir):
+    """ClickHouse quantileExactWeighted(0.5)(l_extendedprice, l_quantity)
+    per returnflag (round 7, operators/weighted_quantile.py): the median
+    price with each row weighted by its quantity — exact, lower
+    interpolation, so the result is an actual data value and the
+    cross-engine hash compares exactly.  Oracle: the definitional
+    cumulative-weight window in DuckDB (integer weights make the
+    0.5*total boundary binary-exact on both engines)."""
+    from mcp_clickhouse_spark.operators.weighted_quantile import weighted_quantile
+
+    li = t(spark, sf_dir, "lineitem")
+    return weighted_quantile(
+        li, "l_extendedprice", F.col("l_quantity").cast("bigint"),
+        0.5, by=["l_returnflag"],
+    )

@@ -25,11 +25,12 @@ churned ~2,400 lines since):
   order_limit_offset, scalar_date_series, scalar_hash, scalar_math,
   scalar_regex, select_columns_regex, shim_distinct,
   source_generate_random, source_values_table);
-- 18 of the 30 queries last checked in r3, oldest-first with the
+- 17 of the 30 queries last checked in r3, oldest-first with the
   dialect-adjacent ones preferred (scalars/setops/windows/joins are
   downstream of the scanner refactor);
-- 1 late round-7 addition, never driver-checked (sql_array_join_multi —
-  multi-column ARRAY JOIN via inline(arrays_zip)).
+- 2 late round-7 additions, never driver-checked (sql_array_join_multi —
+  multi-column ARRAY JOIN via inline(arrays_zip) — and
+  agg_weighted_quantile — the quantileExactWeighted operator).
 
 Rolled to round 8 (the r3 remainder): pipe_embed_lsh_topk,
 pipe_minhash_lsh_verified, pipe_minhash_signatures, pipe_ngram_jaccard,
@@ -78,7 +79,7 @@ PRIORITY: list[str] = [
     "shim_distinct",
     "source_generate_random",
     "source_values_table",
-    # r3-refresh pool, dialect-adjacent first (19)
+    # r3-refresh pool, dialect-adjacent first (17)
     "scalar_array",
     "scalar_cast",
     "scalar_datetime",
@@ -96,10 +97,10 @@ PRIORITY: list[str] = [
     "array_join_left_outer",
     "events_latest_per_user",
     "join_right",
-    "q2_min_cost_supplier",
-    # late round-7 addition (multi-column ARRAY JOIN), never checked —
-    # takes the q4_order_priority slot (q4 rolls to r8 with the r3 pool)
+    # late round-7 additions, never checked — take the q2/q4 slots
+    # (both roll to r8 with the r3 pool)
     "sql_array_join_multi",
+    "agg_weighted_quantile",
 ]
 
 

@@ -1,0 +1,58 @@
+"""Exact weighted quantile — ClickHouse ``quantileExactWeighted`` (round 7).
+
+CH semantics (public docs, Functions/quantileexactweighted): treat each
+value as repeated ``weight`` times, take the exact quantile of that
+expanded multiset — the smallest value whose cumulative weight reaches
+``level × total_weight``.  No expansion is materialized here: a running
+cumulative-weight window over the values sorted ascending within each
+group finds the same element.
+
+Scale: ONE shuffle (the window partition by the group keys doubles as the
+aggregation partition); the cumulative sum runs inside the sorted window,
+and the final ``min`` per group is a map-side-combinable aggregate over
+the already-partitioned frame.  No collect, no explode — weight-expanding
+(the guided-error fallback the dialect used to suggest) would multiply
+rows by the mean weight; this is weight-oblivious in row count.
+
+The result is always an ACTUAL data value (lower interpolation, exactly
+CH), so cross-engine comparisons are hash-exact — no float interpolation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def weighted_quantile(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str | Column,
+    level: float,
+    by: list[str] | None = None,
+    out_col: str = "wq",
+) -> DataFrame:
+    """Per-group exact weighted quantile of ``value_col``.
+
+    ``level`` in (0, 1]; ``by`` empty → one global row.  Ties in value are
+    merged by the cumulative sum naturally (equal values share rank
+    order); zero/negative weights are the caller's responsibility, as in
+    ClickHouse.
+    """
+    if not 0 < level <= 1:
+        raise ValueError(f"weighted_quantile: level must be in (0, 1], got {level}")
+    keys = by or []
+    w = (
+        F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    ).cast("double")
+    cum = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(value_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy(*keys)
+    hit = df.withColumn("__wq_cum", F.sum(w).over(cum)).withColumn(
+        "__wq_tot", F.sum(w).over(tot)
+    ).where(F.col("__wq_cum") >= F.lit(level) * F.col("__wq_tot"))
+    agg = hit.groupBy(*keys).agg(F.min(value_col).alias(out_col))
+    return agg

@@ -129,3 +129,28 @@ def test_sum_min_max_map(spark):
         from mcp_clickhouse_spark.operators.map_agg import _map_agg
 
         _map_agg(df, ["grp"], "ks", "vs", "avg", "x")
+
+
+def test_weighted_quantile(spark):
+    """Round-7 operators/weighted_quantile.py — CH quantileExactWeighted:
+    smallest value whose cumulative weight reaches level*total (lower
+    interpolation, always an actual data value)."""
+    from mcp_clickhouse_spark.operators.weighted_quantile import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("a", 3.0, 8),
+         ("b", 10.0, 5), ("b", 20.0, 5)],
+        "g string, v double, w int",
+    )
+    out = {r.g: r.wq for r in weighted_quantile(df, "v", "w", 0.5, by=["g"]).collect()}
+    # group a: weights 1,1,8 of 10 → cum at v=3 is 10 >= 5 → first hit v=3
+    assert out == {"a": 3.0, "b": 10.0}
+    # level=1 → the maximum; global (no keys) → single row
+    top = weighted_quantile(df, "v", "w", 1.0).collect()
+    assert len(top) == 1 and top[0].wq == 20.0
+    # weight-heavy low value pulls the quantile down
+    out25 = {r.g: r.wq for r in weighted_quantile(df, "v", "w", 0.25, by=["g"]).collect()}
+    assert out25["b"] == 10.0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="level"):
+        weighted_quantile(df, "v", "w", 0.0)
