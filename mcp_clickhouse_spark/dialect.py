@@ -1770,14 +1770,20 @@ def _rewrite_limit_by(sql: str) -> str:
     subquery.  Recurses into subqueries (round 7); each paren level
     rewrites its own depth-0 clause."""
     sql = _recurse_subqueries(
-        sql, _rewrite_limit_by, r"(?is)\bLIMIT\s+\d+\s+BY\b"
+        sql, _rewrite_limit_by, r"(?is)\bLIMIT\s+\d+\s*(,\s*\d+\s*)?\s+BY\b"
     )
     d0 = {i for i, _ in _depth0_spans(sql)}
-    m_iter = list(re.finditer(r"(?is)\bLIMIT\s+(\d+)\s+BY\s+", sql))
+    # `LIMIT n BY` and the offset form `LIMIT off, n BY` (round 7 — the
+    # offset form previously fell through to the plain LIMIT-offset
+    # rewrite, emitting invalid `LIMIT n OFFSET off BY`)
+    m_iter = list(re.finditer(r"(?is)\bLIMIT\s+(\d+)\s*(?:,\s*(\d+))?\s+BY\s+", sql))
     m = next((mm for mm in m_iter if mm.start() in d0), None)
     if not m:
         return sql
-    n = int(m.group(1))
+    if m.group(2) is not None:
+        off, n = int(m.group(1)), int(m.group(2))
+    else:
+        off, n = 0, int(m.group(1))
     # BY-column list runs to the next top-level LIMIT or end of string
     rest = sql[m.end() :]
     m2 = re.search(r"(?is)\bLIMIT\b", rest)
@@ -1798,11 +1804,14 @@ def _rewrite_limit_by(sql: str) -> str:
         core = head.rstrip()
         order_clause = ""
         window_order = f"ORDER BY {by_cols}"
+    rn_filter = (
+        f"__rn > {off} AND __rn <= {off + n}" if off else f"__rn <= {n}"
+    )
     out = (
         f"SELECT * EXCEPT (__rn) FROM ("
         f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {by_cols} {window_order}) AS __rn "
         f"FROM ({core}) __limit_by_src) __limit_by "
-        f"WHERE __rn <= {n}"
+        f"WHERE {rn_filter}"
     )
     if order_clause:
         out += f" {order_clause}"
@@ -1979,7 +1988,8 @@ def _rewrite_with_fill_impl(sql: str) -> str:
                 )
         tail = tail[: im.start()] + tail[end:]
     m_bounds = re.match(
-        r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)\s+STEP\s+(?P<s>\S+)\s*"
+        r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)\s+STEP\s+"
+        r"(?P<s>INTERVAL\s+\d+\s+\w+|\S+)\s*"
         r"(?P<rest>(LIMIT\b.*)?)$",
         tail,
     )
@@ -3111,6 +3121,28 @@ def translate(sql: str) -> str:
                 out.append(_apply(PARAMETRIC[lname], args, _split_args(inner2)))
                 i = close2
                 continue
+            if lname not in PARAMETRIC and k2 < n and sql[k2] == "(":
+                # parametric call name(params)(args) of a NON-parametric
+                # mapped name: renaming would emit `newname(p)(a)`, which
+                # Spark cannot parse (round-7 probe: uniqCombined(12)(x))
+                # — special-case the HLL-precision family, guided error
+                # otherwise
+                close2 = _find_balanced(sql, k2)
+                inner2 = translate(sql[k2 + 1 : close2 - 1])
+                if lname in ("uniqcombined", "uniqcombined64"):
+                    # CH param = HLL precision p; approx_count_distinct's
+                    # knob is relative SD ≈ 1.04 / sqrt(2^p)
+                    p = _int_literal(args[0], f"{name} precision")
+                    rsd = 1.04 / (2.0 ** (p / 2.0))
+                    out.append(
+                        f"approx_count_distinct({inner2}, {rsd:.6f})"
+                    )
+                    i = close2
+                    continue
+                raise DialectError(
+                    f"{name}: the parametric form {name}(…)(…) is not "
+                    "supported for this function — drop the parameter list"
+                )
             if lname in TEMPLATES:
                 out.append(_apply(TEMPLATES[lname], args))
             elif lname in NAME_MAP:

@@ -1695,3 +1695,58 @@ def test_misc_breadth_round7(spark):
     assert 0.0 <= r.rc < 1.0
     assert r.e == 8 and r.e2 == 1 and r.f == 16909060 and r.d == 5
     assert r.arr == []
+
+
+def test_limit_offset_by_and_date_fill(spark, sf_dir):
+    """Round-7: the `LIMIT off, n BY` offset form (previously mangled
+    into `LIMIT n OFFSET off BY` by the plain limit-offset rewrite) and
+    WITH FILL with a date axis + INTERVAL step."""
+    register_testdata(spark, sf_dir, ["customer"])
+    res = run_select_query(
+        spark,
+        "SELECT c_nationkey, c_custkey FROM customer"
+        " ORDER BY c_custkey LIMIT 2, 3 BY c_nationkey",
+        dialect="clickhouse",
+    )
+    from collections import Counter
+    per = Counter(r[0] for r in res["rows"])
+    assert per and all(v <= 3 for v in per.values())
+    # offset honored: the 2 smallest custkeys per nation are absent
+    full = run_select_query(
+        spark,
+        "SELECT c_nationkey, c_custkey FROM customer"
+        " ORDER BY c_custkey LIMIT 5 BY c_nationkey",
+        dialect="clickhouse",
+    )
+    by_nation = {}
+    for nk, ck in full["rows"]:
+        by_nation.setdefault(nk, []).append(ck)
+    got = {}
+    for nk, ck in res["rows"]:
+        got.setdefault(nk, []).append(ck)
+    for nk, cks in got.items():
+        assert sorted(cks) == sorted(by_nation[nk])[2:5]
+    # date axis WITH FILL
+    import datetime as dt
+    spark.createDataFrame(
+        [(dt.date(2024, 1, 4), 10)], "d date, n int"
+    ).createOrReplaceTempView("dfill")
+    res2 = run_select_query(
+        spark,
+        "SELECT d, n FROM dfill ORDER BY d WITH FILL"
+        " FROM toDate('2024-01-03') TO toDate('2024-01-07') STEP INTERVAL 1 DAY",
+        dialect="clickhouse",
+    )
+    assert [str(r[0]) for r in res2["rows"]] == [
+        "2024-01-03", "2024-01-04", "2024-01-05", "2024-01-06"
+    ]
+
+
+def test_parametric_form_of_nonparametric_names(spark):
+    """Round-7: `uniqCombined(p)(x)` maps precision to relative-SD; other
+    non-parametric mapped names in the double-paren form raise a guided
+    error instead of emitting unparseable `newname(p)(x)`."""
+    out = translate("SELECT uniqCombined(12)(x) FROM t")
+    assert "approx_count_distinct(x, 0.01625" in out
+    with pytest.raises(ValueError, match="parametric form"):
+        translate("SELECT sumIf(1)(x, y) FROM t")
