@@ -237,6 +237,66 @@ def _json_extract_raw(args: list[str]) -> str:
     )
 
 
+def _json_path_of(args: list[str]) -> str:
+    """Build the literal JSONPath for CH keys/indices args (shared with
+    :func:`_json_extract_raw`'s rules)."""
+    path = "$"
+    for arg in args:
+        a = arg.strip()
+        if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+            key = a[1:-1]
+            if not re.fullmatch(r"[A-Za-z_]\w*", key):
+                raise DialectError(
+                    f"JSON path key {key!r} is not a simple identifier"
+                )
+            path += f".{key}"
+        elif re.fullmatch(r"\d+", a):
+            path += f"[{int(a) - 1}]"
+        else:
+            raise DialectError(
+                "JSON keys/indices must be literals (the JSONPath is "
+                "built at translation time)"
+            )
+    return path
+
+
+def _json_extract_array_raw(args: list[str]) -> str:
+    """CH ``JSONExtractArrayRaw(json[, keys…])`` — array of the raw JSON
+    text of each element ([] when not an array).  VARIANT round-trip per
+    element via a dynamic path (Spark allows non-foldable variant_get
+    paths), so element quoting matches CH exactly."""
+    path = _json_path_of(args[1:])
+    arr = f"get_json_object({args[0]}, '{path}')"
+    return (
+        f"coalesce(transform(sequence(0, json_array_length({arr}) - 1),"
+        f" __ji -> to_json(try_variant_get(try_parse_json({args[0]}),"
+        f" concat('{path}[', __ji, ']')))), array())"
+    )
+
+
+def _json_type(args: list[str]) -> str:
+    """CH ``JSONType(json[, keys…])`` → CH type-name strings via
+    ``schema_of_variant``: Object/Array/String/Bool/Int64/Double/Null;
+    '' when the path is absent (CH returns the Null type object — the
+    empty string is this engine's documented rendering for absent)."""
+    path = _json_path_of(args[1:])
+    sv = (
+        f"schema_of_variant(try_variant_get(try_parse_json({args[0]}),"
+        f" '{path}'))"
+    )
+    return (
+        f"CASE WHEN try_variant_get(try_parse_json({args[0]}), '{path}') IS NULL THEN ''"
+        f" WHEN {sv} LIKE 'OBJECT%' OR {sv} LIKE 'STRUCT%' THEN 'Object'"
+        f" WHEN {sv} LIKE 'ARRAY%' THEN 'Array'"
+        f" WHEN {sv} = 'STRING' THEN 'String'"
+        f" WHEN {sv} = 'BOOLEAN' THEN 'Bool'"
+        f" WHEN {sv} IN ('TINYINT', 'SMALLINT', 'INT', 'BIGINT') THEN 'Int64'"
+        f" WHEN {sv} LIKE 'DECIMAL%' OR {sv} IN ('FLOAT', 'DOUBLE') THEN 'Double'"
+        f" WHEN {sv} = 'VOID' THEN 'Null'"
+        f" ELSE {sv} END"
+    )
+
+
 def _key_lambda_comparator(lam: str, arr: str) -> str:
     """CH arraySort(x -> key, arr) → Spark array_sort(arr, comparator):
     apply the key body to both comparator slots with word-boundary-safe
@@ -1160,6 +1220,46 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
+    # ---- round-7 JSON/URL breadth -------------------------------------
+    # visitParam* (legacy) and simpleJSON* are CH's fast-path JSON readers
+    # (top-level field only, which the single-key JSON path matches)
+    "visitparamhas": lambda a: f"(get_json_object({a[0]}, concat('$.', {a[1]})) IS NOT NULL)"
+    if not a[1].strip().startswith("'")
+    else f"(get_json_object({a[0]}, '$.{a[1].strip()[1:-1]}') IS NOT NULL)",
+    "simplejsonhas": lambda a: TEMPLATES["visitparamhas"](a),
+    "visitparamextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "simplejsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "visitparamextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "simplejsonextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
+    "visitparamextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
+    "simplejsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
+    "visitparamextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    "simplejsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    "visitparamextractraw": lambda a: _json_extract_raw(a),
+    "simplejsonextractraw": lambda a: _json_extract_raw(a),
+    "simplejsonextractstring": lambda a: _json_path(a),
+    "jsonarraylength": lambda a: f"json_array_length({a[0]})",
+    "jsonextractarrayraw": _json_extract_array_raw,
+    "jsontype": _json_type,
+    # URL family
+    "extracturlparameters": lambda a: f"split(parse_url({a[0]}, 'QUERY'), '&')",
+    "cutfragment": lambda a: f"regexp_replace({a[0]}, '#.*', '')",
+    "netloc": lambda a: (
+        f"regexp_extract({a[0]}, '^(?:[a-z]+:)?//([^/?#]*)', 1)"
+    ),
+    "firstsignificantsubdomain": lambda a: (_ for _ in ()).throw(DialectError(
+        "firstSignificantSubdomain needs the public-suffix list, which "
+        "this engine does not ship — extract with parse_url(x, 'HOST') "
+        "and your own suffix table"
+    )),
+    "cuttofirstsignificantsubdomain": lambda a: (_ for _ in ()).throw(DialectError(
+        "cutToFirstSignificantSubdomain needs the public-suffix list — "
+        "parse_url(x, 'HOST') + your own suffix table"
+    )),
+    "urlhierarchy": lambda a: (_ for _ in ()).throw(DialectError(
+        "URLHierarchy: build prefixes with transform(sequence(...)) over "
+        "the split path — not a single built-in here"
+    )),
     # ---- round-7 misc breadth -----------------------------------------
     # CH rand() is a UInt32, NOT a canonical double (that's randCanonical)
     "rand": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",

@@ -1750,3 +1750,28 @@ def test_parametric_form_of_nonparametric_names(spark):
     assert "approx_count_distinct(x, 0.01625" in out
     with pytest.raises(ValueError, match="parametric form"):
         translate("SELECT sumIf(1)(x, y) FROM t")
+
+
+def test_json_url_family_round7(spark):
+    """Round-7 JSON/URL breadth: visitParam*/simpleJSON* aliases,
+    JSONExtractArrayRaw + JSONType via the VARIANT round-trip,
+    extractURLParameters/cutFragment/netloc; public-suffix functions
+    keep guided errors."""
+    doc = '{"a": [1, "x", {"b": 2}], "s": "hi", "n": 1.5, "i": 7, "t": true}'
+    row = one(
+        spark,
+        f"SELECT JSONExtractArrayRaw('{doc}', 'a') AS arr,"
+        f" JSONType('{doc}', 'a') AS ta, JSONType('{doc}', 'n') AS tn,"
+        f" JSONType('{doc}', 'missing') AS tm,"
+        f" visitParamExtractRaw('{doc}', 's') AS raw_s,"
+        f" simpleJSONExtractInt('{doc}', 'i') AS si,"
+        f" visitParamHas('{doc}', 'zz') AS hz,"
+        f" extractURLParameters('http://h/p?a=1&b=2') AS ps,"
+        f" netloc('https://u:p@host:8080/path?q') AS nl",
+    )
+    assert row[0] == ['1', '"x"', '{"b":2}']
+    assert (row[1], row[2], row[3]) == ("Array", "Double", "")
+    assert row[4] == '"hi"' and row[5] == 7 and row[6] is False
+    assert row[7] == ["a=1", "b=2"] and row[8] == "u:p@host:8080"
+    with pytest.raises(ValueError, match="public-suffix"):
+        translate("SELECT firstSignificantSubdomain(u) FROM t")
