@@ -26,6 +26,10 @@ GLOBAL/ARRAY JOIN, ASOF [LEFT] JOIN (ON or USING), ANY LEFT|INNER JOIN,
 "double-quoted" identifiers, and scalar WITH macros.  Untranslatable
 constructs raise a guided error naming the equivalent.
 
+ClickHouse system tables work verbatim: system.databases,
+system.tables, system.columns (catalog snapshots), system.one, and
+system.numbers[_mt] (lazy; always LIMIT it).
+
 ## Query guidelines
 
 1. All queries are READ-ONLY: only SELECT / WITH / VALUES / SHOW /

@@ -1,0 +1,136 @@
+"""ClickHouse ``system.*`` introspection tables for verbatim SQL (round 7).
+
+CH users write ``SELECT name FROM system.tables``/``system.databases``/
+``system.columns``, ``SELECT dummy FROM system.one``, ``SELECT number
+FROM system.numbers LIMIT n`` constantly (the reference's own prompt
+teaches these — mcp_clickhouse/chdb_prompt.py).  Spark has no ``system``
+database, so the tool layer binds them on demand:
+
+- references to ``system.<name>`` in the SQL text rewrite (string-aware)
+  to ``_system_<name>`` temp views;
+- each view materializes a point-in-time snapshot from the Spark catalog
+  via the same code paths the MCP catalog tools use (catalog.py), with
+  CH's documented column names;
+- ``system.numbers`` binds to a lazy ``spark.range`` — effectively
+  unbounded (2^40 rows) but generated on demand, so ``LIMIT n`` reads
+  only what it needs (Spark's limit short-circuits range generation);
+  an unbounded aggregate over it is the user's own foot-gun, exactly as
+  on ClickHouse.
+
+Snapshot semantics: the catalog views are rebuilt per query — a table
+created between two queries appears in the second, like CH.
+"""
+
+from __future__ import annotations
+
+import re as _re
+
+from pyspark.sql import SparkSession
+
+from mcp_clickhouse_spark.dialect import _outside_strings
+
+_SYSTEM_RE = _re.compile(r"(?i)\bsystem\s*\.\s*(one|numbers|numbers_mt|tables|databases|columns)\b")
+
+_NUMBERS_CAP = 1 << 40
+
+
+def bind_system_tables(spark: SparkSession, sql: str) -> str:
+    """Rewrite ``system.<t>`` references to bound temp views (no-op when
+    the query mentions none)."""
+    hits = [
+        m for m in _SYSTEM_RE.finditer(sql) if _outside_strings(sql, m.start())
+    ]
+    if not hits:
+        return sql
+    needed = {m.group(1).lower() for m in hits}
+    if "numbers_mt" in needed:
+        needed.discard("numbers_mt")
+        needed.add("numbers")
+    for name in needed:
+        _REGISTRARS[name](spark)
+    out = []
+    last = 0
+    for m in hits:
+        out.append(sql[last : m.start()])
+        t = m.group(1).lower()
+        out.append(f"_system_{'numbers' if t == 'numbers_mt' else t}")
+        last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+def _reg_one(spark: SparkSession) -> None:
+    spark.createDataFrame([(0,)], "dummy tinyint").createOrReplaceTempView(
+        "_system_one"
+    )
+
+
+def _reg_numbers(spark: SparkSession) -> None:
+    spark.range(_NUMBERS_CAP).selectExpr("id AS number").createOrReplaceTempView(
+        "_system_numbers"
+    )
+
+
+def _reg_databases(spark: SparkSession) -> None:
+    from mcp_clickhouse_spark.catalog import list_database_names
+
+    rows = [(d, "Atomic") for d in list_database_names(spark)]
+    spark.createDataFrame(rows, "name string, engine string").createOrReplaceTempView(
+        "_system_databases"
+    )
+
+
+def _reg_tables(spark: SparkSession) -> None:
+    from mcp_clickhouse_spark.catalog import (
+        describe_table,
+        list_database_names,
+        list_table_names,
+    )
+
+    rows = []
+    for db in list_database_names(spark):
+        for name in list_table_names(spark, db):
+            if name.startswith(("_system_", "_tf_")):
+                continue  # our own bound views are not user tables
+            t = describe_table(spark, db, name)
+            rows.append(
+                (db, name, t.engine, t.engine_full, t.sorting_key,
+                 t.primary_key, t.create_table_query, t.comment)
+            )
+    spark.createDataFrame(
+        rows,
+        "database string, name string, engine string, engine_full string, "
+        "sorting_key string, primary_key string, create_table_query string, "
+        "comment string",
+    ).createOrReplaceTempView("_system_tables")
+
+
+def _reg_columns(spark: SparkSession) -> None:
+    from mcp_clickhouse_spark.catalog import (
+        describe_table,
+        list_database_names,
+        list_table_names,
+    )
+
+    rows = []
+    for db in list_database_names(spark):
+        for name in list_table_names(spark, db):
+            if name.startswith(("_system_", "_tf_")):
+                continue
+            t = describe_table(spark, db, name)
+            for pos, c in enumerate(t.columns, start=1):
+                rows.append((db, name, c.name, c.column_type, pos, c.comment))
+    spark.createDataFrame(
+        rows,
+        "database string, table string, name string, type string, "
+        "position int, comment string",
+    ).createOrReplaceTempView("_system_columns")
+
+
+_REGISTRARS = {
+    "one": _reg_one,
+    "numbers": _reg_numbers,
+    "databases": _reg_databases,
+    "tables": _reg_tables,
+    "columns": _reg_columns,
+}

@@ -183,9 +183,13 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
     # ClickHouse-style table functions in FROM position (file/url/s3/hdfs/
     # sqlite/numbers — chdb_prompt.py:28-60) bind to views/inline rewrites
     # BEFORE dialect translation, in both dialects (Spark SQL has none).
+    from mcp_clickhouse_spark.sources.system_tables import bind_system_tables
     from mcp_clickhouse_spark.sources.table_functions import bind_sql_table_functions
 
     query = bind_sql_table_functions(spark, query)
+    # CH system.* introspection tables (one/numbers/tables/databases/
+    # columns) bind to point-in-time catalog views, both dialects
+    query = bind_system_tables(spark, query)
     if dialect == "clickhouse":
         from mcp_clickhouse_spark.dialect import translate
 

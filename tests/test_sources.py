@@ -516,3 +516,43 @@ def test_remote_secure_alias(spark):
         bind_sql_table_functions(
             spark, "SELECT 1 FROM remoteSecure('h', 'db', 't')"
         )
+
+
+def test_system_tables_bind(spark, sf_dir):
+    """Round-7: CH system.* introspection tables bind to point-in-time
+    catalog views — one/numbers(_mt)/databases/tables/columns — in both
+    dialects, string-literal aware."""
+    from mcp_clickhouse_spark.session import register_testdata
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    register_testdata(spark, sf_dir, ["nation", "region"])
+    assert run_select_query(spark, "SELECT dummy FROM system.one")["rows"] == [[0]]
+    r = run_select_query(
+        spark, "SELECT number FROM system.numbers LIMIT 3", dialect="clickhouse"
+    )
+    assert r["rows"] == [[0], [1], [2]]
+    r2 = run_select_query(
+        spark,
+        "SELECT number FROM system.numbers_mt WHERE number > 5 LIMIT 2",
+    )
+    assert r2["rows"] == [[6], [7]]
+    tabs = run_select_query(
+        spark,
+        "SELECT database, name, engine FROM system.tables WHERE name = 'nation'",
+    )
+    assert tabs["rows"] and tabs["rows"][0][1] == "nation"
+    cols = run_select_query(
+        spark,
+        "SELECT name, type, position FROM system.columns"
+        " WHERE table = 'region' ORDER BY position",
+    )
+    assert [c[0] for c in cols["rows"]] == ["r_regionkey", "r_name"]
+    # the bound helper views never list themselves as user tables
+    self_rows = run_select_query(
+        spark,
+        "SELECT name FROM system.tables WHERE name LIKE '_system%'",
+    )
+    assert self_rows["rows"] == []
+    # a literal mentioning system.tables is data, not a table reference
+    lit = run_select_query(spark, "SELECT 'see system.tables docs' AS s")
+    assert lit["rows"] == [["see system.tables docs"]]
