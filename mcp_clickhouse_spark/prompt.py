@@ -18,13 +18,14 @@ You are querying an embedded Spark SQL engine through two tools:
 Both accept dialect="clickhouse" to use ClickHouse SELECT syntax
 (functions like toYear, multiIf, quantile(0.5)(x), arrayMap, [1,2,3]
 literals are translated automatically).  Clause-level ClickHouse
-constructs translate too: LIMIT n BY, ORDER BY ... WITH FILL
+constructs translate too: ORDER BY ... WITH FILL
 [INTERPOLATE (col | col AS expr-of-col)] (generated rows only, exactly
 as ClickHouse computes it), WITH TOTALS, QUALIFY, PREWHERE/SAMPLE/FINAL,
-LIMIT n BY (each top-level or inside subqueries),
-GLOBAL/ARRAY JOIN, ASOF [LEFT] JOIN (ON or USING), ANY LEFT|INNER JOIN,
-"double-quoted" identifiers, and scalar WITH macros.  Untranslatable
-constructs raise a guided error naming the equivalent.
+LIMIT [off,] n BY (each top-level or inside subqueries),
+GLOBAL/ARRAY JOIN (multi-column zips), ASOF [LEFT] JOIN (ON or USING),
+ANY LEFT|INNER JOIN, * REPLACE(expr AS col), "double-quoted"
+identifiers, and scalar WITH macros.  Untranslatable constructs raise
+a guided error naming the equivalent.
 
 ClickHouse system tables work verbatim: system.databases,
 system.tables, system.columns (catalog snapshots), system.one, and
