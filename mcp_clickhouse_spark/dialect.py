@@ -1220,6 +1220,32 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
+    # -OrNull / -OrDefault aggregate combinators (round 7): Spark
+    # aggregates already return NULL on empty input, so -OrNull is the
+    # plain aggregate (faithful); -OrDefault coalesces to the type default
+    **{
+        f"{_f}ornull": (lambda _g: (lambda a: f"{_g}({', '.join(a)})"))(_g)
+        for _f, _g in [
+            ("sum", "sum"), ("avg", "avg"), ("min", "min"), ("max", "max"),
+            ("any", "any_value"), ("count", "count"),
+        ]
+    },
+    **{
+        f"{_f}ordefault": (lambda _g: (lambda a: f"coalesce({_g}({', '.join(a)}), 0)"))(_g)
+        for _f, _g in [
+            ("sum", "sum"), ("avg", "avg"), ("min", "min"), ("max", "max"),
+            ("count", "count"),
+        ]
+    },
+    # -ForEach (element-wise over array columns) needs a posexplode +
+    # regroup plan, not one expression — guided
+    **{
+        f"{_f}foreach": (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}ForEach aggregates element-wise across rows — posexplode "
+            "the arrays and GROUP BY the position, then collect_list back"
+        ))))(_f)
+        for _f in ("sum", "avg", "min", "max", "count")
+    },
     # ---- round-7 JSON/URL breadth -------------------------------------
     # visitParam* (legacy) and simpleJSON* are CH's fast-path JSON readers
     # (top-level field only, which the single-key JSON path matches)
@@ -1763,6 +1789,31 @@ def _is_select_star(sql: str, star_idx: int) -> bool:
         return True  # qualified star t.*
     m = re.search(r"(?i)\b(SELECT|DISTINCT|ALL)\s*$", sql[: k + 1])
     return m is not None
+
+
+_EXPLAIN_KIND = {
+    # CH EXPLAIN variants → the closest Spark EXPLAIN mode (round 7;
+    # SYNTAX is intercepted by the tool layer, which returns the
+    # translated SQL — exactly what CH's EXPLAIN SYNTAX shows)
+    "AST": "EXTENDED",
+    "QUERY TREE": "EXTENDED",
+    "PLAN": "",
+    "SYNTAX": "",
+    "PIPELINE": "FORMATTED",
+    "ESTIMATE": "COST",
+}
+
+
+def _rewrite_explain_prefix(sql: str) -> str:
+    m = re.match(
+        r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE|QUERY\s+TREE)\b",
+        sql,
+    )
+    if not m:
+        return sql
+    kind = re.sub(r"\s+", " ", m.group(1).upper())
+    mode = _EXPLAIN_KIND[kind]
+    return f"EXPLAIN {mode}".rstrip() + sql[m.end() :]
 
 
 def _rewrite_star_modifiers(sql: str) -> str:
@@ -3155,6 +3206,7 @@ def _rewrite_double_quoted_identifiers(sql: str) -> str:
 
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
+    sql = _rewrite_explain_prefix(sql)
     sql = _rewrite_double_quoted_identifiers(sql)
     sql = _rewrite_star_modifiers(sql)
     sql = _strip_suffix_clauses(sql)

@@ -235,7 +235,11 @@ def check_read_only(sql: str) -> None:
     if kw == "explain":
         # EXPLAIN <write-statement> still plans the write — check the payload.
         payload = re.sub(
-            r"^\s*explain\s+(extended\s+|codegen\s+|cost\s+|formatted\s+|analyze\s+)*",
+            r"^\s*explain\s+(extended\s+|codegen\s+|cost\s+|formatted\s+"
+            # ClickHouse EXPLAIN kinds (round 7; dialect maps them to the
+            # Spark modes) are mode words, not the payload statement
+            r"|analyze\s+|ast\s+|syntax\s+|plan\s+|pipeline\s+|estimate\s+"
+            r"|query\s+tree\s+)*",
             "",
             strip_comments(sql).strip(),
             flags=re.IGNORECASE,

@@ -193,6 +193,13 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
     if dialect == "clickhouse":
         from mcp_clickhouse_spark.dialect import translate
 
+        ms = re.match(r"(?is)^\s*EXPLAIN\s+SYNTAX\b", query)
+        if ms:
+            # CH EXPLAIN SYNTAX shows the rewritten query — here, the
+            # Spark SQL the dialect layer produces (round 7)
+            return spark.createDataFrame(
+                [(translate(query[ms.end() :]).strip(),)], "query string"
+            )
         query = translate(query)
         if "ch_murmurhash3_64(" in query.lower():
             # faithful murmurHash3_64 rides on a Python UDF — register it

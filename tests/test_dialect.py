@@ -1775,3 +1775,39 @@ def test_json_url_family_round7(spark):
     assert row[7] == ["a=1", "b=2"] and row[8] == "u:p@host:8080"
     with pytest.raises(ValueError, match="public-suffix"):
         translate("SELECT firstSignificantSubdomain(u) FROM t")
+
+
+def test_explain_variants_and_ornull(spark, sf_dir):
+    """Round-7: CH EXPLAIN kinds map to Spark modes (SYNTAX returns the
+    translated SQL itself — what CH's EXPLAIN SYNTAX shows); the
+    -OrNull/-OrDefault combinators map (Spark aggregates are already
+    NULL-on-empty); -ForEach keeps a guided error."""
+    register_testdata(spark, sf_dir, ["nation"])
+    syn = run_select_query(
+        spark,
+        "EXPLAIN SYNTAX SELECT toYear(toDate('2024-01-02')) AS y FROM nation",
+        dialect="clickhouse",
+    )
+    assert syn["columns"] == ["query"]
+    assert "year(to_date('2024-01-02'))" in syn["rows"][0][0]
+    pipe = run_select_query(
+        spark, "EXPLAIN PIPELINE SELECT count() FROM nation", dialect="clickhouse"
+    )
+    assert "Physical Plan" in pipe["rows"][0][0]
+    est = run_select_query(
+        spark, "EXPLAIN ESTIMATE SELECT count() FROM nation", dialect="clickhouse"
+    )
+    assert "Optimized Logical Plan" in est["rows"][0][0]
+    row = one(
+        spark,
+        "SELECT sumOrNull(n_nationkey) AS s, maxOrDefault(n_nationkey) AS m,"
+        " countOrDefault(n_nationkey) AS c"
+        " FROM nation WHERE n_nationkey < -1",
+    )
+    assert row[0] is None and row[1] == 0 and row[2] == 0
+    with pytest.raises(ValueError, match="posexplode"):
+        translate("SELECT sumForEach(xs) FROM t")
+    # EXPLAIN of a write statement is still rejected
+    from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
+    with pytest.raises(ReadOnlyViolation):
+        check_read_only("EXPLAIN SYNTAX DROP TABLE x")
