@@ -1286,6 +1286,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "URLHierarchy: build prefixes with transform(sequence(...)) over "
         "the split path — not a single built-in here"
     )),
+    # CH retention(c1, …): r1 = any row met c1; rI = r1 AND any row met
+    # cI — one expression per the aggregate-level semantics (round 7;
+    # the DataFrame twin is operators/funnel.retention)
+    "retention": lambda a: (
+        "array("
+        + ", ".join(
+            [f"CAST(max(CASE WHEN {a[0]} THEN 1 ELSE 0 END) AS SMALLINT)"]
+            + [
+                f"CAST(least(max(CASE WHEN {a[0]} THEN 1 ELSE 0 END),"
+                f" max(CASE WHEN {c} THEN 1 ELSE 0 END)) AS SMALLINT)"
+                for c in a[1:]
+            ]
+        )
+        + ")"
+    ),
     # ---- round-7 misc breadth -----------------------------------------
     # CH rand() is a UInt32, NOT a canonical double (that's randCanonical)
     "rand": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",
@@ -1530,10 +1545,12 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         "mcp_clickhouse_spark.operators.funnel.window_funnel (DataFrame API), which "
         "implements the same semantics"
     )),
+    # retention(c1, …) is a PLAIN aggregate in CH (no parameter list);
+    # the double-call form stays an error, the plain form maps in
+    # TEMPLATES (round 7 — it IS one expression: r1 = ∃row c1,
+    # rI = r1 AND ∃row cI, per the public docs)
     "retention": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "retention()() cannot be expressed as one Spark SQL expression — use "
-        "mcp_clickhouse_spark.operators.funnel.retention (DataFrame API), which "
-        "implements the same semantics"
+        "retention takes no parameter list — write retention(cond1, …)"
     )),
     "sequencematch": lambda p, a: (_ for _ in ()).throw(DialectError(
         "sequencematch()() cannot be expressed as one Spark SQL expression — use "

@@ -150,3 +150,38 @@ def behav_sequence_match(spark, sf_dir):
         F.substring(F.col("event_type"), 1, 1),
         "s.*p",
     )
+
+
+_SQL_RETENTION_CH = """
+SELECT user_id, r[1] AS r1, r[2] AS r2, r[3] AS r3 FROM (
+  SELECT user_id,
+         retention(event_type = 'signup', event_type = 'click',
+                   event_type = 'purchase') AS r
+  FROM events GROUP BY user_id
+) ret
+"""
+
+
+@query(
+    "behav_retention_sql",
+    oracle="""
+    SELECT user_id,
+           CAST(BOOL_OR(event_type = 'signup') AS SMALLINT) AS r1,
+           CAST(BOOL_OR(event_type = 'signup')
+                AND BOOL_OR(event_type = 'click') AS SMALLINT) AS r2,
+           CAST(BOOL_OR(event_type = 'signup')
+                AND BOOL_OR(event_type = 'purchase') AS SMALLINT) AS r3
+    FROM events GROUP BY user_id
+    """,
+    category="behavioral",
+)
+def behav_retention_sql(spark, sf_dir):
+    """Verbatim ClickHouse ``retention(...)`` SQL text (round 7 — the
+    guided error became a faithful single-expression mapping:
+    r1 = ∃row cond1; rI = r1 AND ∃row condI, 0/1 values exactly like
+    CH's UInt8 array, subscripted out to scalar columns for the driver
+    canonicalizer)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_SQL_RETENTION_CH))

@@ -25,16 +25,17 @@ churned ~2,400 lines since):
   order_limit_offset, scalar_date_series, scalar_hash, scalar_math,
   scalar_regex, select_columns_regex, shim_distinct,
   source_generate_random, source_values_table);
-- 17 of the 30 queries last checked in r3, oldest-first with the
+- 16 of the 30 queries last checked in r3, oldest-first with the
   dialect-adjacent ones preferred (scalars/setops/windows/joins are
   downstream of the scanner refactor);
-- 2 late round-7 additions, never driver-checked (sql_array_join_multi —
-  multi-column ARRAY JOIN via inline(arrays_zip) — and
-  agg_weighted_quantile — the quantileExactWeighted operator).
+- 3 late round-7 additions, never driver-checked (sql_array_join_multi —
+  multi-column ARRAY JOIN via inline(arrays_zip); agg_weighted_quantile —
+  the quantileExactWeighted operator; behav_retention_sql — the verbatim
+  retention() SQL mapping).
 
 Rolled to round 8 (the r3 remainder): pipe_embed_lsh_topk,
 pipe_minhash_lsh_verified, pipe_minhash_signatures, pipe_ngram_jaccard,
-pipe_quality_score, pipe_training_filter, q4_order_priority,
+pipe_quality_score, pipe_training_filter, join_right, q4_order_priority,
 q8_market_share, scalar_zip_sequence, scale_salted_agg,
 win_distribution, win_range_time_interval.
 """
@@ -79,7 +80,7 @@ PRIORITY: list[str] = [
     "shim_distinct",
     "source_generate_random",
     "source_values_table",
-    # r3-refresh pool, dialect-adjacent first (17)
+    # r3-refresh pool, dialect-adjacent first (16)
     "scalar_array",
     "scalar_cast",
     "scalar_datetime",
@@ -96,11 +97,11 @@ PRIORITY: list[str] = [
     "array_join_explode",
     "array_join_left_outer",
     "events_latest_per_user",
-    "join_right",
-    # late round-7 additions, never checked — take the q2/q4 slots
-    # (both roll to r8 with the r3 pool)
+    # late round-7 additions, never checked — take the q2/q4/join_right
+    # slots (those roll to r8 with the r3 pool)
     "sql_array_join_multi",
     "agg_weighted_quantile",
+    "behav_retention_sql",
 ]
 
 

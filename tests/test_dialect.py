@@ -1811,3 +1811,21 @@ def test_explain_variants_and_ornull(spark, sf_dir):
     from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
     with pytest.raises(ReadOnlyViolation):
         check_read_only("EXPLAIN SYNTAX DROP TABLE x")
+
+
+def test_retention_sql_text(spark, sf_dir):
+    """Round-7: retention(c1, …) maps to one faithful expression
+    (r1 = any row met c1; rI = r1 AND any row met cI); the double-call
+    parametric spelling stays an error."""
+    register_testdata(spark, sf_dir, ["events"])
+    res = run_select_query(
+        spark,
+        "SELECT user_id, retention(event_type = 'signup',"
+        " event_type = 'click') AS r FROM events GROUP BY user_id LIMIT 5",
+        dialect="clickhouse",
+    )
+    for _uid, r in res["rows"]:
+        assert set(r) <= {0, 1} and len(r) == 2
+        assert not (r[0] == 0 and r[1] == 1)  # rI implies r1
+    with pytest.raises(ValueError, match="no parameter list"):
+        translate("SELECT retention(1)(a, b) FROM t")
