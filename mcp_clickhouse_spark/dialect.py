@@ -377,6 +377,9 @@ _FMT_CODES = {
     "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
     "%S": "ss", "%y": "yy", "%e": "d", "%j": "DDD", "%F": "yyyy-MM-dd",
     "%T": "HH:mm:ss",
+    # MySQL spellings CH also accepts: %i minutes, %s seconds, %p AM/PM,
+    # %R hour:minute (round 7 — parseDateTime shares this table)
+    "%i": "mm", "%s": "ss", "%p": "a", "%R": "HH:mm",
 }
 
 
@@ -418,9 +421,15 @@ def _int_literal(arg: str, what: str) -> int:
 
 def _format_datetime(args: list[str]) -> str:
     ts, fmt = args[0], args[1]
+    return f"date_format({ts}, {_fmt_to_java(fmt)})"
+
+
+def _fmt_to_java(fmt: str) -> str:
+    """MySQL %-codes → Java datetime pattern (shared by formatDateTime and,
+    in reverse, parseDateTime — round 7)."""
     for ch, sp in _FMT_CODES.items():
         fmt = fmt.replace(ch, sp)
-    return f"date_format({ts}, {fmt})"
+    return fmt
 
 
 def _ch_format(args: list[str]) -> str:
@@ -1246,6 +1255,97 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))))(_f)
         for _f in ("sum", "avg", "min", "max", "count")
     },
+    # ---- round-7 date/array/tuple breadth -----------------------------
+    # parseDateTime uses the same MySQL %-codes as formatDateTime — the
+    # converter runs in reverse (to_timestamp with the Java pattern)
+    "parsedatetime": lambda a: (
+        f"to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+        if len(a) >= 2
+        else f"CAST({a[0]} AS TIMESTAMP)"
+    ),
+    "parsedatetimeorNull".lower(): lambda a: (
+        f"try_to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+        if len(a) >= 2
+        else f"TRY_CAST({a[0]} AS TIMESTAMP)"
+    ),
+    "parsedatetimebesteffort": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "parsedatetime32besteffort": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "parsedatetimebesteffortornull": lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)",
+    "parsedatetimebesteffortorzero": lambda a: (
+        f"coalesce(TRY_CAST({a[0]} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"
+    ),
+    "tostartofsecond": lambda a: f"date_trunc('SECOND', {a[0]})",
+    "tomillisecond": lambda a: (
+        f"CAST(date_format(CAST({a[0]} AS TIMESTAMP), 'SSS') AS INT)"
+    ),
+    "fromunixtimestamp64milli": lambda a: f"timestamp_millis({a[0]})",
+    "fromunixtimestamp64micro": lambda a: f"timestamp_micros({a[0]})",
+    "timediff": lambda a: (
+        f"(unix_timestamp(CAST({a[1]} AS TIMESTAMP))"
+        f" - unix_timestamp(CAST({a[0]} AS TIMESTAMP)))"
+    ),
+    "adddate": lambda a: f"({a[0]} + {a[1]})",
+    "subdate": lambda a: f"({a[0]} - {a[1]})",
+    "tomodifiedjulianday": lambda a: (
+        f"datediff(CAST({a[0]} AS DATE), DATE '1858-11-17')"
+    ),
+    "frommodifiedjulianday": lambda a: f"date_add(DATE '1858-11-17', {a[0]})",
+    # proleptic-Gregorian year 0 is leap: ordinal-from-0001 + 366
+    "todayssinceyearzero": lambda a: (
+        f"(datediff(CAST({a[0]} AS DATE), DATE '0001-01-01') + 366)"
+    ),
+    "uuidstringtonum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+    "touuid": lambda a: f"lower({a[0]})",  # UUIDs are strings here
+    "arrayshuffle": lambda a: f"shuffle({a[0]})",
+    # CH contract: first n sorted-smallest, remainder unspecified — the
+    # full sort satisfies it
+    "arraypartialsort": lambda a: f"array_sort({a[1]})" if len(a) == 2
+    else f"array_sort({a[0]})",
+    "arrayrotateleft": lambda a: (
+        f"concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1,"
+        f" size({a[0]}) - pmod({a[1]}, size({a[0]}))),"
+        f" slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
+    ),
+    "arrayrotateright": lambda a: (
+        f"concat(slice({a[0]}, size({a[0]}) - pmod({a[1]}, size({a[0]})) + 1,"
+        f" pmod({a[1]}, size({a[0]}))),"
+        f" slice({a[0]}, 1, size({a[0]}) - pmod({a[1]}, size({a[0]}))))"
+    ),
+    "arrayshiftleft": lambda a: (
+        f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})),"
+        f" array_repeat({a[2]}, {a[1]}))"
+        if len(a) == 3
+        else (_ for _ in ()).throw(DialectError(
+            "arrayShiftLeft: pass the pad value explicitly (CH pads the "
+            "type default, which is unknowable at translation time)"
+        ))
+    ),
+    "arrayshiftright": lambda a: (
+        f"concat(array_repeat({a[2]}, {a[1]}),"
+        f" slice({a[0]}, 1, size({a[0]}) - ({a[1]})))"
+        if len(a) == 3
+        else (_ for _ in ()).throw(DialectError(
+            "arrayShiftRight: pass the pad value explicitly (CH pads the "
+            "type default, which is unknowable at translation time)"
+        ))
+    ),
+    # CH tuple → struct with _1.._n fields; tupleElement indexes them
+    "tuple": lambda a: (
+        "named_struct("
+        + ", ".join(f"'_{i}', {x}" for i, x in enumerate(a, start=1))
+        + ")"
+    ),
+    "tupleelement": lambda a: (
+        f"({a[0]})._{_int_literal(a[1], 'tupleElement index')}"
+    ),
+    "untuple": lambda a: (_ for _ in ()).throw(DialectError(
+        "untuple expands to multiple select items — select t._1, t._2, … "
+        "explicitly"
+    )),
+    "bytesize": lambda a: (_ for _ in ()).throw(DialectError(
+        "byteSize is engine-internal storage accounting — no Spark "
+        "equivalent; octet_length(x) measures string/binary payloads"
+    )),
     # ---- round-7 JSON/URL breadth -------------------------------------
     # visitParam* (legacy) and simpleJSON* are CH's fast-path JSON readers
     # (top-level field only, which the single-key JSON path matches)

@@ -890,9 +890,9 @@ def test_plain_form_parametric_aggregates(spark):
 def test_behavioral_parametric_raise_guided_errors():
     import pytest as _pytest
 
+    # retention() now TRANSLATES (round 7) — only the stateful two remain
     for q in (
         "SELECT windowFunnel(3600)(ts, a, b) FROM t",
-        "SELECT retention(c1, c2) FROM t",
         "SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t",
     ):
         with _pytest.raises(ValueError, match="operators"):
@@ -1829,3 +1829,38 @@ def test_retention_sql_text(spark, sf_dir):
         assert not (r[0] == 0 and r[1] == 1)  # rI implies r1
     with pytest.raises(ValueError, match="no parameter list"):
         translate("SELECT retention(1)(a, b) FROM t")
+
+
+def test_date_array_tuple_breadth_round7(spark):
+    """Round-7: parseDateTime (%-codes shared with formatDateTime, now
+    incl. %i/%s/%p), BestEffort casts, MJD pair, toDaysSinceYearZero
+    (MySQL TO_DAYS convention — anchor TO_DAYS('2007-10-07')=733321 from
+    the MySQL docs = ordinal+365), array rotate/shift/partial-sort, and
+    CH tuples as _1.._n structs."""
+    r = spark.sql(translate(
+        "SELECT parseDateTime('2024-03-07 01:02:03', '%Y-%m-%d %H:%i:%s') AS p,"
+        " parseDateTimeBestEffort('2024-03-07') AS pb,"
+        " parseDateTimeBestEffortOrNull('garbage') AS pn,"
+        " toMillisecond(CAST('2024-01-01 10:00:05.123' AS TIMESTAMP)) AS ms,"
+        " timeDiff(CAST('2024-01-01' AS TIMESTAMP),"
+        "          CAST('2024-01-01 00:01:00' AS TIMESTAMP)) AS td,"
+        " toModifiedJulianDay('2020-01-01') AS mjd,"
+        " fromModifiedJulianDay(58849) AS fmjd,"
+        " toDaysSinceYearZero('2007-10-07') AS dz,"
+        " arrayPartialSort(2, [3,1,2]) AS ps,"
+        " arrayRotateLeft([1,2,3,4], 1) AS rl,"
+        " arrayRotateRight([1,2,3,4], 1) AS rr,"
+        " arrayShiftLeft([1,2,3], 1, 0) AS sl,"
+        " arrayShuffle([7]) AS sh,"
+        " tupleElement(tuple('a', 7), 2) AS te"
+    )).first()
+    assert str(r.p) == "2024-03-07 01:02:03" and r.pn is None
+    assert r.ms == 123 and r.td == 60
+    assert r.mjd == 58849 and str(r.fmjd) == "2020-01-01"
+    assert r.dz == 733321  # the MySQL TO_DAYS documented example
+    assert r.ps == [1, 2, 3] and r.rl == [2, 3, 4, 1] and r.rr == [4, 1, 2, 3]
+    assert r.sl == [2, 3, 0] and r.sh == [7] and r.te == 7
+    with pytest.raises(ValueError, match="pad value"):
+        translate("SELECT arrayShiftLeft(a, 1) FROM t")
+    with pytest.raises(ValueError, match="select t._1"):
+        translate("SELECT untuple(t) FROM x")
