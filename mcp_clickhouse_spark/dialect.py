@@ -66,7 +66,6 @@ NAME_MAP: dict[str, str] = {
     "todate32": "to_date",
     "todatetime": "to_timestamp",
     "todatetime64": "to_timestamp",
-    "parsedatetimebesteffort": "to_timestamp",
     "tounixtimestamp": "unix_timestamp",
     "fromunixtimestamp": "from_unixtime",
     "toyear": "year",
@@ -135,7 +134,6 @@ NAME_MAP: dict[str, str] = {
     "hex": "hex",
     "unhex": "unhex",
     "generateuuidv4": "uuid",
-    "touuid": "string",
     # aggregates
     "uniq": "approx_count_distinct",
     "uniqhll12": "approx_count_distinct",
@@ -205,32 +203,7 @@ def _json_extract_raw(args: list[str]) -> str:
     text re-serializes canonically (no original whitespace).  The path
     must be literal (keys as string literals, indices as integer
     literals); negative from-the-end indices raise a guided error."""
-    path = "$"
-    for arg in args[1:]:
-        a = arg.strip()
-        if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
-            key = a[1:-1]
-            if not re.fullmatch(r"[A-Za-z_]\w*", key):
-                raise DialectError(
-                    f"JSONExtractRaw: key {key!r} is not a simple "
-                    "identifier; use get_json_object with an explicit "
-                    "JSONPath for exotic keys"
-                )
-            path += f".{key}"
-        elif re.fullmatch(r"-?\d+", a):
-            idx = int(a)
-            if idx <= 0:
-                raise DialectError(
-                    "JSONExtractRaw: only positive (1-based) indices are "
-                    "supported (from-the-end addressing has no JSONPath "
-                    "equivalent here)"
-                )
-            path += f"[{idx - 1}]"
-        else:
-            raise DialectError(
-                "JSONExtractRaw: keys/indices must be literals (the "
-                "JSONPath is built at translation time)"
-            )
+    path = _json_path_of(args[1:])  # shared rules incl. the idx<=0 guard
     return (
         f"coalesce(to_json(try_variant_get(try_parse_json({args[0]}),"
         f" '{path}')), '')"
@@ -250,8 +223,16 @@ def _json_path_of(args: list[str]) -> str:
                     f"JSON path key {key!r} is not a simple identifier"
                 )
             path += f".{key}"
-        elif re.fullmatch(r"\d+", a):
-            path += f"[{int(a) - 1}]"
+        elif re.fullmatch(r"-?\d+", a):
+            idx = int(a)
+            if idx <= 0:
+                # idx 0 would emit '$[-1]' (last element!) — same guard
+                # as the raw extractor (round-7 review finding)
+                raise DialectError(
+                    "JSON indices are 1-based positives here (from-the-"
+                    "end addressing has no JSONPath equivalent)"
+                )
+            path += f"[{idx - 1}]"
         else:
             raise DialectError(
                 "JSON keys/indices must be literals (the JSONPath is "
@@ -422,6 +403,19 @@ def _int_literal(arg: str, what: str) -> int:
 def _format_datetime(args: list[str]) -> str:
     ts, fmt = args[0], args[1]
     return f"date_format({ts}, {_fmt_to_java(fmt)})"
+
+
+def _parse_datetime_guard(args: list[str], max_args: int = 2) -> None:
+    """The parseDateTime* timezone argument cannot be honored (the session
+    timezone applies) — dropping it would silently shift values by the
+    zone offset (round-7 review finding; same policy as makeDateTime)."""
+    if len(args) > max_args:
+        raise DialectError(
+            "parseDateTime*: the timezone argument is not supported (the "
+            "session timezone applies); drop it or convert explicitly "
+            "with to_utc_timestamp/from_utc_timestamp"
+        )
+    return None
 
 
 def _fmt_to_java(fmt: str) -> str:
@@ -1236,15 +1230,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"{_f}ornull": (lambda _g: (lambda a: f"{_g}({', '.join(a)})"))(_g)
         for _f, _g in [
             ("sum", "sum"), ("avg", "avg"), ("min", "min"), ("max", "max"),
-            ("any", "any_value"), ("count", "count"),
+            ("any", "any_value"),
         ]
     },
+    # countOrNull: count() is 0 (never NULL) on empty input — distinguish
+    # zero ROWS (CH: NULL) from rows-but-all-NULL (CH: 0) via count(1)
+    # (round-7 review finding)
+    "countornull": lambda a: (
+        f"(CASE WHEN count(1) = 0 THEN NULL ELSE count({', '.join(a)}) END)"
+    ),
+    # -OrDefault coalesces to the TYPE default, which is only knowable
+    # textually for the numeric aggregates (0); min/max over strings or
+    # dates would need the column type — guided (round-7 review finding)
     **{
         f"{_f}ordefault": (lambda _g: (lambda a: f"coalesce({_g}({', '.join(a)}), 0)"))(_g)
-        for _f, _g in [
-            ("sum", "sum"), ("avg", "avg"), ("min", "min"), ("max", "max"),
-            ("count", "count"),
-        ]
+        for _f, _g in [("sum", "sum"), ("avg", "avg"), ("count", "count")]
+    },
+    **{
+        f"{_f}ordefault": (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}OrDefault returns the column TYPE's default on empty "
+            "input, which is unknowable at translation time — write "
+            f"coalesce({_n}(x), <default>) explicitly"
+        ))))(_f)
+        for _f in ("min", "max")
     },
     # -ForEach (element-wise over array columns) needs a posexplode +
     # regroup plan, not one expression — guided
@@ -1259,19 +1267,30 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # parseDateTime uses the same MySQL %-codes as formatDateTime — the
     # converter runs in reverse (to_timestamp with the Java pattern)
     "parsedatetime": lambda a: (
-        f"to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
-        if len(a) >= 2
-        else f"CAST({a[0]} AS TIMESTAMP)"
+        _parse_datetime_guard(a) or (
+            f"to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+            if len(a) >= 2
+            else f"CAST({a[0]} AS TIMESTAMP)"
+        )
     ),
-    "parsedatetimeorNull".lower(): lambda a: (
-        f"try_to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
-        if len(a) >= 2
-        else f"TRY_CAST({a[0]} AS TIMESTAMP)"
+    "parsedatetimeornull": lambda a: (
+        _parse_datetime_guard(a) or (
+            f"try_to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+            if len(a) >= 2
+            else f"TRY_CAST({a[0]} AS TIMESTAMP)"
+        )
     ),
-    "parsedatetimebesteffort": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
-    "parsedatetime32besteffort": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
-    "parsedatetimebesteffortornull": lambda a: f"TRY_CAST({a[0]} AS TIMESTAMP)",
+    "parsedatetimebesteffort": lambda a: (
+        _parse_datetime_guard(a, max_args=1) or f"CAST({a[0]} AS TIMESTAMP)"
+    ),
+    "parsedatetime32besteffort": lambda a: (
+        _parse_datetime_guard(a, max_args=1) or f"CAST({a[0]} AS TIMESTAMP)"
+    ),
+    "parsedatetimebesteffortornull": lambda a: (
+        _parse_datetime_guard(a, max_args=1) or f"TRY_CAST({a[0]} AS TIMESTAMP)"
+    ),
     "parsedatetimebesteffortorzero": lambda a: (
+        _parse_datetime_guard(a, max_args=1) or
         f"coalesce(TRY_CAST({a[0]} AS TIMESTAMP), TIMESTAMP '1970-01-01 00:00:00')"
     ),
     "tostartofsecond": lambda a: f"date_trunc('SECOND', {a[0]})",
@@ -1301,19 +1320,27 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # full sort satisfies it
     "arraypartialsort": lambda a: f"array_sort({a[1]})" if len(a) == 2
     else f"array_sort({a[0]})",
+    # rotations/shifts guard the empty-array (pmod by 0 → NULL; CH keeps
+    # []) and over-size-shift (negative slice length → runtime error; CH
+    # yields all-pad) edges — round-7 review findings
     "arrayrotateleft": lambda a: (
-        f"concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1,"
+        f"CASE WHEN size({a[0]}) <= 0 THEN {a[0]} ELSE"
+        f" concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1,"
         f" size({a[0]}) - pmod({a[1]}, size({a[0]}))),"
-        f" slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
+        f" slice({a[0]}, 1, pmod({a[1]}, size({a[0]})))) END"
     ),
     "arrayrotateright": lambda a: (
-        f"concat(slice({a[0]}, size({a[0]}) - pmod({a[1]}, size({a[0]})) + 1,"
+        f"CASE WHEN size({a[0]}) <= 0 THEN {a[0]} ELSE"
+        f" concat(slice({a[0]}, size({a[0]}) - pmod({a[1]}, size({a[0]})) + 1,"
         f" pmod({a[1]}, size({a[0]}))),"
-        f" slice({a[0]}, 1, size({a[0]}) - pmod({a[1]}, size({a[0]}))))"
+        f" slice({a[0]}, 1, size({a[0]}) - pmod({a[1]}, size({a[0]})))) END"
     ),
     "arrayshiftleft": lambda a: (
-        f"concat(slice({a[0]}, ({a[1]}) + 1, size({a[0]}) - ({a[1]})),"
-        f" array_repeat({a[2]}, {a[1]}))"
+        (
+            f"concat(slice({a[0]}, LEAST({a[1]}, size({a[0]})) + 1,"
+            f" GREATEST(size({a[0]}) - ({a[1]}), 0)),"
+            f" array_repeat({a[2]}, LEAST({a[1]}, size({a[0]}))))"
+        )
         if len(a) == 3
         else (_ for _ in ()).throw(DialectError(
             "arrayShiftLeft: pass the pad value explicitly (CH pads the "
@@ -1321,8 +1348,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))
     ),
     "arrayshiftright": lambda a: (
-        f"concat(array_repeat({a[2]}, {a[1]}),"
-        f" slice({a[0]}, 1, size({a[0]}) - ({a[1]})))"
+        (
+            f"concat(array_repeat({a[2]}, LEAST({a[1]}, size({a[0]}))),"
+            f" slice({a[0]}, 1, GREATEST(size({a[0]}) - ({a[1]}), 0)))"
+        )
         if len(a) == 3
         else (_ for _ in ()).throw(DialectError(
             "arrayShiftRight: pass the pad value explicitly (CH pads the "
@@ -2006,11 +2035,16 @@ def _rewrite_star_modifiers(sql: str) -> str:
 
 
 def _recurse_subqueries(sql: str, fn, trigger: str) -> str:
-    """Apply a clause rewriter inside every balanced-paren span whose text
-    matches ``trigger`` (round-7 generalization of the QUALIFY recursion —
-    LIMIT n BY and PREWHERE/SAMPLE/FINAL now translate inside derived
-    tables too).  ``fn`` is called on the span's inner text; nesting is
-    handled by ``fn`` calling this again on its own input."""
+    """Apply a clause rewriter inside every balanced-paren SUBQUERY span
+    whose text matches ``trigger`` (round-7 generalization of the QUALIFY
+    recursion — LIMIT n BY and PREWHERE/SAMPLE/FINAL now translate inside
+    derived tables too).  Only spans containing a SELECT recurse: a plain
+    expression span like ``sum(final)`` must NOT be treated as a query,
+    or the clause rewriters fire on identifiers that merely collide with
+    clause keywords (round-7 review finding — the FINAL dropper was
+    deleting columns named ``final`` inside function calls).  ``fn`` is
+    called on the span's inner text; nesting is handled by ``fn`` calling
+    this again on its own input."""
     parts: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -2023,7 +2057,7 @@ def _recurse_subqueries(sql: str, fn, trigger: str) -> str:
         if ch == "(":
             end = _find_balanced(sql, i)
             inner = sql[i + 1 : end - 1]
-            if re.search(trigger, inner):
+            if re.search(r"(?is)\bSELECT\b", inner) and re.search(trigger, inner):
                 inner = fn(inner)
             parts.append("(" + inner + ")")
             i = end
@@ -3171,7 +3205,18 @@ def _rewrite_table_clauses(sql: str) -> str:
 
     m = d0_search(r"(?i)\bFINAL\b(?=\s|$)")
     if m:
-        sql = (sql[: m.start()] + sql[m.end() :]).replace("  ", " ")
+        # drop FINAL only in TABLE position — after `FROM|JOIN <unit>
+        # [[AS] alias]` (or a closing subquery paren) — so an identifier
+        # that merely spells `final` (`SELECT 1 AS final`) survives
+        # (round-7 review finding)
+        head = sql[: m.start()]
+        in_table_pos = re.search(
+            r"(?is)\b(FROM|JOIN)\s+[A-Za-z_][\w.]*"
+            r"(\s+(AS\s+)?[A-Za-z_]\w*)?\s*$",
+            head,
+        ) or re.search(r"\)\s*([A-Za-z_]\w*\s*)?$", head)
+        if in_table_pos:
+            sql = (sql[: m.start()] + sql[m.end() :]).replace("  ", " ")
     return sql
 
 

@@ -99,18 +99,17 @@ def ch_murmurhash3_64(s: str | None) -> Decimal | None:
     return Decimal(h1 ^ h2)
 
 
-_REGISTERED: set[int] = set()
-
-
 def ensure_registered(spark) -> None:
-    """Register the ``ch_murmurHash3_64`` UDF once per session."""
-    key = id(spark)
-    if key in _REGISTERED:
-        return
+    """Register the ``ch_murmurHash3_64`` UDF on this session.
+
+    Unconditional: ``spark.udf.register`` is an idempotent overwrite, and
+    memoizing on ``id(spark)`` risked a stale hit when a new session
+    lands at a recycled address (round-7 review finding).  The call is
+    cheap and only happens for queries that actually use the name.
+    """
     from pyspark.sql.functions import udf
     from pyspark.sql.types import DecimalType
 
     spark.udf.register(
         "ch_murmurHash3_64", udf(ch_murmurhash3_64, DecimalType(20, 0))
     )
-    _REGISTERED.add(key)

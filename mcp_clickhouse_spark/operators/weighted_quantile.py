@@ -42,6 +42,11 @@ def weighted_quantile(
     if not 0 < level <= 1:
         raise ValueError(f"weighted_quantile: level must be in (0, 1], got {level}")
     keys = by or []
+    # NULL values are ignored, as in every ClickHouse aggregate — a
+    # NULL-valued row's weight must not inflate the cumulative/total sums
+    # (round-7 review finding: NULLs sort first under asc and shifted the
+    # threshold onto the wrong element)
+    df = df.where(F.col(value_col).isNotNull())
     w = (
         F.col(weight_col) if isinstance(weight_col, str) else weight_col
     ).cast("double")

@@ -46,6 +46,12 @@ def bind_system_tables(spark: SparkSession, sql: str) -> str:
     if "numbers_mt" in needed:
         needed.discard("numbers_mt")
         needed.add("numbers")
+    if needed & {"tables", "columns"}:
+        # one catalog sweep builds BOTH views — a query joining
+        # system.tables with system.columns must not describe the whole
+        # catalog twice (round-7 review finding)
+        _reg_catalog(spark)
+        needed -= {"tables", "columns"}
     for name in needed:
         _REGISTRARS[name](spark)
     out = []
@@ -80,48 +86,36 @@ def _reg_databases(spark: SparkSession) -> None:
     )
 
 
-def _reg_tables(spark: SparkSession) -> None:
+def _reg_catalog(spark: SparkSession) -> None:
+    """One describe_table sweep materializes BOTH _system_tables and
+    _system_columns."""
     from mcp_clickhouse_spark.catalog import (
         describe_table,
         list_database_names,
         list_table_names,
     )
 
-    rows = []
+    trows = []
+    crows = []
     for db in list_database_names(spark):
         for name in list_table_names(spark, db):
             if name.startswith(("_system_", "_tf_")):
                 continue  # our own bound views are not user tables
             t = describe_table(spark, db, name)
-            rows.append(
+            trows.append(
                 (db, name, t.engine, t.engine_full, t.sorting_key,
                  t.primary_key, t.create_table_query, t.comment)
             )
+            for pos, c in enumerate(t.columns, start=1):
+                crows.append((db, name, c.name, c.column_type, pos, c.comment))
     spark.createDataFrame(
-        rows,
+        trows,
         "database string, name string, engine string, engine_full string, "
         "sorting_key string, primary_key string, create_table_query string, "
         "comment string",
     ).createOrReplaceTempView("_system_tables")
-
-
-def _reg_columns(spark: SparkSession) -> None:
-    from mcp_clickhouse_spark.catalog import (
-        describe_table,
-        list_database_names,
-        list_table_names,
-    )
-
-    rows = []
-    for db in list_database_names(spark):
-        for name in list_table_names(spark, db):
-            if name.startswith(("_system_", "_tf_")):
-                continue
-            t = describe_table(spark, db, name)
-            for pos, c in enumerate(t.columns, start=1):
-                rows.append((db, name, c.name, c.column_type, pos, c.comment))
     spark.createDataFrame(
-        rows,
+        crows,
         "database string, table string, name string, type string, "
         "position int, comment string",
     ).createOrReplaceTempView("_system_columns")
@@ -131,6 +125,4 @@ _REGISTRARS = {
     "one": _reg_one,
     "numbers": _reg_numbers,
     "databases": _reg_databases,
-    "tables": _reg_tables,
-    "columns": _reg_columns,
 }

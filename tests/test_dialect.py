@@ -1800,11 +1800,14 @@ def test_explain_variants_and_ornull(spark, sf_dir):
     assert "Optimized Logical Plan" in est["rows"][0][0]
     row = one(
         spark,
-        "SELECT sumOrNull(n_nationkey) AS s, maxOrDefault(n_nationkey) AS m,"
+        "SELECT sumOrNull(n_nationkey) AS s, maxOrNull(n_nationkey) AS m,"
         " countOrDefault(n_nationkey) AS c"
         " FROM nation WHERE n_nationkey < -1",
     )
-    assert row[0] is None and row[1] == 0 and row[2] == 0
+    assert row[0] is None and row[1] is None and row[2] == 0
+    # min/maxOrDefault need the TYPE default — guided (review fix)
+    with pytest.raises(ValueError, match="TYPE's default"):
+        translate("SELECT maxOrDefault(x) FROM t")
     with pytest.raises(ValueError, match="posexplode"):
         translate("SELECT sumForEach(xs) FROM t")
     # EXPLAIN of a write statement is still rejected
@@ -1864,3 +1867,48 @@ def test_date_array_tuple_breadth_round7(spark):
         translate("SELECT arrayShiftLeft(a, 1) FROM t")
     with pytest.raises(ValueError, match="select t._1"):
         translate("SELECT untuple(t) FROM x")
+
+
+def test_round7_review_fixes(spark):
+    """Round-7 self-review fixes: identifiers colliding with clause
+    keywords survive expression positions; countOrNull distinguishes
+    zero rows from all-NULL; array edge cases; JSON index-0 guard;
+    parseDateTime timezone guard."""
+    # FINAL/keyword collisions: only TABLE position drops
+    assert "sum(final)" in translate("SELECT sum(final) FROM t")
+    assert "AS final" in translate(
+        "SELECT m FROM (SELECT 1 AS final FROM u) t"
+    )
+    assert "FINAL" not in translate("SELECT * FROM t FINAL").upper()
+    # countOrNull: NULL on zero rows, 0 on rows-with-all-NULL
+    spark.createDataFrame([(None,)], "x int").createOrReplaceTempView("cn_t")
+    r = one(spark, "SELECT countOrNull(x) AS a FROM cn_t")
+    assert r[0] == 0
+    r2 = one(spark, "SELECT countOrNull(x) AS a FROM cn_t WHERE 1 = 0")
+    assert r2[0] is None
+    with pytest.raises(ValueError, match="TYPE's default"):
+        translate("SELECT minOrDefault(x) FROM t")
+    # array shift/rotate edges: over-size shift pads fully; empty stays []
+    r3 = spark.sql(translate(
+        "SELECT arrayShiftLeft([1,2], 5, 0) AS sl,"
+        " arrayRotateLeft(emptyArrayInt64(), 2) AS rl"
+    )).first()
+    assert r3.sl == [0, 0] and r3.rl == []
+    with pytest.raises(ValueError, match="1-based"):
+        translate("SELECT JSONType(j, 0) FROM t")
+    with pytest.raises(ValueError, match="timezone"):
+        translate("SELECT parseDateTime(s, '%Y', 'America/New_York') FROM t")
+
+
+def test_weighted_quantile_ignores_nulls(spark):
+    """Round-7 review fix: NULL-valued rows' weights must not inflate the
+    cumulative/total sums (CH aggregates ignore NULLs)."""
+    from mcp_clickhouse_spark.operators.weighted_quantile import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("a", None, 10), ("a", 1.0, 1), ("a", 2.0, 5)],
+        "g string, v double, w int",
+    )
+    out = weighted_quantile(df, "v", "w", 0.5, by=["g"]).collect()
+    # median of {1 (w1), 2 (w5)}: threshold 3 of 6 -> first hit at v=2
+    assert out[0].wq == 2.0
