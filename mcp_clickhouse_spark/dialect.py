@@ -2034,6 +2034,32 @@ def _rewrite_star_modifiers(sql: str) -> str:
         sql = sql[:star_idx] + repl + sql[rp_end:]
 
 
+_PRE_IDENT_TOKENS = {
+    "select", "by", "as", "and", "or", "not", "where", "when", "then",
+    "else", "on", "in", "distinct", "all", "having",
+}
+
+
+def _clauselike_position(sql: str, pos: int) -> bool:
+    """Is the keyword at ``pos`` in CLAUSE position, or an identifier that
+    merely spells the keyword (round-7 fuzz finding — `SELECT qualify
+    FROM t` was rewritten as a QUALIFY clause)?  Identifier usages are
+    preceded by an operator/comma/open-paren/dot or by a token that
+    introduces an expression (SELECT/AS/AND/…); a real clause follows an
+    identifier, literal, or closing paren."""
+    k = pos - 1
+    while k >= 0 and sql[k].isspace():
+        k -= 1
+    if k < 0:
+        return False
+    if sql[k] in "=<>!+-*/%,(.[":
+        return False
+    m = re.search(r"([A-Za-z_]\w*)\s*$", sql[: k + 1])
+    if m and m.group(1).lower() in _PRE_IDENT_TOKENS:
+        return False
+    return True
+
+
 def _recurse_subqueries(sql: str, fn, trigger: str) -> str:
     """Apply a clause rewriter inside every balanced-paren SUBQUERY span
     whose text matches ``trigger`` (round-7 generalization of the QUALIFY
@@ -2959,7 +2985,7 @@ def _rewrite_qualify(sql: str) -> str:
     d0 = {i for i, _ in _depth0_spans(sql)}
     m = None
     for mm in re.finditer(r"(?is)\bQUALIFY\b", sql):
-        if mm.start() in d0:
+        if mm.start() in d0 and _clauselike_position(sql, mm.start()):
             m = mm
             break
     if not m:
@@ -3028,15 +3054,17 @@ def _rewrite_join_modifiers(sql: str) -> str:
             "or persist intermediate GROUP BY results instead of -State "
             "columns"
         )
-    if first_outside(r"(?i)\bQUALIFY\b"):
-        # top-level QUALIFY is rewritten by _rewrite_qualify before this
-        # pass; anything left is inside a subquery
+    mq = first_outside(r"(?i)\bQUALIFY\b")
+    if mq and _clauselike_position(sql, mq.start()):
+        # QUALIFY clauses (top-level and subquery) are rewritten by
+        # _rewrite_qualify before this pass; a clause-position survivor
+        # is a shape the recursion could not reach.  An IDENTIFIER that
+        # merely spells `qualify` passes through (round-7 fuzz finding).
         raise ValueError(
-            "QUALIFY inside a subquery is not rewritten — compute the "
-            "window expression as a column in the subquery and filter it "
-            "in its outer WHERE (top-level QUALIFY translates "
-            "automatically; shim_limit_by / operators.topk cover the "
-            "per-group top-N shape)"
+            "a QUALIFY clause survived translation — compute the window "
+            "expression as a column in a subquery and filter it outside "
+            "(most QUALIFY shapes translate automatically; shim_limit_by "
+            "/ operators.topk cover the per-group top-N shape)"
         )
     for pat in (r"(?i)\bANY\s+(LEFT|RIGHT|INNER)\s+JOIN\b", r"(?i)\bASOF\s+JOIN\b"):
         m = first_outside(pat)
@@ -3173,6 +3201,8 @@ def _rewrite_table_clauses(sql: str) -> str:
         return None
 
     m = d0_search(r"(?i)\bPREWHERE\b")
+    if m and not _clauselike_position(sql, m.start()):
+        m = None  # an identifier that merely spells PREWHERE (fuzz find)
     if m:
         m_where = d0_search(r"(?i)\bWHERE\b", m.end())
         if m_where:

@@ -347,3 +347,28 @@ def test_array_join_rewrite_always_parses(spark, w, exprs, left, tail):
     assert not re.search(r"(?i)\bARRAY\s+JOIN\b", out)
     if len(exprs) > 1:
         assert "arrays_zip" in out
+
+
+# --- keyword-colliding identifiers (round-7 review regression class) -------
+
+_kw_ident = st.sampled_from(["final", "sample", "qualify", "prewhere"])
+_expr_pos = st.sampled_from([
+    "SELECT sum({k}) FROM t",
+    "SELECT max(t.{k}) AS m FROM (SELECT 1 AS {k} FROM u) t",
+    "SELECT a FROM t WHERE x = {k}",
+    "SELECT {k} FROM t",
+    "SELECT a, {k} FROM t GROUP BY a, {k}",
+])
+
+
+@given(k=_kw_ident, tpl=_expr_pos)
+@settings(max_examples=40, deadline=None)
+def test_keyword_named_identifiers_survive(spark, k, tpl):
+    """A column that merely SPELLS a clause keyword must survive
+    translation in every expression position (the round-7 FINAL-dropper
+    regression class)."""
+    sql = tpl.format(k=k)
+    out = translate(sql)
+    assert re.search(rf"(?i)\b{k}\b", out), (sql, out)
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
