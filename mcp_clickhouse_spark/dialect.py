@@ -248,10 +248,14 @@ def _json_extract_array_raw(args: list[str]) -> str:
     paths), so element quoting matches CH exactly."""
     path = _json_path_of(args[1:])
     arr = f"get_json_object({args[0]}, '{path}')"
+    # Empty-array guard (round-7 advisor): json_array_length = 0 would make
+    # sequence(0, -1) yield [0, -1] and the '$.a[-1]' variant path raise
+    # INVALID_VARIANT_GET_PATH at runtime; CH returns [] for [].
     return (
-        f"coalesce(transform(sequence(0, json_array_length({arr}) - 1),"
+        f"coalesce(CASE WHEN json_array_length({arr}) <= 0 THEN array()"
+        f" ELSE transform(sequence(0, json_array_length({arr}) - 1),"
         f" __ji -> to_json(try_variant_get(try_parse_json({args[0]}),"
-        f" concat('{path}[', __ji, ']')))), array())"
+        f" concat('{path}[', __ji, ']')))) END, array())"
     )
 
 
@@ -1472,16 +1476,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # anyHeavy: CH's approximate heavy-hitter; Spark's mode() is the exact
     # most-frequent value — a strictly stronger guarantee, same contract
     "anyheavy": lambda a: f"mode({a[0]})",
-    # boundingRatio(x, y): slope between the leftmost and rightmost points
+    # boundingRatio(x, y): slope between the leftmost and rightmost points.
+    # try_divide: constant-x groups (single-row groups are common) would
+    # throw DIVIDE_BY_ZERO under ANSI mode; CH returns nan/inf there — we
+    # return NULL (documented delta, round-7 advisor).
     "boundingratio": lambda a: (
-        f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}))"
-        f" / (max({a[0]}) - min({a[0]})))"
+        f"try_divide(max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}),"
+        f" max({a[0]}) - min({a[0]}))"
     ),
     # simpleLinearRegression(x, y) → tuple (k, b): least-squares slope and
-    # intercept, exactly covar_pop/var_pop and avg(y) - k*avg(x)
+    # intercept, exactly covar_pop/var_pop and avg(y) - k*avg(x).
+    # try_divide: var_pop = 0 for constant x → NULL slope/intercept where
+    # CH returns nan/inf (same ANSI guard as boundingRatio above).
     "simplelinearregression": lambda a: (
-        f"named_struct('k', covar_pop({a[0]}, {a[1]}) / var_pop({a[0]}),"
-        f" 'b', avg({a[1]}) - covar_pop({a[0]}, {a[1]}) / var_pop({a[0]})"
+        f"named_struct('k', try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]})),"
+        f" 'b', avg({a[1]}) - try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]}))"
         f" * avg({a[0]}))"
     ),
     # CH *Stable variants = numerically-stable computation of the same
@@ -2037,6 +2046,10 @@ def _rewrite_star_modifiers(sql: str) -> str:
 _PRE_IDENT_TOKENS = {
     "select", "by", "as", "and", "or", "not", "where", "when", "then",
     "else", "on", "in", "distinct", "all", "having",
+    # table position: `FROM qualify` / `JOIN prewhere` reference a TABLE
+    # that merely spells the keyword — a real QUALIFY/PREWHERE clause can
+    # never directly follow FROM/JOIN (round-7 advisor)
+    "from", "join",
 }
 
 
@@ -3240,9 +3253,17 @@ def _rewrite_table_clauses(sql: str) -> str:
         # that merely spells `final` (`SELECT 1 AS final`) survives
         # (round-7 review finding)
         head = sql[: m.start()]
+        # `FROM final` / `JOIN final` reference a TABLE that merely spells
+        # the keyword — never a FINAL modifier (round-7 advisor)
+        if re.search(r"(?is)\b(FROM|JOIN)\s*$", head):
+            return sql
+        # the alias atom must reject bare AS — otherwise `FROM u AS final`
+        # matches with alias="AS" and the explicit alias named `final` is
+        # deleted — and JOIN, or `FROM u JOIN final` drops the table name
+        # (round-7 advisor + r8 fuzz)
         in_table_pos = re.search(
             r"(?is)\b(FROM|JOIN)\s+[A-Za-z_][\w.]*"
-            r"(\s+(AS\s+)?[A-Za-z_]\w*)?\s*$",
+            r"(\s+(AS\s+)?(?!(?:AS|JOIN|INNER|LEFT|RIGHT|FULL|CROSS)\b)[A-Za-z_]\w*)?\s*$",
             head,
         ) or re.search(r"\)\s*([A-Za-z_]\w*\s*)?$", head)
         if in_table_pos:

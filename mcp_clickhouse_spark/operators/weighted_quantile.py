@@ -38,10 +38,16 @@ def weighted_quantile(
     merged by the cumulative sum naturally (equal values share rank
     order); zero/negative weights are the caller's responsibility, as in
     ClickHouse.
+
+    Groups whose values are ALL NULL keep their row with a NULL quantile
+    (ClickHouse keeps the group and returns nan — NULL is this engine's
+    rendering of that, consistent with the -OrNull combinators; round-7
+    advisor: previously the group row disappeared entirely).
     """
     if not 0 < level <= 1:
         raise ValueError(f"weighted_quantile: level must be in (0, 1], got {level}")
     keys = by or []
+    src = df
     # NULL values are ignored, as in every ClickHouse aggregate — a
     # NULL-valued row's weight must not inflate the cumulative/total sums
     # (round-7 review finding: NULLs sort first under asc and shifted the
@@ -60,4 +66,11 @@ def weighted_quantile(
         "__wq_tot", F.sum(w).over(tot)
     ).where(F.col("__wq_cum") >= F.lit(level) * F.col("__wq_tot"))
     agg = hit.groupBy(*keys).agg(F.min(value_col).alias(out_col))
+    if keys:
+        # Re-attach all-NULL groups with a NULL quantile.  The distinct +
+        # left join shuffle on the same group keys as the window — AQE
+        # broadcasts the (group-cardinality-sized) agg side in practice.
+        agg = src.select(*keys).distinct().join(agg, on=keys, how="left")
+    # global (no keys): groupBy().agg already yields one row with NULL min
+    # on empty input, so the all-NULL case needs no special path
     return agg

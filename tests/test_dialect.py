@@ -1912,3 +1912,42 @@ def test_weighted_quantile_ignores_nulls(spark):
     out = weighted_quantile(df, "v", "w", 0.5, by=["g"]).collect()
     # median of {1 (w1), 2 (w5)}: threshold 3 of 6 -> first hit at v=2
     assert out[0].wq == 2.0
+
+
+def test_round8_advisor_fixes(spark):
+    """Round-8 advisor fixes: JSONExtractArrayRaw on an empty array
+    returns [] (sequence(0, -1) used to build an invalid variant path);
+    boundingRatio/simpleLinearRegression on constant x return NULL via
+    try_divide instead of dying with ANSI DIVIDE_BY_ZERO (CH: nan/inf —
+    NULL is this engine's documented rendering); table references and
+    explicit AS-aliases that spell clause keywords survive."""
+    r = one(spark, """SELECT JSONExtractArrayRaw('{"a": []}', 'a') AS e,"""
+            """ JSONExtractArrayRaw('{"a": [1]}', 'a') AS s""")
+    assert r[0] == [] and r[1] == ["1"]
+    # constant x: single-row group — the whole query must not die
+    spark.createDataFrame([(1, 5.0), (1, 7.0)], "x int, y double") \
+        .createOrReplaceTempView("br_t")
+    r2 = one(spark, "SELECT boundingRatio(x, y) AS br,"
+             " simpleLinearRegression(x, y) AS lr FROM br_t")
+    assert r2[0] is None and r2[1]["k"] is None
+    # keyword-spelling identifiers in table/alias positions
+    assert translate("SELECT m FROM u AS final").rstrip() == (
+        "SELECT m FROM u AS final"
+    )
+    out = translate("SELECT a FROM qualify")
+    assert re.search(r"(?i)\bFROM\s+qualify\b", out)
+    out2 = translate("SELECT a FROM u JOIN final ON u.x = final.x")
+    assert re.search(r"(?i)\bJOIN\s+final\b", out2)
+
+
+def test_weighted_quantile_all_null_group_kept(spark):
+    """Round-8 advisor fix: a group whose values are ALL NULL keeps its
+    row with a NULL quantile (CH keeps the group, returns nan)."""
+    from mcp_clickhouse_spark.operators.weighted_quantile import weighted_quantile
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 1), ("a", 2.0, 1), ("b", None, 5), ("b", None, 1)],
+        "g string, v double, w int",
+    )
+    out = {r.g: r.wq for r in weighted_quantile(df, "v", "w", 0.5, by=["g"]).collect()}
+    assert out == {"a": 1.0, "b": None}

@@ -358,6 +358,14 @@ _expr_pos = st.sampled_from([
     "SELECT a FROM t WHERE x = {k}",
     "SELECT {k} FROM t",
     "SELECT a, {k} FROM t GROUP BY a, {k}",
+    # table position (round-7 advisor): a TABLE named after a clause
+    # keyword — a real QUALIFY/PREWHERE/SAMPLE clause can never directly
+    # follow FROM/JOIN
+    "SELECT a FROM {k}",
+    "SELECT a FROM u JOIN {k} ON u.x = {k}.x",
+    # explicit AS-alias spelled like the keyword (round-7 advisor: the
+    # FINAL dropper matched bare AS as the alias and deleted the alias)
+    "SELECT m FROM u AS {k}",
 ])
 
 
