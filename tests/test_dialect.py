@@ -587,9 +587,9 @@ def test_join_modifier_rewrites_execute(spark):
     )
     assert sorted(r[0] for r in res2["rows"]) == [1, 2, 3]
 
-    # unsupported ANY/ASOF shapes still raise guided operator pointers
-    with pytest.raises(Exception, match="any_join"):
-        translate("SELECT a FROM t1 ANY RIGHT JOIN t2 USING (k)")  # dedups LEFT side
+    # RIGHT ANY translates since round 8 (dedups the LEFT side)
+    r_any = translate("SELECT a FROM t1 ANY RIGHT JOIN t2 USING (k)")
+    assert "RIGHT JOIN" in r_any and "row_number()" in r_any
     with pytest.raises(Exception, match="asof_join"):
         # no inequality conjunct -> not provably ASOF-rewritable
         translate("SELECT a FROM t1 ASOF JOIN t2 ON t1.k = t2.k")
@@ -1071,9 +1071,12 @@ def test_array_fold_accumulator_types(spark):
     assert "ch_murmurHash3_64('x')" in translate(
         "SELECT murmurHash3_64('x') FROM t"
     )
-    # makeDateTime timezone argument: guided error, not silent truncation
-    with _pytest.raises(ValueError, match="makeDateTime"):
-        translate("SELECT makeDateTime(2024, 1, 1, 0, 0, 0, 'UTC') FROM t")
+    # makeDateTime timezone argument maps onto Spark's native 7-arg
+    # make_timestamp as of round 8 (was a guided error)
+    assert str(one(
+        spark,
+        "SELECT makeDateTime(2024, 3, 7, 1, 2, 3, 'America/New_York') AS m",
+    )[0]) == "2024-03-07 06:02:03"
     # avgWeighted skips NULL-value rows entirely (weight excluded too)
     assert abs(one(
         spark,
@@ -1094,10 +1097,21 @@ def test_review_fixes_dialect_edge_cases(spark):
     # 2023 because 2023-01-01 was itself a Sunday)
     assert one(spark, "SELECT toYearWeek(toDate('2024-01-03')) AS yw")[0] == 202353
     assert one(spark, "SELECT toYearWeek(toDate('2023-01-01')) AS yw")[0] == 202301
-    # unsupported modes / tz arg: guided error, not a silently wrong value
+    # literal tz decides the LOCAL week as of round 8: 2025-01-05 02:00
+    # UTC is Sunday (week 202501 starts) but still Saturday Jan 4 in NY
+    assert one(
+        spark,
+        "SELECT toYearWeek(toDateTime('2025-01-05 02:00:00'), 0,"
+        " 'America/New_York') AS yw",
+    )[0] == 202452
+    assert one(
+        spark,
+        "SELECT toYearWeek(toDateTime('2025-01-05 02:00:00'), 0, 'UTC') AS yw",
+    )[0] == 202501
+    # unsupported modes / non-literal tz: guided error, not silently wrong
     import pytest as _pytest
     for bad in ("SELECT toYearWeek(toDate('2024-01-03'), 1) AS yw",
-                "SELECT toYearWeek(toDate('2024-01-03'), 0, 'UTC') AS yw"):
+                "SELECT toYearWeek(d, 0, tz_col) FROM t"):
         with _pytest.raises(ValueError, match="toYearWeek"):
             translate(bad)
     # fragment retained in pathFull
@@ -1569,8 +1583,25 @@ def test_array_join_multi_column(spark):
         dialect="clickhouse",
     )
     assert [tuple(r) for r in res2["rows"]] == [(1, 10, 1), (1, 20, 2), (1, 30, 3)]
-    with pytest.raises(ValueError, match="expr AS alias"):
-        translate("SELECT x FROM t ARRAY JOIN xs WHERE 1")
+    # bare no-AS forms rename the source arrays behind a FROM wrapper so
+    # the element owns the name (round 8 — was a guided error)
+    res3 = run_select_query(
+        spark,
+        "SELECT id, xs, ys FROM aj_t ARRAY JOIN xs, ys WHERE xs > 10",
+        dialect="clickhouse",
+    )
+    assert sorted(map(tuple, res3["rows"])) == [(1, 20, "y"), (1, 30, "z")]
+    # SELECT * hides the rename helpers; the element column moves to the
+    # end of the star expansion (documented position delta)
+    res4 = run_select_query(
+        spark, "SELECT * FROM aj_t ARRAY JOIN xs", dialect="clickhouse"
+    )
+    assert res4["columns"] == ["id", "ys", "xs"]
+    assert sorted(r[2] for r in res4["rows"]) == [10, 20, 30]
+    # a bare EXPRESSION still needs an alias (its in-scope name would be
+    # the expression text)
+    with pytest.raises(ValueError, match="alias"):
+        translate("SELECT x FROM t ARRAY JOIN arrayEnumerate(xs) WHERE 1")
 
 
 def test_json_extract_raw(spark):
@@ -1896,8 +1927,14 @@ def test_round7_review_fixes(spark):
     assert r3.sl == [0, 0] and r3.rl == []
     with pytest.raises(ValueError, match="1-based"):
         translate("SELECT JSONType(j, 0) FROM t")
+    # literal timezone translates as of round 8; non-literal stays guided
+    assert str(one(
+        spark,
+        "SELECT parseDateTime('2024-03-07 01:02:03', '%Y-%m-%d %H:%i:%s',"
+        " 'America/New_York') AS p",
+    )[0]) == "2024-03-07 06:02:03"
     with pytest.raises(ValueError, match="timezone"):
-        translate("SELECT parseDateTime(s, '%Y', 'America/New_York') FROM t")
+        translate("SELECT parseDateTime(s, '%Y', tz_col) FROM t")
 
 
 def test_weighted_quantile_ignores_nulls(spark):
@@ -1951,3 +1988,86 @@ def test_weighted_quantile_all_null_group_kept(spark):
     )
     out = {r.g: r.wq for r in weighted_quantile(df, "v", "w", 0.5, by=["g"]).collect()}
     assert out == {"a": 1.0, "b": None}
+
+
+def test_round8_star_apply(spark):
+    """Round 8 (verdict missing #2): `* [EXCEPT(…)] APPLY(fn)` expands to
+    concrete fn(col) AS col items via the active session's catalog;
+    lambdas / unresolvable FROM units keep guided errors."""
+    spark.createDataFrame(
+        [(1, 2.0, 3.0), (1, 4.0, 5.0)], "k int, a double, b double"
+    ).createOrReplaceTempView("sa_t")
+    res = run_select_query(
+        spark, "SELECT * APPLY(sum) FROM sa_t", dialect="clickhouse"
+    )
+    assert res["columns"] == ["k", "a", "b"]
+    assert [tuple(r) for r in res["rows"]] == [(2, 6.0, 8.0)]
+    res2 = run_select_query(
+        spark,
+        "SELECT k, t.* EXCEPT (k) APPLY(max) FROM sa_t AS t GROUP BY k",
+        dialect="clickhouse",
+    )
+    assert res2["columns"] == ["k", "a", "b"]
+    assert [tuple(r) for r in res2["rows"]] == [(1, 4.0, 5.0)]
+    # the applied name goes through the dialect maps afterwards
+    assert "percentile(`a`, 0.5)" in translate("SELECT * EXCEPT (k, b) APPLY(median) FROM sa_t")
+    for bad, msg in [
+        ("SELECT * APPLY(x -> x + 1) FROM sa_t", "bare function name"),
+        ("SELECT * APPLY(sum) FROM (SELECT 1 AS z) q", "concrete column list"),
+        ("SELECT * APPLY(sum) FROM sa_t a JOIN sa_t b ON a.k = b.k",
+         "concrete column list"),
+    ]:
+        with pytest.raises(ValueError, match=msg):
+            translate(bad)
+
+
+def test_round8_asof_directions(spark):
+    """Round 8 (verdict missing #3): ASOF nearest-FOLLOWING (`l.ts <=
+    r.ts` / `<`) flips the union+window sort DESC; all four directions
+    give exact matches."""
+    spark.createDataFrame(
+        [(1, i) for i in (1, 2, 3, 4, 5)], "k int, ts int"
+    ).createOrReplaceTempView("asof_l")
+    spark.createDataFrame(
+        [(1, 2, "a"), (1, 4, "b")], "k int, ts int, v string"
+    ).createOrReplaceTempView("asof_r")
+    expect = {
+        ">=": [(1, None), (2, "a"), (3, "a"), (4, "b"), (5, "b")],
+        ">": [(1, None), (2, None), (3, "a"), (4, "a"), (5, "b")],
+        "<=": [(1, "a"), (2, "a"), (3, "b"), (4, "b"), (5, None)],
+        "<": [(1, "a"), (2, "b"), (3, "b"), (4, None), (5, None)],
+    }
+    for op, want in expect.items():
+        res = run_select_query(
+            spark,
+            "SELECT l.ts AS lts, r.v AS v FROM asof_l l ASOF LEFT JOIN"
+            f" asof_r r ON l.k = r.k AND l.ts {op} r.ts ORDER BY lts",
+            dialect="clickhouse",
+        )
+        assert [tuple(r) for r in res["rows"]] == want, op
+
+
+def test_round8_right_any_join(spark):
+    """Round 8 (verdict missing #5): RIGHT ANY JOIN dedups the LEFT FROM
+    unit deterministically and keeps every right row."""
+    spark.createDataFrame(
+        [(1, "x1"), (1, "x2"), (2, "y")], "k int, lv string"
+    ).createOrReplaceTempView("rany_l")
+    spark.createDataFrame(
+        [(1, "r1"), (3, "r3")], "k int, rv string"
+    ).createOrReplaceTempView("rany_r")
+    for q in [
+        "SELECT rany_r.k AS k, lv, rv FROM rany_l RIGHT ANY JOIN rany_r"
+        " ON rany_l.k = rany_r.k",
+        "SELECT rany_r.k AS k, lv, rv FROM rany_l ANY RIGHT JOIN rany_r"
+        " ON rany_l.k = rany_r.k",
+        "SELECT k, lv, rv FROM rany_l RIGHT ANY JOIN rany_r USING (k)",
+    ]:
+        res = run_select_query(spark, q, dialect="clickhouse")
+        assert sorted(map(tuple, res["rows"]), key=str) == [
+            (1, "x1", "r1"), (3, None, "r3")
+        ], q
+    with pytest.raises(ValueError, match="single left FROM unit"):
+        translate(
+            "SELECT 1 FROM a JOIN b ON a.k = b.k RIGHT ANY JOIN c ON b.k = c.k"
+        )
