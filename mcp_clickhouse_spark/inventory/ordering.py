@@ -1,43 +1,25 @@
 """Driver-facing registration order for the query inventory.
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
-registration order), rotating coverage round by round.  After round 6,
-all 162 then-registered queries had a driver row, 152/152 oracle-backed
+registration order), rotating coverage round by round.  After round 7,
+all 168 then-registered queries had a driver row, 158/158 oracle-backed
 ones green at least once, zero ever-failed-and-unfixed.
 
-Round 7 priority, summing to exactly 50 (r6 verdict next #6: lead with
-the queries last driver-checked in rounds 1-2 — the dialect/registry
-churned ~2,400 lines since):
+Round 8 priority, summing to exactly 50 (r7 verdict next #1: lead with
+everything last driver-checked in rounds 3-4 — the dialect/registry
+churned 3,178 lines since; plus the round-8 additions):
 
-- 3 brand-new round-7 queries, never driver-checked (sql_asof_join_star
-  — SELECT * helper hiding, verdict #2; sql_qualify_subquery — recursed
-  QUALIFY, verdict #4; shim_with_fill_interpolate_expr — the AS-expr
-  fold, verdict #5);
-- 5 queries whose translation path changed this round (sql_asof_join,
-  sql_any_join, sql_qualify — shared _skip_quoted scanner +
-  _COND_BOUNDARY QUALIFY stop; shim_with_fill_interpolate,
-  shim_with_fill — generated-rows-only interpolation in the operator);
-- all 23 queries last driver-checked in r1/r2 (agg_global, agg_stats,
-  agg_histogram, agg_approx_count_distinct, agg_quantile_approx,
-  behav_cohort_retention, behav_sequence_match, case_when,
-  constant_select, events_props_analytics, events_sliding_window,
-  filter_const_false, filter_ilike_regex, order_limit,
-  order_limit_offset, scalar_date_series, scalar_hash, scalar_math,
-  scalar_regex, select_columns_regex, shim_distinct,
-  source_generate_random, source_values_table);
-- 16 of the 30 queries last checked in r3, oldest-first with the
-  dialect-adjacent ones preferred (scalars/setops/windows/joins are
-  downstream of the scanner refactor);
-- 3 late round-7 additions, never driver-checked (sql_array_join_multi —
-  multi-column ARRAY JOIN via inline(arrays_zip); agg_weighted_quantile —
-  the quantileExactWeighted operator; behav_retention_sql — the verbatim
-  retention() SQL mapping).
+- 5 brand-new round-8 queries, never driver-checked (sql_star_apply —
+  `* APPLY` expansion, verdict missing #2; sql_asof_forward — ASOF
+  nearest-following, missing #3; sql_right_any_join — missing #5;
+  sql_array_join_bare — missing #4; scalar_datetime_tz — literal
+  timezone args, missing #6);
+- agg_weighted_quantile — its operator changed this round (all-NULL
+  groups now keep their row via a distinct+left-join, round-8 advisor);
+- ALL 44 queries last driver-checked in r3/r4 (the verdict's staleness
+  list, verbatim).
 
-Rolled to round 8 (the r3 remainder): pipe_embed_lsh_topk,
-pipe_minhash_lsh_verified, pipe_minhash_signatures, pipe_ngram_jaccard,
-pipe_quality_score, pipe_training_filter, join_right, q4_order_priority,
-q8_market_share, scalar_zip_sequence, scale_salted_agg,
-win_distribution, win_range_time_interval.
+After this round every registered query's last driver check is r5+.
 """
 
 from __future__ import annotations
@@ -46,62 +28,59 @@ from mcp_clickhouse_spark.inventory.registry import QUERIES
 
 # Exactly 50 names.
 PRIORITY: list[str] = [
-    # brand-new round-7 queries — never driver-checked
-    "sql_asof_join_star",
-    "sql_qualify_subquery",
-    "shim_with_fill_interpolate_expr",
-    # translation/operator path changed this round — re-verify first
-    "sql_asof_join",
-    "sql_any_join",
-    "sql_qualify",
-    "shim_with_fill_interpolate",
-    "shim_with_fill",
-    # last driver-checked in round 1 or 2 (23)
-    "agg_approx_count_distinct",
-    "agg_global",
-    "agg_histogram",
-    "agg_quantile_approx",
-    "agg_stats",
-    "behav_cohort_retention",
-    "behav_sequence_match",
-    "case_when",
-    "constant_select",
-    "events_props_analytics",
-    "events_sliding_window",
-    "filter_const_false",
-    "filter_ilike_regex",
-    "order_limit",
-    "order_limit_offset",
-    "scalar_date_series",
-    "scalar_hash",
-    "scalar_math",
-    "scalar_regex",
-    "select_columns_regex",
-    "shim_distinct",
-    "source_generate_random",
-    "source_values_table",
-    # r3-refresh pool, dialect-adjacent first (16)
-    "scalar_array",
-    "scalar_cast",
-    "scalar_datetime",
-    "scalar_null_handling",
-    "setop_except_all",
-    "setop_intersect_all",
-    "setop_union_by_name",
-    "win_ranking",
-    "win_value_functions",
-    "agg_collect",
-    "agg_group_by_all",
-    "agg_group_having",
-    "agg_multi_quantiles",
-    "array_join_explode",
-    "array_join_left_outer",
-    "events_latest_per_user",
-    # late round-7 additions, never checked — take the q2/q4/join_right
-    # slots (those roll to r8 with the r3 pool)
-    "sql_array_join_multi",
+    # brand-new round-8 queries — never driver-checked
+    "sql_star_apply",
+    "sql_asof_forward",
+    "sql_right_any_join",
+    "sql_array_join_bare",
+    "scalar_datetime_tz",
+    # operator changed this round
     "agg_weighted_quantile",
-    "behav_retention_sql",
+    # last driver-checked in round 3 or 4 (44 — the full stale pool)
+    "agg_conditional",
+    "agg_grouping_sets",
+    "agg_minmax_by",
+    "agg_quantiles_exact",
+    "agg_topk",
+    "agg_with_totals",
+    "behav_retention",
+    "behav_window_funnel",
+    "cte_multi",
+    "events_pivot",
+    "filter_predicates",
+    "join_anti",
+    "join_full_outer",
+    "join_right",
+    "join_semi",
+    "pipe_dedup_fingerprint",
+    "pipe_embed_ivf_topk",
+    "pipe_embed_label_centroids",
+    "pipe_embed_lsh_topk",
+    "pipe_lang_id",
+    "pipe_minhash_lsh_verified",
+    "pipe_minhash_signatures",
+    "pipe_multimodal_meta",
+    "pipe_ngram_jaccard",
+    "pipe_quality_score",
+    "pipe_simhash",
+    "pipe_token_count",
+    "pipe_training_filter",
+    "q12_priority_by_flag",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "sample_fraction",
+    "scalar_zip_sequence",
+    "scale_salted_agg",
+    "select_star_except",
+    "shim_distinct_on",
+    "source_numbers",
+    "subquery_correlated_exists",
+    "subquery_in",
+    "win_distribution",
+    "win_lag_lead",
+    "win_range_frame",
+    "win_range_time_interval",
 ]
 
 
