@@ -1644,6 +1644,128 @@ def _gen_or_null_zero() -> None:
 
 _gen_or_null_zero()
 
+
+def _window_funnel_expr(params: list[str], args: list[str]) -> str:
+    """CH ``windowFunnel(window)(ts, c1, …, cK)`` as ONE Spark aggregate
+    expression (round 8 — was a guided pointer): fold a time-sorted
+    ``collect_list`` greedily — anchor at the earliest c1 event, take each
+    next step's earliest occurrence strictly after the previous and within
+    ``window`` seconds of the anchor.  Exactly the semantics of
+    operators/funnel.window_funnel (whose DuckDB oracle proves them); the
+    per-group buffer is the same events-per-entity contract ClickHouse's
+    own implementation has.  Mode arguments (strict_order/strict_dedup/
+    strict_increase) raise guided errors."""
+    if len(params) != 1:
+        raise DialectError(
+            "windowFunnel modes (strict_order/strict_dedup/strict_increase)"
+            " are not supported — only windowFunnel(window)(ts, conds…)"
+        )
+    w_us = _int_literal(params[0], "windowFunnel window") * 1_000_000
+    ts, conds = args[0], args[1:]
+    if not conds:
+        raise DialectError("windowFunnel needs at least one step condition")
+    k = len(conds)
+    any_cond = " OR ".join(f"({c})" for c in conds)
+    ev = (
+        f"array_sort(collect_list(CASE WHEN ({any_cond})"
+        f" THEN named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
+        f" 'f', array({', '.join(conds)})) END))"
+    )
+    init = (
+        "named_struct('lvl', 0, 't1', CAST(NULL AS BIGINT),"
+        " 'tp', CAST(NULL AS BIGINT))"
+    )
+    step = (
+        "(acc, e) -> CASE"
+        " WHEN acc.lvl = 0 THEN IF(element_at(e.f, 1),"
+        " named_struct('lvl', 1, 't1', e.t, 'tp', e.t), acc)"
+        f" WHEN acc.lvl < {k} AND element_at(e.f, acc.lvl + 1)"
+        f" AND e.t > acc.tp AND e.t <= acc.t1 + {w_us}"
+        " THEN named_struct('lvl', acc.lvl + 1, 't1', acc.t1, 'tp', e.t)"
+        " ELSE acc END"
+    )
+    return f"aggregate({ev}, {init}, {step}, acc -> acc.lvl)"
+
+
+def _sequence_pattern_regex(pattern: str, k: int) -> str:
+    """CH sequence pattern → Java regex over the bitmask event encoding.
+
+    Each kept event encodes as ``<b1…bK>`` (bit i = condition i matched),
+    so ``(?N)`` → an event token with bit N set — value-faithful even when
+    one event matches several conditions.  ``.*`` spans whole events; time
+    constraints ``(?t op N)`` keep a guided error (they need custom
+    matching, operators/funnel.sequence_match)."""
+    pat = pattern.strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise DialectError("sequenceMatch pattern must be a string literal")
+    pat = pat[1:-1]
+    any_ev = f"<[01]{{{k}}}>"
+    out: list[str] = []
+    i = 0
+    while i < len(pat):
+        if pat[i] == "(":
+            m = re.match(r"\(\?(\d+)\)", pat[i:])
+            if not m:
+                if pat[i : i + 3] == "(?t":
+                    raise DialectError(
+                        "sequenceMatch time constraints ((?t op N)) are not"
+                        " supported — use operators/funnel.sequence_match"
+                    )
+                raise DialectError(
+                    f"sequenceMatch: unsupported pattern atom at {pat[i:]!r}"
+                )
+            n = int(m.group(1))
+            if not 1 <= n <= k:
+                raise DialectError(
+                    f"sequenceMatch pattern references condition {n} but"
+                    f" only {k} conditions were given"
+                )
+            out.append(f"<[01]{{{n - 1}}}1[01]{{{k - n}}}>")
+            i += m.end()
+        elif pat[i : i + 2] == ".*":
+            out.append(f"(?:{any_ev})*")
+            i += 2
+        elif pat[i] == ".":
+            out.append(any_ev)
+            i += 1
+        else:
+            raise DialectError(
+                f"sequenceMatch: unsupported pattern character {pat[i]!r}"
+            )
+    return "".join(out)
+
+
+def _sequence_events_expr(ts: str, conds: list[str]) -> str:
+    """Time-sorted per-group event string for sequenceMatch/Count: events
+    matching no condition are skipped (the CH contract) and each kept
+    event encodes its full condition bitmask."""
+    enc = ", ".join(f"IF({c}, '1', '0')" for c in conds)
+    any_cond = " OR ".join(f"({c})" for c in conds)
+    return (
+        f"concat_ws('', transform(array_sort(collect_list("
+        f"CASE WHEN ({any_cond}) THEN"
+        f" named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
+        f" 's', concat('<', {enc}, '>')) END)), e -> e.s))"
+    )
+
+
+def _sequence_match_expr(params: list[str], args: list[str], count: bool) -> str:
+    """CH ``sequenceMatch/sequenceCount(pattern)(ts, c1, …)`` as ONE Spark
+    aggregate expression (round 8 — was a guided pointer).  Match is
+    unanchored (CH contract); sequenceCount counts non-overlapping
+    left-to-right chains, exactly ``regexp_count``."""
+    if len(params) != 1:
+        raise DialectError("sequenceMatch takes exactly one pattern parameter")
+    ts, conds = args[0], args[1:]
+    if not conds:
+        raise DialectError("sequenceMatch needs at least one condition")
+    rx = _sequence_pattern_regex(params[0], len(conds))
+    ev = _sequence_events_expr(ts, conds)
+    if count:
+        return f"regexp_count({ev}, '{rx}')"
+    return f"IF(regexp_like({ev}, '{rx}'), 1, 0)"
+
+
 # Parametric aggregates: name(params)(args) → Spark SQL.
 PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
@@ -1695,11 +1817,7 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # behavioral parametric aggregates: real implementations exist as
     # DataFrame operators; SQL-text forms raise a guided pointer rather
     # than an unresolved-function error (faithful-or-error)
-    "windowfunnel": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "windowfunnel()() cannot be expressed as one Spark SQL expression — use "
-        "mcp_clickhouse_spark.operators.funnel.window_funnel (DataFrame API), which "
-        "implements the same semantics"
-    )),
+    "windowfunnel": _window_funnel_expr,
     # retention(c1, …) is a PLAIN aggregate in CH (no parameter list);
     # the double-call form stays an error, the plain form maps in
     # TEMPLATES (round 7 — it IS one expression: r1 = ∃row c1,
@@ -1707,16 +1825,8 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "retention": lambda p, a: (_ for _ in ()).throw(DialectError(
         "retention takes no parameter list — write retention(cond1, …)"
     )),
-    "sequencematch": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "sequencematch()() cannot be expressed as one Spark SQL expression — use "
-        "mcp_clickhouse_spark.operators.funnel.sequence_match (DataFrame API), which "
-        "implements the same semantics"
-    )),
-    "sequencecount": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "sequencecount()() cannot be expressed as one Spark SQL expression — use "
-        "mcp_clickhouse_spark.operators.funnel.sequence_match (DataFrame API), which "
-        "implements the same semantics"
-    )),
+    "sequencematch": lambda p, a: _sequence_match_expr(p, a, count=False),
+    "sequencecount": lambda p, a: _sequence_match_expr(p, a, count=True),
 }
 
 

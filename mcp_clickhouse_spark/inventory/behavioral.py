@@ -185,3 +185,97 @@ def behav_retention_sql(spark, sf_dir):
 
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_SQL_RETENTION_CH))
+
+
+_SQL_FUNNEL_CH = """
+SELECT user_id,
+       windowFunnel(86400)(ts, event_type = 'signup', event_type = 'click',
+                           event_type = 'purchase') AS funnel_level,
+       sequenceMatch('(?1).*(?3)')(ts, event_type = 'signup',
+                                   event_type = 'click',
+                                   event_type = 'purchase') AS sm,
+       sequenceCount('(?1)(?2)')(ts, event_type = 'signup',
+                                 event_type = 'click') AS sc
+FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "behav_funnel_sql",
+    oracle="""
+    WITH base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
+      FROM events
+    ),
+    s1 AS (
+      SELECT user_id, MIN(t) FILTER (WHERE event_type = 'signup') AS t1
+      FROM base GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT b.user_id, MIN(b.t) AS t2
+      FROM base b JOIN s1 USING (user_id)
+      WHERE b.event_type = 'click' AND s1.t1 IS NOT NULL
+        AND b.t > s1.t1 AND b.t <= s1.t1 + 86400000000::BIGINT
+      GROUP BY b.user_id
+    ),
+    s3 AS (
+      SELECT b.user_id, MIN(b.t) AS t3
+      FROM base b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
+      WHERE b.event_type = 'purchase' AND s2.t2 IS NOT NULL
+        AND b.t > s2.t2 AND b.t <= s1.t1 + 86400000000::BIGINT
+      GROUP BY b.user_id
+    ),
+    enc AS (
+      SELECT user_id,
+             string_agg(
+               '<' || CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END
+                   || CASE WHEN event_type = 'click' THEN '1' ELSE '0' END
+                   || CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END
+                   || '>',
+               '' ORDER BY t,
+               CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END
+                 || CASE WHEN event_type = 'click' THEN '1' ELSE '0' END
+                 || CASE WHEN event_type = 'purchase' THEN '1' ELSE '0' END
+             ) AS s,
+             string_agg(
+               CASE WHEN event_type IN ('signup', 'click')
+                 THEN '<' || CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END
+                          || CASE WHEN event_type = 'click' THEN '1' ELSE '0' END
+                          || '>' END,
+               '' ORDER BY t,
+               CASE WHEN event_type = 'signup' THEN '1' ELSE '0' END
+                 || CASE WHEN event_type = 'click' THEN '1' ELSE '0' END
+             ) AS s2
+      FROM base
+      WHERE event_type IN ('signup', 'click', 'purchase')
+      GROUP BY user_id
+    )
+    SELECT s1.user_id,
+           CASE WHEN s3.t3 IS NOT NULL THEN 3
+                WHEN s2.t2 IS NOT NULL THEN 2
+                WHEN s1.t1 IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level,
+           CASE WHEN regexp_matches(coalesce(enc.s, ''),
+                '<1[01][01]>(?:<[01]{3}>)*<[01][01]1>') THEN 1 ELSE 0 END AS sm,
+           CAST(coalesce(len(regexp_extract_all(coalesce(enc.s2, ''),
+                '<1[01]><[01]1>')), 0) AS INTEGER) AS sc
+    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+             LEFT JOIN enc ON enc.user_id = s1.user_id
+    """,
+    category="behavioral",
+)
+def behav_funnel_sql(spark, sf_dir):
+    """Verbatim ``windowFunnel(w)(…)`` / ``sequenceMatch('(?1).*(?3)')(…)``
+    / ``sequenceCount`` SQL text (round 8 — the guided pointers became
+    single-expression translations): windowFunnel folds a time-sorted
+    collect_list greedily (earliest anchor, earliest next step within the
+    window — operators/funnel.window_funnel semantics); sequenceMatch
+    encodes each kept event as a condition BITMASK token and compiles the
+    CH pattern to a Java regex over that string, so one event matching
+    several conditions stays faithful.  Oracle: the funnel CTE chain from
+    behav_window_funnel plus the same bitmask encoding via string_agg +
+    RE2 in DuckDB."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_SQL_FUNNEL_CH))

@@ -9,17 +9,22 @@ Round 8 priority, summing to exactly 50 (r7 verdict next #1: lead with
 everything last driver-checked in rounds 3-4 — the dialect/registry
 churned 3,178 lines since; plus the round-8 additions):
 
-- 5 brand-new round-8 queries, never driver-checked (sql_star_apply —
+- 6 brand-new round-8 queries, never driver-checked (sql_star_apply —
   `* APPLY` expansion, verdict missing #2; sql_asof_forward — ASOF
   nearest-following, missing #3; sql_right_any_join — missing #5;
   sql_array_join_bare — missing #4; scalar_datetime_tz — literal
-  timezone args, missing #6);
+  timezone args, missing #6; behav_funnel_sql — windowFunnel/
+  sequenceMatch/sequenceCount SQL-text translations);
 - agg_weighted_quantile — its operator changed this round (all-NULL
   groups now keep their row via a distinct+left-join, round-8 advisor);
-- ALL 44 queries last driver-checked in r3/r4 (the verdict's staleness
-  list, verbatim).
+- 43 of the 44 queries last driver-checked in r3/r4 (the verdict's
+  staleness list).  win_range_time_interval is the one deliberately at
+  position 51: its interval-RANGE frame shares the window-frame rewrite
+  path with win_range_frame (slot 49) and it re-passed check_parity at
+  sf0.01 this round; it leads the r9 rotation.
 
-After this round every registered query's last driver check is r5+.
+After this round every registered query's last driver check is r5+
+except win_range_time_interval (parity-gate-verified locally).
 """
 
 from __future__ import annotations
@@ -34,6 +39,7 @@ PRIORITY: list[str] = [
     "sql_right_any_join",
     "sql_array_join_bare",
     "scalar_datetime_tz",
+    "behav_funnel_sql",
     # operator changed this round
     "agg_weighted_quantile",
     # last driver-checked in round 3 or 4 (44 — the full stale pool)
@@ -80,6 +86,7 @@ PRIORITY: list[str] = [
     "win_distribution",
     "win_lag_lead",
     "win_range_frame",
+    # position 51 — first out of this round's 50, leads r9 (see docstring)
     "win_range_time_interval",
 ]
 

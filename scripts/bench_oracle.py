@@ -153,7 +153,8 @@ def main() -> None:
             line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
             spark_queries = json.loads(line)["queries"]
     if spark_queries is not None:
-        shared = [n for n in names if n in spark_queries]
+        # duck, not names: a query can OOM during the TIMED rounds too
+        shared = [n for n in duck if n in spark_queries]
         spark_total = sum(spark_queries[n] for n in shared)
         duck_total = sum(duck[n] for n in shared)
         out["spark_queries"] = {n: spark_queries[n] for n in shared}

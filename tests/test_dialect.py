@@ -887,16 +887,91 @@ def test_plain_form_parametric_aggregates(spark):
     assert row[0] > 0
 
 
-def test_behavioral_parametric_raise_guided_errors():
+_FUNNEL_EVENTS = """
+SELECT * FROM VALUES
+  (1, TIMESTAMP '2024-01-01 00:00:00', 'a'),
+  (1, TIMESTAMP '2024-01-01 00:10:00', 'b'),
+  (1, TIMESTAMP '2024-01-01 00:20:00', 'c'),
+  (2, TIMESTAMP '2024-01-01 00:00:00', 'a'),
+  (2, TIMESTAMP '2024-01-01 02:00:00', 'b'),
+  (3, TIMESTAMP '2024-01-01 00:00:00', 'b'),
+  (3, TIMESTAMP '2024-01-01 00:05:00', 'a'),
+  (3, TIMESTAMP '2024-01-01 00:06:00', 'b'),
+  (4, TIMESTAMP '2024-01-01 00:00:00', 'x')
+  AS ev(u, ts, e)
+"""
+
+
+def test_window_funnel_sql_translates(spark):
+    # round 8: windowFunnel(w)(ts, c1..cK) is ONE aggregate expression.
+    # u1: a→b→c inside 3600s ⇒ 3.  u2: b lands 2h after a ⇒ 1 (window).
+    # u3: early 'b' ignored (anchor = earliest 'a'), later 'b' counts ⇒ 2.
+    # u4: no step-1 event ⇒ 0.
+    rows = spark.sql(
+        translate(
+            f"SELECT u, windowFunnel(3600)(ts, e = 'a', e = 'b', e = 'c')"
+            f" AS lvl FROM ({_FUNNEL_EVENTS}) GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.lvl) for r in rows] == [(1, 3), (2, 1), (3, 2), (4, 0)]
+
+
+def test_sequence_match_count_sql_translate(spark):
+    # sequenceMatch is unanchored; events matching NO condition are skipped
+    # (u4's 'x' row vanishes ⇒ empty string, no match). sequenceCount
+    # counts non-overlapping left-to-right chains: u3 has b,a,b ⇒ one
+    # (?1)(?2) chain; u1 has a,b ⇒ one.
+    rows = spark.sql(
+        translate(
+            f"SELECT u,"
+            f" sequenceMatch('(?1).*(?2)')(ts, e = 'a', e = 'b') AS sm,"
+            f" sequenceCount('(?1)(?2)')(ts, e = 'a', e = 'b') AS sc"
+            f" FROM ({_FUNNEL_EVENTS}) GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.sm, r.sc) for r in rows] == [
+        (1, 1, 1),
+        (2, 1, 1),
+        (3, 1, 1),
+        (4, 0, 0),
+    ]
+
+
+def test_sequence_match_bitmask_overlapping_conditions(spark):
+    # one event can satisfy BOTH conditions — the bitmask token encoding
+    # keeps it faithful ((?1) and (?2) both hit the same event)
+    rows = spark.sql(
+        translate(
+            "SELECT sequenceMatch('(?1)(?2)')(ts, e IN ('a','b'), e = 'b')"
+            " AS sm FROM (SELECT * FROM VALUES"
+            " (TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (TIMESTAMP '2024-01-01 00:01:00', 'b') AS t(ts, e))"
+        )
+    ).collect()
+    assert rows[0].sm == 1
+    # '.' = exactly one kept event between the anchors
+    rows = spark.sql(
+        translate(
+            "SELECT sequenceCount('(?1).(?2)')(ts, e = 'a', e = 'b')"
+            " AS sc FROM (SELECT * FROM VALUES"
+            " (TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (TIMESTAMP '2024-01-01 00:01:00', 'a'),"
+            " (TIMESTAMP '2024-01-01 00:02:00', 'b') AS t(ts, e))"
+        )
+    ).collect()
+    assert rows[0].sc == 1
+
+
+def test_behavioral_parametric_guided_remainder():
     import pytest as _pytest
 
-    # retention() now TRANSLATES (round 7) — only the stateful two remain
-    for q in (
-        "SELECT windowFunnel(3600)(ts, a, b) FROM t",
-        "SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t",
-    ):
-        with _pytest.raises(ValueError, match="operators"):
-            translate(q)
+    from mcp_clickhouse_spark.dialect import DialectError
+
+    # modes and time-constraints stay guided errors
+    with _pytest.raises(DialectError, match="strict"):
+        translate("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t")
+    with _pytest.raises(DialectError, match="time constraint"):
+        translate("SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t")
 
 
 def test_weighted_and_moment_aggregates(spark):
