@@ -716,6 +716,97 @@ def _typed_avg_fold(arr: str) -> str:
     )
 
 
+def _map_agg_expr(a: list[str], how: str) -> str:
+    """CH ``sumMap/minMap/maxMap(keys, values)`` as ONE aggregate
+    expression (round 8 — these were unresolved-function errors; the
+    DataFrame operator operators/map_agg.py remains the scale path).
+    Returns the CH tuple-of-arrays shape as a ``_1``/``_2`` struct
+    (sorted distinct keys, per-key aggregated values); NULL keys/values
+    are skipped like every CH aggregate input.
+
+    Per group this is O(pairs·distinct_keys) lambda work — bounded by the
+    key domain; for huge key domains use the operator (one explode + two
+    hash aggregations with map-side partial combine)."""
+    if len(a) != 2:
+        raise DialectError(f"{how}Map takes (key_array, value_array)")
+    pairs = (
+        f"filter(flatten(collect_list(zip_with({a[0]}, {a[1]},"
+        f" (__mk, __mv) -> named_struct('k', __mk, 'v', __mv)))),"
+        f" __mp -> __mp.k IS NOT NULL AND __mp.v IS NOT NULL)"
+    )
+    keys = f"array_sort(array_distinct(transform({pairs}, __mq -> __mq.k)))"
+    vs = f"transform(filter({pairs}, __mr -> __mr.k = __mg), __ms -> __ms.v)"
+    if how == "min":
+        per = f"array_min({vs})"
+    elif how == "max":
+        per = f"array_max({vs})"
+    else:
+        # sort before folding: float sums become order-independent run to
+        # run (collect_list order is partition-dependent)
+        per = _typed_sum_fold(f"array_sort({vs})")
+    return f"named_struct('_1', {keys}, '_2', transform({keys}, __mg -> {per}))"
+
+
+def _entropy_expr(a: list[str]) -> str:
+    """CH ``entropy(x)``: Shannon entropy (log2) of the value distribution
+    as one expression over a collected value list (round 8 — was a guided
+    error).  NULLs are skipped (collect_list drops them — CH aggregate
+    NULL semantics).  The accumulator SUBTRACTS p·log2(p) directly, so
+    empty / single-valued groups yield +0.0 rather than IEEE -0.0 (which
+    would hash-differ from the oracle).  O(n·distinct) lambda work per
+    group — the same per-group cardinality contract CH's hash table has."""
+    vals = f"collect_list({a[0]})"
+    # entropy depends only on the MULTISET of per-value counts — sorting
+    # them fixes the float fold order, so results are identical run to run
+    # regardless of partition-dependent collect_list order
+    counts = (
+        f"array_sort(transform(array_distinct({vals}),"
+        f" __ed -> size(filter({vals}, __ee -> __ee = __ed))))"
+    )
+    p = f"(CAST(__ec AS DOUBLE) / size({vals}))"
+    return (
+        f"aggregate({counts}, CAST(0 AS DOUBLE),"
+        f" (__ea, __ec) -> __ea - {p} * log2({p}))"
+    )
+
+
+def _max_intersections_expr(a: list[str], position: bool) -> str:
+    """CH ``maxIntersections[Position](start, end)``: sweep-line over
+    (start,+1)/(end,-1) events as one aggregate expression (round 8 — was
+    a guided error).  ``array_sort`` on the (point, delta) structs orders
+    an END before a START at the same point (-1 < 1): half-open
+    intervals, matching ClickHouse's (position, weight) pair sort.
+    Position = the start point at which the running count FIRST reaches
+    its maximum.  Rows with a NULL endpoint contribute nothing (the
+    ``slice(…, 1, 0)`` arm keeps the empty array typed — an untyped
+    ``array()`` would not unify with the struct branch)."""
+    if len(a) != 2:
+        raise DialectError("maxIntersections takes (start, end)")
+    ev = (
+        f"array_sort(flatten(collect_list(slice(array("
+        f"named_struct('p', {a[0]}, 'd', 1),"
+        f" named_struct('p', {a[1]}, 'd', -1)), 1,"
+        f" IF(({a[0]}) IS NULL OR ({a[1]}) IS NULL, 0, 2)))))"
+    )
+    if not position:
+        return (
+            f"aggregate({ev}, named_struct('c', 0, 'm', 0),"
+            f" (__ia, __ie) -> named_struct('c', __ia.c + __ie.d,"
+            f" 'm', GREATEST(__ia.m, __ia.c + __ie.d)),"
+            f" __iz -> CAST(__iz.m AS BIGINT))"
+        )
+    return (
+        f"aggregate({ev}, named_struct('c', 0, 'm', 0,"
+        f" 'pos', try_element_at({ev}, 1).p),"
+        f" (__ia, __ie) -> IF(__ia.c + __ie.d > __ia.m,"
+        f" named_struct('c', __ia.c + __ie.d, 'm', __ia.c + __ie.d,"
+        f" 'pos', __ie.p),"
+        f" named_struct('c', __ia.c + __ie.d, 'm', __ia.m,"
+        f" 'pos', __ia.pos)),"
+        f" __iz -> __iz.pos)"
+    )
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH count() with no argument == count(*)
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
@@ -1530,15 +1621,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "deltaSumTimestamp: use sum(GREATEST(x - lag(x) OVER "
         "(ORDER BY ts), 0)) — the window form is deterministic"
     )),
-    "maxintersections": lambda a: (_ for _ in ()).throw(DialectError(
-        "maxIntersections needs an explode + running-sum plan: unpivot "
-        "(start,+1),(end,-1) events and take max(sum(flag) OVER "
-        "(ORDER BY point))"
-    )),
-    "entropy": lambda a: (_ for _ in ()).throw(DialectError(
-        "entropy needs a two-level aggregate: GROUP BY the value to get "
-        "counts, then -SUM(p*LOG2(p)) over the counts"
-    )),
+    # round 8: maxIntersections / entropy / the Map aggregates translate
+    # to single aggregate expressions (helpers above TEMPLATES)
+    "maxintersections": lambda a: _max_intersections_expr(a, position=False),
+    "maxintersectionsposition": lambda a: _max_intersections_expr(a, position=True),
+    "entropy": _entropy_expr,
+    "summap": lambda a: _map_agg_expr(a, "sum"),
+    "minmap": lambda a: _map_agg_expr(a, "min"),
+    "maxmap": lambda a: _map_agg_expr(a, "max"),
     "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",
     "avgif": lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)",
     "minif": lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)",

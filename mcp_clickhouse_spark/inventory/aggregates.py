@@ -445,3 +445,123 @@ def agg_weighted_quantile(spark, sf_dir):
         li, "l_extendedprice", F.col("l_quantity").cast("bigint"),
         0.5, by=["l_returnflag"],
     )
+
+
+_SQL_MAP_ENTROPY_CH = """
+SELECT l_returnflag AS rf,
+       arrayStringConcat(tupleElement(sumMap(array(l_linestatus, 'ALL'),
+           array(toInt64(l_quantity), toInt64(l_quantity))), 1), ',')
+         AS sm_keys,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(sumMap(array(l_linestatus, 'ALL'),
+               array(toInt64(l_quantity), toInt64(l_quantity))), 2)), ',')
+         AS sm_vals,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(minMap(array(l_linestatus),
+               array(toInt64(l_quantity))), 2)), ',') AS mn_vals,
+       arrayStringConcat(arrayMap(v -> toString(v),
+           tupleElement(maxMap(array(l_linestatus),
+               array(toInt64(l_quantity))), 2)), ',') AS mx_vals,
+       round(entropy(l_quantity), 9) AS ent
+FROM lineitem GROUP BY l_returnflag ORDER BY rf
+"""
+
+
+@query(
+    "agg_map_entropy",
+    oracle="""
+    WITH kv AS (
+      SELECT l_returnflag AS rf, u.k AS k,
+             SUM(CAST(l_quantity AS BIGINT)) AS sv,
+             MIN(CAST(l_quantity AS BIGINT)) AS mnv,
+             MAX(CAST(l_quantity AS BIGINT)) AS mxv
+      FROM lineitem, UNNEST([l_linestatus, 'ALL']) AS u(k)
+      GROUP BY rf, k
+    ),
+    maps AS (
+      SELECT rf,
+             string_agg(k, ',' ORDER BY k) AS sm_keys,
+             string_agg(CAST(sv AS VARCHAR), ',' ORDER BY k) AS sm_vals,
+             string_agg(CAST(mnv AS VARCHAR), ',' ORDER BY k)
+               FILTER (WHERE k <> 'ALL') AS mn_vals,
+             string_agg(CAST(mxv AS VARCHAR), ',' ORDER BY k)
+               FILTER (WHERE k <> 'ALL') AS mx_vals
+      FROM kv GROUP BY rf
+    ),
+    ecounts AS (
+      SELECT l_returnflag AS rf, COUNT(*) AS c
+      FROM lineitem GROUP BY rf, l_quantity
+    ),
+    ent AS (
+      SELECT rf, ROUND(0.0 - SUM((c / n) * LOG2(c / n)), 9) AS ent
+      FROM (SELECT rf, c, SUM(c) OVER (PARTITION BY rf) AS n FROM ecounts)
+      GROUP BY rf
+    )
+    SELECT maps.rf AS rf, sm_keys, sm_vals, mn_vals, mx_vals, ent
+    FROM maps JOIN ent ON ent.rf = maps.rf
+    ORDER BY rf
+    """,
+    category="aggregates",
+)
+def agg_map_entropy(spark, sf_dir):
+    """ClickHouse sumMap/minMap/maxMap + entropy as verbatim SQL text
+    (round 8 — all four were unresolved-function errors before): the Map
+    aggregates return the CH tuple-of-arrays shape (sorted distinct keys,
+    per-key aggregated values) built by one expression over a collected
+    pair list; entropy is the Shannon entropy of the value distribution
+    with a sorted-count fold so the float sum is order-stable.  BIGINT
+    map values keep the sums binary-exact cross-engine; entropy rounds to
+    9 decimals on both sides (the fold orders differ between engines).
+    Oracle: UNNEST + per-key aggregation + ordered list(), and the
+    definitional -SUM(p*log2 p) over per-value counts."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_MAP_ENTROPY_CH))
+
+
+_SQL_MAX_INTERSECTIONS_CH = """
+SELECT o_orderpriority AS pri,
+       maxIntersections(o_orderdate, o_orderdate + INTERVAL 30 DAY) AS mi,
+       maxIntersectionsPosition(o_orderdate, o_orderdate + INTERVAL 30 DAY)
+         AS mip
+FROM orders GROUP BY o_orderpriority ORDER BY pri
+"""
+
+
+@query(
+    "agg_max_intersections",
+    oracle="""
+    WITH ev AS (
+      SELECT o_orderpriority AS pri, o_orderdate AS p, 1 AS d FROM orders
+      UNION ALL
+      SELECT o_orderpriority, o_orderdate + INTERVAL 30 DAY, -1 FROM orders
+    ),
+    run AS (
+      SELECT pri, p, d,
+             SUM(d) OVER (PARTITION BY pri ORDER BY p, d
+                          ROWS UNBOUNDED PRECEDING) AS c
+      FROM ev
+    ),
+    mx AS (SELECT pri, CAST(MAX(c) AS BIGINT) AS mi FROM run GROUP BY pri)
+    SELECT mx.pri AS pri, mx.mi AS mi, MIN(run.p) AS mip
+    FROM mx JOIN run ON run.pri = mx.pri AND run.c = mx.mi
+    GROUP BY mx.pri, mx.mi
+    ORDER BY pri
+    """,
+    category="aggregates",
+)
+def agg_max_intersections(spark, sf_dir):
+    """ClickHouse maxIntersections / maxIntersectionsPosition as verbatim
+    SQL text (round 8): how many 30-day order windows overlap at one
+    point, per priority, and the start date where that maximum is first
+    reached.  One aggregate expression: sweep-line fold over sorted
+    (point, ±1) structs — an END sorts before a START at the same point
+    (-1 < 1), ClickHouse's half-open pair sort.  Oracle: the same sweep
+    as a running-sum window; every row where the running count equals the
+    max is a START event (the count only reaches its max by increasing),
+    so MIN(p) over them is exactly the first-attainment position."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_MAX_INTERSECTIONS_CH))

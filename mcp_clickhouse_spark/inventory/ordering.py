@@ -88,6 +88,11 @@ PRIORITY: list[str] = [
     "win_range_frame",
     # position 51 — first out of this round's 50, leads r9 (see docstring)
     "win_range_time_interval",
+    # positions 52-53 — added after the round-8 rotation was frozen at 50
+    # (sumMap/entropy + maxIntersections SQL text); parity-gate-verified
+    # locally this round, driver-checked in r9
+    "agg_map_entropy",
+    "agg_max_intersections",
 ]
 
 

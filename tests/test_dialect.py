@@ -2146,3 +2146,44 @@ def test_round8_right_any_join(spark):
         translate(
             "SELECT 1 FROM a JOIN b ON a.k = b.k RIGHT ANY JOIN c ON b.k = c.k"
         )
+
+
+def test_map_aggregates_sql(spark):
+    # round 8: sumMap/minMap/maxMap translate to one expression returning
+    # the CH tuple-of-arrays shape (_1 sorted keys, _2 per-key values)
+    row = one(
+        spark,
+        "SELECT sumMap(k, v) AS sm, minMap(k, v) AS mn, maxMap(k, v) AS mx"
+        " FROM (SELECT array('b', 'a') AS k, array(1, 10) AS v"
+        " UNION ALL SELECT array('a', 'c'), array(5, 7)"
+        " UNION ALL SELECT array('a'), array(CAST(NULL AS INT)))",
+    )
+    sm, mn, mx = list(row[0]), list(row[1]), list(row[2])
+    assert sm == [["a", "b", "c"], [15, 1, 7]]
+    assert mn[1] == [5, 1, 7]  # NULL-valued 'a' entry skipped
+    assert mx[1] == [10, 1, 7]
+
+
+def test_entropy_sql(spark):
+    # two equiprobable values -> exactly 1 bit; one value -> +0.0 (not -0.0)
+    row = one(
+        spark,
+        "SELECT entropy(x) AS e2, entropy(y) AS e1 FROM (SELECT 1 AS x, 7 AS y"
+        " UNION ALL SELECT 2, 7 UNION ALL SELECT 1, 7 UNION ALL SELECT 2, 7)",
+    )
+    assert row[0] == 1.0
+    assert repr(row[1]) == "0.0"
+
+
+def test_max_intersections_sql(spark):
+    # intervals [1,5],[2,6],[5,7]: an end sorts before a start at the same
+    # point (half-open), so the sweep peaks at 2 — first reached at p=2
+    row = one(
+        spark,
+        "SELECT maxIntersections(s, e) AS mi,"
+        " maxIntersectionsPosition(s, e) AS mip"
+        " FROM (SELECT 1 AS s, 5 AS e UNION ALL SELECT 2, 6"
+        " UNION ALL SELECT 5, 7"
+        " UNION ALL SELECT CAST(NULL AS INT), 9)",
+    )
+    assert (row[0], row[1]) == (2, 2)
