@@ -716,6 +716,103 @@ def _typed_avg_fold(arr: str) -> str:
     )
 
 
+def _foreach_expr(a: list[str], how: str) -> str:
+    """CH ``-ForEach`` combinator: element-wise aggregation across the
+    rows' ARRAY values — result length = the longest input (round 8; was
+    a guided error).  One fold over the collected arrays: ``zip_with``
+    pads the shorter side with NULL and ``coalesce(a ⊕ b, a, b)`` skips
+    those exactly like the scalar aggregates skip NULL rows, while
+    keeping the element type (no literal zero).  Groups with no arrays
+    return NULL (CH: empty array — wrap in ifnull(…, array()) if that
+    matters)."""
+    lst = f"collect_list({a[0]})"
+    rest = f"slice({lst}, 2, size({lst}) - 1)"
+    if how == "count":
+        init = (
+            f"transform(try_element_at({lst}, 1),"
+            f" __fe -> IF(__fe IS NOT NULL, 1L, 0L))"
+        )
+        return (
+            f"aggregate({rest}, {init}, (__fa, __fx) -> zip_with(__fa, __fx,"
+            f" (__fp, __fq) -> coalesce(__fp, 0L)"
+            f" + IF(__fq IS NOT NULL, 1L, 0L)))"
+        )
+    if how == "avg":
+        # element-wise sum / element-wise non-NULL count; NULL where the
+        # count is zero (CH: nan — documented ANSI delta, as avgIf)
+        return (
+            f"zip_with({_foreach_expr(a, 'sum')}, {_foreach_expr(a, 'count')},"
+            f" (__fs, __fc) -> CAST(__fs AS DOUBLE) / nullif(__fc, 0L))"
+        )
+    op = {
+        "sum": "__fp + __fq",
+        "min": "least(__fp, __fq)",
+        "max": "greatest(__fp, __fq)",
+    }[how]
+    init = f"try_element_at({lst}, 1)"
+    if how == "sum":
+        # widen integral elements to BIGINT in the accumulator (CH sums
+        # Int* into Int64); float elements keep their width — the same
+        # contract as arraySum's _fold_zero
+        init = f"transform({init}, __fw -> __fw + 0L)"
+    return (
+        f"aggregate({rest}, {init},"
+        f" (__fa, __fx) -> zip_with(__fa, __fx,"
+        f" (__fp, __fq) -> coalesce({op}, __fp, __fq)))"
+    )
+
+
+def _array_auc_expr(a: list[str]) -> str:
+    """CH ``arrayAUC(scores, labels)``: exact ROC AUC of one row's score /
+    label arrays (round 8; was a guided error).  The tie-aware pairwise
+    (Mann-Whitney) form — mean over positive×negative pairs of
+    1/0.5/0 — equals the trapezoidal area CH computes.  Labels > 0 are
+    positive (CH contract).  try_divide: rows with no positives or no
+    negatives return NULL where CH returns nan (same documented ANSI
+    delta as boundingRatio)."""
+    if len(a) != 2:
+        raise DialectError("arrayAUC takes (scores, labels)")
+    zipped = (
+        f"zip_with({a[0]}, {a[1]},"
+        f" (__as, __al) -> named_struct('s', __as, 'l', __al))"
+    )
+    pos = f"transform(filter({zipped}, __az -> __az.l > 0), __ap -> __ap.s)"
+    neg = f"transform(filter({zipped}, __az -> NOT (__az.l > 0)), __an -> __an.s)"
+    num = (
+        f"aggregate(flatten(transform({pos}, __ax -> transform({neg},"
+        f" __ay -> CASE WHEN __ax > __ay THEN 1.0D"
+        f" WHEN __ax = __ay THEN 0.5D ELSE 0.0D END))),"
+        f" CAST(0 AS DOUBLE), (__aa, __ab) -> __aa + __ab)"
+    )
+    return (
+        f"try_divide({num},"
+        f" CAST(size({pos}) AS DOUBLE) * size({neg}))"
+    )
+
+
+def _fss_expr(a: list[str], cut: bool) -> str:
+    """CH firstSignificantSubdomain / cutToFirstSignificantSubdomain,
+    implemented to the documented rule (ClickHouse URL-functions doc):
+    the first significant subdomain is the SECOND-level domain, unless
+    that second level is com/net/org/co — then it is the third level
+    (``news.clickhouse.com.tr`` → ``clickhouse``).  Hosts with fewer
+    than two labels (or non-URLs, where parse_url yields NULL) return
+    '' like CH.  try_element_at keeps malformed input NULL-safe."""
+    host = f"try_parse_url({a[0]}, 'HOST')"
+    parts = f"split({host}, '\\\\.')"
+    n = f"size({parts})"
+    idx = (
+        f"IF(try_element_at({parts}, {n} - 1)"
+        f" IN ('com', 'net', 'org', 'co') AND {n} >= 3, {n} - 2, {n} - 1)"
+    )
+    if cut:
+        return (
+            f"IF({n} >= 2, array_join(slice({parts}, {idx},"
+            f" {n} - ({idx}) + 1), '.'), '')"
+        )
+    return f"IF({n} >= 2, try_element_at({parts}, {idx}), '')"
+
+
 def _map_agg_expr(a: list[str], how: str) -> str:
     """CH ``sumMap/minMap/maxMap(keys, values)`` as ONE aggregate
     expression (round 8 — these were unresolved-function errors; the
@@ -1006,19 +1103,19 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # URL family (web-crawl pipelines): parse_url-based; deltas from CH are
     # handled explicitly (form-encoding '+' vs %20, fragment retention)
     "topleveldomain": lambda a: (
-        f"element_at(split(parse_url({a[0]}, 'HOST'), '\\\\.'), -1)"
+        f"element_at(split(try_parse_url({a[0]}, 'HOST'), '\\\\.'), -1)"
     ),
     "pathfull": lambda a: (
-        f"concat(parse_url({a[0]}, 'PATH'),"
-        f" CASE WHEN parse_url({a[0]}, 'QUERY') IS NOT NULL"
-        f" THEN concat('?', parse_url({a[0]}, 'QUERY')) ELSE '' END,"
-        f" CASE WHEN parse_url({a[0]}, 'REF') IS NOT NULL"
-        f" THEN concat('#', parse_url({a[0]}, 'REF')) ELSE '' END)"
+        f"concat(try_parse_url({a[0]}, 'PATH'),"
+        f" CASE WHEN try_parse_url({a[0]}, 'QUERY') IS NOT NULL"
+        f" THEN concat('?', try_parse_url({a[0]}, 'QUERY')) ELSE '' END,"
+        f" CASE WHEN try_parse_url({a[0]}, 'REF') IS NOT NULL"
+        f" THEN concat('#', try_parse_url({a[0]}, 'REF')) ELSE '' END)"
     ),
-    "fragment": lambda a: f"parse_url({a[0]}, 'REF')",
-    "extracturlparameter": lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})",
+    "fragment": lambda a: f"try_parse_url({a[0]}, 'REF')",
+    "extracturlparameter": lambda a: f"try_parse_url({a[0]}, 'QUERY', {a[1]})",
     "domainwithoutwww": lambda a: (
-        f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+        f"regexp_replace(try_parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
     ),
     # removes '?query' but keeps any '#fragment' (the CH contract)
     "cutquerystring": lambda a: f"regexp_replace({a[0]}, '\\\\?[^#]*', '')",
@@ -1368,13 +1465,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))))(_f)
         for _f in ("min", "max")
     },
-    # -ForEach (element-wise over array columns) needs a posexplode +
-    # regroup plan, not one expression — guided
+    # -ForEach (element-wise across the rows' arrays): one zip_with fold
+    # over the collected arrays (round 8 — was a guided error)
     **{
-        f"{_f}foreach": (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}ForEach aggregates element-wise across rows — posexplode "
-            "the arrays and GROUP BY the position, then collect_list back"
-        ))))(_f)
+        f"{_f}foreach": (lambda _n: (lambda a: _foreach_expr(a, _n)))(_f)
         for _f in ("sum", "avg", "min", "max", "count")
     },
     # ---- round-7 date/array/tuple breadth -----------------------------
@@ -1509,20 +1603,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "jsonextractarrayraw": _json_extract_array_raw,
     "jsontype": _json_type,
     # URL family
-    "extracturlparameters": lambda a: f"split(parse_url({a[0]}, 'QUERY'), '&')",
+    "extracturlparameters": lambda a: f"split(try_parse_url({a[0]}, 'QUERY'), '&')",
     "cutfragment": lambda a: f"regexp_replace({a[0]}, '#.*', '')",
     "netloc": lambda a: (
         f"regexp_extract({a[0]}, '^(?:[a-z]+:)?//([^/?#]*)', 1)"
     ),
-    "firstsignificantsubdomain": lambda a: (_ for _ in ()).throw(DialectError(
-        "firstSignificantSubdomain needs the public-suffix list, which "
-        "this engine does not ship — extract with parse_url(x, 'HOST') "
-        "and your own suffix table"
-    )),
-    "cuttofirstsignificantsubdomain": lambda a: (_ for _ in ()).throw(DialectError(
-        "cutToFirstSignificantSubdomain needs the public-suffix list — "
-        "parse_url(x, 'HOST') + your own suffix table"
-    )),
+    # round 8: the documented com/net/org/co second-level rule (helper
+    # above TEMPLATES) — no public-suffix list needed for the non-RFC
+    # variants CH documents
+    "firstsignificantsubdomain": lambda a: _fss_expr(a, cut=False),
+    "cuttofirstsignificantsubdomain": lambda a: _fss_expr(a, cut=True),
     "urlhierarchy": lambda a: (_ for _ in ()).throw(DialectError(
         "URLHierarchy: build prefixes with transform(sequence(...)) over "
         "the split path — not a single built-in here"
@@ -1560,11 +1650,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "bitrotateright": lambda a: (
         f"(shiftrightunsigned({a[0]}, {a[1]}) | shiftleft({a[0]}, 64 - ({a[1]})))"
     ),
-    "arrayauc": lambda a: (_ for _ in ()).throw(DialectError(
-        "arrayAUC needs a sort + running-sum plan, not one expression — "
-        "explode the (score, label) pairs and compute the ROC area with "
-        "window functions"
-    )),
+    # round 8: exact tie-aware pairwise AUC (helper above TEMPLATES)
+    "arrayauc": _array_auc_expr,
     "formatreadabletimedelta": lambda a: (_ for _ in ()).throw(DialectError(
         "formatReadableTimeDelta has no Spark twin — compose the string "
         "from intDiv(x, 3600)/intDiv(x % 3600, 60)/(x % 60)"
@@ -1661,10 +1748,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countarray": lambda a: (
         f"sum(cardinality(filter({a[0]}, x -> x IS NOT NULL)))"
     ),
-    "domain": lambda a: f"parse_url({a[0]}, 'HOST')",
-    "path": lambda a: f"parse_url({a[0]}, 'PATH')",
-    "protocol": lambda a: f"parse_url({a[0]}, 'PROTOCOL')",
-    "querystring": lambda a: f"parse_url({a[0]}, 'QUERY')",
+    "domain": lambda a: f"try_parse_url({a[0]}, 'HOST')",
+    "path": lambda a: f"try_parse_url({a[0]}, 'PATH')",
+    "protocol": lambda a: f"try_parse_url({a[0]}, 'PROTOCOL')",
+    "querystring": lambda a: f"try_parse_url({a[0]}, 'QUERY')",
     # CH arrayProduct returns Float64 — DOUBLE accumulator matches.
     "arrayproduct": lambda a: f"aggregate({a[0]}, CAST(1 AS DOUBLE), (s, x) -> s * x)",
     # 1-arg: distinct elements; multi-arg: distinct tuples across the arrays.

@@ -565,3 +565,47 @@ def agg_max_intersections(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_MAX_INTERSECTIONS_CH))
+
+
+_SQL_FOREACH_CH = """
+SELECT label,
+       round(arrayElement(sumForEach(
+         arrayMap(x -> toFloat64(x), embedding)), 1), 5) AS s1,
+       round(arrayElement(sumForEach(
+         arrayMap(x -> toFloat64(x), embedding)), 17), 5) AS s17,
+       arrayElement(minForEach(embedding), 32) AS mn32,
+       arrayElement(maxForEach(embedding), 1) AS mx1,
+       arrayElement(countForEach(embedding), 17) AS c17,
+       round(arrayElement(avgForEach(
+         arrayMap(x -> toFloat64(x), embedding)), 32), 5) AS av32
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+@query(
+    "agg_foreach",
+    oracle="""
+    SELECT label,
+           ROUND(SUM(CAST(embedding[1] AS DOUBLE)), 5) AS s1,
+           ROUND(SUM(CAST(embedding[17] AS DOUBLE)), 5) AS s17,
+           MIN(embedding[32]) AS mn32,
+           MAX(embedding[1]) AS mx1,
+           COUNT(embedding[17]) AS c17,
+           ROUND(AVG(CAST(embedding[32] AS DOUBLE)), 5) AS av32
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+    category="aggregates",
+)
+def agg_foreach(spark, sf_dir):
+    """The -ForEach combinator family as verbatim SQL text (round 8 —
+    was a guided error): element-wise sum/min/max/count/avg across the
+    rows' embedding arrays per label, realized as ONE zip_with fold over
+    the collected arrays.  Selected elements are projected out (the
+    driver canonicalizer takes scalars only); the float32 sums go
+    through toFloat64 first so both engines accumulate in double, then
+    round to 5 decimals (fold order differs).  min/max/count are exact.
+    Oracle: per-position aggregates via direct 1-based list indexing."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_SQL_FOREACH_CH))

@@ -88,11 +88,15 @@ PRIORITY: list[str] = [
     "win_range_frame",
     # position 51 — first out of this round's 50, leads r9 (see docstring)
     "win_range_time_interval",
-    # positions 52-53 — added after the round-8 rotation was frozen at 50
-    # (sumMap/entropy + maxIntersections SQL text); parity-gate-verified
-    # locally this round, driver-checked in r9
+    # positions 52+ — added after the round-8 rotation was frozen at 50
+    # (sumMap/entropy, maxIntersections, -ForEach, arrayAUC, and the
+    # firstSignificantSubdomain family); every one parity-gate-verified
+    # locally at sf0.001 AND sf0.01 this round, driver-checked in r9
     "agg_map_entropy",
     "agg_max_intersections",
+    "agg_foreach",
+    "scalar_array_auc",
+    "scalar_url_fss",
 ]
 
 

@@ -381,3 +381,81 @@ def scalar_map(spark, sf_dir):
         F.size(m2).alias("map_size"),
         _csv(F.sort_array(F.map_keys(m2))).alias("keys_sorted"),
     )
+
+
+_SQL_URL_FSS_CH = """
+SELECT doc_id,
+       firstSignificantSubdomain(
+         concat('https://news.', source, '.com.tr/p')) AS fss_listed,
+       firstSignificantSubdomain(
+         concat('https://www.', source, '.org/p')) AS fss_plain,
+       cutToFirstSignificantSubdomain(
+         concat('https://a.', source, '.co.uk/p')) AS cut_co
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+@query(
+    "scalar_url_fss",
+    oracle="""
+    SELECT doc_id,
+           source AS fss_listed,
+           source AS fss_plain,
+           source || '.co.uk' AS cut_co
+    FROM documents ORDER BY doc_id LIMIT 500
+    """,
+    category="scalars",
+)
+def scalar_url_fss(spark, sf_dir):
+    """firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    (round 8 — were public-suffix guided errors; CH's documented rule
+    needs only the com/net/org/co second-level list): URLs synthesized
+    from the dot-free `source` column so the oracle is ground truth by
+    construction — `news.{src}.com.tr` exercises the listed-second-level
+    branch (answer = third level), `www.{src}.org` the plain branch
+    (answer = second level), and the cut variant returns the suffix from
+    the first significant label on."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_SQL_URL_FSS_CH))
+
+
+_SQL_ARRAY_AUC_CH = """
+SELECT vec_id,
+       arrayAUC(embedding,
+                arrayMap(x -> x % 2, arrayEnumerate(embedding))) AS auc
+FROM embeddings ORDER BY vec_id LIMIT 1000
+"""
+
+
+@query(
+    "scalar_array_auc",
+    oracle="""
+    SELECT vec_id,
+           list_sum(flatten(list_transform(ps, sp -> list_transform(ns,
+             sn -> CASE WHEN sp > sn THEN 1.0
+                        WHEN sp = sn THEN 0.5 ELSE 0.0 END))))
+             / (len(ps) * len(ns)) AS auc
+    FROM (
+      SELECT vec_id,
+             [embedding[i] FOR i IN generate_series(1, len(embedding))
+              IF i % 2 = 1] AS ps,
+             [embedding[i] FOR i IN generate_series(1, len(embedding))
+              IF i % 2 = 0] AS ns
+      FROM embeddings)
+    ORDER BY vec_id LIMIT 1000
+    """,
+    category="scalars",
+)
+def scalar_array_auc(spark, sf_dir):
+    """arrayAUC (round 8 — was a guided error): exact tie-aware pairwise
+    ROC AUC of each row's embedding, with odd positions labeled positive
+    via arrayMap over arrayEnumerate.  The numerator sums only 1/0.5/0
+    (exact in double) and the denominator is 16×16, so the result is a
+    dyadic rational — binary-exact cross-engine, no rounding needed.
+    Oracle: the same pairwise construction with DuckDB list lambdas."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_SQL_ARRAY_AUC_CH))

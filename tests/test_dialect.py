@@ -1760,8 +1760,8 @@ def test_star_replace_modifier(spark):
 def test_aggregate_long_tail(spark, sf_dir):
     """Round-7: long-tail CH aggregates — anyHeavy→mode, boundingRatio,
     simpleLinearRegression, *Stable variants, timing/deterministic
-    quantiles; order-dependent ones (deltaSum, maxIntersections,
-    entropy) give guided errors instead of raw undefined-function."""
+    quantiles; deltaSum (block-order-dependent in CH itself) keeps a
+    guided error; maxIntersections/entropy translate as of round 8."""
     register_testdata(spark, sf_dir, ["orders"])
     row = one(
         spark,
@@ -1780,11 +1780,14 @@ def test_aggregate_long_tail(spark, sf_dir):
     # faithful math: k = covar_pop/var_pop on the same data
     import math
     assert math.isfinite(row[2]["k"]) and math.isfinite(row[2]["b"])
-    for bad, msg in [("deltaSum(o_orderkey)", "lag"),
-                     ("maxIntersections(o_orderkey, o_custkey)", "running-sum"),
-                     ("entropy(o_orderstatus)", "two-level")]:
-        with pytest.raises(ValueError, match=msg):
-            translate(f"SELECT {bad} FROM orders")
+    # deltaSum stays guided (block-order-dependent in CH itself);
+    # maxIntersections/entropy translate as of round 8 — exact values in
+    # test_max_intersections_sql / test_entropy_sql
+    with pytest.raises(ValueError, match="lag"):
+        translate("SELECT deltaSum(o_orderkey) FROM orders")
+    for ok in ("maxIntersections(o_orderkey, o_custkey)",
+               "entropy(o_orderstatus)"):
+        assert "aggregate(" in translate(f"SELECT {ok} FROM orders")
 
 
 def test_misc_breadth_round7(spark):
@@ -1879,15 +1882,19 @@ def test_json_url_family_round7(spark):
     assert (row[1], row[2], row[3]) == ("Array", "Double", "")
     assert row[4] == '"hi"' and row[5] == 7 and row[6] is False
     assert row[7] == ["a=1", "b=2"] and row[8] == "u:p@host:8080"
-    with pytest.raises(ValueError, match="public-suffix"):
-        translate("SELECT firstSignificantSubdomain(u) FROM t")
+    # round 8: firstSignificantSubdomain translates (documented
+    # com/net/org/co rule) — exact values in
+    # test_first_significant_subdomain_sql
+    assert "try_parse_url" in translate(
+        "SELECT firstSignificantSubdomain(u) FROM t"
+    )
 
 
 def test_explain_variants_and_ornull(spark, sf_dir):
     """Round-7: CH EXPLAIN kinds map to Spark modes (SYNTAX returns the
     translated SQL itself — what CH's EXPLAIN SYNTAX shows); the
     -OrNull/-OrDefault combinators map (Spark aggregates are already
-    NULL-on-empty); -ForEach keeps a guided error."""
+    NULL-on-empty); -ForEach translates as of round 8."""
     register_testdata(spark, sf_dir, ["nation"])
     syn = run_select_query(
         spark,
@@ -1914,8 +1921,9 @@ def test_explain_variants_and_ornull(spark, sf_dir):
     # min/maxOrDefault need the TYPE default — guided (review fix)
     with pytest.raises(ValueError, match="TYPE's default"):
         translate("SELECT maxOrDefault(x) FROM t")
-    with pytest.raises(ValueError, match="posexplode"):
-        translate("SELECT sumForEach(xs) FROM t")
+    # round 8: -ForEach translates now — exact values in
+    # test_foreach_combinators_sql
+    assert "zip_with" in translate("SELECT sumForEach(xs) FROM t")
     # EXPLAIN of a write statement is still rejected
     from mcp_clickhouse_spark.readonly import ReadOnlyViolation, check_read_only
     with pytest.raises(ReadOnlyViolation):
@@ -2187,3 +2195,53 @@ def test_max_intersections_sql(spark):
         " UNION ALL SELECT CAST(NULL AS INT), 9)",
     )
     assert (row[0], row[1]) == (2, 2)
+
+
+def test_foreach_combinators_sql(spark):
+    # round 8: -ForEach folds element-wise across the rows' arrays;
+    # result length = longest input, missing slots skipped like NULL rows
+    row = one(
+        spark,
+        "SELECT sumForEach(a) AS s, minForEach(a) AS mn, maxForEach(a) AS mx,"
+        " countForEach(a) AS c, avgForEach(a) AS av"
+        " FROM (SELECT array(1, 2) AS a UNION ALL SELECT array(3, 4, 5))",
+    )
+    assert row[0] == [4, 6, 5]
+    assert row[1] == [1, 2, 5]
+    assert row[2] == [3, 4, 5]
+    assert row[3] == [2, 2, 1]
+    assert row[4] == [2.0, 3.0, 5.0]
+
+
+def test_array_auc_sql(spark):
+    # the ClickHouse docs example: arrayAUC([0.1,0.4,0.35,0.8],[0,0,1,1])
+    # = 0.75; a tied pair contributes 0.5; no negatives -> NULL (CH: nan)
+    row = one(
+        spark,
+        "SELECT arrayAUC(array(0.1, 0.4, 0.35, 0.8), array(0, 0, 1, 1)) AS auc,"
+        " arrayAUC(array(1.0, 1.0), array(0, 1)) AS tied,"
+        " arrayAUC(array(1.0, 2.0), array(1, 1)) AS allpos",
+    )
+    assert row[0] == 0.75
+    assert row[1] == 0.5
+    assert row[2] is None
+
+
+def test_first_significant_subdomain_sql(spark):
+    # the documented rule: second-level domain unless it is
+    # com/net/org/co, then third level (CH URL-functions doc example)
+    row = one(
+        spark,
+        "SELECT firstSignificantSubdomain('https://news.clickhouse.com.tr/') AS a,"
+        " firstSignificantSubdomain('https://example.com/x') AS b,"
+        " firstSignificantSubdomain('https://a.b.co.uk/x') AS c,"
+        " cutToFirstSignificantSubdomain('https://news.clickhouse.com.tr/') AS d,"
+        " cutToFirstSignificantSubdomain('https://example.com/x') AS e,"
+        " firstSignificantSubdomain('not a url') AS f",
+    )
+    assert row[0] == "clickhouse"
+    assert row[1] == "example"
+    assert row[2] == "b"
+    assert row[3] == "clickhouse.com.tr"
+    assert row[4] == "example.com"
+    assert row[5] == ""
