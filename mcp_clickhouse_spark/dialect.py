@@ -716,6 +716,97 @@ def _typed_avg_fold(arr: str) -> str:
     )
 
 
+def _crosstab_pieces(a: list[str]) -> tuple[str, str, str, str, str]:
+    """Shared machinery for CH's cross-tab association aggregates
+    (cramersV / cramersVBiasCorrected / theilsU / contingency — one
+    family in CH too): collected (a, b) pairs with either-NULL rows
+    skipped, plus chi², n, r (distinct a), c (distinct b) as expression
+    strings.  O(n·cells) lambda work per group — bounded by the category
+    domain, the same contract CH's hash-table cross-tab has."""
+    if len(a) != 2:
+        raise DialectError("cross-tab statistics take exactly (col1, col2)")
+    pairs = (
+        f"collect_list(CASE WHEN ({a[0]}) IS NOT NULL"
+        f" AND ({a[1]}) IS NOT NULL"
+        f" THEN named_struct('a', {a[0]}, 'b', {a[1]}) END)"
+    )
+    n = f"size({pairs})"
+    dist_a = f"array_distinct(transform({pairs}, __cq -> __cq.a))"
+    dist_b = f"array_distinct(transform({pairs}, __cz -> __cz.b))"
+    # the FULL r×c cross product — zero cells still contribute (0−e)²/e
+    cells = (
+        f"flatten(transform({dist_a}, __ca -> transform({dist_b},"
+        f" __cb -> named_struct('a', __ca, 'b', __cb))))"
+    )
+    o = f"size(filter({pairs}, __cp -> __cp = __cc))"
+    ra = f"size(filter({pairs}, __cr -> __cr.a = __cc.a))"
+    cb = f"size(filter({pairs}, __cs -> __cs.b = __cc.b))"
+    e = f"(CAST({ra} AS DOUBLE) * {cb} / {n})"
+    chi2 = (
+        f"aggregate(transform({cells}, __cc -> power(({o}) - {e}, 2) / {e}),"
+        f" CAST(0 AS DOUBLE), (__cx, __cy) -> __cx + __cy)"
+    )
+    r = f"size({dist_a})"
+    c = f"size({dist_b})"
+    return pairs, chi2, n, r, c
+
+
+def _cramers_v_expr(a: list[str], corrected: bool) -> str:
+    """CH cramersV / cramersVBiasCorrected as one aggregate expression
+    (round 8 — were unresolved-function errors).  V = √(χ²/n / min(r−1,
+    c−1)); the corrected form is Bergsma's: φ² − (r−1)(c−1)/(n−1) clamped
+    at 0, with r,c shrunk the same way.  try_divide: a single-category
+    column (min dim 0) returns NULL where CH returns nan — the documented
+    ANSI delta used across this file."""
+    _, chi2, n, r, c = _crosstab_pieces(a)
+    if not corrected:
+        return (
+            f"sqrt(try_divide({chi2},"
+            f" CAST({n} AS DOUBLE) * least({r} - 1, {c} - 1)))"
+        )
+    phi2c = (
+        f"greatest(CAST(0 AS DOUBLE), {chi2} / {n}"
+        f" - CAST(({r} - 1) AS DOUBLE) * ({c} - 1) / ({n} - 1))"
+    )
+    rc = f"({r} - CAST(power({r} - 1, 2) AS DOUBLE) / ({n} - 1))"
+    cc = f"({c} - CAST(power({c} - 1, 2) AS DOUBLE) / ({n} - 1))"
+    return f"sqrt(try_divide({phi2c}, least({rc} - 1, {cc} - 1)))"
+
+
+def _theils_u_expr(a: list[str]) -> str:
+    """CH theilsU(a, b): the uncertainty coefficient U(a|b) =
+    (H(a) − H(a|b)) / H(a) with H(a|b) = H(a,b) − H(b) — CH's cross-tab
+    formulation (natural log; the base cancels in the ratio).  Entropies
+    fold SORTED count arrays so the float sums are order-stable.
+    try_divide: H(a)=0 (single category) returns NULL where CH returns
+    nan."""
+    pairs, _, n, _, _ = _crosstab_pieces(a)
+
+    def ent(proj: str, var: str) -> str:
+        cnts = (
+            f"array_sort(transform(array_distinct(transform({pairs},"
+            f" {var} -> {var}{proj})), __hd -> size(filter(transform({pairs},"
+            f" {var}2 -> {var}2{proj}), __he -> __he = __hd))))"
+        )
+        p = f"(CAST(__hc AS DOUBLE) / {n})"
+        return (
+            f"aggregate({cnts}, CAST(0 AS DOUBLE),"
+            f" (__ha, __hc) -> __ha - {p} * ln({p}))"
+        )
+
+    h_a = ent(".a", "__hx")
+    h_b = ent(".b", "__hy")
+    h_ab = ent("", "__hz")
+    return f"try_divide({h_a} + {h_b} - ({h_ab}), {h_a})"
+
+
+def _contingency_expr(a: list[str]) -> str:
+    """CH contingency(a, b): Pearson's contingency coefficient
+    √(χ² / (χ² + n)) — one expression from the shared cross-tab χ²."""
+    _, chi2, n, _, _ = _crosstab_pieces(a)
+    return f"sqrt({chi2} / (({chi2}) + {n}))"
+
+
 def _foreach_expr(a: list[str], how: str) -> str:
     """CH ``-ForEach`` combinator: element-wise aggregation across the
     rows' ARRAY values — result length = the longest input (round 8; was
@@ -1708,6 +1799,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "deltaSumTimestamp: use sum(GREATEST(x - lag(x) OVER "
         "(ORDER BY ts), 0)) — the window form is deterministic"
     )),
+    # round 8: the cross-tab association family (one family in CH too)
+    "cramersv": lambda a: _cramers_v_expr(a, corrected=False),
+    "cramersvbiascorrected": lambda a: _cramers_v_expr(a, corrected=True),
+    "theilsu": _theils_u_expr,
+    "contingency": _contingency_expr,
     # round 8: maxIntersections / entropy / the Map aggregates translate
     # to single aggregate expressions (helpers above TEMPLATES)
     "maxintersections": lambda a: _max_intersections_expr(a, position=False),
@@ -1973,7 +2069,12 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         "agg_weighted_quantile inventory query shows the formulation)"
     )),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
-    "uniqupto": lambda p, a: f"count(DISTINCT {', '.join(a)})",
+    # CH uniqUpTo(N)(x): exact distinct count while ≤ N, else N+1 — the
+    # cap IS the contract (round 8; the uncapped form silently differed)
+    "uniqupto": lambda p, a: (
+        f"least(count(DISTINCT {', '.join(a)}),"
+        f" {_int_literal(p[0], 'uniqUpTo N') + 1})"
+    ),
     # groupArray(n)(x): cap the collected list at n elements.  Without this
     # entry the parametric form name-mapped to invalid `collect_list(5)(x)`.
     "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",

@@ -609,3 +609,66 @@ def agg_foreach(spark, sf_dir):
 
     t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(translate(_SQL_FOREACH_CH))
+
+
+_SQL_CROSSTAB_CH = """
+SELECT round(cramersV(o_orderstatus, o_orderpriority), 9) AS v,
+       round(cramersVBiasCorrected(o_orderstatus, o_orderpriority), 9) AS vc,
+       round(theilsU(o_orderstatus, o_orderpriority), 9) AS u,
+       round(contingency(o_orderstatus, o_orderpriority), 9) AS ct
+FROM orders
+"""
+
+
+@query(
+    "agg_crosstab",
+    oracle="""
+    WITH pc AS (
+      SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    m AS (SELECT CAST(SUM(o) AS DOUBLE) AS n FROM pc),
+    ra AS (SELECT a, CAST(SUM(o) AS DOUBLE) AS ra FROM pc GROUP BY a),
+    cb AS (SELECT b, CAST(SUM(o) AS DOUBLE) AS cb FROM pc GROUP BY b),
+    cells AS (
+      SELECT COALESCE(pc.o, 0) AS o, ra.ra * cb.cb / m.n AS e
+      FROM ra CROSS JOIN cb CROSS JOIN m
+      LEFT JOIN pc ON pc.a = ra.a AND pc.b = cb.b
+    ),
+    stats AS (
+      SELECT SUM(POWER(o - e, 2) / e) AS chi2,
+             (SELECT n FROM m) AS n,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM ra) AS r,
+             (SELECT CAST(COUNT(*) AS DOUBLE) FROM cb) AS c
+      FROM cells
+    ),
+    ent AS (
+      SELECT
+        (SELECT -SUM((ra / m.n) * LN(ra / m.n)) FROM ra, m) AS h_a,
+        (SELECT -SUM((cb / m.n) * LN(cb / m.n)) FROM cb, m) AS h_b,
+        (SELECT -SUM((o / m.n) * LN(o / m.n)) FROM pc, m) AS h_ab
+    )
+    SELECT ROUND(SQRT(chi2 / (n * LEAST(r - 1, c - 1))), 9) AS v,
+           ROUND(SQRT(GREATEST(0, chi2 / n - (r - 1) * (c - 1) / (n - 1))
+             / (LEAST(r - POWER(r - 1, 2) / (n - 1),
+                      c - POWER(c - 1, 2) / (n - 1)) - 1)), 9) AS vc,
+           ROUND((h_a + h_b - h_ab) / h_a, 9) AS u,
+           ROUND(SQRT(chi2 / (chi2 + n)), 9) AS ct
+    FROM stats, ent
+    """,
+    category="aggregates",
+)
+def agg_crosstab(spark, sf_dir):
+    """ClickHouse's cross-tab association family — cramersV,
+    cramersVBiasCorrected (Bergsma), theilsU (uncertainty coefficient
+    U(a|b) = (H(a)+H(b)−H(a,b))/H(a)), and Pearson's contingency
+    coefficient — as verbatim SQL text over the order status × priority
+    table (round 8; all four were unresolved-function errors).  One
+    aggregate expression each: χ² over the FULL r×c cross product (zero
+    cells contribute (0−e)²/e), entropies fold sorted counts.  Rounded
+    to 9 decimals on both sides (float fold orders differ).  Oracle: the
+    definitional contingency-table CTE chain in DuckDB."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_CROSSTAB_CH))

@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "agg_foreach",
     "scalar_array_auc",
     "scalar_url_fss",
+    "agg_crosstab",
 ]
 
 

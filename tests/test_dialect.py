@@ -2245,3 +2245,40 @@ def test_first_significant_subdomain_sql(spark):
     assert row[3] == "clickhouse.com.tr"
     assert row[4] == "example.com"
     assert row[5] == ""
+
+
+def test_crosstab_association_sql(spark):
+    # perfectly-associated 2x2 table (a==b): chi2 = n, so
+    # cramersV = 1, contingency = sqrt(n/(n+n)) = sqrt(0.5), theilsU = 1;
+    # independent table -> chi2 = 0 -> V = 0, U = 0
+    row = one(
+        spark,
+        "SELECT cramersV(a, b) AS v, contingency(a, b) AS ct,"
+        " theilsU(a, b) AS u, cramersVBiasCorrected(a, b) AS vc"
+        " FROM (SELECT 1 AS a, 1 AS b UNION ALL SELECT 1, 1"
+        " UNION ALL SELECT 2, 2 UNION ALL SELECT 2, 2)",
+    )
+    assert abs(row[0] - 1.0) < 1e-12
+    assert abs(row[1] - 0.5 ** 0.5) < 1e-12
+    assert abs(row[2] - 1.0) < 1e-12
+    # Bergsma correction shrinks a perfect 2x2 with n=4:
+    # phi2c = 1 - 1/3 = 2/3, rc = cc = 2 - 1/3 -> V = sqrt((2/3)/(2/3)) = 1
+    assert abs(row[3] - 1.0) < 1e-12
+    row = one(
+        spark,
+        "SELECT cramersV(a, b) AS v, theilsU(a, b) AS u"
+        " FROM (SELECT 1 AS a, 1 AS b UNION ALL SELECT 1, 2"
+        " UNION ALL SELECT 2, 1 UNION ALL SELECT 2, 2)",
+    )
+    assert row[0] == 0.0 and row[1] == 0.0
+
+
+def test_uniq_up_to_caps(spark):
+    # CH uniqUpTo(N): exact while <= N, N+1 once exceeded
+    row = one(
+        spark,
+        "SELECT uniqUpTo(2)(x) AS capped, uniqUpTo(10)(x) AS exact"
+        " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3"
+        " UNION ALL SELECT 4)",
+    )
+    assert (row[0], row[1]) == (3, 4)
