@@ -98,6 +98,7 @@ PRIORITY: list[str] = [
     "scalar_array_auc",
     "scalar_url_fss",
     "agg_crosstab",
+    "pipe_line_dedup",
 ]
 
 

@@ -1717,3 +1717,43 @@ def streaming_clean_corpus(spark, sf_dir):
         "dropped_chunks",
         "cleaned_text",
     )
+
+
+@query(
+    "pipe_line_dedup",
+    oracle="""
+    WITH lines AS (
+      SELECT doc_id, i AS pos, parts[i] AS line
+      FROM (SELECT doc_id, string_split(text, ' ') AS parts
+            FROM documents),
+           UNNEST(generate_series(1, len(parts))) AS t(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, line,
+             COUNT(*) OVER (PARTITION BY line) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, pos) AS rn
+      FROM lines
+    )
+    SELECT doc_id, string_agg(line, ' ' ORDER BY pos) AS text_dedup
+    FROM marked
+    WHERE cnt < 1000 OR rn = 1
+    GROUP BY doc_id
+    """,
+    category="pipeline",
+)
+def pipe_line_dedup(spark, sf_dir):
+    """Corpus-level line/paragraph dedup (pipeline/dedup.line_dedup —
+    the C4 repeated-line filter / Dolma paragraph dedup, deterministic
+    first-occurrence-kept variant): any segment whose corpus frequency
+    reaches min_count is removed everywhere but its first (doc_id, pos)
+    occurrence, and documents are rebuilt in segment order.  The testdata
+    text has no newlines, so the driver query segments on spaces
+    (min_count=1000 → only corpus-stopword-frequency tokens dedup) — the
+    explode → count+min-struct → join-back → regroup machinery is
+    byte-identical to the newline case.  Oracle: the definitional
+    window formulation in DuckDB."""
+    from mcp_clickhouse_spark.pipeline.dedup import line_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return line_dedup(docs, sep=" ", min_count=1000)

@@ -673,6 +673,57 @@ def span_dedup(
     return regroup_spans(flagged, id_col)
 
 
+def line_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-level LINE / paragraph deduplication (round 8): every line
+    whose corpus-wide frequency reaches ``min_count`` is removed from ALL
+    documents except its FIRST occurrence (smallest (id, position));
+    each document's text is rebuilt from the surviving lines in order.
+    The C4 "discard repeated lines" filter (Raffel et al. 2020) and
+    Dolma's paragraph dedup, made deterministic — a Bloom-filter pass
+    keeps whichever occurrence it sees first, this keeps a canonical one
+    — so the result is oracle-comparable.
+
+    Returns ``(id_col, text_dedup)`` for documents with ≥1 surviving line.
+
+    Scale shape: posexplode → ONE map-side-combined hash aggregation per
+    distinct line (count + min-struct first occurrence, keyed on
+    ``md5(line)`` so the shuffle carries a fixed-width key, not line
+    text) → key join back → per-doc regroup with an in-array sort.
+    Three shuffles, state bounded by distinct lines, no driver-side work,
+    all builtin-expression JVM code.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+    ).withColumn("line_key", F.md5(F.col("line")))
+    freq = lines.groupBy("line_key").agg(
+        F.count("*").alias("_cnt"),
+        F.min(F.struct(id_col, "pos")).alias("_first"),
+    )
+    kept = lines.join(freq, "line_key").where(
+        (F.col("_cnt") < min_count)
+        | (
+            (F.col(f"_first.{id_col}") == F.col(id_col))
+            & (F.col("_first.pos") == F.col("pos"))
+        )
+    )
+    return kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda st: st["line"],
+            ),
+            sep,
+        ).alias("text_dedup")
+    )
+
+
 def with_minhash_signature(
     df: DataFrame,
     text_col: str = "text",

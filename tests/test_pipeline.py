@@ -931,3 +931,24 @@ def test_snapshot_diff_null_text_is_presence_not_absence(spark):
     got = {r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()}
     # NULL text in one side is a CHANGE, not an add/remove
     assert got == {1: "changed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_line_dedup_planted(spark):
+    # planted repeated line: 'dup' appears in docs 1,2,3 -> survives only
+    # at its first occurrence (doc 1 pos 1); unique lines untouched; doc 3
+    # (all lines removed) drops out
+    from mcp_clickhouse_spark.pipeline.dedup import line_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "a\ndup\nb"),
+            (2, "dup\nc"),
+            (3, "dup"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: r.text_dedup
+        for r in line_dedup(df, min_count=2).collect()
+    }
+    assert out == {1: "a\ndup\nb", 2: "c"}
