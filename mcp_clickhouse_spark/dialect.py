@@ -800,6 +800,52 @@ def _theils_u_expr(a: list[str]) -> str:
     return f"try_divide({h_a} + {h_b} - ({h_ab}), {h_a})"
 
 
+def _rank_corr_expr(a: list[str]) -> str:
+    """CH rankCorr(x, y): Spearman's ρ with AVERAGE ranks for ties (CH's
+    implementation), as one aggregate expression (round 8 — was an
+    unresolved-function error).  avg-rank(v) = |{u < v}| + (|{u = v}|+1)/2
+    over the collected pairs (either-NULL rows skipped), then Pearson on
+    the rank pairs via one moment fold.  O(n²) comparisons per group —
+    the per-group memory contract CH has, but quadratic work: for large
+    groups use a window-rank plan instead (RANK() + (ties−1)/2, then
+    corr), which is what the oracle twin does.  try_divide: constant
+    columns return NULL where CH returns nan."""
+    if len(a) != 2:
+        raise DialectError("rankCorr takes (x, y)")
+    pairs = (
+        f"collect_list(CASE WHEN ({a[0]}) IS NOT NULL"
+        f" AND ({a[1]}) IS NOT NULL"
+        f" THEN named_struct('x', {a[0]}, 'y', {a[1]}) END)"
+    )
+    n = f"size({pairs})"
+
+    def rank(f: str, var: str) -> str:
+        return (
+            f"(size(filter({pairs}, {var} -> {var}.{f} < __rp.{f}))"
+            f" + (size(filter({pairs}, {var}2 -> {var}2.{f} = __rp.{f}))"
+            f" + 1) / 2.0)"
+        )
+
+    ranks = (
+        f"transform({pairs}, __rp -> named_struct("
+        f"'rx', {rank('x', '__ru')}, 'ry', {rank('y', '__rv')}))"
+    )
+    mom = (
+        f"aggregate({ranks}, named_struct('sx', CAST(0 AS DOUBLE),"
+        f" 'sy', CAST(0 AS DOUBLE), 'xx', CAST(0 AS DOUBLE),"
+        f" 'yy', CAST(0 AS DOUBLE), 'xy', CAST(0 AS DOUBLE)),"
+        f" (__ra, __re) -> named_struct('sx', __ra.sx + __re.rx,"
+        f" 'sy', __ra.sy + __re.ry, 'xx', __ra.xx + __re.rx * __re.rx,"
+        f" 'yy', __ra.yy + __re.ry * __re.ry,"
+        f" 'xy', __ra.xy + __re.rx * __re.ry))"
+    )
+    return (
+        f"try_divide({n} * ({mom}).xy - ({mom}).sx * ({mom}).sy,"
+        f" sqrt(({n} * ({mom}).xx - power(({mom}).sx, 2))"
+        f" * ({n} * ({mom}).yy - power(({mom}).sy, 2))))"
+    )
+
+
 def _contingency_expr(a: list[str]) -> str:
     """CH contingency(a, b): Pearson's contingency coefficient
     √(χ² / (χ² + n)) — one expression from the shared cross-tab χ²."""
@@ -1804,6 +1850,31 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "cramersvbiascorrected": lambda a: _cramers_v_expr(a, corrected=True),
     "theilsu": _theils_u_expr,
     "contingency": _contingency_expr,
+    "rankcorr": _rank_corr_expr,
+    # hypothesis-test aggregates return (stat, p-value) tuples in CH;
+    # the p-values need incomplete-beta / KS distributions no Spark
+    # builtin provides — guided errors naming the statistic that IS
+    # expressible (faithful-or-error, like deltaSum)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n} returns (statistic, p-value); the p-value needs special "
+            "functions Spark has no builtin for — compute the statistic "
+            "from avg/var_samp/count per group and look the p-value up "
+            "client-side"
+        ))))(_t)
+        for _t in ("studentttest", "welchttest", "mannwhitneyutest",
+                   "kolmogorovsmirnovtest", "meanztest")
+    },
+    # order-dependent moving aggregates (insertion order is the CH
+    # contract, undefined after a shuffle) — guided like deltaSum
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n} is insertion-order-dependent in ClickHouse itself — use "
+            "sum/avg OVER (ORDER BY … ROWS n PRECEDING) for a "
+            "deterministic formulation"
+        ))))(_t)
+        for _t in ("grouparraymovingsum", "grouparraymovingavg")
+    },
     # round 8: maxIntersections / entropy / the Map aggregates translate
     # to single aggregate expressions (helpers above TEMPLATES)
     "maxintersections": lambda a: _max_intersections_expr(a, position=False),

@@ -672,3 +672,43 @@ def agg_crosstab(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_CROSSTAB_CH))
+
+
+_SQL_RANK_CORR_CH = """
+SELECT round(rankCorr(n_chars, length(text)), 9) AS rc,
+       round(rankCorr(n_chars, 0 - doc_id), 9) AS rc_id
+FROM documents
+"""
+
+
+@query(
+    "agg_rank_corr",
+    oracle="""
+    WITH r AS (
+      SELECT (RANK() OVER (ORDER BY n_chars)
+              + (COUNT(*) OVER (PARTITION BY n_chars) - 1) / 2.0) AS rx,
+             (RANK() OVER (ORDER BY len(text))
+              + (COUNT(*) OVER (PARTITION BY len(text)) - 1) / 2.0) AS ry,
+             (RANK() OVER (ORDER BY 0 - doc_id)
+              + (COUNT(*) OVER (PARTITION BY doc_id) - 1) / 2.0) AS rz
+      FROM documents
+    )
+    SELECT ROUND(CORR(rx, ry), 9) AS rc, ROUND(CORR(rx, rz), 9) AS rc_id
+    FROM r
+    """,
+    category="aggregates",
+)
+def agg_rank_corr(spark, sf_dir):
+    """ClickHouse rankCorr — Spearman's ρ with average ranks for ties —
+    as verbatim SQL text (round 8; was an unresolved-function error).
+    n_chars vs length(text) is a near-perfect monotone pair WITH
+    heavily-tied ranks (many docs share a length), so the average-rank
+    tie handling is load-bearing, not decorative.  The one-expression
+    form is O(n²) per group (documents = 500 rows → 250k comparisons);
+    the oracle uses the equivalent window-rank + Pearson plan — which is
+    also the recommended large-group formulation the guided docstring
+    names.  Rounded to 9 (fold orders differ)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_SQL_RANK_CORR_CH))

@@ -99,6 +99,7 @@ PRIORITY: list[str] = [
     "scalar_url_fss",
     "agg_crosstab",
     "pipe_line_dedup",
+    "agg_rank_corr",
 ]
 
 

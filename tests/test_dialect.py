@@ -2282,3 +2282,24 @@ def test_uniq_up_to_caps(spark):
         " UNION ALL SELECT 4)",
     )
     assert (row[0], row[1]) == (3, 4)
+
+
+def test_rank_corr_sql(spark):
+    # Spearman with AVERAGE ranks for ties: x=[1,1,2] ranks [1.5,1.5,3],
+    # y=[1,2,3] -> rho = 1.5/sqrt(1.5*2) = sqrt(3)/2
+    row = one(
+        spark,
+        "SELECT rankCorr(x, x) AS perfect, rankCorr(x, 0 - x) AS inverse,"
+        " rankCorr(t, y) AS tied"
+        " FROM (SELECT 1 AS x, 1 AS t, 1 AS y UNION ALL SELECT 2, 1, 2"
+        " UNION ALL SELECT 3, 2, 3)",
+    )
+    assert abs(row[0] - 1.0) < 1e-12
+    assert abs(row[1] + 1.0) < 1e-12
+    assert abs(row[2] - 3 ** 0.5 / 2) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="p-value"):
+        translate("SELECT studentTTest(v, g) FROM t")
+    with _pytest.raises(ValueError, match="insertion-order"):
+        translate("SELECT groupArrayMovingSum(x) FROM t")
