@@ -800,6 +800,46 @@ def _theils_u_expr(a: list[str]) -> str:
     return f"try_divide({h_a} + {h_b} - ({h_ab}), {h_a})"
 
 
+def _json_extract_kv(a: list[str]) -> str:
+    """CH ``JSONExtractKeysAndValues(json, 'ValueType')`` → array of
+    (key, value) tuples via a typed map parse (round 8).  Only the
+    2-argument top-level form maps; path indices keep a guided error."""
+    if len(a) != 2:
+        raise DialectError(
+            "JSONExtractKeysAndValues with path arguments is not mapped — "
+            "extract the sub-object with JSONExtractRaw first"
+        )
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = TYPE_MAP.get(t)
+    if spark_t is None:
+        raise DialectError(
+            f"JSONExtractKeysAndValues value type {a[1]} has no Spark twin"
+        )
+    return f"map_entries(from_json({a[0]}, 'map<string,{spark_t}>'))"
+
+
+def _format_row(a: list[str], newline: bool) -> str:
+    """CH ``formatRow('Format', x, y, …)``: serialize one row.  CSV maps
+    to Spark's to_csv over an anonymous struct; TSV/TabSeparated to a
+    tab concat_ws with string casts.  CH appends the row delimiter
+    (formatRowNoNewline does not).  Other formats: guided."""
+    if len(a) < 2:
+        raise DialectError("formatRow needs a format literal and columns")
+    fmt = a[0].strip().strip("'\"").lower()
+    cols = a[1:]
+    if fmt == "csv":
+        body = f"to_csv(struct({', '.join(cols)}))"
+    elif fmt in ("tsv", "tabseparated"):
+        casts = ", ".join(f"CAST({c} AS STRING)" for c in cols)
+        body = f"concat_ws('\\t', {casts})"
+    else:
+        raise DialectError(
+            f"formatRow format {a[0]} is not mapped — CSV and "
+            "TSV/TabSeparated are"
+        )
+    return f"concat({body}, '\\n')" if newline else body
+
+
 def _rank_corr_expr(a: list[str]) -> str:
     """CH rankCorr(x, y): Spearman's ρ with AVERAGE ranks for ties (CH's
     implementation), as one aggregate expression (round 8 — was an
@@ -1571,6 +1611,69 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
     "median": lambda a: f"percentile({a[0]}, 0.5)",
+    # ---- round-8 audit batch: common names that previously fell through
+    # to Spark's parser as unresolved functions --------------------------
+    # Kahan = CH's compensated float summation; Spark's sum is the same
+    # value contract (the compensation is an accuracy detail, like *Stable)
+    "sumkahan": lambda a: f"sum({a[0]})",
+    "medianexact": lambda a: f"percentile({a[0]}, 0.5)",
+    "mediantdigest": lambda a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    "medianbfloat16": lambda a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    "quantilebfloat16": lambda a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    # groupBitmap returns the CARDINALITY (UInt64) in a SELECT — exactly
+    # count(DISTINCT); the bitmap object itself is CH-internal state
+    "groupbitmap": lambda a: f"count(DISTINCT {a[0]})",
+    # CH tryBase64Decode returns '' on bad input (base64Decode throws)
+    "trybase64decode": lambda a: (
+        f"ifnull(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
+    ),
+    # delta: CH throws when the value is LONGER than n; rpad truncates
+    "tofixedstring": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
+    # occurrence index of each element among its equals so far (1-based)
+    "arrayenumerateuniq": lambda a: (
+        f"transform({a[0]}, (__eu, __ei) -> size(filter("
+        f"slice({a[0]}, 1, __ei + 1), __ev -> __ev = __eu)))"
+    ),
+    "jsonextractkeysandvalues": lambda a: _json_extract_kv(a),
+    "formatrow": lambda a: _format_row(a, newline=True),
+    "formatrownonewline": lambda a: _format_row(a, newline=False),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: Spark has no gamma-function builtin — precompute "
+            "client-side or register a pandas UDF"
+        ))))(_t)
+        for _t in ("lgamma", "tgamma")
+    },
+    **{
+        f"normalizeutf8{_f}": (lambda _n: (lambda a: (_ for _ in ()).throw(
+            DialectError(
+                f"normalizeUTF8{_n.upper()}: Spark has no Unicode-"
+                "normalization builtin — use a pandas UDF over "
+                "unicodedata.normalize"
+            )
+        )))(_f)
+        for _f in ("nfc", "nfd", "nfkc", "nfkd")
+    },
+    **{
+        f"reinterpretas{_f}": (lambda _n: (lambda a: (_ for _ in ()).throw(
+            DialectError(
+                f"reinterpretAs{_n}: byte-order reinterpretation needs "
+                "binary byte access (substr is character-based) — cast "
+                "through unhex/conv explicitly for hex input"
+            )
+        )))(_f)
+        for _f in ("uint8", "uint16", "uint32", "uint64",
+                   "int8", "int16", "int32", "int64",
+                   "float32", "float64", "string")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: compute the condition mask with transform() first, "
+            "then forward-fill / split by index — not one builtin here"
+        ))))(_t)
+        for _t in ("arrayfill", "arrayreversefill", "arraysplit",
+                   "arrayreversesplit")
+    },
     # -OrNull / -OrDefault aggregate combinators (round 7): Spark
     # aggregates already return NULL on empty input, so -OrNull is the
     # plain aggregate (faithful); -OrDefault coalesces to the type default
@@ -2127,6 +2230,24 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # drops.  Weighted quantiles have no Spark twin → guided errors.
     "quantiletiming": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "mediantiming": lambda p, a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    # round 8: quantileGK(accuracy[, level])(x) — Spark's percentile_approx
+    # IS Greenwald-Khanna, same accuracy knob; quantileBFloat16(level)(x)
+    # is CH's low-precision sketch → the same approx class
+    "quantilegk": lambda p, a: (
+        f"percentile_approx({a[0]}, {p[1] if len(p) > 1 else 0.5},"
+        f" {_int_literal(p[0], 'quantileGK accuracy')})"
+    ),
+    "quantilebfloat16": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
+    "medianbfloat16": lambda p, a: f"percentile_approx({a[0]}, 0.5, 10000)",
+    # LTTB downsampling is x-sort-order-dependent with a bucketed
+    # triangle-area argmax — guided like the other order-dependent ones
+    "largesttrianglethreebuckets": lambda p, a: (_ for _ in ()).throw(
+        DialectError(
+            "largestTriangleThreeBuckets needs a sort + bucket + argmax "
+            "plan: ntile the x-ordered points, max_by the triangle area "
+            "per bucket"
+        )
+    ),
     "quantiledeterministic": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiletimingweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
         "quantileTimingWeighted: weighted quantiles are not one Spark "

@@ -2303,3 +2303,38 @@ def test_rank_corr_sql(spark):
         translate("SELECT studentTTest(v, g) FROM t")
     with _pytest.raises(ValueError, match="insertion-order"):
         translate("SELECT groupArrayMovingSum(x) FROM t")
+
+
+def test_round8_audit_batch(spark):
+    # names that previously fell through to Spark's parser unresolved
+    row = one(
+        spark,
+        "SELECT sumKahan(x) AS sk, medianExact(x) AS me, groupBitmap(x) AS gb,"
+        " quantileGK(100, 0.5)(x) AS gk"
+        " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)",
+    )
+    assert row[0] == 6 and row[1] == 2.0 and row[2] == 3 and row[3] == 2
+    row = one(
+        spark,
+        "SELECT tryBase64Decode('aGk=') AS ok, tryBase64Decode('!!') AS bad,"
+        " toFixedString('ab', 4) AS fs,"
+        " arrayEnumerateUniq(array(10, 20, 10, 10)) AS eu,"
+        " JSONExtractKeysAndValues('{\"a\": 1, \"b\": 2}', 'Int64') AS kv,"
+        " formatRowNoNewline('TSV', 1, 'x') AS tsv",
+    )
+    assert row[0] == "hi" and row[1] == ""
+    assert row[2] == "ab\x00\x00"
+    assert row[3] == [1, 1, 2, 3]
+    assert [list(e) for e in row[4]] == [["a", 1], ["b", 2]]
+    assert row[5] == "1\tx"
+    import pytest as _pytest
+
+    for bad, msg in [
+        ("lgamma(x)", "gamma"),
+        ("normalizeUTF8NFC(s)", "normalization"),
+        ("reinterpretAsUInt32(s)", "byte-order"),
+        ("arrayFill(x -> x, a)", "mask"),
+        ("largestTriangleThreeBuckets(3)(x, y)", "triangle"),
+    ]:
+        with _pytest.raises(ValueError, match=msg):
+            translate(f"SELECT {bad} FROM t")
