@@ -22,10 +22,16 @@ constructs translate too: ORDER BY ... WITH FILL
 [INTERPOLATE (col | col AS expr-of-col)] (generated rows only, exactly
 as ClickHouse computes it), WITH TOTALS, QUALIFY, PREWHERE/SAMPLE/FINAL,
 LIMIT [off,] n BY (each top-level or inside subqueries),
-GLOBAL/ARRAY JOIN (multi-column zips), ASOF [LEFT] JOIN (ON or USING),
-ANY LEFT|INNER JOIN, * REPLACE(expr AS col), "double-quoted"
-identifiers, and scalar WITH macros.  Untranslatable constructs raise
-a guided error naming the equivalent.
+GLOBAL/ARRAY JOIN (multi-column zips, bare or aliased), ASOF [LEFT]
+JOIN (ON or USING, either time direction), ANY LEFT|RIGHT|INNER JOIN,
+* REPLACE(expr AS col), * [EXCEPT] APPLY(fn) on registered tables,
+"double-quoted" identifiers, and scalar WITH macros.  Behavioral and
+statistical aggregates translate as single expressions: retention,
+windowFunnel(w)(ts, steps...), sequenceMatch/Count('pattern')(ts, c...),
+sumMap/minMap/maxMap, entropy, maxIntersections[Position], rankCorr,
+cramersV[BiasCorrected], theilsU, contingency, the -ForEach family,
+and arrayAUC.  Untranslatable constructs raise a guided error naming
+the equivalent.
 
 ClickHouse system tables work verbatim: system.databases,
 system.tables, system.columns (catalog snapshots), system.one, and
