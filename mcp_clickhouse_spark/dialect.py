@@ -800,6 +800,47 @@ def _theils_u_expr(a: list[str]) -> str:
     return f"try_divide({h_a} + {h_b} - ({h_ab}), {h_a})"
 
 
+def _url_hierarchy_expr(a: list[str], path_only: bool) -> str:
+    """CH ``URLHierarchy`` / ``pathHierarchy`` (round 8 — were guided
+    errors): every prefix of the URL cut AFTER each run of ``/``/``?``
+    separators in the path + query string (the documented contract:
+    consecutive separators count as one, the cut lands after the run),
+    plus the full string when it does not end on a separator.
+    pathHierarchy keeps only the path-relative form and drops the bare
+    root ``/``.  Character positions (CH scans bytes) — identical for
+    ASCII URLs, documented delta for multi-byte ones.  No path → []."""
+    url = a[0]
+    scheme_end = (
+        f"(CASE WHEN locate('//', {url}) > 0"
+        f" THEN locate('//', {url}) + 2 ELSE 1 END)"
+    )
+    ps = f"locate('/', {url}, {scheme_end})"
+    cuts = (
+        f"filter(sequence(1, greatest(length({url}), 1)),"
+        f" __ui -> {ps} > 0 AND __ui >= {ps}"
+        f" AND substring({url}, __ui, 1) IN ('/', '?')"
+        f" AND substring({url}, __ui + 1, 1) NOT IN ('/', '?'))"
+    )
+    tail = (
+        f"(CASE WHEN {ps} > 0"
+        f" AND substring({url}, length({url}), 1) NOT IN ('/', '?')"
+    )
+    if path_only:
+        cuts = f"filter({cuts}, __uj -> __uj > {ps})"
+        elems = (
+            f"transform({cuts},"
+            f" __uk -> substring({url}, {ps}, __uk - ({ps}) + 1))"
+        )
+        tail += (
+            f" AND length({url}) > ({ps})"
+            f" THEN array(substring({url}, {ps})) ELSE array() END)"
+        )
+    else:
+        elems = f"transform({cuts}, __uk -> substring({url}, 1, __uk))"
+        tail += f" THEN array({url}) ELSE array() END)"
+    return f"concat({elems}, {tail})"
+
+
 def _json_extract_kv(a: list[str]) -> str:
     """CH ``JSONExtractKeysAndValues(json, 'ValueType')`` → array of
     (key, value) tuples via a typed map parse (round 8).  Only the
@@ -1853,10 +1894,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # variants CH documents
     "firstsignificantsubdomain": lambda a: _fss_expr(a, cut=False),
     "cuttofirstsignificantsubdomain": lambda a: _fss_expr(a, cut=True),
-    "urlhierarchy": lambda a: (_ for _ in ()).throw(DialectError(
-        "URLHierarchy: build prefixes with transform(sequence(...)) over "
-        "the split path — not a single built-in here"
-    )),
+    # round 8: the documented cut-after-separator-run prefix expansion
+    "urlhierarchy": lambda a: _url_hierarchy_expr(a, path_only=False),
+    "pathhierarchy": lambda a: _url_hierarchy_expr(a, path_only=True),
     # CH retention(c1, …): r1 = any row met c1; rI = r1 AND any row met
     # cI — one expression per the aggregate-level semantics (round 7;
     # the DataFrame twin is operators/funnel.retention)

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "agg_crosstab",
     "pipe_line_dedup",
     "agg_rank_corr",
+    "scalar_url_hierarchy",
 ]
 
 

@@ -459,3 +459,43 @@ def scalar_array_auc(spark, sf_dir):
 
     t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(translate(_SQL_ARRAY_AUC_CH))
+
+
+_SQL_URL_HIERARCHY_CH = """
+SELECT doc_id,
+       arrayStringConcat(
+         URLHierarchy(concat('https://ex.com/', source, '/a/b?q=1')), '|')
+         AS uh,
+       arrayStringConcat(
+         pathHierarchy(concat('https://ex.com/', source, '/a/')), '|')
+         AS ph
+FROM documents ORDER BY doc_id LIMIT 500
+"""
+
+
+@query(
+    "scalar_url_hierarchy",
+    oracle="""
+    SELECT doc_id,
+           'https://ex.com/' ||
+           '|https://ex.com/' || source || '/' ||
+           '|https://ex.com/' || source || '/a/' ||
+           '|https://ex.com/' || source || '/a/b?' ||
+           '|https://ex.com/' || source || '/a/b?q=1' AS uh,
+           '/' || source || '/' ||
+           '|/' || source || '/a/' AS ph
+    FROM documents ORDER BY doc_id LIMIT 500
+    """,
+    category="scalars",
+)
+def scalar_url_hierarchy(spark, sf_dir):
+    """URLHierarchy / pathHierarchy (round 8 — were guided errors): every
+    prefix cut AFTER each separator run in path+query, plus the full URL
+    when it does not end on a separator; pathHierarchy drops
+    protocol+host and the bare root.  URLs synthesized from the
+    slash-free `source` column, so the oracle enumerates the expected
+    hierarchy verbatim — ground truth by construction."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_SQL_URL_HIERARCHY_CH))

@@ -2338,3 +2338,29 @@ def test_round8_audit_batch(spark):
     ]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_url_hierarchy_sql(spark):
+    # the CH docs example, plus separator runs, query strings, and no-path
+    row = one(
+        spark,
+        "SELECT URLHierarchy('https://example.com/browse/CONF/') AS h,"
+        " URLHierarchy('https://example.com/a//b?x=1') AS runs,"
+        " URLHierarchy('https://example.com') AS nopath,"
+        " pathHierarchy('https://example.com/browse/CONF/') AS p",
+    )
+    assert row[0] == [
+        "https://example.com/",
+        "https://example.com/browse/",
+        "https://example.com/browse/CONF/",
+    ]
+    # '//' is one separator run (cut lands after it); '?' cuts too; the
+    # full URL closes the list when it does not end on a separator
+    assert row[1] == [
+        "https://example.com/",
+        "https://example.com/a//",
+        "https://example.com/a//b?",
+        "https://example.com/a//b?x=1",
+    ]
+    assert row[2] == []
+    assert row[3] == ["/browse/", "/browse/CONF/"]
