@@ -800,6 +800,86 @@ def _theils_u_expr(a: list[str]) -> str:
     return f"try_divide({h_a} + {h_b} - ({h_ab}), {h_a})"
 
 
+def _split_lambda(lam: str) -> tuple[str, str] | None:
+    """Split ``params -> body`` at the FIRST top-level ``->`` (outside
+    quotes and brackets).  Returns (params, body) or None when the text
+    is not a lambda — the detector for CH's lambda-first array forms."""
+    depth = 0
+    i = 0
+    while i < len(lam) - 1:
+        ch = lam[i]
+        if ch == "'":
+            j = i + 1
+            while j < len(lam):
+                if lam[j] == "'":
+                    if j + 1 < len(lam) and lam[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "-" and lam[i + 1] == ">" and depth <= 0:
+            return lam[:i].strip(), lam[i + 2 :].strip()
+        i += 1
+    return None
+
+
+def _array_map_expr(a: list[str]) -> str:
+    """CH ``arrayMap(f, arr[, arr2])``: one array → transform; TWO arrays
+    → zip_with (round 8 — the old single-array mapping silently bound the
+    lambda's second variable to Spark transform's INDEX argument and
+    dropped the second array: wrong values, no error)."""
+    if len(a) == 2:
+        return f"transform({a[1]}, {a[0]})"
+    if len(a) == 3:
+        return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+    raise DialectError(
+        "arrayMap over more than two arrays is not mapped — zip with "
+        "arrays_zip first"
+    )
+
+
+def _array_filter_expr(a: list[str]) -> str:
+    """CH ``arrayFilter(f, arr[, arr2])``: the two-array form filters the
+    FIRST array by f(x, y) — zip, keep-flag via the user's own lambda
+    variables, project back (same silent index-binding hazard as
+    arrayMap, round 8)."""
+    if len(a) == 2:
+        return f"filter({a[1]}, {a[0]})"
+    if len(a) == 3:
+        sp = _split_lambda(a[0])
+        if sp is not None:
+            params, body = sp
+            names = [p.strip() for p in params.strip("() \t\n").split(",")]
+            if len(names) == 2 and all(names):
+                return (
+                    f"transform(filter(zip_with({a[1]}, {a[2]},"
+                    f" ({names[0]}, {names[1]}) ->"
+                    f" named_struct('v', {names[0]}, 'k', ({body}))),"
+                    f" __zf -> __zf.k), __zg -> __zg.v)"
+                )
+    raise DialectError(
+        "arrayFilter over two arrays needs a two-parameter lambda; more "
+        "arrays are not mapped — zip with arrays_zip first"
+    )
+
+
+def _fn_form(a: list[str]) -> str:
+    """CH's lambda-first functional form for aggregating array functions
+    (``arraySum(f, arr[, arr2])`` = arraySum(arrayMap(f, …))): when the
+    first argument is a lambda, return the mapped array; otherwise the
+    plain array argument (round 8 — the lambda form previously emitted
+    garbage SQL)."""
+    if len(a) >= 2 and _split_lambda(a[0]) is not None:
+        return _array_map_expr(a)
+    return a[0]
+
+
 def _url_hierarchy_expr(a: list[str], path_only: bool) -> str:
     """CH ``URLHierarchy`` / ``pathHierarchy`` (round 8 — were guided
     errors): every prefix of the URL cut AFTER each run of ``/``/``?``
@@ -1591,12 +1671,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "tounixtimestamp64micro": lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
     "now64": lambda a: "now()",
     "format": _ch_format,
-    "arraymap": lambda a: f"transform({a[1]}, {a[0]})",
-    "arrayfilter": lambda a: f"filter({a[1]}, {a[0]})",
-    "arrayexists": lambda a: f"exists({a[1]}, {a[0]})",
-    "arrayall": lambda a: f"forall({a[1]}, {a[0]})",
-    "arraysum": lambda a: _typed_sum_fold(a[0]),
-    "arrayavg": lambda a: _typed_avg_fold(a[0]),
+    "arraymap": _array_map_expr,
+    "arrayfilter": _array_filter_expr,
+    "arrayexists": lambda a: (
+        f"exists({a[1]}, {a[0]})" if len(a) <= 2
+        else f"exists({_array_map_expr(a)}, __ze -> __ze)"
+    ),
+    "arrayall": lambda a: (
+        f"forall({a[1]}, {a[0]})" if len(a) <= 2
+        else f"forall({_array_map_expr(a)}, __za -> __za)"
+    ),
+    "arraysum": lambda a: _typed_sum_fold(_fn_form(a)),
+    "arrayavg": lambda a: _typed_avg_fold(_fn_form(a)),
+    # functional forms of the min/max/product renames (TEMPLATES wins
+    # over NAME_MAP, so the plain one-array calls keep their builtins)
+    "arraymin": lambda a: f"array_min({_fn_form(a)})",
+    "arraymax": lambda a: f"array_max({_fn_form(a)})",
     "arrayenumerate": lambda a: f"sequence(1, cardinality({a[0]}))",
     # try_element_at, not element_at: under ANSI mode (Spark 4.1 default)
     # element_at throws INVALID_ARRAY_INDEX_IN_ELEMENT_AT on an empty filter
@@ -1609,9 +1699,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"coalesce(array_position({a[1]}, try_element_at(filter({a[1]}, {a[0]}), 1)), 0)"
     ),
     "arraycount": lambda a: (
-        f"size(filter({a[1]}, {a[0]}))"
-        if len(a) == 2
-        else f"size(filter({a[0]}, x -> x != 0))"
+        f"size(filter({a[0]}, x -> x != 0))" if len(a) == 1
+        else f"size(filter({a[1]}, {a[0]}))" if len(a) == 2
+        else f"size(filter({_array_map_expr(a)}, __zc -> __zc))"
     ),
     "hasall": lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
     "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
@@ -1632,9 +1722,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # Array(Int64) for integer arrays).  Dialect-level convenience, not a
     # hot path.
     "arraycumsum": lambda a: (
-        f"transform(sequence(1, size({a[0]})), i -> aggregate(slice({a[0]}, 1, i),"
-        f" {_fold_zero(a[0], a[0])}, (s, x) -> s + x))"
-    ),
+        lambda arr: (
+            f"transform(sequence(1, size({arr})), i -> aggregate("
+            f"slice({arr}, 1, i), {_fold_zero(arr, arr)}, (s, x) -> s + x))"
+        )
+    )(_fn_form(a)),
     "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
     if len(a) == 1
     else f"sequence({a[0]}, ({a[1]}) - 1)",
@@ -2063,7 +2155,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "protocol": lambda a: f"try_parse_url({a[0]}, 'PROTOCOL')",
     "querystring": lambda a: f"try_parse_url({a[0]}, 'QUERY')",
     # CH arrayProduct returns Float64 — DOUBLE accumulator matches.
-    "arrayproduct": lambda a: f"aggregate({a[0]}, CAST(1 AS DOUBLE), (s, x) -> s * x)",
+    "arrayproduct": lambda a: (
+        f"aggregate({_fn_form(a)}, CAST(1 AS DOUBLE), (s, x) -> s * x)"
+    ),
     # 1-arg: distinct elements; multi-arg: distinct tuples across the arrays.
     "arrayuniq": lambda a: (
         f"size(array_distinct({a[0]}))"

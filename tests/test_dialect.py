@@ -2364,3 +2364,41 @@ def test_url_hierarchy_sql(spark):
     ]
     assert row[2] == []
     assert row[3] == ["/browse/", "/browse/CONF/"]
+
+
+def test_multi_array_lambda_forms(spark):
+    # round 8: arrayMap((x,y) -> ..., a, b) previously translated to
+    # transform(a, (x,y) -> ...) — binding y to Spark's INDEX argument and
+    # silently dropping b. Now: zip_with.
+    row = one(
+        spark,
+        "SELECT arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS m,"
+        " arrayFilter((x, y) -> y > 0, array('a','b','c'), array(0,1,1)) AS f,"
+        " arrayExists((x, y) -> x > y, array(1, 5), array(2, 3)) AS e,"
+        " arrayAll((x, y) -> x > y, array(1, 5), array(2, 3)) AS al,"
+        " arrayCount((x, y) -> x = y, array(1, 2, 3), array(1, 0, 3)) AS c",
+    )
+    assert row[0] == [11, 22]
+    assert row[1] == ["b", "c"]
+    assert row[2] is True and row[3] is False
+    assert row[4] == 2
+
+
+def test_functional_form_array_aggregates(spark):
+    # CH's lambda-first functional form: arraySum(f, arr) = sum of f(x)
+    row = one(
+        spark,
+        "SELECT arraySum(x -> x * 2, array(1, 2, 3)) AS s,"
+        " arraySum((x, y) -> x * y, array(1, 2, 3), array(4, 5, 6)) AS dot,"
+        " arrayMin(x -> 0 - x, array(1, 2, 3)) AS mn,"
+        " arrayMax(x -> x % 3, array(4, 5, 6)) AS mx,"
+        " arrayAvg(x -> x * 10, array(1, 2)) AS av,"
+        " arrayCumSum(x -> x + 1, array(1, 2, 3)) AS cs,"
+        " arrayProduct(x -> x + 1, array(1, 2)) AS pr",
+    )
+    assert row[0] == 12
+    assert row[1] == 32  # 1*4 + 2*5 + 3*6
+    assert row[2] == -3 and row[3] == 2
+    assert row[4] == 15.0
+    assert row[5] == [2, 5, 9]
+    assert row[6] == 6.0
