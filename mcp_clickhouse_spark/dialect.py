@@ -1693,10 +1693,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # result, i.e. whenever no element matches. CH returns the type's default
     # value there; NULL is the closest type-generic translation (and for
     # arrayFirstIndex the coalesce(..., 0) then gives exact CH parity).
-    "arrayfirst": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), 1)",
-    "arraylast": lambda a: f"try_element_at(filter({a[1]}, {a[0]}), -1)",
+    # two-array forms route through _array_filter_expr (round 8 — same
+    # silent index-binding hazard as arrayMap)
+    "arrayfirst": lambda a: (
+        f"try_element_at({_array_filter_expr(a)}, 1)"
+    ),
+    "arraylast": lambda a: (
+        f"try_element_at({_array_filter_expr(a)}, -1)"
+    ),
     "arrayfirstindex": lambda a: (
         f"coalesce(array_position({a[1]}, try_element_at(filter({a[1]}, {a[0]}), 1)), 0)"
+        if len(a) == 2
+        else (_ for _ in ()).throw(DialectError(
+            "arrayFirstIndex over several arrays needs a positional scan "
+            "— filter a zipped index sequence instead"
+        ))
     ),
     "arraycount": lambda a: (
         f"size(filter({a[0]}, x -> x != 0))" if len(a) == 1
