@@ -869,6 +869,63 @@ def _array_filter_expr(a: list[str]) -> str:
     )
 
 
+def _array_fill_expr(a: list[str], reverse: bool) -> str:
+    """CH ``arrayFill/arrayReverseFill(f, arr[, arr2])`` (round 8 — were
+    guided errors): elements where the condition is FALSE take the value
+    of the nearest element to the left (Reverse: right) where it is
+    TRUE; a run with no true neighbor on that side keeps its own value.
+    mask = the user lambda over the array(s); the fill is an index scan
+    — O(n²) lambda work per row, CH's doc example semantics exactly."""
+    arr = a[1]
+    mask = _array_map_expr(a)
+    if reverse:
+        near = (
+            f"array_min(filter(sequence(__fi, size({arr})),"
+            f" __fj -> element_at({mask}, __fj)))"
+        )
+    else:
+        near = (
+            f"array_max(filter(sequence(1, __fi),"
+            f" __fj -> element_at({mask}, __fj)))"
+        )
+    return (
+        f"transform(sequence(1, greatest(size({arr}), 1)),"
+        f" __fi -> coalesce(element_at({arr}, {near}),"
+        f" element_at({arr}, __fi)))"
+    )
+
+
+def _array_split_expr(a: list[str], reverse: bool) -> str:
+    """CH ``arraySplit/arrayReverseSplit(f, arr[, arr2])`` (round 8 —
+    were guided errors): split into consecutive sub-arrays, cutting
+    BEFORE each element where the lambda is true (Reverse: AFTER);
+    the first element never opens a cut / the last never closes one —
+    the CH doc examples reproduce exactly."""
+    arr = a[1]
+    mask = _array_map_expr(a)
+    n = f"size({arr})"
+    if not reverse:
+        starts = (
+            f"concat(array(1), filter(sequence(1, greatest({n}, 1)),"
+            f" __sj -> __sj > 1 AND __sj <= {n}"
+            f" AND element_at({mask}, __sj)))"
+        )
+        return (
+            f"transform({starts}, (__ss, __sk) -> slice({arr}, __ss,"
+            f" coalesce(try_element_at({starts}, __sk + 2),"
+            f" {n} + 1) - __ss))"
+        )
+    cuts = (
+        f"filter(sequence(1, greatest({n}, 1)),"
+        f" __sj -> __sj < {n} AND element_at({mask}, __sj))"
+    )
+    edges = f"concat(array(0), {cuts})"
+    return (
+        f"transform({edges}, (__se, __sk) -> slice({arr}, __se + 1,"
+        f" coalesce(try_element_at({cuts}, __sk + 1), {n}) - __se))"
+    )
+
+
 def _fn_form(a: list[str]) -> str:
     """CH's lambda-first functional form for aggregating array functions
     (``arraySum(f, arr[, arr2])`` = arraySum(arrayMap(f, …))): when the
@@ -1810,14 +1867,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
                    "int8", "int16", "int32", "int64",
                    "float32", "float64", "string")
     },
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: compute the condition mask with transform() first, "
-            "then forward-fill / split by index — not one builtin here"
-        ))))(_t)
-        for _t in ("arrayfill", "arrayreversefill", "arraysplit",
-                   "arrayreversesplit")
-    },
+    # round 8 (second pass): fill/split now translate — mask via the
+    # user's own lambda, index-scan fill / edge-slice split
+    "arrayfill": lambda a: _array_fill_expr(a, reverse=False),
+    "arrayreversefill": lambda a: _array_fill_expr(a, reverse=True),
+    "arraysplit": lambda a: _array_split_expr(a, reverse=False),
+    "arrayreversesplit": lambda a: _array_split_expr(a, reverse=True),
     # -OrNull / -OrDefault aggregate combinators (round 7): Spark
     # aggregates already return NULL on empty input, so -OrNull is the
     # plain aggregate (faithful); -OrDefault coalesces to the type default

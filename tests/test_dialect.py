@@ -2333,7 +2333,7 @@ def test_round8_audit_batch(spark):
         ("lgamma(x)", "gamma"),
         ("normalizeUTF8NFC(s)", "normalization"),
         ("reinterpretAsUInt32(s)", "byte-order"),
-        ("arrayFill(x -> x, a)", "mask"),
+        ("arrayFirstIndex((x, y) -> y, a, b)", "positional"),
         ("largestTriangleThreeBuckets(3)(x, y)", "triangle"),
     ]:
         with _pytest.raises(ValueError, match=msg):
@@ -2402,3 +2402,22 @@ def test_functional_form_array_aggregates(spark):
     assert row[4] == 15.0
     assert row[5] == [2, 5, 9]
     assert row[6] == 6.0
+
+
+def test_array_fill_split_sql(spark):
+    # the CH docs examples, verbatim
+    row = one(
+        spark,
+        "SELECT arrayFill(x -> NOT (x IS NULL),"
+        " array(1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL)) AS f,"
+        " arrayReverseFill(x -> NOT (x IS NULL),"
+        " array(NULL, 2, NULL, 4)) AS rf,"
+        " arraySplit((x, y) -> y > 0, array(1, 2, 3, 4, 5),"
+        " array(1, 0, 0, 1, 0)) AS sp,"
+        " arrayReverseSplit((x, y) -> y > 0, array(1, 2, 3, 4, 5),"
+        " array(1, 0, 0, 1, 0)) AS rsp",
+    )
+    assert row[0] == [1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14]
+    assert row[1] == [2, 2, 4, 4]
+    assert row[2] == [[1, 2, 3], [4, 5]]
+    assert row[3] == [[1], [2, 3, 4], [5]]
