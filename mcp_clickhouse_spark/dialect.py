@@ -861,7 +861,7 @@ def _array_filter_expr(a: list[str]) -> str:
                     f"transform(filter(zip_with({a[1]}, {a[2]},"
                     f" ({names[0]}, {names[1]}) ->"
                     f" named_struct('v', {names[0]}, 'k', ({body}))),"
-                    f" __zf -> __zf.k), __zg -> __zg.v)"
+                    f" __zf -> CAST(__zf.k AS BOOLEAN)), __zg -> __zg.v)"
                 )
     raise DialectError(
         "arrayFilter over two arrays needs a two-parameter lambda; more "
@@ -877,7 +877,9 @@ def _array_fill_expr(a: list[str], reverse: bool) -> str:
     mask = the user lambda over the array(s); the fill is an index scan
     — O(n²) lambda work per row, CH's doc example semantics exactly."""
     arr = a[1]
-    mask = _array_map_expr(a)
+    # CAST: CH lambdas may return numeric truthiness (the docs' own
+    # examples use `(x, y) -> y` with integer y)
+    mask = f"transform({_array_map_expr(a)}, __fm -> CAST(__fm AS BOOLEAN))"
     if reverse:
         near = (
             f"array_min(filter(sequence(__fi, size({arr})),"
@@ -902,7 +904,8 @@ def _array_split_expr(a: list[str], reverse: bool) -> str:
     the first element never opens a cut / the last never closes one —
     the CH doc examples reproduce exactly."""
     arr = a[1]
-    mask = _array_map_expr(a)
+    # CAST: numeric truthiness, as in _array_fill_expr
+    mask = f"transform({_array_map_expr(a)}, __fm -> CAST(__fm AS BOOLEAN))"
     n = f"size({arr})"
     if not reverse:
         starts = (
@@ -1732,11 +1735,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arrayfilter": _array_filter_expr,
     "arrayexists": lambda a: (
         f"exists({a[1]}, {a[0]})" if len(a) <= 2
-        else f"exists({_array_map_expr(a)}, __ze -> __ze)"
+        else f"exists({_array_map_expr(a)}, __ze -> CAST(__ze AS BOOLEAN))"
     ),
     "arrayall": lambda a: (
         f"forall({a[1]}, {a[0]})" if len(a) <= 2
-        else f"forall({_array_map_expr(a)}, __za -> __za)"
+        else f"forall({_array_map_expr(a)}, __za -> CAST(__za AS BOOLEAN))"
     ),
     "arraysum": lambda a: _typed_sum_fold(_fn_form(a)),
     "arrayavg": lambda a: _typed_avg_fold(_fn_form(a)),
@@ -1769,7 +1772,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arraycount": lambda a: (
         f"size(filter({a[0]}, x -> x != 0))" if len(a) == 1
         else f"size(filter({a[1]}, {a[0]}))" if len(a) == 2
-        else f"size(filter({_array_map_expr(a)}, __zc -> __zc))"
+        else (
+            f"size(filter({_array_map_expr(a)},"
+            f" __zc -> CAST(__zc AS BOOLEAN)))"
+        )
     ),
     "hasall": lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
     "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",

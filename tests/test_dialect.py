@@ -2406,18 +2406,24 @@ def test_functional_form_array_aggregates(spark):
 
 def test_array_fill_split_sql(spark):
     # the CH docs examples, verbatim
+    # NOTE the numeric-truthiness lambdas ((x, y) -> y, x -> x): CH's own
+    # docs use them; every boolean context casts the lambda result
     row = one(
         spark,
         "SELECT arrayFill(x -> NOT (x IS NULL),"
         " array(1, NULL, 3, 11, 12, NULL, NULL, 5, 6, 14, NULL, NULL)) AS f,"
         " arrayReverseFill(x -> NOT (x IS NULL),"
         " array(NULL, 2, NULL, 4)) AS rf,"
-        " arraySplit((x, y) -> y > 0, array(1, 2, 3, 4, 5),"
+        " arraySplit((x, y) -> y, array(1, 2, 3, 4, 5),"
         " array(1, 0, 0, 1, 0)) AS sp,"
-        " arrayReverseSplit((x, y) -> y > 0, array(1, 2, 3, 4, 5),"
-        " array(1, 0, 0, 1, 0)) AS rsp",
+        " arrayReverseSplit((x, y) -> y, array(1, 2, 3, 4, 5),"
+        " array(1, 0, 0, 1, 0)) AS rsp,"
+        " arrayFill(x -> x, array(0, 1, 0, 2, 0)) AS nf,"
+        " arrayFilter((x, y) -> y, array(7, 8), array(1, 0)) AS ff",
     )
     assert row[0] == [1, 1, 3, 11, 12, 12, 12, 5, 6, 14, 14, 14]
     assert row[1] == [2, 2, 4, 4]
     assert row[2] == [[1, 2, 3], [4, 5]]
     assert row[3] == [[1], [2, 3, 4], [5]]
+    assert row[4] == [0, 1, 1, 2, 2]
+    assert row[5] == [7]
