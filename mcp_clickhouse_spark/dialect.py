@@ -890,10 +890,16 @@ def _array_fill_expr(a: list[str], reverse: bool) -> str:
             f"array_max(filter(sequence(1, __fi),"
             f" __fj -> element_at({mask}, __fj)))"
         )
+    # IF-on-near (NOT coalesce on the value): the nearest true NEIGHBOR may
+    # itself hold NULL, and CH fills with that NULL — coalescing conflated
+    # 'no neighbor' with 'NULL-valued neighbor' (round-8 review finding).
+    # The empty-array guard keeps ANSI element_at off index 1 of [] and
+    # returns [] like CH (same finding).
     return (
-        f"transform(sequence(1, greatest(size({arr}), 1)),"
-        f" __fi -> coalesce(element_at({arr}, {near}),"
-        f" element_at({arr}, __fi)))"
+        f"IF(size({arr}) < 1, {arr},"
+        f" transform(sequence(1, greatest(size({arr}), 1)),"
+        f" __fi -> CASE WHEN ({near}) IS NULL THEN element_at({arr}, __fi)"
+        f" ELSE element_at({arr}, {near}) END))"
     )
 
 
@@ -2889,7 +2895,15 @@ def _resolve_star_schema(sql: str, star_idx: int) -> list[str]:
     try:
         from pyspark.sql import SparkSession
 
-        sp = SparkSession.getActiveSession()
+        # getActiveSession is THREAD-LOCAL: the tool layer translates
+        # inside the timeout executor's worker thread, where it returns
+        # None (round-8 review follow-up — `* APPLY` worked via
+        # spark.sql() but failed through run_select_query).  Fall back to
+        # the process-wide instantiated session; never create one here.
+        sp = (
+            SparkSession.getActiveSession()
+            or SparkSession._instantiatedSession  # noqa: SLF001
+        )
         cols = list(sp.table(table).columns)  # type: ignore[union-attr]
     except Exception:
         raise guided from None
@@ -2940,8 +2954,18 @@ def _rewrite_star_modifiers(sql: str) -> str:
             )
         ap_open = sql.index("(", cand.start())
         ap_end = _find_balanced(sql, ap_open)
-        fn = sql[ap_open + 1 : ap_end - 1].strip()
-        if not re.match(r"^[A-Za-z_]\w*$", fn):
+        fns = [sql[ap_open + 1 : ap_end - 1].strip()]
+        # chained `* APPLY(a) APPLY(b)` composes b(a(col)) — CH supports
+        # the chain; the leftover APPLY previously reached Spark's parser
+        # raw (round-8 review finding)
+        while True:
+            nm = re.match(r"(?is)\s*APPLY\s*\(", sql[ap_end:])
+            if not nm:
+                break
+            ap_open = ap_end + nm.end() - 1
+            ap_end = _find_balanced(sql, ap_open)
+            fns.append(sql[ap_open + 1 : ap_end - 1].strip())
+        if not all(re.match(r"^[A-Za-z_]\w*$", f) for f in fns):
             raise DialectError(
                 "* APPLY supports a bare function name; for a lambda or "
                 "parameterized function, write the projection explicitly"
@@ -2953,7 +2977,13 @@ def _rewrite_star_modifiers(sql: str) -> str:
             cols = [c for c in cols if c.lower() not in drop]
         if not cols:
             raise DialectError("* APPLY: the EXCEPT list removed every column")
-        repl = ", ".join(f"{fn}(`{c}`) AS `{c}`" for c in cols)
+        def _nest(c: str) -> str:
+            inner = f"`{c}`"
+            for f in fns:
+                inner = f"{f}({inner})"
+            return inner
+
+        repl = ", ".join(f"{_nest(c)} AS `{c}`" for c in cols)
         # a qualified star (`q.*`) replaces from the qualifier's start
         start = star_idx
         if start > 0 and sql[start - 1] == ".":
@@ -3939,19 +3969,26 @@ def _rewrite_any_joins(sql: str) -> str:
         if not keys:
             raise guided("no join keys found")
         if how == "RIGHT":
-            # mirror: dedup the LEFT FROM unit, keep all right rows
-            fm = None
-            for fcand in re.finditer(r"(?i)\bFROM\s+", sql[: m.start()]):
-                if _outside_strings(sql, fcand.start()):
-                    fm = fcand
+            # mirror: dedup the LEFT FROM unit, keep all right rows.
+            # Scan candidate FROMs in REVERSE and take the first whose
+            # parsed unit reaches the join — a subquery left unit contains
+            # its own inner FROM, and the old last-FROM pick landed on
+            # that one (round-8 review finding)
+            fm, lunit = None, None
+            cands = [
+                fc for fc in re.finditer(r"(?i)\bFROM\s+", sql[: m.start()])
+                if _outside_strings(sql, fc.start())
+            ]
+            for fcand in reversed(cands):
+                cand_unit = _parse_table_unit(sql, fcand.end())
+                if (
+                    cand_unit is not None
+                    and cand_unit[2] <= m.start()
+                    and not sql[cand_unit[2] : m.start()].strip()
+                ):
+                    fm, lunit = fcand, cand_unit
+                    break
             if fm is None:
-                raise guided("RIGHT ANY JOIN: no FROM unit found on the left")
-            lunit = _parse_table_unit(sql, fm.end())
-            if (
-                lunit is None
-                or lunit[2] > m.start()
-                or sql[lunit[2] : m.start()].strip()
-            ):
                 raise guided(
                     "RIGHT ANY JOIN supports a single left FROM unit "
                     "(chain: dedup the left side in a subquery explicitly)"
@@ -4198,17 +4235,24 @@ def _rewrite_array_joins(sql: str) -> str:
         bare = [(e, a) for e, a, b in items if b]
         if bare:
             # wrap the owning FROM unit to rename the source arrays away,
-            # so the element aliases can own the column names
-            fm = None
-            for fcand in re.finditer(r"(?i)\bFROM\s+", sql[: m.start()]):
-                if _outside_strings(sql, fcand.start()):
-                    fm = fcand
-            lunit = _parse_table_unit(sql, fm.end()) if fm else None
-            if (
-                lunit is None
-                or lunit[2] > m.start()
-                or sql[lunit[2] : m.start()].strip()
-            ):
+            # so the element aliases can own the column names.  Reverse
+            # candidate scan: a subquery FROM unit contains its own inner
+            # FROM (round-8 review finding, same as RIGHT ANY JOIN)
+            fm, lunit = None, None
+            cands = [
+                fc for fc in re.finditer(r"(?i)\bFROM\s+", sql[: m.start()])
+                if _outside_strings(sql, fc.start())
+            ]
+            for fcand in reversed(cands):
+                cand_unit = _parse_table_unit(sql, fcand.end())
+                if (
+                    cand_unit is not None
+                    and cand_unit[2] <= m.start()
+                    and not sql[cand_unit[2] : m.start()].strip()
+                ):
+                    fm, lunit = fcand, cand_unit
+                    break
+            if lunit is None:
                 raise DialectError(
                     "bare ARRAY JOIN columns need a single directly-"
                     "preceding FROM unit — alias the elements with AS, "

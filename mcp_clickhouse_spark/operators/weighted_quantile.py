@@ -70,7 +70,22 @@ def weighted_quantile(
         # Re-attach all-NULL groups with a NULL quantile.  The distinct +
         # left join shuffle on the same group keys as the window — AQE
         # broadcasts the (group-cardinality-sized) agg side in practice.
-        agg = src.select(*keys).distinct().join(agg, on=keys, how="left")
+        # eqNullSafe: GROUP BY treats NULL as a normal key (CH too), so a
+        # NULL-keyed group that HAS values must still match its agg row —
+        # join(on=keys) is null-unsafe equality and silently dropped its
+        # quantile (round-8 review finding, confirmed live).
+        right = agg.select(
+            *[F.col(k).alias(f"__wq_{k}") for k in keys], out_col
+        )
+        cond = None
+        for k in keys:
+            c = F.col(k).eqNullSafe(F.col(f"__wq_{k}"))
+            cond = c if cond is None else (cond & c)
+        agg = (
+            src.select(*keys).distinct()
+            .join(right, on=cond, how="left")
+            .select(*keys, out_col)
+        )
     # global (no keys): groupBy().agg already yields one row with NULL min
     # on empty input, so the all-NULL case needs no special path
     return agg

@@ -698,9 +698,16 @@ def line_dedup(
     Three shuffles, state bounded by distinct lines, no driver-side work,
     all builtin-expression JVM code.
     """
+    # F.split takes a REGEX while array_join takes a literal — escape the
+    # separator so both sides agree (round-8 review: sep='.' would have
+    # split on every character while rejoining with a literal dot)
+    import re as _re
+
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "line"),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "pos", "line"
+        ),
     ).withColumn("line_key", F.md5(F.col("line")))
     freq = lines.groupBy("line_key").agg(
         F.count("*").alias("_cnt"),

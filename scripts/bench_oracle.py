@@ -68,9 +68,12 @@ def main() -> None:
     skipped = [n for n in HEADLINE if n not in oracles]
 
     def flag(name: str, default: str) -> str:
-        return (
-            sys.argv[sys.argv.index(name) + 1] if name in sys.argv else default
-        )
+        if name not in sys.argv:
+            return default
+        idx = sys.argv.index(name) + 1
+        if idx >= len(sys.argv) or sys.argv[idx].startswith("--"):
+            raise SystemExit(f"{name} needs a value")
+        return sys.argv[idx]
 
     mem_limit = flag(
         "--mem-limit", os.environ.get("SPARK_GRAFT_DUCKDB_MEM", "48GB")

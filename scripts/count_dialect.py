@@ -17,11 +17,14 @@ from mcp_clickhouse_spark.dialect import NAME_MAP, PARAMETRIC, TEMPLATES, TYPE_M
 
 
 def main() -> None:
-    total = len(NAME_MAP) + len(TEMPLATES) + len(PARAMETRIC)
+    # DISTINCT names: a name can live in two maps (e.g. a TEMPLATES
+    # functional form shadowing a NAME_MAP rename) — summing the lens
+    # double-counted those (round-8 review finding)
+    distinct = set(NAME_MAP) | set(TEMPLATES) | set(PARAMETRIC)
     print(f"renames (NAME_MAP):        {len(NAME_MAP)}")
     print(f"templates (TEMPLATES):     {len(TEMPLATES)}")
     print(f"parametric (PARAMETRIC):   {len(PARAMETRIC)}")
-    print(f"mapped function names:     {total}")
+    print(f"mapped function names:     {len(distinct)} (distinct)")
     print(f"type names (TYPE_MAP):     {len(TYPE_MAP)}")
 
 

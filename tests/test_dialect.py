@@ -2427,3 +2427,40 @@ def test_array_fill_split_sql(spark):
     assert row[3] == [[1], [2, 3, 4], [5]]
     assert row[4] == [0, 1, 1, 2, 2]
     assert row[5] == [7]
+
+
+def test_round8_review_fixes(spark):
+    # chained * APPLY composes (scalar then aggregate — the CH-valid chain)
+    spark.createDataFrame([(1, -2), (3, 4)], "k int, a int") \
+        .createOrReplaceTempView("r8_t")
+    row = one(spark, "SELECT * APPLY(abs) APPLY(sum) FROM r8_t")
+    assert row == [4, 6]
+    # RIGHT ANY JOIN / bare ARRAY JOIN accept a subquery left unit (the
+    # last-FROM scan previously landed on the subquery's inner FROM)
+    spark.createDataFrame([(1, "x"), (1, "y")], "k int, v string") \
+        .createOrReplaceTempView("r8_lt")
+    spark.createDataFrame([(1, 10), (3, 30)], "k int, r int") \
+        .createOrReplaceTempView("r8_rt")
+    res = run_select_query(
+        spark,
+        "SELECT r.k AS k, r.r AS r FROM (SELECT k FROM r8_lt) l"
+        " RIGHT ANY JOIN r8_rt r ON l.k = r.k ORDER BY k",
+        dialect="clickhouse",
+    )
+    assert res["rows"] == [[1, 10], [3, 30]]
+    spark.createDataFrame([(1, [1, 2]), (2, [3])], "doc_id int, xs array<int>") \
+        .createOrReplaceTempView("r8_arr")
+    res = run_select_query(
+        spark,
+        "SELECT xs FROM (SELECT xs FROM r8_arr) q ARRAY JOIN xs ORDER BY xs",
+        dialect="clickhouse",
+    )
+    assert [r[0] for r in res["rows"]] == [1, 2, 3]
+    # arrayFill: empty arrays return [], and a NULL-valued true neighbor
+    # FILLS with NULL (no longer conflated with 'no neighbor')
+    row = one(
+        spark,
+        "SELECT arrayFill(x -> x > 0, CAST(array() AS ARRAY<INT>)) AS e,"
+        " arrayFill(x -> x IS NULL, array(CAST(NULL AS INT), 5)) AS ns",
+    )
+    assert row[0] == [] and row[1] == [None, None]

@@ -154,3 +154,25 @@ def test_weighted_quantile(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="level"):
         weighted_quantile(df, "v", "w", 0.0)
+
+
+def test_weighted_quantile_null_group_key(spark):
+    # GROUP BY treats NULL as a normal key: the re-attach join must be
+    # null-SAFE or a NULL-keyed group silently loses its quantile
+    import pyspark.sql.functions as F
+
+    from mcp_clickhouse_spark.operators.weighted_quantile import (
+        weighted_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(None, 1.0, 1), (None, 2.0, 5), ("a", 3.0, 1)],
+        "g string, v double, w int",
+    )
+    out = {
+        r.g: r.wq
+        for r in weighted_quantile(
+            df, "v", F.col("w").cast("bigint"), 0.5, by=["g"]
+        ).collect()
+    }
+    assert out == {None: 2.0, "a": 3.0}
