@@ -935,6 +935,53 @@ def _array_split_expr(a: list[str], reverse: bool) -> str:
     )
 
 
+def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
+    """Textually apply the user lambda at index ``idx_var``: each
+    parameter becomes ``element_at(arr_i, idx)``.  Two-phase placeholder
+    substitution so an array expression that happens to contain another
+    parameter's name is never corrupted; word-boundary-safe, string
+    literals untouched."""
+    sp = _split_lambda(lam)
+    if sp is None:
+        raise DialectError(f"expected a lambda, got {lam!r}")
+    params, body = sp
+    names = [p.strip() for p in params.strip("() \t\n").split(",")]
+    if len(names) != len(arrays) or not all(
+        re.match(r"^[A-Za-z_]\w*$", nm) for nm in names
+    ):
+        raise DialectError(
+            "the lambda must name exactly one parameter per array argument"
+        )
+    for k2, nm in enumerate(names):
+        parts = re.split(r"('(?:[^']|'')*')", body)
+        for j in range(0, len(parts), 2):
+            parts[j] = re.sub(
+                rf"(?<![A-Za-z0-9_]){re.escape(nm)}(?![A-Za-z0-9_])",
+                f"\x00{k2}\x00",
+                parts[j],
+            )
+        body = "".join(parts)
+    for k2, arr in enumerate(arrays):
+        body = body.replace(f"\x00{k2}\x00", f"element_at({arr}, {idx_var})")
+    return body
+
+
+def _array_index_expr(a: list[str], last: bool) -> str:
+    """CH ``arrayFirstIndex/arrayLastIndex(f, arr…)``: 1-based index of
+    the first/last element where f holds, 0 when none — a POSITIONAL scan
+    (round 8; arrayLastIndex was unmapped, and a value-lookup
+    reformulation is wrong when f depends on a second array and the first
+    has duplicates)."""
+    applied = _apply_lambda_at(a[0], a[1:], "__pi")
+    n = f"size({a[1]})"
+    pick = -1 if last else 1
+    return (
+        f"coalesce(try_element_at(filter(sequence(1, greatest({n}, 1)),"
+        f" __pi -> __pi <= {n} AND CAST(({applied}) AS BOOLEAN)),"
+        f" {pick}), 0)"
+    )
+
+
 def _fn_form(a: list[str]) -> str:
     """CH's lambda-first functional form for aggregating array functions
     (``arraySum(f, arr[, arr2])`` = arraySum(arrayMap(f, …))): when the
@@ -1767,14 +1814,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arraylast": lambda a: (
         f"try_element_at({_array_filter_expr(a)}, -1)"
     ),
-    "arrayfirstindex": lambda a: (
-        f"coalesce(array_position({a[1]}, try_element_at(filter({a[1]}, {a[0]}), 1)), 0)"
-        if len(a) == 2
-        else (_ for _ in ()).throw(DialectError(
-            "arrayFirstIndex over several arrays needs a positional scan "
-            "— filter a zipped index sequence instead"
-        ))
-    ),
+    # positional scan for ANY arity (round 8: a value-lookup
+    # array_position reformulation is wrong when the predicate depends on
+    # a second array and the first has duplicate values)
+    "arrayfirstindex": lambda a: _array_index_expr(a, last=False),
+    "arraylastindex": lambda a: _array_index_expr(a, last=True),
     "arraycount": lambda a: (
         f"size(filter({a[0]}, x -> x != 0))" if len(a) == 1
         else f"size(filter({a[1]}, {a[0]}))" if len(a) == 2

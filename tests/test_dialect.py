@@ -2333,7 +2333,7 @@ def test_round8_audit_batch(spark):
         ("lgamma(x)", "gamma"),
         ("normalizeUTF8NFC(s)", "normalization"),
         ("reinterpretAsUInt32(s)", "byte-order"),
-        ("arrayFirstIndex((x, y) -> y, a, b)", "positional"),
+        ("arrayFirstIndex(x -> x, a, b)", "one parameter per array"),
         ("largestTriangleThreeBuckets(3)(x, y)", "triangle"),
     ]:
         with _pytest.raises(ValueError, match=msg):
@@ -2464,3 +2464,18 @@ def test_round8_review_fixes(spark):
         " arrayFill(x -> x IS NULL, array(CAST(NULL AS INT), 5)) AS ns",
     )
     assert row[0] == [] and row[1] == [None, None]
+
+
+def test_array_index_positional(spark):
+    # positional scan: the duplicate-value case proves value-lookup would
+    # be wrong (first array [5,5], predicate true only at position 2)
+    row = one(
+        spark,
+        "SELECT arrayFirstIndex(x -> x > 1, array(1, 2, 3)) AS fi,"
+        " arrayLastIndex(x -> x > 1, array(1, 2, 3)) AS li,"
+        " arrayFirstIndex(x -> x > 9, array(1, 2)) AS miss,"
+        " arrayFirstIndex((x, y) -> y > 0, array(5, 5), array(0, 1)) AS dup,"
+        " arrayLastIndex((x, y) -> x = y, array(1, 2, 2), array(1, 2, 9)) AS l2,"
+        " arrayFirstIndex(x -> x, CAST(array() AS ARRAY<INT>)) AS empty",
+    )
+    assert list(row) == [2, 3, 0, 2, 2, 0]
