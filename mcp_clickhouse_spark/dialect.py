@@ -3365,18 +3365,20 @@ def _rewrite_with_fill_impl(sql: str) -> str:
                 )
         tail = tail[: im.start()] + tail[end:]
     m_bounds = re.match(
-        r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)\s+STEP\s+"
-        r"(?P<s>INTERVAL\s+\d+\s+\w+|\S+)\s*"
+        r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)"
+        r"(?:\s+STEP\s+(?P<s>INTERVAL\s+\d+\s+\w+|\S+))?\s*"
         r"(?P<rest>(LIMIT\b.*)?)$",
         tail,
     )
     if not m_bounds:
         raise DialectError(
-            "WITH FILL requires explicit FROM/TO/STEP bounds here (the "
+            "WITH FILL requires explicit FROM/TO bounds here (the "
             "unbounded form derives them from the data; use "
             "mcp_clickhouse_spark.operators.with_fill)"
         )
-    a, b, s = m_bounds.group("a"), m_bounds.group("b"), m_bounds.group("s")
+    a, b = m_bounds.group("a"), m_bounds.group("b")
+    # CH defaults STEP to 1 when omitted (round 8)
+    s = m_bounds.group("s") or "1"
     rest = m_bounds.group("rest").strip()
     core = sql[: m_ord.start()].rstrip()
     src = f"({core}) __fill_src"
@@ -4068,6 +4070,61 @@ def _rewrite_any_joins(sql: str) -> str:
         sql = sql[: m.start()] + f"{join_kw} {dedup}{tail} " + sql[cond_end:]
 
 
+def _rewrite_limit_ties(sql: str) -> str:
+    """CH ``ORDER BY … LIMIT n WITH TIES`` (round 8 — previously a raw
+    Spark ParseException): rows tied with the n-th row on the ORDER BY
+    key survive.  Rewritten to ``QUALIFY rank() OVER (ORDER BY …) <= n``
+    inserted before the owning ORDER BY — the existing QUALIFY machinery
+    (which runs right after this pass) does the subquery wrap."""
+
+    def depth_at(pos: int) -> int:
+        d, i = 0, 0
+        while i < pos:
+            ch = sql[i]
+            if ch in _QUOTE_CHARS:
+                i = _skip_quoted(sql, i)
+                continue
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            i += 1
+        return d
+
+    while True:
+        m = None
+        for cand in re.finditer(r"(?is)\bLIMIT\s+(\d+)\s+WITH\s+TIES\b", sql):
+            if _outside_strings(sql, cand.start()):
+                m = cand
+                break
+        if m is None:
+            break
+        d = depth_at(m.start())
+        om = None
+        for oc in re.finditer(r"(?is)\bORDER\s+BY\b", sql[: m.start()]):
+            if _outside_strings(sql, oc.start()) and depth_at(oc.start()) == d:
+                om = oc
+        if om is None:
+            raise DialectError("LIMIT … WITH TIES needs an ORDER BY")
+        spec = sql[om.end() : m.start()].strip()
+        n_rows = m.group(1)
+        sql = (
+            sql[: om.start()].rstrip()
+            + f" QUALIFY rank() OVER (ORDER BY {spec}) <= {n_rows} "
+            + sql[om.start() : m.start()].rstrip()
+            + " "
+            + sql[m.end() :].lstrip()
+        )
+    for leftover in re.finditer(r"(?is)\bWITH\s+TIES\b", sql):
+        if _outside_strings(sql, leftover.start()):
+            raise DialectError(
+                "WITH TIES is supported for `ORDER BY … LIMIT n WITH "
+                "TIES` — rewrite offset/expression forms with rank() "
+                "OVER the ORDER BY key"
+            )
+    return sql
+
+
 def _rewrite_qualify(sql: str) -> str:
     """ClickHouse 24.4+ ``QUALIFY <cond>`` — filter applied AFTER window
     functions evaluate — rewritten onto plain Spark SQL (round 6; replaced
@@ -4592,6 +4649,7 @@ def translate(sql: str) -> str:
     sql = _strip_suffix_clauses(sql)
     sql = _rewrite_asof_joins(sql)
     sql = _rewrite_any_joins(sql)
+    sql = _rewrite_limit_ties(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_join_modifiers(sql)
     sql = _rewrite_table_clauses(sql)

@@ -2479,3 +2479,24 @@ def test_array_index_positional(spark):
         " arrayFirstIndex(x -> x, CAST(array() AS ARRAY<INT>)) AS empty",
     )
     assert list(row) == [2, 3, 0, 2, 2, 0]
+
+
+def test_limit_with_ties_and_stepless_fill(spark):
+    spark.createDataFrame(
+        [(1, "p"), (2, "q"), (2, "r"), (3, "s")], "a int, b string"
+    ).createOrReplaceTempView("ties_t")
+    # LIMIT 2 WITH TIES keeps BOTH a=2 rows (3 rows total)
+    res = run_select_query(
+        spark,
+        "SELECT a, b FROM ties_t ORDER BY a LIMIT 2 WITH TIES",
+        dialect="clickhouse",
+    )
+    assert sorted(res["rows"]) == [[1, "p"], [2, "q"], [2, "r"]]
+    # STEP defaults to 1 (the CH contract) — fills 1..4
+    res = run_select_query(
+        spark,
+        "SELECT a, any(b) AS b FROM ties_t GROUP BY a"
+        " ORDER BY a WITH FILL FROM 1 TO 5",
+        dialect="clickhouse",
+    )
+    assert [r[0] for r in sorted(res["rows"])] == [1, 2, 3, 4]
