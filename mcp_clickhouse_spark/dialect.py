@@ -935,18 +935,17 @@ def _array_split_expr(a: list[str], reverse: bool) -> str:
     )
 
 
-def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
-    """Textually apply the user lambda at index ``idx_var``: each
-    parameter becomes ``element_at(arr_i, idx)``.  Two-phase placeholder
-    substitution so an array expression that happens to contain another
-    parameter's name is never corrupted; word-boundary-safe, string
-    literals untouched."""
+def _apply_lambda(lam: str, targets: list[str]) -> str:
+    """Textually apply the user lambda: each parameter becomes the
+    corresponding target expression.  Two-phase placeholder substitution
+    so a target that happens to contain another parameter's name is
+    never corrupted; word-boundary-safe, string literals untouched."""
     sp = _split_lambda(lam)
     if sp is None:
         raise DialectError(f"expected a lambda, got {lam!r}")
     params, body = sp
     names = [p.strip() for p in params.strip("() \t\n").split(",")]
-    if len(names) != len(arrays) or not all(
+    if len(names) != len(targets) or not all(
         re.match(r"^[A-Za-z_]\w*$", nm) for nm in names
     ):
         raise DialectError(
@@ -961,9 +960,50 @@ def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
                 parts[j],
             )
         body = "".join(parts)
-    for k2, arr in enumerate(arrays):
-        body = body.replace(f"\x00{k2}\x00", f"element_at({arr}, {idx_var})")
+    for k2, tgt in enumerate(targets):
+        body = body.replace(f"\x00{k2}\x00", tgt)
     return body
+
+
+def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
+    """:func:`_apply_lambda` with ``element_at(arr_i, idx)`` targets."""
+    return _apply_lambda(
+        lam, [f"element_at({arr}, {idx_var})" for arr in arrays]
+    )
+
+
+def _map_apply_expr(a: list[str]) -> str:
+    """CH ``mapApply((k, v) -> (k2, v2), m)``: rebuild the map with the
+    lambda applied per entry (round 8 — was an unresolved function).
+    The lambda body must be a two-element tuple — bare ``(k2, v2)`` or
+    the already-translated ``tuple(...)``/named_struct form (arguments
+    translate inside-out before templates apply)."""
+    if len(a) != 2:
+        raise DialectError("mapApply takes (lambda, map)")
+    sp = _split_lambda(a[0])
+    if sp is None:
+        raise DialectError("mapApply: first argument must be a lambda")
+    params, body = sp
+    body = body.strip()
+    pair: list[str] | None = None
+    if body.startswith("(") and _find_balanced(body, 0) == len(body):
+        pair = _split_args(body[1:-1])
+    else:
+        nm = re.match(r"(?is)^named_struct\s*\(", body)
+        if nm and _find_balanced(body, nm.end() - 1) == len(body):
+            items = _split_args(body[nm.end() : -1])
+            if len(items) == 4:
+                pair = [items[1], items[3]]
+    if pair is None or len(pair) != 2:
+        raise DialectError(
+            "mapApply: the lambda must return a (key, value) tuple"
+        )
+    kx = _apply_lambda(f"{params} -> {pair[0]}", ["__ma.key", "__ma.value"])
+    vx = _apply_lambda(f"{params} -> {pair[1]}", ["__ma.key", "__ma.value"])
+    return (
+        f"map_from_entries(transform(map_entries({a[1]}),"
+        f" __ma -> named_struct('key', {kx}, 'value', {vx})))"
+    )
 
 
 def _array_index_expr(a: list[str], last: bool) -> str:
@@ -1783,6 +1823,15 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "tounixtimestamp64milli": lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
     "tounixtimestamp64micro": lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
     "now64": lambda a: "now()",
+    # round 8: the NAME_MAP rename passed toDateTime's timezone (and
+    # toDateTime64's PRECISION) straight into to_timestamp's FORMAT slot —
+    # runtime parse failure.  Precision drops (Spark timestamps are µs);
+    # a literal timezone maps through to_utc_timestamp like parseDateTime*
+    "todatetime": lambda a: _with_parse_tz(a, 1, f"to_timestamp({a[0]})"),
+    "todatetime64": lambda a: _with_parse_tz(a, 2, f"to_timestamp({a[0]})"),
+    # mapApply((k, v) -> (k2, v2), m): rebuild entries with the user's
+    # lambda applied per entry (round 8 — was an unresolved function)
+    "mapapply": lambda a: _map_apply_expr(a),
     "format": _ch_format,
     "arraymap": _array_map_expr,
     "arrayfilter": _array_filter_expr,
@@ -1900,6 +1949,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "client-side or register a pandas UDF"
         ))))(_t)
         for _t in ("lgamma", "tgamma")
+    },
+    # geometry/H3 family: no Spark twins (Sedona-class extensions own
+    # this space) — guided instead of unresolved-function (round 8)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: no Spark builtin geometry — use a geospatial "
+            "extension (e.g. Apache Sedona) or a pandas UDF"
+        ))))(_t)
+        for _t in ("pointinpolygon", "greatcircleangle", "h3togeo",
+                   "geotoh3", "h3togeoboundary", "h3getresolution",
+                   "h3edgelengthm", "h3kring", "h3isvalid",
+                   "polygonareacartesian", "polygonperimetercartesian")
     },
     **{
         f"normalizeutf8{_f}": (lambda _n: (lambda a: (_ for _ in ()).throw(
@@ -2755,6 +2816,14 @@ def _strip_suffix_clauses(sql: str) -> str:
     `FORMAT X` (result marshaling is the tool layer's job)."""
     # FORMAT comes after SETTINGS in ClickHouse grammar — strip outside-in.
     sql = re.sub(r"(?is)\bFORMAT\s+[A-Za-z0-9_]+\s*;?\s*$", "", sql)
+    # INTO OUTFILE is a CLIENT-side file write — a read-only query tool
+    # has nowhere to put it (round 8: previously a raw Spark parse error)
+    m_of = re.search(r"(?is)\bINTO\s+OUTFILE\b", sql)
+    if m_of and _outside_strings(sql, m_of.start()):
+        raise DialectError(
+            "INTO OUTFILE is a client-side export — drop it; the tool "
+            "returns rows (write with DataFrame.write on the Spark side)"
+        )
     sql = re.sub(
         r"(?is)\bSETTINGS\s+[A-Za-z0-9_]+\s*=\s*[^,;]+(\s*,\s*[A-Za-z0-9_]+\s*=\s*[^,;]+)*\s*;?\s*$",
         "",
@@ -4070,6 +4139,29 @@ def _rewrite_any_joins(sql: str) -> str:
         sql = sql[: m.start()] + f"{join_kw} {dedup}{tail} " + sql[cond_end:]
 
 
+def _rewrite_tuple_index(sql: str) -> str:
+    """CH tuple access ``t.1`` / ``tuple(…).2`` → the ``_1.._n`` struct
+    fields this dialect renders tuples as (round 8 — previously a raw
+    Spark parse error).  Matches only after an identifier or closing
+    paren — a float literal's digit never does; a trailing word char
+    (``t.1e3``) blocks the match.  Chained access (``t.1.2``) resolves
+    by iterating to a fixed point."""
+    pat = re.compile(r"([A-Za-z_]\w*|\))\.(\d+)(?!\w)")
+
+    prev = None
+    while prev != sql:
+        prev = sql
+        frozen = sql
+
+        def repl(m: re.Match) -> str:
+            if not _outside_strings(frozen, m.start()):
+                return m.group(0)
+            return f"{m.group(1)}._{m.group(2)}"
+
+        sql = pat.sub(repl, sql)
+    return sql
+
+
 def _rewrite_limit_ties(sql: str) -> str:
     """CH ``ORDER BY … LIMIT n WITH TIES`` (round 8 — previously a raw
     Spark ParseException): rows tied with the n-th row on the ORDER BY
@@ -4659,6 +4751,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_brackets(sql)
+    sql = _rewrite_tuple_index(sql)
     out: list[str] = []
     i = 0
     n = len(sql)

@@ -2500,3 +2500,38 @@ def test_limit_with_ties_and_stepless_fill(spark):
         dialect="clickhouse",
     )
     assert [r[0] for r in sorted(res["rows"])] == [1, 2, 3, 4]
+
+
+def test_tuple_index_datetime64_mapapply(spark):
+    # CH tuple access t.1 / tuple(...).2 -> the _1.._n struct fields;
+    # float literals untouched
+    row = one(
+        spark,
+        "SELECT t.1 AS a, t.2 AS b, tuple(7, 8).2 AS c, 1.5 AS f"
+        " FROM (SELECT tuple(1, 'x') AS t)",
+    )
+    assert row[0] == 1 and row[1] == "x" and row[2] == 8
+    assert float(row[3]) == 1.5
+    # toDateTime64's precision previously landed in to_timestamp's FORMAT
+    # slot (runtime parse failure); literal timezones map like
+    # parseDateTime*
+    row = one(
+        spark,
+        "SELECT toDateTime64('2024-01-01 00:00:00', 3) AS ts,"
+        " toDateTime('2024-06-01 12:00:00', 'America/New_York') AS tz",
+    )
+    assert str(row[0]).startswith("2024-01-01 00:00")
+    assert str(row[1]).startswith("2024-06-01 16:00")  # EDT wall -> UTC
+    # mapApply rebuilds entries through the user's tuple-returning lambda
+    row = one(
+        spark,
+        "SELECT mapApply((k, v) -> (upper(k), v * 2),"
+        " map('a', 1, 'b', 2)) AS m",
+    )
+    assert dict(row[0]) == {"A": 2, "B": 4}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="client-side export"):
+        translate("SELECT a FROM t INTO OUTFILE 'x'")
+    with _pytest.raises(ValueError, match="geometry"):
+        translate("SELECT pointInPolygon((1,1), ps) FROM t")
