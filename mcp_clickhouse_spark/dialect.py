@@ -972,6 +972,23 @@ def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
     )
 
 
+def _accurate_cast(a: list[str], or_null: bool) -> str:
+    """CH accurateCast[OrNull](x, 'Type'): ANSI CAST already throws on
+    overflow (the 'accurate' contract); OrNull is TRY_CAST."""
+    if len(a) != 2:
+        raise DialectError("accurateCast takes (x, 'Type')")
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = TYPE_MAP.get(t)
+    if spark_t is None and re.fullmatch(r"decimal\s*\(\s*\d+\s*,\s*\d+\s*\)", t):
+        spark_t = t
+    if spark_t is None:
+        raise DialectError(
+            f"accurateCast: {a[1]} is not a mapped ClickHouse type name"
+        )
+    fn = "TRY_CAST" if or_null else "CAST"
+    return f"{fn}({a[0]} AS {spark_t})"
+
+
 def _map_apply_expr(a: list[str]) -> str:
     """CH ``mapApply((k, v) -> (k2, v2), m)``: rebuild the map with the
     lambda applied per entry (round 8 — was an unresolved function).
@@ -1832,6 +1849,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # mapApply((k, v) -> (k2, v2), m): rebuild entries with the user's
     # lambda applied per entry (round 8 — was an unresolved function)
     "mapapply": lambda a: _map_apply_expr(a),
+    # accurateCast throws on overflow exactly like ANSI CAST; the OrNull
+    # variant is TRY_CAST (round 8 — both fell through unresolved)
+    "accuratecast": lambda a: _accurate_cast(a, or_null=False),
+    "accuratecastornull": lambda a: _accurate_cast(a, or_null=True),
     "format": _ch_format,
     "arraymap": _array_map_expr,
     "arrayfilter": _array_filter_expr,
@@ -2578,6 +2599,27 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         "agg_weighted_quantile inventory query shows the formulation)"
     )),
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # plural quantiles* variants (round 8 — fell through unresolved):
+    # exact twins use percentile, sketch twins percentile_approx (same
+    # accuracy-class mapping as their singular forms above)
+    "quantilesexact": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    **{
+        f"quantiles{_s}": (lambda p, a: (
+            f"percentile_approx({a[0]}, array({', '.join(p)}), 10000)"
+        ))
+        for _s in ("timing", "tdigest", "bfloat16", "deterministic")
+    },
+    # EMA's reference point and normalization are CH-implementation
+    # details — guided like the other order-sensitive aggregates
+    "exponentialmovingaverage": lambda p, a: (_ for _ in ()).throw(
+        DialectError(
+            "exponentialMovingAverage: use avg(x) OVER (ORDER BY ts "
+            "ROWS n PRECEDING) or an explicit exp-decay weighted "
+            "sum/sum for a deterministic formulation"
+        )
+    ),
     # CH uniqUpTo(N)(x): exact distinct count while ≤ N, else N+1 — the
     # cap IS the contract (round 8; the uncapped form silently differed)
     "uniqupto": lambda p, a: (
@@ -4139,6 +4181,125 @@ def _rewrite_any_joins(sql: str) -> str:
         sql = sql[: m.start()] + f"{join_kw} {dedup}{tail} " + sql[cond_end:]
 
 
+_TERNARY_STOP = {
+    "select", "from", "where", "having", "when", "then", "else", "end",
+    "group", "order", "limit", "by", "as", "on", "using", "union",
+    "intersect", "except", "qualify", "settings", "prewhere", "case",
+    "distinct",
+    # NOT and/or/not: CH's ?: binds LOWEST, so `a AND b ? x : y` is
+    # if(a AND b, x, y) — the condition and else-branch span through
+    # boolean connectives
+}
+
+
+def _rewrite_ternary(sql: str) -> str:
+    """CH's C-style ternary ``cond ? a : b`` → ``IF(cond, a, b)``
+    (round 8 — previously a raw Spark parse error).  The condition spans
+    back to the nearest expression boundary (depth-0 comma, opening
+    paren, or clause/logic keyword — matching CH's precedence, where
+    ``?:`` binds lower than AND/OR the branches but the full boolean
+    condition is typically parenthesized); the false branch runs to the
+    matching boundary on the right.  ``::`` postfix casts are skipped;
+    nested ternaries resolve by iterating (right-associative)."""
+    while True:
+        qpos = None
+        for cand in re.finditer(r"\?", sql):
+            if _outside_strings(sql, cand.start()):
+                qpos = cand.start()
+                break
+        if qpos is None:
+            return sql
+        # matching ':' to the right (skip nested '?' and '::')
+        i, depth, nest, cpos = qpos + 1, 0, 0, None
+        while i < len(sql):
+            ch = sql[i]
+            if ch in _QUOTE_CHARS:
+                i = _skip_quoted(sql, i)
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    break
+                depth -= 1
+            elif ch == "?" and depth == 0:
+                nest += 1
+            elif ch == ":" and depth == 0:
+                if sql[i : i + 2] == "::" or (i > 0 and sql[i - 1] == ":"):
+                    i += 1
+                    continue
+                if nest == 0:
+                    cpos = i
+                    break
+                nest -= 1
+            i += 1
+        if cpos is None:
+            raise DialectError("ternary '?' without a matching ':'")
+        # condition start: scan left to the expression boundary
+        j, depth = qpos - 1, 0
+        start = 0
+        while j >= 0:
+            ch = sql[j]
+            if ch in "\"'`":
+                # walk back over the quoted span conservatively
+                j2 = j - 1
+                while j2 >= 0 and sql[j2] != ch:
+                    j2 -= 1
+                j = j2 - 1
+                continue
+            if ch in ")]":
+                depth += 1
+            elif ch in "([":
+                if depth == 0:
+                    start = j + 1
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                start = j + 1
+                break
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                w = re.search(r"[A-Za-z_]\w*$", sql[: j + 1])
+                if w and w.group(0).lower() in _TERNARY_STOP:
+                    start = j + 1
+                    break
+                j = w.start() if w else j
+            j -= 1
+        else:
+            start = 0
+        # false-branch end: scan right to the boundary
+        i, depth = cpos + 1, 0
+        end = len(sql)
+        while i < len(sql):
+            ch = sql[i]
+            if ch in _QUOTE_CHARS:
+                i = _skip_quoted(sql, i)
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif ch == "," and depth == 0:
+                end = i
+                break
+            elif depth == 0 and (ch.isalpha() or ch == "_"):
+                m2 = re.compile(r"[A-Za-z_]\w*").match(sql, i)
+                if m2 and m2.group(0).lower() in _TERNARY_STOP:
+                    end = i
+                    break
+                i = m2.end() if m2 else i + 1
+                continue
+            i += 1
+        cond = sql[start:qpos].strip()
+        then = sql[qpos + 1 : cpos].strip()
+        other = sql[cpos + 1 : end].strip()
+        if not cond or not then or not other:
+            raise DialectError("could not parse the ?: ternary expression")
+        sql = f"{sql[:start]} IF({cond}, {then}, {other}) {sql[end:]}"
+
+
 def _rewrite_tuple_index(sql: str) -> str:
     """CH tuple access ``t.1`` / ``tuple(…).2`` → the ``_1.._n`` struct
     fields this dialect renders tuples as (round 8 — previously a raw
@@ -4751,6 +4912,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_brackets(sql)
+    sql = _rewrite_ternary(sql)
     sql = _rewrite_tuple_index(sql)
     out: list[str] = []
     i = 0
@@ -4842,6 +5004,14 @@ def translate(sql: str) -> str:
         if lname == "cast" and k < n and sql[k] == "(":
             close = _find_balanced(sql, k)
             inner = translate(sql[k + 1 : close - 1])
+            # CH's comma form CAST(x, 'Type') (round 8 — previously
+            # passed through as invalid Spark syntax)
+            parts = _split_args(inner)
+            if len(parts) == 2 and re.fullmatch(
+                r"'[A-Za-z0-9_(), ]+'", parts[1].strip()
+            ):
+                t = parts[1].strip().strip("'").lower()
+                inner = f"{parts[0]} AS {TYPE_MAP.get(t, t)}"
             inner = re.sub(
                 r"(?i)\bAS\s+([A-Za-z0-9_]+)\s*$",
                 lambda mm: "AS "

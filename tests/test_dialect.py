@@ -2535,3 +2535,29 @@ def test_tuple_index_datetime64_mapapply(spark):
         translate("SELECT a FROM t INTO OUTFILE 'x'")
     with _pytest.raises(ValueError, match="geometry"):
         translate("SELECT pointInPolygon((1,1), ps) FROM t")
+
+
+def test_ternary_and_cast_forms(spark):
+    # CH's C-style ternary binds LOWEST: a AND b ? x : y = if(a AND b,..)
+    res = run_select_query(
+        spark,
+        "SELECT 1 > 0 ? 10 : 20 AS a,"
+        " 1 < 2 AND 3 > 4 ? 'yes' : 'no' AS b,"
+        " (2 > 1 ? 1 : 2 > 0 ? 2 : 3) AS nested,"
+        " concat(1 > 2 ? 'a' : 'b', 'c') AS inarg,"
+        " '?' AS lit",
+        dialect="clickhouse",
+    )
+    assert res["rows"] == [[10, "no", 1, "bc", "?"]]
+    # comma-form CAST and accurateCast[OrNull]
+    res = run_select_query(
+        spark,
+        "SELECT CAST('12', 'UInt32') AS c,"
+        " accurateCast(7, 'Int64') AS ac,"
+        " accurateCastOrNull('x', 'UInt32') AS bad,"
+        " quantilesExact(0.25, 0.5)(x) AS qs"
+        " FROM (SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)",
+        dialect="clickhouse",
+    )
+    assert res["rows"][0][:3] == [12, 7, None]
+    assert res["rows"][0][3] == [1.5, 2.0]
