@@ -972,6 +972,16 @@ def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
     )
 
 
+def _char_set(s: str) -> str:
+    """The string's character array, NULL-free even for empty input (an
+    empty-guard is needed because ``sequence(1, 0)`` is DESCENDING)."""
+    return (
+        f"filter(transform(sequence(1, greatest(length({s}), 1)),"
+        f" __ch -> IF(__ch <= length({s}), substring({s}, __ch, 1), NULL)),"
+        f" __cn -> __cn IS NOT NULL)"
+    )
+
+
 def _accurate_cast(a: list[str], or_null: bool) -> str:
     """CH accurateCast[OrNull](x, 'Type'): ANSI CAST already throws on
     overflow (the 'accurate' contract); OrNull is TRY_CAST."""
@@ -1853,6 +1863,58 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # variant is TRY_CAST (round 8 — both fell through unresolved)
     "accuratecast": lambda a: _accurate_cast(a, or_null=False),
     "accuratecastornull": lambda a: _accurate_cast(a, or_null=True),
+    # roaring-bitmap family → distinct-array set algebra (round 8): the
+    # bitmap OBJECT is CH-internal state; every SELECT-visible behavior
+    # (cardinality, and/or/xor, contains, toArray) is a set operation
+    "bitmapbuild": lambda a: f"array_distinct({a[0]})",
+    "bitmaptoarray": lambda a: f"array_sort(array_distinct({a[0]}))",
+    "bitmapcardinality": lambda a: f"size(array_distinct({a[0]}))",
+    "bitmapand": lambda a: f"array_intersect({a[0]}, {a[1]})",
+    "bitmapor": lambda a: f"array_distinct(concat({a[0]}, {a[1]}))",
+    "bitmapxor": lambda a: (
+        f"array_union(array_except({a[0]}, {a[1]}),"
+        f" array_except({a[1]}, {a[0]}))"
+    ),
+    "bitmapandnot": lambda a: f"array_except({a[0]}, {a[1]})",
+    "bitmapcontains": lambda a: f"array_contains({a[0]}, {a[1]})",
+    "bitmaphasany": lambda a: f"arrays_overlap({a[0]}, {a[1]})",
+    "bitmaphasall": lambda a: (
+        f"forall({a[1]}, __bh -> array_contains({a[0]}, __bh))"
+    ),
+    "bitmapandcardinality": lambda a: (
+        f"size(array_intersect({a[0]}, {a[1]}))"
+    ),
+    "bitmaporcardinality": lambda a: (
+        f"size(array_distinct(concat({a[0]}, {a[1]})))"
+    ),
+    "bitmapmin": lambda a: f"array_min({a[0]})",
+    "bitmapmax": lambda a: f"array_max({a[0]})",
+    # byte-set Jaccard over the strings' characters (CH compares byte
+    # sets; identical for ASCII, documented delta for multi-byte)
+    "stringjaccardindex": lambda a: (
+        f"try_divide("
+        f"CAST(size(array_intersect({_char_set(a[0])}, {_char_set(a[1])}))"
+        f" AS DOUBLE),"
+        f" size(array_distinct(concat({_char_set(a[0])},"
+        f" {_char_set(a[1])}))))"
+    ),
+    "translateutf8": lambda a: f"translate({a[0]}, {a[1]}, {a[2]})",
+    "positioncaseinsensitiveutf8": lambda a: (
+        f"instr(lower({a[0]}), lower({a[1]}))"
+    ),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: no Spark builtin — register a pandas UDF "
+            "(jellyfish/base58 libraries) or precompute client-side"
+        ))))(_t)
+        for _t in ("jarowinklersimilarity", "jarosimilarity",
+                   "base58encode", "base58decode")
+    },
+    "runningaccumulate": lambda a: (_ for _ in ()).throw(DialectError(
+        "runningAccumulate is block-relative — use sum(x) OVER "
+        "(ORDER BY … ROWS UNBOUNDED PRECEDING) for a deterministic "
+        "running total"
+    )),
     "format": _ch_format,
     "arraymap": _array_map_expr,
     "arrayfilter": _array_filter_expr,

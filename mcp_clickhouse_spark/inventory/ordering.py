@@ -31,7 +31,8 @@ from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# Exactly 50 names.
+# First 50 = the round-8 driver rotation; the tail (51+) is the
+# documented post-freeze block that leads round 9.
 PRIORITY: list[str] = [
     # brand-new round-8 queries — never driver-checked
     "sql_star_apply",

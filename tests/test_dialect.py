@@ -2561,3 +2561,22 @@ def test_ternary_and_cast_forms(spark):
     )
     assert res["rows"][0][:3] == [12, 7, None]
     assert res["rows"][0][3] == [1.5, 2.0]
+
+
+def test_bitmap_family_and_string_jaccard(spark):
+    # roaring-bitmap family -> distinct-array set algebra
+    row = one(
+        spark,
+        "SELECT bitmapCardinality(bitmapBuild(array(1, 2, 2, 3))) AS c,"
+        " bitmapToArray(bitmapAnd(bitmapBuild(array(1, 2, 3)),"
+        " bitmapBuild(array(2, 3, 4)))) AS ba,"
+        " bitmapToArray(bitmapXor(bitmapBuild(array(1, 2)),"
+        " bitmapBuild(array(2, 3)))) AS bx,"
+        " bitmapContains(bitmapBuild(array(5, 7)), 7) AS h7,"
+        " bitmapHasAll(bitmapBuild(array(1, 2, 3)),"
+        " bitmapBuild(array(2, 3))) AS hall,"
+        " stringJaccardIndex('abc', 'bcd') AS jac,"
+        " stringJaccardIndex('', 'a') AS jac0,"
+        " translateUTF8('abc', 'ab', 'xy') AS tr",
+    )
+    assert list(row) == [3, [2, 3], [1, 3], True, True, 0.5, 0.0, "xyc"]
