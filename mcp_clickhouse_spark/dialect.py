@@ -972,6 +972,34 @@ def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
     )
 
 
+def _vec_fold(a: list[str], kind: str) -> str:
+    """Double-accumulated element-wise folds for the vector-math family:
+    dot, L1/L2²/L∞ distances, L1/L2² norms (norms pass the same array
+    twice).  zip_with pads length mismatches with NULL → NULL result,
+    where ClickHouse throws on unequal sizes (documented delta)."""
+    if len(a) != 2:
+        raise DialectError("vector functions take exactly two arrays")
+    per = {
+        "dot": "CAST(__vx AS DOUBLE) * __vy",
+        "l1": "abs(CAST(__vx AS DOUBLE) - __vy)",
+        "l2sq": "power(CAST(__vx AS DOUBLE) - __vy, 2)",
+        "linf": "abs(CAST(__vx AS DOUBLE) - __vy)",
+        "n1": "abs(CAST(__vx AS DOUBLE))",
+        "n2sq": "CAST(__vx AS DOUBLE) * __vy",
+    }[kind]
+    zipped = f"zip_with({a[0]}, {a[1]}, (__vx, __vy) -> {per})"
+    if kind == "linf":
+        return f"array_max({zipped})"
+    return f"aggregate({zipped}, CAST(0 AS DOUBLE), (__va, __vb) -> __va + __vb)"
+    """The string's character array, NULL-free even for empty input (an
+    empty-guard is needed because ``sequence(1, 0)`` is DESCENDING)."""
+    return (
+        f"filter(transform(sequence(1, greatest(length({s}), 1)),"
+        f" __ch -> IF(__ch <= length({s}), substring({s}, __ch, 1), NULL)),"
+        f" __cn -> __cn IS NOT NULL)"
+    )
+
+
 def _char_set(s: str) -> str:
     """The string's character array, NULL-free even for empty input (an
     empty-guard is needed because ``sequence(1, 0)`` is DESCENDING)."""
@@ -1291,7 +1319,7 @@ def _fss_expr(a: list[str], cut: bool) -> str:
     return f"IF({n} >= 2, try_element_at({parts}, {idx}), '')"
 
 
-def _map_agg_expr(a: list[str], how: str) -> str:
+def _map_agg_expr(a: list[str], how: str, keys_filter: str | None = None) -> str:
     """CH ``sumMap/minMap/maxMap(keys, values)`` as ONE aggregate
     expression (round 8 — these were unresolved-function errors; the
     DataFrame operator operators/map_agg.py remains the scale path).
@@ -1304,10 +1332,13 @@ def _map_agg_expr(a: list[str], how: str) -> str:
     hash aggregations with map-side partial combine)."""
     if len(a) != 2:
         raise DialectError(f"{how}Map takes (key_array, value_array)")
+    keep = "__mp.k IS NOT NULL AND __mp.v IS NOT NULL"
+    if keys_filter is not None:
+        keep += f" AND array_contains({keys_filter}, __mp.k)"
     pairs = (
         f"filter(flatten(collect_list(zip_with({a[0]}, {a[1]},"
         f" (__mk, __mv) -> named_struct('k', __mk, 'v', __mv)))),"
-        f" __mp -> __mp.k IS NOT NULL AND __mp.v IS NOT NULL)"
+        f" __mp -> {keep})"
     )
     keys = f"array_sort(array_distinct(transform({pairs}, __mq -> __mq.k)))"
     vs = f"transform(filter({pairs}, __mr -> __mr.k = __mg), __ms -> __ms.v)"
@@ -1897,6 +1928,61 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" AS DOUBLE),"
         f" size(array_distinct(concat({_char_set(a[0])},"
         f" {_char_set(a[1])}))))"
+    ),
+    # vector-math family (round 8 — fell through unresolved; the scale
+    # path for embedding columns lives in pipeline/similarity.py, these
+    # are the faithful scalar spellings): double-accumulated folds
+    "arraydotproduct": lambda a: _vec_fold(a, "dot"),
+    "dotproduct": lambda a: _vec_fold(a, "dot"),
+    "arrayl1distance": lambda a: _vec_fold(a, "l1"),
+    "arrayl2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
+    "arrayl2squareddistance": lambda a: _vec_fold(a, "l2sq"),
+    "arraylinfdistance": lambda a: _vec_fold(a, "linf"),
+    "l1distance": lambda a: _vec_fold(a, "l1"),
+    "l2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
+    "l2squareddistance": lambda a: _vec_fold(a, "l2sq"),
+    "linfdistance": lambda a: _vec_fold(a, "linf"),
+    "arrayl1norm": lambda a: _vec_fold([a[0], a[0]], "n1"),
+    "arrayl2norm": lambda a: f"sqrt({_vec_fold([a[0], a[0]], 'n2sq')})",
+    "l1norm": lambda a: _vec_fold([a[0], a[0]], "n1"),
+    "l2norm": lambda a: f"sqrt({_vec_fold([a[0], a[0]], 'n2sq')})",
+    "arraycosinedistance": lambda a: (
+        f"(1.0D - try_divide({_vec_fold(a, 'dot')},"
+        f" sqrt({_vec_fold([a[0], a[0]], 'n2sq')})"
+        f" * sqrt({_vec_fold([a[1], a[1]], 'n2sq')})))"
+    ),
+    "cosinedistance": lambda a: (
+        f"(1.0D - try_divide({_vec_fold(a, 'dot')},"
+        f" sqrt({_vec_fold([a[0], a[0]], 'n2sq')})"
+        f" * sqrt({_vec_fold([a[1], a[1]], 'n2sq')})))"
+    ),
+    "normalizel2": lambda a: (
+        f"transform({a[0]}, __nv -> CAST(__nv AS DOUBLE)"
+        f" / sqrt({_vec_fold([a[0], a[0]], 'n2sq')}))"
+    ),
+    # CH timeSlots(start, duration[, size]): array of slot starts
+    "timeslots": lambda a: (
+        lambda sz: (
+            f"transform(sequence("
+            f"floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / {sz}),"
+            f" floor((unix_seconds(CAST({a[0]} AS TIMESTAMP)) + ({a[1]}))"
+            f" / {sz})), __ts -> timestamp_seconds(__ts * {sz}))"
+        )
+    )(a[2] if len(a) > 2 else "1800"),
+    # groupConcat (alias of arrayStringConcat(groupArray(x))): same
+    # collection-order contract as groupArray on both engines
+    "groupconcat": lambda a: f"concat_ws('', collect_list({a[0]}))",
+    # -Array combinator heads: the aggregate over all ELEMENTS.  uniq is
+    # CH-approximate; the exact distinct here is the stronger guarantee
+    # (same precedent as anyHeavy → mode)
+    "uniqarray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    "uniqexactarray": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    "countarray": lambda a: (
+        f"aggregate(collect_list(size({a[0]})), 0L, (__ca, __cb) -> __ca + __cb)"
     ),
     "translateutf8": lambda a: f"translate({a[0]}, {a[1]}, {a[2]})",
     "positioncaseinsensitiveutf8": lambda a: (
@@ -2718,6 +2804,9 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     )),
     "sequencematch": lambda p, a: _sequence_match_expr(p, a, count=False),
     "sequencecount": lambda p, a: _sequence_match_expr(p, a, count=True),
+    # round 8: delimiter-parametric groupConcat and key-filtered sumMap
+    "groupconcat": lambda p, a: f"concat_ws({p[0]}, collect_list({a[0]}))",
+    "summapfiltered": lambda p, a: _map_agg_expr(a, "sum", keys_filter=p[0]),
 }
 
 

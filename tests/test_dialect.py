@@ -2580,3 +2580,29 @@ def test_bitmap_family_and_string_jaccard(spark):
         " translateUTF8('abc', 'ab', 'xy') AS tr",
     )
     assert list(row) == [3, [2, 3], [1, 3], True, True, 0.5, 0.0, "xyc"]
+
+
+def test_vector_math_and_array_combinators(spark):
+    row = one(
+        spark,
+        "SELECT arrayDotProduct(array(1, 2, 3), array(4, 5, 6)) AS dot,"
+        " arrayL2Distance(array(0, 0), array(3, 4)) AS l2,"
+        " arrayL1Distance(array(1, 1), array(2, 3)) AS l1,"
+        " arrayLinfDistance(array(1, 1), array(2, 5)) AS linf,"
+        " round(cosineDistance(array(1, 0), array(0, 1)), 9) AS ortho,"
+        " round(cosineDistance(array(1, 1), array(2, 2)), 9) AS parallel,"
+        " normalizeL2(array(3, 4)) AS norm,"
+        " arrayL2Norm(array(3, 4)) AS n2",
+    )
+    assert list(row) == [32.0, 5.0, 3.0, 4.0, 1.0, 0.0, [0.6, 0.8], 5.0]
+    row = one(
+        spark,
+        "SELECT groupConcat(s) AS g1, groupConcat(',')(s) AS g2,"
+        " uniqArray(arr) AS ua,"
+        " tupleElement(sumMapFiltered(array('a'))(k, v), 2) AS smf"
+        " FROM (SELECT 'x' AS s, array(1, 2) AS arr, array('a', 'b') AS k,"
+        " array(10, 20) AS v"
+        " UNION ALL SELECT 'y', array(2, 3), array('a'), array(5))",
+    )
+    assert sorted(row[0]) == ["x", "y"] and sorted(row[1].split(",")) == ["x", "y"]
+    assert row[2] == 3 and row[3] == [15]
