@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "pipe_line_dedup",
     "agg_rank_corr",
     "scalar_url_hierarchy",
+    "scalar_vector_math",
 ]
 
 

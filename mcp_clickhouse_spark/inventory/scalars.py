@@ -499,3 +499,48 @@ def scalar_url_hierarchy(spark, sf_dir):
 
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_SQL_URL_HIERARCHY_CH))
+
+
+_SQL_VECTOR_MATH_CH = """
+SELECT vec_id,
+       round(arrayL2Norm(embedding), 5) AS n2,
+       round(arrayDotProduct(embedding, embedding), 5) AS dot_self,
+       round(arrayL1Distance(embedding,
+                             arrayMap(x -> 0 - x, embedding)), 5) AS l1_opp,
+       round(cosineDistance(embedding,
+                            arrayMap(x -> 0 - x, embedding)), 9) AS cos_opp
+FROM embeddings ORDER BY vec_id LIMIT 500
+"""
+
+
+@query(
+    "scalar_vector_math",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id,
+             list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * x)) AS sq,
+             list_sum(list_transform(embedding,
+               x -> 2 * abs(CAST(x AS DOUBLE)))) AS l1d
+      FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(sqrt(sq), 5) AS n2,
+           ROUND(sq, 5) AS dot_self,
+           ROUND(l1d, 5) AS l1_opp,
+           ROUND(1.0 - (0.0 - sq) / (sqrt(sq) * sqrt(sq)), 9) AS cos_opp
+    FROM base ORDER BY vec_id LIMIT 500
+    """,
+    category="scalars",
+)
+def scalar_vector_math(spark, sf_dir):
+    """The vector-math family as verbatim SQL text (round 8 — all were
+    unresolved functions): L2 norm, dot product, L1 distance, and cosine
+    distance over the real embedding column, composed with arrayMap
+    negation so the expected values have closed forms (cosine to the
+    opposite vector ≈ 2).  Double-accumulated folds on both engines;
+    rounded because fold orders differ."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_SQL_VECTOR_MATH_CH))
