@@ -1000,6 +1000,21 @@ def _vec_fold(a: list[str], kind: str) -> str:
     )
 
 
+def _case_with_expression(a: list[str]) -> str:
+    """CH ``caseWithExpression(x, v1, r1, …, default)`` — the functional
+    spelling of ``CASE x WHEN v THEN r … ELSE default END``."""
+    if len(a) < 4 or len(a) % 2 != 0:
+        raise DialectError(
+            "caseWithExpression takes (x, v1, r1, …, default)"
+        )
+    pairs = a[1:-1]
+    whens = " ".join(
+        f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+        for i in range(0, len(pairs), 2)
+    )
+    return f"CASE {a[0]} {whens} ELSE {a[-1]} END"
+
+
 def _char_set(s: str) -> str:
     """The string's character array, NULL-free even for empty input (an
     empty-guard is needed because ``sequence(1, 0)`` is DESCENDING)."""
@@ -1985,6 +2000,77 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"aggregate(collect_list(size({a[0]})), 0L, (__ca, __cb) -> __ca + __cb)"
     ),
     "translateutf8": lambda a: f"translate({a[0]}, {a[1]}, {a[2]})",
+    # ---- round-8 fourth-wave tail ------------------------------------
+    # Joda patterns ARE Java datetime patterns — Spark's native syntax
+    "formatdatetimeinjodasyntax": lambda a: f"date_format({a[0]}, {a[1]})",
+    "parsedatetimeinjodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",
+    "parsedatetime64injodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",
+    "parsedatetimeinjodasyntaxornull": lambda a: (
+        f"try_to_timestamp({a[0]}, {a[1]})"
+    ),
+    # Twitter-epoch snowflake IDs (public constant 1288834974657 ms)
+    "snowflaketodatetime": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
+    ),
+    "snowflaketodatetime64": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + 1288834974657)"
+    ),
+    "datetimetosnowflake": lambda a: (
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP))"
+        f" - 1288834974657, 22)"
+    ),
+    "datetime64tosnowflake": lambda a: (
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP))"
+        f" - 1288834974657, 22)"
+    ),
+    "encodexmlcomponent": lambda a: (
+        f"replace(replace(replace(replace(replace({a[0]},"
+        f" '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+        f" '\"', '&quot;'), '''', '&apos;')"
+    ),
+    "currentdatabase": lambda a: "current_database()",
+    "currentschemas": lambda a: "array(current_database())",
+    "currentuser": lambda a: "current_user()",
+    # toIPv4OrNull: the numeric conversion guarded by the dotted-quad
+    # regex (the plain form errors through ANSI CAST on junk)
+    "toipv4ornull": lambda a: (
+        f"CASE WHEN {TEMPLATES['isipv4string'](a)}"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END"
+    ),
+    # CIDR range as the _1/_2 tuple of (first, last) address numbers
+    "ipv4cidrtorange": lambda a: (
+        f"named_struct('_1', ({a[0]})"
+        f" & (shiftleft(-1L, 32 - ({a[1]})) & 4294967295),"
+        f" '_2', (({a[0]})"
+        f" & (shiftleft(-1L, 32 - ({a[1]})) & 4294967295))"
+        f" + shiftleft(1L, 32 - ({a[1]})) - 1)"
+    ),
+    "macnumtostring": lambda a: (
+        f"lower(concat_ws(':', transform(sequence(5, 0, -1),"
+        f" __mb -> lpad(hex(shiftright({a[0]}, __mb * 8) & 255), 2, '0'))))"
+    ),
+    "macstringtonum": lambda a: (
+        f"aggregate(split({a[0]}, ':'), 0L,"
+        f" (__ma2, __mx2) -> __ma2 * 256"
+        f" + CAST(conv(__mx2, 16, 10) AS BIGINT))"
+    ),
+    "casewithexpression": _case_with_expression,
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: 128-bit IPv6 arithmetic needs binary handling no "
+            "Spark builtin provides — use a pandas UDF (ipaddress module)"
+        ))))(_t)
+        for _t in ("ipv6numtostring", "ipv6stringtonum", "cutipv6",
+                   "ipv6cidrtorange", "toipv6", "toipv6ornull")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n} is ClickHouse-server introspection — this engine has "
+            "no server identity; query Spark confs through the tool layer"
+        ))))(_t)
+        for _t in ("hostname", "serveruuid", "uptime", "tcpport",
+                   "buildid")
+    },
     "positioncaseinsensitiveutf8": lambda a: (
         f"instr(lower({a[0]}), lower({a[1]}))"
     ),

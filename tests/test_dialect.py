@@ -2606,3 +2606,32 @@ def test_vector_math_and_array_combinators(spark):
     )
     assert sorted(row[0]) == ["x", "y"] and sorted(row[1].split(",")) == ["x", "y"]
     assert row[2] == 3 and row[3] == [15]
+
+
+def test_round8_fourth_wave_tail(spark):
+    row = one(
+        spark,
+        "SELECT formatDateTimeInJodaSyntax("
+        " toDateTime('2024-03-05 10:00:00'), 'yyyy-MM') AS joda,"
+        " snowflakeToDateTime(1545442887390314496) AS snow,"
+        " encodeXMLComponent('a<b&c') AS xml,"
+        " toIPv4OrNull('1.2.3.4') AS ip_ok, toIPv4OrNull('junk') AS ip_bad,"
+        " tupleElement(IPv4CIDRToRange("
+        " IPv4StringToNum('192.168.5.2'), 16), 1) AS cidr_lo,"
+        " MACNumToString(1108152157446) AS mac,"
+        " MACStringToNum('01:02:03:04:05:06') AS mac_num,"
+        " caseWithExpression(2, 1, 'one', 2, 'two', 'other') AS cwe",
+    )
+    assert row[0] == "2024-03"
+    assert str(row[1]).startswith("2022-07-08")
+    assert row[2] == "a&lt;b&amp;c"
+    assert row[3] == 16909060 and row[4] is None
+    assert row[5] == 3232235520  # 192.168.0.0
+    assert row[6] == "01:02:03:04:05:06" and row[7] == 1108152157446
+    assert row[8] == "two"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="introspection"):
+        translate("SELECT hostName()")
+    with _pytest.raises(ValueError, match="IPv6"):
+        translate("SELECT IPv6StringToNum(s) FROM t")
