@@ -1000,6 +1000,25 @@ def _vec_fold(a: list[str], kind: str) -> str:
     )
 
 
+def _default_of_type(a: list[str]) -> str:
+    """CH defaultValueOfTypeName('T'): 0 / '' / epoch per type family."""
+    t = a[0].strip().strip("'\"").lower()
+    spark_t = TYPE_MAP.get(t)
+    if spark_t is None:
+        raise DialectError(
+            f"defaultValueOfTypeName: {a[0]} is not a mapped type name"
+        )
+    if spark_t == "STRING":
+        return "''"
+    if spark_t == "DATE":
+        return "DATE '1970-01-01'"
+    if spark_t == "TIMESTAMP":
+        return "TIMESTAMP '1970-01-01 00:00:00'"
+    if spark_t == "BOOLEAN":
+        return "false"
+    return f"CAST(0 AS {spark_t})"
+
+
 def _case_with_expression(a: list[str]) -> str:
     """CH ``caseWithExpression(x, v1, r1, …, default)`` — the functional
     spelling of ``CASE x WHEN v THEN r … ELSE default END``."""
@@ -2001,6 +2020,61 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "translateutf8": lambda a: f"translate({a[0]}, {a[1]}, {a[2]})",
     # ---- round-8 fourth-wave tail ------------------------------------
+    # position(needle IN haystack): the SQL-standard spelling REVERSES
+    # the argument order vs position(haystack, needle) — previously the
+    # raw `IN` leaked into instr() (round 8)
+    "position": lambda a: (
+        (lambda sp: f"instr({sp[1].strip()}, {sp[0].strip()})"
+         if sp else f"instr({', '.join(a)})")(
+            re.split(r"(?i)\s+IN\s+", a[0], maxsplit=1)
+            if len(a) == 1 and re.search(r"(?i)\s+IN\s+", a[0])
+            else None
+        )
+    ),
+    # CH trunc/truncate are NUMERIC (toward zero); Spark's trunc is
+    # date-only.  Two-arg string form passes through (date semantics).
+    "trunc": lambda a: (
+        f"IF({a[0]} >= 0, floor({a[0]}, {a[1]}), ceil({a[0]}, {a[1]}))"
+        if len(a) == 2 and not a[1].strip().startswith("'")
+        else f"IF({a[0]} >= 0, floor({a[0]}), ceil({a[0]}))"
+        if len(a) == 1
+        else f"trunc({', '.join(a)})"
+    ),
+    "truncate": lambda a: TEMPLATES["trunc"](a),
+    # whole-block approximation of CH's bar() (CH draws fractional
+    # eighth-blocks too — documented delta)
+    "bar": lambda a: (
+        f"repeat('█', CAST(floor((({a[0]}) - ({a[1]}))"
+        f" / (({a[2]}) - ({a[1]})) * ({a[3] if len(a) > 3 else '80'}))"
+        f" AS INT))"
+    ),
+    "globalin": lambda a: (
+        f"({a[0]} IN {a[1]})" if a[1].strip().startswith("(")
+        else f"array_contains({a[1]}, {a[0]})"
+    ),
+    "globalnotin": lambda a: (
+        f"(NOT ({a[0]} IN {a[1]}))" if a[1].strip().startswith("(")
+        else f"(NOT array_contains({a[1]}, {a[0]}))"
+    ),
+    "iszeroornull": lambda a: f"ifnull({a[0]} = 0, true)",
+    "bithammingdistance": lambda a: f"bit_count({a[0]} ^ {a[1]})",
+    "countdigits": lambda a: (
+        f"length(regexp_replace(CAST(abs({a[0]}) AS STRING),"
+        f" '[^0-9]', ''))"
+    ),
+    "defaultvalueoftypename": lambda a: _default_of_type(a),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n} stalls the worker — a read-only analytics tool does "
+            "not sleep; remove it"
+        ))))(_t)
+        for _t in ("sleep", "sleepeachrow")
+    },
+    "proportionsztest": lambda a: (_ for _ in ()).throw(DialectError(
+        "proportionsZTest returns a p-value tuple needing the normal "
+        "CDF — compute the z statistic from the counts and look the "
+        "p-value up client-side"
+    )),
     # Joda patterns ARE Java datetime patterns — Spark's native syntax
     "formatdatetimeinjodasyntax": lambda a: f"date_format({a[0]}, {a[1]})",
     "parsedatetimeinjodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",

@@ -2635,3 +2635,29 @@ def test_round8_fourth_wave_tail(spark):
         translate("SELECT hostName()")
     with _pytest.raises(ValueError, match="IPv6"):
         translate("SELECT IPv6StringToNum(s) FROM t")
+
+
+def test_position_in_trunc_bar_misc(spark):
+    row = one(
+        spark,
+        "SELECT position('needle' IN 'find the needle here') AS posin,"
+        " position('hay-needle', 'needle') AS pos2,"
+        " trunc(-2.78, 1) AS tneg, trunc(2.78) AS tpos,"
+        " bar(30, 0, 100, 10) AS b,"
+        " globalIn(2, (1, 2, 3)) AS gin,"
+        " isZeroOrNull(CAST(NULL AS INT)) AS zn,"
+        " bitHammingDistance(5, 6) AS bhd,"
+        " countDigits(-1234) AS cd,"
+        " defaultValueOfTypeName('UInt32') AS dv,"
+        " defaultValueOfTypeName('String') AS dvs",
+    )
+    # the SQL-standard position(needle IN haystack) REVERSES arg order
+    assert row[0] == 10 and row[1] == 5
+    assert float(row[2]) == -2.7 and float(row[3]) == 2.0
+    assert row[4] == "███" and row[5] is True and row[6] is True
+    assert row[7] == 2 and row[8] == 4
+    assert row[9] == 0 and row[10] == ""
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sleep"):
+        translate("SELECT sleep(1)")
