@@ -1447,6 +1447,288 @@ def _max_intersections_expr(a: list[str], position: bool) -> str:
     )
 
 
+def _tt_pieces(a: list[str]) -> tuple[str, str, str, str, str, str]:
+    """Shared conditional-moment pieces for the two-sample tests.
+
+    ClickHouse's contract (AggregateFunctionTTest docs): sample_index = 0
+    → first sample, any other value → second sample.  Returns SQL for
+    (n0, n1, m0, m1, v0, v1) with var_samp (n−1 denominator, what the
+    t statistics are defined on)."""
+    if len(a) != 2:
+        raise DialectError(
+            "two-sample tests take (sample_data, sample_index)"
+        )
+    x, g = a[0], a[1]
+    d0 = f"(CASE WHEN ({g}) = 0 THEN CAST(({x}) AS DOUBLE) END)"
+    d1 = f"(CASE WHEN ({g}) <> 0 THEN CAST(({x}) AS DOUBLE) END)"
+    return (
+        f"count({d0})",
+        f"count({d1})",
+        f"avg({d0})",
+        f"avg({d1})",
+        f"var_samp({d0})",
+        f"var_samp({d1})",
+    )
+
+
+def _ttest_expr(a: list[str], welch: bool, cl: str | None = None) -> str:
+    """CH studentTTest / welchTTest (round 8 — p-values were a guided
+    error): (t_statistic, p_value) as one aggregate expression, the
+    two-sided p riding on the ``ch_t_sf`` pandas UDF (functions/stats.py,
+    lgamma-backed incomplete beta — one Python row PER GROUP, not per
+    input row).  Student: pooled variance, df = n0+n1−2.  Welch:
+    unpooled, Welch–Satterthwaite df.  Sign convention: mean(first) −
+    mean(second), first sample = index 0.  With a confidence-level
+    parameter CH appends the CI bounds; ``ch_t_ppf`` (bisection inverse)
+    supplies the critical value.  Degenerate groups (a sample with < 2
+    rows) yield NULL/NaN where CH reports nan — try_divide throughout
+    keeps ANSI mode from throwing DIVIDE_BY_ZERO."""
+    n0, n1, m0, m1, v0, v1 = _tt_pieces(a)
+    if welch:
+        s0 = f"try_divide({v0}, {n0})"
+        s1 = f"try_divide({v1}, {n1})"
+        se = f"sqrt({s0} + {s1})"
+        t = f"try_divide({m0} - {m1}, {se})"
+        df = (
+            f"try_divide(power({s0} + {s1}, 2),"
+            f" try_divide(power({s0}, 2), {n0} - 1)"
+            f" + try_divide(power({s1}, 2), {n1} - 1))"
+        )
+    else:
+        df = f"({n0} + {n1} - 2)"
+        vp = f"try_divide(({n0} - 1) * {v0} + ({n1} - 1) * {v1}, {df})"
+        se = (
+            f"sqrt(({vp}) * (try_divide(1.0, {n0})"
+            f" + try_divide(1.0, {n1})))"
+        )
+        t = f"try_divide({m0} - {m1}, {se})"
+    p = f"2 * ch_t_sf(abs({t}), CAST({df} AS DOUBLE))"
+    if cl is None:
+        return f"named_struct('t_statistic', {t}, 'p_value', {p})"
+    crit = (
+        f"ch_t_ppf((1.0 + ({cl})) / 2, CAST({df} AS DOUBLE))"
+    )
+    diff = f"({m0} - {m1})"
+    return (
+        f"named_struct('t_statistic', {t}, 'p_value', {p},"
+        f" 'confidence_interval_low', {diff} - {crit} * {se},"
+        f" 'confidence_interval_high', {diff} + {crit} * {se})"
+    )
+
+
+def _ttest_parametric(p: list[str], a: list[str], welch: bool) -> str:
+    # the plain-call dispatch injects the quantile default "0.5" — for
+    # the t tests that IS a valid confidence level, so CH semantics
+    # (plain call → no CI columns) need the explicit-params path only
+    # for genuinely parametric invocations; translate() routes plain
+    # calls to TEMPLATES first, so p here is always user-supplied
+    if len(p) != 1:
+        raise DialectError(
+            "studentTTest/welchTTest take at most one parameter "
+            "(the confidence level)"
+        )
+    return _ttest_expr(a, welch, cl=p[0])
+
+
+def _mw_params(p: list[str]) -> tuple[str, bool]:
+    """Parse mannWhitneyUTest([alternative[, continuity]]) parameters."""
+    alt, cont = "two-sided", True
+    ps = [q.strip() for q in p if q.strip()]
+    if ps and ps[0] == "0.5":
+        ps = ps[1:]  # injected plain-call default, not a user parameter
+    if ps and re.fullmatch(r"'[^']*'", ps[0]):
+        alt = ps[0][1:-1].lower()
+        ps = ps[1:]
+    if alt not in ("two-sided", "greater", "less"):
+        raise DialectError(
+            "mannWhitneyUTest alternative must be 'two-sided', "
+            "'greater' or 'less'"
+        )
+    if ps:
+        cont = ps[0].lower() not in ("0", "false")
+    return alt, cont
+
+
+def _mann_whitney_expr(p: list[str], a: list[str]) -> str:
+    """CH mannWhitneyUTest (round 8 — was a guided error): rank-sum U of
+    the FIRST sample (index 0) + the normal approximation CH itself uses
+    (tie-corrected σ, continuity correction on by default).  Average
+    ranks via an O(n log n) tied-run fold over one sorted collect_list
+    per group — per-group memory, the contract CH's own implementation
+    has.  Validated against ClickHouse's documented example:
+    mannWhitneyUTest('greater') on (10,11,12 | 1,2,3) → (9,
+    0.04042779918503192)."""
+    alt, cont = _mw_params(p)
+    if len(a) != 2:
+        raise DialectError(
+            "mannWhitneyUTest takes (sample_data, sample_index)"
+        )
+    x, g = a[0], a[1]
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL"
+        f" AND ({g}) IS NOT NULL THEN named_struct("
+        f"'v', CAST(({x}) AS DOUBLE), 'g', IF(({g}) = 0, 0, 1)) END))"
+    )
+    n0 = f"CAST(size(filter({pairs}, __mf -> __mf.g = 0)) AS DOUBLE)"
+    n1 = f"CAST(size(filter({pairs}, __mg -> __mg.g = 1)) AS DOUBLE)"
+    # Tied-run sweep FOLDED OVER the value-sorted pairs themselves: a run
+    # of equal values spanning 1-based positions rs..pos contributes
+    # (rs+pos)/2 as the average rank of each member and t³−t
+    # (t = pos−rs+1) to the tie correction.  A run closes when the next
+    # element's value differs (pv tracks the previous value); the finish
+    # lambda closes the last run.  Folding the array directly — rather
+    # than sequence(1,n) + element_at(pairs, i) — matters: lambda bodies
+    # get no common-subexpression elimination, so an element_at form
+    # re-sorts the collect_list at EVERY step (O(n² log n) per group,
+    # measured: times out at ~3k rows/group where this form runs in
+    # milliseconds).  O(n log n), no O(n) expression inside the lambda.
+    runlen = "(__mk.pos - __mk.rs + 1)"
+    close_r1 = "__mk.r1 + __mk.c0 * (__mk.rs + __mk.pos) / 2.0"
+    close_tt = f"__mk.tt + power({runlen}, 3) - {runlen}"
+    sweep = (
+        f"aggregate({pairs},"
+        f" named_struct('pos', 0.0D, 'rs', 1.0D, 'c0', 0.0D,"
+        f" 'r1', 0.0D, 'tt', 0.0D, 'pv', CAST(NULL AS DOUBLE)),"
+        f" (__mk, __me) -> IF("
+        f"__mk.pv IS NOT NULL AND __me.v <> __mk.pv,"
+        f" named_struct('pos', __mk.pos + 1, 'rs', __mk.pos + 1,"
+        f" 'c0', IF(__me.g = 0, 1.0D, 0.0D),"
+        f" 'r1', {close_r1}, 'tt', {close_tt}, 'pv', __me.v),"
+        f" named_struct('pos', __mk.pos + 1, 'rs', __mk.rs,"
+        f" 'c0', __mk.c0 + IF(__me.g = 0, 1.0D, 0.0D),"
+        f" 'r1', __mk.r1, 'tt', __mk.tt, 'pv', __me.v)),"
+        f" __mk -> named_struct('r1', {close_r1}, 'tt', {close_tt}))"
+    )
+    r1 = f"({sweep}).r1"
+    u1 = f"({r1} - {n0} * ({n0} + 1) / 2)"
+    ties = f"({sweep}).tt"
+    nt = f"({n0} + {n1})"
+    sd = (
+        f"sqrt(({n0} * {n1} / 12.0) * (({nt} + 1)"
+        f" - try_divide({ties}, {nt} * ({nt} - 1))))"
+    )
+    mu = f"({n0} * {n1} / 2.0)"
+    cc = "0.5" if cont else "0.0"
+    if alt == "two-sided":
+        z = f"try_divide(greatest(abs({u1} - {mu}) - {cc}, 0.0D), {sd})"
+        pv = f"2 * ch_norm_sf({z})"
+    elif alt == "greater":
+        z = f"try_divide({u1} - {mu} - {cc}, {sd})"
+        pv = f"ch_norm_sf({z})"
+    else:
+        z = f"try_divide({u1} - {mu} + {cc}, {sd})"
+        pv = f"ch_norm_sf(-({z}))"
+    return f"named_struct('u_statistic', {u1}, 'p_value', {pv})"
+
+
+def _ks_params(p: list[str]) -> str:
+    alt = "two-sided"
+    ps = [q.strip() for q in p if q.strip()]
+    if ps and ps[0] == "0.5":
+        ps = ps[1:]  # injected plain-call default
+    if ps and re.fullmatch(r"'[^']*'", ps[0]):
+        alt = ps[0][1:-1].lower()
+        ps = ps[1:]
+    if alt not in ("two-sided", "greater", "less"):
+        raise DialectError(
+            "kolmogorovSmirnovTest alternative must be 'two-sided', "
+            "'greater' or 'less'"
+        )
+    # the computation_method parameter ('auto'|'exact'|'asymp') is
+    # accepted but the p-value is ALWAYS the asymptotic one — same
+    # approximation-class mapping as the quantile sketches (documented)
+    if ps and not re.fullmatch(r"'(auto|exact|asymp)'", ps[0]):
+        raise DialectError(
+            "kolmogorovSmirnovTest computation_method must be 'auto', "
+            "'exact' or 'asymp'"
+        )
+    return alt
+
+
+def _ks_test_expr(p: list[str], a: list[str]) -> str:
+    """CH kolmogorovSmirnovTest (round 8 — was a guided error): exact
+    two-sample D statistic via a sorted sweep fold; asymptotic p-value
+    (two-sided: Kolmogorov's series through ``ch_ks_q``; one-sided:
+    exp(−2·(n0·n1/(n0+n1))·D²)).  The sweep evaluates the CDF gap only
+    at the last of a run of tied values — the ECDF step is complete
+    there.  'greater' = max(F_first − F_second), scipy's convention,
+    which CH mirrors.  The D statistic is exact; CH's method='exact'
+    small-sample p differs (documented approximation-class delta)."""
+    alt = _ks_params(p)
+    if len(a) != 2:
+        raise DialectError(
+            "kolmogorovSmirnovTest takes (sample_data, sample_index)"
+        )
+    x, g = a[0], a[1]
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL"
+        f" AND ({g}) IS NOT NULL THEN named_struct("
+        f"'v', CAST(({x}) AS DOUBLE), 'g', IF(({g}) = 0, 0, 1)) END))"
+    )
+    n0 = f"CAST(size(filter({pairs}, __kf -> __kf.g = 0)) AS DOUBLE)"
+    n1 = f"CAST(size(filter({pairs}, __kg -> __kg.g = 1)) AS DOUBLE)"
+    # Fold over the sorted pairs directly (same rationale as the
+    # Mann-Whitney sweep: element_at(pairs, i) inside a lambda gets no
+    # CSE and re-sorts per step — O(n² log n)).  The ECDF gap is
+    # evaluated when the FIRST element of a new value-run arrives, using
+    # the counts accumulated through the previous run (where the ECDF
+    # step is complete).  The final run's gap is 1−1 = 0, so no finish
+    # step is needed.  n0/n1 ride in the fold's initial value so no
+    # O(n) expression is referenced inside the lambda.
+    diff = f"(try_divide(__ka.c0, __ka.n0) - try_divide(__ka.c1, __ka.n1))"
+    sweep = (
+        f"aggregate({pairs},"
+        f" named_struct('n0', {n0}, 'n1', {n1},"
+        f" 'c0', 0.0D, 'c1', 0.0D, 'dp', 0.0D, 'dm', 0.0D,"
+        f" 'pv', CAST(NULL AS DOUBLE)),"
+        f" (__ka, __ke) -> named_struct('n0', __ka.n0, 'n1', __ka.n1,"
+        f" 'c0', __ka.c0 + IF(__ke.g = 0, 1.0D, 0.0D),"
+        f" 'c1', __ka.c1 + IF(__ke.g = 1, 1.0D, 0.0D),"
+        f" 'dp', IF(__ka.pv IS NOT NULL AND __ke.v <> __ka.pv,"
+        f" greatest(__ka.dp, {diff}), __ka.dp),"
+        f" 'dm', IF(__ka.pv IS NOT NULL AND __ke.v <> __ka.pv,"
+        f" greatest(__ka.dm, -({diff})), __ka.dm),"
+        f" 'pv', __ke.v))"
+    )
+    en2 = f"try_divide({n0} * {n1}, {n0} + {n1})"
+    if alt == "two-sided":
+        d = f"greatest(({sweep}).dp, ({sweep}).dm)"
+        pv = f"ch_ks_q(sqrt({en2}) * ({d}))"
+    elif alt == "greater":
+        d = f"({sweep}).dp"
+        pv = f"exp(-2 * ({en2}) * power({d}, 2))"
+    else:
+        d = f"({sweep}).dm"
+        pv = f"exp(-2 * ({en2}) * power({d}, 2))"
+    return f"named_struct('d_statistic', {d}, 'p_value', {pv})"
+
+
+def _mean_z_expr(p: list[str], a: list[str]) -> str:
+    """CH meanZTest(population_variance_x, population_variance_y,
+    confidence_level)(sample_data, sample_index) (round 8 — was a guided
+    error): z statistic with KNOWN population variances, two-sided p via
+    ``ch_norm_sf``, CI bounds via the ``ch_norm_ppf`` inverse."""
+    if len(p) != 3:
+        raise DialectError(
+            "meanZTest takes exactly (population_variance_x, "
+            "population_variance_y, confidence_level) as parameters"
+        )
+    n0, n1, m0, m1, _, _ = _tt_pieces(a)
+    se = (
+        f"sqrt(try_divide(CAST(({p[0]}) AS DOUBLE), {n0})"
+        f" + try_divide(CAST(({p[1]}) AS DOUBLE), {n1}))"
+    )
+    z = f"try_divide({m0} - {m1}, {se})"
+    crit = f"ch_norm_ppf((1.0 + ({p[2]})) / 2)"
+    diff = f"({m0} - {m1})"
+    return (
+        f"named_struct('z_statistic', {z},"
+        f" 'p_value', 2 * ch_norm_sf(abs({z})),"
+        f" 'confidence_interval_low', {diff} - {crit} * {se},"
+        f" 'confidence_interval_high', {diff} + {crit} * {se})"
+    )
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH count() with no argument == count(*)
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
@@ -2455,8 +2737,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         + ", ".join(f"'_{i}', {x}" for i, x in enumerate(a, start=1))
         + ")"
     ),
+    # positional index → the _N convention tuple() emits; a quoted name
+    # (CH named tuples, e.g. the hypothesis-test results) → that field
     "tupleelement": lambda a: (
-        f"({a[0]})._{_int_literal(a[1], 'tupleElement index')}"
+        f"({a[0]}).{a[1].strip()[1:-1]}"
+        if re.fullmatch(r"'[A-Za-z_][A-Za-z0-9_]*'", a[1].strip())
+        else f"({a[0]})._{_int_literal(a[1], 'tupleElement index')}"
     ),
     "untuple": lambda a: (_ for _ in ()).throw(DialectError(
         "untuple expands to multiple select items — select t._1, t._2, … "
@@ -2598,20 +2884,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "theilsu": _theils_u_expr,
     "contingency": _contingency_expr,
     "rankcorr": _rank_corr_expr,
-    # hypothesis-test aggregates return (stat, p-value) tuples in CH;
-    # the p-values need incomplete-beta / KS distributions no Spark
-    # builtin provides — guided errors naming the statistic that IS
-    # expressible (faithful-or-error, like deltaSum)
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n} returns (statistic, p-value); the p-value needs special "
-            "functions Spark has no builtin for — compute the statistic "
-            "from avg/var_samp/count per group and look the p-value up "
-            "client-side"
-        ))))(_t)
-        for _t in ("studentttest", "welchttest", "mannwhitneyutest",
-                   "kolmogorovsmirnovtest", "meanztest")
-    },
+    # hypothesis-test aggregates (round 8 — were guided errors): the
+    # statistics are JVM-side moment/rank folds; the p-values ride on
+    # the lgamma/erfc-backed pandas UDFs in functions/stats.py (one
+    # Python row per GROUP).  meanZTest is parametric-only (3 params).
+    "studentttest": lambda a: _ttest_expr(a, welch=False),
+    "welchttest": lambda a: _ttest_expr(a, welch=True),
+    "mannwhitneyutest": lambda a: _mann_whitney_expr([], a),
+    "kolmogorovsmirnovtest": lambda a: _ks_test_expr([], a),
     # order-dependent moving aggregates (insertion order is the CH
     # contract, undefined after a shuffle) — guided like deltaSum
     **{
@@ -2934,6 +3214,14 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         f"least(count(DISTINCT {', '.join(a)}),"
         f" {_int_literal(p[0], 'uniqUpTo N') + 1})"
     ),
+    # hypothesis tests, parametric forms (round 8): confidence-level CI
+    # columns for the t tests, alternative/continuity for Mann-Whitney,
+    # alternative/method for Kolmogorov-Smirnov, the 3-parameter meanZTest
+    "studentttest": lambda p, a: _ttest_parametric(p, a, welch=False),
+    "welchttest": lambda p, a: _ttest_parametric(p, a, welch=True),
+    "mannwhitneyutest": _mann_whitney_expr,
+    "kolmogorovsmirnovtest": _ks_test_expr,
+    "meanztest": _mean_z_expr,
     # groupArray(n)(x): cap the collected list at n elements.  Without this
     # entry the parametric form name-mapped to invalid `collect_list(5)(x)`.
     "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",

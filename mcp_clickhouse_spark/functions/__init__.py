@@ -6,3 +6,39 @@ from mcp_clickhouse_spark.functions.exact import (  # noqa: F401
     exact_avg,
     exact_sum,
 )
+
+
+def _register_murmur(spark) -> None:
+    from mcp_clickhouse_spark.functions.murmur import ensure_registered
+
+    ensure_registered(spark)
+
+
+def _register_stats(spark) -> None:
+    from mcp_clickhouse_spark.functions.stats import ensure_registered
+
+    ensure_registered(spark)
+
+
+# Python-UDF-backed helper functions the dialect layer may emit, keyed by
+# the (lowercased) name as it appears in translated SQL.  The tool layer
+# scans translated queries for these names and registers lazily — only
+# queries that actually use one pay the registration cost.
+LAZY_UDFS = {
+    "ch_murmurhash3_64": _register_murmur,
+    "ch_t_sf": _register_stats,
+    "ch_norm_sf": _register_stats,
+    "ch_norm_ppf": _register_stats,
+    "ch_ks_q": _register_stats,
+    "ch_t_ppf": _register_stats,
+}
+
+
+def register_lazy_udfs(spark, translated_sql: str) -> None:
+    """Register any ``ch_*`` helper UDFs the translated SQL references."""
+    low = translated_sql.lower()
+    seen = set()
+    for name, reg in LAZY_UDFS.items():
+        if reg not in seen and f"{name}(" in low:
+            reg(spark)
+            seen.add(reg)

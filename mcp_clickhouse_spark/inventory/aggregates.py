@@ -712,3 +712,100 @@ def agg_rank_corr(spark, sf_dir):
 
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_SQL_RANK_CORR_CH))
+
+
+_SQL_HYPOTHESIS_CH = """
+SELECT o_orderpriority AS pri,
+  round(tupleElement(studentTTest(o_totalprice, o_orderkey % 2),
+        't_statistic'), 6) AS st_t,
+  round(tupleElement(welchTTest(o_totalprice, o_orderkey % 2),
+        't_statistic'), 6) AS wt_t,
+  round(tupleElement(mannWhitneyUTest(o_totalprice, o_orderkey % 2),
+        'u_statistic'), 4) AS mw_u,
+  round(tupleElement(kolmogorovSmirnovTest(o_totalprice, o_orderkey % 2),
+        'd_statistic'), 9) AS ks_d,
+  round(tupleElement(
+        kolmogorovSmirnovTest('greater')(o_totalprice, o_orderkey % 2),
+        'p_value'), 9) AS ks_pg,
+  round(tupleElement(meanZTest(1000000.0, 1000000.0, 0.95)(
+        o_totalprice, o_orderkey % 2), 'z_statistic'), 6) AS z_stat
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY pri
+"""
+
+
+@query(
+    "agg_hypothesis_tests",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderpriority AS pri, CAST(o_totalprice AS DOUBLE) AS v,
+             CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS g
+      FROM orders
+    ), m AS (
+      SELECT pri,
+             CAST(COUNT(*) FILTER (WHERE g = 0) AS DOUBLE) AS n0,
+             CAST(COUNT(*) FILTER (WHERE g = 1) AS DOUBLE) AS n1,
+             AVG(v) FILTER (WHERE g = 0) AS m0,
+             AVG(v) FILTER (WHERE g = 1) AS m1,
+             VAR_SAMP(v) FILTER (WHERE g = 0) AS v0,
+             VAR_SAMP(v) FILTER (WHERE g = 1) AS v1
+      FROM s GROUP BY pri
+    ), ranks AS (
+      SELECT pri, g,
+             RANK() OVER (PARTITION BY pri ORDER BY v)
+               + (COUNT(*) OVER (PARTITION BY pri, v) - 1) / 2.0 AS ar
+      FROM s
+    ), mw AS (
+      SELECT pri, SUM(CASE WHEN g = 0 THEN ar ELSE 0 END) AS r1
+      FROM ranks GROUP BY pri
+    ), ecdf AS (
+      SELECT pri,
+             CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) OVER w
+                  AS DOUBLE) AS c0,
+             CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) OVER w
+                  AS DOUBLE) AS c1
+      FROM s
+      WINDOW w AS (PARTITION BY pri ORDER BY v
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), ksd AS (
+      SELECT e.pri,
+             MAX(ABS(e.c0 / m.n0 - e.c1 / m.n1)) AS d,
+             GREATEST(MAX(e.c0 / m.n0 - e.c1 / m.n1), 0.0) AS dplus
+      FROM ecdf e JOIN m USING (pri) GROUP BY e.pri
+    )
+    SELECT m.pri,
+      ROUND((m.m0 - m.m1) / SQRT(
+        (((m.n0 - 1) * m.v0 + (m.n1 - 1) * m.v1) / (m.n0 + m.n1 - 2))
+        * (1.0 / m.n0 + 1.0 / m.n1)), 6) AS st_t,
+      ROUND((m.m0 - m.m1) / SQRT(m.v0 / m.n0 + m.v1 / m.n1), 6) AS wt_t,
+      ROUND(mw.r1 - m.n0 * (m.n0 + 1) / 2.0, 4) AS mw_u,
+      ROUND(ksd.d, 9) AS ks_d,
+      ROUND(EXP(-2.0 * (m.n0 * m.n1 / (m.n0 + m.n1))
+                * ksd.dplus * ksd.dplus), 9) AS ks_pg,
+      ROUND((m.m0 - m.m1)
+            / SQRT(1000000.0 / m.n0 + 1000000.0 / m.n1), 6) AS z_stat
+    FROM m JOIN mw USING (pri) JOIN ksd ON ksd.pri = m.pri
+    ORDER BY m.pri
+    """,
+    category="aggregates",
+)
+def agg_hypothesis_tests(spark, sf_dir):
+    """ClickHouse's hypothesis-test aggregates — studentTTest, welchTTest,
+    mannWhitneyUTest, kolmogorovSmirnovTest, meanZTest — as verbatim SQL
+    text (round 8; p-values were guided errors before).  The STATISTICS
+    are oracle-checked here (t, U with average-rank ties, exact two-sample
+    D, z, and the elementary one-sided KS p = exp(−2·en·D²)); the
+    incomplete-beta / erfc-backed two-sided p-values ride on the
+    functions/stats.py pandas UDFs and are pinned in tests/test_stats.py
+    against closed forms and ClickHouse's own documented example output
+    (mannWhitneyUTest docs → (9, 0.04042779918503192)).  The U/D folds
+    are O(n log n) tied-run sweeps over one sorted collect_list per
+    group — per-group memory, the same contract CH's own implementations
+    have.  Rounded: float moment folds differ across engines."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.stats import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_HYPOTHESIS_CH))

@@ -103,6 +103,7 @@ PRIORITY: list[str] = [
     "agg_rank_corr",
     "scalar_url_hierarchy",
     "scalar_vector_math",
+    "agg_hypothesis_tests",
 ]
 
 

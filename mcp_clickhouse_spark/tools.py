@@ -201,12 +201,11 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
                 [(translate(query[ms.end() :]).strip(),)], "query string"
             )
         query = translate(query)
-        if "ch_murmurhash3_64(" in query.lower():
-            # faithful murmurHash3_64 rides on a Python UDF — register it
-            # lazily, only for queries that actually use it
-            from mcp_clickhouse_spark.functions.murmur import ensure_registered
+        # Python-UDF-backed helpers (murmurHash3_64, hypothesis-test
+        # p-values) register lazily — only queries that use them pay
+        from mcp_clickhouse_spark.functions import register_lazy_udfs
 
-            ensure_registered(spark)
+        register_lazy_udfs(spark, query)
     # Defense in depth: Spark's own parser classifies the (translated)
     # statement; non-query plans are rejected before execution.
     check_read_only_plan(spark, query)

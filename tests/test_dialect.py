@@ -2299,8 +2299,8 @@ def test_rank_corr_sql(spark):
     assert abs(row[2] - 3 ** 0.5 / 2) < 1e-12
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="p-value"):
-        translate("SELECT studentTTest(v, g) FROM t")
+    # round 8: studentTTest translates (p-value rides on ch_t_sf)
+    assert "ch_t_sf" in translate("SELECT studentTTest(v, g) FROM t")
     with _pytest.raises(ValueError, match="insertion-order"):
         translate("SELECT groupArrayMovingSum(x) FROM t")
 
