@@ -1729,6 +1729,115 @@ def _mean_z_expr(p: list[str], a: list[str]) -> str:
     )
 
 
+def _lttb_expr(p: list[str], a: list[str]) -> str:
+    """CH largestTriangleThreeBuckets(n)(x, y) (round 8 — was a guided
+    error): Steinarsson's LTTB downsampling (public thesis algorithm) as
+    one JVM-side expression.  Points sort by (x, y); the first and last
+    points are always kept; the middle N−2 points split into n−2
+    equal-width index buckets (floor boundaries, last bucket pinned to
+    N−1) and each bucket keeps the point maximizing the triangle area
+    with the previously SELECTED point and the NEXT bucket's centroid
+    (the last bucket pairs with the final point) — first maximum wins
+    ties, the reference convention.  Returns the CH shape: an array of
+    (x, y) tuples under the ``_1``/``_2`` field convention tuple() uses,
+    so ``pt._1`` / ``tupleElement(pt, 1)`` work after ARRAY JOIN.
+
+    Scale/shape: the sorted collect_list is let-bound ONCE via a
+    single-element transform() — an element_at-per-step form would
+    re-sort it at every step (lambda bodies get no common-subexpression
+    elimination; the O(n²·log n) blowup measured on the Mann-Whitney
+    sweep).  Every inner reference is a lambda variable; work is
+    O(N + n·s̄) per group with per-group memory, the same contract CH's
+    own implementation has."""
+    if len(a) != 2:
+        raise DialectError(
+            "largestTriangleThreeBuckets(n)(x, y) takes exactly (x, y)"
+        )
+    if len(p) != 1 or p[0].strip() == "0.5":
+        # plain-call dispatch injects the 0.5 quantile default — the
+        # bucket count is required
+        raise DialectError(
+            "largestTriangleThreeBuckets requires the bucket-count "
+            "parameter: largestTriangleThreeBuckets(n)(x, y)"
+        )
+    n = _int_literal(p[0], "largestTriangleThreeBuckets n")
+    x, y = a
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({x}) IS NOT NULL"
+        f" AND ({y}) IS NOT NULL THEN named_struct("
+        f"'x', CAST(({x}) AS DOUBLE), 'y', CAST(({y}) AS DOUBLE)) END))"
+    )
+    empty = "CAST(array() AS ARRAY<STRUCT<_1: DOUBLE, _2: DOUBLE>>)"
+    if n <= 0:
+        return empty
+    all_pts = "transform(__ps, __q -> named_struct('_1', __q.x, '_2', __q.y))"
+    first = (
+        "named_struct('_1', element_at(__ps, 1).x,"
+        " '_2', element_at(__ps, 1).y)"
+    )
+    last = (
+        "named_struct('_1', element_at(__ps, -1).x,"
+        " '_2', element_at(__ps, -1).y)"
+    )
+    if n == 1:
+        body = f"IF(size(__ps) = 0, {empty}, array({first}))"
+    elif n == 2:
+        body = f"IF(size(__ps) <= 2, {all_pts}, array({first}, {last}))"
+    else:
+        nb = n - 2  # bucket count over the N−2 middle points
+        sz = f"(CAST(size(__ps) - 2 AS DOUBLE) / {nb})"
+        lo = f"(2 + CAST(floor((__bi - 1) * {sz}) AS INT))"
+        hi = (
+            f"(IF(__bi = {nb}, size(__ps) - 1,"
+            f" 1 + CAST(floor(__bi * {sz}) AS INT)))"
+        )
+        hi2 = (
+            f"(IF(__bi = {nb} - 1, size(__ps) - 1,"
+            f" 1 + CAST(floor((__bi + 1) * {sz}) AS INT)))"
+        )
+        centroid = (
+            f"aggregate(slice(__ps, {hi} + 1, {hi2} - {hi}),"
+            f" named_struct('sx', 0.0D, 'sy', 0.0D, 'c', 0.0D),"
+            f" (__a3, __q) -> named_struct('sx', __a3.sx + __q.x,"
+            f" 'sy', __a3.sy + __q.y, 'c', __a3.c + 1.0D),"
+            f" __a3 -> named_struct('ax', try_divide(__a3.sx, __a3.c),"
+            f" 'ay', try_divide(__a3.sy, __a3.c)))"
+        )
+        nxt = (
+            f"IF(__bi = {nb},"
+            f" named_struct('ax', element_at(__ps, -1).x,"
+            f" 'ay', element_at(__ps, -1).y), {centroid})"
+        )
+        area = (
+            f"abs((__ac.px - __nx.ax) * (__q.y - __ac.py)"
+            f" - (__ac.px - __q.x) * (__nx.ay - __ac.py))"
+        )
+        best = (
+            f"element_at(transform(array({nxt}), __nx ->"
+            f" aggregate(slice(__ps, {lo}, {hi} - {lo} + 1),"
+            f" named_struct('bx', CAST(NULL AS DOUBLE),"
+            f" 'by', CAST(NULL AS DOUBLE), 'ba', CAST(-1.0 AS DOUBLE)),"
+            f" (__a2, __q) -> IF({area} > __a2.ba,"
+            f" named_struct('bx', __q.x, 'by', __q.y, 'ba', {area}),"
+            f" __a2))), 1)"
+        )
+        step = (
+            f"element_at(transform(array({best}), __bs ->"
+            f" named_struct('sel', concat(__ac.sel,"
+            f" array(named_struct('_1', __bs.bx, '_2', __bs.by))),"
+            f" 'px', __bs.bx, 'py', __bs.by)), 1)"
+        )
+        algo = (
+            f"aggregate(sequence(1, {nb}),"
+            f" named_struct('sel', array({first}),"
+            f" 'px', element_at(__ps, 1).x, 'py', element_at(__ps, 1).y),"
+            f" (__ac, __bi) -> {step},"
+            f" __ac -> concat(__ac.sel, array({last})))"
+        )
+        body = f"IF(size(__ps) <= {n}, {all_pts}, {algo})"
+    return f"element_at(transform(array({pairs}), __ps -> {body}), 1)"
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH count() with no argument == count(*)
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
@@ -3165,15 +3274,9 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     ),
     "quantilebfloat16": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "medianbfloat16": lambda p, a: f"percentile_approx({a[0]}, 0.5, 10000)",
-    # LTTB downsampling is x-sort-order-dependent with a bucketed
-    # triangle-area argmax — guided like the other order-dependent ones
-    "largesttrianglethreebuckets": lambda p, a: (_ for _ in ()).throw(
-        DialectError(
-            "largestTriangleThreeBuckets needs a sort + bucket + argmax "
-            "plan: ntile the x-ordered points, max_by the triangle area "
-            "per bucket"
-        )
-    ),
+    # LTTB downsampling (Steinarsson) — sorted fold, see _lttb_expr
+    "largesttrianglethreebuckets": _lttb_expr,
+    "lttb": _lttb_expr,
     "quantiledeterministic": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     "quantiletimingweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
         "quantileTimingWeighted: weighted quantiles are not one Spark "

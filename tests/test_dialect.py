@@ -2334,7 +2334,7 @@ def test_round8_audit_batch(spark):
         ("normalizeUTF8NFC(s)", "normalization"),
         ("reinterpretAsUInt32(s)", "byte-order"),
         ("arrayFirstIndex(x -> x, a, b)", "one parameter per array"),
-        ("largestTriangleThreeBuckets(3)(x, y)", "triangle"),
+        ("largestTriangleThreeBuckets(x, y)", "bucket-count"),
     ]:
         with _pytest.raises(ValueError, match=msg):
             translate(f"SELECT {bad} FROM t")
