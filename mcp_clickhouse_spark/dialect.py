@@ -1302,6 +1302,95 @@ def _foreach_expr(a: list[str], how: str) -> str:
     )
 
 
+# formatReadableTimeDelta units — CH's documented constants (a year is 365
+# days, a month 30.5 days: the docs' 432546534 s example decomposes to
+# "13 years, 8 months, 17 days, 7 hours, 48 minutes, 54 seconds" only under
+# exactly these sizes).  Ordered largest→smallest; sizes in seconds.
+_TIME_DELTA_UNITS: list[tuple[str, str, float]] = [
+    ("years", "year", 365.0 * 86400.0),
+    ("months", "month", 30.5 * 86400.0),
+    ("days", "day", 86400.0),
+    ("hours", "hour", 3600.0),
+    ("minutes", "minute", 60.0),
+    ("seconds", "second", 1.0),
+    ("milliseconds", "millisecond", 1e-3),
+    ("microseconds", "microsecond", 1e-6),
+    ("nanoseconds", "nanosecond", 1e-9),
+]
+
+
+def _format_readable_time_delta(a: list[str]) -> str:
+    """CH ``formatReadableTimeDelta(sec[, max_unit[, min_unit]])`` (round 8
+    — was a guided error).  Unit bounds must be string literals (CH takes
+    constants there too), so the unit chain is known at translate time and
+    expands to one fold over literal unit structs: floor-divide the
+    remainder by each unit size largest→smallest, keep nonzero counts as
+    "N unit[s]" parts, join with ", ".  All-zero → "0 <min_unit>";
+    negatives print one leading "-" (CH convention); NULL stays NULL.
+    Mirrors CH's double-precision floor division per unit (the sub-second
+    units share CH's own representability hazard, e.g. 0.1 s → 100 ms
+    only when the double quotient lands ≥ the integer)."""
+    if not 1 <= len(a) <= 3:
+        raise DialectError(
+            "formatReadableTimeDelta takes (seconds[, maximum_unit"
+            "[, minimum_unit]])"
+        )
+    order = [u for u, _, _ in _TIME_DELTA_UNITS]
+
+    def unit_arg(i: int, default: str) -> str:
+        if len(a) <= i:
+            return default
+        lit = _tz_literal(a[i])
+        if lit is None:
+            raise DialectError(
+                "formatReadableTimeDelta unit arguments must be string "
+                f"literals, got {a[i].strip()!r}"
+            )
+        name = lit[1:-1].lower()
+        if name not in order:
+            raise DialectError(
+                f"formatReadableTimeDelta: unknown unit {name!r} "
+                f"(one of {', '.join(order)})"
+            )
+        return name
+
+    max_u = unit_arg(1, "years")
+    min_u = unit_arg(2, "seconds")
+    if order.index(max_u) > order.index(min_u):
+        raise DialectError(
+            f"formatReadableTimeDelta: maximum_unit {max_u!r} is smaller "
+            f"than minimum_unit {min_u!r}"
+        )
+    units = _TIME_DELTA_UNITS[order.index(max_u) : order.index(min_u) + 1]
+    structs = ", ".join(
+        f"named_struct('sz', CAST({sz!r} AS DOUBLE), 'one', ' {one}',"
+        f" 'many', ' {many}')"
+        for many, one, sz in units
+    )
+    zero = f"'0 {units[-1][0]}'"
+    count = "CAST(floor(try_divide(__ac.rem, __u.sz)) AS BIGINT)"
+    step = (
+        f"element_at(transform(array({count}), __n -> named_struct("
+        f"'rem', __ac.rem - CAST(__n AS DOUBLE) * __u.sz,"
+        f" 'parts', IF(__n > 0, concat(__ac.parts,"
+        f" array(concat(CAST(__n AS STRING), IF(__n = 1, __u.one,"
+        f" __u.many)))), __ac.parts))), 1)"
+    )
+    fold = (
+        f"aggregate(array({structs}),"
+        f" named_struct('rem', abs(__v),"
+        f" 'parts', CAST(array() AS ARRAY<STRING>)),"
+        f" (__ac, __u) -> {step},"
+        f" __ac -> IF(size(__ac.parts) = 0, {zero},"
+        f" array_join(__ac.parts, ', ')))"
+    )
+    return (
+        f"element_at(transform(array(CAST(({a[0]}) AS DOUBLE)), __v ->"
+        f" IF(__v IS NULL, CAST(NULL AS STRING),"
+        f" concat(IF(__v < 0, '-', ''), {fold}))), 1)"
+    )
+
+
 def _array_auc_expr(a: list[str]) -> str:
     """CH ``arrayAUC(scores, labels)``: exact ROC AUC of one row's score /
     label arrays (round 8; was a guided error).  The tie-aware pairwise
@@ -2931,10 +3020,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # round 8: exact tie-aware pairwise AUC (helper above TEMPLATES)
     "arrayauc": _array_auc_expr,
-    "formatreadabletimedelta": lambda a: (_ for _ in ()).throw(DialectError(
-        "formatReadableTimeDelta has no Spark twin — compose the string "
-        "from intDiv(x, 3600)/intDiv(x % 3600, 60)/(x % 60)"
-    )),
+    # round 8: CH unit constants verified against the docs example — see
+    # _format_readable_time_delta above TEMPLATES
+    "formatreadabletimedelta": _format_readable_time_delta,
     # typed empty-array constructors
     **{
         f"emptyarray{_t}": (lambda _s: (lambda a: f"CAST(array() AS ARRAY<{_s}>)"))(_s)

@@ -2661,3 +2661,39 @@ def test_position_in_trunc_bar_misc(spark):
 
     with _pytest.raises(ValueError, match="sleep"):
         translate("SELECT sleep(1)")
+
+
+def test_format_readable_time_delta(spark):
+    # the ClickHouse docs examples, pinned verbatim
+    row = one(
+        spark,
+        "SELECT formatReadableTimeDelta(100) AS a,"
+        " formatReadableTimeDelta(12345) AS b,"
+        " formatReadableTimeDelta(432546534) AS c,"
+        " formatReadableTimeDelta(12345, 'minutes') AS d,"
+        " formatReadableTimeDelta(432546534, 'minutes') AS e,"
+        " formatReadableTimeDelta(0) AS z,"
+        " formatReadableTimeDelta(-100) AS neg,"
+        " formatReadableTimeDelta(1.5, 'years', 'milliseconds') AS ms,"
+        " formatReadableTimeDelta(NULL) AS nul,"
+        " formatReadableTimeDelta(59.9, 'minutes', 'minutes') AS flo",
+    )
+    assert row[0] == "1 minute, 40 seconds"
+    assert row[1] == "3 hours, 25 minutes, 45 seconds"
+    assert row[2] == (
+        "13 years, 8 months, 17 days, 7 hours, 48 minutes, 54 seconds"
+    )
+    assert row[3] == "205 minutes, 45 seconds"
+    assert row[4] == "7209108 minutes, 54 seconds"
+    assert row[5] == "0 seconds"
+    assert row[6] == "-1 minute, 40 seconds"
+    assert row[7] == "1 second, 500 milliseconds"
+    assert row[8] is None
+    assert row[9] == "0 minutes"  # sub-minimum remainder floors away
+
+    with pytest.raises(ValueError, match="smaller than minimum"):
+        translate("SELECT formatReadableTimeDelta(x, 'seconds', 'hours') FROM t")
+    with pytest.raises(ValueError, match="unknown unit"):
+        translate("SELECT formatReadableTimeDelta(x, 'fortnights') FROM t")
+    with pytest.raises(ValueError, match="string literals"):
+        translate("SELECT formatReadableTimeDelta(x, u) FROM t")
