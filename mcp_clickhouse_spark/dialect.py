@@ -1927,6 +1927,54 @@ def _lttb_expr(p: list[str], a: list[str]) -> str:
     return f"element_at(transform(array({pairs}), __ps -> {body}), 1)"
 
 
+def _exponential_moving_average(p: list[str], a: list[str]) -> str:
+    """CH ``exponentialMovingAverage(x)(value, timeunit)`` (round 8 — was
+    a guided error): the exponentially smoothed average with half-life
+    ``x`` time units, normalized as if events arrive at every unit of
+    time — EMA = (1 − 2^(−1/x)) · Σ vᵢ·2^((tᵢ−tmax)/x).  The normalizer
+    is fixed by the CH docs example (one value 1, half-life 10 → 0.067 =
+    1 − 2^(−1/10)).  Implemented as a time-ascending fold over one sorted
+    collect_list: s ← s·2^((t_prev−t)/x) + v, so every rescale factor is
+    ≤ 1 (stable for arbitrarily large timestamps) and the float fold
+    order is deterministic.  NULL value/time pairs are excluded; an
+    all-NULL group returns 0.0 (CH's empty-state value)."""
+    if len(a) != 2:
+        raise DialectError(
+            "exponentialMovingAverage(x)(value, timeunit) takes exactly "
+            "(value, timeunit)"
+        )
+    if len(p) != 1 or p[0].strip() == "0.5":
+        # plain-call dispatch injects the 0.5 quantile default — the
+        # half-life parameter is required
+        raise DialectError(
+            "exponentialMovingAverage requires the half-life parameter: "
+            "exponentialMovingAverage(x)(value, timeunit)"
+        )
+    v, t = a
+    pairs = (
+        f"array_sort(collect_list(CASE WHEN ({v}) IS NOT NULL"
+        f" AND ({t}) IS NOT NULL THEN named_struct("
+        f"'t', CAST(({t}) AS DOUBLE), 'v', CAST(({v}) AS DOUBLE)) END))"
+    )
+    fold = (
+        f"aggregate(__ps,"
+        f" named_struct('s', 0.0D, 'pt', CAST(NULL AS DOUBLE)),"
+        f" (__ac, __q) -> named_struct("
+        f"'s', IF(__ac.pt IS NULL, __q.v,"
+        f" __ac.s * pow(2.0D, (__ac.pt - __q.t) / __hx) + __q.v),"
+        f" 'pt', __q.t),"
+        f" __ac -> __ac.s * (1.0D - pow(2.0D, -1.0D / __hx)))"
+    )
+    # the aggregate (collect_list) must bind in the OUTER transform —
+    # Spark rejects aggregates inside lambda bodies; the half-life
+    # (a group constant) binds in the inner one
+    return (
+        f"element_at(transform(array({pairs}), __ps ->"
+        f" element_at(transform(array(CAST(({p[0]}) AS DOUBLE)), __hx ->"
+        f" {fold}), 1)), 1)"
+    )
+
+
 TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH count() with no argument == count(*)
     "count": lambda a: f"count({', '.join(a) if a and a[0] else '*'})",
@@ -3390,15 +3438,13 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         ))
         for _s in ("timing", "tdigest", "bfloat16", "deterministic")
     },
-    # EMA's reference point and normalization are CH-implementation
-    # details — guided like the other order-sensitive aggregates
-    "exponentialmovingaverage": lambda p, a: (_ for _ in ()).throw(
-        DialectError(
-            "exponentialMovingAverage: use avg(x) OVER (ORDER BY ts "
-            "ROWS n PRECEDING) or an explicit exp-decay weighted "
-            "sum/sum for a deterministic formulation"
-        )
-    ),
+    # round 8 (was a guided error): EMA = (1 − 2^(−1/x)) · Σ vᵢ·2^((tᵢ−tmax)/x)
+    # — the normalizer is pinned by the CH docs example, where a single
+    # value 1 under half-life 10 renders 0.067 = 1 − 2^(−1/10).  The sum is
+    # order-independent; folding time-ascending over ONE sorted
+    # collect_list keeps every scale factor ≤ 1 (no overflow for large t)
+    # and makes the float fold order deterministic.
+    "exponentialmovingaverage": _exponential_moving_average,
     # CH uniqUpTo(N)(x): exact distinct count while ≤ N, else N+1 — the
     # cap IS the contract (round 8; the uncapped form silently differed)
     "uniqupto": lambda p, a: (

@@ -2697,3 +2697,54 @@ def test_format_readable_time_delta(spark):
         translate("SELECT formatReadableTimeDelta(x, 'fortnights') FROM t")
     with pytest.raises(ValueError, match="string literals"):
         translate("SELECT formatReadableTimeDelta(x, u) FROM t")
+
+
+def test_exponential_moving_average(spark):
+    # the CH docs scenario: numbers(50), value = (n=0) OR (n>=25),
+    # half-life 10 — cross-checked against the closed form
+    # (1 − 2^(−1/x)) · Σ vᵢ·2^((tᵢ−tmax)/x); the docs pin the
+    # single-point value 0.067 = round(1 − 2^(−1/10), 3)
+    rows = [(1.0 if (n == 0 or n >= 25) else 0.0, float(n)) for n in range(50)]
+    spark.createDataFrame(rows, "v double, t double").createOrReplaceTempView(
+        "ema_t"
+    )
+    got = one(spark, "SELECT exponentialMovingAverage(10)(v, t) AS e FROM ema_t")[0]
+    tmax = max(t for _, t in rows)
+    ref = (1 - 2 ** (-1 / 10)) * sum(v * 2 ** ((t - tmax) / 10) for v, t in rows)
+    assert abs(got - ref) < 1e-12
+
+    spark.createDataFrame([(1.0, 0.0)], "v double, t double").createOrReplaceTempView(
+        "ema_one"
+    )
+    assert one(
+        spark, "SELECT round(exponentialMovingAverage(10)(v, t), 3) AS e FROM ema_one"
+    )[0] == 0.067
+
+    # grouped, NULL pairs excluded, all-NULL group → 0.0 (empty state),
+    # huge timestamps don't overflow (every rescale factor ≤ 1)
+    rows2 = [
+        ("a", 5.0, 1e18),
+        ("a", 3.0, 1e18 + 512.0),
+        ("a", None, 7.0),
+        ("b", None, None),
+    ]
+    spark.createDataFrame(
+        rows2, "g string, v double, t double"
+    ).createOrReplaceTempView("ema_g")
+    out = {
+        r[0]: r[1]
+        for r in spark.sql(
+            translate(
+                "SELECT g, exponentialMovingAverage(5)(v, t) AS e"
+                " FROM ema_g GROUP BY g"
+            )
+        ).collect()
+    }
+    refa = (1 - 2 ** (-1 / 5)) * (5.0 * 2 ** (-512.0 / 5) + 3.0)
+    assert abs(out["a"] - refa) < 1e-12
+    assert out["b"] == 0.0
+
+    with pytest.raises(ValueError, match="half-life"):
+        translate("SELECT exponentialMovingAverage(v, t) FROM e")
+    with pytest.raises(ValueError, match="exactly"):
+        translate("SELECT exponentialMovingAverage(5)(v) FROM e")
