@@ -1927,6 +1927,60 @@ def _lttb_expr(p: list[str], a: list[str]) -> str:
     return f"element_at(transform(array({pairs}), __ps -> {body}), 1)"
 
 
+def _proportions_z_test(a: list[str]) -> str:
+    """CH ``proportionsZTest(successes_x, successes_y, trials_x, trials_y,
+    conf_level, usevar)`` (round 8 — was a guided error): the standard
+    two-proportion z-test, returning the CH tuple shape (z_statistic,
+    p_value, confidence_interval_low, confidence_interval_high).
+    ``usevar`` must be the string literal 'pooled' (variance from the
+    pooled proportion (sx+sy)/(tx+ty)) or 'unpooled' (per-sample
+    variances).  The confidence interval is diff ± ppf((1+cl)/2)·se with
+    the SAME standard error the statistic uses (CH's convention); the
+    two-sided p-value comes from ``ch_norm_sf`` (the erfc-backed normal
+    survival UDF the t/z family already uses — registered lazily, never
+    inside a lambda).  Zero trials yield NULL fields via try_divide
+    rather than an ANSI division error."""
+    if len(a) != 6:
+        raise DialectError(
+            "proportionsZTest takes exactly (successes_x, successes_y, "
+            "trials_x, trials_y, conf_level, usevar)"
+        )
+    sx, sy, tx, ty, cl, uv = a
+    lit = _tz_literal(uv)
+    if lit is None or lit[1:-1].lower() not in ("pooled", "unpooled"):
+        raise DialectError(
+            "proportionsZTest usevar must be the string literal "
+            "'pooled' or 'unpooled'"
+        )
+    dx = f"CAST(({sx}) AS DOUBLE)"
+    dy = f"CAST(({sy}) AS DOUBLE)"
+    nx = f"CAST(({tx}) AS DOUBLE)"
+    ny = f"CAST(({ty}) AS DOUBLE)"
+    px = f"try_divide({dx}, {nx})"
+    py = f"try_divide({dy}, {ny})"
+    if lit[1:-1].lower() == "pooled":
+        pp = f"try_divide({dx} + {dy}, {nx} + {ny})"
+        var = (
+            f"({pp} * (1.0D - {pp})"
+            f" * (try_divide(1.0D, {nx}) + try_divide(1.0D, {ny})))"
+        )
+    else:
+        var = (
+            f"(try_divide({px} * (1.0D - {px}), {nx})"
+            f" + try_divide({py} * (1.0D - {py}), {ny}))"
+        )
+    se = f"sqrt({var})"
+    diff = f"({px} - {py})"
+    z = f"try_divide({diff}, {se})"
+    crit = f"ch_norm_ppf((1.0D + CAST(({cl}) AS DOUBLE)) / 2)"
+    return (
+        f"named_struct('z_statistic', {z},"
+        f" 'p_value', 2 * ch_norm_sf(abs({z})),"
+        f" 'confidence_interval_low', {diff} - {crit} * {se},"
+        f" 'confidence_interval_high', {diff} + {crit} * {se})"
+    )
+
+
 def _exponential_moving_average(p: list[str], a: list[str]) -> str:
     """CH ``exponentialMovingAverage(x)(value, timeunit)`` (round 8 — was
     a guided error): the exponentially smoothed average with half-life
@@ -2598,11 +2652,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))))(_t)
         for _t in ("sleep", "sleepeachrow")
     },
-    "proportionsztest": lambda a: (_ for _ in ()).throw(DialectError(
-        "proportionsZTest returns a p-value tuple needing the normal "
-        "CDF — compute the z statistic from the counts and look the "
-        "p-value up client-side"
-    )),
+    # round 8 (was a guided error): two-proportion z-test — see
+    # _proportions_z_test above TEMPLATES
+    "proportionsztest": _proportions_z_test,
     # Joda patterns ARE Java datetime patterns — Spark's native syntax
     "formatdatetimeinjodasyntax": lambda a: f"date_format({a[0]}, {a[1]})",
     "parsedatetimeinjodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",

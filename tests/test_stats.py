@@ -225,3 +225,43 @@ def test_guided_errors(spark):
             "SELECT kolmogorovSmirnovTest('two-sided', 'montecarlo')(x, g)"
             " FROM t"
         )
+
+
+def test_proportions_z_test(spark):
+    # independent closed-form reference (standard two-proportion z-test)
+    sx, sy, tx, ty, cl = 10.0, 11.0, 100.0, 101.0, 0.95
+    px, py = sx / tx, sy / ty
+    diff = px - py
+    crit = 1.959963984540054
+
+    def ref(pooled):
+        if pooled:
+            pp = (sx + sy) / (tx + ty)
+            se = math.sqrt(pp * (1 - pp) * (1 / tx + 1 / ty))
+        else:
+            se = math.sqrt(px * (1 - px) / tx + py * (1 - py) / ty)
+        z = diff / se
+        p = math.erfc(abs(z) / math.sqrt(2.0))
+        return z, p, diff - crit * se, diff + crit * se
+
+    for uv in ("unpooled", "pooled"):
+        row = _one(
+            spark,
+            f"SELECT proportionsZTest(10, 11, 100, 101, 0.95, '{uv}')",
+        )
+        z, p, lo, hi = ref(uv == "pooled")
+        assert row[0] == pytest.approx(z, rel=1e-12)
+        assert row[1] == pytest.approx(p, rel=1e-9)
+        assert row[2] == pytest.approx(lo, abs=1e-9)
+        assert row[3] == pytest.approx(hi, abs=1e-9)
+
+    # zero trials → NULL fields, not an ANSI division error
+    row = _one(spark, "SELECT proportionsZTest(0, 1, 0, 10, 0.95, 'unpooled')")
+    assert row[0] is None
+
+    from mcp_clickhouse_spark.dialect import DialectError, translate
+
+    with pytest.raises(DialectError, match="pooled"):
+        translate("SELECT proportionsZTest(a, b, c, d, 0.95, mode) FROM t")
+    with pytest.raises(DialectError, match="exactly"):
+        translate("SELECT proportionsZTest(a, b, c) FROM t")
