@@ -3423,12 +3423,41 @@ def _sequence_match_expr(params: list[str], args: list[str], count: bool) -> str
     """CH ``sequenceMatch/sequenceCount(pattern)(ts, c1, …)`` as ONE Spark
     aggregate expression (round 8 — was a guided pointer).  Match is
     unanchored (CH contract); sequenceCount counts non-overlapping
-    left-to-right chains, exactly ``regexp_count``."""
+    left-to-right chains, exactly ``regexp_count``.
+
+    Patterns WITH ``(?t op N)`` time constraints route to the per-group
+    backtracking matcher (functions/seqmatch.py — one Python call per
+    group, like the p-value UDFs) over the same time-sorted kept-event
+    list, carried as (unix_micros, condition-bitmask) structs; the
+    regex over the bitmask string stays the JVM fast path for the rest."""
     if len(params) != 1:
         raise DialectError("sequenceMatch takes exactly one pattern parameter")
     ts, conds = args[0], args[1:]
     if not conds:
         raise DialectError("sequenceMatch needs at least one condition")
+    pat = params[0].strip()
+    if "(?t" in pat:
+        if not (pat.startswith("'") and pat.endswith("'")):
+            raise DialectError(
+                "sequenceMatch pattern must be a string literal"
+            )
+        from mcp_clickhouse_spark.functions.seqmatch import parse_pattern
+
+        try:
+            parse_pattern(pat[1:-1], len(conds))
+        except ValueError as exc:
+            raise DialectError(str(exc)) from None
+        any_cond = " OR ".join(f"({c})" for c in conds)
+        mask = " + ".join(
+            f"IF({c}, {1 << i}L, 0L)" for i, c in enumerate(conds)
+        )
+        ev = (
+            f"array_sort(collect_list(CASE WHEN ({any_cond}) THEN"
+            f" named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
+            f" 'm', {mask}) END))"
+        )
+        fn = "ch_seq_count" if count else "ch_seq_match"
+        return f"{fn}({ev}, {pat})"
     rx = _sequence_pattern_regex(params[0], len(conds))
     ev = _sequence_events_expr(ts, conds)
     if count:

@@ -20,6 +20,12 @@ def _register_stats(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_seqmatch(spark) -> None:
+    from mcp_clickhouse_spark.functions.seqmatch import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -31,6 +37,8 @@ LAZY_UDFS = {
     "ch_norm_ppf": _register_stats,
     "ch_ks_q": _register_stats,
     "ch_t_ppf": _register_stats,
+    "ch_seq_match": _register_seqmatch,
+    "ch_seq_count": _register_seqmatch,
 }
 
 

@@ -967,11 +967,16 @@ def test_behavioral_parametric_guided_remainder():
 
     from mcp_clickhouse_spark.dialect import DialectError
 
-    # modes and time-constraints stay guided errors
+    # modes stay guided errors; time constraints now translate (the
+    # backtracking matcher path — tests/test_seqmatch_time.py) but the
+    # malformed forms keep guided errors
     with _pytest.raises(DialectError, match="strict"):
         translate("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t")
-    with _pytest.raises(DialectError, match="time constraint"):
-        translate("SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t")
+    assert "ch_seq_match" in translate(
+        "SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t"
+    )
+    with _pytest.raises(DialectError, match="followed by an event"):
+        translate("SELECT sequenceMatch('(?1)(?t>10)')(ts, a, b) FROM t")
 
 
 def test_weighted_and_moment_aggregates(spark):
