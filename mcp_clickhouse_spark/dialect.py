@@ -4293,14 +4293,25 @@ _INTERP_EXPR_KEYWORDS = {
 }
 
 
-def _interp_fold_expr(col: str, expr: str) -> str:
-    """Rewrite an ``INTERPOLATE (col AS expr)`` expression into the body of
-    the per-generated-row fold: bare references to ``col`` become the fold
-    accumulator ``__fill_acc``.  The expression may reference only the
-    column itself, literals, and function calls — any other bare
-    identifier would need the previous row's full column set, which the
-    closed-form fold cannot carry (guided error pointing at the operator
-    API)."""
+def _interp_fold_expr(
+    col: str,
+    expr: str,
+    interp_names: dict[str, str],
+    axis: str,
+    passthrough: dict[str, str],
+) -> str:
+    """Rewrite an ``INTERPOLATE (col AS expr)`` expression into the body
+    of the per-generated-row struct fold.  Bare identifiers resolve
+    against the fold accumulator ``__fill_acc`` (a struct of the previous
+    row's values): references to INTERPOLATED columns see the value the
+    simultaneous previous step produced (CH evaluates every INTERPOLATE
+    expression over the previous row at once — round 8; cross-column
+    forms were a guided error); references to other columns are collected
+    into ``passthrough`` and carried from the last REAL row, constant
+    across a gap (delta vs CH, which shows the inserted rows' column
+    DEFAULTS there — documented, and the sane reading).  Referencing the
+    fill AXIS stays guided: its value changes per generated row and is
+    not representable in the closed-form fold."""
     out: list[str] = []
     i, n = 0, len(expr)
     while i < n:
@@ -4325,18 +4336,22 @@ def _interp_fold_expr(col: str, expr: str) -> str:
         k = j
         while k < n and expr[k].isspace():
             k += 1
-        if word.lower() == col.lower() and (k >= n or expr[k] != "("):
-            out.append("__fill_acc")
-        elif (k < n and expr[k] == "(") or word.lower() in _INTERP_EXPR_KEYWORDS:
+        is_call = k < n and expr[k] == "("
+        low = word.lower()
+        if low == axis.lower() and not is_call:
+            raise DialectError(
+                f"INTERPOLATE ({col} AS …): the expression references the "
+                f"fill axis {word!r}, whose value changes on every "
+                "generated row — use "
+                "mcp_clickhouse_spark.operators.with_fill for that"
+            )
+        if low in interp_names and not is_call:
+            out.append(f"__fill_acc.{interp_names[low]}")
+        elif is_call or low in _INTERP_EXPR_KEYWORDS:
             out.append(word)
         else:
-            raise DialectError(
-                f"INTERPOLATE ({col} AS …): the expression references "
-                f"{word!r} — only {col!r} itself, literals, and function "
-                "calls are supported in the SQL form (the fold cannot "
-                "carry other columns of the previous row); use "
-                "mcp_clickhouse_spark.operators.with_fill for those"
-            )
+            passthrough.setdefault(low, word)
+            out.append(f"__fill_acc.{word}")
         i = j
     return "".join(out)
 
@@ -4377,20 +4392,32 @@ def _rewrite_with_fill_impl(sql: str) -> str:
             )
         end = _find_balanced(tail, j)
         items = [c.strip() for c in _split_args(tail[j + 1 : end - 1])]
-        interp_cols = []
+        raw_items: list[tuple[str, str | None]] = []
         for c in items:
             am = re.match(r"(?is)^([A-Za-z_]\w*)\s+AS\s+(.+)$", c)
             if am:
-                interp_cols.append((am.group(1), _interp_fold_expr(am.group(1), am.group(2))))
+                raw_items.append((am.group(1), am.group(2)))
             elif re.fullmatch(r"[A-Za-z_]\w*", c):
-                interp_cols.append((c, None))
+                raw_items.append((c, None))
             else:
                 raise DialectError(
                     f"INTERPOLATE {c!r}: expected a bare column or "
-                    "`col AS <expr of col>` — use "
+                    "`col AS <expr>` — use "
                     "mcp_clickhouse_spark.operators.with_fill("
                     "interpolate=...) for other forms"
                 )
+        interp_names = {nm.lower(): nm for nm, _e in raw_items}
+        passthrough: dict[str, str] = {}
+        interp_cols = [
+            (
+                nm,
+                None
+                if e is None
+                else _interp_fold_expr(nm, e, interp_names, col, passthrough),
+            )
+            for nm, e in raw_items
+        ]
+        fill_carried = [nm for _l, nm in sorted(passthrough.items())]
         tail = tail[: im.start()] + tail[end:]
     m_bounds = re.match(
         r"(?is)\s*FROM\s+(?P<a>.+?)\s+TO\s+(?P<b>.+?)"
@@ -4423,7 +4450,8 @@ def _rewrite_with_fill_impl(sql: str) -> str:
     )
     if interp_cols:
         w = f"ORDER BY {col} ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
-        carrier = ", ".join(f"'{c}', {c}" for c, _e in interp_cols)
+        carried = [c for c, _e in interp_cols] + fill_carried
+        carrier = ", ".join(f"'{c}', {c}" for c in carried)
         numbered = (
             f"SELECT *, row_number() OVER (ORDER BY {col}) AS __fill_rn"
             f" FROM ({joined}) __fill_n"
@@ -4436,20 +4464,29 @@ def _rewrite_with_fill_impl(sql: str) -> str:
             f" true) OVER ({w}) AS __fill_prev"
             f" FROM ({numbered}) __fill_w"
         )
+        # `col AS expr`: CH evaluates every INTERPOLATE expression over
+        # the previous row SIMULTANEOUSLY, once per inserted row — fold
+        # the whole carrier struct k times from the last real row
+        # (k = offset past it); cross-references between interpolated
+        # columns therefore see the previous step's values, and carried
+        # non-interpolated references stay at the real row's value.
+        step_fields = ", ".join(
+            f"'{c}', "
+            + (f"__fill_acc.{c}" if fold is None else f"({fold})")
+            for c, fold in interp_cols
+        ) + "".join(f", '{c}', __fill_acc.{c}" for c in fill_carried)
+        fold_struct = (
+            f"aggregate(sequence(1, CAST(__fill_off AS INT)),"
+            f" __fill_prev,"
+            f" (__fill_acc, __fill_i) -> named_struct({step_fields}))"
+        )
         fills = []
         for c, fold in interp_cols:
             if fold is None:
                 # bare column: previous REAL row's value, even when NULL
                 gen = f"__fill_prev.{c}"
             else:
-                # `col AS expr`: CH evaluates the expression once per
-                # inserted row, compounding down a gap — fold it k times
-                # from the last real value (k = offset past that row)
-                gen = (
-                    f"aggregate(sequence(1, CAST(__fill_off AS INT)),"
-                    f" __fill_prev.{c},"
-                    f" (__fill_acc, __fill_i) -> ({fold}))"
-                )
+                gen = f"{fold_struct}.{c}"
             fills.append(
                 f"CASE WHEN __fill_real IS NULL THEN {gen} ELSE {c} END AS {c}"
             )

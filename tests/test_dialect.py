@@ -332,11 +332,18 @@ def test_with_fill_unbounded_raises():
         "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
         "INTERPOLATE (y AS y + 1)"
     )
-    assert "aggregate(sequence" in out and "__fill_acc + 1" in out
-    with pytest.raises(DialectError, match="operators.with_fill"):
+    assert "aggregate(sequence" in out and "__fill_acc.y + 1" in out
+    # round 8: cross-column references translate (carried in the fold
+    # struct); referencing the fill AXIS itself stays guided
+    out2 = translate(
+        "SELECT x, y, z FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
+        "INTERPOLATE (y AS z + 1)"
+    )
+    assert "__fill_acc.z + 1" in out2 and "'z', z" in out2
+    with pytest.raises(DialectError, match="fill axis"):
         translate(
-            "SELECT x, y, z FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
-            "INTERPOLATE (y AS z + 1)"
+            "SELECT x, y FROM t ORDER BY x WITH FILL FROM 0 TO 5 STEP 1 "
+            "INTERPOLATE (y AS x + 1)"
         )
 
 
@@ -1549,6 +1556,41 @@ def test_with_fill_interpolate_generated_rows_only(spark):
     got2 = {r["x"]: r["v"] for r in rows2}
     assert got2 == {1: 100.0, 2: 100.0, 3: 100.0, 4: 200.0, 5: 200.0,
                     6: None, 7: None}
+
+
+def test_with_fill_interpolate_cross_column(spark):
+    """Round 8: INTERPOLATE expressions may reference OTHER columns.
+    A non-interpolated reference carries the last REAL row's value
+    (constant across a gap); references between interpolated columns see
+    the previous step's values — all expressions update simultaneously
+    from the previous row, the CH convention."""
+    spark.createDataFrame(
+        [(1, 100.0, 7.0), (5, 200.0, 3.0)], "x int, v double, d double"
+    ).createOrReplaceTempView("fill_cc")
+    rows = spark.sql(translate(
+        "SELECT x, v, d FROM fill_cc ORDER BY x"
+        " WITH FILL FROM 1 TO 7 STEP 1 INTERPOLATE (v AS v + d)"
+    )).collect()
+    got = {r["x"]: r["v"] for r in rows}
+    # gap after x=1 compounds +7 per generated row (d carried at 7.0);
+    # gap after x=5 compounds +3
+    assert got == {1: 100.0, 2: 107.0, 3: 114.0, 4: 121.0,
+                   5: 200.0, 6: 203.0}
+
+    # simultaneous update between two interpolated columns: a takes the
+    # PREVIOUS b, b doubles — classic swap semantics would differ if
+    # evaluation were sequential
+    spark.createDataFrame(
+        [(1, 1.0, 10.0), (4, 50.0, 60.0)], "x int, a double, b double"
+    ).createOrReplaceTempView("fill_cc2")
+    rows2 = spark.sql(translate(
+        "SELECT x, a, b FROM fill_cc2 ORDER BY x"
+        " WITH FILL FROM 1 TO 5 STEP 1 INTERPOLATE (a AS b, b AS a + b)"
+    )).collect()
+    got2 = {r["x"]: (r["a"], r["b"]) for r in rows2}
+    # step from (1, 10): a'=10, b'=11; step from (10, 11): a'=11, b'=21
+    assert got2 == {1: (1.0, 10.0), 2: (10.0, 11.0), 3: (11.0, 21.0),
+                    4: (50.0, 60.0)}
 
 
 def test_with_fill_operator_generated_rows_only(spark):
