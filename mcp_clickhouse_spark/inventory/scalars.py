@@ -544,3 +544,111 @@ def scalar_vector_math(spark, sf_dir):
 
     t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(translate(_SQL_VECTOR_MATH_CH))
+
+
+_SQL_TIME_DELTA_CH = """
+SELECT l_orderkey AS k,
+       formatReadableTimeDelta(l_orderkey % 7201, 'minutes') AS d1,
+       formatReadableTimeDelta((l_orderkey * 37) % 86400) AS d2,
+       formatReadableTimeDelta(42 - (l_orderkey % 100), 'seconds') AS d3
+FROM lineitem
+"""
+
+
+@query(
+    "scalar_time_delta",
+    oracle="""
+    WITH b AS (
+      SELECT l_orderkey AS k,
+             l_orderkey % 7201 AS s1,
+             (l_orderkey * 37) % 86400 AS s2,
+             42 - (l_orderkey % 100) AS s3
+      FROM lineitem
+    ), parts AS (
+      SELECT k, s3,
+             s1 // 60 AS m1, s1 % 60 AS r1,
+             s2 // 3600 AS h2, (s2 % 3600) // 60 AS m2, s2 % 60 AS r2
+      FROM b
+    )
+    SELECT k,
+      CASE WHEN m1 = 0 AND r1 = 0 THEN '0 seconds'
+           ELSE concat_ws(', ',
+             CASE WHEN m1 > 0 THEN m1 || CASE WHEN m1 = 1
+               THEN ' minute' ELSE ' minutes' END END,
+             CASE WHEN r1 > 0 THEN r1 || CASE WHEN r1 = 1
+               THEN ' second' ELSE ' seconds' END END) END AS d1,
+      CASE WHEN h2 = 0 AND m2 = 0 AND r2 = 0 THEN '0 seconds'
+           ELSE concat_ws(', ',
+             CASE WHEN h2 > 0 THEN h2 || CASE WHEN h2 = 1
+               THEN ' hour' ELSE ' hours' END END,
+             CASE WHEN m2 > 0 THEN m2 || CASE WHEN m2 = 1
+               THEN ' minute' ELSE ' minutes' END END,
+             CASE WHEN r2 > 0 THEN r2 || CASE WHEN r2 = 1
+               THEN ' second' ELSE ' seconds' END END) END AS d2,
+      CASE WHEN s3 = 0 THEN '0 seconds'
+           ELSE (CASE WHEN s3 < 0 THEN '-' ELSE '' END)
+             || abs(s3) || CASE WHEN abs(s3) = 1
+               THEN ' second' ELSE ' seconds' END END AS d3
+    FROM parts
+    """,
+    category="scalars",
+)
+def scalar_time_delta(spark, sf_dir):
+    """``formatReadableTimeDelta`` as verbatim SQL text (round 8 — was a
+    guided error): CH's exact unit constants and formatting — floor per
+    unit largest→smallest, zero units skipped, pluralized, ', '-joined,
+    '0 <min_unit>' for zero, one leading '-' for negatives.  Exercised
+    with a bounded maximum unit (minutes), the default chain on
+    sub-day values (hours/minutes/seconds), and a signed seconds-only
+    form; the oracle rebuilds the same strings with integer div/mod in
+    DuckDB, so the comparison is exact."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_TIME_DELTA_CH))
+
+
+_SQL_LTTB_CH = """
+SELECT tupleElement(p, 1) AS x, tupleElement(p, 2) AS y
+FROM (
+  SELECT arrayJoin(
+    largestTriangleThreeBuckets(7)(CAST(s_suppkey AS Float64), 0.0)) AS p
+  FROM supplier
+)
+"""
+
+
+@query(
+    "scalar_lttb",
+    oracle="""
+    WITH c AS (SELECT COUNT(*) AS n FROM supplier),
+    sel AS (
+      SELECT 2 + CAST(FLOOR((i.i - 1) * (c.n - 2) / 5.0) AS BIGINT) AS rn
+      FROM c, (SELECT UNNEST(GENERATE_SERIES(1, 5)) AS i) i
+      UNION SELECT 1 FROM c
+      UNION SELECT n FROM c
+    ),
+    s AS (
+      SELECT CAST(s_suppkey AS DOUBLE) AS x,
+             ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
+      FROM supplier
+    )
+    SELECT s.x AS x, 0.0 AS y FROM s JOIN sel USING (rn)
+    """,
+    category="scalars",
+)
+def scalar_lttb(spark, sf_dir):
+    """``largestTriangleThreeBuckets(7)(x, y)`` as verbatim SQL text
+    (round 8 — was a guided error), flattened through arrayJoin +
+    tupleElement for the scalar-only driver canonicalizer.  With a
+    constant y every triangle area is zero, so the first-maximum tie
+    convention must select the FIRST point of each of the 5 middle
+    buckets plus the two endpoints — the oracle computes exactly those
+    bucket-boundary row numbers (lo_i = 2 + floor((i−1)·(N−2)/5)) in
+    DuckDB, making bucket arithmetic and tie order ground-truth
+    checkable; value fidelity on non-degenerate data is pinned against
+    an independent pure-Python LTTB in tests/test_lttb.py."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(translate(_SQL_LTTB_CH))
