@@ -23,11 +23,46 @@ Known semantic deltas (documented, not silently wrong):
 from __future__ import annotations
 
 import re
+import warnings
 from typing import Callable
 
 
 class DialectError(ValueError):
     """A ClickHouse construct that cannot be translated faithfully."""
+
+
+class PerGroupBufferWarning(UserWarning):
+    """A translated aggregate buffers ONE GROUP's kept rows in a single
+    aggregate buffer (sorted collect_list fold) — the same per-group
+    memory contract ClickHouse's own implementation of these functions
+    has, but worth a note at 100× scale (r8 verdict next #4): a group
+    with hundreds of millions of qualifying events will not fit.
+    Guidance: pre-filter the input to the relevant conditions and/or
+    pre-window — group by (entity, time_bucket) instead of bare entity —
+    before aggregating."""
+
+
+# The sorted-fold family (emitted once per translate() call, per name).
+_PER_GROUP_FOLD_FNS = frozenset({
+    "windowfunnel", "sequencematch", "sequencecount",
+    "studentttest", "welchttest", "mannwhitneyutest",
+    "kolmogorovsmirnovtest", "meanztest", "proportionsztest",
+    "exponentialmovingaverage", "exponentialtimedecayedsum",
+    "exponentialtimedecayedavg", "exponentialtimedecayedmax",
+    "exponentialtimedecayedcount", "largesttrianglethreebuckets",
+})
+
+
+def _note_per_group_buffer(fn_name: str) -> None:
+    warnings.warn(
+        f"{fn_name}: buffers one group's kept rows in a single aggregate "
+        "buffer (ClickHouse's own per-group memory contract); for groups "
+        "with unbounded event counts, pre-filter to the relevant "
+        "conditions and/or pre-window (group by (entity, time_bucket)) "
+        "before aggregating",
+        PerGroupBufferWarning,
+        stacklevel=2,
+    )
 
 # --- simple name→name renames (same argument order/semantics) ---------------
 
@@ -432,6 +467,43 @@ def _with_parse_tz(args: list[str], max_args: int, expr: str) -> str:
         "parseDateTime*: only a string-literal timezone argument is "
         "supported (the session timezone applies otherwise); drop it or "
         "convert explicitly with to_utc_timestamp/from_utc_timestamp"
+    )
+
+
+def _to_datetime_tz(args: list[str], max_args: int) -> str:
+    """toDateTime / toDateTime64 with an optional string-LITERAL timezone
+    (round 9, r8 advisor): ClickHouse's timezone argument converts the
+    INSTANT only for wall-clock STRING input; for epoch-integer or
+    DateTime input it changes the DISPLAY zone, never the instant — so
+    wrapping every input in ``to_utc_timestamp`` (round 8) silently
+    shifted numeric/timestamp arguments by the zone offset.  Resolution:
+    string literals shift statically; numeric literals cast statically
+    (same instant); for columns/expressions the branch is decided at
+    runtime on ``typeof(x)`` — every branch analyzes under any input type
+    because the string branch re-casts through STRING.  toDateTime64's
+    precision argument drops (Spark timestamps are µs)."""
+    x = args[0]
+    base = f"to_timestamp({x})"
+    if len(args) <= max_args:
+        return base
+    if len(args) != max_args + 1:
+        raise DialectError("toDateTime: too many arguments")
+    tz = _tz_literal(args[-1])
+    if tz is None:
+        raise DialectError(
+            "toDateTime: only a string-literal timezone argument is "
+            "supported (the session timezone applies otherwise); drop it or "
+            "convert explicitly with to_utc_timestamp/from_utc_timestamp"
+        )
+    xs = x.strip()
+    if re.match(r"^'[^']*'$", xs):  # wall-clock string literal
+        return f"to_utc_timestamp(to_timestamp({x}), {tz})"
+    if re.match(r"^[+-]?\d+(\.\d+)?$", xs):  # epoch literal: same instant
+        return f"CAST({x} AS TIMESTAMP)"
+    return (
+        f"CASE WHEN typeof({x}) = 'string'"
+        f" THEN to_utc_timestamp(to_timestamp(CAST({x} AS STRING)), {tz})"
+        f" ELSE CAST({x} AS TIMESTAMP) END"
     )
 
 
@@ -991,13 +1063,6 @@ def _vec_fold(a: list[str], kind: str) -> str:
     if kind == "linf":
         return f"array_max({zipped})"
     return f"aggregate({zipped}, CAST(0 AS DOUBLE), (__va, __vb) -> __va + __vb)"
-    """The string's character array, NULL-free even for empty input (an
-    empty-guard is needed because ``sequence(1, 0)`` is DESCENDING)."""
-    return (
-        f"filter(transform(sequence(1, greatest(length({s}), 1)),"
-        f" __ch -> IF(__ch <= length({s}), substring({s}, __ch, 1), NULL)),"
-        f" __cn -> __cn IS NOT NULL)"
-    )
 
 
 def _default_of_type(a: list[str]) -> str:
@@ -2499,10 +2564,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "now64": lambda a: "now()",
     # round 8: the NAME_MAP rename passed toDateTime's timezone (and
     # toDateTime64's PRECISION) straight into to_timestamp's FORMAT slot —
-    # runtime parse failure.  Precision drops (Spark timestamps are µs);
-    # a literal timezone maps through to_utc_timestamp like parseDateTime*
-    "todatetime": lambda a: _with_parse_tz(a, 1, f"to_timestamp({a[0]})"),
-    "todatetime64": lambda a: _with_parse_tz(a, 2, f"to_timestamp({a[0]})"),
+    # runtime parse failure.  Round 9 (r8 advisor): the timezone shifts
+    # the instant ONLY for wall-clock string input; numeric/DateTime
+    # inputs keep their instant (CH display-zone semantics) — see
+    # _to_datetime_tz.
+    "todatetime": lambda a: _to_datetime_tz(a, 1),
+    "todatetime64": lambda a: _to_datetime_tz(a, 2),
     # mapApply((k, v) -> (k2, v2), m): rebuild entries with the user's
     # lambda applied per entry (round 8 — was an unresolved function)
     "mapapply": lambda a: _map_apply_expr(a),
@@ -3317,14 +3384,21 @@ _gen_or_null_zero()
 
 def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     """CH ``windowFunnel(window)(ts, c1, …, cK)`` as ONE Spark aggregate
-    expression (round 8 — was a guided pointer): fold a time-sorted
-    ``collect_list`` greedily — anchor at the earliest c1 event, take each
-    next step's earliest occurrence strictly after the previous and within
-    ``window`` seconds of the anchor.  Exactly the semantics of
-    operators/funnel.window_funnel (whose DuckDB oracle proves them); the
-    per-group buffer is the same events-per-entity contract ClickHouse's
-    own implementation has.  Mode arguments (strict_order/strict_dedup/
-    strict_increase) raise guided errors."""
+    expression, value-faithful to ClickHouse's DEFAULT mode
+    (AggregateFunctionWindowFunnel::getEventLevel): one (t, idx) entry per
+    MATCHED CONDITION, stable-sorted by time; the fold keeps a per-level
+    anchor array where cond-1 RE-ANCHORS level 1 on every occurrence
+    (slot 0 is overwritten, so c1@0, c1@50, c2@100 with window 60 reaches
+    level 2 via the @50 anchor) and level i chains when
+    ``t <= anchor[i-1] + window`` — equal timestamps chain, matching CH,
+    and the anchor propagated is the chain's FIRST timestamp.  Within equal
+    timestamps entries sort by condition index (CH uses insertion order,
+    which is nondeterministic across a distributed read anyway).  The
+    per-group buffer is the events-per-entity contract ClickHouse itself
+    has — for entities with unbounded event counts, pre-filter or
+    pre-window the input (see MEMORY-BOUND note in module docstring).
+    Mode arguments (strict_order/strict_dedup/strict_increase) raise
+    guided errors."""
     if len(params) != 1:
         raise DialectError(
             "windowFunnel modes (strict_order/strict_dedup/strict_increase)"
@@ -3335,26 +3409,30 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     if not conds:
         raise DialectError("windowFunnel needs at least one step condition")
     k = len(conds)
-    any_cond = " OR ".join(f"({c})" for c in conds)
-    ev = (
-        f"array_sort(collect_list(CASE WHEN ({any_cond})"
-        f" THEN named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
-        f" 'f', array({', '.join(conds)})) END))"
+    # One entry per matched condition per event (CH pushes (t, idx) per
+    # condition), flattened and sorted by (t, idx).
+    per_row = (
+        f"filter(transform(array({', '.join(conds)}),"
+        f" (__wc, __wi) -> IF(__wc,"
+        f" named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
+        f" 'i', __wi + 1), NULL)), __we -> __we IS NOT NULL)"
     )
-    init = (
-        "named_struct('lvl', 0, 't1', CAST(NULL AS BIGINT),"
-        " 'tp', CAST(NULL AS BIGINT))"
-    )
-    step = (
-        "(acc, e) -> CASE"
-        " WHEN acc.lvl = 0 THEN IF(element_at(e.f, 1),"
-        " named_struct('lvl', 1, 't1', e.t, 'tp', e.t), acc)"
-        f" WHEN acc.lvl < {k} AND element_at(e.f, acc.lvl + 1)"
-        f" AND e.t > acc.tp AND e.t <= acc.t1 + {w_us}"
-        " THEN named_struct('lvl', acc.lvl + 1, 't1', acc.t1, 'tp', e.t)"
-        " ELSE acc END"
-    )
-    return f"aggregate({ev}, {init}, {step}, acc -> acc.lvl)"
+    ev = f"array_sort(flatten(collect_list({per_row})))"
+    init = "named_struct(" + ", ".join(
+        f"'a{i}', CAST(NULL AS BIGINT)" for i in range(1, k + 1)
+    ) + ")"
+    fields = ["'a1', IF(e.i = 1, e.t, acc.a1)"]
+    for i in range(2, k + 1):
+        fields.append(
+            f"'a{i}', IF(e.i = {i} AND e.t <= acc.a{i - 1} + {w_us},"
+            f" acc.a{i - 1}, acc.a{i})"
+        )
+    step = f"(acc, e) -> named_struct({', '.join(fields)})"
+    finish = "acc -> CASE " + " ".join(
+        f"WHEN acc.a{i} IS NOT NULL THEN {i}"
+        for i in range(k, 0, -1)
+    ) + " ELSE 0 END"
+    return f"aggregate({ev}, {init}, {step}, {finish})"
 
 
 def _sequence_pattern_regex(pattern: str, k: int) -> str:
@@ -5893,6 +5971,8 @@ def translate(sql: str) -> str:
         if k < n and sql[k] == "(" and (
             lname in TEMPLATES or lname in NAME_MAP or lname in PARAMETRIC
         ):
+            if lname in _PER_GROUP_FOLD_FNS:
+                _note_per_group_buffer(name)
             close = _find_balanced(sql, k)
             inner = translate(sql[k + 1 : close - 1])
             args = _split_args(inner)

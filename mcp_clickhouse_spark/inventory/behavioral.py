@@ -34,42 +34,67 @@ def behav_retention(spark, sf_dir):
     )
 
 
-@query(
-    "behav_window_funnel",
-    oracle="""
-    WITH base AS (
+# ClickHouse windowFunnel default mode as a DuckDB RECURSIVE CTE: one
+# (t, idx) entry per matched condition, time-ordered; the fold keeps a
+# per-level anchor array where cond-1 re-anchors level 1 on every
+# occurrence and level i chains when t <= anchor[i-1] + window (equal
+# timestamps chain).  Recursive lockstep-per-user, NOT list_reduce:
+# DuckDB 1.0's list_reduce returns wrong values under grouped vectorized
+# execution (verified: struct fields bleed across groups).
+_ORACLE_FUNNEL_FOLD = """
+    base AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events
     ),
-    s1 AS (
-      SELECT user_id, MIN(t) FILTER (WHERE event_type = 'signup') AS t1
-      FROM base GROUP BY user_id
+    entries AS (
+      SELECT user_id, t, 1 AS i FROM base WHERE event_type = 'signup'
+      UNION ALL SELECT user_id, t, 2 FROM base WHERE event_type = 'click'
+      UNION ALL SELECT user_id, t, 3 FROM base WHERE event_type = 'purchase'
     ),
-    s2 AS (
-      SELECT b.user_id, MIN(b.t) AS t2
-      FROM base b JOIN s1 USING (user_id)
-      WHERE b.event_type = 'click' AND s1.t1 IS NOT NULL
-        AND b.t > s1.t1 AND b.t <= s1.t1 + 86400000000::BIGINT
-      GROUP BY b.user_id
+    ordered AS (
+      SELECT user_id, t, i,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, i) AS rn
+      FROM entries
     ),
-    s3 AS (
-      SELECT b.user_id, MIN(b.t) AS t3
-      FROM base b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
-      WHERE b.event_type = 'purchase' AND s2.t2 IS NOT NULL
-        AND b.t > s2.t2 AND b.t <= s1.t1 + 86400000000::BIGINT
-      GROUP BY b.user_id
+    counts AS (SELECT user_id, MAX(rn) AS n FROM ordered GROUP BY user_id),
+    fold AS (
+      SELECT user_id, 0::BIGINT AS rn, CAST(NULL AS BIGINT) AS a1,
+             CAST(NULL AS BIGINT) AS a2, CAST(NULL AS BIGINT) AS a3
+      FROM counts
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+        CASE WHEN o.i = 1 THEN o.t ELSE f.a1 END,
+        CASE WHEN o.i = 2 AND o.t <= f.a1 + 86400000000 THEN f.a1 ELSE f.a2 END,
+        CASE WHEN o.i = 3 AND o.t <= f.a2 + 86400000000 THEN f.a2 ELSE f.a3 END
+      FROM fold f JOIN ordered o ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    ),
+    lvl AS (
+      SELECT u.user_id,
+             coalesce(CASE WHEN f.a3 IS NOT NULL THEN 3
+                           WHEN f.a2 IS NOT NULL THEN 2
+                           WHEN f.a1 IS NOT NULL THEN 1
+                           ELSE 0 END, 0) AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM base) u
+      LEFT JOIN (
+        SELECT f.user_id, f.a1, f.a2, f.a3
+        FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+      ) f ON u.user_id = f.user_id
     )
-    SELECT s1.user_id,
-           CASE WHEN s3.t3 IS NOT NULL THEN 3
-                WHEN s2.t2 IS NOT NULL THEN 2
-                WHEN s1.t1 IS NOT NULL THEN 1
-                ELSE 0 END AS funnel_level
-    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+"""
+
+
+@query(
+    "behav_window_funnel",
+    oracle="WITH RECURSIVE " + _ORACLE_FUNNEL_FOLD + """
+    SELECT user_id, funnel_level FROM lvl
     """,
     category="behavioral",
 )
 def behav_window_funnel(spark, sf_dir):
     # ClickHouse windowFunnel(86400)(ts, signup, click, purchase): deepest
-    # signup→click→purchase chain within 24h of the signup anchor.
+    # signup→click→purchase chain within 24h of the chain's first event,
+    # CH default-mode semantics (re-anchoring on each new signup, equal
+    # timestamps chain).  Oracle: the same per-level-anchor fold in DuckDB
+    # as a recursive CTE over time-sorted (t, idx) entries.
     e = t(spark, sf_dir, "events")
     return window_funnel(
         e,
@@ -202,29 +227,7 @@ FROM events GROUP BY user_id
 
 @query(
     "behav_funnel_sql",
-    oracle="""
-    WITH base AS (
-      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type
-      FROM events
-    ),
-    s1 AS (
-      SELECT user_id, MIN(t) FILTER (WHERE event_type = 'signup') AS t1
-      FROM base GROUP BY user_id
-    ),
-    s2 AS (
-      SELECT b.user_id, MIN(b.t) AS t2
-      FROM base b JOIN s1 USING (user_id)
-      WHERE b.event_type = 'click' AND s1.t1 IS NOT NULL
-        AND b.t > s1.t1 AND b.t <= s1.t1 + 86400000000::BIGINT
-      GROUP BY b.user_id
-    ),
-    s3 AS (
-      SELECT b.user_id, MIN(b.t) AS t3
-      FROM base b JOIN s1 USING (user_id) JOIN s2 USING (user_id)
-      WHERE b.event_type = 'purchase' AND s2.t2 IS NOT NULL
-        AND b.t > s2.t2 AND b.t <= s1.t1 + 86400000000::BIGINT
-      GROUP BY b.user_id
-    ),
+    oracle="WITH RECURSIVE " + _ORACLE_FUNNEL_FOLD + """,
     enc AS (
       SELECT user_id,
              string_agg(
@@ -250,31 +253,27 @@ FROM events GROUP BY user_id
       WHERE event_type IN ('signup', 'click', 'purchase')
       GROUP BY user_id
     )
-    SELECT s1.user_id,
-           CASE WHEN s3.t3 IS NOT NULL THEN 3
-                WHEN s2.t2 IS NOT NULL THEN 2
-                WHEN s1.t1 IS NOT NULL THEN 1
-                ELSE 0 END AS funnel_level,
+    SELECT lvl.user_id,
+           lvl.funnel_level,
            CASE WHEN regexp_matches(coalesce(enc.s, ''),
                 '<1[01][01]>(?:<[01]{3}>)*<[01][01]1>') THEN 1 ELSE 0 END AS sm,
            CAST(coalesce(len(regexp_extract_all(coalesce(enc.s2, ''),
                 '<1[01]><[01]1>')), 0) AS INTEGER) AS sc
-    FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-             LEFT JOIN enc ON enc.user_id = s1.user_id
+    FROM lvl LEFT JOIN enc ON enc.user_id = lvl.user_id
     """,
     category="behavioral",
 )
 def behav_funnel_sql(spark, sf_dir):
     """Verbatim ``windowFunnel(w)(…)`` / ``sequenceMatch('(?1).*(?3)')(…)``
-    / ``sequenceCount`` SQL text (round 8 — the guided pointers became
-    single-expression translations): windowFunnel folds a time-sorted
-    collect_list greedily (earliest anchor, earliest next step within the
-    window — operators/funnel.window_funnel semantics); sequenceMatch
-    encodes each kept event as a condition BITMASK token and compiles the
-    CH pattern to a Java regex over that string, so one event matching
-    several conditions stays faithful.  Oracle: the funnel CTE chain from
-    behav_window_funnel plus the same bitmask encoding via string_agg +
-    RE2 in DuckDB."""
+    / ``sequenceCount`` SQL text: windowFunnel folds time-sorted per-
+    condition (t, idx) entries through a per-level anchor array —
+    ClickHouse default-mode semantics exactly, including re-anchoring on
+    each new cond-1 event (round 9, per the r8 advisor) — mirrored in the
+    DuckDB oracle via list_reduce; sequenceMatch encodes each kept event
+    as a condition BITMASK token and compiles the CH pattern to a Java
+    regex over that string, so one event matching several conditions
+    stays faithful.  Oracle: the shared _ORACLE_FUNNEL_FOLD CTE block plus
+    the same bitmask encoding via string_agg + RE2 in DuckDB."""
     from mcp_clickhouse_spark.dialect import translate
 
     t(spark, sf_dir, "events").createOrReplaceTempView("events")

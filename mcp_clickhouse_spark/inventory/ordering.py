@@ -5,94 +5,34 @@ registration order), rotating coverage round by round.  After round 7,
 all 168 then-registered queries had a driver row, 158/158 oracle-backed
 ones green at least once, zero ever-failed-and-unfixed.
 
-Round 8 priority, summing to exactly 50 (r7 verdict next #1: lead with
-everything last driver-checked in rounds 3-4 — the dialect/registry
-churned 3,178 lines since; plus the round-8 additions):
+Round 9 priority, summing to exactly 50 (r8 verdict next #2: lead with
+the 14 never/oldest-checked queries, then drain the r5-stale pool):
 
-- 6 brand-new round-8 queries, never driver-checked (sql_star_apply —
-  `* APPLY` expansion, verdict missing #2; sql_asof_forward — ASOF
-  nearest-following, missing #3; sql_right_any_join — missing #5;
-  sql_array_join_bare — missing #4; scalar_datetime_tz — literal
-  timezone args, missing #6; behav_funnel_sql — windowFunnel/
-  sequenceMatch/sequenceCount SQL-text translations);
-- agg_weighted_quantile — its operator changed this round (all-NULL
-  groups now keep their row via a distinct+left-join, round-8 advisor);
-- 43 of the 44 queries last driver-checked in r3/r4 (the verdict's
-  staleness list).  win_range_time_interval is the one deliberately at
-  position 51: its interval-RANGE frame shares the window-frame rewrite
-  path with win_range_frame (slot 49) and it re-passed check_parity at
-  sf0.01 this round; it leads the r9 rotation.
+- 13 round-8 additions never driver-checked (the post-freeze block that
+  sat at positions 51+ of the r8 rotation, plus scalar_lttb and
+  scalar_time_delta which landed after even that);
+- win_range_time_interval — last green in round 3 (oldest in the
+  registry);
+- behav_window_funnel / behav_funnel_sql — r8-green but their SEMANTICS
+  changed this round (windowFunnel re-anchors level 1 on every cond-1
+  event per the r8 advisor; both Spark folds and both DuckDB oracles
+  rewritten), so they must re-earn a driver row;
+- all 28 queries last driver-checked in round 5;
+- 6 from the round-6 pool, picked for blast radius (the flagship TPC-H
+  q1, the three headline pipeline/bench queries, the 4-broadcast star
+  join, and join_asof whose rewrite path churned in r8).
 
-After this round every registered query's last driver check is r5+
-except win_range_time_interval (parity-gate-verified locally).
+After this round the oldest last-green check in the registry is r6.
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-8 driver rotation; the tail (51+) is the
-# documented post-freeze block that leads round 9.
+# First 50 = the round-9 driver rotation; the tail (51+) is the
+# documented post-freeze block that leads round 10.
 PRIORITY: list[str] = [
-    # brand-new round-8 queries — never driver-checked
-    "sql_star_apply",
-    "sql_asof_forward",
-    "sql_right_any_join",
-    "sql_array_join_bare",
-    "scalar_datetime_tz",
-    "behav_funnel_sql",
-    # operator changed this round
-    "agg_weighted_quantile",
-    # last driver-checked in round 3 or 4 (44 — the full stale pool)
-    "agg_conditional",
-    "agg_grouping_sets",
-    "agg_minmax_by",
-    "agg_quantiles_exact",
-    "agg_topk",
-    "agg_with_totals",
-    "behav_retention",
-    "behav_window_funnel",
-    "cte_multi",
-    "events_pivot",
-    "filter_predicates",
-    "join_anti",
-    "join_full_outer",
-    "join_right",
-    "join_semi",
-    "pipe_dedup_fingerprint",
-    "pipe_embed_ivf_topk",
-    "pipe_embed_label_centroids",
-    "pipe_embed_lsh_topk",
-    "pipe_lang_id",
-    "pipe_minhash_lsh_verified",
-    "pipe_minhash_signatures",
-    "pipe_multimodal_meta",
-    "pipe_ngram_jaccard",
-    "pipe_quality_score",
-    "pipe_simhash",
-    "pipe_token_count",
-    "pipe_training_filter",
-    "q12_priority_by_flag",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "sample_fraction",
-    "scalar_zip_sequence",
-    "scale_salted_agg",
-    "select_star_except",
-    "shim_distinct_on",
-    "source_numbers",
-    "subquery_correlated_exists",
-    "subquery_in",
-    "win_distribution",
-    "win_lag_lead",
-    "win_range_frame",
-    # position 51 — first out of this round's 50, leads r9 (see docstring)
-    "win_range_time_interval",
-    # positions 52+ — added after the round-8 rotation was frozen at 50
-    # (sumMap/entropy, maxIntersections, -ForEach, arrayAUC, and the
-    # firstSignificantSubdomain family); every one parity-gate-verified
-    # locally at sf0.001 AND sf0.01 this round, driver-checked in r9
+    # never driver-checked (round-8 post-freeze additions)
     "agg_map_entropy",
     "agg_max_intersections",
     "agg_foreach",
@@ -104,6 +44,49 @@ PRIORITY: list[str] = [
     "scalar_url_hierarchy",
     "scalar_vector_math",
     "agg_hypothesis_tests",
+    "scalar_lttb",
+    "scalar_time_delta",
+    # oldest in the registry (last green r3)
+    "win_range_time_interval",
+    # semantics changed round 9 (windowFunnel re-anchoring, r8 advisor)
+    "behav_window_funnel",
+    "behav_funnel_sql",
+    # last driver-checked in round 5 (28 — the full stale pool)
+    "agg_topk_weighted",
+    "pipe_chunk_documents",
+    "pipe_clean_corpus",
+    "pipe_compression_ratio",
+    "pipe_dedup_funnel",
+    "pipe_dedup_incremental",
+    "pipe_dup_clusters",
+    "pipe_embed_neardup",
+    "pipe_epoch_shards",
+    "pipe_lsh_eval",
+    "pipe_pii_scrub",
+    "pipe_repetition_filters",
+    "pipe_snapshot_diff",
+    "pipe_train_val_split",
+    "pipe_unigram_logprob",
+    "profile_documents",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "streaming_corpus_stats",
+    "streaming_minhash_pairs",
+    "subquery_scalar",
+    # round-6 pool, by blast radius
+    "q1_pricing_summary",
+    "pipe_span_dedup",
+    "pipe_minhash_lsh",
+    "pipe_text_stats",
+    "join_star_revenue",
+    "join_asof",
 ]
 
 

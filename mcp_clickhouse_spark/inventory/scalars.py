@@ -633,7 +633,7 @@ FROM (
              ROW_NUMBER() OVER (ORDER BY s_suppkey) AS rn
       FROM supplier
     )
-    SELECT s.x AS x, 0.0 AS y FROM s JOIN sel USING (rn)
+    SELECT s.x AS x, CAST(0.0 AS DOUBLE) AS y FROM s JOIN sel USING (rn)
     """,
     category="scalars",
 )

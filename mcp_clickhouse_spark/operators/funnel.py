@@ -5,17 +5,20 @@ aggregate family; ClickHouse docs are the behavioral spec).
 All three are per-entity aggregations over an event stream:
 
   retention(c1, c2, …)   → [has(c1), has(c1)&has(c2), has(c1)&has(c3), …]
-  windowFunnel(w)(ts, s1, s2, …) → deepest prefix of steps s1→s2→… where
-                           each step occurs after the previous and within
-                           w of step 1 (strictly-increasing timestamps)
+  windowFunnel(w)(ts, s1, s2, …) → deepest chain s1→s2→… within w of the
+                           chain's first event, with CH default-mode
+                           RE-ANCHORING (each new s1 overwrites the level-1
+                           anchor; equal timestamps chain)
   sequenceMatch(pat)     → regex over the entity's time-ordered event string
 
 Scale: retention is ONE hash aggregation (bool_or per condition).
-windowFunnel is k-1 self-aggregation rounds (k = #steps, small constant):
-each round is a groupBy over already-aggregated (entity, step_time) rows.
+windowFunnel is ONE hash aggregation folding per-entity (t, idx) entries.
 sequenceMatch sorts per-entity events inside an aggregation
-(sort_array(collect_list(struct))) — bounded by per-entity event counts,
-the same contract ClickHouse has.
+(sort_array(collect_list(struct))).  MEMORY-BOUND: both buffer one
+entity's kept events in a single aggregate buffer — the same
+events-per-entity contract ClickHouse has; for entities with unbounded
+event streams, pre-filter to the relevant conditions and/or pre-window
+(group by (entity, time_bucket)) before aggregating.
 """
 
 from __future__ import annotations
@@ -49,44 +52,59 @@ def window_funnel(
     steps: Sequence[Column],
     window_seconds: int,
 ) -> DataFrame:
-    """(entity, funnel_level): deepest step chain s1 < s2 < … < sK with
-    ts(sK) - ts(s1) <= window, each step strictly after the previous.
+    """(entity, funnel_level): ClickHouse windowFunnel DEFAULT mode,
+    value-faithful (round 9 — was greedy-earliest-anchor via k-1 join
+    rounds; now ONE hash aggregation).
 
-    Greedy earliest-start semantics: step 1 anchors at its EARLIEST
-    occurrence, each later step at its earliest occurrence after the
-    previous step (matches ClickHouse's default mode closely enough to
-    oracle with the same SQL logic).
+    Semantics (AggregateFunctionWindowFunnel::getEventLevel): one (t, idx)
+    entry per matched condition, sorted by time; a per-level anchor array
+    where cond-1 RE-ANCHORS level 1 on every occurrence (so c1@0, c1@50,
+    c2@100 with window 60 reaches level 2 via the @50 anchor), level i
+    chains when t <= anchor[i-1] + window (equal timestamps chain), and
+    the propagated anchor is the chain's first timestamp.  funnel_level =
+    deepest level whose anchor is set.
+
+    Scale: one shuffle; the per-entity fold buffer is the same
+    events-per-entity contract ClickHouse has — pre-filter or pre-window
+    entities with unbounded event counts.
     """
     # Integer microseconds on both engines (DuckDB epoch_us) — exact compare.
     ts = F.unix_micros(F.col(ts_col).cast("timestamp"))
     window_us = int(window_seconds) * 1_000_000
-    base = df.select(F.col(entity), ts.alias("_ts"), *[
-        s.alias(f"_is{i}") for i, s in enumerate(steps, start=1)
-    ])
-    # t1 = earliest step-1 time per entity
-    cur = base.groupBy(entity).agg(
-        F.min(F.when(F.col("_is1"), F.col("_ts"))).alias("t1")
+    k = len(steps)
+    per_row = F.filter(
+        F.array(*[
+            F.when(s, F.struct(ts.alias("t"), F.lit(i).alias("i")))
+            for i, s in enumerate(steps, start=1)
+        ]),
+        lambda e: e.isNotNull(),
     )
-    prev_t = "t1"
-    for i in range(2, len(steps) + 1):
-        nxt = (
-            base.join(cur, on=entity, how="inner")
-            .where(
-                F.col(f"_is{i}")
-                & F.col(prev_t).isNotNull()
-                & (F.col("_ts") > F.col(prev_t))
-                & (F.col("_ts") <= F.col("t1") + F.lit(window_us))
+    base = df.select(F.col(entity), per_row.alias("_ev"))
+    ev = F.array_sort(F.flatten(F.collect_list("_ev")))
+    init = F.struct(*[
+        F.lit(None).cast("bigint").alias(f"a{i}") for i in range(1, k + 1)
+    ])
+
+    def step(acc: Column, e: Column) -> Column:
+        fields = [F.when(e["i"] == 1, e["t"]).otherwise(acc["a1"]).alias("a1")]
+        for i in range(2, k + 1):
+            prev = acc[f"a{i - 1}"]
+            fields.append(
+                F.when(
+                    (e["i"] == i) & (e["t"] <= prev + F.lit(window_us)), prev
+                ).otherwise(acc[f"a{i}"]).alias(f"a{i}")
             )
-            .groupBy(entity)
-            .agg(F.min("_ts").alias(f"t{i}"))
-        )
-        cur = cur.join(nxt, on=entity, how="left")
-        prev_t = f"t{i}"
-    level = F.lit(0)
-    for i in range(1, len(steps) + 1):
-        level = F.when(F.col(f"t{i}").isNotNull(), i).otherwise(level)
-    # build level by deepest non-null t_i (t_i non-null implies t_{i-1} non-null)
-    return cur.select(F.col(entity), level.alias("funnel_level"))
+        return F.struct(*fields)
+
+    def finish(acc: Column) -> Column:
+        level = F.lit(0)
+        for i in range(1, k + 1):
+            level = F.when(acc[f"a{i}"].isNotNull(), i).otherwise(level)
+        return level
+
+    return base.groupBy(entity).agg(
+        F.aggregate(ev, init, step, finish).alias("funnel_level")
+    )
 
 
 def sequence_match(

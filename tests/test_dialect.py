@@ -923,6 +923,35 @@ def test_window_funnel_sql_translates(spark):
     assert [(r.u, r.lvl) for r in rows] == [(1, 3), (2, 1), (3, 2), (4, 0)]
 
 
+def test_window_funnel_reanchors_like_clickhouse(spark):
+    # round 9 (r8 advisor): CH's AggregateFunctionWindowFunnel overwrites
+    # the level-1 anchor on EVERY cond-1 event.  u1 is the advisor's
+    # counterexample: c1@0, c1@50, c2@100 with window 60 must return 2
+    # (anchored at @50), where greedy-earliest-anchor would return 1.
+    # u2: equal timestamps chain in default mode (t <= anchor + w is
+    # non-strict and entries sort (t, cond_idx)).  u3: re-anchoring never
+    # CLEARS a deeper level already reached (c1@0,c2@5,c1@500,c3@30 ⇒ 3?
+    # no — c3@30 precedes c1@500 in time order; use c1@0,c2@5,c1@8,c3@30:
+    # a2 propagates anchor 0, c3@30 <= 0+60 ⇒ 3).
+    rows = spark.sql(
+        translate(
+            "SELECT u, windowFunnel(60)(ts, e = 'a', e = 'b', e = 'c')"
+            " AS lvl FROM (SELECT * FROM VALUES"
+            " (1, TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (1, TIMESTAMP '2024-01-01 00:00:50', 'a'),"
+            " (1, TIMESTAMP '2024-01-01 00:01:40', 'b'),"
+            " (2, TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (2, TIMESTAMP '2024-01-01 00:00:00', 'b'),"
+            " (3, TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (3, TIMESTAMP '2024-01-01 00:00:05', 'b'),"
+            " (3, TIMESTAMP '2024-01-01 00:00:08', 'a'),"
+            " (3, TIMESTAMP '2024-01-01 00:00:30', 'c')"
+            " AS t(u, ts, e)) GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.lvl) for r in rows] == [(1, 2), (2, 2), (3, 3)]
+
+
 def test_sequence_match_count_sql_translate(spark):
     # sequenceMatch is unanchored; events matching NO condition are skipped
     # (u4's 'x' row vanishes ⇒ empty string, no match). sequenceCount
@@ -2569,6 +2598,23 @@ def test_tuple_index_datetime64_mapapply(spark):
     )
     assert str(row[0]).startswith("2024-01-01 00:00")
     assert str(row[1]).startswith("2024-06-01 16:00")  # EDT wall -> UTC
+    # round 9 (r8 advisor): for EPOCH-INTEGER and DateTime inputs the CH
+    # timezone argument is display-only — the INSTANT must not shift
+    # (round 8 wrapped every input in to_utc_timestamp).  Literal epoch,
+    # epoch column, string column, and timestamp column all checked.
+    row = one(
+        spark,
+        "SELECT toDateTime(1704067200, 'America/New_York') AS lit_epoch,"
+        " toDateTime(n, 'America/New_York') AS col_epoch,"
+        " toDateTime(s, 'America/New_York') AS col_str,"
+        " toDateTime(t, 'America/New_York') AS col_ts"
+        " FROM (SELECT 1704067200 AS n, '2024-01-01 00:00:00' AS s,"
+        " TIMESTAMP '2024-01-01 00:00:00' AS t)",
+    )
+    assert str(row[0]).startswith("2024-01-01 00:00")  # instant kept
+    assert str(row[1]).startswith("2024-01-01 00:00")  # instant kept
+    assert str(row[2]).startswith("2024-01-01 05:00")  # wall-clock shifts
+    assert str(row[3]).startswith("2024-01-01 00:00")  # instant kept
     # mapApply rebuilds entries through the user's tuple-returning lambda
     row = one(
         spark,
