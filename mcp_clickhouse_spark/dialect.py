@@ -507,6 +507,125 @@ def _to_datetime_tz(args: list[str], max_args: int) -> str:
     )
 
 
+def _reint_uint_from_string(x: str, w: int) -> str:
+    """Little-endian unsigned reinterpretation of a string's first ``w``
+    UTF-8 bytes (ClickHouse reinterpretAsUInt*: missing bytes read as 0).
+    High-to-low fold ``acc*256 + byte`` over the hex dump; width 8 folds
+    in DECIMAL(20,0) (UInt64 exceeds BIGINT), narrower widths in BIGINT."""
+    h = f"hex(CAST(CAST({x} AS STRING) AS BINARY))"
+    byte = (
+        f"IF(length({h}) >= 2 * __ri + 2,"
+        f" CAST(conv(substring({h}, 2 * __ri + 1, 2), 16, 10) AS BIGINT),"
+        f" CAST(0 AS BIGINT))"
+    )
+    if w == 8:
+        return (
+            f"aggregate(sequence({w - 1}, 0, -1), CAST(0 AS DECIMAL(20,0)),"
+            f" (__ra, __ri) -> CAST(__ra * 256 + {byte} AS DECIMAL(20,0)))"
+        )
+    return (
+        f"aggregate(sequence({w - 1}, 0, -1), CAST(0 AS BIGINT),"
+        f" (__ra, __ri) -> __ra * 256 + {byte})"
+    )
+
+
+def _reint_numeric_value(x: str) -> str:
+    """The 'raw integer payload' of a non-string argument for
+    reinterpretAs* (CH memory layout): Date = UInt16 days since epoch,
+    DateTime = UInt32 unix seconds, integers = their two's-complement
+    value; Float input raises at RUNTIME (IEEE bit patterns have no
+    Spark SQL bit-cast).  Every branch routes through STRING casts so the
+    whole CASE analyzes under any input type."""
+    xs = f"CAST({x} AS STRING)"
+    return (
+        f"CASE WHEN typeof({x}) IN ('float', 'double') THEN"
+        f" CAST(raise_error('reinterpretAs*: Float input needs IEEE bit"
+        f" access, which Spark SQL lacks — reinterpret integers, dates,"
+        f" datetimes, or strings') AS BIGINT)"
+        f" WHEN typeof({x}) = 'date' THEN"
+        f" CAST(datediff(CAST({xs} AS DATE), DATE '1970-01-01') AS BIGINT)"
+        f" WHEN typeof({x}) = 'timestamp' THEN"
+        f" unix_timestamp(CAST({xs} AS TIMESTAMP))"
+        f" ELSE CAST({xs} AS BIGINT) END"
+    )
+
+
+def _reinterpret_int_expr(a: list[str], w: int, signed: bool) -> str:
+    """CH reinterpretAs{U}Int{8,16,32,64} (round 9 — was a guided error):
+    strings reinterpret their first w little-endian bytes (missing bytes
+    0); integers/dates/datetimes wrap their raw payload modulo 2^(8w),
+    two's-complement for the signed targets — byte-exact with ClickHouse
+    on every non-float input, runtime-guided on floats.  Emitted as plain
+    JVM-side expressions (conv/hex folds), no UDF."""
+    if len(a) != 1:
+        raise DialectError("reinterpretAs*: exactly one argument")
+    x = a[0]
+    s_u = _reint_uint_from_string(x, w)
+    n = _reint_numeric_value(x)
+    full, half = 1 << (8 * w), 1 << (8 * w - 1)
+    if w == 8:
+        n_u = (
+            f"CAST(IF(({n}) < 0, CAST({n} AS DECIMAL(20,0)) +"
+            f" 18446744073709551616BD, CAST({n} AS DECIMAL(20,0)))"
+            f" AS DECIMAL(20,0))"
+        )
+        if signed:  # Int64: numeric payload is already the value
+            s_signed = (
+                f"CAST(IF({s_u} >= 9223372036854775808BD,"
+                f" {s_u} - 18446744073709551616BD, {s_u}) AS BIGINT)"
+            )
+            return (
+                f"CASE WHEN typeof({x}) = 'string' THEN {s_signed}"
+                f" ELSE {n} END"
+            )
+        return f"CASE WHEN typeof({x}) = 'string' THEN {s_u} ELSE {n_u} END"
+    u = (
+        f"CASE WHEN typeof({x}) = 'string' THEN {s_u}"
+        f" ELSE pmod({n}, {full}) END"
+    )
+    if signed:
+        return f"CAST(IF(({u}) >= {half}, ({u}) - {full}, {u}) AS BIGINT)"
+    return f"CAST({u} AS BIGINT)"
+
+
+def _reinterpret_string_expr(a: list[str]) -> str:
+    """CH reinterpretAsString: a string is returned as-is; any other
+    input renders its little-endian bytes with trailing zero bytes
+    dropped (so reinterpretAsString(toInt32(65)) = 'A')."""
+    if len(a) != 1:
+        raise DialectError("reinterpretAsString: exactly one argument")
+    x = a[0]
+    n = _reint_numeric_value(x)
+    le_hex = (
+        f"concat_ws('', transform(filter(sequence(0, 7),"
+        f" __ri -> shiftrightunsigned({n}, 8 * __ri) != 0),"
+        f" __ri -> lpad(hex(pmod(shiftrightunsigned({n}, 8 * __ri), 256)),"
+        f" 2, '0')))"
+    )
+    return (
+        f"CASE WHEN typeof({x}) = 'string' THEN CAST({x} AS STRING)"
+        f" ELSE decode(unhex({le_hex}), 'UTF-8') END"
+    )
+
+
+def _reinterpret_temporal_expr(a: list[str], kind: str) -> str:
+    """CH reinterpretAsDate (UInt16 days since epoch) /
+    reinterpretAsDateTime (UInt32 unix seconds) over the same unsigned
+    payload logic as the integer targets."""
+    if len(a) != 1:
+        raise DialectError(f"reinterpretAs{kind}: exactly one argument")
+    x = a[0]
+    w = 2 if kind == "Date" else 4
+    u = (
+        f"CASE WHEN typeof({x}) = 'string' THEN"
+        f" {_reint_uint_from_string(x, w)}"
+        f" ELSE pmod({_reint_numeric_value(x)}, {1 << (8 * w)}) END"
+    )
+    if kind == "Date":
+        return f"date_add(DATE '1970-01-01', CAST({u} AS INT))"
+    return f"CAST({u} AS TIMESTAMP)"
+
+
 def _fmt_to_java(fmt: str) -> str:
     """MySQL %-codes → Java datetime pattern (shared by formatDateTime and,
     in reverse, parseDateTime — round 7)."""
@@ -2938,27 +3057,43 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
                    "h3edgelengthm", "h3kring", "h3isvalid",
                    "polygonareacartesian", "polygonperimetercartesian")
     },
+    # normalizeUTF8* (round 9 — was a guided error): Spark has no Unicode-
+    # normalization builtin; Python's unicodedata implements the same UAX
+    # #15 forms ICU gives ClickHouse, shipped as an Arrow pandas_udf
+    # (functions/unicode_norm.py; the tool layer registers lazily)
     **{
-        f"normalizeutf8{_f}": (lambda _n: (lambda a: (_ for _ in ()).throw(
-            DialectError(
-                f"normalizeUTF8{_n.upper()}: Spark has no Unicode-"
-                "normalization builtin — use a pandas UDF over "
-                "unicodedata.normalize"
-            )
-        )))(_f)
+        f"normalizeutf8{_f}": (lambda _n: (
+            lambda a: f"ch_normalize_utf8({a[0]}, '{_n.upper()}')"
+        ))(_f)
         for _f in ("nfc", "nfd", "nfkc", "nfkd")
     },
+    # reinterpretAs* (round 9 — was a guided error): byte-exact
+    # little-endian reinterpretation as JVM-side conv/hex folds — see
+    # _reinterpret_int_expr.  Float targets stay guided: IEEE bit
+    # patterns have no Spark SQL bit-cast.
+    **{
+        f"reinterpretas{'u' if _u else ''}int{_w * 8}": (
+            lambda _ww, _uu: (
+                lambda a: _reinterpret_int_expr(a, _ww, signed=not _uu)
+            )
+        )(_w, _u)
+        for _w in (1, 2, 4, 8)
+        for _u in (True, False)
+    },
+    "reinterpretasstring": _reinterpret_string_expr,
+    "reinterpretasdate": lambda a: _reinterpret_temporal_expr(a, "Date"),
+    "reinterpretasdatetime": lambda a: (
+        _reinterpret_temporal_expr(a, "DateTime")
+    ),
     **{
         f"reinterpretas{_f}": (lambda _n: (lambda a: (_ for _ in ()).throw(
             DialectError(
-                f"reinterpretAs{_n}: byte-order reinterpretation needs "
-                "binary byte access (substr is character-based) — cast "
-                "through unhex/conv explicitly for hex input"
+                f"reinterpretAs{_n}: IEEE float bit patterns have no "
+                "Spark SQL bit-cast — reinterpret integers, dates, "
+                "datetimes, or strings"
             )
         )))(_f)
-        for _f in ("uint8", "uint16", "uint32", "uint64",
-                   "int8", "int16", "int32", "int64",
-                   "float32", "float64", "string")
+        for _f in ("float32", "float64")
     },
     # round 8 (second pass): fill/split now translate — mask via the
     # user's own lambda, index-scan fill / edge-slice split

@@ -26,6 +26,12 @@ def _register_seqmatch(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_unicode_norm(spark) -> None:
+    from mcp_clickhouse_spark.functions.unicode_norm import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -39,6 +45,7 @@ LAZY_UDFS = {
     "ch_t_ppf": _register_stats,
     "ch_seq_match": _register_seqmatch,
     "ch_seq_count": _register_seqmatch,
+    "ch_normalize_utf8": _register_unicode_norm,
 }
 
 

@@ -87,6 +87,11 @@ PRIORITY: list[str] = [
     "pipe_text_stats",
     "join_star_revenue",
     "join_asof",
+    # positions 51+ — added after the round-9 rotation was frozen at 50
+    # (reinterpretAs* byte-exact folds, normalizeUTF8* via pandas_udf);
+    # parity-verified locally at sf0.001 AND sf0.01, lead round 10
+    "scalar_reinterpret",
+    "scalar_normalize_utf8",
 ]
 
 

@@ -652,3 +652,90 @@ def scalar_lttb(spark, sf_dir):
 
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(translate(_SQL_LTTB_CH))
+
+
+_SQL_REINTERPRET_CH = """
+SELECT s_suppkey,
+       reinterpretAsUInt8(s_suppkey * 7 - 128) AS u8,
+       reinterpretAsInt16(s_suppkey * 517) AS i16,
+       reinterpretAsUInt32(reinterpretAsString(65 + s_suppkey % 58)) AS rt,
+       reinterpretAsUInt16(substring(s_name, 1, 2)) AS su16,
+       reinterpretAsDate(s_suppkey + 60) AS d
+FROM supplier
+"""
+
+
+@query(
+    "scalar_reinterpret",
+    oracle="""
+    SELECT s_suppkey,
+           ((s_suppkey * 7 - 128) % 256 + 256) % 256 AS u8,
+           CASE WHEN ((s_suppkey * 517) % 65536 + 65536) % 65536 >= 32768
+                THEN ((s_suppkey * 517) % 65536 + 65536) % 65536 - 65536
+                ELSE ((s_suppkey * 517) % 65536 + 65536) % 65536
+           END AS i16,
+           65 + s_suppkey % 58 AS rt,
+           ascii(substr(s_name, 1, 1)) + 256 * ascii(substr(s_name, 2, 1)) AS su16,
+           DATE '1970-01-01' + CAST(s_suppkey + 60 AS INTEGER) AS d
+    FROM supplier
+    """,
+    category="scalars",
+)
+def scalar_reinterpret(spark, sf_dir):
+    """``reinterpretAs{UInt8,Int16,UInt32,UInt16,Date,String}`` as verbatim
+    SQL text (round 9 — was a guided error): little-endian byte-exact
+    reinterpretation via JVM-side conv/hex folds, typeof-branched per
+    input kind (string → LE byte fold, integer → two's-complement wrap,
+    Date/DateTime → raw payload).  The oracle recomputes each value with
+    plain modular arithmetic in DuckDB: u8 = wrap(x, 2^8); i16 = signed
+    wrap; rt = a single-ASCII-byte String roundtrip (CH docs pin
+    reinterpretAsUInt32(reinterpretAsString(3909)) = 3909); su16 = the
+    first two s_name bytes little-endian; d = UInt16 days since epoch."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(translate(_SQL_REINTERPRET_CH))
+
+
+# 'a' + U+0301 COMBINING ACUTE (decomposed) — NFC composes it to one
+# code point; the Spark side appends it to real document text so the
+# normalization runs over data, not just literals
+_DECOMPOSED = "á"
+
+_SQL_NORMALIZE_CH = f"""
+SELECT doc_id,
+       char_length(normalizeUTF8NFC(concat(substring(text, 1, 40),
+                                           '{_DECOMPOSED}'))) AS nfc_len,
+       char_length(normalizeUTF8NFD(concat(substring(text, 1, 40),
+                                           '{_DECOMPOSED}'))) AS nfd_len
+FROM documents
+"""
+
+
+@query(
+    "scalar_normalize_utf8",
+    oracle=f"""
+    SELECT doc_id,
+           length(nfc_normalize(substr(text, 1, 40) || '{_DECOMPOSED}'))
+             AS nfc_len,
+           length(nfc_normalize(substr(text, 1, 40) || '{_DECOMPOSED}'))
+             + 1 AS nfd_len
+    FROM documents
+    """,
+    category="scalars",
+)
+def scalar_normalize_utf8(spark, sf_dir):
+    """``normalizeUTF8NFC/NFD`` as verbatim SQL text (round 9 — was a
+    guided error): UAX #15 normalization via an Arrow pandas_udf over
+    unicodedata (functions/unicode_norm.py), registered lazily by the
+    tool layer.  Each document's first 40 chars get a DECOMPOSED 'a' +
+    combining-acute appended; NFC composes it (one code point), NFD keeps
+    it decomposed.  Oracle: DuckDB's nfc_normalize for the NFC length;
+    the NFD length is NFC+1 because the corpus text is ASCII (generated
+    TPC-H-ish prose), so the appended pair is the only decomposable."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.unicode_norm import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_SQL_NORMALIZE_CH))
