@@ -425,6 +425,16 @@ def bucket_pairs(banded: DataFrame, id_col: str, max_bucket_size: int) -> DataFr
     )
 
 
+def should_precompute_sets(n_pairs: int, n_docs: int) -> bool:
+    """The jaccard_verify cost model: post-join computes 2·|pairs|
+    shingle-hash sets, docs-side computes |docs| — precompute when the
+    pair side would do more set computations.  Measured at sf1
+    (scripts/stage_probe.py, round 9): 259,700 candidates over 50,000
+    docs verify in 6.8 s precomputed vs 35.2 s post-join (5.2×), while
+    the sparse sf0.1 shape (347 pairs / 5,000 docs) stays post-join."""
+    return 2 * n_pairs > n_docs
+
+
 def jaccard_verify(
     candidates: DataFrame,
     docs: DataFrame,
@@ -432,7 +442,7 @@ def jaccard_verify(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    precompute_sets: bool = False,
+    precompute_sets: bool | None = None,
 ) -> DataFrame:
     """Exact Jaccard over (hashed) shingle sets for candidate pairs; keeps
     pairs with jaccard >= threshold.
@@ -440,7 +450,15 @@ def jaccard_verify(
     ``precompute_sets`` picks WHERE the shingle-hash set is computed —
     the choice is workload-shaped, measured at sf0.1:
 
-    - ``False`` (default): post-join, once per pair-side row (2·|pairs|
+    - ``None`` (default, round 9): AUTO — count both frames and apply
+      should_precompute_sets.  Candidates arrive persisted from
+      minhash_lsh_candidates, so its count is a cache scan; the docs
+      count is parquet-footer metadata.  A duplicate-heavy corpus (the
+      shape that makes near-dup dedup worth running at all) flips the
+      pair count far past the corpus size, where post-join verification
+      is the 5× bottleneck of the whole pipeline (sf1 measurement in
+      should_precompute_sets).
+    - ``False``: post-join, once per pair-side row (2·|pairs|
       computations).  Right when pairs are FEW relative to the corpus
       (LSH candidates: ~25 pairs vs 5000 docs).
     - ``True``: docs-side, once per corpus doc, the join then carries the
@@ -470,6 +488,10 @@ def jaccard_verify(
     """
     if shingle_k != 3:  # pragma: no cover — inventory always uses k=3
         raise ValueError("jaccard_verify is specialized to k=3 word shingles")
+    if precompute_sets is None:
+        precompute_sets = should_precompute_sets(
+            candidates.count(), docs.count()
+        )
     wa = f"split(lower(trim({text_col})), '\\\\s+')"
     set_expr = (
         f"array_distinct(transform(arrays_zip("
