@@ -91,6 +91,16 @@ NAME_MAP: dict[str, str] = {
     "rightpad": "rpad",
     "base64encode": "base64",
     "base64decode": "unbase64",
+    # round 9 gap scan: CH names whose Spark builtin is value-identical
+    "initcap": "initcap",
+    "initcaputf8": "initcap",
+    "repeat": "repeat",
+    "space": "space",
+    "soundex": "soundex",
+    "levenshteindistance": "levenshtein",
+    "editdistance": "levenshtein",
+    "editdistanceutf8": "levenshtein",
+    "widthbucket": "width_bucket",
     # "format" and "splitbystring" are TEMPLATES: placeholder syntax and
     # argument order/regex semantics differ from the Spark builtins.
     "concatws": "concat_ws",
@@ -504,6 +514,24 @@ def _to_datetime_tz(args: list[str], max_args: int) -> str:
         f"CASE WHEN typeof({x}) = 'string'"
         f" THEN to_utc_timestamp(to_timestamp(CAST({x} AS STRING)), {tz})"
         f" ELSE CAST({x} AS TIMESTAMP) END"
+    )
+
+
+def _has_subsequence_expr(h: str, n: str) -> str:
+    """CH hasSubsequence(haystack, needle): 1 when needle's characters
+    appear in haystack in order (not necessarily contiguously).  One fold
+    over the haystack's characters advancing a needle pointer; the char
+    array guards the empty haystack (``sequence(1, 0)`` is DESCENDING)."""
+    chars = (
+        f"filter(transform(sequence(1, greatest(length({h}), 1)),"
+        f" __hc -> IF(__hc <= length({h}), substring({h}, __hc, 1), NULL)),"
+        f" __hn -> __hn IS NOT NULL)"
+    )
+    return (
+        f"aggregate({chars}, 0,"
+        f" (__sa, __sc) -> IF(__sa < length({n})"
+        f" AND __sc = substring({n}, __sa + 1, 1), __sa + 1, __sa),"
+        f" __sa -> IF(__sa >= length({n}), 1, 0))"
     )
 
 
@@ -1720,6 +1748,34 @@ def _max_intersections_expr(a: list[str], position: bool) -> str:
     )
 
 
+def _interval_length_sum_expr(a: list[str]) -> str:
+    """CH ``intervalLengthSum(start, end)``: length of the union of all
+    [start, end] segments — overlaps counted once (sweep-line over the
+    same (point, ±1) event list as maxIntersections, accruing
+    ``point − prev`` while the open count is positive).  NULL-endpoint
+    rows contribute nothing."""
+    if len(a) != 2:
+        raise DialectError("intervalLengthSum takes (start, end)")
+    s, e = a
+    ev = (
+        f"array_sort(flatten(collect_list(slice(array("
+        f"named_struct('p', CAST({s} AS DOUBLE), 'd', 1),"
+        f" named_struct('p', CAST({e} AS DOUBLE), 'd', -1)), 1,"
+        f" IF(({s}) IS NULL OR ({e}) IS NULL OR ({e}) < ({s}), 0, 2)))))"
+    )
+    return (
+        f"aggregate({ev},"
+        f" named_struct('c', 0, 'prev', CAST(0 AS DOUBLE),"
+        f" 'len', CAST(0 AS DOUBLE)),"
+        f" (__la, __le) -> named_struct("
+        f"'c', __la.c + __le.d,"
+        f" 'prev', __le.p,"
+        f" 'len', __la.len + IF(__la.c > 0, __le.p - __la.prev,"
+        f" CAST(0 AS DOUBLE))),"
+        f" __lz -> __lz.len)"
+    )
+
+
 def _tt_pieces(a: list[str]) -> tuple[str, str, str, str, str, str]:
     """Shared conditional-moment pieces for the two-sample tests.
 
@@ -2455,6 +2511,28 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CAST(coalesce((length({a[0]}) - length(replace({a[0]}, {a[1]}, '')))"
         f" / nullif(length({a[1]}), 0), 0) AS INT)"
     ),
+    "countsubstringscaseinsensitive": lambda a: (
+        f"CAST(coalesce((length({a[0]}) - length(replace(lower({a[0]}),"
+        f" lower({a[1]}), ''))) / nullif(length({a[1]}), 0), 0) AS INT)"
+    ),
+    # leftmost position at which ANY needle occurs, 0 when none (CH
+    # multiSearchFirstPosition) — min over the positive instr positions
+    "multisearchfirstposition": lambda a: (
+        f"coalesce(array_min(filter(transform({a[1]},"
+        f" __mn -> instr({a[0]}, __mn)), __mp -> __mp > 0)), 0)"
+    ),
+    "multisearchfirstpositioncaseinsensitive": lambda a: (
+        f"coalesce(array_min(filter(transform({a[1]},"
+        f" __mn -> instr(lower({a[0]}), lower(__mn))), __mp -> __mp > 0)), 0)"
+    ),
+    # hasSubsequence (round 9): fold over the haystack's characters
+    # advancing a needle pointer — subsequence = all needle chars found
+    # in order, not necessarily contiguous (CH docs:
+    # hasSubsequence('garbage', 'arg') = 1)
+    "hassubsequence": lambda a: _has_subsequence_expr(a[0], a[1]),
+    "hassubsequencecaseinsensitive": lambda a: _has_subsequence_expr(
+        f"lower({a[0]})", f"lower({a[1]})"
+    ),
     "countmatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
@@ -3095,6 +3173,67 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         )))(_f)
         for _f in ("float32", "float64")
     },
+    # NLP functions backed by server-side dictionaries/models in CH —
+    # nothing faithful to map to without those assets (round 9 gap scan)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: backed by ClickHouse server-side NLP dictionaries/"
+            "models (no equivalent asset here) — run language-id via the "
+            "pipeline operators (pipeline/text.lang_id) instead"
+        ))))(_t)
+        for _t in ("detectlanguage", "detectlanguageunknown",
+                   "detectlanguagemixed", "detectcharset", "detecttonality",
+                   "detectprogramminglanguage", "lemmatize", "stem",
+                   "synonyms")
+    },
+    # byte-level string-distance family: CH operates on BYTES; Spark's
+    # string functions are CHARACTER-based, so a mapping would silently
+    # differ on any non-ASCII input (round 9 gap scan — guided, not wrong)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse computes this over BYTES; Spark string "
+            "functions are character-based and would silently differ on "
+            "non-ASCII input — use levenshteinDistance (character-exact "
+            "via Spark's levenshtein) or a pandas UDF for byte semantics"
+        ))))(_t)
+        for _t in ("dameraulevenshteindistance", "jarosimilarity",
+                   "jarowinklersimilarity",
+                   "bytehammingdistance", "ngramdistance", "ngramsearch")
+    },
+    "consistenthash": lambda a: (_ for _ in ()).throw(DialectError(
+        "consistentHash: ClickHouse's Yandex consistent-hash ring has no "
+        "published closed form to match — jumpConsistentHash is the "
+        "value-faithful alternative here"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse's exact sample-size formula is not pinned "
+            "by its docs (the documented example does not match any "
+            "standard two-sample closed form) — compute the power "
+            "analysis with the hypothesis-test family (studentTTest/"
+            "proportionsZTest) or an explicit formula"
+        ))))(_t)
+        for _t in ("minsamplesizeconversion", "minsamplesizecontinous",
+                   "minsamplesizecontinuous")
+    },
+    # jumpConsistentHash (round 9): Lamping-Veach jump hash, the exact
+    # algorithm CH wraps — data-dependent loop length, so an Arrow
+    # pandas_udf (functions/jumphash.py), registered lazily
+    "jumpconsistenthash": lambda a: (
+        f"ch_jump_hash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+    ),
+    # string codecs (round 9): RFC 3492 punycode, IDNA 2008, Bitcoin-
+    # alphabet base58 — Arrow pandas_udfs (functions/codecs.py), lazily
+    # registered; the try* forms return '' on invalid input like CH
+    "punycodeencode": lambda a: f"ch_punycode_encode({a[0]})",
+    "punycodedecode": lambda a: f"ch_punycode_decode({a[0]})",
+    "trypunycodedecode": lambda a: f"ch_try_punycode_decode({a[0]})",
+    "idnaencode": lambda a: f"ch_idna_encode({a[0]})",
+    "tryidnaencode": lambda a: f"ch_try_idna_encode({a[0]})",
+    "idnadecode": lambda a: f"ch_idna_decode({a[0]})",
+    "base58encode": lambda a: f"ch_base58_encode({a[0]})",
+    "base58decode": lambda a: f"ch_base58_decode({a[0]})",
+    "trybase58decode": lambda a: f"ch_try_base58_decode({a[0]})",
     # round 8 (second pass): fill/split now translate — mask via the
     # user's own lambda, index-scan fill / edge-slice split
     "arrayfill": lambda a: _array_fill_expr(a, reverse=False),
@@ -3187,12 +3326,50 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"(datediff(CAST({a[0]} AS DATE), DATE '0001-01-01') + 366)"
     ),
     "uuidstringtonum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+    # round 9: the inverse — 16 raw bytes back to the canonical dashed
+    # lowercase form (CH docs example: the roundtrip is identity)
+    "uuidnumtostring": lambda a: (
+        f"lower(concat_ws('-', substring(hex({a[0]}), 1, 8),"
+        f" substring(hex({a[0]}), 9, 4), substring(hex({a[0]}), 13, 4),"
+        f" substring(hex({a[0]}), 17, 4), substring(hex({a[0]}), 21, 12)))"
+    ),
     "touuid": lambda a: f"lower({a[0]})",  # UUIDs are strings here
     "arrayshuffle": lambda a: f"shuffle({a[0]})",
     # CH contract: first n sorted-smallest, remainder unspecified — the
     # full sort satisfies it
     "arraypartialsort": lambda a: f"array_sort({a[1]})" if len(a) == 2
     else f"array_sort({a[0]})",
+    "arraypartialreversesort": lambda a: (
+        f"reverse(array_sort({a[1]}))" if len(a) == 2
+        else f"reverse(array_sort({a[0]}))"
+    ),
+    # round 9: map re-built from key-sorted entries (CH mapSort sorts by
+    # key ascending; the comparator-lambda form stays a guided error)
+    "mapsort": lambda a: (
+        f"map_from_entries(array_sort(map_entries({a[0]})))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "mapSort: only the 1-argument key-ascending form is supported "
+            "(Spark's array_sort comparator cannot see CH's (k, v) lambda "
+            "shape) — sort map_entries() explicitly for custom orders"
+        ))
+    ),
+    "mapreversesort": lambda a: (
+        f"map_from_entries(reverse(array_sort(map_entries({a[0]}))))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "mapReverseSort: only the 1-argument form is supported"
+        ))
+    ),
+    # CH isValidUTF8/toValidUTF8 → Spark 4 UTF-8 builtins (UInt8 contract)
+    "isvalidutf8": lambda a: f"IF(is_valid_utf8({a[0]}), 1, 0)",
+    "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
+    # regexpQuoteMeta: escape RE2's metacharacters (CH list: \0 | ( ) ^ $
+    # . [ ] ? * + { : -  — \0 can't appear in a Spark string literal)
+    "regexpquotemeta": lambda a: (
+        f"regexp_replace({a[0]},"
+        " '([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
+    ),
     # rotations/shifts guard the empty-array (pmod by 0 → NULL; CH keeps
     # []) and over-size-shift (negative slice length → runtime error; CH
     # yields all-pad) edges — round-7 review findings
@@ -3405,6 +3582,24 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # to single aggregate expressions (helpers above TEMPLATES)
     "maxintersections": lambda a: _max_intersections_expr(a, position=False),
     "maxintersectionsposition": lambda a: _max_intersections_expr(a, position=True),
+    # intervalLengthSum (round 9): total length of the UNION of segments —
+    # the same sweep-line event list as maxIntersections, accruing
+    # (point − prev) whenever the running open-interval count is positive,
+    # so overlaps count once and touching segments merge.  DOUBLE result
+    # (the input type is unknowable at translate time).
+    "intervallengthsum": lambda a: _interval_length_sum_expr(a),
+    # skewSamp/kurtSamp (round 9): CH's sample central moments
+    # μ₃ = Σ(x−x̄)³/(n−1), μ₄ = Σ(x−x̄)⁴/(n−1) over stddevSamp powers,
+    # recovered exactly from Spark's population aggregates:
+    # Σ(x−x̄)³ = skewness·n·varPop^1.5, Σ(x−x̄)⁴ = (kurtosis+3)·n·varPop²
+    "skewsamp": lambda a: (
+        f"(skewness({a[0]}) * count({a[0]}) * pow(var_pop({a[0]}), 1.5)"
+        f" / (count({a[0]}) - 1) / pow(var_samp({a[0]}), 1.5))"
+    ),
+    "kurtsamp": lambda a: (
+        f"((kurtosis({a[0]}) + 3) * count({a[0]}) * pow(var_pop({a[0]}), 2)"
+        f" / (count({a[0]}) - 1) / pow(var_samp({a[0]}), 2))"
+    ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),
     "minmap": lambda a: _map_agg_expr(a, "min"),
@@ -3756,6 +3951,18 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # groupArray(n)(x): cap the collected list at n elements.  Without this
     # entry the parametric form name-mapped to invalid `collect_list(5)(x)`.
     "grouparray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    # groupArrayLast(n)(x): the LAST n collected elements (round 9) —
+    # reverse/slice/reverse so an undersized group returns what exists;
+    # insertion order is the same order-undefined contract groupArray has
+    "grouparraylast": lambda p, a: (
+        f"reverse(slice(reverse(collect_list({a[0]})), 1, {p[0]}))"
+    ),
+    "sequencenextnode": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "sequenceNextNode: its direction/base modes (head/tail/first_match/"
+        "last_match) need ClickHouse's exact event-chain state machine — "
+        "use operators/funnel.sequence_match for pattern checks or a "
+        "window lead() over time-ordered events for next-event lookups"
+    )),
     "topk": lambda p, a: (_ for _ in ()).throw(DialectError(
         "topK()() cannot be expressed as one Spark SQL expression — use "
         "mcp_clickhouse_spark.operators.topk (DataFrame API); the agg_topk "

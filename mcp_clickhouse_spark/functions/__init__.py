@@ -32,6 +32,18 @@ def _register_unicode_norm(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_jumphash(spark) -> None:
+    from mcp_clickhouse_spark.functions.jumphash import ensure_registered
+
+    ensure_registered(spark)
+
+
+def _register_codecs(spark) -> None:
+    from mcp_clickhouse_spark.functions.codecs import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -46,6 +58,16 @@ LAZY_UDFS = {
     "ch_seq_match": _register_seqmatch,
     "ch_seq_count": _register_seqmatch,
     "ch_normalize_utf8": _register_unicode_norm,
+    "ch_jump_hash": _register_jumphash,
+    "ch_punycode_encode": _register_codecs,
+    "ch_punycode_decode": _register_codecs,
+    "ch_try_punycode_decode": _register_codecs,
+    "ch_idna_encode": _register_codecs,
+    "ch_try_idna_encode": _register_codecs,
+    "ch_idna_decode": _register_codecs,
+    "ch_base58_encode": _register_codecs,
+    "ch_base58_decode": _register_codecs,
+    "ch_try_base58_decode": _register_codecs,
 }
 
 

@@ -1,0 +1,101 @@
+"""Value-faithful ClickHouse string codecs (round 9 gap scan):
+punycodeEncode/Decode (RFC 3492 via Python's punycode codec),
+idnaEncode/Decode (IDNA 2008 via the `idna` package — ClickHouse's
+idnaEncode docs example 'straße.münchen.de' →
+'xn--strae-oqa.xn--mnchen-3ya.de' is non-transitional IDNA 2008, which
+Python's BUILT-IN idna codec would get wrong: it implements IDNA 2003
+and maps ß→ss), and base58Encode/Decode (Bitcoin alphabet, the one CH
+uses).  All Arrow-batched pandas_udfs registered lazily via
+functions.LAZY_UDFS; the try* variants return the CH-documented
+empty-string-on-error instead of raising.
+"""
+
+from __future__ import annotations
+
+import pandas as pd  # module-level: pandas_udf resolves stringified hints
+
+_B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_INDEX = {c: i for i, c in enumerate(_B58)}
+
+
+def base58_encode(s: str) -> str:
+    data = s.encode("utf-8")
+    n = int.from_bytes(data, "big") if data else 0
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58[r])
+    pad = 0
+    for b in data:
+        if b == 0:
+            pad += 1
+        else:
+            break
+    return "1" * pad + "".join(reversed(out))
+
+
+def base58_decode(s: str) -> str:
+    n = 0
+    for c in s:
+        if c not in _B58_INDEX:
+            raise ValueError(f"invalid base58 character {c!r}")
+        n = n * 58 + _B58_INDEX[c]
+    raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    pad = len(s) - len(s.lstrip("1"))
+    return (b"\x00" * pad + raw).decode("utf-8")
+
+
+def _map_series(s: pd.Series, fn, on_error: str | None) -> pd.Series:
+    out = []
+    for v in s:
+        if v is None:
+            out.append(None)
+            continue
+        try:
+            out.append(fn(v))
+        except Exception:
+            if on_error is None:
+                raise
+            out.append(on_error)
+    return pd.Series(out, dtype=object)
+
+
+def ensure_registered(spark) -> None:
+    """Register the codec UDFs on this session (idempotent overwrite)."""
+    import idna as _idna
+    from pyspark.sql.functions import pandas_udf
+
+    def _puny_enc(v: str) -> str:
+        return v.encode("punycode").decode("ascii")
+
+    def _puny_dec(v: str) -> str:
+        return v.encode("ascii").decode("punycode")
+
+    def _idna_enc(v: str) -> str:
+        # uts46 pre-maps case/dots the way CH's ToASCII accepts them
+        return _idna.encode(v, uts46=True).decode("ascii") if v else ""
+
+    def _idna_dec(v: str) -> str:
+        return _idna.decode(v) if v else ""
+
+    def _make(fn, on_error):
+        # a closure factory, NOT default args: pandas_udf requires type
+        # hints on every parameter, so extras must be captured lexically
+        @pandas_udf("string")
+        def _udf(s: pd.Series) -> pd.Series:
+            return _map_series(s, fn, on_error)
+
+        return _udf
+
+    for name, fn, on_error in [
+        ("ch_punycode_encode", _puny_enc, None),
+        ("ch_punycode_decode", _puny_dec, None),
+        ("ch_try_punycode_decode", _puny_dec, ""),
+        ("ch_idna_encode", _idna_enc, None),
+        ("ch_try_idna_encode", _idna_enc, ""),
+        ("ch_idna_decode", _idna_dec, None),
+        ("ch_base58_encode", base58_encode, None),
+        ("ch_base58_decode", base58_decode, None),
+        ("ch_try_base58_decode", base58_decode, ""),
+    ]:
+        spark.udf.register(name, _make(fn, on_error))

@@ -88,10 +88,15 @@ PRIORITY: list[str] = [
     "join_star_revenue",
     "join_asof",
     # positions 51+ — added after the round-9 rotation was frozen at 50
-    # (reinterpretAs* byte-exact folds, normalizeUTF8* via pandas_udf);
-    # parity-verified locally at sf0.001 AND sf0.01, lead round 10
+    # (reinterpretAs* byte-exact folds, normalizeUTF8* via pandas_udf,
+    # the gap-scan string functions, intervalLengthSum + skewSamp/
+    # kurtSamp); each parity-verified locally at sf0.001 AND sf0.01,
+    # lead round 10
     "scalar_reinterpret",
     "scalar_normalize_utf8",
+    "scalar_string_fns_r9",
+    "agg_interval_stats",
+    "pipe_embed_quantize",
 ]
 
 

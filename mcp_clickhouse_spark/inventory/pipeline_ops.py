@@ -1757,3 +1757,61 @@ def pipe_line_dedup(spark, sf_dir):
 
     docs = t(spark, sf_dir, "documents")
     return line_dedup(docs, sep=" ", min_count=1000)
+
+
+@query(
+    "pipe_embed_quantize",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+      FROM embeddings
+    ),
+    s AS (
+      SELECT vec_id, ve,
+             nullif(list_max(list_transform(ve, x -> abs(x))), 0.0) / 127
+               AS scale
+      FROM v
+    ),
+    q AS (
+      SELECT vec_id, ve, scale,
+             list_transform(ve, x -> CAST(greatest(-127, least(127,
+               CAST(round(coalesce(x / scale, 0.0)) AS INTEGER)))
+               AS INTEGER)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           round(scale, 8) AS scale,
+           CAST(list_sum(qv) AS BIGINT) AS qsum,
+           CAST(list_min(qv) AS INTEGER) AS qmin,
+           CAST(list_max(qv) AS INTEGER) AS qmax,
+           round(sqrt(list_sum(list_transform(range(1, len(ve) + 1),
+             i -> pow(ve[i] - qv[i] * coalesce(scale, 0.0), 2)))
+             / len(ve)), 8) AS rmse
+    FROM q
+    """,
+    category="pipeline",
+)
+def pipe_embed_quantize(spark, sf_dir):
+    """Symmetric int8 embedding quantization (round 9): per-vector
+    ``scale = max|v|/127``, ``q = round(v/scale)`` clamped — the standard
+    4× storage cut for corpus-scale ANN, as pure column expressions (zero
+    shuffles, no UDF; pipeline/similarity.quantize_embeddings).  The
+    driver-facing projection flattens the int8 array to exact integer
+    summaries (sum/min/max) plus the rounded scale and reconstruction
+    RMSE; the DuckDB oracle recomputes every step from the same float32
+    parquet with list_transform arithmetic."""
+    from mcp_clickhouse_spark.pipeline.similarity import quantize_embeddings
+
+    e = t(spark, sf_dir, "embeddings")
+    out = quantize_embeddings(e)
+    return out.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.expr(
+            "aggregate(q, CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        ).alias("qsum"),
+        F.array_min("q").alias("qmin"),
+        F.array_max("q").alias("qmax"),
+        F.round("rmse", 8).alias("rmse"),
+    )

@@ -739,3 +739,124 @@ def scalar_normalize_utf8(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_SQL_NORMALIZE_CH))
+
+
+_SQL_STRING_FNS_R9_CH = """
+SELECT p_partkey,
+       initcap(lower(p_name)) AS ic,
+       levenshteinDistance(p_brand, p_type) AS lev,
+       hasSubsequence(p_name, 'air') AS hs,
+       multiSearchFirstPosition(p_name, ['old', 'sky', 'an']) AS ms,
+       countSubstringsCaseInsensitive(p_name, 'a') AS ca,
+       widthBucket(p_retailprice, 800.0, 2200.0, 14) AS wb,
+       isValidUTF8(p_name) AS vu
+FROM part
+"""
+
+
+@query(
+    "scalar_string_fns_r9",
+    oracle="""
+    SELECT p_partkey,
+           array_to_string(list_transform(string_split(lower(p_name), ' '),
+               w -> upper(w[1]) || substr(w, 2)), ' ') AS ic,
+           levenshtein(p_brand, p_type) AS lev,
+           CASE WHEN regexp_matches(p_name, 'a.*i.*r') THEN 1 ELSE 0 END AS hs,
+           coalesce(least(nullif(strpos(p_name, 'old'), 0),
+                          nullif(strpos(p_name, 'sky'), 0),
+                          nullif(strpos(p_name, 'an'), 0)), 0) AS ms,
+           CAST(length(lower(p_name))
+                - length(replace(lower(p_name), 'a', '')) AS INTEGER) AS ca,
+           CAST(CASE WHEN p_retailprice < 800 THEN 0
+                     WHEN p_retailprice >= 2200 THEN 15
+                     ELSE FLOOR((p_retailprice - 800) / 100) + 1
+                END AS BIGINT) AS wb,
+           1 AS vu
+    FROM part
+    """,
+    category="scalars",
+)
+def scalar_string_fns_r9(spark, sf_dir):
+    """Round-9 gap-scan string functions as verbatim SQL text: initcap,
+    levenshteinDistance (Spark's levenshtein, character-exact),
+    hasSubsequence (in-order character fold — oracle proves it equals the
+    subsequence regex 'a.*i.*r'), multiSearchFirstPosition (leftmost
+    needle hit), countSubstringsCaseInsensitive, widthBucket (equal-width
+    histogram bucket incl. the under/overflow 0 / n+1 edges), and
+    isValidUTF8.  Each recomputed independently in DuckDB (initcap via a
+    per-word transform — DuckDB 1.0 has no initcap; widthBucket via
+    explicit floor arithmetic)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(translate(_SQL_STRING_FNS_R9_CH))
+
+
+_SQL_INTERVAL_STATS_CH = """
+SELECT l_returnflag,
+       intervalLengthSum(toRelativeDayNum(l_shipdate),
+                         toRelativeDayNum(l_shipdate)
+                         + toInt32(l_quantity)) AS union_days,
+       round(skewSamp(l_quantity), 6) AS sk,
+       round(kurtSamp(l_quantity), 6) AS ku
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_interval_stats",
+    oracle="""
+    WITH iv AS (
+      SELECT l_returnflag AS g,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE)) AS s,
+             datediff('day', DATE '1970-01-01', CAST(l_shipdate AS DATE))
+               + CAST(l_quantity AS INTEGER) AS e
+      FROM lineitem
+    ),
+    runs AS (
+      SELECT g, s, e,
+             MAX(e) OVER (PARTITION BY g ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS pm
+      FROM iv
+    ),
+    ul AS (
+      SELECT g, SUM(CASE WHEN pm IS NULL OR pm < s THEN e - s
+                         WHEN e > pm THEN e - pm ELSE 0 END) AS union_days
+      FROM runs GROUP BY g
+    ),
+    mo AS (
+      SELECT l_returnflag AS g, COUNT(*) AS n, AVG(l_quantity) AS m,
+             SUM(l_quantity) AS s1,
+             SUM(l_quantity * l_quantity) AS s2,
+             SUM(l_quantity * l_quantity * l_quantity) AS s3,
+             SUM(l_quantity * l_quantity * l_quantity * l_quantity) AS s4,
+             VAR_SAMP(l_quantity) AS vs
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT mo.g AS l_returnflag,
+           CAST(ul.union_days AS DOUBLE) AS union_days,
+           round(((s3 - 3 * m * s2 + 2 * n * m * m * m) / (n - 1))
+                 / POW(vs, 1.5), 6) AS sk,
+           round(((s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * n * m * m * m * m)
+                 / (n - 1)) / POW(vs, 2), 6) AS ku
+    FROM ul JOIN mo ON ul.g = mo.g
+    """,
+    category="aggregates",
+)
+def agg_interval_stats(spark, sf_dir):
+    """``intervalLengthSum`` (union length of per-row day
+    segments per return flag — sweep-line fold, overlaps counted once)
+    — segment ends are shipdate + quantity days, a deterministic
+    synthetic span since the slimmed testdata has no l_receiptdate —
+    plus ``skewSamp``/``kurtSamp`` (CH's (n−1) sample central moments,
+    recovered from Spark's population skewness/kurtosis/var aggregates)
+    as verbatim SQL text, round 9.  Oracle: the union length via the
+    classic running-max gaps-and-islands window, the moments via raw
+    power sums Σx..Σx⁴ expanded around the mean — two fully independent
+    formulations.  round(6) absorbs the cross-engine fold-order ULPs of
+    the double-typed quantity column."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_INTERVAL_STATS_CH))

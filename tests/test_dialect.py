@@ -2405,10 +2405,13 @@ def test_round8_audit_batch(spark):
     assert row[5] == "1\tx"
     import pytest as _pytest
 
+    # round 9: normalizeUTF8* and reinterpretAs* graduated from this
+    # guided list to real translations (tests/test_reinterpret_normalize)
+    assert "ch_normalize_utf8" in translate("normalizeUTF8NFC(s)")
+    assert "typeof(s)" in translate("reinterpretAsUInt32(s)")
     for bad, msg in [
         ("lgamma(x)", "gamma"),
-        ("normalizeUTF8NFC(s)", "normalization"),
-        ("reinterpretAsUInt32(s)", "byte-order"),
+        ("reinterpretAsFloat32(s)", "bit-cast"),
         ("arrayFirstIndex(x -> x, a, b)", "one parameter per array"),
         ("largestTriangleThreeBuckets(x, y)", "bucket-count"),
     ]:
