@@ -3996,6 +3996,308 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
 }
 
 
+# --- round-9 second gap-scan wave -------------------------------------------
+# Everything here previously fell through to Spark's unresolved-function
+# error.  Faithful one-expression mappings where the CH contract is pinned
+# by its docs; guided errors where a mapping would be silently wrong.
+
+def _map_pred_expr(a: list[str], mode: str) -> str:
+    """CH mapExists/mapAll((k, v) -> cond, m): Spark's map_filter takes
+    the same two-parameter lambda natively, so emptiness of the filtered
+    (or counter-filtered) map decides the predicate.  UInt8 result."""
+    if len(a) != 2 or _split_lambda(a[0]) is None:
+        raise DialectError(f"{mode}: takes ((k, v) -> cond, map)")
+    params, body = _split_lambda(a[0])
+    if not params.startswith("("):  # bare `k, v ->` spelling
+        params = f"({params})"
+    if mode == "mapExists":
+        return (
+            f"IF(cardinality(map_filter({a[1]},"
+            f" {params} -> {body})) > 0, 1, 0)"
+        )
+    return (
+        f"IF(cardinality(map_filter({a[1]},"
+        f" {params} -> NOT ({body}))) = 0, 1, 0)"
+    )
+
+
+def _java_hash_expr(a: list[str]) -> str:
+    """CH javaHash(s): Java String.hashCode — h = h*31 + unit, wrapped to
+    32-bit two's complement at every step (pmod keeps ANSI arithmetic from
+    overflowing BIGINT).  Exact for BMP text; characters outside the BMP
+    contribute one code POINT here vs two UTF-16 units in Java — the
+    documented delta.  Pinned to the CH docs example
+    javaHash('Hello, world!') = -1880044555."""
+    chars = (
+        f"filter(transform(sequence(1, greatest(length({a[0]}), 1)),"
+        f" __jc -> IF(__jc <= length({a[0]}),"
+        f" substring({a[0]}, __jc, 1), NULL)), __jn -> __jn IS NOT NULL)"
+    )
+    return (
+        f"CAST(aggregate({chars}, CAST(0 AS BIGINT),"
+        f" (__jh, __jx) -> pmod(__jh * 31 + ascii(__jx) + 2147483648,"
+        f" 4294967296) - 2147483648) AS INT)"
+    )
+
+
+def _morton_encode_expr(a: list[str]) -> str:
+    """CH mortonEncode(v1, …, vN): bit-interleave — arg j (0-based)
+    occupies bit positions j, j+N, j+2N, … (pinned to the docs example
+    mortonEncode(1, 2, 3) = 53).  Each arg contributes floor(64/N) low
+    bits, the CH range contract."""
+    n = len(a)
+    if not 1 <= n <= 8:
+        raise DialectError("mortonEncode takes 1-8 integer arguments")
+    bits = 64 // n
+    parts = [
+        f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+        f" (__ma, __mi) -> __ma +"
+        f" shiftleft(shiftrightunsigned(CAST({v} AS BIGINT), __mi) & 1,"
+        f" __mi * {n} + {j}))"
+        for j, v in enumerate(a)
+    ]
+    return "(" + " + ".join(parts) + ")"
+
+
+def _morton_decode_expr(a: list[str]) -> str:
+    """CH mortonDecode(N, code) → tuple of N values (named_struct _1.._N,
+    the engine's tuple convention)."""
+    if len(a) != 2:
+        raise DialectError("mortonDecode takes (tuple_size, code)")
+    n = _int_literal(a[0], "mortonDecode tuple size")
+    if not 1 <= n <= 8:
+        raise DialectError("mortonDecode tuple size must be 1-8")
+    bits = 64 // n
+    fields = []
+    for j in range(n):
+        fields.append(f"'_{j + 1}'")
+        fields.append(
+            f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT),"
+            f" (__ma, __mi) -> __ma + shiftleft("
+            f"shiftrightunsigned(CAST({a[1]} AS BIGINT), __mi * {n} + {j})"
+            f" & 1, __mi))"
+        )
+    return f"named_struct({', '.join(fields)})"
+
+
+def _to_decimal_string(a: list[str]) -> str:
+    if len(a) != 2:
+        raise DialectError("toDecimalString takes (value, scale)")
+    s = _int_literal(a[1], "toDecimalString scale")
+    if not 0 <= s <= 37:
+        raise DialectError("toDecimalString: scale must be 0-37")
+    return f"CAST(CAST({a[0]} AS DECIMAL(38, {s})) AS STRING)"
+
+
+NAME_MAP.update({
+    # Spark-native, value-identical
+    "degrees": "degrees",
+    "radians": "radians",
+    "pi": "pi",
+    "log1p": "log1p",
+    "positivemodulo": "pmod",
+    "positive_modulo": "pmod",
+    "pmod": "pmod",
+    "mapconcat": "map_concat",
+    "arrayzipunaligned": "arrays_zip",  # arrays_zip NULL-pads natively
+    "uniqtheta": "approx_count_distinct",  # same estimate contract as uniq
+})
+
+TEMPLATES.update({
+    "clamp": lambda a: f"least(greatest({a[0]}, {a[1]}), {a[2]})",
+    "tobool": lambda a: f"CAST({a[0]} AS BOOLEAN)",
+    "tounixtimestamp64nano": lambda a: (
+        f"(unix_micros(CAST({a[0]} AS TIMESTAMP)) * 1000)"
+    ),
+    # Spark timestamps are µs-precision, so micro/nano starts are identity
+    "tostartofmicrosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "tostartofnanosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    "servertimezone": lambda a: "current_timezone()",
+    "timezoneof": lambda a: "current_timezone()",
+    # CH toTimezone changes the DISPLAY zone only — the instant is
+    # unchanged, and Spark timestamps carry no zone, so identity is the
+    # faithful instant-preserving mapping (rendering follows the session)
+    "totimezone": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    # URL family extensions (same try_parse_url base as the rest)
+    "querystringandfragment": lambda a: (
+        f"concat(coalesce(try_parse_url({a[0]}, 'QUERY'), ''),"
+        f" IF(try_parse_url({a[0]}, 'REF') IS NULL, '',"
+        f" concat('#', try_parse_url({a[0]}, 'REF'))))"
+    ),
+    "encodeurlformcomponent": lambda a: f"url_encode({a[0]})",
+    "decodeurlformcomponent": lambda a: f"url_decode({a[0]})",
+    "extracturlparameternames": lambda a: (
+        f"transform(filter(split(coalesce("
+        f"try_parse_url({a[0]}, 'QUERY'), ''), '&'),"
+        f" __up -> __up != ''), __up -> split_part(__up, '=', 1))"
+    ),
+    "port": lambda a: (
+        f"coalesce(CAST(nullif(split_part("
+        f"try_parse_url({a[0]}, 'AUTHORITY'), ':', 2), '') AS INT),"
+        + (f" CAST({a[1]} AS INT))" if len(a) == 2 else " 0)")
+    ),
+    # bitmask expansion family (LE bit order, BIGINT-safe to bit 62)
+    "bitmasktoarray": lambda a: (
+        f"filter(transform(sequence(0, 62),"
+        f" __bi -> shiftleft(CAST(1 AS BIGINT), __bi)),"
+        f" __bm -> (CAST({a[0]} AS BIGINT) & __bm) != 0)"
+    ),
+    "bitmasktolist": lambda a: (
+        f"concat_ws(',', transform(filter(transform(sequence(0, 62),"
+        f" __bi -> shiftleft(CAST(1 AS BIGINT), __bi)),"
+        f" __bm -> (CAST({a[0]} AS BIGINT) & __bm) != 0),"
+        f" __bv -> CAST(__bv AS STRING)))"
+    ),
+    "bitpositionstoarray": lambda a: (
+        f"filter(transform(sequence(0, 62), __bp ->"
+        f" IF((shiftrightunsigned(CAST({a[0]} AS BIGINT), __bp) & 1) = 1,"
+        f" __bp, -1)), __bq -> __bq >= 0)"
+    ),
+    # CH prints two decimals with DECIMAL (1000-based) units
+    "formatreadabledecimalsize": lambda a: (
+        f"CASE WHEN abs({a[0]}) < 1000 THEN format_string('%.2f B', CAST({a[0]} AS DOUBLE))"
+        f" WHEN abs({a[0]}) < pow(1000, 2) THEN format_string('%.2f KB', ({a[0]}) / 1000.0D)"
+        f" WHEN abs({a[0]}) < pow(1000, 3) THEN format_string('%.2f MB', ({a[0]}) / pow(1000, 2))"
+        f" WHEN abs({a[0]}) < pow(1000, 4) THEN format_string('%.2f GB', ({a[0]}) / pow(1000, 3))"
+        f" WHEN abs({a[0]}) < pow(1000, 5) THEN format_string('%.2f TB', ({a[0]}) / pow(1000, 4))"
+        f" WHEN abs({a[0]}) < pow(1000, 6) THEN format_string('%.2f PB', ({a[0]}) / pow(1000, 5))"
+        f" ELSE format_string('%.2f EB', ({a[0]}) / pow(1000, 6)) END"
+    ),
+    "todecimalstring": _to_decimal_string,
+    # map predicates: Spark's map_filter takes CH's (k, v) lambda natively
+    "mapexists": lambda a: _map_pred_expr(a, "mapExists"),
+    "mapall": lambda a: _map_pred_expr(a, "mapAll"),
+    "mapextractkeylike": lambda a: (
+        f"map_filter({a[0]}, (__mk, __mv) -> __mk LIKE {a[1]})"
+    ),
+    # array set algebra
+    "arrayjaccardindex": lambda a: (
+        f"try_divide(CAST(size(array_intersect({a[0]}, {a[1]}))"
+        f" AS DOUBLE), size(array_distinct(concat({a[0]}, {a[1]}))))"
+    ),
+    "arraysymmetricdifference": lambda a: (
+        f"array_distinct(concat(array_except({a[0]}, {a[1]}),"
+        f" array_except({a[1]}, {a[0]})))"
+    ),
+    # dense first-appearance ranks: array_distinct preserves first-seen
+    # order, so the position IS the dense enumeration (CH 1-based)
+    "arrayenumeratedense": lambda a: (
+        f"transform({a[0]}, __ed -> array_position(array_distinct({a[0]}), __ed))"
+    ),
+    "arrayrandomsample": lambda a: f"slice(shuffle({a[0]}), 1, {a[1]})",
+    "javahash": _java_hash_expr,
+    "mortonencode": _morton_encode_expr,
+    "mortondecode": _morton_decode_expr,
+    # guided: physical-block-order-dependent functions (CH itself
+    # documents the order as unspecified across blocks)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: depends on ClickHouse's physical block order, which is "
+            "unspecified — use a window function (lag/lead/sum OVER) with "
+            "an explicit ORDER BY instead"
+        ))))(_t)
+        for _t in ("nonnegativederivative", "runningdifference",
+                   "runningaccumulate", "neighbor")
+    },
+    # guided: hash algorithms with no Spark equivalent and no practical
+    # pure-SQL port — xxhash64 (engine-stable) or murmurHash3_64
+    # (value-faithful) are the supported hashes
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: no value-faithful Spark implementation — use xxhash64 "
+            "for engine-stable hashing or murmurHash3_64 (value-faithful "
+            "ClickHouse hash)"
+        ))))(_t)
+        for _t in ("metrohash64", "wyhash64", "farmhash64",
+                   "farmfingerprint64", "kafkamurmurhash",
+                   "javahashutf16le", "hivehash", "entropylearnedhash",
+                   "ngramsimhash", "wordshinglesimhash",
+                   "wordshingleminhash")
+    },
+    "sumwithoverflow": lambda a: (_ for _ in ()).throw(DialectError(
+        "sumWithOverflow: wraps on integer overflow where ANSI Spark "
+        "raises — use sum (identical until overflow) or cast to a wider "
+        "type"
+    )),
+    "aggthrow": lambda a: (_ for _ in ()).throw(DialectError(
+        "aggThrow is a ClickHouse test-only function"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse's incremental-ML aggregate state has no "
+            "SQL-expressible equivalent — train with Spark MLlib "
+            "(LinearRegression / LogisticRegression) instead"
+        ))))(_t)
+        for _t in ("stochasticlinearregression",
+                   "stochasticlogisticregression",
+                   "categoricalinformationvalue")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: aggregate over roaring-bitmap state — use the bitmap "
+            "scalar family (bitmapAnd/bitmapOr over array columns) with "
+            "an explicit aggregate, or groupBitAnd/Or/Xor for integers"
+        ))))(_t)
+        for _t in ("groupbitmapand", "groupbitmapor", "groupbitmapxor")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: Hilbert-curve encoding has no closed-form SQL "
+            "expression — mortonEncode/mortonDecode (Z-order) are the "
+            "supported space-filling curves here"
+        ))))(_t)
+        for _t in ("hilbertencode", "hilbertdecode")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: time-series decomposition needs an iterative numeric "
+            "routine (STL/FFT) — run it in a pandas UDF over "
+            "collect_list, or pre-aggregate and use the LTTB/EMA family"
+        ))))(_t)
+        for _t in ("seriesdecomposestl", "seriesoutliersdetecttukey",
+                   "seriesperioddetectfft")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse's exact selection/interpolation variant is "
+            "not reproduced — quantileExact (element selection) and "
+            "quantile (interpolated) are the supported forms"
+        ))))(_t)
+        for _t in ("quantileexactlow", "quantileexacthigh",
+                   "quantileexactexclusive", "quantileexactinclusive",
+                   "quantilesexactexclusive", "quantilesexactinclusive")
+    },
+    "mappopulateseries": lambda a: (_ for _ in ()).throw(DialectError(
+        "mapPopulateSeries: fill integer key gaps explicitly — "
+        "map_from_entries over sequence(min_key, max_key) left-joined "
+        "to map_entries"
+    )),
+    "arraylevenshtein": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayLevenshtein: no Spark builtin edit distance over arrays — "
+        "levenshteinDistance works on strings"
+    )),
+    "flattentuple": lambda a: (_ for _ in ()).throw(DialectError(
+        "flattenTuple: flatten named_struct fields explicitly with "
+        "tupleElement / .N access"
+    )),
+    "studentttestonesample": lambda a: (_ for _ in ()).throw(DialectError(
+        "studentTTestOneSample: use studentTTest against a constant "
+        "second sample, or compute t = (avg(x) - mu) / (stddevSamp(x) / "
+        "sqrt(count(x))) explicitly"
+    )),
+})
+
+# CH alias spellings of already-mapped handlers
+TEMPLATES["date_diff"] = TEMPLATES["datediff"]
+TEMPLATES["timestampdiff"] = TEMPLATES["datediff"]
+TEMPLATES["timestamp_diff"] = TEMPLATES["datediff"]
+TEMPLATES["timestampadd"] = TEMPLATES["dateadd"]
+TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
+TEMPLATES["domainrfc"] = TEMPLATES["domain"]
+TEMPLATES["topleveldomainrfc"] = TEMPLATES["topleveldomain"]
+TEMPLATES["portrfc"] = TEMPLATES["port"]
+
+
 # --- the rewriter -----------------------------------------------------------
 
 _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")

@@ -1,0 +1,145 @@
+"""Round-9 SECOND gap-scan wave: math/date/URL/bitmask/map/array/hash
+names that fell through to Spark's unresolved-function error.  Values
+pinned against ClickHouse docs examples."""
+
+from __future__ import annotations
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import DialectError, translate
+
+
+def one(spark, sql):
+    return spark.sql(translate(sql)).collect()[0]
+
+
+def test_math_and_misc(spark):
+    row = one(
+        spark,
+        "SELECT clamp(1, 2, 3) AS cl, positiveModulo(-1, 10) AS pm,"
+        " round(degrees(pi()), 6) AS deg, round(log1p(0.0), 6) AS l1p,"
+        " toBool(1) AS tb, toDecimalString(64.32, 5) AS tds",
+    )
+    assert row.cl == 2                       # CH docs clamp example
+    assert row.pm == 9                       # CH docs positiveModulo(-1,10)
+    assert row.deg == 180.0
+    assert row.l1p == 0.0
+    assert row.tb is True
+    assert row.tds == "64.32000"             # CH docs toDecimalString
+
+
+def test_bitmask_family(spark):
+    row = one(
+        spark,
+        "SELECT bitmaskToList(50) AS bl,"
+        " bitmaskToArray(50) AS ba, bitPositionsToArray(50) AS bp",
+    )
+    assert row.bl == "2,16,32"               # CH docs bitmaskToList(50)
+    assert list(row.ba) == [2, 16, 32]
+    assert list(row.bp) == [1, 4, 5]
+
+
+def test_url_extensions(spark):
+    row = one(
+        spark,
+        "SELECT port('http://paul@www.example.com:80/') AS p,"
+        " port('http://example.com/') AS p0,"
+        " queryStringAndFragment('http://x.com/?a=1&b=2#top') AS qf,"
+        " extractURLParameterNames('http://x.com/?a=1&b=2') AS names,"
+        " encodeURLFormComponent('a b') AS enc,"
+        " decodeURLFormComponent('a+b') AS dec",
+    )
+    assert row.p == 80                       # CH docs port example
+    assert row.p0 == 0
+    assert row.qf == "a=1&b=2#top"
+    assert list(row.names) == ["a", "b"]
+    assert row.enc == "a+b"
+    assert row.dec == "a b"
+
+
+def test_map_predicates(spark):
+    row = one(
+        spark,
+        "SELECT mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS me,"
+        " mapExists((k, v) -> v > 9, map('a', 1)) AS me0,"
+        " mapAll((k, v) -> v > 0, map('a', 1, 'b', 2)) AS ma,"
+        " mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS ma0,"
+        " map_keys(mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'a%')) AS mk",
+    )
+    assert (row.me, row.me0, row.ma, row.ma0) == (1, 0, 1, 0)
+    assert list(row.mk) == ["abc"]
+
+
+def test_array_set_ops(spark):
+    row = one(
+        spark,
+        "SELECT round(arrayJaccardIndex([1, 2], [2, 3]), 6) AS aj,"
+        " array_sort(arraySymmetricDifference([1, 2, 3], [2, 3, 4])) AS sd,"
+        " arrayEnumerateDense([10, 20, 10, 30]) AS ed,"
+        " size(arrayRandomSample([1, 2, 3, 4, 5], 3)) AS rs,"
+        " element_at(arrayZipUnaligned([1, 2], ['a']), 2) AS zu",
+    )
+    assert row.aj == pytest.approx(1 / 3, abs=1e-6)  # CH docs example
+    assert list(row.sd) == [1, 4]
+    assert list(row.ed) == [1, 2, 1, 3]      # CH docs arrayEnumerateDense
+    assert row.rs == 3
+    assert (row.zu[0], row.zu[1]) == (2, None)  # NULL-padded second slot
+
+
+def test_java_hash_and_morton(spark):
+    row = one(
+        spark,
+        "SELECT javaHash('Hello, world!') AS jh, javaHash('') AS jz,"
+        " mortonEncode(1, 2, 3) AS me,"
+        " tupleElement(mortonDecode(3, 53), 1) AS d1,"
+        " tupleElement(mortonDecode(3, 53), 2) AS d2,"
+        " tupleElement(mortonDecode(3, 53), 3) AS d3",
+    )
+    assert row.jh == -1880044555             # CH docs javaHash example
+    assert row.jz == 0
+    assert row.me == 53                      # CH docs mortonEncode(1,2,3)
+    assert (row.d1, row.d2, row.d3) == (1, 2, 3)
+
+
+def test_date_alias_and_tz(spark):
+    row = one(
+        spark,
+        "SELECT date_diff('day', toDate('2024-01-01'),"
+        " toDate('2024-01-11')) AS dd,"
+        " timestampDiff('hour', toDateTime('2024-01-01 00:00:00'),"
+        " toDateTime('2024-01-01 06:00:00')) AS td,"
+        " timestampAdd('day', 3, toDate('2024-01-01')) AS ta,"
+        " timezoneOf(now()) AS tz,"
+        " toStartOfMicrosecond(toDateTime('2024-01-01 00:00:00')) AS ms",
+    )
+    assert row.dd == 10 and row.td == 6
+    assert str(row.ta).startswith("2024-01-04")
+    assert isinstance(row.tz, str) and row.tz
+    assert str(row.ms).startswith("2024-01-01")
+
+
+def test_readable_decimal_size(spark):
+    row = one(
+        spark,
+        "SELECT formatReadableDecimalSize(1000000) AS mb,"
+        " formatReadableDecimalSize(512) AS b",
+    )
+    assert row.mb == "1.00 MB"
+    assert row.b == "512.00 B"
+
+
+def test_wave2_guided_errors():
+    for sql, frag in [
+        ("SELECT runningDifference(x) FROM t", "block order"),
+        ("SELECT neighbor(x, 1) FROM t", "block order"),
+        ("SELECT wyHash64(s) FROM t", "xxhash64"),
+        ("SELECT hiveHash(s) FROM t", "xxhash64"),
+        ("SELECT hilbertEncode(1, 2) FROM t", "morton"),
+        ("SELECT stochasticLinearRegression(a, b) FROM t", "MLlib"),
+        ("SELECT quantileExactLow(0.5)(x) FROM t", "quantileExact"),
+        ("SELECT seriesPeriodDetectFFT(a) FROM t", "pandas UDF"),
+        ("SELECT sumWithOverflow(x) FROM t", "overflow"),
+        ("SELECT groupBitmapAnd(x) FROM t", "bitmap"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
