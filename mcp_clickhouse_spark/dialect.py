@@ -1664,7 +1664,16 @@ def _map_agg_expr(a: list[str], how: str, keys_filter: str | None = None) -> str
 
     Per group this is O(pairs·distinct_keys) lambda work — bounded by the
     key domain; for huge key domains use the operator (one explode + two
-    hash aggregations with map-side partial combine)."""
+    hash aggregations with map-side partial combine).
+
+    Round 9: the 1-argument MAP-column form (CH ``sumMap(map_col)``)
+    also translates — same machinery over map_keys/map_values, returned
+    as a MAP (CH returns Map for Map input, tuple-of-arrays for the
+    two-array form)."""
+    map_output = False
+    if len(a) == 1:
+        map_output = True
+        a = [f"map_keys({a[0]})", f"map_values({a[0]})"]
     if len(a) != 2:
         raise DialectError(f"{how}Map takes (key_array, value_array)")
     keep = "__mp.k IS NOT NULL AND __mp.v IS NOT NULL"
@@ -1685,6 +1694,8 @@ def _map_agg_expr(a: list[str], how: str, keys_filter: str | None = None) -> str
         # sort before folding: float sums become order-independent run to
         # run (collect_list order is partition-dependent)
         per = _typed_sum_fold(f"array_sort({vs})")
+    if map_output:
+        return f"map_from_arrays({keys}, transform({keys}, __mg -> {per}))"
     return f"named_struct('_1', {keys}, '_2', transform({keys}, __mg -> {per}))"
 
 
@@ -4285,6 +4296,36 @@ TEMPLATES.update({
         "second sample, or compute t = (avg(x) - mu) / (stddevSamp(x) / "
         "sqrt(count(x))) explicitly"
     )),
+})
+
+TEMPLATES.update({
+    # chained -ArrayIf combinators (round 9): condition per ROW, aggregate
+    # over the kept rows' array elements — the composition CH builds
+    # mechanically, spelled out for the common five
+    "sumarrayif": lambda a: (
+        f"sum(CASE WHEN {a[1]} THEN {_typed_sum_fold(a[0])} END)"
+    ),
+    "avgarrayif": lambda a: (
+        f"(sum(CASE WHEN {a[1]} THEN {_typed_sum_fold(a[0])} END)"
+        f" / sum(CASE WHEN {a[1]} THEN"
+        f" cardinality(filter({a[0]}, __ai -> __ai IS NOT NULL)) END))"
+    ),
+    "minarrayif": lambda a: (
+        f"min(CASE WHEN {a[1]} THEN array_min({a[0]}) END)"
+    ),
+    "maxarrayif": lambda a: (
+        f"max(CASE WHEN {a[1]} THEN array_max({a[0]}) END)"
+    ),
+    "countarrayif": lambda a: (
+        f"coalesce(sum(CASE WHEN {a[1]} THEN"
+        f" cardinality(filter({a[0]}, __ai -> __ai IS NOT NULL)) END),"
+        f" CAST(0 AS BIGINT))"
+    ),
+    "uniqarrayif": lambda a: (
+        # collect_list drops the NULL CASE rows, so only kept arrays flatten
+        f"size(array_distinct(flatten(collect_list("
+        f"CASE WHEN {a[1]} THEN {a[0]} END))))"
+    ),
 })
 
 # CH alias spellings of already-mapped handlers

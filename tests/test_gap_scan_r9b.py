@@ -143,3 +143,24 @@ def test_wave2_guided_errors():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_array_if_chain_and_map_form(spark):
+    # -ArrayIf chained combinators + the 1-argument MAP form of
+    # sumMap/minMap/maxMap (CH returns Map for Map input)
+    row = one(
+        spark,
+        "SELECT sumArrayIf(a, c) AS s, avgArrayIf(a, c) AS av,"
+        " minArrayIf(a, c) AS mn, maxArrayIf(a, c) AS mx,"
+        " countArrayIf(a, c) AS ct, uniqArrayIf(a, c) AS uq,"
+        " sumMap(m) AS sm, maxMap(m) AS mm"
+        " FROM (SELECT * FROM VALUES"
+        " (array(1, 2), true,  map('a', 10, 'b', 1)),"
+        " (array(3, 4), false, map('a', 5)),"
+        " (array(5, 6), true,  map('b', 2)) AS t(a, c, m))",
+    )
+    assert (row.s, row.av, row.mn, row.mx, row.ct, row.uq) == (
+        14, 3.5, 1, 6, 4, 4
+    )
+    assert dict(row.sm) == {"a": 15, "b": 3}
+    assert dict(row.mm) == {"a": 10, "b": 2}
