@@ -1759,6 +1759,54 @@ def _max_intersections_expr(a: list[str], position: bool) -> str:
     )
 
 
+def _resample_expr(p: list[str], a: list[str], how: str) -> str:
+    """CH ``-Resample(start, end, step)(value, key)`` (round 9): split
+    the key interval [start, end) into step-sized subranges (the last one
+    clamps at end) and aggregate the values whose key lands in each —
+    returned as an array, one element per subrange, exactly CH's shape.
+    One collected (v, k) pair list per group; NULL value or key rows are
+    skipped (the CH aggregate-input contract)."""
+    if len(p) != 3:
+        raise DialectError(
+            f"{how}Resample takes (start, end, step) parameters"
+        )
+    start = _int_literal(p[0], f"{how}Resample start")
+    end = _int_literal(p[1], f"{how}Resample end")
+    step = _int_literal(p[2], f"{how}Resample step")
+    if step <= 0 or end <= start:
+        raise DialectError(
+            f"{how}Resample: needs end > start and step > 0"
+        )
+    if len(a) != 2:
+        raise DialectError(
+            f"{how}Resample takes (value, resample_key) arguments"
+        )
+    v, k = a
+    pairs = (
+        f"filter(collect_list(named_struct('v', {v}, 'k', {k})),"
+        f" __rp -> __rp.v IS NOT NULL AND __rp.k IS NOT NULL)"
+    )
+    vs = (
+        f"transform(filter({pairs}, __rq -> __rq.k >= __lo"
+        f" AND __rq.k < least(__lo + {step}, {end})), __rr -> __rr.v)"
+    )
+    if how == "count":
+        per = f"size({vs})"
+    elif how == "min":
+        per = f"array_min({vs})"
+    elif how == "max":
+        per = f"array_max({vs})"
+    elif how == "avg":
+        per = f"try_divide({_typed_sum_fold(vs)}, size({vs}))"
+    elif how in ("uniq", "uniqexact"):
+        per = f"size(array_distinct({vs}))"
+    else:  # sum
+        per = _typed_sum_fold(f"array_sort({vs})")
+    return (
+        f"transform(sequence({start}, {end - 1}, {step}), __lo -> {per})"
+    )
+
+
 def _interval_length_sum_expr(a: list[str]) -> str:
     """CH ``intervalLengthSum(start, end)``: length of the union of all
     [start, end] segments — overlaps counted once (sweep-line over the
@@ -4004,6 +4052,16 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # round 8: delimiter-parametric groupConcat and key-filtered sumMap
     "groupconcat": lambda p, a: f"concat_ws({p[0]}, collect_list({a[0]}))",
     "summapfiltered": lambda p, a: _map_agg_expr(a, "sum", keys_filter=p[0]),
+    # round 9: the -Resample combinator for the common aggregates —
+    # agg Resample(start, end, step)(value, key) returns an ARRAY with one
+    # aggregate per key subrange [start+i·step, min(start+(i+1)·step, end))
+    **{
+        f"{_f}resample": (lambda _g: (
+            lambda p, a: _resample_expr(p, a, _g)
+        ))(_f)
+        for _f in ("count", "sum", "avg", "min", "max", "uniq",
+                   "uniqexact")
+    },
 }
 
 

@@ -164,3 +164,32 @@ def test_array_if_chain_and_map_form(spark):
     )
     assert dict(row.sm) == {"a": 15, "b": 3}
     assert dict(row.mm) == {"a": 10, "b": 2}
+
+
+def test_resample_combinator(spark):
+    # CH docs shape: countResample(30, 75, 30)(name, age) — subranges
+    # [30,60) and [60,75), the last clamped at end; out-of-range keys drop
+    row = one(
+        spark,
+        "SELECT countResample(30, 75, 30)(name, age) AS c,"
+        " sumResample(30, 75, 30)(wage, age) AS s,"
+        " avgResample(30, 75, 30)(wage, age) AS av,"
+        " minResample(30, 75, 30)(wage, age) AS mn,"
+        " uniqResample(30, 75, 30)(name, age) AS u"
+        " FROM (SELECT * FROM VALUES"
+        " ('a', 35, 10.0D), ('b', 45, 20.0D), ('c', 62, 30.0D),"
+        " ('d', 70, 40.0D), ('e', 80, 99.0D), ('a', 40, 5.0D)"
+        " AS t(name, age, wage))",
+    )
+    assert list(row.c) == [3, 2]          # 35,45,40 | 62,70 (80 dropped)
+    assert list(row.s) == [35.0, 70.0]
+    assert list(row.av) == [pytest.approx(35 / 3), 35.0]
+    assert list(row.mn) == [5.0, 30.0]
+    assert list(row.u) == [2, 2]   # 'a' repeats in bucket 1
+
+
+def test_resample_guided_on_bad_params():
+    with pytest.raises(DialectError, match="end > start"):
+        translate("SELECT countResample(75, 30, 30)(n, k) FROM t")
+    with pytest.raises(DialectError, match="parameters"):
+        translate("SELECT sumResample(1)(n, k) FROM t")
