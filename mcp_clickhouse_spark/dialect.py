@@ -3786,12 +3786,26 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     per-group buffer is the events-per-entity contract ClickHouse itself
     has — for entities with unbounded event counts, pre-filter or
     pre-window the input (see MEMORY-BOUND note in module docstring).
-    Mode arguments (strict_order/strict_dedup/strict_increase) raise
-    guided errors."""
+    The ``strict_increase`` mode translates too (round 9): each chain
+    step must have a STRICTLY greater timestamp than the previous step's
+    own event (CH: ``events_timestamp[i-1]->second < timestamp``), so the
+    state carries a per-level last-event time alongside the anchor.
+    ``strict_order``/``strict_deduplication`` stay guided errors: their
+    public implementation freezes or RETURNS MID-FOLD with values that
+    can be lower than an already-reached level, an ambiguity this engine
+    won't reproduce blind."""
+    strict_increase = False
+    if len(params) == 2 and params[1].strip().strip("'\"") == (
+        "strict_increase"
+    ):
+        strict_increase = True
+        params = params[:1]
     if len(params) != 1:
         raise DialectError(
-            "windowFunnel modes (strict_order/strict_dedup/strict_increase)"
-            " are not supported — only windowFunnel(window)(ts, conds…)"
+            "windowFunnel modes strict_order/strict_deduplication are not"
+            " supported (their mid-fold early-return semantics are not"
+            " reproducible from the public docs) — only"
+            " windowFunnel(window[, 'strict_increase'])(ts, conds…)"
         )
     w_us = _int_literal(params[0], "windowFunnel window") * 1_000_000
     ts, conds = args[0], args[1:]
@@ -3807,15 +3821,34 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
         f" 'i', __wi + 1), NULL)), __we -> __we IS NOT NULL)"
     )
     ev = f"array_sort(flatten(collect_list({per_row})))"
-    init = "named_struct(" + ", ".join(
-        f"'a{i}', CAST(NULL AS BIGINT)" for i in range(1, k + 1)
-    ) + ")"
-    fields = ["'a1', IF(e.i = 1, e.t, acc.a1)"]
-    for i in range(2, k + 1):
-        fields.append(
-            f"'a{i}', IF(e.i = {i} AND e.t <= acc.a{i - 1} + {w_us},"
-            f" acc.a{i - 1}, acc.a{i})"
-        )
+    if not strict_increase:
+        init = "named_struct(" + ", ".join(
+            f"'a{i}', CAST(NULL AS BIGINT)" for i in range(1, k + 1)
+        ) + ")"
+        fields = ["'a1', IF(e.i = 1, e.t, acc.a1)"]
+        for i in range(2, k + 1):
+            fields.append(
+                f"'a{i}', IF(e.i = {i} AND e.t <= acc.a{i - 1} + {w_us},"
+                f" acc.a{i - 1}, acc.a{i})"
+            )
+    else:
+        # state carries (anchor, last-step-event-time) per level; a step
+        # chains only STRICTLY after the previous step's own event
+        init = "named_struct(" + ", ".join(
+            f"'a{i}', CAST(NULL AS BIGINT), 'l{i}', CAST(NULL AS BIGINT)"
+            for i in range(1, k + 1)
+        ) + ")"
+        fields = [
+            "'a1', IF(e.i = 1, e.t, acc.a1)",
+            "'l1', IF(e.i = 1, e.t, acc.l1)",
+        ]
+        for i in range(2, k + 1):
+            cond = (
+                f"e.i = {i} AND e.t <= acc.a{i - 1} + {w_us}"
+                f" AND e.t > acc.l{i - 1}"
+            )
+            fields.append(f"'a{i}', IF({cond}, acc.a{i - 1}, acc.a{i})")
+            fields.append(f"'l{i}', IF({cond}, e.t, acc.l{i})")
     step = f"(acc, e) -> named_struct({', '.join(fields)})"
     finish = "acc -> CASE " + " ".join(
         f"WHEN acc.a{i} IS NOT NULL THEN {i}"

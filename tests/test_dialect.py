@@ -952,6 +952,31 @@ def test_window_funnel_reanchors_like_clickhouse(spark):
     assert [(r.u, r.lvl) for r in rows] == [(1, 2), (2, 2), (3, 3)]
 
 
+def test_window_funnel_strict_increase(spark):
+    # round 9: strict_increase requires each step STRICTLY after the
+    # previous step's own event — u2's equal-timestamp chain (level 2 in
+    # default mode, asserted above) collapses to 1; u1's increasing chain
+    # is unaffected.  Other modes keep a guided error.
+    rows = spark.sql(
+        translate(
+            "SELECT u, windowFunnel(60, 'strict_increase')"
+            "(ts, e = 'a', e = 'b') AS lvl FROM (SELECT * FROM VALUES"
+            " (1, TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (1, TIMESTAMP '2024-01-01 00:00:10', 'b'),"
+            " (2, TIMESTAMP '2024-01-01 00:00:00', 'a'),"
+            " (2, TIMESTAMP '2024-01-01 00:00:00', 'b')"
+            " AS t(u, ts, e)) GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert [(r.u, r.lvl) for r in rows] == [(1, 2), (2, 1)]
+    import pytest as _pytest
+
+    from mcp_clickhouse_spark.dialect import DialectError
+
+    with _pytest.raises(DialectError, match="strict_order"):
+        translate("SELECT windowFunnel(60, 'strict_order')(ts, a, b) FROM t")
+
+
 def test_sequence_match_count_sql_translate(spark):
     # sequenceMatch is unanchored; events matching NO condition are skipped
     # (u4's 'x' row vanishes ⇒ empty string, no match). sequenceCount
