@@ -4203,6 +4203,14 @@ NAME_MAP.update({
     "mapconcat": "map_concat",
     "arrayzipunaligned": "arrays_zip",  # arrays_zip NULL-pads natively
     "uniqtheta": "approx_count_distinct",  # same estimate contract as uniq
+    "chr": "char",
+    "leftutf8": "left",      # Spark strings are character-based already
+    "rightutf8": "right",
+    "substringindexutf8": "substring_index",
+    "printf": "format_string",  # the %s/%d/%f common subset is identical
+    # version() reports THIS engine's version (Spark), like CH reports its
+    # own — the sensible observability mapping
+    "version": "version",
 })
 
 TEMPLATES.update({
@@ -4390,6 +4398,76 @@ TEMPLATES.update({
 })
 
 TEMPLATES.update({
+    # CH regexpExtract(haystack, pattern[, index]) — index defaults to 1
+    "regexpextract": lambda a: (
+        f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) == 3 else 1})"
+    ),
+    # L∞ norm is max|x| — NOT the linf distance kind of _vec_fold, whose
+    # self-difference would be 0
+    "linfnorm": lambda a: (
+        f"array_max(transform({a[0]}, __nv -> abs(CAST(__nv AS DOUBLE))))"
+    ),
+    "arraylinfnorm": lambda a: (
+        f"array_max(transform({a[0]}, __nv -> abs(CAST(__nv AS DOUBLE))))"
+    ),
+    # same string convention as toYYYYMM (scalar_datetime pins it)
+    "toyyyymmddhhmmss": lambda a: (
+        f"date_format({a[0]}, 'yyyyMMddHHmmss')"
+    ),
+    "tointervalmillisecond": lambda a: (
+        f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000.0D)"
+    ),
+    # mode 0 rounds up to Saturday (CH mode-0 weeks run Sun-Sat),
+    # modes 1/3 to Sunday; Spark weekday() is Monday=0..Sunday=6
+    "tolastdayofweek": lambda a: (
+        f"date_add(CAST({a[0]} AS DATE),"
+        f" pmod({5 if len(a) == 1 or a[1].strip() == '0' else 6}"
+        f" - weekday(CAST({a[0]} AS DATE)), 7))"
+    ),
+    # running prefix sum clamped at zero from below (CH docs example
+    # arrayCumSumNonNegative([1, 1, -4, 1]) = [1, 2, 0, 1]); same
+    # O(n²) slice-fold shape as arrayCumSum, typed zero per element type
+    "arraycumsumnonnegative": lambda a: (
+        lambda arr: (
+            f"transform(sequence(1, size({arr})), __ci -> aggregate("
+            f"slice({arr}, 1, __ci), {_fold_zero(arr, arr)},"
+            f" (__cs, __cx) -> greatest(__cs + __cx,"
+            f" {_fold_zero(arr, arr)})))"
+        )
+    )(_fn_form(a)),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: tuple arity is unknowable at translate time — use "
+            "zip_with over arrays, or explicit .1/.2 element arithmetic"
+        ))))(_t)
+        for _t in ("tupleplus", "tupleminus", "tuplemultiply",
+                   "tupledivide", "tuplenegate", "tupleintdiv",
+                   "tuplemultiplybynumber", "tupledividebynumber")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: depends on ClickHouse's physical block structure, "
+            "which does not exist here — use row_number() OVER an "
+            "explicit ORDER BY"
+        ))))(_t)
+        for _t in ("blocknumber", "rownumberinblock",
+                   "rownumberinallblocks", "blocksize")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: no query registry in this engine — correlate runs "
+            "with your own request ids"
+        ))))(_t)
+        for _t in ("queryid", "initialqueryid", "serveruuid")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: time-ordered random ids are not reproducible across "
+            "engines — use generateUUIDv4/uuid() or "
+            "monotonically_increasing_id()"
+        ))))(_t)
+        for _t in ("generateulid", "generateuuidv7")
+    },
     # chained -ArrayIf combinators (round 9): condition per ROW, aggregate
     # over the kept rows' array elements — the composition CH builds
     # mechanically, spelled out for the common five

@@ -193,3 +193,38 @@ def test_resample_guided_on_bad_params():
         translate("SELECT countResample(75, 30, 30)(n, k) FROM t")
     with pytest.raises(DialectError, match="parameters"):
         translate("SELECT sumResample(1)(n, k) FROM t")
+
+
+def test_third_wave(spark):
+    row = one(
+        spark,
+        "SELECT regexpExtract('abc123def', '([0-9]+)') AS re,"
+        " regexpExtract('abc123def', '([a-z]+)([0-9]+)', 2) AS re2,"
+        " LinfNorm([1, -7, 3]) AS ln,"
+        " toYYYYMMDDhhmmss(toDateTime('2024-03-05 10:47:09')) AS ymd,"
+        " chr(65) AS ch, leftUTF8('привет', 3) AS l3,"
+        " printf('%s=%d', 'x', 7) AS pf,"
+        " toLastDayOfWeek(toDate('2024-03-06')) AS sat,"
+        " toLastDayOfWeek(toDate('2024-03-06'), 1) AS sun,"
+        " arrayCumSumNonNegative([1, 1, -4, 1]) AS cs",
+    )
+    assert row.re == "123" and row.re2 == "123"
+    assert row.ln == 7.0
+    assert row.ymd == "20240305104709"
+    assert row.ch == "A" and row.l3 == "при"
+    assert row.pf == "x=7"
+    # 2024-03-06 is a Wednesday → Saturday 03-09 (mode 0), Sunday 03-10
+    assert str(row.sat) == "2024-03-09"
+    assert str(row.sun) == "2024-03-10"
+    assert list(row.cs) == [1, 2, 0, 1]      # CH docs example
+
+
+def test_third_wave_guided():
+    for sql, frag in [
+        ("SELECT tuplePlus(a, b) FROM t", "zip_with"),
+        ("SELECT rowNumberInAllBlocks() FROM t", "block structure"),
+        ("SELECT queryID() FROM t", "query registry"),
+        ("SELECT generateUUIDv7() FROM t", "generateUUIDv4"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
