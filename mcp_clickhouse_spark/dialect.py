@@ -4211,6 +4211,22 @@ NAME_MAP.update({
     # version() reports THIS engine's version (Spark), like CH reports its
     # own — the sensible observability mapping
     "version": "version",
+    # CH camelCase window-function spellings → the Spark snake names
+    "nthvalue": "nth_value",
+    "firstvalue": "first_value",
+    "lastvalue": "last_value",
+    "denserank": "dense_rank",
+    "percentrank": "percent_rank",
+    "cumedist": "cume_dist",
+    "rownumber": "row_number",
+    # lagInFrame/leadInFrame are CH's frame-respecting lag/lead; Spark's
+    # lag/lead are already frame-agnostic offsets — same values for the
+    # default full frame
+    "laginframe": "lag",
+    "leadinframe": "lead",
+    # CH toColumnTypeName(x): the engine-internal type name — typeof is
+    # the Spark-flavored analog
+    "tocolumntypename": "typeof",
 })
 
 TEMPLATES.update({
@@ -4397,11 +4413,58 @@ TEMPLATES.update({
     )),
 })
 
+def _count_regex_groups(pat: str) -> int:
+    """Capture groups in a string-LITERAL regex (escapes and (?: skipped)."""
+    body = pat.strip()[1:-1]
+    n, i = 0, 0
+    while i < len(body):
+        if body[i] == "\\":
+            i += 2
+            continue
+        if body[i] == "(" and body[i + 1 : i + 2] != "?":
+            n += 1
+        i += 1
+    return n
+
+
+def _extract_all_groups(a: list[str], horizontal: bool) -> str:
+    """CH extractAllGroupsHorizontal/Vertical (round 9): needs the
+    capture-group COUNT, so the pattern must be a string literal.
+    Horizontal = one array per group across all matches; Vertical = one
+    array of groups per match."""
+    name = "extractAllGroups" + ("Horizontal" if horizontal else "Vertical")
+    if len(a) != 2:
+        raise DialectError(f"{name} takes (haystack, pattern)")
+    pat = a[1].strip()
+    if not (pat.startswith("'") and pat.endswith("'")):
+        raise DialectError(
+            f"{name}: the pattern must be a string literal (the capture-"
+            "group count drives the output shape)"
+        )
+    n = _count_regex_groups(pat)
+    if n == 0:
+        raise DialectError(f"{name}: the pattern has no capture groups")
+    per_group = [
+        f"regexp_extract_all({a[0]}, {pat}, {i})" for i in range(1, n + 1)
+    ]
+    if horizontal:
+        return f"array({', '.join(per_group)})"
+    zipped = f"arrays_zip({', '.join(per_group)})"
+    fields = ", ".join(f"__eg.`{i}`" for i in range(n))
+    return f"transform({zipped}, __eg -> array({fields}))"
+
+
 TEMPLATES.update({
     # CH regexpExtract(haystack, pattern[, index]) — index defaults to 1
     "regexpextract": lambda a: (
         f"regexp_extract({a[0]}, {a[1]}, {a[2] if len(a) == 3 else 1})"
     ),
+    "extractallgroupshorizontal": lambda a: _extract_all_groups(a, True),
+    "extractallgroupsvertical": lambda a: _extract_all_groups(a, False),
+    "extractallgroups": lambda a: _extract_all_groups(a, False),
+    # indexHint: CH uses the expression for index selection only and does
+    # NOT filter rows by it — TRUE is the row-visible semantics
+    "indexhint": lambda a: "true",
     # L∞ norm is max|x| — NOT the linf distance kind of _vec_fold, whose
     # self-difference would be 0
     "linfnorm": lambda a: (

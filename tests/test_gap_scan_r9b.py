@@ -228,3 +228,39 @@ def test_third_wave_guided():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_window_spellings_and_extract_groups(spark):
+    rows = spark.sql(
+        translate(
+            "SELECT x, rowNumber() OVER (ORDER BY x) AS rn,"
+            " denseRank() OVER (ORDER BY x) AS dr,"
+            " nthValue(x, 2) OVER (ORDER BY x"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"
+            " AS nv FROM (SELECT explode(array(10, 20, 20)) AS x)"
+        )
+    ).collect()
+    assert [(r.rn, r.dr, r.nv) for r in rows] == [
+        (1, 1, 20), (2, 2, 20), (3, 2, 20)
+    ]
+    # CH docs: extractAllGroupsHorizontal('abc=111, def=222',
+    # '("[^"]+"|\\w+)=("[^"]+"|\\w+)') → [['abc','def'],['111','222']];
+    # Vertical → [['abc','111'],['def','222']]
+    row = one(
+        spark,
+        r"SELECT extractAllGroupsHorizontal('abc=111, def=222',"
+        r" '(\\w+)=(\\w+)') AS h,"
+        r" extractAllGroupsVertical('abc=111, def=222',"
+        r" '(\\w+)=(\\w+)') AS v,"
+        r" indexHint(1 = 1) AS ih",
+    )
+    assert [list(g) for g in row.h] == [["abc", "def"], ["111", "222"]]
+    assert [list(g) for g in row.v] == [["abc", "111"], ["def", "222"]]
+    assert row.ih is True
+
+
+def test_extract_groups_guided():
+    with pytest.raises(DialectError, match="string literal"):
+        translate("SELECT extractAllGroupsVertical(s, p) FROM t")
+    with pytest.raises(DialectError, match="capture groups"):
+        translate("SELECT extractAllGroupsVertical(s, 'nogroups') FROM t")
