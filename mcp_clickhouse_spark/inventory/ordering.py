@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "scalar_string_fns_r9",
     "agg_interval_stats",
     "pipe_embed_quantize",
+    "scalar_gap_wave2",
 ]
 
 

@@ -860,3 +860,50 @@ def agg_interval_stats(spark, sf_dir):
 
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_SQL_INTERVAL_STATS_CH))
+
+
+_SQL_GAP_WAVE2_CH = """
+SELECT s_suppkey,
+       clamp(s_acctbal, 0.0, 5000.0) AS cl,
+       positiveModulo(s_suppkey - 50, 7) AS pm,
+       toDecimalString(s_acctbal, 3) AS tds,
+       mortonEncode(s_suppkey % 256, (s_suppkey * 7) % 256) AS mz,
+       arrayStringConcat(arrayMap(x -> toString(x),
+                         bitPositionsToArray(s_suppkey)), ',') AS bp
+FROM supplier
+"""
+
+
+@query(
+    "scalar_gap_wave2",
+    oracle="""
+    SELECT s_suppkey,
+           least(greatest(s_acctbal, 0.0), 5000.0) AS cl,
+           CAST(((s_suppkey - 50) % 7 + 7) % 7 AS BIGINT) AS pm,
+           CAST(CAST(s_acctbal AS DECIMAL(38, 3)) AS VARCHAR) AS tds,
+           CAST(
+             (SELECT SUM((((s_suppkey % 256) >> i.i) & 1) << (2 * i.i))
+              FROM (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS i) i)
+             + (SELECT SUM(((((s_suppkey * 7) % 256) >> j.j) & 1)
+                           << (2 * j.j + 1))
+                FROM (SELECT UNNEST(GENERATE_SERIES(0, 31)) AS j) j)
+             AS BIGINT) AS mz,
+           COALESCE(array_to_string(
+             (SELECT LIST(k.k ORDER BY k.k)
+              FROM (SELECT UNNEST(GENERATE_SERIES(0, 62)) AS k) k
+              WHERE ((s_suppkey >> k.k) & 1) = 1), ','), '') AS bp
+    FROM supplier
+    """,
+    category="scalars",
+)
+def scalar_gap_wave2(spark, sf_dir):
+    """Round-9 wave-2 gap-scan functions with DuckDB-recomputable twins:
+    clamp, positiveModulo, toDecimalString (fixed-scale render),
+    mortonEncode (Z-order bit interleave — the oracle re-derives it with
+    shift arithmetic over GENERATE_SERIES, fully independent of the
+    Spark fold), and bitPositionsToArray flattened to CSV for the
+    scalar-only driver canonicalizer."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(translate(_SQL_GAP_WAVE2_CH))
