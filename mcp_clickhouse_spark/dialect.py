@@ -574,6 +574,8 @@ def _reint_numeric_value(x: str) -> str:
         f" CAST(datediff(CAST({xs} AS DATE), DATE '1970-01-01') AS BIGINT)"
         f" WHEN typeof({x}) = 'timestamp' THEN"
         f" unix_timestamp(CAST({xs} AS TIMESTAMP))"
+        f" WHEN typeof({x}) = 'boolean' THEN"  # CH: Bool is one byte 0/1
+        f" IF({xs} = 'true', CAST(1 AS BIGINT), CAST(0 AS BIGINT))"
         f" ELSE CAST({xs} AS BIGINT) END"
     )
 
