@@ -3035,12 +3035,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "casewithexpression": _case_with_expression,
     **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: 128-bit IPv6 arithmetic needs binary handling no "
-            "Spark builtin provides — use a pandas UDF (ipaddress module)"
-        ))))(_t)
-        for _t in ("ipv6numtostring", "ipv6stringtonum", "cutipv6",
-                   "ipv6cidrtorange", "toipv6", "toipv6ornull")
+        # IPv6 family (round 9 — was a guided block): Arrow pandas_udfs
+        # over Python's ipaddress module (functions/ipaddr.py), lazily
+        # registered; the packed-16-byte BINARY column is CH's
+        # FixedString(16) shape, text forms are RFC 5952 like CH's
+        "ipv6stringtonum": lambda a: f"ch_ipv6_aton({a[0]})",
+        "toipv6": lambda a: f"ch_ipv6_aton({a[0]})",
+        "toipv6ornull": lambda a: f"ch_ipv6_aton({a[0]})",  # NULL on bad
+        "ipv6numtostring": lambda a: f"ch_ipv6_ntoa({a[0]})",
+        "isipv6string": lambda a: f"ch_is_ipv6({a[0]})",
+        "cutipv6": lambda a: (
+            f"ch_cut_ipv6({a[0]}, CAST({a[1]} AS INT), CAST({a[2]} AS INT))"
+        ),
+        # returns the (low, high) endpoints as RFC 5952 STRINGS (CH
+        # returns IPv6-typed values; strings are this engine's text form)
+        "ipv6cidrtorange": lambda a: (
+            f"named_struct('_1', ch_ipv6_cidr_lo({a[0]}, CAST({a[1]} AS INT)),"
+            f" '_2', ch_ipv6_cidr_hi({a[0]}, CAST({a[1]} AS INT)))"
+        ),
+        "isipaddressinrange": lambda a: f"ch_ip_in_range({a[0]}, {a[1]})",
+        "ipv4toipv6": lambda a: (
+            f"ch_ipv6_aton(concat('::ffff:',"
+            f" {TEMPLATES['ipv4numtostring'](a)}))"
+        ),
     },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(

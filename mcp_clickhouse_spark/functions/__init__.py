@@ -44,6 +44,12 @@ def _register_codecs(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_ipaddr(spark) -> None:
+    from mcp_clickhouse_spark.functions.ipaddr import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -68,6 +74,13 @@ LAZY_UDFS = {
     "ch_base58_encode": _register_codecs,
     "ch_base58_decode": _register_codecs,
     "ch_try_base58_decode": _register_codecs,
+    "ch_ipv6_aton": _register_ipaddr,
+    "ch_ipv6_ntoa": _register_ipaddr,
+    "ch_is_ipv6": _register_ipaddr,
+    "ch_cut_ipv6": _register_ipaddr,
+    "ch_ipv6_cidr_lo": _register_ipaddr,
+    "ch_ipv6_cidr_hi": _register_ipaddr,
+    "ch_ip_in_range": _register_ipaddr,
 }
 
 

@@ -264,3 +264,35 @@ def test_extract_groups_guided():
         translate("SELECT extractAllGroupsVertical(s, p) FROM t")
     with pytest.raises(DialectError, match="capture groups"):
         translate("SELECT extractAllGroupsVertical(s, 'nogroups') FROM t")
+
+
+def test_ipv6_family(spark):
+    # CH docs pins: the text roundtrip, cutIPv6's byte-zeroing,
+    # IPv6CIDRToRange('2001:0db8:...:8001', 32), and
+    # isIPAddressInRange('127.0.0.1', '127.0.0.0/8') = 1.  IPv4-mapped
+    # addresses render with the dotted tail exactly like CH.
+    from mcp_clickhouse_spark.tools import run_select_query
+
+    res = run_select_query(
+        spark,
+        "SELECT IPv6NumToString(IPv6StringToNum('2a02:6b8::11')) AS rt,"
+        " isIPv6String('::ffff:127.0.0.1') AS v6a, isIPv6String('x') AS v6b,"
+        " cutIPv6(IPv6StringToNum("
+        "'2001:0DB8:AC10:FE01:FEED:BABE:CAFE:F00D'), 2, 0) AS cut,"
+        " tupleElement(IPv6CIDRToRange(IPv6StringToNum("
+        "'2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32), 1) AS lo,"
+        " tupleElement(IPv6CIDRToRange(IPv6StringToNum("
+        "'2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32), 2) AS hi,"
+        " isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS inr,"
+        " isIPAddressInRange('127.0.0.1', 'ffff::/16') AS outr,"
+        " IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('192.168.0.1'))) AS v4",
+        dialect="clickhouse",
+    )
+    row = dict(zip(res["columns"], res["rows"][0]))
+    assert row["rt"] == "2a02:6b8::11"
+    assert (row["v6a"], row["v6b"]) == (1, 0)
+    assert row["cut"] == "2001:db8:ac10:fe01:feed:babe:cafe:0"
+    assert row["lo"] == "2001:db8::"
+    assert row["hi"] == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff"
+    assert (row["inr"], row["outr"]) == (1, 0)
+    assert row["v4"] == "::ffff:192.168.0.1"
