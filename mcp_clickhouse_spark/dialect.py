@@ -4432,6 +4432,33 @@ TEMPLATES.update({
     )),
 })
 
+_READABLE_UNITS = [
+    ("eib", 1024 ** 6), ("pib", 1024 ** 5), ("tib", 1024 ** 4),
+    ("gib", 1024 ** 3), ("mib", 1024 ** 2), ("kib", 1024),
+    ("eb", 1000 ** 6), ("pb", 1000 ** 5), ("tb", 1000 ** 4),
+    ("gb", 1000 ** 3), ("mb", 1000 ** 2), ("kb", 1000), ("b", 1),
+]
+
+
+def _parse_readable_size(a: list[str], null_on_error: bool) -> str:
+    """CH parseReadableSize('1 KiB') → 1024 (binary AND decimal units;
+    result rounded up to an integer byte count like CH's UInt64)."""
+    if len(a) != 1:
+        raise DialectError("parseReadableSize takes one string argument")
+    num = f"try_cast(regexp_extract(trim({a[0]}), '^([0-9.]+)', 1) AS DOUBLE)"
+    unit = f"lower(trim(regexp_extract(trim({a[0]}), '^[0-9.]+\\\\s*([A-Za-z]+)$', 1)))"
+    branches = " ".join(
+        f"WHEN {unit} = '{u}' THEN CAST(ceil({num} * {m}) AS BIGINT)"
+        for u, m in _READABLE_UNITS
+    )
+    err = (
+        "CAST(NULL AS BIGINT)" if null_on_error else
+        "CAST(raise_error(concat('parseReadableSize: cannot parse ',"
+        f" {a[0]})) AS BIGINT)"
+    )
+    return f"CASE WHEN {num} IS NULL THEN {err} {branches} ELSE {err} END"
+
+
 def _count_regex_groups(pat: str) -> int:
     """Capture groups in a string-LITERAL regex (escapes and (?: skipped)."""
     body = pat.strip()[1:-1]
@@ -4549,6 +4576,103 @@ TEMPLATES.update({
             "monotonically_increasing_id()"
         ))))(_t)
         for _t in ("generateulid", "generateuuidv7")
+    },
+    # CH arrayWithConstant(length, value) — Spark array_repeat swaps args
+    "arraywithconstant": lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
+    "torelativequarternum": lambda a: (
+        f"(year(CAST({a[0]} AS DATE)) * 4 + quarter(CAST({a[0]} AS DATE)))"
+    ),
+    # bitmap subsets over the sorted-distinct-array bitmap convention
+    "subbitmap": lambda a: (
+        f"slice(array_sort(array_distinct({a[0]})),"
+        f" CAST({a[1]} AS INT) + 1, CAST({a[2]} AS INT))"
+    ),
+    "bitmapsubsetinrange": lambda a: (
+        f"filter(array_sort(array_distinct({a[0]})),"
+        f" __bs -> __bs >= {a[1]} AND __bs < {a[2]})"
+    ),
+    "bitmapsubsetlimit": lambda a: (
+        f"slice(filter(array_sort(array_distinct({a[0]})),"
+        f" __bs -> __bs >= {a[1]}), 1, CAST({a[2]} AS INT))"
+    ),
+    # parseReadableSize: '1 KiB' → bytes (binary AND decimal units, the
+    # CH 24.x contract; docs pin parseReadableSize('1 KiB') = 1024)
+    "parsereadablesize": lambda a: _parse_readable_size(a, null_on_error=False),
+    "parsereadablesizeornull": lambda a: (
+        _parse_readable_size(a, null_on_error=True)
+    ),
+    "parsereadablesizeorzero": lambda a: (
+        f"coalesce({_parse_readable_size(a, null_on_error=True)},"
+        f" CAST(0 AS BIGINT))"
+    ),
+    # CH 24.x spellings of the snowflake converters (same Twitter epoch)
+    "snowflakeidtodatetime": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + "
+        + (f"{a[1]})" if len(a) >= 2 else "1288834974657)")
+    ),
+    "datetimetosnowflakeid": lambda a: (
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) - "
+        + (f"{a[1]}, 22)" if len(a) >= 2 else "1288834974657, 22)")
+    ),
+    # ULID: first 10 Crockford-base32 chars = unix milliseconds (docs pin
+    # ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R') = 2022-12-28
+    # 00:40:37.616)
+    "ulidstringtodatetime": lambda a: (
+        f"timestamp_millis(aggregate(transform(sequence(1, 10),"
+        f" __ui -> instr('0123456789ABCDEFGHJKMNPQRSTVWXYZ',"
+        f" upper(substring({a[0]}, __ui, 1))) - 1),"
+        f" CAST(0 AS BIGINT), (__ua, __ud) -> __ua * 32 + __ud))"
+    ),
+    # extractTextFromHTML: the documented algorithm — comments and
+    # script/style elements removed, every other tag removed, whitespace
+    # collapsed to single spaces and trimmed.  Delta vs CH: CDATA
+    # sections are unwrapped but markup INSIDE them still strips (CH
+    # keeps CDATA bytes fully verbatim — preserving them would need a
+    # placeholder pass Spark SQL cannot express)
+    "extracttextfromhtml": lambda a: (
+        f"trim(regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(regexp_replace({a[0]},"
+        f" '(?s)<!\\\\[CDATA\\\\[(.*?)\\\\]\\\\]>', ' $1 '),"
+        f" '(?is)<(script|style)\\\\b.*?</\\\\1\\\\s*>', ' '),"
+        f" '(?s)<!--.*?-->', ' '),"
+        f" '(?s)<[^>]*>', ' '),"
+        f" '\\\\s+', ' '))"
+    ),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: numeric character references need computed char "
+            "codes, which Spark SQL cannot express — use a pandas UDF "
+            "(html.unescape) for full decoding"
+        ))))(_t)
+        for _t in ("decodexmlcomponent", "decodehtmlcomponent")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse-internal n-gram/shingle MinHash state has "
+            "no published closed form — use pipeline/dedup.py "
+            "(minhash_signatures / simhash_64) for near-dup detection"
+        ))))(_t)
+        for _t in ("ngramminhash", "ngramminhashutf8",
+                   "ngramminhashcaseinsensitive",
+                   "wordshingleminhashcaseinsensitive",
+                   "wordshingleminhashutf8")
+    },
+    "multifuzzymatchany": lambda a: (_ for _ in ()).throw(DialectError(
+        "multiFuzzyMatchAny: hyperscan fuzzy matching has no Spark "
+        "equivalent — use multiSearchAny (exact) or rlike per pattern"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse-server introspection — this engine has no "
+            "server identity/registry; query Spark confs via the tool "
+            "layer"
+        ))))(_t)
+        for _t in ("normalizequery", "normalizedqueryhash",
+                   "normalizequerykeepnames", "hascolumnintable",
+                   "getsetting", "getmacro", "currentroles",
+                   "currentprofiles", "enabledroles", "defaultroles",
+                   "errorcodetoname", "structuretoprotobufschema",
+                   "structuretocapnprotoschema", "fqdn")
     },
     # chained -ArrayIf combinators (round 9): condition per ROW, aggregate
     # over the kept rows' array elements — the composition CH builds

@@ -296,3 +296,46 @@ def test_ipv6_family(spark):
     assert row["hi"] == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff"
     assert (row["inr"], row["outr"]) == (1, 0)
     assert row["v4"] == "::ffff:192.168.0.1"
+
+
+def test_fourth_wave(spark):
+    row = one(
+        spark,
+        "SELECT arrayWithConstant(3, 'x') AS awc,"
+        " subBitmap([5, 1, 3, 9], 1, 2) AS sb,"
+        " bitmapSubsetInRange([5, 1, 3, 9], 3, 9) AS br,"
+        " bitmapSubsetLimit([5, 1, 3, 9], 3, 2) AS bl,"
+        " parseReadableSize('1 KiB') AS prs,"        # CH docs pin: 1024
+        " parseReadableSize('5 MB') AS prs2,"
+        " parseReadableSizeOrNull('oops') AS prsn,"
+        " parseReadableSizeOrZero('oops') AS prsz,"
+        " ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R') AS ulid,"
+        " extractTextFromHTML('<p>A <b>text</b><!-- c -->"
+        "<script>x=1</script> here</p>') AS html,"
+        " extractTextFromHTML('a<![CDATA[ kept <b> ]]>b') AS cdata,"
+        " toRelativeQuarterNum(toDate('2024-05-05'))"
+        " - toRelativeQuarterNum(toDate('2023-11-01')) AS qd",
+    )
+    assert list(row.awc) == ["x", "x", "x"]
+    assert list(row.sb) == [3, 5]
+    assert list(row.br) == [3, 5] and list(row.bl) == [3, 5]
+    assert (row.prs, row.prs2, row.prsn, row.prsz) == (1024, 5000000, None, 0)
+    # CH docs pin: 01GNB2S2FG... → 2022-12-28 00:40:37.616
+    assert str(row.ulid).startswith("2022-12-28 00:40:37.616")
+    assert row.html == "A text here"
+    # CDATA is unwrapped; markup INSIDE it still strips (documented
+    # delta vs CH, which keeps CDATA bytes fully verbatim)
+    assert row.cdata == "a kept b"
+    assert row.qd == 2
+
+
+def test_fourth_wave_guided():
+    for sql, frag in [
+        ("SELECT decodeXMLComponent(s) FROM t", "html.unescape"),
+        ("SELECT ngramMinHash(s) FROM t", "minhash_signatures"),
+        ("SELECT multiFuzzyMatchAny(s, 2, ['x']) FROM t", "multiSearchAny"),
+        ("SELECT normalizeQuery(s) FROM t", "introspection"),
+        ("SELECT getSetting('x') FROM t", "introspection"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
