@@ -98,6 +98,8 @@ PRIORITY: list[str] = [
     "agg_interval_stats",
     "pipe_embed_quantize",
     "scalar_gap_wave2",
+    "pipe_html_extract",
+    "scalar_ip_functions",
 ]
 
 

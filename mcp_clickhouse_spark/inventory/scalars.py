@@ -907,3 +907,85 @@ def scalar_gap_wave2(spark, sf_dir):
 
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(translate(_SQL_GAP_WAVE2_CH))
+
+
+_SQL_HTML_EXTRACT_CH = """
+SELECT doc_id,
+       extractTextFromHTML(concat('<html><body><p class="x">',
+         substring(text, 1, 60),
+         '</p><!-- boilerplate --><script>var x = 1;</script>',
+         '<style>p { color: red }</style></body></html>')) AS txt
+FROM documents
+"""
+
+
+@query(
+    "pipe_html_extract",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             '<html><body><p class="x">' || substr(text, 1, 60)
+             || '</p><!-- boilerplate --><script>var x = 1;</script>'
+             || '<style>p { color: red }</style></body></html>' AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(regexp_replace(h,
+               '(?is)<script[^>]*>.*?</script[[:space:]]*>', ' ', 'g'),
+               '(?is)<style[^>]*>.*?</style[[:space:]]*>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g'),
+               '(?s)<[^>]*>', ' ', 'g'),
+               '[[:space:]]+', ' ', 'g')) AS txt
+    FROM w
+    """,
+    category="pipeline",
+)
+def pipe_html_extract(spark, sf_dir):
+    """HTML boilerplate removal — the C4/CommonCrawl text-extraction
+    stage — as verbatim ClickHouse ``extractTextFromHTML`` over document
+    text wrapped in real markup (tags + comment + script + style).  Pure
+    column expression, zero shuffles, whole-stage codegen.  The DuckDB
+    oracle reproduces every pass with RE2 (which has no backreferences,
+    so script/style strip in separate passes)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_SQL_HTML_EXTRACT_CH))
+
+
+_SQL_IP_FUNCS_CH = """
+SELECT s_suppkey,
+       isIPAddressInRange(concat('10.', toString(s_suppkey % 256), '.0.1'),
+                          '10.0.0.0/9') AS inr,
+       IPv6NumToString(IPv4ToIPv6(IPv4StringToNum(
+         concat('10.', toString(s_suppkey % 256), '.0.1')))) AS v6,
+       isIPv4String(concat('10.', toString(s_suppkey % 256), '.0.1')) AS v4
+FROM supplier
+"""
+
+
+@query(
+    "scalar_ip_functions",
+    oracle="""
+    SELECT s_suppkey,
+           CASE WHEN s_suppkey % 256 < 128 THEN 1 ELSE 0 END AS inr,
+           '::ffff:10.' || CAST(s_suppkey % 256 AS VARCHAR) || '.0.1' AS v6,
+           true AS v4
+    FROM supplier
+    """,
+    category="scalars",
+)
+def scalar_ip_functions(spark, sf_dir):
+    """The IP function family as verbatim SQL text (round 9 — IPv6 was a
+    guided-error block, now ipaddress-module pandas_udfs):
+    isIPAddressInRange (10.x.0.1 ∈ 10.0.0.0/9 ⇔ x < 128 — the oracle
+    re-derives the CIDR check arithmetically), the
+    IPv4→IPv6-mapped→text roundtrip (CH's dotted ::ffff: rendering), and
+    isIPv4String.  One Arrow batch per partition, no shuffles."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.ipaddr import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(translate(_SQL_IP_FUNCS_CH))
