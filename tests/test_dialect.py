@@ -2754,8 +2754,9 @@ def test_round8_fourth_wave_tail(spark):
 
     with _pytest.raises(ValueError, match="introspection"):
         translate("SELECT hostName()")
-    with _pytest.raises(ValueError, match="IPv6"):
-        translate("SELECT IPv6StringToNum(s) FROM t")
+    # round 9: the IPv6 family graduated from this guided list to real
+    # ipaddress-module pandas_udfs (tests/test_gap_scan_r9b.py)
+    assert "ch_ipv6_aton" in translate("SELECT IPv6StringToNum(s) FROM t")
 
 
 def test_position_in_trunc_bar_misc(spark):
