@@ -4104,6 +4104,32 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # round 8: delimiter-parametric groupConcat and key-filtered sumMap
     "groupconcat": lambda p, a: f"concat_ws({p[0]}, collect_list({a[0]}))",
     "summapfiltered": lambda p, a: _map_agg_expr(a, "sum", keys_filter=p[0]),
+    **{
+        _t: (lambda _n: (lambda p, a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: a ClickHouse WINDOW-frame decay aggregate — use "
+            "exponentialMovingAverage (plain aggregate, same half-life "
+            "decay) or an explicit sum(v * exp((t - max_t)/x)) OVER frame"
+        ))))(_t)
+        for _t in ("exponentialtimedecayedsum", "exponentialtimedecayedavg",
+                   "exponentialtimedecayedmax",
+                   "exponentialtimedecayedcount")
+    },
+    "sparkbar": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "sparkbar: ClickHouse's block-glyph rendering rules are not "
+        "pinned by its docs — use bar() or width_bucket + a histogram "
+        "query (agg_histogram)"
+    )),
+    # quantileDD (DDSketch): same approximate-estimate contract as the
+    # t-digest family — relative-accuracy param drops, level defaults 0.5
+    "quantiledd": lambda p, a: (
+        f"percentile_approx({a[0]},"
+        f" {p[1] if len(p) >= 2 else '0.5'}, 10000)"
+    ),
+    # groupArraySorted(n)(x): the n SMALLEST values ascending — fully
+    # deterministic, unlike groupArray's insertion order
+    "grouparraysorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
+    ),
     # round 9: the -Resample combinator for the common aggregates —
     # agg Resample(start, end, step)(value, key) returns an ARRAY with one
     # aggregate per key subrange [start+i·step, min(start+(i+1)·step, end))
@@ -4459,6 +4485,20 @@ def _parse_readable_size(a: list[str], null_on_error: bool) -> str:
     return f"CASE WHEN {num} IS NULL THEN {err} {branches} ELSE {err} END"
 
 
+def _agg_matrix(a: list[str], fn: str) -> str:
+    """corrMatrix/covar*Matrix(c1, …, cN): N² pairwise scalar aggregates
+    assembled into CH's Array(Array(Float64)) shape."""
+    if len(a) < 2:
+        raise DialectError(f"{fn}Matrix needs at least two columns")
+    rows = ", ".join(
+        "array(" + ", ".join(
+            f"CAST({fn}({ci}, {cj}) AS DOUBLE)" for cj in a
+        ) + ")"
+        for ci in a
+    )
+    return f"array({rows})"
+
+
 def _count_regex_groups(pat: str) -> int:
     """Capture groups in a string-LITERAL regex (escapes and (?: skipped)."""
     body = pat.strip()[1:-1]
@@ -4577,6 +4617,53 @@ TEMPLATES.update({
         ))))(_t)
         for _t in ("generateulid", "generateuuidv7")
     },
+    # intersection of every array in the group (sorted for determinism;
+    # CH's element order is unspecified)
+    # NOTE: slice's length is exact, not INT_MAX — start+length overflows
+    # Spark's int and silently yields an EMPTY slice (measured)
+    "grouparrayintersect": lambda a: (
+        f"array_sort(aggregate("
+        f"slice(collect_list({a[0]}), 2,"
+        f" greatest(size(collect_list({a[0]})) - 1, 0)),"
+        f" try_element_at(collect_list({a[0]}), 1),"
+        f" (__ga, __gb) -> array_intersect(__ga, __gb)))"
+    ),
+    # exactly one distinct non-NULL value in the group → that value,
+    # anything else → NULL (the CH singleValueOrNull contract)
+    "singlevalueornull": lambda a: (
+        f"IF(count(DISTINCT {a[0]}) = 1, max({a[0]}),"
+        f" first(NULL))"
+    ),
+    # RESPECT NULLS variants: Spark's first/last default to respecting
+    # NULLs (ignoreNulls=false), which is exactly these names' contract
+    "any_respect_nulls": lambda a: f"first({a[0]})",
+    "first_value_respect_nulls": lambda a: f"first({a[0]})",
+    "anylast_respect_nulls": lambda a: f"last({a[0]})",
+    "last_value_respect_nulls": lambda a: f"last({a[0]})",
+    # correlation/covariance MATRIX over N columns: N² scalar aggregates
+    # assembled into Array(Array(Float64)), CH's shape
+    "corrmatrix": lambda a: _agg_matrix(a, "corr"),
+    "covarsampmatrix": lambda a: _agg_matrix(a, "covar_samp"),
+    "covarpopmatrix": lambda a: _agg_matrix(a, "covar_pop"),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the F-distribution CDF (regularized incomplete beta) "
+            "has no Spark builtin — compute the F statistic from group "
+            "moments and look the p-value up client-side"
+        ))))(_t)
+        for _t in ("analysisofvariance", "anova")
+    },
+    "sequencematchevents": lambda a: (_ for _ in ()).throw(DialectError(
+        "sequenceMatchEvents: returns the matched events' timestamps — "
+        "use sequenceMatch for the boolean and a window query for the "
+        "event list"
+    )),
+    "runningconcurrency": lambda a: (_ for _ in ()).throw(DialectError(
+        "runningConcurrency: depends on ClickHouse's physical block "
+        "order — maxIntersections gives the peak concurrency; a sweep "
+        "over (start,+1)/(end,-1) events with sum() OVER gives the "
+        "running value"
+    )),
     # CH arrayWithConstant(length, value) — Spark array_repeat swaps args
     "arraywithconstant": lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))",
     "torelativequarternum": lambda a: (

@@ -339,3 +339,38 @@ def test_fourth_wave_guided():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_aggregate_wave(spark):
+    row = one(
+        spark,
+        "SELECT groupArraySorted(3)(x) AS gs,"
+        " quantileDD(0.01, 0.5)(x) AS qd,"
+        " groupArrayIntersect(a) AS gi,"
+        " singleValueOrNull(c) AS sv1, singleValueOrNull(x) AS svn,"
+        " any_respect_nulls(n) AS arn,"
+        " corrMatrix(x, y) AS cm"
+        " FROM (SELECT * FROM VALUES"
+        " (5.0D, 1.0D, array(1, 2, 3), 7, CAST(NULL AS INT)),"
+        " (3.0D, 2.0D, array(2, 3, 4), 7, CAST(NULL AS INT)),"
+        " (8.0D, 3.0D, array(3, 2, 9), 7, CAST(NULL AS INT))"
+        " AS t(x, y, a, c, n))",
+    )
+    assert list(row.gs) == [3.0, 5.0, 8.0]
+    assert row.qd == 5.0
+    assert list(row.gi) == [2, 3]
+    assert (row.sv1, row.svn, row.arn) == (7, None, None)
+    assert len(row.cm) == 2 and row.cm[0][0] == pytest.approx(1.0)
+    assert row.cm[0][1] == pytest.approx(row.cm[1][0])
+
+
+def test_aggregate_wave_guided():
+    for sql, frag in [
+        ("SELECT exponentialTimeDecayedSum(5)(v, t) FROM x",
+         "exponentialMovingAverage"),
+        ("SELECT sparkbar(9)(x, y) FROM t", "width_bucket"),
+        ("SELECT analysisOfVariance(v, g) FROM t", "F-distribution"),
+        ("SELECT runningConcurrency(a, b) FROM t", "maxIntersections"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
