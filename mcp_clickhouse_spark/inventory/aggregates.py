@@ -809,3 +809,49 @@ def agg_hypothesis_tests(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_HYPOTHESIS_CH))
+
+
+_SQL_COMBINATORS_R9_CH = """
+SELECT l_returnflag,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         countResample(1, 49, 24)(l_orderkey, toInt32(l_quantity))),
+         ',') AS cr,
+       arrayStringConcat(arrayMap(x -> toString(x),
+         groupArraySorted(3)(toInt32(l_quantity))), ',') AS gs,
+       sumArrayIf(array(toInt32(l_quantity), 1),
+                  l_linestatus = 'F') AS saif
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_combinators_r9",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) FILTER (WHERE CAST(l_quantity AS INTEGER)
+                BETWEEN 1 AND 24) AS VARCHAR)
+           || ',' ||
+           CAST(COUNT(*) FILTER (WHERE CAST(l_quantity AS INTEGER)
+                BETWEEN 25 AND 48) AS VARCHAR) AS cr,
+           array_to_string(
+             (list_sort(list(CAST(l_quantity AS INTEGER))))[1:3],
+             ',') AS gs,
+           CAST(SUM(CASE WHEN l_linestatus = 'F'
+               THEN CAST(l_quantity AS INTEGER) + 1 END) AS BIGINT) AS saif
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    category="aggregates",
+)
+def agg_combinators_r9(spark, sf_dir):
+    """The round-9 combinator family as verbatim SQL text, driver-
+    oracle-checked: ``countResample(1, 49, 24)`` (two 24-wide key
+    subranges — the oracle recomputes them as FILTER counts),
+    ``groupArraySorted(3)`` (the 3 smallest quantities, fully
+    deterministic — DuckDB list_sort + slice), and ``sumArrayIf``
+    (row-condition + element fold — the oracle folds the two-element
+    array algebraically as value+1).  Array outputs flatten through
+    arrayStringConcat for the scalar-only driver canonicalizer."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_COMBINATORS_R9_CH))

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "scalar_gap_wave2",
     "pipe_html_extract",
     "scalar_ip_functions",
+    "agg_combinators_r9",
 ]
 
 
