@@ -18,6 +18,18 @@ import ipaddress
 import pandas as pd  # module-level: pandas_udf resolves stringified hints
 
 
+def _parse6(v: str) -> ipaddress.IPv6Address:
+    """Parse like ClickHouse's IPv6StringToNum/toIPv6: a plain IPv6 string,
+    OR a valid IPv4 dotted-quad (returned as its IPv4-mapped equivalent
+    ::ffff:a.b.c.d — CH docs: 'if the input is a valid IPv4 address, the
+    IPv6 equivalent is returned').  Anything else raises ValueError."""
+    try:
+        return ipaddress.IPv6Address(v)
+    except (ValueError, ipaddress.AddressValueError):
+        v4 = ipaddress.IPv4Address(v)  # raises → caller maps to NULL
+        return ipaddress.IPv6Address(b"\x00" * 10 + b"\xff\xff" + v4.packed)
+
+
 def _render(addr: ipaddress.IPv6Address) -> str:
     """RFC 5952 compressed form, except IPv4-mapped addresses render with
     the dotted tail (::ffff:192.168.0.1) exactly like ClickHouse."""
@@ -48,7 +60,7 @@ def ensure_registered(spark) -> None:
 
     @pandas_udf("binary")
     def _aton(s: pd.Series) -> pd.Series:
-        return _map(s, lambda v: ipaddress.IPv6Address(v).packed)
+        return _map(s, lambda v: _parse6(v).packed)
 
     @pandas_udf("string")
     def _ntoa(b: pd.Series) -> pd.Series:
