@@ -1767,7 +1767,13 @@ def _resample_expr(p: list[str], a: list[str], how: str) -> str:
     clamps at end) and aggregate the values whose key lands in each —
     returned as an array, one element per subrange, exactly CH's shape.
     One collected (v, k) pair list per group; NULL value or key rows are
-    skipped (the CH aggregate-input contract)."""
+    skipped (the CH aggregate-input contract).
+
+    Empty subranges return each aggregate's DEFAULT value like CH's
+    empty-state insertResultInto (r9 advisor): count/uniq → 0, sum → the
+    typed zero (the fold's init), min/max → 0 (CH's numeric type default;
+    non-numeric resample values coerce that 0, a documented delta from
+    CH's per-type default like ''), avg → NaN (CH's 0/0)."""
     if len(p) != 3:
         raise DialectError(
             f"{how}Resample takes (start, end, step) parameters"
@@ -1795,11 +1801,14 @@ def _resample_expr(p: list[str], a: list[str], how: str) -> str:
     if how == "count":
         per = f"size({vs})"
     elif how == "min":
-        per = f"array_min({vs})"
+        per = f"coalesce(array_min({vs}), 0)"
     elif how == "max":
-        per = f"array_max({vs})"
+        per = f"coalesce(array_max({vs}), 0)"
     elif how == "avg":
-        per = f"try_divide({_typed_sum_fold(vs)}, size({vs}))"
+        per = (
+            f"IF(size({vs}) = 0, CAST('NaN' AS DOUBLE),"
+            f" try_divide({_typed_sum_fold(vs)}, size({vs})))"
+        )
     elif how in ("uniq", "uniqexact"):
         per = f"size(array_distinct({vs}))"
     else:  # sum
@@ -3666,17 +3675,20 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # so overlaps count once and touching segments merge.  DOUBLE result
     # (the input type is unknowable at translate time).
     "intervallengthsum": lambda a: _interval_length_sum_expr(a),
-    # skewSamp/kurtSamp (round 9): CH's sample central moments
-    # μ₃ = Σ(x−x̄)³/(n−1), μ₄ = Σ(x−x̄)⁴/(n−1) over stddevSamp powers,
-    # recovered exactly from Spark's population aggregates:
-    # Σ(x−x̄)³ = skewness·n·varPop^1.5, Σ(x−x̄)⁴ = (kurtosis+3)·n·varPop²
+    # skewSamp/kurtSamp (round 9; denominator fixed round 10 per the r9
+    # advisor): CH's Moments.h getMoment3/getMoment4 divide the central
+    # moment by n (population moment) — ONLY the variance in the
+    # denominator is the sample variance: skewSamp = m₃/s³,
+    # kurtSamp = m₄/s⁴ with m_k = Σ(x−x̄)^k/n, s² = varSamp.
+    # Recovered exactly from Spark's population aggregates:
+    # m₃ = skewness·varPop^1.5, m₄ = (kurtosis+3)·varPop²
     "skewsamp": lambda a: (
-        f"(skewness({a[0]}) * count({a[0]}) * pow(var_pop({a[0]}), 1.5)"
-        f" / (count({a[0]}) - 1) / pow(var_samp({a[0]}), 1.5))"
+        f"(skewness({a[0]})"
+        f" * pow(var_pop({a[0]}) / var_samp({a[0]}), 1.5))"
     ),
     "kurtsamp": lambda a: (
-        f"((kurtosis({a[0]}) + 3) * count({a[0]}) * pow(var_pop({a[0]}), 2)"
-        f" / (count({a[0]}) - 1) / pow(var_samp({a[0]}), 2))"
+        f"((kurtosis({a[0]}) + 3)"
+        f" * pow(var_pop({a[0]}) / var_samp({a[0]}), 2))"
     ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),

@@ -42,7 +42,18 @@ def base58_decode(s: str) -> str:
         n = n * 58 + _B58_INDEX[c]
     raw = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
     pad = len(s) - len(s.lstrip("1"))
-    return (b"\x00" * pad + raw).decode("utf-8")
+    data = b"\x00" * pad + raw
+    # CH returns the raw bytes as a String (its strings are byte strings).
+    # Spark's StringType is UTF-8, so non-UTF-8 payloads can't round-trip
+    # byte-exactly; fall back to latin-1 (r9 advisor) — every byte maps to
+    # one codepoint, information-preserving, rather than raising (which
+    # also broke tryBase58Decode's empty-string contract for valid base58
+    # of binary payloads).  Documented delta: re-encoding those codepoints
+    # as UTF-8 differs from CH's raw bytes.
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1")
 
 
 def _map_series(s: pd.Series, fn, on_error: str | None) -> pd.Series:

@@ -269,7 +269,10 @@ def behav_funnel_sql(spark, sf_dir):
     condition (t, idx) entries through a per-level anchor array —
     ClickHouse default-mode semantics exactly, including re-anchoring on
     each new cond-1 event (round 9, per the r8 advisor) — mirrored in the
-    DuckDB oracle via list_reduce; sequenceMatch encodes each kept event
+    DuckDB oracle by the shared recursive-CTE fold (_ORACLE_FUNNEL_FOLD;
+    NOT list_reduce, which DuckDB 1.0 evaluates wrongly under grouped
+    vectorized execution — see the note at the top of this module);
+    sequenceMatch encodes each kept event
     as a condition BITMASK token and compiles the CH pattern to a Java
     regex over that string, so one event matching several conditions
     stays faithful.  Oracle: the shared _ORACLE_FUNNEL_FOLD CTE block plus

@@ -836,10 +836,10 @@ FROM lineitem GROUP BY l_returnflag
     )
     SELECT mo.g AS l_returnflag,
            CAST(ul.union_days AS DOUBLE) AS union_days,
-           round(((s3 - 3 * m * s2 + 2 * n * m * m * m) / (n - 1))
+           round(((s3 - 3 * m * s2 + 2 * n * m * m * m) / n)
                  / POW(vs, 1.5), 6) AS sk,
            round(((s4 - 4 * m * s3 + 6 * m * m * s2 - 3 * n * m * m * m * m)
-                 / (n - 1)) / POW(vs, 2), 6) AS ku
+                 / n) / POW(vs, 2), 6) AS ku
     FROM ul JOIN mo ON ul.g = mo.g
     """,
     category="aggregates",
@@ -849,8 +849,9 @@ def agg_interval_stats(spark, sf_dir):
     segments per return flag — sweep-line fold, overlaps counted once)
     — segment ends are shipdate + quantity days, a deterministic
     synthetic span since the slimmed testdata has no l_receiptdate —
-    plus ``skewSamp``/``kurtSamp`` (CH's (n−1) sample central moments,
-    recovered from Spark's population skewness/kurtosis/var aggregates)
+    plus ``skewSamp``/``kurtSamp`` (CH's Moments.h: population (/n)
+    central moments over SAMPLE-variance powers, recovered from Spark's
+    population skewness/kurtosis/var aggregates)
     as verbatim SQL text, round 9.  Oracle: the union length via the
     classic running-max gaps-and-islands window, the moments via raw
     power sums Σx..Σx⁴ expanded around the mean — two fully independent

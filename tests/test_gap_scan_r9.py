@@ -144,9 +144,27 @@ def test_skew_kurt_samp(spark):
         "SELECT round(skewSamp(x), 10) AS sk, round(kurtSamp(x), 10) AS ku"
         " FROM (SELECT explode(array(1.0, 2.0, 4.0, 8.0, 16.0)) AS x)",
     )
-    # pinned against the CH definitions μ₃/σ³, μ₄/σ⁴ with (n−1) moments
-    assert abs(row.sk - 0.7951888258880428) < 1e-9
-    assert abs(row.ku - 1.8607526881720424) < 1e-9
+    # pinned against CH Moments.h: population (/n) central moments over
+    # SAMPLE stddev powers (m₃/s³, m₄/s⁴) — the r9 advisor's correction
+    assert abs(row.sk - 0.6361510607104343) < 1e-9
+    assert abs(row.ku - 1.4886021505376340) < 1e-9
+
+
+def test_base58_binary_payload():
+    # r9 advisor: valid base58 encoding NON-UTF-8 bytes must decode to a
+    # string (latin-1 fallback — Spark strings are UTF-8, documented
+    # delta), not raise / return '' from tryBase58Decode
+    from mcp_clickhouse_spark.functions.codecs import base58_decode
+
+    # '3CUsUpv9t' is base58 of bytes fedcba9876 (non-UTF-8: 0xfe lead byte)
+    n = int.from_bytes(bytes.fromhex("fedcba9876"), "big")
+    _B58 = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    enc = ""
+    while n:
+        n, r = divmod(n, 58)
+        enc = _B58[r] + enc
+    out = base58_decode(enc)
+    assert out.encode("latin-1") == bytes.fromhex("fedcba9876")
 
 
 def test_string_codecs(spark):

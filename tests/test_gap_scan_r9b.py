@@ -188,6 +188,31 @@ def test_resample_combinator(spark):
     assert list(row.u) == [2, 2]   # 'a' repeats in bucket 1
 
 
+def test_resample_empty_buckets_return_defaults(spark):
+    # r9 advisor: empty subranges return the aggregate's DEFAULT value the
+    # way CH's empty-state insertResultInto does — count/uniq 0, sum the
+    # typed zero, min/max 0, avg NaN — never NULL
+    import math
+
+    row = one(
+        spark,
+        "SELECT countResample(0, 30, 10)(wage, age) AS c,"
+        " sumResample(0, 30, 10)(wage, age) AS s,"
+        " avgResample(0, 30, 10)(wage, age) AS av,"
+        " minResample(0, 30, 10)(wage, age) AS mn,"
+        " maxResample(0, 30, 10)(wage, age) AS mx,"
+        " uniqResample(0, 30, 10)(wage, age) AS u"
+        " FROM (SELECT * FROM VALUES (5, 7.0D), (25, 9.0D)"
+        " AS t(age, wage))",  # middle bucket [10,20) is empty
+    )
+    assert list(row.c) == [1, 0, 1]
+    assert list(row.s) == [7.0, 0.0, 9.0]
+    assert list(row.mn) == [7.0, 0.0, 9.0]
+    assert list(row.mx) == [7.0, 0.0, 9.0]
+    assert list(row.u) == [1, 0, 1]
+    assert row.av[0] == 7.0 and row.av[2] == 9.0 and math.isnan(row.av[1])
+
+
 def test_resample_guided_on_bad_params():
     with pytest.raises(DialectError, match="end > start"):
         translate("SELECT countResample(75, 30, 30)(n, k) FROM t")
@@ -285,7 +310,10 @@ def test_ipv6_family(spark):
         "'2001:0db8:0000:85a3:0000:0000:ac1f:8001'), 32), 2) AS hi,"
         " isIPAddressInRange('127.0.0.1', '127.0.0.0/8') AS inr,"
         " isIPAddressInRange('127.0.0.1', 'ffff::/16') AS outr,"
-        " IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('192.168.0.1'))) AS v4",
+        " IPv6NumToString(IPv4ToIPv6(IPv4StringToNum('192.168.0.1'))) AS v4,"
+        " IPv6NumToString(IPv6StringToNum('127.0.0.1')) AS m4,"
+        " IPv6NumToString(toIPv6('10.20.30.40')) AS m4b,"
+        " toIPv6OrNull('not an ip') IS NULL AS bad",
         dialect="clickhouse",
     )
     row = dict(zip(res["columns"], res["rows"][0]))
@@ -296,6 +324,11 @@ def test_ipv6_family(spark):
     assert row["hi"] == "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff"
     assert (row["inr"], row["outr"]) == (1, 0)
     assert row["v4"] == "::ffff:192.168.0.1"
+    # CH docs: IPv6StringToNum/toIPv6 on a valid IPv4 string return its
+    # IPv4-mapped IPv6 equivalent (r9 advisor fix)
+    assert row["m4"] == "::ffff:127.0.0.1"
+    assert row["m4b"] == "::ffff:10.20.30.40"
+    assert row["bad"] is True
 
 
 def test_fourth_wave(spark):
