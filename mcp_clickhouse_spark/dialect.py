@@ -44,7 +44,7 @@ class PerGroupBufferWarning(UserWarning):
 
 # The sorted-fold family (emitted once per translate() call, per name).
 _PER_GROUP_FOLD_FNS = frozenset({
-    "windowfunnel", "sequencematch", "sequencecount",
+    "windowfunnel", "sequencematch", "sequencecount", "sequencenextnode",
     "studentttest", "welchttest", "mannwhitneyutest",
     "kolmogorovsmirnovtest", "meanztest", "proportionsztest",
     "exponentialmovingaverage", "exponentialtimedecayedsum",
@@ -3802,6 +3802,85 @@ def _gen_or_null_zero() -> None:
 _gen_or_null_zero()
 
 
+def _funnel_general_fold(
+    ev: str,
+    k: int,
+    w_us: int,
+    strict_increase: bool,
+    strict_order: bool,
+    strict_dedup: bool,
+) -> str:
+    """The strict_order / strict_deduplication windowFunnel fold (round
+    10): ClickHouse getEventLevel's else-if chain reproduced exactly,
+    including its MID-FOLD early returns, via a ``d`` (done) field — once
+    set, every later entry is a no-op and ``d`` IS the result.  Branch
+    order per entry (t, i), matching the C++ source:
+
+      1. already done → keep
+      2. sentinel (i = 0, strict_order only): freeze at the current
+         deepest level if a cond-1 event was seen, else skip
+      3. i = 1 → re-anchor slot 1 (never dedup-checked: the source's
+         event_idx == 0 branch precedes the dedup branch)
+      4. strict_dedup and slot i already set → return i (even when a
+         deeper level was already reached — the CH quirk)
+      5. strict_order, cond-1 seen, slot i−1 empty → return the
+         filled-prefix length (= deepest, slots fill as a prefix)
+      6. chain: slot i−1 set and t ≤ anchor[i−1] + window (strict_increase
+         also requires t > slot i−1's own event time) → set slot i; if
+         i = k return k immediately (so a later dedup can't lower it)
+    """
+    init = "named_struct('d', CAST(NULL AS INT), 'fe', false, " + ", ".join(
+        f"'a{i}', CAST(NULL AS BIGINT), 'l{i}', CAST(NULL AS BIGINT)"
+        for i in range(1, k + 1)
+    ) + ")"
+    deepest = "CASE " + " ".join(
+        f"WHEN acc.a{i} IS NOT NULL THEN {i}" for i in range(k, 0, -1)
+    ) + " ELSE 0 END"
+    d_branches = ["WHEN acc.d IS NOT NULL THEN acc.d"]
+    if strict_order:
+        d_branches.append(
+            f"WHEN e.i = 0 THEN IF(acc.fe, {deepest}, CAST(NULL AS INT))"
+        )
+    if strict_dedup:
+        for i in range(2, k + 1):
+            d_branches.append(
+                f"WHEN e.i = {i} AND acc.a{i} IS NOT NULL THEN {i}"
+            )
+    if strict_order:
+        for i in range(2, k + 1):
+            d_branches.append(
+                f"WHEN e.i = {i} AND acc.fe AND acc.a{i - 1} IS NULL"
+                f" THEN {deepest}"
+            )
+    if k >= 2:
+        complete = (
+            f"e.i = {k} AND acc.a{k - 1} IS NOT NULL"
+            f" AND e.t <= acc.a{k - 1} + {w_us}"
+        )
+        if strict_increase:
+            complete += f" AND e.t > acc.l{k - 1}"
+        d_branches.append(f"WHEN {complete} THEN {k}")
+    newd = "CASE " + " ".join(d_branches) + " ELSE CAST(NULL AS INT) END"
+    fields = [
+        f"'d', {newd}",
+        "'fe', acc.fe OR (acc.d IS NULL AND e.i = 1)",
+        "'a1', IF(acc.d IS NULL AND e.i = 1, e.t, acc.a1)",
+        "'l1', IF(acc.d IS NULL AND e.i = 1, e.t, acc.l1)",
+    ]
+    for i in range(2, k + 1):
+        chain = (
+            f"acc.d IS NULL AND e.i = {i} AND acc.a{i - 1} IS NOT NULL"
+            f" AND e.t <= acc.a{i - 1} + {w_us}"
+        )
+        if strict_increase:
+            chain += f" AND e.t > acc.l{i - 1}"
+        fields.append(f"'a{i}', IF({chain}, acc.a{i - 1}, acc.a{i})")
+        fields.append(f"'l{i}', IF({chain}, e.t, acc.l{i})")
+    step = f"(acc, e) -> named_struct({', '.join(fields)})"
+    finish = f"acc -> coalesce(acc.d, {deepest})"
+    return f"aggregate({ev}, {init}, {step}, {finish})"
+
+
 def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     """CH ``windowFunnel(window)(ts, c1, …, cK)`` as ONE Spark aggregate
     expression, value-faithful to ClickHouse's DEFAULT mode
@@ -3821,22 +3900,39 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     step must have a STRICTLY greater timestamp than the previous step's
     own event (CH: ``events_timestamp[i-1]->second < timestamp``), so the
     state carries a per-level last-event time alongside the anchor.
-    ``strict_order``/``strict_deduplication`` stay guided errors: their
-    public implementation freezes or RETURNS MID-FOLD with values that
-    can be lower than an already-reached level, an ambiguity this engine
-    won't reproduce blind."""
-    strict_increase = False
-    if len(params) == 2 and params[1].strip().strip("'\"") == (
-        "strict_increase"
-    ):
-        strict_increase = True
-        params = params[:1]
+
+    ``strict_order`` / ``strict_deduplication`` translate as of round 10,
+    pinned to getEventLevel's exact else-if chain (including its mid-fold
+    early returns, reproduced via a ``done`` field the fold carries):
+
+    - strict_order: events matching NO condition become (t, 0) sentinel
+      entries; the first sentinel AFTER a cond-1 event freezes the fold at
+      the current deepest level (sentinels before any cond-1 are skipped),
+      and a condition arriving while its predecessor slot is empty returns
+      the filled-prefix length immediately.
+    - strict_deduplication: a condition i ≥ 2 whose OWN slot already has a
+      value returns i immediately — CH's quirk included: that value can
+      sit BELOW an already-reached deeper level (c1,c2,c3,c2 with k=4
+      returns 2, not 3), because getEventLevel returns
+      ``events_list[i].second`` mid-scan.
+
+    Modes combine freely, matching CH's comma-separated parameter list."""
+    modes: set[str] = set()
+    for p in params[1:]:
+        m = p.strip().strip("'\"")
+        if m not in ("strict_increase", "strict_order", "strict_deduplication"):
+            raise DialectError(
+                f"windowFunnel: unknown mode {m!r} — supported:"
+                " 'strict_increase', 'strict_order', 'strict_deduplication'"
+            )
+        modes.add(m)
+    strict_increase = "strict_increase" in modes
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_deduplication" in modes
+    params = params[:1]
     if len(params) != 1:
         raise DialectError(
-            "windowFunnel modes strict_order/strict_deduplication are not"
-            " supported (their mid-fold early-return semantics are not"
-            " reproducible from the public docs) — only"
-            " windowFunnel(window[, 'strict_increase'])(ts, conds…)"
+            "windowFunnel takes (window[, modes…]) parameters"
         )
     w_us = _int_literal(params[0], "windowFunnel window") * 1_000_000
     ts, conds = args[0], args[1:]
@@ -3851,7 +3947,22 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
         f" named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
         f" 'i', __wi + 1), NULL)), __we -> __we IS NOT NULL)"
     )
+    if strict_order:
+        # events matching NO condition are stored as (t, 0) sentinels —
+        # CH's add() inserts event number 0 when !has_event; the sentinel
+        # sorts before condition entries at equal timestamps like the
+        # (timestamp, event) pair sort does
+        per_row = (
+            f"IF(size({per_row}) = 0,"
+            f" array(named_struct("
+            f"'t', unix_micros(CAST({ts} AS TIMESTAMP)), 'i', 0)),"
+            f" {per_row})"
+        )
     ev = f"array_sort(flatten(collect_list({per_row})))"
+    if strict_order or strict_dedup:
+        return _funnel_general_fold(
+            ev, k, w_us, strict_increase, strict_order, strict_dedup
+        )
     if not strict_increase:
         init = "named_struct(" + ", ".join(
             f"'a{i}', CAST(NULL AS BIGINT)" for i in range(1, k + 1)
@@ -3886,6 +3997,94 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
         for i in range(k, 0, -1)
     ) + " ELSE 0 END"
     return f"aggregate({ev}, {init}, {step}, {finish})"
+
+
+def _sequence_next_node_expr(p: list[str], a: list[str]) -> str:
+    """CH ``sequenceNextNode(direction, base)(ts, event_column,
+    base_condition, event1, …)`` (round 10 — was a guided pointer):
+    the value of ``event_column`` one step past a CONSECUTIVE event chain,
+    NULL when the chain doesn't match.
+
+    Semantics per the CH docs examples: events sort by time; the base
+    point is the first event (``head``), the last event (``tail`` —
+    traversed backward), the first event matching event1
+    (``first_match``) or the last one (``last_match``); the base point
+    must satisfy ``base_condition`` AND ``event1``, following events must
+    match event2… consecutively, and the result is the event right after
+    (forward) / before (backward) the chain.  The four docs-pinned
+    direction/base combinations translate — ``('forward','head')``,
+    ``('backward','tail')``, ``('forward','first_match')``,
+    ``('backward','last_match')``; the cross combinations raise a guided
+    error (the public docs don't pin their behavior).  Equal timestamps
+    tie-break by the event value (CH uses insertion order, which is
+    nondeterministic across a distributed read).
+
+    One aggregate expression: sorted (t, v, b, c1..ck) structs; backward
+    reverses the array and reuses the forward scan; the chain test is a
+    bounded conjunction of try_element_at probes — no fold state."""
+    if len(p) != 2:
+        raise DialectError(
+            "sequenceNextNode takes (direction, base) parameters"
+        )
+    direction = p[0].strip().strip("'\"").lower()
+    base = p[1].strip().strip("'\"").lower()
+    if direction not in ("forward", "backward") or base not in (
+        "head", "tail", "first_match", "last_match"
+    ):
+        raise DialectError(
+            "sequenceNextNode: direction must be 'forward'/'backward' and"
+            " base 'head'/'tail'/'first_match'/'last_match'"
+        )
+    combos = {
+        ("forward", "head"),
+        ("backward", "tail"),
+        ("forward", "first_match"),
+        ("backward", "last_match"),
+    }
+    if (direction, base) not in combos:
+        raise DialectError(
+            f"sequenceNextNode: the ('{direction}', '{base}') combination"
+            " is not pinned by the public ClickHouse docs — supported:"
+            " ('forward','head'), ('backward','tail'),"
+            " ('forward','first_match'), ('backward','last_match')"
+        )
+    if len(a) < 4:
+        raise DialectError(
+            "sequenceNextNode takes (timestamp, event_column,"
+            " base_condition, event1, …) arguments"
+        )
+    ts, val, base_cond, conds = a[0], a[1], a[2], a[3:]
+    k = len(conds)
+    cond_fields = ", ".join(
+        f"'c{j}', coalesce(({c}), false)" for j, c in enumerate(conds, 1)
+    )
+    entry = (
+        f"named_struct('t', unix_micros(CAST({ts} AS TIMESTAMP)),"
+        f" 'v', {val}, 'b', coalesce(({base_cond}), false), {cond_fields})"
+    )
+    arr = f"array_sort(collect_list({entry}))"
+    if direction == "backward":
+        arr = f"reverse({arr})"
+    if base in ("head", "tail"):
+        bi = "1"
+    else:
+        bi = (
+            "try_element_at(filter(transform(__sn, (__se, __si) ->"
+            " IF(__se.c1, __si + 1, CAST(NULL AS INT))),"
+            " __sx -> __sx IS NOT NULL), 1)"
+        )
+    chain = " AND ".join(
+        f"coalesce(try_element_at(__sn, __bi + {j - 1}).c{j}, false)"
+        for j in range(1, k + 1)
+    )
+    res = (
+        f"CASE WHEN __bi IS NULL THEN NULL"
+        f" WHEN NOT coalesce(try_element_at(__sn, __bi).b, false) THEN NULL"
+        f" WHEN {chain} THEN try_element_at(__sn, __bi + {k}).v"
+        f" ELSE NULL END"
+    )
+    inner = f"element_at(transform(array({bi}), __bi -> {res}), 1)"
+    return f"element_at(transform(array({arr}), __sn -> {inner}), 1)"
 
 
 def _sequence_pattern_regex(pattern: str, k: int) -> str:
@@ -4080,12 +4279,7 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "grouparraylast": lambda p, a: (
         f"reverse(slice(reverse(collect_list({a[0]})), 1, {p[0]}))"
     ),
-    "sequencenextnode": lambda p, a: (_ for _ in ()).throw(DialectError(
-        "sequenceNextNode: its direction/base modes (head/tail/first_match/"
-        "last_match) need ClickHouse's exact event-chain state machine — "
-        "use operators/funnel.sequence_match for pattern checks or a "
-        "window lead() over time-ordered events for next-event lookups"
-    )),
+    "sequencenextnode": lambda p, a: _sequence_next_node_expr(p, a),
     "topk": lambda p, a: (_ for _ in ()).throw(DialectError(
         "topK()() cannot be expressed as one Spark SQL expression — use "
         "mcp_clickhouse_spark.operators.topk (DataFrame API); the agg_topk "

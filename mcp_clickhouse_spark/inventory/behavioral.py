@@ -281,3 +281,186 @@ def behav_funnel_sql(spark, sf_dir):
 
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_SQL_FUNNEL_CH))
+
+
+_SQL_FUNNEL_STRICT_CH = """
+SELECT user_id,
+       windowFunnel(86400, 'strict_order')(ts, event_type = 'signup',
+                    event_type = 'click', event_type = 'purchase')
+         AS lvl_order,
+       windowFunnel(86400, 'strict_deduplication')(ts,
+                    event_type = 'signup', event_type = 'click',
+                    event_type = 'purchase') AS lvl_dedup
+FROM events GROUP BY user_id
+"""
+
+# Both strict folds in ONE recursive scan per user (the dedup fold skips
+# the i=0 sentinel rows the order fold needs).  Mid-fold early returns are
+# carried as do_/dd columns, exactly like the Spark fold's `d` field.
+_ORACLE_FUNNEL_STRICT = """
+    base AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t, event_type FROM events
+    ),
+    entries AS (
+      SELECT user_id, t, 1 AS i FROM base WHERE event_type = 'signup'
+      UNION ALL SELECT user_id, t, 2 FROM base WHERE event_type = 'click'
+      UNION ALL SELECT user_id, t, 3 FROM base WHERE event_type = 'purchase'
+      UNION ALL SELECT user_id, t, 0 FROM base
+        WHERE event_type NOT IN ('signup', 'click', 'purchase')
+    ),
+    ordered AS (
+      SELECT user_id, t, i,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, i) AS rn
+      FROM entries
+    ),
+    counts AS (SELECT user_id, MAX(rn) AS n FROM ordered GROUP BY user_id),
+    fold AS (
+      SELECT user_id, 0::BIGINT AS rn,
+             CAST(NULL AS INTEGER) AS do_, FALSE AS fe,
+             CAST(NULL AS BIGINT) AS a1, CAST(NULL AS BIGINT) AS a2,
+             CAST(NULL AS BIGINT) AS a3,
+             CAST(NULL AS INTEGER) AS dd,
+             CAST(NULL AS BIGINT) AS b1, CAST(NULL AS BIGINT) AS b2,
+             CAST(NULL AS BIGINT) AS b3
+      FROM counts
+      UNION ALL
+      SELECT f.user_id, f.rn + 1,
+        CASE WHEN f.do_ IS NOT NULL THEN f.do_
+             WHEN o.i = 0 THEN CASE WHEN f.fe THEN
+               (CASE WHEN f.a3 IS NOT NULL THEN 3
+                     WHEN f.a2 IS NOT NULL THEN 2
+                     WHEN f.a1 IS NOT NULL THEN 1 ELSE 0 END) END
+             WHEN o.i = 2 AND f.fe AND f.a1 IS NULL THEN
+               (CASE WHEN f.a3 IS NOT NULL THEN 3
+                     WHEN f.a2 IS NOT NULL THEN 2
+                     WHEN f.a1 IS NOT NULL THEN 1 ELSE 0 END)
+             WHEN o.i = 3 AND f.fe AND f.a2 IS NULL THEN
+               (CASE WHEN f.a3 IS NOT NULL THEN 3
+                     WHEN f.a2 IS NOT NULL THEN 2
+                     WHEN f.a1 IS NOT NULL THEN 1 ELSE 0 END)
+             WHEN o.i = 3 AND f.a2 IS NOT NULL
+                  AND o.t <= f.a2 + 86400000000 THEN 3
+             END,
+        f.fe OR (f.do_ IS NULL AND o.i = 1),
+        CASE WHEN f.do_ IS NULL AND o.i = 1 THEN o.t ELSE f.a1 END,
+        CASE WHEN f.do_ IS NULL AND o.i = 2 AND f.a1 IS NOT NULL
+                  AND o.t <= f.a1 + 86400000000 THEN f.a1 ELSE f.a2 END,
+        CASE WHEN f.do_ IS NULL AND o.i = 3 AND f.a2 IS NOT NULL
+                  AND o.t <= f.a2 + 86400000000 THEN f.a2 ELSE f.a3 END,
+        CASE WHEN f.dd IS NOT NULL THEN f.dd
+             WHEN o.i = 0 THEN NULL
+             WHEN o.i = 2 AND f.b2 IS NOT NULL THEN 2
+             WHEN o.i = 3 AND f.b3 IS NOT NULL THEN 3
+             WHEN o.i = 3 AND f.b2 IS NOT NULL
+                  AND o.t <= f.b2 + 86400000000 THEN 3
+             END,
+        CASE WHEN f.dd IS NULL AND o.i = 1 THEN o.t ELSE f.b1 END,
+        CASE WHEN f.dd IS NULL AND o.i = 2 AND f.b1 IS NOT NULL
+                  AND o.t <= f.b1 + 86400000000 THEN f.b1 ELSE f.b2 END,
+        CASE WHEN f.dd IS NULL AND o.i = 3 AND f.b2 IS NOT NULL
+                  AND o.t <= f.b2 + 86400000000 THEN f.b2 ELSE f.b3 END
+      FROM fold f JOIN ordered o ON o.user_id = f.user_id AND o.rn = f.rn + 1
+    ),
+    final AS (
+      SELECT f.user_id,
+             coalesce(f.do_, CASE WHEN f.a3 IS NOT NULL THEN 3
+                                  WHEN f.a2 IS NOT NULL THEN 2
+                                  WHEN f.a1 IS NOT NULL THEN 1
+                                  ELSE 0 END) AS lvl_order,
+             coalesce(f.dd, CASE WHEN f.b3 IS NOT NULL THEN 3
+                                 WHEN f.b2 IS NOT NULL THEN 2
+                                 WHEN f.b1 IS NOT NULL THEN 1
+                                 ELSE 0 END) AS lvl_dedup
+      FROM fold f JOIN counts c ON f.user_id = c.user_id AND f.rn = c.n
+    )
+"""
+
+
+@query(
+    "behav_funnel_strict",
+    oracle="WITH RECURSIVE " + _ORACLE_FUNNEL_STRICT + """
+    SELECT user_id, lvl_order, lvl_dedup FROM final
+    """,
+    category="behavioral",
+)
+def behav_funnel_strict(spark, sf_dir):
+    """``windowFunnel(w, 'strict_order')`` and ``windowFunnel(w,
+    'strict_deduplication')`` as verbatim SQL text (round 10 — previously
+    guided errors): ClickHouse getEventLevel's else-if chain with its
+    MID-FOLD early returns carried in a done field (strict_order freezes
+    at the first non-condition event after the anchor and returns the
+    filled-prefix level on out-of-order conditions; strict_deduplication
+    returns the duplicate condition's 1-based index, even below an
+    already-reached level).  Oracle: ONE recursive-CTE scan per user
+    carrying BOTH folds' states (the shared-recursion twin of
+    _ORACLE_FUNNEL_FOLD; sentinel i=0 rows feed only the order fold)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_SQL_FUNNEL_STRICT_CH))
+
+
+_SQL_SEQ_NEXT_CH = """
+SELECT user_id,
+       sequenceNextNode('forward', 'head')(ts, event_type,
+           event_type = 'signup', event_type = 'signup',
+           event_type = 'click') AS n_head,
+       sequenceNextNode('forward', 'first_match')(ts, event_type,
+           event_type = 'click', event_type = 'click') AS n_first,
+       sequenceNextNode('backward', 'last_match')(ts, event_type,
+           event_type = 'purchase', event_type = 'purchase') AS n_last
+FROM events GROUP BY user_id
+"""
+
+
+@query(
+    "behav_sequence_next_node",
+    oracle="""
+    WITH ord AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_type) AS rn
+      FROM events
+    ),
+    heads AS (
+      SELECT user_id,
+             MAX(CASE WHEN rn = 1 THEN event_type END) AS e1,
+             MAX(CASE WHEN rn = 2 THEN event_type END) AS e2,
+             MAX(CASE WHEN rn = 3 THEN event_type END) AS e3
+      FROM ord GROUP BY user_id
+    ),
+    firsts AS (
+      SELECT user_id, MIN(rn) AS frn FROM ord
+      WHERE event_type = 'click' GROUP BY user_id
+    ),
+    lasts AS (
+      SELECT user_id, MAX(rn) AS lrn FROM ord
+      WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT h.user_id,
+           CASE WHEN h.e1 = 'signup' AND h.e2 = 'click' THEN h.e3 END
+             AS n_head,
+           nf.event_type AS n_first,
+           nl.event_type AS n_last
+    FROM heads h
+    LEFT JOIN firsts f ON f.user_id = h.user_id
+    LEFT JOIN ord nf ON nf.user_id = f.user_id AND nf.rn = f.frn + 1
+    LEFT JOIN lasts l ON l.user_id = h.user_id
+    LEFT JOIN ord nl ON nl.user_id = l.user_id AND nl.rn = l.lrn - 1
+    """,
+    category="behavioral",
+)
+def behav_sequence_next_node(spark, sf_dir):
+    """``sequenceNextNode(direction, base)(ts, value, base_cond,
+    event1, …)`` (round 10 — was a guided pointer): the event-column
+    value one step past a consecutive event chain, for the three
+    docs-pinned base modes exercised here (head / first_match /
+    last_match; backward traverses the reversed timeline).  Equal
+    timestamps tie-break by the event value on both engines.  Oracle:
+    ROW_NUMBER over the same (t, value) order; head = positions 1-3,
+    first_match/last_match = MIN/MAX matching position joined to its
+    neighbor."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_SQL_SEQ_NEXT_CH))

@@ -973,8 +973,149 @@ def test_window_funnel_strict_increase(spark):
 
     from mcp_clickhouse_spark.dialect import DialectError
 
-    with _pytest.raises(DialectError, match="strict_order"):
-        translate("SELECT windowFunnel(60, 'strict_order')(ts, a, b) FROM t")
+    # strict_order/strict_deduplication translate since round 10; unknown
+    # modes keep a guided error
+    with _pytest.raises(DialectError, match="unknown mode"):
+        translate("SELECT windowFunnel(60, 'strict_sideways')(ts, a, b) FROM t")
+
+
+_STRICT_FUNNEL_EVENTS = (
+    "SELECT * FROM VALUES "
+    # u1: c1@1 c2@2 c2@3 c3@4 — dup c2 before completion
+    " (1, 1, 'a'), (1, 2, 'b'), (1, 3, 'b'), (1, 4, 'c'),"
+    # u2: c1@1 c2@2 c3@3 c2@4 — completes BEFORE the dup arrives
+    " (2, 1, 'a'), (2, 2, 'b'), (2, 3, 'c'), (2, 4, 'b'),"
+    # u3: c1@1 x@2 c2@3 — non-condition event after the anchor
+    " (3, 1, 'a'), (3, 2, 'x'), (3, 3, 'b'),"
+    # u4: x@0 c1@1 c2@2 c3@3 — sentinel BEFORE any cond-1 is skipped
+    " (4, 0, 'x'), (4, 1, 'a'), (4, 2, 'b'), (4, 3, 'c'),"
+    # u5: c1@1 c3@2 c2@3 c3@4 — out-of-order condition
+    " (5, 1, 'a'), (5, 2, 'c'), (5, 3, 'b'), (5, 4, 'c')"
+    " AS t(u, s, e)"
+)
+
+
+@pytest.mark.parametrize(
+    "mode,expect",
+    [
+        ("", {1: 3, 2: 3, 3: 2, 4: 3, 5: 3}),
+        # dup c2 returns 2 mid-fold (u1); u2 completed at level 3 first
+        (", 'strict_deduplication'", {1: 2, 2: 3, 3: 2, 4: 3, 5: 3}),
+        # u3 freezes at 1 on the 'x' sentinel; u5 returns the filled
+        # prefix (1) when c3 arrives with slot 2 empty; u4's leading
+        # sentinel (before any cond-1) is skipped
+        (", 'strict_order'", {1: 3, 2: 3, 3: 1, 4: 3, 5: 1}),
+        (", 'strict_order', 'strict_deduplication'",
+         {1: 2, 2: 3, 3: 1, 4: 3, 5: 1}),
+    ],
+)
+def test_window_funnel_strict_modes(spark, mode, expect):
+    # pinned to ClickHouse getEventLevel's exact else-if chain, including
+    # the mid-fold early returns (see _funnel_general_fold)
+    rows = spark.sql(
+        translate(
+            f"SELECT u, windowFunnel(3600{mode})("
+            f"timestamp('2024-01-01') + make_interval(0,0,0,0,0,0,s),"
+            f" e='a', e='b', e='c') AS lvl"
+            f" FROM ({_STRICT_FUNNEL_EVENTS}) GROUP BY u ORDER BY u"
+        )
+    ).collect()
+    assert {r.u: r.lvl for r in rows} == expect
+
+
+def test_window_funnel_dedup_below_reached_level(spark):
+    # the CH quirk: k=4, c1 c2 c3 then a DUP c2 — strict_deduplication
+    # returns 2 even though level 3 was already reached (getEventLevel
+    # returns events_list[i].second mid-scan)
+    rows = spark.sql(
+        translate(
+            "SELECT windowFunnel(3600, 'strict_deduplication')("
+            "timestamp('2024-01-01') + make_interval(0,0,0,0,0,0,s),"
+            " e='a', e='b', e='c', e='d') AS lvl"
+            " FROM (SELECT * FROM VALUES (1,'a'),(2,'b'),(3,'c'),(4,'b'),"
+            " (5,'d') AS t(s, e))"
+        )
+    ).collect()
+    assert rows[0].lvl == 2
+
+
+_FLOW_EVENTS = (
+    "SELECT id, timestamp('1970-01-01 09:00:00')"
+    " + make_interval(0,0,0,0,0,0,s) AS dt, page FROM VALUES"
+    " (1, 1, 'Home'), (1, 2, 'Gift'), (1, 3, 'Exit'),"
+    " (2, 1, 'Home'), (2, 2, 'Home'), (2, 3, 'Gift'),"
+    " (3, 1, 'Gift'), (3, 2, 'Home'), (3, 3, 'Gift')"
+    " AS t(id, s, page)"
+)
+
+
+@pytest.mark.parametrize(
+    "call,expect",
+    [
+        # the CH docs' forward/head example shape: base+event1 on the
+        # first event, event2 on the second, result = third
+        ("sequenceNextNode('forward','head')(dt, page, page='Home',"
+         " page='Home', page='Gift')", {1: "Exit", 2: None, 3: None}),
+        ("sequenceNextNode('forward','first_match')(dt, page,"
+         " page='Gift', page='Gift')", {1: "Exit", 2: None, 3: "Home"}),
+        ("sequenceNextNode('backward','last_match')(dt, page,"
+         " page='Gift', page='Gift')", {1: "Home", 2: "Home", 3: "Home"}),
+        ("sequenceNextNode('backward','tail')(dt, page, page='Gift',"
+         " page='Gift', page='Home')", {1: None, 2: "Home", 3: "Gift"}),
+    ],
+)
+def test_sequence_next_node(spark, call, expect):
+    rows = spark.sql(
+        translate(
+            f"SELECT id, {call} AS n FROM ({_FLOW_EVENTS}) GROUP BY id"
+        )
+    ).collect()
+    assert {r.id: r.n for r in rows} == expect
+
+
+def test_sequence_next_node_base_condition_gates(spark):
+    # base point = first event matching event1, but base_condition must
+    # ALSO hold there: first Gift for id 3 is at position 1, base_condition
+    # (id-dependent false) nulls it out rather than searching on
+    rows = spark.sql(
+        translate(
+            "SELECT id, sequenceNextNode('forward','first_match')("
+            "dt, page, page='Gift' AND id <> 3, page='Gift') AS n"
+            f" FROM ({_FLOW_EVENTS}) GROUP BY id"
+        )
+    ).collect()
+    assert {r.id: r.n for r in rows} == {1: "Exit", 2: None, 3: None}
+
+
+def test_sequence_next_node_guided_on_unpinned_combo():
+    import pytest as _pytest
+
+    from mcp_clickhouse_spark.dialect import DialectError
+
+    with _pytest.raises(DialectError, match="not pinned"):
+        translate(
+            "SELECT sequenceNextNode('backward','head')(dt, p, c, c) FROM t"
+        )
+    with _pytest.raises(DialectError, match="direction"):
+        translate(
+            "SELECT sequenceNextNode('sideways','head')(dt, p, c, c) FROM t"
+        )
+
+
+def test_window_funnel_strict_increase_combines(spark):
+    # strict_increase composes with the strict modes: equal-timestamp
+    # steps can't chain, so only level 1 is reached
+    rows = spark.sql(
+        translate(
+            "SELECT windowFunnel(3600, 'strict_increase',"
+            " 'strict_deduplication')("
+            "timestamp('2024-01-01') + make_interval(0,0,0,0,0,0,s),"
+            " e='a', e='b', e='c') AS lvl"
+            " FROM (SELECT * FROM VALUES (1,'a'),(1,'b'),(2,'c')"
+            " AS t(s, e))"
+        )
+    ).collect()
+    assert rows[0].lvl == 1
 
 
 def test_sequence_match_count_sql_translate(spark):
@@ -1028,11 +1169,13 @@ def test_behavioral_parametric_guided_remainder():
 
     from mcp_clickhouse_spark.dialect import DialectError
 
-    # modes stay guided errors; time constraints now translate (the
-    # backtracking matcher path — tests/test_seqmatch_time.py) but the
-    # malformed forms keep guided errors
-    with _pytest.raises(DialectError, match="strict"):
-        translate("SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t")
+    # all documented funnel modes translate since round 10; time
+    # constraints translate too (the backtracking matcher path —
+    # tests/test_seqmatch_time.py) but the malformed forms keep guided
+    # errors
+    assert "aggregate(" in translate(
+        "SELECT windowFunnel(3600, 'strict_order')(ts, a, b) FROM t"
+    )
     assert "ch_seq_match" in translate(
         "SELECT sequenceMatch('(?1)(?t>10)(?2)')(ts, a, b) FROM t"
     )
