@@ -3999,6 +3999,131 @@ def _window_funnel_expr(params: list[str], args: list[str]) -> str:
     return f"aggregate({ev}, {init}, {step}, {finish})"
 
 
+def _q_level(arg: str, what: str, exclusive: bool = False) -> float:
+    """Parse a quantile-level literal in [0, 1] ((0, 1) for the Excel
+    exclusive form, which is undefined at the endpoints)."""
+    try:
+        level = float(arg.strip())
+    except ValueError:
+        raise DialectError(
+            f"{what}: level must be a numeric literal, got {arg.strip()!r}"
+        ) from None
+    if exclusive and not (0 < level < 1):
+        raise DialectError(f"{what}: level must be strictly inside (0, 1)")
+    if not (0 <= level <= 1):
+        raise DialectError(f"{what}: level must be in [0, 1]")
+    return level
+
+
+def _quantile_exact_select_expr(p: list[str], a: list[str], how: str) -> str:
+    """CH quantileExact / quantileExactLow / quantileExactHigh (round 10 —
+    Low/High were guided errors): EXACT element SELECTION over the sorted
+    group values, per QuantileExact.h:
+
+    - exact: the element at index floor(level·n), clamped to n−1
+    - low:   same, except level = 0.5 picks the LOWER of the two middle
+      elements for even n (Python ``median_low``)
+    - high:  same, except level = 0.5 picks the UPPER middle
+      (``median_high``; odd n coincides with floor(0.5·n))
+
+    The result is an actual data value in the input's own type — no
+    interpolation, so cross-engine comparisons stay hash-exact."""
+    if len(p) != 1:
+        raise DialectError(f"quantileExact{how}: takes one level parameter")
+    level = _q_level(p[0], f"quantileExact{how}")
+    arr = f"array_sort(collect_list({a[0]}))"
+    if level == 0.5 and how == "Low":
+        idx = (
+            "IF(size(__qa) % 2 = 1, CAST(size(__qa) / 2 AS INT),"
+            " CAST(size(__qa) / 2 AS INT) - 1)"
+        )
+    elif level == 0.5 and how == "High":
+        idx = "CAST(size(__qa) / 2 AS INT)"
+    else:
+        idx = (
+            f"least(CAST(floor(size(__qa) * {level!r}) AS INT),"
+            f" size(__qa) - 1)"
+        )
+    sel = (
+        f"CASE WHEN size(__qa) = 0 THEN NULL"
+        f" ELSE element_at(__qa, ({idx}) + 1) END"
+    )
+    return f"element_at(transform(array({arr}), __qa -> {sel}), 1)"
+
+
+def _quantile_exclusive_piece(level: float) -> str:
+    """The PERCENTILE.EXC interpolation over a bound sorted array __qa:
+    h = level·(n+1); below 1 → first, at/past n → last, else linear
+    between the two straddling elements (QuantileExactExclusive::get)."""
+    h = f"({level!r} * (size(__qa) + 1))"
+    n = f"CAST(floor({h}) AS INT)"
+    return (
+        f"CASE WHEN size(__qa) = 0 THEN NULL"
+        f" WHEN {n} < 1 THEN element_at(__qa, 1)"
+        f" WHEN {n} >= size(__qa) THEN element_at(__qa, size(__qa))"
+        f" ELSE element_at(__qa, {n}) + ({h} - {n})"
+        f" * (element_at(__qa, {n} + 1) - element_at(__qa, {n})) END"
+    )
+
+
+def _quantile_exclusive_expr(p: list[str], a: list[str], plural: bool) -> str:
+    """CH quantileExactExclusive / quantilesExactExclusive (round 10):
+    Excel PERCENTILE.EXC — h = level·(n+1) linear interpolation over the
+    sorted DOUBLE values; the plural form returns one array with all
+    levels' results from a single sort."""
+    if not p:
+        raise DialectError(
+            "quantileExactExclusive takes at least one level parameter"
+        )
+    if not plural and len(p) != 1:
+        raise DialectError("quantileExactExclusive takes one level parameter")
+    levels = [
+        _q_level(x, "quantileExactExclusive", exclusive=True) for x in p
+    ]
+    arr = f"array_sort(collect_list(CAST({a[0]} AS DOUBLE)))"
+    pieces = [_quantile_exclusive_piece(lv) for lv in levels]
+    body = f"array({', '.join(pieces)})" if plural else pieces[0]
+    return f"element_at(transform(array({arr}), __qa -> {body}), 1)"
+
+
+def _map_populate_series_expr(a: list[str]) -> str:
+    """CH ``mapPopulateSeries`` (round 10 — was a guided error): fill the
+    integer-key gaps from min(keys) to max(keys) (or to the explicit
+    ``max``) with 0 values.
+
+    Forms, per the CH docs: ``(keys_array, values_array[, max])`` returns
+    the (keys, values) tuple; ``(map[, max])`` returns a Map.  The
+    two-argument call is type-ambiguous at translate time — an INTEGER
+    LITERAL second argument selects the (map, max) form, anything else the
+    (keys, values) form (CH resolves by argument type; a column-valued max
+    over a map needs the 3-argument array spelling here)."""
+    if not 1 <= len(a) <= 3:
+        raise DialectError(
+            "mapPopulateSeries takes (keys, values[, max]) or (map[, max])"
+        )
+    map_form = len(a) == 1
+    mx: str | None = None
+    if len(a) == 2:
+        try:
+            mx = str(_int_literal(a[1], "mapPopulateSeries max"))
+            map_form = True
+        except DialectError:
+            mx = None
+    elif len(a) == 3:
+        mx = a[2]
+    if map_form:
+        m, keys = a[0], f"map_keys({a[0]})"
+    else:
+        keys = a[0]
+        m = f"map_from_arrays({a[0]}, {a[1]})"
+    hi = mx if mx is not None else f"array_max({keys})"
+    seq = f"sequence(array_min({keys}), {hi})"
+    vals = f"transform({seq}, __mp -> coalesce(try_element_at({m}, __mp), 0))"
+    if map_form:
+        return f"map_from_arrays({seq}, {vals})"
+    return f"named_struct('_1', {seq}, '_2', {vals})"
+
+
 def _sequence_next_node_expr(p: list[str], a: list[str]) -> str:
     """CH ``sequenceNextNode(direction, base)(ts, event_column,
     base_condition, event1, …)`` (round 10 — was a guided pointer):
@@ -4201,7 +4326,34 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     "quantileif": lambda p, a: (
         f"percentile(CASE WHEN {a[1]} THEN {a[0]} END, {p[0]})"
     ),
-    "quantileexact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # exact SELECTION variants (round 10 — Low/High/Exclusive/Inclusive
+    # were guided errors; quantileExact itself switched from interpolated
+    # percentile() to CH's true floor(level·n) element selection)
+    "quantileexact": lambda p, a: _quantile_exact_select_expr(p, a, ""),
+    "quantileexactlow": lambda p, a: _quantile_exact_select_expr(p, a, "Low"),
+    "quantileexacthigh": lambda p, a: _quantile_exact_select_expr(p, a, "High"),
+    "medianexact": lambda p, a: _quantile_exact_select_expr(p or ["0.5"], a, ""),
+    # Excel PERCENTILE.EXC / PERCENTILE.INC twins: Exclusive interpolates
+    # at h = level·(n+1); Inclusive at h = level·(n−1)+1, which IS Spark's
+    # percentile() definition exactly
+    "quantileexactexclusive": lambda p, a: _quantile_exclusive_expr(p, a, False),
+    "quantilesexactexclusive": lambda p, a: _quantile_exclusive_expr(p, a, True),
+    "quantileexactinclusive": lambda p, a: (
+        f"percentile({a[0]}, {_q_level(p[0], 'quantileExactInclusive')!r})"
+        if len(p) == 1
+        else (_ for _ in ()).throw(
+            DialectError("quantileExactInclusive takes one level parameter")
+        )
+    ),
+    "quantilesexactinclusive": lambda p, a: (
+        f"percentile({a[0]}, array("
+        + ", ".join(repr(_q_level(x, "quantilesExactInclusive")) for x in p)
+        + "))"
+        if p
+        else (_ for _ in ()).throw(
+            DialectError("quantilesExactInclusive takes level parameters")
+        )
+    ),
     "quantiletdigest": lambda p, a: f"percentile_approx({a[0]}, {p[0]}, 10000)",
     # round-7 quantile-family breadth: the timing variants differ from the
     # generic sketch only in CH's bucket layout (a latency-tuned
@@ -4634,21 +4786,7 @@ TEMPLATES.update({
         for _t in ("seriesdecomposestl", "seriesoutliersdetecttukey",
                    "seriesperioddetectfft")
     },
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: ClickHouse's exact selection/interpolation variant is "
-            "not reproduced — quantileExact (element selection) and "
-            "quantile (interpolated) are the supported forms"
-        ))))(_t)
-        for _t in ("quantileexactlow", "quantileexacthigh",
-                   "quantileexactexclusive", "quantileexactinclusive",
-                   "quantilesexactexclusive", "quantilesexactinclusive")
-    },
-    "mappopulateseries": lambda a: (_ for _ in ()).throw(DialectError(
-        "mapPopulateSeries: fill integer key gaps explicitly — "
-        "map_from_entries over sequence(min_key, max_key) left-joined "
-        "to map_entries"
-    )),
+    "mappopulateseries": _map_populate_series_expr,
     "arraylevenshtein": lambda a: (_ for _ in ()).throw(DialectError(
         "arrayLevenshtein: no Spark builtin edit distance over arrays — "
         "levenshteinDistance works on strings"

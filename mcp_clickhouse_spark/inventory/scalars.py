@@ -990,3 +990,86 @@ def scalar_ip_functions(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(translate(_SQL_IP_FUNCS_CH))
+
+
+_SQL_QUANTILE_MPS_CH = """
+SELECT l_linenumber AS g,
+       quantileExact(0.5)(l_quantity) AS qe,
+       quantileExactLow(0.5)(l_quantity) AS ql,
+       quantileExactHigh(0.5)(l_quantity) AS qh,
+       round(quantileExactExclusive(0.25)(l_quantity), 6) AS qx,
+       round(quantileExactInclusive(0.75)(l_quantity), 6) AS qi,
+       arrayStringConcat(arrayMap(v -> toString(v), tupleElement(
+           mapPopulateSeries(
+               arraySort(groupUniqArray(intDiv(toInt32(l_quantity), 10))),
+               arrayMap(k -> k * 11,
+                        arraySort(groupUniqArray(intDiv(toInt32(l_quantity), 10)))),
+               7), 2)), ',') AS mps
+FROM lineitem GROUP BY l_linenumber
+"""
+
+
+@query(
+    "agg_quantile_exact_variants",
+    oracle="""
+    WITH q AS (
+      SELECT l_linenumber AS g, CAST(l_quantity AS DOUBLE) AS v,
+             CAST(l_quantity AS INTEGER) // 10 AS b
+      FROM lineitem
+    ),
+    ls AS (
+      SELECT g, list_sort(list(v)) AS a, COUNT(*) AS n FROM q GROUP BY g
+    ),
+    sel AS (
+      SELECT g,
+             a[CAST(n // 2 AS INTEGER) + 1] AS qe,
+             a[CASE WHEN n % 2 = 1 THEN CAST(n // 2 AS INTEGER)
+                    ELSE CAST(n // 2 AS INTEGER) - 1 END + 1] AS ql,
+             a[CAST(n // 2 AS INTEGER) + 1] AS qh,
+             round(CASE WHEN CAST(floor(0.25 * (n + 1)) AS INTEGER) < 1
+                        THEN a[1]
+                        WHEN CAST(floor(0.25 * (n + 1)) AS INTEGER) >= n
+                        THEN a[CAST(n AS INTEGER)]
+                        ELSE a[CAST(floor(0.25 * (n + 1)) AS INTEGER)]
+                          + (0.25 * (n + 1) - floor(0.25 * (n + 1)))
+                          * (a[CAST(floor(0.25 * (n + 1)) AS INTEGER) + 1]
+                             - a[CAST(floor(0.25 * (n + 1)) AS INTEGER)])
+                   END, 6) AS qx
+      FROM ls
+    ),
+    qc AS (
+      SELECT g, round(quantile_cont(v, 0.75), 6) AS qi FROM q GROUP BY g
+    ),
+    bu AS (SELECT g, b FROM q GROUP BY g, b),
+    rng AS (SELECT g, MIN(b) AS lo FROM bu GROUP BY g),
+    ser AS (
+      SELECT r.g, gs.k FROM rng r,
+      LATERAL unnest(generate_series(r.lo, 7)) AS gs(k)
+    ),
+    mps AS (
+      SELECT s.g,
+             string_agg(CAST(CASE WHEN bu.b IS NOT NULL THEN s.k * 11
+                                  ELSE 0 END AS VARCHAR),
+                        ',' ORDER BY s.k) AS mps
+      FROM ser s LEFT JOIN bu ON bu.g = s.g AND bu.b = s.k GROUP BY s.g
+    )
+    SELECT sel.g, sel.qe, sel.ql, sel.qh, sel.qx, qc.qi, mps.mps
+    FROM sel JOIN qc ON qc.g = sel.g JOIN mps ON mps.g = sel.g
+    """,
+    category="aggregates",
+)
+def agg_quantile_exact_variants(spark, sf_dir):
+    """The quantileExact SELECTION family + mapPopulateSeries (round 10 —
+    all previously guided): quantileExact/Low/High pick the
+    floor(level·n) / median_low / median_high element (QuantileExact.h
+    rules, actual data values — hash-exact), Exclusive/Inclusive are the
+    Excel PERCENTILE.EXC / PERCENTILE.INC interpolations, and
+    mapPopulateSeries fills integer-key gaps with 0 up to max=7 (the
+    per-group quantity-decile keys never reach 6-7, so the fill is always
+    exercised).  Oracle: the same selection indices / interpolations over
+    list_sort, quantile_cont for INC, and a generate_series LEFT JOIN for
+    the series fill."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_QUANTILE_MPS_CH))

@@ -136,13 +136,64 @@ def test_wave2_guided_errors():
         ("SELECT hiveHash(s) FROM t", "xxhash64"),
         ("SELECT hilbertEncode(1, 2) FROM t", "morton"),
         ("SELECT stochasticLinearRegression(a, b) FROM t", "MLlib"),
-        ("SELECT quantileExactLow(0.5)(x) FROM t", "quantileExact"),
         ("SELECT seriesPeriodDetectFFT(a) FROM t", "pandas UDF"),
         ("SELECT sumWithOverflow(x) FROM t", "overflow"),
         ("SELECT groupBitmapAnd(x) FROM t", "bitmap"),
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_quantile_exact_selection_variants(spark):
+    # CH QuantileExact.h selection rules, pinned: exact = element at
+    # floor(level·n); Low/High split the two middles at level 0.5
+    # (python median_low/median_high); Exclusive/Inclusive are the Excel
+    # PERCENTILE.EXC / PERCENTILE.INC interpolations
+    row = one(
+        spark,
+        "SELECT quantileExact(0.5)(x) AS qe, quantileExactLow(0.5)(x) AS ql,"
+        " quantileExactHigh(0.5)(x) AS qh,"
+        " round(quantileExactExclusive(0.25)(x), 6) AS qx,"
+        " round(quantileExactInclusive(0.25)(x), 6) AS qi"
+        " FROM (SELECT explode(array(10, 20, 30, 40)) AS x)",
+    )
+    assert (row.qe, row.ql, row.qh) == (30, 20, 30)
+    assert (row.qx, row.qi) == (12.5, 17.5)  # h=1.25 EXC / h=1.75 INC
+    row = one(
+        spark,
+        "SELECT quantileExact(0.5)(x) AS qe, quantileExactLow(0.5)(x) AS ql,"
+        " quantileExactHigh(0.5)(x) AS qh,"
+        " quantilesExactExclusive(0.25, 0.5)(x) AS qsx,"
+        " quantilesExactInclusive(0.25, 0.5)(x) AS qsi"
+        " FROM (SELECT explode(array(1, 2)) AS x)",
+    )
+    assert (row.qe, row.ql, row.qh) == (2, 1, 2)
+    assert list(row.qsx) == [1.0, 1.5] and list(row.qsi) == [1.25, 1.5]
+    from mcp_clickhouse_spark.dialect import DialectError
+
+    with pytest.raises(DialectError, match="strictly inside"):
+        translate("SELECT quantileExactExclusive(0)(x) FROM t")
+    with pytest.raises(DialectError, match="numeric literal"):
+        translate("SELECT quantileExactLow(y)(x) FROM t")
+
+
+def test_map_populate_series(spark):
+    # CH docs pin: mapPopulateSeries([1,2,4],[11,22,44],5) =
+    # ([1,2,3,4,5],[11,22,0,44,0]); map form fills to max key (or the
+    # integer-literal max)
+    row = one(
+        spark,
+        "SELECT tupleElement(mapPopulateSeries("
+        "array(1,2,4), array(11,22,44), 5), 1) AS ks,"
+        " tupleElement(mapPopulateSeries("
+        "array(1,2,4), array(11,22,44), 5), 2) AS vs,"
+        " mapPopulateSeries(map(1, 10, 5, 20)) AS m,"
+        " mapPopulateSeries(map(1, 10, 3, 20), 4) AS m2",
+    )
+    assert list(row.ks) == [1, 2, 3, 4, 5]
+    assert list(row.vs) == [11, 22, 0, 44, 0]
+    assert dict(row.m) == {1: 10, 2: 0, 3: 0, 4: 0, 5: 20}
+    assert dict(row.m2) == {1: 10, 2: 0, 3: 20, 4: 0}
 
 
 def test_array_if_chain_and_map_form(spark):
