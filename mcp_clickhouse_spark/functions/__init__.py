@@ -50,6 +50,18 @@ def _register_ipaddr(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_strdist(spark) -> None:
+    from mcp_clickhouse_spark.functions.strdist import ensure_registered
+
+    ensure_registered(spark)
+
+
+def _register_geo(spark) -> None:
+    from mcp_clickhouse_spark.functions.geo import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -81,6 +93,15 @@ LAZY_UDFS = {
     "ch_ipv6_cidr_lo": _register_ipaddr,
     "ch_ipv6_cidr_hi": _register_ipaddr,
     "ch_ip_in_range": _register_ipaddr,
+    "ch_byte_hamming": _register_strdist,
+    "ch_damerau_lev": _register_strdist,
+    "ch_jaro": _register_strdist,
+    "ch_jaro_winkler": _register_strdist,
+    "ch_array_levenshtein": _register_strdist,
+    "ch_geohash_encode": _register_geo,
+    "ch_geohash_decode": _register_geo,
+    "ch_lgamma": _register_stats,
+    "ch_tgamma": _register_stats,
 }
 
 

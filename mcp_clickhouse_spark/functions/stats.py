@@ -231,7 +231,32 @@ def ensure_registered(spark) -> None:
         return _map2(p, df, t_ppf)
 
     spark.udf.register("ch_t_sf", _t_sf)
+    import math
+
+    @pandas_udf(DoubleType())
+    def _lgamma(x: pd.Series) -> pd.Series:
+        def lg(v: float) -> float:
+            try:
+                return math.lgamma(v)
+            except ValueError:  # poles at 0, -1, -2, … → +inf like C lgamma
+                return math.inf
+        # CH lgamma: log|Γ(x)|; math.lgamma matches C's lgamma exactly
+        return x.astype("float64").map(lg, na_action="ignore")
+
+    @pandas_udf(DoubleType())
+    def _tgamma(x: pd.Series) -> pd.Series:
+        def g(v: float) -> float:
+            try:
+                return math.gamma(v)
+            except ValueError:  # poles at 0, -1, -2, … → ±inf like C tgamma
+                return math.nan
+            except OverflowError:
+                return math.inf
+        return x.astype("float64").map(g, na_action="ignore")
+
     spark.udf.register("ch_norm_sf", _norm_sf)
     spark.udf.register("ch_norm_ppf", _norm_ppf)
     spark.udf.register("ch_ks_q", _ks_q)
     spark.udf.register("ch_t_ppf", _t_ppf)
+    spark.udf.register("ch_lgamma", _lgamma)
+    spark.udf.register("ch_tgamma", _tgamma)

@@ -1,106 +1,100 @@
 """Driver-facing registration order for the query inventory.
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
-registration order), rotating coverage round by round.  After round 7,
-all 168 then-registered queries had a driver row, 158/158 oracle-backed
-ones green at least once, zero ever-failed-and-unfixed.
+registration order), rotating coverage round by round.  Cumulative state
+after round 9: 199 then-registered, 187 ever driver-checked, zero value
+mismatches ever left unfixed, oldest last-green pool r6.
 
-Round 9 priority, summing to exactly 50 (r8 verdict next #2: lead with
-the 14 never/oldest-checked queries, then drain the r5-stale pool):
+Round 10 priority, summing to exactly 50 (r9 verdict next #2: lead with
+the never-driver-checked queries, then drain the r6-stale pool):
 
-- 13 round-8 additions never driver-checked (the post-freeze block that
-  sat at positions 51+ of the r8 rotation, plus scalar_lttb and
-  scalar_time_delta which landed after even that);
-- win_range_time_interval — last green in round 3 (oldest in the
-  registry);
-- behav_window_funnel / behav_funnel_sql — r8-green but their SEMANTICS
-  changed this round (windowFunnel re-anchors level 1 on every cond-1
-  event per the r8 advisor; both Spark folds and both DuckDB oracles
-  rewritten), so they must re-earn a driver row;
-- all 28 queries last driver-checked in round 5;
-- 6 from the round-6 pool, picked for blast radius (the flagship TPC-H
-  q1, the three headline pipeline/bench queries, the 4-broadcast star
-  join, and join_asof whose rewrite path churned in r8).
+- the 9 round-9 post-freeze additions that sat at positions 51+ of the
+  r9 rotation (parity-verified locally at two SFs in r9 AND re-verified
+  this round — three of them also CHANGED semantics this round via the
+  r9 advisor fixes: agg_interval_stats now divides the recovered
+  3rd/4th central moments by n per ClickHouse Moments.h,
+  scalar_ip_functions gained IPv4-mapped-IPv6 parsing, and
+  agg_combinators_r9's -Resample empty buckets now fill with the
+  aggregate default);
+- the 5 round-10 additions: behav_funnel_strict (windowFunnel
+  strict_order/strict_deduplication), behav_sequence_next_node,
+  agg_quantile_exact_variants (+ mapPopulateSeries), and the two
+  round-10 gap-scan waves scalar_string_distance (byte-exact
+  Damerau-Levenshtein/Jaro/Jaro-Winkler/byteHamming + arrayLevenshtein
+  + lgamma/tgamma) and scalar_geo (greatCircle*, pointInPolygon,
+  polygon*Cartesian, geohashEncode);
+- 36 of the 40 queries last driver-checked in round 6 (the whole pool
+  minus the four deferred below).
 
-After this round the oldest last-green check in the registry is r6.
+Deferred to the round-11 lead (the only r6-stale remainder):
+``join_cross``, ``scan_projection``, ``setop_union_distinct`` — each
+the lowest-marginal-value member of a family whose siblings rotate this
+round (join_inner/left/theta/any; the scan shapes the bench re-measures
+every round; union_all/intersect/except) — and the rows-only
+``pipe_dup_clusters_minhash`` (its driver row carries no value hash by
+design).
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-9 driver rotation; the tail (51+) is the
-# documented post-freeze block that leads round 10.
+# First 50 = the round-10 driver rotation.
 PRIORITY: list[str] = [
-    # never driver-checked (round-8 post-freeze additions)
-    "agg_map_entropy",
-    "agg_max_intersections",
-    "agg_foreach",
-    "scalar_array_auc",
-    "scalar_url_fss",
-    "agg_crosstab",
-    "pipe_line_dedup",
-    "agg_rank_corr",
-    "scalar_url_hierarchy",
-    "scalar_vector_math",
-    "agg_hypothesis_tests",
-    "scalar_lttb",
-    "scalar_time_delta",
-    # oldest in the registry (last green r3)
-    "win_range_time_interval",
-    # semantics changed round 9 (windowFunnel re-anchoring, r8 advisor)
-    "behav_window_funnel",
-    "behav_funnel_sql",
-    # last driver-checked in round 5 (28 — the full stale pool)
-    "agg_topk_weighted",
-    "pipe_chunk_documents",
-    "pipe_clean_corpus",
-    "pipe_compression_ratio",
-    "pipe_dedup_funnel",
-    "pipe_dedup_incremental",
-    "pipe_dup_clusters",
-    "pipe_embed_neardup",
-    "pipe_epoch_shards",
-    "pipe_lsh_eval",
-    "pipe_pii_scrub",
-    "pipe_repetition_filters",
-    "pipe_snapshot_diff",
-    "pipe_train_val_split",
-    "pipe_unigram_logprob",
-    "profile_documents",
-    "q10_returned_items",
-    "q14_promo_revenue",
-    "q20_part_promotion",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "streaming_corpus_stats",
-    "streaming_minhash_pairs",
-    "subquery_scalar",
-    # round-6 pool, by blast radius
-    "q1_pricing_summary",
-    "pipe_span_dedup",
-    "pipe_minhash_lsh",
-    "pipe_text_stats",
-    "join_star_revenue",
-    "join_asof",
-    # positions 51+ — added after the round-9 rotation was frozen at 50
-    # (reinterpretAs* byte-exact folds, normalizeUTF8* via pandas_udf,
-    # the gap-scan string functions, intervalLengthSum + skewSamp/
-    # kurtSamp); each parity-verified locally at sf0.001 AND sf0.01,
-    # lead round 10
+    # round-9 post-freeze block, never driver-checked (3 with changed
+    # semantics this round, marked ^)
     "scalar_reinterpret",
     "scalar_normalize_utf8",
     "scalar_string_fns_r9",
-    "agg_interval_stats",
+    "agg_interval_stats",  # ^ skewSamp/kurtSamp /n moments
     "pipe_embed_quantize",
     "scalar_gap_wave2",
     "pipe_html_extract",
-    "scalar_ip_functions",
-    "agg_combinators_r9",
+    "scalar_ip_functions",  # ^ IPv4-mapped IPv6
+    "agg_combinators_r9",  # ^ -Resample default fill
+    # round-10 additions
+    "behav_funnel_strict",
+    "behav_sequence_next_node",
+    "agg_quantile_exact_variants",
+    "scalar_string_distance",
+    "scalar_geo",
+    # last driver-checked in round 6 (36 of the 40-query pool)
+    "agg_any_first_last",
+    "agg_count_distinct",
+    "agg_cube",
+    "agg_rollup",
+    "events_session_window",
+    "events_tumbling_window",
+    "join_any",
+    "join_inner",
+    "join_left",
+    "join_theta",
+    "pipe_bm25",
+    "pipe_c4_filters",
+    "pipe_decontaminate",
+    "pipe_dedup_exact",
+    "pipe_embed_topk",
+    "pipe_pack_sequences",
+    "pipe_source_mix",
+    "pipe_stratified_sample",
+    "pipe_vocab_oov",
+    "q11_important_stock",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_discounted_revenue",
+    "q9_product_profit",
+    "scalar_json",
+    "scalar_map",
+    "scalar_string",
+    "setop_except",
+    "setop_intersect",
+    "setop_union_all",
+    "shim_limit_by",
+    "streaming_clean_corpus",
+    "win_running_sum",
 ]
 
 

@@ -1073,3 +1073,164 @@ def agg_quantile_exact_variants(spark, sf_dir):
 
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_SQL_QUANTILE_MPS_CH))
+
+
+_SQL_STRING_DISTANCE_CH = """
+SELECT p_partkey,
+       byteHammingDistance(p_brand, p_type) AS bh,
+       damerauLevenshteinDistance(p_brand, p_type) AS dl,
+       round(jaroSimilarity(p_type, p_name), 8) AS js,
+       round(jaroWinklerSimilarity(p_type, p_name), 8) AS jw,
+       arrayLevenshtein(
+         arrayMap(i -> (p_partkey + i) % 10, range(1 + p_partkey % 7)),
+         arrayMap(i -> (p_partkey * 3 + i * i) % 10, range(1 + p_partkey % 5))
+       ) AS alev,
+       round(lgamma(1.0 + p_size), 6) AS lg,
+       tgamma(1.0 + p_size % 5) AS tg
+FROM part
+"""
+
+
+@query(
+    "scalar_string_distance",
+    oracle="""
+    SELECT p_partkey,
+           CAST(len(list_filter(
+                  generate_series(1, least(length(p_brand), length(p_type))),
+                  i -> substr(p_brand, i, 1) != substr(p_type, i, 1)))
+                + abs(length(p_brand) - length(p_type)) AS INTEGER) AS bh,
+           CAST(damerau_levenshtein(p_brand, p_type) AS INTEGER) AS dl,
+           CAST(round(jaro_similarity(p_type, p_name), 8) AS DOUBLE) AS js,
+           CAST(round(jaro_winkler_similarity(p_type, p_name), 8) AS DOUBLE) AS jw,
+           CAST(levenshtein(
+             list_aggregate(list_transform(generate_series(0, p_partkey % 7),
+               i -> CAST((p_partkey + i) % 10 AS VARCHAR)), 'string_agg', ''),
+             list_aggregate(list_transform(generate_series(0, p_partkey % 5),
+               i -> CAST((p_partkey * 3 + i * i) % 10 AS VARCHAR)), 'string_agg', '')
+           ) AS INTEGER) AS alev,
+           round(lgamma(1.0 + p_size), 6) AS lg,
+           gamma(1.0 + p_size % 5) AS tg
+    FROM part
+    """,
+    category="scalars",
+)
+def scalar_string_distance(spark, sf_dir):
+    """Round-10 string-distance wave (were guided errors): the byte-exact
+    Damerau-Levenshtein / Jaro / Jaro-Winkler / byteHammingDistance family
+    (Arrow pandas_udfs over UTF-8 bytes, functions/strdist.py — ASCII
+    TPC-H columns make them comparable with DuckDB's char-based twins),
+    arrayLevenshtein over element sequences (the oracle re-derives it as
+    plain levenshtein over single-digit strings — one char per element, an
+    exact reduction), and lgamma/tgamma (math.lgamma/math.gamma — the same
+    libm DuckDB calls; tgamma kept to exact small-integer arguments, lgamma
+    rounded to absorb last-ulp divergence)."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.stats import (
+        ensure_registered as _stats_udfs,
+    )
+    from mcp_clickhouse_spark.functions.strdist import ensure_registered
+
+    ensure_registered(spark)
+    _stats_udfs(spark)
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(translate(_SQL_STRING_DISTANCE_CH))
+
+
+_SQL_GEO_CH = """
+SELECT s_suppkey,
+       round(greatCircleDistance(
+         (s_suppkey % 360) - 180 + 0.25, (s_suppkey % 170) - 85 + 0.25,
+         ((s_suppkey * 7) % 360) - 180 + 0.25,
+         ((s_suppkey * 3) % 170) - 85 + 0.25), 4) AS gcd,
+       round(greatCircleAngle(
+         (s_suppkey % 360) - 180 + 0.25, (s_suppkey % 170) - 85 + 0.25,
+         ((s_suppkey * 7) % 360) - 180 + 0.25,
+         ((s_suppkey * 3) % 170) - 85 + 0.25), 6) AS gca,
+       pointInPolygon(((s_suppkey % 9) + 0.5, ((s_suppkey * 3) % 13) + 0.5),
+         [(0, 0), (10, 0), (10, 10), (0, 10)]) AS pip,
+       round(polygonAreaCartesian([[
+         (0.0, 0.0), (1.0 + s_suppkey % 7, 0.0),
+         (1.0 + s_suppkey % 7, 1.0 + s_suppkey % 11),
+         (0.0, 1.0 + s_suppkey % 11)]]), 6) AS area,
+       round(polygonPerimeterCartesian([[
+         (0.0, 0.0), (1.0 + s_suppkey % 7, 0.0),
+         (1.0 + s_suppkey % 7, 1.0 + s_suppkey % 11),
+         (0.0, 1.0 + s_suppkey % 11)]]), 6) AS perim,
+       geohashEncode((s_suppkey % 360) - 180 + 0.25,
+                     (s_suppkey % 170) - 85 + 0.25, 5) AS gh
+FROM supplier
+"""
+
+
+@query(
+    "scalar_geo",
+    oracle="""
+    WITH pts AS (
+      SELECT s_suppkey,
+             (s_suppkey % 360) - 180 + 0.25 AS lon1,
+             (s_suppkey % 170) - 85 + 0.25 AS lat1,
+             ((s_suppkey * 7) % 360) - 180 + 0.25 AS lon2,
+             ((s_suppkey * 3) % 170) - 85 + 0.25 AS lat2,
+             (s_suppkey % 9) + 0.5 AS px,
+             ((s_suppkey * 3) % 13) + 0.5 AS py,
+             1.0 + s_suppkey % 7 AS w,
+             1.0 + s_suppkey % 11 AS h
+      FROM supplier
+    ),
+    gq AS (
+      SELECT s_suppkey,
+             CAST(floor((lon1 + 180.0) / 360.0 * 8192) AS BIGINT) AS lonq,
+             CAST(floor((lat1 + 90.0) / 180.0 * 4096) AS BIGINT) AS latq
+      FROM pts
+    ),
+    gh AS (
+      SELECT s_suppkey,
+             (SELECT string_agg(
+                substr('0123456789bcdefghjkmnpqrstuvwxyz', 1 + CAST(
+                  (SELECT SUM(CASE WHEN (b.b + 5 * k.k) % 2 = 0
+                     THEN ((lonq >> CAST(12 - (b.b + 5 * k.k) // 2 AS BIGINT)) & 1)
+                          << CAST(4 - b.b AS BIGINT)
+                     ELSE ((latq >> CAST(11 - (b.b + 5 * k.k - 1) // 2 AS BIGINT)) & 1)
+                          << CAST(4 - b.b AS BIGINT) END)
+                   FROM (SELECT UNNEST(generate_series(0, 4)) AS b) b) AS INT), 1),
+                '' ORDER BY k.k)
+              FROM (SELECT UNNEST(generate_series(0, 4)) AS k) k) AS gh
+      FROM gq
+    )
+    SELECT pts.s_suppkey,
+           round(2 * 6371000.0 * asin(sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+             * pow(sin(radians(lon2 - lon1) / 2), 2))), 4) AS gcd,
+           round(degrees(2 * asin(sqrt(
+             pow(sin(radians(lat2 - lat1) / 2), 2)
+             + cos(radians(lat1)) * cos(radians(lat2))
+             * pow(sin(radians(lon2 - lon1) / 2), 2)))), 6) AS gca,
+           CAST(CASE WHEN px < 10 AND py < 10 THEN 1 ELSE 0 END AS INTEGER)
+             AS pip,
+           CAST(round(w * h, 6) AS DOUBLE) AS area,
+           CAST(round(2 * (w + h), 6) AS DOUBLE) AS perim,
+           gh.gh AS gh
+    FROM pts JOIN gh ON gh.s_suppkey = pts.s_suppkey
+    """,
+    category="scalars",
+)
+def scalar_geo(spark, sf_dir):
+    """Round-10 planar/sphere geometry wave (were guided errors or
+    unresolved names): greatCircleDistance + greatCircleAngle (haversine
+    on CH's 6371 km sphere — the oracle re-derives both trigonometrically),
+    pointInPolygon (even-odd ray casting as pure column expressions; the
+    synthetic point grid stays off every edge, so the oracle reduces to the
+    rectangle-bounds test px,py < 10), polygonAreaCartesian /
+    polygonPerimeterCartesian over a per-row w x h rectangle ring (oracle:
+    the closed forms w*h and 2(w+h) — fully independent of the shoelace /
+    edge-length folds), and geohashEncode at precision 5 (oracle: quantize
+    lon/lat to 13/12 bits, re-interleave with shift arithmetic over
+    generate_series, and render base32 — independent of the Python
+    successive-halving UDF)."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.geo import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(translate(_SQL_GEO_CH))

@@ -2577,8 +2577,10 @@ def test_round8_audit_batch(spark):
     # guided list to real translations (tests/test_reinterpret_normalize)
     assert "ch_normalize_utf8" in translate("normalizeUTF8NFC(s)")
     assert "typeof(s)" in translate("reinterpretAsUInt32(s)")
+    # round 10: lgamma/tgamma graduated too (ch_lgamma/ch_tgamma UDFs)
+    assert "ch_lgamma" in translate("lgamma(x)")
     for bad, msg in [
-        ("lgamma(x)", "gamma"),
+        ("seriesPeriodDetectFFT(x)", "FFT"),
         ("reinterpretAsFloat32(s)", "bit-cast"),
         ("arrayFirstIndex(x -> x, a, b)", "one parameter per array"),
         ("largestTriangleThreeBuckets(x, y)", "bucket-count"),
@@ -2797,8 +2799,11 @@ def test_tuple_index_datetime64_mapapply(spark):
 
     with _pytest.raises(ValueError, match="client-side export"):
         translate("SELECT a FROM t INTO OUTFILE 'x'")
-    with _pytest.raises(ValueError, match="geometry"):
-        translate("SELECT pointInPolygon((1,1), ps) FROM t")
+    # round 10: pointInPolygon translates (ray-cast column expressions);
+    # the H3 index family still needs the h3 library → guided
+    assert "filter(sequence" in translate("SELECT pointInPolygon((1,1), ps) FROM t")
+    with _pytest.raises(ValueError, match="H3"):
+        translate("SELECT geoToH3(37.79, 55.71, 15) FROM t")
 
 
 def test_ternary_and_cast_forms(spark):

@@ -109,11 +109,15 @@ def test_guided_errors_fire():
     for sql, frag in [
         ("SELECT detectLanguage(text) FROM t", "NLP"),
         ("SELECT lemmatize('en', w) FROM t", "NLP"),
-        ("SELECT ngramDistance(a, b) FROM t", "BYTES"),
-        ("SELECT jaroWinklerSimilarity(a, b) FROM t", "BYTES"),
+        # jaroWinklerSimilarity & friends now TRANSLATE (round 10,
+        # functions/strdist.py); the unpinnable ngram family stays guided
+        ("SELECT ngramDistance(a, b) FROM t", "4-gram"),
         ("SELECT consistentHash(x, 10) FROM t", "jumpConsistentHash"),
-        ("SELECT sequenceNextNode('forward', 'head')(t, e, c) FROM x",
-         "state machine"),
+        # sequenceNextNode now TRANSLATES (round 10) — malformed arity
+        # still raises the argument-shape guidance
+        ("SELECT sequenceNextNode('forward', 'head')(t, e) FROM x",
+         "arguments"),
+        ("SELECT seriesDecomposeSTL(x, 7) FROM t", "STL"),
         ("SELECT mapSort((k, v) -> v, m) FROM t", "1-argument"),
     ]:
         with pytest.raises(DialectError, match=frag):

@@ -1,0 +1,137 @@
+"""Round-10 gap-scan wave: byte-exact string distances, gamma
+functions, planar geometry and geohash — all previously guided errors
+or unresolved names.  Values pinned against ClickHouse docs examples
+(byteHammingDistance/damerauLevenshteinDistance/jaroSimilarity/
+jaroWinklerSimilarity/arrayLevenshtein from
+docs/sql-reference/functions/string-functions and array-functions;
+geohash/greatCircleAngle/polygon* from geo functions docs)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import DialectError, translate
+from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+
+def one(spark, sql):
+    ts = translate(sql)
+    register_lazy_udfs(spark, ts)
+    return spark.sql(ts).collect()[0]
+
+
+def test_byte_distances(spark):
+    row = one(
+        spark,
+        "SELECT byteHammingDistance('karolin', 'kathrin') AS bh,"
+        " byteHammingDistance('abc', 'ab') AS bh2,"
+        " damerauLevenshteinDistance('clickhouse', 'mouse') AS dl,"
+        " damerauLevenshteinDistance('CA', 'ABC') AS dl2,"
+        " round(jaroSimilarity('clickhouse', 'click'), 10) AS js,"
+        " round(jaroWinklerSimilarity('clickhouse', 'click'), 10) AS jw",
+    )
+    assert row.bh == 3  # CH docs example
+    assert row.bh2 == 1  # length difference counts
+    assert row.dl == 6  # CH docs example
+    # FULL Damerau-Levenshtein (not the restricted OSA, which gives 3):
+    # CA → AC → ABC is legal because the transposition is unrestricted
+    assert row.dl2 == 2
+    assert row.js == round(0.8333333333333333, 10)  # CH docs example
+    assert row.jw == 0.9  # CH docs example
+
+
+def test_byte_distance_is_byte_exact(spark):
+    # 'é' is 2 UTF-8 bytes — byte hamming vs 'ab' prefix differs from any
+    # char-based result; DL over bytes: 'é' (c3 a9) vs 'e' (65) = 2 edits
+    row = one(
+        spark,
+        "SELECT byteHammingDistance('é', 'e') AS bh,"
+        " damerauLevenshteinDistance('é', 'e') AS dl",
+    )
+    assert row.bh == 2  # c3,a9 vs 65 → 1 mismatch + 1 length byte
+    assert row.dl == 2
+
+
+def test_array_levenshtein(spark):
+    row = one(
+        spark,
+        "SELECT arrayLevenshtein([1, 2, 4], [1, 2, 3]) AS a,"
+        " arrayLevenshtein(['a', 'b'], ['a']) AS b,"
+        " arrayLevenshtein(CAST([] AS ARRAY<INT>), [1, 2]) AS c",
+    )
+    assert row.a == 1
+    assert row.b == 1
+    assert row.c == 2
+
+
+def test_gamma_functions(spark):
+    row = one(
+        spark,
+        "SELECT tgamma(5.0) AS tg, round(lgamma(5.0), 10) AS lg,"
+        " lgamma(0.0) AS pole",
+    )
+    assert row.tg == 24.0
+    assert row.lg == round(math.log(24.0), 10)
+    assert math.isinf(row.pole)
+
+
+def test_geohash(spark):
+    row = one(
+        spark,
+        "SELECT geohashEncode(-5.60302734375, 42.593994140625, 0) AS e,"
+        " geohashEncode(-5.60302734375, 42.593994140625, 5) AS e5,"
+        " geohashDecode('ezs42') AS d",
+    )
+    assert row.e == "ezs42d000000"  # CH docs example (0 → default 12)
+    assert row.e5 == "ezs42"
+    assert row.d._1 == -5.60302734375  # CH docs example (cell center)
+    assert row.d._2 == 42.60498046875
+
+
+def test_great_circle_angle(spark):
+    row = one(spark, "SELECT greatCircleAngle(0, 0, 45, 0) AS a")
+    assert row.a == pytest.approx(45.0)  # CH docs example
+
+
+def test_point_in_polygon(spark):
+    row = one(
+        spark,
+        "SELECT pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS i,"
+        " pointInPolygon((10., 10.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS o,"
+        " pointInPolygon(tuple(2.5, 2.5), [(0, 0), (10, 0), (10, 10), (0, 10)],"
+        "   [(2, 2), (2, 3), (3, 3), (3, 2)]) AS h,"
+        " pointInPolygon((5., 5.), [(0, 0), (10, 0), (10, 10), (0, 10)],"
+        "   [(2, 2), (2, 3), (3, 3), (3, 2)]) AS nh",
+    )
+    assert row.i == 1  # CH docs example (inside → 1)
+    assert row.o == 0
+    assert row.h == 0  # inside the hole ring → outside the polygon
+    assert row.nh == 1  # outside the hole, inside the outer ring
+
+
+def test_polygon_area_perimeter(spark):
+    row = one(
+        spark,
+        "SELECT polygonAreaCartesian([[(0., 0.), (0., 5.), (5., 5.)]]) AS a,"
+        " round(polygonPerimeterCartesian([[(0., 0.), (0., 5.), (5., 5.)]]), 6)"
+        "   AS p,"
+        " polygonAreaCartesian([[(0., 0.), (10., 0.), (10., 10.), (0., 10.)],"
+        "   [(2., 2.), (2., 4.), (4., 4.), (4., 2.)]]) AS hole_area",
+    )
+    assert row.a == 12.5  # CH docs example; orientation-insensitive
+    assert row.p == round(5 + 5 + math.hypot(5, 5), 6)  # closed ring
+    assert row.hole_area == 100.0 - 4.0  # outer minus hole
+
+
+def test_h3_stays_guided():
+    with pytest.raises(DialectError, match="h3"):
+        translate("SELECT geoToH3(37.79, 55.71, 15) FROM t")
+    with pytest.raises(DialectError, match="4-gram"):
+        translate("SELECT ngramDistance(a, b) FROM t")
+
+
+def test_levenshtein_utf8_alias(spark):
+    row = one(spark, "SELECT levenshteinDistanceUTF8('abc', 'axc') AS r")
+    assert row.r == 1
