@@ -380,3 +380,112 @@ def test_keyword_named_identifiers_survive(spark, k, tpl):
     assert re.search(rf"(?i)\b{k}\b", out), (sql, out)
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(out)
+
+
+# --- round-10 (r9 verdict #6): STRING-LITERAL CONTENTS through the
+# round-9 rewriters (reinterpretAs*, normalizeUTF8*, the IPv6 family,
+# combinator chains).  These rewriters do string surgery on their
+# argument lists, so planted commas/parens/quotes INSIDE literal args are
+# exactly where a splice bug would corrupt the translation. ---------------
+
+_r10_payload = st.text(alphabet="abc,() -_%;*=!", max_size=12)
+_r10_esc = st.sampled_from(["plain", "doubled", "backslash"])
+
+
+def _mk_lit(payload: str, esc: str) -> tuple[str, str]:
+    """Build (sql_literal_body, semantic_value) for an escape style."""
+    if esc == "doubled":
+        raw = payload + "'s"
+        return raw.replace("'", "''"), raw
+    if esc == "backslash":
+        raw = payload + "'t"
+        return raw.replace("'", "\\'"), raw
+    return payload, payload
+
+
+@given(payload=_r10_payload, esc=_r10_esc)
+@settings(max_examples=40, deadline=None)
+def test_reinterpret_literal_args_execute_and_match(spark, payload, esc):
+    """reinterpretAsUInt16 over an adversarial string literal must parse,
+    execute, and return the little-endian value of the first two UTF-8
+    bytes — the independent byte-fold oracle computed here in Python."""
+    lit, raw = _mk_lit(payload, esc)
+    out = translate(f"SELECT reinterpretAsUInt16('{lit}') AS r")
+    row = spark.sql(out).collect()[0]
+    assert row.r == int.from_bytes(raw.encode("utf-8")[:2], "little")
+
+
+@given(payload=st.text(alphabet="éàôñ,()' ß",
+                       max_size=8),
+       form=st.sampled_from(["NFC", "NFD", "NFKC", "NFKD"]))
+@settings(max_examples=40, deadline=None)
+def test_normalize_literal_args_match_unicodedata(spark, payload, form):
+    """normalizeUTF8{form} over literals with combining marks and planted
+    quotes/commas must equal unicodedata.normalize exactly."""
+    import unicodedata
+
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    lit = payload.replace("'", "''")
+    out = translate(f"SELECT normalizeUTF8{form}('{lit}') AS n")
+    register_lazy_udfs(spark, out)
+    row = spark.sql(out).collect()[0]
+    assert row.n == unicodedata.normalize(form, payload)
+
+
+@given(junk=st.text(alphabet="xyz,() -!", min_size=1, max_size=10),
+       a=st.integers(0, 255), b=st.integers(0, 255))
+@settings(max_examples=30, deadline=None)
+def test_ipv6_literal_args_execute(spark, junk, a, b):
+    """toIPv6OrNull: junk literals (with splitter-hazard chars) → NULL;
+    valid IPv4 strings → the IPv4-mapped ::ffff:a.b.c.d bytes (the r9
+    advisor contract)."""
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    ip4 = f"{a}.{b}.1.2"
+    out = translate(
+        f"SELECT toIPv6OrNull('{junk}') AS bad, toIPv6OrNull('{ip4}') AS ok"
+    )
+    register_lazy_udfs(spark, out)
+    row = spark.sql(out).collect()[0]
+    assert row.bad is None
+    assert row.ok == b"\x00" * 10 + b"\xff\xff" + bytes([a, b, 1, 2])
+
+
+@given(payload=_r10_payload, esc=_r10_esc)
+@settings(max_examples=30, deadline=None)
+def test_combinator_literal_args_execute(spark, nation_view, payload, esc):
+    """Combinator chains (-If, -ArrayIf) whose CONDITIONS embed hazard
+    literals must split arguments correctly: no nation is named the random
+    payload, so the sums are exactly the full-table folds."""
+    lit, raw = _mk_lit(payload, esc)
+    sql = (
+        f"SELECT sumIf(n_nationkey, n_name != '{lit}') AS a,"
+        f" countArrayIf([n_nationkey, 1], n_name != '{lit}') AS b,"
+        f" uniqExactIf(n_nationkey, concat(n_name, '{lit}') != '') AS c"
+        f" FROM nation"
+    )
+    out = translate(sql)
+    rows = spark.sql(out).collect()
+    assert rows[0].a == 300  # Σ 0..24 — no name collides with the payload
+    assert rows[0].b == 50
+    assert rows[0].c == 25
+
+
+_r10_fn_trap = st.sampled_from([
+    "reinterpretAsUInt32(a)", "normalizeUTF8NFKC(b)",
+    "IPv6StringToNum(c), cutIPv6(d, 0, 1)", "sumArrayIf(x, y)",
+    "toIPv6(addr_col)", "countResample(0, 5, 1)(x, k)",
+])
+
+
+@given(fn_trap=_r10_fn_trap, w=_ws)
+@settings(max_examples=30, deadline=None)
+def test_r9_names_inside_literals_never_rewrite(spark, fn_trap, w):
+    """Round-9 function names planted INSIDE string literals are data —
+    the translator must leave the literal byte-identical."""
+    sql = f"SELECT '{fn_trap}' AS s,{w}n_nationkey FROM nation LIMIT 1"
+    out = translate(sql)
+    assert f"'{fn_trap}'" in out
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    parser.parsePlan(out)
