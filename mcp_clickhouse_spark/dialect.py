@@ -3204,11 +3204,30 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "jsonextractkeysandvalues": lambda a: _json_extract_kv(a),
     "formatrow": lambda a: _format_row(a, newline=True),
     "formatrownonewline": lambda a: _format_row(a, newline=False),
-    # lgamma/tgamma (round 10 — were guided): Arrow pandas_udfs over
-    # math.lgamma/math.gamma (same libm functions CH calls), lazily
-    # registered with the stats family
+    # lgamma/tgamma/erf/erfc (round 10 — were guided/unresolved): Arrow
+    # pandas_udfs over math.lgamma/gamma/erf/erfc (same libm functions CH
+    # calls), lazily registered with the stats family
     "lgamma": lambda a: f"ch_lgamma(CAST({a[0]} AS DOUBLE))",
     "tgamma": lambda a: f"ch_tgamma(CAST({a[0]} AS DOUBLE))",
+    "erf": lambda a: f"ch_erf(CAST({a[0]} AS DOUBLE))",
+    "erfc": lambda a: f"ch_erfc(CAST({a[0]} AS DOUBLE))",
+    # round 10 gap scan: sigmoid (pure SQL), the year-zero day inverse,
+    # and two new guided entries
+    "sigmoid": lambda a: f"(1.0D / (1.0D + exp(-(CAST({a[0]} AS DOUBLE)))))",
+    "fromdayssinceyearzero": lambda a: (
+        # inverse of toDaysSinceYearZero: year 0 is leap → -366
+        f"date_add(DATE '0001-01-01', CAST({a[0]} AS INT) - 366)"
+    ),
+    "tupletonamevaluepairs": lambda a: (_ for _ in ()).throw(DialectError(
+        "tupleToNameValuePairs: Spark SQL cannot introspect struct field "
+        "names generically at runtime — flatten explicitly with "
+        "tupleElement / .fieldName access, or map_entries over a MAP"
+    )),
+    "kostikconsistenthash": lambda a: (_ for _ in ()).throw(DialectError(
+        "kostikConsistentHash: like consistentHash, the ring algorithm "
+        "has no published closed form to match — jumpConsistentHash is "
+        "the value-faithful alternative here"
+    )),
     # H3 family: needs the h3 index library (not in this environment) —
     # guided instead of unresolved-function (round 8); the planar/sphere
     # geometry functions below now translate (round 10)

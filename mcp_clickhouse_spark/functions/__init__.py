@@ -102,6 +102,8 @@ LAZY_UDFS = {
     "ch_geohash_decode": _register_geo,
     "ch_lgamma": _register_stats,
     "ch_tgamma": _register_stats,
+    "ch_erf": _register_stats,
+    "ch_erfc": _register_stats,
 }
 
 

@@ -258,5 +258,15 @@ def ensure_registered(spark) -> None:
     spark.udf.register("ch_norm_ppf", _norm_ppf)
     spark.udf.register("ch_ks_q", _ks_q)
     spark.udf.register("ch_t_ppf", _t_ppf)
+    @pandas_udf(DoubleType())
+    def _erf(x: pd.Series) -> pd.Series:
+        return x.astype("float64").map(math.erf, na_action="ignore")
+
+    @pandas_udf(DoubleType())
+    def _erfc(x: pd.Series) -> pd.Series:
+        return x.astype("float64").map(math.erfc, na_action="ignore")
+
     spark.udf.register("ch_lgamma", _lgamma)
     spark.udf.register("ch_tgamma", _tgamma)
+    spark.udf.register("ch_erf", _erf)
+    spark.udf.register("ch_erfc", _erfc)

@@ -135,3 +135,33 @@ def test_h3_stays_guided():
 def test_levenshtein_utf8_alias(spark):
     row = one(spark, "SELECT levenshteinDistanceUTF8('abc', 'axc') AS r")
     assert row.r == 1
+
+
+def test_erf_sigmoid_yearzero(spark):
+    # round-10 gap scan: erf/erfc (libm via pandas_udf), sigmoid (pure
+    # SQL), fromDaysSinceYearZero (inverse of toDaysSinceYearZero)
+    import math as _m
+
+    row = one(
+        spark,
+        "SELECT round(erf(1.0), 10) AS e, round(erfc(1.0), 10) AS ec,"
+        " sigmoid(0.0) AS s, round(sigmoid(2.0), 10) AS s2,"
+        " fromDaysSinceYearZero(toDaysSinceYearZero(toDate('2023-09-08')))"
+        "   AS rt,"
+        " toDaysSinceYearZero(toDate('1970-01-01')) AS epoch_days",
+    )
+    assert row.e == round(_m.erf(1.0), 10)
+    assert row.ec == round(_m.erfc(1.0), 10)
+    assert row.s == 0.5
+    assert row.s2 == round(1.0 / (1.0 + _m.exp(-2.0)), 10)
+    assert str(row.rt) == "2023-09-08"  # round-trip identity
+    assert row.epoch_days == 719528  # the documented epoch offset
+
+
+def test_round10_guided_entries():
+    for sql, frag in [
+        ("SELECT tupleToNameValuePairs(t) FROM x", "tupleElement"),
+        ("SELECT kostikConsistentHash(h, 2) FROM x", "jumpConsistentHash"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
