@@ -89,6 +89,8 @@ NAME_MAP: dict[str, str] = {
     "trimright": "rtrim",
     "leftpad": "lpad",
     "rightpad": "rpad",
+    "leftpadutf8": "lpad",
+    "rightpadutf8": "rpad",
     "base64encode": "base64",
     "base64decode": "unbase64",
     # round 9 gap scan: CH names whose Spark builtin is value-identical
@@ -2884,7 +2886,25 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # path for embedding columns lives in pipeline/similarity.py, these
     # are the faithful scalar spellings): double-accumulated folds
     "arraydotproduct": lambda a: _vec_fold(a, "dot"),
-    "dotproduct": lambda a: _vec_fold(a, "dot"),
+    # dotProduct also accepts TUPLES in CH — catch the literal form up
+    # front (round 10; the array fold would fail at analysis otherwise)
+    "dotproduct": lambda a: (
+        (_ for _ in ()).throw(DialectError(
+            "dotProduct over tuples: tuple arity is unknowable at "
+            "translate time — use arrays ([..] literals) instead"
+        ))
+        if any(
+            "named_struct(" in x
+            or (
+                (s := x.strip()).startswith("(")
+                and s.endswith(")")
+                and _find_balanced(s, 0) == len(s)
+                and len(_split_args(s[1:-1])) > 1
+            )
+            for x in a
+        )
+        else _vec_fold(a, "dot")
+    ),
     "arrayl1distance": lambda a: _vec_fold(a, "l1"),
     "arrayl2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
     "arrayl2squareddistance": lambda a: _vec_fold(a, "l2sq"),
@@ -3228,6 +3248,51 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "has no published closed form to match — jumpConsistentHash is "
         "the value-faithful alternative here"
     )),
+    # round-10 gap scan, wave 2
+    "toisoyear": lambda a: (
+        f"extract(YEAROFWEEK FROM CAST({a[0]} AS DATE))"
+    ),
+    "tostartofisoyear": lambda a: (
+        # Monday of ISO week 1 = the Monday on/before Jan 4 of the ISO year
+        f"date_sub(make_date(extract(YEAROFWEEK FROM CAST({a[0]} AS DATE)),"
+        f" 1, 4), weekday(make_date(extract(YEAROFWEEK FROM"
+        f" CAST({a[0]} AS DATE)), 1, 4)))"
+    ),
+    "tostringcuttozero": lambda a: f"substring_index({a[0]}, chr(0), 1)",
+    # CH bin pads to BYTE boundaries; Spark's bin is minimal-width.  Pads
+    # to the byte boundary of the VALUE — equals CH whenever the CH type
+    # is the minimal byte width (all docs examples); a wider declared CH
+    # type would pad further (type width is unknowable at translate time)
+    "bin": lambda a: (
+        f"lpad(bin({a[0]}), CAST(8 * ceil(length(bin({a[0]})) / 8.0)"
+        f" AS INT), '0')"
+    ),
+    # inverse: bit string → the bytes it encodes, rendered as String.
+    # conv() folds through a 64-bit integer — inputs beyond 8 bytes are
+    # out of range (CH accepts arbitrary length; documented delta)
+    "unbin": lambda a: (
+        f"CAST(unhex(lpad(conv({a[0]}, 2, 16),"
+        f" CAST(2 * ceil(length(conv({a[0]}, 2, 16)) / 2.0) AS INT),"
+        f" '0')) AS STRING)"
+    ),
+    # like JSONExtractKeysAndValues but values stay raw JSON text —
+    # Spark's map<string,string> parse keeps non-string values verbatim
+    "jsonextractkeysandvaluesraw": lambda a: (
+        f"map_entries(from_json({a[0]}, 'map<string,string>'))"
+    ),
+    "bitslice": lambda a: (_ for _ in ()).throw(DialectError(
+        "bitSlice: bit-granular substrings have no Spark builtin — use "
+        "substring for byte offsets, or shiftLeft/shiftRight + bitAnd "
+        "masks for integer bit fields"
+    )),
+    "firstsignificantsubdomaincustom": lambda a: (_ for _ in ()).throw(
+        DialectError(
+            "firstSignificantSubdomainCustom: needs a server-side custom "
+            "TLD list, which does not exist here — "
+            "firstSignificantSubdomain (the built-in public-suffix rules) "
+            "is supported"
+        )
+    ),
     # H3 family: needs the h3 index library (not in this environment) —
     # guided instead of unresolved-function (round 8); the planar/sphere
     # geometry functions below now translate (round 10)
@@ -3240,7 +3305,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))))(_t)
         for _t in ("h3togeo",
                    "geotoh3", "h3togeoboundary", "h3getresolution",
-                   "h3edgelengthm", "h3kring", "h3isvalid")
+                   "h3edgelengthm", "h3kring", "h3isvalid",
+                   "stringtoh3", "h3tostring")
     },
     # normalizeUTF8* (round 9 — was a guided error): Spark has no Unicode-
     # normalization builtin; Python's unicodedata implements the same UAX
@@ -3475,6 +3541,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "mapReverseSort: only the 1-argument form is supported"
         ))
     ),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the comparator-lambda/limit forms cannot map to "
+            "Spark's array_sort — sort map_entries() explicitly and "
+            "slice() for the partial forms"
+        ))))(_t)
+        for _t in ("mappartialsort", "mappartialreversesort")
+    },
     # CH isValidUTF8/toValidUTF8 → Spark 4 UTF-8 builtins (UInt8 contract)
     "isvalidutf8": lambda a: f"IF(is_valid_utf8({a[0]}), 1, 0)",
     "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
@@ -5123,7 +5197,8 @@ TEMPLATES.update({
         ))))(_t)
         for _t in ("tupleplus", "tupleminus", "tuplemultiply",
                    "tupledivide", "tuplenegate", "tupleintdiv",
-                   "tuplemultiplybynumber", "tupledividebynumber")
+                   "tuplemultiplybynumber", "tupledividebynumber",
+                   "tuplesum")
     },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(

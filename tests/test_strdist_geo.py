@@ -165,3 +165,44 @@ def test_round10_guided_entries():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_round10_wave2(spark):
+    # ISO-year family, cut-to-zero, bin/unbin byte padding, KV raw
+    row = one(
+        spark,
+        "SELECT toISOYear(toDate('2021-01-01')) AS iy,"
+        " toStartOfISOYear(toDate('2024-06-01')) AS sy,"
+        " toStringCutToZero(concat('ab', char(0), 'cd')) AS cz,"
+        " bin(14) AS b, bin(256) AS b2,"
+        " unbin('0011000100110000') AS ub,"
+        " leftPadUTF8('a', 3, 'bc') AS lp"
+    )
+    assert row.iy == 2020  # 2021-01-01 falls in ISO week 53 of 2020
+    assert str(row.sy) == "2024-01-01"  # ISO 2024 starts Mon Jan 1
+    assert row.cz == "ab"
+    assert row.b == "00001110"  # CH docs bin(14), byte-padded
+    assert row.b2 == "0000000100000000"
+    assert row.ub == "10"  # CH docs unbin example
+    assert row.lp == "bca"
+
+
+def test_round10_wave2_kv_raw(spark):
+    row = one(
+        spark,
+        """SELECT JSONExtractKeysAndValuesRaw('{"a": {"b": 1}, "c": 2}') AS kv""",
+    )
+    assert [(e.key, e.value) for e in row.kv] == [("a", '{"b":1}'), ("c", "2")]
+
+
+def test_round10_wave2_guided():
+    for sql, frag in [
+        ("SELECT tupleSum(t) FROM x", "arity"),
+        ("SELECT dotProduct((1, 2), (3, 4)) FROM x", "tuple"),
+        ("SELECT mapPartialSort((k, v) -> v, 2, m) FROM x", "map_entries"),
+        ("SELECT bitSlice(s, 2, 8) FROM x", "bit-granular"),
+        ("SELECT stringToH3(s) FROM x", "h3"),
+        ("SELECT firstSignificantSubdomainCustom(u, 'l') FROM x", "TLD"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
