@@ -5057,11 +5057,27 @@ TEMPLATES.update({
         "flattenTuple: flatten named_struct fields explicitly with "
         "tupleElement / .N access"
     )),
-    "studentttestonesample": lambda a: (_ for _ in ()).throw(DialectError(
-        "studentTTestOneSample: use studentTTest against a constant "
-        "second sample, or compute t = (avg(x) - mu) / (stddevSamp(x) / "
-        "sqrt(count(x))) explicitly"
-    )),
+    # round 10 (was guided): the one-sample t-test — plain aggregates
+    # (no per-group buffer), p-value on the same lgamma-backed ch_t_sf
+    # the two-sample family uses.  population_mean must be a constant
+    # (CH's own contract).
+    "studentttestonesample": lambda a: (
+        (_ for _ in ()).throw(DialectError(
+            "studentTTestOneSample takes (sample_data, population_mean)"
+        ))
+        if len(a) != 2
+        else (
+            "named_struct('t_statistic', "
+            f"try_divide(avg(CAST({a[0]} AS DOUBLE)) - ({a[1]}), "
+            f"try_divide(stddev_samp(CAST({a[0]} AS DOUBLE)), "
+            f"sqrt(count({a[0]})))), "
+            "'p_value', 2 * ch_t_sf(abs("
+            f"try_divide(avg(CAST({a[0]} AS DOUBLE)) - ({a[1]}), "
+            f"try_divide(stddev_samp(CAST({a[0]} AS DOUBLE)), "
+            f"sqrt(count({a[0]}))))), "
+            f"CAST(count({a[0]}) - 1 AS DOUBLE)))"
+        )
+    ),
 })
 
 _READABLE_UNITS = [

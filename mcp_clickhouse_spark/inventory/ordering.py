@@ -16,23 +16,26 @@ the never-driver-checked queries, then drain the r6-stale pool):
   scalar_ip_functions gained IPv4-mapped-IPv6 parsing, and
   agg_combinators_r9's -Resample empty buckets now fill with the
   aggregate default);
-- the 5 round-10 additions: behav_funnel_strict (windowFunnel
+- the 6 round-10 additions: behav_funnel_strict (windowFunnel
   strict_order/strict_deduplication), behav_sequence_next_node,
-  agg_quantile_exact_variants (+ mapPopulateSeries), and the two
+  agg_quantile_exact_variants (+ mapPopulateSeries), and the three
   round-10 gap-scan waves scalar_string_distance (byte-exact
   Damerau-Levenshtein/Jaro/Jaro-Winkler/byteHamming + arrayLevenshtein
-  + lgamma/tgamma) and scalar_geo (greatCircle*, pointInPolygon,
-  polygon*Cartesian, geohashEncode);
-- 36 of the 40 queries last driver-checked in round 6 (the whole pool
-  minus the four deferred below).
+  + lgamma/tgamma), scalar_geo (greatCircle*, pointInPolygon,
+  polygon*Cartesian, geohashEncode) and scalar_round10_wave2
+  (toISOYear/toStartOfISOYear, sigmoid, byte-padded bin/unbin,
+  toStringCutToZero, studentTTestOneSample);
+- 35 of the 40 queries last driver-checked in round 6 (the whole pool
+  minus the five deferred below).
 
 Deferred to the round-11 lead (the only r6-stale remainder):
-``join_cross``, ``scan_projection``, ``setop_union_distinct`` — each
-the lowest-marginal-value member of a family whose siblings rotate this
-round (join_inner/left/theta/any; the scan shapes the bench re-measures
-every round; union_all/intersect/except) — and the rows-only
-``pipe_dup_clusters_minhash`` (its driver row carries no value hash by
-design).
+``join_cross``, ``scan_projection``, ``setop_union_distinct``,
+``agg_any_first_last`` — each the lowest-marginal-value member of a
+family whose siblings rotate this round (join_inner/left/theta/any; the
+scan shapes the bench re-measures every round; union_all/intersect/
+except; any/anyLast appear inside many other green queries) — and the
+rows-only ``pipe_dup_clusters_minhash`` (its driver row carries no
+value hash by design).
 """
 
 from __future__ import annotations
@@ -58,8 +61,8 @@ PRIORITY: list[str] = [
     "agg_quantile_exact_variants",
     "scalar_string_distance",
     "scalar_geo",
-    # last driver-checked in round 6 (36 of the 40-query pool)
-    "agg_any_first_last",
+    "scalar_round10_wave2",
+    # last driver-checked in round 6 (35 of the 40-query pool)
     "agg_count_distinct",
     "agg_cube",
     "agg_rollup",

@@ -1234,3 +1234,59 @@ def scalar_geo(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(translate(_SQL_GEO_CH))
+
+
+_SQL_R10_WAVE2_CH = """
+SELECT o_orderpriority AS pri,
+       toISOYear(toDate(min(o_orderdate))) AS iy,
+       toStartOfISOYear(toDate(max(o_orderdate))) AS sy,
+       round(sigmoid(avg(o_totalprice) / 100000.0), 8) AS sg,
+       bin(count() % 300) AS bn,
+       unbin(bin(64 + count() % 32)) AS ub,
+       toStringCutToZero(concat(min(o_orderpriority), char(0), 'zzz')) AS cz,
+       round(tupleElement(studentTTestOneSample(o_totalprice, 150000.0),
+             't_statistic'), 6) AS t1
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+@query(
+    "scalar_round10_wave2",
+    oracle="""
+    SELECT o_orderpriority AS pri,
+           CAST(isoyear(CAST(min(o_orderdate) AS DATE)) AS INT) AS iy,
+           make_date(CAST(isoyear(CAST(max(o_orderdate) AS DATE)) AS INT),
+                     1, 4)
+             - CAST(isodow(make_date(CAST(isoyear(CAST(max(o_orderdate)
+                 AS DATE)) AS INT), 1, 4)) - 1 AS INT) AS sy,
+           round(1.0 / (1.0 + exp(-(avg(o_totalprice) / 100000.0))), 8)
+             AS sg,
+           lpad(bin(COUNT(*) % 300),
+                CAST(8 * ceil(length(bin(COUNT(*) % 300)) / 8.0) AS INT),
+                '0') AS bn,
+           chr(CAST(64 + COUNT(*) % 32 AS INT)) AS ub,
+           min(o_orderpriority) AS cz,
+           round((avg(o_totalprice) - 150000.0)
+                 / (stddev_samp(o_totalprice) / sqrt(COUNT(*))), 6) AS t1
+    FROM orders GROUP BY o_orderpriority
+    """,
+    category="scalars",
+)
+def scalar_round10_wave2(spark, sf_dir):
+    """Round-10 wave-2 gap-scan functions with DuckDB-recomputable twins:
+    toISOYear / toStartOfISOYear (the oracle re-derives the Monday of ISO
+    week 1 from isoyear+isodow), sigmoid, bin with CH's byte-boundary
+    padding (oracle: the same lpad rule over DuckDB's minimal-width bin),
+    unbin (the oracle reduces the bin→unbin round trip to chr() of the
+    value — 64..95 stays printable ASCII), toStringCutToZero (cut at the
+    planted NUL restores the bare priority string), and the round-10
+    studentTTestOneSample (oracle: the closed-form (x̄−μ)/(s/√n); the
+    p-value rides on the pytest-pinned t-distribution like the two-sample
+    family).  erf/erfc have no DuckDB twin — pinned against math.erf in
+    tests/test_strdist_geo.py instead."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.stats import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R10_WAVE2_CH))
