@@ -5428,6 +5428,66 @@ TEMPLATES["date_diff"] = TEMPLATES["datediff"]
 TEMPLATES["timestampdiff"] = TEMPLATES["datediff"]
 TEMPLATES["timestamp_diff"] = TEMPLATES["datediff"]
 TEMPLATES["timestampadd"] = TEMPLATES["dateadd"]
+
+
+# --- generic -If composition (round 10) --------------------------------------
+# CH's -If combinator composes with EVERY aggregate; the hand-written
+# entries above cover the hot names, and this generator fills the rest of
+# the aggregate surface by delegating to the base handler with every value
+# argument NULLed out on non-matching rows (Spark aggregates skip NULLs —
+# exactly CH's -If row filter).  Only aggregate bases are listed: a scalar
+# name ending in "if" (multiIf, …) must never match.
+def _if_handler(base: str):
+    base_tpl = TEMPLATES.get(base)
+    spark_name = NAME_MAP.get(base)
+
+    def h(a: list[str]) -> str:
+        if len(a) < 2:
+            raise DialectError(f"{base}If takes (arguments…, condition)")
+        cond = a[-1]
+        wrapped = [f"CASE WHEN {cond} THEN {x} END" for x in a[:-1]]
+        if base_tpl is not None:
+            return base_tpl(wrapped)
+        return f"{spark_name}({', '.join(wrapped)})"
+
+    return h
+
+
+_IF_ABLE_AGG_BASES = (
+    "grouparray", "groupuniqarray", "anylast", "anyheavy", "median",
+    "stddevsamp", "stddevpop", "varsamp", "varpop", "corr",
+    "covarsamp", "covarpop", "avgweighted", "sumkahan", "sumcount",
+    "groupconcat", "uniq", "uniqcombined", "uniqcombined64", "uniqhll12",
+    "uniqtheta", "groupbitand", "groupbitor", "groupbitxor",
+    "skewpop", "skewsamp", "kurtpop", "kurtsamp", "entropy",
+    "boundingratio", "singlevalueornull", "intervallengthsum",
+)
+for _b in _IF_ABLE_AGG_BASES:
+    _n = _b + "if"
+    if _n not in TEMPLATES and _n not in NAME_MAP and (
+        _b in TEMPLATES or _b in NAME_MAP
+    ):
+        TEMPLATES[_n] = _if_handler(_b)
+
+
+def _if_parametric(base: str):
+    fn = PARAMETRIC[base]
+
+    def h(p: list[str], a: list[str]) -> str:
+        if len(a) < 2:
+            raise DialectError(f"{base}If takes (arguments…, condition)")
+        cond = a[-1]
+        return fn(p, [f"CASE WHEN {cond} THEN {x} END" for x in a[:-1]])
+
+    return h
+
+
+for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
+           "quantilebfloat16", "uniqupto", "grouparraylast",
+           "grouparraysorted"):
+    _n = _b + "if"
+    if _b in PARAMETRIC and _n not in PARAMETRIC:
+        PARAMETRIC[_n] = _if_parametric(_b)
 TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
 TEMPLATES["domainrfc"] = TEMPLATES["domain"]
 TEMPLATES["topleveldomainrfc"] = TEMPLATES["topleveldomain"]

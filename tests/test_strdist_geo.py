@@ -206,3 +206,38 @@ def test_round10_wave2_guided():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_generic_if_combinator(spark):
+    """Round-10 generic -If composition: bases without a hand-written
+    -If entry compose through the generator (value args NULLed on
+    non-matching rows — the CH -If row filter)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _ifc AS"
+        " SELECT id AS x, id % 3 AS k, CAST(id AS DOUBLE) AS v"
+        " FROM range(10)"
+    )
+    row = one(
+        spark,
+        "SELECT groupArrayIf(x, k = 1) AS ga,"
+        " groupUniqArrayIf(k, v > 3) AS gu,"
+        " anyLastIf(v, k = 0) AS al,"
+        " medianIf(v, k = 1) AS md,"
+        " round(corrIf(v, x * 2, v > 1), 10) AS cr,"
+        " quantileIf(0.5)(v, k = 1) AS q,"
+        " grouparraylastIf(2)(x, k = 1) AS gl"
+        " FROM _ifc",
+    )
+    assert sorted(row.ga) == [1, 4, 7]
+    assert sorted(row.gu) == [0, 1, 2]
+    assert row.al == 9.0
+    assert row.md == 4.0
+    assert row.cr == 1.0
+    assert row.q == 4.0
+    assert list(row.gl) == [4, 7]
+    # scalar names ending in "if" resolve to their own templates, never
+    # the aggregate wrap (multiIf = CH's own conditional, not "mult"-If)
+    assert (
+        translate("SELECT multiIf(x > 5, 1, 0) FROM t")
+        == "SELECT CASE WHEN x > 5 THEN 1 ELSE 0 END FROM t"
+    )
