@@ -855,3 +855,64 @@ def agg_combinators_r9(spark, sf_dir):
 
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_SQL_COMBINATORS_R9_CH))
+
+
+_SQL_IF_GENERIC_CH = """
+SELECT l_returnflag AS g,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arraySort(groupArrayIf(l_linenumber, l_quantity > 49))), ',') AS ga,
+       arrayStringConcat(arrayMap(x -> toString(x),
+           arraySort(groupUniqArrayIf(l_linenumber, l_quantity > 45))), ',') AS gu,
+       medianIf(l_quantity, l_linenumber = 1) AS md,
+       round(corrIf(l_quantity, l_extendedprice, l_discount > 0.05), 8) AS cr,
+       round(stddevSampIf(l_quantity, l_tax < 0.04), 8) AS sd,
+       quantileExactIf(0.25)(l_quantity, l_linenumber > 2) AS qe
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+@query(
+    "agg_if_generic",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag AS g, l_linenumber AS ln,
+             CAST(l_quantity AS DOUBLE) AS q,
+             CAST(l_extendedprice AS DOUBLE) AS ep,
+             l_discount AS d, l_tax AS tx
+      FROM lineitem
+    ),
+    qs AS (
+      SELECT g, list_sort(list(q) FILTER (WHERE ln > 2)) AS a,
+             COUNT(*) FILTER (WHERE ln > 2) AS n
+      FROM s GROUP BY g
+    )
+    SELECT s.g,
+           COALESCE(string_agg(CAST(ln AS VARCHAR), ',' ORDER BY ln)
+             FILTER (WHERE q > 49), '') AS ga,
+           COALESCE((SELECT string_agg(CAST(u.u AS VARCHAR), ',' ORDER BY u.u)
+             FROM (SELECT DISTINCT s2.ln AS u FROM s s2
+                   WHERE s2.g = s.g AND s2.q > 45) u), '') AS gu,
+           quantile_cont(q, 0.5) FILTER (WHERE ln = 1) AS md,
+           round(corr(q, ep) FILTER (WHERE d > 0.05), 8) AS cr,
+           round(stddev_samp(q) FILTER (WHERE tx < 0.04), 8) AS sd,
+           (SELECT a[CAST(0.25 * n AS INTEGER) + 1] FROM qs
+            WHERE qs.g = s.g) AS qe
+    FROM s GROUP BY s.g
+    """,
+    category="aggregates",
+)
+def agg_if_generic(spark, sf_dir):
+    """The round-10 GENERIC -If combinator surface (dialect.py
+    _if_handler): bases with no hand-written -If entry — groupArrayIf,
+    groupUniqArrayIf, medianIf, corrIf, stddevSampIf, and the parametric
+    quantileExactIf — composed by NULLing value arguments on
+    non-matching rows.  Oracle: DuckDB's native FILTER clause per
+    aggregate (a different row-filtering mechanism entirely), the
+    distinct-set CSV via a correlated DISTINCT subquery, and
+    quantileExact's floor(level·n) selection over the FILTERed sorted
+    list.  Arrays flatten to sorted CSV for the scalar-only driver
+    canonicalizer."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_SQL_IF_GENERIC_CH))

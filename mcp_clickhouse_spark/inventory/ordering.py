@@ -16,7 +16,7 @@ the never-driver-checked queries, then drain the r6-stale pool):
   scalar_ip_functions gained IPv4-mapped-IPv6 parsing, and
   agg_combinators_r9's -Resample empty buckets now fill with the
   aggregate default);
-- the 6 round-10 additions: behav_funnel_strict (windowFunnel
+- the 7 round-10 additions: behav_funnel_strict (windowFunnel
   strict_order/strict_deduplication), behav_sequence_next_node,
   agg_quantile_exact_variants (+ mapPopulateSeries), and the three
   round-10 gap-scan waves scalar_string_distance (byte-exact
@@ -24,18 +24,19 @@ the never-driver-checked queries, then drain the r6-stale pool):
   + lgamma/tgamma), scalar_geo (greatCircle*, pointInPolygon,
   polygon*Cartesian, geohashEncode) and scalar_round10_wave2
   (toISOYear/toStartOfISOYear, sigmoid, byte-padded bin/unbin,
-  toStringCutToZero, studentTTestOneSample);
-- 35 of the 40 queries last driver-checked in round 6 (the whole pool
-  minus the five deferred below).
+  toStringCutToZero, studentTTestOneSample) plus agg_if_generic (the
+  generic -If combinator surface);
+- 34 of the 40 queries last driver-checked in round 6 (the whole pool
+  minus the six deferred below).
 
 Deferred to the round-11 lead (the only r6-stale remainder):
 ``join_cross``, ``scan_projection``, ``setop_union_distinct``,
-``agg_any_first_last`` — each the lowest-marginal-value member of a
-family whose siblings rotate this round (join_inner/left/theta/any; the
-scan shapes the bench re-measures every round; union_all/intersect/
-except; any/anyLast appear inside many other green queries) — and the
-rows-only ``pipe_dup_clusters_minhash`` (its driver row carries no
-value hash by design).
+``setop_intersect``, ``agg_any_first_last`` — each the
+lowest-marginal-value member of a family whose siblings rotate this
+round (join_inner/left/theta/any; the scan shapes the bench re-measures
+every round; union_all/except; any/anyLast appear inside many other
+green queries) — and the rows-only ``pipe_dup_clusters_minhash`` (its
+driver row carries no value hash by design).
 """
 
 from __future__ import annotations
@@ -62,7 +63,8 @@ PRIORITY: list[str] = [
     "scalar_string_distance",
     "scalar_geo",
     "scalar_round10_wave2",
-    # last driver-checked in round 6 (35 of the 40-query pool)
+    "agg_if_generic",
+    # last driver-checked in round 6 (34 of the 40-query pool)
     "agg_count_distinct",
     "agg_cube",
     "agg_rollup",
@@ -93,7 +95,6 @@ PRIORITY: list[str] = [
     "scalar_map",
     "scalar_string",
     "setop_except",
-    "setop_intersect",
     "setop_union_all",
     "shim_limit_by",
     "streaming_clean_corpus",
