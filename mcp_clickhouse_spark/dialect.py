@@ -2506,13 +2506,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "dictHas: external dictionaries do not exist here — use a LEFT "
         "SEMI JOIN against the dimension table"
     )),
-    "tointervalsecond": lambda a: f"make_interval(0, 0, 0, 0, 0, 0, {a[0]})",
-    "tointervalminute": lambda a: f"make_interval(0, 0, 0, 0, 0, {a[0]}, 0)",
-    "tointervalhour": lambda a: f"make_interval(0, 0, 0, 0, {a[0]}, 0, 0)",
-    "tointervalday": lambda a: f"make_interval(0, 0, 0, {a[0]}, 0, 0, 0)",
-    "tointervalweek": lambda a: f"make_interval(0, 0, {a[0]}, 0, 0, 0, 0)",
-    "tointervalmonth": lambda a: f"make_interval(0, {a[0]}, 0, 0, 0, 0, 0)",
-    "tointervalyear": lambda a: f"make_interval({a[0]}, 0, 0, 0, 0, 0, 0)",
+    # round 10: make_dt_interval/make_ym_interval instead of
+    # make_interval — CalendarIntervalType cannot be collected by
+    # PySpark, the typed intervals can, and date arithmetic accepts both
+    "tointervalsecond": lambda a: f"make_dt_interval(0, 0, 0, {a[0]})",
+    "tointervalminute": lambda a: f"make_dt_interval(0, 0, {a[0]}, 0)",
+    "tointervalhour": lambda a: f"make_dt_interval(0, {a[0]}, 0, 0)",
+    "tointervalday": lambda a: f"make_dt_interval({a[0]}, 0, 0, 0)",
+    "tointervalweek": lambda a: f"make_dt_interval(7 * ({a[0]}), 0, 0, 0)",
+    "tointervalmonth": lambda a: f"make_ym_interval(0, {a[0]})",
+    "tointervalquarter": lambda a: f"make_ym_interval(0, 3 * ({a[0]}))",
+    "tointervalyear": lambda a: f"make_ym_interval({a[0]}, 0)",
     # CH extract(haystack, pattern) is 2-arg regex extraction; ANSI
     # EXTRACT(YEAR FROM ts) reaches here as ONE argument — pass it through
     # unchanged (valid Spark SQL) instead of crashing on a[1].
@@ -3214,6 +3218,53 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "trybase64decode": lambda a: (
         f"ifnull(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
     ),
+    # URL-safe base64, unpadded (round 10): pure column expressions —
+    # translate() swaps the alphabet and DROPS '=' (no to-counterpart),
+    # decode re-pads to the 4-char boundary first
+    "base64urlencode": lambda a: (
+        f"translate(base64(CAST({a[0]} AS BINARY)), '+/=', '-_')"
+    ),
+    "base64urldecode": lambda a: (
+        f"CAST(unbase64(rpad(translate({a[0]}, '-_', '+/'),"
+        f" CAST(4 * ceil(length({a[0]}) / 4.0) AS INT), '=')) AS STRING)"
+    ),
+    "trybase64urldecode": lambda a: (
+        f"ifnull(CAST(try_to_binary(rpad(translate({a[0]}, '-_', '+/'),"
+        f" CAST(4 * ceil(length({a[0]}) / 4.0) AS INT), '='), 'base64')"
+        f" AS STRING), '')"
+    ),
+    # base32 (RFC 4648): Python's base64.b32encode/b32decode via the
+    # codecs pandas_udfs (functions/codecs.py)
+    "base32encode": lambda a: f"ch_base32_encode({a[0]})",
+    "base32decode": lambda a: f"ch_base32_decode({a[0]})",
+    "trybase32decode": lambda a: f"ch_try_base32_decode({a[0]})",
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the dynamic JSON column type does not exist here — "
+            "parse with an explicit schema (from_json) and inspect "
+            "json_object_keys"
+        ))))(_t)
+        for _t in ("jsonallpaths", "jsondynamicpaths",
+                   "jsonallpathswithtypes", "jsondynamicpathswithtypes",
+                   "jsonsharedatapaths")
+    },
+    "byteswap": lambda a: (_ for _ in ()).throw(DialectError(
+        "byteSwap: the result depends on the integer's declared BYTE "
+        "WIDTH, which is unknowable at translate time — reverse the "
+        "bytes explicitly via conv/hex for a known width"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: Spark has no 128/256-bit integers — DECIMAL(38,0) "
+            "covers 38 digits (CAST(x AS DECIMAL(38,0))); beyond that, "
+            "keep values as strings"
+        ))))(_t)
+        for _t in ("touint128", "toint128", "touint256", "toint256")
+    },
+    "transactionid": lambda a: (_ for _ in ()).throw(DialectError(
+        "transactionID: ClickHouse experimental transactions do not "
+        "exist here"
+    )),
     # delta: CH throws when the value is LONGER than n; rpad truncates
     "tofixedstring": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
     # occurrence index of each element among its equals so far (1-based)
@@ -3673,7 +3724,23 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "rand32": lambda a: "CAST(floor(rand() * 4294967296) AS BIGINT)",
     # 64 random bits (signed here; CH renders UInt64)
     "rand64": lambda a: "xxhash64(uuid())",
-    "randnormal": lambda a: f"({a[0]} + randn() * {a[1]})",
+    # CH's second argument is the VARIANCE (docs), so scale by its sqrt
+    # (round 10 fix — was treated as the stddev)
+    "randnormal": lambda a: f"({a[0]} + randn() * sqrt({a[1]}))",
+    "randlognormal": lambda a: f"exp({a[0]} + randn() * sqrt({a[1]}))",
+    "randbernoulli": lambda a: (
+        f"CAST(IF(rand() < ({a[0]}), 1, 0) AS BIGINT)"
+    ),
+    "randexponential": lambda a: f"(-ln(1.0 - rand()) / ({a[0]}))",
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: no bounded closed-form inverse transform in SQL — "
+            "use randUniform/randNormal/randExponential/randBernoulli/"
+            "randLogNormal, or sample in a pandas UDF"
+        ))))(_t)
+        for _t in ("randpoisson", "randbinomial", "randnegativebinomial",
+                   "randchisquared", "randstudentt", "randfisherf")
+    },
     "randuniform": lambda a: f"({a[0]} + rand() * (({a[1]}) - ({a[0]})))",
     "tonullable": lambda a: f"({a[0]})",  # type-system no-op on Spark
     "nowinblock": lambda a: "now()",
@@ -5428,6 +5495,15 @@ TEMPLATES["date_diff"] = TEMPLATES["datediff"]
 TEMPLATES["timestampdiff"] = TEMPLATES["datediff"]
 TEMPLATES["timestamp_diff"] = TEMPLATES["datediff"]
 TEMPLATES["timestampadd"] = TEMPLATES["dateadd"]
+# DateTime64 spellings of the best-effort parsers (round 10): same
+# semantics here — Spark TIMESTAMP is already microsecond-precision
+TEMPLATES["parsedatetime64besteffort"] = TEMPLATES["parsedatetimebesteffort"]
+TEMPLATES["parsedatetime64besteffortornull"] = (
+    TEMPLATES["parsedatetimebesteffortornull"]
+)
+TEMPLATES["parsedatetime64besteffortorzero"] = (
+    TEMPLATES["parsedatetimebesteffortorzero"]
+)
 
 
 # --- generic -If composition (round 10) --------------------------------------

@@ -86,6 +86,9 @@ LAZY_UDFS = {
     "ch_base58_encode": _register_codecs,
     "ch_base58_decode": _register_codecs,
     "ch_try_base58_decode": _register_codecs,
+    "ch_base32_encode": _register_codecs,
+    "ch_base32_decode": _register_codecs,
+    "ch_try_base32_decode": _register_codecs,
     "ch_ipv6_aton": _register_ipaddr,
     "ch_ipv6_ntoa": _register_ipaddr,
     "ch_is_ipv6": _register_ipaddr,

@@ -108,5 +108,29 @@ def ensure_registered(spark) -> None:
         ("ch_base58_encode", base58_encode, None),
         ("ch_base58_decode", base58_decode, None),
         ("ch_try_base58_decode", base58_decode, ""),
+        ("ch_base32_encode", base32_encode, None),
+        ("ch_base32_decode", base32_decode, None),
+        ("ch_try_base32_decode", base32_decode, ""),
     ]:
         spark.udf.register(name, _make(fn, on_error))
+
+
+def base32_encode(s: str) -> str:
+    """RFC 4648 base32 with padding (round 10), over the UTF-8 bytes —
+    the same contract CH's base32Encode documents."""
+    import base64 as _b64
+
+    return _b64.b32encode(s.encode("utf-8")).decode("ascii")
+
+
+def base32_decode(s: str) -> str:
+    """Strict RFC 4648 decode; raises on invalid input (base32Decode),
+    mapped to '' by the try* wrapper.  Non-UTF-8 payloads fall back to
+    latin-1 like base58_decode (documented delta)."""
+    import base64 as _b64
+
+    data = _b64.b32decode(s.encode("ascii"))
+    try:
+        return data.decode("utf-8")
+    except UnicodeDecodeError:
+        return data.decode("latin-1")

@@ -241,3 +241,73 @@ def test_generic_if_combinator(spark):
         translate("SELECT multiIf(x > 5, 1, 0) FROM t")
         == "SELECT CASE WHEN x > 5 THEN 1 ELSE 0 END FROM t"
     )
+
+
+def test_round10_wave3(spark):
+    # base32/base64URL codecs, typed intervals, rand fixes
+    row = one(
+        spark,
+        "SELECT base32Encode('ivan') AS b32,"
+        " base32Decode(base32Encode('ivan')) AS b32d,"
+        " tryBase32Decode('!!') AS b32t,"
+        " base64URLEncode('https://clickhouse.com') AS b64u,"
+        " base64URLDecode('aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ') AS b64d,"
+        " tryBase64URLDecode('%%%') AS b64t,"
+        " toDate('2024-01-31') + toIntervalMonth(1) AS pm,"
+        " toDate('2024-01-01') + toIntervalWeek(2) AS pw,"
+        " toIntervalDay(3) AS iv",
+    )
+    import base64 as _b64
+
+    assert row.b32 == _b64.b32encode(b"ivan").decode()  # RFC 4648 round trip
+    assert row.b32d == "ivan"
+    assert row.b32t == ""
+    assert row.b64u == "aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ"  # CH docs example
+    assert row.b64d == "https://clickhouse.com"
+    assert row.b64t == ""
+    assert str(row.pm) == "2024-02-29"  # month-end clamping
+    # date + day-time interval promotes to TIMESTAMP in Spark (CH keeps
+    # Date) — the instant is the same midnight
+    assert str(row.pw).startswith("2024-01-15")
+    assert row.iv is not None  # DayTimeIntervalType collects fine now
+
+
+def test_round10_wave3_rand(spark):
+    spark.sql("CREATE OR REPLACE TEMP VIEW _r10w3 AS SELECT id FROM range(2000)")
+    rows = spark.sql(translate(
+        "SELECT randBernoulli(0.5) AS b, randExponential(2.0) AS e,"
+        " randNormal(10, 4) AS n, randLogNormal(0, 1) AS ln"
+        " FROM _r10w3"
+    )).collect()
+    bs = [r.b for r in rows]
+    assert set(bs) <= {0, 1}
+    assert 800 < sum(bs) < 1200  # p=0.5 over 2000 draws
+    es = [r.e for r in rows]
+    assert all(v >= 0 for v in es)
+    assert 0.4 < sum(es) / len(es) < 0.6  # mean 1/lambda = 0.5
+    ns = [r.n for r in rows]
+    m = sum(ns) / len(ns)
+    var = sum((v - m) ** 2 for v in ns) / (len(ns) - 1)
+    assert 9.5 < m < 10.5 and 3.0 < var < 5.2  # variance arg is VARIANCE
+    assert all(v > 0 for v in [r.ln for r in rows])
+
+
+def test_round10_wave3_guided():
+    for sql, frag in [
+        ("SELECT randPoisson(5) FROM t", "closed-form"),
+        ("SELECT byteSwap(x) FROM t", "WIDTH"),
+        ("SELECT toUInt128(x) FROM t", "DECIMAL"),
+        ("SELECT JSONAllPaths(j) FROM t", "dynamic JSON"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
+
+
+def test_parse_datetime64_aliases(spark):
+    row = one(
+        spark,
+        "SELECT parseDateTime64BestEffort('2024-01-01 10:00:00.123') AS a,"
+        " parseDateTime64BestEffortOrNull('junk') AS b",
+    )
+    assert str(row.a).startswith("2024-01-01 10:00:00")
+    assert row.b is None
