@@ -2613,7 +2613,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countmatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
-    "hassubstr": lambda a: f"contains({a[0]}, {a[1]})",
+    # hasSubstr is CH's ARRAY-consecutive-subsequence test (round 10 fix
+    # — was mis-mapped to contains, which only types over strings)
+    "hassubstr": lambda a: (
+        f"CASE WHEN size({a[1]}) = 0 THEN 1"
+        f" WHEN size({a[0]}) < size({a[1]}) THEN 0"
+        f" ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1),"
+        f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
+        f" END"
+    ),
+    # consecutive n-windows; CH throws on invalid length — empty array
+    # here (documented delta; raise_error cannot be typed generically)
+    "arrayshingles": lambda a: (
+        f"CASE WHEN ({a[1]}) >= 1 AND size({a[0]}) >= ({a[1]})"
+        f" THEN transform(sequence(1, size({a[0]}) - ({a[1]}) + 1),"
+        f" __sh -> slice({a[0]}, __sh, {a[1]})) ELSE array() END"
+    ),
     # weighted/statistical aggregates
     # denominator gated on the VALUE being non-NULL: CH skips rows whose
     # value is NULL entirely, so counting their weights would deflate the
@@ -3265,6 +3280,43 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "transactionID: ClickHouse experimental transactions do not "
         "exist here"
     )),
+    # round-10 wave 4 — date composition with CH's zero-date-on-invalid
+    # contract (nested CASE keeps make_date off the invalid branch, so
+    # ANSI mode never throws)
+    "yyyymmddtodate": lambda a: _yyyymmdd_to_date_expr(a[0], 1970, 2149),
+    "yyyymmddtodate32": lambda a: _yyyymmdd_to_date_expr(a[0], 1900, 2299),
+    "yyyymmddhhmmsstodatetime": lambda a: _yyyymmddhhmmss_expr(a[0]),
+    "yyyymmddhhmmsstodatetime64": lambda a: _yyyymmddhhmmss_expr(a[0]),
+    "makedate32": lambda a: (
+        f"make_date({a[0]}, {a[1]}, {a[2]})"
+        if len(a) == 3
+        # 2-arg (year, day_of_year) form, like makeDate
+        else f"date_add(make_date({a[0]}, 1, 1), CAST({a[1]} AS INT) - 1)"
+    ),
+    "makedatetime64": lambda a: (
+        f"make_timestamp({a[0]}, {a[1]}, {a[2]}, {a[3]}, {a[4]}, {a[5]})"
+    ),
+    "utctimestamp": lambda a: (
+        "to_utc_timestamp(current_timestamp(), current_timezone())"
+    ),
+    "utc_timestamp": lambda a: (
+        "to_utc_timestamp(current_timestamp(), current_timezone())"
+    ),
+    # URLHierarchy over the path component only (query/fragment dropped
+    # by parse_url — documented delta for query-bearing URLs)
+    "urlpathhierarchy": lambda a: _url_hierarchy_expr(
+        [f"coalesce(try_parse_url({a[0]}, 'PATH'), '')"], path_only=True
+    ),
+    "isconstant": lambda a: (_ for _ in ()).throw(DialectError(
+        "isConstant: column constness is ClickHouse planner "
+        "introspection — no Spark equivalent"
+    )),
+    "displayname": lambda a: (_ for _ in ()).throw(DialectError(
+        "displayName: server-instance metadata does not exist here"
+    )),
+    # date + tuple-of-intervals: chain the additions when the tuple is a
+    # LITERAL (arity known); column tuples keep the tuple-family guidance
+    "addtupleofintervals": lambda a: _add_tuple_of_intervals_expr(a),
     # delta: CH throws when the value is LONGER than n; rpad truncates
     "tofixedstring": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
     # occurrence index of each element among its equals so far (1-based)
@@ -3754,6 +3806,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # round 8: exact tie-aware pairwise AUC (helper above TEMPLATES)
     "arrayauc": _array_auc_expr,
+    "arrayrocauc": _array_auc_expr,  # 24.x spelling
     # round 8: CH unit constants verified against the docs example — see
     # _format_readable_time_delta above TEMPLATES
     "formatreadabletimedelta": _format_readable_time_delta,
@@ -4435,6 +4488,62 @@ def _polygon_perimeter_expr(a: list[str]) -> str:
     return (
         f"aggregate(sequence(1, size({rings})), CAST(0.0 AS DOUBLE), "
         f"(__pa, __pk) -> __pa + {ring_len})"
+    )
+
+
+def _yyyymmdd_to_date_expr(n: str, y_lo: int, y_hi: int) -> str:
+    """CH ``YYYYMMDDToDate[32]``: decimal-digit split into (y, m, d),
+    zero date (1970-01-01) when any component is invalid or the year is
+    outside the CH type range.  The nested CASE keeps make_date on the
+    valid branch only — ANSI mode never throws."""
+    y = f"CAST(({n}) DIV 10000 AS INT)"
+    m = f"CAST((({n}) DIV 100) % 100 AS INT)"
+    d = f"CAST(({n}) % 100 AS INT)"
+    return (
+        f"CASE WHEN {m} BETWEEN 1 AND 12 AND {y} BETWEEN {y_lo} AND {y_hi}"
+        f" THEN CASE WHEN {d} BETWEEN 1 AND"
+        f" day(last_day(make_date({y}, {m}, 1)))"
+        f" THEN make_date({y}, {m}, {d}) ELSE DATE '1970-01-01' END"
+        f" ELSE DATE '1970-01-01' END"
+    )
+
+
+def _yyyymmddhhmmss_expr(n: str) -> str:
+    """CH ``YYYYMMDDhhmmssToDateTime[64]``: zero datetime on any invalid
+    component, same nested-CASE ANSI guard as the date form."""
+    y = f"CAST(({n}) DIV 10000000000 AS INT)"
+    m = f"CAST((({n}) DIV 100000000) % 100 AS INT)"
+    d = f"CAST((({n}) DIV 1000000) % 100 AS INT)"
+    hh = f"CAST((({n}) DIV 10000) % 100 AS INT)"
+    mi = f"CAST((({n}) DIV 100) % 100 AS INT)"
+    ss = f"CAST(({n}) % 100 AS INT)"
+    zero = "TIMESTAMP '1970-01-01 00:00:00'"
+    return (
+        f"CASE WHEN {m} BETWEEN 1 AND 12 AND {y} BETWEEN 1970 AND 2149"
+        f" AND {hh} < 24 AND {mi} < 60 AND {ss} < 60"
+        f" THEN CASE WHEN {d} BETWEEN 1 AND"
+        f" day(last_day(make_date({y}, {m}, 1)))"
+        f" THEN make_timestamp({y}, {m}, {d}, {hh}, {mi}, {ss})"
+        f" ELSE {zero} END ELSE {zero} END"
+    )
+
+
+def _add_tuple_of_intervals_expr(a: list[str]) -> str:
+    """CH ``addTupleOfIntervals(date, (INTERVAL …, INTERVAL …))``: chain
+    the additions left-to-right when the tuple is a literal."""
+    if len(a) != 2:
+        raise DialectError(
+            "addTupleOfIntervals takes (date, (interval, …))"
+        )
+    t = a[1].strip()
+    if t.startswith("(") and t.endswith(")") and _find_balanced(t, 0) == len(t):
+        parts = _split_args(t[1:-1])
+        if parts:
+            return "(" + " + ".join([f"({a[0]})"] + parts) + ")"
+    raise DialectError(
+        "addTupleOfIntervals: the interval tuple must be a literal "
+        "((INTERVAL 1 DAY, INTERVAL 1 MONTH)) — column tuples have "
+        "unknowable arity at translate time; chain + INTERVAL instead"
     )
 
 

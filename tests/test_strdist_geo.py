@@ -311,3 +311,37 @@ def test_parse_datetime64_aliases(spark):
     )
     assert str(row.a).startswith("2024-01-01 10:00:00")
     assert row.b is None
+
+
+def test_round10_wave4(spark):
+    row = one(
+        spark,
+        "SELECT arrayShingles([1, 2, 3, 4], 3) AS sh,"
+        " hasSubstr([1, 2, 3, 4], [2, 3]) AS hs,"
+        " hasSubstr([1, 2, 3, 4], [2, 4]) AS hs2,"
+        " YYYYMMDDToDate(20230911) AS yd,"
+        " YYYYMMDDToDate(20240230) AS ydbad,"
+        " YYYYMMDDhhmmssToDateTime(20230911131415) AS ydt,"
+        " makeDate32(2024, 3, 15) AS md,"
+        " addTupleOfIntervals(toDate('2018-01-01'),"
+        "   (INTERVAL 1 DAY, INTERVAL 1 MONTH, INTERVAL 1 YEAR)) AS ati,"
+        " URLPathHierarchy('https://example.com/browse/CONV-6788') AS uph",
+    )
+    assert [list(s) for s in row.sh] == [[1, 2, 3], [2, 3, 4]]  # CH docs
+    assert (row.hs, row.hs2) == (1, 0)
+    assert str(row.yd) == "2023-09-11"  # CH docs example
+    assert str(row.ydbad) == "1970-01-01"  # zero date on invalid
+    assert str(row.ydt) == "2023-09-11 13:14:15"
+    assert str(row.md) == "2024-03-15"
+    assert str(row.ati) == "2019-02-02"  # CH docs example
+    assert list(row.uph) == ["/browse/", "/browse/CONV-6788"]  # CH docs
+
+
+def test_round10_wave4_guided():
+    for sql, frag in [
+        ("SELECT isConstant(x) FROM t", "planner"),
+        ("SELECT addTupleOfIntervals(d, ivs) FROM t", "literal"),
+        ("SELECT displayName() FROM t", "server-instance"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
