@@ -5673,6 +5673,77 @@ for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
     _n = _b + "if"
     if _b in PARAMETRIC and _n not in PARAMETRIC:
         PARAMETRIC[_n] = _if_parametric(_b)
+
+
+# -OrNull / -OrDefault over the same aggregate surface, plus their -If
+# chains (CH spells the stack in either order; both resolve here).
+# Spark aggregates already return NULL on an empty/all-NULL input — CH's
+# -OrNull contract — EXCEPT the count-like ones, whose genuine 0 means
+# "nothing aggregated" and NULLIFs away.  -OrDefault fills the numeric
+# type default 0 via coalesce.
+_COUNT_LIKE_BASES = frozenset({
+    "count", "uniqexact", "countdistinct", "uniq", "uniqcombined",
+    "uniqcombined64", "uniqhll12", "uniqtheta", "intervallengthsum",
+})
+_ORNULL_BASES = (
+    "sum", "avg", "min", "max", "count", "median", "any", "anylast",
+    "stddevsamp", "stddevpop", "varsamp", "varpop", "corr", "covarsamp",
+    "covarpop", "avgweighted", "uniqexact", "countdistinct", "uniq",
+    "uniqcombined", "uniqcombined64", "uniqhll12", "uniqtheta",
+    "argmax", "argmin",
+)
+
+
+def _ornull_handler(base: str, if_wrap: bool):
+    inner = TEMPLATES.get(f"{base}if") if if_wrap else TEMPLATES.get(base)
+    spark_name = None if if_wrap else NAME_MAP.get(base)
+
+    def h(a: list[str]) -> str:
+        if inner is not None:
+            e = inner(a)
+        else:
+            e = f"{spark_name}({', '.join(a)})"
+        if base in _COUNT_LIKE_BASES:
+            # match the r7-pinned countOrNull contract: NULL only when
+            # zero ROWS reach the aggregate (for -If: zero matching rows);
+            # rows-but-all-NULL stays the count-like 0
+            guard = (
+                f"count(CASE WHEN {a[-1]} THEN 1 END)"
+                if if_wrap
+                else "count(1)"
+            )
+            return f"(CASE WHEN {guard} = 0 THEN NULL ELSE {e} END)"
+        return e
+
+    return h
+
+
+def _ordefault_handler(base: str, if_wrap: bool):
+    nullable = _ornull_handler(base, if_wrap)
+
+    def h(a: list[str]) -> str:
+        return f"coalesce({nullable(a)}, 0)"
+
+    return h
+
+
+for _b in _ORNULL_BASES:
+    _resolvable = _b in TEMPLATES or _b in NAME_MAP
+    for _n, _h in (
+        (f"{_b}ornull", _ornull_handler(_b, if_wrap=False)),
+        (f"{_b}ordefault", _ordefault_handler(_b, if_wrap=False)),
+    ):
+        if _resolvable and _n not in TEMPLATES and _n not in NAME_MAP:
+            TEMPLATES[_n] = _h
+    if f"{_b}if" in TEMPLATES:
+        for _n, _h in (
+            (f"{_b}ornullif", _ornull_handler(_b, if_wrap=True)),
+            (f"{_b}ifornull", _ornull_handler(_b, if_wrap=True)),
+            (f"{_b}ordefaultif", _ordefault_handler(_b, if_wrap=True)),
+            (f"{_b}ifordefault", _ordefault_handler(_b, if_wrap=True)),
+        ):
+            if _n not in TEMPLATES and _n not in NAME_MAP:
+                TEMPLATES[_n] = _h
 TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
 TEMPLATES["domainrfc"] = TEMPLATES["domain"]
 TEMPLATES["topleveldomainrfc"] = TEMPLATES["topleveldomain"]

@@ -345,3 +345,32 @@ def test_round10_wave4_guided():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_ornull_ordefault_chains(spark):
+    """Round-10 generic -OrNull/-OrDefault (+ -If chains, both stack
+    spellings): NULL only when zero rows reach the aggregate (the
+    r7-pinned countOrNull contract); -OrDefault fills the numeric 0."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _onc AS"
+        " SELECT id AS x, CAST(id AS DOUBLE) AS v, id % 3 AS k"
+        " FROM range(10)"
+    )
+    row = one(
+        spark,
+        "SELECT uniqExactOrNull(k) AS a,"
+        " uniqExactOrNullIf(k, k > 99) AS b,"
+        " uniqExactOrNull(CASE WHEN k = 9 THEN k END) AS c,"
+        " sumOrNullIf(v, k = 1) AS d,"
+        " sumIfOrNull(v, k = 9) AS e,"
+        " maxOrDefaultIf(v, k > 99) AS f,"
+        " medianOrNull(v) AS g"
+        " FROM _onc",
+    )
+    assert row.a == 3
+    assert row.b is None  # zero matching rows → NULL
+    assert row.c == 0  # rows present, values all NULL → count-like 0
+    assert row.d == 12.0
+    assert row.e is None
+    assert row.f == 0.0  # OrDefault fills the numeric type default
+    assert row.g == 4.5
