@@ -1814,6 +1814,12 @@ def _resample_expr(p: list[str], a: list[str], how: str) -> str:
         )
     elif how in ("uniq", "uniqexact"):
         per = f"size(array_distinct({vs}))"
+    elif how == "grouparray":
+        # element order inside each subrange is the groupArray contract:
+        # insertion order, undefined after a shuffle (callers sort)
+        per = vs
+    elif how == "groupuniqarray":
+        per = f"array_distinct({vs})"
     else:  # sum
         per = _typed_sum_fold(f"array_sort({vs})")
     return (
@@ -3317,6 +3323,27 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # date + tuple-of-intervals: chain the additions when the tuple is a
     # LITERAL (arity known); column tuples keep the tuple-family guidance
     "addtupleofintervals": lambda a: _add_tuple_of_intervals_expr(a),
+    # engine-internal aggregate-state / storage plumbing — guided (r10)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: aggregate-state plumbing is engine-internal — run "
+            "the plain aggregate (Spark's map-side partials give the "
+            "same two-phase execution)"
+        ))))(_t)
+        for _t in ("initializeaggregation", "finalizeaggregation",
+                   "replicate")
+    },
+    "dumpcolumnstructure": lambda a: (_ for _ in ()).throw(DialectError(
+        "dumpColumnStructure: engine-internal column introspection — "
+        "use toTypeName / DESCRIBE"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: Join-engine tables do not exist here — use a plain "
+            "LEFT JOIN against the dimension table"
+        ))))(_t)
+        for _t in ("joinget", "joingetornull")
+    },
     # delta: CH throws when the value is LONGER than n; rpad truncates
     "tofixedstring": lambda a: f"rpad({a[0]}, {a[1]}, chr(0))",
     # occurrence index of each element among its equals so far (1-based)
@@ -4932,7 +4959,7 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
             lambda p, a: _resample_expr(p, a, _g)
         ))(_f)
         for _f in ("count", "sum", "avg", "min", "max", "uniq",
-                   "uniqexact")
+                   "uniqexact", "grouparray", "groupuniqarray")
     },
 }
 

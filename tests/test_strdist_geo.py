@@ -374,3 +374,24 @@ def test_ornull_ordefault_chains(spark):
     assert row.e is None
     assert row.f == 0.0  # OrDefault fills the numeric type default
     assert row.g == 4.5
+
+
+def test_grouparray_resample(spark):
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _gar AS"
+        " SELECT id AS x, id % 3 AS k FROM range(10)"
+    )
+    row = one(
+        spark,
+        "SELECT transform(groupArrayResample(0, 10, 5)(x, x),"
+        "   a -> array_sort(a)) AS ga,"
+        " transform(groupUniqArrayResample(0, 10, 5)(k, x),"
+        "   a -> array_sort(a)) AS gu"
+        " FROM _gar",
+    )
+    assert [list(a) for a in row.ga] == [[0, 1, 2, 3, 4], [5, 6, 7, 8, 9]]
+    assert [list(a) for a in row.gu] == [[0, 1, 2], [0, 1, 2]]
+    for bad in ["initializeAggregation('sumState', 1)",
+                "finalizeAggregation(s)", "joinGet('t', 'c', x)"]:
+        with pytest.raises(DialectError):
+            translate(f"SELECT {bad} FROM t")
