@@ -2619,14 +2619,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countmatches": lambda a: (
         f"size(regexp_extract_all({a[0]}, {a[1]}, 0))"
     ),
-    # hasSubstr is CH's ARRAY-consecutive-subsequence test (round 10 fix
-    # — was mis-mapped to contains, which only types over strings)
+    # hasSubstr: consecutive-subsequence test.  CH accepts strings AND
+    # arrays; one Spark expression cannot type-check both, so string
+    # LITERAL arguments keep the contains() mapping and everything else
+    # gets the documented array semantics (round 10 fix — arrays
+    # previously mis-routed to contains and failed analysis)
     "hassubstr": lambda a: (
-        f"CASE WHEN size({a[1]}) = 0 THEN 1"
-        f" WHEN size({a[0]}) < size({a[1]}) THEN 0"
-        f" ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1),"
-        f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
-        f" END"
+        f"contains({a[0]}, {a[1]})"
+        if a[0].strip().startswith("'") or a[1].strip().startswith("'")
+        else (
+            f"CASE WHEN size({a[1]}) = 0 THEN 1"
+            f" WHEN size({a[0]}) < size({a[1]}) THEN 0"
+            f" ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1),"
+            f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
+            f" END"
+        )
     ),
     # consecutive n-windows; CH throws on invalid length — empty array
     # here (documented delta; raise_error cannot be typed generically)
