@@ -4581,6 +4581,40 @@ def _add_tuple_of_intervals_expr(a: list[str]) -> str:
     )
 
 
+def _polygon_perimeter_spherical_expr(a: list[str]) -> str:
+    """CH ``polygonPerimeterSpherical(polygon)``: summed great-circle
+    central angles (radians on the unit sphere) of every closed ring's
+    edges — the unambiguous spherical perimeter.  Points are (lon, lat)
+    in degrees like the Cartesian family."""
+    if len(a) != 1:
+        raise DialectError(
+            "polygonPerimeterSpherical takes one polygon argument"
+        )
+    rings = _rings_points(a[0])
+    ring = f"element_at({rings}, __pk)"
+    cur = f"element_at({ring}, __pi)"
+    nxt = (
+        f"element_at({ring}, CASE WHEN __pi = size({ring})"
+        f" THEN 1 ELSE __pi + 1 END)"
+    )
+    edge = (
+        f"2 * asin(sqrt("
+        f"pow(sin(radians(CAST({nxt}._2 AS DOUBLE) - {cur}._2) / 2), 2)"
+        f" + cos(radians(CAST({cur}._2 AS DOUBLE)))"
+        f" * cos(radians(CAST({nxt}._2 AS DOUBLE)))"
+        f" * pow(sin(radians(CAST({nxt}._1 AS DOUBLE) - {cur}._1) / 2),"
+        f" 2)))"
+    )
+    ring_len = (
+        f"aggregate(sequence(1, size({ring})), CAST(0.0 AS DOUBLE), "
+        f"(__ps, __pi) -> __ps + {edge})"
+    )
+    return (
+        f"aggregate(sequence(1, size({rings})), CAST(0.0 AS DOUBLE), "
+        f"(__pa, __pk) -> __pa + {ring_len})"
+    )
+
+
 def _geohash_encode_expr(a: list[str]) -> str:
     """CH ``geohashEncode(lon, lat[, precision])`` — precision 0 or
     omitted means the default 12 (functions/geo.py pins the docs
@@ -5629,8 +5663,26 @@ TEMPLATES.update({
     "pointinpolygon": _point_in_polygon_expr,
     "polygonareacartesian": _polygon_area_expr,
     "polygonperimetercartesian": _polygon_perimeter_expr,
+    "polygonperimeterspherical": _polygon_perimeter_spherical_expr,
     "geohashencode": _geohash_encode_expr,
     "geohashdecode": lambda a: f"ch_geohash_decode({a[0]})",
+    # spherical area: boost::geometry's spherical-excess strategy is not
+    # docs-pinned (orientation/pole handling differ between published
+    # formulas) — guided rather than silently approximate
+    "polygonareaspherical": lambda a: (_ for _ in ()).throw(DialectError(
+        "polygonAreaSpherical: boost::geometry's spherical-excess "
+        "strategy is not docs-pinned — use polygonAreaCartesian for "
+        "planar data, or a geodesy library via pandas UDF"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: WKT geometry parsing needs a geospatial extension "
+            "(e.g. Apache Sedona) — the tuple-literal polygon spelling "
+            "is supported by the pointInPolygon/polygon* family"
+        ))))(_t)
+        for _t in ("readwktpoint", "readwktpolygon", "readwktmultipolygon",
+                   "readwktring", "wkt")
+    },
 })
 
 # CH alias spellings of already-mapped handlers

@@ -395,3 +395,25 @@ def test_grouparray_resample(spark):
                 "finalizeAggregation(s)", "joinGet('t', 'c', x)"]:
         with pytest.raises(DialectError):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_polygon_perimeter_spherical(spark):
+    # a 4-degree meridian segment out and back: perimeter = 2 * 4 deg in
+    # radians (the parallel edges are zero-length in this degenerate ring)
+    import math as _m
+
+    row = one(
+        spark,
+        "SELECT round(polygonPerimeterSpherical([[(0., 0.), (0., 4.)]]), 10)"
+        "   AS p,"
+        " round(polygonPerimeterSpherical([[(0., 0.), (0., 4.), (4., 4.),"
+        "   (4., 0.)]]), 6) AS sq",
+    )
+    assert row.p == round(2 * _m.radians(4.0), 10)
+    # square: two meridian edges of 4 deg + two parallel-ish great-circle
+    # chords — bounded by the planar estimate
+    assert 0.27 < row.sq < 0.29
+    with pytest.raises(DialectError, match="spherical-excess"):
+        translate("SELECT polygonAreaSpherical(p) FROM t")
+    with pytest.raises(DialectError, match="WKT"):
+        translate("SELECT readWKTPolygon(s) FROM t")
