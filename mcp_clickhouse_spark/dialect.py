@@ -1695,6 +1695,15 @@ def _map_agg_expr(a: list[str], how: str, keys_filter: str | None = None) -> str
         per = f"array_min({vs})"
     elif how == "max":
         per = f"array_max({vs})"
+    elif how == "count":  # round 10: the generic -Map combinator
+        per = f"CAST(size({vs}) AS BIGINT)"
+    elif how == "avg":
+        per = (
+            f"try_divide({_typed_sum_fold(f'array_sort({vs})')},"
+            f" size({vs}))"
+        )
+    elif how in ("uniq", "uniqexact"):
+        per = f"CAST(size(array_distinct({vs})) AS BIGINT)"
     else:
         # sort before folding: float sums become order-independent run to
         # run (collect_list order is partition-dependent)
@@ -3947,6 +3956,23 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),
+    # the generic -Map combinator over more bases (round 10)
+    "avgmap": lambda a: _map_agg_expr(a, "avg"),
+    "countmap": lambda a: _map_agg_expr(a, "count"),
+    "uniqmap": lambda a: _map_agg_expr(a, "uniq"),
+    "uniqexactmap": lambda a: _map_agg_expr(a, "uniqexact"),
+    # -Distinct / RESPECT NULLS spellings (round 10): max/min/any over
+    # distinct inputs equal the plain aggregates; groupArrayDistinct is
+    # the set form; the camelCase respect-nulls names join the snake ones
+    "countdistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
+    "maxdistinct": lambda a: f"max({a[0]})",
+    "mindistinct": lambda a: f"min({a[0]})",
+    "anydistinct": lambda a: f"any_value({a[0]})",
+    "grouparraydistinct": lambda a: f"collect_set({a[0]})",
+    "anyrespectnulls": lambda a: f"first({a[0]})",
+    "firstvaluerespectnulls": lambda a: f"first({a[0]})",
+    "anylastrespectnulls": lambda a: f"last({a[0]})",
+    "lastvaluerespectnulls": lambda a: f"last({a[0]})",
     "minmap": lambda a: _map_agg_expr(a, "min"),
     "maxmap": lambda a: _map_agg_expr(a, "max"),
     "sumif": lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} END)",

@@ -417,3 +417,28 @@ def test_polygon_perimeter_spherical(spark):
         translate("SELECT polygonAreaSpherical(p) FROM t")
     with pytest.raises(DialectError, match="WKT"):
         translate("SELECT readWKTPolygon(s) FROM t")
+
+
+def test_map_distinct_combinators(spark):
+    """Round-10 -Map combinator over more bases + -Distinct/RESPECT NULLS
+    spellings."""
+    spark.sql(
+        "CREATE OR REPLACE TEMP VIEW _mdc AS"
+        " SELECT id AS x, CAST(id AS DOUBLE) AS v, id % 3 AS k,"
+        " map(CAST(id % 2 AS STRING), id) AS m FROM range(6)"
+    )
+    row = one(
+        spark,
+        "SELECT avgMap(m) AS am, countMap(m) AS cm,"
+        " uniqExactMap([k], [x]) AS um,"
+        " countDistinct(k) AS cd, maxDistinct(v) AS md,"
+        " arrayStringConcat(arrayMap(q -> toString(q),"
+        "   arraySort(groupArrayDistinct(k))), ',') AS gd"
+        " FROM _mdc",
+    )
+    assert dict(row.am) == {"0": 2.0, "1": 3.0}
+    assert dict(row.cm) == {"0": 3, "1": 3}
+    assert (list(row.um._1), list(row.um._2)) == ([0, 1, 2], [2, 2, 2])
+    assert row.cd == 3
+    assert row.md == 5.0
+    assert row.gd == "0,1,2"
