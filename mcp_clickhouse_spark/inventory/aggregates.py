@@ -866,7 +866,11 @@ SELECT l_returnflag AS g,
        medianIf(l_quantity, l_linenumber = 1) AS md,
        round(corrIf(l_quantity, l_extendedprice, l_discount > 0.05), 8) AS cr,
        round(stddevSampIf(l_quantity, l_tax < 0.04), 8) AS sd,
-       quantileExactIf(0.25)(l_quantity, l_linenumber > 2) AS qe
+       quantileExactIf(0.25)(l_quantity, l_linenumber > 2) AS qe,
+       sumOrNullIf(l_quantity, l_linenumber = 99) AS son,
+       arrayStringConcat(arrayMap(q -> toString(q), tupleElement(
+           uniqExactMap([l_linenumber % 3], [l_orderkey % 50]), '_2')),
+           ',') AS uem
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -879,6 +883,10 @@ FROM lineitem GROUP BY l_returnflag
              CAST(l_quantity AS DOUBLE) AS q,
              CAST(l_extendedprice AS DOUBLE) AS ep,
              l_discount AS d, l_tax AS tx
+      FROM lineitem
+    ),
+    s2 AS (
+      SELECT l_returnflag AS g, l_linenumber AS ln, l_orderkey AS ok
       FROM lineitem
     ),
     qs AS (
@@ -896,7 +904,12 @@ FROM lineitem GROUP BY l_returnflag
            round(corr(q, ep) FILTER (WHERE d > 0.05), 8) AS cr,
            round(stddev_samp(q) FILTER (WHERE tx < 0.04), 8) AS sd,
            (SELECT a[CAST(0.25 * n AS INTEGER) + 1] FROM qs
-            WHERE qs.g = s.g) AS qe
+            WHERE qs.g = s.g) AS qe,
+           CAST(NULL AS DOUBLE) AS son,
+           (SELECT string_agg(CAST(z.cnt AS VARCHAR), ',' ORDER BY z.kk)
+            FROM (SELECT s2.ln % 3 AS kk,
+                         COUNT(DISTINCT s2.ok % 50) AS cnt
+                  FROM s2 WHERE s2.g = s.g GROUP BY kk) z) AS uem
     FROM s GROUP BY s.g
     """,
     category="aggregates",
@@ -910,7 +923,10 @@ def agg_if_generic(spark, sf_dir):
     aggregate (a different row-filtering mechanism entirely), the
     distinct-set CSV via a correlated DISTINCT subquery, and
     quantileExact's floor(level·n) selection over the FILTERed sorted
-    list.  Arrays flatten to sorted CSV for the scalar-only driver
+    list.  Round-10 additions: sumOrNullIf against a never-matching
+    condition (NULL, the -OrNull contract) and uniqExactMap per-key
+    distinct counts (oracle: COUNT(DISTINCT) per key in a correlated
+    subquery).  Arrays flatten to sorted CSV for the scalar-only driver
     canonicalizer."""
     from mcp_clickhouse_spark.dialect import translate
 
