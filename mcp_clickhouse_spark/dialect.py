@@ -420,7 +420,10 @@ _INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
 def _to_start_of_interval(args: list[str]) -> str:
-    """toStartOfInterval(ts, INTERVAL n unit) → epoch-floor bucketing.
+    """toStartOfInterval(ts, INTERVAL n unit[, origin]) → epoch-floor
+    bucketing; with the 24.x ORIGIN argument the buckets anchor there
+    instead of the epoch (round-10 fix — the 3-argument form previously
+    dropped the origin silently).
 
     Only fixed-length units translate (second/minute/hour/day); calendar
     units (week/month/…) have ClickHouse-specific alignment that an
@@ -434,6 +437,24 @@ def _to_start_of_interval(args: list[str]) -> str:
             "(fixed-length units only: SECOND/MINUTE/HOUR/DAY)"
         )
     sec = int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).upper()]
+    if len(args) >= 3:
+        third = args[2].strip()
+        if third.startswith("'"):
+            # timezone form: fixed-length sub-day buckets are
+            # epoch-aligned in every zone, so only UTC is accepted for
+            # DAY (zone-local day boundaries would silently differ)
+            if third.strip("'").upper() not in ("UTC",) and sec >= 86400:
+                raise DialectError(
+                    "toStartOfInterval: non-UTC timezone DAY bucketing "
+                    "is zone-dependent — convert with toTimezone first"
+                )
+        else:
+            org = f"unix_seconds(CAST({third} AS TIMESTAMP))"
+            return (
+                f"timestamp_seconds({org} + floor(("
+                f"unix_seconds(CAST({args[0]} AS TIMESTAMP)) - {org})"
+                f" / {sec}) * {sec})"
+            )
     return (
         f"timestamp_seconds(floor(unix_seconds(CAST({args[0]} AS TIMESTAMP))"
         f" / {sec}) * {sec})"
@@ -3339,6 +3360,66 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # date + tuple-of-intervals: chain the additions when the tuple is a
     # LITERAL (arity known); column tuples keep the tuple-family guidance
     "addtupleofintervals": lambda a: _add_tuple_of_intervals_expr(a),
+    # changeYear/Month/Day… (round 10): rebuild from components; an
+    # overflowing day clamps to the target month's last day (make_date
+    # would throw under ANSI — CH throws too, but only past type bounds)
+    "changeyear": lambda a: (
+        f"make_date({a[1]}, month({a[0]}), least(day({a[0]}),"
+        f" day(last_day(make_date({a[1]}, month({a[0]}), 1)))))"
+    ),
+    "changemonth": lambda a: (
+        f"make_date(year({a[0]}), {a[1]}, least(day({a[0]}),"
+        f" day(last_day(make_date(year({a[0]}), {a[1]}, 1)))))"
+    ),
+    "changeday": lambda a: (
+        f"make_date(year({a[0]}), month({a[0]}), {a[1]})"
+    ),
+    "changehour": lambda a: (
+        f"make_timestamp(year({a[0]}), month({a[0]}), day({a[0]}),"
+        f" {a[1]}, minute({a[0]}), second({a[0]}))"
+    ),
+    "changeminute": lambda a: (
+        f"make_timestamp(year({a[0]}), month({a[0]}), day({a[0]}),"
+        f" hour({a[0]}), {a[1]}, second({a[0]}))"
+    ),
+    "changesecond": lambda a: (
+        f"make_timestamp(year({a[0]}), month({a[0]}), day({a[0]}),"
+        f" hour({a[0]}), minute({a[0]}), {a[1]})"
+    ),
+    # session-zone UTC offset in seconds at the given instant
+    "timezoneoffset": lambda a: (
+        f"CAST(unix_seconds(CAST({a[0]} AS TIMESTAMP))"
+        f" - unix_seconds(to_utc_timestamp(CAST({a[0]} AS TIMESTAMP),"
+        f" current_timezone())) AS INT)"
+    ),
+    "tomodifiedjuliandayornull": lambda a: (
+        f"datediff(TRY_CAST({a[0]} AS DATE), DATE '1858-11-17')"
+    ),
+    "frommodifiedjuliandayornull": lambda a: (
+        f"date_add(DATE '1858-11-17', TRY_CAST({a[0]} AS INT))"
+    ),
+    # nanosecond epoch → TIMESTAMP (truncates to Spark's microseconds)
+    "fromunixtimestamp64nano": lambda a: (
+        f"timestamp_micros(CAST(({a[0]}) DIV 1000 AS BIGINT))"
+    ),
+    "torelativesecondnum": lambda a: (
+        f"unix_seconds(CAST({a[0]} AS TIMESTAMP))"
+    ),
+    "torelativeminutenum": lambda a: (
+        f"(unix_seconds(CAST({a[0]} AS TIMESTAMP)) DIV 60)"
+    ),
+    "torelativehournum": lambda a: (
+        f"(unix_seconds(CAST({a[0]} AS TIMESTAMP)) DIV 3600)"
+    ),
+    # extractKeyValuePairs → str_to_map with CH's default delimiters
+    # (':' key-value; ',', ';' and space pair delimiters)
+    "extractkeyvaluepairs": lambda a: (
+        f"str_to_map({a[0]}, '[,; ]+', ':')"
+        if len(a) == 1
+        else f"str_to_map({a[0]}, "
+        + (f"concat('[', {a[2]}, ' ]+')" if len(a) >= 3 else "'[,; ]+'")
+        + f", {a[1]})"
+    ),
     # engine-internal aggregate-state / storage plumbing — guided (r10)
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
@@ -5586,13 +5667,26 @@ TEMPLATES.update({
         f" CAST(0 AS BIGINT))"
     ),
     # CH 24.x spellings of the snowflake converters (same Twitter epoch)
+    # the 24.6+ ID-spelled functions default to epoch 0, NOT the Twitter
+    # epoch the legacy snowflakeToDateTime family uses (round-10 fix —
+    # CH docs example snowflakeIDToDateTime(7204436857747984384) =
+    # '2024-06-06 10:59:58' decodes only with epoch 0; pinned in
+    # tests/test_strdist_geo.py)
     "snowflakeidtodatetime": lambda a: (
         f"timestamp_millis(shiftright({a[0]}, 22) + "
-        + (f"{a[1]})" if len(a) >= 2 else "1288834974657)")
+        + (f"{a[1]})" if len(a) >= 2 else "0)")
     ),
     "datetimetosnowflakeid": lambda a: (
         f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) - "
-        + (f"{a[1]}, 22)" if len(a) >= 2 else "1288834974657, 22)")
+        + (f"{a[1]}, 22)" if len(a) >= 2 else "0, 22)")
+    ),
+    "snowflakeidtodatetime64": lambda a: (
+        f"timestamp_millis(shiftright({a[0]}, 22) + "
+        + (f"{a[1]})" if len(a) >= 2 else "0)")
+    ),
+    "datetime64tosnowflakeid": lambda a: (
+        f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) - "
+        + (f"{a[1]}, 22)" if len(a) >= 2 else "0, 22)")
     ),
     # ULID: first 10 Crockford-base32 chars = unix milliseconds (docs pin
     # ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R') = 2022-12-28

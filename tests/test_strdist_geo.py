@@ -442,3 +442,34 @@ def test_map_distinct_combinators(spark):
     assert row.cd == 3
     assert row.md == 5.0
     assert row.gd == "0,1,2"
+
+
+def test_round10_datetime_wave(spark):
+    row = one(
+        spark,
+        "SELECT changeYear(toDate('2024-02-29'), 2023) AS cy,"
+        " changeMonth(toDate('2024-03-31'), 2) AS cm,"
+        " changeHour(toDateTime('2024-03-15 10:20:30'), 5) AS ch,"
+        " timeZoneOffset(toDateTime('2024-03-15 10:00:00')) AS tz,"
+        " toModifiedJulianDayOrNull('junk') AS mj,"
+        " fromModifiedJulianDayOrNull(60384) AS fj,"
+        " toRelativeSecondNum(toDateTime('1970-01-01 00:01:00')) AS rs,"
+        " snowflakeIDToDateTime64(7204436857747984384) AS sf,"
+        " toStartOfInterval(toDateTime('2024-03-15 10:20:30'),"
+        "   INTERVAL 10 MINUTE, toDateTime('2024-03-15 10:03:00')) AS si,"
+        " extractKeyValuePairs('name:neymar, age:31 team:psg') AS kv",
+    )
+    assert str(row.cy) == "2023-02-28"  # day clamps to the target month
+    assert str(row.cm) == "2024-02-29"
+    assert str(row.ch) == "2024-03-15 05:20:30"
+    assert row.tz == 0  # UTC session
+    assert row.mj is None
+    assert str(row.fj) == "2024-03-15"
+    assert row.rs == 60
+    # CH docs: snowflakeIDToDateTime(7204436857747984384) =
+    # '2024-06-06 10:59:58' — the ID functions use epoch 0, NOT the
+    # legacy Twitter epoch (round-10 fix)
+    assert str(row.sf).startswith("2024-06-06 10:59:58")
+    # origin-anchored buckets: :03, :13, :23 … (was silently epoch-aligned)
+    assert str(row.si) == "2024-03-15 10:13:00"
+    assert dict(row.kv) == {"name": "neymar", "age": "31", "team": "psg"}
