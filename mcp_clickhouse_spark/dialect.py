@@ -3203,6 +3203,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arrayfirst": lambda a: (
         f"try_element_at({_array_filter_expr(a)}, 1)"
     ),
+    # the OrNull spellings are exactly this NULL-on-no-match behavior
+    # (CH's bare arrayFirst/Last return the type default instead —
+    # documented delta of the base mapping)
+    "arrayfirstornull": lambda a: (
+        f"try_element_at({_array_filter_expr(a)}, 1)"
+    ),
+    "arraylastornull": lambda a: (
+        f"try_element_at({_array_filter_expr(a)}, -1)"
+    ),
+    "arrayelementornull": lambda a: f"try_element_at({a[0]}, {a[1]})",
+    "arrayunion": lambda a: f"array_union({a[0]}, {a[1]})",
     "arraylast": lambda a: (
         f"try_element_at({_array_filter_expr(a)}, -1)"
     ),

@@ -473,3 +473,16 @@ def test_round10_datetime_wave(spark):
     # origin-anchored buckets: :03, :13, :23 … (was silently epoch-aligned)
     assert str(row.si) == "2024-03-15 10:13:00"
     assert dict(row.kv) == {"name": "neymar", "age": "31", "team": "psg"}
+
+
+def test_array_ornull_accessors(spark):
+    row = one(
+        spark,
+        "SELECT arrayElementOrNull([1, 2], 10) AS a,"
+        " arrayFirstOrNull(x -> x > 5, [1, 2, 3]) AS b,"
+        " arrayLastOrNull(x -> x > 1, [1, 2, 3]) AS c,"
+        " arraySort(arrayUnion([1, 2], [2, 3])) AS d",
+    )
+    assert row.a is None and row.b is None
+    assert row.c == 3
+    assert list(row.d) == [1, 2, 3]
