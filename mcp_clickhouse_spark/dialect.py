@@ -461,6 +461,63 @@ def _to_start_of_interval(args: list[str]) -> str:
     )
 
 
+def _window_interval_seconds(arg: str, fn: str) -> int:
+    """Fixed-length INTERVAL literal → seconds (tumble/hop share the
+    toStartOfInterval faithful-or-error unit policy)."""
+    import re as _re
+
+    m = _re.match(r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+?)S?\s*$", arg)
+    if not m or m.group(2).upper() not in _INTERVAL_SECONDS:
+        raise DialectError(
+            f"{fn}: untranslatable interval {arg!r} (fixed-length units "
+            "only: SECOND/MINUTE/HOUR/DAY)"
+        )
+    return int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).upper()]
+
+
+def _tumble_expr(a: list[str], part: str) -> str:
+    """CH ``tumble/tumbleStart/tumbleEnd(ts, INTERVAL …)`` (round 10):
+    epoch-aligned tumbling window bounds; tumble returns the (start, end)
+    tuple like CH's window-view function."""
+    if len(a) < 2:
+        raise DialectError("tumble takes (time, INTERVAL window)")
+    sec = _window_interval_seconds(a[1], "tumble")
+    base = f"floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / {sec})"
+    start = f"timestamp_seconds(CAST({base} * {sec} AS BIGINT))"
+    end = f"timestamp_seconds(CAST(({base} + 1) * {sec} AS BIGINT))"
+    if part == "start":
+        return start
+    if part == "end":
+        return end
+    return f"named_struct('_1', {start}, '_2', {end})"
+
+
+def _hop_expr(a: list[str], part: str) -> str:
+    """CH ``hop/hopStart/hopEnd(ts, INTERVAL hop, INTERVAL window)``:
+    bounds of the FIRST (earliest-starting) hopping window containing ts
+    — the documented CH contract for records that land in several."""
+    if len(a) < 3:
+        raise DialectError(
+            "hop takes (time, INTERVAL hop_interval, INTERVAL window)"
+        )
+    hop = _window_interval_seconds(a[1], "hop")
+    win = _window_interval_seconds(a[2], "hop")
+    ts = f"unix_seconds(CAST({a[0]} AS TIMESTAMP))"
+    start = (
+        f"timestamp_seconds(CAST({hop} * (floor(({ts} - {win})"
+        f" / {hop}) + 1) AS BIGINT))"
+    )
+    end = (
+        f"timestamp_seconds(CAST({hop} * (floor(({ts} - {win})"
+        f" / {hop}) + 1) + {win} AS BIGINT))"
+    )
+    if part == "start":
+        return start
+    if part == "end":
+        return end
+    return f"named_struct('_1', {start}, '_2', {end})"
+
+
 def _int_literal(arg: str, what: str) -> int:
     """Parse an integer-literal argument or raise a guided error (a column
     or expression here would otherwise surface as a raw ValueError —
@@ -2451,6 +2508,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
     "age": lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
     "tostartofinterval": _to_start_of_interval,
+    # window-view time functions (round 10)
+    "tumble": lambda a: _tumble_expr(a, "tuple"),
+    "tumblestart": lambda a: _tumble_expr(a, "start"),
+    "tumbleend": lambda a: _tumble_expr(a, "end"),
+    "hop": lambda a: _hop_expr(a, "tuple"),
+    "hopstart": lambda a: _hop_expr(a, "start"),
+    "hopend": lambda a: _hop_expr(a, "end"),
     "tostartoffifteenminutes": lambda a: (
         f"timestamp_seconds(floor(unix_seconds(CAST({a[0]} AS TIMESTAMP)) / 900) * 900)"
     ),
@@ -3107,6 +3171,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "toipv4ornull": lambda a: (
         f"CASE WHEN {TEMPLATES['isipv4string'](a)}"
         f" THEN {TEMPLATES['ipv4stringtonum'](a)} END"
+    ),
+    # round 10: the OrNull/OrDefault spellings of the string→num forms
+    # (IPv4 default = 0.0.0.0 = 0; IPv6 default = the 16 zero bytes)
+    "ipv4stringtonumornull": lambda a: (
+        f"CASE WHEN {TEMPLATES['isipv4string'](a)}"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END"
+    ),
+    "ipv4stringtonumordefault": lambda a: (
+        f"coalesce(CASE WHEN {TEMPLATES['isipv4string'](a)}"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END, CAST(0 AS BIGINT))"
+    ),
+    "toipv4ordefault": lambda a: (
+        f"coalesce(CASE WHEN {TEMPLATES['isipv4string'](a)}"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END, CAST(0 AS BIGINT))"
+    ),
+    "ipv6stringtonumornull": lambda a: f"ch_ipv6_aton({a[0]})",
+    "ipv6stringtonumordefault": lambda a: (
+        f"coalesce(ch_ipv6_aton({a[0]}),"
+        f" CAST(unhex('00000000000000000000000000000000') AS BINARY))"
+    ),
+    "toipv6ordefault": lambda a: (
+        f"coalesce(ch_ipv6_aton({a[0]}),"
+        f" CAST(unhex('00000000000000000000000000000000') AS BINARY))"
     ),
     # CIDR range as the _1/_2 tuple of (first, last) address numbers
     "ipv4cidrtorange": lambda a: (

@@ -486,3 +486,24 @@ def test_array_ornull_accessors(spark):
     assert row.a is None and row.b is None
     assert row.c == 3
     assert list(row.d) == [1, 2, 3]
+
+
+def test_tumble_hop_and_ip_variants(spark):
+    row = one(
+        spark,
+        "SELECT tumble(toDateTime('2024-01-01 10:24:30'),"
+        "   INTERVAL 10 MINUTE) AS t,"
+        " tumbleEnd(toDateTime('2024-01-01 10:24:30'),"
+        "   INTERVAL 10 MINUTE) AS te,"
+        " hopStart(toDateTime('2024-01-01 10:24:30'),"
+        "   INTERVAL 5 MINUTE, INTERVAL 10 MINUTE) AS hs,"
+        " toIPv4OrDefault('junk') AS ip4d,"
+        " IPv4StringToNumOrNull('junk') AS ip4n,"
+        " hex(IPv6StringToNumOrDefault('junk')) AS ip6d",
+    )
+    assert str(row.t._1) == "2024-01-01 10:20:00"
+    assert str(row.te) == "2024-01-01 10:30:00"
+    # the FIRST hopping window containing 10:24:30 (hop 5m, window 10m)
+    assert str(row.hs) == "2024-01-01 10:15:00"
+    assert row.ip4d == 0 and row.ip4n is None
+    assert row.ip6d == "00000000000000000000000000000000"
