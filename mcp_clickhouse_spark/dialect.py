@@ -6031,21 +6031,41 @@ def _ordefault_handler(base: str, if_wrap: bool):
     return h
 
 
+# -OrDefault's fill value is the NUMERIC type default 0 — bases whose
+# result can be string/date-typed (any, anyLast, argMax, argMin) get
+# only -OrNull, since coalescing their value with 0 would coerce CH's
+# '' default to '0'
+_ORDEFAULT_EXCLUDED = frozenset({"any", "anylast", "argmax", "argmin"})
+for _b in sorted(_ORDEFAULT_EXCLUDED):
+    for _sfx in ("ordefault", "ordefaultif", "ifordefault"):
+        _n = _b + _sfx
+        if _n not in TEMPLATES and _n not in NAME_MAP:
+            TEMPLATES[_n] = (lambda _m: (lambda a: (_ for _ in ()).throw(
+                DialectError(
+                    f"{_m}: -OrDefault fills the TYPE default, which is "
+                    "only knowable textually for numeric aggregates — "
+                    "use the -OrNull form with an explicit coalesce"
+                )
+            )))(_n)
 for _b in _ORNULL_BASES:
     _resolvable = _b in TEMPLATES or _b in NAME_MAP
-    for _n, _h in (
-        (f"{_b}ornull", _ornull_handler(_b, if_wrap=False)),
-        (f"{_b}ordefault", _ordefault_handler(_b, if_wrap=False)),
-    ):
+    _forms = [(f"{_b}ornull", _ornull_handler(_b, if_wrap=False))]
+    if _b not in _ORDEFAULT_EXCLUDED:
+        _forms.append((f"{_b}ordefault", _ordefault_handler(_b, if_wrap=False)))
+    for _n, _h in _forms:
         if _resolvable and _n not in TEMPLATES and _n not in NAME_MAP:
             TEMPLATES[_n] = _h
     if f"{_b}if" in TEMPLATES:
-        for _n, _h in (
+        _forms = [
             (f"{_b}ornullif", _ornull_handler(_b, if_wrap=True)),
             (f"{_b}ifornull", _ornull_handler(_b, if_wrap=True)),
-            (f"{_b}ordefaultif", _ordefault_handler(_b, if_wrap=True)),
-            (f"{_b}ifordefault", _ordefault_handler(_b, if_wrap=True)),
-        ):
+        ]
+        if _b not in _ORDEFAULT_EXCLUDED:
+            _forms += [
+                (f"{_b}ordefaultif", _ordefault_handler(_b, if_wrap=True)),
+                (f"{_b}ifordefault", _ordefault_handler(_b, if_wrap=True)),
+            ]
+        for _n, _h in _forms:
             if _n not in TEMPLATES and _n not in NAME_MAP:
                 TEMPLATES[_n] = _h
 TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
