@@ -3532,6 +3532,64 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "dumpColumnStructure: engine-internal column introspection — "
         "use toTypeName / DESCRIBE"
     )),
+    # round-10 final tail
+    # parseTimeDelta: '1 hour 30 minutes' → seconds; a regexp fold over
+    # (number, unit) pairs.  Unit prefixes disambiguate in order (ms
+    # before mo before m); year/month sizes match formatReadableTimeDelta
+    # (365 d / 30.5 d, CH's documented constants)
+    "parsetimedelta": lambda a: (
+        f"aggregate(regexp_extract_all(lower({a[0]}),"
+        f" '([0-9.]+)\\\\s*([a-z]+)', 0), CAST(0.0 AS DOUBLE),"
+        f" (__pt, __pe) -> __pt"
+        f" + CAST(regexp_extract(__pe, '([0-9.]+)', 1) AS DOUBLE)"
+        f" * (CASE"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'ms%' THEN 0.001"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'milli%'"
+        f" THEN 0.001"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'mo%'"
+        f" THEN 2635200.0"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'y%'"
+        f" THEN 31536000.0"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'w%'"
+        f" THEN 604800.0"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'd%'"
+        f" THEN 86400.0"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'h%'"
+        f" THEN 3600.0"
+        f" WHEN regexp_extract(__pe, '([a-z]+)', 1) LIKE 'm%' THEN 60.0"
+        f" ELSE 1.0 END))"
+    ),
+    "touuidornull": lambda a: (
+        f"CASE WHEN {a[0]} rlike"
+        f" '^[0-9a-fA-F]{{8}}(-[0-9a-fA-F]{{4}}){{3}}-[0-9a-fA-F]{{12}}$'"
+        f" THEN lower({a[0]}) END"
+    ),
+    "touuidorzero": lambda a: (
+        f"coalesce(CASE WHEN {a[0]} rlike"
+        f" '^[0-9a-fA-F]{{8}}(-[0-9a-fA-F]{{4}}){{3}}-[0-9a-fA-F]{{12}}$'"
+        f" THEN lower({a[0]}) END,"
+        f" '00000000-0000-0000-0000-000000000000')"
+    ),
+    # UUIDv7 leads with 48 bits of unix milliseconds (RFC 9562)
+    "uuidv7todatetime": lambda a: (
+        f"timestamp_millis(CAST(conv(concat(substring({a[0]}, 1, 8),"
+        f" substring({a[0]}, 10, 4)), 16, 10) AS BIGINT))"
+    ),
+    # unique-ish ID in the snowflake LAYOUT (epoch 0 like the ID family);
+    # randomness stands in for machine/sequence bits — rows-only semantics
+    "generatesnowflakeid": lambda a: (
+        "(shiftleft(unix_millis(current_timestamp()), 22)"
+        " + CAST(floor(rand() * 4194304) AS BIGINT))"
+    ),
+    # visibleWidth ≈ character length (CH counts display cells; identical
+    # for single-width text, documented delta for wide glyphs)
+    "visiblewidth": lambda a: f"length(CAST({a[0]} AS STRING))",
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse-server introspection — no equivalent here"
+        ))))(_t)
+        for _t in ("formatquery", "formatquerysingleline", "revision")
+    },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
             f"{_n}: Join-engine tables do not exist here — use a plain "

@@ -507,3 +507,28 @@ def test_tumble_hop_and_ip_variants(spark):
     assert str(row.hs) == "2024-01-01 10:15:00"
     assert row.ip4d == 0 and row.ip4n is None
     assert row.ip6d == "00000000000000000000000000000000"
+
+
+def test_final_tail(spark):
+    row = one(
+        spark,
+        "SELECT parseTimeDelta('1 hour 30 minutes') AS pt,"
+        " parseTimeDelta('2d 3h 4ms') AS pt2,"
+        " toUUIDOrNull('junk') AS un,"
+        " toUUIDOrNull('61f0c404-5CB3-11e7-907b-a6006ad3dba0') AS uv,"
+        " toUUIDOrZero('x') AS uz,"
+        " CAST(UUIDv7ToDateTime('0190ad27-3c9f-7000-8000-000000000000')"
+        "   AS STRING) AS u7,"
+        " visibleWidth('abc') AS vw",
+    )
+    assert row.pt == 5400.0
+    assert row.pt2 == 183600.004
+    assert row.un is None
+    assert row.uv == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+    assert row.uz == "00000000-0000-0000-0000-000000000000"
+    # RFC 9562: the first 48 bits of a v7 UUID are unix milliseconds
+    assert row.u7 == "2024-07-13 17:32:28.191"
+    assert row.vw == 3
+    for bad in ["formatQuery('x')", "revision()"]:
+        with pytest.raises(DialectError, match="introspection"):
+            translate(f"SELECT {bad}")
