@@ -3654,9 +3654,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # conv() folds through a 64-bit integer — inputs beyond 8 bytes are
     # out of range (CH accepts arbitrary length; documented delta)
     "unbin": lambda a: (
-        f"CAST(unhex(lpad(conv({a[0]}, 2, 16),"
+        f"CASE WHEN ({a[0]}) = '' THEN ''"
+        f" ELSE CAST(unhex(lpad(conv({a[0]}, 2, 16),"
         f" CAST(2 * ceil(length(conv({a[0]}, 2, 16)) / 2.0) AS INT),"
-        f" '0')) AS STRING)"
+        f" '0')) AS STRING) END"
     ),
     # like JSONExtractKeysAndValues but values stay raw JSON text —
     # Spark's map<string,string> parse keeps non-string values verbatim
