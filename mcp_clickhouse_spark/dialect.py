@@ -3532,6 +3532,32 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "dumpColumnStructure: engine-internal column introspection — "
         "use toTypeName / DESCRIBE"
     )),
+    # exact decimal arithmetic with an explicit result scale (round 10);
+    # without the scale argument Spark's decimal type rules decide
+    "dividedecimal": lambda a: (
+        f"(({a[0]}) / ({a[1]}))"
+        if len(a) == 2
+        else f"CAST(({a[0]}) / ({a[1]}) AS DECIMAL(38,"
+        f" {_int_literal(a[2], 'divideDecimal result scale')}))"
+    ),
+    "multiplydecimal": lambda a: (
+        f"(({a[0]}) * ({a[1]}))"
+        if len(a) == 2
+        else f"CAST(({a[0]}) * ({a[1]}) AS DECIMAL(38,"
+        f" {_int_literal(a[2], 'multiplyDecimal result scale')}))"
+    ),
+    "isdecimaloverflow": lambda a: (_ for _ in ()).throw(DialectError(
+        "isDecimalOverflow: inspects CH's internal decimal state — "
+        "ANSI Spark raises on overflow instead; use try_ arithmetic"
+    )),
+    "connection_id": lambda a: (_ for _ in ()).throw(DialectError(
+        "connection_id: ClickHouse-server introspection — no "
+        "equivalent here"
+    )),
+    "connectionid": lambda a: (_ for _ in ()).throw(DialectError(
+        "connectionId: ClickHouse-server introspection — no "
+        "equivalent here"
+    )),
     # round-10 final tail
     # parseTimeDelta: '1 hour 30 minutes' → seconds; a regexp fold over
     # (number, unit) pairs.  Unit prefixes disambiguate in order (ms
