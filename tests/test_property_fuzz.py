@@ -489,3 +489,76 @@ def test_r9_names_inside_literals_never_rewrite(spark, fn_trap, w):
     assert f"'{fn_trap}'" in out
     parser = spark._jsparkSession.sessionState().sqlParser()
     parser.parsePlan(out)
+
+
+# --- round-10 rewriters: the geometry templates split tuple literals and
+# the codec/time parsers fold literal contents — same string-surgery
+# class as the r9 arms above. ------------------------------------------------
+
+_r10_geo_num = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                         allow_infinity=False).map(lambda v: round(v, 3))
+
+
+@given(px=_r10_geo_num, py=_r10_geo_num, w=st.integers(1, 20),
+       h=st.integers(1, 20))
+@settings(max_examples=40, deadline=None)
+def test_point_in_polygon_matches_bounds(spark, px, py, w, h):
+    """Fuzzed points against an axis-aligned rectangle: the ray-cast
+    template must agree with the closed-form bounds test (points on the
+    boundary excluded — ray-cast edge convention)."""
+    from hypothesis import assume
+
+    assume(px not in (0.0, float(w)) and py not in (0.0, float(h)))
+    out = translate(
+        f"SELECT pointInPolygon(({px}, {py}),"
+        f" [(0, 0), ({w}, 0), ({w}, {h}), (0, {h})]) AS r"
+    )
+    got = spark.sql(out).collect()[0].r
+    assert got == int(0 < px < w and 0 < py < h)
+
+
+@given(n=st.integers(0, 2**40), w=st.integers(1, 6), hsp=st.integers(1, 9))
+@settings(max_examples=40, deadline=None)
+def test_bin_unbin_tumble_roundtrip(spark, n, w, hsp):
+    """bin→unbin must reconstruct the bytes for any value; tumble bounds
+    must bracket the input timestamp with the exact width."""
+    ts = 1700000000 + n % 10_000_000
+    out = translate(
+        f"SELECT unbin(bin({n % 256})) AS u,"
+        f" tumble(toDateTime({ts}), INTERVAL {w} MINUTE) AS t"
+    )
+    row = spark.sql(out).collect()[0]
+    if 32 <= n % 256 < 127:  # printable ASCII round-trips byte-exactly
+        assert row.u == chr(n % 256)
+    lo, hi = row.t._1.timestamp(), row.t._2.timestamp()
+    assert lo <= ts < hi and hi - lo == w * 60
+
+
+@given(h=st.integers(0, 99), m=st.integers(0, 99), s=st.integers(0, 999))
+@settings(max_examples=30, deadline=None)
+def test_parse_time_delta_matches_components(spark, h, m, s):
+    out = translate(
+        f"SELECT parseTimeDelta('{h} hours {m} minutes {s} seconds') AS r"
+    )
+    got = spark.sql(out).collect()[0].r
+    assert got == h * 3600.0 + m * 60.0 + s
+
+
+@given(lon=st.floats(min_value=-179.9, max_value=179.9, allow_nan=False),
+       lat=st.floats(min_value=-89.9, max_value=89.9, allow_nan=False),
+       p=st.integers(1, 12))
+@settings(max_examples=30, deadline=None)
+def test_geohash_roundtrip_contains_point(spark, lon, lat, p):
+    """geohashDecode of geohashEncode must return a cell center within
+    the cell's half-width of the input (the codec's defining property)."""
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    out = translate(
+        f"SELECT geohashDecode(geohashEncode({lon!r}, {lat!r}, {p})) AS d"
+    )
+    register_lazy_udfs(spark, out)
+    row = spark.sql(out).collect()[0].d
+    lon_bits = (5 * p + 1) // 2
+    lat_bits = 5 * p // 2
+    assert abs(row._1 - lon) <= 360.0 / 2 ** lon_bits / 2 + 1e-9
+    assert abs(row._2 - lat) <= 180.0 / 2 ** lat_bits / 2 + 1e-9
