@@ -84,9 +84,7 @@ NAME_MAP: dict[str, str] = {
     "match": "rlike",
     "startswith": "startswith",
     "endswith": "endswith",
-    "trimboth": "trim",
-    "trimleft": "ltrim",
-    "trimright": "rtrim",
+
     "leftpad": "lpad",
     "rightpad": "rpad",
     "leftpadutf8": "lpad",
@@ -3558,6 +3556,34 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "connectionId: ClickHouse-server introspection — no "
         "equivalent here"
     )),
+    # trimLeft/Right/Both(input[, trim_chars]) — Spark's two-argument
+    # ltrim/rtrim/trim take (trimStr, str), the REVERSE of CH's order
+    # (round-10 fix: the plain rename silently trimmed the wrong string)
+    "trimleft": lambda a: (
+        f"ltrim({a[0]})" if len(a) == 1 else f"ltrim({a[1]}, {a[0]})"
+    ),
+    "trimright": lambda a: (
+        f"rtrim({a[0]})" if len(a) == 1 else f"rtrim({a[1]}, {a[0]})"
+    ),
+    "trimboth": lambda a: (
+        f"trim({a[0]})"
+        if len(a) == 1
+        else f"trim(BOTH {a[1]} FROM {a[0]})"
+    ),
+    # round-10 string-search tail
+    "concatassumeinjective": lambda a: f"concat({', '.join(a)})",
+    "multisearchallpositions": lambda a: (
+        f"transform({a[1]}, __mp -> locate(__mp, {a[0]}))"
+    ),
+    "multisearchfirstindex": lambda a: (
+        f"coalesce((array_min(filter(transform({a[1]},"
+        f" (__mn, __mi) -> named_struct('p', locate(__mn, {a[0]}),"
+        f" 'i', __mi + 1)), __ms -> __ms.p > 0))).i, 0)"
+    ),
+    "splitbyregexp": lambda a: f"split({a[1]}, {a[0]})",
+    "alphatokens": lambda a: (
+        f"regexp_extract_all({a[0]}, '[a-zA-Z]+', 0)"
+    ),
     # round-10 final tail
     # parseTimeDelta: '1 hour 30 minutes' → seconds; a regexp fold over
     # (number, unit) pairs.  Unit prefixes disambiguate in order (ms

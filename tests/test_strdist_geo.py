@@ -532,3 +532,23 @@ def test_final_tail(spark):
     for bad in ["formatQuery('x')", "revision()"]:
         with pytest.raises(DialectError, match="introspection"):
             translate(f"SELECT {bad}")
+
+
+def test_trim_chars_and_search_tail(spark):
+    """Round-10 fix: two-argument trimLeft/Right/Both — Spark's
+    ltrim/rtrim take (trimStr, str), the reverse of CH's order; the plain
+    rename silently trimmed the wrong string."""
+    row = one(
+        spark,
+        "SELECT trimLeft('xxay', 'x') AS tl, trimRight('ayxx', 'x') AS tr,"
+        " trimBoth('xaxy', 'x') AS tb, trimLeft('  a') AS tl1,"
+        " multiSearchAllPositions('hello world', ['o', 'l', 'zz']) AS mp,"
+        " multiSearchFirstIndex('hello', ['xx', 'll', 'he']) AS mf,"
+        " splitByRegexp('[,;]', 'a,b;c') AS sr,"
+        " alphaTokens('ab12cd') AS at",
+    )
+    assert (row.tl, row.tr, row.tb, row.tl1) == ("ay", "ay", "axy", "a")
+    assert list(row.mp) == [5, 3, 0]
+    assert row.mf == 3  # 'he' is the leftmost match (pos 1), needle #3
+    assert list(row.sr) == ["a", "b", "c"]
+    assert list(row.at) == ["ab", "cd"]
