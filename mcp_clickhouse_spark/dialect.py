@@ -78,7 +78,10 @@ NAME_MAP: dict[str, str] = {
     "mid": "substring",
     "substr": "substring",
     "position": "instr",  # CH position(haystack, needle) == instr(str, substr)
-    "locate": "instr",
+    # CH >= 24.3 documents locate(needle, haystack[, start]) — the MySQL
+    # order, which is exactly Spark's own locate (the pre-24.3 alias-of-
+    # position order is the documented delta; use position() for that)
+    "locate": "locate",
     "replaceall": "replace",
     "replaceregexpall": "regexp_replace",
     "match": "rlike",
@@ -122,7 +125,6 @@ NAME_MAP: dict[str, str] = {
     "tominute": "minute",
     "tosecond": "second",
     "toquarter": "quarter",
-    "toweek": "weekofyear",
     "toisoweek": "weekofyear",
     "addyears": "add_months",  # via template below for correctness
     "adddays": "date_add",
@@ -157,8 +159,6 @@ NAME_MAP: dict[str, str] = {
     "hasany": "arrays_overlap",
     "arraymin": "array_min",
     "arraymax": "array_max",
-    "arraycompact": "array_distinct",
-    "emptyarraytosingle": "array",
     "arrayintersect": "array_intersect",
     # map
     "mapkeys": "map_keys",
@@ -2811,6 +2811,46 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "subtractquarters": lambda a: f"add_months({a[0]}, -(({a[1]}) * 3))",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
     "toyearweek": _to_year_week,
+    # toWeek(date[, mode]) — faithful modes 0 (the CH default: Sunday
+    # weeks, days before the year's first Sunday are week 0 — the old
+    # weekofyear rename silently returned ISO) and 3 (ISO); others guided
+    "toweek": lambda a: (
+        f"weekofyear({a[0]})"
+        if len(a) > 1 and a[1].strip() == "3"
+        else (
+            (_ for _ in ()).throw(DialectError(
+                "toWeek: only the default mode 0 and ISO mode 3 are "
+                "implemented (other CH week modes have no faithful "
+                "translation here)"
+            ))
+            if len(a) > 1 and a[1].strip() != "0"
+            else (
+                f"CAST(IF(CAST({a[0]} AS DATE) <"
+                f" date_add(trunc(CAST({a[0]} AS DATE), 'YEAR'),"
+                f" (8 - dayofweek(trunc(CAST({a[0]} AS DATE), 'YEAR')))"
+                f" % 7), 0,"
+                f" datediff(date_sub(CAST({a[0]} AS DATE),"
+                f" dayofweek(CAST({a[0]} AS DATE)) - 1),"
+                f" date_add(trunc(CAST({a[0]} AS DATE), 'YEAR'),"
+                f" (8 - dayofweek(trunc(CAST({a[0]} AS DATE), 'YEAR')))"
+                f" % 7)) div 7 + 1) AS INT)"
+            )
+        )
+    ),
+    # arrayCompact removes CONSECUTIVE duplicates only (round-10 fix —
+    # the array_distinct rename silently removed ALL duplicates)
+    "arraycompact": lambda a: (
+        f"filter({a[0]}, (__ac, __aj) -> __aj = 0"
+        f" OR NOT (__ac <=> element_at({a[0]}, __aj)))"
+    ),
+    # the empty-replacement element is the array's TYPE default —
+    # unknowable textually (round-10 fix: the old array() rename WRAPPED
+    # the input instead)
+    "emptyarraytosingle": lambda a: (_ for _ in ()).throw(DialectError(
+        "emptyArrayToSingle: the fill element is the array's type "
+        "default, unknowable at translate time — write "
+        "IF(empty(x), [0], x) (or the type's default) explicitly"
+    )),
     "torelativedaynum": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
     "totime": lambda a: (
         f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"

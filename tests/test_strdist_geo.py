@@ -552,3 +552,23 @@ def test_trim_chars_and_search_tail(spark):
     assert row.mf == 3  # 'he' is the leftmost match (pos 1), needle #3
     assert list(row.sr) == ["a", "b", "c"]
     assert list(row.at) == ["ab", "cd"]
+
+
+def test_namemap_audit_fixes(spark):
+    """Round-10 NAME_MAP audit fixes: arrayCompact keeps non-consecutive
+    duplicates, locate follows the CH >= 24.3 needle-first order (Spark's
+    own locate), toWeek's default is CH mode 0 (week 0 before the first
+    Sunday), and emptyArrayToSingle is guided (type default unknowable)."""
+    row = one(
+        spark,
+        "SELECT arrayCompact([1, 1, 2, 1]) AS ac,"
+        " locate('lo', 'hello world') AS lo,"
+        " toWeek(toDate('2024-01-01')) AS w0,"
+        " toWeek(toDate('2024-01-07')) AS w1,"
+        " toWeek(toDate('2024-01-01'), 3) AS wiso",
+    )
+    assert list(row.ac) == [1, 2, 1]
+    assert row.lo == 4
+    assert (row.w0, row.w1, row.wiso) == (0, 1, 1)
+    with pytest.raises(DialectError, match="type"):
+        translate("SELECT emptyArrayToSingle(x) FROM t")
