@@ -190,8 +190,11 @@ NAME_MAP: dict[str, str] = {
     "argmin": "min_by",
     "grouparray": "collect_list",
     "groupuniqarray": "collect_set",
-    "any": "any_value",
-    "anylast": "last",
+    # any/anyLast live in TEMPLATES: CH ignores NULLs by default (the
+    # RespectNulls spellings opt out), Spark's any_value/last default to
+    # ignoreNulls=false — a bare rename silently returned NULL whenever
+    # the first/last row was NULL (round-11 advisor HIGH finding via the
+    # generated anyLastIf)
     "laginframe": "lag",
     "leadinframe": "lead",
     "countif": "count_if",
@@ -438,13 +441,22 @@ def _to_start_of_interval(args: list[str]) -> str:
     if len(args) >= 3:
         third = args[2].strip()
         if third.startswith("'"):
-            # timezone form: fixed-length sub-day buckets are
-            # epoch-aligned in every zone, so only UTC is accepted for
-            # DAY (zone-local day boundaries would silently differ)
-            if third.strip("'").upper() not in ("UTC",) and sec >= 86400:
+            # timezone form: CH computes buckets in the given zone, so an
+            # epoch-aligned floor only matches when EVERY zone offset is
+            # a multiple of the bucket width.  Real-world offsets are
+            # multiples of 15 min (+05:30, +05:45, …), so widths dividing
+            # 900 s are zone-safe; anything wider (multi-hour buckets in
+            # whole-hour-offset zones, any bucket in fractional-offset
+            # zones, DAY) silently diverges — faithful-or-error (round-11
+            # advisor fix; previously only DAY was guarded)
+            if third.strip("'").upper() not in ("UTC",) and not (
+                sec <= 900 and 900 % sec == 0
+            ):
                 raise DialectError(
-                    "toStartOfInterval: non-UTC timezone DAY bucketing "
-                    "is zone-dependent — convert with toTimezone first"
+                    "toStartOfInterval: non-UTC timezone bucketing is "
+                    "zone-dependent for this interval width — convert "
+                    "with toTimezone first (widths dividing 15 minutes "
+                    "are zone-safe)"
                 )
         else:
             org = f"unix_seconds(CAST({third} AS TIMESTAMP))"
@@ -594,6 +606,62 @@ def _to_datetime_tz(args: list[str], max_args: int) -> str:
         f" THEN to_utc_timestamp(to_timestamp(CAST({x} AS STRING)), {tz})"
         f" ELSE CAST({x} AS TIMESTAMP) END"
     )
+
+
+def _sql_str_value(text: str) -> str | None:
+    """Python value of a SQL single-quoted literal argument, else None."""
+    t = text.strip()
+    if len(t) >= 2 and t.startswith("'") and t.endswith("'"):
+        return t[1:-1].replace("''", "'").replace("\\'", "'")
+    return None
+
+
+def _sql_quote(s: str) -> str:
+    """Emit ``s`` as a Spark SQL string literal (backslash-escaping mode)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _regex_char_class(chars: str) -> str:
+    """Regex character class matching exactly the characters in ``chars``
+    (class metacharacters backslash-escaped)."""
+    return "[" + "".join(
+        ("\\" + c) if c in "\\]^-[" else c for c in chars
+    ) + "]"
+
+
+def _extract_kv_pairs_expr(a: list[str]) -> str:
+    """extractKeyValuePairs → str_to_map.  CH defaults: ':' key-value
+    delimiter, {space , ;} pair delimiters.  Explicit delimiter arguments
+    must be string literals so the regex class can be built with
+    metacharacters escaped (round-11 advisor fix: the previous spelling
+    concat()-ed the raw argument into the class — unescaped ']'/'^'/'\\'
+    broke the regex and space was force-added to user delimiter sets —
+    and silently dropped the 4th quoting argument)."""
+    if len(a) == 1:
+        return f"str_to_map({a[0]}, '[,; ]+', ':')"
+    if len(a) >= 4:
+        raise DialectError(
+            "extractKeyValuePairs: the 4-argument quoting_character form "
+            "is not translatable (str_to_map has no quote handling) — "
+            "pre-strip quotes or use regexp_extract_all"
+        )
+    kv = _sql_str_value(a[1])
+    if kv is None:
+        raise DialectError(
+            "extractKeyValuePairs: key_value_delimiter must be a string "
+            "literal (it is compiled into a regex)"
+        )
+    kv_re = _sql_quote(_regex_char_class(kv))
+    if len(a) == 2:
+        return f"str_to_map({a[0]}, '[,; ]+', {kv_re})"
+    pd_ = _sql_str_value(a[2])
+    if pd_ is None:
+        raise DialectError(
+            "extractKeyValuePairs: pair_delimiters must be a string "
+            "literal (it is compiled into a regex)"
+        )
+    pd_re = _sql_quote(_regex_char_class(pd_) + "+")
+    return f"str_to_map({a[0]}, {pd_re}, {kv_re})"
 
 
 def _has_subsequence_expr(h: str, n: str) -> str:
@@ -2715,9 +2783,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # arrays; one Spark expression cannot type-check both, so string
     # LITERAL arguments keep the contains() mapping and everything else
     # gets the documented array semantics (round 10 fix — arrays
-    # previously mis-routed to contains and failed analysis)
+    # previously mis-routed to contains and failed analysis).  Both
+    # branches CAST to INT for CH's UInt8 contract (round-11 advisor
+    # fix: the literal branch returned BOOLEAN).  Two string COLUMNS
+    # (no literal) route to the array branch and fail analysis with
+    # Spark's size()-on-STRING error — use position()/contains for
+    # column-typed strings.
     "hassubstr": lambda a: (
-        f"contains({a[0]}, {a[1]})"
+        f"CAST(contains({a[0]}, {a[1]}) AS INT)"
         if a[0].strip().startswith("'") or a[1].strip().startswith("'")
         else (
             f"CASE WHEN size({a[1]}) = 0 THEN 1"
@@ -3548,14 +3621,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"(unix_seconds(CAST({a[0]} AS TIMESTAMP)) DIV 3600)"
     ),
     # extractKeyValuePairs → str_to_map with CH's default delimiters
-    # (':' key-value; ',', ';' and space pair delimiters)
-    "extractkeyvaluepairs": lambda a: (
-        f"str_to_map({a[0]}, '[,; ]+', ':')"
-        if len(a) == 1
-        else f"str_to_map({a[0]}, "
-        + (f"concat('[', {a[2]}, ' ]+')" if len(a) >= 3 else "'[,; ]+'")
-        + f", {a[1]})"
-    ),
+    # (':' key-value; ',', ';' and space pair delimiters); explicit
+    # delimiters are literal-only and regex-escaped (_extract_kv_pairs_expr)
+    "extractkeyvaluepairs": _extract_kv_pairs_expr,
     # engine-internal aggregate-state / storage plumbing — guided (r10)
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
@@ -4297,8 +4365,20 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countdistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
     "maxdistinct": lambda a: f"max({a[0]})",
     "mindistinct": lambda a: f"min({a[0]})",
-    "anydistinct": lambda a: f"any_value({a[0]})",
+    "anydistinct": lambda a: f"any_value({a[0]}, true)",
     "grouparraydistinct": lambda a: f"collect_set({a[0]})",
+    # CH any/anyLast (and the first_value/last_value aliases) IGNORE
+    # NULLs by default; Spark's any_value/first/last default to
+    # respecting them, so the plain spellings pass ignoreNulls=true
+    # explicitly (round-11 advisor HIGH fix — a bare rename silently
+    # returned NULL whenever the group's first/last row was NULL).  The
+    # RespectNulls spellings below keep Spark's default false.
+    "any": lambda a: f"any_value({a[0]}, true)",
+    "anylast": lambda a: f"last({a[0]}, true)",
+    "first_value": lambda a: f"first_value({a[0]}, true)",
+    "firstvalue": lambda a: f"first_value({a[0]}, true)",
+    "last_value": lambda a: f"last_value({a[0]}, true)",
+    "lastvalue": lambda a: f"last_value({a[0]}, true)",
     "anyrespectnulls": lambda a: f"first({a[0]})",
     "firstvaluerespectnulls": lambda a: f"first({a[0]})",
     "anylastrespectnulls": lambda a: f"last({a[0]})",
@@ -4311,7 +4391,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "maxif": lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)",
     # remaining -If combinators: NULL-out non-matching rows (every Spark
     # aggregate ignores NULLs, which is exactly CH's -If semantics)
-    "anyif": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END)",
+    "anyif": lambda a: f"any_value(CASE WHEN {a[1]} THEN {a[0]} END, true)",
     "uniqif": lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
     "uniqexactif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
     "countdistinctif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
@@ -5476,8 +5556,8 @@ NAME_MAP.update({
     "version": "version",
     # CH camelCase window-function spellings → the Spark snake names
     "nthvalue": "nth_value",
-    "firstvalue": "first_value",
-    "lastvalue": "last_value",
+    # firstValue/lastValue live in TEMPLATES (ignoreNulls=true — CH
+    # default; round-11 advisor HIGH fix)
     "denserank": "dense_rank",
     "percentrank": "percent_rank",
     "cumedist": "cume_dist",

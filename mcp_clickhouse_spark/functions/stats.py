@@ -248,7 +248,12 @@ def ensure_registered(spark) -> None:
         def g(v: float) -> float:
             try:
                 return math.gamma(v)
-            except ValueError:  # poles at 0, -1, -2, … → ±inf like C tgamma
+            except ValueError:
+                # C tgamma (and CH) returns ±inf at the ±0 pole; the
+                # negative-integer poles are domain errors → NaN
+                # (round-11 advisor fix: ±0 previously fell into NaN)
+                if v == 0.0:
+                    return math.copysign(math.inf, v)
                 return math.nan
             except OverflowError:
                 return math.inf

@@ -722,7 +722,7 @@ def test_multi_search_and_substring_counts(spark):
     assert row[3] == 3
     assert row[4] == 1  # non-overlapping: greedy scan finds one 'aa'
     assert row[5] == 3
-    assert row[6] is True
+    assert row[6] == 1  # UInt8 contract (round-11 advisor fix)
 
 
 def test_count_substrings_empty_needle(spark):
