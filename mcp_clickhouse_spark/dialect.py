@@ -186,8 +186,10 @@ NAME_MAP: dict[str, str] = {
     "uniqcombined": "approx_count_distinct",
     "uniqcombined64": "approx_count_distinct",
     "uniqtheta": "approx_count_distinct",
-    "argmax": "max_by",
-    "argmin": "min_by",
+    # argMax/argMin live in TEMPLATES (round 11): CH skips rows whose
+    # VALUE is NULL (docs example: argMax(a, b) = 'c' with a NULL a at
+    # the max b), while Spark max_by returns that NULL — the key needs a
+    # value-non-NULL guard
     "grouparray": "collect_list",
     "groupuniqarray": "collect_set",
     # any/anyLast live in TEMPLATES: CH ignores NULLs by default (the
@@ -197,14 +199,18 @@ NAME_MAP: dict[str, str] = {
     # generated anyLastIf)
     "laginframe": "lag",
     "leadinframe": "lead",
-    "countif": "count_if",
+    # countif lives in TEMPLATES (round 11): the 2-argument combinator
+    # form countIf(x, cond) counts non-NULL x on matching rows, which a
+    # bare count_if rename mis-arities
     "stddevpop": "stddev_pop",
     "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
     "varsamp": "var_samp",
     "covarpop": "covar_pop",
     "covarsamp": "covar_samp",
-    "corr": "corr",
+    # corr lives in TEMPLATES (round 11): Spark's corr builtin throws
+    # DIVIDE_BY_ZERO under ANSI mode on degenerate groups (n=1 or zero
+    # variance) where CH returns nan — found by the combinator fuzz
     "groupbitand": "bit_and",
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
@@ -662,6 +668,72 @@ def _extract_kv_pairs_expr(a: list[str]) -> str:
         )
     pd_re = _sql_quote(_regex_char_class(pd_) + "+")
     return f"str_to_map({a[0]}, {pd_re}, {kv_re})"
+
+
+def _min_sample_size_expr(a: list[str], continuous: bool) -> str:
+    """CH minSampleSizeConversion(baseline, mde, power, alpha) /
+    minSampleSizeContinous(baseline, sigma, mde, power, alpha) (round 11
+    — were guided): the two-sample power-analysis closed forms from the
+    article ClickHouse's docs cite ("Required Sample Size for A/B
+    Testing"):
+
+        conversion:  n = (z_{1−α/2} + z_{power})² · (p₁q₁ + p₂q₂) / mde²
+                     with p₂ = p₁ + mde
+        continuous:  n = (z_{1−α/2} + z_{power})² · 2σ² / (mde·baseline)²
+                     (mde is RELATIVE to the baseline mean)
+
+    returning Tuple(minimum_sample_size, detect_range_lower,
+    detect_range_upper) with the range baseline∓mde (conversion) /
+    baseline·(1∓mde) (continuous).  power/alpha must be numeric literals
+    — the z quantiles resolve at translation time through the same
+    double-precision norm_ppf the hypothesis-test family uses, so the
+    emitted SQL is pure column arithmetic (no UDF)."""
+    from mcp_clickhouse_spark.functions.stats import norm_ppf
+
+    want, name = (5, "minSampleSizeContinous") if continuous else (
+        4, "minSampleSizeConversion")
+    if len(a) != want:
+        raise DialectError(f"{name} takes {want} arguments")
+    try:
+        power, alpha = float(a[-2]), float(a[-1])
+    except ValueError:
+        raise DialectError(
+            f"{name}: power and alpha must be numeric literals (their z "
+            "quantiles are resolved at translation time)"
+        ) from None
+    if not (0.0 < power < 1.0 and 0.0 < alpha < 1.0):
+        raise DialectError(f"{name}: power and alpha must be in (0, 1)")
+    z = norm_ppf(1.0 - alpha / 2.0) + norm_ppf(power)
+    zsq = repr(z * z)
+    if continuous:
+        base, sigma, mde = a[0], a[1], a[2]
+        delta = f"(CAST({mde} AS DOUBLE) * ({base}))"
+        n = (
+            f"({zsq} * 2.0D * CAST({sigma} AS DOUBLE) * ({sigma})"
+            f" / ({delta} * {delta}))"
+        )
+        lo = f"(CAST({base} AS DOUBLE) * (1.0D - ({mde})))"
+        hi = f"(CAST({base} AS DOUBLE) * (1.0D + ({mde})))"
+    else:
+        base, mde = a[0], a[1]
+        p1 = f"CAST({base} AS DOUBLE)"
+        p2 = f"({p1} + ({mde}))"
+        n = (
+            f"({zsq} * ({p1} * (1.0D - {p1}) + {p2} * (1.0D - {p2}))"
+            f" / (CAST({mde} AS DOUBLE) * ({mde})))"
+        )
+        lo = f"({p1} - ({mde}))"
+        hi = f"({p1} + ({mde}))"
+    return f"named_struct('_1', {n}, '_2', {lo}, '_3', {hi})"
+
+
+def _corr_guard(keep: str, other: str) -> str:
+    """NULL out `keep` on rows where either corr argument is NULL, so the
+    marginal stddev_pop sees exactly the pairwise-complete rows."""
+    return (
+        f"(CASE WHEN ({keep}) IS NOT NULL AND ({other}) IS NOT NULL"
+        f" THEN {keep} END)"
+    )
 
 
 def _has_subsequence_expr(h: str, n: str) -> str:
@@ -3903,6 +3975,31 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
                    "detectprogramminglanguage", "lemmatize", "stem",
                    "synonyms")
     },
+    # countIf (round 11 — moved from NAME_MAP): the 1-arg form is CH's
+    # countIf(cond) = count_if; the 2-arg combinator form
+    # countIf(x, cond) counts non-NULL x on matching rows, which the
+    # bare count_if rename mis-aritied (analysis error).  Living in
+    # TEMPLATES also makes the -OrNull/-OrDefault If-chain generator
+    # (which keys on f"{base}if" in TEMPLATES) register
+    # countOrNullIf/countIfOrNull/countOrDefaultIf/countIfOrDefault —
+    # previously unmapped passthroughs
+    "countif": lambda a: (
+        f"count_if({a[0]})" if len(a) == 1
+        else f"count(CASE WHEN {a[1]} THEN {a[0]} END)"
+    ),
+    # corr (round 11 — moved from NAME_MAP): Pearson r as the closed
+    # form covar_pop / (stddev_pop * stddev_pop), try_divide'd so a
+    # degenerate group (single row, zero variance) yields NULL instead
+    # of Spark corr's ANSI DIVIDE_BY_ZERO crash (CH returns nan there —
+    # NULL is the engine's documented ANSI delta, like boundingRatio).
+    # Each side is guarded both-non-NULL so the marginal stddevs see
+    # exactly the pairwise-complete rows Spark's corr would
+    "corr": lambda a: (
+        f"try_divide(covar_pop({_corr_guard(a[0], a[1])},"
+        f" {_corr_guard(a[1], a[0])}),"
+        f" stddev_pop({_corr_guard(a[0], a[1])})"
+        f" * stddev_pop({_corr_guard(a[1], a[0])}))"
+    ),
     # byte-level string-distance family (round 10 — were guided): CH
     # operates on BYTES, so these are Arrow pandas_udfs over the UTF-8
     # encoding (functions/strdist.py), byte-exact on every input —
@@ -3912,34 +4009,37 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "dameraulevenshteindistance": lambda a: f"ch_damerau_lev({a[0]}, {a[1]})",
     "jarosimilarity": lambda a: f"ch_jaro({a[0]}, {a[1]})",
     "jarowinklersimilarity": lambda a: f"ch_jaro_winkler({a[0]}, {a[1]})",
-    # ngram distance/search: CH's normalization constants and padding are
-    # implementation-internal (not docs-pinned) — guided, not wrong
+    # ngram distance/search (round 11 — were guided): 4-gram multiset
+    # measures pinned to ClickHouse's public algorithm (symmetric
+    # difference / total for Distance; matched needle-gram fraction for
+    # Search, both computed in Float32) — Arrow pandas_udfs in
+    # functions/strdist.py, byte variants over UTF-8 bytes, UTF8
+    # variants over codepoints, CaseInsensitive = ASCII bytes.lower() /
+    # full str.lower() respectively
     **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: ClickHouse's 4-gram multiset normalization is "
-            "implementation-defined (not docs-pinned) — use "
-            "jaroSimilarity/jaroWinklerSimilarity, "
-            "damerauLevenshteinDistance, byteHammingDistance or "
-            "stringJaccardIndex for a pinned string-similarity measure"
-        ))))(_t)
-        for _t in ("ngramdistance", "ngramsearch")
+        f"ngram{_k}{_sfx}": (
+            lambda _u: (lambda a: f"{_u}({a[0]}, {a[1]})")
+        )(f"ch_ngram_{_c}{_usfx}")
+        for _k, _c in (("distance", "dist"), ("search", "search"))
+        for _sfx, _usfx in (
+            ("", ""),
+            ("caseinsensitive", "_ci"),
+            ("utf8", "_utf8"),
+            ("caseinsensitiveutf8", "_ci_utf8"),
+        )
     },
     "consistenthash": lambda a: (_ for _ in ()).throw(DialectError(
         "consistentHash: ClickHouse's Yandex consistent-hash ring has no "
         "published closed form to match — jumpConsistentHash is the "
         "value-faithful alternative here"
     )),
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: ClickHouse's exact sample-size formula is not pinned "
-            "by its docs (the documented example does not match any "
-            "standard two-sample closed form) — compute the power "
-            "analysis with the hypothesis-test family (studentTTest/"
-            "proportionsZTest) or an explicit formula"
-        ))))(_t)
-        for _t in ("minsamplesizeconversion", "minsamplesizecontinous",
-                   "minsamplesizecontinuous")
-    },
+    # minSampleSize family (round 11 — was guided): the two-sample
+    # power-analysis closed forms from the article ClickHouse's docs
+    # cite ("Required Sample Size for A/B Testing"), z quantiles
+    # resolved at translate time (power/alpha must be literals)
+    "minsamplesizeconversion": lambda a: _min_sample_size_expr(a, False),
+    "minsamplesizecontinous": lambda a: _min_sample_size_expr(a, True),
+    "minsamplesizecontinuous": lambda a: _min_sample_size_expr(a, True),
     # jumpConsistentHash (round 9): Lamping-Veach jump hash, the exact
     # algorithm CH wraps — data-dependent loop length, so an Arrow
     # pandas_udf (functions/jumphash.py), registered lazily
@@ -4344,13 +4444,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # kurtSamp = m₄/s⁴ with m_k = Σ(x−x̄)^k/n, s² = varSamp.
     # Recovered exactly from Spark's population aggregates:
     # m₃ = skewness·varPop^1.5, m₄ = (kurtosis+3)·varPop²
+    # try_divide (round 11, combinator fuzz): a zero-variance group
+    # (n>=2 identical values) made the bare division throw ANSI
+    # DIVIDE_BY_ZERO; CH returns nan there — NULL is the engine's
+    # documented ANSI delta
     "skewsamp": lambda a: (
         f"(skewness({a[0]})"
-        f" * pow(var_pop({a[0]}) / var_samp({a[0]}), 1.5))"
+        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 1.5))"
     ),
     "kurtsamp": lambda a: (
         f"((kurtosis({a[0]}) + 3)"
-        f" * pow(var_pop({a[0]}) / var_samp({a[0]}), 2))"
+        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 2))"
     ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),
@@ -4395,11 +4499,30 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "uniqif": lambda a: f"approx_count_distinct(CASE WHEN {a[1]} THEN {a[0]} END)",
     "uniqexactif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
     "countdistinctif": lambda a: f"count(DISTINCT CASE WHEN {a[1]} THEN {a[0]} END)",
+    # argMax/argMin (round 11 — moved from NAME_MAP): CH's Null adapter
+    # skips a row when the VALUE argument is NULL (docs example over
+    # {a: [a b c NULL NULL d], b: [1 2 3 4 NULL NULL]} pins
+    # argMax(a, b) = 'c', the non-NULL value at the highest non-NULL
+    # key), but Spark's max_by keeps it and returns NULL — so the key
+    # gets a value-non-NULL guard (max_by/min_by already ignore NULL
+    # keys, covering the key half of the contract)
+    "argmax": lambda a: (
+        f"max_by({a[0]}, CASE WHEN ({a[0]}) IS NOT NULL"
+        f" THEN {a[1]} END)"
+    ),
+    "argmin": lambda a: (
+        f"min_by({a[0]}, CASE WHEN ({a[0]}) IS NOT NULL"
+        f" THEN {a[1]} END)"
+    ),
     "argmaxif": lambda a: (
-        f"max_by(CASE WHEN {a[2]} THEN {a[0]} END, CASE WHEN {a[2]} THEN {a[1]} END)"
+        f"max_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+        f" CASE WHEN ({a[2]}) AND ({a[0]}) IS NOT NULL"
+        f" THEN {a[1]} END)"
     ),
     "argminif": lambda a: (
-        f"min_by(CASE WHEN {a[2]} THEN {a[0]} END, CASE WHEN {a[2]} THEN {a[1]} END)"
+        f"min_by(CASE WHEN {a[2]} THEN {a[0]} END,"
+        f" CASE WHEN ({a[2]}) AND ({a[0]}) IS NOT NULL"
+        f" THEN {a[1]} END)"
     ),
     # -Distinct combinator
     "sumdistinct": lambda a: f"sum(DISTINCT {a[0]})",
@@ -5048,6 +5171,61 @@ def _polygon_perimeter_spherical_expr(a: list[str]) -> str:
     return (
         f"aggregate(sequence(1, size({rings})), CAST(0.0 AS DOUBLE), "
         f"(__pa, __pk) -> __pa + {ring_len})"
+    )
+
+
+def _polygon_area_spherical_expr(a: list[str]) -> str:
+    """CH ``polygonAreaSpherical(polygon)`` (round 11 — was guided):
+    surface area on the UNIT sphere (steradians), points are (lon, lat)
+    in degrees like the rest of the polygon family.
+
+    Exact spherical excess, edge-wise: fan the ring from the north pole
+    and sum the SIGNED excess of each triangle (N, v_i, v_{i+1}) with
+    van Oosterom & Strackee's tan(E/2) formula.  With the apex pinned at
+    N the triple product and dot products collapse to closed trig of the
+    two edge endpoints only —
+
+        E_i = 2·atan2( cosφ1·cosφ2·sin(λ2−λ1),
+                       1 + sinφ1 + sinφ2
+                         + cosφ1·cosφ2·cos(λ2−λ1) + sinφ1·sinφ2 )
+
+    — so each edge is O(1) column arithmetic (no UDF, stays in
+    whole-stage codegen) and signed contributions from an apex outside
+    the polygon cancel exactly.  Ring area = |ΣE_i| (orientation-
+    insensitive, like the Cartesian twin / boost's corrected area);
+    holes (rings after the first) subtract.  Pinned analytically in
+    tests/test_r11_wave.py: the equator/meridian octant = π/2, polar
+    triangles = Δλ, hole subtraction, and the tiny-polygon planar limit
+    vs polygonAreaCartesian.  Polygons covering more than a hemisphere
+    follow the smaller-area orientation convention (documented delta)."""
+    if len(a) != 1:
+        raise DialectError("polygonAreaSpherical takes one polygon argument")
+    rings = _rings_points(a[0])
+    ring = f"element_at({rings}, __pk)"
+    cur = f"element_at({ring}, __pi)"
+    nxt = (
+        f"element_at({ring}, CASE WHEN __pi = size({ring})"
+        f" THEN 1 ELSE __pi + 1 END)"
+    )
+    lam1 = f"radians(CAST({cur}._1 AS DOUBLE))"
+    phi1 = f"radians(CAST({cur}._2 AS DOUBLE))"
+    lam2 = f"radians(CAST({nxt}._1 AS DOUBLE))"
+    phi2 = f"radians(CAST({nxt}._2 AS DOUBLE))"
+    term = (
+        f"2 * atan2("
+        f"cos({phi1}) * cos({phi2}) * sin({lam2} - {lam1}), "
+        f"1.0D + sin({phi1}) + sin({phi2})"
+        f" + cos({phi1}) * cos({phi2}) * cos({lam2} - {lam1})"
+        f" + sin({phi1}) * sin({phi2}))"
+    )
+    ring_excess = (
+        f"aggregate(sequence(1, size({ring})), CAST(0.0 AS DOUBLE), "
+        f"(__ps, __pi) -> __ps + {term})"
+    )
+    return (
+        f"aggregate(sequence(1, size({rings})), CAST(0.0 AS DOUBLE), "
+        f"(__pa, __pk) -> __pa + (CASE WHEN __pk = 1 THEN 1.0D"
+        f" ELSE -1.0D END) * abs({ring_excess}))"
     )
 
 
@@ -6118,11 +6296,9 @@ TEMPLATES.update({
     # spherical area: boost::geometry's spherical-excess strategy is not
     # docs-pinned (orientation/pole handling differ between published
     # formulas) — guided rather than silently approximate
-    "polygonareaspherical": lambda a: (_ for _ in ()).throw(DialectError(
-        "polygonAreaSpherical: boost::geometry's spherical-excess "
-        "strategy is not docs-pinned — use polygonAreaCartesian for "
-        "planar data, or a geodesy library via pandas UDF"
-    )),
+    # polygonAreaSpherical moved to an exact spherical-excess translation
+    # in round 11 (_polygon_area_spherical_expr above)
+    "polygonareaspherical": _polygon_area_spherical_expr,
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
             f"{_n}: WKT geometry parsing needs a geospatial extension "
@@ -6219,6 +6395,9 @@ for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
 _COUNT_LIKE_BASES = frozenset({
     "count", "uniqexact", "countdistinct", "uniq", "uniqcombined",
     "uniqcombined64", "uniqhll12", "uniqtheta", "intervallengthsum",
+    # entropy's fold returns a genuine 0.0 over an empty input (like
+    # count's 0), so its -OrNull needs the same zero-rows guard
+    "entropy",
 })
 _ORNULL_BASES = (
     "sum", "avg", "min", "max", "count", "median", "any", "anylast",
@@ -6226,6 +6405,10 @@ _ORNULL_BASES = (
     "covarpop", "avgweighted", "uniqexact", "countdistinct", "uniq",
     "uniqcombined", "uniqcombined64", "uniqhll12", "uniqtheta",
     "argmax", "argmin",
+    # round 11 (combinator fuzz): these CH spellings previously passed
+    # through unmapped and died at analysis
+    "sumkahan", "groupbitand", "groupbitor", "groupbitxor",
+    "skewpop", "skewsamp", "kurtpop", "kurtsamp", "entropy",
 )
 
 

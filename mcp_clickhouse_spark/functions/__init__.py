@@ -96,6 +96,14 @@ LAZY_UDFS = {
     "ch_ipv6_cidr_lo": _register_ipaddr,
     "ch_ipv6_cidr_hi": _register_ipaddr,
     "ch_ip_in_range": _register_ipaddr,
+    "ch_ngram_dist": _register_strdist,
+    "ch_ngram_dist_ci": _register_strdist,
+    "ch_ngram_dist_utf8": _register_strdist,
+    "ch_ngram_dist_ci_utf8": _register_strdist,
+    "ch_ngram_search": _register_strdist,
+    "ch_ngram_search_ci": _register_strdist,
+    "ch_ngram_search_utf8": _register_strdist,
+    "ch_ngram_search_ci_utf8": _register_strdist,
     "ch_byte_hamming": _register_strdist,
     "ch_damerau_lev": _register_strdist,
     "ch_jaro": _register_strdist,

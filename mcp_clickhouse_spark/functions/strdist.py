@@ -135,6 +135,50 @@ def levenshtein_seq(a, b) -> int:
     return prev[lb]
 
 
+def _ngrams(seq):
+    """4-gram multiset of a sequence (bytes → byte 4-slices, str →
+    codepoint 4-tuples); sequences shorter than 4 have no grams."""
+    n = 4
+    if len(seq) < n:
+        return []
+    return [seq[i : i + n] for i in range(len(seq) - n + 1)]
+
+
+def ngram_distance(a, b) -> float:
+    """CH ngramDistance* (round 11 — was guided): symmetric-difference
+    count of the two 4-gram multisets over the total gram count,
+    computed in Float32 like ClickHouse (FunctionsStringSimilarity.cpp:
+    ``distance * 1.f / std::max(first_size + second_size, size_t(1))``).
+    Both shorter-than-4 → 0 grams each → 0.0; one-sided empty → 1.0."""
+    import numpy as np
+    from collections import Counter
+
+    ca, cb = Counter(_ngrams(a)), Counter(_ngrams(b))
+    total = sum(ca.values()) + sum(cb.values())
+    if total == 0:
+        return 0.0
+    sym = sum(abs(ca[g] - cb[g]) for g in set(ca) | set(cb))
+    return float(np.float32(sym) / np.float32(total))
+
+
+def ngram_search(haystack, needle) -> float:
+    """CH ngramSearch*: the fraction of the needle's 4-gram multiset
+    found in the haystack (multiset-aware), Float32 like ClickHouse;
+    a gram-less needle (len < 4) is trivially found → 1.0."""
+    import numpy as np
+    from collections import Counter
+
+    cn = Counter(_ngrams(needle))
+    ntotal = sum(cn.values())
+    if ntotal == 0:
+        return 1.0
+    chay = Counter(_ngrams(haystack))
+    matched = sum(min(c, chay[g]) for g, c in cn.items())
+    return float(
+        np.float32(1.0) - np.float32(ntotal - matched) / np.float32(ntotal)
+    )
+
+
 def _pair_series(sa: pd.Series, sb: pd.Series, fn, dtype) -> pd.Series:
     out = []
     for a, b in zip(sa, sb):
@@ -178,6 +222,37 @@ def ensure_registered(spark) -> None:
             lambda x, y: levenshtein_seq(list(x), list(y)),
             "Int32",
         )
+
+    # ngram family (round 11): 8 CH spellings → 8 thin registrations over
+    # the two core functions.  Byte variants run on the UTF-8 encoding
+    # (bytes.lower() = ASCII-only lowercase, matching CH's byte path);
+    # UTF8 variants run on codepoints (str.lower() = full Unicode
+    # lowering, matching CH's lowerUTF8 on the supported planes).
+    def _ngram_udf(core, ci: bool, utf8: bool):
+        def prep(s: str):
+            if utf8:
+                return s.lower() if ci else s
+            bs = s.encode("utf-8")
+            return bs.lower() if ci else bs
+
+        @pandas_udf("float")
+        def f(a: pd.Series, b: pd.Series) -> pd.Series:
+            return _pair_series(
+                a, b, lambda x, y: core(prep(x), prep(y)), "float32"
+            )
+
+        return f
+
+    for _nm, _core in (("dist", ngram_distance), ("search", ngram_search)):
+        for _suffix, _ci, _u8 in (
+            ("", False, False),
+            ("_ci", True, False),
+            ("_utf8", False, True),
+            ("_ci_utf8", True, True),
+        ):
+            spark.udf.register(
+                f"ch_ngram_{_nm}{_suffix}", _ngram_udf(_core, _ci, _u8)
+            )
 
     spark.udf.register("ch_byte_hamming", ch_byte_hamming)
     spark.udf.register("ch_damerau_lev", ch_damerau_lev)

@@ -1290,3 +1290,117 @@ def scalar_round10_wave2(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R10_WAVE2_CH))
+
+
+_SQL_R11_CH = """
+SELECT p_partkey,
+       round(polygonAreaSpherical([[
+         (CAST(p_partkey % 300 AS Float64) - 150.0, 0.0),
+         (CAST(p_partkey % 300 AS Float64) - 150.0
+            + CAST(p_partkey % 80 AS Float64) + 1.0, 0.0),
+         (0.0, 90.0)]]), 9) AS sph,
+       CAST(ngramDistance(p_name,
+            concat(substring(p_name, 3, 6), ' bolt')) AS Float64) AS nd,
+       CAST(ngramSearch(p_name, concat(substring(p_name, 2, 5),
+            substring(p_type, 1, 3))) AS Float64) AS ns,
+       round(minSampleSizeConversion(
+         0.01 + CAST(p_partkey % 20 AS Float64) * 0.01,
+         0.005, 0.8, 0.05).1, 6) AS mc_n,
+       round(minSampleSizeConversion(
+         0.01 + CAST(p_partkey % 20 AS Float64) * 0.01,
+         0.005, 0.8, 0.05).2, 6) AS mc_lo,
+       round(minSampleSizeContinous(
+         100.0 + CAST(p_partkey % 50 AS Float64),
+         10.0 + CAST(p_partkey % 7 AS Float64),
+         0.03, 0.8, 0.05).1, 6) AS ms_n
+FROM part
+"""
+
+
+@query(
+    "scalar_round11",
+    oracle="""
+    WITH base AS (
+      SELECT p_partkey, p_name AS a,
+             concat(substr(p_name, 3, 6), ' bolt') AS b,
+             concat(substr(p_name, 2, 5), substr(p_type, 1, 3)) AS ndl,
+             CAST(0.01 AS DOUBLE)
+               + (p_partkey % 20) * CAST(0.01 AS DOUBLE) AS p1,
+             CAST(100.0 AS DOUBLE) + (p_partkey % 50) AS cb,
+             CAST(10.0 AS DOUBLE) + (p_partkey % 7) AS cs
+      FROM part
+    ),
+    idx AS (SELECT UNNEST(generate_series(1, 64)) AS i),
+    dg AS (
+      SELECT p_partkey, g, SUM(ca) AS sa, SUM(cb) AS sb FROM (
+        SELECT p_partkey, substr(a, i, 4) AS g, 1 AS ca, 0 AS cb
+        FROM base, idx WHERE i + 3 <= length(a)
+        UNION ALL
+        SELECT p_partkey, substr(b, i, 4), 0, 1
+        FROM base, idx WHERE i + 3 <= length(b)
+      ) GROUP BY 1, 2
+    ),
+    nd AS (
+      SELECT p_partkey,
+             CAST(CAST(SUM(ABS(sa - sb)) AS REAL)
+                  / CAST(SUM(sa + sb) AS REAL) AS DOUBLE) AS nd
+      FROM dg GROUP BY 1
+    ),
+    sg AS (
+      SELECT p_partkey, g, SUM(ca) AS sa, SUM(cn) AS sn FROM (
+        SELECT p_partkey, substr(a, i, 4) AS g, 1 AS ca, 0 AS cn
+        FROM base, idx WHERE i + 3 <= length(a)
+        UNION ALL
+        SELECT p_partkey, substr(ndl, i, 4), 0, 1
+        FROM base, idx WHERE i + 3 <= length(ndl)
+      ) GROUP BY 1, 2
+    ),
+    ns AS (
+      SELECT p_partkey,
+             CAST(CAST(1 AS REAL)
+                  - CAST(SUM(sn) - SUM(LEAST(sn, sa)) AS REAL)
+                    / CAST(SUM(sn) AS REAL) AS DOUBLE) AS ns
+      FROM sg GROUP BY 1
+    )
+    SELECT base.p_partkey,
+           round(radians((base.p_partkey % 80) + 1), 9) AS sph,
+           nd.nd AS nd,
+           ns.ns AS ns,
+           round((7.848879734349086
+             * (p1 * (1.0 - p1) + (p1 + 0.005) * (1.0 - (p1 + 0.005)))
+             / (0.005 * 0.005)), 6) AS mc_n,
+           round(p1 - 0.005, 6) AS mc_lo,
+           round((7.848879734349086 * 2.0 * cs * cs
+             / ((0.03 * cb) * (0.03 * cb))), 6) AS ms_n
+    FROM base
+    JOIN nd ON nd.p_partkey = base.p_partkey
+    JOIN ns ON ns.p_partkey = base.p_partkey
+    """,
+    category="scalars",
+)
+def scalar_round11(spark, sf_dir):
+    """Round-11 guided-tail closures with DuckDB-recomputable twins:
+
+    - ``polygonAreaSpherical`` over a per-row polar triangle (two
+      meridian edges + an equator base, dlon = (k % 80)+1 degrees): the
+      exact spherical excess of that triangle is the closed form
+      radians(dlon), fully independent of the edge-wise atan2 fan the
+      translation emits (octant/hole/orientation pins live in
+      tests/test_r11_wave.py);
+    - ``ngramDistance``/``ngramSearch``: the oracle regrows both 4-gram
+      multisets with substr over generate_series and recomputes
+      sym-diff/total resp. matched-needle-fraction in REAL (float32)
+      arithmetic -- DuckDB REAL division is bit-identical IEEE-754
+      single precision, so the values compare exactly, no rounding;
+    - ``minSampleSizeConversion``/``minSampleSizeContinous``: the oracle
+      repeats the closed-form power analysis with the z**2 literal
+      7.848879734349086 ((z_0.975 + z_0.8)**2 -- table constants,
+      reproduced to double precision by functions/stats.norm_ppf at
+      translation time) and the same association order, so the doubles
+      match bit-for-bit before the defensive round(..., 6)."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.strdist import ensure_registered
+
+    ensure_registered(spark)
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(translate(_SQL_R11_CH))

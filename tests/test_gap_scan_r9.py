@@ -110,8 +110,10 @@ def test_guided_errors_fire():
         ("SELECT detectLanguage(text) FROM t", "NLP"),
         ("SELECT lemmatize('en', w) FROM t", "NLP"),
         # jaroWinklerSimilarity & friends now TRANSLATE (round 10,
-        # functions/strdist.py); the unpinnable ngram family stays guided
-        ("SELECT ngramDistance(a, b) FROM t", "4-gram"),
+        # functions/strdist.py); ngramDistance/Search now TRANSLATE too
+        # (round 11, functions/strdist.py) — the MinHash shingle family
+        # stays guided (engine-internal state)
+        ("SELECT ngramMinHash(a) FROM t", "MinHash"),
         ("SELECT consistentHash(x, 10) FROM t", "jumpConsistentHash"),
         # sequenceNextNode now TRANSLATES (round 10) — malformed arity
         # still raises the argument-shape guidance
