@@ -796,17 +796,31 @@ _SQL_JACCARD = (
     "pipe_minhash_lsh_verified",
     oracle=f"""
     WITH {_SQL_MINHASH_SIGS},
+    skeys AS (
+      SELECT doc_id, sig,
+             array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)),
+                             ',') AS skey
+      FROM sigs
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM skeys GROUP BY skey),
+    star AS (
+      SELECT r.rep AS id_a, s.doc_id AS id_b
+      FROM skeys s JOIN reps r ON s.skey = r.skey AND s.doc_id > r.rep
+    ),
     banded AS (
-      SELECT doc_id, band,
+      SELECT s.doc_id, band,
              array_to_string(list_transform(
                generate_series(band * 4 + 1, band * 4 + 4),
-               i -> CAST(sig[i] AS VARCHAR)), ',') AS slice
-      FROM sigs, generate_series(0, 3) AS t(band)
+               i -> CAST(s.sig[i] AS VARCHAR)), ',') AS slice
+      FROM skeys s JOIN reps r ON s.skey = r.skey AND s.doc_id = r.rep,
+           generate_series(0, 3) AS t(band)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+      UNION
+      SELECT id_a, id_b FROM star
     ),
     sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents)
     SELECT cand.id_a, cand.id_b, round({_SQL_JACCARD}, 6) AS jaccard
@@ -821,8 +835,10 @@ def pipe_minhash_lsh_verified(spark, sf_dir):
     # The FULL MinHash → LSH-banding → exact-Jaccard-verify dedup pipeline,
     # cross-engine-checked: md5-based OPH signatures (engine-portable hash),
     # 4 bands × 4 rows, threshold 0.5.  The DuckDB oracle recomputes EVERY
-    # stage — signatures, band-equality candidates, Jaccard — so the
-    # algorithm (not just its plumbing) is value-verified.  Band equality on
+    # stage — signatures, the round-11 identical-signature collapse
+    # (min-id representatives + star pairs), band-equality candidates
+    # over representatives, Jaccard — so the algorithm (not just its
+    # plumbing) is value-verified.  Band equality on
     # the oracle side vs xxhash64-bucket equality on the Spark side differ
     # only by hash collisions (~|pairs|·2⁻⁶⁴ — negligible).  The production
     # variant (pipe_minhash_lsh) keeps the faster xxhash64 at 2× the hash
@@ -1314,17 +1330,28 @@ def pipe_dedup_funnel(spark, sf_dir):
     "pipe_lsh_eval",
     oracle=f"""
     WITH {_SQL_MINHASH_SIGS},
+    skeys AS (
+      SELECT doc_id, sig,
+             array_to_string(list_transform(sig, x -> CAST(x AS VARCHAR)),
+                             ',') AS skey
+      FROM sigs
+    ),
+    reps AS (SELECT skey, MIN(doc_id) AS rep FROM skeys GROUP BY skey),
     banded AS (
-      SELECT doc_id, band,
+      SELECT s.doc_id, band,
              array_to_string(list_transform(
                generate_series(band * 4 + 1, band * 4 + 4),
-               i -> CAST(sig[i] AS VARCHAR)), ',') AS slice
-      FROM sigs, generate_series(0, 3) AS t(band)
+               i -> CAST(s.sig[i] AS VARCHAR)), ',') AS slice
+      FROM skeys s JOIN reps r ON s.skey = r.skey AND s.doc_id = r.rep,
+           generate_series(0, 3) AS t(band)
     ),
     cand AS (
       SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
       FROM banded x JOIN banded y
         ON x.band = y.band AND x.slice = y.slice AND x.doc_id < y.doc_id
+      UNION
+      SELECT r.rep AS id_a, s.doc_id AS id_b
+      FROM skeys s JOIN reps r ON s.skey = r.skey AND s.doc_id > r.rep
     ),
     sh2 AS (SELECT doc_id, {_SQL_SHINGLES} AS sh FROM documents),
     lshv AS (

@@ -11,7 +11,11 @@ repeats 10x.  region/nation stay fixed (fixed-size dimensions in TPC-H).
 Value distributions are untouched.  DuckDB does the generation (columnar,
 out-of-core); output is plain parquet readable by both engines.
 
-Usage: python scripts/make_sf1.py [/tmp/sf1]
+Usage: python scripts/make_sf1.py [/tmp/sf1] [copies]
+
+Round 11 (r10 verdict next #3): ``copies`` defaults to 10 (sf1); pass 50
+for the sf5 probe (`python scripts/make_sf1.py /tmp/sf5 50`) — the second
+scale datapoint that pins the per-stage scaling curve.
 """
 
 from __future__ import annotations
@@ -40,7 +44,10 @@ FIXED = ["region", "nation"]
 
 
 def main() -> None:
+    global COPIES
     out_dir = Path(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1")
+    if len(sys.argv) > 2:
+        COPIES = int(sys.argv[2])
     out_dir.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     con.execute("SET threads = 16")

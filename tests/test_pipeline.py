@@ -218,20 +218,32 @@ def test_multimodal_real_decode_is_stubbed(docs):
 
 
 def test_lsh_bucket_cap_bounds_degenerate_corpus(spark):
-    """A boilerplate corpus (every doc identical) collides into one bucket;
-    the per-bucket cap must bound pair generation (r1/r2 judge item)."""
+    """A boilerplate corpus (every doc identical) collides into one bucket.
+
+    Round 11: identical signatures now collapse to a min-id representative
+    first, so the whole 40-doc cluster surfaces as exactly 39 star pairs
+    (0, i) — LINEAR and complete, where the old capped truncation kept 45
+    pairs over the 10 lowest ids and DROPPED docs 10-39 entirely.  The
+    flat path (collapse_identical=False, the streaming twin's shape) still
+    pins the r1/r2 bucket-cap bound."""
     n = 40
     rows = [(i, BASE) for i in range(n)]
     degenerate = spark.createDataFrame(rows, "doc_id long, text string")
     sigs = minhash_signatures(degenerate, num_hashes=32)
-    capped = minhash_lsh_candidates(sigs, bands=8, rows_per_band=4, max_bucket_size=10)
-    n_pairs = capped.count()
-    # 10 survivors per bucket → at most C(10,2)=45 pairs; uncapped would be
-    # C(40,2)=780.
-    assert 0 < n_pairs <= 45
-    # Deterministic truncation: the lowest ids survive.
-    ids = {r["id_a"] for r in capped.collect()} | {r["id_b"] for r in capped.collect()}
-    assert max(ids) <= 9
+    collapsed = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=10
+    )
+    got = {(r["id_a"], r["id_b"]) for r in collapsed.collect()}
+    assert got == {(0, i) for i in range(1, n)}
+    # flat path: 10 survivors per bucket → at most C(10,2)=45 pairs;
+    # uncapped would be C(40,2)=780; the lowest ids survive
+    capped = minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=10,
+        collapse_identical=False,
+    )
+    flat = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert 0 < len(flat) <= 45
+    assert max(b for _, b in flat) <= 9
 
 
 def test_release_persisted_clears_registry(spark, docs):

@@ -115,8 +115,15 @@ def test_lsh_candidates_plan_no_join_no_cartesian(spark, sf):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "Join") == 0
-    # spread repartition + (band,bucket) + pairs-distinct = 3 exchanges max
-    assert count_nodes(plan, "Exchange") <= 3
+    # round 11 (identical-signature collapse): 4 DISTINCT exchanges —
+    # spread repartition + signature-key window + (band,bucket) +
+    # pairs-distinct; the formatted plan renders the persisted collapse
+    # subplan's two pre-cache exchanges once more inside the
+    # InMemoryRelation definition, hence the textual bound of 6
+    assert count_nodes(plan, "Exchange") <= 6
+    # the star and reps branches must read the collapse CACHE, not
+    # recompute the signature DAG twice
+    assert count_nodes(plan, "InMemoryTableScan") >= 2
 
 
 def test_embedding_neardup_plan_no_cartesian(spark, sf):

@@ -201,8 +201,13 @@ def test_lsh_pipeline_scale_smoke_with_degenerate_slice(spark):
     n_pairs = pairs.count()
     release_persisted()
     # cap=20 -> <=C(20,2)=190 pairs per (band,bucket); 4 bands of the one
-    # degenerate bucket plus random-text collisions stay O(hundreds)
-    assert 0 < n_cand <= 4 * 190 + 500
+    # round 11 (identical-signature collapse): the 12,000-doc boilerplate
+    # cluster surfaces as 11,999 star pairs (LINEAR in cluster size — the
+    # uncollapsed all-pairs form would be C(12000,2) = 7.2e7) plus
+    # rep-level banding collisions bounded by the cap (<=C(20,2)=190 per
+    # band) and random-text noise
+    n_dup = int(n * dup_frac)
+    assert n_dup - 1 <= n_cand <= n_dup - 1 + 4 * 190 + 500
     assert n_pairs <= n_cand
     # all verified pairs are within the duplicate slice
     bad = pairs.where(

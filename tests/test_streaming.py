@@ -372,6 +372,9 @@ def test_streaming_minhash_matches_batch_candidates(spark, neardup_corpus):
             bands=4,
             rows_per_band=4,
             max_bucket_size=16,
+            # the stream cannot know the global min-id representative, so
+            # its replay pins against the flat all-members banding
+            collapse_identical=False,
         ).collect()
     }
     assert batch_pairs, "corpus must yield at least one candidate pair"
