@@ -4325,15 +4325,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CAST(IF(rand() < ({a[0]}), 1, 0) AS BIGINT)"
     ),
     "randexponential": lambda a: f"(-ln(1.0 - rand()) / ({a[0]}))",
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: no bounded closed-form inverse transform in SQL — "
-            "use randUniform/randNormal/randExponential/randBernoulli/"
-            "randLogNormal, or sample in a pandas UDF"
-        ))))(_t)
-        for _t in ("randpoisson", "randbinomial", "randnegativebinomial",
-                   "randchisquared", "randstudentt", "randfisherf")
-    },
+    # the six no-closed-form distributions (round 11 — were guided):
+    # numpy-backed Arrow pandas_udfs (functions/randdist.py), registered
+    # asNondeterministic; distributions pinned by moment-accuracy tests
+    "randpoisson": lambda a: f"ch_rand_poisson(CAST({a[0]} AS DOUBLE))",
+    "randbinomial": lambda a: (
+        f"ch_rand_binomial(CAST({a[0]} AS BIGINT), CAST({a[1]} AS DOUBLE))"
+    ),
+    "randnegativebinomial": lambda a: (
+        f"ch_rand_negbinomial(CAST({a[0]} AS BIGINT),"
+        f" CAST({a[1]} AS DOUBLE))"
+    ),
+    "randchisquared": lambda a: f"ch_rand_chisq(CAST({a[0]} AS DOUBLE))",
+    "randstudentt": lambda a: f"ch_rand_student_t(CAST({a[0]} AS DOUBLE))",
+    "randfisherf": lambda a: (
+        f"ch_rand_fisher_f(CAST({a[0]} AS DOUBLE), CAST({a[1]} AS DOUBLE))"
+    ),
     "randuniform": lambda a: f"({a[0]} + rand() * (({a[1]}) - ({a[0]})))",
     "tonullable": lambda a: f"({a[0]})",  # type-system no-op on Spark
     "nowinblock": lambda a: "now()",
@@ -5226,6 +5233,67 @@ def _polygon_area_spherical_expr(a: list[str]) -> str:
         f"aggregate(sequence(1, size({rings})), CAST(0.0 AS DOUBLE), "
         f"(__pa, __pk) -> __pa + (CASE WHEN __pk = 1 THEN 1.0D"
         f" ELSE -1.0D END) * abs({ring_excess}))"
+    )
+
+
+def _wkt_points_expr(list_expr: str) -> str:
+    """``"x y, x y, …"`` → array of (_1, _2) double structs — the point
+    shape the polygon family consumes."""
+    return (
+        f"transform(split({list_expr}, ','), __wp -> named_struct("
+        f"'_1', CAST(element_at(split(trim(__wp), '\\\\s+'), 1) AS DOUBLE), "
+        f"'_2', CAST(element_at(split(trim(__wp), '\\\\s+'), 2) AS DOUBLE)))"
+    )
+
+
+def _read_wkt_point_expr(a: list[str]) -> str:
+    """CH readWKTPoint('POINT (x y)') → (x, y) tuple (round 11 — was
+    guided): WKT is an OGC-standard grammar, so the parse is one regex."""
+    if len(a) != 1:
+        raise DialectError("readWKTPoint takes one WKT string")
+    rx = "'POINT\\\\s*\\\\(\\\\s*(-?[0-9.eE+]+)\\\\s+(-?[0-9.eE+]+)'"
+    return (
+        f"named_struct('_1', CAST(regexp_extract({a[0]}, {rx}, 1)"
+        f" AS DOUBLE), '_2', CAST(regexp_extract({a[0]}, {rx}, 2)"
+        f" AS DOUBLE))"
+    )
+
+
+def _read_wkt_ring_expr(a: list[str]) -> str:
+    """CH readWKTRing('POLYGON ((x y, …))') → the first ring as an array
+    of point tuples (closed linestring, kept verbatim incl. the closing
+    vertex — the CH contract)."""
+    if len(a) != 1:
+        raise DialectError("readWKTRing takes one WKT string")
+    inner = f"regexp_extract({a[0]}, '\\\\(\\\\s*\\\\(([^()]+)\\\\)', 1)"
+    return _wkt_points_expr(inner)
+
+
+def _read_wkt_polygon_expr(a: list[str]) -> str:
+    """CH readWKTPolygon('POLYGON ((outer), (hole), …)') → array of rings
+    (the polygonArea*/pointInPolygon input shape)."""
+    if len(a) != 1:
+        raise DialectError("readWKTPolygon takes one WKT string")
+    rings = f"regexp_extract_all({a[0]}, '\\\\(([^()]+)\\\\)', 1)"
+    return f"transform({rings}, __wr -> {_wkt_points_expr('__wr')})"
+
+
+def _read_wkt_multipolygon_expr(a: list[str]) -> str:
+    """CH readWKTMultiPolygon('MULTIPOLYGON (((…)), ((…)))') → array of
+    polygons, each an array of rings.  Polygon groups are matched as a
+    parenthesized run of ring-parens (WKT nests exactly three deep, so
+    the innermost-parens regex is exact, not heuristic)."""
+    if len(a) != 1:
+        raise DialectError("readWKTMultiPolygon takes one WKT string")
+    groups = (
+        f"regexp_extract_all({a[0]}, "
+        f"'\\\\((\\\\([^()]*\\\\)(?:\\\\s*,\\\\s*\\\\([^()]*\\\\))*)\\\\)'"
+        f", 1)"
+    )
+    rings = "regexp_extract_all(__wg, '\\\\(([^()]+)\\\\)', 1)"
+    return (
+        f"transform({groups}, __wg -> transform({rings},"
+        f" __wr -> {_wkt_points_expr('__wr')}))"
     )
 
 
@@ -6219,14 +6287,13 @@ TEMPLATES.update({
         f" '(?s)<[^>]*>', ' '),"
         f" '\\\\s+', ' '))"
     ),
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: numeric character references need computed char "
-            "codes, which Spark SQL cannot express — use a pandas UDF "
-            "(html.unescape) for full decoding"
-        ))))(_t)
-        for _t in ("decodexmlcomponent", "decodehtmlcomponent")
-    },
+    # decodeXMLComponent / decodeHTMLComponent (round 11 — were guided):
+    # Arrow pandas_udfs (functions/codecs.py) — the XML form decodes only
+    # the five predefined entities + numeric refs (unknown &…; verbatim,
+    # the CH contract); the HTML form is the full WHATWG entity table
+    # (html.unescape implements exactly that list)
+    "decodexmlcomponent": lambda a: f"ch_decode_xml({a[0]})",
+    "decodehtmlcomponent": lambda a: f"ch_decode_html({a[0]})",
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
             f"{_n}: ClickHouse-internal n-gram/shingle MinHash state has "
@@ -6299,15 +6366,22 @@ TEMPLATES.update({
     # polygonAreaSpherical moved to an exact spherical-excess translation
     # in round 11 (_polygon_area_spherical_expr above)
     "polygonareaspherical": _polygon_area_spherical_expr,
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: WKT geometry parsing needs a geospatial extension "
-            "(e.g. Apache Sedona) — the tuple-literal polygon spelling "
-            "is supported by the pointInPolygon/polygon* family"
-        ))))(_t)
-        for _t in ("readwktpoint", "readwktpolygon", "readwktmultipolygon",
-                   "readwktring", "wkt")
-    },
+    # WKT parsing (round 11 — was guided): the WKT grammar is an OGC
+    # standard, so the readers are pure regex/split column expressions
+    # (no UDF, no geospatial extension) producing exactly the tuple
+    # shapes the pointInPolygon/polygon* family consumes.  The inverse
+    # wkt() stays guided: its output depends on the argument's GEOMETRY
+    # TYPE, which a textual translator cannot introspect.
+    "readwktpoint": lambda a: _read_wkt_point_expr(a),
+    "readwktring": lambda a: _read_wkt_ring_expr(a),
+    "readwktpolygon": lambda a: _read_wkt_polygon_expr(a),
+    "readwktmultipolygon": lambda a: _read_wkt_multipolygon_expr(a),
+    "wkt": lambda a: (_ for _ in ()).throw(DialectError(
+        "wkt: the rendered text depends on the argument's geometry type "
+        "(Point/Ring/Polygon/MultiPolygon), which the textual translator "
+        "cannot introspect — format with concat()/array_join over the "
+        "tuple shape instead"
+    )),
 })
 
 # CH alias spellings of already-mapped handlers

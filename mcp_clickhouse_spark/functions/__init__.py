@@ -62,6 +62,12 @@ def _register_geo(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_randdist(spark) -> None:
+    from mcp_clickhouse_spark.functions.randdist import ensure_registered
+
+    ensure_registered(spark)
+
+
 # Python-UDF-backed helper functions the dialect layer may emit, keyed by
 # the (lowercased) name as it appears in translated SQL.  The tool layer
 # scans translated queries for these names and registers lazily — only
@@ -89,6 +95,14 @@ LAZY_UDFS = {
     "ch_base32_encode": _register_codecs,
     "ch_base32_decode": _register_codecs,
     "ch_try_base32_decode": _register_codecs,
+    "ch_decode_xml": _register_codecs,
+    "ch_decode_html": _register_codecs,
+    "ch_rand_poisson": _register_randdist,
+    "ch_rand_binomial": _register_randdist,
+    "ch_rand_negbinomial": _register_randdist,
+    "ch_rand_chisq": _register_randdist,
+    "ch_rand_student_t": _register_randdist,
+    "ch_rand_fisher_f": _register_randdist,
     "ch_ipv6_aton": _register_ipaddr,
     "ch_ipv6_ntoa": _register_ipaddr,
     "ch_is_ipv6": _register_ipaddr,

@@ -111,6 +111,8 @@ def ensure_registered(spark) -> None:
         ("ch_base32_encode", base32_encode, None),
         ("ch_base32_decode", base32_decode, None),
         ("ch_try_base32_decode", base32_decode, ""),
+        ("ch_decode_xml", decode_xml_component, None),
+        ("ch_decode_html", decode_html_component, None),
     ]:
         spark.udf.register(name, _make(fn, on_error))
 
@@ -134,3 +136,41 @@ def base32_decode(s: str) -> str:
         return data.decode("utf-8")
     except UnicodeDecodeError:
         return data.decode("latin-1")
+
+
+_XML_ENTITIES = {
+    "lt": "<", "gt": ">", "amp": "&", "quot": '"', "apos": "'",
+}
+
+
+def decode_xml_component(s: str) -> str:
+    """CH decodeXMLComponent (round 11 — was guided): only the five
+    predefined XML entities plus numeric character references
+    (&#NNN; / &#xHH;) decode; any other &…; sequence passes through
+    verbatim (the CH docs' contract).  Invalid/overflowing numeric refs
+    also pass through, like CH."""
+    import re as _re
+
+    def _sub(m):
+        body = m.group(1)
+        if body in _XML_ENTITIES:
+            return _XML_ENTITIES[body]
+        try:
+            code = (
+                int(body[2:], 16) if body[:2] in ("#x", "#X")
+                else int(body[1:])
+            )
+            return chr(code)
+        except (ValueError, OverflowError):
+            return m.group(0)
+
+    return _re.sub(r"&(#[xX][0-9a-fA-F]+|#[0-9]+|[a-zA-Z]+);", _sub, s)
+
+
+def decode_html_component(s: str) -> str:
+    """CH decodeHTMLComponent (round 11 — was guided): the full HTML5
+    named-entity table plus numeric references — exactly Python's
+    html.unescape (both implement the WHATWG entity list)."""
+    import html as _html
+
+    return _html.unescape(s)

@@ -17,8 +17,11 @@ the 6 r6-deferred queries, then drain the 49-query r7-stale pool):
 - scalar_round11 — the round-11 guided-tail closure wave
   (polygonAreaSpherical, ngramDistance/Search, minSampleSize*), so the
   freeze carries zero never-driver-checked registrations;
-- 43 of the 49 queries last driver-checked in round 7 (the whole pool
-  minus the six deferred below).
+- scalar_round11b — the round-11 wave-2 closures (readWKT* parsing,
+  decodeXML/HTMLComponent; the rand-distribution closures are rows-only
+  by nature and carry moment-accuracy pytest instead);
+- 42 of the 49 queries last driver-checked in round 7 (the whole pool
+  minus the seven deferred below).
 
 Deferred to the round-12 lead (stay at r7 — "oldest last-green ≥ r7"
 still holds at the r11 freeze): ``order_limit_offset`` (order_limit
@@ -28,7 +31,9 @@ rotate; join_asof re-benches every round), ``setop_except_all``
 (setop_intersect_all rotates; setop_except was r10-green),
 ``array_join_left_outer`` (array_join_explode + sql_array_join_multi
 rotate), ``shim_with_fill_interpolate`` (the strictly-more-general
-shim_with_fill_interpolate_expr rotates, plus shim_with_fill).
+shim_with_fill_interpolate_expr rotates, plus shim_with_fill), and
+``constant_select`` (the SELECT-1 shape is re-proven every round by the
+driver smoke check and the MCP e2e harness).
 """
 
 from __future__ import annotations
@@ -44,8 +49,9 @@ PRIORITY: list[str] = [
     "setop_intersect",
     "agg_any_first_last",
     "pipe_dup_clusters_minhash",  # rows-only by design
-    # round-11 addition (guided-tail closures)
+    # round-11 additions (guided-tail closures, waves 1 + 2)
     "scalar_round11",
+    "scalar_round11b",
     # last driver-checked in round 7 (43 of the 49-query pool)
     "agg_global",
     "agg_group_having",
@@ -63,7 +69,6 @@ PRIORITY: list[str] = [
     "filter_ilike_regex",
     "case_when",
     "order_limit",
-    "constant_select",
     "shim_with_fill",
     "shim_with_fill_interpolate_expr",
     "shim_distinct",

@@ -1404,3 +1404,77 @@ def scalar_round11(spark, sf_dir):
     ensure_registered(spark)
     t(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(translate(_SQL_R11_CH))
+
+
+_SQL_R11B_CH = """
+SELECT p_partkey,
+       readWKTPoint(concat('POINT (', toString(p_partkey % 100), ' ',
+           toString(p_partkey % 7), ')')).1 AS px,
+       readWKTPoint(concat('POINT (', toString(p_partkey % 100), ' ',
+           toString(p_partkey % 7), ')')).2 AS py,
+       tupleElement(arrayElement(readWKTRing(concat('POLYGON ((0 0, ',
+           toString(p_partkey % 50 + 1), ' 0, ',
+           toString(p_partkey % 50 + 1), ' ',
+           toString(p_partkey % 30 + 1), ', 0 ',
+           toString(p_partkey % 30 + 1), '))')), 3), 2) AS ring_h,
+       round(polygonAreaCartesian(readWKTPolygon(concat('POLYGON ((0 0, ',
+           toString(p_partkey % 50 + 1), ' 0, ',
+           toString(p_partkey % 50 + 1), ' ',
+           toString(p_partkey % 30 + 1), ', 0 ',
+           toString(p_partkey % 30 + 1),
+           '), (1 1, 2 1, 2 2, 1 2))'))), 6) AS area,
+       round(polygonAreaCartesian(arrayElement(readWKTMultiPolygon(concat(
+           'MULTIPOLYGON (((0 0, ', toString(p_partkey % 50 + 1), ' 0, ',
+           toString(p_partkey % 50 + 1), ' ', toString(p_partkey % 30 + 1),
+           ', 0 ', toString(p_partkey % 30 + 1),
+           ')), ((0 0, 1 0, 1 1, 0 1)))')), 1)), 6) AS mp_area,
+       decodeXMLComponent(concat('&lt;', p_name, '&gt; &amp; &#',
+           toString(65 + p_partkey % 26), '; &#x4A; &nope;')) AS dx,
+       decodeHTMLComponent(concat('&copy; ', p_name, ' &#',
+           toString(97 + p_partkey % 26), ';')) AS dh
+FROM part
+"""
+
+
+@query(
+    "scalar_round11b",
+    oracle="""
+    SELECT p_partkey,
+           CAST(p_partkey % 100 AS DOUBLE) AS px,
+           CAST(p_partkey % 7 AS DOUBLE) AS py,
+           CAST(p_partkey % 30 + 1 AS DOUBLE) AS ring_h,
+           round(CAST((p_partkey % 50 + 1) * (p_partkey % 30 + 1)
+                 AS DOUBLE) - 1.0, 6) AS area,
+           round(CAST((p_partkey % 50 + 1) * (p_partkey % 30 + 1)
+                 AS DOUBLE), 6) AS mp_area,
+           concat('<', p_name, '> & ', chr(CAST(65 + p_partkey % 26 AS INTEGER)),
+                  ' J &nope;') AS dx,
+           concat(chr(169), ' ', p_name, ' ',
+                  chr(CAST(97 + p_partkey % 26 AS INTEGER))) AS dh
+    FROM part
+    """,
+    category="scalars",
+)
+def scalar_round11b(spark, sf_dir):
+    """Round-11 wave 2 closures, oracle-checked by independent
+    reconstruction (the DuckDB twin never parses or decodes — it rebuilds
+    the expected values from the raw key arithmetic, so the WKT readers
+    and entity decoders are proven against ground truth, not against a
+    reimplementation):
+
+    - ``readWKTPoint/Ring/Polygon/MultiPolygon``: pure regex/split column
+      expressions over the OGC WKT grammar, composed with
+      polygonAreaCartesian (shoelace) so the parse feeds a real geometry
+      consumer — expected area is the closed form w*h - 1 (hole) / w*h;
+    - ``decodeXMLComponent``: five predefined entities + decimal and hex
+      numeric refs decode, unknown ``&nope;`` passes through verbatim;
+    - ``decodeHTMLComponent``: WHATWG named entities (``&copy;``) +
+      numeric refs (functions/codecs.py, html.unescape)."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions.codecs import (
+        ensure_registered as _codecs,
+    )
+
+    _codecs(spark)
+    t(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(translate(_SQL_R11B_CH))

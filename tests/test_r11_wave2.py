@@ -1,0 +1,121 @@
+"""Round-11 wave 2: WKT readers (pure regex/split column expressions over
+the OGC grammar), decodeXML/HTMLComponent (Arrow pandas_udfs), and the six
+no-closed-form random distributions (numpy-backed, asNondeterministic).
+
+The driver oracle (scalar_round11b) proves the WKT/decode values against
+independent reconstruction; these tests pin edge cases and the random
+DISTRIBUTIONS (moment accuracy — the values are rows-only by design)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import DialectError, translate
+from mcp_clickhouse_spark.tools import run_select_query
+
+
+def rows(spark, ch_sql):
+    return run_select_query(spark, ch_sql, dialect="clickhouse")["rows"]
+
+
+def test_wkt_point_and_ring(spark):
+    r = rows(
+        spark,
+        "SELECT readWKTPoint('POINT (30.5 -10)') AS p,"
+        " readWKTRing('POLYGON ((1 1, 2 2, 3 3, 1 1))') AS rg",
+    )[0]
+    assert (r[0]["_1"], r[0]["_2"]) == (30.5, -10.0)
+    assert [(p["_1"], p["_2"]) for p in r[1]] == [
+        (1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 1.0)]
+
+
+def test_wkt_polygon_with_hole_feeds_geometry(spark):
+    r = rows(
+        spark,
+        "SELECT round(polygonAreaCartesian(readWKTPolygon("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10), (4 4, 5 4, 5 5, 4 5))')), 6)"
+        " AS a,"
+        # pointInPolygon takes RING arguments (arrays of points), so the
+        # WKT composition goes through readWKTRing
+        " pointInPolygon((1., 1.), readWKTRing("
+        "'POLYGON ((0 0, 10 0, 10 10, 0 10))')) AS pin",
+    )[0]
+    assert r[0] == 99.0
+    assert r[1] == 1
+
+
+def test_wkt_multipolygon_structure(spark):
+    r = rows(
+        spark,
+        "SELECT readWKTMultiPolygon('MULTIPOLYGON"
+        " (((0 0, 1 0, 1 1, 0 1), (2 2, 3 3, 4 4)), ((9 9, 8 8, 7 7)))')"
+        " AS m",
+    )[0][0]
+    assert len(m := r) == 2
+    assert len(m[0]) == 2 and len(m[1]) == 1
+    assert (m[1][0][0]["_1"], m[1][0][0]["_2"]) == (9.0, 9.0)
+
+
+def test_wkt_render_stays_guided():
+    with pytest.raises(DialectError, match="geometry type"):
+        translate("SELECT wkt(p) FROM t")
+
+
+def test_decode_xml_component(spark):
+    r = rows(
+        spark,
+        "SELECT decodeXMLComponent("
+        "'&lt;&gt;&amp;&quot;&apos; &#65;&#x42;&#x1F600; &unknown; &#;')"
+        " AS x",
+    )[0][0]
+    assert r == "<>&\"' AB\U0001F600 &unknown; &#;"
+
+
+def test_decode_html_component(spark):
+    r = rows(
+        spark,
+        "SELECT decodeHTMLComponent('&copy;&hbar;&nbsp;&#70;&CounterClockwiseContourIntegral;') AS h",
+    )[0][0]
+    assert r == "©ℏ F∳"
+
+
+def test_rand_distribution_moments(spark):
+    """Moment-accuracy pins over 20k samples each: mean within 5 sigma of
+    the distribution's standard error — flaky odds ~1e-6 per arm."""
+    n = 20_000
+    # nondeterministic exprs cannot sit INSIDE an aggregate (Spark's own
+    # rand() restriction) — materialize the samples in a subquery first
+    r = rows(
+        spark,
+        f"SELECT avg(p) AS pois, avg(b) AS binom, avg(nb) AS nbinom,"
+        f" avg(c) AS chisq, avg(t) AS tdist, avg(f) AS fdist,"
+        f" stddevSamp(CAST(p AS Float64)) AS pois_sd"
+        f" FROM (SELECT randPoisson(10) AS p, randBinomial(40, 0.25) AS b,"
+        f" randNegativeBinomial(5, 0.5) AS nb, randChiSquared(7) AS c,"
+        f" randStudentT(9) AS t, randFisherF(8, 10) AS f"
+        f" FROM numbers({n}))",
+    )[0]
+    se = lambda sd: 5 * sd / math.sqrt(n)
+    assert r[0] == pytest.approx(10.0, abs=se(math.sqrt(10)))
+    assert r[1] == pytest.approx(10.0, abs=se(math.sqrt(40 * 0.25 * 0.75)))
+    # negative_binomial mean = r(1-p)/p = 5*0.5/0.5 = 5
+    assert r[2] == pytest.approx(5.0, abs=se(math.sqrt(10)))
+    assert r[3] == pytest.approx(7.0, abs=se(math.sqrt(14)))
+    assert r[4] == pytest.approx(0.0, abs=se(math.sqrt(9 / 7)))
+    # F(8,10) mean = 10/8 = 1.25
+    assert r[5] == pytest.approx(1.25, abs=se(2.0))
+    assert r[6] == pytest.approx(math.sqrt(10), rel=0.1)
+
+
+def test_rand_udfs_are_nondeterministic(spark):
+    # two references to the same call must NOT collapse to one sample:
+    # over 200 rows at least one pair must differ
+    r = rows(
+        spark,
+        "SELECT count(IF(a != b, 1, NULL)) AS diffs FROM"
+        " (SELECT randChiSquared(3) AS a, randChiSquared(3) AS b"
+        "  FROM numbers(200))",
+    )[0][0]
+    assert r > 0
