@@ -953,16 +953,25 @@ def pipe_embed_lsh_topk(spark, sf_dir):
              {_bucket_sql_duckdb("embedding", n_planes=6, seed=8)} AS bucket1
       FROM embeddings
     ),
+    reps AS (
+      SELECT embedding, MIN(vec_id) AS rep FROM embeddings GROUP BY embedding
+    ),
     banded AS (
-      SELECT vec_id, 0 AS band, bucket0 AS bucket FROM b
+      SELECT b.vec_id, 0 AS band, bucket0 AS bucket
+      FROM b JOIN reps r ON b.embedding = r.embedding AND b.vec_id = r.rep
       UNION ALL
-      SELECT vec_id, 1 AS band, bucket1 AS bucket FROM b
+      SELECT b.vec_id, 1 AS band, bucket1 AS bucket
+      FROM b JOIN reps r ON b.embedding = r.embedding AND b.vec_id = r.rep
     ),
     cand AS (
       SELECT DISTINCT a.vec_id AS id_a, bb.vec_id AS id_b
       FROM banded a
       JOIN banded bb ON a.band = bb.band AND a.bucket = bb.bucket
                      AND a.vec_id < bb.vec_id
+      UNION
+      SELECT r.rep AS id_a, e.vec_id AS id_b
+      FROM embeddings e JOIN reps r
+        ON e.embedding = r.embedding AND e.vec_id > r.rep
     )
     SELECT id_a, id_b,
            round({_SQL_EMBED_DOT.format(a="x.embedding", b="y.embedding")}

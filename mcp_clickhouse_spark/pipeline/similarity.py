@@ -246,6 +246,7 @@ def embedding_neardup_pairs(
     planes_per_band: int = 6,
     dim: int = 64,
     max_bucket_size: int = 1000,
+    collapse_identical: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) with
     cosine >= threshold — the vector-space sibling of MinHash near-dup.
@@ -257,14 +258,39 @@ def embedding_neardup_pairs(
     cosine pass verifies the survivors.  More bands → higher recall,
     more planes per band → smaller buckets; the expected scanned fraction
     per band is 2^-planes of the corpus pair space.
-    """
-    from mcp_clickhouse_spark.pipeline.dedup import bucket_pairs
 
+    **Identical vectors collapse first** (round 11 — the same
+    quadratic-in-cluster-size shape fixed in minhash_lsh_candidates this
+    round and simhash last round: m exact-duplicate embeddings — e.g.
+    re-embedded duplicate documents — share every band bucket and emitted
+    C(m, 2) pairs up to the cap, TRUNCATING members past it).  Vectors
+    sharing the exact array collapse to a min-id representative via a
+    window min (no per-group buffer); members attach as O(m) star pairs
+    that flow through the SAME cosine verify (identical vectors ⇒
+    cosine 1.0 ≥ any threshold), and banding runs over representatives.
+    ``collapse_identical=False`` restores the flat shape.
+    """
+    from mcp_clickhouse_spark.pipeline.dedup import _persist, bucket_pairs
+
+    # meta is the cosine lookup for BOTH pair sides — built over the FULL
+    # corpus before any collapse, so star members resolve their vectors
     meta = corpus.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
         F.expr(_norm_sql(vec_col)).alias("_norm"),
     )
+    star = None
+    if collapse_identical:
+        rep_w = Window.partitionBy(vec_col)
+        with_rep = _persist(
+            corpus.select(id_col, vec_col).withColumn(
+                "_rep", F.min(id_col).over(rep_w)
+            )
+        )
+        star = with_rep.where(F.col(id_col) != F.col("_rep")).select(
+            F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+        )
+        corpus = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     # Each plane's signed sum is its OWN projected column: whole-stage
     # codegen splits Project expressions into separate Java methods, so
     # bands×planes×dim literal terms stay under janino's 64 KB method limit.
@@ -296,7 +322,10 @@ def embedding_neardup_pairs(
             F.array(*[F.expr(e) for e in bucket_exprs])
         ).alias("band", "bucket"),
     )
-    pairs = bucket_pairs(banded, id_col, max_bucket_size).distinct()
+    pairs = bucket_pairs(banded, id_col, max_bucket_size)
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    pairs = pairs.distinct()
     return (
         pairs.join(
             meta.select(

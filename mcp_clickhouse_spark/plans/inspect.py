@@ -38,40 +38,23 @@ def count_nodes(plan: str, node: str) -> int:
     Cold-run-faithful counting: main-tree nodes outside cached subtrees,
     plus each DISTINCT cached plan's nodes ONCE (dedup by id-stripped
     subtree text)."""
-    tree = plan.split("\n\n(")[0]
-    lines = tree.splitlines()
-    main_count = 0
-    blocks: list[tuple[str, ...]] = []
-    i = 0
-    while i < len(lines):
-        ln = lines[i]
-        if "InMemoryRelation" in ln:
-            if node in ln:
-                main_count += 1
-            off = _node_offset(ln)
-            j = i + 1
-            block = []
-            while j < len(lines) and _node_offset(lines[j]) > off:
-                # the stored plan repeats itself after an AQE
-                # "== Initial Plan ==" marker — keep the final plan only
-                if "== Initial Plan ==" in lines[j]:
-                    while j < len(lines) and _node_offset(lines[j]) > off:
-                        j += 1
-                    break
-                block.append(lines[j])
-                j += 1
-            blocks.append(tuple(
-                re.sub(r"\(\d+\)", "", b).strip(" :+-") for b in block
-            ))
-            i = j
-            continue
-        if node in ln:
-            main_count += 1
-        i += 1
-    cached = sum(
-        sum(1 for b in blk if node in b) for blk in set(blocks)
-    )
-    return main_count + cached
+    # Round 11 rewrite: count DISTINCT node ids in the details entries
+    # ("(N) NodeName" lines) instead of walking the rendered tree.  The
+    # tree re-renders a cached/AQE subplan once per reader (the LSH
+    # collapse cache appears under both the star and banding branches;
+    # an AdaptiveSparkPlan inside a materialized cache prints its
+    # "== Final Plan ==" at SHALLOWER indentation than its
+    # InMemoryRelation parent, defeating any indentation-based block
+    # capture) — but every rendering shares ONE id numbering space, and
+    # each id appears exactly once as a details entry, so id-dedup is
+    # exact.  Subquery sections restart numbering; count per section.
+    total = 0
+    for section in re.split(r"^Subquery:\d+", plan, flags=re.M):
+        names_by_id: dict[str, str] = {}
+        for m in re.finditer(r"^\((\d+)\) (.+)$", section, flags=re.M):
+            names_by_id.setdefault(m.group(1), m.group(2))
+        total += sum(1 for v in names_by_id.values() if node in v)
+    return total
 
 
 def pushed_filters(plan: str) -> list[str]:

@@ -348,6 +348,34 @@ def test_embedding_neardup_finds_planted_pair(spark):
     assert pairs == {(1, 2)}
 
 
+def test_embedding_neardup_identical_cluster_is_linear(spark):
+    """Round 11: m identical vectors collapse to star pairs — LINEAR in
+    cluster size (the uncollapsed banding emitted C(m,2) from every band,
+    truncating members past the bucket cap), all at cosine 1.0."""
+    import random
+
+    from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+
+    random.seed(12)
+    dup = [float(random.gauss(0, 1)) for _ in range(64)]
+    n = 50
+    rows = [(i, dup) for i in range(n)]
+    rows += [
+        (1000 + i, [float(random.gauss(0, 1)) for _ in range(64)])
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = embedding_neardup_pairs(
+        df, threshold=0.9, bands=2, planes_per_band=4, max_bucket_size=10
+    ).collect()
+    star = {(r.id_a, r.id_b): r.cosine for r in got}
+    # complete star coverage despite max_bucket_size=10 — no truncation
+    assert {(0, i) for i in range(1, n)} <= set(star)
+    assert all(star[(0, i)] == 1.0 for i in range(1, n))
+    # and nothing quadratic: pair count stays O(n), not C(50,2)=1225
+    assert len(got) < 2 * n
+
+
 def test_persist_registry_self_bounds(spark):
     """_persist evicts oldest beyond the cap — a long-lived server that
     never calls release_persisted() cannot accumulate pinned storage."""

@@ -115,12 +115,11 @@ def test_lsh_candidates_plan_no_join_no_cartesian(spark, sf):
     assert count_nodes(plan, "CartesianProduct") == 0
     assert count_nodes(plan, "SortMergeJoin") == 0
     assert count_nodes(plan, "Join") == 0
-    # round 11 (identical-signature collapse): 4 DISTINCT exchanges —
-    # spread repartition + signature-key window + (band,bucket) +
-    # pairs-distinct; the formatted plan renders the persisted collapse
-    # subplan's two pre-cache exchanges once more inside the
-    # InMemoryRelation definition, hence the textual bound of 6
-    assert count_nodes(plan, "Exchange") <= 6
+    # round 11 (identical-signature collapse): 4 distinct exchanges —
+    # spread repartition + signature window + (band,bucket) +
+    # pairs-distinct (count_nodes dedups re-rendered cached subplans by
+    # node id)
+    assert count_nodes(plan, "Exchange") <= 4
     # the star and reps branches must read the collapse CACHE, not
     # recompute the signature DAG twice
     assert count_nodes(plan, "InMemoryTableScan") >= 2
