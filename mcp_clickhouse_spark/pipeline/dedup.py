@@ -776,7 +776,13 @@ def span_dedup(
     table.  Reassembly rides one groupBy(id) with an ordered in-array sort.
     Every step is builtin-expression JVM code.
     """
-    spans = doc_spans(df, text_col, id_col, chunk_tokens)
+    # _spread here, not in doc_spans (the streaming apply side shares
+    # doc_spans, and a streaming frame cannot take the partition probe):
+    # a single-row-group parquet file otherwise runs the whole per-row
+    # chunking + md5 map stage on ONE task — the sf5 probe measured the
+    # batch query 12× for 5× data before this, ~5× after.  Hashing by id
+    # also pre-distributes regroup_spans' groupBy(id).
+    spans = doc_spans(_spread(df, by=id_col), text_col, id_col, chunk_tokens)
     freq = spans.groupBy("chunk_key").agg(
         F.countDistinct(id_col).alias("_nd")
     )
@@ -816,7 +822,11 @@ def line_dedup(
     # split on every character while rejoining with a literal dot)
     import re as _re
 
-    lines = df.select(
+    # _spread: run the explode+md5 map stage on every core even when the
+    # source is one parquet row group (same rationale as span_dedup /
+    # minhash_signatures); id-hash partitioning pre-distributes the
+    # per-doc regroup
+    lines = _spread(df, by=id_col).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
             "pos", "line"

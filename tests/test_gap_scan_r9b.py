@@ -415,7 +415,8 @@ def test_fourth_wave(spark):
 
 def test_fourth_wave_guided():
     for sql, frag in [
-        ("SELECT decodeXMLComponent(s) FROM t", "html.unescape"),
+        # decodeXML/HTMLComponent translate since round 11
+        # (functions/codecs.py pandas_udfs)
         ("SELECT ngramMinHash(s) FROM t", "minhash_signatures"),
         ("SELECT multiFuzzyMatchAny(s, 2, ['x']) FROM t", "multiSearchAny"),
         ("SELECT normalizeQuery(s) FROM t", "introspection"),

@@ -294,7 +294,8 @@ def test_round10_wave3_rand(spark):
 
 def test_round10_wave3_guided():
     for sql, frag in [
-        ("SELECT randPoisson(5) FROM t", "closed-form"),
+        # randPoisson & friends translate since round 11 (numpy
+        # pandas_udfs, functions/randdist.py)
         ("SELECT byteSwap(x) FROM t", "WIDTH"),
         ("SELECT toUInt128(x) FROM t", "DECIMAL"),
         ("SELECT JSONAllPaths(j) FROM t", "dynamic JSON"),
@@ -414,10 +415,13 @@ def test_polygon_perimeter_spherical(spark):
     # chords — bounded by the planar estimate
     assert 0.27 < row.sq < 0.29
     # polygonAreaSpherical translates since round 11 (exact spherical
-    # excess — analytic pins in tests/test_r11_wave.py)
+    # excess — analytic pins in tests/test_r11_wave.py), as do the
+    # readWKT* readers (tests/test_r11_wave2.py); the type-dependent
+    # inverse wkt() stays guided
     assert "atan2" in translate("SELECT polygonAreaSpherical(p) FROM t")
-    with pytest.raises(DialectError, match="WKT"):
-        translate("SELECT readWKTPolygon(s) FROM t")
+    assert "regexp_extract_all" in translate("SELECT readWKTPolygon(s) FROM t")
+    with pytest.raises(DialectError, match="geometry type"):
+        translate("SELECT wkt(p) FROM t")
 
 
 def test_map_distinct_combinators(spark):
