@@ -1699,7 +1699,10 @@ def _foreach_expr(a: list[str], how: str) -> str:
     return NULL (CH: empty array — wrap in ifnull(…, array()) if that
     matters)."""
     lst = f"collect_list({a[0]})"
-    rest = f"slice({lst}, 2, size({lst}) - 1)"
+    # greatest(…, 0): a group with NO arrays (all-NULL, or zero -If
+    # matches) has size 0, and slice(…, 2, -1) is a runtime error —
+    # found by the round-11 combinator fuzz via sumForEachIf
+    rest = f"slice({lst}, 2, greatest(size({lst}) - 1, 0))"
     if how == "count":
         init = (
             f"transform(try_element_at({lst}, 1),"
@@ -6437,6 +6440,21 @@ for _b in _IF_ABLE_AGG_BASES:
     if _n not in TEMPLATES and _n not in NAME_MAP and (
         _b in TEMPLATES or _b in NAME_MAP
     ):
+        TEMPLATES[_n] = _if_handler(_b)
+
+# -If over the -ForEach / -Map / -Distinct stacks (round 11, combinator
+# fuzz: sumForEachIf/sumMapIf/sumDistinctIf passed through unmapped).
+# CH composes -If mechanically with every combinator stack, and the
+# NULL-wrapping filter works unchanged here: collect_list/flatten skip
+# NULL array/map rows, and DISTINCT tolerates the injected NULL (the
+# base aggregate ignores it).
+for _b in ("avgforeach", "countforeach", "maxforeach", "minforeach",
+           "sumforeach", "avgmap", "countmap", "maxmap", "minmap",
+           "summap", "uniqexactmap", "uniqmap", "anydistinct",
+           "avgdistinct", "countdistinct", "grouparraydistinct",
+           "maxdistinct", "mindistinct", "sumdistinct"):
+    _n = _b + "if"
+    if _b in TEMPLATES and _n not in TEMPLATES and _n not in NAME_MAP:
         TEMPLATES[_n] = _if_handler(_b)
 
 

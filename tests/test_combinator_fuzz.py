@@ -411,3 +411,136 @@ def test_countif_both_arities(spark, fuzz_table):
         assert rows[g]["r0"] == len(kept), f"countIf(c) g={g}"
         want = len([r for r in kept if r[1] is not None])
         assert rows[g]["r1"] == want, f"countIf(x, c) g={g}"
+
+
+# ------------------------- -ForEach / -Map / -Distinct stacks ---------------
+def _cf_rows():
+    """(g, xs, m, x, c) rows with NULL arrays/maps, ragged lengths, and a
+    true/false/NULL condition mix — seeded, covering empty-after-filter
+    and all-NULL group shapes."""
+    rng = random.Random(1101)
+    rows = []
+    for g in range(1, 7):
+        n = rng.randint(3, 12)
+        for i in range(n):
+            if rng.random() < 0.2:
+                xs = None
+            else:
+                xs = [rng.randint(-4, 9) for _ in range(rng.randint(0, 5))]
+            if rng.random() < 0.2:
+                m = None
+            else:
+                m = {
+                    k: rng.randint(1, 9)
+                    for k in rng.sample(["a", "b", "c", "d"], rng.randint(0, 3))
+                }
+            x = None if rng.random() < 0.3 else float(rng.randint(0, 5))
+            c = rng.choice([True, True, False, None])
+            rows.append((g, xs, m, x, c))
+    # planted: group with zero matching rows
+    rows += [(7, [1, 2], {"a": 1}, 1.0, False), (7, [3], {"b": 2}, 2.0, None)]
+    return rows
+
+
+CF_ROWS = _cf_rows()
+
+
+@pytest.fixture(scope="module")
+def stack_table(spark):
+    df = spark.createDataFrame(
+        CF_ROWS,
+        "g int, xs array<int>, m map<string,int>, x double, c boolean",
+    )
+    df.createOrReplaceTempView("comb_fuzz_stacks")
+    return df
+
+
+def _foreach_oracle(arrays, fn, count=False):
+    """CH -ForEach: element i aggregated over the arrays that HAVE an
+    element i; result length = max input length.  A group with NO arrays
+    returns NULL (the engine's documented delta — CH gives [])."""
+    arrays = [a for a in arrays if a is not None]
+    if not arrays:
+        return None
+    width = max(len(a) for a in arrays)
+    out = []
+    for i in range(width):
+        vals = [a[i] for a in arrays if len(a) > i]
+        out.append(len(vals) if count else fn(vals))
+    return out
+
+
+def _map_oracle(maps, fn, count=False):
+    maps = [m for m in maps if m is not None]
+    keys = sorted({k for m in maps for k in m})
+    return {
+        k: (
+            len([m[k] for m in maps if k in m])
+            if count
+            else fn([m[k] for m in maps if k in m])
+        )
+        for k in keys
+    }
+
+
+def test_foreach_map_distinct_if_stacks(spark, stack_table):
+    """sumForEachIf / sumMapIf / sumDistinctIf and friends (round 11 —
+    previously unmapped passthroughs) against Python oracles over the
+    kept (cond IS TRUE) rows."""
+    exprs = [
+        "sumForEachIf(xs, c)", "minForEachIf(xs, c)", "maxForEachIf(xs, c)",
+        "countForEachIf(xs, c)",
+        "sumMapIf(m, c)", "minMapIf(m, c)", "maxMapIf(m, c)",
+        "countMapIf(m, c)", "uniqExactMapIf(m, c)",
+        "sumDistinctIf(x, c)", "avgDistinctIf(x, c)",
+        "groupArrayDistinctIf(x, c)",
+    ]
+    sel = ", ".join(f"{e} AS r{i}" for i, e in enumerate(exprs))
+    ch = f"SELECT g, {sel} FROM comb_fuzz_stacks GROUP BY g ORDER BY g"
+    rows = {r["g"]: r for r in spark.sql(translate(ch)).collect()}
+    by_g = {}
+    for g, xs, m, x, c in CF_ROWS:
+        if c is True:
+            by_g.setdefault(g, []).append((xs, m, x))
+    for g in sorted({r[0] for r in CF_ROWS}):
+        kept = by_g.get(g, [])
+        arrays = [t[0] for t in kept]
+        maps = [t[1] for t in kept]
+        vals = sorted({t[2] for t in kept if t[2] is not None})
+        got = rows[g]
+        assert got["r0"] == _foreach_oracle(arrays, sum), f"sumForEachIf g={g}"
+        assert got["r1"] == _foreach_oracle(arrays, min), f"minForEachIf g={g}"
+        assert got["r2"] == _foreach_oracle(arrays, max), f"maxForEachIf g={g}"
+        assert got["r3"] == _foreach_oracle(arrays, sum, count=True), (
+            f"countForEachIf g={g}"
+        )
+        assert got["r4"] == _map_oracle(maps, sum), f"sumMapIf g={g}"
+        assert got["r5"] == _map_oracle(maps, min), f"minMapIf g={g}"
+        assert got["r6"] == _map_oracle(maps, max), f"maxMapIf g={g}"
+        assert got["r7"] == _map_oracle(maps, sum, count=True), (
+            f"countMapIf g={g}"
+        )
+        assert got["r8"] == _map_oracle(
+            maps, lambda v: len(set(v))
+        ), f"uniqExactMapIf g={g}"
+        want_sd = sum(vals) if vals else None
+        _check(got["r9"], want_sd, f"sumDistinctIf g={g}")
+        want_ad = statistics.fmean(vals) if vals else None
+        _check(got["r10"], want_ad, f"avgDistinctIf g={g}")
+        assert sorted(got["r11"] or []) == vals, f"groupArrayDistinctIf g={g}"
+
+
+def test_distinct_bare_matches_oracle(spark, stack_table):
+    rows = {
+        r["g"]: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, sumDistinct(x) AS sd, countDistinct(x) AS cd"
+                " FROM comb_fuzz_stacks GROUP BY g ORDER BY g"
+            )
+        ).collect()
+    }
+    for g in sorted({r[0] for r in CF_ROWS}):
+        vals = {t[3] for t in CF_ROWS if t[0] == g and t[3] is not None}
+        _check(rows[g]["sd"], sum(vals) if vals else None, f"sumDistinct g={g}")
+        assert rows[g]["cd"] == len(vals), f"countDistinct g={g}"
