@@ -3141,6 +3141,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
     "intdivorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) div ({a[1]}))",
     "moduloorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))",
+    # round 11: the Second-precision pair (CH 24.x spellings) — both
+    # previously unmapped passthroughs
+    "tounixtimestamp64second": lambda a: (
+        f"unix_seconds(CAST({a[0]} AS TIMESTAMP))"
+    ),
+    "fromunixtimestamp64second": lambda a: (
+        f"timestamp_seconds(CAST({a[0]} AS BIGINT))"
+    ),
     "tounixtimestamp64milli": lambda a: f"unix_millis(CAST({a[0]} AS TIMESTAMP))",
     "tounixtimestamp64micro": lambda a: f"unix_micros(CAST({a[0]} AS TIMESTAMP))",
     "now64": lambda a: "now()",
@@ -4358,6 +4366,20 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # round 8: exact tie-aware pairwise AUC (helper above TEMPLATES)
     "arrayauc": _array_auc_expr,
     "arrayrocauc": _array_auc_expr,  # 24.x spelling
+    # round 11: previously unmapped passthroughs (raw analysis errors) —
+    # now guided: both metrics' step/tie conventions are
+    # implementation-internal, not docs-pinned
+    "arrayaucpr": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayAUCPR: ClickHouse's precision-recall step convention "
+        "(interpolation at threshold ties) is not docs-pinned — "
+        "arrayROCAUC is the pinned AUC here, or compute PR points "
+        "explicitly with arraySort + arrayCumSum"
+    )),
+    "arraynormalizedgini": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayNormalizedGini: the tie-handling of ClickHouse's gini "
+        "fold is not docs-pinned — arrayROCAUC (2*AUC - 1 equals the "
+        "normalized gini for binary labels) is the pinned alternative"
+    )),
     # round 8: CH unit constants verified against the docs example — see
     # _format_readable_time_delta above TEMPLATES
     "formatreadabletimedelta": _format_readable_time_delta,

@@ -119,3 +119,23 @@ def test_rand_udfs_are_nondeterministic(spark):
         "  FROM numbers(200))",
     )[0][0]
     assert r > 0
+
+
+def test_unix_timestamp64_second_roundtrip(spark):
+    r = rows(
+        spark,
+        "SELECT toUnixTimestamp64Second(toDateTime('2024-01-02 03:04:05'))"
+        "   AS s,"
+        " toUnixTimestamp64Second(fromUnixTimestamp64Second(1704164645))"
+        "   AS rt",
+    )[0]
+    assert r[0] == 1704164645 and r[1] == 1704164645
+
+
+def test_auc_variants_guided():
+    for sql, frag in [
+        ("SELECT arrayAUCPR(p, l) FROM t", "arrayROCAUC"),
+        ("SELECT arrayNormalizedGini(p, l) FROM t", "arrayROCAUC"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
