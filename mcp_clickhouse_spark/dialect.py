@@ -6494,10 +6494,34 @@ def _if_parametric(base: str):
 
 for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
            "quantilebfloat16", "uniqupto", "grouparraylast",
-           "grouparraysorted"):
+           "grouparraysorted",
+           # round 11 (combinator fuzz follow-up): the rest of the
+           # parametric surface whose -If composition is mechanical —
+           # topKIf(3)(x, c) was an unmapped passthrough
+           "topk", "topkweighted", "quantileexactlow", "quantileexacthigh",
+           "quantileexactexclusive", "quantileexactinclusive",
+           "quantileexactweighted", "quantilegk", "quantiledd",
+           "quantiletiming", "quantiletimingweighted",
+           "quantiledeterministic"):
     _n = _b + "if"
     if _b in PARAMETRIC and _n not in PARAMETRIC:
         PARAMETRIC[_n] = _if_parametric(_b)
+
+# -OrNull over the quantile family (round 11): every quantile
+# translation here already yields NULL on an empty/all-NULL input —
+# exactly the -OrNull contract — so the chain is the identity, in both
+# stack orders; registered so quantileOrNull/quantileExactOrNullIf stop
+# passing through unmapped
+for _b in ("quantile", "quantileexact", "quantiletdigest",
+           "quantilebfloat16", "quantileexactlow", "quantileexacthigh",
+           "quantileexactexclusive", "quantileexactinclusive",
+           "quantileexactweighted", "quantilegk", "quantiledd",
+           "quantiletiming"):
+    if _b in PARAMETRIC and f"{_b}ornull" not in PARAMETRIC:
+        PARAMETRIC[f"{_b}ornull"] = PARAMETRIC[_b]
+    for _n in (f"{_b}ornullif", f"{_b}ifornull"):
+        if f"{_b}if" in PARAMETRIC and _n not in PARAMETRIC:
+            PARAMETRIC[_n] = PARAMETRIC[f"{_b}if"]
 
 
 # -OrNull / -OrDefault over the same aggregate surface, plus their -If

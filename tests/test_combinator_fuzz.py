@@ -544,3 +544,36 @@ def test_distinct_bare_matches_oracle(spark, stack_table):
         vals = {t[3] for t in CF_ROWS if t[0] == g and t[3] is not None}
         _check(rows[g]["sd"], sum(vals) if vals else None, f"sumDistinct g={g}")
         assert rows[g]["cd"] == len(vals), f"countDistinct g={g}"
+
+
+def test_parametric_quantile_ornull_chains(spark, fuzz_table):
+    """quantileOrNull / quantileExactOrNull(p) / both If-chain orders
+    (round 11 — previously unmapped passthroughs): identity over the
+    already-NULL-on-empty quantile translations."""
+    exprs = [
+        "quantileOrNull(x)", "quantileExactOrNull(0.25)(x)",
+        "quantileIfOrNull(0.5)(x, c)", "quantileOrNullIf(0.5)(x, c)",
+        "quantileExactOrNullIf(0.75)(x, c)",
+        "quantileExactIfOrNull(0.75)(x, c)",
+    ]
+    rows = _run_batch(spark, exprs)
+    for g in GROUPS:
+        allv = [r[1] for r in _all(g) if r[1] is not None]
+        kept = [r[1] for r in _kept(g) if r[1] is not None]
+        want = [
+            _percentile(allv, 0.5) if allv else None,
+            _quantile_exact(allv, 0.25) if allv else None,
+            _percentile(kept, 0.5) if kept else None,
+            _percentile(kept, 0.5) if kept else None,
+            _quantile_exact(kept, 0.75) if kept else None,
+            _quantile_exact(kept, 0.75) if kept else None,
+        ]
+        for i, e in enumerate(exprs):
+            _check(rows[g][f"r{i}"], want[i], f"{e} g={g}")
+
+
+def test_topk_if_raises_the_guided_error():
+    # the -If chain composes into topK's guided error instead of the old
+    # raw unmapped passthrough
+    with pytest.raises(DialectError, match="operators.topk"):
+        translate("SELECT topKIf(2)(x, c) FROM t")

@@ -495,8 +495,14 @@ def test_r9_names_inside_literals_never_rewrite(spark, fn_trap, w):
 # the codec/time parsers fold literal contents — same string-surgery
 # class as the r9 arms above. ------------------------------------------------
 
+# the +0.0005 offset keeps every generated coordinate strictly
+# non-integral, so no point can land exactly on the rectangle boundary —
+# previously an assume() filtered those, and hypothesis's shrinker
+# (which walks toward 0.0, a filtered value) tripped the
+# filter_too_much health check on some seeds
 _r10_geo_num = st.floats(min_value=-50, max_value=50, allow_nan=False,
-                         allow_infinity=False).map(lambda v: round(v, 3))
+                         allow_infinity=False).map(
+                             lambda v: round(v, 3) + 0.0005)
 
 
 @given(px=_r10_geo_num, py=_r10_geo_num, w=st.integers(1, 20),
@@ -505,10 +511,8 @@ _r10_geo_num = st.floats(min_value=-50, max_value=50, allow_nan=False,
 def test_point_in_polygon_matches_bounds(spark, px, py, w, h):
     """Fuzzed points against an axis-aligned rectangle: the ray-cast
     template must agree with the closed-form bounds test (points on the
-    boundary excluded — ray-cast edge convention)."""
-    from hypothesis import assume
-
-    assume(px not in (0.0, float(w)) and py not in (0.0, float(h)))
+    boundary excluded — every coordinate is strictly non-integral by
+    construction)."""
     out = translate(
         f"SELECT pointInPolygon(({px}, {py}),"
         f" [(0, 0), ({w}, 0), ({w}, {h}), (0, {h})]) AS r"
