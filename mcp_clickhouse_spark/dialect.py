@@ -3652,6 +3652,28 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # date + tuple-of-intervals: chain the additions when the tuple is a
     # LITERAL (arity known); column tuples keep the tuple-family guidance
     "addtupleofintervals": lambda a: _add_tuple_of_intervals_expr(a),
+    "subtracttupleofintervals": lambda a: (
+        _add_tuple_of_intervals_expr(a, op="-")
+    ),
+    # round-11 passthrough closures
+    # -Array combinator over groupArray/groupUniqArray: concatenate the
+    # rows' arrays (collect_list skips NULL arrays, like the scalar rows)
+    "grouparrayarray": lambda a: f"flatten(collect_list({a[0]}))",
+    "groupuniqarrayarray": lambda a: (
+        f"array_distinct(flatten(collect_list({a[0]})))"
+    ),
+    # firstLine: everything before the first newline (CH 23.x docs)
+    "firstline": lambda a: f"element_at(split({a[0]}, '\\n', 2), 1)",
+    "addnanoseconds": lambda a: (_ for _ in ()).throw(DialectError(
+        "addNanoseconds: Spark timestamps are microsecond-precision — "
+        "use addMicroseconds (sub-microsecond offsets are not "
+        "representable)"
+    )),
+    "subtractnanoseconds": lambda a: (_ for _ in ()).throw(DialectError(
+        "subtractNanoseconds: Spark timestamps are microsecond-precision "
+        "— use subtractMicroseconds (sub-microsecond offsets are not "
+        "representable)"
+    )),
     # changeYear/Month/Day… (round 10): rebuild from components; an
     # overflowing day clamps to the target month's last day (make_date
     # would throw under ANSI — CH throws too, but only past type bounds)
@@ -5153,22 +5175,26 @@ def _yyyymmddhhmmss_expr(n: str) -> str:
     )
 
 
-def _add_tuple_of_intervals_expr(a: list[str]) -> str:
-    """CH ``addTupleOfIntervals(date, (INTERVAL …, INTERVAL …))``: chain
-    the additions left-to-right when the tuple is a literal."""
+def _add_tuple_of_intervals_expr(a: list[str], op: str = "+") -> str:
+    """CH ``addTupleOfIntervals(date, (INTERVAL …, INTERVAL …))`` /
+    ``subtractTupleOfIntervals`` (round 11 — subtract was a passthrough):
+    chain the additions/subtractions left-to-right when the tuple is a
+    literal."""
+    name = ("addTupleOfIntervals" if op == "+"
+            else "subtractTupleOfIntervals")
     if len(a) != 2:
-        raise DialectError(
-            "addTupleOfIntervals takes (date, (interval, …))"
-        )
+        raise DialectError(f"{name} takes (date, (interval, …))")
     t = a[1].strip()
     if t.startswith("(") and t.endswith(")") and _find_balanced(t, 0) == len(t):
         parts = _split_args(t[1:-1])
         if parts:
-            return "(" + " + ".join([f"({a[0]})"] + parts) + ")"
+            return (
+                "(" + f" {op} ".join([f"({a[0]})"] + parts) + ")"
+            )
     raise DialectError(
-        "addTupleOfIntervals: the interval tuple must be a literal "
+        f"{name}: the interval tuple must be a literal "
         "((INTERVAL 1 DAY, INTERVAL 1 MONTH)) — column tuples have "
-        "unknowable arity at translate time; chain + INTERVAL instead"
+        f"unknowable arity at translate time; chain {op} INTERVAL instead"
     )
 
 
@@ -6512,6 +6538,17 @@ for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
 # exactly the -OrNull contract — so the chain is the identity, in both
 # stack orders; registered so quantileOrNull/quantileExactOrNullIf stop
 # passing through unmapped
+def _param_ordefault(base: str):
+    """-OrDefault over a parametric quantile: coalesce the numeric type
+    default 0 (CH's contract for Float64-returning aggregates)."""
+    fn = PARAMETRIC[base]
+
+    def h(p: list[str], a: list[str]) -> str:
+        return f"coalesce({fn(p, a)}, 0)"
+
+    return h
+
+
 for _b in ("quantile", "quantileexact", "quantiletdigest",
            "quantilebfloat16", "quantileexactlow", "quantileexacthigh",
            "quantileexactexclusive", "quantileexactinclusive",
@@ -6519,9 +6556,44 @@ for _b in ("quantile", "quantileexact", "quantiletdigest",
            "quantiletiming"):
     if _b in PARAMETRIC and f"{_b}ornull" not in PARAMETRIC:
         PARAMETRIC[f"{_b}ornull"] = PARAMETRIC[_b]
+    if _b in PARAMETRIC and f"{_b}ordefault" not in PARAMETRIC:
+        PARAMETRIC[f"{_b}ordefault"] = _param_ordefault(_b)
     for _n in (f"{_b}ornullif", f"{_b}ifornull"):
         if f"{_b}if" in PARAMETRIC and _n not in PARAMETRIC:
             PARAMETRIC[_n] = PARAMETRIC[f"{_b}if"]
+    for _n in (f"{_b}ordefaultif", f"{_b}ifordefault"):
+        if f"{_b}if" in PARAMETRIC and _n not in PARAMETRIC:
+            PARAMETRIC[_n] = _param_ordefault(f"{_b}if")
+
+
+def _param_quantiles_ornull(base: str, if_wrap: bool):
+    """-OrNull over the ARRAY-returning quantiles family: the plain
+    translation yields an array of NULLs on an empty input, but CH's
+    -OrNull contract is a NULL array — guard on zero input values
+    (round 11: quantilesOrNull was an unmapped passthrough)."""
+    fn = PARAMETRIC[base]
+
+    def h(p: list[str], a: list[str]) -> str:
+        e = fn(p, a)
+        guard = (
+            f"count(CASE WHEN {a[-1]} THEN {a[0]} END)"
+            if if_wrap
+            else f"count({a[0]})"
+        )
+        return f"(CASE WHEN {guard} = 0 THEN NULL ELSE {e} END)"
+
+    return h
+
+
+for _b in ("quantiles", "quantilesexact", "quantilesexactexclusive",
+           "quantilesexactinclusive", "quantilestdigest",
+           "quantilesbfloat16", "quantilestiming",
+           "quantilesdeterministic"):
+    if _b in PARAMETRIC and f"{_b}ornull" not in PARAMETRIC:
+        PARAMETRIC[f"{_b}ornull"] = _param_quantiles_ornull(_b, False)
+    for _n in (f"{_b}ornullif", f"{_b}ifornull"):
+        if f"{_b}if" in PARAMETRIC and _n not in PARAMETRIC:
+            PARAMETRIC[_n] = _param_quantiles_ornull(f"{_b}if", True)
 
 
 # -OrNull / -OrDefault over the same aggregate surface, plus their -If

@@ -577,3 +577,54 @@ def test_topk_if_raises_the_guided_error():
     # raw unmapped passthrough
     with pytest.raises(DialectError, match="operators.topk"):
         translate("SELECT topKIf(2)(x, c) FROM t")
+
+
+def test_parametric_quantile_ordefault_and_quantiles_ornull(spark, fuzz_table):
+    """round 11: quantileOrDefault coalesces the numeric default 0; the
+    ARRAY-returning quantilesOrNull yields a NULL array (not an array of
+    NULLs) when nothing was aggregated."""
+    exprs = [
+        "quantileOrDefault(x)", "quantileOrDefaultIf(0.5)(x, c)",
+        "quantilesOrNull(0.25, 0.75)(x)", "quantilesIfOrNull(0.5)(x, c)",
+    ]
+    rows = _run_batch(spark, exprs)
+    for g in GROUPS:
+        allv = [r[1] for r in _all(g) if r[1] is not None]
+        kept = [r[1] for r in _kept(g) if r[1] is not None]
+        _check(rows[g]["r0"], _percentile(allv, 0.5) if allv else 0,
+               f"quantileOrDefault g={g}")
+        _check(rows[g]["r1"], _percentile(kept, 0.5) if kept else 0,
+               f"quantileOrDefaultIf g={g}")
+        if allv:
+            want = [_percentile(allv, 0.25), _percentile(allv, 0.75)]
+            got = rows[g]["r2"]
+            assert got is not None and [
+                pytest.approx(w, rel=1e-9) for w in want
+            ] == got, f"quantilesOrNull g={g}"
+        else:
+            assert rows[g]["r2"] is None, f"quantilesOrNull g={g}"
+        if kept:
+            assert rows[g]["r3"] == [
+                pytest.approx(_percentile(kept, 0.5), rel=1e-9)
+            ], f"quantilesIfOrNull g={g}"
+        else:
+            assert rows[g]["r3"] is None, f"quantilesIfOrNull g={g}"
+
+
+def test_array_combinator_and_interval_tuple_closures(spark):
+    rows = spark.sql(translate(
+        "SELECT groupArrayArray(xs) AS gaa, groupUniqArrayArray(xs) AS gua,"
+        " firstLine(concat('ab', char(10), 'cd')) AS fl,"
+        " subtractTupleOfIntervals(toDate('2024-03-31'),"
+        "   (INTERVAL 1 MONTH, INTERVAL 1 DAY)) AS sub"
+        " FROM (SELECT array(1, 2, 2) AS xs UNION ALL SELECT array(2, 3))"
+    )).collect()[0]
+    assert sorted(rows.gaa) == [1, 2, 2, 2, 3]
+    assert sorted(rows.gua) == [1, 2, 3]
+    assert rows.fl == "ab"
+    assert str(rows.sub) == "2024-02-28"
+
+
+def test_nanoseconds_guided():
+    with pytest.raises(DialectError, match="addMicroseconds"):
+        translate("SELECT addNanoseconds(t, 5) FROM x")
