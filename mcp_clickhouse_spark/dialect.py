@@ -727,6 +727,31 @@ def _min_sample_size_expr(a: list[str], continuous: bool) -> str:
     return f"named_struct('_1', {n}, '_2', {lo}, '_3', {hi})"
 
 
+def _cut_url_parameter_expr(a: list[str]) -> str:
+    """CH ``cutURLParameter(url, 'name')``: remove the name=value query
+    parameter (docs example: cutURLParameter('http://x/?a=b&c=d', 'a')
+    = 'http://x/?c=d').  Two regex passes: mid-list removal keeps the
+    leading separator (so the next parameter inherits it), then a
+    trailing/only parameter drops together with its separator."""
+    if len(a) != 2:
+        raise DialectError("cutURLParameter takes (url, name)")
+    nm = a[1].strip()
+    if not (len(nm) >= 2 and nm.startswith("'") and nm.endswith("'")):
+        raise DialectError(
+            "cutURLParameter: the parameter name must be a string "
+            "literal (it embeds in a regex) — use regexp_replace "
+            "directly for a column-valued name"
+        )
+    import re as _re
+
+    esc = _re.escape(nm[1:-1]).replace("\\", "\\\\").replace("'", "''")
+    return (
+        f"regexp_replace(regexp_replace({a[0]},"
+        f" '([?&]){esc}=[^&#]*&', '$1'),"
+        f" '[?&]{esc}=[^&#]*', '')"
+    )
+
+
 def _corr_guard(keep: str, other: str) -> str:
     """NULL out `keep` on rows where either corr argument is NULL, so the
     marginal stddev_pop sees exactly the pairwise-complete rows."""
@@ -3003,6 +3028,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "totime": lambda a: (
         f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"
     ),
+    # CH 24.x rename (the Time type migration) — same fixed-date contract
+    "totimewithfixeddate": lambda a: (
+        f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"
+    ),
+    # cutURLParameter(url, 'name'): drop one query parameter (round 11 —
+    # was a passthrough).  Literal names only: the name embeds in a
+    # regex, so a column name can't be escaped at translate time
+    "cuturlparameter": lambda a: _cut_url_parameter_expr(a),
     "makedate": lambda a: (
         f"make_date({', '.join(a)})" if len(a) == 3
         # makeDate(year, dayofyear) 2-arg form
@@ -3551,6 +3584,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sha512": lambda a: f"sha2({a[0]}, 512)",
     "sha1": lambda a: f"sha1({a[0]})",
     "uniqexact": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # -Distinct over uniqExact is the identity (distinct of distinct)
+    "uniqexactdistinct": lambda a: f"count(DISTINCT {', '.join(a)})",
+    # UTF8 spellings of the multi-search boolean/position family: Spark
+    # strings are already codepoint-based, so the existing translations
+    # ARE the UTF8 semantics (round 11 — these were passthroughs)
+    "multisearchanyutf8": lambda a: (
+        f"exists({a[1]}, _n -> contains({a[0]}, _n))"
+    ),
+    "multisearchanycaseinsensitiveutf8": lambda a: (
+        f"exists({a[1]}, _n -> contains(lower({a[0]}), lower(_n)))"
+    ),
     "median": lambda a: f"percentile({a[0]}, 0.5)",
     # ---- round-8 audit batch: common names that previously fell through
     # to Spark's parser as unresolved functions --------------------------

@@ -139,3 +139,33 @@ def test_auc_variants_guided():
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_cut_url_parameter(spark):
+    # the CH docs example URL, plus mid/trailing/only/missing positions
+    r = rows(
+        spark,
+        "SELECT cutURLParameter('http://bigmir.net/?a=b&c=d', 'a') AS u1,"
+        " cutURLParameter('http://bigmir.net/?a=b&c=d', 'c') AS u2,"
+        " cutURLParameter('http://bigmir.net/?a=b&c=d#frag', 'c') AS u3,"
+        " cutURLParameter('http://x/?only=1', 'only') AS u4,"
+        " cutURLParameter('http://x/?a=b', 'zzz') AS u5",
+    )[0]
+    assert list(r) == [
+        "http://bigmir.net/?c=d", "http://bigmir.net/?a=b",
+        "http://bigmir.net/?a=b#frag", "http://x/", "http://x/?a=b",
+    ]
+    with pytest.raises(DialectError, match="string literal"):
+        translate("SELECT cutURLParameter(u, name_col) FROM t")
+
+
+def test_totime_fixed_date_and_utf8_multisearch(spark):
+    r = rows(
+        spark,
+        "SELECT toTimeWithFixedDate(toDateTime('2024-05-06 07:08:09')) AS t,"
+        " multiSearchAnyUTF8('строение', ['оен', 'zzz']) AS m,"
+        " multiSearchAnyCaseInsensitiveUTF8('СТРОЕНИЕ', ['оен']) AS mc,"
+        " uniqExactDistinct(1) AS ue",
+    )[0]
+    assert str(r[0]) == "1970-01-02 07:08:09"
+    assert (r[1], r[2], r[3]) == (True, True, 1)
