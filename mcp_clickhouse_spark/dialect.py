@@ -140,6 +140,13 @@ NAME_MAP: dict[str, str] = {
     "pow": "power",
     "intdiv": "div",  # handled as template (infix) — kept for discoverability
     "roundbankers": "bround",
+    # CH's plain round() on Float types is ALSO banker's (docs: "the
+    # number is rounded to the nearest even digit: round(2.5)=2,
+    # round(3.5)=4"), while Spark's round is HALF_UP — a silent
+    # divergence at exact ties (round-11 audit).  Decimal args round
+    # half-away in CH; this engine computes in doubles, so the float
+    # contract is the faithful one
+    "round": "bround",
     "randcanonical": "rand",
     "sign": "signum",
     "max2": "greatest",

@@ -169,3 +169,15 @@ def test_totime_fixed_date_and_utf8_multisearch(spark):
     )[0]
     assert str(r[0]) == "1970-01-02 07:08:09"
     assert (r[1], r[2], r[3]) == (True, True, 1)
+
+
+def test_round_is_bankers_like_clickhouse(spark):
+    """CH's plain round() on floats is banker's (docs: round(2.5)=2,
+    round(3.5)=4, round(-2.5)=-2, round(314.15,-2)=300); Spark's round
+    is HALF_UP — a silent tie divergence until the round-11 audit."""
+    r = rows(
+        spark,
+        "SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,"
+        " round(314.15, -2) AS e, roundBankers(2.5) AS f",
+    )[0]
+    assert [float(v) for v in r] == [2.0, 4.0, -2.0, 300.0, 2.0]
