@@ -2614,9 +2614,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "if": lambda a: f"CASE WHEN {a[0]} THEN {a[1]} ELSE {a[2]} END",
     "multiif": _multi_if,
     # CH intDiv accepts floats and truncates toward zero; Spark's `div`
-    # operator is integral-only, so divide in double and truncate via the
-    # ANSI double→bigint cast (found by the property-based fuzz).
-    "intdiv": lambda a: f"CAST(CAST(({a[0]}) AS DOUBLE) / ({a[1]}) AS BIGINT)",
+    # operator is integral-only.  Round 11: the former divide-in-DOUBLE
+    # route lost precision past 2^53 (intDiv(2^62, 3) came back 85 low —
+    # a silent wrong value); DECIMAL(38,18) division is exact for every
+    # int64 pair (the quotient's integer part needs ≤19 digits and the
+    # smallest nonzero fraction 1/2^63 ≈ 1.08e-19 survives the scale-19
+    # result rounding, so the toward-zero bigint cast can never flip)
+    # while still accepting CH's float form (intDiv(1, 0.001) = 1000).
+    "intdiv": lambda a: (
+        f"CAST(CAST(({a[0]}) AS DECIMAL(38,18))"
+        f" / CAST(({a[1]}) AS DECIMAL(38,18)) AS BIGINT)"
+    ),
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
@@ -3179,7 +3187,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
     ),
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
-    "intdivorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) div ({a[1]}))",
+    # same exact DECIMAL route as intDiv (round 11) — the `div` operator
+    # form rejected CH's float arguments
+    "intdivorzero": lambda a: (
+        f"IF(({a[1]}) = 0, 0, CAST(CAST(({a[0]}) AS DECIMAL(38,18))"
+        f" / CAST(({a[1]}) AS DECIMAL(38,18)) AS BIGINT))"
+    ),
     "moduloorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))",
     # round 11: the Second-precision pair (CH 24.x spellings) — both
     # previously unmapped passthroughs

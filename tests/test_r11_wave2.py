@@ -181,3 +181,16 @@ def test_round_is_bankers_like_clickhouse(spark):
         " round(314.15, -2) AS e, roundBankers(2.5) AS f",
     )[0]
     assert [float(v) for v in r] == [2.0, 4.0, -2.0, 300.0, 2.0]
+
+
+def test_intdiv_is_exact_past_double_precision(spark):
+    """The former divide-in-DOUBLE route returned 1537228672809129216 for
+    intDiv(2^62, 3) — 85 low.  The DECIMAL(38,18) route is exact for
+    every int64 pair and still accepts CH's float form."""
+    r = rows(
+        spark,
+        "SELECT intDiv(4611686018427387904, 3) AS big,"
+        " intDivOrZero(9223372036854775807, 2) AS mx,"
+        " intDiv(-7, 2) AS neg, intDiv(1, 0.001) AS f",
+    )[0]
+    assert list(r) == [1537228672809129301, 4611686018427387903, -3, 1000]
