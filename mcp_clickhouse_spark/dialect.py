@@ -3282,6 +3282,27 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arrayl2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
     "arrayl2squareddistance": lambda a: _vec_fold(a, "l2sq"),
     "arraylinfdistance": lambda a: _vec_fold(a, "linf"),
+    # LpDistance(xs, ys, p): the docs formula (Σ|aᵢ−bᵢ|^p)^(1/p) as one
+    # zip_with fold (round 11 — was a raw passthrough)
+    "lpdistance": lambda a: (
+        f"pow(aggregate(zip_with({a[0]}, {a[1]},"
+        f" (__va, __vb) -> pow(abs(CAST(__va AS DOUBLE) - __vb),"
+        f" CAST({a[2]} AS DOUBLE))), CAST(0.0 AS DOUBLE),"
+        f" (__vs, __vx) -> __vs + __vx), 1.0D / ({a[2]}))"
+    ),
+    "arraylpdistance": lambda a: TEMPLATES["lpdistance"](a),
+    "lpnorm": lambda a: (
+        f"pow(aggregate({a[0]}, CAST(0.0 AS DOUBLE),"
+        f" (__vs, __vx) -> __vs + pow(abs(CAST(__vx AS DOUBLE)),"
+        f" CAST({a[1]} AS DOUBLE))), 1.0D / ({a[1]}))"
+    ),
+    "arraylpnorm": lambda a: TEMPLATES["lpnorm"](a),
+    # divideOrNull / moduloOrNull (CH 24.x): NULL instead of the
+    # division-by-zero exception
+    "divideornull": lambda a: f"try_divide({a[0]}, {a[1]})",
+    "moduloornull": lambda a: (
+        f"IF(({a[1]}) = 0, NULL, ({a[0]}) % ({a[1]}))"
+    ),
     "l1distance": lambda a: _vec_fold(a, "l1"),
     "l2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
     "l2squareddistance": lambda a: _vec_fold(a, "l2sq"),
@@ -6255,7 +6276,10 @@ TEMPLATES.update({
         for _t in ("tupleplus", "tupleminus", "tuplemultiply",
                    "tupledivide", "tuplenegate", "tupleintdiv",
                    "tuplemultiplybynumber", "tupledividebynumber",
-                   "tuplesum")
+                   "tuplesum",
+                   # legacy alias spellings of the tuple math (round 11 —
+                   # were raw passthroughs)
+                   "vectorsum", "vectordifference", "scalarproduct")
     },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(

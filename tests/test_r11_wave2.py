@@ -194,3 +194,18 @@ def test_intdiv_is_exact_past_double_precision(spark):
         " intDiv(-7, 2) AS neg, intDiv(1, 0.001) AS f",
     )[0]
     assert list(r) == [1537228672809129301, 4611686018427387903, -3, 1000]
+
+
+def test_lp_distance_norm_and_ornull_arithmetic(spark):
+    r = rows(
+        spark,
+        "SELECT round(LpDistance([1., 2.], [2., 4.], 3), 10) AS lp,"
+        " round(LpNorm([3., 4.], 2), 10) AS n2,"
+        " divideOrNull(6, 0) AS dz, divideOrNull(6, 3) AS d,"
+        " moduloOrNull(7, 0) AS mz, moduloOrNull(7, 3) AS m",
+    )[0]
+    assert r[0] == round(9 ** (1 / 3), 10)  # (|1-2|^3 + |2-4|^3)^(1/3)
+    assert r[1] == 5.0
+    assert (r[2], r[3], r[4], r[5]) == (None, 2.0, None, 1)
+    with pytest.raises(DialectError, match="tuple arity"):
+        translate("SELECT vectorSum(a, b) FROM t")
