@@ -3255,6 +3255,30 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" size(array_distinct(concat({_char_set(a[0])},"
         f" {_char_set(a[1])}))))"
     ),
+    # jsonMergePatch (round 11 — was a passthrough): RFC 7386 via an
+    # Arrow pandas_udf (functions/codecs.py); variadic calls fold into
+    # nested 2-argument applications left-to-right, the RFC's own order
+    "jsonmergepatch": lambda a: (
+        (_ for _ in ()).throw(DialectError(
+            "jsonMergePatch takes at least two JSON documents"
+        )) if len(a) < 2 else __import__("functools").reduce(
+            lambda acc, nxt: f"ch_json_merge_patch({acc}, {nxt})", a[1:],
+            a[0],
+        )
+    ),
+    # Spark strings are codepoint sequences, so the char-set Jaccard IS
+    # the UTF8 semantics (round 11 — the UTF8 spelling passed through)
+    "stringjaccardindexutf8": lambda a: (
+        TEMPLATES["stringjaccardindex"](a)
+    ),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the Sqids alphabet-shuffle algorithm is not "
+            "reimplemented here — base58Encode/base58Decode or "
+            "generateSnowflakeID cover the id-obfuscation use cases"
+        ))))(_t)
+        for _t in ("sqid", "sqidencode", "sqiddecode")
+    },
     # vector-math family (round 8 — fell through unresolved; the scale
     # path for embedding columns lives in pipeline/similarity.py, these
     # are the faithful scalar spellings): double-accumulated folds
@@ -3406,6 +3430,24 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "proportionsztest": _proportions_z_test,
     # Joda patterns ARE Java datetime patterns — Spark's native syntax
     "formatdatetimeinjodasyntax": lambda a: f"date_format({a[0]}, {a[1]})",
+    # round 11: the from-epoch Joda spelling (Spark's own pattern syntax
+    # IS the Joda-style one)
+    "fromunixtimestampinjodasyntax": lambda a: (
+        f"date_format(timestamp_seconds({a[0]}), {a[1]})"
+        if len(a) >= 2
+        else f"timestamp_seconds({a[0]})"
+    ),
+    # CH 23.8 added these FOR Spark compatibility — identical semantics
+    "toutctimestamp": lambda a: f"to_utc_timestamp({a[0]}, {a[1]})",
+    "fromutctimestamp": lambda a: f"from_utc_timestamp({a[0]}, {a[1]})",
+    # CH timestamp(date_str[, time_str]): 2-arg adds the time-of-day
+    "timestamp": lambda a: (
+        f"CAST({a[0]} AS TIMESTAMP)" if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "timestamp(expr, time): the 2-argument time-shift form is "
+            "not supported — add an INTERVAL to CAST(expr AS TIMESTAMP)"
+        ))
+    ),
     "parsedatetimeinjodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",
     "parsedatetime64injodasyntax": lambda a: f"to_timestamp({a[0]}, {a[1]})",
     "parsedatetimeinjodasyntaxornull": lambda a: (
@@ -6459,6 +6501,7 @@ TEMPLATES.update({
                    "getsetting", "getmacro", "currentroles",
                    "currentprofiles", "enabledroles", "defaultroles",
                    "errorcodetoname", "structuretoprotobufschema",
+                   "structuretojsonstring",
                    "structuretocapnprotoschema", "fqdn")
     },
     # chained -ArrayIf combinators (round 9): condition per ROW, aggregate

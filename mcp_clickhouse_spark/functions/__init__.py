@@ -95,6 +95,7 @@ LAZY_UDFS = {
     "ch_base32_encode": _register_codecs,
     "ch_base32_decode": _register_codecs,
     "ch_try_base32_decode": _register_codecs,
+    "ch_json_merge_patch": _register_codecs,
     "ch_decode_xml": _register_codecs,
     "ch_decode_html": _register_codecs,
     "ch_rand_poisson": _register_randdist,

@@ -116,6 +116,18 @@ def ensure_registered(spark) -> None:
     ]:
         spark.udf.register(name, _make(fn, on_error))
 
+    @pandas_udf("string")
+    def ch_json_merge_patch(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            out.append(
+                None if x is None or y is None else json_merge_patch(x, y)
+            )
+        return pd.Series(out, dtype=object)
+
+    # variadic CH calls fold into nested 2-arg applications (dialect.py)
+    spark.udf.register("ch_json_merge_patch", ch_json_merge_patch)
+
 
 def base32_encode(s: str) -> str:
     """RFC 4648 base32 with padding (round 10), over the UTF-8 bytes —
@@ -174,3 +186,30 @@ def decode_html_component(s: str) -> str:
     import html as _html
 
     return _html.unescape(s)
+
+
+def json_merge_patch(*docs: str) -> str:
+    """CH jsonMergePatch(j1, j2, …) (round 11 — was a passthrough):
+    RFC 7386 JSON Merge Patch applied left-to-right — object members
+    merge recursively, null values DELETE the member, non-objects
+    replace wholesale.  The algorithm is the RFC's own pseudocode;
+    output is compact-separator JSON like CH."""
+    import json as _json
+
+    def merge(target, patch):
+        if not isinstance(patch, dict):
+            return patch
+        if not isinstance(target, dict):
+            target = {}
+        out = dict(target)
+        for k, v in patch.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    acc = _json.loads(docs[0])
+    for d in docs[1:]:
+        acc = merge(acc, _json.loads(d))
+    return _json.dumps(acc, separators=(",", ":"), ensure_ascii=False)

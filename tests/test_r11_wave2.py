@@ -209,3 +209,38 @@ def test_lp_distance_norm_and_ornull_arithmetic(spark):
     assert (r[2], r[3], r[4], r[5]) == (None, 2.0, None, 1)
     with pytest.raises(DialectError, match="tuple arity"):
         translate("SELECT vectorSum(a, b) FROM t")
+
+
+def test_json_merge_patch_rfc7386(spark):
+    r = rows(
+        spark,
+        """SELECT jsonMergePatch('{"a":1,"b":{"c":2}}',"""
+        """ '{"b":{"c":null,"d":3}}', '{"e":[1]}') AS m,"""
+        """ jsonMergePatch('{"a":[1,2]}', '{"a":[3]}') AS arr""",
+    )[0]
+    # null DELETES b.c; objects merge recursively; arrays replace whole
+    assert r[0] == '{"a":1,"b":{"d":3},"e":[1]}'
+    assert r[1] == '{"a":[3]}'
+
+
+def test_joda_utc_and_jaccard_utf8(spark):
+    r = rows(
+        spark,
+        "SELECT fromUnixTimestampInJodaSyntax(1704164645,"
+        "   'yyyy-MM-dd HH:mm:ss') AS jd,"
+        " toUTCTimestamp(toDateTime('2024-01-02 03:04:05'),"
+        "   'America/New_York') AS ut,"
+        " fromUTCTimestamp(toDateTime('2024-01-02 08:04:05'),"
+        "   'America/New_York') AS ft,"
+        " stringJaccardIndexUTF8('clickhouse', 'mouse') AS j,"
+        " timestamp('2024-01-02 03:04:05') AS ts",
+    )[0]
+    assert r[0] == "2024-01-02 03:04:05"
+    assert str(r[1]) == "2024-01-02 08:04:05"
+    assert str(r[2]) == "2024-01-02 03:04:05"
+    assert r[3] == 0.4
+    assert str(r[4]) == "2024-01-02 03:04:05"
+    with pytest.raises(DialectError, match="INTERVAL"):
+        translate("SELECT timestamp(d, t) FROM x")
+    with pytest.raises(DialectError, match="base58"):
+        translate("SELECT sqid(1, 2) FROM x")
