@@ -1887,14 +1887,16 @@ def _array_auc_expr(a: list[str]) -> str:
     )
 
 
-def _fss_expr(a: list[str], cut: bool) -> str:
-    """CH firstSignificantSubdomain / cutToFirstSignificantSubdomain,
-    implemented to the documented rule (ClickHouse URL-functions doc):
-    the first significant subdomain is the SECOND-level domain, unless
-    that second level is com/net/org/co — then it is the third level
-    (``news.clickhouse.com.tr`` → ``clickhouse``).  Hosts with fewer
-    than two labels (or non-URLs, where parse_url yields NULL) return
-    '' like CH.  try_element_at keeps malformed input NULL-safe."""
+def _fss_expr(a: list[str], cut: bool, keep_www: bool = False) -> str:
+    """CH firstSignificantSubdomain / cutToFirstSignificantSubdomain
+    [WithWWW], implemented to the documented rule (ClickHouse
+    URL-functions doc): the first significant subdomain is the
+    SECOND-level domain, unless that second level is com/net/org/co —
+    then it is the third level (``news.clickhouse.com.tr`` →
+    ``clickhouse``).  Hosts with fewer than two labels (or non-URLs,
+    where parse_url yields NULL) return '' like CH.  ``keep_www``
+    (round 11): the WithWWW spelling keeps an immediately-preceding
+    'www' label instead of cutting it."""
     host = f"try_parse_url({a[0]}, 'HOST')"
     parts = f"split({host}, '\\\\.')"
     n = f"size({parts})"
@@ -1903,11 +1905,76 @@ def _fss_expr(a: list[str], cut: bool) -> str:
         f" IN ('com', 'net', 'org', 'co') AND {n} >= 3, {n} - 2, {n} - 1)"
     )
     if cut:
+        start = idx
+        if keep_www:
+            start = (
+                f"IF(try_element_at({parts}, ({idx}) - 1) = 'www',"
+                f" ({idx}) - 1, {idx})"
+            )
         return (
-            f"IF({n} >= 2, array_join(slice({parts}, {idx},"
-            f" {n} - ({idx}) + 1), '.'), '')"
+            f"IF({n} >= 2, array_join(slice({parts}, {start},"
+            f" {n} - ({start}) + 1), '.'), '')"
         )
     return f"IF({n} >= 2, try_element_at({parts}, {idx}), '')"
+
+
+def _point_in_ellipses_expr(a: list[str]) -> str:
+    """CH ``pointInEllipses(x, y, x0, y0, a0, b0, …)`` (round 11 — was a
+    passthrough): 1 when the point is inside AT LEAST ONE axis-aligned
+    ellipse — the docs' ((x−x0)/a)² + ((y−y0)/b)² ≤ 1 test per
+    ellipse."""
+    if len(a) < 6 or (len(a) - 2) % 4 != 0:
+        raise DialectError(
+            "pointInEllipses takes (x, y, x0, y0, a0, b0, …) — four "
+            "parameters per ellipse"
+        )
+    x, y = a[0], a[1]
+    terms = []
+    for i in range(2, len(a), 4):
+        x0, y0, ea, eb = a[i : i + 4]
+        terms.append(
+            f"(pow((CAST({x} AS DOUBLE) - ({x0})) / ({ea}), 2)"
+            f" + pow((CAST({y} AS DOUBLE) - ({y0})) / ({eb}), 2)"
+            f" <= 1.0D)"
+        )
+    return f"CAST(({' OR '.join(terms)}) AS INT)"
+
+
+def _aes_expr(a: list[str], decrypt: bool, try_form: bool = False) -> str:
+    """CH ``encrypt/decrypt('aes-<bits>-<mode>', data, key[, iv])``
+    (round 11 — were passthroughs): ECB and CBC map onto Spark's native
+    aes_encrypt/aes_decrypt with PKCS padding (both are OpenSSL PKCS#7,
+    byte-identical).  The mode must be a string literal; CFB/OFB/CTR
+    have no Spark equivalent and GCM framing differs (Spark prepends
+    its 12-byte IV to the ciphertext, CH does not) — guided.  Delta:
+    Spark derives the AES key size from the KEY length, so a key whose
+    length contradicts the declared <bits> raises at runtime rather
+    than at translate time."""
+    name = ("tryDecrypt" if try_form
+            else ("decrypt" if decrypt else "encrypt"))
+    if len(a) < 3:
+        raise DialectError(f"{name} takes (mode, data, key[, iv])")
+    m = a[0].strip()
+    if not (m.startswith("'") and m.endswith("'")):
+        raise DialectError(
+            f"{name}: the cipher mode must be a string literal"
+        )
+    mode = m[1:-1].lower()
+    parts = mode.split("-")
+    if len(parts) != 3 or parts[0] != "aes" or parts[2] != "ecb":
+        raise DialectError(
+            f"{name}: only aes-<bits>-ecb maps byte-exactly onto Spark's "
+            "aes_encrypt/aes_decrypt (CFB/OFB/CTR have no Spark "
+            "equivalent; for CBC and GCM Spark frames the IV into the "
+            "ciphertext while ClickHouse returns raw blocks)"
+        )
+    if len(a) >= 4:
+        raise DialectError(f"{name}: ECB mode takes no IV")
+    fn = ("try_aes_decrypt" if try_form
+          else ("aes_decrypt" if decrypt else "aes_encrypt"))
+    out = f"{fn}({a[1]}, {a[2]}, 'ECB', 'PKCS')"
+    # CH decrypt returns a String; Spark aes_decrypt returns BINARY
+    return f"CAST({out} AS STRING)" if decrypt else out
 
 
 def _map_agg_expr(a: list[str], how: str, keys_filter: str | None = None) -> str:
@@ -4453,6 +4520,37 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # variants CH documents
     "firstsignificantsubdomain": lambda a: _fss_expr(a, cut=False),
     "cuttofirstsignificantsubdomain": lambda a: _fss_expr(a, cut=True),
+    "cuttofirstsignificantsubdomainwithwww": lambda a: (
+        _fss_expr(a, cut=True, keep_www=True)
+    ),
+    "pointinellipses": _point_in_ellipses_expr,
+    "encrypt": lambda a: _aes_expr(a, decrypt=False),
+    "decrypt": lambda a: _aes_expr(a, decrypt=True),
+    "trydecrypt": lambda a: _aes_expr(a, decrypt=True, try_form=True),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the MySQL key-folding convention (overlong keys XOR "
+            "back onto themselves) is not replicated — use "
+            "encrypt/decrypt with an exact-length key"
+        ))))(_t)
+        for _t in ("aes_encrypt_mysql", "aes_decrypt_mysql")
+    },
+    "geohashesinbox": lambda a: (_ for _ in ()).throw(DialectError(
+        "geohashesInBox: grid enumeration over a box is a generator, "
+        "not a scalar — geohashEncode the corners and expand client-side"
+    )),
+    "tointervalnanosecond": lambda a: (_ for _ in ()).throw(DialectError(
+        "toIntervalNanosecond: Spark intervals are microsecond-precision "
+        "— use toIntervalMicrosecond"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the BIP-173 bech32 checksum alphabet is not "
+            "reimplemented here — base58Encode/Decode cover the "
+            "binary-to-text use cases"
+        ))))(_t)
+        for _t in ("bech32encode", "bech32decode")
+    },
     # round 8: the documented cut-after-separator-run prefix expansion
     "urlhierarchy": lambda a: _url_hierarchy_expr(a, path_only=False),
     "pathhierarchy": lambda a: _url_hierarchy_expr(a, path_only=True),

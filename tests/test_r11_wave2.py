@@ -244,3 +244,49 @@ def test_joda_utc_and_jaccard_utf8(spark):
         translate("SELECT timestamp(d, t) FROM x")
     with pytest.raises(DialectError, match="base58"):
         translate("SELECT sqid(1, 2) FROM x")
+
+
+def test_point_in_ellipses_and_www_subdomain(spark):
+    r = rows(
+        spark,
+        "SELECT pointInEllipses(6., 2., 0., 0., 5., 5., 10., 0., 5., 5.)"
+        "   AS hit,"
+        " pointInEllipses(20., 20., 0., 0., 5., 5.) AS miss,"
+        " pointInEllipses(10., 10., 10., 9.5, 1., 1.) AS docs_ex,"
+        " cutToFirstSignificantSubdomainWithWWW("
+        "   'http://www.clickhouse.com.tr/p') AS w,"
+        " cutToFirstSignificantSubdomain("
+        "   'http://www.clickhouse.com.tr/p') AS nw",
+    )[0]
+    assert list(r) == [1, 0, 1, "www.clickhouse.com.tr", "clickhouse.com.tr"]
+
+
+def test_aes_encrypt_decrypt_roundtrip(spark):
+    """encrypt/decrypt map onto Spark's aes_encrypt/aes_decrypt —
+    OpenSSL-compatible PKCS#7 for ECB/CBC, so a round trip is exact and
+    tryDecrypt yields NULL on a wrong key (the CH contract)."""
+    r = rows(
+        spark,
+        "SELECT decrypt('aes-128-ecb',"
+        "   encrypt('aes-128-ecb', 'secret text', '0123456789abcdef'),"
+        "   '0123456789abcdef') AS rt,"
+        " decrypt('aes-256-ecb',"
+        "   encrypt('aes-256-ecb', 'longer key mode',"
+        "     'kkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkk'),"
+        "   'kkkkkkkkkkkkkkkkkkkkkkkkkkkkkkkk') AS k256,"
+        " tryDecrypt('aes-128-ecb',"
+        "   encrypt('aes-128-ecb', 'x', '0123456789abcdef'),"
+        "   'wrongkey.1234567') AS bad",
+    )[0]
+    assert r[0] == "secret text"
+    assert r[1] == "longer key mode"
+    assert r[2] is None
+    for sql, frag in [
+        ("SELECT encrypt('aes-128-gcm', s, k) FROM t", "frames the IV"),
+        ("SELECT encrypt('aes-128-cbc', s, k, i) FROM t", "frames the IV"),
+        ("SELECT encrypt(m, s, k) FROM t", "string literal"),
+        ("SELECT aes_encrypt_mysql('aes-128-ecb', s, k) FROM t",
+         "key-folding"),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
