@@ -158,7 +158,6 @@ NAME_MAP: dict[str, str] = {
     "arrayreverse": "reverse",
     "arraydistinct": "array_distinct",
     "arrayconcat": "concat",
-    "arrayslice": "slice",
     "indexof": "array_position",
     "arrayzip": "arrays_zip",
     "arrayflatten": "flatten",
@@ -3446,12 +3445,24 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # the argument order vs position(haystack, needle) — previously the
     # raw `IN` leaked into instr() (round 8)
     "position": lambda a: (
-        (lambda sp: f"instr({sp[1].strip()}, {sp[0].strip()})"
-         if sp else f"instr({', '.join(a)})")(
+        # 3-arg CH form position(haystack, needle, start_pos): Spark's
+        # locate(substr, str, pos) — round 11, was a 3-arg instr crash
+        f"locate({a[1]}, {a[0]}, {a[2]})"
+        if len(a) == 3
+        else (lambda sp: f"instr({sp[1].strip()}, {sp[0].strip()})"
+              if sp else f"instr({', '.join(a)})")(
             re.split(r"(?i)\s+IN\s+", a[0], maxsplit=1)
             if len(a) == 1 and re.search(r"(?i)\s+IN\s+", a[0])
             else None
         )
+    ),
+    # 2-arg CH form arraySlice(arr, offset) runs to the end; Spark's
+    # slice REQUIRES a length (round 11 — the bare rename crashed on the
+    # 2-arg form).  size(arr) is always >= the remaining length, and
+    # Spark clamps — negative offsets work in both
+    "arrayslice": lambda a: (
+        f"slice({a[0]}, {a[1]}, size({a[0]}))" if len(a) == 2
+        else f"slice({', '.join(a)})"
     ),
     # CH trunc/truncate are NUMERIC (toward zero); Spark's trunc is
     # date-only.  Two-arg string form passes through (date semantics).

@@ -290,3 +290,19 @@ def test_aes_encrypt_decrypt_roundtrip(spark):
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)
+
+
+def test_position_start_pos_and_array_slice_to_end(spark):
+    """round 11: position's 3-arg start_pos form crashed (3-arg instr),
+    and arraySlice's 2-arg slice-to-end form crashed (Spark slice
+    requires a length)."""
+    r = rows(
+        spark,
+        "SELECT position('Hello, world!', 'o', 6) AS p3,"
+        " position('Hello, world!', 'o') AS p2,"
+        " arraySlice([1, 2, 3, 4, 5], -3) AS neg,"
+        " arraySlice([1, 2, 3, 4, 5], 2) AS tail,"
+        " arraySlice([1, 2, 3, 4, 5], 2, 3) AS mid",
+    )[0]
+    assert r[0] == 9 and r[1] == 5
+    assert r[2] == [3, 4, 5] and r[3] == [2, 3, 4, 5] and r[4] == [2, 3, 4]
