@@ -249,6 +249,12 @@ TYPE_MAP: dict[str, str] = {
 
 def _json_path(args: list[str], extractor: str = "get_json_object") -> str:
     doc, key = args[0], args[1].strip()
+    if len(args) > 2 or re.fullmatch(r"-?\d+", key):
+        # round 11: multi-key / index paths (JSONExtractInt(j, 'a', 'b'),
+        # JSONExtractString(j, 2)) previously DROPPED everything past the
+        # first key — build the full chained JSONPath (indices 1-based in
+        # CH → 0-based JSONPath, via the shared builder)
+        return f"{extractor}({args[0]}, '{_json_path_of(args[1:])}')"
     if key.startswith("'") and key.endswith("'"):
         return f"{extractor}({doc}, '$.{key[1:-1]}')"
     return f"{extractor}({doc}, concat('$.', {key}))"
@@ -2714,7 +2720,19 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "tostartofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
     "tostartofquarter": lambda a: f"date_trunc('QUARTER', {a[0]})",
     "tostartofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
-    "tostartofweek": lambda a: f"date_trunc('WEEK', {a[0]})",
+    # CH toStartOfWeek default mode 0 = SUNDAY-first weeks (round 11 —
+    # date_trunc('WEEK') is ISO Monday, a silent one-day-late value for
+    # six days of every week; the same mode-0 default the r10 audit
+    # fixed for toWeek).  Odd literal modes are Monday-first; returns
+    # Date like CH.  weekday() is Monday=0..Sunday=6.
+    "tostartofweek": lambda a: (
+        f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
+        if len(a) >= 2 and a[1].strip() in ("1", "3", "5", "7")
+        else (
+            f"date_sub(CAST({a[0]} AS DATE),"
+            f" pmod(weekday(CAST({a[0]} AS DATE)) + 1, 7))"
+        )
+    ),
     "toyyyymm": lambda a: f"date_format({a[0]}, 'yyyyMM')",
     "toyyyymmdd": lambda a: f"date_format({a[0]}, 'yyyyMMdd')",
     "todayofweek": lambda a: f"(weekday({a[0]}) + 1)",  # CH: Monday=1

@@ -306,3 +306,30 @@ def test_position_start_pos_and_array_slice_to_end(spark):
     )[0]
     assert r[0] == 9 and r[1] == 5
     assert r[2] == [3, 4, 5] and r[3] == [2, 3, 4, 5] and r[4] == [2, 3, 4]
+
+
+def test_tostartofweek_mode0_is_sunday(spark):
+    """CH toStartOfWeek default mode 0 starts weeks on SUNDAY (the r10
+    toWeek audit's mode-0 default, now fixed here too — date_trunc WEEK
+    was silently one day late six days out of seven)."""
+    r = rows(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-01-03')) AS sun,"
+        " toStartOfWeek(toDate('2024-01-03'), 1) AS mon,"
+        " toStartOfWeek(toDate('2023-12-31')) AS on_sun",
+    )[0]
+    assert [str(v) for v in r] == ["2023-12-31", "2024-01-01", "2023-12-31"]
+
+
+def test_json_extract_multikey_and_index_paths(spark):
+    """JSONExtract*(json, k1, k2, …) chains keys/1-based indices into one
+    JSONPath — extra path arguments were silently DROPPED before."""
+    r = rows(
+        spark,
+        """SELECT JSONExtractInt('{"a": {"b": 5}}', 'a', 'b') AS nest,"""
+        """ JSONExtractString('["x","y"]', 2) AS idx,"""
+        """ JSONExtractString('{"a": [{"c": "deep"}]}', 'a', 1, 'c')"""
+        """   AS chain,"""
+        """ JSONExtractString('{"a": "v"}', 'a') AS plain""",
+    )[0]
+    assert list(r) == [5, "y", "deep", "v"]
