@@ -764,6 +764,68 @@ def _cut_url_parameter_expr(a: list[str]) -> str:
     )
 
 
+def _ch_datediff_expr(a: list[str]) -> str:
+    """CH ``dateDiff(unit, start, end[, tz])`` counts UNIT-BOUNDARY
+    CROSSINGS (dateDiff('month', '2023-01-31', '2023-02-01') = 1), while
+    Spark's timestampdiff needs COMPLETE spans (same call = 0) — a silent
+    divergence on every unit until the round-11 audit.  Each unit maps to
+    the difference of CH's toRelative<Unit>Num ordinals: calendar fields
+    for year/quarter/month, Sunday-rolling week ordinals ((days+4) div 7
+    — the epoch was a Thursday), day counts, and floor-divided epoch
+    seconds for hour/minute/second.  DuckDB's date_diff counts partition
+    boundaries the same way, so the oracle twins already agreed with the
+    CH semantics."""
+    unit = a[0].strip().strip("'\"").lower()
+    x, y = a[1], a[2]
+    if len(a) >= 4 and a[3].strip().strip("'\"") not in ("UTC", "Etc/UTC"):
+        raise DialectError(
+            "dateDiff: a non-UTC timezone argument shifts CH's unit "
+            "boundaries — this engine's session contract is UTC; drop "
+            "the argument or pass 'UTC'"
+        )
+    dx, dy = f"CAST({x} AS DATE)", f"CAST({y} AS DATE)"
+    tx = f"unix_timestamp(CAST({x} AS TIMESTAMP))"
+    ty = f"unix_timestamp(CAST({y} AS TIMESTAMP))"
+    if unit in ("year", "yy", "yyyy"):
+        return f"(year({dy}) - year({dx}))"
+    if unit in ("quarter", "qq", "q"):
+        return (
+            f"((year({dy}) * 4 + quarter({dy}))"
+            f" - (year({dx}) * 4 + quarter({dx})))"
+        )
+    if unit in ("month", "mm", "m"):
+        return (
+            f"((year({dy}) * 12 + month({dy}))"
+            f" - (year({dx}) * 12 + month({dx})))"
+        )
+    if unit in ("week", "wk", "ww"):
+        wy = f"FLOOR((datediff({dy}, DATE '1970-01-01') + 4) / 7)"
+        wx = f"FLOOR((datediff({dx}, DATE '1970-01-01') + 4) / 7)"
+        return f"CAST({wy} - {wx} AS BIGINT)"
+    if unit in ("day", "dd", "d"):
+        return f"CAST(datediff({dy}, {dx}) AS BIGINT)"
+    secs = {"hour": 3600, "hh": 3600, "h": 3600,
+            "minute": 60, "mi": 60, "n": 60,
+            "second": 1, "ss": 1, "s": 1}.get(unit)
+    if secs is not None:
+        if secs == 1:
+            return f"({ty} - {tx})"
+        return (
+            f"CAST(FLOOR({ty} / {secs}) - FLOOR({tx} / {secs}) AS BIGINT)"
+        )
+    if unit in ("millisecond", "ms", "microsecond", "us", "u"):
+        mult = 1000 if unit in ("millisecond", "ms") else 1000000
+        return (
+            f"CAST(FLOOR(unix_micros(CAST({y} AS TIMESTAMP))"
+            f" / {1000000 // mult}) - FLOOR(unix_micros("
+            f"CAST({x} AS TIMESTAMP)) / {1000000 // mult}) AS BIGINT)"
+        )
+    raise DialectError(
+        f"dateDiff: unsupported unit {unit!r} (nanosecond needs "
+        "sub-microsecond timestamps Spark does not have)"
+    )
+
+
 def _corr_guard(keep: str, other: str) -> str:
     """NULL out `keep` on rows where either corr argument is NULL, so the
     marginal stddev_pop sees exactly the pairwise-complete rows."""
@@ -2736,9 +2798,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "toyyyymm": lambda a: f"date_format({a[0]}, 'yyyyMM')",
     "toyyyymmdd": lambda a: f"date_format({a[0]}, 'yyyyMMdd')",
     "todayofweek": lambda a: f"(weekday({a[0]}) + 1)",  # CH: Monday=1
-    "datediff": lambda a: f"timestampdiff({a[0].strip(chr(39))}, {a[1]}, {a[2]})"
-    if len(a) == 3
-    else f"datediff({a[0]}, {a[1]})",
+    "datediff": lambda a: (
+        _ch_datediff_expr(a) if len(a) >= 3 else f"datediff({a[0]}, {a[1]})"
+    ),
     "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
     "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
     "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
@@ -3078,7 +3140,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
     "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
     # date/time fill-ins
-    "tomonday": lambda a: f"date_trunc('WEEK', {a[0]})",
+    # returns Date like CH (round 11: date_trunc yields a timestamp)
+    "tomonday": lambda a: f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)",
     "addquarters": lambda a: f"add_months({a[0]}, ({a[1]}) * 3)",
     "subtractquarters": lambda a: f"add_months({a[0]}, -(({a[1]}) * 3))",
     "yesterday": lambda a: "date_sub(current_date(), 1)",
@@ -3747,9 +3810,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             f"slice({arr}, 1, i), {_fold_zero(arr, arr)}, (s, x) -> s + x))"
         )
     )(_fn_form(a)),
-    "range": lambda a: f"sequence(0, ({a[0]}) - 1)"
-    if len(a) == 1
-    else f"sequence({a[0]}, ({a[1]}) - 1)",
+    # round 11: the 3-arg step form was dropping the step
+    "range": lambda a: (
+        f"sequence(0, ({a[0]}) - 1)" if len(a) == 1
+        else f"sequence({a[0]}, ({a[1]}) - 1)" if len(a) == 2
+        else f"sequence({a[0]}, ({a[1]}) - 1, {a[2]})"
+    ),
     "jsonextractraw": _json_extract_raw,
     "jsonextractstring": lambda a: _json_path(a),
     "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",

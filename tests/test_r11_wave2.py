@@ -333,3 +333,44 @@ def test_json_extract_multikey_and_index_paths(spark):
         """ JSONExtractString('{"a": "v"}', 'a') AS plain""",
     )[0]
     assert list(r) == [5, "y", "deep", "v"]
+
+
+def test_datediff_counts_boundary_crossings(spark):
+    """CH dateDiff counts UNIT-BOUNDARY crossings (month: Jan 31 -> Feb 1
+    is 1), not complete spans like Spark's timestampdiff (same call: 0).
+    Weeks roll on SUNDAY (toRelativeWeekNum: (days + 4) div 7 — the epoch
+    was a Thursday)."""
+    r = rows(
+        spark,
+        "SELECT dateDiff('month', toDate('2023-01-31'),"
+        "   toDate('2023-02-01')) AS m1,"
+        " dateDiff('month', toDate('2023-01-01'), toDate('2023-01-31'))"
+        "   AS m0,"
+        " dateDiff('week', toDate('2024-01-06'), toDate('2024-01-08'))"
+        "   AS w1,"  # Sat -> Mon crosses Sunday
+        " dateDiff('week', toDate('2024-01-07'), toDate('2024-01-08'))"
+        "   AS w0,"  # Sun -> Mon stays in the same Sunday-rolled week
+        " dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01'))"
+        "   AS y1,"
+        " dateDiff('hour', toDateTime('2024-01-01 02:59:00'),"
+        "   toDateTime('2024-01-01 03:01:00')) AS h1,"
+        " dateDiff('hour', toDateTime('2024-01-01 02:01:00'),"
+        "   toDateTime('2024-01-01 02:59:00')) AS h0,"
+        " dateDiff('quarter', toDate('2024-03-31'), toDate('2024-04-01'))"
+        "   AS q1,"
+        " dateDiff('day', toDate('2024-01-01'), toDate('2024-01-05'))"
+        "   AS d4,"
+        " dateDiff('minute', toDateTime('2024-01-01 00:00:59'),"
+        "   toDateTime('2024-01-01 00:01:01')) AS mi1",
+    )[0]
+    assert list(r) == [1, 0, 1, 0, 1, 1, 0, 1, 4, 1]
+
+
+def test_range_step_and_tomonday_date_type(spark):
+    r = rows(
+        spark,
+        "SELECT range(1, 7, 2) AS rg, range(4) AS r4,"
+        " toMonday(toDate('2024-01-03')) AS mon",
+    )[0]
+    assert r[0] == [1, 3, 5] and r[1] == [0, 1, 2, 3]
+    assert str(r[2]) == "2024-01-01"
