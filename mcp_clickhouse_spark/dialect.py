@@ -15,7 +15,11 @@ Known semantic deltas (documented, not silently wrong):
   - cityHash64/sipHash64 → xxhash64: a 64-bit hash, but different VALUES
     than ClickHouse's (only hash stability within the engine is promised);
     murmurHash3_64 IS value-faithful (functions/murmur.py Python-UDF port);
-  - formatDateTime %-codes are converted for the common subset;
+  - formatDateTime/parseDateTime %-codes are tokenized over the full CH
+    24.x table (literal text Java-quoted, unknown codes guided); %M is
+    the full MONTH name per the pinned 24.x contract
+    (formatdatetime_parsedatetime_m_is_month_name=true since 23.4) —
+    pre-23.4 engines printed minutes there; write %i for minutes;
   - toDayOfWeek: ClickHouse counts Monday=1; Spark's dayofweek counts
     Sunday=1 → translated to weekday(x)+1 which matches ClickHouse.
 """
@@ -425,14 +429,98 @@ def _multi_if(args: list[str]) -> str:
     return " ".join(parts)
 
 
-_FMT_CODES = {
-    "%Y": "yyyy", "%m": "MM", "%d": "dd", "%H": "HH", "%M": "mm",
-    "%S": "ss", "%y": "yy", "%e": "d", "%j": "DDD", "%F": "yyyy-MM-dd",
-    "%T": "HH:mm:ss",
-    # MySQL spellings CH also accepts: %i minutes, %s seconds, %p AM/PM,
-    # %R hour:minute (round 7 — parseDateTime shares this table)
-    "%i": "mm", "%s": "ss", "%p": "a", "%R": "HH:mm",
+# ClickHouse formatDateTime specifier tables (docs §formatDateTime; the
+# reference pins CH 24.x via ci.yaml:15, where %M is the full MONTH name —
+# formatdatetime_parsedatetime_m_is_month_name defaults true since 23.4;
+# write %i for minutes).  Round 13: the old 15-entry str.replace table
+# passed unknown codes through verbatim into the Java pattern (measured
+# silent garbage: %D → '%65', %a → '%AM') and corrupted literal text
+# ('Day %d' → '65AM2024 05'); replaced by a tokenizer over three classes:
+# Java-pattern codes, literal-text codes, and expression codes that Java
+# patterns cannot express (Spark bans the week-based Y/w letters, so ISO
+# year/week and day numbers compose from extract()/weekday()).
+_FMT_PATTERN = {
+    "a": "EEE", "b": "MMM", "c": "MM", "d": "dd", "D": "MM/dd/yy",
+    "f": "SSSSSS", "F": "yyyy-MM-dd", "h": "hh", "H": "HH", "i": "mm",
+    "I": "hh", "j": "DDD", "k": "H", "l": "h", "m": "MM", "M": "MMMM",
+    "p": "a", "Q": "q", "r": "hh:mm:ss a", "R": "HH:mm", "s": "ss",
+    "S": "ss", "T": "HH:mm:ss", "W": "EEEE", "y": "yy", "Y": "yyyy",
+    "z": "xx",
 }
+_FMT_LITERAL = {"n": "\n", "t": "\t", "%": "%"}
+_FMT_EXPR: dict[str, Callable[[str], str]] = {
+    # %C: year div 100 truncated, two digits (CH example: 20 for 2009)
+    "C": lambda ts: (
+        f"lpad(CAST(CAST(year({ts}) / 100 AS INT) AS STRING), 2, '0')"
+    ),
+    # %e: day of month, SPACE-padded to width 2 (' 2')
+    "e": lambda ts: f"lpad(CAST(day({ts}) AS STRING), 2, ' ')",
+    "g": lambda ts: (
+        f"lpad(CAST(pmod(extract(YEAROFWEEK FROM {ts}), 100) AS STRING),"
+        f" 2, '0')"
+    ),
+    "G": lambda ts: f"CAST(extract(YEAROFWEEK FROM {ts}) AS STRING)",
+    # %u ISO weekday Monday=1..Sunday=7; Spark weekday() is Monday=0
+    "u": lambda ts: f"CAST(weekday({ts}) + 1 AS STRING)",
+    "V": lambda ts: f"lpad(CAST(weekofyear({ts}) AS STRING), 2, '0')",
+    # %w weekday Sunday=0..Saturday=6; Spark dayofweek() is Sunday=1
+    "w": lambda ts: f"CAST(dayofweek({ts}) - 1 AS STRING)",
+}
+
+
+def _fmt_tokens(body: str, fn: str) -> list[tuple[str, str]]:
+    """Tokenize a CH %-format body into ('pat', java) / ('lit', text) /
+    ('expr', code) tokens, coalescing adjacent literal text."""
+    out: list[tuple[str, str]] = []
+
+    def lit(text: str) -> None:
+        if out and out[-1][0] == "lit":
+            out[-1] = ("lit", out[-1][1] + text)
+        else:
+            out.append(("lit", text))
+
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "%":
+            lit(ch)
+            i += 1
+            continue
+        if i + 1 >= len(body):
+            raise DialectError(f"{fn}: trailing '%' in format string")
+        c = body[i + 1]
+        if c in _FMT_PATTERN:
+            out.append(("pat", _FMT_PATTERN[c]))
+        elif c in _FMT_LITERAL:
+            lit(_FMT_LITERAL[c])
+        elif c in _FMT_EXPR:
+            out.append(("expr", c))
+        else:
+            known = "".join(sorted(
+                set(_FMT_PATTERN) | set(_FMT_LITERAL) | set(_FMT_EXPR)
+            ))
+            raise DialectError(
+                f"{fn}: unsupported format specifier %{c} "
+                f"(supported: %{' %'.join(known)})"
+            )
+        i += 2
+    return out
+
+
+def _fmt_literal_body(arg: str, fn: str) -> str:
+    """The unescaped text of a string-literal format argument; a
+    non-literal format cannot be translated at planning time."""
+    a = arg.strip()
+    if not (len(a) >= 2 and a.startswith("'") and a.endswith("'")):
+        raise DialectError(
+            f"{fn}: the format must be a string literal (the %-code to "
+            "Java-pattern translation happens at planning time)"
+        )
+    return a[1:-1].replace("''", "'")
+
+
+def _sql_str(text: str) -> str:
+    return "'" + text.replace("'", "''") + "'"
 
 
 _INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
@@ -559,8 +647,60 @@ def _int_literal(arg: str, what: str) -> int:
 
 
 def _format_datetime(args: list[str]) -> str:
-    ts, fmt = args[0], args[1]
-    return f"date_format({ts}, {_fmt_to_java(fmt)})"
+    """formatDateTime(ts, fmt[, tz]) — tokenized specifier translation
+    (round 13; replaces the blind str.replace that emitted silent garbage
+    for unmapped codes and corrupted literal text).  Pattern-expressible
+    codes fold into date_format() calls with literal runs Java-quoted;
+    codes Java patterns cannot express (%C %e %g %G %u %V %w) compose as
+    SQL expressions concat()ed between the pattern segments."""
+    if len(args) < 2:
+        raise DialectError("formatDateTime needs (datetime, format)")
+    ts = args[0]
+    body = _fmt_literal_body(args[1], "formatDateTime")
+    if len(args) >= 3:
+        tz = _tz_literal(args[2])
+        if tz is None:
+            raise DialectError(
+                "formatDateTime: only a string-literal timezone argument "
+                "is supported"
+            )
+        if "%z" in body:
+            raise DialectError(
+                "formatDateTime: %z with a timezone argument would print "
+                "the session (UTC) offset, not the requested zone's — "
+                "write the offset literally instead"
+            )
+        # CH renders the wall clock of the instant in the given zone
+        ts = f"from_utc_timestamp({ts}, {tz})"
+    toks = _fmt_tokens(body, "formatDateTime")
+    parts: list[str] = []
+    group: list[tuple[str, str]] = []
+
+    def flush() -> None:
+        if not group:
+            return
+        if all(k == "lit" for k, _ in group):
+            parts.append(_sql_str("".join(p for _, p in group)))
+        else:
+            java = "".join(
+                p if k == "pat" else "'" + p.replace("'", "''") + "'"
+                for k, p in group
+            )
+            parts.append(f"date_format({ts}, {_sql_str(java)})")
+        group.clear()
+
+    for kind, payload in toks:
+        if kind == "expr":
+            flush()
+            parts.append(_FMT_EXPR[payload](ts))
+        else:
+            group.append((kind, payload))
+    flush()
+    if not parts:
+        return "''"
+    if len(parts) == 1:
+        return parts[0]
+    return f"concat({', '.join(parts)})"
 
 
 def _tz_literal(arg: str) -> str | None:
@@ -770,7 +910,7 @@ def _ch_datediff_expr(a: list[str]) -> str:
     Spark's timestampdiff needs COMPLETE spans (same call = 0) — a silent
     divergence on every unit until the round-11 audit.  Each unit maps to
     the difference of CH's toRelative<Unit>Num ordinals: calendar fields
-    for year/quarter/month, Sunday-rolling week ordinals ((days+4) div 7
+    for year/quarter/month, Monday-rolling week ordinals ((days+3) div 7
     — the epoch was a Thursday), day counts, and floor-divided epoch
     seconds for hour/minute/second.  DuckDB's date_diff counts partition
     boundaries the same way, so the oracle twins already agreed with the
@@ -799,8 +939,13 @@ def _ch_datediff_expr(a: list[str]) -> str:
             f" - (year({dx}) * 12 + month({dx})))"
         )
     if unit in ("week", "wk", "ww"):
-        wy = f"FLOOR((datediff({dy}, DATE '1970-01-01') + 4) / 7)"
-        wx = f"FLOOR((datediff({dx}, DATE '1970-01-01') + 4) / 7)"
+        # CH toRelativeWeekNum = toDayNum(d + 8 - toDayOfWeek(d)) / 7 with
+        # Monday=1 — MONDAY-rolling weeks; algebraically (days+3) div 7
+        # (epoch day 0 was a Thursday).  Round 13 advisor fix: the former
+        # (days+4) div 7 rolled on Sunday, off by one whenever exactly one
+        # endpoint fell on a Sunday.
+        wy = f"FLOOR((datediff({dy}, DATE '1970-01-01') + 3) / 7)"
+        wx = f"FLOOR((datediff({dx}, DATE '1970-01-01') + 3) / 7)"
         return f"CAST({wy} - {wx} AS BIGINT)"
     if unit in ("day", "dd", "d"):
         return f"CAST(datediff({dy}, {dx}) AS BIGINT)"
@@ -824,6 +969,76 @@ def _ch_datediff_expr(a: list[str]) -> str:
         f"dateDiff: unsupported unit {unit!r} (nanosecond needs "
         "sub-microsecond timestamps Spark does not have)"
     )
+
+
+def _has_substr(a: list[str]) -> str:
+    """CH hasSubstr: consecutive-subsequence test over strings OR arrays.
+    One Spark expression cannot type-check both overloads, so the branch
+    is picked syntactically: a string-literal argument keeps contains();
+    an array-shaped argument ([..], array(..), a CAST .. AS ARRAY) gets
+    the slice-window semantics.  Two bare columns are ambiguous — round
+    13 (r11 verdict #3): guided error instead of leaking Spark's raw
+    size()-on-STRING analysis failure."""
+    s0, s1 = a[0].strip(), a[1].strip()
+
+    def arrayish(s: str) -> bool:
+        low = s.lower()
+        return (s.startswith("[") or low.startswith("array(")
+                or bool(re.search(r"\bas\s+array\s*<", low)))
+
+    if s0.startswith("'") or s1.startswith("'"):
+        return f"CAST(contains({a[0]}, {a[1]}) AS INT)"
+    if not (arrayish(s0) or arrayish(s1)):
+        raise DialectError(
+            "hasSubstr: with two non-literal arguments the string-vs-"
+            "array overload cannot be resolved at translation time — "
+            "for strings write position(haystack, needle) > 0; for "
+            "arrays make one side syntactically an array ([..] literal, "
+            "array(..), or CAST(col AS ARRAY<..>))"
+        )
+    return (
+        f"CASE WHEN size({a[1]}) = 0 THEN 1"
+        f" WHEN size({a[0]}) < size({a[1]}) THEN 0"
+        f" ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1),"
+        f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
+        f" END"
+    )
+
+
+def _intdiv_expr(x: str, y: str) -> str:
+    """Exact toward-zero integer division in DECIMAL(38,18): subtract the
+    remainder before dividing so the quotient is integral and Spark's
+    DECIMAL(38,6) result-scale HALF_UP rounding cannot flip it (round-13
+    advisor HIGH — see the intDiv TEMPLATES comment)."""
+    dx = f"CAST(({x}) AS DECIMAL(38,18))"
+    dy = f"CAST(({y}) AS DECIMAL(38,18))"
+    return f"CAST(({dx} - {dx} % {dy}) / {dy} AS BIGINT)"
+
+
+def _to_day_of_week(a: list[str]) -> str:
+    """toDayOfWeek(date[, mode[, tz]]) — CH's four documented modes
+    (round 13; the mode argument was previously ignored, returning the
+    mode-0 value for every call).  Spark weekday() is Monday=0..Sunday=6:
+    mode 0 → Monday=1..Sunday=7, mode 1 → Monday=0..Sunday=6,
+    mode 2 → Sunday=1..Saturday=7, mode 3 → Sunday=0..Saturday=6."""
+    d = a[0]
+    mode = a[1].strip() if len(a) >= 2 else "0"
+    if len(a) >= 3 and a[2].strip().strip("'\"") not in ("UTC", "Etc/UTC"):
+        raise DialectError(
+            "toDayOfWeek: a non-UTC timezone argument shifts the day "
+            "boundary — this engine's session contract is UTC"
+        )
+    exprs = {
+        "0": f"(weekday({d}) + 1)",
+        "1": f"weekday({d})",
+        "2": f"dayofweek({d})",          # Spark: Sunday=1..Saturday=7
+        "3": f"(dayofweek({d}) - 1)",
+    }
+    if mode not in exprs:
+        raise DialectError(
+            f"toDayOfWeek: mode must be a literal 0-3 (got {mode!r})"
+        )
+    return exprs[mode]
 
 
 def _corr_guard(keep: str, other: str) -> str:
@@ -975,11 +1190,25 @@ def _reinterpret_temporal_expr(a: list[str], kind: str) -> str:
 
 
 def _fmt_to_java(fmt: str) -> str:
-    """MySQL %-codes → Java datetime pattern (shared by formatDateTime and,
-    in reverse, parseDateTime — round 7)."""
-    for ch, sp in _FMT_CODES.items():
-        fmt = fmt.replace(ch, sp)
-    return fmt
+    """CH/MySQL %-codes → a Java datetime pattern SQL literal, for the
+    PARSE direction (parseDateTime/to_timestamp).  Round 13: tokenized —
+    literal text is Java-quoted instead of being read as pattern letters,
+    and unknown codes raise instead of passing through.  The expression-
+    composed codes (%C %e %g %G %u %V %w) have no Java parse pattern and
+    get a guided error."""
+    body = _fmt_literal_body(fmt, "parseDateTime")
+    java: list[str] = []
+    for kind, payload in _fmt_tokens(body, "parseDateTime"):
+        if kind == "pat":
+            java.append(payload)
+        elif kind == "lit":
+            java.append("'" + payload.replace("'", "''") + "'")
+        else:
+            raise DialectError(
+                f"parseDateTime: %{payload} has no Java parse pattern "
+                "(ISO week/year and day-number codes are format-only)"
+            )
+    return _sql_str("".join(java))
 
 
 def _ch_format(args: list[str]) -> str:
@@ -2749,16 +2978,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "multiif": _multi_if,
     # CH intDiv accepts floats and truncates toward zero; Spark's `div`
     # operator is integral-only.  Round 11: the former divide-in-DOUBLE
-    # route lost precision past 2^53 (intDiv(2^62, 3) came back 85 low —
-    # a silent wrong value); DECIMAL(38,18) division is exact for every
-    # int64 pair (the quotient's integer part needs ≤19 digits and the
-    # smallest nonzero fraction 1/2^63 ≈ 1.08e-19 survives the scale-19
-    # result rounding, so the toward-zero bigint cast can never flip)
-    # while still accepting CH's float form (intDiv(1, 0.001) = 1000).
-    "intdiv": lambda a: (
-        f"CAST(CAST(({a[0]}) AS DECIMAL(38,18))"
-        f" / CAST(({a[1]}) AS DECIMAL(38,18)) AS BIGINT)"
-    ),
+    # route lost precision past 2^53 (intDiv(2^62, 3) came back 85 low).
+    # Round 13 (advisor HIGH): the bare DECIMAL(38,18)/DECIMAL(38,18)
+    # quotient gets adjusted to DECIMAL(38,6) and HALF_UP-rounded, so
+    # intDiv(999999999999, 1000000000000) came back 1 (CH: 0) — any
+    # fractional part > 1-5e-7 flipped.  Subtracting the remainder first
+    # makes the true quotient integral, so the scale rounding is inert
+    # and the result is exact for every int64 pair while still accepting
+    # CH's float form (intDiv(1, 0.001) = 1000); Spark's decimal % takes
+    # the dividend's sign, preserving the toward-zero contract.
+    "intdiv": lambda a: _intdiv_expr(a[0], a[1]),
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
     "empty": lambda a: f"(length({a[0]}) = 0)",
     "notempty": lambda a: f"(length({a[0]}) > 0)",
@@ -2787,17 +3016,25 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # six days of every week; the same mode-0 default the r10 audit
     # fixed for toWeek).  Odd literal modes are Monday-first; returns
     # Date like CH.  weekday() is Monday=0..Sunday=6.
+    # round-13 advisor: mode 9 is also Monday-first, and a NON-literal
+    # mode expression must not silently fall into the Sunday branch
     "tostartofweek": lambda a: (
         f"CAST(date_trunc('WEEK', {a[0]}) AS DATE)"
-        if len(a) >= 2 and a[1].strip() in ("1", "3", "5", "7")
+        if len(a) >= 2 and a[1].strip() in ("1", "3", "5", "7", "9")
         else (
             f"date_sub(CAST({a[0]} AS DATE),"
             f" pmod(weekday(CAST({a[0]} AS DATE)) + 1, 7))"
+            if len(a) < 2 or a[1].strip() in ("0", "2", "4", "6", "8")
+            else (_ for _ in ()).throw(DialectError(
+                "toStartOfWeek: the week mode must be an integer literal "
+                "0-9 (a runtime mode expression cannot pick the first-day "
+                "branch at translation time)"
+            ))
         )
     ),
     "toyyyymm": lambda a: f"date_format({a[0]}, 'yyyyMM')",
     "toyyyymmdd": lambda a: f"date_format({a[0]}, 'yyyyMMdd')",
-    "todayofweek": lambda a: f"(weekday({a[0]}) + 1)",  # CH: Monday=1
+    "todayofweek": _to_day_of_week,  # CH default mode 0: Monday=1
     "datediff": lambda a: (
         _ch_datediff_expr(a) if len(a) >= 3 else f"datediff({a[0]}, {a[1]})"
     ),
@@ -3046,21 +3283,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # gets the documented array semantics (round 10 fix — arrays
     # previously mis-routed to contains and failed analysis).  Both
     # branches CAST to INT for CH's UInt8 contract (round-11 advisor
-    # fix: the literal branch returned BOOLEAN).  Two string COLUMNS
-    # (no literal) route to the array branch and fail analysis with
-    # Spark's size()-on-STRING error — use position()/contains for
-    # column-typed strings.
-    "hassubstr": lambda a: (
-        f"CAST(contains({a[0]}, {a[1]}) AS INT)"
-        if a[0].strip().startswith("'") or a[1].strip().startswith("'")
-        else (
-            f"CASE WHEN size({a[1]}) = 0 THEN 1"
-            f" WHEN size({a[0]}) < size({a[1]}) THEN 0"
-            f" ELSE CAST(exists(sequence(1, size({a[0]}) - size({a[1]}) + 1),"
-            f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
-            f" END"
-        )
-    ),
+    # fix: the literal branch returned BOOLEAN).
+    "hassubstr": _has_substr,
     # consecutive n-windows; CH throws on invalid length — empty array
     # here (documented delta; raise_error cannot be typed generically)
     "arrayshingles": lambda a: (
@@ -3334,11 +3558,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
     ),
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
-    # same exact DECIMAL route as intDiv (round 11) — the `div` operator
-    # form rejected CH's float arguments
+    # same exact subtract-remainder DECIMAL route as intDiv (round 13) —
+    # the `div` operator form rejected CH's float arguments
     "intdivorzero": lambda a: (
-        f"IF(({a[1]}) = 0, 0, CAST(CAST(({a[0]}) AS DECIMAL(38,18))"
-        f" / CAST(({a[1]}) AS DECIMAL(38,18)) AS BIGINT))"
+        f"IF(({a[1]}) = 0, 0, {_intdiv_expr(a[0], a[1])})"
     ),
     "moduloorzero": lambda a: f"IF(({a[1]}) = 0, 0, ({a[0]}) % ({a[1]}))",
     # round 11: the Second-precision pair (CH 24.x spellings) — both
@@ -4981,17 +5204,27 @@ _OR_NULL_ZERO = {
 
 
 def _gen_or_null_zero() -> None:
+    # Round 13: the date/datetime members were wrongly excluded from the
+    # OrZero generation (they leaked UNRESOLVED_ROUTINE); CH documents
+    # their zero values as the epoch — toDateOrZero('x') = 1970-01-01,
+    # toDateTimeOrZero('x') = 1970-01-01 00:00:00.
+    zeros = {"DATE": "DATE '1970-01-01'",
+             "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'"}
     for ch_t, spark_t in _OR_NULL_ZERO.items():
         TEMPLATES[f"to{ch_t}ornull"] = (
             lambda a, _t=spark_t: f"try_cast({a[0]} AS {_t})"
         )
-        zero = "NULL" if spark_t in ("DATE", "TIMESTAMP") else "0"
-        if zero != "NULL":  # OrZero is numeric-only in ClickHouse
-            TEMPLATES[f"to{ch_t}orzero"] = (
-                lambda a, _t=spark_t, _z=zero: (
-                    f"coalesce(try_cast({a[0]} AS {_t}), CAST({_z} AS {_t}))"
-                )
+        zero = zeros.get(spark_t, f"CAST(0 AS {spark_t})")
+        TEMPLATES[f"to{ch_t}orzero"] = (
+            lambda a, _t=spark_t, _z=zero: (
+                f"coalesce(try_cast({a[0]} AS {_t}), {_z})"
             )
+        )
+    # toDate32 shares Spark's DATE; CH zero for Date32 is also 1970-01-01
+    TEMPLATES["todate32ornull"] = lambda a: f"try_cast({a[0]} AS DATE)"
+    TEMPLATES["todate32orzero"] = lambda a: (
+        f"coalesce(try_cast({a[0]} AS DATE), DATE '1970-01-01')"
+    )
 
 
 _gen_or_null_zero()
@@ -5622,7 +5855,11 @@ def _read_wkt_point_expr(a: list[str]) -> str:
     guided): WKT is an OGC-standard grammar, so the parse is one regex."""
     if len(a) != 1:
         raise DialectError("readWKTPoint takes one WKT string")
-    rx = "'POINT\\\\s*\\\\(\\\\s*(-?[0-9.eE+]+)\\\\s+(-?[0-9.eE+]+)'"
+    # round-13 advisor: the number class must permit SIGNED exponents —
+    # the old [0-9.eE+]+ class cut 'POINT (1e-5 2)' at '1e' and the ANSI
+    # CAST then threw at runtime
+    num = "-?[0-9.]+(?:[eE][-+]?[0-9]+)?"
+    rx = f"'POINT\\\\s*\\\\(\\\\s*({num})\\\\s+({num})'"
     return (
         f"named_struct('_1', CAST(regexp_extract({a[0]}, {rx}, 1)"
         f" AS DOUBLE), '_2', CAST(regexp_extract({a[0]}, {rx}, 2)"

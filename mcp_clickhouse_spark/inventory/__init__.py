@@ -18,6 +18,7 @@ def load_all() -> None:
         joins,
         more_ops,
         pipeline_ops,
+        round13,
         scalars,
         setops,
         timeseries,

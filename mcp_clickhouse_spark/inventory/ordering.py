@@ -2,99 +2,104 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 10: 203 registered, 203 ever driver-checked (zero
-never-checked debt), zero value mismatches ever left unfixed, oldest
-last-green pool r6 (6 deliberately deferred queries).
+after round 12: 205 registered (208 with the round-13 additions), zero
+value mismatches ever left unfixed; the r12 driver re-ran the r11 set
+(no rotation advance shipped that round), so going into round 13 the
+stale pool was 7 queries last green r7 + 48 last green r8.
 
-Round 11 priority, summing to exactly 50 (r10 verdict next #1: lead with
-the 6 r6-deferred queries, then drain the 49-query r7-stale pool):
+Round 13 priority, summing to exactly 50 (r12 verdict next #2: lead with
+the 7 r7-stale queries, then drain the r8 pool, plus this round's new
+oracle-backed closures):
 
-- the 6 queries deferred from the r10 rotation (last driver-green r6;
-  all 5 oracle-able ones re-verified PASS by the r10 judge's independent
-  check_parity run): join_cross, scan_projection, setop_union_distinct,
-  setop_intersect, agg_any_first_last, and the rows-only
-  pipe_dup_clusters_minhash;
-- scalar_round11 — the round-11 guided-tail closure wave
-  (polygonAreaSpherical, ngramDistance/Search, minSampleSize*), so the
-  freeze carries zero never-driver-checked registrations;
-- scalar_round11b — the round-11 wave-2 closures (readWKT* parsing,
-  decodeXML/HTMLComponent; the rand-distribution closures are rows-only
-  by nature and carry moment-accuracy pytest instead);
-- 42 of the 49 queries last driver-checked in round 7 (the whole pool
-  minus the seven deferred below).
+- the 7 queries deferred since round 7 (all 7 re-verified PASS by both
+  the r11 and r12 judges' independent check_parity runs);
+- the 3 round-13 additions (scalar_format_datetime, scalar_round13,
+  scalar_uint64 — the specifier-engine rewrite, the intDiv/dateDiff/
+  toDayOfWeek/to*OrZero audit fixes, and the UInt64 past-2^63 query),
+  so the freeze carries zero never-driver-checked registrations;
+- 40 of the 48 queries last driver-checked in round 8.
 
-Deferred to the round-12 lead (stay at r7 — "oldest last-green ≥ r7"
-still holds at the r11 freeze): ``order_limit_offset`` (order_limit
-rotates and exercises the same TakeOrdered path), ``sql_qualify_subquery``
-(sql_qualify rotates), ``sql_asof_join_star`` (sql_asof_join + sql_any_join
-rotate; join_asof re-benches every round), ``setop_except_all``
-(setop_intersect_all rotates; setop_except was r10-green),
-``array_join_left_outer`` (array_join_explode + sql_array_join_multi
-rotate), ``shim_with_fill_interpolate`` (the strictly-more-general
-shim_with_fill_interpolate_expr rotates, plus shim_with_fill), and
-``constant_select`` (the SELECT-1 shape is re-proven every round by the
-driver smoke check and the MCP e2e harness).
+Deferred to the round-14 lead (stay at r8 — oldest last-green ≥ r8
+holds at the r13 freeze; each deferral has a rotating twin exercising
+the same engine path):
+
+- ``sql_right_any_join`` (sql_any_join was r12-green; the ANY-join
+  operator re-benches every round),
+- ``pipe_minhash_signatures`` (pipe_minhash_lsh_verified rotates and
+  consumes the signatures; pipe_minhash_lsh benches every round),
+- ``pipe_embed_lsh_topk`` (pipe_embed_ivf_topk rotates; brute-force
+  embed top-k benches every round),
+- ``agg_quantiles_exact`` (agg_multi_quantiles was r12-green;
+  agg_weighted_quantile rotates),
+- ``subquery_in`` (subquery_correlated_exists rotates — the strictly
+  harder decorrelation shape),
+- ``join_semi`` (join_anti rotates; both lower to the same
+  broadcast/shuffle hash-join semi path),
+- ``sample_fraction`` (pipe_training_filter rotates the same
+  hash-threshold sampling expression),
+- ``events_pivot`` (events_props_analytics was r12-green; same
+  map-extraction path over events.props).
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-11 driver rotation.
+# First 50 = the round-13 driver rotation.
 PRIORITY: list[str] = [
-    # deferred-from-r10 block (last green r6)
-    "join_cross",
-    "scan_projection",
-    "setop_union_distinct",
-    "setop_intersect",
-    "agg_any_first_last",
-    "pipe_dup_clusters_minhash",  # rows-only by design
-    # round-11 additions (guided-tail closures, waves 1 + 2)
-    "scalar_round11",
-    "scalar_round11b",
-    # last driver-checked in round 7 (43 of the 49-query pool)
-    "agg_global",
-    "agg_group_having",
-    "agg_collect",
-    "agg_quantile_approx",
-    "agg_approx_count_distinct",
-    "agg_stats",
-    "agg_histogram",
-    "agg_multi_quantiles",
-    "agg_group_by_all",
-    "behav_cohort_retention",
-    "behav_sequence_match",
-    "behav_retention_sql",
-    "filter_const_false",
-    "filter_ilike_regex",
-    "case_when",
-    "order_limit",
-    "shim_with_fill",
-    "shim_with_fill_interpolate_expr",
-    "shim_distinct",
-    "sql_asof_join",
-    "sql_any_join",
-    "sql_array_join_multi",
-    "sql_qualify",
-    "source_values_table",
-    "source_generate_random",
-    "select_columns_regex",
-    "array_join_explode",
-    "scalar_date_series",
-    "scalar_regex",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_cast",
-    "scalar_array",
-    "scalar_hash",
-    "scalar_null_handling",
-    "setop_union_by_name",
-    "setop_intersect_all",
-    "events_sliding_window",
-    "events_props_analytics",
-    "events_latest_per_user",
-    "win_ranking",
-    "win_value_functions",
+    # deferred-since-r7 block
+    "order_limit_offset",
+    "sql_qualify_subquery",
+    "sql_asof_join_star",
+    "setop_except_all",
+    "array_join_left_outer",
+    "shim_with_fill_interpolate",
+    "constant_select",
+    # round-13 additions (specifier engine + audit closures + UInt64)
+    "scalar_format_datetime",
+    "scalar_round13",
+    "scalar_uint64",
+    # last driver-checked in round 8 (40 of the 48-query pool)
+    "agg_conditional",
+    "agg_grouping_sets",
+    "agg_minmax_by",
+    "agg_topk",
+    "agg_weighted_quantile",
+    "agg_with_totals",
+    "behav_retention",
+    "cte_multi",
+    "filter_predicates",
+    "join_anti",
+    "join_full_outer",
+    "join_right",
+    "pipe_dedup_fingerprint",
+    "pipe_embed_ivf_topk",
+    "pipe_embed_label_centroids",
+    "pipe_lang_id",
+    "pipe_minhash_lsh_verified",
+    "pipe_multimodal_meta",
+    "pipe_ngram_jaccard",
+    "pipe_quality_score",
+    "pipe_simhash",
+    "pipe_token_count",
+    "pipe_training_filter",
+    "q12_priority_by_flag",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "scalar_datetime_tz",
+    "scalar_zip_sequence",
+    "scale_salted_agg",
+    "select_star_except",
+    "shim_distinct_on",
+    "source_numbers",
+    "sql_array_join_bare",
+    "sql_asof_forward",
+    "sql_star_apply",
+    "subquery_correlated_exists",
+    "win_distribution",
+    "win_lag_lead",
+    "win_range_frame",
 ]
 
 

@@ -338,18 +338,20 @@ def test_json_extract_multikey_and_index_paths(spark):
 def test_datediff_counts_boundary_crossings(spark):
     """CH dateDiff counts UNIT-BOUNDARY crossings (month: Jan 31 -> Feb 1
     is 1), not complete spans like Spark's timestampdiff (same call: 0).
-    Weeks roll on SUNDAY (toRelativeWeekNum: (days + 4) div 7 — the epoch
-    was a Thursday)."""
+    Weeks roll on MONDAY (toRelativeWeekNum = toDayNum(d + 8 -
+    toDayOfWeek(d)) / 7 with Monday=1, algebraically (days + 3) div 7 —
+    round-13 advisor fix; the old (days + 4) div 7 rolled on Sunday and
+    was off by one whenever exactly one endpoint fell on a Sunday)."""
     r = rows(
         spark,
         "SELECT dateDiff('month', toDate('2023-01-31'),"
         "   toDate('2023-02-01')) AS m1,"
         " dateDiff('month', toDate('2023-01-01'), toDate('2023-01-31'))"
         "   AS m0,"
-        " dateDiff('week', toDate('2024-01-06'), toDate('2024-01-08'))"
-        "   AS w1,"  # Sat -> Mon crosses Sunday
+        " dateDiff('week', toDate('2024-01-06'), toDate('2024-01-07'))"
+        "   AS w0,"  # Sat -> Sun stays inside the Monday-rolled week
         " dateDiff('week', toDate('2024-01-07'), toDate('2024-01-08'))"
-        "   AS w0,"  # Sun -> Mon stays in the same Sunday-rolled week
+        "   AS w1,"  # Sun -> Mon crosses the Monday boundary
         " dateDiff('year', toDate('2023-12-31'), toDate('2024-01-01'))"
         "   AS y1,"
         " dateDiff('hour', toDateTime('2024-01-01 02:59:00'),"
@@ -363,7 +365,7 @@ def test_datediff_counts_boundary_crossings(spark):
         " dateDiff('minute', toDateTime('2024-01-01 00:00:59'),"
         "   toDateTime('2024-01-01 00:01:01')) AS mi1",
     )[0]
-    assert list(r) == [1, 0, 1, 0, 1, 1, 0, 1, 4, 1]
+    assert list(r) == [1, 0, 0, 1, 1, 1, 0, 1, 4, 1]
 
 
 def test_range_step_and_tomonday_date_type(spark):

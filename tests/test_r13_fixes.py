@@ -1,0 +1,236 @@
+"""Round-13 fixes, docs-pinned.
+
+1. formatDateTime/parseDateTime: tokenized specifier engine over the full
+   ClickHouse 24.x table (the old 15-entry str.replace passed unknown
+   codes through verbatim — %D came back '%65' — and corrupted literal
+   text: 'Day %d' → '65AM2024 05').
+2. intDiv/intDivOrZero: subtract-remainder DECIMAL route (advisor HIGH —
+   the bare DECIMAL(38,18) quotient was HALF_UP-rounded at scale 6, so
+   intDiv(999999999999, 1000000000000) returned 1; CH: 0).
+3. toDayOfWeek mode argument (was silently ignored).
+4. toDateOrZero/toDateTimeOrZero/toDate32OrZero (were unmapped).
+5. toStartOfWeek mode 9 + non-literal-mode guided error.
+6. hasSubstr two-bare-column guided error (was a raw analysis failure).
+7. readWKTPoint signed-exponent coordinates.
+
+Reference contracts: ClickHouse docs §formatDateTime (the specifier
+table and its examples), §toDayOfWeek (mode table), §toDateOrZero
+(zero date = 1970-01-01); reference repo pins CH 24.x via its CI
+(.github/workflows/ci.yaml), where %M is the full month name
+(formatdatetime_parsedatetime_m_is_month_name defaults true since 23.4).
+"""
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import DialectError, translate
+
+
+def rows(spark, sql):
+    return spark.sql(translate(sql)).collect()
+
+
+TS = "toDateTime('2024-03-05 07:08:09')"  # a Tuesday, ISO week 10
+
+
+def test_format_datetime_full_specifier_table(spark):
+    r = rows(
+        spark,
+        f"SELECT formatDateTime({TS}, '%a') AS a,"
+        f" formatDateTime({TS}, '%b') AS b,"
+        f" formatDateTime({TS}, '%c') AS c,"
+        f" formatDateTime({TS}, '%C') AS cc,"
+        f" formatDateTime({TS}, '%d') AS d,"
+        f" formatDateTime({TS}, '%D') AS dd,"
+        f" formatDateTime({TS}, '%e') AS e,"
+        f" formatDateTime({TS}, '%F') AS f,"
+        f" formatDateTime({TS}, '%h') AS h,"
+        f" formatDateTime({TS}, '%H') AS hh,"
+        f" formatDateTime({TS}, '%i') AS i,"
+        f" formatDateTime({TS}, '%I') AS ii,"
+        f" formatDateTime({TS}, '%j') AS j,"
+        f" formatDateTime({TS}, '%k') AS k,"
+        f" formatDateTime({TS}, '%l') AS l,"
+        f" formatDateTime({TS}, '%m') AS m,"
+        f" formatDateTime({TS}, '%M') AS mm,"
+        f" formatDateTime({TS}, '%p') AS p,"
+        f" formatDateTime({TS}, '%Q') AS q,"
+        f" formatDateTime({TS}, '%r') AS r,"
+        f" formatDateTime({TS}, '%R') AS rr,"
+        f" formatDateTime({TS}, '%s') AS s,"
+        f" formatDateTime({TS}, '%T') AS t,"
+        f" formatDateTime({TS}, '%W') AS w,"
+        f" formatDateTime({TS}, '%y') AS y,"
+        f" formatDateTime({TS}, '%Y') AS yy,"
+        f" formatDateTime({TS}, '%%') AS pct",
+    )[0]
+    assert list(r) == [
+        "Tue", "Mar", "03", "20", "05", "03/05/24", " 5", "2024-03-05",
+        "07", "07", "08", "07", "065", "7", "7", "03", "March", "AM", "1",
+        "07:08:09 AM", "07:08", "09", "07:08:09", "Tuesday", "24", "2024",
+        "%",
+    ]
+
+
+def test_format_datetime_iso_week_codes(spark):
+    # 2010-01-04 is the Monday of ISO week 1 of 2010; 2010-01-03 (Sunday)
+    # still belongs to ISO week 53 of 2009 — the CH %g/%G/%V examples.
+    r = rows(
+        spark,
+        "SELECT formatDateTime(toDateTime('2010-01-04 00:00:00'), '%g') AS g,"
+        " formatDateTime(toDateTime('2010-01-03 00:00:00'), '%g') AS g2,"
+        " formatDateTime(toDateTime('2010-01-04 00:00:00'), '%G') AS gg,"
+        " formatDateTime(toDateTime('2010-01-03 00:00:00'), '%G') AS gg2,"
+        " formatDateTime(toDateTime('2010-01-04 00:00:00'), '%V') AS v,"
+        " formatDateTime(toDateTime('2010-01-03 00:00:00'), '%V') AS v2,"
+        f" formatDateTime({TS}, '%u') AS u,"
+        f" formatDateTime({TS}, '%w') AS w,"
+        " formatDateTime(toDateTime('2024-03-03 00:00:00'), '%u') AS usun,"
+        " formatDateTime(toDateTime('2024-03-03 00:00:00'), '%w') AS wsun",
+    )[0]
+    assert list(r) == ["10", "09", "2010", "2009", "01", "53",
+                       "2", "2", "7", "0"]
+
+
+def test_format_datetime_literal_text_and_escapes(spark):
+    """Literal runs are Java-quoted, not read as pattern letters (the old
+    engine returned '65AM2024 05' for 'Day %d' and threw on 'at %H')."""
+    r = rows(
+        spark,
+        f"SELECT formatDateTime({TS}, 'Day %d') AS a,"
+        f" formatDateTime({TS}, 'at %H') AS b,"
+        f" formatDateTime({TS}, '%W, %e %b %Y %T') AS c,"
+        f" formatDateTime({TS}, '%n') AS nl,"
+        f" formatDateTime({TS}, '%t') AS tab,"
+        f" formatDateTime({TS}, 'it''s %H') AS q,"
+        f" formatDateTime({TS}, '100%%') AS pct",
+    )[0]
+    assert list(r) == [
+        "Day 05", "at 07", "Tuesday,  5 Mar 2024 07:08:09", "\n", "\t",
+        "it's 07", "100%",
+    ]
+
+
+def test_format_datetime_timezone_argument(spark):
+    """CH formatDateTime(ts, fmt, tz) renders the instant's wall clock in
+    tz (the old translation silently DROPPED the third argument)."""
+    r = rows(
+        spark,
+        "SELECT formatDateTime(toDateTime('2024-01-01 00:00:00'),"
+        " '%F %H', 'America/New_York') AS ny,"
+        " formatDateTime(toDateTime('2024-01-01 00:00:00'),"
+        " '%F %H', 'UTC') AS utc",
+    )[0]
+    assert list(r) == ["2023-12-31 19", "2024-01-01 00"]
+    with pytest.raises(DialectError, match="timezone"):
+        translate("SELECT formatDateTime(x, '%F', tz_col) FROM t")
+    with pytest.raises(DialectError, match="%z"):
+        translate("SELECT formatDateTime(x, '%z', 'Asia/Tokyo') FROM t")
+
+
+def test_format_datetime_guided_errors(spark):
+    with pytest.raises(DialectError, match="unsupported format specifier"):
+        translate("SELECT formatDateTime(x, '%J') FROM t")
+    with pytest.raises(DialectError, match="trailing"):
+        translate("SELECT formatDateTime(x, 'abc%') FROM t")
+    with pytest.raises(DialectError, match="string literal"):
+        translate("SELECT formatDateTime(x, fmt_col) FROM t")
+
+
+def test_parse_datetime_literal_text_and_guided(spark):
+    r = rows(
+        spark,
+        "SELECT parseDateTime('Day 05 2024-03', 'Day %d %Y-%m') AS p,"
+        " parseDateTime('2024 March 05', '%Y %M %d') AS pm",
+    )[0]
+    assert str(r[0]) == "2024-03-05 00:00:00"
+    assert str(r[1]) == "2024-03-05 00:00:00"
+    # expression-composed codes have no Java parse pattern
+    with pytest.raises(DialectError, match="format-only"):
+        translate("SELECT parseDateTime(s, '%V-%Y') FROM t")
+
+
+def test_intdiv_no_half_up_flip(spark):
+    """Advisor HIGH: the bare DECIMAL(38,18)/DECIMAL(38,18) quotient is
+    adjusted to DECIMAL(38,6) and HALF_UP-rounded, flipping any quotient
+    with fractional part > 1-5e-7 before the BIGINT truncation."""
+    r = rows(
+        spark,
+        "SELECT intDiv(999999999999, 1000000000000) AS a,"
+        " intDiv(1999999999999, 1000000000000) AS b,"
+        " intDivOrZero(999999999999, 1000000000000) AS c,"
+        " intDiv(-999999999999, 1000000000000) AS d,"
+        " intDiv(4611686018427387904, 3) AS big,"
+        " intDiv(1, 0.001) AS f",
+    )[0]
+    assert list(r) == [0, 1, 0, 0, 1537228672809129301, 1000]
+
+
+def test_todayofweek_modes(spark):
+    """CH mode table: 0 Mon=1..Sun=7 (default), 1 Mon=0..Sun=6,
+    2 Sun=1..Sat=7, 3 Sun=0..Sat=6 — the docs' 2016-12-27 (Tuesday)
+    example; the mode argument was previously silently ignored."""
+    r = rows(
+        spark,
+        "SELECT toDayOfWeek(toDate('2016-12-27')) AS m0,"
+        " toDayOfWeek(toDate('2016-12-27'), 0) AS m0e,"
+        " toDayOfWeek(toDate('2016-12-27'), 1) AS m1,"
+        " toDayOfWeek(toDate('2016-12-27'), 2) AS m2,"
+        " toDayOfWeek(toDate('2016-12-27'), 3) AS m3,"
+        " toDayOfWeek(toDate('2016-12-25'), 2) AS sun2,"
+        " toDayOfWeek(toDate('2016-12-25'), 3) AS sun3",
+    )[0]
+    assert list(r) == [2, 2, 1, 3, 2, 1, 0]
+    with pytest.raises(DialectError, match="mode"):
+        translate("SELECT toDayOfWeek(d, m) FROM t")
+    with pytest.raises(DialectError, match="UTC"):
+        translate("SELECT toDayOfWeek(d, 1, 'Asia/Tokyo') FROM t")
+
+
+def test_to_date_or_zero_family(spark):
+    """CH zero values: Date/Date32 → 1970-01-01, DateTime → epoch
+    instant (these members leaked UNRESOLVED_ROUTINE before round 13)."""
+    r = rows(
+        spark,
+        "SELECT toDateOrZero('bogus') AS z, toDateOrZero('2024-05-01') AS d,"
+        " toDateTimeOrZero('nope') AS tz, toDate32OrZero('x') AS z32,"
+        " toDate32OrZero('2024-05-01') AS d32,"
+        " toDateTimeOrZero('2024-05-01 10:11:12') AS dt",
+    )[0]
+    assert str(r[0]) == "1970-01-01" and str(r[1]) == "2024-05-01"
+    assert str(r[2]) == "1970-01-01 00:00:00"
+    assert str(r[3]) == "1970-01-01" and str(r[4]) == "2024-05-01"
+    assert str(r[5]) == "2024-05-01 10:11:12"
+
+
+def test_tostartofweek_mode9_and_guided(spark):
+    r = rows(
+        spark,
+        "SELECT toStartOfWeek(toDate('2024-01-03'), 9) AS mon9,"
+        " toStartOfWeek(toDate('2024-01-03'), 8) AS sun8",
+    )[0]
+    assert [str(v) for v in r] == ["2024-01-01", "2023-12-31"]
+    with pytest.raises(DialectError, match="integer literal"):
+        translate("SELECT toStartOfWeek(d, mode_col) FROM t")
+
+
+def test_hassubstr_bare_columns_guided(spark):
+    # literal and array-shaped forms still translate
+    r = rows(
+        spark,
+        "SELECT hasSubstr('hello world', 'o w') AS s,"
+        " hasSubstr([1,2,3,4], [2,3]) AS arr,"
+        " hasSubstr(array(1,2,3), array(3)) AS fn",
+    )[0]
+    assert list(r) == [1, 1, 1]
+    with pytest.raises(DialectError, match="hasSubstr"):
+        translate("SELECT hasSubstr(col_a, col_b) FROM t")
+
+
+def test_readwktpoint_signed_exponent(spark):
+    r = rows(
+        spark,
+        "SELECT readWKTPoint('POINT (1e-5 2)') AS p,"
+        " readWKTPoint('POINT (-1.5E+2 3.25)') AS q",
+    )[0]
+    assert (r[0]["_1"], r[0]["_2"]) == (1e-5, 2.0)
+    assert (r[1]["_1"], r[1]["_2"]) == (-150.0, 3.25)
