@@ -150,3 +150,33 @@ def test_dup_clusters_pair_input_plan(spark, sf):
     # static plan of the output only shows the final label join.
     plan = plan_of(spark, sf, "pipe_ngram_jaccard")
     assert count_nodes(plan, "CartesianProduct") == 0
+
+
+def test_plans_md_covers_registry():
+    """Drift gate (round 13, r11 verdict #4): every registered query must
+    have a PLANS.md row or an explicit EXCLUSIONS entry in
+    scripts/plan_report.py — new registrations without a regenerated plan
+    report fail here instead of aging silently."""
+    import re
+    from pathlib import Path
+
+    import mcp_clickhouse_spark.inventory as inventory
+    from mcp_clickhouse_spark.inventory.registry import QUERIES
+
+    inventory.load_all()
+    text = Path(__file__).resolve().parents[1].joinpath("PLANS.md").read_text()
+    rows = set(re.findall(r"^\| (\S+) \|", text, flags=re.M))
+    sys_path = Path(__file__).resolve().parents[1] / "scripts" / "plan_report.py"
+    ns: dict = {"__file__": str(sys_path)}
+    exec(
+        compile(
+            sys_path.read_text().split("def _row")[0], str(sys_path), "exec"
+        ),
+        ns,
+    )
+    excluded = set(ns["EXCLUSIONS"])
+    missing = sorted(set(QUERIES) - rows - excluded)
+    assert not missing, (
+        f"queries missing a PLANS.md row (run scripts/plan_report.py or "
+        f"add an EXCLUSIONS entry): {missing}"
+    )
