@@ -21,7 +21,11 @@ Known semantic deltas (documented, not silently wrong):
     (formatdatetime_parsedatetime_m_is_month_name=true since 23.4) —
     pre-23.4 engines printed minutes there; write %i for minutes;
   - toDayOfWeek: ClickHouse counts Monday=1; Spark's dayofweek counts
-    Sunday=1 → translated to weekday(x)+1 which matches ClickHouse.
+    Sunday=1 → translated to weekday(x)+1 which matches ClickHouse;
+  - arrayDifference/arrayCumSum on Int64 values that overflow: ClickHouse
+    WRAPS (two's-complement); this engine runs under ANSI mode and throws
+    ARITHMETIC_OVERFLOW instead (round-13 audit: error-over-silent-wrong —
+    wrap explicitly with toInt64(... % ...) if wrapping is wanted).
 """
 
 from __future__ import annotations
@@ -969,6 +973,52 @@ def _ch_datediff_expr(a: list[str]) -> str:
         f"dateDiff: unsupported unit {unit!r} (nanosecond needs "
         "sub-microsecond timestamps Spark does not have)"
     )
+
+
+def _to_week_mode1(d: str) -> str:
+    """CH/MySQL week mode 1: Monday-first weeks, range 0-53 — the ISO
+    week count anchored at the Monday of the week containing Jan 4, but
+    dates BEFORE that anchor return 0 instead of rolling into the
+    previous year (MySQL WEEK(d, 1); round-13 audit batch)."""
+    dd = f"CAST({d} AS DATE)"
+    j4 = f"make_date(year({dd}), 1, 4)"
+    ws = f"date_sub({j4}, weekday({j4}))"
+    return (
+        f"CAST(IF({dd} < {ws}, 0,"
+        f" datediff({dd}, {ws}) div 7 + 1) AS INT)"
+    )
+
+
+def _best_effort_expr(x: str, strict: bool) -> str:
+    """parseDateTimeBestEffort's documented corner formats beyond the ISO
+    shapes Spark's CAST handles (round-13 value audit; CH docs
+    §parseDateTimeBestEffort examples): unix-timestamp strings (9-10
+    digits), compact YYYYMMDD / YYYYMMDDhhmmss, day-first DD/MM/YYYY, and
+    the RFC-822/1123 'DD Mon YYYY' shapes.  coalesce evaluates lazily, so
+    the final throwing CAST only runs when every lenient parse missed —
+    plain BestEffort still THROWS on garbage (the CH contract) while the
+    OrNull/OrZero callers pass strict=False and never throw."""
+    attempts = [
+        f"try_cast({x} AS TIMESTAMP)",
+        # CH: a bare 9-10 digit number is a unix timestamp
+        f"IF(({x}) RLIKE '^[0-9]{{9,10}}$',"
+        f" timestamp_seconds(CAST({x} AS BIGINT)), NULL)",
+        f"IF(({x}) RLIKE '^[0-9]{{14}}$',"
+        f" try_to_timestamp({x}, 'yyyyMMddHHmmss'), NULL)",
+        f"IF(({x}) RLIKE '^[0-9]{{8}}$',"
+        f" try_to_timestamp({x}, 'yyyyMMdd'), NULL)",
+        f"try_to_timestamp({x}, 'dd/MM/yyyy HH:mm:ss')",
+        f"try_to_timestamp({x}, 'dd/MM/yyyy')",
+        f"try_to_timestamp({x}, 'dd MMM yyyy HH:mm:ss')",
+        f"try_to_timestamp({x}, 'dd MMM yyyy')",
+        # RFC-1123 'Tue, 11 Dec 2018 10:12:12' — Spark 3+ bans the EEE
+        # letter in PARSE patterns, so strip the weekday prefix first
+        f"try_to_timestamp(regexp_replace({x}, '^[A-Za-z]{{3}}, ', ''),"
+        f" 'dd MMM yyyy HH:mm:ss')",
+    ]
+    if strict:
+        attempts.append(f"CAST({x} AS TIMESTAMP)")
+    return f"coalesce({', '.join(attempts)})"
 
 
 def _has_substr(a: list[str]) -> str:
@@ -3372,13 +3422,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "toyearweek": _to_year_week,
     # toWeek(date[, mode]) — faithful modes 0 (the CH default: Sunday
     # weeks, days before the year's first Sunday are week 0 — the old
-    # weekofyear rename silently returned ISO) and 3 (ISO); others guided
+    # weekofyear rename silently returned ISO), 1 (Monday weeks, 0-53:
+    # ISO week numbers but dates before ISO week 1 return 0 instead of
+    # rolling to the previous year — round-13 audit batch) and 3 (ISO);
+    # others guided
     "toweek": lambda a: (
         f"weekofyear({a[0]})"
         if len(a) > 1 and a[1].strip() == "3"
+        else _to_week_mode1(a[0])
+        if len(a) > 1 and a[1].strip() == "1"
         else (
             (_ for _ in ()).throw(DialectError(
-                "toWeek: only the default mode 0 and ISO mode 3 are "
+                "toWeek: only modes 0 (default), 1 and ISO mode 3 are "
                 "implemented (other CH week modes have no faithful "
                 "translation here)"
             ))
@@ -4660,18 +4715,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         else f"TRY_CAST({a[0]} AS TIMESTAMP)"
     )),
     "parsedatetimebesteffort": lambda a: _with_parse_tz(
-        a, 1, f"CAST({a[0]} AS TIMESTAMP)"
+        a, 1, _best_effort_expr(a[0], strict=True)
     ),
     "parsedatetime32besteffort": lambda a: _with_parse_tz(
-        a, 1, f"CAST({a[0]} AS TIMESTAMP)"
+        a, 1, _best_effort_expr(a[0], strict=True)
     ),
     "parsedatetimebesteffortornull": lambda a: _with_parse_tz(
-        a, 1, f"TRY_CAST({a[0]} AS TIMESTAMP)"
+        a, 1, _best_effort_expr(a[0], strict=False)
     ),
     # the epoch fallback stays OUTSIDE the zone shift — CH's "zero" is the
     # zero INSTANT, not midnight-in-tz
     "parsedatetimebesteffortorzero": lambda a: (
-        f"coalesce({_with_parse_tz(a, 1, f'TRY_CAST({a[0]} AS TIMESTAMP)')},"
+        f"coalesce({_with_parse_tz(a, 1, _best_effort_expr(a[0], strict=False))},"
         f" TIMESTAMP '1970-01-01 00:00:00')"
     ),
     "tostartofsecond": lambda a: f"date_trunc('SECOND', {a[0]})",

@@ -234,3 +234,64 @@ def test_readwktpoint_signed_exponent(spark):
     )[0]
     assert (r[0]["_1"], r[0]["_2"]) == (1e-5, 2.0)
     assert (r[1]["_1"], r[1]["_2"]) == (-150.0, 3.25)
+
+
+def test_parse_datetime_best_effort_corner_formats(spark):
+    """CH docs §parseDateTimeBestEffort examples beyond ISO: bare 9-10
+    digit unix timestamps, compact YYYYMMDD[hhmmss], day-first
+    DD/MM/YYYY, and RFC 'DD Mon YYYY' shapes (round-13 audit batch;
+    previously only Spark's CAST-parseable ISO shapes worked)."""
+    r = rows(
+        spark,
+        "SELECT parseDateTimeBestEffort('1546300800') AS epoch,"
+        " parseDateTimeBestEffort('20181212') AS c8,"
+        " parseDateTimeBestEffort('20181212101212') AS c14,"
+        " parseDateTimeBestEffort('25/12/2018 10:12:12') AS dmy,"
+        " parseDateTimeBestEffort('12 Dec 2018') AS rfc,"
+        " parseDateTimeBestEffort('Tue, 11 Dec 2018 10:12:12') AS rfc1123,"
+        " parseDateTimeBestEffort('2018-12-12T10:12:12Z') AS isoz,"
+        " parseDateTimeBestEffortOrNull('garbage') AS nul,"
+        " parseDateTimeBestEffortOrZero('garbage') AS zero",
+    )[0]
+    assert [str(v) for v in r] == [
+        "2019-01-01 00:00:00", "2018-12-12 00:00:00",
+        "2018-12-12 10:12:12", "2018-12-25 10:12:12",
+        "2018-12-12 00:00:00", "2018-12-11 10:12:12",
+        "2018-12-12 10:12:12", "None", "1970-01-01 00:00:00",
+    ]
+    # the strict form still THROWS on garbage (the CH contract)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="CAST_INVALID_INPUT|cannot be cast"):
+        rows(spark, "SELECT parseDateTimeBestEffort('garbage') AS x")
+
+
+def test_toweek_mode1(spark):
+    """MySQL WEEK(d, 1) vectors: Monday-first 0-53 — ISO numbering but
+    dates before ISO week 1 return 0 (mode was guided before round 13)."""
+    r = rows(
+        spark,
+        "SELECT toWeek(toDate('2024-01-01'), 1) AS a,"
+        " toWeek(toDate('2023-01-01'), 1) AS b,"
+        " toWeek(toDate('2024-12-30'), 1) AS c,"
+        " toWeek(toDate('2016-12-27'), 1) AS d,"
+        " toWeek(toDate('2017-01-01'), 1) AS e",
+    )[0]
+    assert list(r) == [1, 0, 53, 52, 0]
+
+
+def test_array_difference_cumsum_overflow_is_error_not_silent(spark):
+    """CH WRAPS Int64 overflow in arrayDifference/arrayCumSum; under ANSI
+    this engine throws ARITHMETIC_OVERFLOW — documented delta (module
+    docstring): an error, never a silently wrong value."""
+    import pytest as _pytest
+
+    assert rows(
+        spark,
+        "SELECT arrayDifference([1, 5, 2]) AS d, arrayCumSum([1, 2, 3]) AS c",
+    )[0][0] == [0, 4, -3]
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        rows(spark, "SELECT arrayDifference([9223372036854775807,"
+                    " -9223372036854775808]) AS d")
+    with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
+        rows(spark, "SELECT arrayCumSum([9223372036854775807, 1]) AS c")
