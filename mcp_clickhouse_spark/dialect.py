@@ -3696,14 +3696,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "stringjaccardindexutf8": lambda a: (
         TEMPLATES["stringjaccardindex"](a)
     ),
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: the Sqids alphabet-shuffle algorithm is not "
-            "reimplemented here — base58Encode/base58Decode or "
-            "generateSnowflakeID cover the id-obfuscation use cases"
-        ))))(_t)
-        for _t in ("sqid", "sqidencode", "sqiddecode")
-    },
+    # Sqids (round 13 — was guided): spec-faithful pandas_udf
+    # (functions/sqids_bech32.py); matches the CH docs example
+    # sqid(1,2,3,4,5) = 'gXHfJ1C6dN'.  Delta: no blocklist re-encode.
+    "sqid": lambda a: (
+        f"ch_sqid_encode(array({', '.join(f'CAST({x} AS BIGINT)' for x in a)}))"
+    ),
+    "sqidencode": lambda a: (
+        f"ch_sqid_encode(array({', '.join(f'CAST({x} AS BIGINT)' for x in a)}))"
+    ),
+    "sqiddecode": lambda a: f"ch_sqid_decode({a[0]})",
     # vector-math family (round 8 — fell through unresolved; the scale
     # path for embedding columns lives in pipeline/similarity.py, these
     # are the faithful scalar spellings): double-accumulated folds
@@ -4916,14 +4918,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "toIntervalNanosecond: Spark intervals are microsecond-precision "
         "— use toIntervalMicrosecond"
     )),
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: the BIP-173 bech32 checksum alphabet is not "
-            "reimplemented here — base58Encode/Decode cover the "
-            "binary-to-text use cases"
-        ))))(_t)
-        for _t in ("bech32encode", "bech32decode")
-    },
+    # Bech32/Bech32m (round 13 — was guided): BIP-173/BIP-350 pandas_udf
+    # (functions/sqids_bech32.py), pinned against the BIP test vectors.
+    # Optional third argument = SegWit witness version (bech32m for v1+).
+    "bech32encode": lambda a: (
+        f"ch_bech32_encode({a[0]}, CAST({a[1]} AS BINARY),"
+        f" {a[2] if len(a) >= 3 else '-1'})"
+    ),
+    "bech32decode": lambda a: f"ch_bech32_decode({a[0]})",
     # round 8: the documented cut-after-separator-run prefix expansion
     "urlhierarchy": lambda a: _url_hierarchy_expr(a, path_only=False),
     "pathhierarchy": lambda a: _url_hierarchy_expr(a, path_only=True),

@@ -62,6 +62,12 @@ def _register_geo(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_sqids_bech32(spark) -> None:
+    from mcp_clickhouse_spark.functions.sqids_bech32 import ensure_registered
+
+    ensure_registered(spark)
+
+
 def _register_randdist(spark) -> None:
     from mcp_clickhouse_spark.functions.randdist import ensure_registered
 
@@ -98,6 +104,10 @@ LAZY_UDFS = {
     "ch_json_merge_patch": _register_codecs,
     "ch_decode_xml": _register_codecs,
     "ch_decode_html": _register_codecs,
+    "ch_sqid_encode": _register_sqids_bech32,
+    "ch_sqid_decode": _register_sqids_bech32,
+    "ch_bech32_encode": _register_sqids_bech32,
+    "ch_bech32_decode": _register_sqids_bech32,
     "ch_rand_poisson": _register_randdist,
     "ch_rand_binomial": _register_randdist,
     "ch_rand_negbinomial": _register_randdist,

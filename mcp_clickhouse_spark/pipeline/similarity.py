@@ -237,6 +237,40 @@ def ivf_topk(
     )
 
 
+def band_plane_exprs(
+    vec_col: str, bands: int, planes_per_band: int, dim: int
+) -> tuple[list, list[str]]:
+    """(plane_cols, bucket_exprs) for random-hyperplane banding — shared
+    by the batch pair generator and the streaming twin (round 13) so both
+    band IDENTICALLY (same seeds, same expressions).
+
+    Each plane's signed sum is its OWN projected column: whole-stage
+    codegen splits Project expressions into separate Java methods, so
+    bands×planes×dim literal terms stay under janino's 64 KB method limit.
+    A single posexplode(array(<giant CASE trees>)) generator put all the
+    terms into ONE consume method, failed compilation, and silently fell
+    back to the interpreter (measured 3 s at sf0.01 — worse than
+    brute force).  Catalyst keeps the Project under the Generate, so the
+    split survives optimization."""
+    plane_cols = []
+    bucket_exprs = []
+    for b in range(bands):
+        signs = _plane_signs(planes_per_band, dim, seed=7 + b)
+        terms_of_band = []
+        for p in range(planes_per_band):
+            terms = " ".join(
+                f"{'+' if signs[p][i] > 0 else '-'}"
+                f" CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
+                for i in range(dim)
+            )
+            name = f"_pl_{b}_{p}"
+            plane_cols.append(F.expr(terms.lstrip("+ ")).alias(name))
+            weight = 1 << (planes_per_band - 1 - p)
+            terms_of_band.append(f"(CASE WHEN {name} > 0 THEN {weight} ELSE 0 END)")
+        bucket_exprs.append(" + ".join(terms_of_band))
+    return plane_cols, bucket_exprs
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.45,
@@ -291,30 +325,9 @@ def embedding_neardup_pairs(
             F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
         )
         corpus = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
-    # Each plane's signed sum is its OWN projected column: whole-stage
-    # codegen splits Project expressions into separate Java methods, so
-    # bands×planes×dim literal terms stay under janino's 64 KB method limit.
-    # A single posexplode(array(<giant CASE trees>)) generator put all the
-    # terms into ONE consume method, failed compilation, and silently fell
-    # back to the interpreter (measured 3 s at sf0.01 — worse than
-    # brute force).  Catalyst keeps the Project under the Generate, so the
-    # split survives optimization.
-    plane_cols = []
-    bucket_exprs = []
-    for b in range(bands):
-        signs = _plane_signs(planes_per_band, dim, seed=7 + b)
-        terms_of_band = []
-        for p in range(planes_per_band):
-            terms = " ".join(
-                f"{'+' if signs[p][i] > 0 else '-'}"
-                f" CAST(element_at({vec_col}, {i + 1}) AS DOUBLE)"
-                for i in range(dim)
-            )
-            name = f"_pl_{b}_{p}"
-            plane_cols.append(F.expr(terms.lstrip("+ ")).alias(name))
-            weight = 1 << (planes_per_band - 1 - p)
-            terms_of_band.append(f"(CASE WHEN {name} > 0 THEN {weight} ELSE 0 END)")
-        bucket_exprs.append(" + ".join(terms_of_band))
+    plane_cols, bucket_exprs = band_plane_exprs(
+        vec_col, bands, planes_per_band, dim
+    )
     projected = corpus.select(F.col(id_col), *plane_cols)
     banded = projected.select(
         F.col(id_col),

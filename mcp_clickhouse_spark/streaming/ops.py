@@ -605,6 +605,146 @@ def run_streaming_span_filter(
     return q
 
 
+_EMBED_NEARDUP_SCHEMA = StructType(
+    [
+        StructField("band", LongType()),
+        StructField("bucket", LongType()),
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def stream_embeddings(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """readStream over an embeddings parquet path (schema peeked from the
+    files — the file source needs it statically; single files stream via
+    parent dir + pathGlobFilter like stream_documents)."""
+    import os
+
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    if os.path.isfile(path):
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    return reader.parquet(path)
+
+
+def streaming_embedding_neardup(
+    vecs: DataFrame,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bands: int = 2,
+    planes_per_band: int = 6,
+    dim: int = 64,
+    max_bucket_size: int = 16,
+) -> DataFrame:
+    """Streaming embedding-cosine near-dup detection — the continuous twin
+    of ``pipeline.similarity.embedding_neardup_pairs`` (round 13; the
+    replay-pin item carried from r11 #8).  As vectors arrive, each is
+    random-hyperplane-banded with the SAME seeded plane expressions as the
+    batch op (``similarity.band_plane_exprs``), and a state store keyed by
+    (band, bucket) emits exact-cosine pairs against the bucket's retained
+    co-occupants, keeping ``cosine >= threshold``.
+
+    Cap/evict policy mirrors the batch ``bucket_pairs`` exactly (retain
+    the ``max_bucket_size`` LOWEST ids), so a bounded replay yields the
+    same pair set as the batch run with ``collapse_identical=False``
+    (pinned by test; the stream cannot know the global min-id
+    representative, same caveat as streaming_minhash_neardup).  State is
+    bounded per bucket; production adds a TTL to trade recall for state —
+    kept timeout-free here so replays match batch."""
+    from mcp_clickhouse_spark.pipeline.similarity import band_plane_exprs
+
+    plane_cols, bucket_exprs = band_plane_exprs(
+        vec_col, bands, planes_per_band, dim
+    )
+    banded = (
+        vecs.select(
+            F.col(id_col).alias("vec_id"),
+            F.concat_ws(
+                ",", F.expr(f"transform({vec_col}, x -> CAST(x AS STRING))")
+            ).alias("vec_csv"),
+            *plane_cols,
+        )
+        .select(
+            "vec_id",
+            "vec_csv",
+            F.posexplode(F.array(*[F.expr(e) for e in bucket_exprs])).alias(
+                "band", "bucket"
+            ),
+        )
+        .select(F.col("band").cast("long"), F.col("bucket").cast("long"),
+                "vec_id", "vec_csv")
+    )
+
+    def emit(
+        key: Tuple[int, int], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        band, bucket = key
+        if state.exists:
+            stored_ids, stored_vecs = state.get
+            ids, vcsvs = list(stored_ids), list(stored_vecs)
+        else:
+            ids, vcsvs = [], []
+        rows = sorted(
+            (int(i), v)
+            for pdf in pdfs
+            for i, v in zip(pdf["vec_id"], pdf["vec_csv"])
+        )
+        out_a, out_b, out_c = [], [], []
+        for i, v in rows:
+            if i in ids:
+                continue  # replay/duplicate delivery
+            if len(ids) >= max_bucket_size:
+                if i > max(ids):
+                    continue  # bucket full of lower ids: batch cap drops it
+                drop = ids.index(max(ids))
+                ids.pop(drop)
+                vcsvs.pop(drop)
+            vec = [float(x) for x in v.split(",")]
+            ni = sum(x * x for x in vec) ** 0.5
+            for j, vj_csv in zip(ids, vcsvs):
+                vj = [float(x) for x in vj_csv.split(",")]
+                nj = sum(x * x for x in vj) ** 0.5
+                if ni == 0.0 or nj == 0.0:
+                    continue
+                cos = round(
+                    sum(a * b for a, b in zip(vec, vj)) / (ni * nj), 6
+                )
+                if cos >= threshold:
+                    lo, hi = (j, i) if j < i else (i, j)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(cos)
+            ids.append(i)
+            vcsvs.append(v)
+        state.update((ids, vcsvs))
+        if out_a:
+            yield pd.DataFrame(
+                {
+                    "band": band,
+                    "bucket": bucket,
+                    "id_a": out_a,
+                    "id_b": out_b,
+                    "cosine": out_c,
+                }
+            )
+
+    return banded.groupBy("band", "bucket").applyInPandasWithState(
+        emit,
+        outputStructType=_EMBED_NEARDUP_SCHEMA,
+        stateStructType="ids ARRAY<BIGINT>, vecs ARRAY<STRING>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_corpus_stats(docs: DataFrame) -> DataFrame:
     """Running per-(source, lang) corpus statistics over a document ingest
     stream: doc count, total chars, total whitespace tokens — the live

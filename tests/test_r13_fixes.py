@@ -295,3 +295,66 @@ def test_array_difference_cumsum_overflow_is_error_not_silent(spark):
                     " -9223372036854775808]) AS d")
     with _pytest.raises(Exception, match="ARITHMETIC_OVERFLOW|overflow"):
         rows(spark, "SELECT arrayCumSum([9223372036854775807, 1]) AS c")
+
+
+def _rows_udf(spark, sql):
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    ts = translate(sql)
+    register_lazy_udfs(spark, ts)
+    return spark.sql(ts).collect()
+
+
+def test_sqid_spec_vectors(spark):
+    """Sqids public-spec vectors ([1,2,3] = '86Rf07', the 0..7
+    incremental table) AND the CH docs example sqid(1,2,3,4,5) =
+    'gXHfJ1C6dN' — so the no-blocklist delta is the ONLY divergence."""
+    r = _rows_udf(
+        spark,
+        "SELECT sqid(1, 2, 3) AS a, sqid(1, 2, 3, 4, 5) AS ch,"
+        " sqid(0) AS z, sqid(7) AS s7,"
+        " sqidDecode('86Rf07') AS d1, sqidDecode('gXHfJ1C6dN') AS d2,"
+        " sqidDecode(sqid(0, 4611686018427387904, 7)) AS rt",
+    )[0]
+    assert list(r) == [
+        "86Rf07", "gXHfJ1C6dN", "bM", "AX",
+        [1, 2, 3], [1, 2, 3, 4, 5], [0, 4611686018427387904, 7],
+    ]
+
+
+def test_bech32_bip173_vectors(spark):
+    """BIP-173 reference vectors: empty-data hrp 'a', the P2WPKH and
+    P2WSH mainnet addresses (witver 0), round-trip through decode, and
+    checksum rejection."""
+    r = _rows_udf(
+        spark,
+        "SELECT bech32Encode('a', '') AS empty,"
+        " bech32Encode('bc', unhex('751e76e8199196d454941c45d1b3a323f1433bd6'), 0) AS p2wpkh,"
+        " bech32Encode('bc', unhex('1863143c14c5166804bd19203356da136c98"
+        "5678cd4d27a1b8c6329604903262'), 0) AS p2wsh,"
+        " bech32Decode('BC1QW508D6QEJXTDG4Y5R3ZARVARY0C5XW7KV8F3T4') AS dec,"
+        " bech32Decode('a12uel5x') AS bad",
+    )[0]
+    assert r[0] == "a12uel5l"
+    assert r[1] == "bc1qw508d6qejxtdg4y5r3zarvary0c5xw7kv8f3t4"
+    assert r[2] == ("bc1qrp33g0q5c5txsp9arysrx4k6zdkfs4nce4xj0gdcccefvpy"
+                    "sxf3qccfmv3")
+    assert r[3]["_1"] == "bc"
+    assert bytes(r[3]["_2"]).hex() == "751e76e8199196d454941c45d1b3a323f1433bd6"
+    assert r[4] is None or r[4]["_1"] is None  # invalid checksum
+
+
+def test_bech32m_witver1_roundtrip(spark):
+    """BIP-350: witness v1+ uses the bech32m constant — encode/decode
+    round-trips and the output differs from the v0 (bech32) form."""
+    r = _rows_udf(
+        spark,
+        "SELECT bech32Encode('tb', unhex('751e76e8199196d454941c45d1b3a3"
+        "23f1433bd6'), 1) AS v1,"
+        " bech32Encode('tb', unhex('751e76e8199196d454941c45d1b3a323f143"
+        "3bd6'), 0) AS v0,"
+        " bech32Decode(bech32Encode('tb', unhex('751e76e8199196d454941c4"
+        "5d1b3a323f1433bd6'), 1)) AS rt",
+    )[0]
+    assert r[0] != r[1] and r[0].startswith("tb1p")
+    assert bytes(r[2]["_2"]).hex() == "751e76e8199196d454941c45d1b3a323f1433bd6"

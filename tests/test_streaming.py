@@ -719,3 +719,73 @@ def test_stateful_pipeline_rate_source_latency(spark, tmp_path):
     print(f"rate-source stateful canary: batches={len(lat)} "
           f"latencies_ms={lat_sorted} p50={p50}")
     assert p50 < 5000, f"stateful micro-batch p50 {p50} ms exceeds smoke bound"
+
+
+def test_streaming_embedding_neardup_matches_batch(spark, tmp_path):
+    """Round 13 (r11 #8): the embedding near-dup streaming twin, pinned
+    batch-vs-replay.  8 orthogonal base vectors each with a planted
+    near-copy (cosine ≈ 0.999; cross-family cosine ≈ 0) — the bounded
+    multi-file replay must emit exactly the batch pair set (batch with
+    collapse_identical=False: the stream cannot know the global min-id
+    representative, same caveat as the MinHash twin)."""
+    from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+    from mcp_clickhouse_spark.streaming.ops import (
+        stream_embeddings,
+        streaming_embedding_neardup,
+    )
+
+    dim = 8
+    rows = []
+    for fam in range(dim):
+        base = [0.0] * dim
+        base[fam] = 1.0
+        noisy = list(base)
+        noisy[(fam + 1) % dim] += 0.05  # cosine vs base ≈ 0.9988
+        rows.append((2 * fam, base))
+        rows.append((2 * fam + 1, noisy))
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "emb")
+    docs.repartition(4).write.parquet(p)
+
+    kw = dict(threshold=0.45, bands=2, planes_per_band=6, dim=dim,
+              max_bucket_size=16)
+    batch = embedding_neardup_pairs(
+        spark.read.parquet(p), collapse_identical=False, **kw
+    ).collect()
+    batch_pairs = {(r.id_a, r.id_b) for r in batch}
+    assert batch_pairs, "corpus must yield at least one near-dup pair"
+
+    st = streaming_embedding_neardup(
+        stream_embeddings(spark, p, max_files_per_trigger=1), **kw
+    )
+    run_available_now(st, "t_embed_neardup", output_mode="append")
+    got = spark.table("t_embed_neardup").collect()
+    stream_pairs = {(r.id_a, r.id_b) for r in got}
+    assert stream_pairs == batch_pairs
+    # planted partners verify near 1.0; exact cosines agree with batch
+    batch_cos = {(r.id_a, r.id_b): r.cosine for r in batch}
+    for r in got:
+        assert abs(r.cosine - batch_cos[(r.id_a, r.id_b)]) < 1e-5
+    planted = [r for r in got if r.id_b == r.id_a + 1 and r.id_a % 2 == 0]
+    assert planted and min(r.cosine for r in planted) > 0.99
+
+
+def test_streaming_embedding_neardup_cap_and_replay_dedup(spark, tmp_path):
+    """The bucket cap retains the LOWEST ids (the batch bucket_pairs
+    policy) and a duplicate replay of a known id emits nothing new."""
+    from mcp_clickhouse_spark.streaming.ops import (
+        stream_embeddings,
+        streaming_embedding_neardup,
+    )
+
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(6)]
+    docs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    p = str(tmp_path / "emb_cap")
+    docs.coalesce(1).write.parquet(p)
+    st = streaming_embedding_neardup(
+        stream_embeddings(spark, p), threshold=0.45, bands=2,
+        planes_per_band=6, dim=4, max_bucket_size=3,
+    )
+    run_available_now(st, "t_embed_cap", output_mode="append")
+    pairs = {(r.id_a, r.id_b) for r in spark.table("t_embed_cap").collect()}
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
