@@ -157,8 +157,8 @@ NAME_MAP: dict[str, str] = {
     "round": "bround",
     "randcanonical": "rand",
     "sign": "signum",
-    "max2": "greatest",
-    "min2": "least",
+    # max2/min2 live in TEMPLATES (round 13): CH propagates NULL
+    # arguments; Spark's greatest/least skip them
     # arrays
     "arrayjoin": "explode",
     "has": "array_contains",
@@ -973,6 +973,15 @@ def _ch_datediff_expr(a: list[str]) -> str:
         f"dateDiff: unsupported unit {unit!r} (nanosecond needs "
         "sub-microsecond timestamps Spark does not have)"
     )
+
+
+def _null_prop_extremum(fn: str, a: list[str]) -> str:
+    """greatest/least with CH's any-NULL → NULL contract (Spark's
+    builtins skip NULL arguments instead — round-13 audit)."""
+    if len(a) < 2:
+        raise DialectError(f"{fn}: at least two arguments")
+    guard = " OR ".join(f"({x}) IS NULL" for x in a)
+    return f"(CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(a)}) END)"
 
 
 def _to_week_mode1(d: str) -> str:
@@ -3466,6 +3475,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "IF(empty(x), [0], x) (or the type's default) explicitly"
     )),
     "torelativedaynum": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
+    # round 13: the week/month/year members leaked UNRESOLVED_ROUTINE.
+    # toRelativeWeekNum = toDayNum(d + 8 - toDayOfWeek(d)) / 7 with
+    # Monday=1 — algebraically (days + 3) div 7 (the same Monday-rolling
+    # ordinal dateDiff('week') uses; epoch day 0 was a Thursday)
+    "torelativeweeknum": lambda a: (
+        f"CAST(FLOOR((datediff(CAST({a[0]} AS DATE),"
+        f" DATE '1970-01-01') + 3) / 7) AS INT)"
+    ),
+    "torelativemonthnum": lambda a: (
+        f"(year({a[0]}) * 12 + month({a[0]}))"
+    ),
+    "torelativeyearnum": lambda a: f"year({a[0]})",
     "totime": lambda a: (
         f"timestamp('1970-01-02 ' || date_format({a[0]}, 'HH:mm:ss'))"
     ),
@@ -4444,6 +4465,45 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # lgamma/tgamma/erf/erfc (round 10 — were guided/unresolved): Arrow
     # pandas_udfs over math.lgamma/gamma/erf/erfc (same libm functions CH
     # calls), lazily registered with the stats family
+    # CRC family (round 13): bare CRC32 passes through to Spark's builtin,
+    # which computes the same zlib CRC-32 (poly 0xEDB88320, all-ones
+    # init/xorout) as CH's CRC32.  CRC64 maps to the pandas_udf with CH's
+    # exact parameter set (reflected ECMA-182, init 0, xorout 0 —
+    # functions/codecs.py); CRC32IEEE and gccMurmurHash stay guided: their
+    # init/seed conventions are not pinned by the CH docs, and a wrong
+    # constant is a silent wrong value on every row.
+    "crc64": lambda a: f"ch_crc64({a[0]})",
+    # greatest/least/max2/min2 (round 13): CH's ordinary-function NULL
+    # contract propagates NULL when ANY argument is NULL; Spark's
+    # greatest/least SKIP NULLs — a silent divergence on every nullable
+    # column.  Wrap with an any-null guard.
+    "greatest": lambda a: _null_prop_extremum("greatest", a),
+    "least": lambda a: _null_prop_extremum("least", a),
+    "max2": lambda a: _null_prop_extremum("greatest", a),
+    "min2": lambda a: _null_prop_extremum("least", a),
+    # CH's null-safe equality spelling → Spark's <=> operator
+    "isnotdistinctfrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
+    # hasToken: token-boundary containment (tokens = [A-Za-z0-9_]+ runs).
+    # Splitting the haystack on non-token runs keeps it JVM-side and
+    # needle-escaping-free.  Delta: CH THROWS when the needle itself
+    # contains separators; this returns 0 (the needle can never equal a
+    # token) — value-compatible for every valid needle.
+    "hastoken": lambda a: (
+        f"CAST(array_contains(split({a[0]}, '[^A-Za-z0-9_]+'), {a[1]}) AS INT)"
+    ),
+    "hastokencaseinsensitive": lambda a: (
+        f"CAST(array_contains(split(lower({a[0]}), '[^a-z0-9_]+'),"
+        f" lower({a[1]})) AS INT)"
+    ),
+    "crc32ieee": lambda a: (_ for _ in ()).throw(DialectError(
+        "CRC32IEEE: ClickHouse's no-inversion CRC-32 variant is not "
+        "pinned by its docs — use CRC32 (zlib parameters, matched by "
+        "Spark's builtin) for a stable checksum"
+    )),
+    "gccmurmurhash": lambda a: (_ for _ in ()).throw(DialectError(
+        "gccMurmurHash: the gcc seed convention is not pinned by the CH "
+        "docs — murmurHash3_64 is the value-faithful 64-bit hash here"
+    )),
     "lgamma": lambda a: f"ch_lgamma(CAST({a[0]} AS DOUBLE))",
     "tgamma": lambda a: f"ch_tgamma(CAST({a[0]} AS DOUBLE))",
     "erf": lambda a: f"ch_erf(CAST({a[0]} AS DOUBLE))",
@@ -6808,7 +6868,9 @@ TEMPLATES.update({
                    "tuplesum",
                    # legacy alias spellings of the tuple math (round 11 —
                    # were raw passthroughs)
-                   "vectorsum", "vectordifference", "scalarproduct")
+                   "vectorsum", "vectordifference", "scalarproduct",
+                   # round 13 — were raw passthroughs
+                   "tupleconcat", "tuplehammingdistance")
     },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(

@@ -128,6 +128,42 @@ def ensure_registered(spark) -> None:
     # variadic CH calls fold into nested 2-arg applications (dialect.py)
     spark.udf.register("ch_json_merge_patch", ch_json_merge_patch)
 
+    @pandas_udf("decimal(20,0)")
+    def _crc64(s: pd.Series) -> pd.Series:
+        from decimal import Decimal
+
+        return pd.Series(
+            [
+                None if v is None else Decimal(crc64_ecma(str(v).encode()))
+                for v in s
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("ch_crc64", _crc64)
+
+
+_CRC64_POLY = 0xC96C5795D7870F42  # reflected ECMA-182
+_CRC64_TAB: list[int] = []
+
+
+def crc64_ecma(data: bytes) -> int:
+    """CRC-64 with the reflected ECMA-182 polynomial, init 0, xorout 0 —
+    the exact parameter set of ClickHouse's CRC64 (src/Functions/CRC.h:
+    CRC64ECMAImpl builds the reflected table from 0xc96c5795d7870f42 and
+    folds from crc = 0 with no final inversion; this is NOT CRC-64/XZ,
+    which adds all-ones init/xorout).  Returns UInt64 (round 13)."""
+    if not _CRC64_TAB:
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (_CRC64_POLY ^ (c >> 1)) if (c & 1) else (c >> 1)
+            _CRC64_TAB.append(c)
+    crc = 0
+    for b in data:
+        crc = _CRC64_TAB[(crc ^ b) & 0xFF] ^ (crc >> 8)
+    return crc
+
 
 def base32_encode(s: str) -> str:
     """RFC 4648 base32 with padding (round 10), over the UTF-8 bytes —

@@ -242,8 +242,10 @@ def test_joda_utc_and_jaccard_utf8(spark):
     assert str(r[4]) == "2024-01-02 03:04:05"
     with pytest.raises(DialectError, match="INTERVAL"):
         translate("SELECT timestamp(d, t) FROM x")
-    with pytest.raises(DialectError, match="base58"):
-        translate("SELECT sqid(1, 2) FROM x")
+    # sqid was a guided error through round 12; round 13 implements it
+    # (spec vectors in test_r13_fixes.py) — the translation must emit the
+    # pandas_udf call, not raise
+    assert "ch_sqid_encode" in translate("SELECT sqid(1, 2) FROM x")
 
 
 def test_point_in_ellipses_and_www_subdomain(spark):
