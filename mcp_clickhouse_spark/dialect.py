@@ -4495,6 +4495,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CAST(array_contains(split(lower({a[0]}), '[^a-z0-9_]+'),"
         f" lower({a[1]})) AS INT)"
     ),
+    # CH's Nothing aggregate: consumes rows, returns NULL (round 13 —
+    # was a raw passthrough); max over an all-NULL column is the
+    # aggregate-positional NULL
+    "nothing": lambda a: "max(CAST(NULL AS STRING))",
     "crc32ieee": lambda a: (_ for _ in ()).throw(DialectError(
         "CRC32IEEE: ClickHouse's no-inversion CRC-32 variant is not "
         "pinned by its docs — use CRC32 (zlib parameters, matched by "
@@ -6352,6 +6356,26 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         "topKWeighted()() cannot be expressed as one Spark SQL expression — "
         "use mcp_clickhouse_spark.operators.topk (weighted mode)"
     )),
+    # groupArraySample(k[, seed])(x): random per-group sample without
+    # replacement — shuffle + slice matches the nondeterministic contract
+    # (round 13; was a raw passthrough).  A seed parameter is guided:
+    # Spark's shuffle() is unseedable, and silently ignoring the seed
+    # would break CH's deterministic-replay promise.
+    "grouparraysample": lambda p, a: (
+        f"slice(shuffle(collect_list({a[0]})), 1,"
+        f" {_int_literal(p[0], 'groupArraySample k')})"
+        if len(p) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "groupArraySample: the seed parameter cannot be honored "
+            "(Spark's shuffle() is unseedable) — drop the seed for a "
+            "random sample"
+        ))
+    ),
+    "grouparrayinsertat": lambda p, a: (_ for _ in ()).throw(DialectError(
+        "groupArrayInsertAt: position-addressed array building is not one "
+        "Spark expression — aggregate map_from_entries((pos, x)) pairs "
+        "and expand with transform(sequence(...), i -> element_at(...))"
+    )),
     "histogram": lambda p, a: (_ for _ in ()).throw(DialectError(
         "histogram()() cannot be expressed as one Spark SQL expression — "
         "the agg_histogram inventory query shows the width_bucket + groupBy "
@@ -7212,6 +7236,16 @@ for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
     _n = _b + "if"
     if _b in PARAMETRIC and _n not in PARAMETRIC:
         PARAMETRIC[_n] = _if_parametric(_b)
+
+# CH 24.x alias spellings (round 13 — were raw passthroughs): the
+# approx_top_* family is topK/topKWeighted under SQL-standard-ish names,
+# and quantileInterpolatedWeighted shares quantileExactWeighted's
+# guided weighted-quantile routing (both direct the user to the exact
+# single-shuffle operator).
+PARAMETRIC["approx_top_k"] = PARAMETRIC["topk"]
+PARAMETRIC["approx_top_count"] = PARAMETRIC["topk"]
+PARAMETRIC["approx_top_sum"] = PARAMETRIC["topkweighted"]
+PARAMETRIC["quantileinterpolatedweighted"] = PARAMETRIC["quantileexactweighted"]
 
 # -OrNull over the quantile family (round 11): every quantile
 # translation here already yields NULL on an empty/all-NULL input —

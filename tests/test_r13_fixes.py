@@ -441,3 +441,34 @@ def test_is_not_distinct_from_and_has_token(spark):
         translate("SELECT tupleConcat(a, b) FROM t")
     with pytest.raises(DialectError, match="tuple arity"):
         translate("SELECT tupleHammingDistance(a, b) FROM t")
+
+
+def test_aggregate_name_probe_closures(spark):
+    """Round-13 aggregate probe: groupArraySample maps (shuffle+slice,
+    the nondeterministic sample contract; seeded form guided),
+    nothing() is the aggregate NULL, and the approx_top_* 24.x aliases /
+    groupArrayInsertAt route to their family's guided errors instead of
+    leaking unresolved routines."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b'),(5,'b')"
+        " AS t(x, g)"
+    ).createOrReplaceTempView("t_r13agg")
+    rs = spark.sql(translate(
+        "SELECT g, groupArraySample(2)(x) AS s, nothing(x) AS n"
+        " FROM t_r13agg GROUP BY g ORDER BY g"
+    )).collect()
+    by_g = {r.g: r for r in rs}
+    assert set(by_g["a"].s) <= {1, 2} and len(by_g["a"].s) == 2
+    assert set(by_g["b"].s) <= {3, 4, 5} and len(by_g["b"].s) == 2
+    assert by_g["a"].n is None and by_g["b"].n is None
+    for bad, msg in [
+        ("SELECT approx_top_k(2)(x) FROM t GROUP BY g", "topK"),
+        ("SELECT approx_top_sum(2)(x, w) FROM t GROUP BY g", "topKWeighted"),
+        ("SELECT quantileInterpolatedWeighted(x, w) FROM t GROUP BY g",
+         "quantileExactWeighted"),
+        ("SELECT groupArrayInsertAt(x, p) FROM t GROUP BY g",
+         "groupArrayInsertAt"),
+        ("SELECT groupArraySample(3, 42)(x) FROM t GROUP BY g", "seed"),
+    ]:
+        with pytest.raises(DialectError, match=msg):
+            translate(bad)
