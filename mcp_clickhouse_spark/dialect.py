@@ -536,18 +536,41 @@ def _to_start_of_interval(args: list[str]) -> str:
     instead of the epoch (round-10 fix — the 3-argument form previously
     dropped the origin silently).
 
-    Only fixed-length units translate (second/minute/hour/day); calendar
-    units (week/month/…) have ClickHouse-specific alignment that an
-    epoch floor would silently get wrong — faithful-or-error."""
+    Fixed-length units (second/minute/hour/day) floor on epoch seconds.
+    Round 13: the calendar units MONTH/QUARTER/YEAR also translate — CH
+    buckets them on the months-count since 1970-01 (quarter = 3-month,
+    year = 12-month units), which is an exact integer floor:
+    toStartOfInterval(d, INTERVAL 2 MONTH) of 2023-02-15 → 2023-01-01.
+    WEEK keeps the guided error (CH's week-interval anchor convention is
+    not docs-pinned, and a wrong anchor is silently off by up to n·7
+    days)."""
     import re as _re
 
     m = _re.match(r"(?is)^\s*INTERVAL\s+(\d+)\s+(\w+?)S?\s*$", args[1])
-    if not m or m.group(2).upper() not in _INTERVAL_SECONDS:
+    cal_unit = m.group(2).upper() if m else None
+    if m and cal_unit in ("MONTH", "QUARTER", "YEAR"):
+        n_units = int(m.group(1)) * {"MONTH": 1, "QUARTER": 3, "YEAR": 12}[
+            cal_unit
+        ]
+        if len(args) >= 3:
+            raise DialectError(
+                "toStartOfInterval: origin/timezone arguments are not "
+                "supported for calendar units here — drop the third "
+                "argument"
+            )
+        d = f"CAST({args[0]} AS DATE)"
+        months = f"((year({d}) - 1970) * 12 + month({d}) - 1)"
+        bucket = f"({months} - pmod({months}, {n_units}))"
+        return (
+            f"make_date(1970 + CAST(({bucket}) div 12 AS INT),"
+            f" CAST(pmod({bucket}, 12) AS INT) + 1, 1)"
+        )
+    if not m or cal_unit not in _INTERVAL_SECONDS:
         raise DialectError(
             f"toStartOfInterval: untranslatable interval {args[1]!r} "
-            "(fixed-length units only: SECOND/MINUTE/HOUR/DAY)"
+            "(units: SECOND/MINUTE/HOUR/DAY/MONTH/QUARTER/YEAR)"
         )
-    sec = int(m.group(1)) * _INTERVAL_SECONDS[m.group(2).upper()]
+    sec = int(m.group(1)) * _INTERVAL_SECONDS[cal_unit]
     if len(args) >= 3:
         third = args[2].strip()
         if third.startswith("'"):
@@ -3067,9 +3090,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "tostartofday": lambda a: f"date_trunc('DAY', {a[0]})",
     "tostartofhour": lambda a: f"date_trunc('HOUR', {a[0]})",
     "tostartofminute": lambda a: f"date_trunc('MINUTE', {a[0]})",
-    "tostartofmonth": lambda a: f"date_trunc('MONTH', {a[0]})",
-    "tostartofquarter": lambda a: f"date_trunc('QUARTER', {a[0]})",
-    "tostartofyear": lambda a: f"date_trunc('YEAR', {a[0]})",
+    # CH returns Date (not DateTime) for month-and-coarser truncation —
+    # round 13: date_trunc alone yielded midnight TIMESTAMPs
+    "tostartofmonth": lambda a: f"CAST(date_trunc('MONTH', {a[0]}) AS DATE)",
+    "tostartofquarter": lambda a: f"CAST(date_trunc('QUARTER', {a[0]}) AS DATE)",
+    "tostartofyear": lambda a: f"CAST(date_trunc('YEAR', {a[0]}) AS DATE)",
     # CH toStartOfWeek default mode 0 = SUNDAY-first weeks (round 11 —
     # date_trunc('WEEK') is ISO Monday, a silent one-day-late value for
     # six days of every week; the same mode-0 default the r10 audit

@@ -398,8 +398,13 @@ def test_to_start_of_interval_rejects_calendar_units():
 
     from mcp_clickhouse_spark.dialect import translate
 
-    with _pytest.raises(ValueError, match="fixed-length"):
-        translate("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM events")
+    # MONTH translates since round 13 (months-since-epoch buckets);
+    # WEEK stays guided (the CH week-interval anchor is not docs-pinned)
+    assert "make_date" in translate(
+        "SELECT toStartOfInterval(ts, INTERVAL 1 MONTH) FROM events"
+    )
+    with _pytest.raises(ValueError, match="untranslatable"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 WEEK) FROM events")
 
 
 def test_array_manipulation_family(spark):

@@ -472,3 +472,34 @@ def test_aggregate_name_probe_closures(spark):
     ]:
         with pytest.raises(DialectError, match=msg):
             translate(bad)
+
+
+def test_tostartofinterval_calendar_units(spark):
+    """Round 13: MONTH/QUARTER/YEAR intervals bucket on the months-count
+    since 1970-01 (CH's calendar-interval contract), returning Date;
+    toStartOfMonth/Quarter/Year return Date (CH's type — date_trunc
+    alone yielded midnight timestamps); WEEK stays guided."""
+    r = rows(
+        spark,
+        "SELECT toStartOfInterval(toDate('2023-02-15'), INTERVAL 2 MONTH) AS m2,"
+        " toStartOfInterval(toDate('2023-08-15'), INTERVAL 2 QUARTER) AS q2,"
+        " toStartOfInterval(toDate('2023-08-15'), INTERVAL 5 YEAR) AS y5,"
+        " toStartOfInterval(toDateTime('2023-11-20 10:00:00'),"
+        "                   INTERVAL 3 MONTH) AS m3,"
+        " toStartOfMonth(toDateTime('2024-03-05 07:08:09')) AS sm,"
+        " toStartOfQuarter(toDate('2024-05-05')) AS sq,"
+        " toStartOfYear(toDate('2024-05-05')) AS sy",
+    )[0]
+    import datetime
+
+    assert [str(v) for v in r] == [
+        "2023-01-01", "2023-07-01", "2020-01-01", "2023-10-01",
+        "2024-03-01", "2024-04-01", "2024-01-01",
+    ]
+    assert all(type(v) is datetime.date for v in r)
+    with pytest.raises(DialectError, match="untranslatable"):
+        translate("SELECT toStartOfInterval(d, INTERVAL 2 WEEK) FROM t")
+    with pytest.raises(DialectError, match="calendar"):
+        translate(
+            "SELECT toStartOfInterval(d, INTERVAL 2 MONTH, 'UTC') FROM t"
+        )
