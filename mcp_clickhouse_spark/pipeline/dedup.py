@@ -356,6 +356,42 @@ def minhash_signatures(
     return sig.select(id_col, F.col("sig").alias("signature"))
 
 
+def lsh_banding_for(
+    threshold: float,
+    recall: float = 0.9,
+    num_hashes: int = 32,
+) -> tuple[int, int, float]:
+    """(bands, rows_per_band, predicted_recall) sizing the LSH s-curve so
+    a pair at ``threshold`` Jaccard is caught with >= ``recall``
+    probability: P(candidate) = 1 - (1 - J^r)^b over the divisor pairs
+    of ``num_hashes``, preferring the LARGEST r (narrowest buckets →
+    fewest false-positive candidates) that still meets the target.
+
+    Round 13: the mutated-copy probe (BASELINE.md round-13 addendum)
+    measured the default 8×4 at 0.63 recall for J≈0.57 near-dups —
+    matching this closed form (0.59 predicted) — so callers who need
+    >90% recall at moderate similarity should size explicitly:
+    ``lsh_banding_for(0.57)`` returns (16, 2) with 0.998 predicted.
+    Falls back to the most-sensitive divisor (r=1) when no divisor pair
+    meets the target; the returned prediction tells the caller what they
+    actually got."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    best = None
+    fallback = None
+    for r in range(num_hashes, 0, -1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        p = 1.0 - (1.0 - threshold**r) ** b
+        if fallback is None or p > fallback[2]:
+            fallback = (b, r, p)
+        if p >= recall and (best is None or r > best[1]):
+            best = (b, r, p)
+    b, r, p = best if best is not None else fallback
+    return b, r, round(p, 4)
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",

@@ -503,3 +503,23 @@ def test_tostartofinterval_calendar_units(spark):
         translate(
             "SELECT toStartOfInterval(d, INTERVAL 2 MONTH, 'UTC') FROM t"
         )
+
+
+def test_lsh_banding_for_sizes_the_s_curve():
+    """The banding auto-picker: largest rows-per-band meeting the recall
+    target (fewest false positives); predictions match the mutated-copy
+    probe's measured curve (BASELINE.md round-13 addendum)."""
+    from mcp_clickhouse_spark.pipeline.dedup import lsh_banding_for
+
+    b, r, p = lsh_banding_for(0.57, recall=0.9, num_hashes=32)
+    assert (b, r) == (16, 2) and p > 0.99
+    # the default 8x4 shape is what high-similarity thresholds pick
+    b, r, p = lsh_banding_for(0.85, recall=0.9, num_hashes=32)
+    assert r >= 4 and p >= 0.9
+    # impossible target falls back to the most sensitive divisor pair
+    b, r, p = lsh_banding_for(0.05, recall=0.99, num_hashes=32)
+    assert r == 1 and p < 0.99
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_banding_for(0.0)
