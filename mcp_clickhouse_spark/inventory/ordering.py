@@ -13,11 +13,12 @@ oracle-backed closures):
 
 - the 7 queries deferred since round 7 (all 7 re-verified PASS by both
   the r11 and r12 judges' independent check_parity runs);
-- the 3 round-13 additions (scalar_format_datetime, scalar_round13,
-  scalar_uint64 — the specifier-engine rewrite, the intDiv/dateDiff/
-  toDayOfWeek/to*OrZero audit fixes, and the UInt64 past-2^63 query),
-  so the freeze carries zero never-driver-checked registrations;
-- 40 of the 48 queries last driver-checked in round 8.
+- the 4 round-13 additions (scalar_format_datetime, scalar_round13,
+  scalar_uint64, streaming_embedding_pairs — the specifier-engine
+  rewrite, the intDiv/dateDiff/toDayOfWeek/to*OrZero audit fixes, the
+  UInt64 past-2^63 query, and the rows-only streaming embedding-LSH
+  twin), so the freeze carries zero never-driver-checked registrations;
+- 39 of the 48 queries last driver-checked in round 8.
 
 Deferred to the round-14 lead (stay at r8 — oldest last-green ≥ r8
 holds at the r13 freeze; each deferral has a rotating twin exercising
@@ -38,7 +39,10 @@ the same engine path):
 - ``sample_fraction`` (pipe_training_filter rotates the same
   hash-threshold sampling expression),
 - ``events_pivot`` (events_props_analytics was r12-green; same
-  map-extraction path over events.props).
+  map-extraction path over events.props),
+- ``win_range_frame`` (events_sliding_window — the RANGE-frame-over-time
+  shape — was r12-green; win_distribution and win_lag_lead rotate the
+  other window paths).
 """
 
 from __future__ import annotations
@@ -59,7 +63,8 @@ PRIORITY: list[str] = [
     "scalar_format_datetime",
     "scalar_round13",
     "scalar_uint64",
-    # last driver-checked in round 8 (40 of the 48-query pool)
+    "streaming_embedding_pairs",  # rows-only by design
+    # last driver-checked in round 8 (39 of the 48-query pool)
     "agg_conditional",
     "agg_grouping_sets",
     "agg_minmax_by",
@@ -99,7 +104,6 @@ PRIORITY: list[str] = [
     "subquery_correlated_exists",
     "win_distribution",
     "win_lag_lead",
-    "win_range_frame",
 ]
 
 

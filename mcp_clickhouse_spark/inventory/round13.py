@@ -172,6 +172,38 @@ WHERE o_orderkey <= 800
 """
 
 
+_STREAM_RUN_COUNTER = [0]
+
+
+@query("streaming_embedding_pairs", category="pipeline")  # rows-only: the
+# streaming twin is value-pinned to the batch pair generator by
+# tests/test_streaming.py (bounded replay == batch pair set, matching
+# cosines); this entry proves the stateful embedding-LSH streaming graph
+# EXECUTES under the driver session
+def streaming_embedding_pairs(spark, sf_dir):
+    from mcp_clickhouse_spark.streaming import (
+        run_available_now,
+        stream_embeddings,
+        streaming_embedding_neardup,
+    )
+
+    _STREAM_RUN_COUNTER[0] += 1
+    sink = f"t_stream_embed_{id(spark) % 100000}_{_STREAM_RUN_COUNTER[0]}"
+    # threshold 0.45 = the batch pipe_embed_neardup demo threshold: the
+    # synthetic corpus has no true near-dups (max pairwise cosine ≈0.51
+    # at sf0.01), so this sits where the data has signal
+    st = streaming_embedding_neardup(
+        stream_embeddings(spark, f"{sf_dir}/embeddings.parquet"),
+        threshold=0.45,
+        max_bucket_size=1000,  # the batch default — the 16-doc stream
+        # default evicts this corpus's sparse matches
+    )
+    run_available_now(st, sink, output_mode="append")
+    return spark.table(sink).dropDuplicates(["id_a", "id_b"]).select(
+        "id_a", "id_b", "cosine"
+    )
+
+
 @query("scalar_uint64", oracle=_SQL_U64_ORACLE, category="scalars")
 def scalar_uint64(spark, sf_dir):
     """UInt64 end-to-end past 2^63 (r11 verdict carry-over #7): toUInt64

@@ -7,8 +7,10 @@ from mcp_clickhouse_spark.streaming.ops import (  # noqa: F401
     session_counts,
     sliding_counts,
     stream_documents,
+    stream_embeddings,
     stream_events,
     streaming_dedup,
+    streaming_embedding_neardup,
     streaming_incremental_dedup,
     streaming_corpus_stats,
     streaming_minhash_neardup,
