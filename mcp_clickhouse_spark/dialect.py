@@ -1904,6 +1904,23 @@ def _accurate_cast(a: list[str], or_null: bool) -> str:
     return f"{fn}({a[0]} AS {spark_t})"
 
 
+def _accurate_cast_or_default(a: list[str]) -> str:
+    """accurateCastOrDefault(x, 'Type'[, default]) (round 13 — was
+    unresolved): TRY_CAST with the explicit default, or the type's
+    CH-documented default (0 / epoch) when omitted."""
+    if len(a) not in (2, 3):
+        raise DialectError("accurateCastOrDefault takes (x, 'Type'[, default])")
+    tried = _accurate_cast(a[:2], or_null=True)
+    spark_t = tried[tried.rindex(" AS ") + 4 : -1]
+    if len(a) == 3:
+        return f"coalesce({tried}, CAST({a[2]} AS {spark_t}))"
+    zeros = {"DATE": "DATE '1970-01-01'",
+             "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'"}
+    if spark_t.upper() == "STRING":
+        return f"coalesce({tried}, '')"
+    return f"coalesce({tried}, {zeros.get(spark_t.upper(), f'CAST(0 AS {spark_t})')})"
+
+
 def _map_apply_expr(a: list[str]) -> str:
     """CH ``mapApply((k, v) -> (k2, v2), m)``: rebuild the map with the
     lambda applied per entry (round 8 — was an unresolved function).
@@ -3691,6 +3708,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # variant is TRY_CAST (round 8 — both fell through unresolved)
     "accuratecast": lambda a: _accurate_cast(a, or_null=False),
     "accuratecastornull": lambda a: _accurate_cast(a, or_null=True),
+    "accuratecastordefault": _accurate_cast_or_default,
     # roaring-bitmap family → distinct-array set algebra (round 8): the
     # bitmap OBJECT is CH-internal state; every SELECT-visible behavior
     # (cardinality, and/or/xor, contains, toArray) is a set operation
@@ -4224,7 +4242,31 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "covers 38 digits (CAST(x AS DECIMAL(38,0))); beyond that, "
             "keep values as strings"
         ))))(_t)
-        for _t in ("touint128", "toint128", "touint256", "toint256")
+        for _t in ("touint128", "toint128", "touint256", "toint256",
+                   # round 13 — the -OrZero/-OrNull/-OrDefault variants
+                   # and Decimal256 leaked unresolved routines
+                   "touint128orzero", "toint128orzero", "touint256orzero",
+                   "toint256orzero", "touint128ornull", "toint128ornull",
+                   "touint256ornull", "toint256ornull",
+                   "touint128ordefault", "toint128ordefault",
+                   "touint256ordefault", "toint256ordefault",
+                   "todecimal256", "todecimal256ornull",
+                   "todecimal256orzero", "todecimal256ordefault")
+    },
+    # toDecimal{32,64,128}OrNull/OrZero (round 13 — were unresolved):
+    # try_cast to the width's DECIMAL; the zero is a 0 of the same type
+    **{
+        f"todecimal{_w}or{_k}": (
+            lambda _p, _k2: (lambda a: (
+                (lambda t: f"try_cast({a[0]} AS {t})" if _k2 == "null"
+                 else f"coalesce(try_cast({a[0]} AS {t}), CAST(0 AS {t}))")(
+                    f"DECIMAL({_p},"
+                    f"{_int_literal(a[1], 'toDecimalOr* scale')})"
+                )
+            ))
+        )(_p, _k)
+        for _w, _p in (("32", 9), ("64", 18), ("128", 38))
+        for _k in ("null", "zero")
     },
     "transactionid": lambda a: (_ for _ in ()).throw(DialectError(
         "transactionID: ClickHouse experimental transactions do not "

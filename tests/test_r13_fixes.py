@@ -523,3 +523,27 @@ def test_lsh_banding_for_sizes_the_s_curve():
 
     with _pytest.raises(ValueError):
         lsh_banding_for(0.0)
+
+
+def test_decimal_or_variants_and_accurate_cast_or_default(spark):
+    """Round-13 conversion probe: toDecimal{32,64,128}OrNull/OrZero and
+    accurateCastOrDefault were unresolved; the 128/256-bit -Or* variants
+    and toDecimal256 now share the width guided error instead of
+    leaking."""
+    r = rows(
+        spark,
+        "SELECT toDecimal32OrNull('1.5', 2) AS a,"
+        " toDecimal32OrNull('x', 2) AS b,"
+        " toDecimal64OrZero('x', 2) AS c,"
+        " toDecimal128OrZero('7.25', 3) AS d,"
+        " accurateCastOrDefault('x', 'Int32', 7) AS e,"
+        " accurateCastOrDefault('x', 'Int32') AS f,"
+        " accurateCastOrDefault('x', 'Date') AS g",
+    )[0]
+    assert [str(v) for v in r] == [
+        "1.50", "None", "0.00", "7.250", "7", "0", "1970-01-01",
+    ]
+    for bad in ("toInt128OrZero('x')", "toDecimal256(1.5, 3)",
+                "toUInt256OrNull('x')", "toInt256OrDefault('x', 1)"):
+        with pytest.raises(DialectError, match="128/256"):
+            translate(f"SELECT {bad}")
