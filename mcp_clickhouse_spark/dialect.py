@@ -95,6 +95,13 @@ NAME_MAP: dict[str, str] = {
     "match": "rlike",
     "startswith": "startswith",
     "endswith": "endswith",
+    # UTF8 spellings (round 13 — were passthroughs): a valid-UTF-8 needle
+    # is a byte prefix/suffix iff it is a code-point prefix/suffix, and
+    # Spark's reverse() is already code-point aware (CH's bare reverse is
+    # the BYTE reversal — that one maps separately)
+    "startswithutf8": "startswith",
+    "endswithutf8": "endswith",
+    "reverseutf8": "reverse",
 
     "leftpad": "lpad",
     "rightpad": "rpad",
@@ -5376,6 +5383,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" CAST((({a[0]}) div 65536) % 256 AS STRING), '.',"
         f" CAST((({a[0]}) div 256) % 256 AS STRING), '.',"
         f" CAST(({a[0]}) % 256 AS STRING))"
+    ),
+    # round 13 — was a passthrough; CH masks the last octet as 'xxx'
+    "ipv4numtostringclassc": lambda a: (
+        f"concat(CAST((({a[0]}) div 16777216) % 256 AS STRING), '.',"
+        f" CAST((({a[0]}) div 65536) % 256 AS STRING), '.',"
+        f" CAST((({a[0]}) div 256) % 256 AS STRING), '.xxx')"
     ),
 }
 

@@ -547,3 +547,18 @@ def test_decimal_or_variants_and_accurate_cast_or_default(spark):
                 "toUInt256OrNull('x')", "toInt256OrDefault('x', 1)"):
         with pytest.raises(DialectError, match="128/256"):
             translate(f"SELECT {bad}")
+
+
+def test_utf8_spellings_and_ipv4_classc(spark):
+    """Round-13 probe closures: startsWithUTF8/endsWithUTF8 (byte prefix
+    == code-point prefix for valid UTF-8), reverseUTF8 (Spark's reverse
+    is code-point aware), IPv4NumToStringClassC ('xxx' last octet —
+    167772161 = 10.0.0.1)."""
+    r = rows(
+        spark,
+        "SELECT startsWithUTF8('абвг', 'аб') AS sw,"
+        " endsWithUTF8('абвг', 'вг') AS ew,"
+        " reverseUTF8('абв') AS rv,"
+        " IPv4NumToStringClassC(167772161) AS c",
+    )[0]
+    assert list(r) == [True, True, "вба", "10.0.0.xxx"]
