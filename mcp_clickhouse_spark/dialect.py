@@ -1005,6 +1005,11 @@ def _ch_datediff_expr(a: list[str]) -> str:
     )
 
 
+from itertools import count as _itercount
+
+_RANDCONST_SALT = _itercount(1)
+
+
 def _null_prop_extremum(fn: str, a: list[str]) -> str:
     """greatest/least with CH's any-NULL → NULL contract (Spark's
     builtins skip NULL arguments instead — round-13 audit)."""
@@ -4032,6 +4037,55 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" (__ma2, __mx2) -> __ma2 * 256"
         f" + CAST(conv(__mx2, 16, 10) AS BIGINT))"
     ),
+    # round 13 — was a passthrough; OUI = the first three MAC octets
+    "macstringtooui": lambda a: (
+        f"CAST(conv(replace(substring({a[0]}, 1, 8), ':', ''), 16, 10)"
+        f" AS BIGINT)"
+    ),
+    # JSONKey(json, n): the n-th object key, 1-based, negative from the
+    # end (round 13 — was a passthrough)
+    "jsonkey": lambda a: (
+        f"element_at(json_object_keys({a[0]}),"
+        f" CAST({a[1]} AS INT))"
+    ),
+    # randConstant(): one random value shared by EVERY row of the query
+    # (round 13; bare rand() re-rolls per row, and Spark re-evaluates a
+    # nondeterministic scalar subquery per row too — measured).  The
+    # query-start timestamp is constant across rows and changes between
+    # submissions; a per-call-site salt keeps two randConstant() calls in
+    # one query independent, like CH's per-column values.
+    "randconstant": lambda a: (
+        f"pmod(xxhash64(CAST(current_timestamp() AS STRING),"
+        f" {next(_RANDCONST_SALT)}), 4294967296)"
+    ),
+    # randomPrintableASCII(n): CH samples the 95 printable chars 32-126
+    "randomprintableascii": lambda a: (
+        f"concat_ws('', transform(sequence(1, CAST({a[0]} AS INT)),"
+        f" __rp -> chr(32 + CAST(floor(rand() * 95) AS INT))))"
+    ),
+    # randomString/randomFixedString: CH fills with arbitrary BYTES;
+    # Spark strings must be valid UTF-8, so these return BINARY
+    # (documented type delta) — random hex pairs unhexed
+    **{
+        _t: (lambda a: (
+            f"unhex(concat_ws('', transform(sequence(1, CAST({a[0]} AS INT)),"
+            f" __rb -> lpad(hex(CAST(floor(rand() * 256) AS INT)), 2, '0'))))"
+        ))
+        for _t in ("randomstring", "randomfixedstring")
+    },
+    "randomstringutf8": lambda a: (_ for _ in ()).throw(DialectError(
+        "randomStringUTF8: full-plane code-point sampling is not "
+        "expressible (Spark's chr() is byte-range) — use "
+        "randomPrintableASCII"
+    )),
+    "getoskernelversion": lambda a: (_ for _ in ()).throw(DialectError(
+        "getOSKernelVersion is ClickHouse-server introspection — this "
+        "engine has no server host identity to report"
+    )),
+    "timeseriesgroupsum": lambda a: (_ for _ in ()).throw(DialectError(
+        "timeSeriesGroupSum was removed upstream (22.x) — interpolate "
+        "with WITH FILL / INTERPOLATE and sum per timestamp"
+    )),
     "casewithexpression": _case_with_expression,
     **{
         # IPv6 family (round 9 — was a guided block): Arrow pandas_udfs

@@ -562,3 +562,29 @@ def test_utf8_spellings_and_ipv4_classc(spark):
         " IPv4NumToStringClassC(167772161) AS c",
     )[0]
     assert list(r) == [True, True, "вба", "10.0.0.xxx"]
+
+
+def test_json_mac_random_closures(spark):
+    """Round-13 probe closures: JSONKey (1-based, negative from end),
+    MACStringToOUI, randomPrintableASCII/randomString lengths,
+    randConstant's per-query-constant per-call-independent contract."""
+    r = rows(
+        spark,
+        """SELECT JSONKey('{"a":1,"b":2}', 1) AS k1,
+        JSONKey('{"a":1,"b":2}', -1) AS kn,
+        MACStringToOUI('01:02:03:04:05:06') AS oui,
+        length(randomPrintableASCII(8)) AS rp,
+        length(randomString(6)) AS rs""",
+    )[0]
+    assert list(r) == ["a", "b", 66051, 8, 6]
+    rc = rows(
+        spark,
+        "SELECT randConstant() AS c, randConstant() AS d"
+        " FROM VALUES (1),(2),(3) t(x)",
+    )
+    assert len({row.c for row in rc}) == 1  # constant across rows
+    assert len({row.d for row in rc}) == 1
+    with pytest.raises(DialectError, match="randomStringUTF8"):
+        translate("SELECT randomStringUTF8(5)")
+    with pytest.raises(DialectError, match="timeSeriesGroupSum"):
+        translate("SELECT timeSeriesGroupSum(u, t, v) FROM x")
