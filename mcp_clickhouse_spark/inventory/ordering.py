@@ -13,12 +13,14 @@ oracle-backed closures):
 
 - the 7 queries deferred since round 7 (all 7 re-verified PASS by both
   the r11 and r12 judges' independent check_parity runs);
-- the 4 round-13 additions (scalar_format_datetime, scalar_round13,
-  scalar_uint64, streaming_embedding_pairs — the specifier-engine
-  rewrite, the intDiv/dateDiff/toDayOfWeek/to*OrZero audit fixes, the
-  UInt64 past-2^63 query, and the rows-only streaming embedding-LSH
+- the 5 round-13 additions (scalar_format_datetime, scalar_round13,
+  scalar_round13b, scalar_uint64, streaming_embedding_pairs — the
+  specifier-engine rewrite, the intDiv/dateDiff/toDayOfWeek/to*OrZero
+  audit fixes, the wave-2 closures (greatest/least NULL propagation,
+  toRelative*, hasToken, calendar toStartOfInterval, toWeek mode 1),
+  the UInt64 past-2^63 query, and the rows-only streaming embedding-LSH
   twin), so the freeze carries zero never-driver-checked registrations;
-- 39 of the 48 queries last driver-checked in round 8.
+- 38 of the 48 queries last driver-checked in round 8.
 
 Deferred to the round-14 lead (stay at r8 — oldest last-green ≥ r8
 holds at the r13 freeze; each deferral has a rotating twin exercising
@@ -42,7 +44,10 @@ the same engine path):
   map-extraction path over events.props),
 - ``win_range_frame`` (events_sliding_window — the RANGE-frame-over-time
   shape — was r12-green; win_distribution and win_lag_lead rotate the
-  other window paths).
+  other window paths),
+- ``behav_retention`` (behav_retention_sql — the same retention
+  semantics through the SQL surface — was r12-green;
+  behav_cohort_retention rotates the windowed-cohort path).
 """
 
 from __future__ import annotations
@@ -62,16 +67,16 @@ PRIORITY: list[str] = [
     # round-13 additions (specifier engine + audit closures + UInt64)
     "scalar_format_datetime",
     "scalar_round13",
+    "scalar_round13b",
     "scalar_uint64",
     "streaming_embedding_pairs",  # rows-only by design
-    # last driver-checked in round 8 (39 of the 48-query pool)
+    # last driver-checked in round 8 (38 of the 48-query pool)
     "agg_conditional",
     "agg_grouping_sets",
     "agg_minmax_by",
     "agg_topk",
     "agg_weighted_quantile",
     "agg_with_totals",
-    "behav_retention",
     "cte_multi",
     "filter_predicates",
     "join_anti",

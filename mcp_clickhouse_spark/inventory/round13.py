@@ -1,8 +1,14 @@
 """Round-13 oracle-checked closures.
 
-Three queries covering this round's dialect fixes end-to-end against
-independent DuckDB reconstructions (the oracle never runs the dialect —
-it rebuilds every expected value from DuckDB primitives):
+Five queries covering this round's dialect fixes end-to-end — four
+oracle-checked against independent DuckDB reconstructions (the oracle
+never runs the dialect — it rebuilds every expected value from DuckDB
+primitives) plus the rows-only streaming embedding-LSH twin
+(``streaming_embedding_pairs``; its values are replay-pinned to the
+batch generator by tests/test_streaming.py).  ``scalar_round13b`` adds
+the wave-2 semantics: greatest/least NULL propagation, toRelative*
+ordinals, hasToken, calendar toStartOfInterval, toWeek mode 1, the
+BestEffort epoch-string corner, and toDecimal64OrZero:
 
 - ``scalar_format_datetime``: every formatDateTime specifier the round-13
   tokenizer maps, exercised through composite format strings with literal
@@ -215,3 +221,69 @@ def scalar_uint64(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_U64_CH))
+
+
+_SQL_R13B_CH = """
+SELECT o_orderkey,
+  greatest(o_orderkey, if(o_orderkey % 5 = 0, NULL, 0)) AS g,
+  least(o_orderkey, if(o_orderkey % 5 = 0, NULL, 1)) AS l,
+  toInt64(toRelativeWeekNum(o_orderdate)) AS rw,
+  toRelativeMonthNum(o_orderdate) AS rm,
+  toInt64(hasToken(o_orderpriority, 'URGENT')) AS ht,
+  toStartOfInterval(o_orderdate, INTERVAL 2 MONTH) AS si2m,
+  toStartOfInterval(o_orderdate, INTERVAL 1 QUARTER) AS siq,
+  toInt64(toWeek(o_orderdate, 1)) AS w1,
+  parseDateTimeBestEffort(toString(o_orderkey + 946684800)) AS pe,
+  toString(toDecimal64OrZero(if(o_orderkey % 2 = 0, '12.5', 'x'), 2)) AS dz
+FROM orders
+WHERE o_orderkey <= 30000
+"""
+
+_SQL_R13B_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderpriority
+  FROM orders WHERE o_orderkey <= 30000),
+a AS (
+  SELECT *, make_date(CAST(year(d) AS INT), 1, 4)
+             - CAST(isodow(make_date(CAST(year(d) AS INT), 1, 4)) - 1
+                    AS INTEGER) AS iso_anchor
+  FROM b)
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderkey END AS g,
+  CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE 1 END AS l,
+  (date_diff('day', DATE '1970-01-01', d) + 3) // 7 AS rw,
+  year(d) * 12 + month(d) AS rm,
+  CASE WHEN list_contains(
+         string_split_regex(o_orderpriority, '[^A-Za-z0-9_]+'), 'URGENT')
+       THEN 1 ELSE 0 END AS ht,
+  make_date(1970 + CAST((((year(d) - 1970) * 12 + month(d) - 1)
+      - ((year(d) - 1970) * 12 + month(d) - 1) % 2) // 12 AS INT),
+    CAST((((year(d) - 1970) * 12 + month(d) - 1)
+      - ((year(d) - 1970) * 12 + month(d) - 1) % 2) % 12 AS INT) + 1,
+    1) AS si2m,
+  CAST(date_trunc('quarter', d) AS DATE) AS siq,
+  CASE WHEN d < iso_anchor THEN 0
+       ELSE date_diff('day', iso_anchor, d) // 7 + 1 END AS w1,
+  TIMESTAMP '1970-01-01 00:00:00'
+    + (o_orderkey + 946684800) * INTERVAL 1 SECOND AS pe,
+  CASE WHEN o_orderkey % 2 = 0 THEN '12.50' ELSE '0.00' END AS dz
+FROM a
+"""
+
+
+@query("scalar_round13b", oracle=_SQL_R13B_ORACLE, category="scalars")
+def scalar_round13b(spark, sf_dir):
+    """Round-13 wave-2 closures, oracle-checked by independent DuckDB
+    reconstruction: greatest/least NULL propagation (the oracle builds
+    the NULL rows from the key arithmetic, never calling DuckDB's
+    NULL-skipping greatest), Monday-rolling toRelativeWeekNum and
+    toRelativeMonthNum ordinals, hasToken token-boundary containment,
+    calendar toStartOfInterval (2-month epoch-anchored buckets + quarter),
+    toWeek mode 1 (ISO numbering with pre-week-1 dates at 0), the
+    parseDateTimeBestEffort bare-epoch-string corner, and
+    toDecimal64OrZero's typed zero (string-marshaled — the driver
+    canonicalizer rejects DECIMAL columns)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R13B_CH))
