@@ -174,6 +174,8 @@ NAME_MAP: dict[str, str] = {
     "arraydistinct": "array_distinct",
     "arrayconcat": "concat",
     "indexof": "array_position",
+    # AssumeSorted is a CH perf hint; values are identical (round 13)
+    "indexofassumesorted": "array_position",
     "arrayzip": "arrays_zip",
     "arrayflatten": "flatten",
     "arrayelement": "element_at",
@@ -3222,6 +3224,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "notilike": lambda a: f"(NOT (lower({a[0]}) LIKE lower({a[1]})))",
     # any-of-patterns matchers over an array argument (column or literal)
     "multimatchany": lambda a: f"exists({a[1]}, __p -> {a[0]} RLIKE __p)",
+    # 1-based indices of the matching patterns (round 13 — was a
+    # passthrough); same lambda-pattern RLIKE as multiMatchAny
+    "multimatchallindices": lambda a: (
+        f"filter(transform(sequence(1, size({a[1]})),"
+        f" __mi -> IF({a[0]} RLIKE element_at({a[1]}, __mi), __mi, NULL)),"
+        f" __mk -> __mk IS NOT NULL)"
+    ),
     "multisearchanycaseinsensitive": lambda a: (
         f"exists({a[1]}, __p -> contains(lower({a[0]}), lower(__p)))"
     ),
@@ -3368,6 +3377,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countsubstringscaseinsensitive": lambda a: (
         f"CAST(coalesce((length({a[0]}) - length(replace(lower({a[0]}),"
         f" lower({a[1]}), ''))) / nullif(length({a[1]}), 0), 0) AS INT)"
+    ),
+    # UTF8 spelling: lower() is code-point aware, and length deltas of
+    # CODE-POINT counts divide exactly like the byte form (round 13)
+    "countsubstringscaseinsensitiveutf8": lambda a: (
+        f"CAST(coalesce((char_length(lower({a[0]}))"
+        f" - char_length(replace(lower({a[0]}), lower({a[1]}), '')))"
+        f" / nullif(char_length({a[1]}), 0), 0) AS INT)"
     ),
     # leftmost position at which ANY needle occurs, 0 when none (CH
     # multiSearchFirstPosition) — min over the positive instr positions
@@ -4645,6 +4661,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "sigmoid": lambda a: f"(1.0D / (1.0D + exp(-(CAST({a[0]} AS DOUBLE)))))",
     "fromdayssinceyearzero": lambda a: (
         # inverse of toDaysSinceYearZero: year 0 is leap → -366
+        f"date_add(DATE '0001-01-01', CAST({a[0]} AS INT) - 366)"
+    ),
+    # Date32-returning alias (Spark has one DATE type) — round 13
+    "fromdayssinceyearzero32": lambda a: (
         f"date_add(DATE '0001-01-01', CAST({a[0]} AS INT) - 366)"
     ),
     "tupletonamevaluepairs": lambda a: (_ for _ in ()).throw(DialectError(

@@ -588,3 +588,20 @@ def test_json_mac_random_closures(spark):
         translate("SELECT randomStringUTF8(5)")
     with pytest.raises(DialectError, match="timeSeriesGroupSum"):
         translate("SELECT timeSeriesGroupSum(u, t, v) FROM x")
+
+
+def test_final_probe_closures(spark):
+    """Round-13 final sweep: multiMatchAllIndices (1-based matching
+    pattern indices), countSubstringsCaseInsensitiveUTF8 (code-point
+    counting), indexOfAssumeSorted, fromDaysSinceYearZero32."""
+    r = rows(
+        spark,
+        "SELECT multiMatchAllIndices('abcd', ['z', 'b.', 'd$']) AS mi,"
+        " multiMatchAllIndices('abcd', ['z']) AS mi0,"
+        " countSubstringsCaseInsensitiveUTF8('АбАб', 'аб') AS cs,"
+        " indexOfAssumeSorted([1, 2, 3], 2) AS io,"
+        " fromDaysSinceYearZero32(733321) AS fd",
+    )[0]
+    assert r[0] == [2, 3] and r[1] == []
+    assert r[2] == 2 and r[3] == 2
+    assert str(r[4]) == "2007-10-07"  # MySQL TO_DAYS anchor example
