@@ -717,11 +717,22 @@ def _format_datetime(args: list[str]) -> str:
             return
         if all(k == "lit" for k, _ in group):
             parts.append(_sql_str("".join(p for _, p in group)))
-        else:
-            java = "".join(
-                p if k == "pat" else "'" + p.replace("'", "''") + "'"
-                for k, p in group
-            )
+            group.clear()
+            return
+        # Adjacent pattern fragments can concatenate into INVALID letter
+        # counts ('%l%h' → 'h'+'hh' = 'hhh', which DateTimeFormatter
+        # rejects; found by the round-13 randomized cross-check) — split
+        # into separate date_format calls at same-letter boundaries
+        # (quoted literal fragments already break letter runs).
+        segs: list[str] = [""]
+        for k, p in group:
+            frag = p if k == "pat" else "'" + p.replace("'", "''") + "'"
+            if (k == "pat" and segs[-1] and segs[-1][-1] == p[0]
+                    and p[0].isalpha()):
+                segs.append(frag)
+            else:
+                segs[-1] += frag
+        for java in segs:
             parts.append(f"date_format({ts}, {_sql_str(java)})")
         group.clear()
 
@@ -1296,6 +1307,15 @@ def _fmt_to_java(fmt: str) -> str:
     java: list[str] = []
     for kind, payload in _fmt_tokens(body, "parseDateTime"):
         if kind == "pat":
+            # a parse pattern cannot be split into multiple calls, so
+            # same-letter adjacency ('%l%h' → 'hhh') must be rejected
+            if (java and java[-1] and not java[-1].endswith("'")
+                    and java[-1][-1] == payload[0] and payload[0].isalpha()):
+                raise DialectError(
+                    "parseDateTime: adjacent %-codes map to the same "
+                    "pattern letter and would merge ambiguously — put a "
+                    "literal separator between them"
+                )
             java.append(payload)
         elif kind == "lit":
             java.append("'" + payload.replace("'", "''") + "'")

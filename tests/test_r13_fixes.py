@@ -605,3 +605,77 @@ def test_final_probe_closures(spark):
     assert r[0] == [2, 3] and r[1] == []
     assert r[2] == 2 and r[3] == 2
     assert str(r[4]) == "2007-10-07"  # MySQL TO_DAYS anchor example
+
+
+def test_format_datetime_randomized_cross_check(spark):
+    """Seeded-random format strings (supported codes + literal text,
+    incl. quotes) cross-checked against an independent Python reference
+    of the CH 24.x specifier table — guards the tokenizer's quoting and
+    merging logic beyond the hand-picked vectors."""
+    import datetime as _dt
+    import random
+
+    def ref(ts: _dt.datetime, fmt: str) -> str:
+        iso_y, iso_w, iso_d = ts.isocalendar()
+        table = {
+            "a": ts.strftime("%a"), "b": ts.strftime("%b"),
+            "c": f"{ts.month:02d}", "C": f"{ts.year // 100:02d}",
+            "d": f"{ts.day:02d}", "D": ts.strftime("%m/%d/%y"),
+            "e": f"{ts.day:2d}", "f": f"{ts.microsecond:06d}",
+            "F": ts.strftime("%Y-%m-%d"), "g": f"{iso_y % 100:02d}",
+            "G": str(iso_y), "h": ts.strftime("%I"), "H": f"{ts.hour:02d}",
+            "i": f"{ts.minute:02d}", "I": ts.strftime("%I"),
+            "j": f"{ts.timetuple().tm_yday:03d}", "k": str(ts.hour),
+            "l": str(((ts.hour + 11) % 12) + 1), "m": f"{ts.month:02d}",
+            "M": ts.strftime("%B"), "n": "\n",
+            "p": "AM" if ts.hour < 12 else "PM",
+            "Q": str((ts.month - 1) // 3 + 1),
+            "r": ts.strftime("%I:%M:%S ") + ("AM" if ts.hour < 12 else "PM"),
+            "R": ts.strftime("%H:%M"), "s": f"{ts.second:02d}",
+            "S": f"{ts.second:02d}", "t": "\t",
+            "T": ts.strftime("%H:%M:%S"), "u": str(iso_d),
+            "V": f"{iso_w:02d}", "w": str((ts.weekday() + 1) % 7),
+            "W": ts.strftime("%A"), "y": ts.strftime("%y"),
+            "Y": str(ts.year), "z": "+0000", "%": "%",
+        }
+        out, i = [], 0
+        while i < len(fmt):
+            if fmt[i] == "%":
+                out.append(table[fmt[i + 1]])
+                i += 2
+            else:
+                out.append(fmt[i])
+                i += 1
+        return "".join(out)
+
+    rng = random.Random(1337)
+    codes = list("abcCdDefFghHiIjklmMnpQrRsStTuVwWyYz%")
+    lits = list("XZ -:/.,'&")
+    stamps = [
+        _dt.datetime(2024, 3, 5, 7, 8, 9),
+        _dt.datetime(2010, 1, 3, 23, 59, 59),   # ISO week 53 of 2009
+        _dt.datetime(1999, 12, 31, 0, 0, 1),
+    ]
+    fmts = []
+    for _ in range(40):
+        parts = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.65:
+                parts.append("%" + rng.choice(codes))
+            else:
+                parts.append(rng.choice(lits))
+        fmts.append("".join(parts))
+    for ts in stamps:
+        cols = ", ".join(
+            f"formatDateTime(toDateTime('{ts}'), "
+            f"'{f.replace(chr(39), chr(39) * 2)}') AS c{i}"
+            for i, f in enumerate(fmts)
+        )
+        got = rows(spark, f"SELECT {cols}")[0]
+        want = [ref(ts, f) for f in fmts]
+        mism = [
+            (fmts[i], got[i], want[i])
+            for i in range(len(fmts))
+            if got[i] != want[i]
+        ]
+        assert not mism, f"ts={ts}: {mism[:5]}"
