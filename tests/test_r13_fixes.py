@@ -679,3 +679,31 @@ def test_format_datetime_randomized_cross_check(spark):
             if got[i] != want[i]
         ]
         assert not mism, f"ts={ts}: {mism[:5]}"
+
+
+def test_parse_datetime_randomized_roundtrip(spark):
+    """Seeded-random formats over the parse-safe codes: formatDateTime
+    renders a timestamp, parseDateTime with the SAME format must recover
+    it (codes covering full Y-M-D H:M:S; separators include quotes)."""
+    import random
+
+    rng = random.Random(42)
+    stamps = ["2024-03-05 07:08:09", "1999-12-31 23:59:58",
+              "2010-06-15 00:00:01"]
+    seps = [" ", "-", ":", "/", "T", "'", " at "]
+    for _ in range(25):
+        order = ["%Y", "%m", "%d", "%H", "%i", "%s"]
+        rng.shuffle(order)
+        fmt = ""
+        for i, code in enumerate(order):
+            if i:
+                fmt += rng.choice(seps)
+            fmt += code
+        sql_fmt = fmt.replace("'", "''")
+        cols = ", ".join(
+            f"parseDateTime(formatDateTime(toDateTime('{ts}'),"
+            f" '{sql_fmt}'), '{sql_fmt}') AS c{i}"
+            for i, ts in enumerate(stamps)
+        )
+        got = rows(spark, f"SELECT {cols}")[0]
+        assert [str(v) for v in got] == stamps, fmt
