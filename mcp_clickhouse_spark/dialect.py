@@ -1022,6 +1022,27 @@ from itertools import count as _itercount
 
 _RANDCONST_SALT = _itercount(1)
 
+_ARRAYISH_PREFIXES = (
+    "array(", "map(", "split(", "sequence(", "collect_list(",
+    "collect_set(", "transform(", "filter(", "slice(", "flatten(",
+    "array_", "map_", "regexp_extract_all(", "json_object_keys(",
+    "shuffle(", "sort_array(", "zip_with(", "arrays_zip(",
+)
+
+
+def _poly_len(x: str) -> str:
+    """CH's polymorphic length/empty argument → Spark size() for
+    syntactically array/map-shaped expressions, length() otherwise
+    (round 13 — array literals previously hit length()'s analysis
+    error)."""
+    s = x.strip()
+    low = s.lower()
+    if (s.startswith("[") or low.startswith(_ARRAYISH_PREFIXES)
+            # typed empty-array casts: CAST(array() AS ARRAY<..>)
+            or re.search(r"\bas\s+(array|map)\s*<[^>]*>\s*\)\s*$", low)):
+        return f"size({x})"
+    return f"length({x})"
+
 
 def _null_prop_extremum(fn: str, a: list[str]) -> str:
     """greatest/least with CH's any-NULL → NULL contract (Spark's
@@ -3122,8 +3143,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # the dividend's sign, preserving the toward-zero contract.
     "intdiv": lambda a: _intdiv_expr(a[0], a[1]),
     "modulo": lambda a: f"(({a[0]}) % ({a[1]}))",
-    "empty": lambda a: f"(length({a[0]}) = 0)",
-    "notempty": lambda a: f"(length({a[0]}) > 0)",
+    # CH empty/notEmpty/length are polymorphic over strings, arrays and
+    # maps; Spark splits them into length() vs size().  Round 13: the
+    # branch is picked syntactically from the (already-translated)
+    # argument — array/map literals and the common array-producing
+    # builtins route to size(); everything else (incl. bare columns)
+    # keeps the string form.  An array-typed COLUMN still needs size()
+    # spelled directly — one expression cannot type-check both.
+    "empty": lambda a: f"({_poly_len(a[0])} = 0)",
+    "notempty": lambda a: f"({_poly_len(a[0])} > 0)",
+    "length": lambda a: _poly_len(a[0]),
     "tostring": lambda a: f"CAST({a[0]} AS STRING)",
     "toint8": lambda a: f"CAST({a[0]} AS TINYINT)",
     "toint16": lambda a: f"CAST({a[0]} AS SMALLINT)",

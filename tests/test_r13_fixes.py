@@ -707,3 +707,18 @@ def test_parse_datetime_randomized_roundtrip(spark):
         )
         got = rows(spark, f"SELECT {cols}")[0]
         assert [str(v) for v in got] == stamps, fmt
+
+
+def test_polymorphic_empty_length(spark):
+    """CH empty/notEmpty/length accept strings, arrays and maps; the
+    translation picks size() for syntactically array/map-shaped
+    arguments (literals, array-producing builtins, typed empty-array
+    casts) — these previously hit length()'s analysis error."""
+    r = rows(
+        spark,
+        "SELECT empty([1,2]) AS a, empty(emptyArrayInt8()) AS b,"
+        " notEmpty(map('a', 1)) AS c, length([1,2,3]) AS d,"
+        " length('abc') AS e, empty('') AS f,"
+        " length(splitByChar(',', 'a,b')) AS g",
+    )[0]
+    assert list(r) == [False, True, True, 3, 3, True, 2]
