@@ -5399,6 +5399,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "last_value": lambda a: f"last_value({a[0]}, true)",
     "lastvalue": lambda a: f"last_value({a[0]}, true)",
     "anyrespectnulls": lambda a: f"first({a[0]})",
+    # 24.x alias spellings (round 13 — were passthroughs)
+    "any_value": lambda a: f"any_value({a[0]}, true)",  # CH any skips NULLs
+    "anyvaluerespectnulls": lambda a: f"first({a[0]})",
+    "arrayconcatagg": lambda a: f"flatten(collect_list({a[0]}))",
+    "summappedarrays": lambda a: _map_agg_expr(a, "sum"),
     "firstvaluerespectnulls": lambda a: f"first({a[0]})",
     "anylastrespectnulls": lambda a: f"last({a[0]})",
     "lastvaluerespectnulls": lambda a: f"last({a[0]})",
@@ -7040,6 +7045,27 @@ def _extract_all_groups(a: list[str], horizontal: bool) -> str:
     return f"transform({zipped}, __eg -> array({fields}))"
 
 
+# -SimpleState is a STORAGE-type combinator: in a SELECT the value is the
+# plain aggregate's value (SimpleAggregateFunction keeps the final
+# representation), so each spelling delegates to its base (round 13 —
+# these raised alongside -State, but unlike -State nothing is lost).
+def _gen_simple_state() -> None:
+    for _b in ("sum", "min", "max", "any", "anylast", "count", "avg",
+               "grouparrayarray", "groupuniqarrayarray", "summap",
+               "minmap", "maxmap", "groupbitand", "groupbitor",
+               "groupbitxor"):
+        if f"{_b}simplestate" in TEMPLATES:
+            continue
+        if _b in TEMPLATES:
+            TEMPLATES[f"{_b}simplestate"] = TEMPLATES[_b]
+        else:
+            # sum/min/max/avg have no template of their own — they pass
+            # through as Spark builtins with identical semantics
+            TEMPLATES[f"{_b}simplestate"] = (
+                lambda a, _n=_b: f"{_n}({', '.join(a)})"
+            )
+
+
 TEMPLATES.update({
     # CH regexpExtract(haystack, pattern[, index]) — index defaults to 1
     "regexpextract": lambda a: (
@@ -7445,6 +7471,8 @@ for _b in ("quantile", "quantiles", "quantileexact", "quantiletdigest",
 # and quantileInterpolatedWeighted shares quantileExactWeighted's
 # guided weighted-quantile routing (both direct the user to the exact
 # single-shuffle operator).
+_gen_simple_state()
+
 PARAMETRIC["approx_top_k"] = PARAMETRIC["topk"]
 PARAMETRIC["approx_top_count"] = PARAMETRIC["topk"]
 PARAMETRIC["approx_top_sum"] = PARAMETRIC["topkweighted"]

@@ -722,3 +722,26 @@ def test_polymorphic_empty_length(spark):
         " length(splitByChar(',', 'a,b')) AS g",
     )[0]
     assert list(r) == [False, True, True, 3, 3, True, 2]
+
+
+def test_simplestate_and_aggregate_aliases(spark):
+    """-SimpleState is a STORAGE combinator — SELECT values equal the
+    plain aggregate (unlike -State, which stays a guided error);
+    any_value/anyValueRespectNulls/arrayConcatAgg/sumMappedArrays are
+    24.x alias spellings that previously leaked (round 13)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a',array(1,2)),(2,'a',array(3))"
+        " AS t(x, g, arr)"
+    ).createOrReplaceTempView("t_r13ss")
+    r = spark.sql(translate(
+        "SELECT g, sumSimpleState(x) AS ss, minSimpleState(x) AS ms,"
+        " maxSimpleState(x) AS xs, anyLastSimpleState(x) AS als,"
+        " any_value(x) AS av, anyValueRespectNulls(x) AS avr,"
+        " arrayConcatAgg(arr) AS aca, sumMappedArrays(['k'], [x]) AS sma"
+        " FROM t_r13ss GROUP BY g"
+    )).collect()[0]
+    assert (r.ss, r.ms, r.xs, r.als, r.av, r.avr) == (3, 1, 2, 2, 1, 1)
+    assert sorted(r.aca) == [1, 2, 3]
+    assert r.sma["_1"] == ["k"] and r.sma["_2"] == [3]
+    with pytest.raises(ValueError, match="no Spark equivalent"):
+        translate("SELECT sumState(x) FROM t GROUP BY g")
