@@ -166,9 +166,9 @@ def run_smoke(spark) -> None:
 
 
 def main() -> None:
-    from mcp_clickhouse_spark.session import get_session
+    from mcp_clickhouse_spark.session import get_spark
 
-    run_smoke(get_session())
+    run_smoke(get_spark(app_name="mcp-smoke"))
 
 
 if __name__ == "__main__":
