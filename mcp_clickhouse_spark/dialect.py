@@ -4676,16 +4676,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "min2": lambda a: _null_prop_extremum("least", a),
     # CH's null-safe equality spelling → Spark's <=> operator
     "isnotdistinctfrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
-    # hasToken: token-boundary containment (tokens = [A-Za-z0-9_]+ runs).
-    # Splitting the haystack on non-token runs keeps it JVM-side and
-    # needle-escaping-free.  Delta: CH THROWS when the needle itself
-    # contains separators; this returns 0 (the needle can never equal a
-    # token) — value-compatible for every valid needle.
+    # hasToken: token-boundary containment.  CH tokens are maximal
+    # ALPHANUMERIC-ASCII runs (StringUtils isAlphaNumericASCII — the
+    # underscore is a SEPARATOR, unlike \\w).  Splitting the haystack on
+    # non-token runs keeps it JVM-side and needle-escaping-free.  Delta:
+    # CH THROWS when the needle itself contains separators; this returns
+    # 0 (the needle can never equal a token) — value-compatible for
+    # every valid needle.
     "hastoken": lambda a: (
-        f"CAST(array_contains(split({a[0]}, '[^A-Za-z0-9_]+'), {a[1]}) AS INT)"
+        f"CAST(array_contains(split({a[0]}, '[^A-Za-z0-9]+'), {a[1]}) AS INT)"
     ),
     "hastokencaseinsensitive": lambda a: (
-        f"CAST(array_contains(split(lower({a[0]}), '[^a-z0-9_]+'),"
+        f"CAST(array_contains(split(lower({a[0]}), '[^a-z0-9]+'),"
         f" lower({a[1]})) AS INT)"
     ),
     # CH's Nothing aggregate: consumes rows, returns NULL (round 13 —

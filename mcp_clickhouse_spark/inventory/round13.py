@@ -254,7 +254,7 @@ SELECT o_orderkey,
   (date_diff('day', DATE '1970-01-01', d) + 3) // 7 AS rw,
   year(d) * 12 + month(d) AS rm,
   CASE WHEN list_contains(
-         string_split_regex(o_orderpriority, '[^A-Za-z0-9_]+'), 'URGENT')
+         string_split_regex(o_orderpriority, '[^A-Za-z0-9]+'), 'URGENT')
        THEN 1 ELSE 0 END AS ht,
   make_date(1970 + CAST((((year(d) - 1970) * 12 + month(d) - 1)
       - ((year(d) - 1970) * 12 + month(d) - 1) % 2) // 12 AS INT),

@@ -433,7 +433,7 @@ def test_is_not_distinct_from_and_has_token(spark):
         " isNotDistinctFrom(1, 2) AS b,"
         " hasToken('Hello World foo_bar', 'World') AS ht,"
         " hasToken('Hello World', 'Wor') AS ht0,"  # substring ≠ token
-        " hasToken('a_b c', 'a_b') AS ht_us,"      # _ is a token char
+        " hasToken('a_b c', 'b') AS ht_us,"  # _ is a SEPARATOR in CH
         " hasTokenCaseInsensitive('Hello World', 'world') AS hci",
     )[0]
     assert list(r) == [True, False, 1, 0, 1, 1]
