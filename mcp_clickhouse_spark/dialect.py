@@ -1044,6 +1044,20 @@ def _poly_len(x: str) -> str:
     return f"length({x})"
 
 
+def _unwrap_type_wrappers(t: str) -> str:
+    """Strip CH's Nullable(...)/LowCardinality(...) type wrappers (both
+    are no-ops on Spark: every type is nullable, LowCardinality is a
+    storage encoding)."""
+    t = t.strip()
+    while True:
+        m = re.fullmatch(
+            r"(?is)(?:Nullable|LowCardinality)\s*\((.*)\)", t
+        )
+        if not m:
+            return t
+        t = m.group(1).strip()
+
+
 def _null_prop_extremum(fn: str, a: list[str]) -> str:
     """greatest/least with CH's any-NULL → NULL contract (Spark's
     builtins skip NULL arguments instead — round-13 audit)."""
@@ -5006,6 +5020,24 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "adddate": lambda a: f"({a[0]} + {a[1]})",
     "subdate": lambda a: f"({a[0]} - {a[1]})",
+    # addInterval/subtractInterval with a plain INTERVAL (round 13 — was
+    # unresolved); the tuple-of-intervals form keeps its guided error
+    "addinterval": lambda a: (
+        f"({a[0]} + {a[1]})"
+        if a[1].strip().upper().startswith("INTERVAL")
+        else (_ for _ in ()).throw(DialectError(
+            "addInterval: only a plain INTERVAL argument translates — "
+            "for a tuple of intervals add them one at a time"
+        ))
+    ),
+    "subtractinterval": lambda a: (
+        f"({a[0]} - {a[1]})"
+        if a[1].strip().upper().startswith("INTERVAL")
+        else (_ for _ in ()).throw(DialectError(
+            "subtractInterval: only a plain INTERVAL argument translates "
+            "— for a tuple of intervals subtract them one at a time"
+        ))
+    ),
     "tomodifiedjulianday": lambda a: (
         f"datediff(CAST({a[0]} AS DATE), DATE '1858-11-17')"
     ),
@@ -10035,8 +10067,17 @@ def translate(sql: str) -> str:
             if len(parts) == 2 and re.fullmatch(
                 r"'[A-Za-z0-9_(), ]+'", parts[1].strip()
             ):
-                t = parts[1].strip().strip("'").lower()
+                t = _unwrap_type_wrappers(parts[1].strip().strip("'")).lower()
                 inner = f"{parts[0]} AS {TYPE_MAP.get(t, t)}"
+            # Nullable(T)/LowCardinality(T) wrappers in the type position
+            # (round 13 — previously an unparseable Spark type): every
+            # Spark type is nullable and LowCardinality is a storage
+            # encoding, so both unwrap to T
+            inner = re.sub(
+                r"(?is)\bAS\s+((?:Nullable|LowCardinality)\s*\(.*\))\s*$",
+                lambda mm: "AS " + _unwrap_type_wrappers(mm.group(1)),
+                inner,
+            )
             inner = re.sub(
                 r"(?i)\bAS\s+([A-Za-z0-9_]+)\s*$",
                 lambda mm: "AS "

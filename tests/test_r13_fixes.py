@@ -745,3 +745,27 @@ def test_simplestate_and_aggregate_aliases(spark):
     assert r.sma["_1"] == ["k"] and r.sma["_2"] == [3]
     with pytest.raises(ValueError, match="no Spark equivalent"):
         translate("SELECT sumState(x) FROM t GROUP BY g")
+
+
+def test_nullable_lowcardinality_cast_and_add_interval(spark):
+    """CAST type wrappers Nullable(T)/LowCardinality(T) unwrap (every
+    Spark type is nullable; LowCardinality is a storage encoding) in
+    both the AS and comma forms; addInterval/subtractInterval translate
+    for plain INTERVAL arguments (round 13 — all were parse/resolution
+    failures)."""
+    r = rows(
+        spark,
+        "SELECT CAST('1' AS Nullable(Int32)) AS a,"
+        " CAST('x' AS LowCardinality(Nullable(String))) AS b,"
+        " CAST('2024-01-01', 'Nullable(Date)') AS c,"
+        " addInterval(toDateTime('2024-01-01 00:00:00'),"
+        "             INTERVAL 2 HOUR) AS d,"
+        " subtractInterval(toDateTime('2024-01-01 02:00:00'),"
+        "                  INTERVAL 30 MINUTE) AS e",
+    )[0]
+    assert r[0] == 1 and r[1] == "x" and str(r[2]) == "2024-01-01"
+    assert str(r[3]) == "2024-01-01 02:00:00"
+    assert str(r[4]) == "2024-01-01 01:30:00"
+    with pytest.raises(DialectError, match="tuple of intervals"):
+        translate("SELECT addInterval(t, tuple(INTERVAL 1 DAY,"
+                  " INTERVAL 1 HOUR)) FROM x")
