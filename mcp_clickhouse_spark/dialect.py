@@ -8326,6 +8326,67 @@ def _rewrite_limit_by(sql: str) -> str:
     return out
 
 
+def _rewrite_distinct_on(sql: str) -> str:
+    """ClickHouse ``SELECT DISTINCT ON (c1[, c2]) …`` → first row per
+    group via row_number (round 13 — the SQL-text form parsed ``ON`` as
+    a function call and failed resolution; only the DataFrame shim
+    existed).  CH keeps an UNDEFINED row per group (its DISTINCT runs
+    before ORDER BY), so the deterministic pick here — the query's
+    trailing ORDER BY when present, else the ON expressions — is a
+    valid refinement.  Same loud-failure caveat as LIMIT BY/QUALIFY:
+    the ON expressions must survive the select list."""
+    sql = _recurse_subqueries(
+        sql, _rewrite_distinct_on, r"(?is)\bDISTINCT\s+ON\s*\("
+    )
+    d0 = {i for i, _ in _depth0_spans(sql)}
+    m = next(
+        (
+            mm
+            for mm in re.finditer(r"(?is)\bSELECT\s+DISTINCT\s+ON\s*\(", sql)
+            if mm.start() in d0
+        ),
+        None,
+    )
+    if not m:
+        return sql
+    close = _find_balanced(sql, m.end() - 1)
+    cols = sql[m.end() : close - 1].strip()
+    if not cols:
+        raise DialectError("DISTINCT ON needs at least one expression")
+    plain = sql[: m.start()] + "SELECT " + sql[close:].lstrip()
+    d0p = {i for i, _ in _depth0_spans(plain)}
+    mo = None
+    for mm in re.finditer(r"(?is)\bORDER\s+BY\s+", plain):
+        if mm.start() in d0p:
+            mo = mm
+    tail_start = len(plain)
+    tail = ""
+    for mm in re.finditer(r"(?is)\bLIMIT\b", plain):
+        if mm.start() in d0p and (mo is None or mm.start() > mo.start()):
+            tail_start = mm.start()
+            tail = plain[mm.start() :].strip()
+            break
+    if mo:
+        order_clause = plain[mo.start() : tail_start].strip()
+        core = plain[: mo.start()].rstrip()
+        window_order = order_clause
+    else:
+        order_clause = ""
+        core = plain[:tail_start].rstrip()
+        window_order = f"ORDER BY {cols}"
+    out = (
+        f"SELECT * EXCEPT (__dor) FROM ("
+        f"SELECT *, ROW_NUMBER() OVER (PARTITION BY {cols} {window_order})"
+        f" AS __dor FROM ({core}) __distinct_on_src) __distinct_on"
+        f" WHERE __dor = 1"
+    )
+    if order_clause:
+        out += f" {order_clause}"
+    if tail:
+        out += f" {tail}"
+    return out
+
+
 def _rewrite_with_totals(sql: str) -> str:
     """ClickHouse `GROUP BY c1, c2 WITH TOTALS` → `GROUP BY GROUPING SETS
     ((c1, c2), ())`.
@@ -9959,6 +10020,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_any_joins(sql)
     sql = _rewrite_limit_ties(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_join_modifiers(sql)
     sql = _rewrite_table_clauses(sql)
     sql = _rewrite_with_totals(sql)

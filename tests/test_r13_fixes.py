@@ -769,3 +769,26 @@ def test_nullable_lowcardinality_cast_and_add_interval(spark):
     with pytest.raises(DialectError, match="tuple of intervals"):
         translate("SELECT addInterval(t, tuple(INTERVAL 1 DAY,"
                   " INTERVAL 1 HOUR)) FROM x")
+
+
+def test_distinct_on_sql_text(spark):
+    """SELECT DISTINCT ON (cols) in SQL text (round 13 — previously
+    parsed ON as a function and failed resolution; only the DataFrame
+    shim existed).  Deterministic first-per-group pick via the trailing
+    ORDER BY (else the ON columns); subquery form recurses; plain
+    DISTINCT untouched."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(2,'a'),(3,'b'),(4,'b') AS t(x, g)"
+    ).createOrReplaceTempView("t_r13do")
+    got = spark.sql(translate(
+        "SELECT DISTINCT ON (g) g, x FROM t_r13do ORDER BY g, x DESC"
+    )).collect()
+    assert [tuple(r) for r in got] == [("a", 2), ("b", 4)]
+    got2 = spark.sql(translate(
+        "SELECT * FROM (SELECT DISTINCT ON (g) g, x FROM t_r13do"
+        " ORDER BY g, x) ORDER BY g"
+    )).collect()
+    assert [tuple(r) for r in got2] == [("a", 1), ("b", 3)]
+    assert "DISTINCT ON" not in translate(
+        "SELECT DISTINCT g FROM t_r13do"
+    )  # plain DISTINCT untouched
