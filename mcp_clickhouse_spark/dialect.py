@@ -25,7 +25,11 @@ Known semantic deltas (documented, not silently wrong):
   - arrayDifference/arrayCumSum on Int64 values that overflow: ClickHouse
     WRAPS (two's-complement); this engine runs under ANSI mode and throws
     ARITHMETIC_OVERFLOW instead (round-13 audit: error-over-silent-wrong —
-    wrap explicitly with toInt64(... % ...) if wrapping is wanted).
+    wrap explicitly with toInt64(... % ...) if wrapping is wanted);
+  - reverse(string): ClickHouse reverses BYTES (garbage on multi-byte
+    UTF-8 — its docs direct users to reverseUTF8); Spark's reverse is
+    code-point aware, so reverse == reverseUTF8 here (identical for
+    ASCII, strictly more useful otherwise).
 """
 
 from __future__ import annotations
