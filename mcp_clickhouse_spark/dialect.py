@@ -1048,6 +1048,25 @@ def _poly_len(x: str) -> str:
     return f"length({x})"
 
 
+def _in_fn_expr(a: list[str], negate: bool, null_safe: bool) -> str:
+    """CH's in/notIn/nullIn/notNullIn FUNCTION spellings (round 13 —
+    were passthroughs).  An array-shaped right side maps to
+    array_contains (or a null-safe exists fold for the nullIn family);
+    other right-side shapes (tuples, table subqueries) keep the operator
+    spelling `x IN (...)`, which Spark parses natively."""
+    x, rhs = a[0], a[1].strip()
+    low = rhs.lower()
+    arrayish = rhs.startswith("[") or low.startswith(_ARRAYISH_PREFIXES)
+    if arrayish:
+        if null_safe:
+            core = f"exists({rhs}, __inv -> __inv <=> ({x}))"
+        else:
+            core = f"array_contains({rhs}, {x})"
+    else:
+        core = f"(({x}) IN {rhs if rhs.startswith('(') else f'({rhs})'})"
+    return f"(NOT {core})" if negate else core
+
+
 def _unwrap_type_wrappers(t: str) -> str:
     """Strip CH's Nullable(...)/LowCardinality(...) type wrappers (both
     are no-ops on Spark: every type is nullable, LowCardinality is a
@@ -4694,6 +4713,29 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "min2": lambda a: _null_prop_extremum("least", a),
     # CH's null-safe equality spelling → Spark's <=> operator
     "isnotdistinctfrom": lambda a: f"(({a[0]}) <=> ({a[1]}))",
+    # comparison-operator function spellings (round 13 — were
+    # passthroughs).  BOOLEAN output, like the repo's other predicates:
+    # these overwhelmingly appear in WHERE/if conditions, where an
+    # INT-cast form would fail Spark's analysis outright.
+    "equals": lambda a: f"(({a[0]}) = ({a[1]}))",
+    "notequals": lambda a: f"(({a[0]}) != ({a[1]}))",
+    "less": lambda a: f"(({a[0]}) < ({a[1]}))",
+    "greater": lambda a: f"(({a[0]}) > ({a[1]}))",
+    "lessorequals": lambda a: f"(({a[0]}) <= ({a[1]}))",
+    "greaterorequals": lambda a: f"(({a[0]}) >= ({a[1]}))",
+    # notIn/nullIn/notNullIn function spellings over an ARRAY right
+    # side; nullIn is the NULL-as-value variant (NULL nullIn [NULL] = 1)
+    # via a <=> probe.  The bare in() spelling is NOT mapped: the token
+    # is indistinguishable from the `x IN (...)` OPERATOR's keyword at
+    # rewrite time — write the operator form, which Spark parses
+    # natively.
+    "notin": lambda a: _in_fn_expr(a, negate=True, null_safe=False),
+    "nullin": lambda a: _in_fn_expr(a, negate=False, null_safe=True),
+    "notnullin": lambda a: _in_fn_expr(a, negate=True, null_safe=True),
+    "isnullable": lambda a: (_ for _ in ()).throw(DialectError(
+        "isNullable inspects the column's STORAGE type — every Spark "
+        "column is nullable, so the distinction does not exist here"
+    )),
     # hasToken: token-boundary containment.  CH tokens are maximal
     # ALPHANUMERIC-ASCII runs (StringUtils isAlphaNumericASCII — the
     # underscore is a SEPARATOR, unlike \\w).  Splitting the haystack on

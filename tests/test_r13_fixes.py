@@ -792,3 +792,28 @@ def test_distinct_on_sql_text(spark):
     assert "DISTINCT ON" not in translate(
         "SELECT DISTINCT g FROM t_r13do"
     )  # plain DISTINCT untouched
+
+
+def test_comparison_function_spellings_and_in_family(spark):
+    """Operator-function spellings (equals/notEquals/less/greater/
+    lessOrEquals/greaterOrEquals) and the notIn/nullIn/notNullIn family
+    over array right sides (round 13 — were passthroughs).  The bare
+    in() spelling is deliberately NOT mapped: its token is the IN
+    operator's keyword; the operator form parses natively (asserted)."""
+    spark.sql(
+        "SELECT * FROM VALUES (1,'a'),(2,'a'),(3,'b') AS t(x, g)"
+    ).createOrReplaceTempView("t_r13in")
+    r = spark.sql(translate(
+        "SELECT equals(x, 3) AS a, notEquals(x, 3) AS b, less(x, 9) AS c,"
+        " greater(x, 1) AS d, lessOrEquals(x, 3) AS e,"
+        " greaterOrEquals(x, 3) AS f, notIn(x, [1, 2]) AS ni,"
+        " nullIn(NULL, [NULL, 1]) AS nl, notNullIn(x, [NULL, 1]) AS nn"
+        " FROM t_r13in WHERE equals(g, 'b')"
+    )).collect()[0]
+    assert list(r) == [True, False, True, True, True, True,
+                       True, True, True]
+    # the IN operator must survive untouched
+    t = translate("SELECT x FROM t WHERE x IN (1, 2) AND x NOT IN (9)")
+    assert "IN (1, 2)" in t and "NOT IN (9)" in t
+    with pytest.raises(DialectError, match="isNullable"):
+        translate("SELECT isNullable(x) FROM t")
