@@ -6866,6 +6866,47 @@ TEMPLATES.update({
     "tostartofnanosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "servertimezone": lambda a: "current_timezone()",
     "timezoneof": lambda a: "current_timezone()",
+    # bare timezone()/timeZone() spellings (round 13 — were passthroughs)
+    "timezone": lambda a: "current_timezone()",
+    # getSettingOrDefault: no CH settings registry exists here, so every
+    # custom setting is "unset" and the default IS the documented value
+    "getsettingordefault": lambda a: f"({a[1]})",
+    # WKT line readers (round 13): same regex/split readers as the
+    # ring/polygon family — a LINESTRING is an (unclosed) point list
+    "readwktlinestring": lambda a: _wkt_points_expr(
+        f"regexp_extract({a[0]}, 'LINESTRING\\\\s*\\\\(([^()]+)\\\\)', 1)"
+    ),
+    "readwktmultilinestring": lambda a: (
+        f"transform(regexp_extract_all({a[0]}, '\\\\(([^()]+)\\\\)', 1),"
+        f" __wl -> {_wkt_points_expr('__wl')})"
+    ),
+    # rendering / boolean geometry / embedded region hierarchy — guided
+    "svg": lambda a: (_ for _ in ()).throw(DialectError(
+        "svg: geometry rendering is presentation-layer — format with "
+        "concat() over the point tuples instead"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: polygon boolean operations need a geometry kernel "
+            "(boost) whose clipping strategy the CH docs do not pin — "
+            "compute areas/perimeters with the polygon* family instead"
+        ))))(_t)
+        for _t in ("polygonsunioncartesian", "polygonsunionspherical",
+                   "polygonsintersectioncartesian",
+                   "polygonsintersectionspherical",
+                   "polygonssymdifferencecartesian",
+                   "polygonssymdifferencespherical")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: the embedded-regions hierarchy is a ClickHouse "
+            "server data file that does not exist here"
+        ))))(_t)
+        for _t in ("regiontoname", "regiontocountry", "regiontoarea",
+                   "regiontocity", "regiontodistrict", "regiontocontinent",
+                   "regiontopopulation", "regionin", "regionhierarchy",
+                   "regiontotopcontinent")
+    },
     # CH toTimezone changes the DISPLAY zone only — the instant is
     # unchanged, and Spark timestamps carry no zone, so identity is the
     # faithful instant-preserving mapping (rendering follows the session)

@@ -817,3 +817,22 @@ def test_comparison_function_spellings_and_in_family(spark):
     assert "IN (1, 2)" in t and "NOT IN (9)" in t
     with pytest.raises(DialectError, match="isNullable"):
         translate("SELECT isNullable(x) FROM t")
+
+
+def test_timezone_settings_wkt_line_readers(spark):
+    """Round-13 final closures: timezone()/timeZone() under the UTC
+    session contract, getSettingOrDefault (no settings registry → the
+    default IS the value), the WKT LINESTRING/MULTILINESTRING readers,
+    and guided errors for rendering/boolean-geometry/region names."""
+    r = rows(
+        spark,
+        "SELECT timezone() AS a, getSettingOrDefault('custom_x', 42) AS b,"
+        " readWKTLineString('LINESTRING (1 1, 2.5 3)') AS c",
+    )[0]
+    assert r[0] == "UTC" and r[1] == 42
+    assert [(p["_1"], p["_2"]) for p in r[2]] == [(1.0, 1.0), (2.5, 3.0)]
+    for bad, msg in [("svg(p)", "svg"),
+                     ("polygonsUnionCartesian(a, b)", "boolean"),
+                     ("regionToName(1)", "embedded-regions")]:
+        with pytest.raises(DialectError, match=msg):
+            translate(f"SELECT {bad} FROM t")
