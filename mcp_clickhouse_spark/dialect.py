@@ -697,6 +697,7 @@ def _format_datetime(args: list[str]) -> str:
         raise DialectError("formatDateTime needs (datetime, format)")
     ts = args[0]
     body = _fmt_literal_body(args[1], "formatDateTime")
+    toks = _fmt_tokens(body, "formatDateTime")
     if len(args) >= 3:
         tz = _tz_literal(args[2])
         if tz is None:
@@ -704,7 +705,9 @@ def _format_datetime(args: list[str]) -> str:
                 "formatDateTime: only a string-literal timezone argument "
                 "is supported"
             )
-        if "%z" in body:
+        # check the TOKENS, not the raw body: an escaped '%%z' is a
+        # literal '%'+'z', not a %z specifier (round-14 advice)
+        if any(k == "pat" and p == "xx" for k, p in toks):
             raise DialectError(
                 "formatDateTime: %z with a timezone argument would print "
                 "the session (UTC) offset, not the requested zone's — "
@@ -712,7 +715,6 @@ def _format_datetime(args: list[str]) -> str:
             )
         # CH renders the wall clock of the instant in the given zone
         ts = f"from_utc_timestamp({ts}, {tz})"
-    toks = _fmt_tokens(body, "formatDateTime")
     parts: list[str] = []
     group: list[tuple[str, str]] = []
 
@@ -1064,7 +1066,17 @@ def _in_fn_expr(a: list[str], negate: bool, null_safe: bool) -> str:
             core = f"array_contains({rhs}, {x})"
     else:
         core = f"(({x}) IN {rhs if rhs.startswith('(') else f'({rhs})'})"
-    return f"(NOT {core})" if negate else core
+    if null_safe:
+        return f"(NOT {core})" if negate else core
+    # CH IN-family two-valued logic (transform_null_in=0 default): a NULL
+    # left operand returns 0 for BOTH in and notIn, and NULLs in the set
+    # never match (1 in (1,NULL)=1, 3 in (1,NULL)=0, 3 notIn (1,NULL)=1)
+    # — Spark's three-valued NULL would leak through NOT (round-14
+    # advice).
+    wrapped = f"coalesce({core}, false)"
+    if negate:
+        return f"((({x}) IS NOT NULL) AND NOT {wrapped})"
+    return f"((({x}) IS NOT NULL) AND {wrapped})"
 
 
 def _unwrap_type_wrappers(t: str) -> str:
@@ -1182,10 +1194,11 @@ def _intdiv_expr(x: str, y: str) -> str:
 
 def _to_day_of_week(a: list[str]) -> str:
     """toDayOfWeek(date[, mode[, tz]]) — CH's four documented modes
-    (round 13; the mode argument was previously ignored, returning the
-    mode-0 value for every call).  Spark weekday() is Monday=0..Sunday=6:
+    (round 14; round 13 had modes 2 and 3 swapped vs CH's WeekDayMode
+    enum — 2 = WeekStartsSunday0, 3 = WeekStartsSunday1).  Spark
+    weekday() is Monday=0..Sunday=6:
     mode 0 → Monday=1..Sunday=7, mode 1 → Monday=0..Sunday=6,
-    mode 2 → Sunday=1..Saturday=7, mode 3 → Sunday=0..Saturday=6."""
+    mode 2 → Sunday=0..Saturday=6, mode 3 → Sunday=1..Saturday=7."""
     d = a[0]
     mode = a[1].strip() if len(a) >= 2 else "0"
     if len(a) >= 3 and a[2].strip().strip("'\"") not in ("UTC", "Etc/UTC"):
@@ -1196,8 +1209,8 @@ def _to_day_of_week(a: list[str]) -> str:
     exprs = {
         "0": f"(weekday({d}) + 1)",
         "1": f"weekday({d})",
-        "2": f"dayofweek({d})",          # Spark: Sunday=1..Saturday=7
-        "3": f"(dayofweek({d}) - 1)",
+        "2": f"(dayofweek({d}) - 1)",    # Spark dayofweek: Sunday=1..7
+        "3": f"dayofweek({d})",
     }
     if mode not in exprs:
         raise DialectError(
@@ -2280,7 +2293,9 @@ def _format_readable_time_delta(a: list[str]) -> str:
     constants there too), so the unit chain is known at translate time and
     expands to one fold over literal unit structs: floor-divide the
     remainder by each unit size largest→smallest, keep nonzero counts as
-    "N unit[s]" parts, join with ", ".  All-zero → "0 <min_unit>";
+    "N unit[s]" parts, join with ", " and " and " before the last part
+    (CH docs: 7850 → "2 hours, 10 minutes and 50 seconds"; round 14 —
+    round 8 joined comma-only).  All-zero → "0 <min_unit>";
     negatives print one leading "-" (CH convention); NULL stays NULL.
     Mirrors CH's double-precision floor division per unit (the sub-second
     units share CH's own representability hazard, e.g. 0.1 s → 100 ms
@@ -2337,7 +2352,9 @@ def _format_readable_time_delta(a: list[str]) -> str:
         f" 'parts', CAST(array() AS ARRAY<STRING>)),"
         f" (__ac, __u) -> {step},"
         f" __ac -> IF(size(__ac.parts) = 0, {zero},"
-        f" array_join(__ac.parts, ', ')))"
+        f" IF(size(__ac.parts) = 1, element_at(__ac.parts, 1),"
+        f" concat(array_join(slice(__ac.parts, 1, size(__ac.parts) - 1),"
+        f" ', '), ' and ', element_at(__ac.parts, -1)))))"
     )
     return (
         f"element_at(transform(array(CAST(({a[0]}) AS DOUBLE)), __v ->"
@@ -3847,6 +3864,23 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "bitmaporcardinality": lambda a: (
         f"size(array_distinct(concat({a[0]}, {a[1]})))"
     ),
+    # symmetric difference / and-not cardinalities and value remapping
+    # (round-14 probe wave — these three leaked raw UNRESOLVED_ROUTINE
+    # while the rest of the bitmap family was mapped)
+    "bitmapxorcardinality": lambda a: (
+        f"size(array_except(array_distinct(concat({a[0]}, {a[1]})),"
+        f" array_intersect({a[0]}, {a[1]})))"
+    ),
+    "bitmapandnotcardinality": lambda a: (
+        f"size(array_except({a[0]}, {a[1]}))"
+    ),
+    "bitmaptransform": lambda a: (
+        f"array_distinct(transform({a[0]}, __x -> CASE"
+        f" WHEN array_position({a[1]}, __x) > 0"
+        f" THEN element_at({a[2]},"
+        f" CAST(array_position({a[1]}, __x) AS INT))"
+        f" ELSE __x END))"
+    ),
     "bitmapmin": lambda a: f"array_min({a[0]})",
     "bitmapmax": lambda a: f"array_max({a[0]})",
     # byte-set Jaccard over the strings' characters (CH compares byte
@@ -4298,9 +4332,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
     "arraypopback": lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
     "arraypopfront": lambda a: f"slice({a[0]}, 2, greatest(size({a[0]}) - 1, 0))",
+    # 3-arg pads the explicit extender; 2-arg shrink/keep is exact, but a
+    # 2-arg EXTENSION raises at runtime — CH pads the element type's
+    # default, which is unknowable at translation time (round 14: was a
+    # silent NULL pad, inconsistent with arrayShiftLeft's guided error)
     "arrayresize": lambda a: (
-        f"slice(concat({a[0]}, array_repeat({a[2] if len(a) > 2 else 'NULL'},"
+        f"slice(concat({a[0]}, array_repeat({a[2]},"
         f" greatest(({a[1]}) - size({a[0]}), 0))), 1, {a[1]})"
+        if len(a) > 2
+        else (
+            f"IF(({a[0]}) IS NULL, {a[0]},"
+            f" IF(({a[1]}) <= size({a[0]}), slice({a[0]}, 1, {a[1]}),"
+            f" raise_error('arrayResize: extending past the array length"
+            f" needs an explicit pad value (CH pads the element type"
+            f" default, unknowable at translation time)')))"
+        )
     ),
     "countequal": lambda a: f"size(filter({a[0]}, x -> x <=> {a[1]}))",
     # CH returns [0, a[2]-a[1], ...]; element_at keeps it type-generic
@@ -4723,6 +4769,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "greater": lambda a: f"(({a[0]}) > ({a[1]}))",
     "lessorequals": lambda a: f"(({a[0]}) <= ({a[1]}))",
     "greaterorequals": lambda a: f"(({a[0]}) >= ({a[1]}))",
+    # CH's variadic logical XOR (round 14 — leaked a raw
+    # UNRESOLVED_ROUTINE; the and/or/not spellings were mapped in r13's
+    # bc6ad23 but xor was missed).  Chained boolean != is exact: each
+    # step flips on a truthy operand, and a NULL operand propagates NULL
+    # through != just as CH's xor does.
+    "xor": lambda a: (
+        "(" + " != ".join(f"CAST({x} AS BOOLEAN)" for x in a) + ")"
+        if len(a) >= 2
+        else (_ for _ in ()).throw(DialectError(
+            "xor needs at least two arguments"
+        ))
+    ),
     # notIn/nullIn/notNullIn function spellings over an ARRAY right
     # side; nullIn is the NULL-as-value variant (NULL nullIn [NULL] = 1)
     # via a <=> probe.  The bare in() spelling is NOT mapped: the token
@@ -4743,12 +4801,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # CH THROWS when the needle itself contains separators; this returns
     # 0 (the needle can never equal a token) — value-compatible for
     # every valid needle.
+    # empty tokens from leading/trailing separators are filtered so an
+    # empty-string needle returns 0, not 1 (CH throws on needles without
+    # token characters; 0 is this dialect's documented delta — round-14
+    # advice closed the empty-needle exception to that delta)
     "hastoken": lambda a: (
-        f"CAST(array_contains(split({a[0]}, '[^A-Za-z0-9]+'), {a[1]}) AS INT)"
+        f"CAST(array_contains(filter(split({a[0]}, '[^A-Za-z0-9]+'),"
+        f" __t -> __t != ''), {a[1]}) AS INT)"
     ),
     "hastokencaseinsensitive": lambda a: (
-        f"CAST(array_contains(split(lower({a[0]}), '[^a-z0-9]+'),"
-        f" lower({a[1]})) AS INT)"
+        f"CAST(array_contains(filter(split(lower({a[0]}), '[^a-z0-9]+'),"
+        f" __t -> __t != ''), lower({a[1]})) AS INT)"
     ),
     # CH's Nothing aggregate: consumes rows, returns NULL (round 13 —
     # was a raw passthrough); max over an all-NULL column is the
@@ -5191,10 +5254,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # positional index → the _N convention tuple() emits; a quoted name
     # (CH named tuples, e.g. the hypothesis-test results) → that field
+    # a bare tuple LITERAL first argument — tupleElement((1,'a'), 2) —
+    # is normalized to the named_struct form (round 14)
     "tupleelement": lambda a: (
-        f"({a[0]}).{a[1].strip()[1:-1]}"
+        f"({_tuple_literal_struct(a[0]) or a[0]}).{a[1].strip()[1:-1]}"
         if re.fullmatch(r"'[A-Za-z_][A-Za-z0-9_]*'", a[1].strip())
-        else f"({a[0]})._{_int_literal(a[1], 'tupleElement index')}"
+        else f"({_tuple_literal_struct(a[0]) or a[0]})."
+             f"_{_int_literal(a[1], 'tupleElement index')}"
     ),
     "untuple": lambda a: (_ for _ in ()).throw(DialectError(
         "untuple expands to multiple select items — select t._1, t._2, … "
@@ -9503,6 +9569,96 @@ def _rewrite_ternary(sql: str) -> str:
         sql = f"{sql[:start]} IF({cond}, {then}, {other}) {sql[end:]}"
 
 
+def _tuple_literal_struct(expr: str) -> str | None:
+    """A parenthesized top-level comma list ``(a, b, …)`` rewritten to the
+    ``named_struct('_1', a, …)`` form ``tuple()`` emits, else None.  CH
+    treats ``(1,'a')`` as a first-class tuple literal; Spark parses it as
+    a struct with ``col1..colN`` field names, so the dialect's ``_N``
+    accessors missed (round 14 — was a raw FIELD_NOT_FOUND)."""
+    e = expr.strip()
+    if not (e.startswith("(") and e.endswith(")")):
+        return None
+    inner = e[1:-1]
+    depth = 0
+    i, n = 0, len(inner)
+    while i < n:  # the outer parens must wrap the WHOLE expression
+        ch = inner[i]
+        if ch in _QUOTE_CHARS:
+            i = _skip_quoted(inner, i)
+            continue
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+            if depth < 0:
+                return None
+        i += 1
+    if depth != 0:
+        return None
+    parts = _split_args(inner)
+    if len(parts) < 2 or parts[0].lower().startswith("select"):
+        return None
+    # nested tuple literals convert too, so chained access like
+    # ((1,'x'), 2).1.2 resolves through the same _N convention
+    parts = [_tuple_literal_struct(p) or p for p in parts]
+    return (
+        "named_struct("
+        + ", ".join(f"'_{i}', {p}" for i, p in enumerate(parts, start=1))
+        + ")"
+    )
+
+
+def _paren_open_for(sql: str, close: int) -> int | None:
+    """Position of the ``(`` matching the ``)`` at ``close``
+    (string-aware forward scan), else None."""
+    stack: list[int] = []
+    i = 0
+    while i < len(sql):
+        ch = sql[i]
+        if ch in _QUOTE_CHARS:
+            i = _skip_quoted(sql, i)
+            continue
+        if ch == "(":
+            stack.append(i)
+        elif ch == ")":
+            if i == close:
+                return stack[-1] if stack else None
+            if stack:
+                stack.pop()
+        i += 1
+    return None
+
+
+def _rewrite_tuple_literal_access(sql: str) -> str:
+    """Bare tuple LITERALS under positional access — ``(1,'a').2`` —
+    become ``named_struct('_1', …)`` so the ``._N`` rewrite that follows
+    resolves (round 14; ``tuple(1,'a').2`` already worked, the literal
+    spelling leaked FIELD_NOT_FOUND).  Only a close-paren directly
+    followed by ``.digits`` and NOT preceded by a call/identifier is a
+    candidate, so grouping parens and function calls never match."""
+    pat = re.compile(r"\)\.(\d+)(?!\w)")
+    while True:
+        for m in pat.finditer(sql):
+            if not _outside_strings(sql, m.start()):
+                continue
+            close = m.start()
+            open_pos = _paren_open_for(sql, close)
+            if open_pos is None:
+                continue
+            k = open_pos - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and (sql[k].isalnum() or sql[k] in "_'\")]"):
+                continue  # a call or chained access, not a bare literal
+            struct = _tuple_literal_struct(sql[open_pos : close + 1])
+            if struct is None:
+                continue
+            sql = sql[:open_pos] + struct + sql[close + 1 :]
+            break  # positions shifted — rescan
+        else:
+            return sql
+
+
 def _rewrite_tuple_index(sql: str) -> str:
     """CH tuple access ``t.1`` / ``tuple(…).2`` → the ``_1.._n`` struct
     fields this dialect renders tuples as (round 8 — previously a raw
@@ -9510,6 +9666,7 @@ def _rewrite_tuple_index(sql: str) -> str:
     paren — a float literal's digit never does; a trailing word char
     (``t.1e3``) blocks the match.  Chained access (``t.1.2``) resolves
     by iterating to a fixed point."""
+    sql = _rewrite_tuple_literal_access(sql)
     pat = re.compile(r"([A-Za-z_]\w*|\))\.(\d+)(?!\w)")
 
     prev = None

@@ -19,6 +19,7 @@ def load_all() -> None:
         more_ops,
         pipeline_ops,
         round13,
+        round14,
         scalars,
         setops,
         timeseries,

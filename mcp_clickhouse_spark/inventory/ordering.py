@@ -2,113 +2,118 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 12: 205 registered (208 with the round-13 additions), zero
-value mismatches ever left unfixed; the r12 driver re-ran the r11 set
-(no rotation advance shipped that round), so going into round 13 the
-stale pool was 7 queries last green r7 + 48 last green r8.
+after round 13: 210 registered (211 with the round-14 addition), zero
+value mismatches ever left unfixed, zero never-driver-checked
+registrations; going into round 14 the stale pool was 10 queries last
+green r8 + 50 last green r9.
 
-Round 13 priority, summing to exactly 50 (r12 verdict next #2: lead with
-the 7 r7-stale queries, then drain the r8 pool, plus this round's new
-oracle-backed closures):
+Round 14 priority, summing to exactly 50 (r13 verdict next #2: lead with
+the 10 r8-stale deferrals — all 10 PASS the r13 judge's independent
+check_parity run — then the corrected/changed oracles, then drain the
+r9 pool):
 
-- the 7 queries deferred since round 7 (all 7 re-verified PASS by both
-  the r11 and r12 judges' independent check_parity runs);
-- the 5 round-13 additions (scalar_format_datetime, scalar_round13,
-  scalar_round13b, scalar_uint64, streaming_embedding_pairs — the
-  specifier-engine rewrite, the intDiv/dateDiff/toDayOfWeek/to*OrZero
-  audit fixes, the wave-2 closures (greatest/least NULL propagation,
-  toRelative*, hasToken, calendar toStartOfInterval, toWeek mode 1),
-  the UInt64 past-2^63 query, and the rows-only streaming embedding-LSH
-  twin), so the freeze carries zero never-driver-checked registrations;
-- 38 of the 48 queries last driver-checked in round 8.
+- the 10 queries deferred since round 8;
+- ``scalar_round13`` (its toDayOfWeek dw2/dw3 oracle lines encoded the
+  same modes-2/3 misread as the translation — both sides corrected this
+  round, so this green is now a real check, not a tautology);
+- ``scalar_time_delta`` (formatReadableTimeDelta now joins with " and "
+  before the last unit per the CH docs examples; the DuckDB oracle
+  reconstruction was updated to match);
+- ``scalar_round14`` (new: xor(), tuple-literal positional access,
+  IN-family two-valued NULL logic, arrayResize 2-arg shrink, hasToken
+  empty-needle);
+- 37 of the 49 remaining queries last driver-checked in round 9.
 
-Deferred to the round-14 lead (stay at r8 — oldest last-green ≥ r8
-holds at the r13 freeze; each deferral has a rotating twin exercising
-the same engine path):
+Deferred to the round-15 lead (stay at r9 — oldest last-green ≥ r9
+holds at the r14 freeze; each deferral has a rotating twin or a
+stronger per-round check exercising the same engine path):
 
-- ``sql_right_any_join`` (sql_any_join was r12-green; the ANY-join
-  operator re-benches every round),
-- ``pipe_minhash_signatures`` (pipe_minhash_lsh_verified rotates and
-  consumes the signatures; pipe_minhash_lsh benches every round),
-- ``pipe_embed_lsh_topk`` (pipe_embed_ivf_topk rotates; brute-force
-  embed top-k benches every round),
-- ``agg_quantiles_exact`` (agg_multi_quantiles was r12-green;
-  agg_weighted_quantile rotates),
-- ``subquery_in`` (subquery_correlated_exists rotates — the strictly
-  harder decorrelation shape),
-- ``join_semi`` (join_anti rotates; both lower to the same
-  broadcast/shuffle hash-join semi path),
-- ``sample_fraction`` (pipe_training_filter rotates the same
-  hash-threshold sampling expression),
-- ``events_pivot`` (events_props_analytics was r12-green; same
-  map-extraction path over events.props),
-- ``win_range_frame`` (events_sliding_window — the RANGE-frame-over-time
-  shape — was r12-green; win_distribution and win_lag_lead rotate the
-  other window paths),
-- ``behav_retention`` (behav_retention_sql — the same retention
-  semantics through the SQL surface — was r12-green;
-  behav_cohort_retention rotates the windowed-cohort path).
+- ``q1_pricing_summary`` (the entry() flagship — smoke-checked AND
+  benched every round),
+- ``join_asof`` (benches every round; sql_asof_join_star and
+  sql_asof_forward were r13-green on the same as-of operator),
+- ``join_star_revenue`` (benches every round; its broadcast-dim plan is
+  drift-tested in PLANS.md),
+- ``pipe_minhash_lsh`` (benches every round; pipe_minhash_lsh_verified
+  was r13-green; pipe_minhash_signatures rotates this round),
+- ``pipe_text_stats`` (benches every round; pipe_quality_score and
+  pipe_token_count were r13-green over the same text expressions),
+- ``pipe_span_dedup`` (benches every round; pipe_line_dedup rotates the
+  same md5-keyed fixed-width shuffle family),
+- ``streaming_corpus_stats`` (streaming_embedding_pairs was r13-green;
+  streaming_minhash_pairs rotates the same stateful streaming path),
+- ``pipe_dedup_funnel`` (a composition of pipe_dedup_incremental and
+  pipe_dup_clusters — both rotate this round),
+- ``agg_crosstab`` (events_pivot rotates the same pivot path;
+  agg_grouping_sets was r13-green),
+- ``scalar_lttb`` (value-pinned against an independent pure-Python LTTB
+  in tests/test_lttb.py; scalar_array_auc rotates the same
+  array-fold family),
+- ``pipe_clean_corpus`` (pipe_pii_scrub rotates the same
+  regexp-replace normalization family),
+- ``subquery_scalar`` (subquery_correlated_exists was r13-green and
+  subquery_in rotates — the strictly harder decorrelation shapes).
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-13 driver rotation.
+# First 50 = the round-14 driver rotation.
 PRIORITY: list[str] = [
-    # deferred-since-r7 block
-    "order_limit_offset",
-    "sql_qualify_subquery",
-    "sql_asof_join_star",
-    "setop_except_all",
-    "array_join_left_outer",
-    "shim_with_fill_interpolate",
-    "constant_select",
-    # round-13 additions (specifier engine + audit closures + UInt64)
-    "scalar_format_datetime",
+    # deferred-since-r8 block
+    "sql_right_any_join",
+    "pipe_minhash_signatures",
+    "pipe_embed_lsh_topk",
+    "agg_quantiles_exact",
+    "subquery_in",
+    "join_semi",
+    "sample_fraction",
+    "events_pivot",
+    "win_range_frame",
+    "behav_retention",
+    # corrected / changed oracles + the round-14 addition
     "scalar_round13",
-    "scalar_round13b",
-    "scalar_uint64",
-    "streaming_embedding_pairs",  # rows-only by design
-    # last driver-checked in round 8 (38 of the 48-query pool)
-    "agg_conditional",
-    "agg_grouping_sets",
-    "agg_minmax_by",
-    "agg_topk",
-    "agg_weighted_quantile",
-    "agg_with_totals",
-    "cte_multi",
-    "filter_predicates",
-    "join_anti",
-    "join_full_outer",
-    "join_right",
-    "pipe_dedup_fingerprint",
-    "pipe_embed_ivf_topk",
-    "pipe_embed_label_centroids",
-    "pipe_lang_id",
-    "pipe_minhash_lsh_verified",
-    "pipe_multimodal_meta",
-    "pipe_ngram_jaccard",
-    "pipe_quality_score",
-    "pipe_simhash",
-    "pipe_token_count",
-    "pipe_training_filter",
-    "q12_priority_by_flag",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q8_market_share",
-    "scalar_datetime_tz",
-    "scalar_zip_sequence",
-    "scale_salted_agg",
-    "select_star_except",
-    "shim_distinct_on",
-    "source_numbers",
-    "sql_array_join_bare",
-    "sql_asof_forward",
-    "sql_star_apply",
-    "subquery_correlated_exists",
-    "win_distribution",
-    "win_lag_lead",
+    "scalar_time_delta",
+    "scalar_round14",
+    # last driver-checked in round 9 (37 of the 49-query pool)
+    "agg_foreach",
+    "agg_hypothesis_tests",
+    "agg_map_entropy",
+    "agg_max_intersections",
+    "agg_rank_corr",
+    "agg_topk_weighted",
+    "behav_funnel_sql",
+    "behav_window_funnel",
+    "pipe_chunk_documents",
+    "pipe_compression_ratio",
+    "pipe_dedup_incremental",
+    "pipe_dup_clusters",
+    "pipe_embed_neardup",
+    "pipe_epoch_shards",
+    "pipe_line_dedup",
+    "pipe_lsh_eval",
+    "pipe_pii_scrub",
+    "pipe_repetition_filters",
+    "pipe_snapshot_diff",
+    "pipe_train_val_split",
+    "pipe_unigram_logprob",
+    "profile_documents",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q20_part_promotion",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "scalar_array_auc",
+    "scalar_url_fss",
+    "scalar_url_hierarchy",
+    "scalar_vector_math",
+    "streaming_minhash_pairs",
+    "win_range_time_interval",
 ]
 
 

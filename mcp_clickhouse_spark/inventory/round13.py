@@ -118,8 +118,8 @@ SELECT o_orderkey,
        ELSE o_orderkey // (o_orderkey % 3) END AS idz,
   isodow(o_orderdate) AS dw0,
   isodow(o_orderdate) - 1 AS dw1,
-  dayofweek(o_orderdate) + 1 AS dw2,
-  dayofweek(o_orderdate) AS dw3,
+  dayofweek(o_orderdate) AS dw2,
+  dayofweek(o_orderdate) + 1 AS dw3,
   CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderdate AS DATE)
        ELSE DATE '1970-01-01' END AS dz,
   CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderdate AS DATE)

@@ -1,0 +1,78 @@
+"""Round-14 oracle-checked closures.
+
+One query covering this round's dialect fixes end-to-end, oracle-checked
+against an independent DuckDB reconstruction (the oracle never runs the
+dialect — it rebuilds every expected value from DuckDB primitives):
+
+- ``xor()`` — CH's variadic logical XOR (was a raw UNRESOLVED_ROUTINE);
+- bare tuple-LITERAL positional access — ``tupleElement((a, b), 2)`` and
+  ``(a, b).N`` (was a raw FIELD_NOT_FOUND: Spark parses the literal as a
+  ``col1..colN`` struct while the dialect emits ``_N`` accessors);
+- IN-family two-valued NULL logic — a NULL left operand returns 0 for
+  both ``in`` and ``notIn`` and set-NULLs never match (transform_null_in
+  = 0 default; Spark's three-valued NULL leaked through NOT);
+- ``arrayResize`` 2-arg shrink (exact) and 3-arg explicit pad (the
+  2-arg EXTENSION now raises — CH pads the element type's default,
+  unknowable at translation time);
+- ``hasToken`` with an empty needle → 0 even when the haystack has
+  leading/trailing separators (split()'s empty edge tokens are filtered).
+
+Reference contract basis: verbatim SQL delegation in
+/root/reference/mcp_clickhouse/mcp_server.py:425.
+"""
+
+from __future__ import annotations
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+_SQL_R14_CH = """
+SELECT o_orderkey,
+  toInt64(xor(o_orderkey % 2, o_orderkey % 3)) AS xo2,
+  toInt64(xor(o_orderkey % 2, o_orderkey % 3, o_orderkey % 5)) AS xo3,
+  tupleElement((o_orderkey, o_orderpriority), 2) AS tup2,
+  (o_orderkey * 2, 'x').1 AS tup1,
+  toInt64(notIn(o_orderkey % 7, [1, 2, 3])) AS ni,
+  toInt64(notIn(if(o_orderkey % 5 = 0, NULL, o_orderkey % 5),
+                [1, 2])) AS ni_null,
+  toInt64(nullIn(if(o_orderkey % 5 = 0, NULL, o_orderkey % 5),
+                 [NULL, 1])) AS nli,
+  arrayStringConcat(
+    arrayMap(x -> toString(x),
+             arrayResize([o_orderkey % 10, 1, 2, 3], 2)), ',') AS ar2,
+  arrayStringConcat(
+    arrayMap(x -> toString(x),
+             arrayResize([o_orderkey % 10], 3, 0)), ',') AS ar3,
+  toInt64(hasToken(concat(' ', o_orderpriority, ' '), '')) AS hte
+FROM orders
+"""
+
+_SQL_R14_ORACLE = """
+SELECT o_orderkey,
+  CAST((o_orderkey % 2 <> 0) <> (o_orderkey % 3 <> 0) AS BIGINT) AS xo2,
+  CAST(((o_orderkey % 2 <> 0) <> (o_orderkey % 3 <> 0))
+       <> (o_orderkey % 5 <> 0) AS BIGINT) AS xo3,
+  o_orderpriority AS tup2,
+  o_orderkey * 2 AS tup1,
+  CAST(o_orderkey % 7 NOT IN (1, 2, 3) AS BIGINT) AS ni,
+  CASE WHEN o_orderkey % 5 = 0 THEN 0
+       ELSE CAST(o_orderkey % 5 NOT IN (1, 2) AS BIGINT) END AS ni_null,
+  CASE WHEN o_orderkey % 5 = 0 THEN 1
+       WHEN o_orderkey % 5 = 1 THEN 1 ELSE 0 END AS nli,
+  CAST(o_orderkey % 10 AS VARCHAR) || ',1' AS ar2,
+  CAST(o_orderkey % 10 AS VARCHAR) || ',0,0' AS ar3,
+  CAST(0 AS BIGINT) AS hte
+FROM orders
+"""
+
+
+@query("scalar_round14", oracle=_SQL_R14_ORACLE, category="scalars")
+def scalar_round14(spark, sf_dir):
+    """Round-14 dialect fixes end-to-end (module docstring above lists
+    the contracts; each is also pinned by tests/test_r14_fixes.py
+    vectors).  Per-row modular arithmetic varies every branch; arrays
+    serialize through arrayStringConcat per the driver's scalar-only
+    canonicalizer."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R14_CH))

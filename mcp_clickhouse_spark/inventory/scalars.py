@@ -569,34 +569,47 @@ FROM lineitem
              s1 // 60 AS m1, s1 % 60 AS r1,
              s2 // 3600 AS h2, (s2 % 3600) // 60 AS m2, s2 % 60 AS r2
       FROM b
+    ),
+    lists AS (
+      SELECT k, s3,
+        list_filter([
+          CASE WHEN m1 > 0 THEN m1 || CASE WHEN m1 = 1
+            THEN ' minute' ELSE ' minutes' END END,
+          CASE WHEN r1 > 0 THEN r1 || CASE WHEN r1 = 1
+            THEN ' second' ELSE ' seconds' END END
+        ], x -> x IS NOT NULL) AS l1,
+        list_filter([
+          CASE WHEN h2 > 0 THEN h2 || CASE WHEN h2 = 1
+            THEN ' hour' ELSE ' hours' END END,
+          CASE WHEN m2 > 0 THEN m2 || CASE WHEN m2 = 1
+            THEN ' minute' ELSE ' minutes' END END,
+          CASE WHEN r2 > 0 THEN r2 || CASE WHEN r2 = 1
+            THEN ' second' ELSE ' seconds' END END
+        ], x -> x IS NOT NULL) AS l2
+      FROM parts
     )
     SELECT k,
-      CASE WHEN m1 = 0 AND r1 = 0 THEN '0 seconds'
-           ELSE concat_ws(', ',
-             CASE WHEN m1 > 0 THEN m1 || CASE WHEN m1 = 1
-               THEN ' minute' ELSE ' minutes' END END,
-             CASE WHEN r1 > 0 THEN r1 || CASE WHEN r1 = 1
-               THEN ' second' ELSE ' seconds' END END) END AS d1,
-      CASE WHEN h2 = 0 AND m2 = 0 AND r2 = 0 THEN '0 seconds'
-           ELSE concat_ws(', ',
-             CASE WHEN h2 > 0 THEN h2 || CASE WHEN h2 = 1
-               THEN ' hour' ELSE ' hours' END END,
-             CASE WHEN m2 > 0 THEN m2 || CASE WHEN m2 = 1
-               THEN ' minute' ELSE ' minutes' END END,
-             CASE WHEN r2 > 0 THEN r2 || CASE WHEN r2 = 1
-               THEN ' second' ELSE ' seconds' END END) END AS d2,
+      CASE WHEN len(l1) = 0 THEN '0 seconds'
+           WHEN len(l1) = 1 THEN l1[1]
+           ELSE array_to_string(l1[1:len(l1)-1], ', ')
+                || ' and ' || l1[-1] END AS d1,
+      CASE WHEN len(l2) = 0 THEN '0 seconds'
+           WHEN len(l2) = 1 THEN l2[1]
+           ELSE array_to_string(l2[1:len(l2)-1], ', ')
+                || ' and ' || l2[-1] END AS d2,
       CASE WHEN s3 = 0 THEN '0 seconds'
            ELSE (CASE WHEN s3 < 0 THEN '-' ELSE '' END)
              || abs(s3) || CASE WHEN abs(s3) = 1
                THEN ' second' ELSE ' seconds' END END AS d3
-    FROM parts
+    FROM lists
     """,
     category="scalars",
 )
 def scalar_time_delta(spark, sf_dir):
     """``formatReadableTimeDelta`` as verbatim SQL text (round 8 — was a
     guided error): CH's exact unit constants and formatting — floor per
-    unit largest→smallest, zero units skipped, pluralized, ', '-joined,
+    unit largest→smallest, zero units skipped, pluralized, ', '-joined
+    with ' and ' before the last unit (round 14 — the CH docs join),
     '0 <min_unit>' for zero, one leading '-' for negatives.  Exercised
     with a bounded maximum unit (minutes), the default chain on
     sub-day values (hours/minutes/seconds), and a signed seconds-only

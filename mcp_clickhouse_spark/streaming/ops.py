@@ -653,10 +653,14 @@ def streaming_embedding_neardup(
     co-occupants, keeping ``cosine >= threshold``.
 
     Cap/evict policy mirrors the batch ``bucket_pairs`` exactly (retain
-    the ``max_bucket_size`` LOWEST ids), so a bounded replay yields the
-    same pair set as the batch run with ``collapse_identical=False``
-    (pinned by test; the stream cannot know the global min-id
-    representative, same caveat as streaming_minhash_neardup).  State is
+    the ``max_bucket_size`` LOWEST ids), so an ID-ORDERED bounded replay
+    yields the same pair set as the batch run with
+    ``collapse_identical=False`` (pinned by test; the stream cannot know
+    the global min-id representative, same caveat as
+    streaming_minhash_neardup).  With OUT-OF-ORDER arrival the stream
+    emits a SUPERSET of the batch pairs: a late lower id can evict a
+    higher id whose already-emitted pairs cannot be retracted in append
+    mode.  State is
     bounded per bucket; production adds a TTL to trade recall for state —
     kept timeout-free here so replays match batch."""
     from mcp_clickhouse_spark.pipeline.similarity import band_plane_exprs

@@ -2953,16 +2953,18 @@ def test_format_readable_time_delta(spark):
         " formatReadableTimeDelta(NULL) AS nul,"
         " formatReadableTimeDelta(59.9, 'minutes', 'minutes') AS flo",
     )
-    assert row[0] == "1 minute, 40 seconds"
-    assert row[1] == "3 hours, 25 minutes, 45 seconds"
+    # CH docs join with ", " and " and " before the LAST unit
+    # (round 14 — round 8 pinned comma-only joins)
+    assert row[0] == "1 minute and 40 seconds"
+    assert row[1] == "3 hours, 25 minutes and 45 seconds"
     assert row[2] == (
-        "13 years, 8 months, 17 days, 7 hours, 48 minutes, 54 seconds"
+        "13 years, 8 months, 17 days, 7 hours, 48 minutes and 54 seconds"
     )
-    assert row[3] == "205 minutes, 45 seconds"
-    assert row[4] == "7209108 minutes, 54 seconds"
+    assert row[3] == "205 minutes and 45 seconds"
+    assert row[4] == "7209108 minutes and 54 seconds"
     assert row[5] == "0 seconds"
-    assert row[6] == "-1 minute, 40 seconds"
-    assert row[7] == "1 second, 500 milliseconds"
+    assert row[6] == "-1 minute and 40 seconds"
+    assert row[7] == "1 second and 500 milliseconds"
     assert row[8] is None
     assert row[9] == "0 minutes"  # sub-minimum remainder floors away
 

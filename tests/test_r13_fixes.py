@@ -166,9 +166,11 @@ def test_intdiv_no_half_up_flip(spark):
 
 
 def test_todayofweek_modes(spark):
-    """CH mode table: 0 Mon=1..Sun=7 (default), 1 Mon=0..Sun=6,
-    2 Sun=1..Sat=7, 3 Sun=0..Sat=6 — the docs' 2016-12-27 (Tuesday)
-    example; the mode argument was previously silently ignored."""
+    """CH mode table (source enum WeekDayMode): 0 Mon=1..Sun=7
+    (default), 1 Mon=0..Sun=6, 2 = WeekStartsSunday0 → Sun=0..Sat=6,
+    3 = WeekStartsSunday1 → Sun=1..Sat=7 — the docs' 2016-12-27
+    (Tuesday) worked example is mode2=2, mode3=3 (round 13 shipped
+    these two swapped and its oracle encoded the same misread)."""
     r = rows(
         spark,
         "SELECT toDayOfWeek(toDate('2016-12-27')) AS m0,"
@@ -179,7 +181,7 @@ def test_todayofweek_modes(spark):
         " toDayOfWeek(toDate('2016-12-25'), 2) AS sun2,"
         " toDayOfWeek(toDate('2016-12-25'), 3) AS sun3",
     )[0]
-    assert list(r) == [2, 2, 1, 3, 2, 1, 0]
+    assert list(r) == [2, 2, 1, 2, 3, 0, 1]
     with pytest.raises(DialectError, match="mode"):
         translate("SELECT toDayOfWeek(d, m) FROM t")
     with pytest.raises(DialectError, match="UTC"):
