@@ -1927,13 +1927,24 @@ def _apply_lambda_at(lam: str, arrays: list[str], idx_var: str) -> str:
     )
 
 
+def _vecify(x: str) -> str:
+    """A tuple literal (bare or named_struct form) → ``array(...)`` so
+    the array folds accept CH's tuple-OR-array vector arguments
+    (round 14 — tuple args previously raised a guided arity error even
+    when the arity was knowable)."""
+    ps = _tuple_parts(x)
+    return f"array({', '.join(ps)})" if ps else x
+
+
 def _vec_fold(a: list[str], kind: str) -> str:
     """Double-accumulated element-wise folds for the vector-math family:
     dot, L1/L2²/L∞ distances, L1/L2² norms (norms pass the same array
     twice).  zip_with pads length mismatches with NULL → NULL result,
-    where ClickHouse throws on unequal sizes (documented delta)."""
+    where ClickHouse throws on unequal sizes (documented delta).  Tuple
+    LITERALS coerce to arrays (CH's Lp family takes both)."""
     if len(a) != 2:
         raise DialectError("vector functions take exactly two arrays")
+    a = [_vecify(x) for x in a]
     per = {
         "dot": "CAST(__vx AS DOUBLE) * __vy",
         "l1": "abs(CAST(__vx AS DOUBLE) - __vy)",
@@ -1946,6 +1957,91 @@ def _vec_fold(a: list[str], kind: str) -> str:
     if kind == "linf":
         return f"array_max({zipped})"
     return f"aggregate({zipped}, CAST(0 AS DOUBLE), (__va, __vb) -> __va + __vb)"
+
+
+_TUPLE_ARITY_MSG = (
+    "{}: tuple arity is unknowable at translate time for non-literal "
+    "tuples — pass tuple literals, or use zip_with over arrays / "
+    "explicit .1/.2 element arithmetic"
+)
+
+
+def _tuple_only_parts(name: str, arg: str) -> list[str]:
+    """Literal-tuple elements or the guided arity error (round 14 —
+    the whole tuple-math family was an unconditional guided error even
+    for literals, where the arity IS knowable)."""
+    p = _tuple_parts(arg)
+    if p is None:
+        raise DialectError(_TUPLE_ARITY_MSG.format(name))
+    return p
+
+
+def _tuple_pair_parts(name: str, a: list[str]) -> tuple[list[str], list[str]]:
+    if len(a) != 2:
+        raise DialectError(f"{name} takes exactly two tuples")
+    p = _tuple_only_parts(name, a[0])
+    q = _tuple_only_parts(name, a[1])
+    if len(p) != len(q):
+        raise DialectError(
+            f"{name}: tuple sizes differ ({len(p)} vs {len(q)})"
+        )
+    return p, q
+
+
+def _tuple_elementwise(name: str, a: list[str], op: str) -> str:
+    """Element-wise binary tuple math → named_struct of the op results
+    (CH tuplePlus/Minus/Multiply/Modulo contract; divide is CH's
+    Float64 division, intDiv its truncating form)."""
+    p, q = _tuple_pair_parts(name, a)
+    if op == "/":
+        return _struct_of(
+            [f"(CAST({x} AS DOUBLE) / ({y}))" for x, y in zip(p, q)]
+        )
+    if op == "intdiv":
+        return _struct_of([_intdiv_expr(x, y) for x, y in zip(p, q)])
+    return _struct_of([f"(({x}) {op} ({y}))" for x, y in zip(p, q)])
+
+
+def _tuple_by_number(name: str, a: list[str], op: str) -> str:
+    if len(a) != 2:
+        raise DialectError(f"{name} takes (tuple, number)")
+    p = _tuple_only_parts(name, a[0])
+    n = a[1]
+    if op == "/":
+        return _struct_of([f"(CAST({x} AS DOUBLE) / ({n}))" for x in p])
+    if op == "intdiv":
+        return _struct_of([_intdiv_expr(x, n) for x in p])
+    return _struct_of([f"(({x}) {op} ({n}))" for x in p])
+
+
+def _lp_normalize(a: list[str], norm: str) -> str:
+    """L1/L2/Lp-Normalize: each element divided by the norm.  A tuple
+    literal returns a tuple (named_struct); any other argument is
+    treated as an array and mapped with transform (CH accepts both)."""
+    parts = _tuple_parts(a[0])
+    if parts is not None:
+        arr = f"array({', '.join(parts)})"
+        nexpr = _norm_expr(arr, norm, a)
+        return _struct_of(
+            [f"(CAST({x} AS DOUBLE) / {nexpr})" for x in parts]
+        )
+    nexpr = _norm_expr(a[0], norm, a)
+    return f"transform({a[0]}, __nv -> CAST(__nv AS DOUBLE) / {nexpr})"
+
+
+def _norm_expr(arr: str, norm: str, a: list[str]) -> str:
+    if norm == "l1":
+        return f"({_vec_fold([arr, arr], 'n1')})"
+    if norm == "l2":
+        return f"sqrt({_vec_fold([arr, arr], 'n2sq')})"
+    # lp: p is the second argument
+    if len(a) < 2:
+        raise DialectError("LpNormalize takes (vector, p)")
+    return (
+        f"pow(aggregate({arr}, CAST(0.0 AS DOUBLE),"
+        f" (__vs, __vx) -> __vs + pow(abs(CAST(__vx AS DOUBLE)),"
+        f" CAST({a[1]} AS DOUBLE))), 1.0D / ({a[1]}))"
+    )
 
 
 def _default_of_type(a: list[str]) -> str:
@@ -3327,6 +3423,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "notilike": lambda a: f"(NOT (lower({a[0]}) LIKE lower({a[1]})))",
     # any-of-patterns matchers over an array argument (column or literal)
     "multimatchany": lambda a: f"exists({a[1]}, __p -> {a[0]} RLIKE __p)",
+    # "any index of a matching pattern" — the first is a valid any
+    # (round-14 probe wave — leaked); 0 when nothing matches, like CH
+    "multimatchanyindex": lambda a: (
+        f"coalesce(array_position(transform({a[1]},"
+        f" __p -> ({a[0]}) RLIKE __p), true), 0)"
+    ),
     # 1-based indices of the matching patterns (round 13 — was a
     # passthrough); same lambda-pattern RLIKE as multiMatchAny
     "multimatchallindices": lambda a: (
@@ -3375,6 +3477,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "runningdifference": lambda a: (_ for _ in ()).throw(DialectError(
         "runningDifference is block-relative (nondeterministic under "
         "distribution) — use lagInFrame/lag: x - lag(x) OVER (ORDER BY ...)"
+    )),
+    # round-14 probe wave — the StartingWithFirstValue variant leaked raw
+    "runningdifferencestartingwithfirstvalue": lambda a: (
+        (_ for _ in ()).throw(DialectError(
+            "runningDifferenceStartingWithFirstValue is block-relative — "
+            "use coalesce(x - lag(x) OVER (ORDER BY ...), x)"
+        ))
+    ),
+    "arrayreduceinranges": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayReduceInRanges: apply arrayReduce over explicit "
+        "arraySlice(arr, offset, length) calls per range"
     )),
     "neighbor": lambda a: (_ for _ in ()).throw(DialectError(
         "neighbor is block-relative — use lag/lead OVER (ORDER BY ...)"
@@ -3471,6 +3584,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # non-overlapping occurrence count (CH contract): length delta over a
     # greedy left-to-right replace matches CH's scan exactly
+    # UTF8 spelling: Spark strings are codepoint-native (round-14 wave)
+    "countsubstringsutf8": lambda a: TEMPLATES["countsubstrings"](a),
     "countsubstrings": lambda a: (
         # nullif guards the empty-needle division (ANSI error otherwise);
         # CH returns 0 for an empty needle
@@ -3504,6 +3619,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # hasSubsequence('garbage', 'arg') = 1)
     "hassubsequence": lambda a: _has_subsequence_expr(a[0], a[1]),
     "hassubsequencecaseinsensitive": lambda a: _has_subsequence_expr(
+        f"lower({a[0]})", f"lower({a[1]})"
+    ),
+    # UTF8 spellings: Spark strings are Unicode-native, so codepoint
+    # subsequence = the same expression (round-14 probe wave — leaked)
+    "hassubsequenceutf8": lambda a: _has_subsequence_expr(a[0], a[1]),
+    "hassubsequencecaseinsensitiveutf8": lambda a: _has_subsequence_expr(
         f"lower({a[0]})", f"lower({a[1]})"
     ),
     "countmatches": lambda a: (
@@ -3924,23 +4045,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "arraydotproduct": lambda a: _vec_fold(a, "dot"),
     # dotProduct also accepts TUPLES in CH — catch the literal form up
     # front (round 10; the array fold would fail at analysis otherwise)
-    "dotproduct": lambda a: (
-        (_ for _ in ()).throw(DialectError(
-            "dotProduct over tuples: tuple arity is unknowable at "
-            "translate time — use arrays ([..] literals) instead"
-        ))
-        if any(
-            "named_struct(" in x
-            or (
-                (s := x.strip()).startswith("(")
-                and s.endswith(")")
-                and _find_balanced(s, 0) == len(s)
-                and len(_split_args(s[1:-1])) > 1
-            )
-            for x in a
-        )
-        else _vec_fold(a, "dot")
-    ),
+    # tuple literals coerce to arrays inside _vec_fold (round 14 — were
+    # a guided arity error even when the arity was knowable)
+    "dotproduct": lambda a: _vec_fold(a, "dot"),
     "arrayl1distance": lambda a: _vec_fold(a, "l1"),
     "arrayl2distance": lambda a: f"sqrt({_vec_fold(a, 'l2sq')})",
     "arrayl2squareddistance": lambda a: _vec_fold(a, "l2sq"),
@@ -3948,14 +4055,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # LpDistance(xs, ys, p): the docs formula (Σ|aᵢ−bᵢ|^p)^(1/p) as one
     # zip_with fold (round 11 — was a raw passthrough)
     "lpdistance": lambda a: (
-        f"pow(aggregate(zip_with({a[0]}, {a[1]},"
+        f"pow(aggregate(zip_with({_vecify(a[0])}, {_vecify(a[1])},"
         f" (__va, __vb) -> pow(abs(CAST(__va AS DOUBLE) - __vb),"
         f" CAST({a[2]} AS DOUBLE))), CAST(0.0 AS DOUBLE),"
         f" (__vs, __vx) -> __vs + __vx), 1.0D / ({a[2]}))"
     ),
     "arraylpdistance": lambda a: TEMPLATES["lpdistance"](a),
     "lpnorm": lambda a: (
-        f"pow(aggregate({a[0]}, CAST(0.0 AS DOUBLE),"
+        f"pow(aggregate({_vecify(a[0])}, CAST(0.0 AS DOUBLE),"
         f" (__vs, __vx) -> __vs + pow(abs(CAST(__vx AS DOUBLE)),"
         f" CAST({a[1]} AS DOUBLE))), 1.0D / ({a[1]}))"
     ),
@@ -3984,10 +4091,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" sqrt({_vec_fold([a[0], a[0]], 'n2sq')})"
         f" * sqrt({_vec_fold([a[1], a[1]], 'n2sq')})))"
     ),
-    "normalizel2": lambda a: (
-        f"transform({a[0]}, __nv -> CAST(__nv AS DOUBLE)"
-        f" / sqrt({_vec_fold([a[0], a[0]], 'n2sq')}))"
-    ),
+    "normalizel2": lambda a: _lp_normalize(a, "l2"),
+    # L1/L2/Lp-Normalize + the squared-norm spellings (round-14 probe
+    # wave — leaked raw UNRESOLVED_ROUTINE; the norms/distances were
+    # already mapped)
+    "l1normalize": lambda a: _lp_normalize(a, "l1"),
+    "l2normalize": lambda a: _lp_normalize(a, "l2"),
+    "lpnormalize": lambda a: _lp_normalize(a, "lp"),
+    "arrayl1normalize": lambda a: _lp_normalize(a, "l1"),
+    "arrayl2normalize": lambda a: _lp_normalize(a, "l2"),
+    "l2squarednorm": lambda a: _vec_fold([a[0], a[0]], "n2sq"),
+    "arrayl2squarednorm": lambda a: _vec_fold([a[0], a[0]], "n2sq"),
     # CH timeSlots(start, duration[, size]): array of slot starts
     "timeslots": lambda a: (
         lambda sz: (
@@ -4254,7 +4368,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "no server identity; query Spark confs through the tool layer"
         ))))(_t)
         for _t in ("hostname", "serveruuid", "uptime", "tcpport",
-                   "buildid")
+                   "buildid",
+                   # round-14 probe wave — these four leaked raw
+                   "zookeepersessionuptime", "filesystemavailable",
+                   "filesystemcapacity", "filesystemunreserved")
     },
     "positioncaseinsensitiveutf8": lambda a: (
         f"instr(lower({a[0]}), lower({a[1]}))"
@@ -4438,7 +4555,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         ))))(_t)
         for _t in ("jsonallpaths", "jsondynamicpaths",
                    "jsonallpathswithtypes", "jsondynamicpathswithtypes",
-                   "jsonsharedatapaths")
+                   # round 14: the name was typo'd "jsonsharedatapaths"
+                   # (missing 'd'), so the real spelling leaked raw
+                   "jsonshareddatapaths", "jsonshareddatapathswithtypes")
     },
     "byteswap": lambda a: (_ for _ in ()).throw(DialectError(
         "byteSwap: the result depends on the integer's declared BYTE "
@@ -4661,6 +4780,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "splitbyregexp": lambda a: f"split({a[1]}, {a[0]})",
     "alphatokens": lambda a: (
+        f"regexp_extract_all({a[0]}, '[a-zA-Z]+', 0)"
+    ),
+    # the splitByAlpha alias spelling (round-14 probe wave — leaked)
+    "splitbyalpha": lambda a: (
         f"regexp_extract_all({a[0]}, '[a-zA-Z]+', 0)"
     ),
     # round-10 final tail
@@ -5156,6 +5279,24 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"(datediff(CAST({a[0]} AS DATE), DATE '0001-01-01') + 366)"
     ),
     "uuidstringtonum": lambda a: f"unhex(replace({a[0]}, '-', ''))",
+    # UUIDs are strings here, so the UUID-typed spelling is the same
+    # bytes conversion (round-14 probe wave — leaked); the optional
+    # variant argument changes byte ORDER (variant 2) — guided
+    "uuidtonum": lambda a: (
+        f"unhex(replace({a[0]}, '-', ''))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "UUIDToNum: only the default big-endian variant (1) is "
+            "supported — variant 2 swaps the halves"
+        ))
+    ),
+    "defaultvalueofargumenttype": lambda a: (_ for _ in ()).throw(
+        DialectError(
+            "defaultValueOfArgumentType: the argument's CH type is "
+            "unknowable at translate time — use "
+            "defaultValueOfTypeName('T') with an explicit type name"
+        )
+    ),
     # round 9: the inverse — 16 raw bytes back to the canonical dashed
     # lowercase form (CH docs example: the roundtrip is identity)
     "uuidnumtostring": lambda a: (
@@ -5404,6 +5545,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "arrayROCAUC is the pinned AUC here, or compute PR points "
         "explicitly with arraySort + arrayCumSum"
     )),
+    # the 25.x rename of arrayAUCPR (round-14 probe wave — leaked)
+    "arrayprauc": lambda a: TEMPLATES["arrayaucpr"](a),
+    "arraypartialshuffle": lambda a: (_ for _ in ()).throw(DialectError(
+        "arrayPartialShuffle: the partial Fisher-Yates tail order is "
+        "seed-dependent and unreproducible here — arrayShuffle (full "
+        "shuffle) or arraySlice(arrayShuffle(x), 1, n) cover the "
+        "random-sample uses"
+    )),
+    "arrayenumerateuniqranked": lambda a: (_ for _ in ()).throw(
+        DialectError(
+            "arrayEnumerateUniqRanked: the ranked (depth-parameterized) "
+            "enumeration has no Spark equivalent — arrayEnumerateUniq "
+            "covers the flat case"
+        )
+    ),
     "arraynormalizedgini": lambda a: (_ for _ in ()).throw(DialectError(
         "arrayNormalizedGini: the tie-handling of ClickHouse's gini "
         "fold is not docs-pinned — arrayROCAUC (2*AUC - 1 equals the "
@@ -6930,6 +7086,10 @@ TEMPLATES.update({
     # Spark timestamps are µs-precision, so micro/nano starts are identity
     "tostartofmicrosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
     "tostartofnanosecond": lambda a: f"CAST({a[0]} AS TIMESTAMP)",
+    # round-14 probe wave: the millisecond member leaked
+    "tostartofmillisecond": lambda a: (
+        f"date_trunc('MILLISECOND', {a[0]})"
+    ),
     "servertimezone": lambda a: "current_timezone()",
     "timezoneof": lambda a: "current_timezone()",
     # bare timezone()/timeZone() spellings (round 13 — were passthroughs)
@@ -7123,6 +7283,21 @@ TEMPLATES.update({
     "arraylevenshteindistance": (
         lambda a: f"ch_array_levenshtein({a[0]}, {a[1]})"
     ),
+    # weighted variant + the similarity built on it (round-14 probe
+    # wave — leaked).  CH contract (docs example): delete costs the
+    # from-weight, insert the to-weight, substitution their sum;
+    # arraySimilarity = 1 − dist / (Σw_from + Σw_to), 1 for two empties.
+    "arraylevenshteindistanceweighted": lambda a: (
+        f"ch_array_lev_weighted({a[0]}, {a[1]}, {a[2]}, {a[3]})"
+    ),
+    "arraysimilarity": lambda a: (
+        f"coalesce(1.0D - try_divide("
+        f"ch_array_lev_weighted({a[0]}, {a[1]}, {a[2]}, {a[3]}),"
+        f" aggregate({a[2]}, CAST(0.0 AS DOUBLE), (__ws, __wx) ->"
+        f" __ws + __wx)"
+        f" + aggregate({a[3]}, CAST(0.0 AS DOUBLE), (__ws, __wx) ->"
+        f" __ws + __wx)), 1.0D)"
+    ),
     "flattentuple": lambda a: (_ for _ in ()).throw(DialectError(
         "flattenTuple: flatten named_struct fields explicitly with "
         "tupleElement / .N access"
@@ -7279,6 +7454,11 @@ TEMPLATES.update({
     "tointervalmillisecond": lambda a: (
         f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000.0D)"
     ),
+    # microseconds are Spark's native interval precision (round-14 probe
+    # wave — leaked; toIntervalNanosecond keeps its guided error)
+    "tointervalmicrosecond": lambda a: (
+        f"make_dt_interval(0, 0, 0, ({a[0]}) / 1000000.0D)"
+    ),
     # mode 0 rounds up to Saturday (CH mode-0 weeks run Sun-Sat),
     # modes 1/3 to Sunday; Spark weekday() is Monday=0..Sunday=6
     "tolastdayofweek": lambda a: (
@@ -7297,21 +7477,48 @@ TEMPLATES.update({
             f" {_fold_zero(arr, arr)})))"
         )
     )(_fn_form(a)),
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: tuple arity is unknowable at translate time — use "
-            "zip_with over arrays, or explicit .1/.2 element arithmetic"
-        ))))(_t)
-        for _t in ("tupleplus", "tupleminus", "tuplemultiply",
-                   "tupledivide", "tuplenegate", "tupleintdiv",
-                   "tuplemultiplybynumber", "tupledividebynumber",
-                   "tuplesum",
-                   # legacy alias spellings of the tuple math (round 11 —
-                   # were raw passthroughs)
-                   "vectorsum", "vectordifference", "scalarproduct",
-                   # round 13 — were raw passthroughs
-                   "tupleconcat", "tuplehammingdistance")
-    },
+    # tuple math (round 14 — the whole family was an unconditional
+    # guided error; literal tuples now expand element-wise, non-literal
+    # tuple arguments keep the guided arity error inside the helpers)
+    "tupleplus": lambda a: _tuple_elementwise("tuplePlus", a, "+"),
+    "vectorsum": lambda a: _tuple_elementwise("vectorSum", a, "+"),
+    "tupleminus": lambda a: _tuple_elementwise("tupleMinus", a, "-"),
+    "vectordifference": lambda a: (
+        _tuple_elementwise("vectorDifference", a, "-")
+    ),
+    "tuplemultiply": lambda a: _tuple_elementwise("tupleMultiply", a, "*"),
+    "tupledivide": lambda a: _tuple_elementwise("tupleDivide", a, "/"),
+    "tuplemodulo": lambda a: _tuple_elementwise("tupleModulo", a, "%"),
+    "tupleintdiv": lambda a: _tuple_elementwise("tupleIntDiv", a, "intdiv"),
+    "tuplenegate": lambda a: _struct_of(
+        [f"(-({x}))" for x in _tuple_only_parts("tupleNegate", a[0])]
+    ),
+    "tuplemultiplybynumber": lambda a: (
+        _tuple_by_number("tupleMultiplyByNumber", a, "*")
+    ),
+    "tupledividebynumber": lambda a: (
+        _tuple_by_number("tupleDivideByNumber", a, "/")
+    ),
+    "tupleintdivbynumber": lambda a: (
+        _tuple_by_number("tupleIntDivByNumber", a, "intdiv")
+    ),
+    "tuplemodulobynumber": lambda a: (
+        _tuple_by_number("tupleModuloByNumber", a, "%")
+    ),
+    "tupleconcat": lambda a: _struct_of(
+        [p for x in a for p in _tuple_only_parts("tupleConcat", x)]
+    ),
+    "tuplehammingdistance": lambda a: (
+        lambda pq: "("
+        + " + ".join(f"IF(({x}) <=> ({y}), 0, 1)" for x, y in zip(*pq))
+        + ")"
+    )(_tuple_pair_parts("tupleHammingDistance", a)),
+    "scalarproduct": lambda a: _vec_fold(a, "dot"),
+    "tuplesum": lambda a: (
+        "(" + " + ".join(
+            f"({x})" for x in _tuple_only_parts("tupleSum", a[0])
+        ) + ")"
+    ),
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
             f"{_n}: depends on ClickHouse's physical block structure, "
@@ -7828,6 +8035,18 @@ TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
 TEMPLATES["domainrfc"] = TEMPLATES["domain"]
 TEMPLATES["topleveldomainrfc"] = TEMPLATES["topleveldomain"]
 TEMPLATES["portrfc"] = TEMPLATES["port"]
+# round-14 probe wave: the RFC spelling and the two remaining Custom
+# variants leaked raw UNRESOLVED_ROUTINE
+TEMPLATES["domainwithoutwwwrfc"] = TEMPLATES["domainwithoutwww"]
+TEMPLATES["cuttofirstsignificantsubdomaincustom"] = (
+    TEMPLATES["firstsignificantsubdomaincustom"]
+)
+TEMPLATES["cuttofirstsignificantsubdomaincustomwithwww"] = (
+    TEMPLATES["firstsignificantsubdomaincustom"]
+)
+TEMPLATES["firstsignificantsubdomaincustomrfc"] = (
+    TEMPLATES["firstsignificantsubdomaincustom"]
+)
 
 
 # --- the rewriter -----------------------------------------------------------
@@ -9569,12 +9788,10 @@ def _rewrite_ternary(sql: str) -> str:
         sql = f"{sql[:start]} IF({cond}, {then}, {other}) {sql[end:]}"
 
 
-def _tuple_literal_struct(expr: str) -> str | None:
-    """A parenthesized top-level comma list ``(a, b, …)`` rewritten to the
-    ``named_struct('_1', a, …)`` form ``tuple()`` emits, else None.  CH
-    treats ``(1,'a')`` as a first-class tuple literal; Spark parses it as
-    a struct with ``col1..colN`` field names, so the dialect's ``_N``
-    accessors missed (round 14 — was a raw FIELD_NOT_FOUND)."""
+def _bare_tuple_parts(expr: str) -> list[str] | None:
+    """Element expressions of a bare parenthesized tuple literal
+    ``(a, b, …)``, else None (not wholly parenthesized, no top-level
+    comma, or a subquery)."""
     e = expr.strip()
     if not (e.startswith("(") and e.endswith(")")):
         return None
@@ -9598,14 +9815,52 @@ def _tuple_literal_struct(expr: str) -> str | None:
     parts = _split_args(inner)
     if len(parts) < 2 or parts[0].lower().startswith("select"):
         return None
-    # nested tuple literals convert too, so chained access like
-    # ((1,'x'), 2).1.2 resolves through the same _N convention
-    parts = [_tuple_literal_struct(p) or p for p in parts]
+    return parts
+
+
+def _tuple_parts(expr: str) -> list[str] | None:
+    """Element expressions of a tuple whose arity IS knowable at
+    translate time: a bare literal ``(a, b, …)`` or the
+    ``named_struct('_1', a, …)`` form ``tuple()`` has already been
+    rewritten to — else None (e.g. a tuple-typed column reference)."""
+    e = expr.strip()
+    m = re.match(r"(?is)named_struct\s*\(", e)
+    if m and e.endswith(")") and _find_balanced(e, m.end() - 1) == len(e):
+        kv = _split_args(e[m.end() : -1])
+        if (
+            len(kv) >= 2
+            and len(kv) % 2 == 0
+            and all(
+                re.fullmatch(r"'_\d+'", kv[i].strip())
+                for i in range(0, len(kv), 2)
+            )
+        ):
+            return [kv[i] for i in range(1, len(kv), 2)]
+        return None
+    return _bare_tuple_parts(expr)
+
+
+def _struct_of(parts: list[str]) -> str:
+    """``named_struct('_1', p1, …)`` — the _N tuple convention."""
     return (
         "named_struct("
         + ", ".join(f"'_{i}', {p}" for i, p in enumerate(parts, start=1))
         + ")"
     )
+
+
+def _tuple_literal_struct(expr: str) -> str | None:
+    """A parenthesized top-level comma list ``(a, b, …)`` rewritten to the
+    ``named_struct('_1', a, …)`` form ``tuple()`` emits, else None.  CH
+    treats ``(1,'a')`` as a first-class tuple literal; Spark parses it as
+    a struct with ``col1..colN`` field names, so the dialect's ``_N``
+    accessors missed (round 14 — was a raw FIELD_NOT_FOUND)."""
+    parts = _bare_tuple_parts(expr)
+    if parts is None:
+        return None
+    # nested tuple literals convert too, so chained access like
+    # ((1,'x'), 2).1.2 resolves through the same _N convention
+    return _struct_of([_tuple_literal_struct(p) or p for p in parts])
 
 
 def _paren_open_for(sql: str, close: int) -> int | None:
@@ -10254,6 +10509,63 @@ def _rewrite_double_quoted_identifiers(sql: str) -> str:
     return "".join(out)
 
 
+_LOGICAL_FN_PAT = re.compile(r"(?i)(?<![A-Za-z0-9_.'\"$])(and|or|not)\s*\(")
+_EXPR_START_WORDS = frozenset({
+    "select", "where", "when", "then", "else", "having", "on", "by",
+    "and", "or", "not", "distinct",
+})
+
+
+def _rewrite_logical_fn_calls(sql: str) -> str:
+    """CH's ``and()`` / ``or()`` FUNCTION spellings → chained operators
+    (round-14 probe wave — leaked raw UNRESOLVED_ROUTINE).  Unlike xor,
+    these tokens collide with the operator keywords (``a AND (b)``), so
+    the rewrite fires only where an EXPRESSION is expected: at the start,
+    after ``(`` ``[`` ``,`` or an operator character, or after an
+    expression-starting keyword.  ``not(x)`` parses natively as the
+    operator; the bare ``in()`` spelling stays unmapped (same collision,
+    no safe context — ``x IN (...)`` is the common form)."""
+    while True:
+        for m in _LOGICAL_FN_PAT.finditer(sql):
+            if not _outside_strings(sql, m.start(1)):
+                continue
+            k = m.start(1) - 1
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0:
+                c = sql[k]
+                if c.isalnum() or c == "_":
+                    j = k
+                    while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                        j -= 1
+                    if sql[j + 1 : k + 1].lower() not in _EXPR_START_WORDS:
+                        continue  # `a AND (b)` — the operator spelling
+                elif c not in "(,[=<>+-*/%!":
+                    continue  # e.g. `) AND (` — the operator spelling
+            op = m.group(1).upper()
+            open_paren = sql.index("(", m.end(1) - 1)
+            close = _find_balanced(sql, open_paren)
+            args = _split_args(sql[open_paren + 1 : close - 1])
+            if args and args[0].lstrip()[:7].lower().startswith("select"):
+                continue  # NOT (SELECT …) — a subquery, not a call
+            if op == "NOT":
+                # not(x) ≡ the NOT operator, but CH coerces ints and
+                # Spark 4's NOT requires BOOLEAN — CAST bridges both
+                if len(args) != 1:
+                    continue
+                joined = f"NOT CAST({args[0]} AS BOOLEAN)"
+            else:
+                if len(args) < 2:
+                    continue  # single-arg parens: leave for Spark
+                joined = f" {op} ".join(
+                    f"CAST({x} AS BOOLEAN)" for x in args
+                )
+            sql = sql[: m.start(1)] + "(" + joined + ")" + sql[close:]
+            break  # positions shifted — rescan (handles nesting too)
+        else:
+            return sql
+
+
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
     sql = _rewrite_explain_prefix(sql)
@@ -10275,6 +10587,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_brackets(sql)
     sql = _rewrite_ternary(sql)
     sql = _rewrite_tuple_index(sql)
+    sql = _rewrite_logical_fn_calls(sql)
     out: list[str] = []
     i = 0
     n = len(sql)

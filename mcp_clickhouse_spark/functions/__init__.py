@@ -135,6 +135,7 @@ LAZY_UDFS = {
     "ch_jaro": _register_strdist,
     "ch_jaro_winkler": _register_strdist,
     "ch_array_levenshtein": _register_strdist,
+    "ch_array_lev_weighted": _register_strdist,
     "ch_geohash_encode": _register_geo,
     "ch_geohash_decode": _register_geo,
     "ch_lgamma": _register_stats,

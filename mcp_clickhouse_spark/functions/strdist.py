@@ -135,6 +135,30 @@ def levenshtein_seq(a, b) -> int:
     return prev[lb]
 
 
+def levenshtein_seq_weighted(a, b, wa, wb) -> float:
+    """Weighted Levenshtein over sequences (arrayLevenshteinDistance-
+    Weighted): deleting a[i] costs wa[i], inserting b[j] costs wb[j],
+    substituting an unequal pair costs wa[i] + wb[j] (matching the CH
+    docs example: (['A','B','C'], ['A','K','L'], [1,2,3], [3,4,5]) →
+    14 = (2+4) + (3+5))."""
+    la, lb = len(a), len(b)
+    prev = [0.0] * (lb + 1)
+    for j in range(1, lb + 1):
+        prev[j] = prev[j - 1] + wb[j - 1]
+    for i in range(1, la + 1):
+        cur = [prev[0] + wa[i - 1]] + [0.0] * lb
+        ai = a[i - 1]
+        for j in range(1, lb + 1):
+            sub = 0.0 if ai == b[j - 1] else wa[i - 1] + wb[j - 1]
+            cur[j] = min(
+                prev[j] + wa[i - 1],      # delete a[i]
+                cur[j - 1] + wb[j - 1],   # insert b[j]
+                prev[j - 1] + sub,        # match / substitute
+            )
+        prev = cur
+    return prev[lb]
+
+
 def _ngrams(seq):
     """4-gram multiset of a sequence (bytes → byte 4-slices, str →
     codepoint 4-tuples); sequences shorter than 4 have no grams."""
@@ -223,6 +247,23 @@ def ensure_registered(spark) -> None:
             "Int32",
         )
 
+    @pandas_udf("double")
+    def ch_array_lev_weighted(
+        a: pd.Series, b: pd.Series, wa: pd.Series, wb: pd.Series
+    ) -> pd.Series:
+        out = []
+        for x, y, wx, wy in zip(a, b, wa, wb):
+            if x is None or y is None or wx is None or wy is None:
+                out.append(None)
+            else:
+                out.append(
+                    levenshtein_seq_weighted(
+                        list(x), list(y),
+                        [float(v) for v in wx], [float(v) for v in wy],
+                    )
+                )
+        return pd.Series(out, dtype="float64")
+
     # ngram family (round 11): 8 CH spellings → 8 thin registrations over
     # the two core functions.  Byte variants run on the UTF-8 encoding
     # (bytes.lower() = ASCII-only lowercase, matching CH's byte path);
@@ -259,3 +300,4 @@ def ensure_registered(spark) -> None:
     spark.udf.register("ch_jaro", ch_jaro)
     spark.udf.register("ch_jaro_winkler", ch_jaro_winkler)
     spark.udf.register("ch_array_levenshtein", ch_array_levenshtein)
+    spark.udf.register("ch_array_lev_weighted", ch_array_lev_weighted)

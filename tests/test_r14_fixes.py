@@ -12,10 +12,13 @@ is ClickHouse SELECT surface a reference user could send.
 import pytest
 
 from mcp_clickhouse_spark.dialect import DialectError, translate
+from mcp_clickhouse_spark.functions import register_lazy_udfs
 
 
 def rows(spark, sql):
-    return spark.sql(translate(sql)).collect()
+    t = translate(sql)
+    register_lazy_udfs(spark, t)
+    return spark.sql(t).collect()
 
 
 def test_xor_variadic(spark):
@@ -105,6 +108,140 @@ def test_in_family_two_valued_null_logic(spark):
         " FROM t_r14in",
     )[0]
     assert list(r) == [False, True, True, True, False, False]
+
+
+def test_tuple_math_literal_expansion(spark):
+    """Round-14 probe wave: the tuple-math family expands element-wise
+    when the arity IS knowable (tuple literals / tuple() calls) — it was
+    an unconditional guided error.  Non-literal tuple args keep the
+    guided arity error (pinned in the r11/r13 suites)."""
+    r = rows(
+        spark,
+        "SELECT tuplePlus((1, 2), (3, 4)) AS p,"
+        " tupleDivide((4, 9), (2, 3)) AS d,"
+        " tupleIntDiv((7, 9), (2, 3)) AS i,"
+        " tupleNegate((1, -2)) AS n,"
+        " tupleMultiplyByNumber((1, 2), 3) AS m,"
+        " tupleModuloByNumber((7, 9), 4) AS mo,"
+        " tupleConcat((1, 2), (3, 4)) AS c,"
+        " tupleHammingDistance((1, 2, 3), (1, 9, 3)) AS h,"
+        " dotProduct((1, 2), (3, 4)) AS dp,"
+        " tupleSum((1, 2, 3)) AS s",
+    )[0]
+    assert list(r[0]) == [4, 6]
+    assert list(r[1]) == [2.0, 3.0]
+    assert list(r[2]) == [3, 3]
+    assert list(r[3]) == [-1, 2]
+    assert list(r[4]) == [3, 6]
+    assert list(r[5]) == [3, 1]
+    assert list(r[6]) == [1, 2, 3, 4]
+    assert (r[7], r[8], r[9]) == (1, 11.0, 6)
+    with pytest.raises(DialectError, match="tuple arity"):
+        translate("SELECT tuplePlus(a, b) FROM t")
+    with pytest.raises(DialectError, match="sizes differ"):
+        translate("SELECT tuplePlus((1, 2), (1, 2, 3)) FROM t")
+
+
+def test_lp_family_tuple_args_and_normalize(spark):
+    """Lp norms/distances accept tuple literals (coerced to arrays);
+    L1/L2/Lp-Normalize mapped (leaked raw UNRESOLVED_ROUTINE) — tuple in
+    → tuple out, array in → array out, matching CH."""
+    r = rows(
+        spark,
+        "SELECT L2Norm((3, 4)) AS a, L1Norm((1, -2)) AS b,"
+        " L2SquaredNorm((3, 4)) AS c,"
+        " round(LpNorm((1, 2), 3), 10) AS d,"
+        " L2Distance((1, 2), (4, 6)) AS e,"
+        " L2Normalize((3, 4)) AS nz, L1Normalize([1.0, 3.0]) AS nz1",
+    )[0]
+    assert (r[0], r[1], r[2]) == (5.0, 3.0, 25.0)
+    assert r[3] == round(9 ** (1 / 3), 10)
+    assert r[4] == 5.0
+    assert list(r[5]) == [0.6, 0.8]
+    assert list(r[6]) == [0.25, 0.75]
+
+
+def test_bitmap_gap_closures(spark):
+    """bitmapXorCardinality / bitmapAndnotCardinality / bitmapTransform
+    (round-14 probe wave — the rest of the bitmap family was mapped)."""
+    r = rows(
+        spark,
+        "SELECT bitmapXorCardinality(bitmapBuild([1,2]),"
+        " bitmapBuild([2,3])) AS x,"
+        " bitmapAndnotCardinality(bitmapBuild([1,2]),"
+        " bitmapBuild([2])) AS an,"
+        " array_sort(bitmapToArray(bitmapTransform(bitmapBuild([1,2,3]),"
+        " [1,3], [10,30]))) AS tr",
+    )[0]
+    assert (r[0], r[1]) == (2, 1)
+    assert list(r[2]) == [2, 10, 30]
+
+
+def test_logical_fn_spellings(spark):
+    """and()/or()/not() FUNCTION spellings rewrite to chained operators,
+    but ONLY where an expression is expected — the operator keywords
+    followed by a parenthesized operand must survive untouched."""
+    r = rows(
+        spark,
+        "SELECT and(1, 1, 0) AS a, or(0, 1) AS b,"
+        " and(1, or(0, 1)) AS c, not(0) AS d, not(and(1, 1)) AS e",
+    )[0]
+    assert list(r) == [False, True, True, True, False]
+    t = translate("SELECT x FROM t WHERE a = 1 AND (b = 2) OR (c = 3)")
+    assert "AND (b = 2)" in t and "OR (c = 3)" in t
+    t = translate("SELECT x FROM t WHERE x BETWEEN 1 AND (3)")
+    assert "BETWEEN 1 AND (3)" in t
+    t = translate("SELECT x FROM t WHERE NOT (SELECT true)")
+    assert "SELECT true" in t
+
+
+def test_interval_microsecond_and_url_rfc(spark):
+    r = rows(
+        spark,
+        "SELECT toDateTime('2024-01-01 00:00:00')"
+        " + toIntervalMicrosecond(1500000) AS ts,"
+        " domainWithoutWWWRFC('https://www.a.com/x') AS d",
+    )[0]
+    assert str(r[0]) == "2024-01-01 00:00:01.500000"
+    assert r[1] == "a.com"
+    with pytest.raises(DialectError, match="TLD"):
+        translate(
+            "SELECT cutToFirstSignificantSubdomainCustom(u, 'l') FROM t"
+        )
+
+
+def test_wave_d_array_string_closures(spark):
+    """Round-14 probe wave D: weighted array Levenshtein + similarity
+    (CH docs examples pinned), multiMatchAnyIndex, the UTF8 spellings
+    that equal their base forms on Spark's Unicode-native strings, the
+    splitByAlpha alias, and the JSONSharedDataPaths typo fix."""
+    r = rows(
+        spark,
+        "SELECT arrayLevenshteinDistanceWeighted(['A','B','C'],"
+        " ['A','K','L'], [1.0,2,3], [3.0,4,5]) AS lw,"
+        " round(arraySimilarity(['A','B','C'], ['A','K','L'],"
+        " [1.0,2,3], [3.0,4,5]), 6) AS sim,"
+        " arraySimilarity(emptyArrayString(), emptyArrayString(),"
+        " emptyArrayFloat64(), emptyArrayFloat64()) AS sime,"
+        " multiMatchAnyIndex('hello', ['x.*', 'h.*o']) AS mi,"
+        " multiMatchAnyIndex('hello', ['zz']) AS mi0,"
+        " countSubstringsUTF8('ala', 'a') AS cs,"
+        " hasSubsequenceUTF8('abcd', 'bd') AS hs,"
+        " splitByAlpha('ab12cd') AS sa",
+    )[0]
+    assert r[0] == 14.0          # docs: (2+4) + (3+5)
+    assert r[1] == 0.222222      # docs: 1 - 14/18
+    assert r[2] == 1.0
+    assert (r[3], r[4], r[5], r[6]) == (2, 0, 2, 1)
+    assert list(r[7]) == ["ab", "cd"]
+    for sql, frag in [
+        ("SELECT arrayPRAUC([0.1],[1])", "arrayROCAUC"),
+        ("SELECT arrayPartialShuffle([1,2], 1)", "arrayShuffle"),
+        ("SELECT arrayEnumerateUniqRanked([1],1)", "arrayEnumerateUniq"),
+        ("SELECT JSONSharedDataPaths('{}')", ""),
+    ]:
+        with pytest.raises(DialectError, match=frag):
+            translate(sql)
 
 
 def test_hastoken_empty_needle(spark):

@@ -1,0 +1,162 @@
+"""Round-14 randomized cross-checks — seeded random vectors compared
+against INDEPENDENT pure-Python reconstructions (never the dialect's own
+expressions).  The r13 round-trip method caught the same-letter
+pattern-merge bug that hand-picked vectors missed; these cover the
+round-14 surfaces: formatReadableTimeDelta's unit decomposition + the
+" and " separator, toDayOfWeek's four modes, the weighted array
+Levenshtein, and xor's chained fold.
+"""
+
+import random
+from datetime import date, timedelta
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import translate
+from mcp_clickhouse_spark.functions.strdist import (
+    levenshtein_seq,
+    levenshtein_seq_weighted,
+)
+
+# CH's documented unit constants (365-day years, 30.5-day months)
+_UNITS = [
+    ("years", "year", 31536000.0),
+    ("months", "month", 2635200.0),
+    ("days", "day", 86400.0),
+    ("hours", "hour", 3600.0),
+    ("minutes", "minute", 60.0),
+    ("seconds", "second", 1.0),
+]
+
+
+def _py_time_delta(value: float) -> str:
+    """Independent formatReadableTimeDelta: floor-divide the remainder
+    per unit largest→smallest, ', '-join with ' and ' before the last."""
+    rem = abs(float(value))
+    parts = []
+    for many, one, sz in _UNITS:
+        n = int(rem // sz)
+        if n > 0:
+            parts.append(f"{n} {one if n == 1 else many}")
+        rem -= n * sz
+    if not parts:
+        return "0 seconds"
+    sign = "-" if value < 0 else ""
+    if len(parts) == 1:
+        return sign + parts[0]
+    return sign + ", ".join(parts[:-1]) + " and " + parts[-1]
+
+
+def test_format_readable_time_delta_random(spark):
+    rng = random.Random(1414)
+    vals = (
+        [0, 1, 59, 60, 61, 3599, 3600, 86399, 86400, -100, 7850]
+        + [rng.randint(-10**7, 10**9) for _ in range(80)]
+    )
+    spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "i int, v long"
+    ).createOrReplaceTempView("t_rtd")
+    rows = spark.sql(
+        translate(
+            "SELECT i, formatReadableTimeDelta(v) AS s FROM t_rtd"
+        )
+    ).collect()
+    got = {r.i: r.s for r in rows}
+    for i, v in enumerate(vals):
+        assert got[i] == _py_time_delta(v), (v, got[i])
+
+
+def test_todayofweek_modes_random(spark):
+    rng = random.Random(1415)
+    days = [date(1970, 1, 1) + timedelta(days=rng.randint(0, 40000))
+            for _ in range(60)]
+    spark.createDataFrame(
+        [(i, d.isoformat()) for i, d in enumerate(days)], "i int, d string"
+    ).createOrReplaceTempView("t_dow")
+    rows = spark.sql(
+        translate(
+            "SELECT i, toDayOfWeek(toDate(d)) AS m0,"
+            " toDayOfWeek(toDate(d), 1) AS m1,"
+            " toDayOfWeek(toDate(d), 2) AS m2,"
+            " toDayOfWeek(toDate(d), 3) AS m3 FROM t_dow"
+        )
+    ).collect()
+    got = {r.i: (r.m0, r.m1, r.m2, r.m3) for r in rows}
+    for i, d in enumerate(days):
+        wd = d.weekday()  # Monday=0..Sunday=6 — independent reference
+        exp = (
+            wd + 1,            # mode 0: Monday=1..Sunday=7
+            wd,                # mode 1: Monday=0..Sunday=6
+            (wd + 1) % 7,      # mode 2: Sunday=0..Saturday=6
+            (wd + 1) % 7 + 1,  # mode 3: Sunday=1..Saturday=7
+        )
+        assert got[i] == exp, (d, got[i], exp)
+
+
+def _py_weighted_lev_ref(a, b, wa, wb, memo=None):
+    """Independent recursive-memo weighted Levenshtein (not the DP in
+    strdist.py): delete costs wa[i], insert wb[j], substitute their sum."""
+    if memo is None:
+        memo = {}
+
+    def go(i, j):
+        if (i, j) in memo:
+            return memo[(i, j)]
+        if i == len(a):
+            r = sum(wb[j:])
+        elif j == len(b):
+            r = sum(wa[i:])
+        else:
+            best = go(i + 1, j) + wa[i]
+            best = min(best, go(i, j + 1) + wb[j])
+            sub = 0.0 if a[i] == b[j] else wa[i] + wb[j]
+            best = min(best, go(i + 1, j + 1) + sub)
+            r = best
+        memo[(i, j)] = r
+        return r
+
+    return go(0, 0)
+
+
+def test_weighted_levenshtein_random():
+    rng = random.Random(1416)
+    for _ in range(200):
+        la, lb = rng.randint(0, 8), rng.randint(0, 8)
+        a = [rng.randint(0, 3) for _ in range(la)]
+        b = [rng.randint(0, 3) for _ in range(lb)]
+        wa = [round(rng.uniform(0.5, 5.0), 2) for _ in range(la)]
+        wb = [round(rng.uniform(0.5, 5.0), 2) for _ in range(lb)]
+        got = levenshtein_seq_weighted(a, b, wa, wb)
+        exp = _py_weighted_lev_ref(a, b, wa, wb)
+        assert got == pytest.approx(exp), (a, b, wa, wb)
+        # uniform weights halve to the plain distance (sub = 1+1 = 2,
+        # del/ins = 1): check the well-known bound relationship instead
+        # of equality — plain lev uses sub cost 1, weighted uses 2
+    # uniform-weight special case: with all weights 1 the weighted
+    # distance equals ins+del-only edit distance; cross-check a few
+    for _ in range(50):
+        la, lb = rng.randint(0, 8), rng.randint(0, 8)
+        a = [rng.randint(0, 2) for _ in range(la)]
+        b = [rng.randint(0, 2) for _ in range(lb)]
+        got = levenshtein_seq_weighted(a, b, [1.0] * la, [1.0] * lb)
+        exp = _py_weighted_lev_ref(a, b, [1.0] * la, [1.0] * lb)
+        assert got == pytest.approx(exp)
+        # and it is bounded below by the plain Levenshtein
+        assert got >= levenshtein_seq(a, b) - 1e-9
+
+
+def test_xor_random(spark):
+    rng = random.Random(1417)
+    vals = [
+        (i, rng.randint(0, 1), rng.randint(0, 1), rng.randint(0, 1))
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        vals, "i int, a int, b int, c int"
+    ).createOrReplaceTempView("t_xor")
+    rows = spark.sql(
+        translate("SELECT i, xor(a, b, c) AS x, xor(a, b) AS y FROM t_xor")
+    ).collect()
+    got = {r.i: (r.x, r.y) for r in rows}
+    for i, a, b, c in vals:
+        assert got[i] == (bool(a) ^ bool(b) ^ bool(c), bool(a) ^ bool(b))

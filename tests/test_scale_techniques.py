@@ -55,6 +55,14 @@ def bucketed_tables(spark, sf_dir):
 
     for name, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         spark.sql(f"DROP TABLE IF EXISTS b_{name}")
+        # a previous run killed mid-write leaves the LOCATION directory
+        # behind with no catalog entry (fresh in-memory metastore), and
+        # saveAsTable then fails LOCATION_ALREADY_EXISTS — clear it
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        shutil.rmtree(f"{wh}/b_{name}", ignore_errors=True)
         (
             read_table(spark, sf_dir, name)
             .write.bucketBy(8, key)
