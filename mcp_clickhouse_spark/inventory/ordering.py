@@ -2,7 +2,7 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 13: 210 registered (211 with the round-14 addition), zero
+after round 13: 210 registered (212 with the round-14 additions), zero
 value mismatches ever left unfixed, zero never-driver-checked
 registrations; going into round 14 the stale pool was 10 queries last
 green r8 + 50 last green r9.
@@ -19,10 +19,12 @@ r9 pool):
 - ``scalar_time_delta`` (formatReadableTimeDelta now joins with " and "
   before the last unit per the CH docs examples; the DuckDB oracle
   reconstruction was updated to match);
-- ``scalar_round14`` (new: xor(), tuple-literal positional access,
-  IN-family two-valued NULL logic, arrayResize 2-arg shrink, hasToken
-  empty-needle);
-- 37 of the 49 remaining queries last driver-checked in round 9.
+- ``scalar_round14`` / ``scalar_round14b`` (new: xor(), tuple-literal
+  positional access, IN-family two-valued NULL logic, arrayResize
+  2-arg shrink, hasToken empty-needle; literal tuple math, Lp family
+  over tuples, bitmap cardinalities, and()/or()/not() spellings,
+  multiMatchAnyIndex);
+- 36 of the 49 remaining queries last driver-checked in round 9.
 
 Deferred to the round-15 lead (stay at r9 — oldest last-green ≥ r9
 holds at the r14 freeze; each deferral has a rotating twin or a
@@ -52,7 +54,9 @@ stronger per-round check exercising the same engine path):
 - ``pipe_clean_corpus`` (pipe_pii_scrub rotates the same
   regexp-replace normalization family),
 - ``subquery_scalar`` (subquery_correlated_exists was r13-green and
-  subquery_in rotates — the strictly harder decorrelation shapes).
+  subquery_in rotates — the strictly harder decorrelation shapes),
+- ``win_range_time_interval`` (win_range_frame — the same
+  RANGE-frame-over-time shape — rotates this round).
 """
 
 from __future__ import annotations
@@ -72,11 +76,12 @@ PRIORITY: list[str] = [
     "events_pivot",
     "win_range_frame",
     "behav_retention",
-    # corrected / changed oracles + the round-14 addition
+    # corrected / changed oracles + the round-14 additions
     "scalar_round13",
     "scalar_time_delta",
     "scalar_round14",
-    # last driver-checked in round 9 (37 of the 49-query pool)
+    "scalar_round14b",
+    # last driver-checked in round 9 (36 of the 49-query pool)
     "agg_foreach",
     "agg_hypothesis_tests",
     "agg_map_entropy",
@@ -113,7 +118,6 @@ PRIORITY: list[str] = [
     "scalar_url_hierarchy",
     "scalar_vector_math",
     "streaming_minhash_pairs",
-    "win_range_time_interval",
 ]
 
 

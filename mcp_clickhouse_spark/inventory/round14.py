@@ -1,8 +1,9 @@
 """Round-14 oracle-checked closures.
 
-One query covering this round's dialect fixes end-to-end, oracle-checked
-against an independent DuckDB reconstruction (the oracle never runs the
-dialect — it rebuilds every expected value from DuckDB primitives):
+Two queries covering this round's dialect fixes end-to-end, oracle-checked
+against independent DuckDB reconstructions (the oracle never runs the
+dialect — it rebuilds every expected value from DuckDB primitives).
+``scalar_round14`` covers the verdict/advice fixes:
 
 - ``xor()`` — CH's variadic logical XOR (was a raw UNRESOLVED_ROUTINE);
 - bare tuple-LITERAL positional access — ``tupleElement((a, b), 2)`` and
@@ -16,6 +17,10 @@ dialect — it rebuilds every expected value from DuckDB primitives):
   unknowable at translation time);
 - ``hasToken`` with an empty needle → 0 even when the haystack has
   leading/trailing separators (split()'s empty edge tokens are filtered).
+
+``scalar_round14b`` covers the probe-wave closures: literal tuple math,
+the Lp family over tuple literals, bitmap XOR/ANDNOT cardinalities, the
+and()/or()/not() function spellings, and multiMatchAnyIndex.
 
 Reference contract basis: verbatim SQL delegation in
 /root/reference/mcp_clickhouse/mcp_server.py:425.
@@ -76,3 +81,65 @@ def scalar_round14(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R14_CH))
+
+
+_SQL_R14B_CH = """
+SELECT o_orderkey,
+  tupleElement(tuplePlus((o_orderkey % 5, o_orderkey % 7), (1, 2)), 1)
+    AS tp1,
+  tupleElement(tuplePlus((o_orderkey % 5, o_orderkey % 7), (1, 2)), 2)
+    AS tp2,
+  toInt64(tupleHammingDistance((o_orderkey % 2, o_orderkey % 3), (0, 0)))
+    AS th,
+  toInt64(dotProduct((o_orderkey % 4, 2), (3, o_orderkey % 6))) AS dp,
+  toInt64(L2SquaredNorm((o_orderkey % 3, o_orderkey % 4))) AS n2sq,
+  round(L2Norm((o_orderkey % 3, 4)), 6) AS n2,
+  toInt64(bitmapXorCardinality(bitmapBuild([o_orderkey % 5, 1, 2]),
+                               bitmapBuild([2, 3]))) AS bx,
+  toInt64(bitmapAndnotCardinality(bitmapBuild([o_orderkey % 5, 1]),
+                                  bitmapBuild([1]))) AS ba,
+  toInt64(and(o_orderkey % 2, o_orderkey % 3)) AS la,
+  toInt64(or(o_orderkey % 2, o_orderkey % 3)) AS lo,
+  toInt64(not(o_orderkey % 2)) AS ln,
+  toInt64(multiMatchAnyIndex(o_orderpriority,
+                             ['.*URGENT.*', '.*HIGH.*'])) AS mi
+FROM orders
+"""
+
+_SQL_R14B_ORACLE = """
+SELECT o_orderkey,
+  o_orderkey % 5 + 1 AS tp1,
+  o_orderkey % 7 + 2 AS tp2,
+  CAST(o_orderkey % 2 <> 0 AS BIGINT)
+    + CAST(o_orderkey % 3 <> 0 AS BIGINT) AS th,
+  (o_orderkey % 4) * 3 + 2 * (o_orderkey % 6) AS dp,
+  (o_orderkey % 3) * (o_orderkey % 3)
+    + (o_orderkey % 4) * (o_orderkey % 4) AS n2sq,
+  round(sqrt((o_orderkey % 3) * (o_orderkey % 3) + 16.0), 6) AS n2,
+  len(list_distinct([o_orderkey % 5, 1, 2] || [2, 3]))
+    - len(list_intersect(list_distinct([o_orderkey % 5, 1, 2]),
+                         [2, 3])) AS bx,
+  len(list_filter(list_distinct([o_orderkey % 5, 1]),
+                  x -> x <> 1)) AS ba,
+  CAST((o_orderkey % 2 <> 0) AND (o_orderkey % 3 <> 0) AS BIGINT) AS la,
+  CAST((o_orderkey % 2 <> 0) OR (o_orderkey % 3 <> 0) AS BIGINT) AS lo,
+  CAST(NOT (o_orderkey % 2 <> 0) AS BIGINT) AS ln,
+  CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1
+       WHEN o_orderpriority LIKE '%HIGH%' THEN 2 ELSE 0 END AS mi
+FROM orders
+"""
+
+
+@query("scalar_round14b", oracle=_SQL_R14B_ORACLE, category="scalars")
+def scalar_round14b(spark, sf_dir):
+    """Round-14 probe-wave closures end-to-end: literal tuple math
+    (tuplePlus element-wise through tupleElement, tupleHammingDistance,
+    dotProduct over tuples), the Lp family on tuple literals (L2Norm,
+    L2SquaredNorm), bitmapXor/Andnot cardinalities, the and()/or()/not()
+    function spellings (rewritten only in expression positions), and
+    multiMatchAnyIndex.  The DuckDB oracle rebuilds every value from
+    scalar arithmetic and list primitives — never the dialect."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R14B_CH))
