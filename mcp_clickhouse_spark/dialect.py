@@ -3508,6 +3508,58 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "dictHas: external dictionaries do not exist here — use a LEFT "
         "SEMI JOIN against the dimension table"
     )),
+    # the rest of the dictGet* surface joins the same guided error
+    # (round-14 probe wave — dictGetOrDefault leaked raw)
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: external dictionaries do not exist here — JOIN the "
+            "dimension table (broadcast joins give the same lookup "
+            "shape; coalesce() covers the OrDefault/OrNull variants)"
+        ))))(_t)
+        for _t in ("dictgetordefault", "dictgetornull",
+                   "dictgetuint8", "dictgetuint16", "dictgetuint32",
+                   "dictgetuint64", "dictgetint8", "dictgetint16",
+                   "dictgetint32", "dictgetint64", "dictgetfloat32",
+                   "dictgetfloat64", "dictgetdate", "dictgetdatetime",
+                   "dictgetuuid", "dictgetbool",
+                   "dictgethierarchy", "dictisin", "dictgetchildren",
+                   "dictgetdescendants", "dictgetall")
+    },
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: ClickHouse experimental transactions do not exist "
+            "here — Spark reads are snapshot-consistent per query"
+        ))))(_t)
+        for _t in ("transactionlatestsnapshot",  # transactionID exists
+                   "transactionoldestsnapshot")
+    },
+    "evalmlmethod": lambda a: (_ for _ in ()).throw(DialectError(
+        "evalMLMethod applies a stochastic*Regression STATE, which is "
+        "engine-internal — fit coefficients with the corr/covar "
+        "aggregates (simpleLinearRegression is supported) and apply "
+        "them as an expression"
+    )),
+    "flamegraph": lambda a: (_ for _ in ()).throw(DialectError(
+        "flameGraph renders server trace samples — no profiler registry "
+        "exists here"
+    )),
+    **{
+        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: numeric-indexed-vector states are engine-internal — "
+            "model the vector as a MAP column (map_* functions) or an "
+            "ARRAY with positional arithmetic"
+        ))))(_t)
+        for _t in ("numericindexedvectorbuild",
+                   "numericindexedvectorpointwiseadd",
+                   "numericindexedvectorpointwisesubtract",
+                   "numericindexedvectorpointwisemultiply",
+                   "numericindexedvectorpointwisedivide",
+                   "numericindexedvectorgetvalue",
+                   "numericindexedvectorcardinality",
+                   "numericindexedvectorallvaluesum",
+                   "numericindexedvectorshortdebugstring",
+                   "numericindexedvectortomap")
+    },
     # round 10: make_dt_interval/make_ym_interval instead of
     # make_interval — CalendarIntervalType cannot be collected by
     # PySpark, the typed intervals can, and date arithmetic accepts both
@@ -10079,8 +10131,13 @@ def _rewrite_join_modifiers(sql: str) -> str:
         return None
 
     m = first_outside(
-        r"(?i)\b(sum|avg|min|max|count|uniq|any|quantile\w*|argMin|argMax|corr|groupArray)"
-        r"(State|Merge)\s*\("
+        r"(?i)\b(sum\w*|avg\w*|min|max|count\w*|uniq\w*|any\w*"
+        r"|quantile\w*|argMin|argMax|corr\w*|groupArray\w*|groupBit\w*"
+        r"|topK\w*|median\w*|histogram|sequence\w*|windowFunnel|retention"
+        r"|covar\w*|stddev\w*|var\w*|skew\w*|kurt\w*|entropy|deltaSum\w*"
+        r"|exponential\w*|simpleLinearRegression|stochastic\w*|sparkbar"
+        r"|studentTTest|welchTTest|meanZTest|mannWhitneyUTest)"
+        r"(?<![Ss]imple)(State|Merge)\s*\("  # -SimpleState is mapped
     )
     if m:
         raise ValueError(

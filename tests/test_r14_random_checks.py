@@ -145,6 +145,72 @@ def test_weighted_levenshtein_random():
         assert got >= levenshtein_seq(a, b) - 1e-9
 
 
+def test_logical_fn_rewrite_fuzz(spark):
+    """Fuzz the and()/or()/not() pre-pass: random boolean expressions
+    mixing FUNCTION spellings with OPERATOR spellings (including the
+    collision shapes `x AND (y)` / `BETWEEN a AND (b)`), evaluated in
+    Spark after translate() and compared against Python's evaluation of
+    the same expression tree — operator hijack or mis-parenthesization
+    shows up as a value mismatch or an analysis error."""
+    rng = random.Random(1418)
+
+    def gen(depth, need_bool=False):
+        """Returns (ch_sql, python_lambda over dict row).  need_bool
+        forces a BOOLEAN-typed expression — Spark's bare AND/OR
+        operators don't coerce ints (CH does; that operator-operand
+        coercion is out of scope for the pre-pass, which only maps the
+        FUNCTION spellings)."""
+        if depth == 0:
+            v = rng.choice(["a", "b", "c", "0", "1"])
+            if need_bool:
+                if v in "01":
+                    return (f"({v} = 1)",
+                            lambda row, k=int(v): k == 1)
+                return (f"({v} = 1)",
+                        lambda row, k=v: row[k] == 1)
+            if v in "01":
+                return v, (lambda row, k=int(v): bool(k))
+            return v, (lambda row, k=v: bool(row[k]))
+        kind = rng.randrange(6)
+        child_bool = kind in (3, 4)
+        l_sql, l_fn = gen(depth - 1, need_bool=child_bool)
+        r_sql, r_fn = gen(depth - 1, need_bool=child_bool)
+        if kind == 0:
+            return (f"and({l_sql}, {r_sql})",
+                    lambda row: l_fn(row) and r_fn(row))
+        if kind == 1:
+            return (f"or({l_sql}, {r_sql})",
+                    lambda row: l_fn(row) or r_fn(row))
+        if kind == 2:
+            return f"not({l_sql})", (lambda row: not l_fn(row))
+        if kind == 3:  # operator spelling with parenthesized operand
+            return (f"({l_sql}) AND ({r_sql})",
+                    lambda row: l_fn(row) and r_fn(row))
+        if kind == 4:
+            return (f"{l_sql} OR ({r_sql})",
+                    lambda row: l_fn(row) or r_fn(row))
+        return (f"xor({l_sql}, {r_sql})",
+                lambda row: l_fn(row) != r_fn(row))
+
+    rows_data = [
+        {"i": i, "a": rng.randint(0, 1), "b": rng.randint(0, 1),
+         "c": rng.randint(0, 1)}
+        for i in range(16)
+    ]
+    spark.createDataFrame(
+        [(r["i"], r["a"], r["b"], r["c"]) for r in rows_data],
+        "i int, a int, b int, c int",
+    ).createOrReplaceTempView("t_lf")
+    for _ in range(40):
+        sql_expr, py_fn = gen(rng.randint(1, 3))
+        t = translate(
+            f"SELECT i, CAST({sql_expr} AS Int32) AS v FROM t_lf"
+        )
+        got = {r.i: r.v for r in spark.sql(t).collect()}
+        for row in rows_data:
+            assert got[row["i"]] == int(py_fn(row)), (sql_expr, row)
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
