@@ -1102,20 +1102,6 @@ def _null_prop_extremum(fn: str, a: list[str]) -> str:
     return f"(CASE WHEN {guard} THEN NULL ELSE {fn}({', '.join(a)}) END)"
 
 
-def _to_week_mode1(d: str) -> str:
-    """CH/MySQL week mode 1: Monday-first weeks, range 0-53 — the ISO
-    week count anchored at the Monday of the week containing Jan 4, but
-    dates BEFORE that anchor return 0 instead of rolling into the
-    previous year (MySQL WEEK(d, 1); round-13 audit batch)."""
-    dd = f"CAST({d} AS DATE)"
-    j4 = f"make_date(year({dd}), 1, 4)"
-    ws = f"date_sub({j4}, weekday({j4}))"
-    return (
-        f"CAST(IF({dd} < {ws}, 0,"
-        f" datediff({dd}, {ws}) div 7 + 1) AS INT)"
-    )
-
-
 def _best_effort_expr(x: str, strict: bool) -> str:
     """parseDateTimeBestEffort's documented corner formats beyond the ISO
     shapes Spark's CAST handles (round-13 value audit; CH docs
@@ -1522,48 +1508,106 @@ def _extract_groups(args: list[str]) -> str:
     return f"CASE WHEN {s} RLIKE {pat} THEN array({groups}) ELSE array() END"
 
 
-def _to_year_week(args: list[str]) -> str:
-    """CH toYearWeek(date[, mode[, timezone]]) — faithful mode 0 and 3.
+def _week_mode_expr(arg: str, mode: int, year_week: bool) -> str:
+    """CH toWeek/toYearWeek for the FULL documented mode table 0-9
+    (round 14 — modes 2 and 4-9 were guided errors).
 
-    The 1-arg default is MODE 0 (Sunday-start weeks, MySQL YEARWEEK
-    semantics), NOT ISO: a date before the year's first Sunday belongs to
-    the previous year's week 52/53 (toYearWeek('2024-12-30') = 202452 in
-    CH; the old ISO-only translation returned 202501 — round-5 advisor
-    finding).  Mode 0: identify the week by its Sunday S; the result is
-    year(S)*100 + 1-based index of S among year(S)'s Sundays.  Mode 3 is
-    ISO (YEAROFWEEK + weekofyear).  Other modes and the timezone argument
-    raise guided errors rather than returning silently wrong values.
-    """
+    The table is MySQL's WEEK() behaviour bits plus CH's 8/9 extension:
+    bit 0 = weeks start Monday, bit 1 = range 1-53 with year roll
+    (0-53 otherwise), bit 2 = week 1 is the first week STARTING on the
+    week's first day — with the MySQL quirk that for Sunday-first modes
+    the bit-2 meaning is inverted (MySQL calc_week:
+    ``if (!monday_first) week_format ^= WEEK_FIRST_WEEKDAY``), so
+    mode 0 = "first week with a Sunday" and mode 4 = "first week with
+    4+ days".  Modes 8/9 = the week containing January 1 is week 1
+    (Sunday/Monday first, 1-53).  toYearWeek always year-rolls (MySQL
+    YEARWEEK forces WEEK_YEAR), returning week_year*100 + week.
+
+    Formulation: anchor each year Y at w1(Y) = the first day of week 1,
+    per rule A (first F-day of the year), B (the week containing
+    January 4 — the 4+-days rule), or C (the week containing
+    January 1); then week = datediff(d, w1) div 7 + 1 with d < w1(Y)
+    rolling to Y-1 (or 0 for the 0-53 modes) and d ≥ w1(Y+1) rolling
+    forward to week 1.  Docs worked examples pinned in
+    tests/test_r14_fixes.py BEFORE the oracle was written (the
+    round-13 toDayOfWeek lesson)."""
+    monday_first = bool(mode & 1) or mode == 9
+    week_year = bool(mode & 2) or mode in (8, 9) or year_week
+    if mode in (8, 9):
+        rule = "C"
+    else:
+        # effective first-weekday bit: bit2 XOR (NOT bit0)
+        rule = "A" if bool(mode & 4) != (not bool(mode & 1)) else "B"
+    f_dow = 2 if monday_first else 1  # Spark dayofweek: Sunday=1
+    dd = f"CAST({arg} AS DATE)"
+    y = f"year({dd})"
+
+    def w1(ye: str) -> str:
+        jan1 = f"make_date({ye}, 1, 1)"
+        if rule == "A":
+            return (
+                f"date_add({jan1}, pmod({f_dow} - dayofweek({jan1}), 7))"
+            )
+        anchor = f"make_date({ye}, 1, 4)" if rule == "B" else jan1
+        return (
+            f"date_sub({anchor}, pmod(dayofweek({anchor}) - {f_dow}, 7))"
+        )
+
+    w1y, w1p, w1n = w1(y), w1(f"({y} - 1)"), w1(f"({y} + 1)")
+
+    def wk(w1x: str) -> str:
+        return f"(datediff({dd}, {w1x}) div 7 + 1)"
+
+    if week_year:
+        week = (
+            f"(CASE WHEN {dd} < {w1y} THEN {wk(w1p)}"
+            f" WHEN {dd} >= {w1n} THEN 1"
+            f" ELSE {wk(w1y)} END)"
+        )
+        if not year_week:
+            return f"CAST({week} AS INT)"
+        wyear = (
+            f"(CASE WHEN {dd} < {w1y} THEN {y} - 1"
+            f" WHEN {dd} >= {w1n} THEN {y} + 1"
+            f" ELSE {y} END)"
+        )
+        return f"CAST({wyear} * 100 + {week} AS INT)"
+    return (
+        f"CAST(IF({dd} < {w1y}, 0, {wk(w1y)}) AS INT)"
+    )
+
+
+def _week_mode_args(args: list[str], fn: str) -> tuple[str, int]:
+    """Shared (date, literal-mode) validation for toWeek/toYearWeek;
+    a literal timezone 3rd argument shifts the instant's local date."""
+    arg = args[0]
     if len(args) > 2:
-        # literal timezone (round 8): the instant's LOCAL date in that
-        # zone decides the week — from_utc_timestamp is exact under the
-        # engine's UTC session contract
-        tz = _tz_literal(args[2]) if len(args) == 3 else None
+        tz = _tz_literal(args[2])
         if tz is None:
             raise DialectError(
-                "toYearWeek: only a string-literal timezone argument is "
+                f"{fn}: only a string-literal timezone argument is "
                 "supported (the session timezone applies otherwise)"
             )
-        args = [f"from_utc_timestamp({args[0]}, {tz})", args[1]]
-    mode = args[1].strip() if len(args) > 1 else "0"
-    if mode == "3":
-        return (
-            f"CAST(concat(CAST(extract(YEAROFWEEK FROM {args[0]}) AS STRING),"
-            f" lpad(CAST(weekofyear({args[0]}) AS STRING), 2, '0')) AS INT)"
-        )
-    if mode != "0":
+        arg = f"from_utc_timestamp({args[0]}, {tz})"
+    mode_s = args[1].strip() if len(args) > 1 else "0"
+    if not re.fullmatch(r"\d", mode_s) or int(mode_s) > 9:
         raise DialectError(
-            f"toYearWeek: mode {mode} is not supported (only the default "
-            "mode 0 and ISO mode 3 are implemented; other CH week modes "
-            "have no faithful translation here)"
+            f"{fn}: mode must be a literal 0-9 (got {mode_s!r})"
         )
-    d = f"CAST({args[0]} AS DATE)"
-    s = f"date_sub({d}, dayofweek({d}) - 1)"  # Sunday on or before d
-    j = f"trunc({s}, 'YEAR')"  # Jan 1 of the Sunday's year
-    fs = f"date_add({j}, (8 - dayofweek({j})) % 7)"  # first Sunday that year
-    # CAST to INT: div yields BIGINT, but CH returns UInt32 and Spark's
-    # date_add/date_sub reject BIGINT day counts in compositions
-    return f"CAST(year({s}) * 100 + (datediff({s}, {fs}) div 7) + 1 AS INT)"
+    return arg, int(mode_s)
+
+
+def _to_year_week(args: list[str]) -> str:
+    """CH toYearWeek(date[, mode[, timezone]]) — the full mode table 0-9
+    through :func:`_week_mode_expr` (round 14; rounds 5-13 supported
+    only modes 0 and 3).  The 1-arg default is MODE 0 (Sunday-start
+    weeks, MySQL YEARWEEK semantics), NOT ISO: a date before the year's
+    first Sunday belongs to the previous year's week 52/53
+    (toYearWeek('2024-12-30') = 202452 — round-5 advisor finding, kept
+    pinned).  YEARWEEK always year-rolls regardless of the mode's bit 1
+    (MySQL forces WEEK_YEAR)."""
+    arg, mode = _week_mode_args(args, "toYearWeek")
+    return _week_mode_expr(arg, mode, year_week=True)
 
 
 _DECIMALISH = re.compile(r"(?i)\d\s*\.\s*\d|\d[eE][+-]?\d|\btofloat|\btodecimal")
@@ -3781,30 +3825,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # ISO week numbers but dates before ISO week 1 return 0 instead of
     # rolling to the previous year — round-13 audit batch) and 3 (ISO);
     # others guided
-    "toweek": lambda a: (
-        f"weekofyear({a[0]})"
-        if len(a) > 1 and a[1].strip() == "3"
-        else _to_week_mode1(a[0])
-        if len(a) > 1 and a[1].strip() == "1"
-        else (
-            (_ for _ in ()).throw(DialectError(
-                "toWeek: only modes 0 (default), 1 and ISO mode 3 are "
-                "implemented (other CH week modes have no faithful "
-                "translation here)"
-            ))
-            if len(a) > 1 and a[1].strip() != "0"
-            else (
-                f"CAST(IF(CAST({a[0]} AS DATE) <"
-                f" date_add(trunc(CAST({a[0]} AS DATE), 'YEAR'),"
-                f" (8 - dayofweek(trunc(CAST({a[0]} AS DATE), 'YEAR')))"
-                f" % 7), 0,"
-                f" datediff(date_sub(CAST({a[0]} AS DATE),"
-                f" dayofweek(CAST({a[0]} AS DATE)) - 1),"
-                f" date_add(trunc(CAST({a[0]} AS DATE), 'YEAR'),"
-                f" (8 - dayofweek(trunc(CAST({a[0]} AS DATE), 'YEAR')))"
-                f" % 7)) div 7 + 1) AS INT)"
-            )
-        )
+    # full mode table 0-9 (round 14; modes 2 and 4-9 were guided errors
+    # and the 0/1/3 fast paths had three separate formulations — one
+    # source of truth now, randomized-checked against an independent
+    # Python port of MySQL calc_week)
+    "toweek": lambda a: _week_mode_expr(
+        *_week_mode_args(a, "toWeek"), year_week=False
     ),
     # arrayCompact removes CONSECUTIVE duplicates only (round-10 fix —
     # the array_distinct rename silently removed ALL duplicates)

@@ -2,7 +2,7 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 13: 210 registered (212 with the round-14 additions), zero
+after round 13: 210 registered (213 with the round-14 additions), zero
 value mismatches ever left unfixed, zero never-driver-checked
 registrations; going into round 14 the stale pool was 10 queries last
 green r8 + 50 last green r9.
@@ -24,7 +24,9 @@ r9 pool):
   2-arg shrink, hasToken empty-needle; literal tuple math, Lp family
   over tuples, bitmap cardinalities, and()/or()/not() spellings,
   multiMatchAnyIndex);
-- 36 of the 49 remaining queries last driver-checked in round 9.
+- ``scalar_toweek`` (new: the full toWeek/toYearWeek mode table
+  0-9 — modes 2 and 4-9 were guided errors);
+- 35 of the 49 remaining queries last driver-checked in round 9.
 
 Deferred to the round-15 lead (stay at r9 — oldest last-green ≥ r9
 holds at the r14 freeze; each deferral has a rotating twin or a
@@ -56,7 +58,9 @@ stronger per-round check exercising the same engine path):
 - ``subquery_scalar`` (subquery_correlated_exists was r13-green and
   subquery_in rotates — the strictly harder decorrelation shapes),
 - ``win_range_time_interval`` (win_range_frame — the same
-  RANGE-frame-over-time shape — rotates this round).
+  RANGE-frame-over-time shape — rotates this round),
+- ``pipe_snapshot_diff`` (pipe_dedup_incremental — the same
+  state-join family — rotates this round).
 """
 
 from __future__ import annotations
@@ -81,7 +85,8 @@ PRIORITY: list[str] = [
     "scalar_time_delta",
     "scalar_round14",
     "scalar_round14b",
-    # last driver-checked in round 9 (36 of the 49-query pool)
+    "scalar_toweek",
+    # last driver-checked in round 9 (35 of the 49-query pool)
     "agg_foreach",
     "agg_hypothesis_tests",
     "agg_map_entropy",
@@ -100,7 +105,6 @@ PRIORITY: list[str] = [
     "pipe_lsh_eval",
     "pipe_pii_scrub",
     "pipe_repetition_filters",
-    "pipe_snapshot_diff",
     "pipe_train_val_split",
     "pipe_unigram_logprob",
     "profile_documents",

@@ -143,3 +143,82 @@ def scalar_round14b(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R14B_CH))
+
+
+_SQL_TOWEEK_CH = """
+SELECT o_orderkey,
+  toInt64(toWeek(o_orderdate)) AS w0,
+  toInt64(toWeek(o_orderdate, 1)) AS w1m,
+  toInt64(toWeek(o_orderdate, 3)) AS w3,
+  toInt64(toWeek(o_orderdate, 4)) AS w4,
+  toInt64(toWeek(o_orderdate, 9)) AS w9,
+  toInt64(toYearWeek(o_orderdate)) AS yw0,
+  toInt64(toYearWeek(o_orderdate, 3)) AS yw3,
+  toInt64(toYearWeek(o_orderdate, 9)) AS yw9
+FROM orders
+"""
+
+# DuckDB dayofweek(): Sunday=0..Saturday=6; DATE + INTEGER adds days.
+_SQL_TOWEEK_ORACLE = """
+WITH b AS (
+  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         year(o_orderdate) AS y
+  FROM orders
+), a AS (
+  SELECT *,
+    make_date(y, 1, 1) AS j1, make_date(y, 1, 4) AS j4,
+    make_date(y - 1, 1, 1) AS j1p, make_date(y + 1, 1, 1) AS j1n
+  FROM b
+), w AS (
+  SELECT *,
+    j1 + CAST((7 - dayofweek(j1)) % 7 AS INTEGER) AS w1_0,
+    j1p + CAST((7 - dayofweek(j1p)) % 7 AS INTEGER) AS w1_0p,
+    j4 - CAST((dayofweek(j4) + 6) % 7 AS INTEGER) AS w1_1,
+    j4 - CAST(dayofweek(j4) AS INTEGER) AS w1_4,
+    j1 - CAST((dayofweek(j1) + 6) % 7 AS INTEGER) AS w1_9,
+    j1p - CAST((dayofweek(j1p) + 6) % 7 AS INTEGER) AS w1_9p,
+    j1n - CAST((dayofweek(j1n) + 6) % 7 AS INTEGER) AS w1_9n
+  FROM a
+)
+SELECT o_orderkey,
+  CAST(CASE WHEN d < w1_0 THEN 0
+       ELSE date_diff('day', w1_0, d) // 7 + 1 END AS BIGINT) AS w0,
+  CAST(CASE WHEN d < w1_1 THEN 0
+       ELSE date_diff('day', w1_1, d) // 7 + 1 END AS BIGINT) AS w1m,
+  CAST(weekofyear(d) AS BIGINT) AS w3,
+  CAST(CASE WHEN d < w1_4 THEN 0
+       ELSE date_diff('day', w1_4, d) // 7 + 1 END AS BIGINT) AS w4,
+  CAST(CASE WHEN d < w1_9 THEN date_diff('day', w1_9p, d) // 7 + 1
+       WHEN d >= w1_9n THEN 1
+       ELSE date_diff('day', w1_9, d) // 7 + 1 END AS BIGINT) AS w9,
+  CAST(CASE WHEN d < w1_0
+       THEN (y - 1) * 100 + date_diff('day', w1_0p, d) // 7 + 1
+       ELSE y * 100 + date_diff('day', w1_0, d) // 7 + 1
+       END AS BIGINT) AS yw0,
+  CAST(isoyear(d) * 100 + weekofyear(d) AS BIGINT) AS yw3,
+  CAST(CASE WHEN d < w1_9
+       THEN (y - 1) * 100 + date_diff('day', w1_9p, d) // 7 + 1
+       WHEN d >= w1_9n THEN (y + 1) * 100 + 1
+       ELSE y * 100 + date_diff('day', w1_9, d) // 7 + 1
+       END AS BIGINT) AS yw9
+FROM w
+"""
+
+
+@query("scalar_toweek", oracle=_SQL_TOWEEK_ORACLE, category="scalars")
+def scalar_toweek(spark, sf_dir):
+    """toWeek/toYearWeek over the full mode table (round 14 — modes 2,
+    4-9 were guided errors; one formulation now serves all 10 modes).
+    Semantics are anchored by literal pins BEFORE this oracle existed
+    (tests/test_r14_fixes.py: the CH docs 2016-12-27 examples, the
+    MySQL docs WEEK/YEARWEEK examples including the no-roll
+    WEEK('2008-12-31',1)=53, Python isocalendar for ISO mode 3) plus a
+    randomized check against an independent Python port of MySQL
+    calc_week (tests/test_r14_random_checks.py).  This oracle rebuilds
+    modes 0/1/4/9 from DuckDB date primitives and checks ISO mode 3
+    against DuckDB's own weekofyear/isoyear; orders dates span 1992-1998
+    year boundaries, so both roll directions execute."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_TOWEEK_CH))

@@ -1397,10 +1397,14 @@ def test_review_fixes_dialect_edge_cases(spark):
         spark,
         "SELECT toYearWeek(toDateTime('2025-01-05 02:00:00'), 0, 'UTC') AS yw",
     )[0] == 202501
-    # unsupported modes / non-literal tz: guided error, not silently wrong
+    # mode 1 is implemented since round 14 (full mode table 0-9);
+    # non-literal tz / mode stay guided errors, not silently wrong
+    assert one(
+        spark, "SELECT toYearWeek(toDate('2024-01-03'), 1) AS yw"
+    )[0] == 202401
     import pytest as _pytest
-    for bad in ("SELECT toYearWeek(toDate('2024-01-03'), 1) AS yw",
-                "SELECT toYearWeek(d, 0, tz_col) FROM t"):
+    for bad in ("SELECT toYearWeek(d, 0, tz_col) FROM t",
+                "SELECT toYearWeek(d, m) FROM t"):
         with _pytest.raises(ValueError, match="toYearWeek"):
             translate(bad)
     # fragment retained in pathFull

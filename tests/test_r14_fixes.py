@@ -244,6 +244,50 @@ def test_wave_d_array_string_closures(spark):
             translate(sql)
 
 
+def test_toweek_toyearweek_full_mode_table(spark):
+    """The CH docs worked examples for toWeek/toYearWeek, pinned as
+    literal expected values BEFORE the oracle was written (the round-13
+    toDayOfWeek lesson): 2016-12-27 → week0=52, week1=52, week9=1;
+    toYearWeek → 201652, 201652, 201701; toYearWeek('2022-01-01') =
+    202152 (mode 0 year-rolls).  Round 14 implements the FULL mode
+    table 0-9 (modes 2, 4-8 were guided errors); the prior round-5 pin
+    toYearWeek('2024-12-30') = 202452 must keep holding."""
+    r = rows(
+        spark,
+        "SELECT toWeek(toDate('2016-12-27')) AS w0,"
+        " toWeek(toDate('2016-12-27'), 1) AS w1,"
+        " toWeek(toDate('2016-12-27'), 9) AS w9,"
+        " toYearWeek(toDate('2016-12-27')) AS yw0,"
+        " toYearWeek(toDate('2016-12-27'), 1) AS yw1,"
+        " toYearWeek(toDate('2016-12-27'), 9) AS yw9,"
+        " toYearWeek(toDate('2022-01-01')) AS yw22,"
+        " toYearWeek(toDate('2024-12-30')) AS yw24,"
+        " toWeek(toDate('2024-01-01'), 3) AS iso24,"
+        " toYearWeek(toDate('2024-12-30'), 3) AS isoyw",
+    )[0]
+    assert list(r) == [
+        52, 52, 1, 201652, 201652, 201701, 202152, 202452,
+        1, 202501,  # ISO: 2024-01-01 is W01; 2024-12-30 is 2025-W01
+    ]
+    # the MySQL docs' own WEEK()/YEARWEEK() examples (CH adopts the
+    # behaviour table) — note WEEK('2008-12-31',1) = 53, NOT the ISO 1:
+    # mode 1 has no year roll (bit 1 unset), unlike toYearWeek which
+    # always rolls (YEARWEEK forces WEEK_YEAR → 200901)
+    r = rows(
+        spark,
+        "SELECT toWeek(toDate('2008-02-20'), 0) AS a,"
+        " toWeek(toDate('2008-02-20'), 1) AS b,"
+        " toWeek(toDate('2008-12-31'), 1) AS c,"
+        " toYearWeek(toDate('2008-12-31'), 1) AS cy,"
+        " toYearWeek(toDate('1987-01-01')) AS d",
+    )[0]
+    assert list(r) == [7, 8, 53, 200901, 198652]
+    with pytest.raises(DialectError, match="mode"):
+        translate("SELECT toWeek(d, 10) FROM t")
+    with pytest.raises(DialectError, match="mode"):
+        translate("SELECT toYearWeek(d, m) FROM t")
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token

@@ -145,6 +145,76 @@ def test_weighted_levenshtein_random():
         assert got >= levenshtein_seq(a, b) - 1e-9
 
 
+def _mysql_calc_week(d: date, mode: int, year_week: bool):
+    """Independent Python port of MySQL's calc_week (sql/time.cc) with
+    ClickHouse's 8/9 extension — the reference the SQL formulation in
+    dialect._week_mode_expr is checked against.  Returns (year, week);
+    week 0 means 'before week 1' for the 0-53 modes."""
+    if mode in (8, 9):
+        monday_first = mode == 9
+        week_year, rule = True, "C"
+    else:
+        monday_first = bool(mode & 1)
+        week_year = bool(mode & 2)
+        fw = bool(mode & 4) != (not monday_first)
+        rule = "A" if fw else "B"
+    if year_week:
+        week_year = True
+    f_wd = 0 if monday_first else 6  # Python weekday(): Monday=0
+
+    def w1(y):
+        jan1 = date(y, 1, 1)
+        if rule == "A":
+            return jan1 + timedelta((f_wd - jan1.weekday()) % 7)
+        anchor = date(y, 1, 4) if rule == "B" else jan1
+        return anchor - timedelta((anchor.weekday() - f_wd) % 7)
+
+    y = d.year
+    if d < w1(y):
+        if not week_year:
+            return y, 0
+        return y - 1, (d - w1(y - 1)).days // 7 + 1
+    if week_year and d >= w1(y + 1):
+        return y + 1, 1
+    return y, (d - w1(y)).days // 7 + 1
+
+
+def test_toweek_modes_random(spark):
+    """Every mode 0-9 over 40 random dates + the year-boundary corner
+    dates, toWeek AND toYearWeek, against the independent MySQL
+    calc_week port — plus ISO mode 3 cross-checked against Python's
+    own isocalendar()."""
+    rng = random.Random(1419)
+    days = [date(1970, 1, 1) + timedelta(days=rng.randint(0, 40000))
+            for _ in range(40)]
+    days += [date(y, m, dd) for y in (2015, 2016, 2017, 2021, 2022)
+             for m, dd in ((1, 1), (1, 2), (12, 30), (12, 31))]
+    spark.createDataFrame(
+        [(i, d.isoformat()) for i, d in enumerate(days)], "i int, d string"
+    ).createOrReplaceTempView("t_twk")
+    sel = ", ".join(
+        f"toWeek(toDate(d), {m}) AS w{m},"
+        f" toYearWeek(toDate(d), {m}) AS yw{m}"
+        for m in range(10)
+    )
+    got = {
+        r.i: r.asDict()
+        for r in spark.sql(
+            translate(f"SELECT i, {sel} FROM t_twk")
+        ).collect()
+    }
+    for i, d in enumerate(days):
+        for m in range(10):
+            _, wk = _mysql_calc_week(d, m, year_week=False)
+            yy, ywk = _mysql_calc_week(d, m, year_week=True)
+            assert got[i][f"w{m}"] == wk, (d, m, got[i][f"w{m}"], wk)
+            assert got[i][f"yw{m}"] == yy * 100 + ywk, (d, m)
+        # ISO sanity: mode 3 must equal Python's isocalendar
+        iso = d.isocalendar()
+        assert got[i]["w3"] == iso[1], (d, got[i]["w3"], iso)
+        assert got[i]["yw3"] == iso[0] * 100 + iso[1], (d,)
+
+
 def test_logical_fn_rewrite_fuzz(spark):
     """Fuzz the and()/or()/not() pre-pass: random boolean expressions
     mixing FUNCTION spellings with OPERATOR spellings (including the
