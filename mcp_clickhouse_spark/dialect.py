@@ -29,7 +29,10 @@ Known semantic deltas (documented, not silently wrong):
   - reverse(string): ClickHouse reverses BYTES (garbage on multi-byte
     UTF-8 — its docs direct users to reverseUTF8); Spark's reverse is
     code-point aware, so reverse == reverseUTF8 here (identical for
-    ASCII, strictly more useful otherwise).
+    ASCII, strictly more useful otherwise);
+  - unhex() returns Spark BINARY, which marshals as bytes — ClickHouse's
+    String is a byte string that DISPLAYS as text; wrap in
+    CAST(… AS String) to see the decoded text (unbin already does).
 """
 
 from __future__ import annotations
@@ -3930,6 +3933,49 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "(the multi-argument form combines intermediate hashes in a "
             "CH-specific way); concat(...) the arguments or use xxhash64"
         ))
+    ),
+    # value-faithful XXH32/XXH64 seed-0 over UTF-8 bytes (round-14 probe
+    # wave — xxHash32/64 leaked raw; Spark's builtin xxhash64 is seed 42
+    # over the row encoding, never value-compatible).  xxHash64 marshals
+    # the unsigned decimal STRING (UInt64 past 2^63, repo convention).
+    "xxhash32": lambda a: (
+        f"ch_xxhash32({a[0]})"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "xxHash32: only the 1-argument String form is faithful — "
+            "concat(...) the arguments"
+        ))
+    ),
+    "xxhash64": lambda a: (
+        f"ch_xxhash64({a[0]})"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "xxHash64: only the 1-argument String form is faithful — "
+            "concat(...) the arguments"
+        ))
+    ),
+    "xxh3": lambda a: (_ for _ in ()).throw(DialectError(
+        "xxh3: the XXH3 algorithm's secret/accumulator schedule is far "
+        "larger than the XXH32/64 specs — use xxHash64 (value-faithful "
+        "here) or xxhash64 (Spark-native, engine-stable only)"
+    )),
+    # distinct byte count / Shannon entropy of the UTF-8 bytes via hex
+    # pairs (round-14 probe wave — leaked; hex() keeps it JVM-side)
+    "stringbytesuniq": lambda a: (
+        f"size(array_distinct(regexp_extract_all(hex({a[0]}), '..', 0)))"
+    ),
+    "stringbytesentropy": lambda a: (
+        lambda bs, ln: (
+            f"aggregate(array_distinct({bs}), CAST(0.0 AS DOUBLE),"
+            f" (__ea, __eb) -> __ea"
+            f" - (CAST(size(filter({bs}, __ex -> __ex = __eb)) AS DOUBLE)"
+            f" / {ln})"
+            f" * log2(CAST(size(filter({bs}, __ex -> __ex = __eb))"
+            f" AS DOUBLE) / {ln}))"
+        )
+    )(
+        f"regexp_extract_all(hex({a[0]}), '..', 0)",
+        f"CAST(octet_length({a[0]}) AS DOUBLE)",
     ),
     # CH halfMD5 = first 8 bytes of md5, read big-endian as UInt64 — i.e.
     # the first 16 hex digits.  conv() yields the unsigned decimal string;
@@ -9981,8 +10027,18 @@ def _rewrite_tuple_literal_access(sql: str) -> str:
             k = open_pos - 1
             while k >= 0 and sql[k].isspace():
                 k -= 1
-            if k >= 0 and (sql[k].isalnum() or sql[k] in "_'\")]"):
-                continue  # a call or chained access, not a bare literal
+            if k >= 0:
+                if sql[k] in "'\")]":
+                    continue  # chained access / subscript, not a literal
+                if sql[k].isalnum() or sql[k] == "_":
+                    # a preceding WORD is a function call — unless it is
+                    # an expression-starting keyword (THEN (1,'x').2,
+                    # round-14 edge probe)
+                    j = k
+                    while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
+                        j -= 1
+                    if sql[j + 1 : k + 1].lower() not in _EXPR_START_WORDS:
+                        continue
             struct = _tuple_literal_struct(sql[open_pos : close + 1])
             if struct is None:
                 continue

@@ -14,6 +14,12 @@ def _register_murmur(spark) -> None:
     ensure_registered(spark)
 
 
+def _register_xxh(spark) -> None:
+    from mcp_clickhouse_spark.functions.xxh import register
+
+    register(spark)
+
+
 def _register_stats(spark) -> None:
     from mcp_clickhouse_spark.functions.stats import ensure_registered
 
@@ -136,6 +142,8 @@ LAZY_UDFS = {
     "ch_jaro_winkler": _register_strdist,
     "ch_array_levenshtein": _register_strdist,
     "ch_array_lev_weighted": _register_strdist,
+    "ch_xxhash32": _register_xxh,
+    "ch_xxhash64": _register_xxh,
     "ch_geohash_encode": _register_geo,
     "ch_geohash_decode": _register_geo,
     "ch_lgamma": _register_stats,

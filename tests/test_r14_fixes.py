@@ -47,9 +47,11 @@ def test_tuple_literal_positional_access(spark):
         "SELECT tupleElement((1, 'a'), 2) AS t1, (1, 'a').2 AS t2,"
         " (10, 20, 30).1 AS t3, tuple(1, 'b').2 AS t4,"
         " tupleElement((1, 'a'), 1) AS t5,"
-        " ((1, 'x'), 2).1.2 AS chained",
+        " ((1, 'x'), 2).1.2 AS chained,"
+        " CASE WHEN 1 = 1 THEN (1, 'k').2 ELSE 'y' END AS kw,"
+        " pow(2, (3, 4).1) AS fnarg",
     )[0]
-    assert list(r) == ["a", "a", 10, "b", 1, "x"]
+    assert list(r) == ["a", "a", 10, "b", 1, "x", "k", 8.0]
     # grouping parens and function calls must never be rewritten
     t = translate("SELECT (a + b) * 2 AS x, pow(2, 3) AS y FROM t")
     assert "named_struct" not in t
@@ -286,6 +288,40 @@ def test_toweek_toyearweek_full_mode_table(spark):
         translate("SELECT toWeek(d, 10) FROM t")
     with pytest.raises(DialectError, match="mode"):
         translate("SELECT toYearWeek(d, m) FROM t")
+
+
+def test_xxhash_and_string_bytes(spark):
+    """Value-faithful XXH32/XXH64 seed-0 (public-spec implementation;
+    Spark's builtin xxhash64 is seed 42 over the row encoding):
+    xxHash32('Hello, world!') = 834093149 is the CH docs example,
+    XXH32('')/XXH64('') are the spec's known answers.  xxHash64
+    marshals the unsigned decimal string (UInt64 convention).
+    stringBytesUniq/stringBytesEntropy checked against an independent
+    Python computation."""
+    import math
+    from collections import Counter
+
+    r = rows(
+        spark,
+        "SELECT xxHash32('Hello, world!') AS a, xxHash32('') AS b,"
+        " xxHash64('') AS c,"
+        " stringBytesUniq('Hello, world!') AS u,"
+        " stringBytesEntropy('Hello, world!') AS e,"
+        " stringBytesUniq('') AS u0, stringBytesEntropy('') AS e0",
+    )[0]
+    assert r[0] == 834093149
+    assert r[1] == 0x02CC5D05
+    assert r[2] == str(0xEF46DB3751D8E999)
+    b = "Hello, world!".encode()
+    cnt = Counter(b)
+    ent = -sum((k / len(b)) * math.log2(k / len(b)) for k in cnt.values())
+    assert r[3] == len(set(b))
+    assert r[4] == pytest.approx(ent, abs=1e-12)
+    assert (r[5], r[6]) == (0, 0.0)
+    with pytest.raises(DialectError, match="xxHash64"):
+        translate("SELECT xxh3('a')")
+    with pytest.raises(DialectError, match="concat"):
+        translate("SELECT xxHash64(a, b) FROM t")
 
 
 def test_hastoken_empty_needle(spark):
