@@ -80,8 +80,6 @@ def main() -> None:
     )
     temp_dir = flag("--temp-dir", "/tmp/duckdb_bench_spill")
 
-    con = duckdb.connect()
-    con.execute(f"SET threads TO {cpus}")
     # Bound the allocator AND give it somewhere to spill: an in-memory
     # DuckDB has no temp store, so heavy oracles (pipe_span_dedup's
     # token-explode + per-chunk string_agg at sf1) hard-OOM instead of
@@ -90,24 +88,39 @@ def main() -> None:
     # (round-8: the r7 judge's sf1 rerun OOM'd 8/15 for exactly this).
     # No effect on the sf0.1 contract numbers.
     os.makedirs(temp_dir, exist_ok=True)
-    con.execute(f"SET memory_limit = '{mem_limit}'")
-    con.execute(f"SET temp_directory = '{temp_dir}'")
-    for t in TESTDATA_TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
 
+    def fresh_con():
+        c = duckdb.connect()
+        c.execute(f"SET threads TO {cpus}")
+        c.execute(f"SET memory_limit = '{mem_limit}'")
+        c.execute(f"SET temp_directory = '{temp_dir}'")
+        for t in TESTDATA_TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS"
+                f" SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        return c
+
+    holder = {"con": fresh_con()}
     failed: dict[str, str] = {}
 
     def run(name: str) -> None:
         try:
-            con.execute(oracles[name]).arrow()
+            holder["con"].execute(oracles[name]).arrow()
         except duckdb.OutOfMemoryException as e:
             # record and keep going — at sf1 the oracle twin's
             # pipe_span_dedup peaks past the box (non-spillable ordered
             # string_agg); that is a DATAPOINT, not a reason to lose the
-            # other 14 timings
+            # other 14 timings.  RECONNECT: a hard OOM poisons the
+            # allocator, and every later query on the same connection
+            # fails "bad allocation" (round-14 — the sf1 rerun lost all
+            # 15 timings to the first OOM before this)
             failed[name] = str(e).splitlines()[0][:120]
+            try:
+                holder["con"].close()
+            except Exception:
+                pass
+            holder["con"] = fresh_con()
         except Exception as e:
             raise RuntimeError(f"oracle {name!r} failed: {e}") from e
 

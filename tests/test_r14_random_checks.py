@@ -281,6 +281,70 @@ def test_logical_fn_rewrite_fuzz(spark):
             assert got[row["i"]] == int(py_fn(row)), (sql_expr, row)
 
 
+def test_date_arithmetic_wide_range_vs_duckdb(spark):
+    """Randomized date arithmetic over 1920-2180 (the driver oracles
+    only exercise the 1992-1998 orders dates, so Feb-29 clamping and
+    century corners were uncovered) — Spark-translated CH expressions
+    vs DuckDB as the independent engine: addMonths/addYears month-end
+    clamping, dateDiff boundary-crossing units, toStartOf* family,
+    toLastDayOfMonth."""
+    import duckdb
+
+    rng = random.Random(1420)
+    days = [date(1920, 1, 1) + timedelta(days=rng.randint(0, 95000))
+            for _ in range(60)]
+    days += [date(2024, 2, 29), date(2023, 1, 31), date(2000, 2, 29),
+             date(2100, 2, 28), date(1999, 12, 31)]
+    ks = [rng.randint(-30, 30) for _ in days]
+    spark.createDataFrame(
+        [(i, d.isoformat(), k) for i, (d, k) in enumerate(zip(days, ks))],
+        "i int, d string, k int",
+    ).createOrReplaceTempView("t_dar")
+    got = {
+        r.i: r
+        for r in spark.sql(translate(
+            "SELECT i,"
+            " toString(addMonths(toDate(d), k)) AS am,"
+            " toString(addYears(toDate(d), k)) AS ay,"
+            " toString(addWeeks(toDate(d), k)) AS aw,"
+            " toString(subtractDays(toDate(d), k)) AS sd,"
+            " dateDiff('month', toDate('2000-06-15'), toDate(d)) AS dm,"
+            " dateDiff('year', toDate('2000-06-15'), toDate(d)) AS dy,"
+            " dateDiff('day', toDate('2000-06-15'), toDate(d)) AS dd,"
+            " toString(toStartOfMonth(toDate(d))) AS som,"
+            " toString(toStartOfQuarter(toDate(d))) AS soq,"
+            " toString(toStartOfYear(toDate(d))) AS soy,"
+            " toString(toLastDayOfMonth(toDate(d))) AS ldm"
+            " FROM t_dar"
+        )).collect()
+    }
+    con = duckdb.connect()
+    for i, (d, k) in enumerate(zip(days, ks)):
+        exp = con.sql(
+            f"SELECT CAST(DATE '{d}' + to_months({k}) AS DATE),"
+            f" CAST(DATE '{d}' + to_years({k}) AS DATE),"
+            f" CAST(DATE '{d}' + to_days({7 * k}) AS DATE),"
+            f" CAST(DATE '{d}' - to_days({k}) AS DATE),"
+            f" date_diff('month', DATE '2000-06-15', DATE '{d}'),"
+            f" date_diff('year', DATE '2000-06-15', DATE '{d}'),"
+            f" date_diff('day', DATE '2000-06-15', DATE '{d}'),"
+            f" date_trunc('month', DATE '{d}'),"
+            f" date_trunc('quarter', DATE '{d}'),"
+            f" date_trunc('year', DATE '{d}'),"
+            f" last_day(DATE '{d}')"
+        ).fetchone()
+        g = got[i]
+        assert g.am == str(exp[0]), ("addMonths", d, k, g.am, exp[0])
+        assert g.ay == str(exp[1]), ("addYears", d, k, g.ay, exp[1])
+        assert g.aw == str(exp[2]), ("addWeeks", d, k)
+        assert g.sd == str(exp[3]), ("subtractDays", d, k)
+        assert g.dm == exp[4], ("dateDiff month", d, g.dm, exp[4])
+        assert g.dy == exp[5], ("dateDiff year", d)
+        assert g.dd == exp[6], ("dateDiff day", d)
+        assert g.som == str(exp[7]) and g.soq == str(exp[8])
+        assert g.soy == str(exp[9]) and g.ldm == str(exp[10])
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
