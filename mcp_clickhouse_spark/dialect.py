@@ -4773,6 +4773,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     # firstLine: everything before the first newline (CH 23.x docs)
     "firstline": lambda a: f"element_at(split({a[0]}, '\\n', 2), 1)",
+    # millisecond/microsecond offsets fit Spark's native precision
+    # (round-14 probe wave — leaked while addNanoseconds was guided
+    # pointing AT addMicroseconds)
+    "addmilliseconds": lambda a: (
+        f"({a[0]} + make_dt_interval(0, 0, 0, ({a[1]}) / 1000.0D))"
+    ),
+    "subtractmilliseconds": lambda a: (
+        f"({a[0]} - make_dt_interval(0, 0, 0, ({a[1]}) / 1000.0D))"
+    ),
+    "addmicroseconds": lambda a: (
+        f"({a[0]} + make_dt_interval(0, 0, 0, ({a[1]}) / 1000000.0D))"
+    ),
+    "subtractmicroseconds": lambda a: (
+        f"({a[0]} - make_dt_interval(0, 0, 0, ({a[1]}) / 1000000.0D))"
+    ),
     "addnanoseconds": lambda a: (_ for _ in ()).throw(DialectError(
         "addNanoseconds: Spark timestamps are microsecond-precision — "
         "use addMicroseconds (sub-microsecond offsets are not "
@@ -5979,6 +5994,17 @@ def _gen_or_null_zero() -> None:
     TEMPLATES["todate32ornull"] = lambda a: f"try_cast({a[0]} AS DATE)"
     TEMPLATES["todate32orzero"] = lambda a: (
         f"coalesce(try_cast({a[0]} AS DATE), DATE '1970-01-01')"
+    )
+    # toDateTime64Or* take a scale argument after the value; Spark
+    # TIMESTAMP is fixed microsecond precision, so the scale is accepted
+    # and the microsecond representation returned (round-14 probe wave
+    # — these two leaked raw)
+    TEMPLATES["todatetime64ornull"] = lambda a: (
+        f"try_cast({a[0]} AS TIMESTAMP)"
+    )
+    TEMPLATES["todatetime64orzero"] = lambda a: (
+        f"coalesce(try_cast({a[0]} AS TIMESTAMP),"
+        f" TIMESTAMP '1970-01-01 00:00:00')"
     )
 
 
@@ -8156,6 +8182,14 @@ for _b in _ORNULL_BASES:
             if _n not in TEMPLATES and _n not in NAME_MAP:
                 TEMPLATES[_n] = _h
 TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
+# snake_case spellings (round-14 probe wave — the 3-arg CH form leaked;
+# the 2-arg form falls through to Spark's native date_add/date_sub)
+TEMPLATES["date_add"] = TEMPLATES["dateadd"]
+TEMPLATES["date_sub"] = TEMPLATES["datesub"]
+TEMPLATES["totime64"] = lambda a: (_ for _ in ()).throw(DialectError(
+    "toTime64: Spark has no TIME type — toTime (the 1970-01-02 anchored "
+    "TIMESTAMP convention) covers time-of-day extraction"
+))
 TEMPLATES["domainrfc"] = TEMPLATES["domain"]
 TEMPLATES["topleveldomainrfc"] = TEMPLATES["topleveldomain"]
 TEMPLATES["portrfc"] = TEMPLATES["port"]

@@ -324,6 +324,34 @@ def test_xxhash_and_string_bytes(spark):
         translate("SELECT xxHash64(a, b) FROM t")
 
 
+def test_datetime64_arithmetic_tail(spark):
+    """add/subtract Milli/Microseconds (Spark-native precision — were
+    raw leaks while addNanoseconds' guided error pointed AT
+    addMicroseconds), toDateTime64OrZero/OrNull with a scale argument,
+    and the snake_case date_add/date_sub 3-arg CH form (the 2-arg form
+    stays Spark-native)."""
+    r = rows(
+        spark,
+        "SELECT addMilliseconds(toDateTime64('2024-01-01 00:00:00', 3),"
+        " 1500) AS a,"
+        " subtractMicroseconds(toDateTime64('2024-01-01 00:00:00', 6),"
+        " 250) AS b,"
+        " toString(toDateTime64OrZero('x', 3)) AS z,"
+        " toDateTime64OrNull('x', 3) AS n,"
+        " toString(date_add(HOUR, 2, toDateTime('2024-01-01 00:00:00')))"
+        " AS da,"
+        " toString(date_sub(DAY, 1, toDate('2024-01-02'))) AS ds",
+    )[0]
+    assert str(r[0]) == "2024-01-01 00:00:01.500000"
+    assert str(r[1]) == "2023-12-31 23:59:59.999750"
+    assert r[2] == "1970-01-01 00:00:00"
+    assert r[3] is None
+    assert r[4] == "2024-01-01 02:00:00"
+    assert r[5] == "2024-01-01 00:00:00"
+    with pytest.raises(DialectError, match="toTime"):
+        translate("SELECT toTime64('12:00:00', 3) FROM t")
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token
