@@ -102,7 +102,13 @@ SELECT o_orderkey,
   toInt64(or(o_orderkey % 2, o_orderkey % 3)) AS lo,
   toInt64(not(o_orderkey % 2)) AS ln,
   toInt64(multiMatchAnyIndex(o_orderpriority,
-                             ['.*URGENT.*', '.*HIGH.*'])) AS mi
+                             ['.*URGENT.*', '.*HIGH.*'])) AS mi,
+  addMilliseconds(toDateTime64(toString(o_orderdate), 3),
+                  o_orderkey % 2000) AS ams,
+  subtractMicroseconds(toDateTime64(toString(o_orderdate), 6),
+                       o_orderkey % 500) AS sus,
+  toDateTime64OrZero(if(o_orderkey % 2 = 0,
+                        toString(o_orderdate), 'x'), 3) AS dz64
 FROM orders
 """
 
@@ -125,7 +131,13 @@ SELECT o_orderkey,
   CAST((o_orderkey % 2 <> 0) OR (o_orderkey % 3 <> 0) AS BIGINT) AS lo,
   CAST(NOT (o_orderkey % 2 <> 0) AS BIGINT) AS ln,
   CASE WHEN o_orderpriority LIKE '%URGENT%' THEN 1
-       WHEN o_orderpriority LIKE '%HIGH%' THEN 2 ELSE 0 END AS mi
+       WHEN o_orderpriority LIKE '%HIGH%' THEN 2 ELSE 0 END AS mi,
+  CAST(o_orderdate AS TIMESTAMP)
+    + to_milliseconds(o_orderkey % 2000) AS ams,
+  CAST(o_orderdate AS TIMESTAMP)
+    - to_microseconds(o_orderkey % 500) AS sus,
+  CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderdate AS TIMESTAMP)
+       ELSE TIMESTAMP '1970-01-01 00:00:00' END AS dz64
 FROM orders
 """
 
