@@ -345,6 +345,59 @@ def test_date_arithmetic_wide_range_vs_duckdb(spark):
         assert g.soy == str(exp[9]) and g.ldm == str(exp[10])
 
 
+def test_string_functions_random_vs_duckdb(spark):
+    """Randomized string-function audit vs DuckDB over random ASCII
+    strings — families where CH and DuckDB semantics provably coincide
+    (pad truncation, 1-based position, replaceAll, positive-offset
+    substring, trim, repeat, reverse, splitByChar element counts).
+    Catches argument-order or off-by-one translation bugs that
+    hand-picked vectors miss."""
+    import duckdb
+
+    rng = random.Random(1421)
+    alphabet = "abcXYZ 019_,;-"
+    vals = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        for _ in range(50)
+    ]
+    spark.createDataFrame(
+        [(i, v, rng.randint(1, 9), rng.randint(1, 5))
+         for i, v in enumerate(vals)],
+        "i int, s string, n int, m int",
+    ).createOrReplaceTempView("t_sfr")
+    df = spark.sql(translate(
+        "SELECT i, s, n, m,"
+        " leftPad(s, n, '*') AS lp, rightPad(s, n, '*') AS rp,"
+        " position(s, 'a') AS pos,"
+        " replaceAll(s, 'a', 'QQ') AS rep,"
+        " substring(s, m, n) AS sub,"
+        " trimBoth(s) AS tb,"
+        " repeat(s, 2) AS rpt, reverse(s) AS rev,"
+        " length(splitByChar(',', s)) AS spl,"
+        " lower(s) AS lo, upper(s) AS up"
+        " FROM t_sfr"
+    ))
+    got = {r.i: r for r in df.collect()}
+    con = duckdb.connect()
+    for i, v in enumerate(vals):
+        g = got[i]
+        exp = con.execute(
+            "SELECT lpad(?, ?, '*'), rpad(?, ?, '*'),"
+            " coalesce(position('a' IN ?), 0),"
+            " replace(?, 'a', 'QQ'), substring(?, ?, ?),"
+            " trim(?), repeat(?, 2), reverse(?),"
+            " len(string_split(?, ',')), lower(?), upper(?)",
+            [v, g.n, v, g.n, v, v, v, g.m, g.n, v, v, v, v, v, v],
+        ).fetchone()
+        assert g.lp == exp[0] and g.rp == exp[1], (v, g.n)
+        assert g.pos == exp[2], ("position", v, g.pos, exp[2])
+        assert g.rep == exp[3], ("replaceAll", v)
+        assert g.sub == exp[4], ("substring", v, g.m, g.n, g.sub, exp[4])
+        assert g.tb == exp[5] and g.rpt == exp[6] and g.rev == exp[7]
+        assert g.spl == exp[8], ("splitByChar", v, g.spl, exp[8])
+        assert g.lo == exp[9] and g.up == exp[10]
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [

@@ -727,7 +727,12 @@ def test_streaming_embedding_neardup_matches_batch(spark, tmp_path):
     near-copy (cosine ≈ 0.999; cross-family cosine ≈ 0) — the bounded
     multi-file replay must emit exactly the batch pair set (batch with
     collapse_identical=False: the stream cannot know the global min-id
-    representative, same caveat as the MinHash twin)."""
+    representative, same caveat as the MinHash twin).
+
+    Equality holds for this ID-ORDERED replay; with OUT-OF-ORDER
+    arrival the stream can emit a SUPERSET — a late lower id evicts a
+    higher id whose already-emitted pairs cannot be retracted in append
+    mode (round-14 advice; the op docstring states the same bound)."""
     from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
     from mcp_clickhouse_spark.streaming.ops import (
         stream_embeddings,
