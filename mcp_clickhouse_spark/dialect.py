@@ -3655,8 +3655,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" CASE WHEN try_parse_url({a[0]}, 'REF') IS NOT NULL"
         f" THEN concat('#', try_parse_url({a[0]}, 'REF')) ELSE '' END)"
     ),
-    "fragment": lambda a: f"try_parse_url({a[0]}, 'REF')",
-    "extracturlparameter": lambda a: f"try_parse_url({a[0]}, 'QUERY', {a[1]})",
+    # CH String getters return '' when the part is absent (String is
+    # never NULL); Spark's parse_url returns NULL — coalesce bridges
+    # (round-14 urllib randomized audit)
+    "fragment": lambda a: f"coalesce(try_parse_url({a[0]}, 'REF'), '')",
+    "extracturlparameter": lambda a: (
+        f"coalesce(try_parse_url({a[0]}, 'QUERY', {a[1]}), '')"
+    ),
     "domainwithoutwww": lambda a: (
         f"regexp_replace(try_parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
     ),
@@ -5902,9 +5907,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"sum(cardinality(filter({a[0]}, x -> x IS NOT NULL)))"
     ),
     "domain": lambda a: f"try_parse_url({a[0]}, 'HOST')",
-    "path": lambda a: f"try_parse_url({a[0]}, 'PATH')",
+    "path": lambda a: f"coalesce(try_parse_url({a[0]}, 'PATH'), '')",
     "protocol": lambda a: f"try_parse_url({a[0]}, 'PROTOCOL')",
-    "querystring": lambda a: f"try_parse_url({a[0]}, 'QUERY')",
+    "querystring": lambda a: (
+        f"coalesce(try_parse_url({a[0]}, 'QUERY'), '')"
+    ),
     # CH arrayProduct returns Float64 — DOUBLE accumulator matches.
     "arrayproduct": lambda a: (
         f"aggregate({_fn_form(a)}, CAST(1 AS DOUBLE), (s, x) -> s * x)"

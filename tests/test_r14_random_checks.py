@@ -398,6 +398,61 @@ def test_string_functions_random_vs_duckdb(spark):
         assert g.lo == exp[9] and g.up == exp[10]
 
 
+def test_url_functions_random_vs_urllib(spark):
+    """Randomized URL-function audit against Python's urllib.parse as
+    the independent reference, over generated well-formed http(s) URLs
+    (host/port/path/query/fragment combinations)."""
+    from urllib.parse import parse_qs, urlsplit
+
+    rng = random.Random(1422)
+    hosts = ["example.com", "www.shop.example.co.uk", "a.b.cdn.net",
+             "localhost", "sub.domain.io"]
+    urls = []
+    for _ in range(40):
+        scheme = rng.choice(["http", "https"])
+        host = rng.choice(hosts)
+        port = rng.choice(["", f":{rng.randint(80, 9999)}"])
+        segs = rng.randint(0, 3)
+        path = "".join(
+            f"/p{rng.randint(0, 9)}" for _ in range(segs)
+        ) or "/"
+        nq = rng.randint(0, 3)
+        query = "&".join(
+            f"k{j}=v{rng.randint(0, 9)}" for j in range(nq)
+        )
+        frag = rng.choice(["", "#sec1", "#x"])
+        urls.append(
+            f"{scheme}://{host}{port}{path}"
+            + (f"?{query}" if query else "") + frag
+        )
+    spark.createDataFrame(
+        list(enumerate(urls)), "i int, u string"
+    ).createOrReplaceTempView("t_url")
+    got = {
+        r.i: r
+        for r in spark.sql(translate(
+            "SELECT i, protocol(u) AS pr, domain(u) AS dom,"
+            " path(u) AS pa, queryString(u) AS qs, fragment(u) AS fr,"
+            " extractURLParameter(u, 'k0') AS p0,"
+            " cutQueryString(u) AS cq"
+            " FROM t_url"
+        )).collect()
+    }
+    for i, u in enumerate(urls):
+        sp = urlsplit(u)
+        g = got[i]
+        assert g.pr == sp.scheme, (u, g.pr)
+        assert g.dom == sp.hostname, (u, g.dom, sp.hostname)
+        assert g.pa == sp.path, (u, g.pa, sp.path)
+        assert g.qs == sp.query, (u, g.qs, sp.query)
+        assert g.fr == sp.fragment, (u, g.fr, sp.fragment)
+        exp_p0 = parse_qs(sp.query).get("k0", [""])[0]
+        assert g.p0 == exp_p0, (u, g.p0, exp_p0)
+        # cutQueryString removes ?query but keeps #fragment (CH contract)
+        exp_cq = u.replace(f"?{sp.query}", "") if sp.query else u
+        assert g.cq == exp_cq, (u, g.cq, exp_cq)
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
