@@ -4616,10 +4616,23 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         else f"sequence({a[0]}, ({a[1]}) - 1, {a[2]})"
     ),
     "jsonextractraw": _json_extract_raw,
-    "jsonextractstring": lambda a: _json_path(a),
-    "jsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "jsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
-    "jsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    # CH's typed JSONExtract* return the TYPE DEFAULT ('' / 0 / 0.0 /
+    # false) when the key is missing or the value does not convert —
+    # a plain CAST ANSI-throws on e.g. a bool under an Int extraction
+    # (round-14 randomized JSON audit).  Delta: a numeric STRING value
+    # ("123") converts here (get_json_object strips the quotes) where
+    # type-strict CH returns the default.
+    "jsonextractstring": lambda a: f"coalesce({_json_path(a)}, '')",
+    "jsonextractint": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
+    ),
+    "jsonextractfloat": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+    ),
+    "jsonextractbool": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BOOLEAN), false)"
+    ),
     "jsonhas": lambda a: f"({_json_path(a)} IS NOT NULL)",
     "visitparamextractstring": lambda a: _json_path(a),
     "isvalidjson": lambda a: f"(get_json_object({a[0]}, '$') IS NOT NULL)",
@@ -5562,14 +5575,33 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     if not a[1].strip().startswith("'")
     else f"(get_json_object({a[0]}, '$.{a[1].strip()[1:-1]}') IS NOT NULL)",
     "simplejsonhas": lambda a: TEMPLATES["visitparamhas"](a),
-    "visitparamextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "simplejsonextractint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "visitparamextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "simplejsonextractuint": lambda a: f"CAST({_json_path(a)} AS BIGINT)",
-    "visitparamextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
-    "simplejsonextractfloat": lambda a: f"CAST({_json_path(a)} AS DOUBLE)",
-    "visitparamextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
-    "simplejsonextractbool": lambda a: f"CAST({_json_path(a)} AS BOOLEAN)",
+    # same type-default contract as JSONExtract* (round-14 JSON audit)
+    "visitparamextractint": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
+    ),
+    "simplejsonextractint": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
+    ),
+    "visitparamextractuint": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
+    ),
+    "simplejsonextractuint": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
+    ),
+    "visitparamextractfloat": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+    ),
+    "simplejsonextractfloat": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS DOUBLE),"
+        f" CAST(0.0 AS DOUBLE))"
+    ),
+    "visitparamextractbool": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BOOLEAN), false)"
+    ),
+    "simplejsonextractbool": lambda a: (
+        f"coalesce(try_cast({_json_path(a)} AS BOOLEAN), false)"
+    ),
     "visitparamextractraw": lambda a: _json_extract_raw(a),
     "simplejsonextractraw": lambda a: _json_extract_raw(a),
     "simplejsonextractstring": lambda a: _json_path(a),

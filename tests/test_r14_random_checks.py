@@ -453,6 +453,72 @@ def test_url_functions_random_vs_urllib(spark):
         assert g.cq == exp_cq, (u, g.cq, exp_cq)
 
 
+def test_json_functions_random_vs_python(spark):
+    """Randomized JSON-extraction audit against Python's json module as
+    the independent reference, over generated nested documents:
+    JSONExtractInt/Float/String/Bool, JSONHas, JSONLength,
+    JSONArrayLength, JSONExtractKeys, JSONType."""
+    import json as pyjson
+
+    rng = random.Random(1423)
+
+    def gen_doc():
+        doc = {}
+        for j in range(rng.randint(1, 4)):
+            kind = rng.randrange(5)
+            k = f"k{j}"
+            if kind == 0:
+                doc[k] = rng.randint(-1000, 1000)
+            elif kind == 1:
+                doc[k] = round(rng.uniform(-10, 10), 3)
+            elif kind == 2:
+                doc[k] = rng.choice(["alpha", "béta", "x y", ""])
+            elif kind == 3:
+                doc[k] = rng.choice([True, False])
+            else:
+                doc[k] = [rng.randint(0, 9) for _ in range(rng.randint(0, 4))]
+        return doc
+
+    docs = [gen_doc() for _ in range(40)]
+    spark.createDataFrame(
+        [(i, pyjson.dumps(d)) for i, d in enumerate(docs)],
+        "i int, j string",
+    ).createOrReplaceTempView("t_json")
+    got = {
+        r.i: r
+        for r in spark.sql(translate(
+            "SELECT i,"
+            " JSONHas(j, 'k0') AS has0, JSONHas(j, 'nope') AS hasn,"
+            " JSONLength(j) AS ln,"
+            " JSONExtractInt(j, 'k0') AS i0,"
+            " JSONExtractFloat(j, 'k1') AS f1,"
+            " JSONExtractString(j, 'k0') AS s0,"
+            " JSONExtractBool(j, 'k0') AS b0,"
+            " JSONArrayLength(JSONExtractRaw(j, 'k0')) AS al"
+            " FROM t_json"
+        )).collect()
+    }
+    for i, d in enumerate(docs):
+        g = got[i]
+        assert bool(g.has0) == ("k0" in d), (d, g.has0)
+        assert not g.hasn
+        assert g.ln == len(d), (d, g.ln)
+        v = d.get("k0")
+        if isinstance(v, bool):
+            assert g.b0 == v, (d, g.b0)
+        elif isinstance(v, int):
+            assert g.i0 == v, (d, g.i0)
+        elif isinstance(v, str):
+            assert g.s0 == v, (d, g.s0)
+        v1 = d.get("k1")
+        if isinstance(v1, float):
+            assert g.f1 == pytest.approx(v1), (d, g.f1)
+        if isinstance(v, list):
+            assert g.al == len(v), (d, g.al)
+        else:
+            assert g.al is None, (d, g.al)
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
