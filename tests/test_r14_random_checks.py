@@ -519,6 +519,39 @@ def test_json_functions_random_vs_python(spark):
             assert g.al is None, (d, g.al)
 
 
+def test_format_parse_datetime_roundtrip_random(spark):
+    """formatDateTime → parseDateTime roundtrip fuzz over random
+    timestamps and lossless composite format strings — the r13
+    specifier engine's two directions must invert each other exactly."""
+    rng = random.Random(1424)
+    from datetime import datetime
+
+    stamps = [
+        datetime(1970, 1, 1)
+        + timedelta(seconds=rng.randint(0, 2_000_000_000))
+        for _ in range(25)
+    ]
+    fmts = [
+        "%Y-%m-%d %H:%i:%S",
+        "%d/%m/%Y %H:%i:%S",
+        "%Y%m%d%H%i%S",
+        "%d %m %Y %H:%i:%S",  # %e is format-only (guided in parse)
+        "%Y-%m-%d %T",
+    ]
+    spark.createDataFrame(
+        [(i, s.strftime("%Y-%m-%d %H:%M:%S")) for i, s in enumerate(stamps)],
+        "i int, ts string",
+    ).createOrReplaceTempView("t_fpd")
+    for f in fmts:
+        rows_ = spark.sql(translate(
+            f"SELECT i, parseDateTime(formatDateTime(toDateTime(ts),"
+            f" '{f}'), '{f}') AS back FROM t_fpd"
+        )).collect()
+        got = {r.i: r.back for r in rows_}
+        for i, s in enumerate(stamps):
+            assert got[i] == s, (f, s, got[i])
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
