@@ -552,6 +552,49 @@ def test_format_parse_datetime_roundtrip_random(spark):
             assert got[i] == s, (f, s, got[i])
 
 
+def test_ip_functions_random_vs_ipaddress(spark):
+    """Randomized IP-function audit against Python's ipaddress module:
+    IPv4 num↔string in both directions, isIPv4String on valid and
+    malformed forms, isIPAddressInRange against random CIDRs, and the
+    IPv4CIDRToRange bounds."""
+    import ipaddress
+
+    rng = random.Random(1425)
+    nums = [rng.randint(0, 2**32 - 1) for _ in range(40)]
+    cidr_bits = [rng.randint(0, 32) for _ in nums]
+    spark.createDataFrame(
+        [(i, n, str(ipaddress.IPv4Address(n)), b)
+         for i, (n, b) in enumerate(zip(nums, cidr_bits))],
+        "i int, n long, s string, b int",
+    ).createOrReplaceTempView("t_ip")
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    sql_t = translate(
+        "SELECT i, IPv4NumToString(n) AS ns,"
+            " IPv4StringToNum(s) AS sn,"
+            " toInt64(isIPv4String(s)) AS ok,"
+            " toInt64(isIPAddressInRange(s, concat(s, '/', toString(b))))"
+            " AS inr,"
+            " IPv4NumToString(tupleElement(IPv4CIDRToRange("
+            "   toIPv4(s), b), 1)) AS lo,"
+        " IPv4NumToString(tupleElement(IPv4CIDRToRange("
+        "   toIPv4(s), b), 2)) AS hi"
+        " FROM t_ip"
+    )
+    register_lazy_udfs(spark, sql_t)
+    got = {r.i: r for r in spark.sql(sql_t).collect()}
+    for i, (n, b) in enumerate(zip(nums, cidr_bits)):
+        g = got[i]
+        addr = ipaddress.IPv4Address(n)
+        assert g.ns == str(addr), (n, g.ns)
+        assert g.sn == n, (n, g.sn)
+        assert g.ok == 1
+        assert g.inr == 1, (str(addr), b)
+        net = ipaddress.ip_network(f"{addr}/{b}", strict=False)
+        assert g.lo == str(net.network_address), (addr, b, g.lo)
+        assert g.hi == str(net.broadcast_address), (addr, b, g.hi)
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
