@@ -170,6 +170,7 @@ NAME_MAP: dict[str, str] = {
     # contract is the faithful one
     "round": "bround",
     "randcanonical": "rand",
+    "canonicalrand": "rand",  # the pre-22.x spelling (round-14 wave)
     "sign": "signum",
     # max2/min2 live in TEMPLATES (round 13): CH propagates NULL
     # arguments; Spark's greatest/least skip them
@@ -206,6 +207,10 @@ NAME_MAP: dict[str, str] = {
     "siphash64": "xxhash64",
     "farmhash64": "xxhash64",
     "farmfingerprint64": "xxhash64",
+    # CH's fast integer hashes: same stability-only convention (their
+    # exact bit-mix is not docs-pinned; round-14 probe wave — leaked)
+    "inthash32": "xxhash64",
+    "inthash64": "xxhash64",
     "md5": "md5",
     "hex": "hex",
     "unhex": "unhex",
