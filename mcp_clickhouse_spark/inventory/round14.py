@@ -47,7 +47,13 @@ SELECT o_orderkey,
   arrayStringConcat(
     arrayMap(x -> toString(x),
              arrayResize([o_orderkey % 10], 3, 0)), ',') AS ar3,
-  toInt64(hasToken(concat(' ', o_orderpriority, ' '), '')) AS hte
+  toInt64(hasToken(concat(' ', o_orderpriority, ' '), '')) AS hte,
+  queryString(concat('https://a.com/p', toString(o_orderkey % 3))) AS qs,
+  fragment(concat('https://a.com/p?x=', toString(o_orderkey % 3))) AS fr,
+  toInt64(JSONExtractInt(concat('{"a":', toString(o_orderkey % 5), '}'),
+                         if(o_orderkey % 2 = 0, 'a', 'b'))) AS je,
+  JSONExtractString(concat('{"a":"v', toString(o_orderkey % 3), '"}'),
+                    if(o_orderkey % 2 = 0, 'a', 'b')) AS js
 FROM orders
 """
 
@@ -65,7 +71,12 @@ SELECT o_orderkey,
        WHEN o_orderkey % 5 = 1 THEN 1 ELSE 0 END AS nli,
   CAST(o_orderkey % 10 AS VARCHAR) || ',1' AS ar2,
   CAST(o_orderkey % 10 AS VARCHAR) || ',0,0' AS ar3,
-  CAST(0 AS BIGINT) AS hte
+  CAST(0 AS BIGINT) AS hte,
+  '' AS qs,
+  '' AS fr,
+  CASE WHEN o_orderkey % 2 = 0 THEN o_orderkey % 5 ELSE 0 END AS je,
+  CASE WHEN o_orderkey % 2 = 0
+       THEN 'v' || CAST(o_orderkey % 3 AS VARCHAR) ELSE '' END AS js
 FROM orders
 """
 
