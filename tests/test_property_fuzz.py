@@ -566,3 +566,29 @@ def test_geohash_roundtrip_contains_point(spark, lon, lat, p):
     lat_bits = 5 * p // 2
     assert abs(row._1 - lon) <= 360.0 / 2 ** lon_bits / 2 + 1e-9
     assert abs(row._2 - lat) <= 180.0 / 2 ** lat_bits / 2 + 1e-9
+
+
+# ---- round-14 pre-pass crash-safety -----------------------------------
+
+_r14_atoms = st.sampled_from([
+    "a", "1", "'s'", "(1, 2)", "(a, b)", "and(a, b)", "or(1, 0)",
+    "not(a)", "xor(a, 1)", "(1, 'x').2", "tuplePlus((1,2),(3,4))",
+    "a AND (b)", "x BETWEEN 1 AND (3)", "NOT (a)", "(a, b).1",
+    "tupleElement((1, 'q'), 2)", "CASE WHEN a THEN (1, 2).1 ELSE 0 END",
+])
+
+
+@given(st.lists(_r14_atoms, min_size=1, max_size=4),
+       st.sampled_from([", ", " + ", " = ", " AND ", " OR "]))
+@settings(max_examples=120, deadline=None)
+def test_r14_prepasses_never_crash(atoms, sep):
+    """The round-14 logical-spelling and tuple-literal pre-passes run on
+    EVERY translation — arbitrary compositions of their trigger shapes
+    must either translate or raise a guided error, never an internal
+    IndexError/RecursionError/AttributeError."""
+    sql = "SELECT " + sep.join(atoms) + " AS v FROM t"
+    try:
+        out = translate(sql)
+        assert isinstance(out, str) and out
+    except ValueError:
+        pass  # DialectError and friends are the contract
