@@ -10744,6 +10744,80 @@ _EXPR_START_WORDS = frozenset({
 })
 
 
+_ORDER_BY_PAT = re.compile(r"(?i)\bORDER\s+BY\b")
+_ORDER_TERM = re.compile(
+    r"(?i)\b(LIMIT|OFFSET|FORMAT|UNION|EXCEPT|INTERSECT|ROWS|RANGE"
+    r"|GROUPS|WINDOW|INTO|SETTINGS|FETCH|QUALIFY|HAVING)\b"
+)
+_NULLS_MOD = re.compile(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$")
+
+
+def _rewrite_order_by_nulls(sql: str) -> str:
+    """ClickHouse's DEFAULT NULL placement in ORDER BY is NULLS LAST in
+    BOTH directions (docs §ORDER BY: default ≡ NULLS LAST — values,
+    then NaN, then NULL), while Spark's ASC default is NULLS FIRST —
+    a silently different row order for any LIMIT/window over a nullable
+    key (round-14 audit).  Append NULLS LAST to every sort key that has
+    no explicit NULLS modifier, in top-level ORDER BY clauses AND
+    window OVER (...) clauses.  Remaining documented delta: CH places
+    NaN between the values and NULL in BOTH directions; Spark treats
+    NaN as the largest double (same as CH only for ASC)."""
+    out = []
+    pos = 0
+    while True:
+        m = _ORDER_BY_PAT.search(sql, pos)
+        if not m or not _outside_strings(sql, m.start()):
+            if not m:
+                out.append(sql[pos:])
+                return "".join(out)
+            out.append(sql[pos : m.end()])
+            pos = m.end()
+            continue
+        out.append(sql[pos : m.end()])
+        # scan the key list: split on top-level commas, stop at a
+        # depth-0 terminator keyword, a closing paren, or end-of-string
+        i = m.end()
+        n = len(sql)
+        depth = 0
+        key_start = i
+        keys: list[tuple[int, int]] = []
+        while i < n:
+            ch = sql[i]
+            if ch in _QUOTE_CHARS:
+                i = _skip_quoted(sql, i)
+                continue
+            if ch in "([":
+                depth += 1
+            elif ch in ")]":
+                if depth == 0:
+                    break  # end of an OVER(...) / subquery
+                depth -= 1
+            elif ch == "," and depth == 0:
+                keys.append((key_start, i))
+                key_start = i + 1
+            elif depth == 0 and ch.isalpha():
+                t = _ORDER_TERM.match(sql, i)
+                if t and (i == 0 or not (sql[i - 1].isalnum()
+                                         or sql[i - 1] == "_")):
+                    break
+                while i < n and (sql[i].isalnum() or sql[i] == "_"):
+                    i += 1
+                continue
+            i += 1
+        keys.append((key_start, i))
+        for j, (a, b) in enumerate(keys):
+            key = sql[a:b]
+            stripped = key.rstrip()
+            pad = key[len(stripped):]
+            if stripped and not _NULLS_MOD.search(stripped):
+                key = stripped + " NULLS LAST" + pad
+            out.append(key)
+            if j < len(keys) - 1:
+                out.append(",")
+        pos = i
+    # unreachable
+
+
 def _rewrite_logical_fn_calls(sql: str) -> str:
     """CH's ``and()`` / ``or()`` FUNCTION spellings → chained operators
     (round-14 probe wave — leaked raw UNRESOLVED_ROUTINE).  Unlike xor,
@@ -10816,6 +10890,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_ternary(sql)
     sql = _rewrite_tuple_index(sql)
     sql = _rewrite_logical_fn_calls(sql)
+    sql = _rewrite_order_by_nulls(sql)
     out: list[str] = []
     i = 0
     n = len(sql)

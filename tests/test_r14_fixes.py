@@ -352,6 +352,31 @@ def test_datetime64_arithmetic_tail(spark):
         translate("SELECT toTime64('12:00:00', 3) FROM t")
 
 
+def test_order_by_default_nulls_last(spark):
+    """CH's DEFAULT NULL placement in ORDER BY is NULLS LAST in BOTH
+    directions (docs §ORDER BY: default ≡ NULLS LAST); Spark's ASC
+    default is NULLS FIRST — every sort key without an explicit
+    modifier gets NULLS LAST appended, including window ORDER BY.
+    Documented delta: CH puts NaN between values and NULL in both
+    directions; Spark's NaN stays the largest double."""
+    spark.sql(
+        "SELECT * FROM VALUES (1),(NULL),(2) AS t(x)"
+    ).createOrReplaceTempView("t_obn")
+    asc = [r.x for r in rows(spark, "SELECT x FROM t_obn ORDER BY x")]
+    desc = [r.x for r in rows(
+        spark, "SELECT x FROM t_obn ORDER BY x DESC")]
+    assert asc == [1, 2, None]
+    assert desc == [2, 1, None]
+    rn = {r.x: r.r for r in rows(
+        spark,
+        "SELECT x, row_number() OVER (ORDER BY x) AS r FROM t_obn")}
+    assert rn[None] == 3  # NULL ranks last in windows too
+    # explicit modifiers survive untouched
+    first = [r.x for r in rows(
+        spark, "SELECT x FROM t_obn ORDER BY x NULLS FIRST")]
+    assert first == [None, 1, 2]
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token
