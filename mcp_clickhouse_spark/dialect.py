@@ -5971,7 +5971,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         else f"size(array_distinct(arrays_zip({', '.join(a)})))"
     ),
     # 1-arg form (descending sort); the lambda form is not supported.
-    "arrayreversesort": lambda a: f"reverse(array_sort({a[0]}))",
+    # CH keeps NULL LAST in the REVERSE sort too (docs example:
+    # arrayReverseSort([1,nan,2,NULL,3,nan]) = [3,2,1,nan,nan,NULL]) —
+    # reverse(array_sort(..)) put NULL first (round-14 audit).  The
+    # comparator sorts descending with NULLs pinned last; NaN keeps
+    # Spark's largest-double order (documented delta, ascending-only
+    # match, same as ORDER BY).
+    "arrayreversesort": lambda a: (
+        f"array_sort({a[0]}, (__l, __r) -> CASE"
+        f" WHEN __l IS NULL AND __r IS NULL THEN 0"
+        f" WHEN __l IS NULL THEN 1 WHEN __r IS NULL THEN -1"
+        f" WHEN __l > __r THEN -1 WHEN __l < __r THEN 1 ELSE 0 END)"
+    ),
     # CH prints two decimals with binary-prefix units.
     "formatreadablesize": lambda a: (
         f"CASE WHEN abs({a[0]}) < 1024 THEN format_string('%.2f B', CAST({a[0]} AS DOUBLE))"

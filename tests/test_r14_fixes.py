@@ -377,6 +377,21 @@ def test_order_by_default_nulls_last(spark):
     assert first == [None, 1, 2]
 
 
+def test_array_reverse_sort_nulls_last(spark):
+    """CH keeps NULL LAST in arrayReverseSort too (docs:
+    arrayReverseSort([1,nan,2,NULL,3,nan]) ends …nan,NULL) — the old
+    reverse(array_sort(..)) put NULL first (round-14 audit)."""
+    r = rows(
+        spark,
+        "SELECT arrayReverseSort([3, NULL, 1]) AS a,"
+        " arrayReverseSort(['b', 'a', 'c']) AS b,"
+        " arrayReverseSort(emptyArrayInt32()) AS c",
+    )[0]
+    assert list(r[0]) == [3, 1, None]
+    assert list(r[1]) == ["c", "b", "a"]
+    assert list(r[2]) == []
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token
