@@ -400,9 +400,14 @@ def _key_lambda_comparator(lam: str, arr: str) -> str:
     # slot names no user column will shadow: plain l/r would capture an
     # outer column named l or r referenced in the key body
     kl, kr = subst("_ch_sort_l"), subst("_ch_sort_r")
+    # NULL keys pin LAST (CH sorts NULL keys after all values; a bare
+    # `<`/`>` comparison against NULL is NULL → the comparator returned
+    # 0 and NULL-keyed elements never moved — round-14 audit)
     return (
         f"array_sort({arr}, (_ch_sort_l, _ch_sort_r) ->"
-        f" CASE WHEN ({kl}) < ({kr}) THEN -1"
+        f" CASE WHEN ({kl}) IS NULL AND ({kr}) IS NULL THEN 0"
+        f" WHEN ({kl}) IS NULL THEN 1 WHEN ({kr}) IS NULL THEN -1"
+        f" WHEN ({kl}) < ({kr}) THEN -1"
         f" WHEN ({kl}) > ({kr}) THEN 1 ELSE 0 END)"
     )
 

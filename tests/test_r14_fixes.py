@@ -390,6 +390,15 @@ def test_array_reverse_sort_nulls_last(spark):
     assert list(r[0]) == [3, 1, None]
     assert list(r[1]) == ["c", "b", "a"]
     assert list(r[2]) == []
+    # lambda-keyed arraySort: NULL keys pin last (the comparator used
+    # to return 0 on NULL keys, so NULL elements never moved)
+    r = rows(
+        spark,
+        "SELECT arraySort(x -> x, [2, NULL, 1]) AS a,"
+        " arraySort(x -> -x, [1, 3, NULL, 2]) AS b",
+    )[0]
+    assert list(r[0]) == [1, 2, None]
+    assert list(r[1]) == [3, 2, 1, None]
 
 
 def test_hastoken_empty_needle(spark):
