@@ -177,14 +177,14 @@ NAME_MAP: dict[str, str] = {
     # arguments; Spark's greatest/least skip them
     # arrays
     "arrayjoin": "explode",
-    "has": "array_contains",
     "arraysort": "array_sort",
     "arrayreverse": "reverse",
     "arraydistinct": "array_distinct",
     "arrayconcat": "concat",
-    "indexof": "array_position",
-    # AssumeSorted is a CH perf hint; values are identical (round 13)
-    "indexofassumesorted": "array_position",
+    # indexOf/has moved to TEMPLATES (round 14): CH treats NULL as a
+    # comparable VALUE (indexOf([1,NULL],NULL)=2, has([1,NULL],NULL)=1)
+    # while array_position/array_contains NULL-propagate or reject a
+    # NullType needle outright.
     "arrayzip": "arrays_zip",
     "arrayflatten": "flatten",
     "arrayelement": "element_at",
@@ -4616,6 +4616,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         )
     ),
     "countequal": lambda a: f"size(filter({a[0]}, x -> x <=> {a[1]}))",
+    # null-safe membership/position (round-14 audit): CH compares NULL
+    # as a VALUE — has([1,NULL],NULL)=1, indexOf([1,NULL],NULL)=2 —
+    # where array_contains/array_position NULL-propagate (and reject a
+    # bare NullType needle at analysis).  <=> keeps them exact; the
+    # first-match fold short-circuits via the accumulator.
+    "has": lambda a: f"exists({a[0]}, __he -> __he <=> ({a[1]}))",
+    "indexof": lambda a: (
+        f"aggregate({_seq1(f'size({a[0]})')}, 0, (__ia, __ii) ->"
+        f" IF(__ia > 0, __ia,"
+        f" IF(element_at({a[0]}, __ii) <=> ({a[1]}), __ii, 0)))"
+    ),
+    "indexofassumesorted": lambda a: TEMPLATES["indexof"](a),
     # CH returns [0, a[2]-a[1], ...]; element_at keeps it type-generic
     "arraydifference": lambda a: (
         f"transform({_seq1(f'size({a[0]})')}, i -> CASE WHEN i = 1 THEN 0"

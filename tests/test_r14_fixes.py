@@ -401,6 +401,21 @@ def test_array_reverse_sort_nulls_last(spark):
     assert list(r[1]) == [3, 2, 1, None]
 
 
+def test_has_indexof_null_as_value(spark):
+    """CH compares NULL as a VALUE in array membership:
+    has([1,NULL],NULL)=1, indexOf([1,NULL,2],NULL)=2, and a no-match
+    NULL needle gives 0 — array_contains/array_position NULL-propagated
+    (and rejected a bare NULL literal at analysis) before round 14."""
+    r = rows(
+        spark,
+        "SELECT has([1, NULL], NULL) AS a, has([1, 2], NULL) AS b,"
+        " has([1, NULL], 1) AS c,"
+        " indexOf([1, NULL, 2], NULL) AS d, indexOf([1, 2], NULL) AS e,"
+        " indexOf([5, 7, 7], 7) AS f, indexOf([1, NULL], 9) AS g",
+    )[0]
+    assert list(r) == [True, False, True, 2, 0, 2, 0]
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token
