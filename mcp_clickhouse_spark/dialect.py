@@ -187,7 +187,7 @@ NAME_MAP: dict[str, str] = {
     # NullType needle outright.
     "arrayzip": "arrays_zip",
     "arrayflatten": "flatten",
-    "arrayelement": "element_at",
+    # arrayelement lives in TEMPLATES (round 14): out-of-range → NULL
     "hasany": "arrays_overlap",
     "arraymin": "array_min",
     "arraymax": "array_max",
@@ -4577,6 +4577,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"try_element_at({_array_filter_expr(a)}, -1)"
     ),
     "arrayelementornull": lambda a: f"try_element_at({a[0]}, {a[1]})",
+    # out-of-range → NULL (CH's contract for Nullable elements; ANSI
+    # element_at threw INVALID_ARRAY_INDEX — round-14 audit); the IF
+    # guards Spark's index-0 exception (CH: type default → NULL here)
+    "arrayelement": lambda a: (
+        f"IF(({a[1]}) = 0, NULL, try_element_at({a[0]}, {a[1]}))"
+    ),
     "arrayunion": lambda a: f"array_union({a[0]}, {a[1]})",
     "arraylast": lambda a: (
         f"try_element_at({_array_filter_expr(a)}, -1)"
@@ -8301,10 +8307,66 @@ _PRE_LITERAL_KEYWORDS = {
 }
 
 
+def _trailing_operand_start(s: str) -> int:
+    """Start index of the trailing postfix-operand chain in ``s`` — the
+    expression a following subscript applies to (identifier, call chain,
+    subscript chain, dotted access, parenthesized group).  Forward scan
+    (string-aware), tracking where the current operand began."""
+    start = len(s)
+    i = 0
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch in _QUOTE_CHARS:
+            j = _skip_quoted(s, i)
+            # a bare string literal can be an operand (CH: 'k' keys)
+            start = i if start > i else start
+            i = j
+            continue
+        if ch in "([":
+            # group: operand start is the group itself unless it
+            # continues a call/subscript chain
+            k = i - 1
+            while k >= 0 and s[k].isspace():
+                k -= 1
+            if not (k >= 0 and (s[k].isalnum() or s[k] in "_)]`")):
+                start = i
+            depth = 1
+            i += 1
+            while i < n and depth:
+                c2 = s[i]
+                if c2 in _QUOTE_CHARS:
+                    i = _skip_quoted(s, i)
+                    continue
+                if c2 in "([":
+                    depth += 1
+                elif c2 in ")]":
+                    depth -= 1
+                i += 1
+            continue
+        if ch.isalnum() or ch in "_`":
+            if not (i > 0 and (s[i - 1].isalnum() or s[i - 1] in "_.`")):
+                start = i
+            i += 1
+            continue
+        if ch == ".":
+            i += 1
+            continue
+        start = n  # operator/space/comma breaks the chain
+        i += 1
+    return start
+
+
 def _rewrite_brackets(sql: str) -> str:
-    """ClickHouse `[1,2,3]` array literals → `array(1,2,3)`; 1-based integer
-    subscripts `x[2]` → `x[1]` (Spark subscripts are 0-based). Expression
-    subscripts are left untouched (documented delta)."""
+    """ClickHouse `[1,2,3]` array literals → `array(1,2,3)`; subscripts
+    `x[i]` → ``try_element_at(x, i)`` — 1-based like CH for arrays,
+    key-lookup for maps (so integer-keyed maps stop being off-by-one),
+    and NULL out-of-range (CH's contract for Nullable elements; every
+    Spark array is Array(Nullable(T)) in CH terms — round 14; the old
+    rewrite shifted integer literals to 0-based Spark brackets, which
+    ANSI-THREW out-of-range and corrupted integer map keys, and left
+    expression subscripts 0-based).  Delta: index 0 on an ARRAY throws
+    (CH returns the type default); on maps 0 is a valid key."""
     out: list[str] = []
     i, n = 0, len(sql)
     while i < n:
@@ -8339,10 +8401,20 @@ def _rewrite_brackets(sql: str) -> str:
                 word = m.group(1).lower() if m else ""
                 is_subscript = word not in _PRE_LITERAL_KEYWORDS
             if is_subscript:
-                if re.fullmatch(r"\s*\d+\s*", inner):
-                    out.append(f"[{int(inner) - 1}]")  # CH 1-based → Spark 0-based
-                else:
-                    out.append(f"[{inner}]")
+                emitted = "".join(out)
+                op_start = _trailing_operand_start(emitted)
+                operand = emitted[op_start:]
+                if operand.strip():
+                    out = [emitted[:op_start]]
+                    out.append(
+                        f"try_element_at({operand}, {inner})"
+                    )
+                else:  # could not isolate the operand — keep 1→0 shift
+                    out.append(
+                        f"[{int(inner) - 1}]"
+                        if re.fullmatch(r"\s*\d+\s*", inner)
+                        else f"[{inner}]"
+                    )
             else:
                 out.append(f"array({inner})")
             i = j + 1

@@ -416,6 +416,28 @@ def test_has_indexof_null_as_value(spark):
     assert list(r) == [True, False, True, 2, 0, 2, 0]
 
 
+def test_subscript_try_element_at(spark):
+    """Subscripts rewrite to try_element_at (round 14): 1-based CH
+    semantics for arrays INCLUDING expression indexes (previously a
+    documented 0-based delta), key lookup for maps (integer-keyed maps
+    were off by one), NULL out of range (ANSI element_at threw), and
+    arrayElement's out-of-range/0 → NULL."""
+    spark.sql(
+        "SELECT array(10, 20, 30) AS arr, map(2, 'b', 0, 'z') AS m,"
+        " 2 AS i"
+    ).createOrReplaceTempView("t_sub")
+    r = rows(
+        spark,
+        "SELECT arr[2] AS a, arr[i] AS b, arr[9] AS oob,"
+        " m[2] AS mk, m[0] AS mz, m[7] AS mm,"
+        " arrayElement(arr, 3) AS ae, arrayElement(arr, 9) AS aeo,"
+        " arrayElement(arr, 0) AS ae0,"
+        " splitByChar(',', 'x,y')[2] AS sp"
+        " FROM t_sub",
+    )[0]
+    assert list(r) == [20, 20, None, "b", "z", None, 30, None, None, "y"]
+
+
 def test_hastoken_empty_needle(spark):
     """split() emits empty tokens at separator edges; an empty-string
     needle must return 0, not 1 (CH throws on needles without token
