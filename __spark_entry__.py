@@ -36,6 +36,14 @@ def _prep(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin ANSI mode explicitly (round 15): every translated expression is
+    # audited under Spark 4's default ANSI=on (the driver's plain-session
+    # shape) and the ANSI-sensitive rewrites emit neutral forms
+    # (try_element_at subscripts, CASE-guarded division, two-valued IN) —
+    # pinning makes error-vs-NULL behavior identical for callers whose
+    # sessions flipped the default (tests/test_r15_wave.py runs the
+    # sensitive vector set under BOTH modes).
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # NOTE: adaptive execution is deliberately NOT touched here — results are
     # AQE-independent, and forcing it on silently overrode the harness's
     # data-size-driven AQE policy (bench.py) on every call.

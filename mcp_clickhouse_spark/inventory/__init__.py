@@ -20,6 +20,7 @@ def load_all() -> None:
         pipeline_ops,
         round13,
         round14,
+        round15,
         scalars,
         setops,
         timeseries,

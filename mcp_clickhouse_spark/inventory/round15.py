@@ -1,0 +1,102 @@
+"""Round-15 oracle-checked closures.
+
+``scalar_round15`` covers this round's dialect fixes end-to-end, against
+an independent DuckDB reconstruction (literal CASE tables — never the
+translation's own expression, per the round-13 tautology lesson):
+
+- bare ``IN`` / ``NOT IN`` OPERATOR two-valued NULL logic (judge r14:
+  ``WHERE x NOT IN (1, NULL)`` silently returned zero rows; the r14 fix
+  covered only the in/notIn FUNCTION spellings) — literal lists with
+  NULL, a nullable probe, and an expression list whose element is a
+  runtime value;
+- ``divide()`` and the bare ``/`` zero-denominator Float64 contract
+  (1/0 = inf, -1/0 = -inf, 0/0 = nan — CH docs §arithmetic#divide);
+  checked via isInfinite/isNaN flags and ``= ±inf`` equality (NOT an
+  ordering comparison: Spark ranks NaN above every double, so
+  ``nan > 1e308`` is true there and 0 in CH — a documented delta that
+  only matters when NaNs flow through ``>``/``<``), so no inf/nan value
+  has to survive the driver's canonicalizer;
+- ``intDiv`` negative-operand truncation toward zero and ``modulo``'s
+  C-style dividend-sign remainder (the div/mod identity pin —
+  tests/test_r15_wave.py::TestIntDivRoundingPin has the full docs
+  rationale), reconstructed as literal CASE tables.
+
+Reference contract basis: verbatim SQL delegation in
+/root/reference/mcp_clickhouse/mcp_server.py:425.
+"""
+
+from __future__ import annotations
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+_SQL_R15_CH = """
+SELECT o_orderkey,
+  toInt64(o_orderkey % 7 IN (1, 2, NULL)) AS in_null,
+  toInt64(o_orderkey % 7 NOT IN (1, 2, NULL)) AS ni_null,
+  toInt64(if(o_orderkey % 5 = 0, NULL, o_orderkey % 5) IN (1, 2))
+    AS in_probe,
+  toInt64(if(o_orderkey % 5 = 0, NULL, o_orderkey % 5) NOT IN (1, 2))
+    AS ni_probe,
+  toInt64(o_orderkey % 3 IN (0, o_orderkey % 2, NULL)) AS in_expr,
+  toInt64(isInfinite(divide(o_orderkey % 5 - 2, o_orderkey % 3))) AS dinf,
+  toInt64(isNaN(divide(o_orderkey % 5 - 2, o_orderkey % 3))) AS dnan,
+  toInt64((o_orderkey % 5 - 2) / (o_orderkey % 3) = divide(1, 0)) AS dpos,
+  toInt64((o_orderkey % 5 - 2) / (o_orderkey % 3) = divide(-1, 0)) AS dneg,
+  round(if(o_orderkey % 3 = 0, 0,
+           divide(o_orderkey % 5 - 2, o_orderkey % 3)), 6) AS dfin,
+  toInt64(intDiv(2 - o_orderkey % 5, 2)) AS idv,
+  toInt64(modulo(2 - o_orderkey % 5, 3)) AS md
+FROM orders
+"""
+
+# Independent reconstruction: IN columns from two-valued truth tables,
+# divide flags from the (numerator, denominator) zero analysis, intDiv
+# and modulo from LITERAL value tables (numerator 2-o%5 ∈ {2,1,0,-1,-2}:
+# truncation → {1,0,0,0,-1}; C-style remainder mod 3 → {2,1,0,-1,-2}).
+_SQL_R15_ORACLE = """
+SELECT o_orderkey,
+  CAST(CASE WHEN o_orderkey % 7 IN (1, 2) THEN 1 ELSE 0 END AS BIGINT)
+    AS in_null,
+  CAST(CASE WHEN o_orderkey % 7 IN (1, 2) THEN 0 ELSE 1 END AS BIGINT)
+    AS ni_null,
+  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0
+            WHEN o_orderkey % 5 IN (1, 2) THEN 1 ELSE 0 END AS BIGINT)
+    AS in_probe,
+  CAST(CASE WHEN o_orderkey % 5 = 0 THEN 0
+            WHEN o_orderkey % 5 IN (1, 2) THEN 0 ELSE 1 END AS BIGINT)
+    AS ni_probe,
+  CAST(CASE WHEN o_orderkey % 3 = 0 OR o_orderkey % 3 = o_orderkey % 2
+            THEN 1 ELSE 0 END AS BIGINT) AS in_expr,
+  CAST(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 <> 2
+            THEN 1 ELSE 0 END AS BIGINT) AS dinf,
+  CAST(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 = 2
+            THEN 1 ELSE 0 END AS BIGINT) AS dnan,
+  CAST(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 > 2
+            THEN 1 ELSE 0 END AS BIGINT) AS dpos,
+  CAST(CASE WHEN o_orderkey % 3 = 0 AND o_orderkey % 5 < 2
+            THEN 1 ELSE 0 END AS BIGINT) AS dneg,
+  round(CASE WHEN o_orderkey % 3 = 0 THEN 0
+             ELSE (o_orderkey % 5 - 2) / CAST(o_orderkey % 3 AS DOUBLE)
+        END, 6) AS dfin,
+  CAST(CASE o_orderkey % 5 WHEN 0 THEN 1 WHEN 1 THEN 0 WHEN 2 THEN 0
+                           WHEN 3 THEN 0 WHEN 4 THEN -1 END AS BIGINT)
+    AS idv,
+  CAST(CASE o_orderkey % 5 WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0
+                           WHEN 3 THEN -1 WHEN 4 THEN -2 END AS BIGINT)
+    AS md
+FROM orders
+"""
+
+
+@query("scalar_round15", oracle=_SQL_R15_ORACLE, category="scalars")
+def scalar_round15(spark, sf_dir):
+    """Round-15 dialect fixes end-to-end (module docstring above lists
+    the contracts; each is also pinned by tests/test_r15_wave.py
+    vectors).  Per-row modular arithmetic exercises every truth-table
+    branch: IN probes hit NULL rows (o%5=0), the divide denominator
+    o%3 is zero on a third of the rows with numerators of both signs
+    and zero, and the intDiv/modulo numerators span {2,1,0,-1,-2}."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R15_CH))

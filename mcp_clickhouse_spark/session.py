@@ -75,6 +75,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Explicit ANSI pin (round 15): the dialect's error-vs-NULL
+        # contract is audited under Spark 4's default ANSI=on; pinning
+        # keeps it deterministic if a deployment flips the default.
+        # ANSI-sensitive spots emit neutral forms (try_element_at,
+        # CASE-guarded division, two-valued IN) — see
+        # tests/test_r15_wave.py::TestAnsiNeutrality.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
