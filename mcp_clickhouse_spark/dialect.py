@@ -66,6 +66,7 @@ _PER_GROUP_FOLD_FNS = frozenset({
     "exponentialmovingaverage", "exponentialtimedecayedsum",
     "exponentialtimedecayedavg", "exponentialtimedecayedmax",
     "exponentialtimedecayedcount", "largesttrianglethreebuckets",
+    "groupbitmapand", "groupbitmapxor",
 })
 
 
@@ -1200,6 +1201,24 @@ def _intdiv_expr(x: str, y: str) -> str:
     dx = f"CAST(({x}) AS DECIMAL(38,18))"
     dy = f"CAST(({y}) AS DECIMAL(38,18))"
     return f"CAST(({dx} - {dx} % {dy}) / {dy} AS BIGINT)"
+
+
+_INTERVALISH = re.compile(
+    r"(?is)^\s*(interval\b|make_(ym_|dt_)?interval\s*\()"
+)
+
+
+def _date_interval_2arg(x: str, y: str, op: str) -> str:
+    """The 2-argument alternative signature of dateAdd / dateSub /
+    timestampAdd / timestampSub: ``dateAdd(date, INTERVAL n unit)``
+    (CH docs §date-time-functions#date_add).  An interval-shaped second
+    argument maps to native interval arithmetic; a bare number keeps
+    Spark's day-count date_add/date_sub reading (matching CH's addDays
+    behavior for integer counts)."""
+    if _INTERVALISH.match(y):
+        return f"(({x}) {op} ({y}))"
+    fn = "date_add" if op == "+" else "date_sub"
+    return f"{fn}({x}, CAST({y} AS INT))"
 
 
 def _to_day_of_week(a: list[str]) -> str:
@@ -3439,16 +3458,19 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "subtractmonths": lambda a: f"({a[0]} - make_interval(0, {a[1]}, 0, 0, 0, 0, 0))",
     "subtractyears": lambda a: f"({a[0]} - make_interval({a[1]}, 0, 0, 0, 0, 0, 0))",
     # CH dateAdd('day', n, ts) — unit arrives as a quoted string; Spark's
-    # timestampadd needs the bare keyword
+    # timestampadd needs the bare keyword.  The 2-arg alternative
+    # signature dateAdd(date, INTERVAL n unit) (aliases timestampAdd /
+    # timestamp_add) maps to interval addition — round 15: it previously
+    # emitted date_add(date, INTERVAL), a Spark type error.
     "dateadd": lambda a: (
         f"timestampadd({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})"
         if len(a) == 3
-        else f"date_add({a[0]}, {a[1]})"
+        else _date_interval_2arg(a[0], a[1], "+")
     ),
     "datesub": lambda a: (
         f"timestampadd({a[0].strip(chr(39)).upper()}, -({a[1]}), {a[2]})"
         if len(a) == 3
-        else f"date_sub({a[0]}, {a[1]})"
+        else _date_interval_2arg(a[0], a[1], "-")
     ),
     "formatdatetime": _format_datetime,
     "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
@@ -3915,7 +3937,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "(year, month, day, hour, minute, second[, timezone])"
         ))
     ),
-    "timestampsub": lambda a: f"timestampadd({a[0]}, -({a[1]}), {a[2]})",
+    "timestampsub": lambda a: (
+        f"timestampadd({a[0].strip(chr(39)).upper()}, -({a[1]}), {a[2]})"
+        if len(a) == 3
+        else _date_interval_2arg(a[0], a[1], "-")
+    ),
     # array folds / sorts (CH puts the lambda FIRST; Spark second)
     "arrayfold": lambda a: f"aggregate({a[1]}, {a[2]}, {a[0]})",
     "arraysort": lambda a: (
@@ -4078,6 +4104,11 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
     ),
     "concatwithseparator": lambda a: f"concat_ws({', '.join(a)})",
+    # AssumeInjective is a ClickHouse GROUP-BY optimizer hint — the value
+    # contract is identical (round-15 probe wave: leaked)
+    "concatwithseparatorassumeinjective": lambda a: (
+        f"concat_ws({', '.join(a)})"
+    ),
     # same exact subtract-remainder DECIMAL route as intDiv (round 13) —
     # the `div` operator form rejected CH's float arguments
     "intdivorzero": lambda a: (
@@ -4403,20 +4434,35 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CASE WHEN {TEMPLATES['isipv4string'](a)}"
         f" THEN {TEMPLATES['ipv4stringtonum'](a)} END"
     ),
+    # round 15: honor a user-supplied default (was silently dropped —
+    # the 2-arg forms returned 0 regardless), and add the OrZero
+    # spellings (leaked UNRESOLVED_ROUTINE)
     "ipv4stringtonumordefault": lambda a: (
         f"coalesce(CASE WHEN {TEMPLATES['isipv4string'](a)}"
-        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END, CAST(0 AS BIGINT))"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END,"
+        f" {a[1] if len(a) > 1 else 'CAST(0 AS BIGINT)'})"
     ),
     "toipv4ordefault": lambda a: (
+        f"coalesce(CASE WHEN {TEMPLATES['isipv4string'](a)}"
+        f" THEN {TEMPLATES['ipv4stringtonum'](a)} END,"
+        f" {a[1] if len(a) > 1 else 'CAST(0 AS BIGINT)'})"
+    ),
+    "toipv4orzero": lambda a: (
         f"coalesce(CASE WHEN {TEMPLATES['isipv4string'](a)}"
         f" THEN {TEMPLATES['ipv4stringtonum'](a)} END, CAST(0 AS BIGINT))"
     ),
     "ipv6stringtonumornull": lambda a: f"ch_ipv6_aton({a[0]})",
     "ipv6stringtonumordefault": lambda a: (
         f"coalesce(ch_ipv6_aton({a[0]}),"
-        f" CAST(unhex('00000000000000000000000000000000') AS BINARY))"
+        + (f" {a[1]})" if len(a) > 1 else
+           " CAST(unhex('00000000000000000000000000000000') AS BINARY))")
     ),
     "toipv6ordefault": lambda a: (
+        f"coalesce(ch_ipv6_aton({a[0]}),"
+        + (f" {a[1]})" if len(a) > 1 else
+           " CAST(unhex('00000000000000000000000000000000') AS BINARY))")
+    ),
+    "toipv6orzero": lambda a: (
         f"coalesce(ch_ipv6_aton({a[0]}),"
         f" CAST(unhex('00000000000000000000000000000000') AS BINARY))"
     ),
@@ -4969,7 +5015,30 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "multisearchallpositions": lambda a: (
         f"transform({a[1]}, __mp -> locate(__mp, {a[0]}))"
     ),
+    # round-15 probe wave: the CaseInsensitive/UTF8 variants leaked
+    # UNRESOLVED_ROUTINE.  Spark strings are codepoint-native, so the
+    # UTF8 spellings are the same expression; CaseInsensitive lowers
+    # both sides (same convention as multiSearchAnyCaseInsensitive).
+    "multisearchallpositionsutf8": lambda a: (
+        f"transform({a[1]}, __mp -> locate(__mp, {a[0]}))"
+    ),
+    "multisearchallpositionscaseinsensitive": lambda a: (
+        f"transform({a[1]}, __mp -> locate(lower(__mp), lower({a[0]})))"
+    ),
+    "multisearchallpositionscaseinsensitiveutf8": lambda a: (
+        f"transform({a[1]}, __mp -> locate(lower(__mp), lower({a[0]})))"
+    ),
     "multisearchfirstindex": lambda a: (
+        f"coalesce((array_min(filter(transform({a[1]},"
+        f" (__mn, __mi) -> named_struct('p', locate(__mn, {a[0]}),"
+        f" 'i', __mi + 1)), __ms -> __ms.p > 0))).i, 0)"
+    ),
+    "multisearchfirstindexcaseinsensitive": lambda a: (
+        f"coalesce((array_min(filter(transform({a[1]},"
+        f" (__mn, __mi) -> named_struct('p', locate(lower(__mn),"
+        f" lower({a[0]})), 'i', __mi + 1)), __ms -> __ms.p > 0))).i, 0)"
+    ),
+    "multisearchfirstindexutf8": lambda a: (
         f"coalesce((array_min(filter(transform({a[1]},"
         f" (__mn, __mi) -> named_struct('p', locate(__mn, {a[0]}),"
         f" 'i', __mi + 1)), __ms -> __ms.p > 0))).i, 0)"
@@ -5019,6 +5088,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" '^[0-9a-fA-F]{{8}}(-[0-9a-fA-F]{{4}}){{3}}-[0-9a-fA-F]{{12}}$'"
         f" THEN lower({a[0]}) END,"
         f" '00000000-0000-0000-0000-000000000000')"
+    ),
+    "touuidordefault": lambda a: (
+        f"coalesce(CASE WHEN {a[0]} rlike"
+        f" '^[0-9a-fA-F]{{8}}(-[0-9a-fA-F]{{4}}){{3}}-[0-9a-fA-F]{{12}}$'"
+        f" THEN lower({a[0]}) END,"
+        + (f" {a[1]})" if len(a) > 1
+           else " '00000000-0000-0000-0000-000000000000')")
     ),
     # UUIDv7 leads with 48 bits of unix milliseconds (RFC 9562)
     "uuidv7todatetime": lambda a: (
@@ -5691,6 +5767,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "bech32decode": lambda a: f"ch_bech32_decode({a[0]})",
     # round 8: the documented cut-after-separator-run prefix expansion
     "urlhierarchy": lambda a: _url_hierarchy_expr(a, path_only=False),
+    # URLHash(url): hash of the URL with ONE trailing /, ? or # trimmed
+    # (CH docs §url-functions#urlhash).  STABILITY-ONLY values via the
+    # spec-faithful xxHash64 port — CH's own URLHash uses an internal
+    # non-cryptographic hash whose constants aren't published, so
+    # upstream-identical values are unpinnable; distribution/grouping
+    # use is sound.  The 2-arg level form is guided: compose over
+    # URLHierarchy explicitly so the level convention is yours.
+    "urlhash": lambda a: (
+        f"ch_xxhash64(regexp_replace({a[0]}, '[/?#]$', ''))"
+        if len(a) == 1
+        else (_ for _ in ()).throw(DialectError(
+            "URLHash(url, N): the level-N convention is not pinned by "
+            "the CH docs — compose explicitly, e.g. "
+            "URLHash(arrayElement(URLHierarchy(url), N))"
+        ))
+    ),
     "pathhierarchy": lambda a: _url_hierarchy_expr(a, path_only=True),
     # CH retention(c1, …): r1 = any row met c1; rI = r1 AND any row met
     # cI — one expression per the aggregate-level semantics (round 7;
@@ -6079,10 +6171,24 @@ def _gen_or_null_zero() -> None:
                 f"coalesce(try_cast({a[0]} AS {_t}), {_z})"
             )
         )
+        # to<T>OrDefault(expr[, default]) — CH returns the explicit
+        # default on conversion failure, or the type's default when the
+        # second argument is omitted (round-15 probe wave: the whole
+        # OrDefault family leaked UNRESOLVED_ROUTINE)
+        TEMPLATES[f"to{ch_t}ordefault"] = (
+            lambda a, _t=spark_t, _z=zero: (
+                f"coalesce(try_cast({a[0]} AS {_t}),"
+                f" {f'CAST({a[1]} AS {_t})' if len(a) > 1 else _z})"
+            )
+        )
     # toDate32 shares Spark's DATE; CH zero for Date32 is also 1970-01-01
     TEMPLATES["todate32ornull"] = lambda a: f"try_cast({a[0]} AS DATE)"
     TEMPLATES["todate32orzero"] = lambda a: (
         f"coalesce(try_cast({a[0]} AS DATE), DATE '1970-01-01')"
+    )
+    TEMPLATES["todate32ordefault"] = lambda a: (
+        f"coalesce(try_cast({a[0]} AS DATE),"
+        + (f" CAST({a[1]} AS DATE))" if len(a) > 1 else " DATE '1970-01-01')")
     )
     # toDateTime64Or* take a scale argument after the value; Spark
     # TIMESTAMP is fixed microsecond precision, so the scale is accepted
@@ -6094,6 +6200,13 @@ def _gen_or_null_zero() -> None:
     TEMPLATES["todatetime64orzero"] = lambda a: (
         f"coalesce(try_cast({a[0]} AS TIMESTAMP),"
         f" TIMESTAMP '1970-01-01 00:00:00')"
+    )
+    # toDateTime64OrDefault(expr, scale[, default]) — the scale argument
+    # is accepted (Spark TIMESTAMP is fixed µs precision)
+    TEMPLATES["todatetime64ordefault"] = lambda a: (
+        f"coalesce(try_cast({a[0]} AS TIMESTAMP),"
+        + (f" CAST({a[2]} AS TIMESTAMP))" if len(a) > 2
+           else " TIMESTAMP '1970-01-01 00:00:00')")
     )
 
 
@@ -7490,14 +7603,31 @@ TEMPLATES.update({
                    "stochasticlogisticregression",
                    "categoricalinformationvalue")
     },
-    **{
-        _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
-            f"{_n}: aggregate over roaring-bitmap state — use the bitmap "
-            "scalar family (bitmapAnd/bitmapOr over array columns) with "
-            "an explicit aggregate, or groupBitAnd/Or/Xor for integers"
-        ))))(_t)
-        for _t in ("groupbitmapand", "groupbitmapor", "groupbitmapxor")
-    },
+    # groupBitmapAnd/Or/Xor (round 15 — were guided errors): fold the
+    # group's bitmaps (arrays in this engine's representation —
+    # bitmapBuild ≡ array_distinct) and return the CARDINALITY, CH's
+    # documented return (UInt64).  OR flattens once; AND/XOR fold a
+    # collect_list with the first element as the seed (no typed NULL
+    # init — the element type isn't knowable at translate time).
+    # Catalyst dedups the repeated identical collect_list aggregates.
+    "groupbitmapor": lambda a: (
+        f"size(array_distinct(flatten(collect_list({a[0]}))))"
+    ),
+    "groupbitmapand": lambda a: (
+        f"size(aggregate("
+        f"slice(collect_list({a[0]}), 2,"
+        f" greatest(size(collect_list({a[0]})) - 1, 0)),"
+        f" array_distinct(element_at(collect_list({a[0]}), 1)),"
+        f" (acc, x) -> array_intersect(acc, x)))"
+    ),
+    "groupbitmapxor": lambda a: (
+        f"size(aggregate("
+        f"slice(collect_list({a[0]}), 2,"
+        f" greatest(size(collect_list({a[0]})) - 1, 0)),"
+        f" array_distinct(element_at(collect_list({a[0]}), 1)),"
+        f" (acc, x) -> array_except(array_union(acc, x),"
+        f" array_intersect(acc, array_distinct(x)))))"
+    ),
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
             f"{_n}: Hilbert-curve encoding has no closed-form SQL "
@@ -8271,6 +8401,7 @@ for _b in _ORNULL_BASES:
             if _n not in TEMPLATES and _n not in NAME_MAP:
                 TEMPLATES[_n] = _h
 TEMPLATES["timestamp_add"] = TEMPLATES["dateadd"]
+TEMPLATES["timestamp_sub"] = TEMPLATES["timestampsub"]
 # snake_case spellings (round-14 probe wave — the 3-arg CH form leaked;
 # the 2-arg form falls through to Spark's native date_add/date_sub)
 TEMPLATES["date_add"] = TEMPLATES["dateadd"]

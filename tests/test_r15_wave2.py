@@ -1,0 +1,258 @@
+"""Round-15 probe-wave closures + randomized value audits against
+independent pure-Python reconstructions (never the dialect's own
+expressions): bitmap function VALUES via set algebra, toStartOfInterval
+3-arg ORIGIN anchoring via integer arithmetic, the 2-argument
+dateAdd/timestampAdd INTERVAL signature, the to<T>OrDefault family, the
+toIPv4/6OrZero spellings, groupBitmapAnd/Or/Xor, and URLHash's
+trailing-symbol normalization (stability-only values).
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timedelta, timezone
+
+import pytest
+
+from mcp_clickhouse_spark.dialect import DialectError, translate
+
+
+def _val(spark, ch_sql):
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    out = translate(ch_sql)
+    register_lazy_udfs(spark, out)
+    row = spark.sql(out).collect()
+    return row[0][0] if row else None
+
+
+class TestDateAdd2Arg:
+    """dateAdd/dateSub/timestampAdd/timestampSub alternative signature
+    (date, INTERVAL n unit) — CH docs §date-time-functions#date_add.
+    Round 15: these emitted date_add(date, INTERVAL), a Spark type
+    error."""
+
+    def test_timestamp_add_month_clamps(self, spark):
+        v = _val(spark, "SELECT timestampAdd(toDate('2022-01-31'), INTERVAL 1 MONTH)")
+        assert str(v) == "2022-02-28"
+
+    def test_timestamp_sub_alias_forms(self, spark):
+        for fn in ("timestampSub", "timestamp_sub", "dateSub", "date_sub"):
+            v = _val(spark, f"SELECT {fn}(toDate('2022-03-31'), INTERVAL 1 MONTH)")
+            assert str(v) == "2022-02-28", fn
+
+    def test_date_add_year(self, spark):
+        v = _val(spark, "SELECT dateAdd(toDate('2022-01-01'), INTERVAL 2 YEAR)")
+        assert str(v) == "2024-01-01"
+
+    def test_three_arg_form_still_works(self, spark):
+        v = _val(spark, "SELECT dateAdd(MONTH, 1, toDate('2022-01-31'))")
+        assert str(v).startswith("2022-02-28")
+        v = _val(spark, "SELECT timestampAdd('day', 3, toDate('2022-01-01'))")
+        assert str(v).startswith("2022-01-04")
+
+
+class TestOrDefaultFamily:
+    """to<T>OrDefault(expr[, default]) — explicit default on conversion
+    failure, the type's default (CH zero) when omitted.  Round 15: the
+    whole family leaked UNRESOLVED_ROUTINE."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT toInt32OrDefault('x', 7)", 7),
+            ("SELECT toInt32OrDefault('5', 7)", 5),
+            ("SELECT toInt64OrDefault('nope')", 0),
+            ("SELECT toFloat64OrDefault('x', 1.5)", 1.5),
+            ("SELECT toUInt32OrDefault('x')", 0),
+        ],
+    )
+    def test_numeric(self, spark, q, expected):
+        assert _val(spark, q) == expected
+
+    def test_date_and_datetime(self, spark):
+        assert str(_val(spark, "SELECT toDateOrDefault('x', toDate('2020-01-02'))")) == "2020-01-02"
+        assert str(_val(spark, "SELECT toDateOrDefault('x')")) == "1970-01-01"
+        assert str(_val(spark, "SELECT toDateTimeOrDefault('x')")) == "1970-01-01 00:00:00"
+        assert str(_val(spark, "SELECT toDate32OrDefault('x')")) == "1970-01-01"
+
+    def test_uuid(self, spark):
+        u = "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+        assert _val(spark, f"SELECT toUUIDOrDefault('x', '{u}')") == u
+        assert _val(spark, "SELECT toUUIDOrDefault('x')") == "00000000-0000-0000-0000-000000000000"
+
+    def test_ipv4_ipv6_orzero_and_default(self, spark):
+        # this engine's IPv4 representation is the numeric form
+        assert _val(spark, "SELECT toIPv4OrZero('bad')") == 0
+        assert _val(spark, "SELECT toIPv4OrZero('1.2.3.4')") == 16909060
+        assert _val(spark, "SELECT toIPv6OrZero('bad')") == b"\x00" * 16
+        # round 15: a user-supplied default was silently DROPPED before
+        assert _val(spark, "SELECT toIPv4OrDefault('bad', toIPv4('8.8.8.8'))") == 134744072
+        assert _val(spark, "SELECT ipv4StringToNumOrDefault('bad', 42)") == 42
+
+
+class TestURLHash:
+    """URLHash(url): ONE trailing /, ? or # is trimmed before hashing
+    (CH docs §url-functions#urlhash) — STABILITY-ONLY values (the
+    upstream hash's constants aren't published; see dialect docstring)."""
+
+    def test_trailing_slash_equivalence(self, spark):
+        a = _val(spark, "SELECT URLHash('https://a.com/p/')")
+        b = _val(spark, "SELECT URLHash('https://a.com/p')")
+        c = _val(spark, "SELECT URLHash('https://a.com/q')")
+        assert a == b and a != c
+
+    def test_two_arg_guided(self):
+        with pytest.raises(DialectError, match="URLHash"):
+            translate("SELECT URLHash('https://a.com/p', 2)")
+
+
+class TestBitmapRandomized:
+    """Randomized bitmap VALUE audit vs Python set algebra (verdict r14
+    item 5: the bitmap family had name-level coverage but no randomized
+    value sweep)."""
+
+    def _mk(self, rng):
+        n = rng.randint(0, 8)
+        return sorted(rng.sample(range(0, 20), n))
+
+    def test_binary_ops(self, spark):
+        rng = random.Random(1515)
+        rows = []
+        for i in range(60):
+            a, b = self._mk(rng), self._mk(rng)
+            rows.append((i, a, b))
+        spark.createDataFrame(
+            rows, "i int, a array<int>, b array<int>"
+        ).createOrReplaceTempView("t_bm")
+        q = translate("""
+            SELECT i,
+              arraySort(bitmapToArray(bitmapAnd(bitmapBuild(a), bitmapBuild(b)))) AS an,
+              arraySort(bitmapToArray(bitmapOr(bitmapBuild(a), bitmapBuild(b)))) AS orr,
+              arraySort(bitmapToArray(bitmapXor(bitmapBuild(a), bitmapBuild(b)))) AS xo,
+              arraySort(bitmapToArray(bitmapAndnot(bitmapBuild(a), bitmapBuild(b)))) AS anot,
+              bitmapCardinality(bitmapBuild(a)) AS card,
+              toInt64(bitmapContains(bitmapBuild(a), 5)) AS cont,
+              toInt64(bitmapHasAny(bitmapBuild(a), bitmapBuild(b))) AS hany,
+              toInt64(bitmapHasAll(bitmapBuild(a), bitmapBuild(b))) AS hall
+            FROM t_bm
+        """)
+        got = {r["i"]: r for r in spark.sql(q).collect()}
+        for i, a, b in rows:
+            sa, sb = set(a), set(b)
+            r = got[i]
+            assert sorted(r["an"]) == sorted(sa & sb), (a, b)
+            assert sorted(r["orr"]) == sorted(sa | sb)
+            assert sorted(r["xo"]) == sorted(sa ^ sb)
+            assert sorted(r["anot"]) == sorted(sa - sb)
+            assert r["card"] == len(sa)
+            assert r["cont"] == int(5 in sa)
+            assert r["hany"] == int(bool(sa & sb))
+            # CH: bitmapHasAll with an EMPTY second bitmap returns 1
+            assert r["hall"] == int(sb <= sa)
+
+    def test_subset_ops(self, spark):
+        rng = random.Random(2626)
+        rows = []
+        for i in range(40):
+            a = self._mk(rng)
+            lo = rng.randint(0, 15)
+            hi = lo + rng.randint(0, 10)
+            lim = rng.randint(0, 5)
+            off = rng.randint(0, 6)
+            rows.append((i, a, lo, hi, lim, off))
+        spark.createDataFrame(
+            rows, "i int, a array<int>, lo int, hi int, lim int, off int"
+        ).createOrReplaceTempView("t_bs")
+        q = translate("""
+            SELECT i,
+              arraySort(bitmapToArray(bitmapSubsetInRange(bitmapBuild(a), lo, hi))) AS rng,
+              arraySort(bitmapToArray(bitmapSubsetLimit(bitmapBuild(a), lo, lim))) AS sl,
+              arraySort(bitmapToArray(subBitmap(bitmapBuild(a), off, lim))) AS sb
+            FROM t_bs
+        """)
+        got = {r["i"]: r for r in spark.sql(q).collect()}
+        for i, a, lo, hi, lim, off in rows:
+            s = sorted(set(a))
+            r = got[i]
+            # subsetInRange: [lo, hi)
+            assert r["rng"] == [x for x in s if lo <= x < hi], (a, lo, hi)
+            # subsetLimit: smallest `lim` values >= lo
+            assert r["sl"] == [x for x in s if x >= lo][:lim], (a, lo, lim)
+            # subBitmap: `lim` values from 0-based position `off`
+            assert r["sb"] == s[off : off + lim], (a, off, lim)
+
+    def test_transform_and_minmax(self, spark):
+        rng = random.Random(3737)
+        rows = [(i, self._mk(rng)) for i in range(30)]
+        spark.createDataFrame(rows, "i int, a array<int>").createOrReplaceTempView("t_bt")
+        q = translate("""
+            SELECT i,
+              arraySort(bitmapToArray(
+                bitmapTransform(bitmapBuild(a), [3, 5, 7], [103, 105, 107]))) AS tr,
+              bitmapMin(bitmapBuild(a)) AS mn,
+              bitmapMax(bitmapBuild(a)) AS mx
+            FROM t_bt
+        """)
+        got = {r["i"]: r for r in spark.sql(q).collect()}
+        mapping = {3: 103, 5: 105, 7: 107}
+        for i, a in rows:
+            s = set(a)
+            r = got[i]
+            assert sorted(r["tr"]) == sorted({mapping.get(x, x) for x in s}), a
+            if s:
+                assert r["mn"] == min(s) and r["mx"] == max(s)
+
+    def test_group_bitmap_aggregates(self, spark):
+        rng = random.Random(4848)
+        rows = []
+        expect = {}
+        for g in range(8):
+            arrs = [self._mk(rng) or [0] for _ in range(rng.randint(1, 5))]
+            for a in arrs:
+                rows.append((g, a))
+            sets = [set(a) for a in arrs]
+            and_ = set.intersection(*sets)
+            or_ = set.union(*sets)
+            xor = set()
+            for s in sets:
+                xor ^= s
+            expect[g] = (len(and_), len(or_), len(xor))
+        spark.createDataFrame(rows, "g int, b array<int>").createOrReplaceTempView("t_gb")
+        q = translate("""
+            SELECT g, toInt64(groupBitmapAnd(b)) AS a,
+                   toInt64(groupBitmapOr(b)) AS o,
+                   toInt64(groupBitmapXor(b)) AS x
+            FROM t_gb GROUP BY g
+        """)
+        for r in spark.sql(q).collect():
+            assert (r["a"], r["o"], r["x"]) == expect[r["g"]], r["g"]
+
+
+class TestToStartOfIntervalOrigin:
+    """Randomized 3-arg ORIGIN audit: CH anchors buckets at origin —
+    result = origin + floor((ts - origin) / width) * width, including
+    timestamps BEFORE the origin (floor toward -inf)."""
+
+    def test_randomized_origin(self, spark):
+        rng = random.Random(5959)
+        widths = [(1, "SECOND"), (5, "SECOND"), (90, "SECOND"),
+                  (15, "MINUTE"), (1, "HOUR"), (7, "HOUR"), (1, "DAY"),
+                  (3, "DAY")]
+        base = datetime(2024, 1, 1, tzinfo=timezone.utc)
+        secs = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
+        for _ in range(25):
+            n, unit = rng.choice(widths)
+            w = n * secs[unit]
+            ts = base + timedelta(seconds=rng.randint(-10**7, 10**7))
+            org = base + timedelta(seconds=rng.randint(-10**6, 10**6))
+            expected = org + timedelta(
+                seconds=((ts - org).total_seconds() // w) * w
+            )
+            q = (
+                f"SELECT toStartOfInterval(toDateTime('{ts:%Y-%m-%d %H:%M:%S}'),"
+                f" INTERVAL {n} {unit},"
+                f" toDateTime('{org:%Y-%m-%d %H:%M:%S}'))"
+            )
+            got = _val(spark, q)
+            assert got == expected.replace(tzinfo=None), (q, got, expected)
