@@ -33,6 +33,25 @@ def test_scan_pushdown_and_pruning(spark, sf):
     assert "o_orderdate" not in read and "o_orderpriority" not in read
 
 
+def test_in_rewrite_keeps_parquet_pushdown(spark, sf):
+    """Round-15 design gate: the two-valued IN rewrite STRIPS literal
+    NULL elements instead of coalesce-wrapping precisely so the In +
+    IsNotNull filters still reach the parquet scan — a coalesce'd
+    predicate would silently lose data-source pushdown at 100 TB."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.session import read_table
+
+    read_table(spark, sf, "orders").createOrReplaceTempView("orders_inp")
+    df = spark.sql(translate(
+        "SELECT o_orderkey FROM orders_inp"
+        " WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', NULL)"
+    ))
+    plan = explain_formatted(df)
+    pushed = plan.split("PushedFilters")[1][:200]
+    assert "In(o_orderpriority" in pushed and "IsNotNull(o_orderpriority" in pushed
+    assert "1-URGENT" in pushed and "NULL" not in pushed.split("]")[0]
+
+
 def test_q1_pushdown_and_partial_agg(spark, sf):
     plan = plan_of(spark, sf, "q1_pricing_summary")
     assert "PushedFilters" in plan and "l_shipdate" in plan.split("PushedFilters")[1][:200]
