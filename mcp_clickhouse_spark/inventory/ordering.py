@@ -15,8 +15,11 @@ query, then 35 of the 50-query r10 pool):
 - the 14 queries deferred since round 9;
 - ``scalar_round15`` (new: bare IN/NOT IN operator two-valued NULL
   logic, divide()/bare-``/`` zero-denominator ±inf/nan contract,
-  intDiv/modulo negative-operand literal tables);
-- 35 of the 50 queries last driver-checked in round 10.
+  intDiv/modulo negative-operand literal tables) and
+  ``scalar_round15b`` (new: groupBitmapAnd/Or/Xor, the 2-arg dateAdd
+  INTERVAL signature, the OrDefault family, toIPv4OrZero,
+  multiSearchFirstIndexCaseInsensitive);
+- 34 of the 50 queries last driver-checked in round 10.
 
 Deferred to the round-16 lead (stay at r10 — oldest last-green ≥ r10
 holds at the r15 freeze; each deferral has a rotating twin or a
@@ -52,7 +55,11 @@ stronger per-round check exercising the same engine path):
 - ``agg_if_generic`` (the -If combinator path is fuzz-tested in
   tests/test_combinator_fuzz.py; ``agg_combinators_r9`` rotates),
 - ``pipe_pack_sequences`` (``pipe_chunk_documents`` was r14-green — the
-  same partitioned-window packing family).
+  same partitioned-window packing family),
+- ``scalar_geo`` (the geo closures carry docs-pinned exact-value pytest
+  in tests/test_strdist_geo.py and tests/test_r11_wave.py —
+  geohash round-trip, spherical-excess pins; ``scalar_string_distance``
+  rotates the adjacent pandas-UDF family).
 """
 
 from __future__ import annotations
@@ -76,8 +83,11 @@ PRIORITY: list[str] = [
     "subquery_scalar",
     "win_range_time_interval",
     "pipe_snapshot_diff",
-    # round-15 addition (IN-operator NULL logic, divide ±inf/nan, intDiv)
+    # round-15 additions (IN-operator NULL logic, divide ±inf/nan,
+    # intDiv; wave-2 closures: groupBitmap aggregates, 2-arg dateAdd,
+    # OrDefault family, multiSearch CI variants, toIPv4OrZero)
     "scalar_round15",
+    "scalar_round15b",
     # last driver-checked in round 10 (35 of the 50-query pool)
     "agg_cube",
     "agg_combinators_r9",
@@ -110,7 +120,6 @@ PRIORITY: list[str] = [
     "scalar_ip_functions",
     "agg_quantile_exact_variants",
     "scalar_string_distance",
-    "scalar_geo",
     "scalar_round10_wave2",
     "setop_except",
     "events_tumbling_window",

@@ -100,3 +100,82 @@ def scalar_round15(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R15_CH))
+
+
+# Round-15 wave-2 closures: groupBitmapAnd/Or/Xor (collect_list folds),
+# the 2-arg dateAdd INTERVAL signature, the OrDefault family,
+# toIPv4OrZero, multiSearchFirstIndexCaseInsensitive.  The DuckDB
+# reconstruction of the bitmap aggregates is INDEPENDENT of the fold:
+# unnest per-row element sets, count rows containing each element, then
+# AND = elements present in EVERY row, OR = distinct elements,
+# XOR = elements present in an ODD number of rows.
+_SQL_R15B_CH = """
+SELECT o_orderkey % 20 AS g,
+  toInt64(groupBitmapAnd(bitmapBuild(
+    [o_orderkey % 5, o_orderkey % 7, 3]))) AS gand,
+  toInt64(groupBitmapOr(bitmapBuild(
+    [o_orderkey % 5, o_orderkey % 7, 3]))) AS gor,
+  toInt64(groupBitmapXor(bitmapBuild(
+    [o_orderkey % 5, o_orderkey % 7, 3]))) AS gxor,
+  toString(toDate(min(dateAdd(o_orderdate, INTERVAL 1 MONTH)))) AS da2,
+  toInt64(sum(toInt32OrDefault(
+    if(o_orderkey % 2 = 0, '7', 'x'), 3))) AS iod,
+  toString(min(toDateOrDefault(
+    if(o_orderkey % 3 = 0, 'x', toString(o_orderdate))))) AS dod,
+  toInt64(sum(multiSearchFirstIndexCaseInsensitive(
+    o_orderpriority, ['urgent', 'high']))) AS msi,
+  toInt64(sum(toIPv4OrZero(
+    if(o_orderkey % 4 = 0, '1.2.3.4', 'bad')))) AS ipz
+FROM orders
+GROUP BY o_orderkey % 20
+"""
+
+_SQL_R15B_ORACLE = """
+WITH rows_ AS (
+  SELECT o_orderkey % 20 AS g, o_orderkey AS rid, o_orderdate,
+         o_orderkey % 2 AS m2, o_orderkey % 3 AS m3, o_orderkey % 4 AS m4,
+         o_orderpriority,
+         list_distinct([o_orderkey % 5, o_orderkey % 7, 3]) AS ba
+  FROM orders
+),
+grp AS (SELECT g, count(*) AS nrows FROM rows_ GROUP BY g),
+cnt AS (
+  SELECT g, e, count(*) AS ne
+  FROM (SELECT g, rid, unnest(ba) AS e FROM rows_)
+  GROUP BY g, e
+),
+bm AS (
+  SELECT cnt.g,
+    CAST(sum(CASE WHEN ne = nrows THEN 1 ELSE 0 END) AS BIGINT) AS gand,
+    CAST(count(*) AS BIGINT) AS gor,
+    CAST(sum(CASE WHEN ne % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS gxor
+  FROM cnt JOIN grp ON cnt.g = grp.g GROUP BY cnt.g
+),
+sc AS (
+  SELECT g,
+    CAST(CAST(min(o_orderdate + INTERVAL 1 MONTH) AS DATE) AS VARCHAR)
+      AS da2,
+    CAST(sum(CASE WHEN m2 = 0 THEN 7 ELSE 3 END) AS BIGINT) AS iod,
+    CAST(CAST(min(CASE WHEN m3 = 0 THEN DATE '1970-01-01'
+                       ELSE o_orderdate END) AS DATE) AS VARCHAR) AS dod,
+    CAST(sum(CASE WHEN o_orderpriority ILIKE '%urgent%' THEN 1
+                  WHEN o_orderpriority ILIKE '%high%' THEN 2
+                  ELSE 0 END) AS BIGINT) AS msi,
+    CAST(sum(CASE WHEN m4 = 0 THEN 16909060 ELSE 0 END) AS BIGINT) AS ipz
+  FROM rows_ GROUP BY g
+)
+SELECT CAST(bm.g AS BIGINT) AS g, gand, gor, gxor, da2, iod, dod, msi, ipz
+FROM bm JOIN sc ON bm.g = sc.g
+"""
+
+
+@query("scalar_round15b", oracle=_SQL_R15B_ORACLE, category="scalars")
+def scalar_round15b(spark, sf_dir):
+    """Round-15 wave-2 closures end-to-end (see the _SQL_R15B_CH comment
+    block): each closure is also value-pinned in
+    tests/test_r15_wave2.py; per-group modular arithmetic varies every
+    branch including single-row groups for the bitmap folds."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R15B_CH))
