@@ -155,11 +155,8 @@ NAME_MAP: dict[str, str] = {
     "subtractdays": "date_sub",
     "lastdayofmonth": "last_day",
     "tolastdayofmonth": "last_day",
-    # math
-    "ln": "ln",
-    "log": "ln",  # CH log() is natural log
-    "log2": "log2",
-    "log10": "log10",
+    # math (ln/log/log2/log10/log1p are TEMPLATES — CH returns -inf at
+    # the domain edge and nan below it where Spark returns NULL)
     "power": "power",
     "pow": "power",
     "intdiv": "div",  # handled as template (infix) — kept for discoverability
@@ -186,7 +183,9 @@ NAME_MAP: dict[str, str] = {
     # comparable VALUE (indexOf([1,NULL],NULL)=2, has([1,NULL],NULL)=1)
     # while array_position/array_contains NULL-propagate or reject a
     # NullType needle outright.
-    "arrayzip": "arrays_zip",
+    # arrayzip / arrayzipunaligned are TEMPLATES (round 15): CH throws
+    # on length mismatch where arrays_zip silently NULL-pads, and the
+    # result tuples must use the engine's _N field convention
     "arrayflatten": "flatten",
     # arrayelement lives in TEMPLATES (round 14): out-of-range → NULL
     "hasany": "arrays_overlap",
@@ -1208,6 +1207,79 @@ _INTERVALISH = re.compile(
 )
 
 
+def _array_zip_expr(a: list[str], strict: bool) -> str:
+    """CH arrayZip / arrayZipUnaligned (see the TEMPLATES comment).
+    Built as an index transform over ``_seq1`` so the tuple fields get
+    the engine's ``_N`` names; ``try_element_at`` supplies the NULL
+    padding for the unaligned variant."""
+    if not a:
+        raise DialectError("arrayZip takes at least one array")
+    fields = ", ".join(
+        f"'_{i + 1}', try_element_at({arr}, __zi)"
+        for i, arr in enumerate(a)
+    )
+    if strict:
+        first = a[0]
+        mism = " OR ".join(
+            f"size({first}) <> size({arr})" for arr in a[1:]
+        )
+        body = (
+            f"transform({_seq1(f'size({first})')},"
+            f" __zi -> named_struct({fields}))"
+        )
+        if not mism:
+            return body
+        return (
+            f"CASE WHEN {mism} THEN"
+            f" raise_error('arrayZip: arrays must have equal sizes"
+            f" (ClickHouse contract — use arrayZipUnaligned to NULL-pad)')"
+            f" ELSE {body} END"
+        )
+    longest = "greatest(" + ", ".join(f"size({arr})" for arr in a) + ")" \
+        if len(a) > 1 else f"size({a[0]})"
+    return f"transform({_seq1(longest)}, __zi -> named_struct({fields}))"
+
+
+def _wrap_int_cast(x: str, bits: int, signed: bool, spark_t: str) -> str:
+    """Modular-wrapping integer conversion (see the toInt8 TEMPLATES
+    comment).  The double-pmod shape avoids BIGINT overflow for inputs
+    near ±2^63: pmod first lands in [0, W), then the signed offset stays
+    under 3·2^62.  Non-integral inputs truncate toward zero through the
+    BIGINT cast first (CH: toInt8(8.8) = 8)."""
+    w = 1 << bits
+    v = f"CAST({x} AS BIGINT)"
+    if not signed:
+        return f"CAST(pmod({v}, {w}) AS {spark_t})"
+    h = w >> 1
+    return f"CAST((pmod({v}, {w}) + {h}) % {w} - {h} AS {spark_t})"
+
+
+def _two_valued_hof(fn: str, a: list[str]) -> str:
+    """CH arrayExists/arrayAll (see the TEMPLATES comment): NULL
+    predicate results count as false, NULL array inputs stay NULL."""
+    if len(a) <= 2:
+        arr, lam = a[1], a[0]
+        core = f"{fn}({arr}, {lam})"
+    else:
+        arr = _array_map_expr(a)
+        core = f"{fn}({arr}, __zb -> CAST(__zb AS BOOLEAN))"
+    return (
+        f"CASE WHEN ({arr}) IS NULL THEN NULL"
+        f" ELSE ifnull({core}, false) END"
+    )
+
+
+def _ln_edge_expr(fn: str, x: str, pivot: str) -> str:
+    """CH log-family domain edges: -inf AT the pivot, nan BELOW it,
+    the native function above (see the TEMPLATES comment at "ln")."""
+    lx = f"({x})"
+    return (
+        f"CASE WHEN {lx} = {pivot} THEN double('-Infinity')"
+        f" WHEN {lx} < {pivot} THEN double('NaN')"
+        f" ELSE {fn}({lx}) END"
+    )
+
+
 def _date_interval_2arg(x: str, y: str, op: str) -> str:
     """The 2-argument alternative signature of dateAdd / dateSub /
     timestampAdd / timestampSub: ``dateAdd(date, INTERVAL n unit)``
@@ -1752,9 +1824,12 @@ def _typed_avg_fold(arr: str) -> str:
     one divide, which Spark widens to DOUBLE) keeps BIGINT sums exact past
     2^53 where a DOUBLE accumulator would round each step."""
     nn = f"filter({arr}, x -> x IS NOT NULL)"
+    # Round 15: CH arrayAvg([]) = nan — the bare divide ANSI-crashed
+    # DIVIDE_BY_ZERO on an empty (or all-NULL) array
     return (
-        f"(CAST(aggregate({nn}, {_fold_zero(arr, nn)}, (acc, x) -> acc + x)"
-        f" AS DOUBLE) / cardinality({nn}))"
+        f"IF(cardinality({nn}) = 0, double('NaN'),"
+        f" (CAST(aggregate({nn}, {_fold_zero(arr, nn)}, (acc, x) -> acc + x)"
+        f" AS DOUBLE) / cardinality({nn})))"
     )
 
 
@@ -3391,14 +3466,26 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "notempty": lambda a: f"({_poly_len(a[0])} > 0)",
     "length": lambda a: _poly_len(a[0]),
     "tostring": lambda a: f"CAST({a[0]} AS STRING)",
-    "toint8": lambda a: f"CAST({a[0]} AS TINYINT)",
-    "toint16": lambda a: f"CAST({a[0]} AS SMALLINT)",
-    "toint32": lambda a: f"CAST({a[0]} AS INT)",
+    # Integer conversions WRAP on overflow like CH (round 15 — docs
+    # §type-conversion: out-of-range "is not considered an error", e.g.
+    # toInt8(128) = -128; the old plain CASTs ANSI-threw CAST_OVERFLOW
+    # for signed targets and silently KEPT out-of-range values for the
+    # widened unsigned targets: toUInt8(300) returned 300, not 44).
+    # toInt64 keeps the plain CAST — wrapping only matters for inputs
+    # past 2^63 (DECIMAL(20,0) uint64 columns), which throw loudly
+    # (faithful-or-error, documented); accurateCast keeps the throwing
+    # contract, which IS CH's accurateCast behavior.
+    "toint8": lambda a: _wrap_int_cast(a[0], 8, True, "TINYINT"),
+    "toint16": lambda a: _wrap_int_cast(a[0], 16, True, "SMALLINT"),
+    "toint32": lambda a: _wrap_int_cast(a[0], 32, True, "INT"),
     "toint64": lambda a: f"CAST({a[0]} AS BIGINT)",
-    "touint8": lambda a: f"CAST({a[0]} AS SMALLINT)",
-    "touint16": lambda a: f"CAST({a[0]} AS INT)",
-    "touint32": lambda a: f"CAST({a[0]} AS BIGINT)",
-    "touint64": lambda a: f"CAST({a[0]} AS DECIMAL(20,0))",
+    "touint8": lambda a: _wrap_int_cast(a[0], 8, False, "SMALLINT"),
+    "touint16": lambda a: _wrap_int_cast(a[0], 16, False, "INT"),
+    "touint32": lambda a: _wrap_int_cast(a[0], 32, False, "BIGINT"),
+    "touint64": lambda a: (
+        f"CAST(floor(pmod(CAST({a[0]} AS DECIMAL(38,18)),"
+        f" 18446744073709551616)) AS DECIMAL(20,0))"
+    ),
     "tofloat32": lambda a: f"CAST({a[0]} AS FLOAT)",
     "tofloat64": lambda a: f"CAST({a[0]} AS DOUBLE)",
     # the scale must be an integer LITERAL — DECIMAL(9, y) is not SQL
@@ -4085,6 +4172,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "minus": lambda a: f"(({a[0]}) - ({a[1]}))",
     "multiply": lambda a: f"(({a[0]}) * ({a[1]}))",
     "divide": lambda a: f"({_divide_expr(a[0], a[1])})",
+    # Round 15: CH's log family follows IEEE at the domain edge —
+    # ln(0) = -inf, ln(x<0) = nan (log1p pivots at -1) — where Spark's
+    # Log returns NULL for any non-positive input (same silent-wrong
+    # class as divide-by-zero).  NULL inputs still propagate (the ELSE
+    # branch sees them).
+    "ln": lambda a: _ln_edge_expr("ln", a[0], "0"),
+    "log": lambda a: _ln_edge_expr("ln", a[0], "0"),  # CH log ≡ ln
+    "log2": lambda a: _ln_edge_expr("log2", a[0], "0"),
+    "log10": lambda a: _ln_edge_expr("log10", a[0], "0"),
+    "log1p": lambda a: _ln_edge_expr("log1p", a[0], "-1"),
     "negate": lambda a: f"(-({a[0]}))",
     "exp2": lambda a: f"power(2, {a[0]})",
     "intexp2": lambda a: f"CAST(power(2, {a[0]}) AS BIGINT)",
@@ -4314,8 +4411,15 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # raw `IN` leaked into instr() (round 8)
     "position": lambda a: (
         # 3-arg CH form position(haystack, needle, start_pos): Spark's
-        # locate(substr, str, pos) — round 11, was a 3-arg instr crash
-        f"locate({a[1]}, {a[0]}, {a[2]})"
+        # locate(substr, str, pos) — round 11, was a 3-arg instr crash.
+        # Round 15: an EMPTY needle matches AT start_pos per the CH docs
+        # examples table (position('abc','',0..5) = 1,1,2,3,4,0) where
+        # locate('', h, p) always returns 1.
+        f"IF(({a[1]}) = '',"
+        f" CASE WHEN ({a[2]}) <= 1 THEN 1"
+        f" WHEN ({a[2]}) <= length({a[0]}) + 1 THEN CAST(({a[2]}) AS INT)"
+        f" ELSE 0 END,"
+        f" locate({a[1]}, {a[0]}, {a[2]}))"
         if len(a) == 3
         else (lambda sp: f"instr({sp[1].strip()}, {sp[0].strip()})"
               if sp else f"instr({', '.join(a)})")(
@@ -4328,8 +4432,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # slice REQUIRES a length (round 11 — the bare rename crashed on the
     # 2-arg form).  size(arr) is always >= the remaining length, and
     # Spark clamps — negative offsets work in both
+    # Round 15: a NEGATIVE length means "to the end, dropping |length|
+    # elements" in CH, while Spark's slice ANSI-throws — compute the
+    # equivalent non-negative count from the normalized start index.
     "arrayslice": lambda a: (
         f"slice({a[0]}, {a[1]}, size({a[0]}))" if len(a) == 2
+        else (
+            f"CASE WHEN ({a[2]}) >= 0 THEN slice({a[0]}, {a[1]}, {a[2]})"
+            f" ELSE slice({a[0]}, {a[1]}, greatest(size({a[0]})"
+            f" - (CASE WHEN ({a[1]}) > 0 THEN ({a[1]})"
+            f" ELSE size({a[0]}) + ({a[1]}) + 1 END) + 1 + ({a[2]}), 0))"
+            f" END"
+        ) if len(a) == 3
         else f"slice({', '.join(a)})"
     ),
     # CH trunc/truncate are NUMERIC (toward zero); Spark's trunc is
@@ -4588,14 +4702,19 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "format": _ch_format,
     "arraymap": _array_map_expr,
     "arrayfilter": _array_filter_expr,
-    "arrayexists": lambda a: (
-        f"exists({a[1]}, {a[0]})" if len(a) <= 2
-        else f"exists({_array_map_expr(a)}, __ze -> CAST(__ze AS BOOLEAN))"
-    ),
-    "arrayall": lambda a: (
-        f"forall({a[1]}, {a[0]})" if len(a) <= 2
-        else f"forall({_array_map_expr(a)}, __za -> CAST(__za AS BOOLEAN))"
-    ),
+    # Round 15: CH arrayExists/arrayAll return UInt8 0/1 — a NULL
+    # predicate result counts as FALSE, while Spark's exists/forall are
+    # three-valued (exists(x -> x > 1, [NULL, 1]) was NULL, CH says 0).
+    # A NULL ARRAY input still propagates NULL (Nullable(Array) in CH).
+    "arrayexists": lambda a: _two_valued_hof("exists", a),
+    "arrayall": lambda a: _two_valued_hof("forall", a),
+    # Round 15: CH arrayZip THROWS on length mismatch (arrays_zip
+    # silently NULL-padded — a silent wrong), and the result tuples
+    # follow the engine's _N struct convention so (arrayZip(..)[i]).1 /
+    # tupleElement work.  arrayZipUnaligned is CH's explicit NULL-pad
+    # variant (zips to the LONGEST length).
+    "arrayzip": lambda a: _array_zip_expr(a, strict=True),
+    "arrayzipunaligned": lambda a: _array_zip_expr(a, strict=False),
     "arraysum": lambda a: _typed_sum_fold(_fn_form(a)),
     "arrayavg": lambda a: _typed_avg_fold(_fn_form(a)),
     # functional forms of the min/max/product renames (TEMPLATES wins
@@ -4694,11 +4813,31 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             f"slice({arr}, 1, i), {_fold_zero(arr, arr)}, (s, x) -> s + x))"
         )
     )(_fn_form(a)),
-    # round 11: the 3-arg step form was dropping the step
+    # round 11: the 3-arg step form was dropping the step.
+    # Round 15: CH's range is EMPTY when the bounds don't advance in the
+    # step's direction (range(5, 1) = [], range(5, 5) = []), while
+    # Spark's sequence COUNTS DOWN (sequence(5, 0) = [5..0]) — the old
+    # mapping silently returned a descending array; and the
+    # exclusive-end adjustment must follow the step's sign (end-1 for
+    # ascending, end+1 for descending — range(10, 1, -3) is [10, 7, 4],
+    # not [10, 7, 4, 1]).  A literal step 0 with start < end returns []
+    # here where CH throws — documented micro-delta (sequence itself
+    # throws for the other shapes).
     "range": lambda a: (
-        f"sequence(0, ({a[0]}) - 1)" if len(a) == 1
-        else f"sequence({a[0]}, ({a[1]}) - 1)" if len(a) == 2
-        else f"sequence({a[0]}, ({a[1]}) - 1, {a[2]})"
+        f"IF(({a[0]}) <= 0, array(), sequence(0, ({a[0]}) - 1))"
+        if len(a) == 1
+        else (
+            f"IF(({a[1]}) <= ({a[0]}), array(),"
+            f" sequence({a[0]}, ({a[1]}) - 1))"
+        )
+        if len(a) == 2
+        else (
+            f"IF(({a[2]}) > 0,"
+            f" IF(({a[1]}) <= ({a[0]}), array(),"
+            f" sequence({a[0]}, ({a[1]}) - 1, {a[2]})),"
+            f" IF(({a[1]}) >= ({a[0]}), array(),"
+            f" sequence({a[0]}, ({a[1]}) + 1, {a[2]})))"
+        )
     ),
     "jsonextractraw": _json_extract_raw,
     # CH's typed JSONExtract* return the TYPE DEFAULT ('' / 0 / 0.0 /
@@ -7396,12 +7535,11 @@ NAME_MAP.update({
     "degrees": "degrees",
     "radians": "radians",
     "pi": "pi",
-    "log1p": "log1p",
     "positivemodulo": "pmod",
     "positive_modulo": "pmod",
     "pmod": "pmod",
     "mapconcat": "map_concat",
-    "arrayzipunaligned": "arrays_zip",  # arrays_zip NULL-pads natively
+    # (arrayzipunaligned is a TEMPLATE — see arrayzip)
     "uniqtheta": "approx_count_distinct",  # same estimate contract as uniq
     "chr": "char",
     "leftutf8": "left",      # Spark strings are character-based already

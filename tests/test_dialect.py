@@ -35,8 +35,10 @@ def test_translate_pure_strings():
     # names inside string literals are untouched
     assert translate("SELECT 'toYear(d)' AS s") == "SELECT 'toYear(d)' AS s"
     # nested calls translate inside-out
+    # round 15: unsigned conversions wrap modularly like CH
     assert translate("SELECT toString(toUInt32(x))") == (
-        "SELECT CAST(CAST(x AS BIGINT) AS STRING)"
+        "SELECT CAST(CAST(pmod(CAST(x AS BIGINT), 4294967296) AS BIGINT)"
+        " AS STRING)"
     )
     assert translate("SELECT CAST(x AS UInt64)") == "SELECT CAST(x AS DECIMAL(20,0))"
     assert translate("SELECT x::UInt32") == "SELECT x::BIGINT"

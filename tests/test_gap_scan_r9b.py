@@ -138,7 +138,7 @@ def test_wave2_guided_errors():
         ("SELECT stochasticLinearRegression(a, b) FROM t", "MLlib"),
         ("SELECT seriesPeriodDetectFFT(a) FROM t", "pandas UDF"),
         ("SELECT sumWithOverflow(x) FROM t", "overflow"),
-        ("SELECT groupBitmapAnd(x) FROM t", "bitmap"),
+        # groupBitmapAnd/Or/Xor were implemented in round 15
     ]:
         with pytest.raises(DialectError, match=frag):
             translate(sql)

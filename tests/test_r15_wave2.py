@@ -229,6 +229,148 @@ class TestBitmapRandomized:
             assert (r["a"], r["o"], r["x"]) == expect[r["g"]], r["g"]
 
 
+class TestRangeDirection:
+    """CH range() is EMPTY when the bounds don't advance in the step's
+    direction, and the exclusive end follows the step's SIGN (round-15
+    probe: range(5, 1) silently returned Spark's descending [5..0], and
+    range(10, 1, -3) included the excluded end)."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT range(5, 1)", []),
+            ("SELECT range(5, 5)", []),
+            ("SELECT range(0)", []),
+            ("SELECT range(5)", [0, 1, 2, 3, 4]),
+            ("SELECT range(1, 10, 3)", [1, 4, 7]),
+            ("SELECT range(10, 1, -3)", [10, 7, 4]),
+            ("SELECT range(10, 10, -3)", []),
+            ("SELECT range(1, 10, -1)", []),
+        ],
+    )
+    def test_vectors(self, spark, q, expected):
+        assert _val(spark, q) == expected
+
+
+class TestArraySliceNegativeLength:
+    """CH arraySlice(arr, offset, -n) slices to the end DROPPING the
+    last n elements; Spark's slice ANSI-threw INVALID_PARAMETER_VALUE."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT arraySlice([1,2,3,4,5], 2, -1)", [2, 3, 4]),
+            ("SELECT arraySlice([1,2,3,4,5], -3, -1)", [3, 4]),
+            ("SELECT arraySlice([1,2,3,4,5], 2, -10)", []),
+            ("SELECT arraySlice([1,2,3,4,5], 2, 2)", [2, 3]),
+            ("SELECT arraySlice([1,2,3,4,5], -3)", [3, 4, 5]),
+        ],
+    )
+    def test_vectors(self, spark, q, expected):
+        assert _val(spark, q) == expected
+
+
+class TestLogFamilyEdges:
+    """CH log family follows IEEE at the domain edge — ln(0) = -inf,
+    ln(x<0) = nan (log1p pivots at -1) — where Spark's Log returned
+    NULL (round-15 probe, same class as divide-by-zero)."""
+
+    @pytest.mark.parametrize("fn", ["log", "ln", "log2", "log10"])
+    def test_zero_is_neg_inf(self, spark, fn):
+        assert _val(spark, f"SELECT {fn}(0)") == float("-inf")
+
+    @pytest.mark.parametrize("fn", ["log", "ln", "log2", "log10"])
+    def test_negative_is_nan(self, spark, fn):
+        v = _val(spark, f"SELECT {fn}(-1)")
+        assert v != v
+
+    def test_log1p_pivot(self, spark):
+        assert _val(spark, "SELECT log1p(-1)") == float("-inf")
+        v = _val(spark, "SELECT log1p(-2)")
+        assert v != v
+        assert _val(spark, "SELECT log1p(0)") == 0.0
+
+    def test_values_and_null(self, spark):
+        assert _val(spark, "SELECT round(log2(8), 4)") == 3.0
+        assert _val(spark, "SELECT log(NULL)") is None
+
+
+class TestArrayEdgeBatch:
+    """Round-15 batch-B NULL/edge finds over the array family."""
+
+    def test_array_avg_empty_is_nan(self, spark):
+        # was an ANSI DIVIDE_BY_ZERO crash; CH: arrayAvg([]) = nan
+        v = _val(spark, "SELECT arrayAvg(emptyArrayInt32())")
+        assert v != v
+        assert _val(spark, "SELECT arrayAvg([1, 2, 6])") == 3.0
+
+    def test_array_exists_all_two_valued(self, spark):
+        # CH returns UInt8 0/1 — NULL predicate results count as false
+        assert _val(spark, "SELECT arrayExists(x -> x > 1, [NULL, 1])") is False
+        assert _val(spark, "SELECT arrayAll(x -> x > 0, [NULL, 1])") is False
+        assert _val(spark, "SELECT arrayAll(x -> x > 0, [1, 2])") is True
+        # a NULL ARRAY input still propagates
+        assert _val(
+            spark, "SELECT arrayExists(x -> x > 1, CAST(NULL AS ARRAY<INT>))"
+        ) is None
+
+    def test_array_zip_strict_and_unaligned(self, spark):
+        rows = _val(spark, "SELECT arrayZip([1,2], ['a','b'])")
+        assert [tuple(r) for r in rows] == [(1, "a"), (2, "b")]
+        # CH contract: length mismatch THROWS (arrays_zip NULL-padded)
+        with pytest.raises(Exception, match="equal sizes"):
+            _val(spark, "SELECT arrayZip([1,2], ['a'])")
+        rows = _val(spark, "SELECT arrayZipUnaligned([1,2], ['a'])")
+        assert [tuple(r) for r in rows] == [(1, "a"), (2, None)]
+        # _N tuple convention: positional access works on zip results
+        assert _val(spark, "SELECT (arrayZip([1,2], ['a','b'])[1]).2") == "a"
+
+    def test_position_empty_needle_with_pos(self, spark):
+        # CH docs examples table: position('abc','',0..5) = 1,1,2,3,4,0
+        for pos, exp in [(0, 1), (1, 1), (3, 3), (6, 6), (7, 0)]:
+            assert _val(spark, f"SELECT position('hello', '', {pos})") == exp
+
+    def test_count_equal_null_as_value(self, spark):
+        assert _val(spark, "SELECT countEqual([1, NULL, 1], NULL)") == 1
+        assert _val(spark, "SELECT countEqual([1, NULL, 1], 1)") == 2
+
+
+class TestIntCastWrapping:
+    """CH integer conversions WRAP on overflow (docs §type-conversion:
+    out-of-range "is not considered an error"; toInt8(128) = -128) —
+    the old plain CASTs ANSI-threw for signed targets and silently KEPT
+    out-of-range values for widened unsigned ones (toUInt8(300) → 300).
+    accurateCast keeps throwing, which is CH's accurateCast contract."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT toInt8(200)", -56),
+            ("SELECT toInt8(128)", -128),
+            ("SELECT toInt8(-129)", 127),
+            ("SELECT toInt8(127)", 127),
+            ("SELECT toInt8(8.8)", 8),
+            ("SELECT toInt8(-8.8)", -8),
+            ("SELECT toUInt8(300)", 44),
+            ("SELECT toUInt16(-1)", 65535),
+            ("SELECT toInt16(40000)", -25536),
+            ("SELECT toInt32(5000000000)", 705032704),
+            ("SELECT toInt32(9223372036854775807)", -1),
+            ("SELECT toUInt32(-1)", 4294967295),
+            ("SELECT toUInt64(-1)", 18446744073709551615),
+            ("SELECT toUInt64(8.8)", 8),
+            ("SELECT toInt32('42')", 42),
+            ("SELECT toUInt8(true)", 1),
+        ],
+    )
+    def test_vectors(self, spark, q, expected):
+        assert int(_val(spark, q)) == expected
+
+    def test_accurate_cast_still_throws(self, spark):
+        with pytest.raises(Exception):
+            _val(spark, "SELECT accurateCast(200, 'Int8')")
+
+
 class TestToStartOfIntervalOrigin:
     """Randomized 3-arg ORIGIN audit: CH anchors buckets at origin —
     result = origin + floor((ts - origin) / width) * width, including
