@@ -18,8 +18,11 @@ query, then 35 of the 50-query r10 pool):
   intDiv/modulo negative-operand literal tables) and
   ``scalar_round15b`` (new: groupBitmapAnd/Or/Xor, the 2-arg dateAdd
   INTERVAL signature, the OrDefault family, toIPv4OrZero,
-  multiSearchFirstIndexCaseInsensitive);
-- 34 of the 50 queries last driver-checked in round 10.
+  multiSearchFirstIndexCaseInsensitive) and ``scalar_round15c``
+  (new: range direction/exclusivity, arraySlice negative length,
+  log-family domain edges, modular int-cast wrapping, two-valued
+  arrayExists/arrayAll, empty-needle position);
+- 33 of the 50 queries last driver-checked in round 10.
 
 Deferred to the round-16 lead (stay at r10 — oldest last-green ≥ r10
 holds at the r15 freeze; each deferral has a rotating twin or a
@@ -58,8 +61,12 @@ stronger per-round check exercising the same engine path):
   same partitioned-window packing family),
 - ``scalar_geo`` (the geo closures carry docs-pinned exact-value pytest
   in tests/test_strdist_geo.py and tests/test_r11_wave.py —
-  geohash round-trip, spherical-excess pins; ``scalar_string_distance``
-  rotates the adjacent pandas-UDF family).
+  geohash round-trip, spherical-excess pins),
+- ``scalar_string_distance`` (docs-pinned exact-value pytest for the
+  whole pandas-UDF distance family in tests/test_strdist_geo.py —
+  Damerau-Levenshtein vs an independent oracle, jaro/jaroWinkler
+  vectors; the adjacent ngram measures were r12-green in
+  scalar_round11).
 """
 
 from __future__ import annotations
@@ -88,6 +95,7 @@ PRIORITY: list[str] = [
     # OrDefault family, multiSearch CI variants, toIPv4OrZero)
     "scalar_round15",
     "scalar_round15b",
+    "scalar_round15c",
     # last driver-checked in round 10 (35 of the 50-query pool)
     "agg_cube",
     "agg_combinators_r9",
@@ -119,7 +127,6 @@ PRIORITY: list[str] = [
     "pipe_html_extract",
     "scalar_ip_functions",
     "agg_quantile_exact_variants",
-    "scalar_string_distance",
     "scalar_round10_wave2",
     "setop_except",
     "events_tumbling_window",

@@ -169,6 +169,81 @@ FROM bm JOIN sc ON bm.g = sc.g
 """
 
 
+# Round-15 wave-3 NULL/edge fixes: range() direction/exclusivity,
+# arraySlice negative length, log-family domain edges (flag columns —
+# no inf/nan survives the canonicalizer), modular int-cast wrapping,
+# two-valued arrayExists/arrayAll, position with an empty needle.
+# The oracle reconstructs every value from DuckDB primitives/CASE
+# tables (DuckDB list slicing and generate_series differ from both CH
+# and Spark, so nothing is shared with the translation).
+_SQL_R15C_CH = """
+SELECT o_orderkey,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    range(o_orderkey % 4, o_orderkey % 7)), ',') AS rng,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    range(o_orderkey % 3, 9, 3)), ',') AS rngs,
+  arrayStringConcat(arrayMap(x -> toString(x),
+    arraySlice([1, 2, 3, 4, 5], 2, -(o_orderkey % 3))), ',') AS slc,
+  toInt64(if(log(o_orderkey % 3) = divide(-1, 0), 1, 0)) AS lginf,
+  round(if(o_orderkey % 3 = 0, -1, log2(o_orderkey % 3 * 4)), 6) AS lg2,
+  toInt64(toInt8(o_orderkey % 300)) AS w8,
+  toInt64(toUInt8(o_orderkey % 300)) AS wu8,
+  toInt64(toInt16(o_orderkey * 7)) AS w16,
+  toInt64(arrayExists(x -> x > 2,
+    [if(o_orderkey % 2 = 0, NULL, 1), o_orderkey % 4])) AS aex,
+  toInt64(arrayAll(x -> x < 3,
+    [if(o_orderkey % 2 = 0, NULL, 1), o_orderkey % 4])) AS aal,
+  toInt64(position(o_orderpriority, '', o_orderkey % 12)) AS pse
+FROM orders
+"""
+
+_SQL_R15C_ORACLE = """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 7 <= o_orderkey % 4 THEN ''
+       ELSE array_to_string(generate_series(o_orderkey % 4,
+                                            o_orderkey % 7 - 1), ',')
+  END AS rng,
+  array_to_string(generate_series(o_orderkey % 3, 8, 3), ',') AS rngs,
+  CASE o_orderkey % 3
+       WHEN 0 THEN '' WHEN 1 THEN '2,3,4' WHEN 2 THEN '2,3'
+  END AS slc,
+  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS lginf,
+  round(CASE WHEN o_orderkey % 3 = 0 THEN -1
+             ELSE log2(o_orderkey % 3 * 4) END, 6) AS lg2,
+  CAST(CASE WHEN o_orderkey % 300 < 128 THEN o_orderkey % 300
+            WHEN o_orderkey % 300 < 256 THEN o_orderkey % 300 - 256
+            ELSE o_orderkey % 300 - 256 END AS BIGINT) AS w8,
+  CAST((o_orderkey % 300) % 256 AS BIGINT) AS wu8,
+  CAST(CASE WHEN (o_orderkey * 7) % 65536 >= 32768
+            THEN (o_orderkey * 7) % 65536 - 65536
+            ELSE (o_orderkey * 7) % 65536 END AS BIGINT) AS w16,
+  CAST(CASE WHEN o_orderkey % 4 > 2 THEN 1 ELSE 0 END AS BIGINT)
+    AS aex,
+  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0
+            WHEN o_orderkey % 4 < 3 THEN 1 ELSE 0 END AS BIGINT)
+    AS aal,
+  CAST(CASE WHEN o_orderkey % 12 <= 1 THEN 1
+            WHEN o_orderkey % 12 <= length(o_orderpriority) + 1
+            THEN o_orderkey % 12 ELSE 0 END AS BIGINT) AS pse
+FROM orders
+"""
+
+
+@query("scalar_round15c", oracle=_SQL_R15C_ORACLE, category="scalars")
+def scalar_round15c(spark, sf_dir):
+    """Round-15 wave-3 NULL/edge fixes end-to-end (see the _SQL_R15C_CH
+    comment block; pins in tests/test_r15_wave2.py).  o%4 vs o%7 range
+    bounds cross in both directions; the slice length spans 0/-1/-2;
+    log hits the zero pivot on a third of rows; the int-cast inputs
+    cross the Int8 boundary both ways; the HOF probes mix NULL
+    predicate rows with matching and non-matching values."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R15C_CH))
+
+
 @query("scalar_round15b", oracle=_SQL_R15B_ORACLE, category="scalars")
 def scalar_round15b(spark, sf_dir):
     """Round-15 wave-2 closures end-to-end (see the _SQL_R15B_CH comment
