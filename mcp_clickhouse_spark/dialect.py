@@ -26,10 +26,20 @@ Known semantic deltas (documented, not silently wrong):
     WRAPS (two's-complement); this engine runs under ANSI mode and throws
     ARITHMETIC_OVERFLOW instead (round-13 audit: error-over-silent-wrong —
     wrap explicitly with toInt64(... % ...) if wrapping is wanted);
-  - reverse(string): ClickHouse reverses BYTES (garbage on multi-byte
-    UTF-8 — its docs direct users to reverseUTF8); Spark's reverse is
-    code-point aware, so reverse == reverseUTF8 here (identical for
-    ASCII, strictly more useful otherwise);
+  - STRINGS ARE CODE-POINT NATIVE (round-15 policy note, previously
+    documented only for reverse): ClickHouse's String is a byte string,
+    so its un-suffixed length/position/substring/reverse/trim/pad
+    family measures and indexes BYTES and provides *UTF8 spellings for
+    code points; Spark strings are Unicode, so here the un-suffixed
+    family IS the UTF8 family (length == lengthUTF8, position ==
+    positionUTF8, …).  Identical on ASCII data; on multi-byte text the
+    whole family stays mutually CONSISTENT (substring(s, position(s,
+    n)) composes) but yields code-point counts/offsets, not byte ones.
+    Byte-true escape hatches: octet_length(x) for byte lengths,
+    CAST(… AS BINARY) + the reinterpret family for byte access;
+  - reverse(string): per the policy above, reverse == reverseUTF8 here
+    (ClickHouse reverses bytes — garbage on multi-byte UTF-8; its docs
+    direct users to reverseUTF8);
   - unhex() and base64Decode() return Spark BINARY, which marshals as
     bytes — ClickHouse's String is a byte string that DISPLAYS as text;
     wrap in CAST(… AS String) to see the decoded text (unbin already
@@ -195,7 +205,8 @@ NAME_MAP: dict[str, str] = {
     # map
     "mapkeys": "map_keys",
     "mapvalues": "map_values",
-    "mapcontains": "map_contains_key",
+    # (mapcontains is a TEMPLATE — a literal NULL key must fold to
+    # false, CH two-valued; map_contains_key rejects NULL at analysis)
     "mapfromarrays": "map_from_arrays",
     # null handling / conditionals
     "ifnull": "ifnull",
@@ -205,7 +216,7 @@ NAME_MAP: dict[str, str] = {
     "assumenotnull": "coalesce",
     # hash / misc
     "cityhash64": "xxhash64",
-    "siphash64": "xxhash64",
+    "siphash64": "xxhash64",  # stability-only (documented convention)
     "farmhash64": "xxhash64",
     "farmfingerprint64": "xxhash64",
     # CH's fast integer hashes: same stability-only convention (their
@@ -1238,6 +1249,14 @@ def _array_zip_expr(a: list[str], strict: bool) -> str:
     longest = "greatest(" + ", ".join(f"size({arr})" for arr in a) + ")" \
         if len(a) > 1 else f"size({a[0]})"
     return f"transform({_seq1(longest)}, __zi -> named_struct({fields}))"
+
+
+def _tuple_as_struct(t: str) -> str:
+    """A bare parenthesized tuple argument ``(a, b)`` → ``struct(a, b)``
+    (Spark has no bare tuple literals); already-struct expressions pass
+    through."""
+    s = t.strip()
+    return f"struct{s}" if s.startswith("(") else s
 
 
 def _wrap_int_cast(x: str, bits: int, signed: bool, spark_t: str) -> str:
@@ -4054,8 +4073,49 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "greatestcommondivisor": lambda a: _EUCLID_GCD.format(x=a[0], y=a[1]),
     "intexp10": lambda a: f"CAST(power(10, {a[0]}) AS BIGINT)",
     "exp10": lambda a: f"power(10, {a[0]})",
+    # toBFloat16 family (round 15 — leaked raw): float32 truncated to a
+    # 7-bit mantissa via the standard RNE bit conversion (numpy pandas
+    # UDF ch_bfloat16, functions/codecs.py)
+    "tobfloat16": lambda a: f"ch_bfloat16(CAST({a[0]} AS DOUBLE))",
+    "tobfloat16ornull": lambda a: (
+        f"ch_bfloat16(try_cast({a[0]} AS DOUBLE))"
+    ),
+    "tobfloat16orzero": lambda a: (
+        f"coalesce(ch_bfloat16(try_cast({a[0]} AS DOUBLE)),"
+        f" CAST(0 AS FLOAT))"
+    ),
+    # sipHash128 / the Keyed variants (round 15 — leaked raw): the
+    # sipHash64 convention here is STABILITY-ONLY via xxhash64; the
+    # 128-bit form concatenates two salted folds into BINARY(16), and
+    # the Keyed forms mix the (k0, k1) tuple into the hash input.
+    # Upstream-identical values would need a SipHash-2-4 port WITH CH's
+    # non-standard multi-argument chaining — not pinned.
+    "siphash128": lambda a: (
+        f"unhex(concat(lpad(hex(xxhash64({', '.join(a)})), 16, '0'),"
+        f" lpad(hex(xxhash64({', '.join(a)}, 88)), 16, '0')))"
+    ),
+    "siphash64keyed": lambda a: (
+        f"xxhash64({_tuple_as_struct(a[0])}, {', '.join(a[1:])})"
+    ),
+    "siphash128keyed": lambda a: (
+        f"unhex(concat("
+        f"lpad(hex(xxhash64({_tuple_as_struct(a[0])},"
+        f" {', '.join(a[1:])})), 16, '0'),"
+        f" lpad(hex(xxhash64({_tuple_as_struct(a[0])},"
+        f" {', '.join(a[1:])}, 88)), 16, '0')))"
+    ),
+    # byteSlice (round 15 — leaked raw): byte-level slicing contradicts
+    # the engine's code-point-native string policy (module docstring)
+    "byteslice": lambda a: (_ for _ in ()).throw(DialectError(
+        "byteSlice: byte-level slicing of Unicode strings is not "
+        "supported — use substring (code points) or "
+        "substring(CAST(s AS BINARY), …) for raw bytes"
+    )),
+    # CH docs: "If the number is less than one, it returns 0" — the
+    # bare log2 route gave NULL there (floor(-inf) overflow; round 15)
     "roundtoexp2": lambda a: (
-        f"CAST(power(2, floor(log2({a[0]}))) AS BIGINT)"
+        f"IF(({a[0]}) < 1, 0,"
+        f" CAST(power(2, floor(log2({a[0]}))) AS BIGINT))"
     ),
     # murmurHash3_64 has no value-faithful Spark builtin (Spark's hash() is
     # Murmur3_x86_32, xxhash64 a different algorithm).  Round-7 (r6 verdict
@@ -4850,6 +4910,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "jsonextractint": lambda a: (
         f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"
     ),
+    # JSONExtractUInt (round-15 probe: leaked): UInt64 with CH's
+    # modular wrap for negatives, type default 0 on miss
+    "jsonextractuint": lambda a: (
+        f"CAST(floor(pmod(coalesce(try_cast({_json_path(a)}"
+        f" AS DECIMAL(38,18)), 0), 18446744073709551616))"
+        f" AS DECIMAL(20,0))"
+    ),
     "jsonextractfloat": lambda a: (
         f"coalesce(try_cast({_json_path(a)} AS DOUBLE),"
         f" CAST(0.0 AS DOUBLE))"
@@ -4925,6 +4992,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
                    # (missing 'd'), so the real spelling leaked raw
                    "jsonshareddatapaths", "jsonshareddatapathswithtypes")
     },
+    # round-15 probe: leaked raw — AWS-specific JSON normalizer
+    "jsonremovedynamodbannotations": lambda a: (_ for _ in ()).throw(
+        DialectError(
+            "JSONRemoveDynamoDBAnnotations: DynamoDB-export unwrapping "
+            "is not implemented — transform the JSON with from_json + "
+            "an explicit schema instead"
+        )
+    ),
     "byteswap": lambda a: (_ for _ in ()).throw(DialectError(
         "byteSwap: the result depends on the integer's declared BYTE "
         "WIDTH, which is unknowable at translate time — reverse the "
@@ -5384,6 +5459,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         "kostikConsistentHash: like consistentHash, the ring algorithm "
         "has no published closed form to match — jumpConsistentHash is "
         "the value-faithful alternative here"
+    )),
+    # round-15 probe: the legacy alias leaked raw
+    "yandexconsistenthash": lambda a: (_ for _ in ()).throw(DialectError(
+        "yandexConsistentHash (alias of kostikConsistentHash): the ring "
+        "algorithm has no published closed form to match — "
+        "jumpConsistentHash is the value-faithful alternative here"
     )),
     # round-10 gap scan, wave 2
     "toisoyear": lambda a: (
@@ -6121,6 +6202,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),
+    # WithOverflow variant keeps CH's INPUT-width accumulator (wraps);
+    # this engine sums in BIGINT and ANSI-throws at 2^63 instead —
+    # error-over-silent-wrong, same stance as arrayCumSum (round 15)
+    "summapwithoverflow": lambda a: _map_agg_expr(a, "sum"),
     # the generic -Map combinator over more bases (round 10)
     "avgmap": lambda a: _map_agg_expr(a, "avg"),
     "countmap": lambda a: _map_agg_expr(a, "count"),
@@ -7298,6 +7383,21 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
         "expression — use mcp_clickhouse_spark.operators."
         "weighted_quantile (exact, single-shuffle)"
     )),
+    # round-15 probe: the remaining weighted-quantile spellings leaked
+    # raw UNRESOLVED_ROUTINE instead of the guided pointer
+    **{
+        _t: (lambda _n: (lambda p, a: (_ for _ in ()).throw(DialectError(
+            f"{_n}: weighted quantiles are not one Spark expression — "
+            "use mcp_clickhouse_spark.operators.weighted_quantile "
+            "(exact, single-shuffle)"
+        ))))(_t)
+        for _t in ("quantiletdigestweighted", "quantilestdigestweighted",
+                   "quantilestimingweighted",
+                   "quantileexactweightedinterpolated",
+                   "quantilesexactweightedinterpolated",
+                   "quantilesinterpolatedweighted",
+                   "quantilesexactweighted")
+    },
     "quantileexactweighted": lambda p, a: (_ for _ in ()).throw(DialectError(
         "quantileExactWeighted: weighted quantiles are not one Spark "
         "expression — use mcp_clickhouse_spark.operators."
@@ -7398,6 +7498,9 @@ PARAMETRIC: dict[str, Callable[[list[str], list[str]], str]] = {
     # round 8: delimiter-parametric groupConcat and key-filtered sumMap
     "groupconcat": lambda p, a: f"concat_ws({p[0]}, collect_list({a[0]}))",
     "summapfiltered": lambda p, a: _map_agg_expr(a, "sum", keys_filter=p[0]),
+    "summapfilteredwithoverflow": lambda p, a: (
+        _map_agg_expr(a, "sum", keys_filter=p[0])  # see sumMapWithOverflow
+    ),
     **{
         _t: (lambda _n: (lambda p, a: (_ for _ in ()).throw(DialectError(
             f"{_n}: a ClickHouse WINDOW-frame decay aggregate — use "
@@ -7456,9 +7559,12 @@ def _map_pred_expr(a: list[str], mode: str) -> str:
             f"IF(cardinality(map_filter({a[1]},"
             f" {params} -> {body})) > 0, 1, 0)"
         )
+    # NOT coalesce(..): a NULL predicate result must count as a FAILING
+    # entry (CH two-valued — round 15: mapAll((k,v) -> v > 1,
+    # map('a', NULL)) returned 1 because map_filter drops NULL lambdas)
     return (
         f"IF(cardinality(map_filter({a[1]},"
-        f" {params} -> NOT ({body}))) = 0, 1, 0)"
+        f" {params} -> NOT coalesce({body}, false))) = 0, 1, 0)"
     )
 
 
@@ -7676,6 +7782,10 @@ TEMPLATES.update({
     # map predicates: Spark's map_filter takes CH's (k, v) lambda natively
     "mapexists": lambda a: _map_pred_expr(a, "mapExists"),
     "mapall": lambda a: _map_pred_expr(a, "mapAll"),
+    "mapcontains": lambda a: (
+        "false" if a[1].strip().lower() == "null"
+        else f"map_contains_key({a[0]}, {a[1]})"
+    ),
     "mapextractkeylike": lambda a: (
         f"map_filter({a[0]}, (__mk, __mv) -> __mk LIKE {a[1]})"
     ),
@@ -8033,7 +8143,8 @@ TEMPLATES.update({
             "explicit ORDER BY"
         ))))(_t)
         for _t in ("blocknumber", "rownumberinblock",
-                   "rownumberinallblocks", "blocksize")
+                   "rownumberinallblocks", "blocksize",
+                   "blockserializedsize")
     },
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
@@ -8205,7 +8316,14 @@ TEMPLATES.update({
                    "currentprofiles", "enabledroles", "defaultroles",
                    "errorcodetoname", "structuretoprotobufschema",
                    "structuretojsonstring",
-                   "structuretocapnprotoschema", "fqdn")
+                   "structuretocapnprotoschema", "fqdn",
+                   # round-15 probe wave: leaked raw
+                   "defaultprofiles", "enabledprofiles", "getsubcolumn",
+                   "gettypeserializationstreams", "globalvariable",
+                   "initialquerystarttime", "lowcardinalityindices",
+                   "lowcardinalitykeys", "partitionid", "shardnum",
+                   "shardcount", "estimatecompressionratio",
+                   "icebergtruncate")
     },
     # chained -ArrayIf combinators (round 9): condition per ROW, aggregate
     # over the kept rows' array elements — the composition CH builds

@@ -142,6 +142,27 @@ def ensure_registered(spark) -> None:
 
     spark.udf.register("ch_crc64", _crc64)
 
+    @pandas_udf("float")
+    def ch_bfloat16(x: pd.Series) -> pd.Series:
+        # toBFloat16 (round 15): float32 with the mantissa cut to 7 bits
+        # via round-to-nearest-even on the raw bits — the standard
+        # fp32→bf16 conversion (add 0x7FFF plus the round bit, then
+        # truncate), matching hardware/static_cast<BFloat16> semantics.
+        import numpy as np
+
+        f32 = x.to_numpy(dtype="float64").astype(np.float32)
+        bits = f32.view(np.uint32)
+        rounded = (bits + 0x7FFF + ((bits >> 16) & 1)) & 0xFFFFFFFF
+        out = ((rounded >> 16) << 16).astype(np.uint32).view(np.float32)
+        # NaN payloads must stay NaN (the rounding add can carry into
+        # the exponent of a NaN/inf only for NaN payload bits)
+        out = np.where(np.isnan(f32), np.float32("nan"), out)
+        res = pd.Series(out.astype("float64"))
+        res[x.isna()] = None
+        return res
+
+    spark.udf.register("ch_bfloat16", ch_bfloat16)
+
 
 _CRC64_POLY = 0xC96C5795D7870F42  # reflected ECMA-182
 _CRC64_TAB: list[int] = []

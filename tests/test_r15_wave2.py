@@ -371,6 +371,94 @@ class TestIntCastWrapping:
             _val(spark, "SELECT accurateCast(200, 'Int8')")
 
 
+class TestMapAndRoundEdges:
+    """Round-15 batch-D finds: roundToExp2 below 1 (CH docs: "If the
+    number is less than one, it returns 0" — floor(log2) gave NULL),
+    mapAll's NULL predicate leak (map_filter drops NULL lambdas, so
+    all-NULL maps passed as 1; CH two-valued says 0), and
+    mapContains(m, NULL) folding to false instead of an analysis
+    error.  roundAge/roundDuration/roundDown probed CORRECT (roundAge
+    (32) = 25 per CH's 0/17/18/25/35/45/55 buckets)."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT roundToExp2(0)", 0),
+            ("SELECT roundToExp2(0.5)", 0),
+            ("SELECT roundToExp2(-4)", 0),
+            ("SELECT roundToExp2(100)", 64),
+            ("SELECT roundToExp2(1)", 1),
+            ("SELECT roundAge(32)", 25),
+            ("SELECT roundDuration(45)", 30),
+            ("SELECT roundDown(0, [1, 3, 7])", 1),
+            ("SELECT mapAll((k, v) -> v > 1, map('a', NULL))", 0),
+            ("SELECT mapAll((k, v) -> v > 0, map('a', 1))", 1),
+            ("SELECT mapExists((k, v) -> v > 1, map('a', NULL))", 0),
+            ("SELECT mapContains(map('a', 1), NULL)", False),
+            ("SELECT mapContains(map('a', 1), 'a')", True),
+        ],
+    )
+    def test_vectors(self, spark, q, expected):
+        assert _val(spark, q) == expected
+
+
+class TestWave5Closures:
+    """Round-15 batch E/F probe closures: toBFloat16 (RNE bit
+    conversion, checked against an independent Python bit-twiddle),
+    JSONExtractUInt's UInt64 wrap, sipHash128/Keyed (stability-only,
+    BINARY(16)), and the guided walls for byteSlice / the weighted
+    quantile spellings / yandexConsistentHash."""
+
+    def test_bfloat16_vectors(self, spark):
+        import struct as st
+
+        def bf16(x):
+            b = st.unpack("<I", st.pack("<f", x))[0]
+            r = (b + 0x7FFF + ((b >> 16) & 1)) & 0xFFFFFFFF
+            return st.unpack("<f", st.pack("<I", (r >> 16) << 16))[0]
+
+        for v in [1.0, 3.14159, 1000003.0, -2.71828, 0.0, 65504.0]:
+            assert _val(spark, f"SELECT toBFloat16({v!r})") == bf16(v), v
+        assert _val(spark, "SELECT toBFloat16OrNull('x')") is None
+        assert _val(spark, "SELECT toBFloat16OrZero('x')") == 0.0
+
+    def test_json_extract_uint_wraps(self, spark):
+        assert int(_val(spark, "SELECT JSONExtractUInt('{\"a\": -5}', 'a')")) \
+            == 18446744073709551611
+        assert int(_val(spark, "SELECT JSONExtractUInt('{\"a\": 7}', 'a')")) == 7
+        assert int(_val(spark, "SELECT JSONExtractUInt('{\"a\": 7}', 'b')")) == 0
+
+    def test_siphash_stability_shapes(self, spark):
+        h = _val(spark, "SELECT sipHash128('abc')")
+        assert isinstance(h, (bytes, bytearray)) and len(h) == 16
+        assert h == _val(spark, "SELECT sipHash128('abc')")
+        assert h != _val(spark, "SELECT sipHash128('abd')")
+        a = _val(spark, "SELECT sipHash64Keyed((1, 2), 'abc')")
+        b = _val(spark, "SELECT sipHash64Keyed((1, 3), 'abc')")
+        assert a != b
+        assert len(_val(spark, "SELECT sipHash128Keyed((1, 2), 'abc')")) == 16
+
+    def test_guided_walls(self):
+        for q, frag in [
+            ("SELECT byteSlice(s, 1, 2) FROM t", "byte-level"),
+            ("SELECT quantileTDigestWeighted(0.5)(x, w) FROM t", "weighted"),
+            ("SELECT yandexConsistentHash(1, 2)", "kostikConsistentHash"),
+            ("SELECT lowCardinalityKeys(x) FROM t", ""),
+            ("SELECT JSONRemoveDynamoDBAnnotations(x) FROM t", "DynamoDB"),
+        ]:
+            with pytest.raises(DialectError, match=frag):
+                translate(q)
+
+    def test_summap_overflow_aliases(self, spark):
+        spark.createDataFrame(
+            [([1, 2], [10, 20]), ([1], [5])], "k array<int>, v array<int>"
+        ).createOrReplaceTempView("t_smo")
+        row = spark.sql(translate(
+            "SELECT sumMapWithOverflow(k, v) AS m FROM t_smo"
+        )).collect()[0]["m"]
+        assert list(row["_1"]) == [1, 2] and list(row["_2"]) == [15, 20]
+
+
 class TestToStartOfIntervalOrigin:
     """Randomized 3-arg ORIGIN audit: CH anchors buckets at origin —
     result = origin + floor((ts - origin) / width) * width, including
