@@ -11043,9 +11043,29 @@ def _rewrite_table_clauses(sql: str) -> str:
             sql = sql[: m.start()] + "WHERE" + sql[m.end() :]
         d0 = {i for i, _ in _depth0_spans(sql)}
 
-    m = d0_search(r"(?i)\bSAMPLE\s+(\d+(?:\.\d+)?)\b(?!\s*OFFSET)")
+    # SAMPLE k/n fraction spelling (round 15 — previously half-matched:
+    # `SAMPLE 1/10` rewrote the `1` alone and the division pre-pass then
+    # mangled the leftovers); OFFSET has no Spark TABLESAMPLE equivalent
+    # (it selects a deterministic SEGMENT of the sampling key space for
+    # disjoint multi-reader sampling) — faithful-or-error.
+    m = d0_search(
+        r"(?i)\bSAMPLE\s+(\d+(?:\.\d+)?)(?:\s*/\s*(\d+))?"
+        r"(\s+OFFSET\s+\d+(?:\.\d+)?(?:\s*/\s*\d+)?)?"
+    )
     if m:
+        if m.group(3):
+            raise DialectError(
+                "SAMPLE … OFFSET selects a deterministic segment of the "
+                "sampling-key space (for disjoint readers) — no "
+                "TABLESAMPLE equivalent; use the hash-threshold sampler "
+                "(pipeline.sampling) for reproducible disjoint splits"
+            )
         val = float(m.group(1))
+        if m.group(2):
+            den = float(m.group(2))
+            if den <= 0 or val > den:
+                raise DialectError("SAMPLE k/n needs 0 <= k <= n, n > 0")
+            val = val / den
         if 0 < val < 1:
             repl = f"TABLESAMPLE ({val * 100:g} PERCENT)"
         else:
@@ -11373,7 +11393,7 @@ _IN_SOFT_BOUNDARY = frozenset({
     "partition", "rows", "range", "groups", "preceding", "following",
     "unbounded", "current", "row", "desc", "asc", "nulls", "first", "last",
     "filter", "escape", "lateral", "values", "format", "sample", "ties",
-    "fetch", "only", "array",
+    "fetch", "only", "array", "tablesample", "percent",
 })
 
 # A literal IN-list element whose NULL-ness is knowable at translate time:

@@ -326,7 +326,9 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
     """
     readers = {"file": file, "url": url, "s3": s3, "hdfs": hdfs}
     pat = _re.compile(
-        r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers|clickhouse|remoteSecure|remote)\s*\("
+        r"(?is)\b(FROM|JOIN)\s+(file|url|s3|hdfs|sqlite|numbers|clickhouse"
+        r"|remoteSecure|remote|values|view|cluster|clusterAllReplicas"
+        r"|merge)\s*\("
     )
     from mcp_clickhouse_spark.dialect import _find_balanced, _split_args
 
@@ -373,6 +375,23 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
             return a
 
         args = [_lit(a) for a in raw_args]
+        # Inline rewrites first (no view needed) — round 15:
+        # view(SELECT …) is just a subquery, and cluster()/
+        # clusterAllReplicas() collapse to the table reference (this
+        # engine IS the whole cluster — Spark owns distribution).
+        if fname == "view":
+            inner = out[open_paren + 1 : end - 1]
+            out = out[: m.start(2)] + "(" + inner + ")" + out[end:]
+            continue
+        if fname in ("cluster", "clusterallreplicas"):
+            if len(args) < 2:
+                raise ValueError(
+                    f"{fname}() needs (cluster, database.table) or "
+                    "(cluster, database, table)"
+                )
+            ref = args[1] if len(args) == 2 else f"{args[1]}.{args[2]}"
+            out = out[: m.start(2)] + ref + out[end:]
+            continue
         view = "_tf_" + hashlib.md5(
             f"{fname}:{':'.join(args)}".encode()
         ).hexdigest()[:12]
@@ -391,6 +410,61 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
                 fn = {"clickhouse": clickhouse, "remote": remote,
                       "remotesecure": remote_secure}[fname]
                 df = fn(spark, *args)
+            elif fname == "values":
+                # CH values('c1 T1, c2 T2', row, row, …) — literal
+                # table.  Rows keep their raw SQL text (tuples pass
+                # through; bare scalars get wrapped); types come from
+                # the structure via the dialect's TYPE_MAP.
+                from mcp_clickhouse_spark.dialect import TYPE_MAP
+
+                cols, casts = [], []
+                for spec in args[0].split(","):
+                    parts = spec.strip().split(None, 1)
+                    name = parts[0].strip("`\"")
+                    cols.append(name)
+                    spark_t = (
+                        TYPE_MAP.get(parts[1].strip().lower())
+                        if len(parts) > 1 else None
+                    )
+                    casts.append(
+                        f"CAST({name} AS {spark_t}) AS {name}"
+                        if spark_t else name
+                    )
+                rows = [
+                    r if r.lstrip().startswith("(") else f"({r})"
+                    for r in raw_args[1:]
+                ]
+                if not rows:
+                    raise ValueError("values() needs at least one row")
+                df = spark.sql(
+                    f"SELECT {', '.join(casts)} FROM VALUES"
+                    f" {', '.join(rows)} AS __v({', '.join(cols)})"
+                )
+            elif fname == "merge":
+                # CH merge([db, ] 'tables_regexp') — union of every
+                # table whose name matches, aligned BY NAME (missing
+                # columns NULL-filled), the closest Spark analog of
+                # CH's Merge engine semantics.
+                if len(args) == 1:
+                    db, rx = spark.catalog.currentDatabase(), args[0]
+                else:
+                    db, rx = args[0], args[1]
+                pat_t = _re.compile(rx)
+                matches = sorted(
+                    (t.name, t.isTemporary)
+                    for t in spark.catalog.listTables(db)
+                    if pat_t.search(t.name)
+                )
+                if not matches:
+                    raise ValueError(
+                        f"merge(): no tables in {db!r} match {rx!r}"
+                    )
+                df = None
+                for n, is_tmp in matches:
+                    part = spark.table(n if is_tmp else f"{db}.{n}")
+                    df = part if df is None else df.unionByName(
+                        part, allowMissingColumns=True
+                    )
             else:
                 df = readers[fname](spark, args[0], *(args[1:2] or [None]))
             df.createOrReplaceTempView(view)

@@ -556,3 +556,54 @@ def test_system_tables_bind(spark, sf_dir):
     # a literal mentioning system.tables is data, not a table reference
     lit = run_select_query(spark, "SELECT 'see system.tables docs' AS s")
     assert lit["rows"] == [["see system.tables docs"]]
+
+
+def test_values_view_cluster_merge_table_functions(spark):
+    """Round-15 binder closures: CH values()/view()/cluster()/merge()
+    table functions in FROM position (previously leaked to Spark as
+    UNRESOLVED_ROUTINE)."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.sources.table_functions import (
+        bind_sql_table_functions,
+    )
+
+    def run(q):
+        return spark.sql(translate(bind_sql_table_functions(spark, q)))
+
+    # values('structure', rows…): typed literal table (UInt8 widens via
+    # TYPE_MAP so 250+250 does not overflow a TINYINT)
+    rows = run(
+        "SELECT * FROM values('x Int64, y String', (1, 'a'), (2, 'b'))"
+        " ORDER BY x"
+    ).collect()
+    assert [(r.x, r.y) for r in rows] == [(1, "a"), (2, "b")]
+    assert run(
+        "SELECT sum(x) AS s FROM values('x UInt8', 250, 250)"
+    ).collect()[0]["s"] == 500
+
+    # view(subquery) is an inline subquery
+    assert run("SELECT * FROM view(SELECT 41 + 1 AS v)").collect()[0][
+        "v"
+    ] == 42
+
+    # cluster()/clusterAllReplicas() collapse to the table reference
+    spark.createDataFrame([(7,)], "n int").createOrReplaceTempView("tf_clu")
+    assert run("SELECT * FROM cluster('main', 'tf_clu')").collect()[0][
+        "n"
+    ] == 7
+    assert run(
+        "SELECT n FROM clusterAllReplicas('main', tf_clu)"
+    ).collect()[0]["n"] == 7
+
+    # merge(regexp): union BY NAME with NULL-filled missing columns
+    spark.createDataFrame([(1,)], "a int").createOrReplaceTempView("tf_m1")
+    spark.createDataFrame(
+        [(2, "x")], "a int, b string"
+    ).createOrReplaceTempView("tf_m2")
+    got = run("SELECT * FROM merge('^tf_m') ORDER BY a").collect()
+    assert [(r.a, r.b) for r in got] == [(1, None), (2, "x")]
+
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="no tables"):
+        run("SELECT * FROM merge('^no_such_prefix')")
