@@ -21,8 +21,11 @@ query, then 35 of the 50-query r10 pool):
   multiSearchFirstIndexCaseInsensitive) and ``scalar_round15c``
   (new: range direction/exclusivity, arraySlice negative length,
   log-family domain edges, modular int-cast wrapping, two-valued
-  arrayExists/arrayAll, empty-needle position);
-- 33 of the 50 queries last driver-checked in round 10.
+  arrayExists/arrayAll, empty-needle position) and ``scalar_round15d``
+  (new: two-valued mapAll/mapExists, roundToExp2's below-one zero,
+  JSONExtractUInt wrap, toBFloat16, the values() table function
+  through the tool-layer binder);
+- 32 of the 50 queries last driver-checked in round 10.
 
 Deferred to the round-16 lead (stay at r10 — oldest last-green ≥ r10
 holds at the r15 freeze; each deferral has a rotating twin or a
@@ -66,7 +69,10 @@ stronger per-round check exercising the same engine path):
   whole pandas-UDF distance family in tests/test_strdist_geo.py —
   Damerau-Levenshtein vs an independent oracle, jaro/jaroWinkler
   vectors; the adjacent ngram measures were r12-green in
-  scalar_round11).
+  scalar_round11),
+- ``pipe_html_extract`` (``pipe_clean_corpus`` rotates in the r9-stale
+  lead and ``pipe_pii_scrub`` was r14-green — the same regexp-replace
+  normalization family over documents).
 """
 
 from __future__ import annotations
@@ -96,6 +102,7 @@ PRIORITY: list[str] = [
     "scalar_round15",
     "scalar_round15b",
     "scalar_round15c",
+    "scalar_round15d",
     # last driver-checked in round 10 (35 of the 50-query pool)
     "agg_cube",
     "agg_combinators_r9",
@@ -124,7 +131,6 @@ PRIORITY: list[str] = [
     "scalar_string_fns_r9",
     "agg_interval_stats",
     "scalar_gap_wave2",
-    "pipe_html_extract",
     "scalar_ip_functions",
     "agg_quantile_exact_variants",
     "scalar_round10_wave2",

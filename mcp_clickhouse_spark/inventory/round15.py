@@ -244,6 +244,63 @@ def scalar_round15c(spark, sf_dir):
     return spark.sql(translate(_SQL_R15C_CH))
 
 
+# Round-15 waves 4-6: two-valued mapAll/mapExists, roundToExp2's
+# below-one zero, JSONExtractUInt's UInt64 wrap (string-serialized —
+# the driver bans HUGEINT/DECIMAL outputs), toBFloat16 (exact on
+# ≤8-mantissa-bit integers, plus the 3.14159 → 3.140625 rounding pin),
+# and the values() TABLE FUNCTION bound through the tool-layer binder
+# in JOIN position.
+_SQL_R15D_CH = """
+SELECT o_orderkey,
+  toInt64(mapAll((k, v) -> v > 0,
+    map('a', if(o_orderkey % 3 = 0, NULL, 1), 'b', 1))) AS mal,
+  toInt64(mapExists((k, v) -> v > 1, map('a', o_orderkey % 4))) AS mex,
+  toInt64(roundToExp2(o_orderkey % 9)) AS rexp,
+  toString(JSONExtractUInt(
+    concat('{"a":', toString(2 - o_orderkey % 4), '}'), 'a')) AS jeu,
+  toBFloat16((o_orderkey % 128) * 2 + 1) AS bfe,
+  toString(toBFloat16(3.14159)) AS bfr,
+  v.tag AS tag
+FROM orders
+JOIN values('m Int64, tag String', (0, 'z'), (1, 'o'), (2, 't'), (3, 'h')) v
+  ON o_orderkey % 4 = v.m
+"""
+
+_SQL_R15D_ORACLE = """
+SELECT o_orderkey,
+  CAST(CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 1 END AS BIGINT) AS mal,
+  CAST(CASE WHEN o_orderkey % 4 > 1 THEN 1 ELSE 0 END AS BIGINT) AS mex,
+  CAST(CASE o_orderkey % 9 WHEN 0 THEN 0 WHEN 1 THEN 1 WHEN 2 THEN 2
+       WHEN 3 THEN 2 WHEN 4 THEN 4 WHEN 5 THEN 4 WHEN 6 THEN 4
+       WHEN 7 THEN 4 WHEN 8 THEN 8 END AS BIGINT) AS rexp,
+  CASE o_orderkey % 4 WHEN 0 THEN '2' WHEN 1 THEN '1' WHEN 2 THEN '0'
+       WHEN 3 THEN '18446744073709551615' END AS jeu,
+  CAST((o_orderkey % 128) * 2 + 1 AS FLOAT) AS bfe,
+  '3.140625' AS bfr,
+  CASE o_orderkey % 4 WHEN 0 THEN 'z' WHEN 1 THEN 'o' WHEN 2 THEN 't'
+       WHEN 3 THEN 'h' END AS tag
+FROM orders
+"""
+
+
+@query("scalar_round15d", oracle=_SQL_R15D_ORACLE, category="scalars")
+def scalar_round15d(spark, sf_dir):
+    """Round-15 waves 4-6 end-to-end (see the _SQL_R15D_CH comment
+    block; pins in tests/test_r15_wave2.py).  The values() JOIN runs
+    through the tool layer's bind_sql_table_functions — the same path
+    a delegated query takes."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+    from mcp_clickhouse_spark.sources.table_functions import (
+        bind_sql_table_functions,
+    )
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = translate(bind_sql_table_functions(spark, _SQL_R15D_CH))
+    register_lazy_udfs(spark, out)
+    return spark.sql(out)
+
+
 @query("scalar_round15b", oracle=_SQL_R15B_ORACLE, category="scalars")
 def scalar_round15b(spark, sf_dir):
     """Round-15 wave-2 closures end-to-end (see the _SQL_R15B_CH comment
