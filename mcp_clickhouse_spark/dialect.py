@@ -4096,6 +4096,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     ),
     "siphash64keyed": lambda a: (
         f"xxhash64({_tuple_as_struct(a[0])}, {', '.join(a[1:])})"
+        if len(a) >= 2
+        else (_ for _ in ()).throw(DialectError(
+            "sipHash64Keyed takes ((k0, k1), message…)"
+        ))
     ),
     "siphash128keyed": lambda a: (
         f"unhex(concat("
@@ -4103,6 +4107,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" {', '.join(a[1:])})), 16, '0'),"
         f" lpad(hex(xxhash64({_tuple_as_struct(a[0])},"
         f" {', '.join(a[1:])}, 88)), 16, '0')))"
+        if len(a) >= 2
+        else (_ for _ in ()).throw(DialectError(
+            "sipHash128Keyed takes ((k0, k1), message…)"
+        ))
     ),
     # byteSlice (round 15 — leaked raw): byte-level slicing contradicts
     # the engine's code-point-native string policy (module docstring)
@@ -11244,7 +11252,9 @@ def _rewrite_double_quoted_identifiers(sql: str) -> str:
     return "".join(out)
 
 
-_LOGICAL_FN_PAT = re.compile(r"(?i)(?<![A-Za-z0-9_.'\"$])(and|or|not)\s*\(")
+_LOGICAL_FN_PAT = re.compile(
+    r"(?i)(?<![A-Za-z0-9_.'\"$])(and|or|not|in)\s*\("
+)
 _EXPR_START_WORDS = frozenset({
     "select", "where", "when", "then", "else", "having", "on", "by",
     "and", "or", "not", "distinct",
@@ -11347,8 +11357,14 @@ def _rewrite_logical_fn_calls(sql: str) -> str:
                     j = k
                     while j >= 0 and (sql[j].isalnum() or sql[j] == "_"):
                         j -= 1
-                    if sql[j + 1 : k + 1].lower() not in _EXPR_START_WORDS:
+                    prev_word = sql[j + 1 : k + 1].lower()
+                    if prev_word not in _EXPR_START_WORDS:
                         continue  # `a AND (b)` — the operator spelling
+                    if m.group(1).lower() == "in" and prev_word == "not":
+                        # `x NOT IN (…)` — the operator, never in()
+                        # (a function call after a bare NOT stays
+                        # unmapped → loud UNRESOLVED, not silent)
+                        continue
                 elif c not in "(,[=<>+-*/%!":
                     continue  # e.g. `) AND (` — the operator spelling
             op = m.group(1).upper()
@@ -11357,7 +11373,17 @@ def _rewrite_logical_fn_calls(sql: str) -> str:
             args = _split_args(sql[open_paren + 1 : close - 1])
             if args and args[0].lstrip()[:7].lower().startswith("select"):
                 continue  # NOT (SELECT …) — a subquery, not a call
-            if op == "NOT":
+            if op == "IN":
+                # the bare in() FUNCTION spelling (round 15 — previously
+                # deliberately unmapped because the token collides with
+                # the `x IN (...)` operator; the expression-position
+                # gate above disambiguates exactly like and/or/not):
+                # two-valued via the same wrapper the notIn/nullIn
+                # spellings use
+                if len(args) != 2:
+                    continue
+                joined = _in_fn_expr(args, negate=False, null_safe=False)
+            elif op == "NOT":
                 # not(x) ≡ the NOT operator, but CH coerces ints and
                 # Spark 4's NOT requires BOOLEAN — CAST bridges both
                 if len(args) != 1:

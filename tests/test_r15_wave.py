@@ -102,6 +102,17 @@ class TestInOperatorTwoValued:
         out = translate("SELECT 'x IN (1, NULL)' AS s")
         assert "'x IN (1, NULL)'" in out
 
+    def test_bare_in_function_spelling(self, spark):
+        # round 15: in(x, set) FUNCTION spelling — previously
+        # deliberately unmapped (token collides with the operator); the
+        # expression-position gate disambiguates like and()/or()/not()
+        assert _val(spark, "SELECT in(2, [1, 2])") is True
+        assert _val(spark, "SELECT in(3, [1, NULL])") is False
+        assert _val(spark, "SELECT in(3, (1, 3))") is True
+        # operator positions stay untouched
+        out = translate("SELECT x FROM t WHERE x IN (1, 2)")
+        assert "IN (1, 2)" in out
+
     def test_pushdown_shape_kept_for_literal_lists(self):
         # literal lists keep the bare [NOT] IN so the In filter still
         # reaches the parquet scan (NULL elements are stripped instead
