@@ -150,7 +150,9 @@ NAME_MAP: dict[str, str] = {
     "todatetime": "to_timestamp",
     "todatetime64": "to_timestamp",
     "tounixtimestamp": "unix_timestamp",
-    "fromunixtimestamp": "from_unixtime",
+    # (fromunixtimestamp is a TEMPLATE — CH returns DateTime for the
+    # 1-arg form and takes the %-token format for the 2-arg form, while
+    # from_unixtime returns a STRING and parses Java patterns)
     "toyear": "year",
     "tomonth": "month",
     "todayofmonth": "dayofmonth",
@@ -3579,6 +3581,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         else _date_interval_2arg(a[0], a[1], "-")
     ),
     "formatdatetime": _format_datetime,
+    # fromUnixTimestamp (round 15 — the NAME_MAP rename silently fed
+    # CH's %-token format to from_unixtime's JAVA patterns, and the
+    # 1-arg form returned a STRING where CH returns DateTime)
+    "fromunixtimestamp": lambda a: (
+        f"timestamp_seconds({a[0]})" if len(a) == 1
+        else _format_datetime([f"timestamp_seconds({a[0]})", *a[1:]])
+    ),
     "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
     "age": lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
     "tostartofinterval": _to_start_of_interval,

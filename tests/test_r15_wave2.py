@@ -459,6 +459,27 @@ class TestWave5Closures:
         assert list(row["_1"]) == [1, 2] and list(row["_2"]) == [15, 20]
 
 
+class TestFromUnixTimestamp:
+    """fromUnixTimestamp (round 15): the NAME_MAP rename silently fed
+    CH's %-token format to from_unixtime's JAVA patterns ('%Y-%m-%d'
+    came back literally), and the 1-arg form returned a STRING where
+    CH returns DateTime."""
+
+    def test_one_arg_is_timestamp(self, spark):
+        v = _val(spark, "SELECT fromUnixTimestamp(1712345678)")
+        from datetime import datetime
+
+        assert v == datetime(2024, 4, 5, 19, 34, 38)
+
+    def test_two_arg_percent_tokens(self, spark):
+        assert _val(
+            spark, "SELECT fromUnixTimestamp(1712345678, '%Y-%m-%d')"
+        ) == "2024-04-05"
+        assert _val(
+            spark, "SELECT fromUnixTimestamp(1712345678, '%H:%i:%S')"
+        ) == "19:34:38"
+
+
 class TestToStartOfIntervalOrigin:
     """Randomized 3-arg ORIGIN audit: CH anchors buckets at origin —
     result = origin + floor((ts - origin) / width) * width, including
