@@ -822,7 +822,22 @@ def _to_datetime_tz(args: list[str], max_args: int) -> str:
     because the string branch re-casts through STRING.  toDateTime64's
     precision argument drops (Spark timestamps are µs)."""
     x = args[0]
-    base = f"to_timestamp({x})"
+    xs0 = x.strip()
+    # CH: a STRING containing only digits is parsed as a unix timestamp
+    # (docs §type-conversion#todatetime; round 15 —
+    # to_timestamp('1712345678') ANSI-threw).  Literal digit strings
+    # fold statically; non-literal strings get the runtime guard.
+    m_digits = re.match(r"^'(\d{9,10})'$", xs0)
+    if m_digits:
+        base = f"timestamp_seconds({m_digits.group(1)})"
+    elif re.match(r"^'", xs0) or re.match(r"^[+-]?\d+(\.\d+)?$", xs0):
+        base = f"to_timestamp({x})"  # other literal: static parse
+    else:
+        base = (
+            f"IF(CAST({x} AS STRING) RLIKE '^[0-9]{{9,10}}$',"
+            f" timestamp_seconds(CAST(CAST({x} AS STRING) AS BIGINT)),"
+            f" to_timestamp({x}))"
+        )
     if len(args) <= max_args:
         return base
     if len(args) != max_args + 1:
@@ -2271,9 +2286,22 @@ def _char_set(s: str) -> str:
     )
 
 
+# Unsigned targets widen here (UInt8 → SMALLINT, …), so the plain CAST
+# cannot enforce the UNSIGNED range — accurateCast must add it
+# explicitly (round 15: accurateCastOrNull(300, 'UInt8') returned 300).
+_UNSIGNED_RANGES = {
+    "uint8": (0, 255),
+    "uint16": (0, 65535),
+    "uint32": (0, 4294967295),
+    "uint64": (0, 18446744073709551615),
+}
+
+
 def _accurate_cast(a: list[str], or_null: bool) -> str:
     """CH accurateCast[OrNull](x, 'Type'): ANSI CAST already throws on
-    overflow (the 'accurate' contract); OrNull is TRY_CAST."""
+    overflow (the 'accurate' contract); OrNull is TRY_CAST; unsigned
+    targets get an explicit range guard (the widened Spark types would
+    otherwise accept out-of-range values silently)."""
     if len(a) != 2:
         raise DialectError("accurateCast takes (x, 'Type')")
     t = a[1].strip().strip("'\"").lower()
@@ -2285,7 +2313,23 @@ def _accurate_cast(a: list[str], or_null: bool) -> str:
             f"accurateCast: {a[1]} is not a mapped ClickHouse type name"
         )
     fn = "TRY_CAST" if or_null else "CAST"
-    return f"{fn}({a[0]} AS {spark_t})"
+    core = f"{fn}({a[0]} AS {spark_t})"
+    rng = _UNSIGNED_RANGES.get(t)
+    if rng is None:
+        return core
+    lo, hi = rng
+    # try_cast-based bound check: a non-numeric string input must fall
+    # through to NULL/raise, not ANSI-throw inside the guard itself
+    gx = f"try_cast({a[0]} AS DECIMAL(38,18))"
+    guard = f"{gx} >= {lo} AND {gx} <= {hi}"
+    if or_null:
+        return f"CASE WHEN {guard} THEN {core} END"
+    return (
+        f"CASE WHEN {guard} THEN {core}"
+        f" ELSE CAST(raise_error(concat('accurateCast: value ',"
+        f" CAST({a[0]} AS STRING), ' out of range for {t}'))"
+        f" AS {spark_t}) END"
+    )
 
 
 def _accurate_cast_or_default(a: list[str]) -> str:
@@ -2295,7 +2339,8 @@ def _accurate_cast_or_default(a: list[str]) -> str:
     if len(a) not in (2, 3):
         raise DialectError("accurateCastOrDefault takes (x, 'Type'[, default])")
     tried = _accurate_cast(a[:2], or_null=True)
-    spark_t = tried[tried.rindex(" AS ") + 4 : -1]
+    t = a[1].strip().strip("'\"").lower()
+    spark_t = TYPE_MAP.get(t, t)
     if len(a) == 3:
         return f"coalesce({tried}, CAST({a[2]} AS {spark_t}))"
     zeros = {"DATE": "DATE '1970-01-01'",

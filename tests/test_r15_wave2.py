@@ -480,6 +480,46 @@ class TestFromUnixTimestamp:
         ) == "19:34:38"
 
 
+class TestAccurateCastUnsignedAndDigitStrings:
+    """Round-15 wave 9: the widened unsigned Spark types hid
+    accurateCast's range check (accurateCastOrNull(300, 'UInt8')
+    returned 300 through the SMALLINT try_cast; CH says NULL), and
+    toDateTime of a digit STRING must parse as a unix timestamp
+    (CH docs §type-conversion — to_timestamp ANSI-threw)."""
+
+    @pytest.mark.parametrize(
+        "q,expected",
+        [
+            ("SELECT accurateCastOrNull(300, 'UInt8')", None),
+            ("SELECT accurateCastOrNull(200, 'UInt8')", 200),
+            ("SELECT accurateCastOrNull(-1, 'UInt64')", None),
+            ("SELECT accurateCastOrDefault(300, 'UInt8')", 0),
+            ("SELECT accurateCastOrDefault(300, 'UInt8', 7)", 7),
+            ("SELECT accurateCastOrNull(300, 'Int8')", None),
+        ],
+    )
+    def test_unsigned_range_guard(self, spark, q, expected):
+        assert _val(spark, q) == expected
+
+    def test_accurate_cast_raises_out_of_range(self, spark):
+        with pytest.raises(Exception, match="out of range"):
+            _val(spark, "SELECT accurateCast(300, 'UInt8')")
+
+    def test_todatetime_digit_strings(self, spark):
+        from datetime import datetime
+
+        exp = datetime(2024, 4, 5, 19, 34, 38)
+        assert _val(spark, "SELECT toDateTime('1712345678')") == exp
+        assert _val(spark, "SELECT toDateTime(1712345678)") == exp
+        assert _val(
+            spark, "SELECT toDateTime(x) FROM (SELECT '1712345678' AS x)"
+        ) == exp
+        assert _val(
+            spark,
+            "SELECT toDateTime(x) FROM (SELECT '2024-05-15 10:00:00' AS x)",
+        ) == datetime(2024, 5, 15, 10, 0)
+
+
 class TestToStartOfIntervalOrigin:
     """Randomized 3-arg ORIGIN audit: CH anchors buckets at origin —
     result = origin + floor((ts - origin) / width) * width, including
