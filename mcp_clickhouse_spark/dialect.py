@@ -287,6 +287,54 @@ TYPE_MAP: dict[str, str] = {
     "uuid": "STRING",
 }
 
+
+_DECIMAL_N_PRECISION = {
+    "decimal32": 9, "decimal64": 18, "decimal128": 38, "decimal256": 38,
+}
+
+
+def ch_type_to_spark(t: str) -> str | None:
+    """Best-effort ClickHouse → Spark SQL type-text conversion covering
+    the PARAMETERIZED shapes TYPE_MAP alone can't (round 16, advisor #3:
+    ``values('a Decimal(10,2), m Map(String, Int64)')`` needs them).
+    Handles Nullable/LowCardinality unwrap, Decimal(p,s) and
+    DecimalN(s), DateTime[64] with precision/zone args, FixedString(n),
+    Enum8/16 (→ STRING; this engine stores enums by name), and
+    recursive Array(T)/Map(K,V).  Returns None when unmapped so callers
+    can fall back (leave uncast) or raise their own guided error."""
+    t = _unwrap_type_wrappers(t)
+    base = TYPE_MAP.get(t.lower())
+    if base is not None:
+        return base
+    m = re.fullmatch(r"(?is)(\w+)\s*\((.*)\)", t.strip())
+    if not m:
+        return None
+    name = m.group(1).lower()
+    inner = m.group(2)
+    if name == "decimal":
+        ps = [p.strip() for p in inner.split(",")]
+        if len(ps) == 2 and all(p.isdigit() for p in ps):
+            return f"DECIMAL({ps[0]},{ps[1]})"
+        return None
+    if name in _DECIMAL_N_PRECISION and inner.strip().isdigit():
+        return f"DECIMAL({_DECIMAL_N_PRECISION[name]},{inner.strip()})"
+    if name in ("datetime", "datetime64"):
+        return "TIMESTAMP"
+    if name == "fixedstring":
+        return "STRING"
+    if name in ("enum8", "enum16", "enum"):
+        return "STRING"
+    if name == "array":
+        el = ch_type_to_spark(inner)
+        return f"ARRAY<{el}>" if el else None
+    if name == "map":
+        kv = _split_args(inner)
+        if len(kv) != 2:
+            return None
+        k, v = ch_type_to_spark(kv[0]), ch_type_to_spark(kv[1])
+        return f"MAP<{k}, {v}>" if k and v else None
+    return None
+
 # --- structural templates: name(args…) → arbitrary Spark SQL ----------------
 
 
@@ -7844,9 +7892,15 @@ TEMPLATES.update({
     # map predicates: Spark's map_filter takes CH's (k, v) lambda natively
     "mapexists": lambda a: _map_pred_expr(a, "mapExists"),
     "mapall": lambda a: _map_pred_expr(a, "mapAll"),
+    # Two-valued key contract (round 16, advisor #5): a runtime-NULL
+    # key must yield 0, not NULL (same CH rule as the mapAll fix); a
+    # NULL map keeps NULL via the outer CASE, mirroring _two_valued_hof.
     "mapcontains": lambda a: (
         "false" if a[1].strip().lower() == "null"
-        else f"map_contains_key({a[0]}, {a[1]})"
+        else (
+            f"CASE WHEN ({a[0]}) IS NULL THEN NULL"
+            f" ELSE coalesce(map_contains_key({a[0]}, {a[1]}), false) END"
+        )
     ),
     "mapextractkeylike": lambda a: (
         f"map_filter({a[0]}, (__mk, __mv) -> __mk LIKE {a[1]})"
@@ -7923,20 +7977,26 @@ TEMPLATES.update({
     "groupbitmapor": lambda a: (
         f"size(array_distinct(flatten(collect_list({a[0]}))))"
     ),
+    # Empty-input guard (round 16, advisor #4): over zero rows
+    # collect_list is an empty array and ANSI element_at(…, 1) throws
+    # INVALID_ARRAY_INDEX where CH returns cardinality 0 — the IF short-
+    # circuits the fold (conditional branches are lazy in codegen) and
+    # try_element_at keeps the seed throw-free; an untyped coalesce-to-
+    # array() seed would not analyze (element type unknowable here).
     "groupbitmapand": lambda a: (
-        f"size(aggregate("
+        f"IF(size(collect_list({a[0]})) = 0, 0, size(aggregate("
         f"slice(collect_list({a[0]}), 2,"
         f" greatest(size(collect_list({a[0]})) - 1, 0)),"
-        f" array_distinct(element_at(collect_list({a[0]}), 1)),"
-        f" (acc, x) -> array_intersect(acc, x)))"
+        f" array_distinct(try_element_at(collect_list({a[0]}), 1)),"
+        f" (acc, x) -> array_intersect(acc, x))))"
     ),
     "groupbitmapxor": lambda a: (
-        f"size(aggregate("
+        f"IF(size(collect_list({a[0]})) = 0, 0, size(aggregate("
         f"slice(collect_list({a[0]}), 2,"
         f" greatest(size(collect_list({a[0]})) - 1, 0)),"
-        f" array_distinct(element_at(collect_list({a[0]}), 1)),"
+        f" array_distinct(try_element_at(collect_list({a[0]}), 1)),"
         f" (acc, x) -> array_except(array_union(acc, x),"
-        f" array_intersect(acc, array_distinct(x)))))"
+        f" array_intersect(acc, array_distinct(x))))))"
     ),
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(
@@ -8903,6 +8963,48 @@ def _skip_quoted(s: str, i: int) -> int:
             return j + 1
         j += 1
     return n
+
+
+def _strip_comments(sql: str) -> str:
+    """Strip SQL comments before any text rewriting (round 16, advisor
+    #1: ``_rewrite_division`` treated the ``/`` of a closing ``*/`` as a
+    division operator, corrupting any query with a block comment, and
+    ``_rewrite_in_operator`` could fire on ``IN (`` inside a comment).
+    Stripping once here makes every downstream scanner comment-safe.
+
+    ClickHouse comment forms (docs §syntax#comments): C-style
+    ``/* … */`` and line comments ``--``, ``#!``, ``#␣`` (hash must be
+    followed by ``!`` or whitespace — a bare ``#token`` is left alone).
+    Quoted spans are opaque; each comment is replaced by one space so
+    token boundaries survive (``a/*c*/b`` → ``a b``).  An unterminated
+    ``/*`` runs to end-of-string, matching the lexer contract."""
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in _QUOTE_CHARS:
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if ch == "/" and sql[i + 1 : i + 2] == "*":
+            j = sql.find("*/", i + 2)
+            out.append(" ")
+            i = n if j == -1 else j + 2
+            continue
+        if (ch == "-" and sql[i + 1 : i + 2] == "-") or (
+            ch == "#"
+            and i + 1 < n
+            and (sql[i + 1] == "!" or sql[i + 1].isspace())
+        ):
+            j = sql.find("\n", i)
+            out.append(" ")
+            i = n if j == -1 else j  # keep the newline itself
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def _find_balanced(sql: str, start: int) -> int:
@@ -11546,7 +11648,15 @@ def _rewrite_division(sql: str) -> str:
     a single multiplicative unit (``a / b * c`` keeps ``(a / b) * c``),
     so nonzero-denominator results are bit-identical to the old direct
     mapping.  ``%`` and ``*`` stay native (modulo by zero throwing IS
-    CH behavior, and ``*`` has no zero hazard)."""
+    CH behavior, and ``*`` has no zero hazard).
+
+    Round 16 (advisor #2/#5): numeric literals are consumed whole in the
+    main scan — previously the ``-`` of ``1e-3`` hit the term-reset
+    class, splitting the literal and emitting invalid SQL — and a
+    denominator that is a NONZERO numeric literal skips the rewrite
+    entirely: the CASE guard is dead code there, and leaving ``ts /
+    1000`` native keeps predicate pushdown available for division in
+    WHERE clauses."""
     i = 0
     n = len(sql)
     term = [0]
@@ -11554,6 +11664,12 @@ def _rewrite_division(sql: str) -> str:
         ch = sql[i]
         if ch in _QUOTE_CHARS:
             i = _skip_quoted(sql, i)
+            continue
+        if ch.isdigit() or (
+            ch == "." and i + 1 < n and sql[i + 1].isdigit()
+        ):
+            m = _DIV_NUM.match(sql, i)
+            i = m.end() if m else i + 1  # literal stays inside the term
             continue
         if ch in "([":
             term.append(i + 1)
@@ -11578,6 +11694,9 @@ def _rewrite_division(sql: str) -> str:
                 i += 1
                 continue
             right = sql[i + 1 : rhs].strip()
+            if _nonzero_num_literal(right):
+                i = rhs  # denominator can't be 0 — native `/` pushes down
+                continue
             repl = _divide_expr(operand, right)
             start = term[-1] + (len(raw) - len(raw.lstrip()))
             sql = sql[:start] + repl + sql[rhs:]
@@ -11617,6 +11736,27 @@ _DIV_UNIT_WORDS = frozenset({
 _DIV_NUM = re.compile(
     r"0[xX][0-9a-fA-F]+|\d+(\.\d*)?([eE][+-]?\d+)?|\.\d+([eE][+-]?\d+)?"
 )
+
+
+def _nonzero_num_literal(s: str) -> bool:
+    """True when ``s`` (a scanned division denominator, possibly carrying
+    unary signs) is a numeric literal whose value is provably nonzero —
+    the zero-denominator CASE guard is dead code for it, so the caller
+    keeps the native ``/`` (round 16: preserves parquet pushdown for
+    predicates like ``WHERE ts / 1000 > 5``)."""
+    body = s.lstrip("+- \t\n")
+    m = _DIV_NUM.match(body)
+    if not m or m.end() != len(body):
+        return False
+    try:
+        v = (
+            int(body, 16)
+            if body[:2].lower() == "0x"
+            else float(body)
+        )
+    except (ValueError, OverflowError):
+        return False
+    return v != 0
 
 
 def _scan_div_unit(sql: str, i: int) -> int | None:
@@ -11767,6 +11907,7 @@ def _rewrite_in_operator(sql: str) -> str:
 
 def translate(sql: str) -> str:
     """Translate a ClickHouse SELECT into Spark SQL (see module docstring)."""
+    sql = _strip_comments(sql)
     sql = _rewrite_explain_prefix(sql)
     sql = _rewrite_double_quoted_identifiers(sql)
     sql = _rewrite_star_modifiers(sql)

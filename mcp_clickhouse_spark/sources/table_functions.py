@@ -415,15 +415,18 @@ def bind_sql_table_functions(spark: SparkSession, sql: str) -> str:
                 # table.  Rows keep their raw SQL text (tuples pass
                 # through; bare scalars get wrapped); types come from
                 # the structure via the dialect's TYPE_MAP.
-                from mcp_clickhouse_spark.dialect import TYPE_MAP
+                from mcp_clickhouse_spark.dialect import ch_type_to_spark
 
                 cols, casts = [], []
-                for spec in args[0].split(","):
+                # depth-aware split (round 16, advisor #3): a bare
+                # str.split(',') mis-split parameterized types —
+                # 'a Decimal(10,2)' became two bogus column specs
+                for spec in _split_args(args[0]):
                     parts = spec.strip().split(None, 1)
                     name = parts[0].strip("`\"")
                     cols.append(name)
                     spark_t = (
-                        TYPE_MAP.get(parts[1].strip().lower())
+                        ch_type_to_spark(parts[1])
                         if len(parts) > 1 else None
                     )
                     casts.append(
