@@ -21,6 +21,7 @@ def load_all() -> None:
         round13,
         round14,
         round15,
+        round16,
         scalars,
         setops,
         timeseries,

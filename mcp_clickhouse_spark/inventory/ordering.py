@@ -2,140 +2,131 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 14: 213 registered (214 with round 15's ``scalar_round15``),
+after round 15: 217 registered (218 with round 16's ``scalar_round16``),
 zero value mismatches ever left unfixed, zero never-driver-checked
-registrations; going into round 15 the stale pool was 14 queries last
-green r9 + 50 last green r10 (r11 drained fully in earlier rotations).
+registrations; going into round 16 the stale pool was 18 queries last
+green r10 (the r15 deferrals) + 50 last green r12 (r11 and r13 pools
+drained in earlier rotations).
 
-Round 15 priority, summing to exactly 50 (r14 verdict next #4: lead
-with the 14 r9-stale deferrals — all 14 PASSED the r14 judge's
-independent plain-session check_parity run — then the new round-15
-query, then 35 of the 50-query r10 pool):
+Round 16 priority, summing to exactly 50:
 
-- the 14 queries deferred since round 9;
-- ``scalar_round15`` (new: bare IN/NOT IN operator two-valued NULL
-  logic, divide()/bare-``/`` zero-denominator ±inf/nan contract,
-  intDiv/modulo negative-operand literal tables) and
-  ``scalar_round15b`` (new: groupBitmapAnd/Or/Xor, the 2-arg dateAdd
-  INTERVAL signature, the OrDefault family, toIPv4OrZero,
-  multiSearchFirstIndexCaseInsensitive) and ``scalar_round15c``
-  (new: range direction/exclusivity, arraySlice negative length,
-  log-family domain edges, modular int-cast wrapping, two-valued
-  arrayExists/arrayAll, empty-needle position) and ``scalar_round15d``
-  (new: two-valued mapAll/mapExists, roundToExp2's below-one zero,
-  JSONExtractUInt wrap, toBFloat16, the values() table function
-  through the tool-layer binder);
-- 32 of the 50 queries last driver-checked in round 10.
+- the 18 queries deferred since round 10 (each spent r15 covered by a
+  rotating twin or a stronger per-round check — see the r15 docstring
+  in git history for the per-query rationale);
+- ``scalar_round16`` (new: advisor-r15 fixes — comment stripping,
+  scientific-notation division operands, the nonzero-literal-
+  denominator native path, mapContains runtime-NULL key,
+  groupBitmapAnd over zero rows, values() with parameterized
+  Decimal/Map column types);
+- 31 of the 50 queries last driver-checked in round 12.
 
-Deferred to the round-16 lead (stay at r10 — oldest last-green ≥ r10
-holds at the r15 freeze; each deferral has a rotating twin or a
-stronger per-round check exercising the same engine path):
+Deferred to the round-17 lead (stay at r12 — oldest last-green ≥ r10
+still holds this round via the 18-query lead; each deferral has a
+rotating twin or a stronger per-round check exercising the same engine
+path):
 
-- ``agg_rollup`` (benches every round; ``agg_cube`` rotates — the same
-  grouping-sets Expand node, and ``agg_grouping_sets`` was r13-green),
-- ``shim_limit_by`` (benches every round + the TakeOrdered plan drift
-  test in tests/test_plans.py),
-- ``pipe_dedup_exact`` (benches every round; ``pipe_dedup_incremental``
-  (r14) exercises the same hash-groupBy dedup core),
-- ``pipe_embed_topk`` (benches every round; ``pipe_embed_lsh_topk``
-  (r14) and ``pipe_embed_ivf_topk`` (r13) share the cosine-fold),
-- ``pipe_vocab_oov`` (benches every round; ``pipe_text_stats`` rotates
-  in round 15's lead — the same tokenizer expressions),
-- ``join_inner`` (``join_left`` and ``join_theta`` rotate — the same
-  equi-join path; ``join_semi`` was r14-green),
-- ``agg_count_distinct`` (benches every round as the distinct-agg
-  headline; ``agg_quantiles_exact`` (r14) shares the exact-agg path),
-- ``events_session_window`` (``events_tumbling_window`` rotates — the
-  same time-bucket expressions; sessionization is also pinned by the
-  streaming batch-vs-replay pytest suite),
-- ``win_running_sum`` (``win_range_frame`` was r14-green — the same
-  window-aggregate frame machinery over the identical events input),
-- ``scalar_string`` (``scalar_string_fns_r9`` rotates — the same
-  string-function family, larger surface),
-- ``setop_union_all`` (``setop_except`` rotates; ``setop_union_distinct``
-  and ``setop_union_by_name`` were r12-green — same Union node),
-- ``pipe_stratified_sample`` (``sample_fraction`` was r14-green — the
-  same hash-threshold sampler; ``pipe_source_mix`` rotates),
-- ``behav_funnel_strict`` (``behav_window_funnel`` was r14-green — the
-  same mid-fold funnel aggregate; ``behav_sequence_next_node`` rotates),
-- ``agg_if_generic`` (the -If combinator path is fuzz-tested in
-  tests/test_combinator_fuzz.py; ``agg_combinators_r9`` rotates),
-- ``pipe_pack_sequences`` (``pipe_chunk_documents`` was r14-green — the
-  same partitioned-window packing family),
-- ``scalar_geo`` (the geo closures carry docs-pinned exact-value pytest
-  in tests/test_strdist_geo.py and tests/test_r11_wave.py —
-  geohash round-trip, spherical-excess pins),
-- ``scalar_string_distance`` (docs-pinned exact-value pytest for the
-  whole pandas-UDF distance family in tests/test_strdist_geo.py —
-  Damerau-Levenshtein vs an independent oracle, jaro/jaroWinkler
-  vectors; the adjacent ngram measures were r12-green in
-  scalar_round11),
-- ``pipe_html_extract`` (``pipe_clean_corpus`` rotates in the r9-stale
-  lead and ``pipe_pii_scrub`` was r14-green — the same regexp-replace
-  normalization family over documents).
+- ``scan_projection`` (benches every round as the scan headline),
+- ``agg_global`` (``q1_pricing_summary`` benches every round and was
+  r15-green — the same global-aggregate path),
+- ``agg_any_first_last`` (``agg_collect`` rotates — the same
+  collect-fold machinery; any/anyLast carry exact-value pytest),
+- ``behav_cohort_retention`` (``behav_funnel_strict`` leads this
+  rotation; ``behav_retention`` was r14-green — same retention fold),
+- ``behav_sequence_match`` (``behav_funnel_strict`` leads;
+  ``behav_sequence_next_node`` was r15-green — same sequence-regex
+  aggregate family),
+- ``win_ranking`` (``win_running_sum`` leads this rotation;
+  ``win_range_frame`` was r14-green — same window machinery),
+- ``win_value_functions`` (``win_running_sum`` leads; ``win_lag_lead``
+  rotates — the same offset-function family),
+- ``setop_union_distinct`` / ``setop_union_by_name``
+  (``setop_union_all`` leads this rotation — the same Union node;
+  by-name alignment is also pinned by the merge() pytest),
+- ``setop_intersect`` (``setop_intersect_all`` rotates — the same
+  Intersect node; ``setop_except`` was r15-green),
+- ``events_sliding_window`` / ``events_latest_per_user`` /
+  ``events_props_analytics`` (``events_session_window`` leads this
+  rotation and ``events_tumbling_window`` was r15-green + benches —
+  the same time-bucket/window expressions),
+- ``sql_asof_join`` (``join_asof`` was r15-green — the same ASOF
+  rewrite and operator; both directions carry pytest),
+- ``sql_any_join`` (``join_any`` was r15-green — the same ANY-join
+  rewrite; ``sql_right_any_join`` was r14-green),
+- ``sql_qualify`` (the QUALIFY rewrite carries its own pytest suite
+  and ``win_running_sum``/``win_distribution`` exercise the same
+  window-filter plan shape),
+- ``pipe_dup_clusters_minhash`` (``pipe_minhash_lsh`` was r15-green
+  and benches every round — the same signature/banding core;
+  ``pipe_dedup_funnel`` was r15-green for the CC stage),
+- ``shim_distinct`` (``agg_count_distinct`` leads this rotation and
+  ``pipe_dedup_exact`` leads too — the same distinct machinery;
+  ``shim_distinct_on`` was r15-green),
+- ``filter_const_false`` (constant-fold pruning is plan-tested in
+  tests/test_plans.py; ``case_when`` rotates with the same
+  literal-predicate path).
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-15 driver rotation.
+# First 50 = the round-16 driver rotation.
 PRIORITY: list[str] = [
-    # deferred-since-r9 block (all 14 PASS the r14 judge's independent run)
-    "q1_pricing_summary",
-    "join_asof",
-    "join_star_revenue",
-    "pipe_minhash_lsh",
-    "pipe_text_stats",
-    "pipe_span_dedup",
-    "streaming_corpus_stats",
-    "pipe_dedup_funnel",
-    "agg_crosstab",
-    "scalar_lttb",
-    "pipe_clean_corpus",
-    "subquery_scalar",
-    "win_range_time_interval",
-    "pipe_snapshot_diff",
-    # round-15 additions (IN-operator NULL logic, divide ±inf/nan,
-    # intDiv; wave-2 closures: groupBitmap aggregates, 2-arg dateAdd,
-    # OrDefault family, multiSearch CI variants, toIPv4OrZero)
-    "scalar_round15",
-    "scalar_round15b",
-    "scalar_round15c",
-    "scalar_round15d",
-    # last driver-checked in round 10 (35 of the 50-query pool)
-    "agg_cube",
-    "agg_combinators_r9",
-    "behav_sequence_next_node",
-    "q18_large_volume_customers",
-    "q19_discounted_revenue",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "join_left",
-    "join_theta",
-    "join_any",
-    "pipe_bm25",
-    "pipe_decontaminate",
-    "pipe_c4_filters",
-    "pipe_source_mix",
-    "streaming_clean_corpus",
-    "pipe_embed_quantize",
-    "scalar_json",
-    "scalar_map",
-    "scalar_reinterpret",
-    "scalar_normalize_utf8",
-    "scalar_string_fns_r9",
-    "agg_interval_stats",
-    "scalar_gap_wave2",
-    "scalar_ip_functions",
-    "agg_quantile_exact_variants",
-    "scalar_round10_wave2",
-    "setop_except",
-    "events_tumbling_window",
+    # deferred-since-r10 block (18 queries)
+    "agg_rollup",
+    "shim_limit_by",
+    "pipe_dedup_exact",
+    "pipe_embed_topk",
+    "pipe_vocab_oov",
+    "join_inner",
+    "agg_count_distinct",
+    "events_session_window",
+    "win_running_sum",
+    "scalar_string",
+    "setop_union_all",
+    "pipe_stratified_sample",
+    "behav_funnel_strict",
+    "agg_if_generic",
+    "pipe_pack_sequences",
+    "scalar_geo",
+    "scalar_string_distance",
+    "pipe_html_extract",
+    # round-16 additions (advisor fixes: comments, sci-notation
+    # division, literal-denominator native path, mapContains NULL key,
+    # empty-group bitmap folds, parameterized values() types)
+    "scalar_round16",
+    # last driver-checked in round 12 (31 of the 50-query pool)
+    "scalar_round11b",
+    "agg_group_having",
+    "agg_quantile_approx",
+    "agg_approx_count_distinct",
+    "agg_stats",
+    "agg_histogram",
+    "case_when",
+    "order_limit",
+    "shim_with_fill",
+    "source_values_table",
+    "source_generate_random",
+    "select_columns_regex",
+    "filter_ilike_regex",
+    "agg_collect",
+    "agg_multi_quantiles",
+    "join_cross",
+    "array_join_explode",
+    "scalar_regex",
+    "scalar_datetime",
+    "scalar_math",
+    "scalar_cast",
+    "scalar_hash",
+    "scalar_date_series",
+    "agg_group_by_all",
+    "scalar_null_handling",
+    "setop_intersect_all",
+    "scalar_array",
+    "shim_with_fill_interpolate_expr",
+    "sql_array_join_multi",
+    "behav_retention_sql",
+    "scalar_round11",
 ]
 
 

@@ -1,0 +1,91 @@
+"""Round-16 oracle-checked closures (advisor ADVICE.md r15 fixes).
+
+``scalar_round16`` drives every advisor finding end-to-end through the
+delegated-SQL path, against an independent DuckDB reconstruction
+(literal CASE tables, never the translation's own expression — the
+round-13 tautology lesson):
+
+- COMMENTS inside the query text (CH docs §syntax#comments): a block
+  comment between SELECT and the first column, comments adjacent to a
+  division operator, a comment INSIDE an IN list, a line comment, and a
+  string literal containing ``/*`` that must survive verbatim —
+  previously ``_rewrite_division`` treated the ``/`` of ``*/`` as an
+  operator and corrupted the query;
+- scientific-notation literals as division operands (``1.5e+2 / x``
+  previously split on the exponent sign and emitted invalid SQL);
+- a NONZERO-literal denominator (``o_orderkey / 8``) that now keeps the
+  native ``/`` (pushdown-preserving fast path) — same values either way;
+- ``mapContains`` with a runtime-NULL key (two-valued: 0, not NULL);
+- ``groupBitmapAnd`` over ZERO rows via a scalar subquery (CH returns
+  cardinality 0; the old fold ANSI-threw INVALID_ARRAY_INDEX);
+- ``values()`` with PARAMETERIZED column types — ``Decimal(10,2)`` and
+  ``Map(String, Int64)`` — through the tool layer's
+  ``bind_sql_table_functions`` (previously comma-split into bogus
+  column specs).
+
+Reference contract basis: verbatim SQL delegation in
+/root/reference/mcp_clickhouse/mcp_server.py:425.
+"""
+
+from __future__ import annotations
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+_SQL_R16_CH = """
+SELECT /* projection starts after this block comment */ o_orderkey,
+  round(1.5e+2 / (o_orderkey % 9 + 1), 6) AS scidiv,
+  round(o_orderkey / 8, 6) AS litdiv,  -- nonzero literal: native `/`
+  round(6 /*six*/ / /*three*/ 3, 2) AS cdiv,
+  toInt64(mapContains(map('a', 1),
+    if(o_orderkey % 2 = 0, NULL, 'a'))) AS mck,
+  toInt64(o_orderkey % 7 NOT IN (2, /* NULL in list */ NULL)) AS nin,
+  (SELECT toInt64(groupBitmapAnd(bitmapBuild([1, 2])))
+     FROM orders WHERE 1 = 0) AS gbe,
+  '/* not a comment */' AS lit,
+  toFloat64(v.d) AS vd,
+  v.m['k'] AS vmk
+FROM orders
+JOIN values('g Int64, d Decimal(10,2), m Map(String, Int64)',
+  (0, 1.25, map('k', 7)), (1, 2.50, map('k', 9)),
+  (2, 3.75, map('k', 11)), (3, 5.00, map('k', 13))) v
+  ON o_orderkey % 4 = v.g
+"""
+
+# Independent reconstruction: comments resolve to plain arithmetic, the
+# two-valued columns come from literal CASE truth tables, the values()
+# join from a CASE over o_orderkey % 4, the empty-set bitmap aggregate
+# from CH's documented empty-set default (cardinality 0).
+_SQL_R16_ORACLE = """
+SELECT o_orderkey,
+  round(CAST(150 AS DOUBLE) / (o_orderkey % 9 + 1), 6) AS scidiv,
+  round(o_orderkey / CAST(8 AS DOUBLE), 6) AS litdiv,
+  CAST(2.0 AS DOUBLE) AS cdiv,
+  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0 ELSE 1 END AS BIGINT) AS mck,
+  CAST(CASE WHEN o_orderkey % 7 = 2 THEN 0 ELSE 1 END AS BIGINT) AS nin,
+  CAST(0 AS BIGINT) AS gbe,
+  '/* not a comment */' AS lit,
+  CAST(CASE o_orderkey % 4 WHEN 0 THEN 1.25 WHEN 1 THEN 2.50
+       WHEN 2 THEN 3.75 WHEN 3 THEN 5.00 END AS DOUBLE) AS vd,
+  CAST(CASE o_orderkey % 4 WHEN 0 THEN 7 WHEN 1 THEN 9
+       WHEN 2 THEN 11 WHEN 3 THEN 13 END AS BIGINT) AS vmk
+FROM orders
+"""
+
+
+@query("scalar_round16", oracle=_SQL_R16_ORACLE, category="scalars")
+def scalar_round16(spark, sf_dir):
+    """Round-16 advisor fixes end-to-end (module docstring lists the
+    contracts; each is also value-pinned in tests/test_r16_advice.py).
+    The values() JOIN runs through bind_sql_table_functions — the same
+    path a delegated query takes — and the query text itself carries
+    every comment form the comment stripper must survive."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+    from mcp_clickhouse_spark.sources.table_functions import (
+        bind_sql_table_functions,
+    )
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = translate(bind_sql_table_functions(spark, _SQL_R16_CH))
+    register_lazy_udfs(spark, out)
+    return spark.sql(out)
