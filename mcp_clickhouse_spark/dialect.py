@@ -129,8 +129,8 @@ NAME_MAP: dict[str, str] = {
     "base64encode": "base64",
     "base64decode": "unbase64",
     # round 9 gap scan: CH names whose Spark builtin is value-identical
-    "initcap": "initcap",
-    "initcaputf8": "initcap",
+    # (initcap/initcapUTF8 moved to TEMPLATES round 16: CH words are
+    # ALNUM RUNS, Spark's builtin splits on whitespace only)
     "repeat": "repeat",
     "space": "space",
     "soundex": "soundex",
@@ -198,7 +198,8 @@ NAME_MAP: dict[str, str] = {
     # arrayzip / arrayzipunaligned are TEMPLATES (round 15): CH throws
     # on length mismatch where arrays_zip silently NULL-pads, and the
     # result tuples must use the engine's _N field convention
-    "arrayflatten": "flatten",
+    # (arrayFlatten/flatten are TEMPLATES round 16: CH collapses every
+    # nesting level, Spark's flatten exactly one)
     # arrayelement lives in TEMPLATES (round 14): out-of-range → NULL
     "hasany": "arrays_overlap",
     "arraymin": "array_min",
@@ -226,7 +227,7 @@ NAME_MAP: dict[str, str] = {
     "inthash32": "xxhash64",
     "inthash64": "xxhash64",
     "md5": "md5",
-    "hex": "hex",
+    # (hex moved to TEMPLATES round 16: CH pads integers to even digits)
     "unhex": "unhex",
     "generateuuidv4": "uuid",
     # aggregates
@@ -2332,6 +2333,53 @@ def _char_set(s: str) -> str:
         f" __ch -> IF(__ch <= length({s}), substring({s}, __ch, 1), NULL)),"
         f" __cn -> __cn IS NOT NULL)"
     )
+
+
+def _left_right_expr(fn: str, a: list[str]) -> str:
+    """CH left/right with the NEGATIVE-length form (docs worked examples:
+    ``left('Hello', -3)`` = 'He', ``right('Hello', -3)`` = 'lo' — all
+    but |n| characters from the other end).  Spark's builtins return ''
+    for negative lengths (round-16 probe), so the negative branch is an
+    explicit substring."""
+    if len(a) != 2:
+        raise DialectError(f"{fn} takes (string, length)")
+    s, n = a[0], a[1]
+    if fn == "left":
+        neg = f"substring({s}, 1, greatest(length({s}) + ({n}), 0))"
+    else:
+        neg = f"substring({s}, 1 - ({n}))"
+    return f"CASE WHEN ({n}) < 0 THEN {neg} ELSE {fn}({s}, {n}) END"
+
+
+class OneLevelFlattenWarning(UserWarning):
+    """arrayFlatten over a non-literal argument flattens ONE level here."""
+
+
+def _flatten_expr(a: list[str]) -> str:
+    """CH arrayFlatten/flatten collapses EVERY nesting level (docs:
+    ``flatten([[[1]],[[2],[3]]])`` = [1,2,3]); Spark's flatten removes
+    exactly one.  For a textual array literal the depth is countable —
+    emit depth-1 nested flattens (the docs example translates exactly);
+    for column references the element depth is unknowable at translate
+    time, so emit one flatten (the dominant array-of-arrays case) and
+    warn — a deeper column needs explicitly nested arrayFlatten calls."""
+    arg = a[0].strip()
+    m = re.match(r"(?:array\s*\(\s*)+", arg, re.IGNORECASE)
+    depth = m.group(0).lower().count("array") if m else 0
+    if depth >= 2:
+        out = arg
+        for _ in range(depth - 1):
+            out = f"flatten({out})"
+        return out
+    if depth == 0:
+        warnings.warn(
+            "arrayFlatten: flattens ONE nesting level per call here "
+            "(ClickHouse collapses every level); nest "
+            "arrayFlatten(arrayFlatten(x)) for arrays deeper than 2",
+            OneLevelFlattenWarning,
+            stacklevel=2,
+        )
+    return f"flatten({arg})"
 
 
 # Unsigned targets widen here (UInt8 → SMALLINT, …), so the plain CAST
@@ -7758,8 +7806,8 @@ NAME_MAP.update({
     # (arrayzipunaligned is a TEMPLATE — see arrayzip)
     "uniqtheta": "approx_count_distinct",  # same estimate contract as uniq
     "chr": "char",
-    "leftutf8": "left",      # Spark strings are character-based already
-    "rightutf8": "right",
+    # (left/right/leftUTF8/rightUTF8 are TEMPLATES round 16: CH's
+    # negative-length form returns all-but-|n| from the other end)
     "substringindexutf8": "substring_index",
     "printf": "format_string",  # the %s/%d/%f common subset is identical
     # version() reports THIS engine's version (Spark), like CH reports its
@@ -7905,6 +7953,30 @@ TEMPLATES.update({
     "mapextractkeylike": lambda a: (
         f"map_filter({a[0]}, (__mk, __mv) -> __mk LIKE {a[1]})"
     ),
+    # --- round-16 probe-wave closures (string/array edges) ---
+    # CH left/right accept negative lengths (all-but-|n| from the other
+    # end); Spark's builtins return '' there
+    "left": lambda a: _left_right_expr("left", a),
+    "right": lambda a: _left_right_expr("right", a),
+    "leftutf8": lambda a: _left_right_expr("left", a),
+    "rightutf8": lambda a: _left_right_expr("right", a),
+    # CH hex pads integers to even digits (hex(1) = '01', hex(256) =
+    # '0100' — both digits of every byte); Spark hex is minimal-width.
+    # Same minimal-byte-width caveat as bin: a wider declared CH type
+    # would pad further (type width unknowable at translate time).
+    "hex": lambda a: (
+        f"IF(length(hex({a[0]})) % 2 = 1,"
+        f" concat('0', hex({a[0]})), hex({a[0]}))"
+    ),
+    # CH initcap words are ALNUM RUNS separated by any non-alphanumeric
+    # ('foo_bar' → 'Foo_Bar', 'hELLO-wORLD' → 'Hello-World'); Spark's
+    # builtin splits on whitespace only — Arrow pandas UDFs own the
+    # word-boundary + lowercase-rest contract
+    "initcap": lambda a: f"ch_initcap({a[0]})",
+    "initcaputf8": lambda a: f"ch_initcap_utf8({a[0]})",
+    # CH arrayFlatten collapses EVERY nesting level; see _flatten_expr
+    "arrayflatten": _flatten_expr,
+    "flatten": _flatten_expr,
     # array set algebra
     "arrayjaccardindex": lambda a: (
         f"try_divide(CAST(size(array_intersect({a[0]}, {a[1]}))"

@@ -112,6 +112,8 @@ LAZY_UDFS = {
     "ch_decode_html": _register_codecs,
     "ch_crc64": _register_codecs,
     "ch_bfloat16": _register_codecs,
+    "ch_initcap": _register_codecs,
+    "ch_initcap_utf8": _register_codecs,
     "ch_sqid_encode": _register_sqids_bech32,
     "ch_sqid_decode": _register_sqids_bech32,
     "ch_bech32_encode": _register_sqids_bech32,

@@ -163,6 +163,37 @@ def ensure_registered(spark) -> None:
 
     spark.udf.register("ch_bfloat16", ch_bfloat16)
 
+    # CH initcap (round 16): words are ALNUM RUNS separated by any
+    # non-alphanumeric character — first character uppercased, the rest
+    # of the word lowercased ('foo_bar' → 'Foo_Bar'); Spark's builtin
+    # splits on whitespace only.  The plain form is ASCII-word (CH's
+    # byte-oriented contract on ASCII input); the UTF8 form uses Unicode
+    # alphanumerics (\w minus underscore).
+    import re as _re
+
+    _ascii_word = _re.compile(r"[A-Za-z0-9]+")
+    _uni_word = _re.compile(r"[^\W_]+", _re.UNICODE)
+
+    def _initcap_of(pat):
+        def _conv(m):
+            w = m.group(0)
+            return w[0].upper() + w[1:].lower()
+
+        def _fn(s: pd.Series) -> pd.Series:
+            return pd.Series(
+                [None if v is None else pat.sub(_conv, str(v)) for v in s],
+                dtype=object,
+            )
+
+        return _fn
+
+    spark.udf.register(
+        "ch_initcap", pandas_udf("string")(_initcap_of(_ascii_word))
+    )
+    spark.udf.register(
+        "ch_initcap_utf8", pandas_udf("string")(_initcap_of(_uni_word))
+    )
+
 
 _CRC64_POLY = 0xC96C5795D7870F42  # reflected ECMA-182
 _CRC64_TAB: list[int] = []

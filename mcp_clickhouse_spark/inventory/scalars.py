@@ -800,9 +800,12 @@ def scalar_string_fns_r9(spark, sf_dir):
     per-word transform — DuckDB 1.0 has no initcap; widthBucket via
     explicit floor arithmetic)."""
     from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
 
     t(spark, sf_dir, "part").createOrReplaceTempView("part")
-    return spark.sql(translate(_SQL_STRING_FNS_R9_CH))
+    out = translate(_SQL_STRING_FNS_R9_CH)
+    register_lazy_udfs(spark, out)  # initcap → ch_initcap since round 16
+    return spark.sql(out)
 
 
 _SQL_INTERVAL_STATS_CH = """

@@ -12,7 +12,11 @@ from mcp_clickhouse_spark.dialect import DialectError, translate
 
 
 def one(spark, sql):
-    return spark.sql(translate(sql)).collect()[0]
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    out = translate(sql)
+    register_lazy_udfs(spark, out)  # initcap → ch_initcap since round 16
+    return spark.sql(out).collect()[0]
 
 
 def test_builtin_identical_names(spark):
