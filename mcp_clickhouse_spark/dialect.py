@@ -127,7 +127,8 @@ NAME_MAP: dict[str, str] = {
     "leftpadutf8": "lpad",
     "rightpadutf8": "rpad",
     "base64encode": "base64",
-    "base64decode": "unbase64",
+    # (base64Decode is a TEMPLATE round 16: CH returns String, bare
+    # unbase64 returns BINARY)
     # round 9 gap scan: CH names whose Spark builtin is value-identical
     # (initcap/initcapUTF8 moved to TEMPLATES round 16: CH words are
     # ALNUM RUNS, Spark's builtin splits on whitespace only)
@@ -3760,7 +3761,12 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "ignore": lambda a: "0",
     # path tail after the last '/' (CH basename handles '\\' too)
     "basename": lambda a: f"regexp_extract({a[0]}, '([^/\\\\\\\\]*)$', 1)",
-    "cutwww": lambda a: f"regexp_replace({a[0]}, '^www\\\\.', '')",
+    # strips one leading 'www.' from the DOMAIN — with or without a
+    # scheme prefix (round-16 probe: the old anchor missed 'http://www.…')
+    "cutwww": lambda a: (
+        f"regexp_replace({a[0]},"
+        f" '^((?:[a-zA-Z][a-zA-Z0-9+.-]*://)?)www\\\\.', '$1')"
+    ),
     "countmatchescaseinsensitive": lambda a: (
         f"size(regexp_extract_all({a[0]}, concat('(?i)', {a[1]}), 0))"
     ),
@@ -4053,9 +4059,14 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # value is NULL entirely, so counting their weights would deflate the
     # average (round-5 advisor finding).  NULL weights already drop out of
     # both sides (v*w is NULL; sum skips NULL).
+    # Zero total weight → nan (CH Float64 contract; round-16 probe: the
+    # bare division ANSI-threw DIVIDE_BY_ZERO).  An all-NULL/empty input
+    # keeps NULL (the denominator is NULL, not 0 — nullable contract).
     "avgweighted": lambda a: (
-        f"(sum(({a[0]}) * ({a[1]}))"
-        f" / sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]}) END))"
+        f"(CASE WHEN sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]})"
+        f" END) = 0 THEN double('NaN')"
+        f" ELSE sum(({a[0]}) * ({a[1]}))"
+        f" / sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]}) END) END)"
     ),
     "sumcount": lambda a: f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))",
     "skewpop": lambda a: f"skewness({a[0]})",
@@ -5114,6 +5125,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # groupBitmap returns the CARDINALITY (UInt64) in a SELECT — exactly
     # count(DISTINCT); the bitmap object itself is CH-internal state
     "groupbitmap": lambda a: f"count(DISTINCT {a[0]})",
+    # CH base64Decode returns String (round-16 probe: the bare unbase64
+    # mapping surfaced BINARY through the tool contract)
+    "base64decode": lambda a: f"CAST(unbase64({a[0]}) AS STRING)",
     # CH tryBase64Decode returns '' on bad input (base64Decode throws)
     "trybase64decode": lambda a: (
         f"ifnull(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"

@@ -63,7 +63,10 @@ path):
   ``shim_distinct_on`` was r15-green),
 - ``filter_const_false`` (constant-fold pruning is plan-tested in
   tests/test_plans.py; ``case_when`` rotates with the same
-  literal-predicate path).
+  literal-predicate path),
+- ``sql_array_join_multi`` (displaced by ``scalar_round16b``;
+  ``array_join_explode`` rotates this round — the same ARRAY JOIN →
+  explode path, and the multi-array zip form carries its own pytest).
 """
 
 from __future__ import annotations
@@ -95,7 +98,8 @@ PRIORITY: list[str] = [
     # division, literal-denominator native path, mapContains NULL key,
     # empty-group bitmap folds, parameterized values() types)
     "scalar_round16",
-    # last driver-checked in round 12 (31 of the 50-query pool)
+    "scalar_round16b",
+    # last driver-checked in round 12 (30 of the 50-query pool)
     "scalar_round11b",
     "agg_group_having",
     "agg_quantile_approx",
@@ -124,7 +128,6 @@ PRIORITY: list[str] = [
     "setop_intersect_all",
     "scalar_array",
     "shim_with_fill_interpolate_expr",
-    "sql_array_join_multi",
     "behav_retention_sql",
     "scalar_round11",
 ]

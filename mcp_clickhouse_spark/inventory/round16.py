@@ -72,6 +72,69 @@ FROM orders
 """
 
 
+# Round-16 probe-wave closures end-to-end: left/right negative lengths,
+# initcap alnum-run word boundaries (oracle = a literal CASE table over
+# the o_orderpriority domain — independent of the engine's regex),
+# hex even-digit padding (oracle = DuckDB's own minimal-width hex +
+# explicit pad arithmetic), avgWeighted zero-weight nan, base64Decode
+# String return, cutWWW behind a scheme.
+_SQL_R16B_CH = """
+SELECT o_orderkey,
+  left(o_orderpriority, -(o_orderkey % 4)) AS lneg,
+  right(o_orderpriority, -(o_orderkey % 4)) AS rneg,
+  initcap(lower(o_orderpriority)) AS ic,
+  hex(o_orderkey % 300) AS hx,
+  (SELECT toInt64(isNaN(avgWeighted(v, 0)))
+     FROM (SELECT 1 AS v UNION ALL SELECT 2)) AS awn,
+  base64Decode(base64Encode(o_orderpriority)) AS b64,
+  cutWWW(concat('http://www.ex', toString(o_orderkey % 5), '.com/p'))
+    AS cw
+FROM orders
+"""
+
+_SQL_R16B_ORACLE = """
+SELECT o_orderkey,
+  CASE WHEN o_orderkey % 4 = 0 THEN ''
+       ELSE substr(o_orderpriority, 1,
+                   greatest(length(o_orderpriority)
+                            - (o_orderkey % 4), 0)) END AS lneg,
+  CASE WHEN o_orderkey % 4 = 0 THEN ''
+       ELSE substr(o_orderpriority,
+                   least(o_orderkey % 4, length(o_orderpriority))
+                   + 1) END AS rneg,
+  CASE o_orderpriority
+       WHEN '1-URGENT' THEN '1-Urgent'
+       WHEN '2-HIGH' THEN '2-High'
+       WHEN '3-MEDIUM' THEN '3-Medium'
+       WHEN '4-NOT SPECIFIED' THEN '4-Not Specified'
+       WHEN '5-LOW' THEN '5-Low' END AS ic,
+  CASE WHEN length(hex(o_orderkey % 300)) % 2 = 1
+       THEN '0' || hex(o_orderkey % 300)
+       ELSE hex(o_orderkey % 300) END AS hx,
+  CAST(1 AS BIGINT) AS awn,
+  o_orderpriority AS b64,
+  'http://ex' || CAST(o_orderkey % 5 AS VARCHAR) || '.com/p' AS cw
+FROM orders
+"""
+
+
+@query("scalar_round16b", oracle=_SQL_R16B_ORACLE, category="scalars")
+def scalar_round16b(spark, sf_dir):
+    """Round-16 probe-wave closures end-to-end (see the _SQL_R16B_CH
+    comment block; pins in tests/test_r16_wave.py and
+    tests/test_r16_wave2.py).  o%4 spans the 0/-1/-2/-3 negative-length
+    branches; o%300 crosses the 1/2-digit hex-byte boundary; the
+    o_orderpriority domain covers multi-word and '_-'-adjacent initcap
+    shapes."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = translate(_SQL_R16B_CH)
+    register_lazy_udfs(spark, out)
+    return spark.sql(out)
+
+
 @query("scalar_round16", oracle=_SQL_R16_ORACLE, category="scalars")
 def scalar_round16(spark, sf_dir):
     """Round-16 advisor fixes end-to-end (module docstring lists the
