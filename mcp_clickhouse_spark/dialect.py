@@ -1709,6 +1709,9 @@ def _extract_groups(args: list[str]) -> str:
     return f"CASE WHEN {s} RLIKE {pat} THEN array({groups}) ELSE array() END"
 
 
+_WEEK_BIND_SEQ = 0
+
+
 def _week_mode_expr(arg: str, mode: int, year_week: bool) -> str:
     """CH toWeek/toYearWeek for the FULL documented mode table 0-9
     (round 14 — modes 2 and 4-9 were guided errors).
@@ -1740,7 +1743,16 @@ def _week_mode_expr(arg: str, mode: int, year_week: bool) -> str:
         # effective first-weekday bit: bit2 XOR (NOT bit0)
         rule = "A" if bool(mode & 4) != (not bool(mode & 1)) else "B"
     f_dow = 2 if monday_first else 1  # Spark dayofweek: Sunday=1
-    dd = f"CAST({arg} AS DATE)"
+    # Bind the date ONCE via a single-element lambda (round 16): the
+    # body references the argument ~20 times, so direct substitution
+    # exploded exponentially under NESTED calls — the combinator fuzz
+    # OOM'd the JVM on toYearWeek(addDays(…toYearWeek(…)…)) ×3.  The
+    # variable name is uniqued per call so nested week expressions
+    # don't collide (Spark rejects duplicate lambda names in scope).
+    global _WEEK_BIND_SEQ
+    _WEEK_BIND_SEQ += 1
+    dd = f"__wk{_WEEK_BIND_SEQ}"
+    outer = f"CAST({arg} AS DATE)"
     y = f"year({dd})"
 
     def w1(ye: str) -> str:
@@ -1759,6 +1771,9 @@ def _week_mode_expr(arg: str, mode: int, year_week: bool) -> str:
     def wk(w1x: str) -> str:
         return f"(datediff({dd}, {w1x}) div 7 + 1)"
 
+    def _bound(body: str) -> str:
+        return f"element_at(transform(array({outer}), {dd} -> {body}), 1)"
+
     if week_year:
         week = (
             f"(CASE WHEN {dd} < {w1y} THEN {wk(w1p)}"
@@ -1766,14 +1781,14 @@ def _week_mode_expr(arg: str, mode: int, year_week: bool) -> str:
             f" ELSE {wk(w1y)} END)"
         )
         if not year_week:
-            return f"CAST({week} AS INT)"
+            return _bound(f"CAST({week} AS INT)")
         wyear = (
             f"(CASE WHEN {dd} < {w1y} THEN {y} - 1"
             f" WHEN {dd} >= {w1n} THEN {y} + 1"
             f" ELSE {y} END)"
         )
-        return f"CAST({wyear} * 100 + {week} AS INT)"
-    return (
+        return _bound(f"CAST({wyear} * 100 + {week} AS INT)")
+    return _bound(
         f"CAST(IF({dd} < {w1y}, 0, {wk(w1y)}) AS INT)"
     )
 
@@ -11701,6 +11716,27 @@ def _two_valued_in(x: str, args: list[str], negate: bool) -> str:
     return f"({nn} AND {wrapped})"
 
 
+_BIND_SEQ = 0
+
+
+def _bind_once(value: str, build, threshold: int = 200) -> str:
+    """Bind a LONG subexpression once via a single-element transform
+    lambda so templates that reference their argument several times
+    stop expanding exponentially under nesting (round 16 — the
+    combinator fuzz OOM'd the JVM on nested toYearWeek; division
+    chains ``a/b/c/d`` have the same 4^depth shape).  Short values
+    inline unchanged — the common case keeps plain expressions and
+    parquet pushdown.  The lambda variable is uniqued per call (Spark
+    rejects duplicate lambda names in nested scopes); NULL propagates
+    identically (the lambda body sees the NULL element)."""
+    if len(value) <= threshold:
+        return build(value)
+    global _BIND_SEQ
+    _BIND_SEQ += 1
+    v = f"__b{_BIND_SEQ}"
+    return f"element_at(transform(array({value}), {v} -> {build(v)}), 1)"
+
+
 def _divide_expr(x: str, y: str) -> str:
     """CH divide / bare ``/``: floating division whose zero-denominator
     results follow IEEE — ``1/0 = inf``, ``-1/0 = -inf``, ``0/0 = nan``
@@ -11713,14 +11749,17 @@ def _divide_expr(x: str, y: str) -> str:
     deltas: a ``-0.0`` denominator takes the +0 branch (CH/IEEE would
     flip the sign), and decimal ÷ decimal coerces to DOUBLE here where
     CH keeps Decimal."""
-    lx, ly = f"({x})", f"({y})"
-    return (
-        f"CASE WHEN {ly} = 0 THEN "
-        f"CASE WHEN {lx} > 0 THEN double('Infinity') "
-        f"WHEN {lx} < 0 THEN double('-Infinity') "
-        f"WHEN {lx} = 0 THEN double('NaN') END "
-        f"ELSE {lx} / {ly} END"
-    )
+    def _core(bx: str, by: str) -> str:
+        lx, ly = f"({bx})", f"({by})"
+        return (
+            f"CASE WHEN {ly} = 0 THEN "
+            f"CASE WHEN {lx} > 0 THEN double('Infinity') "
+            f"WHEN {lx} < 0 THEN double('-Infinity') "
+            f"WHEN {lx} = 0 THEN double('NaN') END "
+            f"ELSE {lx} / {ly} END"
+        )
+
+    return _bind_once(x, lambda bx: _bind_once(y, lambda by: _core(bx, by)))
 
 
 def _rewrite_division(sql: str) -> str:

@@ -94,6 +94,43 @@ class TestBase64DecodeString:
         )
 
 
+class TestNoExponentialExpansion:
+    """Templates that reference their argument many times must not
+    explode exponentially under nesting (round 16: the combinator fuzz
+    OOM'd the JVM on toYearWeek nested 3 deep — ~20 copies per level;
+    division chains a/b/c/d have the same 4^depth shape).  Long
+    subexpressions are now bound ONCE through a single-element
+    transform lambda (_bind_once / the week binder)."""
+
+    def test_nested_toyearweek_stays_small(self):
+        q = (
+            "SELECT toYearWeek(addDays(toDate('2024-01-01'), abs("
+            "toYearWeek(addDays(toDate('2024-01-01'), abs("
+            "toYearWeek(addDays(toDate('2024-01-01'), abs(x) % 365))"
+            ") % 365))) % 365)) AS v FROM t"
+        )
+        assert len(translate(q)) < 50_000
+
+    def test_division_chain_stays_small(self):
+        q = "SELECT " + "/".join(f"c{i}" for i in range(12)) + " AS r FROM t"
+        assert len(translate(q)) < 200_000
+
+    def test_nested_week_values_still_correct(self, spark):
+        # shadow-safety of the uniqued lambda variables + value check:
+        # toWeek('2024-03-05') = 9 (mode 0), 9 % 7 = 2 → 2024-01-03,
+        # which pre-dates mode 0's first Sunday-started week of 2024 →
+        # year-rolls to 2023 week 53 (the r14 docs-pinned mode table)
+        assert _val(
+            spark,
+            "SELECT toYearWeek(addDays(toDate('2024-01-01'),"
+            " toWeek(toDate('2024-03-05')) % 7))",
+        ) == 202353
+
+    def test_short_division_keeps_plain_case(self):
+        out = translate("SELECT a / b AS r FROM t")
+        assert "transform(" not in out and "CASE WHEN (b) = 0" in out
+
+
 class TestCutWWW:
     def test_with_scheme(self, spark):
         assert _val(spark, "SELECT cutWWW('http://www.example.com/p')") == (
