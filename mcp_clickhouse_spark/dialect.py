@@ -110,7 +110,8 @@ NAME_MAP: dict[str, str] = {
     # position order is the documented delta; use position() for that)
     "locate": "locate",
     "replaceall": "replace",
-    "replaceregexpall": "regexp_replace",
+    # (replaceRegexpAll/One are TEMPLATES round 16: CH replacements use
+    # \N backreferences where Java wants $N)
     "match": "rlike",
     "startswith": "startswith",
     "endswith": "endswith",
@@ -1630,16 +1631,145 @@ def _split_by_string(args: list[str]) -> str:
     limit keeps it in the last element (['1','2,3']) — so the 3-arg form is
     emitted as slice(split(s, sep, max+1), 1, max) (advisor round-2
     finding).
+
+    An EMPTY separator splits into single characters WITHOUT the
+    trailing '' Spark's split appends (CH docs: splitByString('',
+    'abc') = ['a','b','c'] — round-16 probe); literal '' folds at
+    translate time, computed separators get a runtime IF.
     """
     sep, s = args[0].strip(), args[1]
-    if len(sep) >= 2 and sep.startswith("'") and sep.endswith("'"):
+    chars = f"filter(split({s}, ''), __sbc -> __sbc != '')"
+    is_literal = len(sep) >= 2 and sep.startswith("'") and sep.endswith("'")
+    if is_literal:
         quoted = f"'\\\\Q{sep[1:-1]}\\\\E'"
     else:
         quoted = f"concat('\\\\Q', {sep}, '\\\\E')"
     if len(args) > 2:
         limit = args[2]
-        return f"slice(split({s}, {quoted}, ({limit}) + 1), 1, {limit})"
-    return f"split({s}, {quoted}, -1)"
+        normal = f"slice(split({s}, {quoted}, ({limit}) + 1), 1, {limit})"
+        empty = f"slice({chars}, 1, {limit})"
+    else:
+        normal = f"split({s}, {quoted}, -1)"
+        empty = chars
+    if is_literal:
+        return empty if sep == "''" else normal
+    return f"IF(({args[0]}) = '', {empty}, {normal})"
+
+
+def _decode_sql_literal(text: str) -> str | None:
+    """The VALUE of a single-quoted SQL literal's body ``text`` (both
+    backslash escapes and '' doubling), or None if it isn't one we can
+    decode safely."""
+    out: list[str] = []
+    i = 0
+    n = len(text)
+    while i < n:
+        c = text[i]
+        if c == "\\" and i + 1 < n:
+            out.append(text[i + 1])
+            i += 2
+            continue
+        if c == "'" and i + 1 < n and text[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        if c == "'":
+            return None  # embedded quote — not a simple literal body
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _encode_sql_literal(value: str) -> str:
+    """A quoted Spark SQL literal evaluating to ``value``."""
+    return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _java_replacement_of_ch(value: str) -> str:
+    """Convert a ClickHouse regexp-replacement VALUE to Java/Spark
+    semantics (round-16 probe: ``\\1`` backreferences were passed
+    through, where Java wants ``$1`` and treats ``\\1`` as a literal
+    '1').  CH: ``\\0``-``\\9`` are group references, ``\\\\`` a literal
+    backslash, ``$`` literal.  Java: ``$N`` groups, ``\\$`` literal
+    dollar, ``\\\\`` literal backslash."""
+    out: list[str] = []
+    i = 0
+    n = len(value)
+    while i < n:
+        c = value[i]
+        if c == "\\" and i + 1 < n:
+            nxt = value[i + 1]
+            if nxt.isdigit():
+                out.append("$" + nxt)
+            else:
+                out.append("\\" + nxt)
+            i += 2
+            continue
+        if c == "$":
+            out.append("\\$")
+            i += 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+def _regex_replacement_expr(arg: str) -> str:
+    """SQL for the Java-semantics replacement string equivalent to the
+    ClickHouse replacement ``arg``.  Literal arguments convert at
+    translate time; non-literal ones get a runtime escape chain
+    ($ → \\$ first, then backslash-digit → $digit)."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        val = _decode_sql_literal(a[1:-1])
+        if val is not None:
+            return _encode_sql_literal(_java_replacement_of_ch(val))
+    # runtime conversion, value level: '$' → '\$', then '\D' → '$D'
+    step1 = f"regexp_replace({arg}, '\\\\$', '\\\\\\\\\\\\$')"
+    return f"regexp_replace({step1}, '\\\\\\\\(\\\\d)', '\\\\$$1')"
+
+
+def _replace_regexp_one(a: list[str]) -> str:
+    """CH replaceRegexpOne — replace the FIRST match only, with
+    ``\\N`` backreference expansion (round 16: the old overlay inserted
+    the replacement text VERBATIM, so '\\2-\\1' came out literally).
+    Literal replacements expand to a concat of regexp_extract group
+    references from the first match; non-literal replacements are
+    inserted verbatim (documented: backreferences need a literal)."""
+    s, pat, rep = a[0], a[1], a[2].strip()
+    repl_sql = rep
+    if len(rep) >= 2 and rep[0] == "'" and rep[-1] == "'":
+        val = _decode_sql_literal(rep[1:-1])
+        if val is not None and "\\" in val:
+            parts: list[str] = []
+            buf: list[str] = []
+            i = 0
+            while i < len(val):
+                c = val[i]
+                if c == "\\" and i + 1 < len(val):
+                    nxt = val[i + 1]
+                    if nxt.isdigit():
+                        if buf:
+                            parts.append(_encode_sql_literal("".join(buf)))
+                            buf = []
+                        parts.append(f"regexp_extract({s}, {pat}, {nxt})")
+                        i += 2
+                        continue
+                    buf.append(nxt)
+                    i += 2
+                    continue
+                buf.append(c)
+                i += 1
+            if buf:
+                parts.append(_encode_sql_literal("".join(buf)))
+            repl_sql = (
+                parts[0] if len(parts) == 1 else f"concat({', '.join(parts)})"
+            )
+    return (
+        f"CASE WHEN regexp_instr({s}, {pat}) > 0 THEN overlay({s}, {repl_sql},"
+        f" regexp_instr({s}, {pat}),"
+        f" length(regexp_extract({s}, {pat}, 0))) ELSE {s} END"
+    )
 
 
 def _extract_groups(args: list[str]) -> str:
@@ -4436,10 +4566,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"CASE WHEN instr({a[0]}, {a[1]}) > 0 THEN overlay({a[0]}, {a[2]},"
         f" instr({a[0]}, {a[1]}), length({a[1]})) ELSE {a[0]} END"
     ),
-    "replaceregexpone": lambda a: (
-        f"CASE WHEN regexp_instr({a[0]}, {a[1]}) > 0 THEN overlay({a[0]}, {a[2]},"
-        f" regexp_instr({a[0]}, {a[1]}),"
-        f" length(regexp_extract({a[0]}, {a[1]}, 0))) ELSE {a[0]} END"
+    "replaceregexpone": _replace_regexp_one,
+    "replaceregexpall": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_regex_replacement_expr(a[2])})"
     ),
     "splitbynonalpha": lambda a: (
         f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"

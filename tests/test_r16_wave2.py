@@ -94,6 +94,76 @@ class TestBase64DecodeString:
         )
 
 
+class TestRegexpReplacementBackrefs:
+    """CH replacements use \\N backreferences ($ is literal); Java/Spark
+    wants $N (with \\$ for a literal dollar).  Round-16 probe: \\1
+    passed through as a literal '1' in replaceRegexpAll, and
+    replaceRegexpOne inserted the replacement text VERBATIM."""
+
+    def test_all_docs_example(self, spark):
+        # CH docs: replaceRegexpAll('Hello, World!', '.', '\\0\\0')
+        assert _val(
+            spark, r"SELECT replaceRegexpAll('Hello', '(l)', '\\1\\1')"
+        ) == "Hellllo"
+
+    def test_all_dollar_is_literal(self, spark):
+        assert _val(
+            spark, r"SELECT replaceRegexpAll('abc', 'b', '$9')"
+        ) == "a$9c"
+
+    def test_all_runtime_replacement_expression(self, spark):
+        # non-literal replacement takes the runtime escape chain
+        assert _val(
+            spark,
+            r"SELECT replaceRegexpAll('ab', '(a)', concat('\\', '1x'))",
+        ) == "axb"
+
+    def test_one_replaces_first_only_with_backrefs(self, spark):
+        assert _val(
+            spark,
+            r"SELECT replaceRegexpOne('123-456', '(\\d+)-(\\d+)', '\\2-\\1')",
+        ) == "456-123"
+        assert _val(
+            spark, r"SELECT replaceRegexpOne('aaa', 'a', 'b')"
+        ) == "baa"
+
+    def test_one_no_match_unchanged(self, spark):
+        assert _val(
+            spark, r"SELECT replaceRegexpOne('xyz', '(q)', '\\1!')"
+        ) == "xyz"
+
+    def test_plain_replacement_regression(self, spark):
+        assert _val(
+            spark, r"SELECT replaceRegexpAll('a1b22', '\\d+', 'N')"
+        ) == "aNbN"
+
+
+class TestSplitByStringEmptySeparator:
+    def test_literal_empty_splits_to_chars(self, spark):
+        # CH docs: splitByString('', 'abc') = ['a','b','c'] — Spark's
+        # split appended a trailing ''
+        assert _val(spark, "SELECT splitByString('', 'abc')") == [
+            "a", "b", "c",
+        ]
+
+    def test_computed_empty_separator(self, spark):
+        assert _val(
+            spark,
+            "SELECT splitByString(IF(1 = 1, '', ','), 'ab')",
+        ) == ["a", "b"]
+
+    def test_max_substrings_with_empty_sep(self, spark):
+        assert _val(spark, "SELECT splitByString('', 'abcd', 2)") == [
+            "a", "b",
+        ]
+
+    def test_normal_separator_regression(self, spark):
+        assert _val(spark, "SELECT splitByString(', ', 'a, b, c')") == [
+            "a", "b", "c",
+        ]
+        assert _val(spark, "SELECT splitByString('.', 'a.b')") == ["a", "b"]
+
+
 class TestNoExponentialExpansion:
     """Templates that reference their argument many times must not
     explode exponentially under nesting (round 16: the combinator fuzz
