@@ -4570,6 +4570,10 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "replaceregexpall": lambda a: (
         f"regexp_replace({a[0]}, {a[1]}, {_regex_replacement_expr(a[2])})"
     ),
+    # CH aliases REGEXP_REPLACE to replaceRegexpAll — same \N contract
+    "regexp_replace": lambda a: (
+        f"regexp_replace({a[0]}, {a[1]}, {_regex_replacement_expr(a[2])})"
+    ),
     "splitbynonalpha": lambda a: (
         f"filter(split({a[0]}, '[^A-Za-z0-9]+'), x -> x != '')"
     ),

@@ -132,6 +132,12 @@ class TestRegexpReplacementBackrefs:
             spark, r"SELECT replaceRegexpOne('xyz', '(q)', '\\1!')"
         ) == "xyz"
 
+    def test_regexp_replace_alias_same_contract(self, spark):
+        # CH aliases REGEXP_REPLACE to replaceRegexpAll (\N backrefs)
+        assert _val(
+            spark, r"SELECT REGEXP_REPLACE('Hello', '(l)', '\\1\\1')"
+        ) == "Hellllo"
+
     def test_plain_replacement_regression(self, spark):
         assert _val(
             spark, r"SELECT replaceRegexpAll('a1b22', '\\d+', 'N')"
