@@ -12061,6 +12061,67 @@ def _scan_div_unit(sql: str, i: int) -> int | None:
     return None
 
 
+_LEAD_LAG_FRAME = re.compile(r"(?i)(?<![A-Za-z_0-9'.])(leadinframe|laginframe)\s*\(")
+_FULL_FRAME = re.compile(
+    r"(?is)\s*rows\s+between\s+unbounded\s+preceding\s+and\s+unbounded"
+    r"\s+following\s*$"
+)
+
+
+def _rewrite_lead_lag_in_frame(sql: str) -> str:
+    """CH leadInFrame/lagInFrame are the FRAME-RESPECTING lead/lag; the
+    documented idiom pairs them with an explicit full frame (``ROWS
+    BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING``), under which
+    they equal plain lead/lag — but Spark hard-errors on ANY frame
+    attached to lead/lag (round-16 probe).  Strip the full frame (exact
+    same values); any OTHER explicit frame is a guided error (a partial
+    frame changes which rows are reachable — not expressible via
+    lead/lag).  The frameless form stays mapped to lead/lag in NAME_MAP
+    (documented delta: under CH's default frame the offset may fall
+    outside and yield the default — pin before changing)."""
+    out = sql
+    pos = 0
+    while True:
+        m = _LEAD_LAG_FRAME.search(out, pos)
+        if m is None:
+            return out
+        close = _find_balanced(out, out.index("(", m.end() - 1))
+        k = close
+        n = len(out)
+        while k < n and out[k].isspace():
+            k += 1
+        m2 = _IDENT.match(out, k)
+        if not (m2 and m2.group(0).lower() == "over"):
+            pos = close
+            continue
+        k = m2.end()
+        while k < n and out[k].isspace():
+            k += 1
+        if k >= n or out[k] != "(":
+            pos = close
+            continue
+        oclose = _find_balanced(out, k)
+        body = out[k + 1 : oclose - 1]
+        fm = _FULL_FRAME.search(body)
+        if fm:
+            new_body = body[: fm.start()]
+            out = out[: k + 1] + new_body + out[oclose - 1 :]
+            pos = close
+            continue
+        if re.search(r"(?i)\b(rows|range)\s+between\b", body) or re.search(
+            r"(?i)\b(rows|range)\s+(unbounded|current|\d)", body
+        ):
+            raise DialectError(
+                f"{m.group(1)}: only the full frame (ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND UNBOUNDED FOLLOWING) is supported — a partial "
+                "frame changes which rows the offset can reach, which Spark's "
+                "lead/lag cannot express; restructure with collect_list OVER "
+                "the frame + element_at if you need partial-frame offsets"
+            )
+        pos = oclose
+    return out
+
+
 def _rewrite_in_operator(sql: str) -> str:
     """CH two-valued NULL semantics for the bare ``IN`` / ``NOT IN``
     OPERATOR with an explicit element list (round 15 — the round-14 fix
@@ -12188,6 +12249,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_logical_fn_calls(sql)
     sql = _rewrite_in_operator(sql)
     sql = _rewrite_division(sql)
+    sql = _rewrite_lead_lag_in_frame(sql)
     sql = _rewrite_order_by_nulls(sql)
     out: list[str] = []
     i = 0

@@ -144,6 +144,45 @@ class TestRegexpReplacementBackrefs:
         ) == "aNbN"
 
 
+class TestLeadLagInFrame:
+    """CH leadInFrame/lagInFrame pair with an explicit full frame (the
+    documented idiom) — Spark hard-errors on ANY frame attached to
+    lead/lag, so the full frame is stripped (identical values) and a
+    partial frame is a guided error (round-16 probe)."""
+
+    def _rows(self, spark, q):
+        return [r.r for r in spark.sql(translate(q)).collect()]
+
+    def test_full_frame_stripped(self, spark):
+        q = (
+            "SELECT leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r FROM"
+            " (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x"
+        )
+        assert self._rows(spark, q) == [2, None]
+
+    def test_lag_with_partition(self, spark):
+        q = (
+            "SELECT lagInFrame(x, 1) OVER (PARTITION BY 1 ORDER BY x ROWS"
+            " BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS r"
+            " FROM (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x"
+        )
+        assert self._rows(spark, q) == [None, 1]
+
+    def test_partial_frame_guided(self):
+        from mcp_clickhouse_spark.dialect import DialectError
+
+        with pytest.raises(DialectError, match="only the full frame"):
+            translate(
+                "SELECT leadInFrame(x, 1) OVER (ORDER BY x ROWS BETWEEN"
+                " 1 PRECEDING AND CURRENT ROW) FROM t"
+            )
+
+    def test_frameless_maps_to_lead(self):
+        out = translate("SELECT leadInFrame(x, 1) OVER (ORDER BY x) FROM t")
+        assert "lead(x, 1)" in out and "ROWS BETWEEN" not in out
+
+
 class TestSplitByStringEmptySeparator:
     def test_literal_empty_splits_to_chars(self, spark):
         # CH docs: splitByString('', 'abc') = ['a','b','c'] — Spark's
