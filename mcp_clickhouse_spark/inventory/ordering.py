@@ -66,7 +66,10 @@ path):
   literal-predicate path),
 - ``sql_array_join_multi`` (displaced by ``scalar_round16b``;
   ``array_join_explode`` rotates this round — the same ARRAY JOIN →
-  explode path, and the multi-array zip form carries its own pytest).
+  explode path, and the multi-array zip form carries its own pytest),
+- ``behav_retention_sql`` (displaced by ``scalar_round16c``;
+  ``behav_funnel_strict`` leads this rotation and ``behav_retention``
+  was r14-green — the same retention-conditions fold).
 """
 
 from __future__ import annotations
@@ -99,7 +102,8 @@ PRIORITY: list[str] = [
     # empty-group bitmap folds, parameterized values() types)
     "scalar_round16",
     "scalar_round16b",
-    # last driver-checked in round 12 (30 of the 50-query pool)
+    "scalar_round16c",
+    # last driver-checked in round 12 (29 of the 50-query pool)
     "scalar_round11b",
     "agg_group_having",
     "agg_quantile_approx",
@@ -128,7 +132,6 @@ PRIORITY: list[str] = [
     "setop_intersect_all",
     "scalar_array",
     "shim_with_fill_interpolate_expr",
-    "behav_retention_sql",
     "scalar_round11",
 ]
 

@@ -135,6 +135,53 @@ def scalar_round16b(spark, sf_dir):
     return spark.sql(out)
 
 
+# Round-16 wave-3 closures: regexp-replacement \N backreferences
+# (replaceRegexpAll converts to Java $N; replaceRegexpOne replaces the
+# FIRST match only, expanding backrefs via regexp_extract), splitByString
+# with an empty separator (char split, no trailing ''), and
+# leadInFrame with the explicit full-frame idiom.  DuckDB is a true
+# independent twin for all four: its regexp_replace natively uses \N
+# backreferences and replaces first-only by default, and str_split('')
+# yields characters without a trailing empty.
+_SQL_R16C_CH = r"""
+SELECT o_orderkey,
+  replaceRegexpAll(o_orderpriority, '([0-9])-([A-Z]+)', '\\2:\\1') AS rra,
+  replaceRegexpOne(concat('k', toString(o_orderkey % 100), 'v',
+                          toString(o_orderkey % 10)),
+                   '(\\d+)', '<\\1>') AS rro,
+  arrayStringConcat(splitByString('', substring(o_orderpriority, 1, 3)),
+                    '|') AS sbe,
+  leadInFrame(o_orderkey, 1) OVER (PARTITION BY o_custkey
+    ORDER BY o_orderkey
+    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lif
+FROM orders
+"""
+
+_SQL_R16C_ORACLE = r"""
+SELECT o_orderkey,
+  regexp_replace(o_orderpriority, '([0-9])-([A-Z]+)', '\2:\1') AS rra,
+  regexp_replace('k' || CAST(o_orderkey % 100 AS VARCHAR) || 'v'
+                 || CAST(o_orderkey % 10 AS VARCHAR),
+                 '(\d+)', '<\1>') AS rro,
+  array_to_string(str_split(substr(o_orderpriority, 1, 3), ''), '|') AS sbe,
+  lead(o_orderkey, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+    AS lif
+FROM orders
+"""
+
+
+@query("scalar_round16c", oracle=_SQL_R16C_ORACLE, category="scalars")
+def scalar_round16c(spark, sf_dir):
+    """Round-16 wave-3 closures end-to-end (see the _SQL_R16C_CH comment
+    block; pins in tests/test_r16_wave2.py).  The replaceRegexpOne
+    input carries TWO digit runs so first-only semantics are load-
+    bearing; the lead window has real partition ties and NULL tails."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R16C_CH))
+
+
 @query("scalar_round16", oracle=_SQL_R16_ORACLE, category="scalars")
 def scalar_round16(spark, sf_dir):
     """Round-16 advisor fixes end-to-end (module docstring lists the
