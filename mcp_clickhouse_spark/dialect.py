@@ -1656,6 +1656,63 @@ def _split_by_string(args: list[str]) -> str:
     return f"IF(({args[0]}) = '', {empty}, {normal})"
 
 
+def _array_reduce(a: list[str]) -> str:
+    """CH arrayReduce('agg', arr…) for the aggregate names with exact
+    pure-fold twins.  Round 16 added the 2-array combinator forms
+    (probe: ``arrayReduce('sumIf', vals, conds)`` and the argMax pair
+    raised the wrong-arity error): argMax/argMin pick the first value
+    at the key array's extremum (CH tie rule = first occurrence, which
+    array_position gives), sumIf folds values whose condition is
+    non-zero (NULL values/conditions contribute nothing — CH skips
+    NULLs), countIf counts non-zero conditions."""
+    if len(a) < 2:
+        raise DialectError("arrayReduce takes ('agg', array, …)")
+    name = a[0].strip().lower().strip("'\"")
+    arr = a[1]
+    if len(a) == 2:
+        one = {
+            "sum": lambda: _typed_sum_fold(arr),
+            "min": lambda: f"array_min({arr})",
+            "max": lambda: f"array_max({arr})",
+            "count": lambda: f"cardinality({arr})",
+            "avg": lambda: _typed_avg_fold(arr),
+            "any": lambda: f"try_element_at({arr}, 1)",
+            "anylast": lambda: f"try_element_at({arr}, -1)",
+            "uniq": lambda: (
+                f"size(array_distinct(filter({arr},"
+                f" __ar -> __ar IS NOT NULL)))"
+            ),
+            "uniqexact": lambda: (
+                f"size(array_distinct(filter({arr},"
+                f" __ar -> __ar IS NOT NULL)))"
+            ),
+            "grouparray": lambda: f"filter({arr}, __ar -> __ar IS NOT NULL)",
+            "countif": lambda: (
+                f"size(filter({arr}, __ar -> coalesce(__ar != 0, false)))"
+            ),
+        }.get(name)
+        if one is not None:
+            return one()
+    if len(a) == 3 and name in ("argmax", "argmin"):
+        ext = "array_max" if name == "argmax" else "array_min"
+        return (
+            f"try_element_at({a[1]}, CAST(array_position({a[2]},"
+            f" {ext}({a[2]})) AS INT))"
+        )
+    if len(a) == 3 and name == "sumif":
+        kept = (
+            f"zip_with({a[1]}, {a[2]}, (__av, __ac) ->"
+            f" IF(coalesce(__ac != 0, false), coalesce(__av, 0), 0))"
+        )
+        return _typed_sum_fold(kept)
+    raise DialectError(
+        f"arrayReduce('{name}', …): only sum/min/max/count/avg/any/"
+        "anyLast/uniq/uniqExact/groupArray/countIf (one array) and "
+        "argMax/argMin/sumIf (two arrays) have exact pure-fold twins — "
+        "explode the array and use the real aggregate otherwise"
+    )
+
+
 def _decode_sql_literal(text: str) -> str | None:
     """The VALUE of a single-quoted SQL literal's body ``text`` (both
     backslash escapes and '' doubling), or None if it isn't one we can
@@ -4360,14 +4417,9 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"array_sort({a[0]})" if len(a) == 1
         else _key_lambda_comparator(a[0], a[1])
     ),
-    # arrayReduce('agg', arr): the string-named aggregates with pure-fold twins
-    "arrayreduce": lambda a: {
-        "'sum'": _typed_sum_fold(a[1]),
-        "'min'": f"array_min({a[1]})",
-        "'max'": f"array_max({a[1]})",
-        "'count'": f"cardinality({a[1]})",
-        "'avg'": _typed_avg_fold(a[1]),
-    }[a[0].strip().lower()],
+    # arrayReduce('agg', arr…): string-named aggregates with pure-fold
+    # twins — see _array_reduce (round 16 added the 2-array forms)
+    "arrayreduce": lambda a: _array_reduce(a),
     # math fill-ins
     # bounded Euclid fold (96 steps: worst-case 64-bit Fibonacci pairs need ~91) — a
     # sequence(1, n) trial-division fold would materialize n elements per row

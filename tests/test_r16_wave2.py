@@ -144,6 +144,40 @@ class TestRegexpReplacementBackrefs:
         ) == "aNbN"
 
 
+class TestArrayReduceTwoArrayForms:
+    """arrayReduce gained the 2-array combinator forms plus more 1-array
+    names (round-16 probe: 'sumIf'/'argMax' raised wrong-arity)."""
+
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            ("arrayReduce('sum', [1, 2, 3])", 6),
+            ("arrayReduce('sumIf', [1, 2, 3], [1, 0, 1])", 4),
+            ("arrayReduce('countIf', [1, 0, 2, NULL])", 2),
+            ("arrayReduce('argMax', ['a', 'b', 'c'], [10, 30, 20])", "b"),
+            ("arrayReduce('argMin', ['a', 'b', 'c'], [10, 30, 20])", "a"),
+            (
+                "arrayReduce('argMax', emptyArrayString(),"
+                " emptyArrayInt64())",
+                None,
+            ),
+            ("arrayReduce('any', [7, 8])", 7),
+            ("arrayReduce('anyLast', [7, 8])", 8),
+            ("arrayReduce('uniqExact', [1, 1, 2, NULL])", 2),
+            # NULL values/conditions contribute nothing (CH skips NULLs)
+            ("arrayReduce('sumIf', [1, NULL, 3], [1, 1, NULL])", 1),
+        ],
+    )
+    def test_vectors(self, spark, expr, expected):
+        assert _val(spark, f"SELECT {expr}") == expected
+
+    def test_unsupported_name_guided(self):
+        from mcp_clickhouse_spark.dialect import DialectError
+
+        with pytest.raises(DialectError, match="pure-fold twins"):
+            translate("SELECT arrayReduce('median', [1, 2])")
+
+
 class TestLeadLagInFrame:
     """CH leadInFrame/lagInFrame pair with an explicit full frame (the
     documented idiom) — Spark hard-errors on ANY frame attached to
