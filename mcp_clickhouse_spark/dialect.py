@@ -6261,8 +6261,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # (CH named tuples, e.g. the hypothesis-test results) → that field
     # a bare tuple LITERAL first argument — tupleElement((1,'a'), 2) —
     # is normalized to the named_struct form (round 14)
+    # 3-arg default form guided (round 16): struct arity is static in
+    # Spark, so an out-of-range index is an ANALYSIS error here where CH
+    # returns the default — the cryptic FIELD_NOT_FOUND it produced was
+    # worse than a guided wall
     "tupleelement": lambda a: (
-        f"({_tuple_literal_struct(a[0]) or a[0]}).{a[1].strip()[1:-1]}"
+        (_ for _ in ()).throw(DialectError(
+            "tupleElement(t, n, default): Spark struct access is static — "
+            "an out-of-range index cannot fall back to a default at "
+            "runtime; use an in-range index (the 2-argument form)"
+        )) if len(a) > 2
+        else f"({_tuple_literal_struct(a[0]) or a[0]}).{a[1].strip()[1:-1]}"
         if re.fullmatch(r"'[A-Za-z_][A-Za-z0-9_]*'", a[1].strip())
         else f"({_tuple_literal_struct(a[0]) or a[0]})."
              f"_{_int_literal(a[1], 'tupleElement index')}"
