@@ -1713,6 +1713,52 @@ def _array_reduce(a: list[str]) -> str:
     )
 
 
+def _array_reduce_in_ranges(a: list[str]) -> str:
+    """CH arrayReduceInRanges('agg', ranges, arr) — per-range folds
+    (round 16, was a guided error).  The ranges argument must be a
+    TEXTUAL array literal of (index, length) tuples (the docs shape):
+    each range expands to the matching _array_reduce over
+    slice(arr, index, length) — both are 1-based with negative-index-
+    from-end and clamped length, so semantics line up exactly.
+    Non-literal ranges keep a guided error (Spark structs from bare
+    tuple literals carry col1/col2 field names, so a generic runtime
+    transform cannot positionally access user-built range tuples)."""
+    if len(a) != 3:
+        raise DialectError(
+            "arrayReduceInRanges takes ('agg', ranges, array)"
+        )
+    rng = a[1].strip()
+    m = re.fullmatch(r"(?is)array\s*\((.*)\)", rng)
+    if not m:
+        raise DialectError(
+            "arrayReduceInRanges: ranges must be a literal array of "
+            "(index, length) tuples — for computed ranges, apply "
+            "arrayReduce over explicit arraySlice calls"
+        )
+    exprs = []
+    for pair in _split_args(m.group(1)):
+        p = pair.strip()
+        if p.startswith("(") and p.endswith(")"):
+            p = p[1:-1]
+        elif p.lower().startswith("tuple(") or p.lower().startswith(
+            "named_struct("
+        ):
+            p = p[p.index("(") + 1 : -1]
+            if p.lower().startswith("'_1'"):  # named_struct('_1', x, …)
+                parts = _split_args(p)
+                p = f"{parts[1]}, {parts[3]}"
+        two = _split_args(p)
+        if len(two) != 2:
+            raise DialectError(
+                "arrayReduceInRanges: each range must be an "
+                "(index, length) pair"
+            )
+        exprs.append(
+            _array_reduce([a[0], f"slice({a[2]}, {two[0]}, {two[1]})"])
+        )
+    return f"array({', '.join(exprs)})"
+
+
 def _decode_sql_literal(text: str) -> str | None:
     """The VALUE of a single-quoted SQL literal's body ``text`` (both
     backslash escapes and '' doubling), or None if it isn't one we can
@@ -4039,10 +4085,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             "use coalesce(x - lag(x) OVER (ORDER BY ...), x)"
         ))
     ),
-    "arrayreduceinranges": lambda a: (_ for _ in ()).throw(DialectError(
-        "arrayReduceInRanges: apply arrayReduce over explicit "
-        "arraySlice(arr, offset, length) calls per range"
-    )),
+    "arrayreduceinranges": lambda a: _array_reduce_in_ranges(a),
     "neighbor": lambda a: (_ for _ in ()).throw(DialectError(
         "neighbor is block-relative — use lag/lead OVER (ORDER BY ...)"
     )),

@@ -177,6 +177,21 @@ class TestArrayReduceTwoArrayForms:
         with pytest.raises(DialectError, match="pure-fold twins"):
             translate("SELECT arrayReduce('median', [1, 2])")
 
+    def test_reduce_in_ranges_docs_example(self, spark):
+        # CH docs worked example: per-range sums over (index, length)
+        assert _val(
+            spark,
+            "SELECT arrayReduceInRanges('sum',"
+            " [(1, 5), (2, 3), (3, 4), (4, 6)],"
+            " [1000000, 200000, 30000, 4000, 500, 60, 7])",
+        ) == [1234500, 234000, 34560, 4567]
+
+    def test_reduce_in_ranges_computed_guided(self):
+        from mcp_clickhouse_spark.dialect import DialectError
+
+        with pytest.raises(DialectError, match="literal array"):
+            translate("SELECT arrayReduceInRanges('sum', x, y) FROM t")
+
 
 class TestLeadLagInFrame:
     """CH leadInFrame/lagInFrame pair with an explicit full frame (the
