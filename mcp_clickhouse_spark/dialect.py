@@ -12165,6 +12165,36 @@ def _scan_div_unit(sql: str, i: int) -> int | None:
     return None
 
 
+_COLLATE_LIT = re.compile(r"(?i)\bCOLLATE\s+'([A-Za-z0-9_\-]+)'")
+
+
+def _rewrite_collate(sql: str) -> str:
+    """CH ``ORDER BY x COLLATE 'en'`` → Spark's postfix collation
+    operator ``x COLLATE en`` (round 16 — the quoted-literal spelling
+    was a parse error).  Both engines sort through ICU locales, so the
+    locale string carries over (hyphens → underscores for Spark's
+    collation-name grammar); an unknown locale stays a loud Spark
+    COLLATION_INVALID_NAME error.  Quoted spans are opaque."""
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in _QUOTE_CHARS:
+            j = _skip_quoted(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        m = _COLLATE_LIT.match(sql, i)
+        if m and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+            out.append(f"COLLATE {m.group(1).replace('-', '_')}")
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _LEAD_LAG_FRAME = re.compile(r"(?i)(?<![A-Za-z_0-9'.])(leadinframe|laginframe)\s*\(")
 _FULL_FRAME = re.compile(
     r"(?is)\s*rows\s+between\s+unbounded\s+preceding\s+and\s+unbounded"
@@ -12354,6 +12384,7 @@ def translate(sql: str) -> str:
     sql = _rewrite_in_operator(sql)
     sql = _rewrite_division(sql)
     sql = _rewrite_lead_lag_in_frame(sql)
+    sql = _rewrite_collate(sql)
     sql = _rewrite_order_by_nulls(sql)
     out: list[str] = []
     i = 0

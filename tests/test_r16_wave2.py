@@ -232,6 +232,33 @@ class TestLeadLagInFrame:
         assert "lead(x, 1)" in out and "ROWS BETWEEN" not in out
 
 
+class TestCollateRewrite:
+    """CH ORDER BY x COLLATE 'locale' → Spark's postfix COLLATE
+    identifier (both sort through ICU; the quoted spelling was a parse
+    error — round-16 probe)."""
+
+    def test_locale_sort(self, spark):
+        q = (
+            "SELECT s FROM (SELECT 'b' AS s UNION ALL SELECT 'A'"
+            " UNION ALL SELECT 'a') ORDER BY s COLLATE 'en'"
+        )
+        assert [r.s for r in spark.sql(translate(q)).collect()] == [
+            "a", "A", "b",
+        ]
+
+    def test_desc_composes(self, spark):
+        q = (
+            "SELECT s FROM (SELECT 'b' AS s UNION ALL SELECT 'A')"
+            " ORDER BY s COLLATE 'en' DESC"
+        )
+        assert [r.s for r in spark.sql(translate(q)).collect()] == ["b", "A"]
+
+    def test_string_literal_opaque(self):
+        assert translate("SELECT 'x COLLATE Y' AS lit") == (
+            "SELECT 'x COLLATE Y' AS lit"
+        )
+
+
 class TestSplitByStringEmptySeparator:
     def test_literal_empty_splits_to_chars(self, spark):
         # CH docs: splitByString('', 'abc') = ['a','b','c'] — Spark's
