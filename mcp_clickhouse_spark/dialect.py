@@ -1713,6 +1713,82 @@ def _array_reduce(a: list[str]) -> str:
     )
 
 
+def _json_extract_typed(a: list[str]) -> str:
+    """CH ``JSONExtract(json, [keys…,] 'Type')`` — the generic typed
+    getter (round-16 probe: leaked UNRESOLVED; the named extractors
+    JSONExtractInt/String/… were mapped but not this form).  The type
+    must be a string literal; scalars take try_cast + the CH type
+    default (0 / '' / false on miss or wrong type), Array/Map types
+    parse the raw JSON span via from_json with an empty-container
+    default.  Unmapped types get a guided error."""
+    if len(a) < 3:
+        raise DialectError(
+            "JSONExtract takes (json, key…, 'Type') — use the "
+            "JSONExtractString/Int/Float/Bool forms for implicit types"
+        )
+    traw = a[-1].strip()
+    if not (len(traw) >= 2 and traw[0] == "'" and traw[-1] == "'"):
+        raise DialectError(
+            "JSONExtract: the type argument must be a string literal"
+        )
+    t = _unwrap_type_wrappers(traw[1:-1])
+    spark_t = ch_type_to_spark(t)
+    if spark_t is None:
+        raise DialectError(
+            f"JSONExtract: unmapped ClickHouse type {t!r} — supported: "
+            "the scalar TYPE_MAP names, Decimal(p,s), Array(T), Map(K,V)"
+        )
+    path = _json_path(a[:-1])
+    low = spark_t.lower()
+    m_arr = re.fullmatch(
+        r"(?i)ARRAY<([A-Z]+(?:\(\d+,\d+\))?)>", spark_t
+    )
+    if m_arr:
+        # scalar-element arrays go through per-element best-effort
+        # casts: a strict from_json to ARRAY<BIGINT> rejects the whole
+        # array when one element is '200.0', where CH truncates it
+        inner = m_arr.group(1)
+        elems = f"coalesce(from_json({path}, 'array<string>'), array())"
+        if inner.upper() == "STRING":
+            return elems
+        if inner.upper() == "BOOLEAN":
+            conv = "coalesce(try_cast(__je AS BOOLEAN), false)"
+        elif inner.upper() in ("DATE", "TIMESTAMP"):
+            dflt = (
+                "DATE '1970-01-01'"
+                if inner.upper() == "DATE"
+                else "TIMESTAMP '1970-01-01 00:00:00'"
+            )
+            conv = f"coalesce(try_cast(__je AS {inner}), {dflt})"
+        else:
+            conv = (
+                f"coalesce(try_cast(__je AS {inner}),"
+                f" try_cast(try_cast(__je AS DOUBLE) AS {inner}),"
+                f" CAST(0 AS {inner}))"
+            )
+        return f"transform({elems}, __je -> {conv})"
+    if low.startswith("array<") or low.startswith("map<"):
+        empty = "'[]'" if low.startswith("array<") else "'{}'"
+        return (
+            f"coalesce(from_json({path}, '{spark_t}'),"
+            f" from_json({empty}, '{spark_t}'))"
+        )
+    if spark_t == "STRING":
+        return f"coalesce({path}, '')"
+    if spark_t == "BOOLEAN":
+        return f"coalesce(try_cast({path} AS BOOLEAN), false)"
+    if spark_t == "DATE":
+        return f"coalesce(try_cast({path} AS DATE), DATE '1970-01-01')"
+    if spark_t == "TIMESTAMP":
+        return (
+            f"coalesce(try_cast({path} AS TIMESTAMP),"
+            f" TIMESTAMP '1970-01-01 00:00:00')"
+        )
+    return (
+        f"coalesce(try_cast({path} AS {spark_t}), CAST(0 AS {spark_t}))"
+    )
+
+
 def _array_reduce_in_ranges(a: list[str]) -> str:
     """CH arrayReduceInRanges('agg', ranges, arr) — per-range folds
     (round 16, was a guided error).  The ranges argument must be a
@@ -5318,6 +5394,33 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # (round-14 randomized JSON audit).  Delta: a numeric STRING value
     # ("123") converts here (get_json_object strips the quotes) where
     # type-strict CH returns the default.
+    # generic typed form (round 16 — leaked UNRESOLVED): the last
+    # argument is a literal ClickHouse type; scalars route through the
+    # same try_cast + type-default convention as the named extractors,
+    # Array(T)/Map(K,V) parse the raw JSON span via from_json with []
+    # /{} defaults (CH returns the type default on miss/wrong type)
+    "jsonextract": lambda a: _json_extract_typed(a),
+    # SQL/JSON standard spellings (round 16 — leaked UNRESOLVED).
+    # These take a real JSONPath ('$.a[0]') which get_json_object
+    # speaks natively.  JSON_VALUE: scalar text, '' on miss and on
+    # non-scalar matches (CH contract); JSON_QUERY: the match wrapped
+    # in a JSON array — raw JSON spans pass through, bare strings are
+    # re-quoted via to_json; JSON_EXISTS: UInt8-style boolean.
+    "json_exists": lambda a: (
+        f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)"
+    ),
+    "json_value": lambda a: (
+        f"(CASE WHEN get_json_object({a[0]}, {a[1]})"
+        f" RLIKE '^[\\\\[{{]' THEN ''"
+        f" ELSE coalesce(get_json_object({a[0]}, {a[1]}), '') END)"
+    ),
+    "json_query": lambda a: (
+        f"(CASE WHEN get_json_object({a[0]}, {a[1]}) IS NULL THEN ''"
+        f" WHEN get_json_object({a[0]}, {a[1]})"
+        f" RLIKE '^(-?[0-9.eE+]+|true|false|null|[\\\\[{{]).*'"
+        f" THEN concat('[', get_json_object({a[0]}, {a[1]}), ']')"
+        f" ELSE to_json(array(get_json_object({a[0]}, {a[1]}))) END)"
+    ),
     "jsonextractstring": lambda a: f"coalesce({_json_path(a)}, '')",
     "jsonextractint": lambda a: (
         f"coalesce(try_cast({_json_path(a)} AS BIGINT), 0)"

@@ -232,6 +232,55 @@ class TestLeadLagInFrame:
         assert "lead(x, 1)" in out and "ROWS BETWEEN" not in out
 
 
+class TestTypedJsonExtract:
+    """The generic JSONExtract(json, keys…, 'Type') and the SQL/JSON
+    standard JSON_VALUE/JSON_QUERY/JSON_EXISTS spellings leaked
+    UNRESOLVED (round-16 probe); typed getters follow the named
+    extractors' try_cast + type-default convention, and arrays take
+    per-element best-effort casts (strict from_json rejected the docs
+    example's 200.0 as Int64 where CH truncates)."""
+
+    J = '\'{"a":"hello","b":[-100,200.0,300]}\''
+
+    @pytest.mark.parametrize(
+        "expr,expected",
+        [
+            ("JSONExtract(@@, 'a', 'String')", "hello"),
+            # CH docs worked example
+            (
+                "JSONExtract(@@, 'b', 'Array(Nullable(Int64))')",
+                [-100, 200, 300],
+            ),
+            ("JSONExtract(@@, 'b', 'Array(Float64)')", [-100.0, 200.0, 300.0]),
+            ("JSONExtract(@@, 'a', 'Int64')", 0),  # wrong type → default
+            ("JSONExtract(@@, 'missing', 'Int64')", 0),
+            ("JSONExtract(@@, 'zz', 'Array(Int64)')", []),
+            ("JSON_VALUE(@@, '$.a')", "hello"),
+            ("JSON_VALUE(@@, '$.b')", ""),  # non-scalar match → ''
+            ("JSON_QUERY(@@, '$.a')", '["hello"]'),
+            ("JSON_QUERY(@@, '$.b')", "[[-100,200.0,300]]"),
+            ("JSON_QUERY(@@, '$.zz')", ""),
+            ("JSON_EXISTS(@@, '$.b[1]')", True),
+            ("JSON_EXISTS(@@, '$.zz')", False),
+        ],
+    )
+    def test_vectors(self, spark, expr, expected):
+        assert _val(spark, "SELECT " + expr.replace("@@", self.J)) == expected
+
+    def test_map_type(self, spark):
+        assert _val(
+            spark,
+            'SELECT JSONExtract(\'{"m":{"x":1}}\', \'m\','
+            " 'Map(String, Int64)')",
+        ) == {"x": 1}
+
+    def test_unmapped_type_guided(self):
+        from mcp_clickhouse_spark.dialect import DialectError
+
+        with pytest.raises(DialectError, match="unmapped ClickHouse type"):
+            translate("SELECT JSONExtract(j, 'a', 'Tuple(Int64)') FROM t")
+
+
 class TestCollateRewrite:
     """CH ORDER BY x COLLATE 'locale' → Spark's postfix COLLATE
     identifier (both sort through ICU; the quoted spelling was a parse
