@@ -22,6 +22,7 @@ def load_all() -> None:
         round14,
         round15,
         round16,
+        round17,
         scalars,
         setops,
         timeseries,

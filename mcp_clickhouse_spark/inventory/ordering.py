@@ -2,137 +2,137 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 15: 217 registered (218 with round 16's ``scalar_round16``),
+after round 16: 220 registered (221 with round 17's ``scalar_round17``),
 zero value mismatches ever left unfixed, zero never-driver-checked
-registrations; going into round 16 the stale pool was 18 queries last
-green r10 (the r15 deferrals) + 50 last green r12 (r11 and r13 pools
-drained in earlier rotations).
+registrations.  Last-green pools going into round 17 (replayed from
+every CORRECTNESS_r*.json): 21 queries last green r12 (the r16
+deferrals — ALL 21 independently re-PASSed by the r16 judge's
+plain-session run), 49 last green r13, and 50 each r14/r15/r16.
 
-Round 16 priority, summing to exactly 50:
+Correction to the r16 ledger (advisor r16, low): the r16 docstring said
+"31 of the 50 queries last driver-checked in round 12" — the list
+actually carried 29 (18 r10-deferrals + scalar_round16 + scalar_round16b
++ scalar_round16c + 29 = 50), and the additions bullet omitted
+scalar_round16b/c.  CORRECTNESS_r16.json confirms the executed first-50
+was exactly that set.
 
-- the 18 queries deferred since round 10 (each spent r15 covered by a
-  rotating twin or a stronger per-round check — see the r15 docstring
-  in git history for the per-query rationale);
-- ``scalar_round16`` (new: advisor-r15 fixes — comment stripping,
-  scientific-notation division operands, the nonzero-literal-
-  denominator native path, mapContains runtime-NULL key,
-  groupBitmapAnd over zero rows, values() with parameterized
-  Decimal/Map column types);
-- 31 of the 50 queries last driver-checked in round 12.
+Round 17 priority, summing to exactly 50:
 
-Deferred to the round-17 lead (stay at r12 — oldest last-green ≥ r10
-still holds this round via the 18-query lead; each deferral has a
-rotating twin or a stronger per-round check exercising the same engine
-path):
+- the 21 queries deferred since round 12 (oldest pool first — verdict
+  r16 item 2; every one was verified green by the judge's own
+  CHECK_PARITY_PLAIN run this past round);
+- ``scalar_round17`` (new: advisor-r16 fixes — the _bind_once subquery
+  fallback, typed-JSONExtract float truncation, JSON_QUERY/JSON_VALUE
+  variant classification — plus the non-ASCII case-conversion policy
+  vectors adjudicated by the r16 judge);
+- 28 of the 49 queries last driver-checked in round 13.
 
-- ``scan_projection`` (benches every round as the scan headline),
-- ``agg_global`` (``q1_pricing_summary`` benches every round and was
-  r15-green — the same global-aggregate path),
-- ``agg_any_first_last`` (``agg_collect`` rotates — the same
-  collect-fold machinery; any/anyLast carry exact-value pytest),
-- ``behav_cohort_retention`` (``behav_funnel_strict`` leads this
-  rotation; ``behav_retention`` was r14-green — same retention fold),
-- ``behav_sequence_match`` (``behav_funnel_strict`` leads;
-  ``behav_sequence_next_node`` was r15-green — same sequence-regex
-  aggregate family),
-- ``win_ranking`` (``win_running_sum`` leads this rotation;
-  ``win_range_frame`` was r14-green — same window machinery),
-- ``win_value_functions`` (``win_running_sum`` leads; ``win_lag_lead``
-  rotates — the same offset-function family),
-- ``setop_union_distinct`` / ``setop_union_by_name``
-  (``setop_union_all`` leads this rotation — the same Union node;
-  by-name alignment is also pinned by the merge() pytest),
-- ``setop_intersect`` (``setop_intersect_all`` rotates — the same
-  Intersect node; ``setop_except`` was r15-green),
-- ``events_sliding_window`` / ``events_latest_per_user`` /
-  ``events_props_analytics`` (``events_session_window`` leads this
-  rotation and ``events_tumbling_window`` was r15-green + benches —
-  the same time-bucket/window expressions),
-- ``sql_asof_join`` (``join_asof`` was r15-green — the same ASOF
-  rewrite and operator; both directions carry pytest),
-- ``sql_any_join`` (``join_any`` was r15-green — the same ANY-join
-  rewrite; ``sql_right_any_join`` was r14-green),
-- ``sql_qualify`` (the QUALIFY rewrite carries its own pytest suite
-  and ``win_running_sum``/``win_distribution`` exercise the same
-  window-filter plan shape),
-- ``pipe_dup_clusters_minhash`` (``pipe_minhash_lsh`` was r15-green
-  and benches every round — the same signature/banding core;
-  ``pipe_dedup_funnel`` was r15-green for the CC stage),
-- ``shim_distinct`` (``agg_count_distinct`` leads this rotation and
-  ``pipe_dedup_exact`` leads too — the same distinct machinery;
-  ``shim_distinct_on`` was r15-green),
-- ``filter_const_false`` (constant-fold pruning is plan-tested in
-  tests/test_plans.py; ``case_when`` rotates with the same
-  literal-predicate path),
-- ``sql_array_join_multi`` (displaced by ``scalar_round16b``;
-  ``array_join_explode`` rotates this round — the same ARRAY JOIN →
-  explode path, and the multi-array zip form carries its own pytest),
-- ``behav_retention_sql`` (displaced by ``scalar_round16c``;
-  ``behav_funnel_strict`` leads this rotation and ``behav_retention``
-  was r14-green — the same retention-conditions fold).
+Deferred to the round-18 lead (stay at r13 — oldest last-green
+advances from r12 to r13 this round; each deferral has a rotating twin
+or a stronger per-round check exercising the same engine path):
+
+- ``sql_asof_join_star`` / ``sql_asof_forward`` (``sql_asof_join``
+  leads this rotation — the same ASOF rewrite; both directions carry
+  pytest and ``join_asof`` was r15-green),
+- ``shim_with_fill_interpolate`` (``shim_with_fill`` and
+  ``shim_with_fill_interpolate_expr`` were both r16-green — the same
+  WITH FILL operator),
+- ``sql_qualify_subquery`` (``sql_qualify`` leads this rotation — the
+  same QUALIFY rewrite),
+- ``sql_array_join_bare`` (``sql_array_join_multi`` leads — the same
+  ARRAY JOIN → explode path; ``array_join_explode`` was r16-green),
+- ``array_join_left_outer`` (``array_join_explode`` was r16-green —
+  the same explode machinery; LEFT padding carries pytest),
+- ``shim_distinct_on`` (``shim_distinct`` leads this rotation — the
+  same distinct machinery),
+- ``constant_select`` (``SELECT 1`` is smoke-checked every round by
+  scripts/mcp_smoke.py and the driver's entry() check),
+- ``order_limit_offset`` (``order_limit`` was r16-green — the same
+  TakeOrdered path; OFFSET carries pytest),
+- ``filter_predicates`` (``filter_const_false`` leads this rotation;
+  ``filter_ilike_regex`` was r16-green — the same predicate path),
+- ``source_numbers`` (``source_values_table`` and
+  ``source_generate_random`` were r16-green — the same table-function
+  binder; numbers() carries pytest),
+- ``select_star_except`` / ``sql_star_apply`` (``select_columns_regex``
+  was r16-green — the same star-modifier rewrite family),
+- ``win_lag_lead`` (``win_value_functions`` leads this rotation — the
+  same offset-function family; leadInFrame was r16-green in
+  ``scalar_round16c``),
+- ``win_distribution`` (``win_ranking`` leads this rotation — the same
+  ranking-window machinery),
+- ``setop_except_all`` (``setop_intersect`` leads and
+  ``setop_intersect_all`` was r16-green — the same set-op rewrite),
+- ``agg_with_totals`` / ``agg_grouping_sets`` (``agg_rollup`` and
+  ``agg_group_by_all`` were r16-green — the same grouping-sets
+  machinery),
+- ``streaming_embedding_pairs`` (rows-only by design; the
+  batch-vs-replay equivalence pytest is the stronger check),
+- ``scalar_zip_sequence`` (``scalar_array`` was r16-green — the same
+  array-function family),
+- ``agg_conditional`` (``agg_if_generic`` was r16-green — the same
+  -If combinator path).
 """
 
 from __future__ import annotations
 
 from mcp_clickhouse_spark.inventory.registry import QUERIES
 
-# First 50 = the round-16 driver rotation.
+# First 50 = the round-17 driver rotation.
 PRIORITY: list[str] = [
-    # deferred-since-r10 block (18 queries)
-    "agg_rollup",
-    "shim_limit_by",
-    "pipe_dedup_exact",
-    "pipe_embed_topk",
-    "pipe_vocab_oov",
-    "join_inner",
-    "agg_count_distinct",
-    "events_session_window",
-    "win_running_sum",
-    "scalar_string",
-    "setop_union_all",
-    "pipe_stratified_sample",
-    "behav_funnel_strict",
-    "agg_if_generic",
-    "pipe_pack_sequences",
-    "scalar_geo",
-    "scalar_string_distance",
-    "pipe_html_extract",
-    # round-16 additions (advisor fixes: comments, sci-notation
-    # division, literal-denominator native path, mapContains NULL key,
-    # empty-group bitmap folds, parameterized values() types)
-    "scalar_round16",
-    "scalar_round16b",
-    "scalar_round16c",
-    # last driver-checked in round 12 (29 of the 50-query pool)
-    "scalar_round11b",
-    "agg_group_having",
-    "agg_quantile_approx",
-    "agg_approx_count_distinct",
-    "agg_stats",
-    "agg_histogram",
-    "case_when",
-    "order_limit",
-    "shim_with_fill",
-    "source_values_table",
-    "source_generate_random",
-    "select_columns_regex",
-    "filter_ilike_regex",
-    "agg_collect",
-    "agg_multi_quantiles",
-    "join_cross",
-    "array_join_explode",
-    "scalar_regex",
-    "scalar_datetime",
-    "scalar_math",
-    "scalar_cast",
-    "scalar_hash",
-    "scalar_date_series",
-    "agg_group_by_all",
-    "scalar_null_handling",
-    "setop_intersect_all",
-    "scalar_array",
-    "shim_with_fill_interpolate_expr",
-    "scalar_round11",
+    # deferred-since-r12 block (21 queries, oldest pool first)
+    "agg_global",
+    "agg_any_first_last",
+    "behav_cohort_retention",
+    "behav_sequence_match",
+    "behav_retention_sql",
+    "scan_projection",
+    "filter_const_false",
+    "shim_distinct",
+    "sql_asof_join",
+    "sql_any_join",
+    "sql_array_join_multi",
+    "sql_qualify",
+    "pipe_dup_clusters_minhash",
+    "setop_union_distinct",
+    "setop_union_by_name",
+    "setop_intersect",
+    "events_sliding_window",
+    "events_props_analytics",
+    "events_latest_per_user",
+    "win_ranking",
+    "win_value_functions",
+    # round-17 addition (advisor-r16 fixes + case-conversion policy)
+    "scalar_round17",
+    # last driver-checked in round 13 (28 of the 49-query pool)
+    "agg_minmax_by",
+    "agg_topk",
+    "agg_weighted_quantile",
+    "scalar_datetime_tz",
+    "subquery_correlated_exists",
+    "cte_multi",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q8_market_share",
+    "q12_priority_by_flag",
+    "join_right",
+    "join_full_outer",
+    "join_anti",
+    "pipe_dedup_fingerprint",
+    "pipe_quality_score",
+    "pipe_lang_id",
+    "pipe_token_count",
+    "pipe_ngram_jaccard",
+    "pipe_minhash_lsh_verified",
+    "pipe_simhash",
+    "pipe_embed_ivf_topk",
+    "pipe_embed_label_centroids",
+    "pipe_training_filter",
+    "scale_salted_agg",
+    "pipe_multimodal_meta",
+    "scalar_format_datetime",
+    "scalar_uint64",
+    "scalar_round13b",
 ]
 
 

@@ -1,0 +1,87 @@
+"""Round-17 oracle-checked closures (ADVICE.md r16 fixes + the
+case-conversion policy adjudicated by the r16 judge).
+
+``scalar_round17`` drives each through the delegated-SQL path against
+an independent DuckDB reconstruction:
+
+- NON-ASCII CASE CONVERSION: the code-point policy (dialect.py module
+  docstring) makes un-suffixed upper/lower == upperUTF8/lowerUTF8
+  (full Unicode), a documented delta vs ClickHouse's ASCII-only forms.
+  DuckDB's upper/lower are an independent full-Unicode implementation,
+  so they are a true twin for the policy's OUTPUT (not for CH's);
+  'ß' is excluded (Java says 'SS', ICU says 'ẞ' — the one code point
+  where the two Unicode implementations diverge);
+- positionCaseInsensitive with a non-ASCII needle (oracle = literal
+  length arithmetic, independent of any case folding);
+- the ``_bind_once`` SUBQUERY fallback: a >200-char division operand
+  against a scalar-subquery denominator must expand directly (Spark
+  rejects subqueries inside higher-order functions) — this is the
+  advisor-r16 regression repro, driven end-to-end;
+- generic typed ``JSONExtract(json, key, 'Int64')`` of a float value
+  truncates (200.0 → 200) instead of returning the 0 type default;
+- ``JSON_QUERY``/``JSON_VALUE`` classify via the VARIANT round-trip:
+  numeric-looking JSON strings stay QUOTED in JSON_QUERY output and
+  unquoted scalars come back exactly from JSON_VALUE.
+
+Reference contract basis: verbatim SQL delegation in
+/root/reference/mcp_clickhouse/mcp_server.py:425.
+"""
+
+from __future__ import annotations
+
+from mcp_clickhouse_spark.inventory.registry import query, t
+
+# > 200 chars once rendered, so the division pre-pass reaches the
+# _bind_once threshold and the subquery check is load-bearing.
+_LONG_SUM = " + ".join(["o_orderkey"] * 24)
+
+_SQL_R17_CH = f"""
+SELECT o_orderkey,
+  upper(concat('münchen-', lower(o_orderpriority))) AS ucp,
+  lower(concat('ÄBC/', o_orderpriority)) AS lcp,
+  toInt64(positionCaseInsensitive(concat(o_orderpriority, 'ÄBC'),
+                                  'äb')) AS pci,
+  round(({_LONG_SUM}) / (SELECT avg(toFloat64(o_orderkey)) FROM orders),
+        6) AS dsq,
+  JSONExtract(concat('{{"a":', toString(o_orderkey % 50), '.5}}'),
+              'a', 'Int64') AS jei,
+  JSON_QUERY(concat('{{"s":"', toString(o_orderkey % 10), '"}}'),
+             '$.s') AS jq,
+  JSON_VALUE(concat('{{"s":"', toString(o_orderkey % 10), '"}}'),
+             '$.s') AS jv
+FROM orders
+"""
+
+# Independent reconstruction: DuckDB's own full-Unicode upper/lower
+# (independent twin for the policy output), literal length arithmetic
+# for the case-insensitive position, DuckDB's native scalar subquery
+# for the division, and literal string assembly for the JSON columns.
+_SQL_R17_ORACLE = f"""
+SELECT o_orderkey,
+  upper('münchen-' || lower(o_orderpriority)) AS ucp,
+  lower('ÄBC/' || o_orderpriority) AS lcp,
+  CAST(length(o_orderpriority) + 1 AS BIGINT) AS pci,
+  round(({_LONG_SUM}) / (SELECT avg(CAST(o_orderkey AS DOUBLE))
+                           FROM orders), 6) AS dsq,
+  CAST(o_orderkey % 50 AS BIGINT) AS jei,
+  '["' || CAST(o_orderkey % 10 AS VARCHAR) || '"]' AS jq,
+  CAST(o_orderkey % 10 AS VARCHAR) AS jv
+FROM orders
+"""
+
+
+@query("scalar_round17", oracle=_SQL_R17_ORACLE, category="scalars")
+def scalar_round17(spark, sf_dir):
+    """Round-17 advisor + policy closures end-to-end (module docstring
+    lists the contracts; value pins in tests/test_r17_fixes.py).  The
+    division column renders past the _bind_once threshold WITH a
+    scalar subquery denominator — exactly the advisor-r16 regression
+    shape — and the JSON columns are data-driven so the variant
+    classification runs per-row, not constant-folded."""
+    from mcp_clickhouse_spark.dialect import translate
+    from mcp_clickhouse_spark.functions import register_lazy_udfs
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    out = translate(_SQL_R17_CH)
+    register_lazy_udfs(spark, out)
+    return spark.sql(out)
