@@ -1599,6 +1599,26 @@ def _fmt_to_java(fmt: str) -> str:
     return _sql_str("".join(java))
 
 
+def _parse_two_digit_pivot(expr: str, fmt: str) -> str:
+    """MySQL/CH two-digit-year pivot for the PARSE direction (round-17
+    randomized parse audit — a REAL silent wrong): %y (and the %D
+    composite, whose year is 2-digit) map 00-69 → 2000-2069 and
+    70-99 → 1970-1999 per MySQL's documented rule, but Java's 'yy'
+    parses everything into 2000-2099, so '98-03-06' came back as 2098.
+    Wrap the parsed value: years 2070-2099 shift back a century.  Only
+    fires when the format has a 2-digit-year token and no %Y (a format
+    carrying both is ambiguous and keeps Java's reading)."""
+    body = _fmt_literal_body(fmt, "parseDateTime")
+    toks = re.findall(r"%(.)", body)
+    if ("y" in toks or "D" in toks) and "Y" not in toks:
+        return (
+            f"(CASE WHEN year({expr}) >= 2070"
+            f" THEN ({expr}) - INTERVAL 100 YEARS"
+            f" ELSE ({expr}) END)"
+        )
+    return expr
+
+
 def _ch_format(args: list[str]) -> str:
     """CH format('{}-{}', a, b) → format_string('%s-%s', a, b).
 
@@ -6255,12 +6275,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # parseDateTime uses the same MySQL %-codes as formatDateTime — the
     # converter runs in reverse (to_timestamp with the Java pattern)
     "parsedatetime": lambda a: _with_parse_tz(a, 2, (
-        f"to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+        _parse_two_digit_pivot(
+            f"to_timestamp({a[0]}, {_fmt_to_java(a[1])})", a[1]
+        )
         if len(a) >= 2
         else f"CAST({a[0]} AS TIMESTAMP)"
     )),
     "parsedatetimeornull": lambda a: _with_parse_tz(a, 2, (
-        f"try_to_timestamp({a[0]}, {_fmt_to_java(a[1])})"
+        _parse_two_digit_pivot(
+            f"try_to_timestamp({a[0]}, {_fmt_to_java(a[1])})", a[1]
+        )
         if len(a) >= 2
         else f"TRY_CAST({a[0]} AS TIMESTAMP)"
     )),

@@ -2,7 +2,8 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 16: 220 registered (221 with round 17's ``scalar_round17``),
+after round 16: 220 registered (222 with round 17's ``scalar_round17``
+and ``scalar_round17b``),
 zero value mismatches ever left unfixed, zero never-driver-checked
 registrations.  Last-green pools going into round 17 (replayed from
 every CORRECTNESS_r*.json): 21 queries last green r12 (the r16
@@ -25,7 +26,11 @@ Round 17 priority, summing to exactly 50:
   fallback, typed-JSONExtract float truncation, JSON_QUERY/JSON_VALUE
   variant classification — plus the non-ASCII case-conversion policy
   vectors adjudicated by the r16 judge);
-- 28 of the 49 queries last driver-checked in round 13.
+- ``scalar_round17b`` (new: the randomized parse-side %-token audit's
+  closures — the %y/%D MySQL century pivot, %k unpadded hours,
+  compact-format parseDateTimeBestEffort — plus the frameless
+  leadInFrame default-frame peer semantics);
+- 27 of the 49 queries last driver-checked in round 13.
 
 Deferred to the round-18 lead (stay at r13 — oldest last-green
 advances from r12 to r13 this round; each deferral has a rotating twin
@@ -71,7 +76,10 @@ or a stronger per-round check exercising the same engine path):
 - ``scalar_zip_sequence`` (``scalar_array`` was r16-green — the same
   array-function family),
 - ``agg_conditional`` (``agg_if_generic`` was r16-green — the same
-  -If combinator path).
+  -If combinator path),
+- ``agg_topk`` (displaced by ``scalar_round17b``; ``agg_topk_weighted``
+  was r14-green — the same topK fold — and the sketch accuracy is
+  pinned by pytest).
 """
 
 from __future__ import annotations
@@ -102,11 +110,12 @@ PRIORITY: list[str] = [
     "events_latest_per_user",
     "win_ranking",
     "win_value_functions",
-    # round-17 addition (advisor-r16 fixes + case-conversion policy)
+    # round-17 additions (advisor-r16 fixes + case-conversion policy;
+    # parse-side audit + frameless leadInFrame closures)
     "scalar_round17",
-    # last driver-checked in round 13 (28 of the 49-query pool)
+    "scalar_round17b",
+    # last driver-checked in round 13 (27 of the 49-query pool)
     "agg_minmax_by",
-    "agg_topk",
     "agg_weighted_quantile",
     "scalar_datetime_tz",
     "subquery_correlated_exists",

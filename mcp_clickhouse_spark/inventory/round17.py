@@ -85,3 +85,65 @@ def scalar_round17(spark, sf_dir):
     out = translate(_SQL_R17_CH)
     register_lazy_udfs(spark, out)
     return spark.sql(out)
+
+
+# Round-17 wave-2 closures: the parse-side %-token audit
+# (scripts/parse_audit.py, 139 cases vs Python strptime + DuckDB
+# strptime) and the frameless leadInFrame default-frame semantics.
+#
+# - %y century pivot (the audit's REAL find): MySQL/CH map 70-99 →
+#   19xx where Java's 'yy' said 20xx.  DuckDB strptime pivots POSIX
+#   (69 → 1969 vs MySQL 2069), so the driven domain EXCLUDES 69 —
+#   everywhere else the two conventions agree and DuckDB is a true
+#   independent twin.
+# - %k (unpadded hour) parse + compact-format parseDateTimeBestEffort
+#   round-trip over the real o_orderdate domain.
+# - frameless leadInFrame under CH's default frame (RANGE UNBOUNDED
+#   PRECEDING → CURRENT ROW) reaches only PEERS of the current row:
+#   projecting the ORDER BY key itself keeps the result deterministic
+#   under tie-order (each peer group yields cnt-1 dates + 1 NULL); the
+#   oracle reconstructs that multiset from peer-group positions, not
+#   from any lead().
+_SQL_R17B_CH = """
+SELECT o_custkey,
+  toDate(parseDateTime(
+    concat(leftPad(toString(if(o_orderkey % 100 = 69, 70,
+                               o_orderkey % 100)), 2, '0'),
+           '-03-15'), '%y-%m-%d')) AS ypiv,
+  parseDateTime(concat('2010-03-04 ', toString(o_orderkey % 24), ':08'),
+                '%Y-%m-%d %k:%i') AS khr,
+  toDate(parseDateTimeBestEffort(
+    formatDateTime(o_orderdate, '%Y%m%d'))) AS bed,
+  leadInFrame(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate) AS lif
+FROM orders
+"""
+
+_SQL_R17B_ORACLE = """
+SELECT o_custkey,
+  CAST(strptime(lpad(CAST(CASE WHEN o_orderkey % 100 = 69 THEN 70
+                          ELSE o_orderkey % 100 END AS VARCHAR), 2, '0')
+                || '-03-15', '%y-%m-%d') AS DATE) AS ypiv,
+  strptime('2010-03-04 ' || CAST(o_orderkey % 24 AS VARCHAR) || ':08',
+           '%Y-%m-%d %-H:%M') AS khr,
+  CAST(o_orderdate AS DATE) AS bed,
+  CASE WHEN row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                               ORDER BY o_orderkey)
+            < count(*) OVER (PARTITION BY o_custkey, o_orderdate)
+       THEN o_orderdate ELSE NULL END AS lif
+FROM orders
+"""
+
+
+@query("scalar_round17b", oracle=_SQL_R17B_ORACLE, category="scalars")
+def scalar_round17b(spark, sf_dir):
+    """Round-17 wave-2 closures end-to-end (see the _SQL_R17B_CH
+    comment block; pins in tests/test_r17_fixes.py and the
+    139-case scripts/parse_audit.py run).  o%100 sweeps both sides of
+    the MySQL century pivot; o%24 sweeps single- and double-digit %k
+    hours; the leadInFrame column has real peer groups (customers with
+    several same-day orders) and real singletons."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R17B_CH))

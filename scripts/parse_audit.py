@@ -87,7 +87,10 @@ PY_TOKEN = {
 # CH %-token → DuckDB strptime token
 DUCK_TOKEN = dict(PY_TOKEN)
 DUCK_TOKEN["k"] = "%-H"
-DUCK_TOKEN["f"] = "%f"  # DuckDB %f = microseconds? verified below
+DUCK_TOKEN["f"] = "%f"
+# DuckDB strptime parses %j but then IGNORES it (returns Jan 1) —
+# audit run 1 confirmed; Python is the reference for day-of-year
+DUCK_TOKEN["j"] = None
 
 
 def to_ref_fmt(fmt: str, table: dict) -> str | None:
@@ -223,7 +226,7 @@ def main() -> None:
     # --- best-effort shapes (CH docs examples) ---
     be = [
         ("2018-12-12 10:12:12", datetime(2018, 12, 12, 10, 12, 12)),
-        ("1284101485", datetime(2010, 9, 10, 7, 31, 25)),  # UTC instant
+        ("1284101485", datetime(2010, 9, 10, 6, 51, 25)),  # UTC instant
         ("20181212", datetime(2018, 12, 12)),
         ("20181212101212", datetime(2018, 12, 12, 10, 12, 12)),
         ("12/12/2018", datetime(2018, 12, 12)),

@@ -227,9 +227,29 @@ class TestLeadLagInFrame:
                 " 1 PRECEDING AND CURRENT ROW) FROM t"
             )
 
-    def test_frameless_maps_to_lead(self):
-        out = translate("SELECT leadInFrame(x, 1) OVER (ORDER BY x) FROM t")
-        assert "lead(x, 1)" in out and "ROWS BETWEEN" not in out
+    def test_frameless_respects_default_frame(self, spark):
+        # round 17: CH's default frame is RANGE UNBOUNDED PRECEDING →
+        # CURRENT ROW, so a frameless leadInFrame only reaches PEERS of
+        # the current row (equal ORDER BY keys); non-peer successors
+        # yield the default.  lagInFrame is unaffected (offset rows are
+        # never before the frame start).
+        q = (
+            "SELECT leadInFrame(v, 1) OVER (ORDER BY o) AS r FROM"
+            " (SELECT 1 AS o, 10 AS v UNION ALL SELECT 2, 20"
+            "  UNION ALL SELECT 2, 25 UNION ALL SELECT 3, 30)"
+            " ORDER BY o, v"
+        )
+        got = self._rows(spark, q)
+        # o=2 rows are peers: the first sees the second; everyone else
+        # has no in-frame successor
+        assert got == [None, 25, None, None]
+
+    def test_frameless_lag_equals_lag(self, spark):
+        q = (
+            "SELECT lagInFrame(x, 1) OVER (ORDER BY x) AS r"
+            " FROM (SELECT 1 AS x UNION ALL SELECT 2) ORDER BY x"
+        )
+        assert self._rows(spark, q) == [None, 1]
 
 
 class TestTypedJsonExtract:
@@ -258,7 +278,11 @@ class TestTypedJsonExtract:
             ("JSON_VALUE(@@, '$.a')", "hello"),
             ("JSON_VALUE(@@, '$.b')", ""),  # non-scalar match → ''
             ("JSON_QUERY(@@, '$.a')", '["hello"]'),
-            ("JSON_QUERY(@@, '$.b')", "[[-100,200.0,300]]"),
+            # round 17: the variant round-trip re-serializes
+            # canonically (200.0 → 200) — the same documented delta as
+            # JSONExtractRaw; in exchange the value KIND survives
+            # (numeric-looking strings stay quoted)
+            ("JSON_QUERY(@@, '$.b')", "[[-100,200,300]]"),
             ("JSON_QUERY(@@, '$.zz')", ""),
             ("JSON_EXISTS(@@, '$.b[1]')", True),
             ("JSON_EXISTS(@@, '$.zz')", False),

@@ -209,3 +209,76 @@ class TestCaseConversionPolicy:
             " 'ABCDEFGHIJKLMNOPQRSTUVWXYZ')",
         )
         assert got == "MüNCHEN"
+
+
+class TestParseSideDateAudit:
+    """Round-17 randomized parse audit closures (scripts/parse_audit.py,
+    139 cases green vs Python strptime + DuckDB strptime).
+
+    The one REAL silent wrong it found: Java's 'yy' parses every
+    2-digit year into 2000-2099, where MySQL/CH pivot 00-69 → 20xx and
+    70-99 → 19xx ('98-03-06' came back as 2098).  parseDateTime and
+    parseDateTimeOrNull now wrap %y / %D formats with the century
+    shift; %Y formats are untouched."""
+
+    def test_two_digit_year_pivot_low(self, spark):
+        got = _val(spark, "SELECT parseDateTime('68-03-15', '%y-%m-%d')")
+        assert got.year == 2068
+
+    def test_two_digit_year_pivot_high(self, spark):
+        got = _val(spark, "SELECT parseDateTime('98-03-06', '%y-%m-%d')")
+        assert got.year == 1998
+
+    def test_two_digit_year_pivot_69(self, spark):
+        # MySQL's documented table: 69 → 2069 (POSIX strptime says 1969)
+        got = _val(spark, "SELECT parseDateTime('69-01-02', '%y-%m-%d')")
+        assert got.year == 2069
+
+    def test_two_digit_year_pivot_70(self, spark):
+        got = _val(spark, "SELECT parseDateTime('70-01-02', '%y-%m-%d')")
+        assert got.year == 1970
+
+    def test_composite_d_token_pivots(self, spark):
+        got = _val(spark, "SELECT parseDateTime('12/31/95', '%D')")
+        assert (got.year, got.month, got.day) == (1995, 12, 31)
+
+    def test_four_digit_year_untouched(self, spark):
+        got = _val(spark, "SELECT parseDateTime('2084-01-02', '%Y-%m-%d')")
+        assert got.year == 2084
+
+    def test_ornull_pivots_too(self, spark):
+        got = _val(
+            spark, "SELECT parseDateTimeOrNull('77-06-07', '%y-%m-%d')"
+        )
+        assert got.year == 1977
+
+    def test_day_of_year_parse(self, spark):
+        got = _val(spark, "SELECT parseDateTime('2024 366', '%Y %j')")
+        assert (got.month, got.day) == (12, 31)
+
+    def test_unpadded_hour_k(self, spark):
+        got = _val(
+            spark, "SELECT parseDateTime('2010-03-04 7:08', '%Y-%m-%d %k:%i')"
+        )
+        assert (got.hour, got.minute) == (7, 8)
+
+    def test_twelve_hour_noon_midnight(self, spark):
+        noon = _val(
+            spark,
+            "SELECT parseDateTime('04 Jul 2001 12:05 PM',"
+            " '%d %b %Y %h:%i %p')",
+        )
+        midnight = _val(
+            spark,
+            "SELECT parseDateTime('04 Jul 2001 12:05 AM',"
+            " '%d %b %Y %h:%i %p')",
+        )
+        assert noon.hour == 12 and midnight.hour == 0
+
+    def test_fractional_seconds(self, spark):
+        got = _val(
+            spark,
+            "SELECT parseDateTime('2015-06-07 08:09:10.123456',"
+            " '%F %T.%f')",
+        )
+        assert got.microsecond == 123456
