@@ -11453,11 +11453,15 @@ def _rewrite_join_modifiers(sql: str) -> str:
         r"|covar\w*|stddev\w*|var\w*|skew\w*|kurt\w*|entropy|deltaSum\w*"
         r"|exponential\w*|simpleLinearRegression|stochastic\w*|sparkbar"
         r"|studentTTest|welchTTest|meanZTest|mannWhitneyUTest)"
-        r"(?<![Ss]imple)(State|Merge)\s*\("  # -SimpleState is mapped
+        # -SimpleState is mapped; the trailing \w* catches combinators
+        # CHAINED AFTER State/Merge (sumStateIf, avgMergeArray, …) which
+        # previously leaked a raw UNRESOLVED_ROUTINE (round-17 probe)
+        r"(?<![Ss]imple)(State|Merge)(\w*)\s*\("
     )
     if m:
         raise ValueError(
-            f"{m.group(1)}{m.group(2)}() has no Spark equivalent — partial "
+            f"{m.group(1)}{m.group(2)}{m.group(3)}() has no Spark "
+            "equivalent — partial "
             "aggregate states are engine-internal; run the plain aggregate "
             "(Spark's map-side partials give the same two-phase execution), "
             "or persist intermediate GROUP BY results instead of -State "
@@ -12371,6 +12375,71 @@ def _rewrite_collate(sql: str) -> str:
     return "".join(out)
 
 
+_FRAME_EXCLUDE = re.compile(
+    r"(?is)\bEXCLUDE\s+(NO\s+OTHERS|CURRENT\s+ROW|GROUP|TIES)"
+)
+
+
+def _rewrite_frame_exclusion(sql: str) -> str:
+    """SQL-standard window frame exclusion (round-17 probe): ``EXCLUDE
+    NO OTHERS`` is the standard's default — a semantic no-op — so it is
+    STRIPPED (Spark's parser rejects the clause outright); the three
+    active forms (CURRENT ROW / GROUP / TIES) change which rows the
+    frame aggregates and have no Spark equivalent, so they get a guided
+    error instead of Spark's bare PARSE_SYNTAX_ERROR."""
+    out = []
+    last = 0
+    for m in _FRAME_EXCLUDE.finditer(sql):
+        if not _outside_strings(sql, m.start()):
+            continue
+        kind = re.sub(r"\s+", " ", m.group(1)).upper()
+        if kind == "NO OTHERS":
+            out.append(sql[last:m.start()])
+            last = m.end()
+            continue
+        raise DialectError(
+            f"EXCLUDE {kind}: Spark window frames cannot exclude rows — "
+            "subtract the excluded rows' contribution explicitly (e.g. "
+            "sum(x) OVER frame - x for EXCLUDE CURRENT ROW, or group the "
+            "peers first for EXCLUDE GROUP/TIES)"
+        )
+    if not out:
+        return sql
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_COMPOUND_INTERVAL = re.compile(r"(?is)([+-])(\s*)INTERVAL\s+'([^']+)'")
+_INTERVAL_TERM = re.compile(r"(?i)^\s*(\d+)\s+([a-z]+)\s*,?")
+
+
+def _rewrite_compound_intervals(sql: str) -> str:
+    """CH compound interval strings — ``ts + INTERVAL '1 MONTH 2 DAY'``
+    (round-17 probe: Spark rejects strings mixing year-month and
+    day-time fields, and bans WEEK/QUARTER in multi-unit strings).  A
+    multi-term string after a ``+``/``-`` distributes over the operator
+    left-associatively — ``ts + INTERVAL a + INTERVAL b`` ≡ adding the
+    compound — preserving the left-to-right application order CH uses.
+    Single-term strings stay native (Spark parses them)."""
+    def repl(m: re.Match) -> str:
+        if not _outside_strings(sql, m.start()):
+            return m.group(0)
+        op, body = m.group(1), m.group(3)
+        terms = []
+        rest = body
+        while rest.strip():
+            t = _INTERVAL_TERM.match(rest)
+            if not t:
+                return m.group(0)  # not the n-unit shape — leave native
+            terms.append((t.group(1), t.group(2)))
+            rest = rest[t.end():]
+        if len(terms) < 2:
+            return m.group(0)
+        return " ".join(f"{op} INTERVAL {n} {u.upper()}" for n, u in terms)
+
+    return _COMPOUND_INTERVAL.sub(repl, sql)
+
+
 _LEAD_LAG_FRAME = re.compile(r"(?i)(?<![A-Za-z_0-9'.])(leadinframe|laginframe)\s*\(")
 _FULL_FRAME = re.compile(
     r"(?is)\s*rows\s+between\s+unbounded\s+preceding\s+and\s+unbounded"
@@ -12592,6 +12661,8 @@ def translate(sql: str) -> str:
     sql = _rewrite_in_operator(sql)
     sql = _rewrite_division(sql)
     sql = _rewrite_lead_lag_in_frame(sql)
+    sql = _rewrite_frame_exclusion(sql)
+    sql = _rewrite_compound_intervals(sql)
     sql = _rewrite_collate(sql)
     sql = _rewrite_order_by_nulls(sql)
     out: list[str] = []

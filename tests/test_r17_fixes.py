@@ -282,3 +282,69 @@ class TestParseSideDateAudit:
             " '%F %T.%f')",
         )
         assert got.microsecond == 123456
+
+
+class TestRound17WaveE:
+    """Round-17 probe-wave closures: chained -State/-Merge guided
+    errors, window frame exclusion, compound interval strings."""
+
+    def test_chained_state_combinator_guided(self):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="sumStateIf"):
+            translate("SELECT sumStateIf(v, k = 1) FROM t")
+        with _pytest.raises(ValueError, match="avgMergeArray"):
+            translate("SELECT avgMergeArray(v) FROM t")
+
+    def test_exclude_no_others_stripped(self, spark):
+        # the SQL-standard default — a no-op Spark's parser rejects
+        q = (
+            "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1 PRECEDING"
+            " AND 1 FOLLOWING EXCLUDE NO OTHERS) AS s FROM"
+            " (SELECT 1 AS k, 10.0 AS v UNION ALL SELECT 2, 20.0"
+            "  UNION ALL SELECT 3, 30.0) ORDER BY k"
+        )
+        got = [float(r.s) for r in spark.sql(translate(q)).collect()]
+        assert got == [30.0, 60.0, 50.0]
+
+    def test_active_exclusion_guided(self):
+        import pytest as _pytest
+        from mcp_clickhouse_spark.dialect import DialectError
+
+        for kind in ("CURRENT ROW", "GROUP", "TIES"):
+            with _pytest.raises(DialectError, match="cannot exclude"):
+                translate(
+                    "SELECT sum(v) OVER (ORDER BY k ROWS BETWEEN 1"
+                    f" PRECEDING AND 1 FOLLOWING EXCLUDE {kind}) FROM t"
+                )
+
+    def test_exclude_inside_string_untouched(self, spark):
+        q = "SELECT 'EXCLUDE CURRENT ROW' AS s"
+        assert _val(spark, q) == "EXCLUDE CURRENT ROW"
+
+    def test_compound_interval_add(self, spark):
+        # CH applies compound intervals left-to-right: +1 month clamps
+        # Jan 31 → Feb 28, then +2 days → Mar 2
+        got = _val(
+            spark,
+            "SELECT toDateTime('2023-01-31 10:00:00')"
+            " + INTERVAL '1 MONTH 2 DAY'",
+        )
+        assert (got.month, got.day) == (3, 2)
+
+    def test_compound_interval_subtract(self, spark):
+        got = _val(
+            spark,
+            "SELECT toDate('2023-03-31') - INTERVAL '1 month 2 days'",
+        )
+        assert (got.month, got.day) == (2, 26)
+
+    def test_compound_interval_week_unit(self, spark):
+        got = _val(
+            spark, "SELECT toDate('2023-01-01') + INTERVAL '1 week 1 day'"
+        )
+        assert (got.month, got.day) == (1, 9)
+
+    def test_single_unit_string_native(self, spark):
+        got = _val(spark, "SELECT toDate('2023-01-01') + INTERVAL '3 day'")
+        assert (got.month, got.day) == (1, 4)
