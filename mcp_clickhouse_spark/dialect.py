@@ -178,8 +178,8 @@ NAME_MAP: dict[str, str] = {
     "toquarter": "quarter",
     "toisoweek": "weekofyear",
     "addyears": "add_months",  # via template below for correctness
-    "adddays": "date_add",
-    "subtractdays": "date_sub",
+    # adddays/subtractdays live in TEMPLATES (round 17): date_add casts
+    # TIMESTAMP → DATE, dropping the time-of-day CH keeps
     "lastdayofmonth": "last_day",
     "tolastdayofmonth": "last_day",
     # math (ln/log/log2/log10/log1p are TEMPLATES — CH returns -inf at
@@ -1127,6 +1127,47 @@ def _ch_datediff_expr(a: list[str]) -> str:
     raise DialectError(
         f"dateDiff: unsupported unit {unit!r} (nanosecond needs "
         "sub-microsecond timestamps Spark does not have)"
+    )
+
+
+def _age_fn(a: list[str]) -> str:
+    """CH ``age(unit, start, end)`` — complete units between two moments.
+
+    Day-and-coarser units compare WALL components (Spark's timestampdiff
+    / ChronoUnit matches CH's relative-num + finer-component adjustment,
+    incl. the no-clamp month stance: age('month', Jan 31, Feb 28) = 0).
+    Hour/minute/second are PHYSICAL in CH (toRelativeHourNum = epoch
+    seconds div 3600, tz-ignored) with a wall finer-component adjustment
+    — Spark's timestampdiff(HOUR) is wall-clock and silently drifts by
+    the DST shift (24 vs CH 23 across a spring-forward midnight span;
+    round-17 DST probe).  Emitted form replicates CH exactly:
+    boundary-ordinal difference, minus/plus one when the finer wall
+    components say the last unit is incomplete."""
+    unit = a[0].strip().strip("'\"").lower()
+    x, y = a[1], a[2]
+    spec = {
+        "hour": (3600000000, "minute({t}), second({t}), pmod(unix_micros({t}), 1000000)"),
+        "hh": (3600000000, "minute({t}), second({t}), pmod(unix_micros({t}), 1000000)"),
+        "h": (3600000000, "minute({t}), second({t}), pmod(unix_micros({t}), 1000000)"),
+        "minute": (60000000, "second({t}), pmod(unix_micros({t}), 1000000)"),
+        "mi": (60000000, "second({t}), pmod(unix_micros({t}), 1000000)"),
+        "n": (60000000, "second({t}), pmod(unix_micros({t}), 1000000)"),
+        "second": (1000000, "pmod(unix_micros({t}), 1000000)"),
+        "ss": (1000000, "pmod(unix_micros({t}), 1000000)"),
+        "s": (1000000, "pmod(unix_micros({t}), 1000000)"),
+    }.get(unit)
+    if spec is None:
+        return f"timestampdiff({unit.upper()}, {x}, {y})"
+    div, fine_tpl = spec
+    tx, ty = f"CAST({x} AS TIMESTAMP)", f"CAST({y} AS TIMESTAMP)"
+    rx = f"FLOOR(unix_micros({tx}) / {div})"
+    ry = f"FLOOR(unix_micros({ty}) / {div})"
+    fx = "struct(" + fine_tpl.format(t=tx) + ")"
+    fy = "struct(" + fine_tpl.format(t=ty) + ")"
+    res = f"CAST({ry} - {rx} AS BIGINT)"
+    return (
+        f"({res} - (CASE WHEN {res} > 0 AND {fy} < {fx} THEN 1 ELSE 0 END)"
+        f" + (CASE WHEN {res} < 0 AND {fy} > {fx} THEN 1 ELSE 0 END))"
     )
 
 
@@ -4055,10 +4096,18 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "addhours": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, {a[1]}, 0, 0))",
     "addminutes": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, {a[1]}, 0))",
     "addseconds": lambda a: f"({a[0]} + make_interval(0, 0, 0, 0, 0, 0, {a[1]}))",
-    # CAST the day count: Spark's date_add/date_sub reject BIGINT counts,
-    # and dialect arithmetic (intDiv, div-based fill-ins) yields BIGINT
-    "adddays": lambda a: f"date_add({a[0]}, CAST({a[1]} AS INT))",
-    "subtractdays": lambda a: f"date_sub({a[0]}, CAST({a[1]} AS INT))",
+    # day arithmetic via make_interval, NOT date_add: date_add casts a
+    # TIMESTAMP argument to DATE and silently drops the time-of-day
+    # (round-17 DST probe; same reason as the month/year comment below).
+    # DATE inputs stay DATE (days-only calendar interval), and TIMESTAMP
+    # inputs get CH addDays' wall-clock-preserving calendar semantics
+    # across DST.  CAST the count: make_interval rejects BIGINT.
+    "adddays": lambda a: (
+        f"({a[0]} + make_interval(0, 0, 0, CAST({a[1]} AS INT), 0, 0, 0))"
+    ),
+    "subtractdays": lambda a: (
+        f"({a[0]} - make_interval(0, 0, 0, CAST({a[1]} AS INT), 0, 0, 0))"
+    ),
     "addweeks": lambda a: f"({a[0]} + make_interval(0, 0, {a[1]}, 0, 0, 0, 0))",
     # month/year arithmetic via INTERVAL (add_months returns DATE and would
     # silently drop the time-of-day from TIMESTAMP inputs)
@@ -4094,7 +4143,7 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         else _format_datetime([f"timestamp_seconds({a[0]})", *a[1:]])
     ),
     "datetrunc": lambda a: f"date_trunc({', '.join(a)})",
-    "age": lambda a: f"timestampdiff({a[0].strip(chr(39)).upper()}, {a[1]}, {a[2]})",
+    "age": _age_fn,
     "tostartofinterval": _to_start_of_interval,
     # window-view time functions (round 10)
     "tumble": lambda a: _tumble_expr(a, "tuple"),

@@ -2,8 +2,8 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 16: 220 registered (222 with round 17's ``scalar_round17``
-and ``scalar_round17b``),
+after round 16: 220 registered (223 with round 17's ``scalar_round17``,
+``scalar_round17b``, and ``scalar_round17c``),
 zero value mismatches ever left unfixed, zero never-driver-checked
 registrations.  Last-green pools going into round 17 (replayed from
 every CORRECTNESS_r*.json): 21 queries last green r12 (the r16
@@ -30,7 +30,10 @@ Round 17 priority, summing to exactly 50:
   closures — the %y/%D MySQL century pivot, %k unpadded hours,
   compact-format parseDateTimeBestEffort — plus the frameless
   leadInFrame default-frame peer semantics);
-- 27 of the 49 queries last driver-checked in round 13.
+- ``scalar_round17c`` (new: the DST/calendar-arithmetic probe's
+  closures — addDays/subtractDays keeping the time-of-day, age()'s
+  physical hour/minute/second ordinals, compound interval strings);
+- 26 of the 49 queries last driver-checked in round 13.
 
 Deferred to the round-18 lead (stay at r13 — oldest last-green
 advances from r12 to r13 this round; each deferral has a rotating twin
@@ -79,7 +82,11 @@ or a stronger per-round check exercising the same engine path):
   -If combinator path),
 - ``agg_topk`` (displaced by ``scalar_round17b``; ``agg_topk_weighted``
   was r14-green — the same topK fold — and the sketch accuracy is
-  pinned by pytest).
+  pinned by pytest);
+- ``scalar_format_datetime`` (displaced by ``scalar_round17c``;
+  ``scalar_round17b`` drives formatDateTime('%Y%m%d') over the same
+  o_orderdate domain this rotation, and the FORMAT-side %-token
+  machinery carries the r13/r16 randomized-audit pins).
 """
 
 from __future__ import annotations
@@ -111,10 +118,13 @@ PRIORITY: list[str] = [
     "win_ranking",
     "win_value_functions",
     # round-17 additions (advisor-r16 fixes + case-conversion policy;
-    # parse-side audit + frameless leadInFrame closures)
+    # parse-side audit + frameless leadInFrame closures; DST/calendar
+    # probe closures — addDays time-keep, physical age, compound
+    # intervals)
     "scalar_round17",
     "scalar_round17b",
-    # last driver-checked in round 13 (27 of the 49-query pool)
+    "scalar_round17c",
+    # last driver-checked in round 13 (26 of the 49-query pool)
     "agg_minmax_by",
     "agg_weighted_quantile",
     "scalar_datetime_tz",
@@ -139,7 +149,6 @@ PRIORITY: list[str] = [
     "pipe_training_filter",
     "scale_salted_agg",
     "pipe_multimodal_meta",
-    "scalar_format_datetime",
     "scalar_uint64",
     "scalar_round13b",
 ]

@@ -147,3 +147,55 @@ def scalar_round17b(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R17B_CH))
+
+
+# Round-17 waves E + F closures (DST/calendar-arithmetic probe):
+#
+# - addDays/subtractDays now keep the time-of-day on DateTime inputs
+#   (the former date_add cast TIMESTAMP → DATE and silently dropped it);
+# - age() hour/minute/second are PHYSICAL epoch-ordinal diffs with a
+#   wall finer-component adjustment (CH's DateDiffImpl), replacing
+#   Spark's wall-clock timestampdiff that drifted by the DST shift and
+#   truncates toward zero differently;
+# - compound interval strings (INTERVAL '1 month 3 day') distribute
+#   left-associatively over +/- (Spark rejects mixed-field strings).
+#
+# The oracle reconstructs each from arithmetic primitives (interval
+# adds, integer division), never from DuckDB's own age().
+_SQL_R17C_CH = """
+SELECT o_orderkey,
+  toString(addDays(addSeconds(toDateTime(o_orderdate), 45296),
+                   o_orderkey % 5)) AS adk,
+  age('hour', toDateTime(o_orderdate),
+      addMinutes(toDateTime(o_orderdate), o_orderkey % 200)) AS agh,
+  age('second', addSeconds(toDateTime(o_orderdate), o_orderkey % 90),
+      toDateTime(o_orderdate)) AS agn,
+  toString(toDate(o_orderdate) + INTERVAL '1 month 3 day') AS cmi
+FROM orders
+"""
+
+_SQL_R17C_ORACLE = """
+SELECT o_orderkey,
+  strftime(CAST(o_orderdate AS TIMESTAMP) + INTERVAL 45296 SECOND
+           + to_days(CAST(o_orderkey % 5 AS INT)),
+           '%Y-%m-%d %H:%M:%S') AS adk,
+  CAST((o_orderkey % 200) // 60 AS BIGINT) AS agh,
+  CAST(-(o_orderkey % 90) AS BIGINT) AS agn,
+  strftime(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH + INTERVAL 3 DAY,
+           '%Y-%m-%d') AS cmi
+FROM orders
+"""
+
+
+@query("scalar_round17c", oracle=_SQL_R17C_ORACLE, category="scalars")
+def scalar_round17c(spark, sf_dir):
+    """Round-17 waves E+F end-to-end (see the _SQL_R17C_CH comment
+    block; DST vectors pinned in tests/test_r17_fixes.py — the driver
+    data is DST-free midnights, so the time-keeping/complete-unit
+    semantics are what this query drives).  o%5 sweeps day offsets over
+    month boundaries, o%200 sweeps 0-3 complete hours incl. exact-hour
+    edges, o%90 sweeps the negative age direction."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R17C_CH))

@@ -348,3 +348,96 @@ class TestRound17WaveE:
     def test_single_unit_string_native(self, spark):
         got = _val(spark, "SELECT toDate('2023-01-01') + INTERVAL '3 day'")
         assert (got.month, got.day) == (1, 4)
+
+
+class TestRound17WaveF:
+    """Round-17 DST probe closures: addDays/subtractDays must keep the
+    time-of-day (date_add cast TIMESTAMP → DATE), and age() hour/minute/
+    second are PHYSICAL in CH (epoch-seconds ordinals) where Spark's
+    timestampdiff is wall-clock — divergent exactly across DST shifts.
+    Probed under a named-DST session (conftest may be UTC; the string
+    vectors are tz-independent, the DST ones build their own session)."""
+
+    def test_adddays_keeps_time(self, spark):
+        got = _val(
+            spark,
+            "SELECT toString(addDays(toDateTime('2024-03-09 12:34:56'), 1))",
+        )
+        assert got == "2024-03-10 12:34:56"
+
+    def test_subtractdays_keeps_time(self, spark):
+        got = _val(
+            spark,
+            "SELECT toString(subtractDays("
+            "toDateTime('2024-03-11 12:00:00'), 1))",
+        )
+        assert got == "2024-03-10 12:00:00"
+
+    def test_adddays_date_stays_date(self, spark):
+        import datetime
+
+        got = _val(spark, "SELECT addDays(toDate('2024-01-01'), 5)")
+        assert got == datetime.date(2024, 1, 6)
+        assert not isinstance(got, datetime.datetime)
+
+    def test_age_docs_example(self, spark):
+        # CH docs: age('hour', '2021-12-29 11:00:00', '2022-01-01
+        # 10:30:00') = 71
+        got = _val(
+            spark,
+            "SELECT age('hour', toDateTime('2021-12-29 11:00:00'),"
+            " toDateTime('2022-01-01 10:30:00'))",
+        )
+        assert got == 71
+
+    def test_age_month_no_clamp(self, spark):
+        # complete months compare wall components WITHOUT month-end
+        # clamping: Jan 31 → Feb 28 is an incomplete month in CH
+        got = _val(
+            spark,
+            "SELECT age('month', toDate('2023-01-31'), toDate('2023-02-28'))",
+        )
+        assert got == 0
+
+    def test_age_negative_truncates_toward_zero(self, spark):
+        got = _val(
+            spark,
+            "SELECT age('hour', toDateTime('2024-06-01 11:10:00'),"
+            " toDateTime('2024-06-01 10:30:00'))",
+        )
+        assert got == 0
+
+    def test_age_and_adddays_dst(self):
+        # physical hours across the America/New_York spring-forward:
+        # midnight → midnight is 23 physical hours (CH age/dateDiff);
+        # addDays preserves the wall clock like CH's tz-aware addDays
+        from pyspark.sql import SparkSession
+
+        s = (
+            SparkSession.builder.master("local[2]")
+            .config("spark.sql.session.timeZone", "America/New_York")
+            .appName("r17-dst")
+            .getOrCreate()
+        )
+        old_tz = None
+        try:
+            old_tz = s.conf.get("spark.sql.session.timeZone")
+            s.conf.set("spark.sql.session.timeZone", "America/New_York")
+            assert _val(
+                s,
+                "SELECT age('hour', toDateTime('2024-03-10 00:00:00'),"
+                " toDateTime('2024-03-11 00:00:00'))",
+            ) == 23
+            assert _val(
+                s,
+                "SELECT toString(addDays("
+                "toDateTime('2024-03-09 12:00:00'), 1))",
+            ) == "2024-03-10 12:00:00"
+            assert _val(
+                s,
+                "SELECT age('hour', toDateTime('2024-11-03 00:00:00'),"
+                " toDateTime('2024-11-04 00:00:00'))",
+            ) == 25
+        finally:
+            if old_tz is not None:
+                s.conf.set("spark.sql.session.timeZone", old_tz)
