@@ -268,14 +268,15 @@ NAME_MAP: dict[str, str] = {
     # form countIf(x, cond) counts non-NULL x on matching rows, which a
     # bare count_if rename mis-arities
     "stddevpop": "stddev_pop",
-    "stddevsamp": "stddev_samp",
     "varpop": "var_pop",
-    "varsamp": "var_samp",
     "covarpop": "covar_pop",
-    "covarsamp": "covar_samp",
     # corr lives in TEMPLATES (round 11): Spark's corr builtin throws
     # DIVIDE_BY_ZERO under ANSI mode on degenerate groups (n=1 or zero
-    # variance) where CH returns nan — found by the combinator fuzz
+    # variance) where CH returns nan — found by the combinator fuzz.
+    # stddevSamp/varSamp/covarSamp moved to TEMPLATES round 17 (wave H):
+    # Spark's sample aggregates return NULL on n=1 where CH's Float64
+    # arithmetic gives 0/0 = nan — the pop forms are well-defined at
+    # n=1 and stay renames
     "groupbitand": "bit_and",
     "groupbitor": "bit_or",
     "groupbitxor": "bit_xor",
@@ -1467,6 +1468,54 @@ def _corr_guard(keep: str, other: str) -> str:
     return (
         f"(CASE WHEN ({keep}) IS NOT NULL AND ({other}) IS NOT NULL"
         f" THEN {keep} END)"
+    )
+
+
+def _stat_nan(expr: str, fed: str) -> str:
+    """Degenerate-statistic contract (round 17, wave H): ClickHouse
+    computes the statistics below as plain Float64 arithmetic, so a FED
+    but degenerate input (n = 1 for the sample forms, zero variance for
+    the ratio forms) is exactly 0/0 = nan — never an error and never
+    NULL.  (Cauchy–Schwarz forces the numerator to 0 whenever the
+    variance denominator is 0, so ±inf is unreachable for corr / skew /
+    kurt / the regression slope; Spark's Welford-style central moments
+    make the zero-variance test exact.)  Spark's builtins return NULL
+    there — and native corr ANSI-THROWS — so: take the Spark value when
+    defined, else nan as long as at least one row fed the aggregate
+    (``fed`` >= 1); zero rows keep NULL, the engine's documented
+    Nullable(T) empty-set reading."""
+    return (
+        f"coalesce({expr}, CASE WHEN {fed} >= 1 THEN double('NaN') END)"
+    )
+
+
+def _samp_nan(fn: str):
+    """var_samp/stddev_samp with CH's n = 1 → nan (0/0) contract."""
+    def h(a: list[str]) -> str:
+        return _stat_nan(f"{fn}({a[0]})", f"count({a[0]})")
+    return h
+
+
+def _covar_samp_nan(a: list[str]) -> str:
+    """covar_samp over pairwise-complete rows; one pair → nan (CH 0/0)."""
+    return _stat_nan(
+        f"covar_samp({a[0]}, {a[1]})",
+        f"count({_corr_guard(a[0], a[1])})",
+    )
+
+
+def _corr_nan(a: list[str]) -> str:
+    """Pearson r as covar_pop/(σx·σy) over pairwise-complete rows —
+    Spark's corr builtin throws DIVIDE_BY_ZERO under ANSI mode on
+    degenerate groups (n = 1 or zero variance) where CH returns nan.
+    Each side is guarded both-non-NULL so the marginal stddevs see
+    exactly the pairwise-complete rows Spark's corr would."""
+    gx = _corr_guard(a[0], a[1])
+    gy = _corr_guard(a[1], a[0])
+    return _stat_nan(
+        f"try_divide(covar_pop({gx}, {gy}),"
+        f" stddev_pop({gx}) * stddev_pop({gy}))",
+        f"count({gx})",
     )
 
 
@@ -3001,8 +3050,9 @@ def _rank_corr_expr(a: list[str]) -> str:
     the rank pairs via one moment fold.  O(n²) comparisons per group —
     the per-group memory contract CH has, but quadratic work: for large
     groups use a window-rank plan instead (RANK() + (ties−1)/2, then
-    corr), which is what the oracle twin does.  try_divide: constant
-    columns return NULL where CH returns nan."""
+    corr), which is what the oracle twin does.  try_divide + _stat_nan
+    (round 17, wave H): a fed-but-degenerate group (constant column,
+    single pair) is 0/0 = nan in CH's Float64 arithmetic."""
     if len(a) != 2:
         raise DialectError("rankCorr takes (x, y)")
     pairs = (
@@ -3032,10 +3082,11 @@ def _rank_corr_expr(a: list[str]) -> str:
         f" 'yy', __ra.yy + __re.ry * __re.ry,"
         f" 'xy', __ra.xy + __re.rx * __re.ry))"
     )
-    return (
+    return _stat_nan(
         f"try_divide({n} * ({mom}).xy - ({mom}).sx * ({mom}).sy,"
         f" sqrt(({n} * ({mom}).xx - power(({mom}).sx, 2))"
-        f" * ({n} * ({mom}).yy - power(({mom}).sy, 2))))"
+        f" * ({n} * ({mom}).yy - power(({mom}).sy, 2))))",
+        n,
     )
 
 
@@ -4478,9 +4529,13 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f" / sum(CASE WHEN ({a[0]}) IS NOT NULL THEN ({a[1]}) END) END)"
     ),
     "sumcount": lambda a: f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))",
-    "skewpop": lambda a: f"skewness({a[0]})",
+    # zero-variance groups: Spark skewness/kurtosis return NULL where
+    # CH's m₃/σ³ (m₄/σ⁴) is 0/0 = nan — _stat_nan (round 17, wave H)
+    "skewpop": lambda a: _stat_nan(f"skewness({a[0]})", f"count({a[0]})"),
     # Spark's kurtosis is EXCESS kurtosis (m4/m2^2 - 3); CH kurtPop is raw
-    "kurtpop": lambda a: f"(kurtosis({a[0]}) + 3)",
+    "kurtpop": lambda a: _stat_nan(
+        f"(kurtosis({a[0]}) + 3)", f"count({a[0]})"
+    ),
     # map higher-order family (CH puts the lambda FIRST; Spark second)
     "mapfilter": lambda a: f"map_filter({a[1]}, {a[0]})",
     # mapUpdate: m2 wins on key conflict, independent of mapKeyDedupPolicy
@@ -6206,19 +6261,16 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         f"count_if({a[0]})" if len(a) == 1
         else f"count(CASE WHEN {a[1]} THEN {a[0]} END)"
     ),
-    # corr (round 11 — moved from NAME_MAP): Pearson r as the closed
-    # form covar_pop / (stddev_pop * stddev_pop), try_divide'd so a
-    # degenerate group (single row, zero variance) yields NULL instead
-    # of Spark corr's ANSI DIVIDE_BY_ZERO crash (CH returns nan there —
-    # NULL is the engine's documented ANSI delta, like boundingRatio).
-    # Each side is guarded both-non-NULL so the marginal stddevs see
-    # exactly the pairwise-complete rows Spark's corr would
-    "corr": lambda a: (
-        f"try_divide(covar_pop({_corr_guard(a[0], a[1])},"
-        f" {_corr_guard(a[1], a[0])}),"
-        f" stddev_pop({_corr_guard(a[0], a[1])})"
-        f" * stddev_pop({_corr_guard(a[1], a[0])}))"
-    ),
+    # corr (round 11 — moved from NAME_MAP; round 17 wave H replaced the
+    # NULL-on-degenerate stance with CH's actual nan): _corr_nan above —
+    # fed-but-degenerate groups (single row, zero variance) are exactly
+    # 0/0 = nan in CH's Float64 arithmetic, representable here too.
+    # The sample family gets the same n=1 → nan contract (Spark's
+    # var_samp/stddev_samp/covar_samp return NULL there)
+    "corr": _corr_nan,
+    "varsamp": _samp_nan("var_samp"),
+    "stddevsamp": _samp_nan("stddev_samp"),
+    "covarsamp": _covar_samp_nan,
     # byte-level string-distance family (round 10 — were guided): CH
     # operates on BYTES, so these are Arrow pandas_udfs over the UTF-8
     # encoding (functions/strdist.py), byte-exact on every input —
@@ -6740,31 +6792,50 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # most-frequent value — a strictly stronger guarantee, same contract
     "anyheavy": lambda a: f"mode({a[0]})",
     # boundingRatio(x, y): slope between the leftmost and rightmost points.
-    # try_divide: constant-x groups (single-row groups are common) would
-    # throw DIVIDE_BY_ZERO under ANSI mode; CH returns nan/inf there — we
-    # return NULL (documented delta, round-7 advisor).
+    # Constant-x groups (single-row groups are common) would throw
+    # DIVIDE_BY_ZERO under ANSI mode; CH's Float64 division gives ±inf on
+    # a nonzero rise over the zero run and nan on 0/0 (round 17, wave H —
+    # was a NULL delta).  Unlike corr/skew, the numerator here is NOT
+    # Cauchy–Schwarz-tied to the denominator, so ±inf is reachable.
     "boundingratio": lambda a: (
-        f"try_divide(max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}),"
-        f" max({a[0]}) - min({a[0]}))"
+        f"coalesce(try_divide(max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}),"
+        f" max({a[0]}) - min({a[0]})),"
+        f" CASE WHEN max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}) > 0"
+        f" THEN double('Infinity')"
+        f" WHEN max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}) < 0"
+        f" THEN double('-Infinity')"
+        f" WHEN max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]}) = 0"
+        f" THEN double('NaN') END)"
     ),
     # simpleLinearRegression(x, y) → tuple (k, b): least-squares slope and
     # intercept, exactly covar_pop/var_pop and avg(y) - k*avg(x).
-    # try_divide: var_pop = 0 for constant x → NULL slope/intercept where
-    # CH returns nan/inf (same ANSI guard as boundingRatio above).
+    # var_pop = 0 for constant x → covar_pop is 0 too (Cauchy–Schwarz),
+    # so CH's slope is 0/0 = nan and b = avg(y) - nan·avg(x) = nan —
+    # nan propagates through b from the coalesced k (round 17, wave H).
     "simplelinearregression": lambda a: (
-        f"named_struct('k', try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]})),"
-        f" 'b', avg({a[1]}) - try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]}))"
-        f" * avg({a[0]}))"
+        f"named_struct('k', "
+        + _stat_nan(
+            f"try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]}))",
+            f"count({_corr_guard(a[0], a[1])})",
+        )
+        + f", 'b', avg({a[1]}) - "
+        + _stat_nan(
+            f"try_divide(covar_pop({a[0]}, {a[1]}), var_pop({a[0]}))",
+            f"count({_corr_guard(a[0], a[1])})",
+        )
+        + f" * avg({a[0]}))"
     ),
     # CH *Stable variants = numerically-stable computation of the same
-    # statistic; Spark's implementations are already merge-stable
-    "corrstable": lambda a: f"corr({a[0]}, {a[1]})",
+    # statistic; Spark's implementations are already merge-stable.
+    # The corr/samp twins route through the wave-H nan templates (native
+    # corr ANSI-throws on zero variance; samp forms are NULL on n=1)
+    "corrstable": _corr_nan,
     "covarpopstable": lambda a: f"covar_pop({a[0]}, {a[1]})",
-    "covarsampstable": lambda a: f"covar_samp({a[0]}, {a[1]})",
+    "covarsampstable": _covar_samp_nan,
     "varpopstable": lambda a: f"var_pop({a[0]})",
-    "varsampstable": lambda a: f"var_samp({a[0]})",
+    "varsampstable": _samp_nan("var_samp"),
     "stddevpopstable": lambda a: f"stddev_pop({a[0]})",
-    "stddevsampstable": lambda a: f"stddev_samp({a[0]})",
+    "stddevsampstable": _samp_nan("stddev_samp"),
     # order-dependent / multi-pass aggregates: guided errors, not raw
     # "undefined function" from Spark's parser
     "deltasum": lambda a: (_ for _ in ()).throw(DialectError(
@@ -6819,15 +6890,17 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     # m₃ = skewness·varPop^1.5, m₄ = (kurtosis+3)·varPop²
     # try_divide (round 11, combinator fuzz): a zero-variance group
     # (n>=2 identical values) made the bare division throw ANSI
-    # DIVIDE_BY_ZERO; CH returns nan there — NULL is the engine's
-    # documented ANSI delta
-    "skewsamp": lambda a: (
+    # DIVIDE_BY_ZERO; CH returns nan there — _stat_nan (round 17,
+    # wave H) now emits that nan on any fed-but-degenerate group
+    "skewsamp": lambda a: _stat_nan(
         f"(skewness({a[0]})"
-        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 1.5))"
+        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 1.5))",
+        f"count({a[0]})",
     ),
-    "kurtsamp": lambda a: (
+    "kurtsamp": lambda a: _stat_nan(
         f"((kurtosis({a[0]}) + 3)"
-        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 2))"
+        f" * pow(try_divide(var_pop({a[0]}), var_samp({a[0]})), 2))",
+        f"count({a[0]})",
     ),
     "entropy": _entropy_expr,
     "summap": lambda a: _map_agg_expr(a, "sum"),
@@ -8634,14 +8707,21 @@ def _parse_readable_size(a: list[str], null_on_error: bool) -> str:
     return f"CASE WHEN {num} IS NULL THEN {err} {branches} ELSE {err} END"
 
 
-def _agg_matrix(a: list[str], fn: str) -> str:
+def _agg_matrix(a: list[str], fn) -> str:
     """corrMatrix/covar*Matrix(c1, …, cN): N² pairwise scalar aggregates
-    assembled into CH's Array(Array(Float64)) shape."""
+    assembled into CH's Array(Array(Float64)) shape.  ``fn`` is a Spark
+    aggregate name or a pair-template callable (corr/covarSamp route
+    through the wave-H nan templates — native corr would ANSI-throw on
+    any zero-variance column, e.g. the matrix over a constant)."""
     if len(a) < 2:
-        raise DialectError(f"{fn}Matrix needs at least two columns")
+        raise DialectError("aggregate Matrix forms need at least two columns")
+    cell = (
+        (lambda ci, cj: fn([ci, cj])) if callable(fn)
+        else (lambda ci, cj: f"{fn}({ci}, {cj})")
+    )
     rows = ", ".join(
         "array(" + ", ".join(
-            f"CAST({fn}({ci}, {cj}) AS DOUBLE)" for cj in a
+            f"CAST({cell(ci, cj)} AS DOUBLE)" for cj in a
         ) + ")"
         for ci in a
     )
@@ -8851,8 +8931,8 @@ TEMPLATES.update({
     "last_value_respect_nulls": lambda a: f"last({a[0]})",
     # correlation/covariance MATRIX over N columns: N² scalar aggregates
     # assembled into Array(Array(Float64)), CH's shape
-    "corrmatrix": lambda a: _agg_matrix(a, "corr"),
-    "covarsampmatrix": lambda a: _agg_matrix(a, "covar_samp"),
+    "corrmatrix": lambda a: _agg_matrix(a, _corr_nan),
+    "covarsampmatrix": lambda a: _agg_matrix(a, _covar_samp_nan),
     "covarpopmatrix": lambda a: _agg_matrix(a, "covar_pop"),
     **{
         _t: (lambda _n: (lambda a: (_ for _ in ()).throw(DialectError(

@@ -2,8 +2,8 @@
 
 The driver oracle-checks only the FIRST 50 entries of ``queries()`` (in
 registration order), rotating coverage round by round.  Cumulative state
-after round 16: 220 registered (223 with round 17's ``scalar_round17``,
-``scalar_round17b``, and ``scalar_round17c``),
+after round 16: 220 registered (224 with round 17's ``scalar_round17``,
+``scalar_round17b``, ``scalar_round17c``, and ``agg_stats_edges``),
 zero value mismatches ever left unfixed, zero never-driver-checked
 registrations.  Last-green pools going into round 17 (replayed from
 every CORRECTNESS_r*.json): 21 queries last green r12 (the r16
@@ -33,7 +33,11 @@ Round 17 priority, summing to exactly 50:
 - ``scalar_round17c`` (new: the DST/calendar-arithmetic probe's
   closures — addDays/subtractDays keeping the time-of-day, age()'s
   physical hour/minute/second ordinals, compound interval strings);
-- 26 of the 49 queries last driver-checked in round 13.
+- ``agg_stats_edges`` (new: the wave-H degenerate-statistics contract —
+  fed-but-degenerate varSamp/stddevSamp/covarSamp/corr/skewSamp/
+  boundingRatio are CH's Float64 0/0 = nan, never NULL; the native-corr
+  ANSI crashes in corrStable/corrMatrix were closed by the same wave);
+- 25 of the 49 queries last driver-checked in round 13.
 
 Deferred to the round-18 lead (stay at r13 — oldest last-green
 advances from r12 to r13 this round; each deferral has a rotating twin
@@ -86,7 +90,11 @@ or a stronger per-round check exercising the same engine path):
 - ``scalar_format_datetime`` (displaced by ``scalar_round17c``;
   ``scalar_round17b`` drives formatDateTime('%Y%m%d') over the same
   o_orderdate domain this rotation, and the FORMAT-side %-token
-  machinery carries the r13/r16 randomized-audit pins).
+  machinery carries the r13/r16 randomized-audit pins);
+- ``scalar_round13b`` (displaced by ``agg_stats_edges``;
+  scalar_round17/b/c drive the same delegated-SQL scalar machinery
+  with three fresh queries this rotation, and scalar_round13b's own
+  vectors carry exact-value pytest pins).
 """
 
 from __future__ import annotations
@@ -120,11 +128,12 @@ PRIORITY: list[str] = [
     # round-17 additions (advisor-r16 fixes + case-conversion policy;
     # parse-side audit + frameless leadInFrame closures; DST/calendar
     # probe closures — addDays time-keep, physical age, compound
-    # intervals)
+    # intervals; wave-H degenerate-statistics nan contract)
     "scalar_round17",
     "scalar_round17b",
     "scalar_round17c",
-    # last driver-checked in round 13 (26 of the 49-query pool)
+    "agg_stats_edges",
+    # last driver-checked in round 13 (25 of the 49-query pool)
     "agg_minmax_by",
     "agg_weighted_quantile",
     "scalar_datetime_tz",
@@ -150,7 +159,6 @@ PRIORITY: list[str] = [
     "scale_salted_agg",
     "pipe_multimodal_meta",
     "scalar_uint64",
-    "scalar_round13b",
 ]
 
 

@@ -199,3 +199,87 @@ def scalar_round17c(spark, sf_dir):
 
     t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(translate(_SQL_R17C_CH))
+
+
+# Round-17 wave H: fed-but-degenerate statistics are ClickHouse Float64
+# 0/0 = nan, not NULL (and native Spark corr ANSI-THROWS — corrStable/
+# corrMatrix crashed on zero variance before the wave).  The composite
+# key plants all three branches: o%5 rows become singleton groups
+# (n = 1 → nan for every sample statistic), the rest form ~200 groups of
+# real data, and g%7 == 0 groups get a CONSTANT column (zero variance →
+# corr/skew nan at n >= 2).  Values are scale-normalized (/1e5) so the
+# round(…, 6) guard is far above both engines' accumulation-order ULPs.
+# The oracle reconstructs the nan conditions structurally (COUNT = 1,
+# MIN = MAX — exact comparisons, no float tolerance) because DuckDB's
+# own sample aggregates return NULL on n = 1, and nan itself cannot
+# cross the driver hash — each statistic ships as (flag, guarded value).
+_SQL_R17H_CH = """
+SELECT g,
+  toInt64(count(1)) AS n,
+  toInt64(if(isNaN(varSamp(tp)), 1, 0)) AS vs_nan,
+  round(if(isNaN(varSamp(tp)), 0, varSamp(tp)), 6) AS vs_val,
+  round(if(isNaN(stddevSamp(tp)), 0, stddevSamp(tp)), 6) AS sd_val,
+  toInt64(if(isNaN(covarSamp(tp, ok)), 1, 0)) AS cv_nan,
+  round(if(isNaN(covarSamp(tp, ok)), 0, covarSamp(tp, ok)), 6) AS cv_val,
+  toInt64(if(isNaN(corr(tpc, ok)), 1, 0)) AS cr_nan,
+  round(if(isNaN(corr(tpc, ok)), 0, corr(tpc, ok)), 6) AS cr_val,
+  toInt64(if(isNaN(skewSamp(tpc)), 1, 0)) AS sk_nan,
+  toInt64(if(isNaN(boundingRatio(ok, tp)), 1, 0)) AS br_nan,
+  round(if(isNaN(boundingRatio(ok, tp)), 0, boundingRatio(ok, tp)), 6) AS br_val
+FROM (
+  SELECT g, tp, ok,
+         CASE WHEN g % 7 = 0 THEN 3.25 ELSE tp END AS tpc
+  FROM (
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN 100000 + o_orderkey
+                ELSE o_custkey % 200 END AS g,
+           o_totalprice / 100000 AS tp,
+           toFloat64(o_orderkey) / 100000 AS ok
+    FROM orders
+  )
+)
+GROUP BY g
+"""
+
+_SQL_R17H_ORACLE = """
+SELECT g,
+  CAST(COUNT(1) AS BIGINT) AS n,
+  CAST(CASE WHEN COUNT(1) = 1 THEN 1 ELSE 0 END AS BIGINT) AS vs_nan,
+  ROUND(CASE WHEN COUNT(1) = 1 THEN 0 ELSE VAR_SAMP(tp) END, 6) AS vs_val,
+  ROUND(CASE WHEN COUNT(1) = 1 THEN 0 ELSE STDDEV_SAMP(tp) END, 6) AS sd_val,
+  CAST(CASE WHEN COUNT(1) = 1 THEN 1 ELSE 0 END AS BIGINT) AS cv_nan,
+  ROUND(CASE WHEN COUNT(1) = 1 THEN 0 ELSE COVAR_SAMP(tp, ok) END, 6) AS cv_val,
+  CAST(CASE WHEN COUNT(1) = 1 OR MIN(tpc) = MAX(tpc) THEN 1 ELSE 0 END
+       AS BIGINT) AS cr_nan,
+  ROUND(CASE WHEN COUNT(1) = 1 OR MIN(tpc) = MAX(tpc) THEN 0
+        ELSE CORR(tpc, ok) END, 6) AS cr_val,
+  CAST(CASE WHEN COUNT(1) = 1 OR MIN(tpc) = MAX(tpc) THEN 1 ELSE 0 END
+       AS BIGINT) AS sk_nan,
+  CAST(CASE WHEN COUNT(1) = 1 THEN 1 ELSE 0 END AS BIGINT) AS br_nan,
+  ROUND(CASE WHEN COUNT(1) = 1 THEN 0
+        ELSE (ARG_MAX(tp, ok) - ARG_MIN(tp, ok)) / (MAX(ok) - MIN(ok))
+        END, 6) AS br_val
+FROM (
+  SELECT g, tp, ok,
+         CASE WHEN g % 7 = 0 THEN 3.25 ELSE tp END AS tpc
+  FROM (
+    SELECT CASE WHEN o_orderkey % 5 = 0 THEN 100000 + o_orderkey
+                ELSE o_custkey % 200 END AS g,
+           o_totalprice / 100000 AS tp,
+           CAST(o_orderkey AS DOUBLE) / 100000 AS ok
+    FROM orders
+  ) s1
+) s2
+GROUP BY g
+"""
+
+
+@query("agg_stats_edges", oracle=_SQL_R17H_ORACLE, category="aggregates")
+def agg_stats_edges(spark, sf_dir):
+    """Round-17 wave H end-to-end (see the _SQL_R17H_CH comment block;
+    the full family incl. corrStable/corrMatrix/simpleLinearRegression/
+    rankCorr and the combinator interactions is pinned in
+    tests/test_r17_fixes.py::TestRound17WaveH)."""
+    from mcp_clickhouse_spark.dialect import translate
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(translate(_SQL_R17H_CH))

@@ -120,13 +120,15 @@ def _percentile(vals, level):
 
 
 def _corr(pairs):
-    if len(pairs) < 2:
+    if not pairs:
         return None
+    if len(pairs) < 2:
+        return float("nan")
     xs, ys = [p[0] for p in pairs], [p[1] for p in pairs]
     vx = _m(xs, 2) * len(xs)
     vy = _m(ys, 2) * len(ys)
     if vx == 0 or vy == 0:
-        return None
+        return float("nan")
     mx, my = statistics.fmean(xs), statistics.fmean(ys)
     cov = sum((a - mx) * (b - my) for a, b in pairs)
     return cov / math.sqrt(vx * vy)
@@ -140,8 +142,17 @@ ONE_ARG = {
     "min": lambda v: min(v) if v else None,
     "max": lambda v: max(v) if v else None,
     "median": lambda v: _percentile(v, 0.5) if v else None,
-    "stddevSamp": lambda v: statistics.stdev(v) if len(v) >= 2 else None,
-    "varSamp": lambda v: statistics.variance(v) if len(v) >= 2 else None,
+    # fed-but-degenerate sample statistics (n = 1, or zero variance for
+    # the moment ratios) are 0/0 = nan in CH's Float64 arithmetic — the
+    # round-17 wave-H contract; only a zero-row input keeps NULL
+    "stddevSamp": lambda v: (
+        statistics.stdev(v) if len(v) >= 2
+        else (float("nan") if v else None)
+    ),
+    "varSamp": lambda v: (
+        statistics.variance(v) if len(v) >= 2
+        else (float("nan") if v else None)
+    ),
     "stddevPop": lambda v: statistics.pstdev(v) if v else None,
     "varPop": lambda v: statistics.pvariance(v) if v else None,
     "uniqExact": lambda v: len(set(v)),
@@ -149,18 +160,26 @@ ONE_ARG = {
     # CH Moments.h: skewSamp = m3 / s^3, kurtSamp = m4 / s^4 with the
     # CENTRAL moments /n and s^2 the SAMPLE variance (r10-pinned)
     "skewPop": lambda v: (
-        _m(v, 3) / _m(v, 2) ** 1.5 if len(v) >= 1 and _m(v, 2) > 0 else None
+        None if not v
+        else _m(v, 3) / _m(v, 2) ** 1.5 if _m(v, 2) > 0
+        else float("nan")
     ),
     "kurtPop": lambda v: (
-        _m(v, 4) / _m(v, 2) ** 2 if len(v) >= 1 and _m(v, 2) > 0 else None
+        None if not v
+        else _m(v, 4) / _m(v, 2) ** 2 if _m(v, 2) > 0
+        else float("nan")
     ),
     "skewSamp": lambda v: (
-        _m(v, 3) / statistics.variance(v) ** 1.5
-        if len(v) >= 2 and _m(v, 2) > 0 else None
+        None if not v
+        else _m(v, 3) / statistics.variance(v) ** 1.5
+        if len(v) >= 2 and _m(v, 2) > 0
+        else float("nan")
     ),
     "kurtSamp": lambda v: (
-        _m(v, 4) / statistics.variance(v) ** 2
-        if len(v) >= 2 and _m(v, 2) > 0 else None
+        None if not v
+        else _m(v, 4) / statistics.variance(v) ** 2
+        if len(v) >= 2 and _m(v, 2) > 0
+        else float("nan")
     ),
     # empty input folds to a genuine 0.0 (the engine's pinned choice —
     # CH's nan there is not docs-pinned); -OrNull restores NULL via the
@@ -205,7 +224,7 @@ TWO_ARG = {
     "corr": ("y", _corr),
     "covarSamp": ("y", lambda p: (
         statistics.covariance([a for a, _ in p], [b for _, b in p])
-        if len(p) >= 2 else None
+        if len(p) >= 2 else (float("nan") if p else None)
     )),
     "covarPop": ("y", lambda p: (
         sum(
@@ -215,9 +234,11 @@ TWO_ARG = {
         ) / len(p)
         if p else None
     )),
+    # zero total weight over a fed input is CH's 0/0 = nan (r16 pin)
     "avgWeighted": ("w", lambda p: (
-        sum(a * b for a, b in p) / sum(b for _, b in p)
-        if p and sum(b for _, b in p) != 0 else None
+        None if not p
+        else sum(a * b for a, b in p) / sum(b for _, b in p)
+        if sum(b for _, b in p) != 0 else float("nan")
     )),
     "argMax": ("y", lambda p: max(p, key=lambda q: q[1])[0] if p else None),
     "argMin": ("y", lambda p: min(p, key=lambda q: q[1])[0] if p else None),
@@ -333,9 +354,14 @@ def _run_batch(spark, exprs):
 
 def _check(got, want, label):
     if want is None:
-        assert got is None or (
-            isinstance(got, float) and math.isnan(got)
-        ), f"{label}: got {got!r}, want NULL"
+        assert got is None, f"{label}: got {got!r}, want NULL"
+        return
+    if isinstance(want, float) and math.isnan(want):
+        # fed-but-degenerate statistic: CH's 0/0 — must be nan, not NULL
+        # (and must survive -OrDefault, which only replaces NULL)
+        assert isinstance(got, float) and math.isnan(got), (
+            f"{label}: got {got!r}, want nan"
+        )
         return
     if isinstance(want, list):
         assert got is not None and sorted(got) == want, (
@@ -360,8 +386,8 @@ def test_combinator_chains_match_python_oracle(spark, fuzz_table, lo):
     for i, (base, chain, expr) in enumerate(batch):
         for g in GROUPS:
             want = _expected(base, chain, g)
-            # degenerate-moment groups: Spark returns NULL or NaN where
-            # the Python oracle bails — both already map to want=None
+            # degenerate-moment groups: the oracle distinguishes CH's
+            # fed-but-degenerate nan from the empty-input NULL (wave H)
             got = rows[g][f"r{i}"]
             _check(got, want, f"{expr} g={g}")
 

@@ -3,6 +3,7 @@ Spark, assert exact values (the reference's query language accepted as-is)."""
 
 from __future__ import annotations
 
+import math
 import re
 
 import pytest
@@ -2292,19 +2293,22 @@ def test_weighted_quantile_ignores_nulls(spark):
 def test_round8_advisor_fixes(spark):
     """Round-8 advisor fixes: JSONExtractArrayRaw on an empty array
     returns [] (sequence(0, -1) used to build an invalid variant path);
-    boundingRatio/simpleLinearRegression on constant x return NULL via
-    try_divide instead of dying with ANSI DIVIDE_BY_ZERO (CH: nan/inf —
-    NULL is this engine's documented rendering); table references and
-    explicit AS-aliases that spell clause keywords survive."""
+    boundingRatio/simpleLinearRegression on constant x must not die with
+    ANSI DIVIDE_BY_ZERO — since round 17 (wave H) they return CH's
+    Float64 values: ±inf for a nonzero rise over the zero run, nan for
+    the 0/0 slope; table references and explicit AS-aliases that spell
+    clause keywords survive."""
     r = one(spark, """SELECT JSONExtractArrayRaw('{"a": []}', 'a') AS e,"""
             """ JSONExtractArrayRaw('{"a": [1]}', 'a') AS s""")
     assert r[0] == [] and r[1] == ["1"]
-    # constant x: single-row group — the whole query must not die
+    # constant x: zero run — ±inf (max_by/min_by tie order picks the
+    # rise's sign) or nan on an exact tie; never NULL, never an error
     spark.createDataFrame([(1, 5.0), (1, 7.0)], "x int, y double") \
         .createOrReplaceTempView("br_t")
     r2 = one(spark, "SELECT boundingRatio(x, y) AS br,"
              " simpleLinearRegression(x, y) AS lr FROM br_t")
-    assert r2[0] is None and r2[1]["k"] is None
+    assert math.isinf(r2[0]) or math.isnan(r2[0])
+    assert math.isnan(r2[1]["k"]) and math.isnan(r2[1]["b"])
     # keyword-spelling identifiers in table/alias positions
     assert translate("SELECT m FROM u AS final").rstrip() == (
         "SELECT m FROM u AS final"

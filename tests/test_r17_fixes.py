@@ -441,3 +441,111 @@ class TestRound17WaveF:
         finally:
             if old_tz is not None:
                 s.conf.set("spark.sql.session.timeZone", old_tz)
+
+
+class TestRound17WaveH:
+    """Round-17 wave H: fed-but-degenerate statistics.  ClickHouse
+    computes the sample/ratio statistics as plain Float64 arithmetic, so
+    n = 1 (sample forms) or zero variance (ratio forms) is exactly
+    0/0 = nan — Cauchy–Schwarz ties the numerator to the variance
+    denominator, so ±inf is unreachable for corr/skew/kurt/slope (only
+    boundingRatio, whose rise is independent of its run, can hit ±inf).
+    Spark's builtins return NULL there, and native corr ANSI-THROWS —
+    corrStable/corrMatrix crashed outright on a constant column before
+    this wave.  Empty inputs keep NULL (the documented Nullable(T)
+    empty-set reading).  Contract basis: verbatim SQL delegation
+    (/root/reference/mcp_clickhouse/mcp_server.py:425)."""
+
+    def _nan(self, spark, ch_sql):
+        import math
+
+        v = _val(spark, ch_sql)
+        assert isinstance(v, float) and math.isnan(v), f"{ch_sql}: {v!r}"
+
+    def test_sample_stats_n1_nan(self, spark):
+        for fn in ("varSamp", "stddevSamp", "varSampStable",
+                   "stddevSampStable", "skewPop", "skewSamp", "kurtSamp"):
+            self._nan(spark, f"SELECT {fn}(x) FROM (SELECT 5.0 AS x)")
+
+    def test_covar_corr_degenerate_nan(self, spark):
+        one = "(SELECT 5.0 AS x, 3.0 AS y)"
+        cst = ("(SELECT * FROM VALUES (1.0, 2.0), (1.0, 5.0), (1.0, 9.0)"
+               " AS t(x, y))")
+        for fn in ("covarSamp", "covarSampStable", "corr", "corrStable",
+                   "rankCorr"):
+            self._nan(spark, f"SELECT {fn}(x, y) FROM {one}")
+        for fn in ("corr", "corrStable", "rankCorr"):
+            self._nan(spark, f"SELECT {fn}(x, y) FROM {cst}")
+
+    def test_corr_matrix_constant_column_no_crash(self, spark):
+        import math
+
+        row = spark.sql(translate(
+            "SELECT corrMatrix(x, y) AS cm, covarSampMatrix(x, y) AS vm"
+            " FROM (SELECT * FROM VALUES (1.0, 2.0), (1.0, 5.0)"
+            " AS t(x, y))"
+        )).collect()[0]
+        assert math.isnan(row.cm[0][0]) and math.isnan(row.cm[0][1])
+        assert row.cm[1][1] == 1.0
+        assert all(math.isnan(v) for r in row.vm for v in r) is False
+        # covarSamp of 2 pairs is defined; the nan cells are the
+        # zero-variance corr ones only
+        assert row.vm[0][0] == 0.0
+
+    def test_bounding_ratio_ieee(self, spark):
+        import math
+
+        # distinct x: plain slope; constant x with a nonzero rise: ±inf;
+        # single row (rise exactly 0): nan
+        assert _val(
+            spark,
+            "SELECT boundingRatio(x, y) FROM (SELECT * FROM VALUES"
+            " (1.0, 2.0), (3.0, 8.0) AS t(x, y))",
+        ) == 3.0
+        v = _val(
+            spark,
+            "SELECT boundingRatio(x, y) FROM (SELECT * FROM VALUES"
+            " (1.0, 2.0), (1.0, 8.0) AS t(x, y))",
+        )
+        assert math.isinf(v) or math.isnan(v)
+        self._nan(spark, "SELECT boundingRatio(x, y)"
+                         " FROM (SELECT 1.0 AS x, 2.0 AS y)")
+
+    def test_simple_linear_regression_constant_x_nan(self, spark):
+        import math
+
+        row = spark.sql(translate(
+            "SELECT simpleLinearRegression(x, y) AS lr FROM"
+            " (SELECT * FROM VALUES (1.0, 2.0), (1.0, 5.0) AS t(x, y))"
+        )).collect()[0]
+        assert math.isnan(row.lr["k"]) and math.isnan(row.lr["b"])
+
+    def test_empty_inputs_keep_null(self, spark):
+        emp = ("(SELECT CAST(NULL AS DOUBLE) AS x, CAST(NULL AS DOUBLE)"
+               " AS y WHERE false)")
+        for expr in ("varSamp(x)", "stddevSamp(x)", "covarSamp(x, y)",
+                     "corr(x, y)", "skewPop(x)", "kurtSamp(x)",
+                     "rankCorr(x, y)", "boundingRatio(x, y)"):
+            assert _val(spark, f"SELECT {expr} FROM {emp}") is None, expr
+
+    def test_combinators_keep_contract(self, spark):
+        import math
+
+        # -OrDefault replaces only the empty-set NULL, never the
+        # fed-degenerate nan; -If feeds one row → nan
+        self._nan(spark, "SELECT varSampOrDefault(x)"
+                         " FROM (SELECT 5.0 AS x)")
+        self._nan(spark, "SELECT varSampIf(x, x > 4)"
+                         " FROM (SELECT * FROM VALUES (5.0), (1.0)"
+                         " AS t(x))")
+        assert _val(
+            spark,
+            "SELECT varSampOrDefault(x)"
+            " FROM (SELECT CAST(NULL AS DOUBLE) AS x WHERE false)",
+        ) == 0.0
+        # non-degenerate values unchanged
+        assert _val(
+            spark,
+            "SELECT varSamp(x) FROM (SELECT * FROM VALUES (1.0), (3.0)"
+            " AS t(x))",
+        ) == 2.0
