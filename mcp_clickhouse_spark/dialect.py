@@ -216,7 +216,10 @@ NAME_MAP: dict[str, str] = {
     # (arrayFlatten/flatten are TEMPLATES round 16: CH collapses every
     # nesting level, Spark's flatten exactly one)
     # arrayelement lives in TEMPLATES (round 14): out-of-range → NULL
-    "hasany": "arrays_overlap",
+    # hasAny/hasAll live in TEMPLATES (round 17, wave I): CH processes
+    # NULL as a VALUE and accepts an untyped-empty needle — Spark's
+    # arrays_overlap returns NULL for a NULL-only overlap and the old
+    # forall/array_contains form crashed on ARRAY<VOID> needles
     "arraymin": "array_min",
     "arraymax": "array_max",
     "arrayintersect": "array_intersect",
@@ -5456,7 +5459,21 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
             f" __zc -> CAST(__zc AS BOOLEAN)))"
         )
     ),
-    "hasall": lambda a: f"forall({a[1]}, x -> array_contains({a[0]}, x))",
+    # CH hasAll/hasAny (docs-pinned): "Null processed as a value" and
+    # "an empty array is a subset of any array".  Spark's array set ops
+    # (array_except/array_intersect) already match NULL against NULL and
+    # tolerate ARRAY<VOID> literals, so subset = nothing left after
+    # except, overlap = non-empty intersection — the old
+    # forall/array_contains and arrays_overlap forms crashed on untyped
+    # needles and three-valued-leaked the NULL-only overlap (wave I)
+    "hasall": lambda a: (
+        f"if(({a[0]}) IS NULL OR ({a[1]}) IS NULL, NULL,"
+        f" size(array_except({a[1]}, {a[0]})) = 0)"
+    ),
+    "hasany": lambda a: (
+        f"if(({a[0]}) IS NULL OR ({a[1]}) IS NULL, NULL,"
+        f" size(array_intersect({a[0]}, {a[1]})) > 0)"
+    ),
     "arraypushback": lambda a: f"concat({a[0]}, array({a[1]}))",
     "arraypushfront": lambda a: f"concat(array({a[1]}), {a[0]})",
     "arraypopback": lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))",
@@ -8522,9 +8539,13 @@ TEMPLATES.update({
     "arrayflatten": _flatten_expr,
     "flatten": _flatten_expr,
     # array set algebra
+    # two empty arrays: CH's |∩|/|∪| is 0/0 = nan (wave-H Float64
+    # contract); NULL inputs keep NULL
     "arrayjaccardindex": lambda a: (
-        f"try_divide(CAST(size(array_intersect({a[0]}, {a[1]}))"
-        f" AS DOUBLE), size(array_distinct(concat({a[0]}, {a[1]}))))"
+        f"coalesce(try_divide(CAST(size(array_intersect({a[0]}, {a[1]}))"
+        f" AS DOUBLE), size(array_distinct(concat({a[0]}, {a[1]})))),"
+        f" CASE WHEN ({a[0]}) IS NOT NULL AND ({a[1]}) IS NOT NULL"
+        f" THEN double('NaN') END)"
     ),
     "arraysymmetricdifference": lambda a: (
         f"array_distinct(concat(array_except({a[0]}, {a[1]}),"

@@ -549,3 +549,50 @@ class TestRound17WaveH:
             "SELECT varSamp(x) FROM (SELECT * FROM VALUES (1.0), (3.0)"
             " AS t(x))",
         ) == 2.0
+
+
+class TestRound17WaveI:
+    """Round-17 wave I: array-family edges.  CH docs pin 'Null processed
+    as a value' and 'an empty array is a subset of any array' for
+    hasAll/hasAny — Spark's arrays_overlap three-valued-leaks the
+    NULL-only overlap and the old forall/array_contains subset test
+    crashed at analysis on ARRAY<VOID> (untyped empty / all-NULL)
+    needles.  arrayJaccardIndex([], []) is |∩|/|∪| = 0/0 = nan (the
+    wave-H Float64 contract)."""
+
+    def test_hasall_null_as_value_and_void(self, spark):
+        vecs = [
+            ("hasAll(array(1,2,NULL), array(NULL))", True),
+            ("hasAll(array(1,2), array())", True),
+            ("hasAll(array(), array())", True),
+            ("hasAll(array(1,2), array(NULL))", False),
+            ("hasAll(array(1), array(1,1))", True),
+            ("hasAll(CAST(NULL AS ARRAY<INT>), array(1))", None),
+        ]
+        for expr, want in vecs:
+            assert _val(spark, f"SELECT {expr}") == want, expr
+
+    def test_hasany_null_only_overlap(self, spark):
+        vecs = [
+            ("hasAny(array(3,NULL), array(NULL,9))", True),
+            ("hasAny(array(1), array(2,NULL))", False),
+            ("hasAny(array(1,NULL), array(1))", True),
+            ("hasAny(array(1,2), array())", False),
+            ("hasAny(array(1), CAST(NULL AS ARRAY<INT>))", None),
+        ]
+        for expr, want in vecs:
+            assert _val(spark, f"SELECT {expr}") == want, expr
+
+    def test_jaccard_empty_nan(self, spark):
+        import math
+
+        v = _val(spark, "SELECT arrayJaccardIndex(array(), array())")
+        assert isinstance(v, float) and math.isnan(v)
+        assert _val(
+            spark,
+            "SELECT round(arrayJaccardIndex(array(1,2), array(2,3)), 4)",
+        ) == 0.3333
+        assert _val(
+            spark,
+            "SELECT arrayJaccardIndex(CAST(NULL AS ARRAY<INT>), array(1))",
+        ) is None
