@@ -4594,7 +4594,22 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
         if len(a) in (3, 4) and "->" not in a[1]
         else f"transform({', '.join(a)})"
     ),
-    "bitcount": lambda a: f"bit_count({a[0]})",
+    # CH bitCount counts over the ARGUMENT's stored width (two's
+    # complement: bitCount(toInt32(-1)) = 32), while Spark's bit_count
+    # always evaluates in 64 bits (wave J probe: even CAST AS INT gives
+    # 64).  The widths only disagree for NEGATIVE narrow values, and a
+    # width-forcing toIntN cast arrives here already translated as
+    # `CAST(… AS TINYINT/SMALLINT/INT)` — mask that tail syntactically;
+    # bare columns/literals keep the 64-bit reading (documented width
+    # delta, only negatives differ)
+    "bitcount": lambda a: (
+        (lambda m: (
+            f"bit_count(({a[0]})"
+            f" & {(1 << {'tinyint': 8, 'smallint': 16, 'int': 32}[m.group(1).lower()]) - 1})"
+            if m else f"bit_count({a[0]})"
+        ))(re.search(r"(?i)\bAS\s+(TINYINT|SMALLINT|INT)\s*\)\s*$",
+                     a[0].strip()))
+    ),
     "substringindex": lambda a: f"substring_index({', '.join(a)})",
     "tovalidutf8": lambda a: f"make_valid_utf8({a[0]})",
     # date/time fill-ins

@@ -413,9 +413,12 @@ class TestRound17WaveF:
         # addDays preserves the wall clock like CH's tz-aware addDays
         from pyspark.sql import SparkSession
 
+        # NOTE: no timezone in the builder — getOrCreate() would apply
+        # it to the ALREADY-RUNNING shared session before old_tz is
+        # read, making the finally-restore a no-op and leaking
+        # America/New_York into every later datetime test
         s = (
             SparkSession.builder.master("local[2]")
-            .config("spark.sql.session.timeZone", "America/New_York")
             .appName("r17-dst")
             .getOrCreate()
         )
@@ -596,3 +599,47 @@ class TestRound17WaveI:
             spark,
             "SELECT arrayJaccardIndex(CAST(NULL AS ARRAY<INT>), array(1))",
         ) is None
+
+
+class TestRound17WaveJ:
+    """Round-17 wave J: parametric-aggregate / map / bit edges.  The one
+    fix: CH bitCount counts over the argument's STORED width
+    (bitCount(toInt32(-1)) = 32, two's complement), while Spark's
+    bit_count always evaluates in 64 bits — a width-forcing toIntN cast
+    (translated CAST … AS TINYINT/SMALLINT/INT) now gets the matching
+    mask.  Bare columns/literals keep the 64-bit reading (documented:
+    only negative narrow values differ)."""
+
+    def test_bitcount_width(self, spark):
+        vecs = [
+            ("bitCount(toInt8(-1))", 8),
+            ("bitCount(toInt16(-1))", 16),
+            ("bitCount(toInt32(-1))", 32),
+            ("bitCount(toInt64(-1))", 64),
+            ("bitCount(-1)", 64),
+            ("bitCount(toInt32(333))", 5),
+            ("bitCount(333)", 5),
+            ("bitCount(toUInt8(255))", 8),
+        ]
+        for expr, want in vecs:
+            assert _val(spark, f"SELECT {expr}") == want, expr
+
+    def test_quantile_level_boundaries(self, spark):
+        five = "(SELECT * FROM VALUES (1.0),(2.0),(3.0),(4.0),(10.0) t(x))"
+        assert _val(spark, f"SELECT quantile(0)(x) FROM {five}") == 1.0
+        assert _val(spark, f"SELECT quantile(1)(x) FROM {five}") == 10.0
+        assert float(_val(
+            spark, f"SELECT quantileExact(0)(x) FROM {five}")) == 1.0
+        assert float(_val(
+            spark, f"SELECT quantileExact(1)(x) FROM {five}")) == 10.0
+        # duplicate levels kept, argument order preserved
+        got = _val(
+            spark,
+            f"SELECT toString(quantilesExact(1, 0)(x)) FROM {five}")
+        assert got == "[10.0, 1.0]" or got == "[10, 1]", got
+
+    def test_uniq_upto_cap(self, spark):
+        five = "(SELECT * FROM VALUES (1.0),(2.0),(3.0),(4.0),(10.0) t(x))"
+        assert _val(spark, f"SELECT uniqUpTo(8)(x) FROM {five}") == 5
+        # over the cap: CH returns N + 1
+        assert _val(spark, f"SELECT uniqUpTo(3)(x) FROM {five}") == 4
