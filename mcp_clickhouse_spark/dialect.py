@@ -388,6 +388,22 @@ def _json_extract_raw(args: list[str]) -> str:
     )
 
 
+def _json_length(args: list[str]) -> str:
+    """CH JSONLength(json[, keys_or_indices…]) — array element count or
+    object key count AT THE ADDRESSED PATH; the docs pin "if the value
+    does not exist or has a wrong type, 0 will be returned" (wave K: the
+    path arguments were previously ignored — the length was always taken
+    at the document root — and a scalar returned NULL, not 0)."""
+    doc = (
+        args[0] if len(args) == 1
+        else f"get_json_object({args[0]}, '{_json_path_of(args[1:])}')"
+    )
+    return (
+        f"coalesce(json_array_length({doc}),"
+        f" size(json_object_keys({doc})), 0)"
+    )
+
+
 def _json_path_of(args: list[str]) -> str:
     """Build the literal JSONPath for CH keys/indices args (shared with
     :func:`_json_extract_raw`'s rules)."""
@@ -4549,11 +4565,8 @@ TEMPLATES: dict[str, Callable[[list[str]], str]] = {
     "mapcontainskeylike": lambda a: (
         f"exists(map_keys({a[0]}), k -> k LIKE {a[1]})"
     ),
-    # JSON introspection
-    "jsonlength": lambda a: (
-        f"coalesce(json_array_length({a[0]}),"
-        f" size(json_object_keys({a[0]})))"
-    ),
+    # JSON introspection (path-aware + wrong-type → 0: _json_length)
+    "jsonlength": _json_length,
     "jsonextractkeys": lambda a: f"json_object_keys({a[0]})",
     "tojsonstring": lambda a: f"to_json({a[0]})",
     # IPv4 (numeric <-> dotted-quad; the NumToString twin already exists)

@@ -643,3 +643,46 @@ class TestRound17WaveJ:
         assert _val(spark, f"SELECT uniqUpTo(8)(x) FROM {five}") == 5
         # over the cap: CH returns N + 1
         assert _val(spark, f"SELECT uniqUpTo(3)(x) FROM {five}") == 4
+
+
+class TestRound17WaveK:
+    """Round-17 wave K: JSON introspection + accurate-cast edges.  The
+    fix: JSONLength's path arguments were silently IGNORED (the length
+    was always taken at the document root) and a scalar/absent/wrong-
+    type value returned NULL where CH's docs pin 0 ("if the value does
+    not exist or has a wrong type, 0 will be returned")."""
+
+    def test_jsonlength_path_and_zero(self, spark):
+        vecs = [
+            ("""JSONLength('{"a":1,"b":2}')""", 2),
+            ("""JSONLength('[1,2,3]')""", 3),
+            ("""JSONLength('7')""", 0),
+            ("""JSONLength('{"a":[1,2]}', 'a')""", 2),
+            ("""JSONLength('{"a":{"x":1,"y":2,"z":3}}', 'a')""", 3),
+            ("""JSONLength('{"a":[[5],[6,7]]}', 'a', 2)""", 2),
+            ("""JSONLength('{"a":1}', 'missing')""", 0),
+            ("""JSONLength('not json')""", 0),
+            ("""JSONLength('{"a":"str"}', 'a')""", 0),
+        ]
+        for expr, want in vecs:
+            assert _val(spark, f"SELECT {expr}") == want, expr
+
+    def test_json_introspection_edges(self, spark):
+        assert _val(spark, """SELECT JSONHas('[1,2]', 2)""") is True
+        assert _val(spark, """SELECT JSONHas('[1,2]', 3)""") is False
+        assert _val(spark, """SELECT JSONType('{"a":[1]}', 'a')""") == "Array"
+        assert _val(
+            spark,
+            """SELECT JSONExtractRaw('{"a":[{"b":1}]}', 'a', 1, 'b')""",
+        ) == "1"
+        assert _val(
+            spark, """SELECT simpleJSONExtractString('{"k":"v1","k":"v2"}', 'k')"""
+        ) == "v1"
+
+    def test_accurate_cast_range(self, spark):
+        # out-of-range → NULL (docs-pinned); fractional truncation keeps
+        # the plain-cast reading (VERIFY-CLASS, recorded in COVERAGE.md)
+        assert _val(spark, "SELECT accurateCastOrNull(200, 'UInt8')") == 200
+        assert _val(spark, "SELECT accurateCastOrNull(300, 'UInt8')") is None
+        assert _val(spark, "SELECT toInt32OrNull('42.5')") is None
+        assert _val(spark, "SELECT toUInt8(300)") == 44
