@@ -3490,6 +3490,69 @@ def _max_intersections_expr(a: list[str], position: bool) -> str:
     )
 
 
+def _arg_minmax_expr(a: list[str], how: str, is_min: bool) -> str:
+    """CH -ArgMin/-ArgMax combinator (round 17, wave L — previously a
+    raw UNRESOLVED_ROUTINE leak): the base aggregate processes ONLY the
+    rows whose KEY expression equals the group's minimal/maximal key
+    (docs: "processes only the rows that have the minimum/maximum value
+    for the specified extra expression"); ties ALL participate — unlike
+    argMin/argMax, which pick one row.  Same collected-pairs shape as
+    -Resample, but the best key must be bound OUTSIDE the filter lambda
+    (Spark rejects aggregates inside higher-order functions), so
+    (pairs, best) ride in through a single-element transform — the
+    _bind_once pattern.  NULL value/key rows are skipped (CH
+    aggregate-input contract); zero kept rows → count-likes 0, other
+    bases NULL (the Nullable empty-set reading)."""
+    name = how + ("ArgMin" if is_min else "ArgMax")
+    if len(a) != 2:
+        raise DialectError(f"{name} takes (value, key) arguments")
+    v, k = a
+    pairs = (
+        f"filter(collect_list(named_struct('v', {v}, 'k', {k})),"
+        f" __ap -> __ap.v IS NOT NULL AND __ap.k IS NOT NULL)"
+    )
+    best = (
+        f"array_{'min' if is_min else 'max'}"
+        f"(transform({pairs}, __ak -> __ak.k))"
+    )
+    vs = (
+        f"transform(filter(__ab.p, __aq -> __aq.k = __ab.b),"
+        f" __ar -> __ar.v)"
+    )
+    if how == "count":
+        per = f"size({vs})"
+    elif how == "min":
+        per = f"array_min({vs})"
+    elif how == "max":
+        per = f"array_max({vs})"
+    elif how == "avg":
+        per = (
+            f"IF(size({vs}) = 0, NULL,"
+            f" try_divide({_typed_sum_fold(vs)}, size({vs})))"
+        )
+    elif how in ("uniq", "uniqexact"):
+        per = f"size(array_distinct({vs}))"
+    elif how == "grouparray":
+        per = vs
+    elif how == "groupuniqarray":
+        per = f"array_distinct({vs})"
+    elif how == "any":
+        per = f"try_element_at({vs}, 1)"
+    elif how == "anylast":
+        per = f"try_element_at({vs}, -1)"
+    else:  # sum
+        # array_sort before the fold: deterministic float sums across
+        # shuffles (the -Resample precedent)
+        per = (
+            f"IF(size({vs}) = 0, NULL,"
+            f" {_typed_sum_fold(f'array_sort({vs})')})"
+        )
+    return (
+        f"element_at(transform(array(named_struct('p', {pairs},"
+        f" 'b', {best})), __ab -> {per}), 1)"
+    )
+
+
 def _resample_expr(p: list[str], a: list[str], how: str) -> str:
     """CH ``-Resample(start, end, step)(value, key)`` (round 9): split
     the key interval [start, end) into step-sized subranges (the last one
@@ -9220,6 +9283,17 @@ def _if_handler(base: str):
     return h
 
 
+# round 17 (wave L): the -ArgMin/-ArgMax combinators over the same base
+# set -Resample supports (plus any/anyLast) — aggregate only the rows
+# holding the group's best key.  Chained spellings (sumArgMinIf, …) get
+# the late guided error instead of a raw leak.
+for _b in ("count", "sum", "avg", "min", "max", "uniq", "uniqexact",
+           "grouparray", "groupuniqarray", "any", "anylast"):
+    for _d in ("argmin", "argmax"):
+        TEMPLATES[f"{_b}{_d}"] = (lambda _g, _m: (
+            lambda a: _arg_minmax_expr(a, _g, _m)
+        ))(_b, _d == "argmin")
+
 _IF_ABLE_AGG_BASES = (
     "grouparray", "groupuniqarray", "anylast", "anyheavy", "median",
     "stddevsamp", "stddevpop", "varsamp", "varpop", "corr",
@@ -11644,6 +11718,26 @@ def _rewrite_join_modifiers(sql: str) -> str:
             "(Spark's map-side partials give the same two-phase execution), "
             "or persist intermediate GROUP BY results instead of -State "
             "columns"
+        )
+    # -ArgMin/-ArgMax combinators for unimplemented bases or chained
+    # spellings (sumArgMinIf, quantileArgMax, …): this guard runs BEFORE
+    # the function-name rewriting, so resolvable spellings (the
+    # implemented count/sum/avg/min/max/uniq/uniqExact/groupArray/
+    # groupUniqArray/any/anyLast set) must be skipped here.  Bare
+    # argMin/argMax never match (the prefix group needs ≥ 1 character).
+    for cand in re.finditer(r"(?i)\b(\w+?)(ArgMin|ArgMax)(\w*)\s*\(", sql):
+        if not outside(cand):
+            continue
+        full = (cand.group(1) + cand.group(2) + cand.group(3)).lower()
+        if full in TEMPLATES or full in NAME_MAP or full in PARAMETRIC:
+            continue
+        raise ValueError(
+            f"{cand.group(1)}{cand.group(2)}{cand.group(3)}(): the "
+            "-ArgMin/-ArgMax combinator is implemented for count/sum/avg/"
+            "min/max/uniq/uniqExact/groupArray/groupUniqArray/any/anyLast "
+            "(un-chained); for other bases or chained combinators, compute "
+            "the best key in a subquery (WHERE k = (SELECT min(k) …)) and "
+            "apply the plain aggregate"
         )
     mq = first_outside(r"(?i)\bQUALIFY\b")
     if mq and _clauselike_position(sql, mq.start()):

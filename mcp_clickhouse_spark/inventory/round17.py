@@ -213,6 +213,14 @@ def scalar_round17c(spark, sf_dir):
 # MIN = MAX — exact comparisons, no float tolerance) because DuckDB's
 # own sample aggregates return NULL on n = 1, and nan itself cannot
 # cross the driver hash — each statistic ships as (flag, guarded value).
+#
+# Wave L (same round): the sam/cam columns drive the -ArgMin/-ArgMax
+# combinators (sumArgMin = sum over only the rows holding the group's
+# minimal key; ties ALL participate — okd = o%7 plants real ties).  The
+# summed value is exact integer CENTS (toInt64(round(price*100))): a
+# float sum rounded at 1e-6 flipped the driver hash on 3 of 3200 groups
+# (engine summation order), integers cannot.  The oracle reconstructs
+# via window MIN/MAX over the group (DuckDB has no such combinator).
 _SQL_R17H_CH = """
 SELECT g,
   toInt64(count(1)) AS n,
@@ -225,15 +233,19 @@ SELECT g,
   round(if(isNaN(corr(tpc, ok)), 0, corr(tpc, ok)), 6) AS cr_val,
   toInt64(if(isNaN(skewSamp(tpc)), 1, 0)) AS sk_nan,
   toInt64(if(isNaN(boundingRatio(ok, tp)), 1, 0)) AS br_nan,
-  round(if(isNaN(boundingRatio(ok, tp)), 0, boundingRatio(ok, tp)), 6) AS br_val
+  round(if(isNaN(boundingRatio(ok, tp)), 0, boundingRatio(ok, tp)), 6) AS br_val,
+  toInt64(sumArgMin(tpi, okd)) AS sam,
+  toInt64(countArgMax(tp, okd)) AS cam
 FROM (
-  SELECT g, tp, ok,
+  SELECT g, tp, ok, okd, tpi,
          CASE WHEN g % 7 = 0 THEN 3.25 ELSE tp END AS tpc
   FROM (
     SELECT CASE WHEN o_orderkey % 5 = 0 THEN 100000 + o_orderkey
                 ELSE o_custkey % 200 END AS g,
            o_totalprice / 100000 AS tp,
-           toFloat64(o_orderkey) / 100000 AS ok
+           toInt64(round(o_totalprice * 100)) AS tpi,
+           toFloat64(o_orderkey) / 100000 AS ok,
+           o_orderkey % 7 AS okd
     FROM orders
   )
 )
@@ -257,15 +269,21 @@ SELECT g,
   CAST(CASE WHEN COUNT(1) = 1 THEN 1 ELSE 0 END AS BIGINT) AS br_nan,
   ROUND(CASE WHEN COUNT(1) = 1 THEN 0
         ELSE (ARG_MAX(tp, ok) - ARG_MIN(tp, ok)) / (MAX(ok) - MIN(ok))
-        END, 6) AS br_val
+        END, 6) AS br_val,
+  CAST(SUM(CASE WHEN okd = mn_okd THEN tpi END) AS BIGINT) AS sam,
+  CAST(COUNT(CASE WHEN okd = mx_okd THEN 1 END) AS BIGINT) AS cam
 FROM (
-  SELECT g, tp, ok,
+  SELECT g, tp, ok, okd, tpi,
+         MIN(okd) OVER (PARTITION BY g) AS mn_okd,
+         MAX(okd) OVER (PARTITION BY g) AS mx_okd,
          CASE WHEN g % 7 = 0 THEN 3.25 ELSE tp END AS tpc
   FROM (
     SELECT CASE WHEN o_orderkey % 5 = 0 THEN 100000 + o_orderkey
                 ELSE o_custkey % 200 END AS g,
            o_totalprice / 100000 AS tp,
-           CAST(o_orderkey AS DOUBLE) / 100000 AS ok
+           CAST(ROUND(o_totalprice * 100) AS BIGINT) AS tpi,
+           CAST(o_orderkey AS DOUBLE) / 100000 AS ok,
+           o_orderkey % 7 AS okd
     FROM orders
   ) s1
 ) s2

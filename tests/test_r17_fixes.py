@@ -686,3 +686,64 @@ class TestRound17WaveK:
         assert _val(spark, "SELECT accurateCastOrNull(300, 'UInt8')") is None
         assert _val(spark, "SELECT toInt32OrNull('42.5')") is None
         assert _val(spark, "SELECT toUInt8(300)") == 44
+
+
+class TestRound17WaveL:
+    """Round-17 wave L: the -ArgMin/-ArgMax aggregate combinators
+    (sumArgMin(x, k) = sum of x over ONLY the rows whose k equals the
+    group minimum; ties all participate, unlike argMin/argMax which
+    pick one row).  Previously a raw UNRESOLVED_ROUTINE leak — now
+    implemented for count/sum/avg/min/max/uniq/uniqExact/groupArray/
+    groupUniqArray/any/anyLast via the collected-pairs + bind-once
+    shape (the best key cannot ride inside a higher-order-function
+    lambda as an aggregate); other bases and chained spellings get a
+    guided error."""
+
+    @staticmethod
+    def _setup(spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __am AS"
+            " SELECT g, CAST(x AS DOUBLE) AS x, k FROM VALUES"
+            " ('a', 10.0, 1), ('a', 20.0, 1), ('a', 99.0, 5),"
+            " ('b', 7.0, 2), ('b', NULL, 1), ('b', 3.0, 2) t(g, x, k)"
+        )
+
+    def test_tie_participation_and_null_skip(self, spark):
+        self._setup(spark)
+        rows = spark.sql(translate(
+            "SELECT g, sumArgMin(x, k) AS s, sumArgMax(x, k) AS sx,"
+            " countArgMin(x, k) AS c, avgArgMin(x, k) AS a,"
+            " maxArgMin(x, k) AS m, uniqArgMin(x, k) AS u"
+            " FROM __am GROUP BY g ORDER BY g"
+        )).collect()
+        # group a: min k=1 → x {10,20}; max k=5 → {99}
+        assert (rows[0].s, rows[0].sx, rows[0].c, rows[0].a,
+                rows[0].m, rows[0].u) == (30.0, 99.0, 2, 15.0, 20.0, 2)
+        # group b: the NULL-x row is skipped (its k=1 must NOT win);
+        # kept pairs (7,2),(3,2) → min k=2 → both rows
+        assert (rows[1].s, rows[1].c) == (10.0, 2)
+
+    def test_integer_type_kept(self, spark):
+        got = _val(spark, "SELECT toString(sumArgMin(x, k)) FROM (SELECT"
+                          " CAST(10 AS BIGINT) AS x, 1 AS k)")
+        assert got == "10"
+
+    def test_empty_group_contract(self, spark):
+        self._setup(spark)
+        assert _val(spark, "SELECT sumArgMin(x, k) FROM __am"
+                           " WHERE g = 'zzz'") is None
+        assert _val(spark, "SELECT countArgMin(x, k) FROM __am"
+                           " WHERE g = 'zzz'") == 0
+        assert _val(spark, "SELECT toString(groupArrayArgMin(x, k))"
+                           " FROM __am WHERE g = 'zzz'") == "[]"
+
+    def test_guided_for_other_bases_and_chains(self):
+        import pytest
+
+        for q in ("SELECT quantileArgMin(x, k) FROM t",
+                  "SELECT sumArgMinIf(x, k, c) FROM t",
+                  "SELECT medianArgMax(x, k) FROM t"):
+            with pytest.raises(ValueError, match="ArgMin/-ArgMax"):
+                translate(q)
+        # bare argMin/argMax untouched by the guard
+        assert "min_by" in translate("SELECT argMin(x, k) FROM t")
