@@ -237,8 +237,31 @@ def run_select_query(
     except ToolError:
         raise
     except (ReadOnlyViolation, Exception) as e:  # noqa: BLE001 — contract shape
-        raise ToolError(f"Query execution failed: {e}") from None
+        raise ToolError(
+            f"Query execution failed: {_with_dialect_hint(e, dialect)}"
+        ) from None
     return df_rows
+
+
+def _with_dialect_hint(e: Exception, dialect: str) -> str:
+    """Append a ClickHouse-context hint to Spark error classes whose
+    fix is dialect knowledge the raw message cannot carry.  The one
+    mapping so far (round 17, wave M): CH numeric RANGE-frame offsets
+    over a DateTime ORDER BY mean SECONDS (DateTime is unix-seconds),
+    but Spark demands an interval literal for timestamp range frames —
+    untranslatable at text level because the ORDER BY type is unknown
+    until analysis.  Numeric offsets over Date ORDER BY are days in
+    both engines and pass through untouched."""
+    msg = str(e)
+    if dialect == "clickhouse" and "RANGE_FRAME_INVALID_TYPE" in msg:
+        msg += (
+            " [hint: ClickHouse numeric RANGE offsets over a DateTime"
+            " ORDER BY are SECONDS; write the frame as RANGE BETWEEN"
+            " INTERVAL n SECOND PRECEDING AND CURRENT ROW here —"
+            " numeric offsets over a Date ORDER BY are days and work"
+            " unchanged]"
+        )
+    return msg
 
 
 def _collect(spark: SparkSession, query: str, dialect: str = "spark") -> dict[str, Any]:
@@ -269,7 +292,7 @@ def run_embedded_select_query(
             timeout_secs=timeout_secs,
         )
     except Exception as e:  # noqa: BLE001 — contract: never raise on this path
-        msg = str(e)
+        msg = _with_dialect_hint(e, dialect)
         if not isinstance(e, QueryTimeoutError):
             msg = f"Query execution failed: {msg}"
         return {"status": "error", "message": msg}

@@ -747,3 +747,53 @@ class TestRound17WaveL:
                 translate(q)
         # bare argMin/argMax untouched by the guard
         assert "min_by" in translate("SELECT argMin(x, k) FROM t")
+
+
+class TestRound17WaveM:
+    """Round-17 wave M: RANGE frames over time-ordered windows.
+    ClickHouse numeric RANGE offsets over a DateTime ORDER BY mean
+    SECONDS (DateTime is unix-seconds); Spark demands an interval
+    literal there — untranslatable at text level (the ORDER BY type is
+    unknown until analysis), so the tool layer appends a dialect hint
+    to RANGE_FRAME_INVALID_TYPE.  Numeric offsets over Date ORDER BY
+    are DAYS in both engines and pass through unchanged."""
+
+    def _view(self, spark):
+        spark.sql(
+            "CREATE OR REPLACE TEMP VIEW __wm AS SELECT * FROM VALUES"
+            " (TIMESTAMP '2024-01-01 00:00:00', 10.0),"
+            " (TIMESTAMP '2024-01-01 00:00:02', 20.0),"
+            " (TIMESTAMP '2024-01-01 00:00:05', 40.0) t(ts, v)"
+        )
+
+    def test_interval_frame_spelling_works(self, spark):
+        self._view(spark)
+        rows = [r[0] for r in spark.sql(translate(
+            "SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 2"
+            " SECOND PRECEDING AND CURRENT ROW) AS s FROM __wm"
+            " ORDER BY ts"
+        )).collect()]
+        assert [float(x) for x in rows] == [10.0, 30.0, 40.0]
+
+    def test_numeric_range_over_timestamp_gets_hint(self, spark):
+        from mcp_clickhouse_spark.tools import ToolError, run_select_query
+
+        self._view(spark)
+        import pytest
+
+        with pytest.raises(ToolError, match="INTERVAL n SECOND"):
+            run_select_query(
+                spark,
+                "SELECT sum(v) OVER (ORDER BY ts RANGE BETWEEN 2"
+                " PRECEDING AND CURRENT ROW) AS s FROM __wm",
+                dialect="clickhouse",
+            )
+
+    def test_numeric_range_over_date_is_days(self, spark):
+        got = spark.sql(translate(
+            "SELECT sum(v) OVER (ORDER BY d RANGE BETWEEN 1 PRECEDING"
+            " AND CURRENT ROW) AS s FROM (SELECT * FROM VALUES"
+            " (DATE '2024-01-01', 1.0), (DATE '2024-01-02', 2.0),"
+            " (DATE '2024-01-05', 4.0) t(d, v)) ORDER BY d"
+        )).collect()
+        assert [float(r.s) for r in got] == [1.0, 3.0, 4.0]
