@@ -11698,6 +11698,45 @@ def _rewrite_join_modifiers(sql: str) -> str:
                 return m
         return None
 
+    def sub_outside(pattern: str, repl: str) -> None:
+        nonlocal sql
+        out, last = [], 0
+        for m in re.finditer(pattern, sql):
+            if not _outside_strings(sql, m.start()):
+                continue
+            out.append(sql[last:m.start()])
+            out.append(repl)
+            last = m.end()
+        out.append(sql[last:])
+        sql = "".join(out)
+
+    # CH accepts the modifier-first SEMI/ANTI orderings; Spark parses
+    # only LEFT SEMI / LEFT ANTI (round 17, wave N)
+    sub_outside(r"(?i)\bSEMI\s+LEFT\s+JOIN\b", "LEFT SEMI JOIN")
+    sub_outside(r"(?i)\bANTI\s+LEFT\s+JOIN\b", "LEFT ANTI JOIN")
+    m = first_outside(
+        r"(?i)\b(SEMI\s+RIGHT|RIGHT\s+SEMI|ANTI\s+RIGHT|RIGHT\s+ANTI)"
+        r"\s+JOIN\b"
+    )
+    if m:
+        raise ValueError(
+            f"{m.group(0)}: Spark has no right-semi/right-anti join —"
+            " swap the sides and use LEFT SEMI / LEFT ANTI"
+            " (`b LEFT SEMI JOIN a ON …` keeps the right table's rows)"
+        )
+    # PASTE JOIN pairs the i-th rows positionally.  Spark would parse
+    # `a PASTE JOIN b` as table alias `a AS PASTE` inner-joined with no
+    # condition — a SILENT CROSS JOIN (wave-N probe) — and the pairing
+    # is row-order-dependent even in ClickHouse, so no deterministic
+    # distributed equivalent exists without an explicit order.
+    m = first_outside(r"(?i)\bPASTE\s+JOIN\b")
+    if m:
+        raise ValueError(
+            "PASTE JOIN pairs rows positionally and is row-order-"
+            "dependent — number both sides explicitly (row_number()"
+            " OVER (ORDER BY …) in subqueries) and join on that column"
+        )
+
     m = first_outside(
         r"(?i)\b(sum\w*|avg\w*|min|max|count\w*|uniq\w*|any\w*"
         r"|quantile\w*|argMin|argMax|corr\w*|groupArray\w*|groupBit\w*"

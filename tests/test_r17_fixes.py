@@ -797,3 +797,47 @@ class TestRound17WaveM:
             " (DATE '2024-01-05', 4.0) t(d, v)) ORDER BY d"
         )).collect()
         assert [float(r.s) for r in got] == [1.0, 3.0, 4.0]
+
+
+class TestRound17WaveN:
+    """Round-17 wave N: join-spelling corners.  CH accepts the
+    modifier-first SEMI LEFT / ANTI LEFT orderings (Spark parses only
+    LEFT SEMI / LEFT ANTI); right-semi/right-anti have no Spark
+    equivalent (guided: swap the sides); and `a PASTE JOIN b` parsed as
+    table alias `a AS PASTE` inner-joined with NO condition — a SILENT
+    CROSS JOIN — before the guided error."""
+
+    @staticmethod
+    def _views(spark):
+        spark.sql("CREATE OR REPLACE TEMP VIEW __na AS SELECT * FROM"
+                  " VALUES (1,'x'),(2,'y'),(3,'z') t(k, s)")
+        spark.sql("CREATE OR REPLACE TEMP VIEW __nb AS SELECT * FROM"
+                  " VALUES (1),(3),(3) t(k)")
+
+    def test_modifier_first_orderings(self, spark):
+        self._views(spark)
+        semi = sorted(tuple(r) for r in spark.sql(translate(
+            "SELECT * FROM __na SEMI LEFT JOIN __nb ON __na.k = __nb.k"
+        )).collect())
+        assert semi == [(1, "x"), (3, "z")]
+        anti = sorted(tuple(r) for r in spark.sql(translate(
+            "SELECT * FROM __na ANTI LEFT JOIN __nb ON __na.k = __nb.k"
+        )).collect())
+        assert anti == [(2, "y")]
+
+    def test_right_semi_and_paste_guided(self):
+        import pytest
+
+        for q, frag in [
+            ("SELECT * FROM a RIGHT SEMI JOIN b ON a.k = b.k",
+             "swap the sides"),
+            ("SELECT * FROM a ANTI RIGHT JOIN b ON a.k = b.k",
+             "swap the sides"),
+            ("SELECT * FROM a PASTE JOIN b", "positionally"),
+        ]:
+            with pytest.raises(ValueError, match=frag):
+                translate(q)
+
+    def test_join_words_in_literals_survive(self):
+        t = translate("SELECT 'SEMI LEFT JOIN x PASTE JOIN' AS s FROM a")
+        assert "'SEMI LEFT JOIN x PASTE JOIN'" in t
