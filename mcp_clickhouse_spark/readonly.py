@@ -30,6 +30,11 @@ _ALLOWED_FIRST = {
     "desc",
     "explain",
     "table",  # `TABLE t` is query-shaped in Spark SQL
+    # CH `EXISTS [TEMPORARY] [TABLE|DICTIONARY|DATABASE] name` is a
+    # read-only introspection statement (round 17, wave O) — answered
+    # natively from the catalog in tools._execute, never sent to
+    # Spark's parser (which has no EXISTS statement)
+    "exists",
 }
 
 _FORBIDDEN_ANYWHERE_FIRST = {

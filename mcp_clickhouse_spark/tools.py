@@ -193,6 +193,35 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
     if dialect == "clickhouse":
         from mcp_clickhouse_spark.dialect import translate
 
+        # CH `EXISTS [TEMPORARY] [TABLE|DICTIONARY|DATABASE] name` →
+        # one row, UInt8 `result` (reference surface; Spark has no
+        # EXISTS statement and its parse error pointed at the keyword).
+        # Answered from the catalog: databaseExists for DATABASE,
+        # tableExists otherwise (dictionaries don't exist here — the
+        # honest 0).  The bare `EXISTS name` spelling is TABLE.
+        me = re.match(
+            r"(?is)^\s*EXISTS\s+(?:TEMPORARY\s+)?"
+            r"(?:(TABLE|DICTIONARY|DATABASE)\s+)?"
+            r"(`[^`]+`|[A-Za-z_]\w*(?:\.(?:`[^`]+`|\w+))?)"
+            r"\s*(?:FORMAT\s+\w+\s*)?;?\s*$",
+            query,
+        )
+        if me:
+            kind = (me.group(1) or "TABLE").upper()
+            name = me.group(2).replace("`", "")
+            if kind == "DATABASE":
+                ok = spark.catalog.databaseExists(name)
+            elif kind == "DICTIONARY":
+                ok = False
+            else:
+                try:
+                    ok = spark.catalog.tableExists(name)
+                except Exception:  # noqa: BLE001 — malformed name → 0
+                    ok = False
+            return spark.createDataFrame(
+                [(1 if ok else 0,)], "result tinyint"
+            )
+
         ms = re.match(r"(?is)^\s*EXPLAIN\s+SYNTAX\b", query)
         if ms:
             # CH EXPLAIN SYNTAX shows the rewritten query — here, the

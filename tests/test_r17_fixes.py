@@ -841,3 +841,38 @@ class TestRound17WaveN:
     def test_join_words_in_literals_survive(self):
         t = translate("SELECT 'SEMI LEFT JOIN x PASTE JOIN' AS s FROM a")
         assert "'SEMI LEFT JOIN x PASTE JOIN'" in t
+
+
+class TestRound17WaveO:
+    """Round-17 wave O: the CH `EXISTS [TEMPORARY] [TABLE|DICTIONARY|
+    DATABASE] name` introspection statement (delegated verbatim by the
+    reference — /root/reference/mcp_clickhouse/mcp_server.py:425).
+    Previously rejected by the readonly gate as "statement type
+    'EXISTS' is not allowed" (misleading — it IS read-only); Spark has
+    no EXISTS statement, so it is answered natively from the catalog
+    as CH's one-row UInt8 `result` shape."""
+
+    def test_exists_statement_shapes(self, spark):
+        from mcp_clickhouse_spark.tools import run_select_query
+
+        spark.sql("CREATE OR REPLACE TEMP VIEW __exo AS SELECT 1 AS a")
+        for q, want in [
+            ("EXISTS TABLE __exo", 1),
+            ("EXISTS __exo", 1),
+            ("EXISTS TEMPORARY TABLE __exo", 1),
+            ("EXISTS TABLE __no_such_table", 0),
+            ("EXISTS DATABASE default", 1),
+            ("EXISTS DATABASE __no_such_db", 0),
+            ("EXISTS DICTIONARY __d", 0),
+            ("exists table __exo FORMAT TabSeparated", 1),
+        ]:
+            r = run_select_query(spark, q, dialect="clickhouse")
+            assert r["columns"] == ["result"] and r["rows"][0][0] == want, q
+
+    def test_exists_expression_untouched(self, spark):
+        from mcp_clickhouse_spark.tools import run_select_query
+
+        r = run_select_query(
+            spark, "SELECT EXISTS(SELECT 1) AS e", dialect="clickhouse"
+        )
+        assert r["rows"] == [[True]]
