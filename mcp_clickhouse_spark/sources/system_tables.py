@@ -29,7 +29,7 @@ from pyspark.sql import SparkSession
 
 from mcp_clickhouse_spark.dialect import _outside_strings
 
-_SYSTEM_RE = _re.compile(r"(?i)\bsystem\s*\.\s*(one|numbers|numbers_mt|tables|databases|columns)\b")
+_SYSTEM_RE = _re.compile(r"(?i)\bsystem\s*\.\s*(one|numbers|numbers_mt|tables|databases|columns|functions|settings|processes)\b")
 
 _NUMBERS_CAP = 1 << 40
 
@@ -121,8 +121,85 @@ def _reg_catalog(spark: SparkSession) -> None:
     ).createOrReplaceTempView("_system_columns")
 
 
+def _reg_functions(spark: SparkSession) -> None:
+    """CH ``system.functions`` (round 17, wave O): one row per function
+    name this dialect resolves — the union of the rename map, the
+    templates, and the parametric registry (~1,700 names), plus Spark's
+    own catalog functions (reachable verbatim through the translator).
+    Names are stored lowercase and matched case-insensitively here
+    (``case_insensitive = 1``) — the translator lowercases lookups, so
+    every casing works, unlike CH's mostly case-sensitive registry
+    (documented delta).  ``is_aggregate`` is set for the known
+    aggregate bases and their combinator chains (suffix heuristic over
+    the registered chain spellings)."""
+    from mcp_clickhouse_spark import dialect as _d
+
+    agg_bases = set(_d._ORNULL_BASES) | set(_d._IF_ABLE_AGG_BASES) | {
+        "count", "sum", "avg", "min", "max", "any", "anylast", "median",
+        "argmax", "argmin", "topk", "topkweighted", "summap", "minmap",
+        "maxmap", "grouparray", "groupuniqarray", "grouparraysorted",
+        "grouparraylast", "rankcorr", "boundingratio",
+        "simplelinearregression", "maxintersections",
+        "intervallengthsum",
+    }
+    suffixes = ("if", "ornull", "ordefault", "map", "distinct", "foreach",
+                "resample", "array", "simplestate", "argmin", "argmax",
+                "merge", "state")
+
+    def is_agg(n: str) -> int:
+        if n in agg_bases:
+            return 1
+        for s in suffixes:
+            if n.endswith(s) and n[: -len(s)] in agg_bases:
+                return 1
+        return 0
+
+    names = sorted(
+        set(_d.NAME_MAP) | set(_d.TEMPLATES) | set(_d.PARAMETRIC)
+    )
+    rows = [(n, is_agg(n), 1, "", "dialect") for n in names]
+    seen = set(names)
+    for f in spark.catalog.listFunctions():
+        n = f.name.lower()
+        if n not in seen:
+            seen.add(n)
+            rows.append((n, 0, 1, "", "spark"))
+    spark.createDataFrame(
+        rows,
+        "name string, is_aggregate tinyint, case_insensitive tinyint, "
+        "alias_to string, origin string",
+    ).createOrReplaceTempView("_system_functions")
+
+
+def _reg_settings(spark: SparkSession) -> None:
+    """CH ``system.settings`` → the session's Spark SQL confs
+    (``SET -v``: key, value, meaning).  ``changed`` is 0 — Spark does
+    not track the default-vs-set distinction per key at this API."""
+    spark.sql("SET -v").selectExpr(
+        "key AS name",
+        "value",
+        "CAST(0 AS TINYINT) AS changed",
+        "meaning AS description",
+    ).createOrReplaceTempView("_system_settings")
+
+
+def _reg_processes(spark: SparkSession) -> None:
+    """CH ``system.processes`` / SHOW PROCESSLIST: an EMPTY typed
+    result — this engine is in-process (no server accepting other
+    clients' queries); concurrent work within the session is visible
+    through the Spark UI / status tracker, which carries job groups,
+    not SQL texts."""
+    spark.createDataFrame(
+        [],
+        "query_id string, user string, elapsed double, query string",
+    ).createOrReplaceTempView("_system_processes")
+
+
 _REGISTRARS = {
     "one": _reg_one,
     "numbers": _reg_numbers,
     "databases": _reg_databases,
+    "functions": _reg_functions,
+    "settings": _reg_settings,
+    "processes": _reg_processes,
 }

@@ -186,9 +186,14 @@ def _execute(spark: SparkSession, query: str, dialect: str = "spark") -> DataFra
     from mcp_clickhouse_spark.sources.system_tables import bind_system_tables
     from mcp_clickhouse_spark.sources.table_functions import bind_sql_table_functions
 
+    # CH SHOW PROCESSLIST == SELECT * FROM system.processes (round 17,
+    # wave O); rewrite before binding so the view registrar fires
+    if re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*;?\s*$", query):
+        query = "SELECT * FROM system.processes"
     query = bind_sql_table_functions(spark, query)
     # CH system.* introspection tables (one/numbers/tables/databases/
-    # columns) bind to point-in-time catalog views, both dialects
+    # columns/functions/settings/processes) bind to point-in-time
+    # catalog views, both dialects
     query = bind_system_tables(spark, query)
     if dialect == "clickhouse":
         from mcp_clickhouse_spark.dialect import translate

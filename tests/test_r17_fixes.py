@@ -876,3 +876,50 @@ class TestRound17WaveO:
             spark, "SELECT EXISTS(SELECT 1) AS e", dialect="clickhouse"
         )
         assert r["rows"] == [[True]]
+
+
+class TestRound17WaveO2:
+    """system.functions / system.settings / system.processes + SHOW
+    PROCESSLIST (previously raw TABLE_OR_VIEW_NOT_FOUND / parse
+    errors).  functions = the dialect registry (~1,700 names, lowercase
+    + case_insensitive=1, is_aggregate heuristic over the known bases
+    and chain suffixes) plus Spark's catalog; settings = SET -v;
+    processes = the honest empty set (in-process engine)."""
+
+    def test_system_functions(self, spark):
+        from mcp_clickhouse_spark.tools import run_select_query
+
+        r = run_select_query(
+            spark,
+            "SELECT count(1) FROM system.functions",
+            dialect="clickhouse",
+        )
+        assert r["rows"][0][0] > 1700
+        r2 = run_select_query(
+            spark,
+            "SELECT name FROM system.functions"
+            " WHERE name LIKE 'sumargm%' ORDER BY name",
+            dialect="clickhouse",
+        )
+        assert [x[0] for x in r2["rows"]] == ["sumargmax", "sumargmin"]
+        r3 = run_select_query(
+            spark,
+            "SELECT is_aggregate FROM system.functions"
+            " WHERE name = 'varsamp'",
+            dialect="clickhouse",
+        )
+        assert r3["rows"][0][0] == 1
+
+    def test_system_settings_and_processes(self, spark):
+        from mcp_clickhouse_spark.tools import run_select_query
+
+        r = run_select_query(
+            spark,
+            "SELECT count(1) FROM system.settings"
+            " WHERE name LIKE 'spark.sql%'",
+            dialect="clickhouse",
+        )
+        assert r["rows"][0][0] > 50
+        r2 = run_select_query(spark, "SHOW PROCESSLIST", dialect="clickhouse")
+        assert r2["columns"] == ["query_id", "user", "elapsed", "query"]
+        assert r2["rows"] == []
