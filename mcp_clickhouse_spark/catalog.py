@@ -82,15 +82,25 @@ def _show_create(spark: SparkSession, database: str, name: str) -> str:
     return ""
 
 
-def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -> None:
+def _attach_stats(
+    spark: SparkSession,
+    database: str,
+    name: str,
+    table: Table,
+    is_temp: bool = False,
+) -> None:
     """Fill the MergeTree-analog physical metadata: total_rows/total_bytes
     from catalog statistics (populated by ANALYZE TABLE … COMPUTE
     STATISTICS), parts/active_parts = backing file count. Best-effort —
-    temp views over in-memory frames have none of these."""
+    temp views over in-memory frames have none of these.  ``is_temp``
+    skips the db-qualified attempts that are GUARANTEED to throw for a
+    temp view (each thrown Spark exception is a full analysis + Py4J
+    round-trip — the system.tables sweep over a long session's hundreds
+    of views paid ~6 of them per view, round 17)."""
     import re as _re
 
     provider = num_buckets = None
-    for qualified in (f"{database}.{name}", name):
+    for qualified in ((name,) if is_temp else (f"{database}.{name}", name)):
         try:
             rows = spark.sql(f"DESCRIBE EXTENDED {qualified}").collect()
         except Exception:
@@ -130,7 +140,9 @@ def _attach_stats(spark: SparkSession, database: str, name: str, table: Table) -
                 full += f" INTO {num_buckets} BUCKETS"
         table.engine_full = full
     try:
-        files = spark.table(f"{database}.{name}").inputFiles()
+        files = spark.table(
+            name if is_temp else f"{database}.{name}"
+        ).inputFiles()
         table.parts = len(files)
         table.active_parts = len(files)
     except Exception:
@@ -146,14 +158,21 @@ def describe_table(spark: SparkSession, database: str, name: str) -> Table:
         except Exception:
             continue
     table = Table(database=database, name=name)
+    is_temp = False
     if meta is not None:
         table.engine = meta.tableType or ""
         table.engine_full = meta.tableType or ""
         table.comment = meta.description
-    table.create_table_query = _show_create(spark, database, name)
-    _attach_stats(spark, database, name, table)
+        is_temp = (meta.tableType or "").upper() == "TEMPORARY"
+    # SHOW CREATE TABLE cannot render a temp view (Spark
+    # EXPECT_PERMANENT_VIEW_NOT_TEMP) — skip the two guaranteed-throw
+    # attempts; the value was '' for temp views before too
+    table.create_table_query = (
+        "" if is_temp else _show_create(spark, database, name)
+    )
+    _attach_stats(spark, database, name, table, is_temp=is_temp)
     cols = []
-    for qualified in (f"{database}.{name}", name):
+    for qualified in ((name,) if is_temp else (f"{database}.{name}", name)):
         try:
             cols = spark.catalog.listColumns(qualified)
             break

@@ -95,19 +95,34 @@ def _reg_catalog(spark: SparkSession) -> None:
         list_table_names,
     )
 
+    names = [
+        (db, name)
+        for db in list_database_names(spark)
+        for name in list_table_names(spark, db)
+        if not name.startswith(("_system_", "_tf_"))
+        # our own bound views are not user tables
+    ]
+    # Each describe is 4-6 catalog RPCs (getTable / SHOW CREATE / stats
+    # / listColumns); serially that is O(tables) round-trips and a
+    # 300-view session blew the 30 s tool timeout (round 17).  Catalog
+    # reads are thread-safe (the executor layer already runs 10
+    # concurrent queries), so the sweep fans out — same values, same
+    # order (ex.map preserves it), ~8× less wall-clock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        described = list(
+            ex.map(lambda p: describe_table(spark, p[0], p[1]), names)
+        )
     trows = []
     crows = []
-    for db in list_database_names(spark):
-        for name in list_table_names(spark, db):
-            if name.startswith(("_system_", "_tf_")):
-                continue  # our own bound views are not user tables
-            t = describe_table(spark, db, name)
-            trows.append(
-                (db, name, t.engine, t.engine_full, t.sorting_key,
-                 t.primary_key, t.create_table_query, t.comment)
-            )
-            for pos, c in enumerate(t.columns, start=1):
-                crows.append((db, name, c.name, c.column_type, pos, c.comment))
+    for (db, name), t in zip(names, described):
+        trows.append(
+            (db, name, t.engine, t.engine_full, t.sorting_key,
+             t.primary_key, t.create_table_query, t.comment)
+        )
+        for pos, c in enumerate(t.columns, start=1):
+            crows.append((db, name, c.name, c.column_type, pos, c.comment))
     spark.createDataFrame(
         trows,
         "database string, name string, engine string, engine_full string, "
