@@ -819,12 +819,29 @@ def span_dedup(
     # batch query 12× for 5× data before this, ~5× after.  Hashing by id
     # also pre-distributes regroup_spans' groupBy(id).
     spans = doc_spans(_spread(df, by=id_col), text_col, id_col, chunk_tokens)
-    freq = spans.groupBy("chunk_key").agg(
-        F.countDistinct(id_col).alias("_nd")
-    )
-    flagged = spans.join(freq, "chunk_key").withColumn(
-        "_keep", F.col("_nd") <= max_docs
-    )
+    if max_docs == 1:
+        # r17 optimization (guide §2.3, aggregate cheaper before the
+        # shuffle): "appears in exactly one distinct document" ⟺
+        # min(id) == max(id), so the default max_docs=1 path replaces the
+        # two-phase distinct aggregation (which expands to a (chunk_key, id)
+        # hash dedup before the count) with a plain min/max hash aggregate —
+        # one pass, half the aggregation state, same _keep flag for every
+        # chunk.  Bench: pipe_span_dedup 0.218 → 0.17 s at sf0.1; the win
+        # grows with corpus size (the dedup hash table was O(distinct
+        # (chunk, doc) pairs), min/max state is O(distinct chunks)).
+        freq = spans.groupBy("chunk_key").agg(
+            F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
+        )
+        flagged = spans.join(freq, "chunk_key").withColumn(
+            "_keep", F.col("_mn") == F.col("_mx")
+        )
+    else:
+        freq = spans.groupBy("chunk_key").agg(
+            F.countDistinct(id_col).alias("_nd")
+        )
+        flagged = spans.join(freq, "chunk_key").withColumn(
+            "_keep", F.col("_nd") <= max_docs
+        )
     return regroup_spans(flagged, id_col)
 
 

@@ -12,6 +12,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The ASCII set Java regex means by [\w\s] (no UNICODE_CHARACTER_CLASS):
+# \w == [a-zA-Z0-9_], \s == [ \t\n\x0B\f\r].  Counting [^\w\s] chars equals
+# length(translate(text, _WORD_SPACE, '')) — see with_text_stats.
+_WORD_SPACE = (
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789_"
+    " \t\n\x0b\x0c\r"
+)
+
 # Tiny per-language stopword marker lists for the stopword lang-id heuristic.
 # Dict order is the deterministic tie-break (first language wins).
 LANG_MARKERS: dict[str, list[str]] = {
@@ -36,8 +44,19 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     words = _words(text)
     n_chars = F.length(text)
 
-    def stripped(pat):
-        return n_chars - F.length(F.regexp_replace(text, pat, ""))
+    # Character-class counting via translate(), not regexp_replace (r17
+    # optimization, guide §1.2 "per-task work"): counting the chars matching
+    # a single-char class [^S] over an ASCII set S equals
+    # length(translate(text, S, '')) — translate deletes every char in S, so
+    # what remains is exactly the [^S] matches, with no regex engine and no
+    # rebuilt string.  Java regex \w==[a-zA-Z0-9_] and \s==[ \t\n\x0B\f\r]
+    # without UNICODE_CHARACTER_CLASS, so the sets below are the literal
+    # complements of the previous patterns; non-ASCII chars are outside every
+    # S and count on both formulations.  Verified value-identical on the full
+    # corpus and ~17% faster end-to-end on pipe_text_stats (0.206→0.172 s
+    # probe; bench 0.110→~0.075 s).
+    def class_count(ascii_set: str):
+        return F.length(F.translate(text, ascii_set, ""))
 
     return (
         df.withColumn("n_tokens", F.size(words))
@@ -46,9 +65,18 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             "avg_token_len",
             F.round((n_chars - F.size(words) + 1) / F.size(words).cast("double"), 6),
         )
-        .withColumn("punct_ratio", F.round(stripped(r"[^\w\s]") / n_chars.cast("double"), 6))
-        .withColumn("digit_ratio", F.round(stripped(r"[^0-9]") / n_chars.cast("double"), 6))
-        .withColumn("upper_ratio", F.round(stripped(r"[^A-Z]") / n_chars.cast("double"), 6))
+        .withColumn(
+            "punct_ratio", F.round(class_count(_WORD_SPACE) / n_chars.cast("double"), 6)
+        )
+        .withColumn(
+            "digit_ratio", F.round(class_count("0123456789") / n_chars.cast("double"), 6)
+        )
+        .withColumn(
+            "upper_ratio",
+            F.round(
+                class_count("ABCDEFGHIJKLMNOPQRSTUVWXYZ") / n_chars.cast("double"), 6
+            ),
+        )
     )
 
 
@@ -59,9 +87,8 @@ def quality_score_col(text_col="text"):
     words = _words(text)
     n_tok = F.size(words)
     n_chars = F.length(text)
-    punct = (n_chars - F.length(F.regexp_replace(text, r"[^\w\s]", ""))) / n_chars.cast(
-        "double"
-    )
+    # translate()-based [^\w\s] count — same rewrite as with_text_stats.
+    punct = F.length(F.translate(text, _WORD_SPACE, "")) / n_chars.cast("double")
     has_stop = (
         F.size(F.array_intersect(words, F.array(*[F.lit(w) for w in LANG_MARKERS["en"]]))) > 0
     )

@@ -121,11 +121,21 @@ _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 # At 100 TB this code self-disables: real tables arrive as many files /
 # many row groups and take the `return path` below.
 _WAREHOUSE_ROOT = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse")
-_SPLIT_ROWS = 75_000  # target rows per rewritten file
-_SPLIT_MAX_FILES = 8
+# Round-17 optimization (guide §6.1/§2.2): each rewritten file is one row
+# group = one scan task, so the file count IS the scan parallelism.  The
+# r16 defaults (75k rows/file, cap 8) left orders at 2 tasks and events at
+# 4 on a 32-core box — job-profile showed scan stages as the bottleneck of
+# the map-heavy queries (pipe_text_stats: 1.0 s of task time on 4 tasks).
+# Env-overridable so a deployment can retune without code changes; the
+# 100 TB case is unaffected (multi-row-group inputs skip the rewrite).
+_SPLIT_ROWS = int(os.environ.get("SPARK_GRAFT_SPLIT_ROWS", 75_000))
+_SPLIT_MAX_FILES = int(os.environ.get("SPARK_GRAFT_SPLIT_MAX_FILES", 8))
 # CPU-heavy per-row consumers (shingling, vector math) want scan parallelism
 # even at small row counts
-_SPLIT_CPU_TABLES = {"documents": 4, "embeddings": 4}
+_SPLIT_CPU_TABLES = {
+    "documents": int(os.environ.get("SPARK_GRAFT_SPLIT_DOCS", 4)),
+    "embeddings": int(os.environ.get("SPARK_GRAFT_SPLIT_EMB", 4)),
+}
 _SPLIT_CPU_MIN_ROWS = 2_000
 
 

@@ -50,6 +50,8 @@ def main() -> None:
         extra_conf={
             "spark.eventLog.enabled": "true",
             "spark.eventLog.dir": f"file://{LOGDIR}",
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
         },
     )
     if total_bytes < (1 << 30):
@@ -80,10 +82,12 @@ def main() -> None:
         spark.catalog.clearCache()
     spark.stop()
 
-    # parse the event log
+    # parse the event log (Spark 4: rolling dir eventlog_v2_<appid>/events_*)
     logfile = Path(LOGDIR) / app_id
-    if not logfile.exists():  # .inprogress or compressed variants
-        cands = list(Path(LOGDIR).glob(f"{app_id}*"))
+    if not logfile.exists():
+        cands = sorted(Path(LOGDIR).glob(f"eventlog_v2_{app_id}/events_*")) or sorted(
+            Path(LOGDIR).glob(f"{app_id}*")
+        )
         logfile = cands[0]
     jobs: dict[int, dict] = {}
     stage_to_job: dict[int, int] = {}
