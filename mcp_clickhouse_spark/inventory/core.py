@@ -66,7 +66,15 @@ def q1_pricing_summary(spark, sf_dir):
             F.expr(f"sum({disc}) / 100.0D / count(*)").alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        # r17 optimization (guide §2.4, remove shuffles outright): the output
+        # is one row per (l_returnflag, l_linestatus) — bounded at ~6 rows at
+        # ANY scale — so a global orderBy (range Exchange + a separate
+        # range-boundary SAMPLING job that re-runs the final aggregate) is
+        # pure overhead.  coalesce(1) + sortWithinPartitions yields the
+        # identical total order with one task and NO extra exchange or job:
+        # plan 2 Exchange + 2 jobs → 1 Exchange + 1 job (plans/r17/).
+        .coalesce(1)
+        .sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 

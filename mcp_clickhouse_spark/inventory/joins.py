@@ -161,6 +161,22 @@ def join_theta(spark, sf_dir):
     )
 
 
+def _broadcastable(spark, df) -> bool:
+    """True when the optimizer's size estimate for ``df`` is under the
+    session's autoBroadcastJoinThreshold — i.e. a join against it will be a
+    BroadcastHashJoin, not a shuffle.  Driver-side catalyst call, no job.
+    Falls back to False (the conservative, scale-safe answer) if the
+    internal API moves."""
+    try:
+        thresh = int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+        return 0 < size <= thresh
+    except Exception:  # pragma: no cover — estimate unavailable
+        return False
+
+
 @query(
     "join_star_revenue",
     oracle="""
@@ -180,14 +196,23 @@ def join_theta(spark, sf_dir):
     category="joins",
 )
 def join_star_revenue(spark, sf_dir):
-    # TPC-H Q5-style star join with EARLY PARTIAL AGGREGATION: lineitem is
-    # reduced to one (l_orderkey, revenue_cents, count) row per order BEFORE
-    # any join, so the join shuffles carry |orders| rows instead of
-    # |lineitem| rows (~4× fewer, and the per-row payload drops the money
-    # columns). Revenue is additive, so regrouping by (nation, region)
-    # after the joins is exact. Measured 1.01 s → 0.66 s at sf0.1; at 100 TB
-    # the early reduction is the difference between shuffling the fact table
-    # once and shuffling it at a quarter size. Dims are broadcast.
+    # TPC-H Q5-style star join.  Revenue is additive, so grouping by
+    # (nation, region) after the joins is exact either way; what is SIZE-
+    # ADAPTIVE (r17 optimization, guide §1.2/§3.1) is whether lineitem is
+    # pre-aggregated to one (l_orderkey, revenue_cents, count) row per order
+    # before the orders join:
+    #   - orders too big to broadcast (the 100 TB case): the join shuffles
+    #     both sides, so the early reduction shrinks the fact-side exchange
+    #     ~4× and drops the money columns from it (measured 1.01 s → 0.66 s
+    #     at sf0.1 back when this join shuffled).
+    #   - orders broadcastable (estimated under autoBroadcastJoinThreshold):
+    #     the fact side is never shuffled at all, so the pre-aggregation's
+    #     own Exchange is the ONLY exchange it causes — pure overhead.
+    #     Probing the broadcasts directly removes it: 2 Exchange → 1,
+    #     measured 0.379 → 0.329 s at sf0.1 (plans/r17/), identical rows.
+    # The decision reads the optimizer's size estimate — the same statistic
+    # the planner itself uses to pick the join strategy — so plan shape and
+    # pre-aggregation can never disagree.
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz")
@@ -198,6 +223,19 @@ def join_star_revenue(spark, sf_dir):
     # scaled-integer revenue (see functions.cents): exact and ~2× faster
     # than decimal; bit-identical to the decimal oracle.
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    if _broadcastable(spark, o):
+        return (
+            li.select("l_orderkey", rev.alias("rev_c"))
+            .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(c.select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+            .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+            .groupBy("n_name", "r_name")
+            .agg(
+                (F.sum("rev_c") / F.lit(10000.0)).alias("revenue"),
+                F.count("*").alias("n_items"),
+            )
+        )
     pre = li.groupBy("l_orderkey").agg(
         F.sum(rev).alias("rev_c"), F.count("*").alias("cnt")
     )
