@@ -66,7 +66,12 @@ def main() -> None:
         if f.endswith(".parquet")
     )
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-    partitions = max(8, min(total_bytes // (32 << 20), 4 * cpus))
+    partitions = int(
+        os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS",
+            max(8, min(total_bytes // (32 << 20), 4 * cpus)),
+        )
+    )
     # No maxPartitionBytes override: the testdata files are single-row-group
     # parquet, so scan splits can't subdivide them anyway (row group = task),
     # and an A/B under this exact protocol (default vs 32 MB vs 64 MB) showed

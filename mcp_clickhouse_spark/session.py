@@ -128,7 +128,14 @@ _WAREHOUSE_ROOT = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_ware
 # the map-heavy queries (pipe_text_stats: 1.0 s of task time on 4 tasks).
 # Env-overridable so a deployment can retune without code changes; the
 # 100 TB case is unaffected (multi-row-group inputs skip the rewrite).
-_SPLIT_ROWS = int(os.environ.get("SPARK_GRAFT_SPLIT_ROWS", 75_000))
+# Defaults re-measured r17 (interleaved A/B, min-of-3×3): 18,750 rows/file
+# brings orders (150k rows) from 2 scan tasks to 8 and events (300k) from 4
+# to 8 — every orders/events-scanning headline query improved (events
+# windows −0.02 s, scan_projection/agg_count_distinct −0.01 s each, total
+# −0.17 s) with no regression.  Finer than 8 files was a measured LOSS for
+# the _spread-based pipelines (docs at 16 files: minhash/span +0.12 s), so
+# the cap stays 8.
+_SPLIT_ROWS = int(os.environ.get("SPARK_GRAFT_SPLIT_ROWS", 18_750))
 _SPLIT_MAX_FILES = int(os.environ.get("SPARK_GRAFT_SPLIT_MAX_FILES", 8))
 # CPU-heavy per-row consumers (shingling, vector math) want scan parallelism
 # even at small row counts
