@@ -223,7 +223,15 @@ def join_star_revenue(spark, sf_dir):
     # scaled-integer revenue (see functions.cents): exact and ~2× faster
     # than decimal; bit-identical to the decimal oracle.
     rev = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
-    if _broadcastable(spark, o):
+    # Both o AND c must broadcast for the no-pre-agg branch to be safe: if
+    # customer shuffle-joins, the unreduced lineitem stream would be the
+    # shuffled side and the early-reduction win is lost (advice r17).  Note
+    # run_prepared's plan cache freezes the branch chosen at FIRST
+    # construction for the session lifetime — correctness-safe (branches
+    # row-identical, pinned by test) but a conscious staleness: a mid-session
+    # threshold change or data growth under the same path re-evaluates only
+    # in a new session or with SPARK_GRAFT_NO_PLAN_CACHE=1.
+    if _broadcastable(spark, o) and _broadcastable(spark, c):
         return (
             li.select("l_orderkey", rev.alias("rev_c"))
             .join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))

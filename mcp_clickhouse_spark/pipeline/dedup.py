@@ -832,8 +832,12 @@ def span_dedup(
         freq = spans.groupBy("chunk_key").agg(
             F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
         )
+        # eqNullSafe, not ==: a chunk whose every occurrence has a NULL id
+        # aggregates to (_mn, _mx) = (NULL, NULL); countDistinct counts 0
+        # distinct ids (<= max_docs → keep), and NULL<=>NULL = true matches
+        # that, where plain == would yield NULL and silently drop the span.
         flagged = spans.join(freq, "chunk_key").withColumn(
-            "_keep", F.col("_mn") == F.col("_mx")
+            "_keep", F.col("_mn").eqNullSafe(F.col("_mx"))
         )
     else:
         freq = spans.groupBy("chunk_key").agg(

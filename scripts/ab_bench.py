@@ -37,7 +37,11 @@ def main() -> None:
                 [sys.executable, str(REPO / "bench.py")],
                 capture_output=True, text=True, env=env,
             )
-            line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            cands = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+            if proc.returncode != 0 or not cands:
+                sys.stderr.write(proc.stderr)
+                sys.exit(f"bench.py failed (rc={proc.returncode}) for config {name!r}")
+            line = cands[-1]
             q = json.loads(line)["queries"]
             for k, v in q.items():
                 cur = best[name].get(k)

