@@ -150,16 +150,26 @@ def _shingle_zip_expr(text_col: str) -> str:
     )
 
 
-def band_bucket_posexplode(bands: int, rows_per_band: int, sig_col: str = "signature") -> str:
-    """selectExpr string exploding a signature into (band, bucket) rows —
-    the ONE definition of LSH banding shared by the batch candidate
-    generator and the streaming near-dup detector."""
+def _band_hash_expr(rows_per_band: int, sig_col: str, band_var: str = "b") -> str:
+    """The per-band bucket hash over ``sig_col`` for lambda variable
+    ``band_var`` — the ONE definition of the LSH bucket function, embedded
+    by both banding generators below and (via band_bucket_posexplode) the
+    streaming near-dup detector."""
     rpb = int(rows_per_band)
     return (
+        f"xxhash64(concat_ws(',',"
+        f" transform(slice({sig_col}, {band_var} * {rpb} + 1, {rpb}),"
+        f" x -> CAST(x AS STRING))))"
+    )
+
+
+def band_bucket_posexplode(bands: int, rows_per_band: int, sig_col: str = "signature") -> str:
+    """selectExpr string exploding a signature into (band, bucket) rows —
+    the flat banding form shared by the batch collapse_identical=False
+    path and the streaming near-dup detector."""
+    return (
         f"posexplode(transform(sequence(0, {int(bands) - 1}),"
-        f" b -> xxhash64(concat_ws(',',"
-        f" transform(slice({sig_col}, b * {rpb} + 1, {rpb}),"
-        f" x -> CAST(x AS STRING)))))) AS (band, bucket)"
+        f" b -> {_band_hash_expr(rows_per_band, sig_col)})) AS (band, bucket)"
     )
 
 
@@ -453,13 +463,50 @@ def minhash_lsh_candidates(
         # formulation measured ~0.3 s faster at sparse sf0.1 but holds
         # every cluster member in one task buffer, which a 10⁸-member
         # boilerplate cluster would OOM at 100 TB; WindowExec streams and
-        # spills.  Persisted so the star and banding branches read the
-        # cache instead of each recomputing the signature DAG (scan →
-        # shingle-hash → OPH → window).
+        # spills.
         rep_w = Window.partitionBy("signature")
-        with_rep = _persist(
-            sigs.withColumn("_rep", F.min(id_col).over(rep_w))
-        )
+        with_rep = sigs.withColumn("_rep", F.min(id_col).over(rep_w))
+        # r18 (guide §2.4 — one pass instead of two): the former shape split
+        # with_rep into a star branch (member pairs) and a banding branch
+        # (reps only) and unioned them — the union's star side re-read the
+        # signature exchange and re-ran the whole Window a second time (an
+        # extra 8-task pass per execution; the exchange itself was shared by
+        # ReuseExchange, the window sort was not).  ONE generator now emits
+        # both kinds of bucket rows in the window's own stage:
+        #   - reps explode to their `bands` (band, bucket) rows as before;
+        #   - each non-rep member explodes to a synthetic 2-row bucket
+        #     (band = -1, bucket = the member's own id) holding exactly
+        #     {rep, member}, so bucket_pairs emits precisely the former
+        #     (rep, member) star pair.  band -1 can never collide with a
+        #     real band, and the member id is unique per member, so no
+        #     synthetic bucket ever merges with another.
+        # Equivalence is pinned two-sided in tests/test_r18_opt.py.  NULL
+        # ids are filtered explicitly — the old branch predicates (id =/!=
+        # rep) silently dropped them, the CASE below would not.
+        # The synthetic bucket reuses the member id as the bucket value,
+        # which needs a bigint id; any other id type falls back to the
+        # two-branch union shape (never hit by the inventory — doc ids are
+        # bigint everywhere).
+        if dict(sigs.dtypes).get(id_col) == "bigint":
+            bh = _band_hash_expr(rows_per_band, "signature")
+            gen = (
+                f"CASE WHEN {id_col} = _rep THEN"
+                f" transform(sequence(0, {int(bands) - 1}),"
+                f" b -> struct(b AS band, {bh} AS bucket, {id_col} AS _bid))"
+                f" ELSE array("
+                f" struct(-1 AS band, {id_col} AS bucket, _rep AS _bid),"
+                f" struct(-1 AS band, {id_col} AS bucket, {id_col} AS _bid))"
+                f" END"
+            )
+            banded = (
+                with_rep.where(F.col(id_col).isNotNull())
+                .select(F.explode(F.expr(gen)).alias("e"))
+                .select("e.band", "e.bucket", F.col("e._bid").alias(id_col))
+            )
+            return _persist(
+                bucket_pairs(banded, id_col, max_bucket_size).distinct()
+            )
+        with_rep = _persist(with_rep)
         star = with_rep.where(F.col(id_col) != F.col("_rep")).select(
             F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
         )

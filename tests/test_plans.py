@@ -139,9 +139,12 @@ def test_lsh_candidates_plan_no_join_no_cartesian(spark, sf):
     # pairs-distinct (count_nodes dedups re-rendered cached subplans by
     # node id)
     assert count_nodes(plan, "Exchange") <= 4
-    # the star and reps branches must read the collapse CACHE, not
-    # recompute the signature DAG twice
-    assert count_nodes(plan, "InMemoryTableScan") >= 2
+    # r18 unified generator: star and band rows come from ONE generate over
+    # ONE window pass — no Union of two with_rep-reading branches.  Window
+    # nodes: signature window + bucket-cap window + its two
+    # WindowGroupLimit halves (count_nodes substring-matches), no more.
+    assert count_nodes(plan, "Union") == 0
+    assert count_nodes(plan, "Window") == 4
 
 
 def test_embedding_neardup_plan_no_cartesian(spark, sf):

@@ -1,0 +1,171 @@
+"""Round-18 optimization round: equivalence pins for the operator internals
+that changed.
+
+The headline change is pipe_minhash_lsh's candidate generator: the star/
+banding two-branch union became ONE generator (members ride synthetic
+band=-1 buckets).  Candidate PAIR SETS are the rows-only contract surface,
+so the pin is exact set equality against a faithful reconstruction of the
+pre-r18 shape, on adversarial synthetic corpora AND the real testdata.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from mcp_clickhouse_spark.session import get_spark
+
+    return get_spark(app_name="test-r18-opt")
+
+
+def _legacy_candidates(sigs, id_col="doc_id", bands=8, rows_per_band=4,
+                       max_bucket_size=500):
+    """Byte-faithful reconstruction of the pre-r18 collapse_identical=True
+    shape: star pairs from a window-min filter, banding over reps only,
+    union, distinct."""
+    from pyspark.sql import Window
+
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        band_bucket_posexplode,
+        bucket_pairs,
+    )
+
+    rep_w = Window.partitionBy("signature")
+    with_rep = sigs.withColumn("_rep", F.min(id_col).over(rep_w))
+    star = with_rep.where(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    banded = with_rep.where(F.col(id_col) == F.col("_rep")).selectExpr(
+        id_col, band_bucket_posexplode(bands, rows_per_band)
+    )
+    return bucket_pairs(banded, id_col, max_bucket_size).unionByName(star).distinct()
+
+
+def _pairs(df):
+    return sorted((r["id_a"], r["id_b"]) for r in df.collect())
+
+
+CORPUS = [
+    # exact-dup cluster of 4 (star pairs must attach to min id 10)
+    (10, "the quick brown fox jumps over the lazy dog again and again"),
+    (11, "the quick brown fox jumps over the lazy dog again and again"),
+    (12, "the quick brown fox jumps over the lazy dog again and again"),
+    (13, "the quick brown fox jumps over the lazy dog again and again"),
+    # near-dup pair (one word changed) — must come from banding
+    (20, "pack my box with five dozen liquor jugs before noon today ok"),
+    (21, "pack my box with five dozen liquor jugs before noon tomorrow ok"),
+    # unique docs
+    (30, "completely unrelated content about distributed query planning"),
+    (31, "yet another document mentioning shuffle partitions and skew"),
+    # short docs (shingle padding path) — identical pair
+    (40, "tiny"),
+    (41, "tiny"),
+    # empty-ish doc
+    (50, " "),
+    # a second exact-dup cluster interleaved with the near-dups
+    (60, "pack my box with five dozen liquor jugs before noon today ok"),
+]
+
+
+def test_minhash_candidates_unified_generator_matches_legacy(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_persisted,
+    )
+
+    df = spark.createDataFrame(CORPUS, "doc_id bigint, text string")
+    sigs = minhash_signatures(df, num_hashes=32)
+    got = _pairs(minhash_lsh_candidates(sigs, bands=8, rows_per_band=4))
+    want = _pairs(_legacy_candidates(sigs))
+    assert got == want and len(got) > 0
+    # structure sanity: doc 60 dups doc 20's text, so (20, 60) is a star
+    # pair; the exact-dup cluster stars on 10
+    assert (10, 11) in got and (10, 12) in got and (10, 13) in got
+    assert (20, 60) in got
+    release_persisted()
+    spark.catalog.clearCache()
+
+
+def test_minhash_candidates_null_ids_dropped_like_legacy(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_persisted,
+    )
+
+    rows = CORPUS + [
+        (None, "the quick brown fox jumps over the lazy dog again and again"),
+        (None, "null cluster only text that matches nothing else at all"),
+        (None, "null cluster only text that matches nothing else at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = minhash_signatures(df, num_hashes=32)
+    got = _pairs(minhash_lsh_candidates(sigs, bands=8, rows_per_band=4))
+    want = _pairs(_legacy_candidates(sigs))
+    # legacy branch predicates (id =/!= rep) silently dropped NULL ids;
+    # the unified generator filters them explicitly — sets must agree and
+    # contain no NULLs
+    assert got == want
+    assert all(a is not None and b is not None for a, b in got)
+    release_persisted()
+    spark.catalog.clearCache()
+
+
+def test_minhash_candidates_match_legacy_on_testdata(spark):
+    """Full-corpus pin at sf0.001 (real near-dup structure from the driver
+    generator) and bucket-cap stress via a tiny max_bucket_size."""
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_persisted,
+    )
+    from mcp_clickhouse_spark.session import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    for cap in (500, 2):  # default, and a cap small enough to truncate
+        got = _pairs(
+            minhash_lsh_candidates(
+                sigs, bands=8, rows_per_band=4, max_bucket_size=cap
+            )
+        )
+        want = _pairs(
+            _legacy_candidates(sigs, max_bucket_size=cap)
+        )
+        assert got == want and len(got) > 0, cap
+        release_persisted()
+        spark.catalog.clearCache()
+
+
+def test_minhash_lsh_full_query_rows_unchanged(spark):
+    """End-to-end: the declared pipe_minhash_lsh output (id_a, id_b,
+    jaccard) through the new candidate generator equals the legacy shape
+    fed through the same verify."""
+    from mcp_clickhouse_spark.pipeline.dedup import (
+        jaccard_verify,
+        minhash_lsh_candidates,
+        minhash_signatures,
+        release_persisted,
+    )
+    from mcp_clickhouse_spark.session import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    sigs = minhash_signatures(d, num_hashes=32)
+    new = sorted(
+        map(tuple, jaccard_verify(
+            minhash_lsh_candidates(sigs, bands=8, rows_per_band=4), d,
+            threshold=0.5,
+        ).collect())
+    )
+    legacy = sorted(
+        map(tuple, jaccard_verify(
+            _legacy_candidates(sigs), d, threshold=0.5, precompute_sets=False
+        ).collect())
+    )
+    assert new == legacy and len(new) > 0
+    release_persisted()
+    spark.catalog.clearCache()
