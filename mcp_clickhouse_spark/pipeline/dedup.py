@@ -867,24 +867,31 @@ def span_dedup(
     # also pre-distributes regroup_spans' groupBy(id).
     spans = doc_spans(_spread(df, by=id_col), text_col, id_col, chunk_tokens)
     if max_docs == 1:
-        # r17 optimization (guide §2.3, aggregate cheaper before the
-        # shuffle): "appears in exactly one distinct document" ⟺
-        # min(id) == max(id), so the default max_docs=1 path replaces the
-        # two-phase distinct aggregation (which expands to a (chunk_key, id)
-        # hash dedup before the count) with a plain min/max hash aggregate —
-        # one pass, half the aggregation state, same _keep flag for every
-        # chunk.  Bench: pipe_span_dedup 0.218 → 0.17 s at sf0.1; the win
-        # grows with corpus size (the dedup hash table was O(distinct
-        # (chunk, doc) pairs), min/max state is O(distinct chunks)).
-        freq = spans.groupBy("chunk_key").agg(
-            F.min(id_col).alias("_mn"), F.max(id_col).alias("_mx")
-        )
-        # eqNullSafe, not ==: a chunk whose every occurrence has a NULL id
-        # aggregates to (_mn, _mx) = (NULL, NULL); countDistinct counts 0
-        # distinct ids (<= max_docs → keep), and NULL<=>NULL = true matches
-        # that, where plain == would yield NULL and silently drop the span.
-        flagged = spans.join(freq, "chunk_key").withColumn(
-            "_keep", F.col("_mn").eqNullSafe(F.col("_mx"))
+        # r17: "appears in exactly one distinct document" ⟺ min(id) ==
+        # max(id) — no distinct expansion.  r18 (guide §1.2/§2.4): compute
+        # the min/max over a WINDOW on chunk_key instead of aggregate +
+        # join-back.  The agg+join shape re-read the spread exchange on
+        # both sides, so the per-row chunking (split + slice + concat_ws +
+        # md5 over the whole corpus) executed TWICE per run (job profile:
+        # the join-side stage alone was ~1.3 s of task time at sf0.1); the
+        # window runs it once.  Exchange ledger: at bench scale this trades
+        # {narrow freq-agg exchange + broadcast join} for {chunk-row window
+        # exchange + regroup exchange} and still wins (probe min-of-5×2,
+        # fresh plans: 0.337 → 0.266 s sf0.1, 0.470 → 0.441 sf1); at 100 TB
+        # the freq side outgrows the broadcast threshold so the old shape
+        # paid the same two full-row exchanges PLUS the recompute and the
+        # narrow exchange.  WindowExec's group buffer spills to disk
+        # (ExternalAppendOnlyUnsafeRowArray) — a boilerplate mega-chunk
+        # skews one task but cannot OOM, the same trade the signature
+        # collapse window makes.  eqNullSafe: a chunk whose every
+        # occurrence has a NULL id yields NULL min/max; countDistinct
+        # counts 0 (<= max_docs → keep) and NULL<=>NULL = true matches
+        # that, where plain == would silently drop the span.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("chunk_key")
+        flagged = spans.withColumn(
+            "_keep", F.min(id_col).over(w).eqNullSafe(F.max(id_col).over(w))
         )
     else:
         freq = spans.groupBy("chunk_key").agg(
