@@ -23,8 +23,11 @@ Why this algorithm at 100 TB:
 
 Convergence: the edge set of star graphs is a fixed point of both steps;
 we stop when (count, xor-of-row-hashes) of the edge set is unchanged by a
-full large+small round.  The per-round signature is one action — iterative
-algorithms need a convergence action; everything else stays declarative.
+full large+small round.  The per-round signature is the round's ONLY
+action: checkpoints are lazy (persist-based), so the signature job
+materializes the round's blocks and truncates lineage as a side effect —
+iterative algorithms need a convergence action; everything else stays
+declarative.
 
 Reference parity note: the reference MCP server (mcp_clickhouse/
 mcp_server.py) delegates clustering-style queries to its engine; this is
@@ -112,11 +115,17 @@ def connected_components(
         pairs.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        # r18 (guide §2 fewer driver round-trips): LAZY checkpoints
+        # throughout — localCheckpoint is persist-based, so the NEXT action
+        # (the convergence signature, which must run anyway) materializes
+        # the blocks and truncates lineage in the same job.  Eager
+        # checkpoints cost a dedicated materialization job each: 8 jobs per
+        # dedup_clusters run → 4 (scripts/cc_probe.py), labels identical.
+        .localCheckpoint(eager=False)
     )
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
-    ).distinct().localCheckpoint(eager=True)
+    ).distinct().localCheckpoint(eager=False)
 
     # Measured note (sf0.1): the iterative rounds cost ~3-6 s total here —
     # the pair GENERATION feeding this function is what dominates an
@@ -127,7 +136,7 @@ def connected_components(
     sig = _edge_signature(edges)
     converged = False
     for _ in range(max_iterations):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_sig = _edge_signature(edges)
         if new_sig == sig:
             converged = True
