@@ -136,6 +136,15 @@ def main() -> None:
     times = {name: round(min(s), 3) for name, s in samples.items()}
     spread = {name: round(max(s) - min(s), 3) for name, s in samples.items()}
 
+    # Additive keys (contract: never remove/rename): the effective
+    # parallelism knobs, so a cross-core-count comparison is interpretable.
+    # At small SFs the bytes-derived shuffle-partition floor (8) and the
+    # small-table scan-split cap (8 files) bound most stages at 8 tasks
+    # regardless of cores — tables >= 500k rows scale their scan split with
+    # max(8, cpus // 2) (session._split_file_cap), which is where 8-vs-32
+    # core runs genuinely diverge once the data is big enough.
+    from mcp_clickhouse_spark.session import _split_file_cap
+
     print(
         json.dumps(
             {
@@ -146,6 +155,9 @@ def main() -> None:
                 "spread": spread,
                 "rounds": ROUNDS,
                 "sf": sf,
+                "cpus": cpus,
+                "shuffle_partitions": int(partitions),
+                "scan_split_cap_big_tables": _split_file_cap(10**9),
             }
         )
     )

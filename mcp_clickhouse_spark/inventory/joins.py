@@ -166,15 +166,18 @@ def _broadcastable(spark, df) -> bool:
     session's autoBroadcastJoinThreshold — i.e. a join against it will be a
     BroadcastHashJoin, not a shuffle.  Driver-side catalyst call, no job.
     Falls back to False (the conservative, scale-safe answer) if the
-    internal API moves."""
-    try:
-        thresh = int(
-            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
-        )
-        size = int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
-        return 0 < size <= thresh
-    except Exception:  # pragma: no cover — estimate unavailable
+    internal API moves (r18: helpers shared with the asof prefilter gate
+    live in plans.inspect)."""
+    from mcp_clickhouse_spark.plans.inspect import (
+        broadcast_threshold,
+        estimated_size_bytes,
+    )
+
+    thresh = broadcast_threshold(spark)
+    size = estimated_size_bytes(df)
+    if thresh is None or size is None:
         return False
+    return 0 < size <= thresh
 
 
 @query(

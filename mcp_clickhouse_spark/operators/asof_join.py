@@ -57,6 +57,41 @@ def asof_join(
     payload = [f"{c}{suffix}" for c in right_cols] + [f"{right_ts}{suffix}"]
     left_keep = [c for c in left.columns]
 
+    # r18 (guide §3.2 — reduce the big side before shuffling it): when the
+    # LEFT side is a small filtered probe against a much larger right-side
+    # history, right rows whose key never appears on the left can only feed
+    # window groups that emit nothing — prune them with a broadcast
+    # semi-join on left's distinct keys BEFORE the union+window, so the
+    # window exchange carries ~|left| keys' worth of right rows instead of
+    # the full history.  Gated on the optimizer's own size estimates (the
+    # join_star convention): fire only when the left is BOTH broadcast-
+    # small and an order of magnitude smaller than the right — a
+    # comparable-size left (the bench shape: all non-signup events vs all
+    # signups) means most right keys match anyway, and the extra semi-join
+    # would be pure overhead, so the plan stays unchanged there.  Estimate
+    # unavailable (Spark Connect) → conservative no-prune branch.  Output
+    # rows are identical either way: pruned right rows join to nothing.
+    from mcp_clickhouse_spark.plans.inspect import (
+        broadcast_threshold,
+        estimated_size_bytes,
+    )
+
+    l_size = estimated_size_bytes(left)
+    r_size = estimated_size_bytes(right)
+    thresh = broadcast_threshold(left.sparkSession)
+    if (
+        l_size is not None
+        and r_size is not None
+        and thresh is not None
+        and 0 < l_size <= thresh
+        and l_size * 16 <= r_size
+    ):
+        right = right.join(
+            F.broadcast(left.select(*[F.col(c) for c in on]).distinct()),
+            on=on,
+            how="left_semi",
+        )
+
     l_tag = left.select(
         *[F.col(c) for c in left_keep],
         F.col(left_ts).alias("__asof_ts"),

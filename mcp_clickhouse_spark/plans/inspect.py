@@ -71,3 +71,25 @@ def read_schema_columns(plan: str) -> list[str]:
     if not m:
         return []
     return [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+
+
+def estimated_size_bytes(df: DataFrame) -> int | None:
+    """The optimizer's size estimate for ``df`` — the SAME statistic the
+    planner uses to pick join strategies, read driver-side (no job).
+    Returns None when the internal API is unavailable (Spark Connect, API
+    drift); callers must treat None as "unknown" and take their
+    conservative branch."""
+    try:
+        return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    except Exception:  # pragma: no cover — estimate unavailable
+        return None
+
+
+def broadcast_threshold(spark) -> int | None:
+    """Session autoBroadcastJoinThreshold in bytes, or None if unreadable."""
+    try:
+        return int(
+            spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+        )
+    except Exception:  # pragma: no cover
+        return None

@@ -132,11 +132,29 @@ _WAREHOUSE_ROOT = os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_ware
 # brings orders (150k rows) from 2 scan tasks to 8 and events (300k) from 4
 # to 8 — every orders/events-scanning headline query improved (events
 # windows −0.02 s, scan_projection/agg_count_distinct −0.01 s each, total
-# −0.17 s) with no regression.  Finer than 8 files was a measured LOSS for
-# the _spread-based pipelines (docs at 16 files: minhash/span +0.12 s), so
-# the cap stays 8.
+# −0.17 s) with no regression.
+#
+# Round-18 (VERDICT items 2/8 — make scan parallelism follow the session's
+# cores when the data warrants it): the flat cap of 8 left sf1's 6M-row
+# lineitem at 8 scan tasks on 32 cores.  The cap is now core-aware for BIG
+# tables only: rows >= _SPLIT_BIG_ROWS get max(8, cpus // 2) files, smaller
+# tables keep 8.  Measured at sf1/32 cores (interleaved ab_bench,
+# min-of-3): cap 8 → 7.250 s, cap 16 → 6.558 s, cap 32 → 7.005 s — 16
+# (= 32 cores // 2) is the sweet spot; at 8 cores the formula yields 8,
+# byte-identical to the r17 layout.  The 1M-row gate keeps the WHOLE
+# sf0.1 layout unchanged (in-tree env A/B: a 500k gate let lineitem cross
+# and cost ~+0.01 s each on q1/join_star; a flat 16 cap also cost +0.013 s
+# on join_asof) — sf0.1 stays parallelism-capped by design, which bench.py
+# now documents in its output; the scaling signal lives at sf1 and above.
+# SPARK_GRAFT_SPLIT_MAX_FILES remains the hard ceiling.
 _SPLIT_ROWS = int(os.environ.get("SPARK_GRAFT_SPLIT_ROWS", 18_750))
-_SPLIT_MAX_FILES = int(os.environ.get("SPARK_GRAFT_SPLIT_MAX_FILES", 8))
+_SPLIT_MAX_FILES = int(os.environ.get("SPARK_GRAFT_SPLIT_MAX_FILES", 32))
+_SPLIT_BIG_ROWS = int(os.environ.get("SPARK_GRAFT_SPLIT_BIG_ROWS", 1_000_000))
+
+
+def _split_file_cap(rows: int) -> int:
+    cap = 8 if rows < _SPLIT_BIG_ROWS else max(8, default_parallelism() // 2)
+    return min(cap, _SPLIT_MAX_FILES)
 # CPU-heavy per-row consumers (shingling, vector math) want scan parallelism
 # even at small row counts
 _SPLIT_CPU_TABLES = {
@@ -159,7 +177,7 @@ def _split_layout(spark: SparkSession, path: str, name: str) -> str:
     if meta.num_row_groups != 1:
         return path
     rows = meta.num_rows
-    n = min((rows + _SPLIT_ROWS - 1) // _SPLIT_ROWS, _SPLIT_MAX_FILES)
+    n = min((rows + _SPLIT_ROWS - 1) // _SPLIT_ROWS, _split_file_cap(rows))
     if name in _SPLIT_CPU_TABLES and rows >= _SPLIT_CPU_MIN_ROWS:
         n = max(n, _SPLIT_CPU_TABLES[name])
     if n < 2:

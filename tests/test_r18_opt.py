@@ -202,3 +202,53 @@ def test_connected_components_one_action_per_round(spark):
     # labels correct: {1,2,3} -> 1, {10,11} -> 10, {20} -> 20
     assert got == [(1, 1, 3, True), (2, 1, 3, False), (3, 1, 3, False),
                    (10, 10, 2, True), (11, 10, 2, False), (20, 20, 1, True)]
+
+
+def test_asof_prefilter_gated_on_selectivity(spark):
+    """r18 asof probe-side prune (guide §3.2): fires only when the left is
+    broadcast-small AND ≫smaller than the right; the bench shape (two
+    comparable filters of the same table) must keep its plan unchanged."""
+    from mcp_clickhouse_spark.operators.asof_join import asof_join
+    from mcp_clickhouse_spark.plans import explain_formatted
+    from mcp_clickhouse_spark.session import read_table
+
+    sf = "/root/testdata/sf0.01"
+    ev = read_table(spark, sf, "events")
+    # bench shape: comparable sides -> NO semi-join in the plan
+    left_big = ev.where(F.col("event_type") != "signup").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    plain = asof_join(left_big, right, on=["user_id"], left_ts="ts",
+                      right_ts="ts", right_cols=["value"])
+    assert "LeftSemi" not in explain_formatted(plain)
+
+    # selective probe: a parquet-backed tiny left (real size statistics —
+    # a createDataFrame local frame reads as unknown/Long.Max and correctly
+    # takes the conservative branch) against a 100x bigger right history
+    left_small = read_table(spark, "/root/testdata/sf0.001", "events").where(
+        F.col("event_type") != "signup"
+    ).select("event_id", "user_id", "ts")
+    right_big = read_table(spark, "/root/testdata/sf0.1", "events").where(
+        F.col("event_type") == "signup"
+    ).select("user_id", "ts", "value")
+    pruned = asof_join(left_small, right_big, on=["user_id"], left_ts="ts",
+                       right_ts="ts", right_cols=["value"])
+    assert "LeftSemi" in explain_formatted(pruned)
+    # rows identical to the ungated formulation (prune only removes right
+    # rows that join to nothing): rebuild with the estimator disabled
+    import unittest.mock as mock
+
+    with mock.patch(
+        "mcp_clickhouse_spark.plans.inspect.estimated_size_bytes",
+        return_value=None,
+    ):
+        ref = asof_join(left_small, right_big, on=["user_id"], left_ts="ts",
+                        right_ts="ts", right_cols=["value"])
+        assert "LeftSemi" not in explain_formatted(ref)
+        ref_rows = ref.collect()
+    got = pruned.collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, ref_rows))
+    assert len(got) > 0
