@@ -737,27 +737,45 @@ def simhash_near_dups(
 
     rep_w = Window.partitionBy("simhash")
     with_rep = hashes.withColumn("_rep", F.min(id_col).over(rep_w))
-    # star pairs inside each identical-fingerprint cluster (hamming 0)
-    intra = with_rep.where(F.col(id_col) != F.col("_rep")).select(
-        F.col("_rep").alias("id_a"),
-        F.col(id_col).alias("id_b"),
-        F.lit(0).alias("hamming"),
-    )
-    reps = hashes.groupBy("simhash").agg(F.min(id_col).alias(id_col))
     width = SIMHASH_BITS // blocks
-    chunked = reps.select(
-        F.col(id_col),
-        F.col("simhash"),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(blocks - 1)),
-                lambda b: F.aggregate(
-                    F.sequence(F.lit(width - 1), F.lit(0), F.lit(-1)),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, i: acc * 2 + F.getbit(F.col("simhash"), b * width + i),
-                ),
-            )
-        ).alias("chunk_idx", "chunk_val"),
+    # r18 (guide §2.4, same fusion as minhash_lsh_candidates): the former
+    # shape computed the fingerprints TWICE — `reps` was a separate
+    # groupBy(simhash) whose partial aggregation runs before its exchange,
+    # so not even ReuseExchange could share it with the window branch.  ONE
+    # generator now emits both kinds of bucket rows from the window's own
+    # stage: reps explode to their `blocks` pigeonhole chunks; each non-rep
+    # member explodes to a synthetic 2-row bucket (chunk_idx = −1,
+    # chunk_val = the member's own id — collision-free vs real chunks and
+    # other members) holding {rep, member}, whose fingerprints are
+    # IDENTICAL by construction, so the shared hamming verify emits exactly
+    # the former (rep, member, 0) star pair.  NULL ids are filtered
+    # explicitly (the old branch predicates dropped them from stars and
+    # star members from banding; non-null ids are the operating contract).
+    # Requires a bigint id for the synthetic bucket — true of every caller
+    # (doc_id / vec_id).  Equivalence pinned in tests/test_r18_opt.py.
+    chunk_val = (
+        f"aggregate(sequence({width - 1}, 0, -1), CAST(0 AS BIGINT),"
+        f" (acc, i) -> acc * 2 + getbit(simhash, b * {width} + i))"
+    )
+    gen = (
+        f"CASE WHEN {id_col} = _rep THEN"
+        f" transform(sequence(0, {int(blocks) - 1}),"
+        f" b -> struct(b AS chunk_idx, {chunk_val} AS chunk_val,"
+        f" {id_col} AS _bid, simhash AS _bsh))"
+        f" ELSE array("
+        f" struct(-1 AS chunk_idx, {id_col} AS chunk_val, _rep AS _bid, simhash AS _bsh),"
+        f" struct(-1 AS chunk_idx, {id_col} AS chunk_val, {id_col} AS _bid, simhash AS _bsh))"
+        f" END"
+    )
+    chunked = (
+        with_rep.where(F.col(id_col).isNotNull())
+        .select(F.explode(F.expr(gen)).alias("e"))
+        .select(
+            "e.chunk_idx",
+            "e.chunk_val",
+            F.col("e._bid").alias(id_col),
+            F.col("e._bsh").alias("simhash"),
+        )
     )
     cap_w = Window.partitionBy("chunk_idx", "chunk_val").orderBy(id_col)
     capped = chunked.withColumn("_rn", F.row_number().over(cap_w)).where(
@@ -783,12 +801,11 @@ def simhash_near_dups(
         )
         .distinct()
     )
-    cross = (
+    return (
         cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
-    return intra.unionByName(cross)
 
 
 def doc_spans(

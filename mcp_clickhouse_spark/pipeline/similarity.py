@@ -304,7 +304,7 @@ def embedding_neardup_pairs(
     cosine 1.0 ≥ any threshold), and banding runs over representatives.
     ``collapse_identical=False`` restores the flat shape.
     """
-    from mcp_clickhouse_spark.pipeline.dedup import _persist, bucket_pairs
+    from mcp_clickhouse_spark.pipeline.dedup import bucket_pairs
 
     # meta is the cosine lookup for BOTH pair sides — built over the FULL
     # corpus before any collapse, so star members resolve their vectors
@@ -313,32 +313,51 @@ def embedding_neardup_pairs(
         F.col(vec_col).alias("_vec"),
         F.expr(_norm_sql(vec_col)).alias("_norm"),
     )
-    star = None
-    if collapse_identical:
-        rep_w = Window.partitionBy(vec_col)
-        with_rep = _persist(
-            corpus.select(id_col, vec_col).withColumn(
-                "_rep", F.min(id_col).over(rep_w)
-            )
-        )
-        star = with_rep.where(F.col(id_col) != F.col("_rep")).select(
-            F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
-        )
-        corpus = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
     plane_cols, bucket_exprs = band_plane_exprs(
         vec_col, bands, planes_per_band, dim
     )
-    projected = corpus.select(F.col(id_col), *plane_cols)
-    banded = projected.select(
-        F.col(id_col),
-        F.posexplode(
-            F.array(*[F.expr(e) for e in bucket_exprs])
-        ).alias("band", "bucket"),
-    )
-    pairs = bucket_pairs(banded, id_col, max_bucket_size)
-    if star is not None:
-        pairs = pairs.unionByName(star)
-    pairs = pairs.distinct()
+    if collapse_identical:
+        # r18 (guide §2.4, the minhash_lsh_candidates fusion): ONE generator
+        # over the collapse window emits reps' band rows AND each member's
+        # synthetic 2-row bucket (band = −1, bucket = member id) holding
+        # {rep, member} — identical vectors ⇒ the shared cosine verify
+        # scores the former star pair at 1.0 ≥ any threshold.  Removes the
+        # union's second window pass and the with_rep persist.  The plane
+        # sums stay their own projected columns BELOW the generate (janino
+        # method-size split, see band_plane_exprs); the generate's CASE
+        # only references them.  NULL ids filtered explicitly (the old
+        # branch predicates dropped them silently).
+        rep_w = Window.partitionBy(vec_col)
+        with_rep = corpus.select(id_col, vec_col).withColumn(
+            "_rep", F.min(id_col).over(rep_w)
+        )
+        projected = with_rep.where(F.col(id_col).isNotNull()).select(
+            F.col(id_col), F.col("_rep"), *plane_cols
+        )
+        band_structs = ", ".join(
+            f"struct({b} AS band, CAST({e} AS BIGINT) AS bucket, {id_col} AS _bid)"
+            for b, e in enumerate(bucket_exprs)
+        )
+        gen = (
+            f"CASE WHEN {id_col} = _rep THEN array({band_structs})"
+            f" ELSE array("
+            f" struct(-1 AS band, {id_col} AS bucket, _rep AS _bid),"
+            f" struct(-1 AS band, {id_col} AS bucket, {id_col} AS _bid))"
+            f" END"
+        )
+        banded = (
+            projected.select(F.explode(F.expr(gen)).alias("e"))
+            .select("e.band", "e.bucket", F.col("e._bid").alias(id_col))
+        )
+    else:
+        projected = corpus.select(F.col(id_col), *plane_cols)
+        banded = projected.select(
+            F.col(id_col),
+            F.posexplode(
+                F.array(*[F.expr(e) for e in bucket_exprs])
+            ).alias("band", "bucket"),
+        )
+    pairs = bucket_pairs(banded, id_col, max_bucket_size).distinct()
     return (
         pairs.join(
             meta.select(

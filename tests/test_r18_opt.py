@@ -252,3 +252,165 @@ def test_asof_prefilter_gated_on_selectivity(spark):
     got = pruned.collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, ref_rows))
     assert len(got) > 0
+
+
+def _legacy_simhash_neardups(hashes, id_col="doc_id", max_hamming=3,
+                             blocks=4, max_bucket_size=500):
+    """Pre-r18 simhash_near_dups: window stars + SEPARATE groupBy reps +
+    pigeonhole banding, unioned."""
+    from pyspark.sql import Window
+
+    from mcp_clickhouse_spark.pipeline.dedup import SIMHASH_BITS
+
+    rep_w = Window.partitionBy("simhash")
+    with_rep = hashes.withColumn("_rep", F.min(id_col).over(rep_w))
+    intra = with_rep.where(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b"),
+        F.lit(0).alias("hamming"),
+    )
+    reps = hashes.groupBy("simhash").agg(F.min(id_col).alias(id_col))
+    width = SIMHASH_BITS // blocks
+    chunked = reps.select(
+        F.col(id_col), F.col("simhash"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(blocks - 1)),
+                lambda b: F.aggregate(
+                    F.sequence(F.lit(width - 1), F.lit(0), F.lit(-1)),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, i: acc * 2
+                    + F.getbit(F.col("simhash"), b * width + i),
+                ),
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cap_w = Window.partitionBy("chunk_idx", "chunk_val").orderBy(id_col)
+    capped = chunked.withColumn("_rn", F.row_number().over(cap_w)).where(
+        F.col("_rn") <= max_bucket_size
+    )
+    buckets = capped.groupBy("chunk_idx", "chunk_val").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+        ).alias("_e")
+    )
+    cand = (
+        buckets.where(F.size("_e") >= 2)
+        .select(F.col("_e"), F.posexplode("_e").alias("_i", "a"))
+        .select(
+            F.col("a"),
+            F.explode(F.slice(F.col("_e"), F.col("_i") + 2, F.size("_e"))).alias("b"),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"), F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    cross = (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+    return intra.unionByName(cross)
+
+
+def test_simhash_neardups_unified_generator_matches_legacy(spark):
+    from mcp_clickhouse_spark.pipeline.dedup import simhash_64, simhash_near_dups
+    from mcp_clickhouse_spark.session import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    hashes = simhash_64(d)
+    for mh, cap in ((3, 500), (6, 500), (3, 2)):
+        got = sorted(
+            map(tuple, simhash_near_dups(
+                hashes, max_hamming=mh, max_bucket_size=cap).collect())
+        )
+        want = sorted(
+            map(tuple, _legacy_simhash_neardups(
+                hashes, max_hamming=mh, max_bucket_size=cap).collect())
+        )
+        assert got == want and len(got) > 0, (mh, cap)
+    # the one shared plan computes fingerprints once: a single Window, no
+    # Union, no second aggregation over the corpus words
+    from mcp_clickhouse_spark.plans import count_nodes, explain_formatted
+
+    plan = explain_formatted(simhash_near_dups(hashes))
+    assert count_nodes(plan, "Union") == 0
+
+
+def _legacy_embedding_neardups(corpus, threshold=0.45, id_col="vec_id",
+                               vec_col="embedding", bands=2,
+                               planes_per_band=6, dim=64,
+                               max_bucket_size=1000):
+    """Pre-r18 embedding_neardup_pairs collapse shape (star union)."""
+    from pyspark.sql import Window
+
+    from mcp_clickhouse_spark.pipeline.dedup import bucket_pairs
+    from mcp_clickhouse_spark.pipeline.similarity import (
+        _dot_sql,
+        _norm_sql,
+        band_plane_exprs,
+    )
+
+    meta = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        F.expr(_norm_sql(vec_col)).alias("_norm"),
+    )
+    rep_w = Window.partitionBy(vec_col)
+    with_rep = corpus.select(id_col, vec_col).withColumn(
+        "_rep", F.min(id_col).over(rep_w)
+    )
+    star = with_rep.where(F.col(id_col) != F.col("_rep")).select(
+        F.col("_rep").alias("id_a"), F.col(id_col).alias("id_b")
+    )
+    reps = with_rep.where(F.col(id_col) == F.col("_rep")).drop("_rep")
+    plane_cols, bucket_exprs = band_plane_exprs(vec_col, bands, planes_per_band, dim)
+    projected = reps.select(F.col(id_col), *plane_cols)
+    banded = projected.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.expr(e) for e in bucket_exprs])).alias(
+            "band", "bucket"
+        ),
+    )
+    pairs = (
+        bucket_pairs(banded, id_col, max_bucket_size).unionByName(star).distinct()
+    )
+    return (
+        pairs.join(
+            meta.select(F.col("_id").alias("id_a"), F.col("_vec").alias("vec_a"),
+                        F.col("_norm").alias("norm_a")), on="id_a")
+        .join(
+            meta.select(F.col("_id").alias("id_b"), F.col("_vec").alias("vec_b"),
+                        F.col("_norm").alias("norm_b")), on="id_b")
+        .withColumn(
+            "cosine",
+            F.expr(f"round({_dot_sql('vec_a', 'vec_b')} / (norm_a * norm_b), 6)"),
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
+def test_embedding_neardups_unified_generator_matches_legacy(spark):
+    from mcp_clickhouse_spark.pipeline.similarity import embedding_neardup_pairs
+    from mcp_clickhouse_spark.session import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # inject exact duplicates so the star/member path is exercised: ids
+    # 900000+k copy the embeddings of the 3 smallest vec_ids
+    dup_src = e.orderBy("vec_id").limit(3).collect()
+    dups = spark.createDataFrame(
+        [(900000 + i, r["embedding"]) for i, r in enumerate(dup_src)],
+        e.schema,
+    )
+    e = e.unionByName(dups)
+    got = sorted(map(tuple, embedding_neardup_pairs(e, threshold=0.2).collect()))
+    want = sorted(map(tuple, _legacy_embedding_neardups(e, threshold=0.2).collect()))
+    assert got == want and len(got) > 0
+    # the injected duplicates surface as (rep, member) pairs at cosine 1.0
+    stars = [(a, b) for a, b, c in got if b >= 900000 and c == 1.0]
+    assert len(stars) == 3
